@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis expressions for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting. All are
+  * compositions of codegen'd built-ins (no UDFs) so they stay inside
+  * whole-stage codegen and scale as narrow maps — no shuffle, no state.
+  *
+  * Every function has an exactly-equivalent DuckDB SQL form (used by the
+  * oracle harness); keep the two in sync when editing.
+  */
+object TextFunctions {
+
+  /** Word tokens: lowercase, split on runs of non-alphanumerics, drop
+    * empties. The deliberately simple spec (vs the spaCy-like
+    * [[graft.nlp.Tokenizer]]) keeps it expressible in any SQL engine.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are neither alphanumeric nor space
+    * (computed on the lowercased text); 0.0 for empty strings.
+    */
+  def punctRatio(text: Column): Column = {
+    val low = lower(text)
+    val punct = length(regexp_replace(low, "[a-z0-9 ]", ""))
+    when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
+  }
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "by", "at", "as", "it", "that", "this", "are", "was")
+
+  /** Fraction of word tokens that are English stopwords; 0.0 when there are
+    * no tokens.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = array(Stopwords.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(stops, t)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** BPE-ish subword-count estimate: count matches of a GPT-2-style
+    * pre-tokenization regex (letter runs, digit runs, punctuation runs,
+    * whitespace runs — each with an optional leading space). Good enough
+    * for cost estimation without a real BPE vocab.
+    */
+  val BpeishRegex = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  def bpeTokenCountEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishRegex), lit(0)))
+
+  /** Heuristic document quality score in [0,1]:
+    * length signal × (1 − punctuation penalty) × stopword signal.
+    * Deterministic and cheap; meant for bulk corpus filtering.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenSignal = least(lit(1.0), tokenCount(text).cast("double") / 50.0)
+    val punctPenalty = lit(1.0) - least(lit(1.0), punctRatio(text) * 4.0)
+    val stopSignal = least(lit(1.0), stopwordRatio(text) * 4.0)
+    lenSignal * punctPenalty * (lit(0.5) + stopSignal * 0.5)
+  }
+
+  /** Language-ID by marker-word voting (n-gram-free heuristic, exactly
+    * SQL-expressible): count token occurrences from each language's marker
+    * set; argmax with fixed precedence en > de > es > fr; no hits → "und"
+    * (undetermined).
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "por"),
+    "fr" -> Seq("le", "les", "est", "et", "une", "dans", "pour", "qui"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = Markers.map { case (lang, words) =>
+      val set = array(words.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(set, t)))
+    }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    when(en + de + es + fr === 0, "und")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercased text.
+    * Identical across engines (md5 is md5) → the exact-dedup key.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Rolling polynomial hash over word tokens, mod 2^40 (kept well under
+    * 2^63 so the fold never overflows in engines that trap on overflow):
+    * acc = (acc * 31 + (h(tok) mod P)) mod P, where h(tok) = first 15 hex
+    * chars of md5(tok) as an integer. Order-sensitive (unlike the md5
+    * fingerprint) → detects token reorderings.
+    */
+  val RollingHashMod: Long = 1L << 40
+
+  def rollingTokenHash(text: Column): Column = {
+    val tokHash = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast(LongType) % RollingHashMod
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31 + tokHash(t)) % RollingHashMod)
+  }
+}
