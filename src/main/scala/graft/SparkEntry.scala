@@ -176,7 +176,7 @@ object SparkEntry {
   private def q7WindowTopk(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), col("c_custkey"))
     Tables.customer(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("c_mktsegment"), col("rn"), col("c_custkey"), dec(col("c_acctbal")).as("acctbal"))
       .orderBy("c_mktsegment", "rn")
@@ -217,7 +217,7 @@ object SparkEntry {
     val jobs = jobsFrame(s, dir)
       .na.drop(Seq("description"))
       .filter(!col("title").contains("Software"))
-      .withColumn("n_unique_tokens", size(array_distinct(TextFunctions.tokens(col("description")))))
+      .withColumn("n_unique_tokens", size(array_distinct(TextFunctions.tokens(col("description")))).cast("long"))
       .drop("description")
     val lo = jobs.filter(col("doc_id") < 100)
     val hi = jobs.filter(col("doc_id") >= 100)
@@ -240,9 +240,162 @@ object SparkEntry {
       .withColumn("seniority", EtlFunctions.seniority(col("title")))
       .withColumn("run_date", to_timestamp(lit("2026-01-01 00:00:00")))
       .drop("title", "description")
-      .withColumn("n_skills", size(col("skills")))
+      .withColumn("n_skills", size(col("skills")).cast("long"))
       .withColumn("skills", array_sort(col("skills")))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Text-analysis tier (training-data pipeline operators)
+  // ---------------------------------------------------------------------
+
+  /** Per-document text statistics: word/BPE-ish token counts, char count,
+    * punctuation + stopword ratios, composite quality score. All narrow
+    * codegen'd maps.
+    */
+  private def t1TextStats(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    jobsFrame(s, dir).na.drop(Seq("description"))
+      .select(col("doc_id"),
+        tokenCount(col("description")).cast("long").as("n_tokens"),
+        bpeTokenCountEstimate(col("description")).cast("long").as("n_bpe"),
+        charCount(col("description")).cast("long").as("n_chars"),
+        punctRatio(col("description")).as("punct_ratio"),
+        stopwordRatio(col("description")).as("stopword_ratio"),
+        qualityScore(col("description")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID vs the corpus's claimed lang metadata. */
+  private def t2LangQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextFunctions.langId(col("text")).as("lang_id"), col("n_chars"))
+      .groupBy("lang", "lang_id")
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang", "lang_id")
+
+  /** Content fingerprints: order-insensitive md5 + order-sensitive rolling
+    * token hash.
+    */
+  private def t3Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+        TextFunctions.rollingTokenHash(col("text")).as("fp_rolling"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // Dedup tier
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup over a corpus with planted duplicates (every 10th doc is
+    * re-added under a shifted id → 2-member fingerprint groups).
+    */
+  private def d1ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    ops.Dedup.exactDedup(d.unionByName(planted), "text", "doc_id")
+      .orderBy("fingerprint")
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5; the corpus has 25
+    * planted pairs ≥0.9 and nothing between 0.1 and 0.9).
+    */
+  private def d2JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.jaccardDupPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
+      .orderBy("id1", "id2")
+
+  private val MinhashK = 12
+  private val MinhashR = 3
+
+  /** MinHash(k=12) + LSH(4 bands × 3 rows) candidates verified by exact
+    * Jaccard — the at-scale near-dup path. The oracle replicates the band
+    * hashing itself, so the candidate set (not just the verified output)
+    * is deterministic and engine-identical.
+    */
+  private def d3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.minhashDupPairs(Tables.documents(s, dir), "text", "doc_id",
+      3, MinhashK, MinhashR, 0.5)
+      .orderBy("id1", "id2")
+
+  /** 16-bit SimHash pairs within Hamming distance 3. */
+  private def d4Simhash(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.simhashDupPairs(Tables.documents(s, dir), "text", "doc_id", 3)
+      .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id1", "id2")
+
+  /** Embedding-cosine near-dup pairs (θ=0.4 on 6-decimal-rounded cosine). */
+  private def d5EmbeddingDup(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.4)
+      .orderBy("id1", "id2")
+
+  // ---------------------------------------------------------------------
+  // Similarity-search tier
+  // ---------------------------------------------------------------------
+
+  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  private def sim1TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF cell-probed top-3 (centroids = vec_id % 50 == 0, nprobe=2). */
+  private def sim2IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 3, 2, 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Multimodal tier (binary payload plumbing, stub codec)
+  // ---------------------------------------------------------------------
+
+  /** Binary media decode via partition-batched mapPartitions (stub codec —
+    * deterministic fake dims + md5 checksum; see [[graft.ops.Multimodal]]).
+    */
+  private def m1MediaDecode(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.decodeStub(
+      ops.Multimodal.withMedia(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width"), col("height"), col("checksum"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // IO round-trip tier (S3/S4/S5 sources & sinks)
+  // ---------------------------------------------------------------------
+
+  private def ioTmp(dir: String, name: String): String =
+    s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  /** CSV sink+source round-trip with the reference's `;` conventions
+    * (S3/S5): write, re-read with schema inference, aggregate — must equal
+    * the direct-on-parquet oracle.
+    */
+  private def io1CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "csv_docs")
+    Tables.writeRefCsv(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"), path)
+    Tables.readRefCsv(s, path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** Partitioned parquet sink round-trip (S4: directory partitioning
+    * replaces the reference's filename-encoded partitioning) — re-read
+    * with a partition-pruning filter.
+    */
+  private def io2ParquetPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "parquet_docs")
+    Tables.documents(s, dir).select("doc_id", "lang", "source")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+      .filter(col("lang") === "de")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------------
@@ -262,7 +415,85 @@ object SparkEntry {
     "p3_skills_mini" -> p3SkillsMini _,
     "p4_clean_union" -> p4CleanUnion _,
     "p5_full_pipeline" -> p5FullPipeline _,
+    "t1_text_stats" -> t1TextStats _,
+    "t2_lang_quality" -> t2LangQuality _,
+    "t3_fingerprint" -> t3Fingerprint _,
+    "d1_exact_dedup" -> d1ExactDedup _,
+    "d2_jaccard_pairs" -> d2JaccardPairs _,
+    "d3_minhash_lsh" -> d3MinhashLsh _,
+    "d4_simhash" -> d4Simhash _,
+    "d5_embedding_dup" -> d5EmbeddingDup _,
+    "sim1_topk" -> sim1TopK _,
+    "sim2_ivf_topk" -> sim2IvfTopK _,
+    "m1_media_decode" -> m1MediaDecode _,
+    "io1_csv_roundtrip" -> io1CsvRoundtrip _,
+    "io2_parquet_partitioned" -> io2ParquetPartitioned _,
   )
+
+  // ---- oracle SQL building blocks (mirror the Scala expressions above) ----
+
+  /** DuckDB form of [[TextFunctions.tokens]]. */
+  private def toksSql(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB form of [[ops.Dedup.wordShingles]] over a token list `t`. */
+  private def shinglesSql(t: String): String =
+    s"list_distinct(list_transform(generate_series(1, len($t) - 2), i -> array_to_string(($t)[i:i+2], ' ')))"
+
+  /** DuckDB form of [[ops.Dedup.jaccard]]. */
+  private def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::DOUBLE / len(list_distinct($a || $b))"
+
+  /** DuckDB form of [[TextFunctions.fingerprintMd5]]. */
+  private def fpSql(c: String): String =
+    s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"
+
+  private def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB form of [[TextFunctions.langId]] given a token-list expr. */
+  private def langIdSql(toks: String): String = {
+    val scores = TextFunctions.Markers.map { case (lang, words) =>
+      lang -> s"len(list_filter($toks, t -> t IN (${inList(words)})))"
+    }.toMap
+    val (en, de, es, fr) = (scores("en"), scores("de"), scores("es"), scores("fr"))
+    s"""CASE WHEN $en + $de + $es + $fr = 0 THEN 'und'
+       | WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       | WHEN $de >= $es AND $de >= $fr THEN 'de'
+       | WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+  }
+
+  /** DuckDB MinHash signature + LSH band arrays (mirror of
+    * [[ops.Dedup.minhashSignature]]/[[ops.Dedup.lshBands]] with k=12, r=3).
+    */
+  private val sigSql: String =
+    "[" + (0 until MinhashK).map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString(", ") + "]"
+  private val bandsSql: String =
+    "[" + (0 until MinhashK / MinhashR).map { j =>
+      val parts = (0 until MinhashR).map(i => s"sig[${j * MinhashR + i + 1}]").mkString(" || '|' || ")
+      s"md5($parts)"
+    }.mkString(", ") + "]"
+
+  /** DuckDB form of [[ops.Dedup.simhash16]] given token-hash list `hs`. */
+  private val simhashSql: String =
+    (0 until 16).map { j =>
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (h & ${1 << j}) <> 0)) > len(hs) THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** DuckDB embedding CTEs: doubles + norms. */
+  private val embNormSql: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** DuckDB cosine between two rows of the `n` CTE (aliases nq/nc),
+    * 6-decimal rounded — mirror of [[graft.functions.VectorFunctions.cosine]]
+    * + rounding.
+    */
+  private def cosineSql(q: String, c: String): String =
+    s"""CASE WHEN $q.nrm * $c.nrm = 0 THEN NULL
+       | ELSE round(list_sum(list_transform(generate_series(1, len($q.v)), i -> $q.v[i] * $c.v[i])) / ($q.nrm * $c.nrm), 6) END""".stripMargin
+
+  private def l2Sql(q: String, c: String): String =
+    s"round(sqrt(list_sum(list_transform(generate_series(1, len($q.v)), i -> ($q.v[i] - $c.v[i]) * ($q.v[i] - $c.v[i])))), 6)"
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -290,8 +521,8 @@ object SparkEntry {
     "q4_semi_anti" ->
       """WITH f AS (SELECT c_mktsegment, c_custkey IN (SELECT o_custkey FROM orders) AS has_o FROM customer)
         |SELECT c_mktsegment,
-        | sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS n_with_orders,
-        | sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS n_without_orders
+        | CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        | CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS n_without_orders
         |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q5_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -300,7 +531,7 @@ object SparkEntry {
     "q6_events_json" ->
       """SELECT event_type, count(*) AS n,
         | count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q7_window_topk" ->
       """SELECT c_mktsegment, rn, c_custkey, acctbal FROM (
@@ -384,5 +615,111 @@ object SparkEntry {
         |FROM clean c JOIN m ON c.doc_id = m.doc_id
         |LEFT JOIN sk ON c.doc_id = sk.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    "t1_text_stats" ->
+      s"""WITH $JobsFrameSql,
+        |clean AS (SELECT doc_id, description FROM jobs WHERE description IS NOT NULL),
+        |s AS (SELECT doc_id, description, ${toksSql("description")} AS toks,
+        |       CASE WHEN length(description) = 0 THEN 0.0
+        |        ELSE length(regexp_replace(lower(description), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(description) END AS punct_ratio
+        |      FROM clean),
+        |s2 AS (SELECT *,
+        |       CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE len(list_filter(toks, t -> t IN (${inList(TextFunctions.Stopwords)})))::DOUBLE / len(toks) END AS stopword_ratio
+        |      FROM s)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(description, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe,
+        | CAST(length(description) AS BIGINT) AS n_chars,
+        | punct_ratio, stopword_ratio,
+        | least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * (1.0 - least(1.0, punct_ratio * 4.0)) * (0.5 + least(1.0, stopword_ratio * 4.0) * 0.5) AS quality
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "t2_lang_quality" ->
+      s"""WITH s AS (SELECT lang, n_chars, ${langIdSql(toksSql("text"))} AS lang_id FROM documents)
+        |SELECT lang, lang_id, count(*) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM s GROUP BY lang, lang_id ORDER BY lang, lang_id""".stripMargin,
+    "t3_fingerprint" ->
+      s"""SELECT doc_id, ${fpSql("text")} AS fp_md5,
+        | list_reduce([CAST(0 AS BIGINT)] || list_transform(${toksSql("text")},
+        |   t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % ${TextFunctions.RollingHashMod}),
+        |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT ${fpSql("text")} AS fingerprint, doc_id FROM base)
+        |SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "d2_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
+        |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
+        |bands AS (SELECT doc_id, sh, $bandsSql AS bands FROM sigs),
+        |e AS (SELECT doc_id, sh, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM e a JOIN e b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+        |j AS (SELECT id1, id2, ${jaccardSql("da.sh", "db.sh")} AS jaccard
+        |      FROM cand JOIN d da ON cand.id1 = da.doc_id JOIN d db ON cand.id2 = db.doc_id)
+        |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  list_transform(${toksSql("text")}, tok -> CAST(concat('0x', substring(md5(tok), 1, 4)) AS INT)) AS hs
+        | FROM documents),
+        |sk AS (SELECT doc_id, $simhashSql AS sk FROM h)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(bit_count(xor(a.sk, b.sk)) AS INT) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sk, b.sk)) <= 3 ORDER BY id1, id2""".stripMargin,
+    "d5_embedding_dup" ->
+      s"""WITH $embNormSql,
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ${cosineSql("a", "b")} AS cosine
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "sim1_topk" ->
+      s"""WITH $embNormSql,
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${cosineSql("q", "c")} AS cosine
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "sim2_ivf_topk" ->
+      s"""WITH $embNormSql,
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "m1_media_decode" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(16 + ascii(substring(text, 1, 1)) % 16 AS INT) AS width,
+        | CAST(16 + ascii(substring(text, 2, 1)) % 16 AS INT) AS height,
+        | md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "io1_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "io2_parquet_partitioned" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE lang = 'de' GROUP BY source ORDER BY source""".stripMargin,
   )
 }

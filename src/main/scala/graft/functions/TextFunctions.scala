@@ -34,7 +34,7 @@ object TextFunctions {
     when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
   }
 
-  private val Stopwords = Seq(
+  val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
     "with", "by", "at", "as", "it", "that", "this", "are", "was")
 
@@ -74,7 +74,7 @@ object TextFunctions {
     * set; argmax with fixed precedence en > de > es > fr; no hits → "und"
     * (undetermined).
     */
-  private val Markers: Seq[(String, Seq[String])] = Seq(
+  val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "por"),

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over dense embedding columns
+  * (`array<float>`).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]] — exact cosine top-k via a broadcast
+  *     queries × corpus join. The correctness baseline; scales linearly in
+  *     corpus size with the query set broadcast to every executor, so it
+  *     is actually the right production shape whenever |queries| is small.
+  *   - [[ivfTopK]] — IVF-style cell-probed search: vectors are assigned to
+  *     their nearest centroid (map-side, centroids broadcast), queries
+  *     probe only the `nprobe` nearest cells. At 100 TB this turns a full
+  *     corpus scan per query into a scan of nprobe/ncells of the data,
+  *     with the corpus pre-partitionable by cell id.
+  *
+  * Determinism: similarities are rounded to 6 decimals BEFORE ranking and
+  * ties broken by vector id, so rankings are reproducible bit-for-bit
+  * across engines (float fold order differs at ~1e-13; the rounding
+  * absorbs it).
+  */
+object Similarity {
+
+  private def rounded(c: Column): Column = round(c, 6)
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself when ids collide).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        rounded(VectorFunctions.cosine(col("q_vec"), col("nn_vec"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /** Deterministic IVF: centroids are the vectors whose id satisfies
+    * `id % centroidEvery == 0` (a training-free, oracle-reproducible stand-in
+    * for k-means — swap in real cluster centers at production scale; the
+    * plan shape is identical). Each corpus vector lands in the cell of its
+    * L2-nearest centroid; each query probes its `nprobe` nearest cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      centroidEvery: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+
+    // map-side cell assignment: nearest centroid by (rounded L2, cent_id)
+    def assign(df: DataFrame, id: String, vec: String, rankCol: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cents))
+        .select(col(id), col(vec),
+          col("cent_id"), rounded(VectorFunctions.l2Distance(col(vec), col("cent_vec"))).as("d"))
+      val w = Window.partitionBy(id).orderBy(col("d"), col("cent_id"))
+      scored.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= keep)
+        .select(col(id), col(vec), col("cent_id"))
+    }
+
+    val cells = assign(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
+      "nn_id", "nn_vec", "cell_rank", 1)
+    val probes = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", "probe_rank", nprobe)
+
+    val scored = cells.join(probes,
+        cells("cent_id") === probes("cent_id") && col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        rounded(VectorFunctions.cosine(col("q_vec"), col("nn_vec"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
+    * All-pairs baseline; block with [[ivfTopK]]-style cells at scale.
+    */
+  def cosineDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        rounded(VectorFunctions.cosine(col("a.v"), col("b.v"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

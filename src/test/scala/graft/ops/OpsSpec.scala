@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("wordShingles: distinct trigrams; short docs → empty") {
+    import spark.implicits._
+    val r = docs((1L, "a b c d a b c d"), (2L, "a b"))
+      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(r(0)._2 == Seq("a b c", "b c d", "c d a", "d a b")) // distinct, first-occurrence
+    assert(r(1)._2.isEmpty)
+  }
+
+  test("exactDedup groups identical normalized text") {
+    val r = Dedup.exactDedup(docs((1L, "Hello  World"), (2L, "hello world"), (3L, "other")),
+      "text", "doc_id").orderBy("keep_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_dups") == 2 && r(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardDupPairs finds the planted near-dup only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words in this one nothing shared at all here"
+    val r = Dedup.jaccardDupPairs(docs((1L, base), (2L, near), (3L, far)),
+      "text", "doc_id", 3, 0.5).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("id1") == 1L && r(0).getAs[Long]("id2") == 2L)
+    assert(r(0).getAs[Double]("jaccard") > 0.6)
+  }
+
+  test("minhash LSH candidates include exact duplicates (identical signatures)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val r = Dedup.minhashDupPairs(docs((1L, base), (2L, base), (3L, "unrelated text entirely about other things completely")),
+      "text", "doc_id", 3, 12, 3, 0.5).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs at distance 0") {
+    val r = Dedup.simhashDupPairs(docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")), "text", "doc_id", 0).collect()
+    assert(r.exists(x => x.getAs[Long]("id1") == 1L && x.getAs[Long]("id2") == 2L &&
+      x.getAs[Int]("hamming") == 0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine, self excluded") {
+    val v = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    val r = Similarity.bruteForceTopK(v, v.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("nn_id")).toSeq == Seq(1L, 2L))
+    assert(r(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("cosineDupPairs finds near-identical vectors") {
+    val r = Similarity.cosineDupPairs(vecs(
+      (0L, Seq(1f, 1f, 0f)), (1L, Seq(0.99f, 1.01f, 0f)), (2L, Seq(0f, 0f, 1f))), 0.95).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("id1") == 0L && r(0).getAs[Long]("id2") == 1L)
+  }
+
+  test("ivfTopK: probed search returns neighbors from nearest cells") {
+    // centroids at ids 0 and 100 (centroidEvery=100 → 0,100)
+    val v = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(0.9f, 0.1f)),
+      (100L, Seq(0f, 1f)), (101L, Seq(0.05f, 0.95f)))
+    val r = Similarity.ivfTopK(v, v.filter(col("vec_id") === 1), 2, 1, 100)
+      .orderBy("rank").collect()
+    // query 1 probes cell of centroid 0 only → neighbors 0 and 2
+    assert(r.map(_.getAs[Long]("nn_id")).toSeq == Seq(0L, 2L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("decodeStub: deterministic dims + checksum via mapPartitions") {
+    import spark.implicits._
+    val df = Seq((7L, "abc")).toDF("doc_id", "text")
+    val r = Multimodal.decodeStub(Multimodal.withMedia(df)).collect().head
+    assert(r.getAs[Int]("n_bytes") == 3)
+    assert(r.getAs[Int]("width") == 16 + 'a'.toInt % 16)
+    assert(r.getAs[Int]("height") == 16 + 'b'.toInt % 16)
+    assert(r.getAs[String]("checksum") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+}

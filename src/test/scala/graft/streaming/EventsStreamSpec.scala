@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+class EventsStreamSpec extends SparkSpec {
+
+  test("streaming hourly agg matches the batch mirror (sf0.001)") {
+    // Complete mode: Append would (correctly) withhold windows newer than
+    // the final watermark, so the full-equality mirror needs Complete
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.hourlyAgg(EventsStream.readEvents(spark, sf0001)), "hourly_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+    // AvailableNow drains everything; watermark cannot drop rows in a
+    // single batch over sorted synthetic data — results must be identical
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty)
+  }
+
+  test("sessionizedBatch assigns increasing session ids per user on gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10L), (2L, "2024-01-01 00:05:00", 10L),
+      (3L, "2024-01-01 02:00:00", 10L), (4L, "2024-01-01 00:00:00", 20L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = EventsStream.sessionizedBatch(df, 30).orderBy("event_id").collect()
+    assert(r.map(_.getAs[Long]("session_seq")).toSeq == Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("streaming session windows aggregate per user") {
+    val sessions = EventsStream.runToMemory(spark,
+      EventsStream.sessionAgg(EventsStream.readEvents(spark, sf0001), 30), "session_out")
+    assert(sessions.count() > 0)
+    val cols = sessions.columns.toSet
+    assert(cols == Set("session_start", "session_end", "user_id", "n_events", "total_value"))
+  }
+}
