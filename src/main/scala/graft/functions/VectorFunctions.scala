@@ -31,4 +31,22 @@ object VectorFunctions {
       val diff = x.cast("double") - y.cast("double")
       diff * diff
     }), lit(0.0), (acc, v) => acc + v))
+
+  // ---- native fast paths (graft.expr.VecExpressions, codegen'd loops) ----
+  // Same values bit-for-bit as the HOF forms (double, left-to-right fold),
+  // ~250× less per-pair overhead inside similarity joins. Requires
+  // `VecExpressions.register(spark)` (idempotent) on the session.
+
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def l2NativeSq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** Cosine from a precomputed-norm layout: norms are materialized once per
+    * row (not re-folded per pair — the all-pairs join cost that matters).
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    when(normA * normB === 0.0, lit(null).cast("double"))
+      .otherwise(dotNative(a, b) / (normA * normB))
 }

@@ -161,14 +161,40 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** SimHash sketches as an exploded-token aggregate: one md5 per token
+    * total (the array-expression form [[simhash16]] re-evaluates the token
+    * hash list once per bit reference — ~33 folds per row, measured as the
+    * entire runtime at bench scale), with map-side partial sums and one
+    * shuffle on id. Docs with zero tokens get sk = 0 (the bit rule's
+    * `2·ones > len` is false at len 0), preserved via the left join.
+    */
+  def simhashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).as("id"))
+    val h = conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10).cast("int")
+    val ex = df.select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("id"), h.as("h"))
+    val bitAggs = (0 until 16).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1 << j)) =!= 0, 1).otherwise(-1)).as(s"b$j"))
+    val sk = (0 until 16).map(j => when(col(s"b$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val sketches = ex.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), sk.as("sk"))
+    ids.join(sketches, Seq("id"), "left")
+      .select(col("id"), coalesce(col("sk"), lit(0)).as("sk"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (all-pairs
     * baseline; the scale path blocks on sketch bytes first).
     */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("sk"))
-    base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+    val base = simhashSketch(df, textCol, idCol)
+    // all-pairs = nested-loop join whose parallelism is the stream side's
+    // partition count — repartition so a single-file source still fans out
+    // across the cluster (one task per shuffle partition, broadcast build)
+    val stream = base.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    stream.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).as("hamming"))
+        bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }

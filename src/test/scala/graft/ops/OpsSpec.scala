@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("simhashSketch (exploded agg) == simhash16 (array expr) on real docs") {
+    import spark.implicits._
+    val docs500 = spark.read.parquet(s"$sf0001/documents.parquet")
+    val arrForm = docs500.select(col("doc_id").as("id"), Dedup.simhash16(col("text")).as("sk_arr"))
+    val aggForm = Dedup.simhashSketch(docs500, "text", "doc_id")
+    val diff = arrForm.join(aggForm, "id").filter(col("sk_arr") =!= col("sk")).count()
+    assert(diff == 0)
+  }
+
   test("simhash: identical docs at distance 0") {
     val r = Dedup.simhashDupPairs(docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "epsilon zeta eta theta iota kappa")), "text", "doc_id", 0).collect()
@@ -59,6 +68,19 @@ class SimilaritySpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")
+  }
+
+  test("native vec_dot/vec_l2sq match the HOF forms bit-for-bit on real embeddings") {
+    import graft.functions.VectorFunctions._
+    graft.expr.VecExpressions.register(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = e.select(col("vec_id").as("id1"), col("embedding").as("v1")).filter(col("id1") < 30)
+      .crossJoin(e.select(col("vec_id").as("id2"), col("embedding").as("v2")).filter(col("id2").between(30, 60)))
+    val diff = pairs.select(
+      dot(col("v1"), col("v2")).as("hof"), dotNative(col("v1"), col("v2")).as("nat"),
+      l2Distance(col("v1"), col("v2")).as("l2hof"), sqrt(l2NativeSq(col("v1"), col("v2"))).as("l2nat"))
+      .filter(col("hof") =!= col("nat") || col("l2hof") =!= col("l2nat")).count()
+    assert(diff == 0)
   }
 
   test("bruteForceTopK ranks by cosine, self excluded") {
