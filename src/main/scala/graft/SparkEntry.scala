@@ -200,13 +200,41 @@ object SparkEntry {
       .orderBy(asc_nulls_first("seniority"))
 
   /** E2 — gazetteer skills extraction (real trie matcher, mini gazetteer so
-    * the oracle can replicate longest-match span semantics in SQL).
+    * the oracle can replicate longest-match span semantics in SQL). Runs
+    * the native `ExtractSkillsExpr` path; p5 keeps the UDF path, so both
+    * implementations stay under the oracle gate.
     */
   private def p3SkillsMini(s: SparkSession, dir: String): DataFrame = {
-    val skills = SkillFunctions.extractSkillsWith(s, MiniGazetteer) _
+    val skills = SkillFunctions.extractSkillsNative(
+      s, SkillMatcher.fromPhrases(MiniGazetteer), "extract_skills_mini") _
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(skills(col("text"))).as("skill"))
       .orderBy("doc_id", "skill")
+  }
+
+  /** E2 at full scale — the reference's complete 2,412-pattern gazetteer
+    * (`/root/reference/assets/skills_no_en.jsonl`, loaded at runtime, incl.
+    * TEXT exact-case patterns like `.NET`) over descriptions salted with
+    * known skill phrases. Longest-match over 2,412 patterns is not
+    * reasonably SQL-expressible → no oracle entry (driver records the
+    * rows-only check); semantics are covered by SkillMatcherSpec goldens +
+    * the oracle-checked mini-gazetteer queries.
+    */
+  private val RefGazetteer = "/root/reference/assets/skills_no_en.jsonl"
+
+  private def p6SkillsFull(s: SparkSession, dir: String): DataFrame = {
+    val matcher = SkillMatcher.fromJsonlFile(RefGazetteer)
+    val skills = SkillFunctions.extractSkillsNative(s, matcher, "extract_skills_full") _
+    val salted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          | WHEN 0 THEN ' requires apache spark and python'
+          | WHEN 1 THEN ' knowledge of machine learning and sql'
+          | WHEN 2 THEN ' experienced with .NET development'
+          | ELSE '' END""".stripMargin)).as("description"))
+    salted.select(explode(skills(col("description"))).as("skill"))
+      .groupBy("skill").agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), col("skill"))
   }
 
   /** P1+P3+P5+U1+U2+U3 — dropna on description, negated-contains filter
@@ -415,6 +443,7 @@ object SparkEntry {
     "p3_skills_mini" -> p3SkillsMini _,
     "p4_clean_union" -> p4CleanUnion _,
     "p5_full_pipeline" -> p5FullPipeline _,
+    "p6_skills_full" -> p6SkillsFull _,
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_quality" -> t2LangQuality _,
     "t3_fingerprint" -> t3Fingerprint _,

@@ -34,4 +34,15 @@ object SkillFunctions {
   /** One-shot convenience for small gazetteers (builds + broadcasts). */
   def extractSkillsWith(spark: SparkSession, phrases: Seq[String])(text: Column): Column =
     extractSkills(broadcastMatcher(spark, SkillMatcher.fromPhrases(phrases)))(text)
+
+  /** v1 — the native Catalyst expression path
+    * ([[graft.expr.ExtractSkillsExpr]]): registers `name` on the session
+    * and returns the Column. Same semantics as the UDF path (both are
+    * under the oracle gate); cleaner plans + SQL availability.
+    */
+  def extractSkillsNative(spark: SparkSession, matcher: SkillMatcher,
+      name: String = "extract_skills")(text: Column): Column = {
+    graft.expr.ExtractSkillsExpr.register(spark, matcher, name)
+    org.apache.spark.sql.functions.call_function(name, text)
+  }
 }
