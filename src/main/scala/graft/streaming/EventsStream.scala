@@ -78,6 +78,28 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Custom arbitrary-state operator: running per-user event count + value
+    * total via `flatMapGroupsWithState` (Update mode). The state store keys
+    * by user — at scale this shuffles once on user_id and state lives in
+    * the executor-local RocksDB/HDFS-backed store, emitting one updated
+    * row per user per micro-batch.
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var (c, v) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { case (_, value) => c += 1; v += value }
+        state.update((c, v))
+        Iterator((uid, c, v))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Drive a streaming frame to completion into a memory sink; returns the
     * materialized result (test/tooling helper).
     */

@@ -32,6 +32,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("session_seq")).toSeq == Seq(1L, 1L, 2L, 1L))
   }
 
+  test("flatMapGroupsWithState running totals == batch groupBy") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.runningUserStats(EventsStream.readEvents(spark, sf0001)), "running_out",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    // Update mode with AvailableNow emits the final state per user; counts
+    // must match the batch aggregate exactly (double totals are fold-order
+    // sensitive, so compare the exact counts)
+    val joined = streamed.join(batch, "user_id")
+    assert(streamed.count() == batch.count())
+    assert(joined.filter(streamed("n_events") =!= batch("n_events")).count() == 0)
+  }
+
   test("streaming session windows aggregate per user") {
     val sessions = EventsStream.runToMemory(spark,
       EventsStream.sessionAgg(EventsStream.readEvents(spark, sf0001), 30), "session_out")
