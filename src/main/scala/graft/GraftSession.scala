@@ -15,10 +15,17 @@ object GraftSession {
     *   - nanosAsLong: the `events` table carries parquet TIMESTAMP(NANOS),
     *     which Spark only reads via this flag ([[graft.io.Tables.events]]
     *     converts back to TimestampType)
+    *   - hugeMethodLimit=8000: HotSpot refuses to JIT methods over ~8 KB
+    *     bytecode, so wide whole-stage-codegen'd aggregates (e.g. the k
+    *     min-hash mins) otherwise run INTERPRETED bytecode — measured as a
+    *     2–20× erratic slowdown on the minhash query shape. At 8000 Spark
+    *     falls back to the interpreted-expression path for just those
+    *     stages, which is faster and stable.
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.codegen.hugeMethodLimit", "8000")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
