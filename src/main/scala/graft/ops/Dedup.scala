@@ -119,29 +119,40 @@ object Dedup {
       n: Int, k: Int, r: Int, threshold: Double): DataFrame = {
     require(k % r == 0, s"k=$k not divisible by band size r=$r")
     val ex = explodedShingles(df, textCol, idCol, n)
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // signatures as k min-aggregates over the exploded shingles: partial
-    // (map-side) min per salt, one shuffle on id — the scale-friendly shape
+    // All k salted hashes as ONE map-side array column, then k cheap
+    // elementwise `min` aggregates (plus the shingle count, folded into the
+    // same pass — no separate `sizes` aggregation). Keeping the md5s in a
+    // Project and the aggregate update trivial matters: inlining
+    // `min(md5(concat(...)))` ×k into one HashAggregate generated a
+    // JIT-hostile update method that ran erratically 2–30× slower
+    // (measured 7–211 s for identical runs at sf0.1; this shape is a
+    // stable ~3 s). Still partial map-side mins and one shuffle on id.
+    val hs = array((0 until k).map(i =>
+      md5(concat(lit(s"$i:"), col("s")).cast("binary"))): _*)
+    val exH = ex.select(col("id"), hs.as("hs"))
     val sigAggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")).cast("binary"))).as(s"h$i"))
-    val sigs = ex.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+      min(element_at(col("hs"), i + 1)).as(s"h$i")) :+ count(lit(1)).as("n_sh")
+    val sigs = exH.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandArr = array((0 until k / r).map { j =>
       md5(concat_ws("|", (0 until r).map(i => col(s"h${j * r + i}")): _*).cast("binary"))
     }: _*)
-    val banded = sigs.select(col("id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val banded = sigs.select(col("id"), col("n_sh"),
+      posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    // candidate pairs carry both shingle counts so the verify join below
+    // needs no extra pass over `ex` for sizes
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2")).distinct()
     // verify candidates only: |A ∩ B| by shared-shingle count restricted to
-    // the (small) candidate set, then J = c / (n1 + n2 − c)
-    val exA = ex.select(col("id").as("id1"), col("s"))
-    val exB = ex.select(col("id").as("id2"), col("s"))
-    cand.join(exA, "id1").join(exB, Seq("id2", "s"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
-      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), "id2")
+    // the candidate set (broadcast — band collisions are rare by design),
+    // then J = c / (n1 + n2 − c)
+    ex.select(col("id").as("id1"), col("s"))
+      .join(broadcast(cand), "id1")
+      .join(ex.select(col("id").as("id2"), col("s")), Seq("id2", "s"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("c"))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
