@@ -426,6 +426,40 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** The DSv2 scrape connector (S1+S2, `graft.sources.JobsDataSource`)
+    * through the driver gate: deterministic fixture pages (no live HTTP),
+    * read via `format("linkedin-jobs")` with the limit pushed into the scan
+    * (only 6 of the 8 cards are ever enriched), then the E1 pay and E3
+    * seniority derivations. The oracle is the same 6 rows as literal SQL
+    * VALUES — the scrape output is fully determined by the fixtures.
+    */
+  private def io3ScrapeSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.scrape.{LinkedInScraper, MapFetcher}
+    val listUrl = new LinkedInScraper(new MapFetcher(Map.empty)).listUrl("Data Engineer")
+    def card(i: Int) = {
+      val title = if (i % 2 == 1) s"Senior Engineer $i" else s"Junior Dev $i"
+      s"""<div class="job-search-card" data-entity-urn="urn:li:jobPosting:${9000 + i}">
+         |<h3 class="base-search-card__title">$title</h3></div>""".stripMargin
+    }
+    val pages = Map(listUrl -> s"<html>${(1 to 8).map(card).mkString}</html>") ++
+      (1 to 8).map { i =>
+        s"https://www.linkedin.com/jobs-guest/jobs/api/jobPosting/${9000 + i}" ->
+          s"""<html><div class="description__text description__text--rich">
+             |<p>Role $i pays £${40 + i}K</p></div></html>""".stripMargin
+      }
+    graft.sources.Fetchers.register("io3_fixtures", new MapFetcher(pages))
+    s.read.format("linkedin-jobs")
+      .option("job_title", "Data Engineer")
+      .option("fetcher", "io3_fixtures")
+      .option("retry_delay_ms", "0")
+      .load()
+      .limit(6)
+      .select(col("jobid"),
+        EtlFunctions.seniority(col("title")).as("seniority"),
+        EtlFunctions.extractPay(col("description")).as("pay"))
+      .orderBy("jobid")
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -457,6 +491,7 @@ object SparkEntry {
     "m1_media_decode" -> m1MediaDecode _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
+    "io3_scrape_source" -> io3ScrapeSource _,
   )
 
   // ---- oracle SQL building blocks (mirror the Scala expressions above) ----
@@ -750,5 +785,13 @@ object SparkEntry {
     "io2_parquet_partitioned" ->
       """SELECT source, count(*) AS n FROM documents
         |WHERE lang = 'de' GROUP BY source ORDER BY source""".stripMargin,
+    // fixture-determined scrape output (see io3ScrapeSource) as literal rows
+    "io3_scrape_source" ->
+      (1 to 6).map { i =>
+        val sen = if (i % 2 == 1) "Senior" else "Junior"
+        s"('${9000 + i}', '$sen', CAST(${(40 + i) * 1000} AS DOUBLE))"
+      }.mkString(
+        "SELECT * FROM (VALUES ", ", ",
+        ") AS t(jobid, seniority, pay) ORDER BY jobid"),
   )
 }
