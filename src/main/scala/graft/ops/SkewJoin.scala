@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A plain shuffle join on a key where one value carries a large share of
+  * the rows puts that whole share in ONE reducer task — at 100 TB a single
+  * straggler partition stalls the stage. AQE's skew-join split
+  * (`spark.sql.adaptive.skewJoin`, on in [[graft.GraftSession]]) handles
+  * this for sort-merge joins at runtime; explicit salting remains the tool
+  * where AQE can't reach: streaming joins, aggregation-then-join pipelines,
+  * or when the skewed side must stay hash-partitioned for a downstream op.
+  *
+  * Shape: the skewed (big) side gets a deterministic per-row salt in
+  * `[0, saltFactor)`; the small side is replicated `saltFactor`× with an
+  * exploded salt column; the join key becomes `(key, salt)`, spreading each
+  * hot key over `saltFactor` reducers. Replication multiplies the small
+  * side's shuffle volume — pick `saltFactor` ≈ (rows of hottest key) /
+  * (rows a single task should own), and keep the replicated side the
+  * genuinely small one.
+  */
+object SkewJoin {
+
+  /** Equi-join `big ⋈ small` on `bigKey === smallKey`, salted `saltFactor`
+    * ways. Inner joins only (salting a null-producing side changes outer
+    *-join semantics). Result columns = big.* then small.* (the salt and
+    * replicated key are dropped).
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    // deterministic per-row salt: hash of the whole row, not rand() — reruns
+    // and speculative task retries must salt identically
+    val bigCols = big.columns.map(big(_))
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(bigCols.toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-phase ("partial-then-final") aggregation for skewed group keys
+    * where the aggregate buffer itself is the problem (e.g.
+    * `collect_set`-style or high-cardinality distinct counts, which
+    * map-side partial aggregation does NOT shrink): first aggregate by
+    * `(key, salt)`, then merge the per-salt partials by `key`.
+    *
+    * `partial` computes a mergeable sub-aggregate on each salted shard;
+    * `merge` combines the shard results. Algebraic aggs (sum/count/min/max)
+    * don't need this — Spark's hash aggregate already combines map-side.
+    */
+  def saltedAgg(df: DataFrame, key: String, saltFactor: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val cols = df.columns.map(df(_))
+    df.withColumn("__salt",
+        pmod(xxhash64(cols.toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
+  }
+}

@@ -100,6 +100,17 @@ object EventsStream {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup with bounded state: drops re-deliveries of the
+    * same key arriving within the watermark delay
+    * (`dropDuplicatesWithinWatermark` — state for a key is evicted once the
+    * watermark passes it, so state size is bounded by the delay window ×
+    * key arrival rate, not by stream history; the right shape for
+    * at-least-once sources like Kafka at 100 TB/day).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
   /** Drive a streaming frame to completion into a memory sink; returns the
     * materialized result (test/tooling helper).
     */

@@ -46,6 +46,16 @@ class EventsStreamSpec extends SparkSpec {
     assert(joined.filter(streamed("n_events") =!= batch("n_events")).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark removes re-delivered events") {
+    // simulate at-least-once delivery: the same source unioned with itself
+    val once = EventsStream.readEvents(spark, sf0001)
+    val redelivered = once.union(EventsStream.readEvents(spark, sf0001))
+    val deduped = EventsStream.runToMemory(spark,
+      EventsStream.dedupWithinWatermark(redelivered, Seq("event_id")), "dedup_out")
+    val batch = Tables.events(spark, sf0001)
+    assert(deduped.count() == batch.select("event_id").distinct().count())
+  }
+
   test("streaming session windows aggregate per user") {
     val sessions = EventsStream.runToMemory(spark,
       EventsStream.sessionAgg(EventsStream.readEvents(spark, sf0001), 30), "session_out")
