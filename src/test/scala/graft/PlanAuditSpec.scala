@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Plan-shape audits: the properties that keep queries viable at 100 TB,
+  * asserted on the actual executed plans so a refactor that silently loses
+  * pushdown / pruning / broadcast / partial aggregation fails CI — not a
+  * cluster run three weeks later.
+  *
+  * Assertions match the rendered plan text: after AQE adaptation the
+  * operator tree is split into `QueryStageExec` nodes, which are LEAVES to
+  * `plan.collect` — a structural match would see none of the joins inside
+  * the stages. The printed form shows the whole adapted tree.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    // keep only the adapted plan: the rendered AdaptiveSparkPlan repeats
+    // every node under "== Initial Plan ==", which would double-count
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def countOf(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("parquet filter pushdown + column pruning reach the scan") {
+    val q = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = executed(q).linesIterator
+      .find(_.contains("FileScan parquet")).getOrElse(fail("no parquet scan"))
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed: $scan")
+    // pruned read schema: exactly the two referenced columns
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned: $scan")
+  }
+
+  test("q3 dimension chain joins are all broadcast, fact side never shuffles for the joins") {
+    val plan = executed(SparkEntry.queries("q3_nation_revenue")(spark, sf0001))
+    assert(countOf(plan, "BroadcastHashJoin") == 3,
+      s"expected 3 broadcast joins:\n$plan")
+    // the only exchanges are the post-join aggregation + final ordering —
+    // the orders fact table reaches its first join without a shuffle
+    val shuffles = countOf(plan, "Exchange hashpartitioning") +
+      countOf(plan, "Exchange rangepartitioning")
+    assert(shuffles <= 2, s"unexpected shuffles ($shuffles):\n$plan")
+  }
+
+  test("groupBy aggregates partially before the shuffle (map-side combine)") {
+    val plan = executed(
+      Tables.lineitem(spark, sf0001).groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q")))
+    assert(plan.contains("partial_sum"), s"no partial aggregate:\n$plan")
+    // exactly one shuffle, carrying the compacted partial rows
+    assert(countOf(plan, "Exchange hashpartitioning") == 1, s"plan:\n$plan")
+  }
+
+  test("partition pruning: reading one lang partition scans one directory") {
+    val path = "/tmp/graft_plan_audit_parts"
+    Tables.documents(spark, sf0001).select("doc_id", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    val q = spark.read.parquet(path).filter(col("lang") === "de")
+    val scanLine = executed(q).linesIterator
+      .find(_.contains("FileScan parquet")).getOrElse(fail("no parquet scan"))
+    assert(scanLine.contains("PartitionFilters: [isnotnull(lang"),
+      s"no partition filter: $scanLine")
+  }
+
+  test("limit+order composes to TakeOrderedAndProject (no global sort)") {
+    val q = Tables.orders(spark, sf0001)
+      .orderBy(desc("o_totalprice")).limit(5)
+    assert(executed(q).contains("TakeOrderedAndProject"),
+      "top-k should not run a full sort")
+  }
+}
