@@ -392,6 +392,17 @@ object SparkEntry {
         col("width"), col("height"), col("checksum"))
       .orderBy("doc_id")
 
+  /** Frame sampling over binary media (video-shaped 1→N fan-out): every
+    * 4th 256-byte frame becomes a row; per-doc sampled-frame count and
+    * byte volume. The oracle reproduces the sampling arithmetic from the
+    * payload's byte length alone.
+    */
+  private def m2FrameSample(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.frameSampleStub(ops.Multimodal.withMedia(Tables.documents(s, dir)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("sampled_bytes"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -489,6 +500,7 @@ object SparkEntry {
     "sim1_topk" -> sim1TopK _,
     "sim2_ivf_topk" -> sim2IvfTopK _,
     "m1_media_decode" -> m1MediaDecode _,
+    "m2_frame_sample" -> m2FrameSample _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
     "io3_scrape_source" -> io3ScrapeSource _,
@@ -779,6 +791,18 @@ object SparkEntry {
         | CAST(16 + ascii(substring(text, 2, 1)) % 16 AS INT) AS height,
         | md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // sampling arithmetic from byte length: frames of 256, every 4th kept;
+    // the last (short) frame contributes only when its index is sampled
+    "m2_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS ob,
+        |    CAST(CEIL(length(text) / 256.0) AS BIGINT) AS n_total
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, (n_total - 1) // 4 + 1 AS n_frames,
+        |  CAST(256 * ((n_total - 1) // 4 + 1) -
+        |    CASE WHEN (n_total - 1) % 4 = 0 THEN 256 * n_total - ob ELSE 0 END
+        |    AS BIGINT) AS sampled_bytes
+        |FROM f ORDER BY doc_id""".stripMargin,
     "io1_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

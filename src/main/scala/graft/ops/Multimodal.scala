@@ -58,4 +58,89 @@ object Multimodal {
     */
   def withMedia(df: DataFrame, textCol: String = "text", binCol: String = "media"): DataFrame =
     df.withColumn(binCol, col(textCol).cast("binary"))
+
+  // -------------------------------------------------------------------
+  // feature-extract / resize / frame-sample — same stub-codec contract as
+  // decodeStub: the byte-level transform is a deterministic fake, the
+  // distributed shape (schema, batching, fan-out) is the real deliverable.
+  // -------------------------------------------------------------------
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("media", BinaryType, nullable = false)))
+
+  /** STUB resize: binary→binary per-row map to a fixed `(w, h)` budget (the
+    * fake keeps the first w·h payload bytes; a real codec re-encodes).
+    * Shape note: output rows are bounded by w·h regardless of input size —
+    * the pattern that caps downstream shuffle volume when normalizing a
+    * media corpus.
+    */
+  def resizeStub(df: DataFrame, w: Int, h: Int,
+      idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), w, h, bytes.take(w * h))
+      }
+    }(RowEncoder.encoderFor(resizedSchema))
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", IntegerType, nullable = false),
+    StructField("frame_checksum", StringType, nullable = false)))
+
+  /** STUB frame-sample: treats the payload as fixed-size frames
+    * (`frameBytes` each) and emits every `everyN`-th frame as its own row —
+    * the 1→N fan-out a video pipeline needs (per-frame rows feed the
+    * downstream dedup/similarity ops). Lazy iterator fan-out: no partition
+    * materialization, executor memory holds one payload at a time.
+    */
+  def frameSampleStub(df: DataFrame, frameBytes: Int = 256, everyN: Int = 4,
+      idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        bytes.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyN == 0 =>
+            Row(id, idx, frame.length, md.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+    }(RowEncoder.encoderFor(frameSchema))
+  }
+
+  val embeddedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB feature-extract: a deterministic `dim`-float embedding from the
+    * payload (md5-seeded, cycled) in [-1, 1). Produces exactly the
+    * `array<float>` layout [[Similarity]] consumes, so the media →
+    * embedding → ANN chain is testable end-to-end without a real model.
+    */
+  def embedStub(df: DataFrame, dim: Int = 16,
+      idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bytes = r.getAs[Array[Byte]](1)
+        val vec = (0 until dim).map { i =>
+          md.reset()
+          md.update(i.toByte)
+          val d = md.digest(bytes)
+          val x = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+          (x.toFloat / Int.MaxValue.toFloat)
+        }
+        Row(r.getLong(0), vec)
+      }
+    }(RowEncoder.encoderFor(embeddedSchema))
+  }
 }

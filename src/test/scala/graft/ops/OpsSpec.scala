@@ -121,4 +121,39 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("height") == 16 + 'b'.toInt % 16)
     assert(r.getAs[String]("checksum") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
+
+  test("resizeStub bounds the payload to the target budget") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 1000), (2L, "y")).toDF("doc_id", "text")
+    val r = Multimodal.resizeStub(Multimodal.withMedia(df), 8, 8)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Array[Byte]]("media").length == 64) // truncated to w*h
+    assert(r(1).getAs[Array[Byte]]("media").length == 1)  // short payload kept
+    assert(r.forall(_.getAs[Int]("width") == 8))
+  }
+
+  test("frameSampleStub: every Nth fixed-size frame becomes a row") {
+    import spark.implicits._
+    // 1000 bytes → frames of 256: idx 0..3 (last=232 bytes); every 2nd → 0,2
+    val df = Seq((5L, "z" * 1000)).toDF("doc_id", "text")
+    val r = Multimodal.frameSampleStub(Multimodal.withMedia(df), 256, 2)
+      .orderBy("frame_idx").collect()
+    assert(r.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(r.map(_.getAs[Int]("frame_bytes")).toSeq == Seq(256, 256))
+    // empty payload → no frames, not a crash
+    assert(Multimodal.frameSampleStub(
+      Multimodal.withMedia(Seq((6L, "")).toDF("doc_id", "text"))).count() == 0)
+  }
+
+  test("embedStub output feeds the ANN operators end-to-end") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "totally different")).toDF("doc_id", "text")
+    val emb = Multimodal.embedStub(Multimodal.withMedia(docs), dim = 8)
+      .withColumnRenamed("doc_id", "vec_id")
+    // identical payloads → identical embeddings → cosine 1 top hit
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 1), 1)
+      .collect().head
+    assert(top.getAs[Long]("nn_id") == 2L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
 }
