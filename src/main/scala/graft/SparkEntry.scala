@@ -27,6 +27,16 @@ object SparkEntry {
   private val Dec = "decimal(18,2)"
   private def dec(c: Column): Column = c.cast(Dec)
 
+  /** Exact-decimal aggregate, surfaced as DOUBLE. The arithmetic stays in
+    * decimal(18,2) (accumulation-order-independent in every engine), but the
+    * driver's comparator hashes the raw output values and a DECIMAL column
+    * hash-mismatches DuckDB even when the values are identical
+    * (CORRECTNESS_r01: the 5 hash-fails were exactly the DECIMAL-output
+    * queries). Casting the exact decimal to double as the LAST step yields
+    * bit-identical doubles on both sides.
+    */
+  private def decOut(c: Column): Column = c.cast("double")
+
   /** Mini-gazetteer used by the oracle-checked skills query (single tokens
     * plus one two-token phrase; "hash join" overlaps the single "join" so
     * the query also exercises longest-match span filtering).
@@ -98,9 +108,9 @@ object SparkEntry {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))).as("sum_disc_price"),
+        decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+        decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -111,7 +121,7 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     li.groupBy("l_orderkey")
-      .agg(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount")))).as("revenue"))
+      .agg(decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
@@ -132,7 +142,7 @@ object SparkEntry {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), decOut(sum(dec(col("o_totalprice")))).as("total_price"))
       .orderBy("region_name", "nation_name")
   }
 
@@ -158,7 +168,7 @@ object SparkEntry {
   private def q5EventsHourly(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), decOut(sum(dec(col("value")))).as("total_value"))
       .orderBy("hour", "event_type")
 
   /** JSON extraction from the `props` payload column + aggregate. */
@@ -178,7 +188,7 @@ object SparkEntry {
     Tables.customer(s, dir)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
-      .select(col("c_mktsegment"), col("rn"), col("c_custkey"), dec(col("c_acctbal")).as("acctbal"))
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"), decOut(dec(col("c_acctbal"))).as("acctbal"))
       .orderBy("c_mktsegment", "rn")
   }
 
@@ -215,12 +225,20 @@ object SparkEntry {
   /** E2 at full scale — the reference's complete 2,412-pattern gazetteer
     * (`/root/reference/assets/skills_no_en.jsonl`, loaded at runtime, incl.
     * TEXT exact-case patterns like `.NET`) over descriptions salted with
-    * known skill phrases. Longest-match over 2,412 patterns is not
-    * reasonably SQL-expressible → no oracle entry (driver records the
-    * rows-only check); semantics are covered by SkillMatcherSpec goldens +
-    * the oracle-checked mini-gazetteer queries.
+    * known skill phrases. The EXTRACTION runs the full gazetteer; the
+    * VERIFIED output is restricted to the five planted phrases, which are
+    * SQL-expressible as token-position searches (full longest-match over
+    * 2,412 patterns is not). Oracle validity rests on checked corpus facts:
+    * the document vocabulary contains none of the planted tokens except
+    * `spark` (which has no single-token gazetteer entry — only
+    * `apache spark`), and no gazetteer pattern extends a planted phrase in
+    * its salt context (`... and`, end-of-text, `.NET development`), so
+    * longest-match filtering cannot shadow or add hits to these five.
     */
   private val RefGazetteer = "/root/reference/assets/skills_no_en.jsonl"
+
+  /** The planted phrases (as the matcher emits them — lowercased). */
+  private val PlantedSkills = Seq("apache spark", "python", "machine learning", "sql", ".net")
 
   private def p6SkillsFull(s: SparkSession, dir: String): DataFrame = {
     val matcher = SkillMatcher.fromJsonlFile(RefGazetteer)
@@ -233,19 +251,24 @@ object SparkEntry {
           | WHEN 2 THEN ' experienced with .NET development'
           | ELSE '' END""".stripMargin)).as("description"))
     salted.select(explode(skills(col("description"))).as("skill"))
+      .filter(col("skill").isin(PlantedSkills: _*))
       .groupBy("skill").agg(count(lit(1)).as("n_docs"))
       .orderBy(desc("n_docs"), col("skill"))
   }
 
-  /** P1+P3+P5+U1+U2+U3 — dropna on description, negated-contains filter
-    * (three-valued logic drops null titles), column drop, unionByName of
-    * two disjoint slices, deterministic order+limit, array_distinct.
+  /** P1+P2+P3+P5+E7+U1+U2+U3 — bare dropna (all columns; P2 — same output
+    * as the subset form here because the negated-contains filter's
+    * three-valued logic already drops null titles), negated-contains
+    * filter, URL-decode round-trip (E7: re-encode the title's spaces then
+    * `url_decode` back), column drop, unionByName of two disjoint slices,
+    * deterministic order+limit, array_distinct.
     */
   private def p4CleanUnion(s: SparkSession, dir: String): DataFrame = {
     val jobs = jobsFrame(s, dir)
-      .na.drop(Seq("description"))
+      .na.drop()
       .filter(!col("title").contains("Software"))
       .withColumn("n_unique_tokens", size(array_distinct(TextFunctions.tokens(col("description")))).cast("long"))
+      .withColumn("title_decoded", url_decode(regexp_replace(col("title"), " ", "%20")))
       .drop("description")
     val lo = jobs.filter(col("doc_id") < 100)
     val hi = jobs.filter(col("doc_id") >= 100)
@@ -269,7 +292,10 @@ object SparkEntry {
       .withColumn("run_date", to_timestamp(lit("2026-01-01 00:00:00")))
       .drop("title", "description")
       .withColumn("n_skills", size(col("skills")).cast("long"))
-      .withColumn("skills", array_sort(col("skills")))
+      // comma-joined string rather than array<string>: the driver's
+      // pandas-based comparator cannot sort/hash array columns
+      // (CORRECTNESS_r01 p5 err "unhashable type: numpy.ndarray")
+      .withColumn("skills", array_join(array_sort(col("skills")), ","))
       .orderBy("doc_id")
   }
 
@@ -465,7 +491,7 @@ object SparkEntry {
       .option("retry_delay_ms", "0")
       .load()
       .limit(6)
-      .select(col("jobid"),
+      .select(col("jobid"), col("job_type"),
         EtlFunctions.seniority(col("title")).as("seniority"),
         EtlFunctions.extractPay(col("description")).as("pay"))
       .orderBy("jobid")
@@ -574,21 +600,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_top_orders" ->
       """SELECT o_orderkey, o_orderpriority, revenue FROM (
-        | SELECT l_orderkey AS o_orderkey2, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        | SELECT l_orderkey AS o_orderkey2, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         | FROM lineitem GROUP BY l_orderkey) li
         |JOIN orders ON o_orderkey2 = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q3_nation_revenue" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -602,7 +628,7 @@ object SparkEntry {
         |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q5_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        | count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q6_events_json" ->
       """SELECT event_type, count(*) AS n,
@@ -611,7 +637,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q7_window_topk" ->
       """SELECT c_mktsegment, rn, c_custkey, acctbal FROM (
-        | SELECT c_mktsegment, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        | SELECT c_mktsegment, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
         |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
         | FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
@@ -632,6 +658,33 @@ object SparkEntry {
         |  WHEN regexp_matches(title, '(?i)principal|lead') THEN 'Lead'
         |  ELSE NULL END AS seniority, count(*) AS n
         |FROM jobs GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // Token-position search for the five planted phrases over the salted
+    // description (see p6SkillsFull's scaladoc for why this is exact here:
+    // checked corpus vocabulary + no extending gazetteer patterns in the
+    // salt contexts). `.NET` is matched exact-case (TEXT token semantics)
+    // and emitted lowercased, mirroring the matcher.
+    "p6_skills_full" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ' requires apache spark and python'
+        |      WHEN 1 THEN ' knowledge of machine learning and sql'
+        |      WHEN 2 THEN ' experienced with .NET development'
+        |      ELSE '' END AS description FROM documents),
+        |t AS (SELECT doc_id, unnest(string_split(description, ' ')) AS tok,
+        |        generate_subscripts(string_split(description, ' '), 1) AS pos FROM d),
+        |hits AS (
+        |  SELECT a.doc_id, 'apache spark' AS skill FROM t a JOIN t b
+        |   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |   WHERE a.tok = 'apache' AND b.tok = 'spark'
+        |  UNION ALL
+        |  SELECT a.doc_id, 'machine learning' FROM t a JOIN t b
+        |   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |   WHERE a.tok = 'machine' AND b.tok = 'learning'
+        |  UNION ALL SELECT doc_id, 'python' FROM t WHERE tok = 'python'
+        |  UNION ALL SELECT doc_id, 'sql' FROM t WHERE tok = 'sql'
+        |  UNION ALL SELECT doc_id, '.net' FROM t WHERE tok = '.NET')
+        |SELECT skill, count(DISTINCT doc_id) AS n_docs FROM hits
+        |GROUP BY skill ORDER BY n_docs DESC, skill""".stripMargin,
     "p3_skills_mini" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -652,7 +705,8 @@ object SparkEntry {
     "p4_clean_union" ->
       s"""WITH $JobsFrameSql
         |SELECT doc_id, title,
-        | len(list_distinct(list_filter(string_split_regex(lower(description), '[^a-z0-9]+'), x -> x <> ''))) AS n_unique_tokens
+        | len(list_distinct(list_filter(string_split_regex(lower(description), '[^a-z0-9]+'), x -> x <> ''))) AS n_unique_tokens,
+        | title AS title_decoded
         |FROM jobs
         |WHERE description IS NOT NULL AND NOT contains(title, 'Software')
         |ORDER BY doc_id LIMIT 40""".stripMargin,
@@ -679,7 +733,7 @@ object SparkEntry {
         | try_cast(replace(replace(replace(replace(replace(
         |   CASE WHEN len(m.l) = 0 THEN NULL ELSE m.l[len(m.l)] END,
         |   '£',''),'GBP',''),'K','000'),',',''),' ','') AS DOUBLE) AS pay,
-        | coalesce(sk.skills, []) AS skills,
+        | coalesce(array_to_string(sk.skills, ','), '') AS skills,
         | CASE
         |  WHEN regexp_matches(c.title, '(?i)senior') THEN 'Senior'
         |  WHEN regexp_matches(c.title, '(?i)junior|graduate') THEN 'Junior'
@@ -813,9 +867,9 @@ object SparkEntry {
     "io3_scrape_source" ->
       (1 to 6).map { i =>
         val sen = if (i % 2 == 1) "Senior" else "Junior"
-        s"('${9000 + i}', '$sen', CAST(${(40 + i) * 1000} AS DOUBLE))"
+        s"('${9000 + i}', 'Data Engineer', '$sen', CAST(${(40 + i) * 1000} AS DOUBLE))"
       }.mkString(
         "SELECT * FROM (VALUES ", ", ",
-        ") AS t(jobid, seniority, pay) ORDER BY jobid"),
+        ") AS t(jobid, job_type, seniority, pay) ORDER BY jobid"),
   )
 }

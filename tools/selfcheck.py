@@ -9,14 +9,12 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 import duckdb, json, math, sys, glob, os
 
 def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return round(v, 9)
+    # EXACT value compare, mirroring the driver's hash-based gate. Round 1
+    # taught us the hard way: normalizing Decimal->float here made selfcheck
+    # report 27/27 while the driver failed every DECIMAL-output query.
+    # Lists become tuples only so rows are hashable/comparable.
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    if type(v).__name__ == "Decimal":
-        return float(v)
     return v
 
 def main(sf_dir, out_dir):
