@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through instead of tagging
+// every line with sbt's `[info] ` logger prefix: graft.Bench prints a
+// machine-parsed JSON metric line, and the prefix broke the driver's parse
+// (BENCH_r01 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench host has 128 GiB; 8g starved a 32-thread shuffle-heavy run
+  // into GC thrash (d2/d3 erratically 20-100x their isolated times).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // JDK 17 defaults to a 240 MB JIT code cache. A multi-query run (28
+  // warmup + 28 timed benches in one JVM) generates enough Janino
+  // whole-stage-codegen classes to fill it, after which HotSpot prints
+  // "CodeCache is full. Compiler has been disabled." and every later hot
+  // loop runs INTERPRETED — the 80× erratic slowdowns seen on the
+  // shingle-heavy dedup queries (d3 304 s official vs 3.5 s judge rerun).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  // HotSpot refuses to JIT methods over 8000 bytecode by default, while
+  // Spark's codegen.hugeMethodLimit=8000 lets generated methods right up to
+  // that edge through — anything in the gap runs INTERPRETED Janino
+  // bytecode. Measured: identical d3 runs at 5.3 s vs 229 s depending on
+  // which side of the JIT the hot HashAggregate landed. Compiling huge
+  // methods unconditionally removes the roulette.
+  "-XX:-DontCompileHugeMethods",
 )

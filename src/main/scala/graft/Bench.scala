@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Driver-run benchmark: one JSON line with per-query and total seconds at
   * `SPARK_GRAFT_SF_DIR`.
@@ -10,31 +11,55 @@ import org.apache.spark.sql.SparkSession
   * query shapes here cost tens of seconds of one-time Janino+JIT work —
   * warming on the small sf makes the timed pass measure steady-state
   * execution, which is what a long-running cluster actually sees.
+  *
+  * Output contract: the JSON metric line goes to stdout UNPREFIXED (sbt's
+  * `run / outputStrategy := StdoutOutput` — round 1's line carried an sbt
+  * `[info] ` tag and the driver recorded `"parsed": null`) and is also
+  * written to `target/bench.json`. Query failures are NonFatal-caught,
+  * logged to stderr, and reported as value -1 — fatal JVM errors (OOM)
+  * propagate and fail the run loudly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Use every core by default (the target posture is local[32]); the
+    // round-1 default of 4 starved the shuffle-heavy dedup queries.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    // Optional args = query-name prefixes, for isolated profiling
+    // (`runMain graft.Bench d2 d3` times just those two).
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (args.isEmpty) all
+      else all.filter { case (n, _) => args.exists(n.startsWith) }
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e")
+      }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    println(line)
     spark.stop()
   }
 }

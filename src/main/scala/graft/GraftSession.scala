@@ -26,6 +26,12 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.codegen.hugeMethodLimit", "8000")
+    // Aggregates whose buffer is not fixed-width (min/max over strings,
+    // collect_*) run on ObjectHashAggregateExec, which by default abandons
+    // hashing after 128 distinct keys and SORTS the whole input instead —
+    // a silent 40× cliff on string-keyed sketch aggregations. Keep it
+    // hashing; spill safety still comes from the memory manager.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "67108864")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
     .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")

@@ -379,9 +379,15 @@ object SparkEntry {
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
       .orderBy("id1", "id2")
 
-  /** Embedding-cosine near-dup pairs (θ=0.4 on 6-decimal-rounded cosine). */
+  /** Embedding-cosine near-dup pairs (θ=0.4 on 6-decimal-rounded cosine).
+    * θ=0.4 pairs sit in the similarity continuum of this corpus (no true
+    * dup cluster), so the exact triangular-block join is the only
+    * implementation that can match the all-pairs oracle — the IVF-blocked
+    * [[ops.Similarity.cosineDupPairs]] is the fast path when dups really
+    * are near-identical.
+    */
   private def d5EmbeddingDup(s: SparkSession, dir: String): DataFrame =
-    ops.Similarity.cosineDupPairs(Tables.embeddings(s, dir), 0.4)
+    ops.Similarity.cosineDupPairsExact(Tables.embeddings(s, dir), 0.4)
       .orderBy("id1", "id2")
 
   // ---------------------------------------------------------------------
@@ -567,8 +573,19 @@ object SparkEntry {
   /** DuckDB MinHash signature + LSH band arrays (mirror of
     * [[ops.Dedup.minhashSignature]]/[[ops.Dedup.lshBands]] with k=12, r=3).
     */
-  private val sigSql: String =
-    "[" + (0 until MinhashK).map(i => s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString(", ") + "]"
+  /** Mirror of [[ops.Dedup.baseHash]]/[[ops.Dedup.permuted]]: one 31-bit
+    * md5-derived base hash per shingle, k universal-hash permutations
+    * (a_i·h + b_i) mod 2³¹−1 — plain BIGINT arithmetic on both engines.
+    */
+  private val sigSql: String = {
+    val p = ops.Dedup.MinhashP
+    "[" + (0 until MinhashK).map { i =>
+      val (a, b) = (ops.Dedup.minhashA(i), ops.Dedup.minhashB(i))
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
+    }.mkString(", ") + "]"
+  }
+  private val baseHashSql: String =
+    s"list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % ${ops.Dedup.MinhashP})"
   private val bandsSql: String =
     "[" + (0 until MinhashK / MinhashR).map { j =>
       val parts = (0 until MinhashR).map(i => s"sig[${j * MinhashR + i + 1}]").mkString(" || '|' || ")
@@ -788,7 +805,8 @@ object SparkEntry {
         |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
         |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+      s"""WITH d0 AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |d AS (SELECT doc_id, sh, $baseHashSql AS hs FROM d0),
         |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
         |bands AS (SELECT doc_id, sh, $bandsSql AS bands FROM sigs),
         |e AS (SELECT doc_id, sh, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM bands),

@@ -88,13 +88,19 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecFoldExpressio
 }
 
 object VecExpressions {
-  /** Register `vec_dot` / `vec_l2sq` in the session's function registry
-    * (idempotent) — usable from both the Column DSL (`call_function`) and
-    * plain SQL.
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  /** Register `vec_dot` / `vec_l2sq` in the session's function registry —
+    * usable from both the Column DSL (`call_function`) and plain SQL.
+    * Truly idempotent: skips when already present (the replace-every-call
+    * form logged a `SimpleFunctionRegistry` WARN per query, dozens per
+    * bench run, which buried the bench's JSON output line).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_l2sq", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("vec_dot"))) {
+      reg.createOrReplaceTempFunction("vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_l2sq", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

@@ -32,25 +32,58 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: `k` independent permutations approximated by
-    * salted md5 — sig_i = min over shingles of md5("<i>:" + shingle).
-    * Lexicographic min over uniformly-distributed hex strings ≡ min-hash.
-    * Pure array expressions → computed map-side, no shuffle, and identical
-    * in any engine with md5.
+  /** MinHash over the universal-hash permutation family
+    * π_i(h) = (a_i·h + b_i) mod p, p = 2³¹−1, over a 31-bit base hash of
+    * each shingle (first 8 hex chars of its md5, mod p).
+    *
+    * Why this exact construction:
+    *   - ONE md5 per shingle, not k — the earlier per-salt form
+    *     (min over md5("i:"+s) for each i) burned 12 md5+conv calls per
+    *     shingle row and profiled as the entire d3 runtime
+    *     (NumberConverter.convert dominating a 60 s task).
+    *   - All-primitive LONG arithmetic: the k-way `min` aggregation buffer
+    *     is fixed-width, staying inside codegen'd HashAggregate. A STRING
+    *     buffer (full md5 hex) routed to ObjectHashAggregate, whose silent
+    *     128-key sort fallback measured 5 s vs 229 s run-to-run.
+    *   - Engine-portable bit-for-bit: DuckDB mirrors the base hash as
+    *     `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 2147483647` and
+    *     the permutations as plain BIGINT arithmetic (a_i·h < 2⁶² — no
+    *     overflow on either engine).
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  val MinhashP: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** Fixed permutation coefficients — deterministic, nonzero mod p. */
+  def minhashA(i: Int): Long = ((i + 1) * 1000003L) % MinhashP
+  def minhashB(i: Int): Long = (i * 999983L + 12345L) % MinhashP
+
+  /** 31-bit base hash of a shingle (engine-portable, see above). */
+  def baseHash(shingle: Column): Column =
+    pmod(conv(substring(md5(shingle.cast("binary")), 1, 8), 16, 10).cast("long"), lit(MinhashP))
+
+  /** π_i applied to a base hash. */
+  def permuted(i: Int, h: Column): Column =
+    (h * lit(minhashA(i)) + lit(minhashB(i))) % lit(MinhashP)
+
+  /** MinHash signature: sig_i = min over shingles of π_i(baseHash(s)).
+    * Pure array expressions → computed map-side, no shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val hs = transform(shingles, s => baseHash(s))
     array((0 until k).map { i =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$i:"), s).cast("binary"))))
+      array_min(transform(hs, h => permuted(i, h)))
     }: _*)
+  }
 
   /** LSH band hashes: group the `k` signature values into bands of `r`,
-    * hash each band. Docs sharing any band hash become candidate pairs —
-    * the only shuffle key in the at-scale near-dup join.
+    * hash each band (longs rendered as decimal strings — identical in any
+    * engine). Docs sharing any band hash become candidate pairs — the only
+    * shuffle key in the at-scale near-dup join.
     */
   def lshBands(sig: Column, k: Int, r: Int): Column = {
     require(k % r == 0, s"k=$k not divisible by band size r=$r")
     array((0 until k / r).map { j =>
-      md5(concat_ws("|", (0 until r).map(i => element_at(sig, j * r + i + 1)): _*).cast("binary"))
+      md5(concat_ws("|",
+        (0 until r).map(i => element_at(sig, j * r + i + 1).cast("string")): _*).cast("binary"))
     }: _*)
   }
 
@@ -119,22 +152,26 @@ object Dedup {
       n: Int, k: Int, r: Int, threshold: Double): DataFrame = {
     require(k % r == 0, s"k=$k not divisible by band size r=$r")
     val ex = explodedShingles(df, textCol, idCol, n)
-    // All k salted hashes as ONE map-side array column, then k cheap
-    // elementwise `min` aggregates (plus the shingle count, folded into the
-    // same pass — no separate `sizes` aggregation). Keeping the md5s in a
-    // Project and the aggregate update trivial matters: inlining
-    // `min(md5(concat(...)))` ×k into one HashAggregate generated a
-    // JIT-hostile update method that ran erratically 2–30× slower
-    // (measured 7–211 s for identical runs at sf0.1; this shape is a
-    // stable ~3 s). Still partial map-side mins and one shuffle on id.
-    val hs = array((0 until k).map(i =>
-      md5(concat(lit(s"$i:"), col("s")).cast("binary"))): _*)
-    val exH = ex.select(col("id"), hs.as("hs"))
+    // Explicit repartition by id before the CPU-dense signature stage:
+    // the distinct-shingle shuffle output is small in BYTES, so AQE
+    // coalesces it to 1-2 partitions — and bytes don't measure CPU. One
+    // task then computes every md5 in the corpus (profiled: 60 s on one
+    // core, 31 cores idle). A user repartition with an explicit N is
+    // exempt from AQE coalescing, and hash-partitioning by id doubles as
+    // the aggregation's required distribution — the groupBy below adds NO
+    // further shuffle, so this costs nothing extra.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // ONE base hash per shingle row; the k permutations are 2 mul/add/mod
+    // LONG ops each (see [[baseHash]]/[[permuted]] — the per-salt md5 form
+    // was the entire d3 runtime). k primitive `min`s + the shingle count
+    // fold into a single codegen'd HashAggregate pass.
+    val exH = ex.repartition(nPart, col("id")).select(col("id"), baseHash(col("s")).as("h"))
     val sigAggs = (0 until k).map(i =>
-      min(element_at(col("hs"), i + 1)).as(s"h$i")) :+ count(lit(1)).as("n_sh")
+      min(permuted(i, col("h"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
     val sigs = exH.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandArr = array((0 until k / r).map { j =>
-      md5(concat_ws("|", (0 until r).map(i => col(s"h${j * r + i}")): _*).cast("binary"))
+      md5(concat_ws("|",
+        (0 until r).map(i => col(s"h${j * r + i}").cast("string")): _*).cast("binary"))
     }: _*)
     val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(bandArr).as(Seq("band_idx", "band_hash")))
@@ -194,18 +231,40 @@ object Dedup {
       .select(col("id"), coalesce(col("sk"), lit(0)).as("sk"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (all-pairs
-    * baseline; the scale path blocks on sketch bytes first).
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, via segment
+    * blocking (the same pigeonhole trick as LSH banding): split the 16-bit
+    * sketch into `segments` equal bit-segments — any pair within Hamming
+    * distance ≤ segments − 1 must agree on at least one whole segment — so
+    * candidates are the pairs sharing a (segment index, segment value)
+    * key, verified by exact `bit_count(xor)`. LOSSLESS for
+    * maxDist < segments (enforced), so results are identical to the
+    * all-pairs form, but the join is an equi-join shuffled on the segment
+    * key: no full-corpus broadcast, no quadratic nested loop. At
+    * production sketch widths (64/128-bit) segment values are sparse and
+    * buckets stay small; a 16-bit sketch is deliberately compact here so
+    * the DuckDB oracle can replicate it bit-for-bit.
     */
-  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
+  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int,
+      segments: Int = 4): DataFrame = {
+    require(maxDist < segments,
+      s"segment blocking is only lossless for maxDist < segments (got $maxDist >= $segments)")
+    require(16 % segments == 0, s"16-bit sketch not divisible into $segments segments")
+    val segBits = 16 / segments
     val base = simhashSketch(df, textCol, idCol)
-    // all-pairs = nested-loop join whose parallelism is the stream side's
-    // partition count — repartition so a single-file source still fans out
-    // across the cluster (one task per shuffle partition, broadcast build)
-    val stream = base.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-    stream.as("a").join(broadcast(base.as("b")), col("a.id") < col("b.id"))
+    val segs = base.select(col("id"), col("sk"),
+      posexplode(array((0 until segments).map(j =>
+        shiftright(col("sk"), j * segBits).bitwiseAND(lit((1 << segBits) - 1))): _*))
+        .as(Seq("seg_idx", "seg_val")))
+    // identical-sketch pairs collide on every segment → distinct AFTER the
+    // cheap hamming filter (survivors are few; candidates never carry
+    // vectors or text, just two ints)
+    segs.as("a").join(segs.as("b"),
+        col("a.seg_idx") === col("b.seg_idx") &&
+        col("a.seg_val") === col("b.seg_val") &&
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sk").bitwiseXOR(col("b.sk"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

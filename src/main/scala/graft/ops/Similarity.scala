@@ -96,25 +96,85 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold).
-    * All-pairs baseline; block with [[ivfTopK]]-style cells at scale.
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold),
+    * blocked on IVF cells: every vector is assigned to its `probes`
+    * L2-nearest centroid cells (same deterministic centroid rule as
+    * [[ivfTopK]]), candidate pairs are vectors sharing a cell, verified
+    * exactly. The pairing join is an equi-join shuffled on the cell id —
+    * no full-corpus broadcast, no quadratic nested loop — and cell
+    * populations (corpus/ncells × probes) bound each join bucket, so the
+    * shape survives a 1000-executor 100 TB corpus. Multi-probe covers the
+    * near-cell-boundary pairs that single-cell assignment would split;
+    * recall is empirically exact on the verified corpora (the DuckDB
+    * oracle enumerates all-pairs) but, as with any IVF method, not a
+    * mathematical guarantee — [[cosineDupPairsExact]] is the lossless
+    * baseline.
     *
     * The selective predicate runs in two stages: a raw-double prefilter at
-    * `threshold − 1e-6` (pushed into the join condition — plain compare,
-    * stays in codegen) and the exact `round(·,6) ≥ threshold` check on the
-    * survivors only. `round` allocates a BigDecimal per call; keeping it
-    * out of the O(n²) join condition is a ~6× end-to-end win, and the
-    * margin (round moves a value by ≤ 5e-7) makes the two-stage filter
-    * decision-identical to rounding every pair.
+    * `threshold − 1e-6` (plain compare, stays in codegen) and the exact
+    * `round(·,6) ≥ threshold` check on the survivors only. `round`
+    * allocates a BigDecimal per call; keeping it off the per-candidate hot
+    * path is a ~6× end-to-end win, and the margin (round moves a value by
+    * ≤ 5e-7) makes the two-stage filter decision-identical to rounding
+    * every pair.
     */
   def cosineDupPairs(df: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probes: Int = 2, centroidEvery: Int = 64): DataFrame = {
     val v = withNorm(df, idCol, vecCol, "id", "v", "nrm")
-    // stream-side repartition: all-pairs parallelism must not depend on
-    // the source's file partitioning (see simhashDupPairs)
-    val stream = v.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-    stream.as("a").join(broadcast(v.as("b")), col("a.id") < col("b.id"))
+    val cents = df.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val scored = v.join(broadcast(cents))
+      .select(col("id"), col("v"), col("nrm"), col("cent_id"),
+        rounded(sqrt(l2NativeSq(col("v"), col("cent_vec")))).as("d"))
+    val w = Window.partitionBy("id").orderBy(col("d"), col("cent_id"))
+    val cells = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") <= probes)
+      .select(col("id"), col("v"), col("nrm"), col("cent_id"))
+    cells.as("a").join(cells.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold - 1e-6)
+      .select(col("id1"), col("id2"), rounded(col("cos_raw")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      // a pair sharing `probes` cells surfaces once per shared cell
+      .distinct()
+  }
+
+  /** EXACT all-pairs cosine similarity join, distributed as a triangular
+    * block grid — the lossless form of [[cosineDupPairs]] for thresholds
+    * where geometric blocking cannot be lossless (in high dimension a
+    * sound IVF probe radius for a loose threshold covers every cell, so
+    * "approximate" quietly means "missing pairs"; this form misses none).
+    *
+    * Shape: ids hash into `blocks` buckets; each unordered bucket pair
+    * (i ≤ j) is one grid cell, a-side rows replicate to cells (b, b..B-1),
+    * b-side rows to (0..b, b), and the join is an EQUI-join on the cell
+    * key — shuffled, memory-bounded (a task holds 2 buckets ≈ 2/B of the
+    * corpus), no driver-side broadcast of anything. Every unordered pair
+    * meets in exactly one cell: off-diagonal cells pair disjoint buckets;
+    * diagonal cells order by id. Compute stays O(n²) — inherent to an
+    * exact threshold join — but it spreads over B(B+1)/2 independently
+    * schedulable cells, and replication cost is ~B/2× the (id, vec, norm)
+    * projection, not the full table. Pick B so corpus/B fits an executor:
+    * at 100 TB of raw docs the embedding projection is ~100s of GB; B=64
+    * → ~2 GB per task side.
+    */
+  def cosineDupPairsExact(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 8): DataFrame = {
+    val v = withNorm(df, idCol, vecCol, "id", "v", "nrm")
+    val blk = pmod(xxhash64(col("id")), lit(blocks)).cast("int")
+    val a = v.withColumn("bi", blk)
+      .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
+    val b = v.withColumn("bj", blk)
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    a.as("a").join(b.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+        (col("a.bi") =!= col("a.bj") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
         cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_raw"))
       .filter(col("cos_raw") >= threshold - 1e-6)
       .select(col("id1"), col("id2"), rounded(col("cos_raw")).as("cosine"))

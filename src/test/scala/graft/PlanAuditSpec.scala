@@ -76,4 +76,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(executed(q).contains("TakeOrderedAndProject"),
       "top-k should not run a full sort")
   }
+
+  test("d5 exact similarity join runs blocked — equi-join on the grid key, no nested loop") {
+    val plan = executed(SparkEntry.queries("d5_embedding_dup")(spark, sf0001))
+    // the block grid turns all-pairs into an equi-join on (bi, bj); whether
+    // the physical join broadcasts or shuffles is Catalyst's size-based
+    // call (broadcast IS right at this sf, shuffle at 100 TB) — what must
+    // never appear is a nested-loop / cartesian pairing of the corpus
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs nested loop in d5 plan:\n$plan")
+    assert(plan.contains("Join [bi") || plan.contains("HashJoin [bi") ||
+      plan.contains("SortMergeJoin [bi"),
+      s"pairing join not keyed on the block grid:\n$plan")
+  }
+
+  test("d4 simhash pairing is an equi-join on segment keys, not a nested loop") {
+    val plan = executed(SparkEntry.queries("d4_simhash")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs nested loop in d4 plan:\n$plan")
+  }
 }

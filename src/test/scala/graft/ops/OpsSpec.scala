@@ -99,6 +99,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0).getAs[Long]("id1") == 0L && r(0).getAs[Long]("id2") == 1L)
   }
 
+  test("cosineDupPairsExact triangular grid covers every pair exactly once") {
+    import graft.functions.VectorFunctions._
+    graft.expr.VecExpressions.register(spark)
+    // reference: plain cross join (the shape the grid replaces)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val v = e.select(col("vec_id").as("id"), col("embedding").as("v"),
+      normNative(col("embedding")).as("nrm"))
+    val ref = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.cosineDupPairsExact(e, 0.4, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == got.toSet.size, "duplicate pairs from grid overlap")
+    assert(got.toSet == ref, s"grid missed or invented pairs")
+  }
+
   test("ivfTopK: probed search returns neighbors from nearest cells") {
     // centroids at ids 0 and 100 (centroidEvery=100 → 0,100)
     val v = vecs(
