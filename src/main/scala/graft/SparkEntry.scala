@@ -540,6 +540,20 @@ object SparkEntry {
 
   // ---- oracle SQL building blocks (mirror the Scala expressions above) ----
 
+  /** CORPUS INVARIANTS the simpler oracles lean on (p3/p5/p6 tokenize with
+    * `string_split(text, ' ')` against raw tokens; m1/m2 use DuckDB
+    * `length()`/`ascii()` character semantics against Spark byte
+    * semantics). These are exact ONLY because the synthetic `documents`
+    * corpus is lowercase, single-space-separated, punctuation-free ASCII
+    * (verified: the salted suffixes in p5/p6 preserve all three
+    * properties except the deliberate cased `.NET` token, which both
+    * sides treat as a raw token). If the corpus ever gains non-ASCII
+    * text, punctuation adjacent to a skill token, or double spaces, those
+    * oracles must switch to lower() + regexp tokenization mirroring
+    * [[graft.nlp.Tokenizer]] and octet_length/byte-indexed ascii — the
+    * ENGINE is correct either way; only oracle parity is at stake.
+    */
+
   /** DuckDB form of [[TextFunctions.tokens]]. */
   private def toksSql(c: String): String =
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> '')"

@@ -66,22 +66,36 @@ final class SkillMatcher(patterns: Seq[Seq[TokenPattern]]) extends Serializable 
     */
   private def matchSpans(tokens: Array[String], lowered: Array[String]): Seq[(Int, Int)] = {
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // Walk the trie from each start position with a SET of active states,
+    // not one greedy path: a token can advance both a LOWER and a TEXT
+    // edge (e.g. patterns `[LOWER:net]` and `[TEXT:.NET ...]` diverging at
+    // the same surface token), and spaCy's Matcher keeps every live
+    // hypothesis — a single-path walk would let the LOWER branch shadow a
+    // TEXT pattern that completes later. Active sets stay tiny (edges
+    // diverge only on mixed-case gazetteer tokens).
+    val states = scala.collection.mutable.ArrayBuffer.empty[Node]
+    val nextStates = scala.collection.mutable.ArrayBuffer.empty[Node]
     var i = 0
     while (i < tokens.length) {
-      // walk the trie from token i; record every terminal (the Matcher
-      // reports all lengths; filter_spans keeps the longest)
-      var node = root
+      states.clear(); states += root
       var j = i
-      var continue = true
-      while (continue && j < tokens.length) {
-        var next = node.lowerEdges.get(lowered(j))
-        if (next == null && node.hasText) next = node.textEdges.get(tokens(j))
-        if (next == null) continue = false
-        else {
-          node = next
-          j += 1
-          if (node.terminal) spans += ((i, j))
+      while (states.nonEmpty && j < tokens.length) {
+        nextStates.clear()
+        var terminalHere = false
+        var s = 0
+        while (s < states.length) {
+          val st = states(s)
+          val l = st.lowerEdges.get(lowered(j))
+          if (l != null) { nextStates += l; terminalHere ||= l.terminal }
+          if (st.hasText) {
+            val t = st.textEdges.get(tokens(j))
+            if (t != null) { nextStates += t; terminalHere ||= t.terminal }
+          }
+          s += 1
         }
+        j += 1
+        if (terminalHere) spans += ((i, j))
+        states.clear(); states ++= nextStates
       }
       i += 1
     }

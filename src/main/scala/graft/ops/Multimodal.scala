@@ -53,6 +53,32 @@ object Multimodal {
     }(RowEncoder.encoderFor(decodedSchema))
   }
 
+  /** REAL image decode via `javax.imageio` (pure JVM — PNG/JPEG/GIF/BMP,
+    * no native libs): actual pixel dimensions + md5 checksum, same
+    * [[decodedSchema]] and the same partition-local streaming shape as
+    * [[decodeStub]]. Payloads that no registered reader understands decode
+    * to (−1, −1) rather than failing the task — at corpus scale a corrupt
+    * file must be a row-level outcome, not a job-level one. The stub
+    * remains the deterministic test double for corpora whose "media" bytes
+    * are not real images (the synthetic tables).
+    */
+  def decodeImage(df: DataFrame, idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val checksum = md.digest(bytes).map("%02x".format(_)).mkString
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, bytes.length, -1, -1, checksum)
+        else Row(id, bytes.length, img.getWidth, img.getHeight, checksum)
+      }
+    }(RowEncoder.encoderFor(decodedSchema))
+  }
+
   /** Attach a binary media payload column. For the synthetic corpus the
     * payload is the utf-8 text bytes standing in for encoded media.
     */

@@ -42,6 +42,10 @@ object SkewJoin {
         salted(bigKey) === replicated(smallKey) &&
         salted("__salt") === replicated("__salt"))
       .drop("__salt")
+      // drop the replicated side's key too (it equals bigKey by the join
+      // condition) so same-named keys don't leave an ambiguous duplicate
+      // column behind — matching what df.join(..., Seq(key)) would produce
+      .drop(replicated(smallKey))
   }
 
   /** Two-phase ("partial-then-final") aggregation for skewed group keys

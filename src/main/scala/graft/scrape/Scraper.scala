@@ -82,11 +82,23 @@ object HtmlExtract {
     */
   def description(postingHtml: String): Option[String] =
     DescriptionTag.findFirstMatchIn(postingHtml).map { m =>
-      // close at the first </div> after the opening tag — fixture pages
-      // keep the rich-text div flat, mirroring LinkedIn's structure
+      // close at the MATCHED </div>, tracking nesting depth — real
+      // LinkedIn rich-text divs contain nested <div>s, and cutting at the
+      // first close tag would truncate the description (BeautifulSoup in
+      // the reference pairs tags properly, main.py:29-33)
       val body = m.group(1)
-      val end = body.indexOf("</div>")
-      htmlToText(if (end >= 0) body.substring(0, end) else body)
+      var depth = 0
+      var idx = -1
+      var p = 0
+      while (idx < 0 && p < body.length) {
+        val open = body.indexOf("<div", p)
+        val close = body.indexOf("</div>", p)
+        if (close < 0) p = body.length
+        else if (open >= 0 && open < close) { depth += 1; p = open + 4 }
+        else if (depth > 0) { depth -= 1; p = close + 6 }
+        else idx = close
+      }
+      htmlToText(if (idx >= 0) body.substring(0, idx) else body)
     }.filter(_.nonEmpty)
 }
 

@@ -141,6 +141,21 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("checksum") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
 
+  test("decodeImage: real PNG dimensions via ImageIO; junk bytes degrade to (-1,-1)") {
+    import spark.implicits._
+    // fixture: a real 13x7 PNG encoded in-memory
+    val img = new java.awt.image.BufferedImage(13, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val rows = Multimodal.decodeImage(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Int]("width") == 13 && rows(1L).getAs[Int]("height") == 7)
+    assert(rows(1L).getAs[Int]("n_bytes") == png.length)
+    assert(rows(2L).getAs[Int]("width") == -1 && rows(2L).getAs[Int]("height") == -1)
+  }
+
   test("resizeStub bounds the payload to the target budget") {
     import spark.implicits._
     val df = Seq((1L, "x" * 1000), (2L, "y")).toDF("doc_id", "text")
