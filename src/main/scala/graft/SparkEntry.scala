@@ -192,6 +192,56 @@ object SparkEntry {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** Skew-salted equi-join through the gate: [[ops.SkewJoin.saltedEquiJoin]]
+    * must produce exactly the plain join's rows (salting redistributes,
+    * never changes semantics), so the oracle IS the plain SQL join —
+    * revenue by part type over lineitem ⋈ part, salted 8 ways.
+    */
+  private def q8SkewJoin(s: SparkSession, dir: String): DataFrame =
+    ops.SkewJoin.saltedEquiJoin(Tables.lineitem(s, dir),
+        Tables.part(s, dir).select("p_partkey", "p_type"),
+        "l_partkey", "p_partkey", saltFactor = 8)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_items"),
+        decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy("p_type")
+
+  /** Bucketed co-located join through the gate: both sides written
+    * bucketBy(8) on the join key (the 100 TB fact⋈fact layout — the join
+    * then reads bucket-aligned splits with no query-time shuffle, asserted
+    * in BucketedJoinSpec), aggregated to order-priority revenue. Bucketing
+    * is a physical layout: the oracle is the plain SQL join on the raw
+    * parquet.
+    */
+  /** Drop a managed table AND its warehouse directory: a previous session
+    * may have left the directory behind after its catalog entry died with
+    * the metastore, and saveAsTable refuses a name whose location exists.
+    */
+  private def dropManaged(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val path = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private def io4BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    dropManaged(s, "graft_li_bucketed")
+    dropManaged(s, "graft_o_bucketed")
+    Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_o_bucketed")
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---------------------------------------------------------------------
   // Reference-parity tier (the scraped-jobs transform, SURVEY §2.2/2.3)
   // ---------------------------------------------------------------------
@@ -515,6 +565,8 @@ object SparkEntry {
     "q5_events_hourly" -> q5EventsHourly _,
     "q6_events_json" -> q6EventsJson _,
     "q7_window_topk" -> q7WindowTopk _,
+    "q8_skew_join" -> q8SkewJoin _,
+    "io4_bucketed_join" -> io4BucketedJoin _,
     "p1_pay" -> p1Pay _,
     "p2_seniority" -> p2Seniority _,
     "p3_skills_mini" -> p3SkillsMini _,
@@ -672,6 +724,16 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
         | FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q8_skew_join" ->
+      """SELECT p_type, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "io4_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "p1_pay" ->
       s"""WITH $JobsFrameSql,
         |m AS (SELECT doc_id, regexp_extract_all(description, '£[\\d,]+K?|[\\d,]+ ?GBP') AS l FROM jobs)
