@@ -49,4 +49,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // which side of the JIT the hot HashAggregate landed. Compiling huge
   // methods unconditionally removes the roulette.
   "-XX:-DontCompileHugeMethods",
+  // GC visibility: multi-10s whole-JVM stalls (all executors idle, stages
+  // stuck) are indistinguishable from scheduler bugs without this.
+  "-Xlog:gc*=info:file=/tmp/graft_gc_%p.log:time,uptime:filecount=2,filesize=10m",
 )

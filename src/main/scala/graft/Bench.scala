@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.VecExpressions.register(spark)
     // Optional args = query-name prefixes, for isolated profiling
     // (`runMain graft.Bench d2 d3` times just those two).
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -44,7 +45,26 @@ object Bench {
         case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e")
       }
     }
+    // Stage-level diagnostics: record every stage over 3 s wall with its
+    // job group (= query name), so a slow run names the guilty stage
+    // instead of needing a thread-dump safari. stderr only; the stdout
+    // contract stays one JSON line.
+    val slowStages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val groups = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).getOrElse("?")
+        js.stageIds.foreach(sid => groups.put(sid, g))
+      }
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = sc.stageInfo
+        for (s <- info.submissionTime; c <- info.completionTime; if c - s > 3000)
+          slowStages.add(f"[bench-slow-stage] ${groups.getOrDefault(info.stageId, "?")}%s " +
+            f"stage=${info.stageId}%d ${(c - s) / 1000.0}%.1fs tasks=${info.numTasks}%d ${info.name}%s")
+      }
+    })
     val results = ordered.map { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
       val sec = try {
         fn(spark, sfDir).count()
@@ -52,8 +72,10 @@ object Bench {
       } catch {
         case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
       }
+      spark.sparkContext.clearJobGroup()
       name -> sec
     }
+    slowStages.forEach(l => System.err.println(l))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expr.{VecDot, VecL2Sq}
+import graft.expr.{CountInSet, RollingTokenHash, VecDot, VecL2Sq}
 
 /** SparkSessionExtensions installer — the deployment-config path for the
   * engine's session-independent custom expressions:
@@ -28,5 +28,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecL2Sq(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("count_in_set"),
+      new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CountInSet(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("rolling_token_hash"),
+      new ExpressionInfo(classOf[RollingTokenHash].getName, "rolling_token_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingTokenHash(exprs(0))))
   }
 }

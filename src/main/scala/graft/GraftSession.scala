@@ -48,6 +48,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expr.VecExpressions.register(spark)
     spark
   }
 }

@@ -23,19 +23,31 @@ import graft.nlp.SkillMatcher
   */
 object SparkEntry {
 
-  /** Shared decimal type for exact money arithmetic. */
-  private val Dec = "decimal(18,2)"
-  private def dec(c: Column): Column = c.cast(Dec)
-
-  /** Exact-decimal aggregate, surfaced as DOUBLE. The arithmetic stays in
-    * decimal(18,2) (accumulation-order-independent in every engine), but the
-    * driver's comparator hashes the raw output values and a DECIMAL column
-    * hash-mismatches DuckDB even when the values are identical
-    * (CORRECTNESS_r01: the 5 hash-fails were exactly the DECIMAL-output
-    * queries). Casting the exact decimal to double as the LAST step yields
-    * bit-identical doubles on both sides.
+  /** Money as integral hundredths ("cents"): `floor(x·100 + 0.5)` as LONG.
+    * Every money column in the corpus is an exact 2-decimal value, so this
+    * recovers the exact integer; summation is then exact LONG arithmetic
+    * (order-independent) and the final ÷100 is one double op.
+    *
+    * Why not decimal(18,2): per-row `Decimal.toPrecision` is a JIT
+    * roulette — one bench task profiled 74 s of CPU inside toPrecision
+    * (the identical run takes ~1 s when HotSpot compiles it), and a
+    * money aggregate over a single parquet split runs in ONE task, so the
+    * whole query eats the slowdown. floor/multiply/add are primitive
+    * double↦long ops with no slow path, and the SAME IEEE expression in
+    * DuckDB (`CAST(floor(x*100 + 0.5) AS BIGINT)`) is bit-identical by
+    * construction.
     */
-  private def decOut(c: Column): Column = c.cast("double")
+  private def cents(c: Column): Column = floor(c * lit(100d) + lit(0.5d)).cast("long")
+
+  /** Σcents → DOUBLE money units. */
+  private def centsOut(c: Column): Column = c.cast("double") / lit(100d)
+
+  /** Σ(cents × (100 − discount-cents)) → DOUBLE units (10⁻⁴ grid). */
+  private def cents2Out(c: Column): Column = c.cast("double") / lit(10000d)
+
+  /** cents(price) × (100 − cents(discount)) — the revenue kernel. */
+  private def revenueUnits(price: Column, discount: Column): Column =
+    cents(price) * (lit(100L) - cents(discount))
 
   /** Mini-gazetteer used by the oracle-checked skills query (single tokens
     * plus one two-token phrase; "hash join" overlaps the single "join" so
@@ -108,9 +120,9 @@ object SparkEntry {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        decOut(sum(dec(col("l_quantity")))).as("sum_qty"),
-        decOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-        decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("sum_disc_price"),
+        centsOut(sum(cents(col("l_quantity")))).as("sum_qty"),
+        centsOut(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
+        cents2Out(sum(revenueUnits(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -121,7 +133,7 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     li.groupBy("l_orderkey")
-      .agg(decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+      .agg(cents2Out(sum(revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
       .orderBy(desc("revenue"), col("o_orderkey"))
@@ -142,7 +154,7 @@ object SparkEntry {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
-      .agg(count(lit(1)).as("n_orders"), decOut(sum(dec(col("o_totalprice")))).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), centsOut(sum(cents(col("o_totalprice")))).as("total_price"))
       .orderBy("region_name", "nation_name")
   }
 
@@ -168,8 +180,37 @@ object SparkEntry {
   private def q5EventsHourly(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), decOut(sum(dec(col("value")))).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), centsOut(sum(cents(col("value")))).as("total_value"))
       .orderBy("hour", "event_type")
+
+  /** §2.5 streaming THROUGH the oracle gate: the actual Structured
+    * Streaming engine (file source → 2 h watermark → tumbling hourly
+    * window → memory sink, one `Trigger.AvailableNow` pass) producing the
+    * same rows as the q5 batch oracle. Complete output mode: the bounded
+    * run emits every window once the source drains, so the result is the
+    * full deterministic aggregate — streaming==batch stops being a
+    * spec-only claim and faces DuckDB directly.
+    */
+  private def q9StreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_q9_sink"
+    val q = graft.streaming.EventsStream.hourlyAgg(
+        graft.streaming.EventsStream.readEvents(s, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // unload the streaming state-store providers now that the bounded run
+    // is done: loaded providers keep per-partition checkpoint-file-manager
+    // thread pools + maintenance tasks alive for the SESSION's lifetime
+    // (measured: 128 leaked ChecksumCheckpointFileManager threads, and
+    // batch queries in the same JVM degrading 3-10×). Safe between
+    // queries — the next streaming query lazily reloads its stores.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.table(sink)
+      .select(col("hour"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("hour", "event_type")
+  }
 
   /** JSON extraction from the `props` payload column + aggregate. */
   private def q6EventsJson(s: SparkSession, dir: String): DataFrame =
@@ -188,7 +229,7 @@ object SparkEntry {
     Tables.customer(s, dir)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
-      .select(col("c_mktsegment"), col("rn"), col("c_custkey"), decOut(dec(col("c_acctbal"))).as("acctbal"))
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"), centsOut(cents(col("c_acctbal"))).as("acctbal"))
       .orderBy("c_mktsegment", "rn")
   }
 
@@ -203,7 +244,7 @@ object SparkEntry {
         "l_partkey", "p_partkey", saltFactor = 8)
       .groupBy("p_type")
       .agg(count(lit(1)).as("n_items"),
-        decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+        cents2Out(sum(revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
       .orderBy("p_type")
 
   /** Bucketed co-located join through the gate: both sides written
@@ -238,7 +279,7 @@ object SparkEntry {
       .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        decOut(sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))).as("revenue"))
+        cents2Out(sum(revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -553,6 +594,47 @@ object SparkEntry {
       .orderBy("jobid")
   }
 
+  /** EP1 pipeline end-to-end through the gate: `JobScraperPipeline.run`
+    * with a URL-ENCODED job title (S7/E7 — the Pub/Sub attribute path),
+    * fixture pages including one posting with no rich-text div (its null
+    * description exercises the P4 dropna guard — row absent from the
+    * oracle), mini-gazetteer skills, injectable clock. Output is fully
+    * fixture-determined → literal VALUES oracle, like io3.
+    */
+  private def io5PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.scrape.{JobScraperPipeline, LinkedInScraper, MapFetcher}
+    val listUrl = new LinkedInScraper(new MapFetcher(Map.empty)).listUrl("Data Engineer")
+    def card(id: Int, title: String) =
+      s"""<div class="job-search-card" data-entity-urn="urn:li:jobPosting:$id">
+         |<h3 class="base-search-card__title">$title</h3></div>""".stripMargin
+    def posting(body: String) =
+      s"""<html><div class="description__text description__text--rich">$body</div></html>"""
+    val cardDefs = Seq(9101 -> "Senior Data Engineer", 9102 -> "Junior Developer",
+      9103 -> "Head of Data", 9104 -> "Platform Architect", 9105 -> "Ghost Role")
+    val pages = Map(
+      listUrl -> s"<html>${cardDefs.map { case (i, t) => card(i, t) }.mkString}</html>",
+      "https://www.linkedin.com/jobs-guest/jobs/api/jobPosting/9101" ->
+        posting("<p>Builds with spark pipelines salary £51K</p>"),
+      "https://www.linkedin.com/jobs-guest/jobs/api/jobPosting/9102" ->
+        posting("<p>Learns machine learning pays 42000 GBP</p>"),
+      "https://www.linkedin.com/jobs-guest/jobs/api/jobPosting/9103" ->
+        posting("<p>Leads spark and machine learning teams £90K</p>"),
+      "https://www.linkedin.com/jobs-guest/jobs/api/jobPosting/9104" ->
+        posting("<p>Designs platforms no pay listed</p>"),
+      // no rich-text div → null description → dropped by the P4 guard
+      "https://www.linkedin.com/jobs-guest/jobs/api/jobPosting/9105" ->
+        "<html><p>page without the rich-text div</p></html>")
+    val scraper = new LinkedInScraper(new MapFetcher(pages), retryDelayMs = 0)
+    val matcher = graft.nlp.SkillMatcher.fromPhrases(Seq("spark", "machine learning"))
+    val runDate = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val out = new JobScraperPipeline(scraper, matcher)
+      .run(s, "Data%20Engineer", runDate, None, sleeper = _ => ())
+      .getOrElse(sys.error("pipeline returned no frame for non-empty fixtures"))
+    out.select(col("jobid"), col("job_type"), col("seniority"), col("pay"),
+        array_join(array_sort(col("skills")), ",").as("skills"), col("date"))
+      .orderBy("jobid")
+  }
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -566,7 +648,9 @@ object SparkEntry {
     "q6_events_json" -> q6EventsJson _,
     "q7_window_topk" -> q7WindowTopk _,
     "q8_skew_join" -> q8SkewJoin _,
+    "q9_stream_hourly" -> q9StreamHourly _,
     "io4_bucketed_join" -> io4BucketedJoin _,
+    "io5_pipeline_e2e" -> io5PipelineE2e _,
     "p1_pay" -> p1Pay _,
     "p2_seniority" -> p2Seniority _,
     "p3_skills_mini" -> p3SkillsMini _,
@@ -683,21 +767,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_top_orders" ->
       """SELECT o_orderkey, o_orderpriority, revenue FROM (
-        | SELECT l_orderkey AS o_orderkey2, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | SELECT l_orderkey AS o_orderkey2, CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
         | FROM lineitem GROUP BY l_orderkey) li
         |JOIN orders ON o_orderkey2 = o_orderkey
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q3_nation_revenue" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        | count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -711,7 +795,11 @@ object SparkEntry {
         |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q5_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q9_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q6_events_json" ->
       """SELECT event_type, count(*) AS n,
@@ -720,20 +808,29 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q7_window_topk" ->
       """SELECT c_mktsegment, rn, c_custkey, acctbal FROM (
-        | SELECT c_mktsegment, c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+        | SELECT c_mktsegment, c_custkey, CAST(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS DOUBLE)/100.0 AS acctbal,
         |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
         | FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q8_skew_join" ->
       """SELECT p_type, count(*) AS n_items,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
     "io4_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // fixture-determined pipeline output (see io5PipelineE2e) as literal
+    // rows; posting 9105 has a null description and is dropped (P4)
+    "io5_pipeline_e2e" ->
+      """SELECT * FROM (VALUES
+        | ('9101', 'Data Engineer', 'Senior', CAST(51000 AS DOUBLE), 'spark', TIMESTAMP '2026-01-01 00:00:00'),
+        | ('9102', 'Data Engineer', 'Junior', CAST(42000 AS DOUBLE), 'machine learning', TIMESTAMP '2026-01-01 00:00:00'),
+        | ('9103', 'Data Engineer', 'Manager', CAST(90000 AS DOUBLE), 'machine learning,spark', TIMESTAMP '2026-01-01 00:00:00'),
+        | ('9104', 'Data Engineer', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), '', TIMESTAMP '2026-01-01 00:00:00')
+        |) AS t(jobid, job_type, seniority, pay, skills, "date") ORDER BY jobid""".stripMargin,
     "p1_pay" ->
       s"""WITH $JobsFrameSql,
         |m AS (SELECT doc_id, regexp_extract_all(description, '£[\\d,]+K?|[\\d,]+ ?GBP') AS l FROM jobs)

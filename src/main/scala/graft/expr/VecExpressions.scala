@@ -101,6 +101,10 @@ object VecExpressions {
     if (!reg.functionExists(FunctionIdentifier("vec_dot"))) {
       reg.createOrReplaceTempFunction("vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("vec_l2sq", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("rolling_token_hash", exprs => RollingTokenHash(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("simhash16", exprs => Simhash16(exprs(0)), "built-in")
     }
   }
 }

@@ -17,9 +17,17 @@ object TextFunctions {
   /** Word tokens: lowercase, split on runs of non-alphanumerics, drop
     * empties. The deliberately simple spec (vs the spaCy-like
     * [[graft.nlp.Tokenizer]]) keeps it expressible in any SQL engine.
+    *
+    * Implementation note — `array_remove(split(...), "")`, NOT
+    * `filter(split(...), _ =!= "")`: higher-order functions like
+    * ArrayFilter have no codegen (CodegenFallback) and force the whole
+    * Generate stage into per-row interpreted expression eval — profiled
+    * as a 33 s single task on the tokenize kernel that every dedup/text
+    * query shares. array_remove is a plain codegen'd expression with
+    * identical semantics (drops every "" element).
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -43,8 +51,9 @@ object TextFunctions {
     */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
-    val stops = array(Stopwords.map(lit): _*)
-    val hits = size(filter(toks, t => array_contains(stops, t)))
+    // native codegen'd membership count (graft.expr.CountInSet) — the HOF
+    // filter form is CodegenFallback and interprets per row
+    val hits = call_function("count_in_set", toks, array(Stopwords.map(lit): _*))
     when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
   }
 
@@ -83,8 +92,7 @@ object TextFunctions {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val scores = Markers.map { case (lang, words) =>
-      val set = array(words.map(lit): _*)
-      lang -> size(filter(toks, t => array_contains(set, t)))
+      lang -> call_function("count_in_set", toks, array(words.map(lit): _*))
     }
     val Seq(en, de, es, fr) = scores.map(_._2)
     when(en + de + es + fr === 0, "und")
@@ -108,9 +116,10 @@ object TextFunctions {
     */
   val RollingHashMod: Long = 1L << 40
 
-  def rollingTokenHash(text: Column): Column = {
-    val tokHash = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast(LongType) % RollingHashMod
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => (acc * 31 + tokHash(t)) % RollingHashMod)
-  }
+  def rollingTokenHash(text: Column): Column =
+    // native fold (graft.expr.RollingTokenHash) — identical to
+    // aggregate(tokens, 0L, (acc, t) => (acc*31 + conv(substring(md5(t),
+    // 1,15),16,10) % M) % M) but a single codegen'd static call instead of
+    // an interpreted per-token lambda fold
+    call_function("rolling_token_hash", tokens(text))
 }

@@ -107,23 +107,23 @@ object Dedup {
     * the shingle — correct but worst-case quadratic; see [[minhashDupPairs]]
     * for the sketch path).
     */
-  /** Distinct (id, shingle) rows via posexplode + window lead — semantically
-    * identical to `explode(wordShingles(...))` but with only simple
-    * expressions in the plan: the nested higher-order-function form costs
-    * ~70 s of whole-stage codegen compilation per query shape (measured),
-    * while this form compiles instantly. The window shuffle is by doc id
-    * over bounded-length docs — cheap at any scale.
+  /** Distinct (id, shingle) rows: one native codegen'd
+    * [[graft.expr.WordShingles]] call per document (tokenize → n-grams →
+    * dedup in a tight loop), exploded. ZERO shuffles — the two previous
+    * formulations both proved pathological at bench scale: the HOF chain
+    * (`transform(sequence...)`) is CodegenFallback (interpreted per row,
+    * ~70 s codegen compile per shape), and the posexplode+window-lead+
+    * distinct pipeline cost two shuffles whose recomputation inside
+    * auto-broadcast build jobs dominated the minhash runtime. The explicit
+    * repartition spreads documents across cores first — a single-file scan
+    * otherwise computes every shingle in one task (and at 100 TB the
+    * repartition is a no-op cost next to the scan).
     */
   def explodedShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(w))
-    toks
-      .withColumn("s", when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
-      .filter(col("s").isNotNull)
-      .select(col("id"), col("s")).distinct()
+    graft.expr.VecExpressions.register(df.sparkSession)
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"),
+        explode(call_function("word_shingles", col(textCol), lit(n))).as("s"))
   }
 
   def jaccardDupPairs(df: DataFrame, textCol: String, idCol: String,
@@ -152,20 +152,14 @@ object Dedup {
       n: Int, k: Int, r: Int, threshold: Double): DataFrame = {
     require(k % r == 0, s"k=$k not divisible by band size r=$r")
     val ex = explodedShingles(df, textCol, idCol, n)
-    // Explicit repartition by id before the CPU-dense signature stage:
-    // the distinct-shingle shuffle output is small in BYTES, so AQE
-    // coalesces it to 1-2 partitions — and bytes don't measure CPU. One
-    // task then computes every md5 in the corpus (profiled: 60 s on one
-    // core, 31 cores idle). A user repartition with an explicit N is
-    // exempt from AQE coalescing, and hash-partitioning by id doubles as
-    // the aggregation's required distribution — the groupBy below adds NO
-    // further shuffle, so this costs nothing extra.
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    // ONE base hash per shingle row; the k permutations are 2 mul/add/mod
-    // LONG ops each (see [[baseHash]]/[[permuted]] — the per-salt md5 form
-    // was the entire d3 runtime). k primitive `min`s + the shingle count
-    // fold into a single codegen'd HashAggregate pass.
-    val exH = ex.repartition(nPart, col("id")).select(col("id"), baseHash(col("s")).as("h"))
+    // ONE base hash per shingle row, computed MAP-SIDE at the scan's (or
+    // explodedShingles' repartition) parallelism; the k permutations are
+    // 2 mul/add/mod LONG ops each (see [[baseHash]]/[[permuted]] — the
+    // per-salt md5 form was the entire d3 runtime). k primitive `min`s +
+    // the shingle count fold into a single codegen'd HashAggregate pass
+    // with map-side partials, so the only shuffle carries one row per
+    // (id, partition).
+    val exH = ex.select(col("id"), baseHash(col("s")).as("h"))
     val sigAggs = (0 until k).map(i =>
       min(permuted(i, col("h"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
     val sigs = exH.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -173,6 +167,13 @@ object Dedup {
       md5(concat_ws("|",
         (0 until r).map(i => col(s"h${j * r + i}").cast("string")): _*).cast("binary"))
     }: _*)
+    // NOTE on recompute: `banded`'s lineage (scan → native shingles →
+    // one partial-aggregated shuffle) is re-executed by the self-join's
+    // auto-broadcast build and the candidate broadcast below. That is
+    // deliberate — the lineage is now two narrow maps and one combine,
+    // and recomputation beats caring for cache memory at 100 TB. (An
+    // earlier window+distinct formulation was expensive enough that the
+    // rebuild jobs dominated the whole query.)
     val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(bandArr).as(Seq("band_idx", "band_hash")))
     // candidate pairs carry both shingle counts so the verify join below
@@ -183,15 +184,21 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.n_sh").as("n1"), col("b.n_sh").as("n2")).distinct()
-    // verify candidates only: |A ∩ B| by shared-shingle count restricted to
-    // the candidate set (broadcast — band collisions are rare by design),
-    // then J = c / (n1 + n2 − c)
-    ex.select(col("id").as("id1"), col("s"))
-      .join(broadcast(cand), "id1")
-      .join(ex.select(col("id").as("id2"), col("s")), Seq("id2", "s"))
-      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("c"))
-      .select(col("id1"), col("id2"),
-        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+    // verify candidates in ONE pass over `ex` (the exploded corpus is the
+    // expensive relation — it must not be computed once per join side):
+    // explode each candidate pair into its two member ids, broadcast
+    // (candidates are rare by design), join the corpus shingles once, and
+    // count the shingles seen from BOTH members — |A ∩ B| — then
+    // J = c / (n1 + n2 − c).
+    val members = cand.select(
+      struct(col("id1"), col("id2"), col("n1"), col("n2")).as("p"),
+      explode(array(col("id1"), col("id2"))).as("id"))
+    ex.join(broadcast(members), "id")
+      .groupBy(col("p"), col("s")).agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2)
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        (col("c").cast("double") / (col("p.n1") + col("p.n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -209,26 +216,21 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash sketches as an exploded-token aggregate: one md5 per token
-    * total (the array-expression form [[simhash16]] re-evaluates the token
-    * hash list once per bit reference — ~33 folds per row, measured as the
-    * entire runtime at bench scale), with map-side partial sums and one
-    * shuffle on id. Docs with zero tokens get sk = 0 (the bit rule's
-    * `2·ones > len` is false at len 0), preserved via the left join.
+  /** SimHash sketches as ONE native codegen'd call per document
+    * ([[graft.expr.Simhash16]]: tokenize + per-token md5 + bit vote in a
+    * tight loop) — a pure narrow map, zero shuffles. Two previous
+    * formulations both failed at bench scale: the array-expression form
+    * re-evaluated the token hash list once per bit reference (~33 folds
+    * per row), and the exploded-token 16-sum aggregate put a shuffle
+    * under the pairing self-join, whose auto-broadcast build then
+    * re-executed the whole sketch pipeline as a separate job. Docs with
+    * zero tokens (or null text) get sk = 0.
     */
   def simhashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ids = df.select(col(idCol).as("id"))
-    val h = conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10).cast("int")
-    val ex = df.select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col("id"), h.as("h"))
-    val bitAggs = (0 until 16).map(j =>
-      sum(when(col("h").bitwiseAND(lit(1 << j)) =!= 0, 1).otherwise(-1)).as(s"b$j"))
-    val sk = (0 until 16).map(j => when(col(s"b$j") > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val sketches = ex.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), sk.as("sk"))
-    ids.join(sketches, Seq("id"), "left")
-      .select(col("id"), coalesce(col("sk"), lit(0)).as("sk"))
+    graft.expr.VecExpressions.register(df.sparkSession)
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"),
+        coalesce(call_function("simhash16", col(textCol)), lit(0)).as("sk"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, via segment

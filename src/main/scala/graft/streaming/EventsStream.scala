@@ -43,10 +43,13 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // exact money sum as integral hundredths (values are exact
+      // 2-decimal) — primitive LONG state, no per-row Decimal.toPrecision
+      // in the stateful operator, and ÷100 is one double op at emit
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("tv_cents"))
       .select(col("window.start").as("hour"), col("event_type"),
-        col("n_events"), col("total_value"))
+        col("n_events"), (col("tv_cents").cast("double") / lit(100d)).as("total_value"))
 
   /** Per-user session ids: a new session starts after `gapMinutes` of
     * inactivity. Stateful flatMapGroupsWithState-free formulation for the
@@ -73,7 +76,9 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).cast("double") / lit(100d))
+          .as("total_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))

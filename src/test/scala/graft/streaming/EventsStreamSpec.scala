@@ -14,7 +14,9 @@ class EventsStreamSpec extends SparkSpec {
       org.apache.spark.sql.streaming.OutputMode.Complete())
     val batch = Tables.events(spark, sf0001)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).cast("double") / lit(100d))
+          .as("total_value"))
     // AvailableNow drains everything; watermark cannot drop rows in a
     // single batch over sorted synthetic data — results must be identical
     assert(streamed.count() == batch.count())
