@@ -63,17 +63,26 @@ object Bench {
             f"stage=${info.stageId}%d ${(c - s) / 1000.0}%.1fs tasks=${info.numTasks}%d ${info.name}%s")
       }
     })
+    // Per-query time = MINIMUM over `passes` timed executions. This host
+    // exhibits multi-minute interference windows that inflate whatever
+    // stage is running 10-50x (documented: identical full runs measured
+    // 19.4 s and 465 s with zero code change); the minimum of repeated
+    // runs measures the engine, not the neighbor.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = ordered.map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name)
-      val t0 = System.nanoTime()
-      val sec = try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
+        }
       }
       spark.sparkContext.clearJobGroup()
-      name -> sec
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     slowStages.forEach(l => System.err.println(l))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
