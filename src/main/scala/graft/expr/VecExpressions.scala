@@ -90,21 +90,39 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecFoldExpressio
 object VecExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-  /** Register `vec_dot` / `vec_l2sq` in the session's function registry —
-    * usable from both the Column DSL (`call_function`) and plain SQL.
-    * Truly idempotent: skips when already present (the replace-every-call
+  /** The engine's full registry of session-independent custom expressions.
+    * SINGLE SOURCE OF TRUTH: both [[register]] (programmatic path) and
+    * [[graft.GraftExtensions]] (spark.sql.extensions deployment path)
+    * iterate this list, so the two registration paths cannot drift — a
+    * session built through either path resolves the same function set.
+    */
+  final case class GraftFunction(
+      name: String,
+      exprClass: Class[_],
+      builder: Seq[Expression] => Expression)
+
+  val functions: Seq[GraftFunction] = Seq(
+    GraftFunction("vec_dot", classOf[VecDot], exprs => VecDot(exprs(0), exprs(1))),
+    GraftFunction("vec_l2sq", classOf[VecL2Sq], exprs => VecL2Sq(exprs(0), exprs(1))),
+    GraftFunction("count_in_set", classOf[CountInSet], exprs => CountInSet(exprs(0), exprs(1))),
+    GraftFunction("rolling_token_hash", classOf[RollingTokenHash], exprs => RollingTokenHash(exprs(0))),
+    GraftFunction("word_shingles", classOf[WordShingles], exprs => WordShingles(exprs(0), exprs(1))),
+    GraftFunction("simhash16", classOf[Simhash16], exprs => Simhash16(exprs(0))))
+
+  /** Register every engine function in the session's registry — usable from
+    * both the Column DSL (`call_function`) and plain SQL. Idempotent PER
+    * FUNCTION: each name is guarded on its own existence, so a session that
+    * already has a subset (e.g. built via the extensions path before
+    * word_shingles/simhash16 were added there) still gets the missing ones,
+    * and already-present names aren't re-registered (the replace-every-call
     * form logged a `SimpleFunctionRegistry` WARN per query, dozens per
     * bench run, which buried the bench's JSON output line).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("vec_dot"))) {
-      reg.createOrReplaceTempFunction("vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("vec_l2sq", exprs => VecL2Sq(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("rolling_token_hash", exprs => RollingTokenHash(exprs(0)), "built-in")
-      reg.createOrReplaceTempFunction("word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction("simhash16", exprs => Simhash16(exprs(0)), "built-in")
+    functions.foreach { f =>
+      if (!reg.functionExists(FunctionIdentifier(f.name)))
+        reg.createOrReplaceTempFunction(f.name, f.builder, "built-in")
     }
   }
 }

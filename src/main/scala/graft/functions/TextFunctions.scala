@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -13,6 +13,17 @@ import org.apache.spark.sql.types.LongType
   * oracle harness); keep the two in sync when editing.
   */
 object TextFunctions {
+
+  /** The `call_function` forms below resolve names from the session's
+    * function registry at analysis time. On a session built outside
+    * `GraftSession.local` / the `GraftExtensions` path the engine functions
+    * wouldn't exist — so register them on the active session (if any)
+    * before handing back a Column that references them. Idempotent and
+    * cheap (existence check per name); same defensive pattern as
+    * [[graft.ops.Dedup]] / [[graft.ops.Similarity]].
+    */
+  private def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.foreach(graft.expr.VecExpressions.register)
 
   /** Word tokens: lowercase, split on runs of non-alphanumerics, drop
     * empties. The deliberately simple spec (vs the spaCy-like
@@ -50,6 +61,7 @@ object TextFunctions {
     * no tokens.
     */
   def stopwordRatio(text: Column): Column = {
+    ensureRegistered()
     val toks = tokens(text)
     // native codegen'd membership count (graft.expr.CountInSet) — the HOF
     // filter form is CodegenFallback and interprets per row
@@ -90,6 +102,7 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "est", "et", "une", "dans", "pour", "qui"))
 
   def langId(text: Column): Column = {
+    ensureRegistered()
     val toks = tokens(text)
     val scores = Markers.map { case (lang, words) =>
       lang -> call_function("count_in_set", toks, array(words.map(lit): _*))
@@ -116,10 +129,12 @@ object TextFunctions {
     */
   val RollingHashMod: Long = 1L << 40
 
-  def rollingTokenHash(text: Column): Column =
+  def rollingTokenHash(text: Column): Column = {
+    ensureRegistered()
     // native fold (graft.expr.RollingTokenHash) — identical to
     // aggregate(tokens, 0L, (acc, t) => (acc*31 + conv(substring(md5(t),
     // 1,15),16,10) % M) % M) but a single codegen'd static call instead of
     // an interpreted per-token lambda fold
     call_function("rolling_token_hash", tokens(text))
+  }
 }

@@ -46,6 +46,10 @@ object HtmlExtract {
     """(?s)<h3[^>]*class="[^"]*\bbase-search-card__title\b[^"]*"[^>]*>(.*?)</h3>""".r
   private val DescriptionTag =
     """(?s)<div[^>]*class="[^"]*\bdescription__text description__text--rich\b[^"]*"[^>]*>(.*)""".r
+  // A real opening <div> tag: "<div" must be followed by whitespace, '/',
+  // or '>' (so <divider> doesn't count), through the tag's closing '>'.
+  // Matches ending in "/>" are self-closing and depth-neutral.
+  private val OpenDivTag = """(?s)<div(?=[\s/>])[^>]*>""".r
 
   /** BeautifulSoup `get_text(strip=True)` approximation: drop tags, decode
     * common entities, collapse whitespace.
@@ -87,16 +91,21 @@ object HtmlExtract {
       // first close tag would truncate the description (BeautifulSoup in
       // the reference pairs tags properly, main.py:29-33)
       val body = m.group(1)
+      // Opens are REAL <div ...> tags only (OpenDivTag: "<div" + [\s/>],
+      // so <divider> and raw "<div" inside attribute text don't count),
+      // and self-closing <div/> is depth-neutral — a bare substring scan
+      // over-counted and could over-extend or truncate the description.
+      var opens = OpenDivTag.findAllMatchIn(body)
+        .filterNot(_.matched.endsWith("/>"))
+        .map(_.start).toList
+      var closes = Iterator.iterate(body.indexOf("</div>"))(p => body.indexOf("</div>", p + 1))
+        .takeWhile(_ >= 0).toList
       var depth = 0
       var idx = -1
-      var p = 0
-      while (idx < 0 && p < body.length) {
-        val open = body.indexOf("<div", p)
-        val close = body.indexOf("</div>", p)
-        if (close < 0) p = body.length
-        else if (open >= 0 && open < close) { depth += 1; p = open + 4 }
-        else if (depth > 0) { depth -= 1; p = close + 6 }
-        else idx = close
+      while (idx < 0 && closes.nonEmpty) {
+        if (opens.nonEmpty && opens.head < closes.head) { depth += 1; opens = opens.tail }
+        else if (depth > 0) { depth -= 1; closes = closes.tail }
+        else idx = closes.head
       }
       htmlToText(if (idx >= 0) body.substring(0, idx) else body)
     }.filter(_.nonEmpty)
