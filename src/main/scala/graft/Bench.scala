@@ -63,32 +63,44 @@ object Bench {
             f"stage=${info.stageId}%d ${(c - s) / 1000.0}%.1fs tasks=${info.numTasks}%d ${info.name}%s")
       }
     })
-    // Per-query time = MINIMUM over `passes` timed executions. This host
+    // Per-query time = MINIMUM over `passes` timed executions, run
+    // PASS-MAJOR (pass 1 of every query, then pass 2, ...). This host
     // exhibits multi-minute interference windows that inflate whatever
     // stage is running 10-50x (documented: identical full runs measured
-    // 19.4 s and 465 s with zero code change); the minimum of repeated
-    // runs measures the engine, not the neighbor.
+    // 19.4 s and 465 s with zero code change). Query-major ran one query's
+    // passes back-to-back, so a single window could swallow ALL of its
+    // samples and defeat the min (round 2's official record: q3 = 28.3 s
+    // vs 1.41 s re-measured in isolation). Interleaving spaces a query's
+    // samples ~a full-suite-width apart, so one window inflates at most
+    // one sample of any query and the minimum survives.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = ordered.map { case (name, fn) =>
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to passes; (name, fn) <- ordered) {
       spark.sparkContext.setJobGroup(name, name)
-      val times = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1.0
-        }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) = ((System.nanoTime() - t0) / 1e9) :: times(name)
+      } catch {
+        case NonFatal(e) => System.err.println(s"[bench] $name failed: $e")
       }
       spark.sparkContext.clearJobGroup()
-      val ok = times.filter(_ >= 0)
-      name -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> (times(name) match { case Nil => -1.0; case ts => ts.min })
     }
     slowStages.forEach(l => System.err.println(l))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // -1 marks a query that failed EVERY pass: report it in `failed` and
+    // keep it out of the total (a sentinel subtracted from the sum would
+    // make a broken run look faster, not slower).
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":$failed,"passes":$passes,"agg":"min-of-passes-interleaved","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     println(line)
     spark.stop()

@@ -85,6 +85,39 @@ object Multimodal {
   def withMedia(df: DataFrame, textCol: String = "text", binCol: String = "media"): DataFrame =
     df.withColumn(binCol, col(textCol).cast("binary"))
 
+  /** Attach REAL encoded media: a deterministic tiny PNG per row, generated
+    * executor-side with `ImageIO.write` — dimensions and pixels are pure
+    * arithmetic over the id, so [[decodeImage]]'s recovered `(width,
+    * height)` is SQL-expressible and the real-codec path can face the
+    * DuckDB oracle (the corpus's own "media" bytes are text, which no
+    * image reader accepts). Same partition-local streaming shape as the
+    * codecs: one payload in memory at a time, no driver round-trip.
+    */
+  def withGeneratedPng(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(binCol, BinaryType, nullable = false)))
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, ((id + x * 31 + y * 131) % 0x1000000).toInt); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
   // -------------------------------------------------------------------
   // feature-extract / resize / frame-sample — same stub-codec contract as
   // decodeStub: the byte-level transform is a deterministic fake, the
