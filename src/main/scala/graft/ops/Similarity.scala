@@ -58,17 +58,88 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the real
+    * trainer behind [[ivfTopKWith]] (vs [[ivfTopK]]'s id-derived,
+    * oracle-reproducible stand-in). Fully distributed per iteration:
+    * centroids broadcast, each vector assigned map-side to its L2-nearest
+    * cell, means recomputed with ONE groupBy over (cell, dimension). Only
+    * k·dim aggregate rows (and the k init vectors) ever reach the driver —
+    * never corpus rows — so the loop runs unchanged at 100 TB; set
+    * `sampleEvery` > 1 to train on a deterministic id-sampled subset,
+    * the standard move at that scale.
+    *
+    * Determinism (seed-free by construction): init = the k lowest-id
+    * vectors; assignment ties break by cent_id; each new mean is rounded
+    * to 6 decimals, absorbing the ~1e-13 double-fold-order wobble of a
+    * distributed avg, then truncated to float — two runs produce
+    * bit-identical centroids. Cells that lose every member keep their
+    * previous centroid.
+    *
+    * Returns `(cent_id int, cent_vec array<float>)`, directly consumable
+    * by [[ivfTopKWith]].
+    */
+  def trainCentroids(df: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleEvery: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val s = df.sparkSession
+    import s.implicits._
+    VecExpressions.register(s)
+    val sample =
+      (if (sampleEvery > 1) df.filter(col(idCol) % sampleEvery === 0) else df)
+        .select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+    def centsDf(cs: Array[Array[Double]]): DataFrame =
+      s.createDataset(cs.toSeq.zipWithIndex
+          .map { case (v, i) => (i, v.map(_.toFloat).toSeq) })
+        .toDF("cent_id", "cent_vec")
+        .withColumn("cent_vec", col("cent_vec").cast("array<float>"))
+    var cents: Array[Array[Double]] = sample.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(cents.length == k,
+      s"corpus sample has only ${cents.length} vectors, need k=$k")
+    for (_ <- 0 until iters) {
+      val assigned = sample
+        .withColumn("vf", col("v").cast("array<float>"))
+        .join(broadcast(centsDf(cents)))
+        .select(col("id"), col("v"), col("cent_id"),
+          l2NativeSq(col("vf"), col("cent_vec")).as("d"))
+      val w = Window.partitionBy("id").orderBy(col("d"), col("cent_id"))
+      val members = assigned.withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val means = members.groupBy("cent_id", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = math.rint(r.getDouble(2) * 1e6) / 1e6
+      }
+      cents = next
+    }
+    centsDf(cents)
+  }
+
   /** Deterministic IVF: centroids are the vectors whose id satisfies
     * `id % centroidEvery == 0` (a training-free, oracle-reproducible stand-in
-    * for k-means — swap in real cluster centers at production scale; the
-    * plan shape is identical). Each corpus vector lands in the cell of its
-    * L2-nearest centroid; each query probes its `nprobe` nearest cells.
+    * for k-means — [[trainCentroids]] + [[ivfTopKWith]] is the trained
+    * production form; the plan shape is identical). Each corpus vector
+    * lands in the cell of its L2-nearest centroid; each query probes its
+    * `nprobe` nearest cells.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      centroidEvery: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      centroidEvery: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, queries, k, nprobe,
+      corpus.filter(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")),
+      idCol, vecCol)
+
+  /** IVF cell-probed top-k against an explicit centroid table
+    * `(cent_id, cent_vec: array<float>)` — e.g. [[trainCentroids]] output.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      cents: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
 
     // map-side cell assignment: nearest centroid by (rounded L2, cent_id)
     def assign(df: DataFrame, id: String, vec: String, nrm: String,

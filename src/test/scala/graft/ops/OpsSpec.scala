@@ -128,6 +128,41 @@ class SimilaritySpec extends SparkSpec {
     // query 1 probes cell of centroid 0 only → neighbors 0 and 2
     assert(r.map(_.getAs[Long]("nn_id")).toSeq == Seq(0L, 2L))
   }
+
+  test("trainCentroids: Lloyd's recovers planted cluster structure") {
+    // two tight clusters; k=2 must put one centroid in each
+    val v = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.98f, 0.02f)), (2L, Seq(1.02f, -0.02f)),
+      (10L, Seq(0f, 1f)), (11L, Seq(0.02f, 0.98f)), (12L, Seq(-0.02f, 1.02f)))
+    val cents = Similarity.trainCentroids(v, 2, iters = 5)
+      .orderBy("cent_id").collect()
+      .map(_.getSeq[Float](1))
+    assert(cents.length == 2)
+    // one centroid near (1,0), the other near (0,1)
+    assert(cents.exists(c => math.abs(c(0) - 1.0) < 0.05 && math.abs(c(1)) < 0.05))
+    assert(cents.exists(c => math.abs(c(0)) < 0.05 && math.abs(c(1) - 1.0) < 0.05))
+  }
+
+  test("trainCentroids is deterministic across runs") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def run() = Similarity.trainCentroids(e, 8, iters = 3)
+      .orderBy("cent_id").collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val (a, b) = (run(), run())
+    assert(a.toSeq == b.toSeq, "two identical trainings diverged")
+  }
+
+  test("ivfTopKWith trained centroids: recall vs brute force") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(e, 8, iters = 3)
+    val exact = Similarity.bruteForceTopK(e, q, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val ivf = Similarity.ivfTopKWith(e, q, 3, 2, cents)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"trained-IVF recall@3 (nprobe=2/8 cells): $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below floor")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
