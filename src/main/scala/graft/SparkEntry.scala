@@ -274,6 +274,33 @@ object SparkEntry {
       .orderBy("user_id", "start_s")
   }
 
+  /** Custom arbitrary-state streaming (`flatMapGroupsWithState`) through
+    * the gate: [[graft.streaming.EventsStream.runningUserStats]] run to
+    * completion in Update mode. Update emits one row per user per
+    * micro-batch; counts are monotone, so keeping each user's max-count
+    * row recovers the FINAL state without assuming the file source fed a
+    * single batch. Exact-cents LONG state makes the money total
+    * arrival-order-independent — equal to the batch SQL aggregate.
+    */
+  private def q13StreamUserStats(s: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_q13_sink"
+    val q = graft.streaming.EventsStream.runningUserStats(
+        graft.streaming.EventsStream.readEvents(s, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // see q9StreamHourly: unload state-store providers between queries
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("st"))
+      .select(col("user_id"), col("st.n_events").as("n_events"),
+        col("st.total_value").as("total_value"))
+      .orderBy("user_id")
+  }
+
   /** JSON extraction from the `props` payload column + aggregate. */
   private def q6EventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -640,6 +667,18 @@ object SparkEntry {
       .select(col("doc_id"), col("width"), col("height"))
       .orderBy("doc_id")
 
+  /** Resize plumbing through the gate: [[ops.Multimodal.resizeStub]] caps
+    * each payload at w·h bytes — the byte-budget arithmetic is the
+    * verifiable surface (`least(length, w·h)`), the codec itself stays a
+    * documented stub.
+    */
+  private def m4Resize(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.resizeStub(
+        ops.Multimodal.withMedia(Tables.documents(s, dir)), 16, 16)
+      .select(col("doc_id"), col("width"), col("height"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -766,6 +805,7 @@ object SparkEntry {
     "q10_sessions" -> q10Sessions _,
     "q11_salted_agg" -> q11SaltedAgg _,
     "q12_stream_sessions" -> q12StreamSessions _,
+    "q13_stream_user_stats" -> q13StreamUserStats _,
     "io4_bucketed_join" -> io4BucketedJoin _,
     "io5_pipeline_e2e" -> io5PipelineE2e _,
     "p1_pay" -> p1Pay _,
@@ -788,6 +828,7 @@ object SparkEntry {
     "m1_media_decode" -> m1MediaDecode _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_decode" -> m3ImageDecode _,
+    "m4_resize" -> m4Resize _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
     "io3_scrape_source" -> io3ScrapeSource _,
@@ -955,6 +996,10 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM z GROUP BY user_id, sid ORDER BY user_id, start_s""".stripMargin,
+    "q13_stream_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q6_events_json" ->
       """SELECT event_type, count(*) AS n,
         | count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k,
@@ -1217,6 +1262,11 @@ object SparkEntry {
     "m3_image_decode" ->
       """SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
         | CAST(8 + doc_id % 7 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // resizeStub byte-budget arithmetic: payload capped at w*h bytes
+    "m4_resize" ->
+      """SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        | CAST(least(length(text), 256) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "io1_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -92,15 +92,20 @@ object EventsStream {
   def runningUserStats(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.select(col("user_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Double)]
+    // state carries exact integral cents (the engine-wide money
+    // convention): the running total is then arrival-order-independent,
+    // so the final emission is exactly the batch aggregate — gate-able
+    // against SQL, not just count-comparable
+    events.select(col("user_id").cast("long"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("cents"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Double)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
-        var (c, v) = state.getOption.getOrElse((0L, 0.0))
-        rows.foreach { case (_, value) => c += 1; v += value }
+        var (c, v) = state.getOption.getOrElse((0L, 0L))
+        rows.foreach { case (_, cents) => c += 1; v += cents }
         state.update((c, v))
-        Iterator((uid, c, v))
+        Iterator((uid, c, v.toDouble / 100d))
       }
       .toDF("user_id", "n_events", "total_value")
   }

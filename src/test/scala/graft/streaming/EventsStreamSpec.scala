@@ -39,13 +39,16 @@ class EventsStreamSpec extends SparkSpec {
       EventsStream.runningUserStats(EventsStream.readEvents(spark, sf0001)), "running_out",
       org.apache.spark.sql.streaming.OutputMode.Update())
     val batch = Tables.events(spark, sf0001)
-      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-    // Update mode with AvailableNow emits the final state per user; counts
-    // must match the batch aggregate exactly (double totals are fold-order
-    // sensitive, so compare the exact counts)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).cast("double") / lit(100d))
+          .as("total_value"))
+    // Update mode with AvailableNow emits the final state per user; the
+    // cents-LONG state makes totals arrival-order-exact, so both the
+    // counts AND the money totals must equal the batch aggregate
     val joined = streamed.join(batch, "user_id")
     assert(streamed.count() == batch.count())
-    assert(joined.filter(streamed("n_events") =!= batch("n_events")).count() == 0)
+    assert(joined.filter(streamed("n_events") =!= batch("n_events") ||
+      streamed("total_value") =!= batch("total_value")).count() == 0)
   }
 
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
