@@ -99,7 +99,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // `valid` guards cross-run comparison: a query failing every pass is
+    // excluded from the total, which would otherwise read as a speedup.
+    val valid = results.forall(_._2 >= 0)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,""" +
       s""""failed":$failed,"passes":$passes,"agg":"min-of-passes-interleaved","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     println(line)

@@ -364,12 +364,17 @@ object SparkEntry {
     * Keyed on the dir too: a warmup at sf0.001 followed by timed passes at
     * sf0.1 rebuilds exactly once for the new data.
     */
+  // The bucketed tables are ONE global pair per session, so the memo must
+  // track which dir they CURRENTLY hold (a set of ever-built (session, dir)
+  // pairs would skip the rebuild on an A → B → A dir sequence and serve
+  // stale data). Weak keys: don't pin dead SparkSessions for the JVM's life.
   private val io4Built =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   private def ensureBucketedTables(s: SparkSession, dir: String): Unit =
     io4Built.synchronized {
-      if (!io4Built.contains((s, dir))) {
+      if (io4Built.get(s) != dir) {
         dropManaged(s, "graft_li_bucketed")
         dropManaged(s, "graft_o_bucketed")
         Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
@@ -378,7 +383,7 @@ object SparkEntry {
         Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
           .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("graft_o_bucketed")
-        io4Built.add((s, dir))
+        io4Built.put(s, dir)
       }
     }
 
@@ -1263,10 +1268,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
         | CAST(8 + doc_id % 7 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // resizeStub byte-budget arithmetic: payload capped at w*h bytes
+    // resizeStub byte-budget arithmetic: payload capped at w*h bytes.
+    // octet_length, not length: the engine measures BYTES of the binary
+    // cast, which equals DuckDB's character count only while the corpus
+    // stays pure ASCII — octet_length keeps the oracle correct regardless.
     "m4_resize" ->
       """SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
-        | CAST(least(length(text), 256) AS BIGINT) AS n_bytes
+        | CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "io1_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

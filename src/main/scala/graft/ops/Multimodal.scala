@@ -65,6 +65,7 @@ object Multimodal {
   def decodeImage(df: DataFrame, idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
     val input = df.select(col(idCol).cast("long"), col(binCol))
     input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see withGeneratedPng
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -98,7 +99,17 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField(binCol, BinaryType, nullable = false)))
-    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+    // The id-only projection is a handful of bytes per row, but the encode
+    // is CPU-dense — a corpus that scans as one parquet split would encode
+    // on ONE core (measured: a 16 s single-task stage at sf0.1). An
+    // explicit repartition of the tiny projection spreads the work and is
+    // exempt from AQE's bytes-based coalescing.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).cast("long")).repartition(par).mapPartitions { rows =>
+      // ImageIO's default ImageOutputStream is DISK-cache-backed — a temp
+      // file per image; for in-memory thumbnails the memory cache is the
+      // only sane setting (per-JVM static, safe to set repeatedly).
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val w = 8 + (id % 9).toInt

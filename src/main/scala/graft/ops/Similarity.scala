@@ -86,10 +86,14 @@ object Similarity {
     val s = df.sparkSession
     import s.implicits._
     VecExpressions.register(s)
+    // Persisted: each Lloyd's iteration (and the init collect) re-reads
+    // this frame — without the cache that is `iters + 1` full source scans
+    // at corpus scale.
     val sample =
       (if (sampleEvery > 1) df.filter(col(idCol) % sampleEvery === 0) else df)
         .select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def centsDf(cs: Array[Array[Double]]): DataFrame =
       s.createDataset(cs.toSeq.zipWithIndex
           .map { case (v, i) => (i, v.map(_.toFloat).toSeq) })
@@ -100,15 +104,20 @@ object Similarity {
     require(cents.length == k,
       s"corpus sample has only ${cents.length} vectors, need k=$k")
     for (_ <- 0 until iters) {
+      // argmin by (d, cent_id) as a partial-aggregable groupBy — the k
+      // candidate rows per vector collapse map-side BEFORE the shuffle
+      // (a Window over id would shuffle and sort all k·n rows). Ties
+      // break by cent_id via the struct ordering; `any_value(v)` is
+      // deterministic because v is constant per id.
       val assigned = sample
         .withColumn("vf", col("v").cast("array<float>"))
         .join(broadcast(centsDf(cents)))
-        .select(col("id"), col("v"), col("cent_id"),
-          l2NativeSq(col("vf"), col("cent_vec")).as("d"))
-      val w = Window.partitionBy("id").orderBy(col("d"), col("cent_id"))
-      val members = assigned.withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("id"), col("v"),
+          struct(l2NativeSq(col("vf"), col("cent_vec")).as("d"),
+            col("cent_id").as("cent_id")).as("dc"))
+      val members = assigned.groupBy("id")
+        .agg(min(col("dc")).as("best"), any_value(col("v")).as("v"))
+        .select(col("best.cent_id").as("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
       val means = members.groupBy("cent_id", "pos").agg(avg(col("x")).as("m"))
         .collect()
       val next = cents.map(_.clone())
@@ -117,6 +126,7 @@ object Similarity {
       }
       cents = next
     }
+    sample.unpersist()
     centsDf(cents)
   }
 
