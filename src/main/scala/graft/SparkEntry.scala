@@ -301,6 +301,51 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
+    * every click event picks up the user's most recent purchase at or
+    * before it (feature backfill). The oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — an independent engine's implementation of the same
+    * semantics, not a replay of ours. (user_id, ts) is unique per type in
+    * the corpus, so the tie-ambiguity caveat documented on the operator
+    * doesn't bite.
+    */
+  private def q14AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event"),
+        cents(col("value")).as("p_cents"))
+    ops.AsOfJoin.asofBackward(clicks, purchases, "user_id", "ts",
+        Seq("p_event", "p_cents"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        col("asof_p_event").as("p_event"),
+        centsOut(col("asof_p_cents")).as("p_value"))
+      .orderBy("event_id")
+  }
+
+  /** Bucketed range join through the gate ([[ops.RangeJoin
+    * .boundedRangeJoin]]): per error event, the user's clicks in the
+    * preceding 10 minutes (inclusive both ends). Bucketing is an execution
+    * strategy, not a semantics change, so the oracle is the plain SQL
+    * range-predicate join.
+    */
+  private def q15RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("c_event"))
+    val pairs = ops.RangeJoin.boundedRangeJoin(errors, clicks,
+      "user_id", "ts", 600L * 1000000L, Seq("c_event"))
+    errors.join(pairs.groupBy("event_id").agg(count(lit(1)).as("n_clicks")),
+        Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** JSON extraction from the `props` payload column + aggregate. */
   private def q6EventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -811,6 +856,8 @@ object SparkEntry {
     "q11_salted_agg" -> q11SaltedAgg _,
     "q12_stream_sessions" -> q12StreamSessions _,
     "q13_stream_user_stats" -> q13StreamUserStats _,
+    "q14_asof_join" -> q14AsofJoin _,
+    "q15_range_join" -> q15RangeJoin _,
     "io4_bucketed_join" -> io4BucketedJoin _,
     "io5_pipeline_e2e" -> io5PipelineE2e _,
     "p1_pay" -> p1Pay _,
@@ -1005,6 +1052,25 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // DuckDB's native ASOF JOIN as an independent oracle for the
+    // union+window as-of implementation
+    "q14_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_event,
+        |       CAST(floor(value*100 + 0.5) AS BIGINT) AS p_cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_ns(c.ts)//1000000000 AS ts_s,
+        | p.p_event, CAST(p.p_cents AS DOUBLE)/100.0 AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // plain range-predicate join: the bucketed strategy must agree exactly
+    "q15_range_join" ->
+      """WITH er AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events WHERE event_type = 'error'),
+        |cl AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events WHERE event_type = 'click')
+        |SELECT er.event_id, er.user_id, count(cl.us) AS n_clicks
+        |FROM er LEFT JOIN cl ON er.user_id = cl.user_id
+        | AND cl.us BETWEEN er.us - 600000000 AND er.us
+        |GROUP BY er.event_id, er.user_id ORDER BY er.event_id""".stripMargin,
     "q6_events_json" ->
       """SELECT event_type, count(*) AS n,
         | count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k,

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the time-series "most recent right row at or
+  * before each left row's timestamp, per key" join (trade↔quote,
+  * event↔latest-state). The reference has no such operator; this is part
+  * of the extended training-data-pipeline tier (feature backfill: attach
+  * the latest label/metric snapshot to every example).
+  */
+object AsOfJoin {
+
+  /** For every left row, attach the payload of the right row with the
+    * greatest `tsCol` ≤ the left row's `tsCol` within the same `keyCol`
+    * (null payload when no right row precedes).
+    *
+    * Spark-first shape: tag both sides, UNION them, and carry the latest
+    * right payload forward with one `last(_, ignoreNulls)` running window
+    * over the key ordered by (ts, tag) — ONE shuffle on the key plus a
+    * per-key sort, the same wide-edge cost as a plain equi-join. The naive
+    * formulations Spark would otherwise plan — a θ-join on `r.ts <= l.ts`
+    * (BroadcastNestedLoop) or a per-left-row correlated max (a join back
+    * onto an aggregate) — are quadratic or double-shuffle; this is
+    * neither, and it scales with the union's row count.
+    *
+    * Right rows sort BEFORE left rows at equal ts (tag 0 < 1), so a right
+    * row at exactly the left timestamp matches (inclusive as-of, the
+    * DuckDB/pandas `merge_asof` convention). If several right rows share
+    * (key, ts), which of them is carried is tie-ambiguous — pre-aggregate
+    * the right side to one row per (key, ts) first (DuckDB's native ASOF
+    * JOIN has the same caveat).
+    *
+    * Output: every left column, plus each `payloadCols` right column
+    * prefixed `asof_`.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
+    val l = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__tag"),
+      struct(leftCols.map(col): _*).as("__lp"),
+      lit(null).cast(payloadType).as("__rp"))
+    val leftPayloadType = l.schema("__lp").dataType
+    val r = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
+      lit(null).cast(leftPayloadType).as("__lp"),
+      struct(payloadCols.map(col): _*).as("__rp"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    val outCols = leftCols.map(c => col(s"__lp.$c").as(c)) ++
+      payloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))
+    matched.select(outCols: _*)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def frame(rows: Seq[(Long, Long, java.sql.Timestamp, Double)],
+      valCol: String): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "k", "ts", valCol)
+  }
+
+  private val left = frame(Seq(
+    (1L, 10L, ts("2026-01-01 10:00:00"), 0.0),   // before any right row
+    (2L, 10L, ts("2026-01-01 10:05:00"), 0.0),   // exactly at a right ts (inclusive)
+    (3L, 10L, ts("2026-01-01 10:30:00"), 0.0),   // after two right rows → latest wins
+    (4L, 20L, ts("2026-01-01 10:30:00"), 0.0)),  // other key: isolated
+    "x")
+
+  private val right = frame(Seq(
+    (100L, 10L, ts("2026-01-01 10:05:00"), 1.5),
+    (101L, 10L, ts("2026-01-01 10:20:00"), 2.5),
+    (102L, 20L, ts("2026-01-01 10:10:00"), 9.5)),
+    "v")
+
+  test("asofBackward: inclusive tie, latest-wins, null when nothing precedes, key isolation") {
+    val out = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("id", "v"))
+      .orderBy("id")
+      .select(col("id"), col("asof_id"), col("asof_v"))
+      .collect()
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(None, Some(100L), Some(101L), Some(102L)))
+    assert(out(2).getDouble(2) == 2.5)
+    // left columns pass through untouched
+    val cols = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("v")).columns.toSeq
+    assert(cols == Seq("id", "k", "ts", "x", "asof_v"))
+  }
+
+  test("asofBackward plans one shuffle on the key — no nested loop, no broadcast of a side") {
+    val plan = AsOfJoin.asofBackward(left, right, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("boundedRangeJoin: inclusive bounds, bucket-boundary pairs, no duplicates") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:10:00"))).toDF("id", "k", "ts")
+    val mkR = (id: Long, k: Long, t: String) => (id, k, ts(t))
+    val right = Seq(
+      mkR(200L, 10L, "2026-01-01 10:00:00"),  // exactly lower bound (l.ts - 10 min)
+      mkR(201L, 10L, "2026-01-01 10:10:00"),  // exactly l.ts (upper bound)
+      mkR(202L, 10L, "2026-01-01 10:04:59"),  // inside, previous bucket
+      mkR(203L, 10L, "2026-01-01 09:59:59"),  // 1 s outside
+      mkR(204L, 10L, "2026-01-01 10:10:01"),  // 1 s after
+      mkR(205L, 99L, "2026-01-01 10:05:00"))  // other key
+      .toDF("rid", "k", "ts")
+    val out = RangeJoin.boundedRangeJoin(left, right, "k", "ts",
+        600L * 1000000L, Seq("rid"))
+      .select(col("r_rid")).as[Long].collect().sorted.toSeq
+    assert(out == Seq(200L, 201L, 202L))
+  }
+
+  test("boundedRangeJoin is an equi-join (SortMerge/ShuffledHash), not a nested loop") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts("2026-01-01 10:10:00"))).toDF("id", "k", "ts")
+    val right = Seq((2L, 10L, ts("2026-01-01 10:05:00"))).toDF("rid", "k", "ts")
+    val plan = RangeJoin.boundedRangeJoin(left, right, "k", "ts",
+        600L * 1000000L, Seq("rid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
