@@ -588,6 +588,43 @@ object SparkEntry {
         TextFunctions.rollingTokenHash(col("text")).as("fp_rolling"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split through the gate
+    * ([[ops.Sampling.withSplit]], 80/10/10 by md5 bucket of the doc id),
+    * summarized per (split, lang) — the stratification view that shows the
+    * split is uniform across languages. The oracle recomputes the md5
+    * bucket expression verbatim.
+    */
+  private def t4Split(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
+      .orderBy("split", "lang")
+
+  /** TF-IDF top-3 terms per document. Cross-engine float discipline: the
+    * idf is ROUNDED to 6 decimals before the tf multiply — ln() may
+    * differ between engines in the last ulp, and a raw idf inside the
+    * ranking would make top-3 ties engine-dependent; after rounding, both
+    * engines multiply bit-identical doubles. df is derived from the tf
+    * relation (one tokenize pass feeds both aggregates).
+    */
+  private def t5Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Dedup tier
   // ---------------------------------------------------------------------
@@ -869,6 +906,8 @@ object SparkEntry {
     "t1_text_stats" -> t1TextStats _,
     "t2_lang_quality" -> t2LangQuality _,
     "t3_fingerprint" -> t3Fingerprint _,
+    "t4_split" -> t4Split _,
+    "t5_tfidf" -> t5Tfidf _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -1234,6 +1273,30 @@ object SparkEntry {
         |   t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) % ${TextFunctions.RollingHashMod}),
         |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // md5-bucket split recomputed verbatim (engine-portable by design)
+    "t4_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        | FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        | FROM b)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // idf rounded to 6 decimals BEFORE the multiply (see t5Tfidf)
+    "t5_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |        tf.tf * round(ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank, term, round(score, 6) AS score FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "d1_exact_dedup" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("withSplit: total partition, deterministic across runs, ~weights") {
+    val split = Sampling.withSplit(ids(2000), "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test")) // no nulls at 100%
+    assert(counts.values.sum == 2000)
+    // uniform-hash tolerance: ±5 percentage points at n=2000
+    assert(math.abs(counts("train") - 1600L) < 100, counts)
+    assert(math.abs(counts("val") - 200L) < 100, counts)
+    // determinism: a second evaluation assigns identically
+    val again = Sampling.withSplit(ids(2000), "id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("withSplit: weights below 100 leave a null remainder") {
+    val split = Sampling.withSplit(ids(500), "id", Seq("a" -> 50))
+    val n = split.filter(col("split").isNull).count()
+    assert(n > 0 && n < 500)
+  }
+
+  test("sampleByHash is a subset and matches the bucket rule") {
+    val s = Sampling.sampleByHash(ids(1000), "id", 10)
+    val n = s.count()
+    assert(n > 50 && n < 200, n)
+    // idempotent: sampling the sample at 100% changes nothing
+    assert(Sampling.sampleByHash(s, "id", 100).count() == n)
+  }
+
+  test("withSplit is a narrow plan — no shuffle") {
+    val plan = Sampling.withSplit(ids(100), "id", Seq("a" -> 50, "b" -> 50))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
