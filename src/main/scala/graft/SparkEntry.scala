@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{EtlFunctions, SkillFunctions, TextFunctions, VectorFunctions}
 import graft.io.Tables
 import graft.nlp.SkillMatcher
+import graft.ops.Curation
 
 /** Driver contract (see SURVEY.md §2/§7): one query per implemented
   * operator, each with an exactly-equivalent DuckDB oracle in [[oracleSql]].
@@ -625,6 +626,71 @@ object SparkEntry {
       .orderBy("doc_id", "rank")
   }
 
+  /** Cross-split contamination check ([[ops.Curation.contamination]]):
+    * 3-gram overlap of every `test` document against the `train` shingle
+    * universe, on the same deterministic 80/10/10 hash split as t4 — the
+    * eval-set-hygiene op of an LLM data pipeline. The oracle recomputes
+    * the split bucket and the shingle join verbatim.
+    */
+  private def t6Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = ops.Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    ops.Curation.contamination(
+        d.filter(col("split") === "train"), d.filter(col("split") === "test"),
+        "text", "doc_id", 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction ([[ops.Curation.piiStats]]/[[ops.Curation
+    * .piiRedact]]) over a corpus with deterministically planted PII (the
+    * synthetic text is punctuation-free, so every match is a plant):
+    * emails on doc_id % 7, IPv4s on doc_id % 11. Counts and the
+    * redacted-length arithmetic are the verified surface.
+    */
+  private def t7Pii(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(lit(""))))
+    ops.Curation.piiStats(planted, "t")
+      .select(col("doc_id"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_ips").cast("long").as("n_ips"),
+        length(ops.Curation.piiRedact(col("t"))).cast("long").as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition / boilerplate metrics ([[ops.Curation.repetitionStats]]):
+    * duplicate-word and duplicate-bigram fractions per document — the
+    * Gopher-style repetition signals a quality filter thresholds on.
+    */
+  private def t8Repetition(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.repetitionStats(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Exact per-group quantiles (`percentile` — interpolated, type-7, the
+    * same definition as DuckDB's `quantile_cont`). Exact percentile
+    * buffers each group's values, which is fine for low-cardinality
+    * groups like per-language corpus stats; the 100 TB path for
+    * high-cardinality groups is `approx_percentile` (mergeable GK
+    * sketch), spec'd against this exact form within its error bound in
+    * CurationSpec.
+    */
+  private def q16Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
+      .orderBy("lang")
+
   // ---------------------------------------------------------------------
   // Dedup tier
   // ---------------------------------------------------------------------
@@ -908,6 +974,10 @@ object SparkEntry {
     "t3_fingerprint" -> t3Fingerprint _,
     "t4_split" -> t4Split _,
     "t5_tfidf" -> t5Tfidf _,
+    "t6_contamination" -> t6Contamination _,
+    "t7_pii" -> t7Pii _,
+    "t8_repetition" -> t8Repetition _,
+    "q16_quantiles" -> q16Quantiles _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -953,8 +1023,12 @@ object SparkEntry {
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> x <> '')"
 
   /** DuckDB form of [[ops.Dedup.wordShingles]] over a token list `t`. */
-  private def shinglesSql(t: String): String =
-    s"list_distinct(list_transform(generate_series(1, len($t) - 2), i -> array_to_string(($t)[i:i+2], ' ')))"
+  private def shinglesSql(t: String): String = shinglesNSql(t, 3)
+
+  /** n-parameterized variant (DuckDB list slicing is 1-based inclusive). */
+  private def shinglesNSql(t: String, n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, len($t) - ${n - 1}), " +
+      s"i -> array_to_string(($t)[i:i+${n - 1}], ' ')))"
 
   /** DuckDB form of [[ops.Dedup.jaccard]]. */
   private def jaccardSql(a: String, b: String): String =
@@ -1297,6 +1371,53 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, rank, term, round(score, 6) AS score FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // split bucket + shingle join recomputed verbatim (see t6Contamination)
+    "t6_contamination" ->
+      s"""WITH b AS (SELECT doc_id, text,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        | FROM documents),
+        |te AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM b WHERE bkt >= 90),
+        |tr AS (SELECT DISTINCT s FROM
+        |  (SELECT unnest(${shinglesSql(toksSql("text"))}) AS s FROM b WHERE bkt < 80)),
+        |x AS (SELECT doc_id, unnest(sh) AS s FROM te),
+        |hits AS (SELECT x.doc_id, count(*) AS n_hit FROM x JOIN tr USING (s) GROUP BY x.doc_id)
+        |SELECT te.doc_id, CAST(len(te.sh) AS BIGINT) AS n_shingles,
+        | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | round(CASE WHEN len(te.sh) = 0 THEN 0.0
+        |        ELSE coalesce(h.n_hit, 0)::DOUBLE / len(te.sh) END, 6) AS contamination
+        |FROM te LEFT JOIN hits h ON te.doc_id = h.doc_id ORDER BY te.doc_id""".stripMargin,
+    // planted PII + RE2/Java-compatible patterns (see t7Pii / ops.Curation)
+    "t7_pii" ->
+      s"""WITH p AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0
+        |               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |               ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0
+        |               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+        |               ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '${Curation.EmailPattern}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '${Curation.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+        | CAST(length(regexp_replace(regexp_replace(t,
+        |   '${Curation.EmailPattern}', '[EMAIL]', 'g'),
+        |   '${Curation.Ipv4Pattern}', '[IP]', 'g')) AS BIGINT) AS n_chars_redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "t8_repetition" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        | round(CASE WHEN len(t) = 0 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(t))::DOUBLE / len(t) END, 6) AS dup_word_ratio,
+        | round(CASE WHEN len(t) <= 1 THEN 0.0
+        |        ELSE 1.0 - len(${shinglesNSql("t", 2)})::DOUBLE / (len(t) - 1) END, 6) AS dup_bigram_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // quantile_cont = Spark's exact `percentile` (both type-7 interpolation)
+    "q16_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        | round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        | round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 6) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d1_exact_dedup" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingestion and training: cross-split contamination detection, PII
+  * detection/redaction, and repetition (boilerplate) metrics.
+  *
+  * Scale posture (100 TB): PII and repetition are pure narrow maps —
+  * codegen'd regex/array expressions, zero shuffles, zero state.
+  * Contamination is the one wide op: it shuffles on the n-gram itself
+  * (the standard decontamination shape — e.g. the 13-gram overlap checks
+  * used for LLM eval-set hygiene), with the train-side n-gram set
+  * de-duplicated map-side before the join. No driver-side collection
+  * anywhere.
+  */
+object Curation {
+
+  /** Cross-split contamination: for every document in `test`, how many of
+    * its word n-gram shingles appear in ANY `train` document.
+    *
+    * Returns one row per test document:
+    * `(id, n_shingles, n_hit, contamination)` where `contamination` =
+    * n_hit / n_shingles (0.0 for docs with fewer than `n` tokens).
+    *
+    * Plan shape: both sides tokenize+shingle map-side with the native
+    * [[graft.expr.WordShingles]] kernel; the train shingle universe is
+    * `distinct()` (one shuffle, map-side partial dedup) and the test
+    * shingles equi-join it on the shingle string (second shuffle). Per-doc
+    * shingle counts ride the test rows — no second pass over the corpus.
+    * A hot shingle is bounded by the train-side dedup: each distinct
+    * shingle joins once per test occurrence, never train×test.
+    */
+  def contamination(train: DataFrame, test: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val trainShingles = Dedup.explodedShingles(train, textCol, idCol, n)
+      .select(col("s")).distinct()
+    val testEx = Dedup.explodedShingles(test, textCol, idCol, n)
+    // WordShingles emits DISTINCT shingles per doc, so this count is
+    // "distinct shingles of this test doc seen anywhere in train"
+    val hits = testEx.join(trainShingles, "s")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    graft.expr.VecExpressions.register(test.sparkSession)
+    val sizes = test.select(col(idCol).as("id"),
+      size(call_function("word_shingles", col(textCol), lit(n))).as("n_shingles"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles").cast("long").as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles")), 6)
+          .as("contamination"))
+  }
+
+  /** PII patterns — deliberately simple and RE2-compatible so any engine
+    * (including the DuckDB oracle) matches byte-for-byte. Production
+    * gazetteers go further (names, addresses); the *engine shape* — a
+    * codegen'd regex scan per pattern, fused into one projection — is
+    * what matters at scale.
+    */
+  val EmailPattern = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  val Ipv4Pattern = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** Per-document PII counts: `(n_emails, n_ips)` appended as columns. */
+  def piiStats(df: DataFrame, textCol: String): DataFrame =
+    // group index 0 = whole match (the patterns define no capture groups;
+    // Spark's default idx is 1, which would throw here)
+    df.withColumn("n_emails", size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0))))
+
+  /** Redact PII in place: emails → `[EMAIL]`, then IPv4s → `[IP]`
+    * (order matters — the email replacement must not destroy the digit
+    * runs an IP match needs, so emails go first by construction of the
+    * patterns: they cannot overlap an IPv4).
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"), Ipv4Pattern, "[IP]")
+
+  /** Repetition / boilerplate metrics (Gopher-style repetition signals):
+    * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
+    * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.
+    * Heavily templated or looping text scores high; natural prose scores
+    * near the corpus baseline. Pure narrow map: the distinct counts come
+    * from the native [[graft.expr.WordShingles]] kernel (n=1 tokens, n=2
+    * bigrams) — no explode, no shuffle.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val toks = TextFunctions.tokens(col(textCol))
+    val nToks = size(toks)
+    val nDistinct = size(call_function("word_shingles", col(textCol), lit(1)))
+    val nBigrams = nToks - 1
+    val nDistinctBi = size(call_function("word_shingles", col(textCol), lit(2)))
+    df.select(col(idCol).as("id"),
+      nToks.cast("long").as("n_tokens"),
+      round(when(nToks === 0, lit(0.0))
+        .otherwise(lit(1.0) - nDistinct.cast("double") / nToks), 6).as("dup_word_ratio"),
+      round(when(nBigrams <= 0, lit(0.0))
+        .otherwise(lit(1.0) - nDistinctBi.cast("double") / nBigrams), 6).as("dup_bigram_ratio"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("contamination: shingle overlap counts, zero-hit and short docs") {
+    import spark.implicits._
+    val train = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val test = Seq(
+      // shares "the quick brown" and "quick brown fox" with train
+      (10L, "the quick brown fox sleeps"),
+      (11L, "completely different words here now"), // 0 hits
+      (12L, "too short")                            // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(train, test, "text", "doc_id", 3)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 3L, 2L), (11L, 3L, 0L), (12L, 0L, 0L)))
+    assert(out(0).getDouble(3) == 0.666667) // round(2/3, 6)
+    assert(out(2).getDouble(3) == 0.0)
+  }
+
+  test("contamination plans as equi-joins, no cartesian") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = Curation.contamination(d, d, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("piiStats counts and piiRedact replaces all occurrences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at bob1@mail.example.com or alice@ex.org today"),
+      (2L, "servers 10.0.0.1 and 192.168.4.255 are up"),
+      (3L, "mixed admin@host.io from 10.1.2.3"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val stats = Curation.piiStats(df, "text")
+      .select("doc_id", "n_emails", "n_ips").orderBy("doc_id").collect()
+    assert(stats.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((2, 0), (0, 2), (1, 1), (0, 0)))
+    val red = df.orderBy("doc_id")
+      .select(Curation.piiRedact(col("text"))).as[String].collect()
+    assert(red(0) == "reach me at [EMAIL] or [EMAIL] today")
+    assert(red(1) == "servers [IP] and [IP] are up")
+    assert(red(2) == "mixed [EMAIL] from [IP]")
+    assert(red(3) == "nothing sensitive here")
+  }
+
+  test("repetitionStats: templated text scores high, distinct text zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now buy now buy now"),  // 6 toks, 2 distinct; 5 bigrams, 2 distinct
+      (2L, "all words are unique here"),
+      (3L, "one"),                       // single token → no bigrams
+      (4L, "")                           // empty → all zero
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(df, "text", "doc_id").orderBy("id").collect()
+    assert(out(0).getDouble(2) == 0.666667 && out(0).getDouble(3) == 0.6)
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(3) == 0.0)
+    assert(out(2).getLong(1) == 1L && out(2).getDouble(3) == 0.0)
+    assert(out(3).getLong(1) == 0L && out(3).getDouble(2) == 0.0)
+  }
+
+  test("approx_percentile tracks exact percentile within its error bound") {
+    // the 100 TB path for high-cardinality groups (mergeable GK sketch):
+    // with accuracy a, rank error ≤ n/a — assert the spec'd bound holds
+    // against the exact interpolated percentile q16 gates.
+    import spark.implicits._
+    val n = 10000
+    val df = (1 to n).map(i => (i % 7).toString -> (i * 37 % 9973)).toDF("g", "v")
+    val joined = df.groupBy("g").agg(
+        expr("percentile(v, 0.5)").as("exact"),
+        expr("approx_percentile(v, 0.5, 100)").as("approx"))
+      .collect()
+    joined.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getInt(2).toDouble)
+      // rank error n/100 ≈ 15 rows/group → value error bounded by the
+      // local density; 9973/ (n/7) * 15 ≈ 105 — assert a loose 5% of range
+      assert(math.abs(e - a) <= 0.05 * 9973, s"group ${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+}
