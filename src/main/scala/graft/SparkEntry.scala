@@ -213,6 +213,32 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** Stream-stream interval join through the ACTUAL streaming engine
+    * ([[graft.streaming.EventsStream.purchaseViewJoin]]): purchases ⋈
+    * same-user views within the preceding hour, watermarked on both
+    * sides, append mode. The oracle is the equivalent batch range join
+    * at microsecond semantics (`epoch_ns(ts)//1000`, matching the nanos→
+    * micros truncation on read); output timestamps emit as epoch seconds
+    * so both engines hash integral values.
+    */
+  private def q17StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_q17_sink"
+    val q = graft.streaming.EventsStream.purchaseViewJoin(
+        graft.streaming.EventsStream.readEvents(s, dir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.table(sink)
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_s"),
+        unix_timestamp(col("view_ts")).as("view_s"),
+        col("value"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   /** Batch sessionization through the gate (§2.5's batch mirror):
     * [[graft.streaming.EventsStream.sessionizedBatch]] with a 30-minute
     * inactivity gap, aggregated per (user, session) — event count,
@@ -978,6 +1004,7 @@ object SparkEntry {
     "t7_pii" -> t7Pii _,
     "t8_repetition" -> t8Repetition _,
     "q16_quantiles" -> q16Quantiles _,
+    "q17_stream_join" -> q17StreamJoin _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -1418,6 +1445,17 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.5), 6) AS p50,
         | round(quantile_cont(n_chars, 0.9), 6) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // batch mirror of the streaming interval join, micros semantics
+    "q17_stream_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts)//1000 AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts)//1000 AS pus, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id, p.user_id,
+        | p.pus//1000000 AS purchase_s, v.vus//1000000 AS view_s, p.value
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND v.vus >= p.pus - 3600000000 AND v.vus <= p.pus
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "d1_exact_dedup" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents

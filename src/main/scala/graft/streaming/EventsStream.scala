@@ -110,6 +110,31 @@ object EventsStream {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Stream-stream interval self-join: every purchase joined to the same
+    * user's views in the preceding hour — the attribution-join shape.
+    * Both sides carry watermarks and the join condition bounds the event
+    * time range, so each side's join state is evicted once the watermark
+    * passes `purchase_ts − 1 hour` (views) / `purchase_ts` (purchases):
+    * state size tracks the delay window × arrival rate, not stream
+    * history. Append mode; shuffles once on user_id per side.
+    */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(views,
+      col("view_user") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("purchase_ts"), col("view_ts"), col("value"))
+  }
+
   /** Streaming exact dedup with bounded state: drops re-deliveries of the
     * same key arriving within the watermark delay
     * (`dropDuplicatesWithinWatermark` — state for a key is evicted once the

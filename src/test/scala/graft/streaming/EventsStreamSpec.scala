@@ -61,6 +61,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(deduped.count() == batch.select("event_id").distinct().count())
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.purchaseViewJoin(EventsStream.readEvents(spark, sf0001)), "pv_out")
+    val e = Tables.events(spark, sf0001)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("value"))
+    val batch = purchases.join(views,
+      col("vu") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select("purchase_id", "view_id", "user_id", "purchase_ts", "view_ts", "value")
+    // AvailableNow drains everything and no event precedes the final
+    // watermark by construction — the streaming append output must equal
+    // the batch join exactly
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.selectExpr("purchase_id", "view_id").exceptAll(
+      batch.selectExpr("purchase_id", "view_id")).isEmpty)
+  }
+
   test("streaming session windows aggregate per user") {
     val sessions = EventsStream.runToMemory(spark,
       EventsStream.sessionAgg(EventsStream.readEvents(spark, sf0001), 30), "session_out")
