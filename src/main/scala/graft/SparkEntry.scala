@@ -717,6 +717,32 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy("lang")
 
+  /** Sequence packing into training shards ([[ops.Sampling.packShards]]):
+    * documents hash into 8 independent streams, each packed into
+    * ~2000-token shards by running start offset — the partition-parallel
+    * packing a 100 TB corpus requires (a single global ordered window
+    * would serialize the corpus through one task). Summarized per shard;
+    * the oracle replays the same bucket + window program.
+    */
+  private def t9ShardPack(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.packShards(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", 2000L, 8)
+      .groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      .orderBy("bucket", "shard")
+
+  /** Symmetric int8 embedding quantization ([[ops.Similarity
+    * .quantizeInt8]]): per-vector scale, quantized array, reconstruction
+    * MSE — all double arithmetic, reproduced element-for-element by the
+    * oracle.
+    */
+  private def sim3Quantize(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("scale"), col("mse"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------------
   // Dedup tier
   // ---------------------------------------------------------------------
@@ -1005,6 +1031,8 @@ object SparkEntry {
     "t8_repetition" -> t8Repetition _,
     "q16_quantiles" -> q16Quantiles _,
     "q17_stream_join" -> q17StreamJoin _,
+    "t9_shard_pack" -> t9ShardPack _,
+    "sim3_quantize" -> sim3Quantize _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -1445,6 +1473,33 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.5), 6) AS p50,
         | round(quantile_cont(n_chars, 0.9), 6) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // bucket + running-offset window replayed verbatim (see t9ShardPack)
+    "t9_shard_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+        | FROM documents),
+        |o AS (SELECT doc_id, bucket, n_tok,
+        |  coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM d)
+        |SELECT bucket, start_off // 2000 AS shard, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM o GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin,
+    // double IEEE arithmetic + half-away-zero rounds on both engines
+    "sim3_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127 AS s_raw FROM e),
+        |qq AS (SELECT vec_id, v, s_raw,
+        |        CASE WHEN s_raw = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x -> CAST(round(x / s_raw, 0) AS INT)) END AS q
+        |       FROM s)
+        |SELECT vec_id, q,
+        | round(s_raw, 6) AS scale,
+        | round(CASE WHEN s_raw = 0 THEN 0.0
+        |        ELSE list_sum(list_transform(generate_series(1, len(v)),
+        |               i -> (v[i] - q[i] * s_raw) * (v[i] - q[i] * s_raw))) / len(v) END, 6) AS mse
+        |FROM qq ORDER BY vec_id""".stripMargin,
     // batch mirror of the streaming interval join, micros semantics
     "q17_stream_join" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts)//1000 AS vus

@@ -50,4 +50,29 @@ object Sampling {
     require(pct >= 0 && pct <= 100, s"pct out of range: $pct")
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
+
+  /** Pack documents into training shards of ~`budget` tokens (sequence
+    * packing): a document's shard is the budget-boundary its cumulative
+    * start offset falls in, within its hash partition.
+    *
+    * Packing is inherently a sequential recurrence, so it is made
+    * PARTITION-PARALLEL by design: documents first hash into `partitions`
+    * independent streams ([[hashBucket]] — deterministic, engine-portable),
+    * and the running-offset window runs per bucket. At 100 TB that is the
+    * only packing that works — one global ordered window would serialize
+    * the corpus through a single task, while per-bucket windows scale with
+    * the cluster and still produce ≥(budget-1)/budget-full shards.
+    * Adds `bucket`, `start_off`, `shard` columns; `(bucket, shard)` is the
+    * shard key.
+    */
+  def packShards(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, partitions: Int): DataFrame = {
+    require(budget > 0 && partitions > 0, s"bad packing params: $budget/$partitions")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", hashBucket(col(idCol), partitions))
+      .withColumn("start_off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("shard", floor(col("start_off") / budget).cast("long"))
+  }
 }

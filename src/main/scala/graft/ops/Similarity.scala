@@ -261,4 +261,34 @@ object Similarity {
       .select(col("id1"), col("id2"), rounded(col("cos_raw")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× compression for ANN serving / training-data shipping. Per vector:
+    * `scale = max(|x_i|) / 127`, `q_i = round(x_i / scale)` ∈ [−127, 127]
+    * (zero vectors quantize to zeros, scale 0). Adds `q` (array<int>),
+    * `scale` (6-dec rounded) and `mse` — the 6-dec-rounded mean squared
+    * reconstruction error, the quality number a pipeline thresholds on.
+    *
+    * All arithmetic is double IEEE with half-away-from-zero rounding —
+    * identical in any engine, so the DuckDB oracle reproduces q
+    * element-for-element. Narrow map, no shuffle (the HOFs here are
+    * interpreted-eval, acceptable off the per-pair hot paths — this runs
+    * once per vector, not per candidate pair).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("s_raw", array_max(transform(col("v"), x => abs(x))) / 127d)
+      // CaseWhen evaluates only the selected branch, so the zero-vector
+      // row never reaches the division (whose Infinity→int cast would
+      // throw under ANSI)
+      .withColumn("q", when(col("s_raw") === 0d, transform(col("v"), _ => lit(0)))
+        .otherwise(transform(col("v"), x => round(x / col("s_raw"), 0).cast("int"))))
+      .withColumn("mse", round(
+        when(col("s_raw") === 0d, lit(0d)).otherwise(
+          aggregate(
+            zip_with(col("v"), col("q"),
+              (x, qi) => (x - qi * col("s_raw")) * (x - qi * col("s_raw"))),
+            lit(0d), (acc, e) => acc + e) / size(col("v"))), 6))
+      .withColumn("scale", round(col("s_raw"), 6))
+      .drop("v", "s_raw")
 }

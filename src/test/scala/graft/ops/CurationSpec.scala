@@ -65,6 +65,38 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getLong(1) == 0L && out(3).getDouble(2) == 0.0)
   }
 
+  test("packShards: shards fill to the budget boundary, per-bucket isolation") {
+    import spark.implicits._
+    // single bucket (partitions=1): offsets 0,900,1800,2700 → shards 0,0,0,1
+    val df = Seq((1L, 900L), (2L, 900L), (3L, 900L), (4L, 900L)).toDF("doc_id", "n_tok")
+    val out = Sampling.packShards(df, "doc_id", "n_tok", 2000L, 1)
+      .orderBy("doc_id").select("start_off", "shard").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (900L, 0L), (1800L, 0L), (2700L, 1L)))
+    // many buckets: every doc's offset restarts per bucket, shards stay small
+    val big = (1L to 200L).map(i => (i, 100L)).toDF("doc_id", "n_tok")
+    val packed = Sampling.packShards(big, "doc_id", "n_tok", 500L, 8)
+    val perBucket = packed.groupBy("bucket").agg(min("start_off").as("m")).collect()
+    assert(perBucket.forall(_.getLong(1) == 0L))
+  }
+
+  test("quantizeInt8: max element hits ±127, zero vector safe, dequant error bounded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(64, -127, 32))   // round(.5/(1/127))=63.5→64
+    assert(out(1).getSeq[Int](1) == Seq(0, 0, 0) && out(1).getAs[Double]("mse") == 0.0)
+    assert(out(2).getSeq[Int](1) == Seq(127))
+    // reconstruction error ≤ (scale/2)^2 per element
+    val scale = 1.0 / 127
+    assert(out(0).getAs[Double]("mse") <= scale * scale / 4 + 1e-12)
+  }
+
   test("approx_percentile tracks exact percentile within its error bound") {
     // the 100 TB path for high-cardinality groups (mergeable GK sketch):
     // with accuracy a, rank error ≤ n/a — assert the spec'd bound holds
