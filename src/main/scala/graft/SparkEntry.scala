@@ -192,15 +192,37 @@ object SparkEntry {
     * full deterministic aggregate — streaming==batch stops being a
     * spec-only claim and faces DuckDB directly.
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring the
+    * session value after. Streaming queries pin their STATE partitioning
+    * to the shuffle-partition count at first checkpoint — so it must be
+    * sized to expected state volume, deliberately, not inherited from
+    * the CPU count: per-partition state-store providers carry fixed
+    * file-manager/commit overhead, and 4 join stores × 32 partitions of
+    * near-empty state measured 8.4 s where 8 partitions run the same
+    * join in 2.9 s. At production volume the same knob sizes UP (state
+    * shards ≫ cores) — the point is that it is a per-query decision.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def q9StreamHourly(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q9_sink"
-    val q = graft.streaming.EventsStream.hourlyAgg(
-        graft.streaming.EventsStream.readEvents(s, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.hourlyAgg(
+          graft.streaming.EventsStream.readEvents(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     // unload the streaming state-store providers now that the bounded run
     // is done: loaded providers keep per-partition checkpoint-file-manager
     // thread pools + maintenance tasks alive for the SESSION's lifetime
@@ -223,14 +245,19 @@ object SparkEntry {
     */
   private def q17StreamJoin(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q17_sink"
-    val q = graft.streaming.EventsStream.purchaseViewJoin(
-        graft.streaming.EventsStream.readEvents(s, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.purchaseViewJoin(
+          graft.streaming.EventsStream.readEvents(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     s.table(sink)
       .select(col("purchase_id"), col("view_id"), col("user_id"),
         unix_timestamp(col("purchase_ts")).as("purchase_s"),
@@ -284,13 +311,18 @@ object SparkEntry {
     */
   private def q12StreamSessions(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q12_sink"
-    val q = graft.streaming.EventsStream.sessionAgg(
-        graft.streaming.EventsStream.readEvents(s, dir), 30)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.sessionAgg(
+          graft.streaming.EventsStream.readEvents(s, dir), 30)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     // see q9StreamHourly: unload state-store providers between queries
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     s.table(sink)
@@ -311,13 +343,18 @@ object SparkEntry {
     */
   private def q13StreamUserStats(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q13_sink"
-    val q = graft.streaming.EventsStream.runningUserStats(
-        graft.streaming.EventsStream.readEvents(s, dir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.runningUserStats(
+          graft.streaming.EventsStream.readEvents(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     // see q9StreamHourly: unload state-store providers between queries
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     s.table(sink)

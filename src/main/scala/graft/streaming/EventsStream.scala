@@ -146,6 +146,33 @@ object EventsStream {
       delay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Ephemeral checkpoint location for bounded memory-sink runs: the
+    * checkpoint of an `AvailableNow` gate/test query has no replay value
+    * (the result is re-derived from source every run), so it goes to
+    * tmpfs when available — state-store and WAL commits then cost a
+    * memcpy, not a disk fsync (4 join-state stores × partitions × fsync
+    * adds whole seconds per run on disk /tmp). UNIQUE per call: reusing
+    * a checkpoint would make a restarted query see "no new data" and
+    * emit nothing. Production queries pass a durable location instead.
+    */
+  def ephemeralCheckpoint(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$base/graft-ckpt/$prefix-${java.util.UUID.randomUUID()}"
+  }
+
+  /** Best-effort recursive cleanup of an [[ephemeralCheckpoint]] dir. */
+  def dropEphemeralCheckpoint(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val f = new java.io.File(path)
+    // refuse to delete anything outside the graft-ckpt namespace
+    if (f.getAbsolutePath.contains("/graft-ckpt/")) rm(f)
+  }
+
   /** Drive a streaming frame to completion into a memory sink; returns the
     * materialized result (test/tooling helper).
     */
