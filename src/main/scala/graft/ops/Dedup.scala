@@ -162,18 +162,19 @@ object Dedup {
     val exH = ex.select(col("id"), baseHash(col("s")).as("h"))
     val sigAggs = (0 until k).map(i =>
       min(permuted(i, col("h"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
+    // persist the SIGNATURES, not the exploded corpus: one row of k longs
+    // per document (the sketch artifact — ~100 bytes/doc, disk-spillable
+    // at any scale) versus shingle-cardinality rows. The band self-join
+    // consumes this relation on both sides and the candidate broadcast a
+    // third time; without the persist each consumer re-runs the scan →
+    // shingle → hash → combine lineage. ContextCleaner drops the blocks
+    // once the frame is unreferenced.
     val sigs = exH.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandArr = array((0 until k / r).map { j =>
       md5(concat_ws("|",
         (0 until r).map(i => col(s"h${j * r + i}").cast("string")): _*).cast("binary"))
     }: _*)
-    // NOTE on recompute: `banded`'s lineage (scan → native shingles →
-    // one partial-aggregated shuffle) is re-executed by the self-join's
-    // auto-broadcast build and the candidate broadcast below. That is
-    // deliberate — the lineage is now two narrow maps and one combine,
-    // and recomputation beats caring for cache memory at 100 TB. (An
-    // earlier window+distinct formulation was expensive enough that the
-    // rebuild jobs dominated the whole query.)
     val banded = sigs.select(col("id"), col("n_sh"),
       posexplode(bandArr).as(Seq("band_idx", "band_hash")))
     // candidate pairs carry both shingle counts so the verify join below
