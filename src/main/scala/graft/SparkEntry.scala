@@ -795,6 +795,23 @@ object SparkEntry {
       .orderBy("fingerprint")
   }
 
+  /** Incremental dedup through the gate ([[ops.Dedup.incrementalDedup]]):
+    * the nightly batch — every 5th doc re-arrives verbatim (dup of
+    * history), every 7th arrives salted (fresh content) — labeled against
+    * the full corpus as history.
+    */
+  private def d7IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" fresh salt "), col("doc_id").cast("string")).as("text")))
+    ops.Dedup.incrementalDedup(d, fresh, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5; the corpus has 25
     * planted pairs ≥0.9 and nothing between 0.1 and 0.9).
     */
@@ -1072,6 +1089,7 @@ object SparkEntry {
     "sim3_quantize" -> sim3Quantize _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
+    "d7_incremental_dedup" -> d7IncrementalDedup _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
@@ -1555,6 +1573,19 @@ object SparkEntry {
         |f AS (SELECT ${fpSql("text")} AS fingerprint, doc_id FROM base)
         |SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id
         |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    // nightly-ingest labeling vs the historical fingerprint set (see d7)
+    "d7_incremental_dedup" ->
+      s"""WITH fresh AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |         text || ' fresh salt ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |h AS (SELECT DISTINCT ${fpSql("text")} AS fingerprint FROM documents)
+        |SELECT f.doc_id, ${fpSql("f.text")} AS fingerprint,
+        | (h.fingerprint IS NOT NULL) AS is_dup
+        |FROM fresh f LEFT JOIN h ON ${fpSql("f.text")} = h.fingerprint
+        |ORDER BY f.doc_id""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

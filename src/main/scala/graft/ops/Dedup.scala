@@ -102,6 +102,27 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
 
+  /** Incremental dedup — the nightly-ingest shape: label each NEW document
+    * as a duplicate of the HISTORICAL corpus (or not) by content
+    * fingerprint. A left join against the deduplicated historical
+    * fingerprint set: one map-side fingerprint per side, history deduped
+    * before the join, shuffle on the fingerprint. At 100 TB the history
+    * side is a pre-materialized fingerprint table (one 16-byte hash per
+    * doc, bucketable on the fingerprint so nightly runs join shuffle-free)
+    * — never the corpus itself.
+    */
+  def incrementalDedup(history: DataFrame, fresh: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val hist = history
+      .select(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    fresh
+      .select(col(idCol).as("id"), TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .join(hist, Seq("fingerprint"), "left")
+      .select(col("id"), col("fingerprint"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** All candidate near-dup pairs by exact n-gram Jaccard ≥ threshold.
     * Candidates = pairs sharing at least one shingle (exploded self-join on
     * the shingle — correct but worst-case quadratic; see [[minhashDupPairs]]

@@ -173,6 +173,23 @@ object EventsStream {
     if (f.getAbsolutePath.contains("/graft-ckpt/")) rm(f)
   }
 
+  /** `foreachBatch` parquet sink (SURVEY §2.5's idiomatic upgrade of the
+    * reference's per-run dated files): each micro-batch lands under
+    * `batch_id=<n>/`, so a replayed batch OVERWRITES its own directory
+    * instead of double-appending — exactly-once output on top of the
+    * at-least-once foreachBatch contract, with no global overwrite of
+    * earlier batches. Any batch transform (joins against batch tables,
+    * merges) can run inside the closure; this is the streaming→lakehouse
+    * bridge a 100 TB ingest uses when the sink has no native streaming
+    * writer.
+    */
+  def foreachBatchParquet(streamed: DataFrame, path: String): DataStreamWriter[Row] =
+    streamed.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Drive a streaming frame to completion into a memory sink; returns the
     * materialized result (test/tooling helper).
     */

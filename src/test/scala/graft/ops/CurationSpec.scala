@@ -65,6 +65,20 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getLong(1) == 0L && out(3).getDouble(2) == 0.0)
   }
 
+  test("incrementalDedup labels fresh docs against history, whitespace-normalized") {
+    import spark.implicits._
+    val history = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha  beta   gamma"),  // dup after whitespace normalization
+      (11L, "Delta Epsilon"),        // dup after lowercasing
+      (12L, "zeta eta theta")        // new content
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(history, fresh, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((10L, true), (11L, true), (12L, false)))
+  }
+
   test("packShards: shards fill to the budget boundary, per-bucket isolation") {
     import spark.implicits._
     // single bucket (partitions=1): offsets 0,900,1800,2700 → shards 0,0,0,1

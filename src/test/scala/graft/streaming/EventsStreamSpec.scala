@@ -83,6 +83,19 @@ class EventsStreamSpec extends SparkSpec {
       batch.selectExpr("purchase_id", "view_id")).isEmpty)
   }
 
+  test("foreachBatch parquet sink lands every event exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val q = EventsStream.foreachBatchParquet(
+        EventsStream.readEvents(spark, sf0001).select("event_id", "event_type", "value"),
+        out)
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(out)
+    val batch = Tables.events(spark, sf0001)
+    assert(written.count() == batch.count())
+    assert(written.select("event_id").distinct().count() == batch.count())
+  }
+
   test("streaming session windows aggregate per user") {
     val sessions = EventsStream.runToMemory(spark,
       EventsStream.sessionAgg(EventsStream.readEvents(spark, sf0001), 30), "session_out")
