@@ -737,6 +737,17 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Deterministic rebalancing through the gate ([[ops.Sampling
+    * .capPerGroup]]): every language capped at 60 docs, kept rows are the
+    * group's smallest (md5 bucket, id) keys — a uniform, run-stable
+    * pseudo-random sample per group. The oracle replays the same window.
+    */
+  private def t10Rebalance(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.capPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 60)
+      .orderBy("doc_id")
+
   /** Exact per-group quantiles (`percentile` — interpolated, type-7, the
     * same definition as DuckDB's `quantile_cont`). Exact percentile
     * buffers each group's values, which is fine for low-cardinality
@@ -1086,6 +1097,7 @@ object SparkEntry {
     "q16_quantiles" -> q16Quantiles _,
     "q17_stream_join" -> q17StreamJoin _,
     "t9_shard_pack" -> t9ShardPack _,
+    "t10_rebalance" -> t10Rebalance _,
     "sim3_quantize" -> sim3Quantize _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
@@ -1540,6 +1552,14 @@ object SparkEntry {
         |SELECT bucket, start_off // 2000 AS shard, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM o GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin,
+    // per-group cap window replayed verbatim (see t10Rebalance)
+    "t10_rebalance" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
+        |    doc_id) AS rk
+        | FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rk <= 60 ORDER BY doc_id""".stripMargin,
     // double IEEE arithmetic + half-away-zero rounds on both engines
     "sim3_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -51,6 +51,28 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
 
+  /** Deterministic per-group cap — the data-mixing / rebalancing
+    * primitive (e.g. cap every language at N documents): keep each
+    * group's `cap` rows with the smallest `(hash bucket, id)` key. The
+    * hash order makes the kept set a uniform, run-stable pseudo-random
+    * sample of the group; the id tiebreak makes it total.
+    *
+    * This formulation is one window sort per group. At 100 TB skip the
+    * full sort with the standard two-pass refinement: count each group,
+    * pre-filter `bucket < ceil(cap / n_group · buckets)` (keeps ~cap rows
+    * map-side), then exact-trim the survivors with this same window —
+    * the window then sorts thousands of rows, not billions.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .drop("rk")
+  }
+
   /** Pack documents into training shards of ~`budget` tokens (sequence
     * packing): a document's shard is the budget-boundary its cumulative
     * start offset falls in, within its hash partition.

@@ -94,6 +94,19 @@ class CurationSpec extends SparkSpec {
     assert(perBucket.forall(_.getLong(1) == 0L))
   }
 
+  test("capPerGroup keeps exactly cap rows per group, deterministically") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 4 == 0) "big" else "small")).toDF("doc_id", "g")
+    val kept = Sampling.capPerGroup(df, "g", "doc_id", 10)
+    val sizes = kept.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 10L, "small" -> 10L))
+    // run-stable: a second evaluation keeps the identical id set
+    val again = Sampling.capPerGroup(df, "g", "doc_id", 10)
+    assert(kept.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // cap above group size keeps everything
+    assert(Sampling.capPerGroup(df, "g", "doc_id", 1000).count() == 100)
+  }
+
   test("quantizeInt8: max element hits ±127, zero vector safe, dequant error bounded") {
     import spark.implicits._
     val df = Seq(
