@@ -124,6 +124,19 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getAs[Double]("mse") <= scale * scale / 4 + 1e-12)
   }
 
+  test("packShards and capPerGroup windows stay partition-parallel (no global sort)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 10L, (i % 3).toString)).toDF("doc_id", "n_tok", "g")
+    // a window without PARTITION BY plans an Exchange SinglePartition —
+    // the one shape that would serialize a 100 TB corpus through one task
+    val packed = Sampling.packShards(df, "doc_id", "n_tok", 100L, 8)
+      .queryExecution.executedPlan.toString
+    assert(!packed.contains("SinglePartition"), packed)
+    val capped = Sampling.capPerGroup(df, "g", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!capped.contains("SinglePartition"), capped)
+  }
+
   test("approx_percentile tracks exact percentile within its error bound") {
     // the 100 TB path for high-cardinality groups (mergeable GK sketch):
     // with accuracy a, rank error ≤ n/a — assert the spec'd bound holds
