@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style fuzzing of the Spark column rules against independent
+  * Scala reference implementations (SURVEY §5). ScalaCheck generators
+  * drive the inputs; evaluation runs as ONE DataFrame batch per property
+  * (per-sample Spark jobs would be prohibitive), seeded for determinism.
+  */
+class PropertyFuzzSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+      .collect { case Some(v) => v }
+      .take(n).toSeq
+
+  // --- E1 pay extraction -------------------------------------------------
+
+  /** Independent reference of the E1 rule (reference main.py:142-149):
+    * last regex match, then £/GBP strip, K→000 BEFORE comma/space removal.
+    */
+  private def refPay(desc: String): Option[Double] = {
+    val m = EtlFunctions.PayRegex.r.findAllIn(desc).toSeq
+    m.lastOption.map { raw =>
+      raw.replace("£", "").replace("GBP", "").replace("K", "000")
+        .replace(",", "").replace(" ", "").toDouble
+    }
+  }
+
+  private val amount: Gen[String] = Gen.oneOf(
+    for (n <- Gen.choose(10, 200)) yield s"£${n}K",
+    for (n <- Gen.choose(1, 9); d <- Gen.choose(0, 9)) yield s"£$n,${d}K",
+    for (n <- Gen.choose(10000, 99000)) yield s"$n GBP",
+    for (n <- Gen.choose(10, 99)) yield s"$n,000GBP")
+
+  private val payText: Gen[String] = for {
+    words <- Gen.listOfN(4, Gen.oneOf("salary", "role", "offers", "package", "benefits"))
+    amounts <- Gen.listOf(amount).map(_.take(3))
+    mixed <- Gen.const((words ++ amounts).mkString(" "))
+  } yield mixed
+
+  test("E1 pay extraction == reference semantics over generated salary text") {
+    import spark.implicits._
+    val rows = samples(payText, 300)
+    val got = rows.toDF("description")
+      .select(EtlFunctions.extractPay(col("description")))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    rows.zip(got).foreach { case (in, out) =>
+      assert(out == refPay(in), s"input '$in': engine=$out ref=${refPay(in)}")
+    }
+  }
+
+  // --- P3 negated-contains 3VL ------------------------------------------
+
+  test("P3 filter drops null titles AND Software titles (3VL) on generated rows") {
+    import spark.implicits._
+    val title: Gen[Option[String]] = Gen.frequency(
+      2 -> Gen.const(None),
+      3 -> Gen.oneOf("Software Engineer", "Senior Software Dev").map(Some(_)),
+      5 -> Gen.oneOf("Data Engineer", "Analyst", "Platform Lead").map(Some(_)))
+    val rows = samples(title, 200)
+    val kept = rows.toDF("title")
+      .filter(!col("title").contains("Software"))
+      .as[String].collect().toSeq
+    val expected = rows.collect { case Some(t) if !t.contains("Software") => t }
+    assert(kept.sorted == expected.sorted)
+  }
+
+  // --- split/sampling hash ----------------------------------------------
+
+  test("hashBucket stays in [0,100) and withSplit labels match thresholds") {
+    import spark.implicits._
+    val ids = samples(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2), 500)
+    val df = ids.toDF("id")
+    val buckets = df.select(graft.ops.Sampling.hashBucket(col("id"), 100)).as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    val labeled = graft.ops.Sampling
+      .withSplit(df, "id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("id"), graft.ops.Sampling.hashBucket(col("id"), 100).as("b"), col("split"))
+      .collect()
+    labeled.foreach { r =>
+      val (b, s) = (r.getLong(1), r.getString(2))
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == want, s"id=${r.getLong(0)} bucket=$b split=$s")
+    }
+  }
+}
