@@ -83,6 +83,30 @@ class EventsStreamSpec extends SparkSpec {
       batch.selectExpr("purchase_id", "view_id")).isEmpty)
   }
 
+  test("stateful aggregation is provider-agnostic: RocksDB == default HDFS store") {
+    // RocksDB is the state backend a 100 TB deployment actually runs
+    // (state ≫ executor heap); the transforms must not depend on the
+    // provider. Run the same watermarked agg under both and compare.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val viaDefault = EventsStream.runToMemory(spark,
+      EventsStream.hourlyAgg(EventsStream.readEvents(spark, sf0001)), "prov_default",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .collect().toSet
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val viaRocks = EventsStream.runToMemory(spark,
+        EventsStream.hourlyAgg(EventsStream.readEvents(spark, sf0001)), "prov_rocks",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .collect().toSet
+      assert(viaRocks == viaDefault && viaRocks.nonEmpty)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   test("foreachBatch parquet sink lands every event exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val q = EventsStream.foreachBatchParquet(
