@@ -748,6 +748,24 @@ object SparkEntry {
         "lang", "doc_id", 60)
       .orderBy("doc_id")
 
+  /** Bounded top-k per group through the custom `Aggregator[IN,BUF,OUT]`
+    * ([[graft.functions.TopKAgg]]): top-5 docs by length per language.
+    * Unlike the window-rank formulation (full per-group sort), partial
+    * k-bounded buffers merge map-side, so at most k rows per group per
+    * partition reach the shuffle. The oracle is the independent
+    * window-rank SQL — same rows, different algorithm.
+    */
+  private def q18TopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val top = graft.functions.TopKAgg.topK(5)
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(top(col("n_chars").cast("long"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
   /** Exact per-group quantiles (`percentile` — interpolated, type-7, the
     * same definition as DuckDB's `quantile_cont`). Exact percentile
     * buffers each group's values, which is fine for low-cardinality
@@ -1098,6 +1116,7 @@ object SparkEntry {
     "q17_stream_join" -> q17StreamJoin _,
     "t9_shard_pack" -> t9ShardPack _,
     "t10_rebalance" -> t10Rebalance _,
+    "q18_topk_agg" -> q18TopkAgg _,
     "sim3_quantize" -> sim3Quantize _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
@@ -1552,6 +1571,13 @@ object SparkEntry {
         |SELECT bucket, start_off // 2000 AS shard, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM o GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin,
+    // independent window-rank oracle for the bounded top-k aggregator
+    "q18_topk_agg" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+        | FROM documents)
+        |SELECT lang, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     // per-group cap window replayed verbatim (see t10Rebalance)
     "t10_rebalance" ->
       """WITH r AS (SELECT doc_id, lang,
