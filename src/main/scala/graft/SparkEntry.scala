@@ -967,6 +967,19 @@ object SparkEntry {
         length(col("media")).cast("long").as("n_bytes"))
       .orderBy("doc_id")
 
+  /** REAL codec round-trip through the gate: generated PNGs decoded,
+    * nearest-neighbor resized to 16×12, re-encoded ([[ops.Multimodal
+    * .resizeImage]]). `pix_sum` aggregates every destination pixel's
+    * 24-bit RGB value — the oracle recomputes the full resample from the
+    * generation arithmetic, so actual pixel data faces the gate, not
+    * just dimensions.
+    */
+  private def m5ResizeReal(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.resizeImage(
+        ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)), 16, 12)
+      .select(col("doc_id"), col("width"), col("height"), col("pix_sum"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -1131,6 +1144,7 @@ object SparkEntry {
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_decode" -> m3ImageDecode _,
     "m4_resize" -> m4Resize _,
+    "m5_resize_real" -> m5ResizeReal _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
     "io3_scrape_source" -> io3ScrapeSource _,
@@ -1725,6 +1739,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
         | CAST(8 + doc_id % 7 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // full nearest-neighbor resample replayed from the generation
+    // arithmetic: dst(x,y) = src((x*sw)//16, (y*sh)//12),
+    // src(px,py) = (id + 31*px + 131*py) % 2^24 (see m5ResizeReal)
+    "m5_resize_real" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh FROM documents),
+        |px AS (SELECT d.doc_id,
+        |        CAST(sum((d.doc_id + 31 * ((gx.x * d.sw) // 16) + 131 * ((gy.y * d.sh) // 12)) % 16777216) AS BIGINT) AS pix_sum
+        |       FROM d, generate_series(0, 15) AS gx(x), generate_series(0, 11) AS gy(y)
+        |       GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height, pix_sum
+        |FROM px ORDER BY doc_id""".stripMargin,
     // resizeStub byte-budget arithmetic: payload capped at w*h bytes.
     // octet_length, not length: the engine measures BYTES of the binary
     // cast, which equals DuckDB's character count only while the corpus

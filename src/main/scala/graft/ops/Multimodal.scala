@@ -158,6 +158,62 @@ object Multimodal {
     }(RowEncoder.encoderFor(resizedSchema))
   }
 
+  val resizedRealSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("pix_sum", LongType, nullable = false)))
+
+  /** REAL image resize: decode with `ImageIO`, nearest-neighbor scale to
+    * `(w, h)` with the explicit mapping `src = (x·srcW) / w` (integer
+    * division — deterministic on every JVM, unlike `AffineTransformOp`
+    * whose inverse-transform rounding is implementation-defined), then
+    * re-encode PNG. Emits the resized payload plus `pix_sum` — the sum of
+    * the 24-bit RGB values of every destination pixel — which is pure
+    * arithmetic over the source pixels and therefore SQL-expressible for
+    * generated images ([[withGeneratedPng]]): the oracle checks actual
+    * resampled pixel data, not just dimensions. Unreadable payloads emit
+    * `(-1, -1, null, -1)` — the row-level corrupt-input channel.
+    * Partition-local streaming: one image in memory at a time.
+    */
+  def resizeImage(df: DataFrame, w: Int, h: Int,
+      idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    require(w > 0 && h > 0, s"bad target dims: ${w}x$h")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see withGeneratedPng
+      rows.map { r =>
+        val id = r.getLong(0)
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null) Row(id, -1, -1, null, -1L)
+        else {
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var pixSum = 0L
+          var y = 0
+          while (y < h) {
+            val sy = y * sh / h
+            var x = 0
+            while (x < w) {
+              val rgb = src.getRGB(x * sw / w, sy) & 0xffffff
+              dst.setRGB(x, y, rgb)
+              pixSum += rgb
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Row(id, w, h, bos.toByteArray, pixSum)
+        }
+      }
+    }(RowEncoder.encoderFor(resizedRealSchema))
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -191,6 +191,25 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).getAs[Int]("width") == -1 && rows(2L).getAs[Int]("height") == -1)
   }
 
+  test("resizeImage: real resample round-trips through the codec, corrupt channel intact") {
+    import spark.implicits._
+    // 4x2 source with known pixels; resize to 2x1 → nearest-neighbor picks
+    // src(0,0) and src(2,0) per the (x*sw)/w mapping
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, x + 10 * y)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray), (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val rows = Multimodal.resizeImage(df, 2, 1).collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("pix_sum") == 0L + 2L) // src(0,0)=0 + src(2,0)=2
+    // the emitted payload is a real PNG that decodes back to the target dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(1L).getAs[Array[Byte]]("media")))
+    assert(back.getWidth == 2 && back.getHeight == 1)
+    assert((back.getRGB(1, 0) & 0xffffff) == 2)
+    assert(rows(2L).getAs[Int]("width") == -1 && rows(2L).isNullAt(3))
+  }
+
   test("resizeStub bounds the payload to the target budget") {
     import spark.implicits._
     val df = Seq((1L, "x" * 1000), (2L, "y")).toDF("doc_id", "text")
