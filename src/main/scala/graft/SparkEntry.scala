@@ -748,6 +748,25 @@ object SparkEntry {
         "lang", "doc_id", 60)
       .orderBy("doc_id")
 
+  /** The packed sequences themselves ([[ops.Sampling.packTexts]] over
+    * [[ops.Sampling.packShards]]): one row per shard with the member
+    * docs concatenated in pack order — fingerprinted (md5) so the gate
+    * hashes exact content without shipping multi-KB strings. The oracle
+    * rebuilds each shard with `string_agg(... ORDER BY start_off)`.
+    */
+  private def t11PackTexts(s: SparkSession, dir: String): DataFrame = {
+    val packed = ops.Sampling.packShards(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", 2000L, 8)
+    ops.Sampling.packTexts(packed, "doc_id", "text")
+      .select(col("bucket"), col("shard"), col("n_docs").cast("long").as("n_docs"),
+        length(col("packed_text")).cast("long").as("packed_chars"),
+        md5(col("packed_text").cast("binary")).as("packed_md5"))
+      .orderBy("bucket", "shard")
+  }
+
   /** Bounded top-k per group through the custom `Aggregator[IN,BUF,OUT]`
     * ([[graft.functions.TopKAgg]]): top-5 docs by length per language.
     * Unlike the window-rank formulation (full per-group sort), partial
@@ -1129,6 +1148,7 @@ object SparkEntry {
     "q17_stream_join" -> q17StreamJoin _,
     "t9_shard_pack" -> t9ShardPack _,
     "t10_rebalance" -> t10Rebalance _,
+    "t11_pack_texts" -> t11PackTexts _,
     "q18_topk_agg" -> q18TopkAgg _,
     "sim3_quantize" -> sim3Quantize _,
     "d1_exact_dedup" -> d1ExactDedup _,
@@ -1585,6 +1605,23 @@ object SparkEntry {
         |SELECT bucket, start_off // 2000 AS shard, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM o GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin,
+    // shards rebuilt with string_agg ORDER BY the same running offset
+    "t11_pack_texts" ->
+      s"""WITH d AS (SELECT doc_id, text, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+        | FROM documents),
+        |o AS (SELECT doc_id, text, bucket,
+        |  coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM d),
+        |p AS (SELECT bucket, start_off // 2000 AS shard,
+        |        count(*) AS n_docs,
+        |        string_agg(text, ' ' ORDER BY start_off, doc_id) AS packed_text
+        |       FROM o GROUP BY bucket, shard)
+        |SELECT bucket, shard, n_docs,
+        | CAST(length(packed_text) AS BIGINT) AS packed_chars,
+        | md5(packed_text) AS packed_md5
+        |FROM p ORDER BY bucket, shard""".stripMargin,
     // independent window-rank oracle for the bounded top-k aggregator
     "q18_topk_agg" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,

@@ -73,6 +73,23 @@ object Sampling {
       .drop("rk")
   }
 
+  /** Materialize [[packShards]] output into actual training sequences:
+    * one row per (bucket, shard) with the member documents concatenated
+    * in pack order (space-separated — the tokenizer-neutral join; a real
+    * pipeline would splice its own separator token). `array_sort` over
+    * `(start_off, id, text)` structs gives a deterministic order without
+    * relying on `collect_list`'s arrival order; one shuffle on the shard
+    * key, shard payloads are budget-bounded by construction.
+    */
+  def packTexts(packed: DataFrame, idCol: String, textCol: String): DataFrame =
+    packed.groupBy("bucket", "shard")
+      .agg(array_sort(collect_list(
+        struct(col("start_off"), col(idCol), col(textCol)))).as("members"))
+      .select(col("bucket"), col("shard"),
+        size(col("members")).as("n_docs"),
+        concat_ws(" ", transform(col("members"), m => m.getField(textCol)))
+          .as("packed_text"))
+
   /** Pack documents into training shards of ~`budget` tokens (sequence
     * packing): a document's shard is the budget-boundary its cumulative
     * start offset falls in, within its hash partition.

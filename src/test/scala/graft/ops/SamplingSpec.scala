@@ -40,6 +40,18 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(s, "id", 100).count() == n)
   }
 
+  test("packTexts concatenates members in offset order regardless of partitioning") {
+    import spark.implicits._
+    val df = Seq((1L, "aa", 2L), (2L, "bb", 2L), (3L, "cc", 2L), (4L, "dd", 2L))
+      .toDF("doc_id", "text", "n_tok")
+      .repartition(5) // adversarial arrival order for collect_list
+    val packed = Sampling.packShards(df, "doc_id", "n_tok", 100L, 1)
+    val out = Sampling.packTexts(packed, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("packed_text") == "aa bb cc dd")
+    assert(out(0).getAs[Int]("n_docs") == 4)
+  }
+
   test("withSplit is a narrow plan — no shuffle") {
     val plan = Sampling.withSplit(ids(100), "id", Seq("a" -> 50, "b" -> 50))
       .queryExecution.executedPlan.toString
