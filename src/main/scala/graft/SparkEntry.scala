@@ -880,6 +880,15 @@ object SparkEntry {
       3, MinhashK, MinhashR, 0.5)
       .orderBy("id1", "id2")
 
+  /** Winnowing partial-overlap pairs ([[ops.Dedup.winnowDupPairs]]):
+    * 4-gram hashes, window 4, pairs sharing ≥ 3 fingerprints. The oracle
+    * replays the positional hash + sliding-window-min construction
+    * list-for-list.
+    */
+  private def d8Winnow(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.winnowDupPairs(Tables.documents(s, dir), "text", "doc_id", 4, 4, 3L)
+      .orderBy("id1", "id2")
+
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     ops.Dedup.simhashDupPairs(Tables.documents(s, dir), "text", "doc_id", 3)
@@ -1154,6 +1163,7 @@ object SparkEntry {
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d7_incremental_dedup" -> d7IncrementalDedup _,
+    "d8_winnow" -> d8Winnow _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
@@ -1700,6 +1710,23 @@ object SparkEntry {
         |j AS (SELECT id1, id2, ${jaccardSql("da.sh", "db.sh")} AS jaccard
         |      FROM cand JOIN d da ON cand.id1 = da.doc_id JOIN d db ON cand.id2 = db.doc_id)
         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // positional hash + sliding-window-min replayed list-for-list (d8Winnow)
+    "d8_winnow" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(tk) - 3),
+        |          i -> CAST(('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 8)) AS BIGINT) % 2147483647)
+        |          AS hs
+        |       FROM t WHERE len(tk) >= 4),
+        |wmin AS (SELECT doc_id,
+        |          list_distinct(list_transform(generate_series(1, greatest(1, len(hs) - 3)),
+        |            j -> list_min(hs[j:least(j + 3, len(hs))]))) AS fps
+        |         FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM wmin),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fps
+        |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, shared_fps FROM p WHERE shared_fps >= 3 ORDER BY id1, id2""".stripMargin,
     "d4_simhash" ->
       s"""WITH h AS (SELECT doc_id,
         |  list_transform(${toksSql("text")}, tok -> CAST(concat('0x', substring(md5(tok), 1, 4)) AS INT)) AS hs

@@ -119,6 +119,56 @@ object TextExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (the MOSS local-fingerprint scheme): positional
+    * word n-gram 31-bit hashes (first 4 md5 digest bytes unsigned, mod
+    * 2³¹−1 — the same arithmetic as [[graft.ops.Dedup.baseHash]] and its
+    * DuckDB mirror), then the minimum of every sliding window of `w`
+    * consecutive hashes, deduped in first-occurrence order. Guarantees any
+    * shared token run of ≥ n+w−1 tokens yields a shared fingerprint —
+    * local fingerprints catch PARTIAL overlap (a copied paragraph inside
+    * an otherwise-different document) that whole-document sketches miss.
+    * Documents with fewer than `n` tokens fingerprint to an empty array;
+    * fewer than `w` windows degrade to one window over all hashes.
+    */
+  def winnowFps(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val raw = tokenSplit.split(text.toLowerCase.toString, -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) { raw(nTok) = raw(i); nTok += 1 }; i += 1 }
+    if (nTok < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val nGrams = nTok - n + 1
+    val md = mdPool.get()
+    val hashes = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      val sb = new java.lang.StringBuilder(raw(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(raw(i + j)); j += 1 }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+      hashes(i) = u % 2147483647L
+      i += 1
+    }
+    val nWins = math.max(1, nGrams - w + 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nWins * 2)
+    var j = 0
+    while (j < nWins) {
+      var m = hashes(j)
+      var x = j + 1
+      val end = math.min(j + w, nGrams)
+      while (x < end) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 16-bit SimHash over word tokens (with multiplicity): h(tok) = first
     * 4 hex chars of md5(tok) as an int (= first 2 digest bytes,
     * big-endian); bit j of the sketch is 1 iff 2·(#tokens with bit j
@@ -256,4 +306,38 @@ case class RollingTokenHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Winnowing fingerprints (see [[TextExprHelpers.winnowFps]]). `n` and
+  * `w` must be foldable positive integers.
+  */
+case class WinnowFps(child: Expression, n: Expression, w: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = n
+  override def third: Expression = w
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, n.dataType, w.dataType) match {
+      case (StringType, IntegerType, IntegerType) if n.foldable && w.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int, foldable int), " +
+          s"got (${c.simpleString}, ${a.simpleString}, ${b.simpleString})")
+    }
+
+  @transient private lazy val nVal: Int = n.eval(null).asInstanceOf[Number].intValue()
+  @transient private lazy val wVal: Int = w.eval(null).asInstanceOf[Number].intValue()
+
+  override def nullSafeEval(t: Any, unused1: Any, unused2: Any): Any =
+    TextExprHelpers.winnowFps(t.asInstanceOf[UTF8String], nVal, wVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) =>
+      s"${ev.value} = graft.expr.TextExprHelpers.winnowFps($t, $nVal, $wVal);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(child = newFirst, n = newSecond, w = newThird)
 }

@@ -107,7 +107,9 @@ object VecExpressions {
     GraftFunction("count_in_set", classOf[CountInSet], exprs => CountInSet(exprs(0), exprs(1))),
     GraftFunction("rolling_token_hash", classOf[RollingTokenHash], exprs => RollingTokenHash(exprs(0))),
     GraftFunction("word_shingles", classOf[WordShingles], exprs => WordShingles(exprs(0), exprs(1))),
-    GraftFunction("simhash16", classOf[Simhash16], exprs => Simhash16(exprs(0))))
+    GraftFunction("simhash16", classOf[Simhash16], exprs => Simhash16(exprs(0))),
+    GraftFunction("winnow_fps", classOf[WinnowFps],
+      exprs => WinnowFps(exprs(0), exprs(1), exprs(2))))
 
   /** Register every engine function in the session's registry — usable from
     * both the Column DSL (`call_function`) and plain SQL. Idempotent PER

@@ -224,6 +224,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Partial-overlap near-dup candidates via winnowing fingerprints
+    * ([[graft.expr.WinnowFps]] — MOSS-style local fingerprints: positional
+    * n-gram hashes, min per sliding window of `w`): pairs sharing at least
+    * `minShared` fingerprints. Whole-document sketches (MinHash/SimHash)
+    * dilute a copied paragraph inside an otherwise-different document
+    * below any global threshold; winnowing guarantees every shared run of
+    * ≥ n+w−1 tokens surfaces a shared fingerprint. One narrow map for the
+    * fingerprints, one equi-join shuffle on the fingerprint — same shape
+    * and scale posture as the LSH band join (a hot fingerprint is already
+    * evidence of shared content, and `minShared` prunes incidental
+    * single-window collisions).
+    */
+  def winnowDupPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, w: Int, minShared: Long): DataFrame = {
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val fps = df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"),
+        explode(call_function("winnow_fps", col(textCol), lit(n), lit(w))).as("fp"))
+    fps.as("a").join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** 16-bit SimHash over word tokens: h(tok) = first 4 hex chars of
     * md5(tok) as an int; bit j of the sketch is 1 iff
     * (#tokens with bit j set) − (#tokens with bit j clear) > 0.

@@ -65,6 +65,22 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getLong(1) == 0L && out(3).getDouble(2) == 0.0)
   }
 
+  test("winnowDupPairs catches a copied paragraph whole-doc sketches would dilute") {
+    import spark.implicits._
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (11L, s"unique intro words here $para and some closing remarks"),
+      (22L, s"completely different beginning text $para with another ending altogether"),
+      (33L, "nothing shared with anyone at all in this one honestly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowDupPairs(df, "text", "doc_id", 4, 4, 2L)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((11L, 22L)))
+    // sub-n-gram documents fingerprint to nothing and never pair
+    val tiny = Seq((1L, "too few"), (2L, "too few")).toDF("doc_id", "text")
+    assert(Dedup.winnowDupPairs(tiny, "text", "doc_id", 4, 4, 1L).count() == 0)
+  }
+
   test("incrementalDedup labels fresh docs against history, whitespace-normalized") {
     import spark.implicits._
     val history = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
