@@ -818,6 +818,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
       .orderBy("bucket", "shard")
 
+  /** Per-language embedding centroids ([[ops.Similarity.groupCentroids]]):
+    * embeddings joined to their documents' lang, element-wise fixed-point
+    * mean per (lang, position) — order-independent integer accumulation
+    * makes the distributed float mean bit-stable (see the op's scaladoc).
+    */
+  private def sim4Centroids(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    ops.Similarity.groupCentroids(
+        e.join(d, e("vec_id") === d("doc_id")).select(col("lang"), col("embedding")),
+        "lang", "embedding")
+      .withColumnRenamed("g", "lang")
+      .orderBy("lang", "pos")
+  }
+
   /** Symmetric int8 embedding quantization ([[ops.Similarity
     * .quantizeInt8]]): per-vector scale, quantized array, reconstruction
     * MSE — all double arithmetic, reproduced element-for-element by the
@@ -1160,6 +1175,7 @@ object SparkEntry {
     "t11_pack_texts" -> t11PackTexts _,
     "q18_topk_agg" -> q18TopkAgg _,
     "sim3_quantize" -> sim3Quantize _,
+    "sim4_centroids" -> sim4Centroids _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d7_incremental_dedup" -> d7IncrementalDedup _,
@@ -1751,6 +1767,17 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ${cosineSql("a", "b")} AS cosine
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.95 ORDER BY id1, id2""".stripMargin,
+    // fixed-point (2^20) element sums — order-free on both engines
+    "sim4_centroids" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT d.lang, generate_subscripts(e.v, 1) AS pos,
+        |        CAST(round(unnest(e.v) * 1048576, 0) AS BIGINT) AS fx
+        |      FROM e JOIN documents d ON e.vec_id = d.doc_id),
+        |c AS (SELECT lang, pos, count(*) AS n, CAST(sum(fx) AS BIGINT) AS s
+        |      FROM x GROUP BY lang, pos)
+        |SELECT lang, CAST(pos AS BIGINT) AS pos, n,
+        | round(CAST(s AS DOUBLE) / n / 1048576, 6) AS centroid
+        |FROM c ORDER BY lang, pos""".stripMargin,
     "sim1_topk" ->
       s"""WITH $embNormSql,
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${cosineSql("q", "c")} AS cosine

@@ -262,6 +262,30 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Per-group embedding centroids (class prototypes / domain embeddings):
+    * element-wise mean per group, one output row per (group, position).
+    *
+    * The accumulation is FIXED-POINT: each element is scaled by 2²⁰ and
+    * rounded to a LONG before summing — the engine-wide exact-cents
+    * discipline generalized to vectors. A plain double `sum` combines
+    * partial aggregates in shuffle-arrival order, so its low bits (and
+    * any rounded boundary value) vary run to run and engine to engine;
+    * integer sums are order-free, making the centroid bit-stable for the
+    * oracle AND across cluster re-runs. 2⁻²⁰ quantization error (~1e-6
+    * per element) is far below float32 input precision. One explode +
+    * one shuffle on (group, position).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val scale = 1048576L // 2^20
+    df.select(col(groupCol).as("g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos0", "x")))
+      .groupBy(col("g"), (col("pos0") + 1).as("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * scale, 0).cast("long")).as("s"))
+      .select(col("g"), col("pos").cast("long").as("pos"), col("n"),
+        round(col("s").cast("double") / col("n") / scale, 6).as("centroid"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× compression for ANN serving / training-data shipping. Per vector:
     * `scale = max(|x_i|) / 127`, `q_i = round(x_i / scale)` ∈ [−127, 127]

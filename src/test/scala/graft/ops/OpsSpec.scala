@@ -165,6 +165,24 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class GroupCentroidsSpec extends SparkSpec {
+  test("groupCentroids: partition-order-independent, tracks the naive mean") {
+    import spark.implicits._
+    val rows = (1L to 90L).map(i =>
+      ((i % 3).toString, Array((i % 7).toFloat / 7f, -(i % 5).toFloat / 5f)))
+    val a = Similarity.groupCentroids(rows.toDF("g", "v").repartition(2), "g", "v").collect()
+    val b = Similarity.groupCentroids(rows.toDF("g", "v").repartition(17), "g", "v").collect()
+    // fixed-point sums are order-free: bit-identical under any partitioning
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      (g, 1L) -> vs.map(_._2(0).toDouble).sum / vs.size }
+    a.filter(_.getLong(1) == 1L).foreach { r =>
+      val want = naive((r.getString(0), 1L))
+      assert(math.abs(r.getDouble(3) - want) < 2e-6, s"${r.getString(0)}: ${r.getDouble(3)} vs $want")
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("decodeStub: deterministic dims + checksum via mapPartitions") {
     import spark.implicits._
