@@ -127,6 +127,18 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Grouping sets through the gate: ROLLUP over (returnflag, linestatus)
+    * — subtotal and grand-total rows come free from Catalyst's Expand;
+    * exact cents keep every aggregation level engine-identical. The
+    * rollup NULLs are the subtotal markers on both engines.
+    */
+  private def q19Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(centsOut(sum(cents(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** Join + top-k: highest-revenue orders (broadcast-friendly dims, exact
     * decimal revenue so the ORDER BY is engine-stable).
     */
@@ -1174,6 +1186,7 @@ object SparkEntry {
     "t10_rebalance" -> t10Rebalance _,
     "t11_pack_texts" -> t11PackTexts _,
     "q18_topk_agg" -> q18TopkAgg _,
+    "q19_rollup" -> q19Rollup _,
     "sim3_quantize" -> sim3Quantize _,
     "sim4_centroids" -> sim4Centroids _,
     "d1_exact_dedup" -> d1ExactDedup _,
@@ -1648,6 +1661,13 @@ object SparkEntry {
         | CAST(length(packed_text) AS BIGINT) AS packed_chars,
         | md5(packed_text) AS packed_md5
         |FROM p ORDER BY bucket, shard""".stripMargin,
+    // DuckDB GROUP BY ROLLUP mirrors Catalyst's Expand levels exactly
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     // independent window-rank oracle for the bounded top-k aggregator
     "q18_topk_agg" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,
