@@ -298,7 +298,12 @@ object Dedup {
       s"segment blocking is only lossless for maxDist < segments (got $maxDist >= $segments)")
     require(16 % segments == 0, s"16-bit sketch not divisible into $segments segments")
     val segBits = 16 / segments
+    // persist the per-doc sketch (two ints per document — the same
+    // bounded-artifact reasoning as the MinHash signature persist): the
+    // segment self-join consumes it on both sides, and without this the
+    // 2-md5-per-token sketch map re-runs per consumer
     val base = simhashSketch(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs = base.select(col("id"), col("sk"),
       posexplode(array((0 until segments).map(j =>
         shiftright(col("sk"), j * segBits).bitwiseAND(lit((1 << segBits) - 1))): _*))
