@@ -814,6 +814,30 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy("lang")
 
+  /** Unicode NFC normalization through the gate ([[graft.expr
+    * .NfcNormalize]]): DECOMPOSED sequences are planted (base letters
+    * followed by combining acute U+0301 / cedilla U+0327 / ring U+030A /
+    * diaeresis U+0308) and both engines — ours via `java.text
+    * .Normalizer`, DuckDB via its own `nfc_normalize` — must produce
+    * byte-identical md5s of the composed forms. Char counts shrink where
+    * composition folds two code points into one.
+    */
+  private def t12Normalize(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.VecExpressions.register(s)
+    val planted = Tables.documents(s, dir).withColumn("t",
+      concat(col("text"),
+        // " cafe\u0301 franc\u0327ais" → NFC " café français" (15 → 13 chars)
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301 franc\u0327ais"))
+          .otherwise(lit("")),
+        // " A\u030angstro\u0308m" → NFC " Ångström" (11 → 9 chars)
+        when(col("doc_id") % 4 === 0, lit(" A\u030angstro\u0308m")).otherwise(lit(""))))
+    planted.select(col("doc_id"),
+        length(col("t")).cast("long").as("raw_chars"),
+        length(call_function("nfc_normalize", col("t"))).cast("long").as("nfc_chars"),
+        md5(call_function("nfc_normalize", col("t")).cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing into training shards ([[ops.Sampling.packShards]]):
     * documents hash into 8 independent streams, each packed into
     * ~2000-token shards by running start offset — the partition-parallel
@@ -1185,6 +1209,7 @@ object SparkEntry {
     "t9_shard_pack" -> t9ShardPack _,
     "t10_rebalance" -> t10Rebalance _,
     "t11_pack_texts" -> t11PackTexts _,
+    "t12_normalize" -> t12Normalize _,
     "q18_topk_agg" -> q18TopkAgg _,
     "q19_rollup" -> q19Rollup _,
     "sim3_quantize" -> sim3Quantize _,
@@ -1644,6 +1669,21 @@ object SparkEntry {
         |SELECT bucket, start_off // 2000 AS shard, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM o GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin,
+    // decomposed plants (chr() = the same combining code points) through
+    // DuckDB's OWN nfc_normalize — an independent Unicode implementation
+    "t12_normalize" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 3 = 0
+        |               THEN ' cafe' || chr(769) || ' franc' || chr(807) || 'ais'
+        |               ELSE '' END
+        |       || CASE WHEN doc_id % 4 = 0
+        |               THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |               ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS raw_chars,
+        | CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_chars,
+        | md5(nfc_normalize(t)) AS nfc_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     // shards rebuilt with string_agg ORDER BY the same running offset
     "t11_pack_texts" ->
       s"""WITH d AS (SELECT doc_id, text, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok,

@@ -169,6 +169,17 @@ object TextExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** NFC-normalize (see [[NfcNormalize]]). Fast path: `Normalizer
+    * .isNormalized` is O(n) with no allocation, and real-world corpora
+    * are overwhelmingly already NFC.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** 16-bit SimHash over word tokens (with multiplicity): h(tok) = first
     * 4 hex chars of md5(tok) as an int (= first 2 digest bytes,
     * big-endian); bit j of the sketch is 1 iff 2·(#tokens with bit j
@@ -340,4 +351,32 @@ case class WinnowFps(child: Expression, n: Expression, w: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(child = newFirst, n = newSecond, w = newThird)
+}
+
+/** Unicode NFC normalization (`java.text.Normalizer`) — the corpus
+  * canonicalization step of a multilingual pipeline: decomposed
+  * sequences (`e` + U+0301) fold to their composed forms (`é`), so
+  * fingerprints, dedup and tokenization see one byte sequence per
+  * grapheme. Codegen'd static call; DuckDB's independent
+  * `nfc_normalize` implements the same Unicode tables, which makes the
+  * operator oracle-checkable byte-for-byte.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextExprHelpers.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expr.TextExprHelpers.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -109,7 +109,8 @@ object VecExpressions {
     GraftFunction("word_shingles", classOf[WordShingles], exprs => WordShingles(exprs(0), exprs(1))),
     GraftFunction("simhash16", classOf[Simhash16], exprs => Simhash16(exprs(0))),
     GraftFunction("winnow_fps", classOf[WinnowFps],
-      exprs => WinnowFps(exprs(0), exprs(1), exprs(2))))
+      exprs => WinnowFps(exprs(0), exprs(1), exprs(2))),
+    GraftFunction("nfc_normalize", classOf[NfcNormalize], exprs => NfcNormalize(exprs(0))))
 
   /** Register every engine function in the session's registry — usable from
     * both the Column DSL (`call_function`) and plain SQL. Idempotent PER

@@ -38,6 +38,20 @@ class ExprSpec extends SparkSpec {
     assert(!r(1).contains(".net"))         // '.net' does not match TEXT '.NET'
   }
 
+  test("nfc_normalize composes decomposed sequences; NFC input passes through") {
+    import spark.implicits._
+    VecExpressions.register(spark)
+    val decomposed = "cafe\u0301 A\u030a"     // e+acute, A+ring
+    val composed = "caf\u00e9 \u00c5"          // é, Å precomposed
+    val r = Seq(decomposed, composed, "plain ascii")
+      .toDF("t").select(call_function("nfc_normalize", col("t")).as("n"))
+      .as[String].collect()
+    assert(r(0) == composed)
+    assert(r(1) == composed)
+    assert(r(0).length == decomposed.length - 2) // two pairs folded
+    assert(r(2) == "plain ascii")
+  }
+
   test("vec expressions reject wrong types at analysis") {
     import spark.implicits._
     VecExpressions.register(spark)
