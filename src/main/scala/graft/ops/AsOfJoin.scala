@@ -57,4 +57,34 @@ object AsOfJoin {
       payloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))
     matched.select(outCols: _*)
   }
+
+  /** Forward as-of: the right row with the SMALLEST `tsCol` ≥ the left
+    * row's timestamp per key (next-event attribution: "first purchase at
+    * or after this impression"). Same union + single-window shape as
+    * [[asofBackward]], mirrored: `first(_, ignoreNulls)` over the
+    * UNBOUNDED FOLLOWING frame, right rows sorting AFTER left rows at
+    * equal ts so an exactly-simultaneous right row matches (inclusive).
+    */
+  def asofForward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
+    val l = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
+      struct(leftCols.map(col): _*).as("__lp"),
+      lit(null).cast(payloadType).as("__rp"))
+    val leftPayloadType = l.schema("__lp").dataType
+    val r = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__tag"),
+      lit(null).cast(leftPayloadType).as("__lp"),
+      struct(payloadCols.map(col): _*).as("__rp"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = l.unionByName(r)
+      .withColumn("__m", first(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+    val outCols = leftCols.map(c => col(s"__lp.$c").as(c)) ++
+      payloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))
+    matched.select(outCols: _*)
+  }
 }

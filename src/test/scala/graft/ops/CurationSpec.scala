@@ -153,6 +153,20 @@ class CurationSpec extends SparkSpec {
     assert(!capped.contains("SinglePartition"), capped)
   }
 
+  test("approx_count_distinct (HLL) tracks exact distinct within rsd") {
+    // the sketch path for corpus-wide cardinalities (vocab size, unique
+    // users): mergeable, one pass, fixed memory — vs exact distinct's
+    // full shuffle. Assert the advertised relative standard deviation.
+    import spark.implicits._
+    val df = (1 to 20000).map(i => i * 7919 % 9973).toDF("v")
+    val r = df.agg(
+        countDistinct(col("v")).as("exact"),
+        approx_count_distinct(col("v"), 0.02).as("approx"))
+      .collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.06, s"exact=$exact approx=$approx")
+  }
+
   test("approx_percentile tracks exact percentile within its error bound") {
     // the 100 TB path for high-cardinality groups (mergeable GK sketch):
     // with accuracy a, rank error ≤ n/a — assert the spec'd bound holds

@@ -46,6 +46,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+  test("asofForward: inclusive tie, earliest-following wins, null when nothing follows") {
+    val out = AsOfJoin.asofForward(left, right, "k", "ts", Seq("id", "v"))
+      .orderBy("id")
+      .select(col("id"), col("asof_id"), col("asof_v"))
+      .collect()
+    // id=1 @10:00 → next right @10:05 (100); id=2 @10:05 → inclusive tie (100)
+    // id=3 @10:30 → nothing follows; id=4 key 20 @10:30 → nothing follows
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(100L), Some(100L), None, None))
+  }
+
 }
 
 class RangeJoinSpec extends SparkSpec {
