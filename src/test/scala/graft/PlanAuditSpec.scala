@@ -95,4 +95,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs nested loop in d4 plan:\n$plan")
   }
+
+  test("window top-k filters get WindowGroupLimit (partial per-partition top-k)") {
+    // Spark's InferWindowGroupLimit turns `row_number().over(w) <= k`
+    // into a pre-window partial top-k on each input partition, bounding
+    // what the window sort sees — the difference between sorting k rows
+    // per group per partition and sorting the whole group at 100 TB.
+    // Lock it on the queries that rely on the shape.
+    for (q <- Seq("q7_window_topk", "t5_tfidf", "t10_rebalance")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf0001))
+      assert(plan.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n$plan")
+    }
+  }
 }
