@@ -1115,6 +1115,67 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Corrupt-record handling through the gate: a CSV batch with planted
+    * malformed rows read in PERMISSIVE mode with an explicit
+    * `_corrupt_record` channel — bad rows land in the side channel
+    * instead of killing the job (the row-level degradation a production
+    * ingest requires; FAILFAST/DROPMALFORMED are the strict variants).
+    * The fixture determines the outcome exactly → literal VALUES oracle,
+    * like io3.
+    */
+  private def io6BadRecords(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "bad_csv")
+    val lines = Seq(
+      "id;name;val",
+      "1;alpha;1.5", "2;beta;2.5",
+      "3;gamma;not_a_number", // bad double
+      "4;delta;4.0",
+      "5;epsilon"             // missing column
+    )
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("val", DoubleType), StructField("_corrupt_record", StringType)))
+    val read = s.read.schema(schema)
+      .option("header", "true").option("sep", ";")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+    // cache first: Spark forbids filtering _corrupt_record straight off
+    // the scan (the column exists only for rows the parser touched)
+    read.cache()
+    read
+      .select(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("val")).as("sum_val"))
+  }
+
+  /** Parquet schema evolution through the gate: batch 1 writes
+    * `(doc_id, lang)`, batch 2 adds a `score` column; `mergeSchema`
+    * reads the union schema with nulls where the old batch lacks the
+    * column — the append-only lakehouse evolution path (new feature
+    * columns arrive without rewriting history).
+    */
+  private def io7SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "evolving")
+    val d = Tables.documents(s, dir)
+    d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$path/batch=1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), (col("n_chars") % 100).cast("long").as("score"))
+      .write.mode("overwrite").parquet(s"$path/batch=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(col("score")).as("n_scored"),
+        sum(col("score")).as("sum_score"))
+      .orderBy("lang")
+  }
+
   /** The DSv2 scrape connector (S1+S2, `graft.sources.JobsDataSource`)
     * through the driver gate: deterministic fixture pages (no live HTTP),
     * read via `format("linkedin-jobs")` with the limit pushed into the scan
@@ -1255,6 +1316,8 @@ object SparkEntry {
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
     "io3_scrape_source" -> io3ScrapeSource _,
+    "io6_bad_records" -> io6BadRecords _,
+    "io7_schema_evolution" -> io7SchemaEvolution _,
   )
 
   // ---- oracle SQL building blocks (mirror the Scala expressions above) ----
@@ -1359,6 +1422,17 @@ object SparkEntry {
     s"round(sqrt(list_sum(list_transform(generate_series(1, len($q.v)), i -> ($q.v[i] - $c.v[i]) * ($q.v[i] - $c.v[i])))), 6)"
 
   def oracleSql: Map[String, String] = Map(
+    // fixture-determined: 5 data rows; the unparseable-double row AND the
+    // short row both land in the corrupt channel (Spark 4 PERMISSIVE marks
+    // token-count mismatches corrupt, while still null-padding the fields)
+    "io6_bad_records" ->
+      """SELECT CAST(5 AS BIGINT) AS n_rows, CAST(2 AS BIGINT) AS n_corrupt,
+        | 8.0 AS sum_val""".stripMargin,
+    "io7_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        | count(*) FILTER (doc_id % 2 = 1) AS n_scored,
+        | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT) AS sum_score
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
