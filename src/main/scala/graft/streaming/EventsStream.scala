@@ -135,6 +135,36 @@ object EventsStream {
         col("purchase_ts"), col("view_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of [[purchaseViewJoin]]: purchases with no view
+    * in the preceding hour still emit (null view columns) — but only
+    * once the watermark passes the purchase's match window, when the
+    * engine can PROVE no matching view can still arrive. Consequence
+    * (and why this op is spec-checked rather than oracle-gated): in a
+    * bounded run, purchases newer than the final watermark terminate
+    * still in state — their null row is withheld, so the streaming
+    * result is the batch inner join plus only the *provably*-unmatched
+    * tail. That is correct streaming semantics, not data loss: a
+    * restart with more data resumes exactly where the watermark left
+    * off.
+    */
+  def purchaseViewJoinOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(views,
+      col("view_user") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("purchase_ts"), col("view_ts"), col("value"))
+  }
+
   /** Streaming exact dedup with bounded state: drops re-deliveries of the
     * same key arriving within the watermark delay
     * (`dropDuplicatesWithinWatermark` — state for a key is evicted once the

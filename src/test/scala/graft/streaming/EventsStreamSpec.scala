@@ -83,6 +83,35 @@ class EventsStreamSpec extends SparkSpec {
       batch.selectExpr("purchase_id", "view_id")).isEmpty)
   }
 
+  test("left-outer stream-stream join: inner rows exact, null rows only when provable") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.purchaseViewJoinOuter(EventsStream.readEvents(spark, sf0001)), "pvo_out")
+    val e = Tables.events(spark, sf0001)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("view_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val batchInner = purchases.join(views,
+      col("vu") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select("purchase_id", "view_id")
+    // matched portion == the batch inner join, exactly
+    val streamedMatched = streamed.filter(col("view_id").isNotNull)
+      .select("purchase_id", "view_id")
+    assert(streamedMatched.exceptAll(batchInner).isEmpty &&
+      batchInner.exceptAll(streamedMatched).isEmpty)
+    // null rows: a subset of the batch anti-join (never a false unmatched),
+    // and every null-row purchase is old enough that the final watermark
+    // could prove it unmatched
+    val batchUnmatched = purchases.join(batchInner.select("purchase_id").distinct(),
+      Seq("purchase_id"), "left_anti").select("purchase_id")
+    val streamedNull = streamed.filter(col("view_id").isNull).select("purchase_id")
+    assert(streamedNull.exceptAll(batchUnmatched).isEmpty,
+      "streaming emitted a null row for a purchase that HAS a match")
+    assert(streamedNull.count() > 0, "no provably-unmatched purchases emitted at all")
+  }
+
   test("stateful aggregation is provider-agnostic: RocksDB == default HDFS store") {
     // RocksDB is the state backend a 100 TB deployment actually runs
     // (state ≫ executor heap); the transforms must not depend on the
