@@ -96,6 +96,29 @@ class PlanAuditSpec extends SparkSpec {
       s"all-pairs nested loop in d4 plan:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning injects on a selective shuffle join") {
+    // semi-join reduction: the big side is pre-filtered by a bloom filter
+    // built from the selective side, cutting shuffled bytes before the
+    // join — the knob a 100 TB fact⋈selective-dim join turns on. Local
+    // thresholds are sized down to let the tiny test corpus qualify.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001).filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter in plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("window top-k filters get WindowGroupLimit (partial per-partition top-k)") {
     // Spark's InferWindowGroupLimit turns `row_number().over(w) <= k`
     // into a pre-window partial top-k on each input partition, bounding
