@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(f.exprClass.getName, f.name),
         f.builder))
     }
+    // the whole-operator tier: plans graft's custom logical nodes
+    // (AsofJoin) — sessions built via extensions get it without the
+    // programmatic AsofJoinStrategy.install call
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

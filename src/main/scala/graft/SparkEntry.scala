@@ -401,6 +401,29 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** The CUSTOM PHYSICAL OPERATOR through the gate ([[graft.plans
+    * .AsofJoinExec]] via [[ops.AsOfJoin.asofBackwardNative]]): identical
+    * query to q14, planned through graft's own logical node + strategy +
+    * sort-merge exec instead of the union+window formulation — same
+    * DuckDB ASOF oracle, third independent implementation of the
+    * semantics.
+    */
+  private def q21AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event"),
+        cents(col("value")).as("p_cents"))
+    ops.AsOfJoin.asofBackwardNative(clicks, purchases, "user_id", "ts",
+        Seq("p_event", "p_cents"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        col("asof_p_event").as("p_event"),
+        centsOut(col("asof_p_cents")).as("p_value"))
+      .orderBy("event_id")
+  }
+
   /** Forward as-of join through the gate ([[ops.AsOfJoin.asofForward]]):
     * every click picks up the user's NEXT purchase at or after it —
     * next-event attribution. Oracle: DuckDB's native ASOF with the
@@ -1272,6 +1295,7 @@ object SparkEntry {
     "q14_asof_join" -> q14AsofJoin _,
     "q15_range_join" -> q15RangeJoin _,
     "q20_asof_forward" -> q20AsofForward _,
+    "q21_asof_native" -> q21AsofNative _,
     "io4_bucketed_join" -> io4BucketedJoin _,
     "io5_pipeline_e2e" -> io5PipelineE2e _,
     "p1_pay" -> p1Pay _,
@@ -1504,6 +1528,17 @@ object SparkEntry {
     // DuckDB's native ASOF JOIN as an independent oracle for the
     // union+window as-of implementation
     "q14_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_event,
+        |       CAST(floor(value*100 + 0.5) AS BIGINT) AS p_cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_ns(c.ts)//1000000000 AS ts_s,
+        | p.p_event, CAST(p.p_cents AS DOUBLE)/100.0 AS p_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // same oracle as q14 — the custom physical operator must agree with
+    // both the window formulation and DuckDB's native ASOF
+    "q21_asof_native" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts, event_id AS p_event,
         |       CAST(floor(value*100 + 0.5) AS BIGINT) AS p_cents

@@ -58,6 +58,37 @@ object AsOfJoin {
     matched.select(outCols: _*)
   }
 
+  /** Backward as-of through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]] — logical node + planner strategy +
+    * sort-merge exec, the whole-operator Catalyst tier): semantics
+    * identical to [[asofBackward]], but each side is sorted
+    * independently and merged with a streaming backward pointer instead
+    * of packing the left relation into structs through one combined
+    * union+window sort. Output columns: every left column, then each
+    * payload column as `asof_<name>` — the same shape as
+    * [[asofBackward]].
+    */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    graft.plans.AsofJoinStrategy.install(spark)
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side so exprIds stay disjoint even when both
+    // sides derive from the same base relation (self-join shape) — the
+    // analyzer's relation dedup does not know our custom node
+    val rBase = right.queryExecution.analyzed
+    val rPlan = Project(rBase.output.map(a => Alias(a, a.name)()), rBase)
+    def attr(out: Seq[Attribute], n: String): Attribute =
+      out.find(_.name == n).getOrElse(sys.error(s"asof: no column '$n'"))
+    val node = graft.plans.AsofJoin(lPlan, rPlan,
+      attr(lPlan.output, keyCol), attr(lPlan.output, tsCol),
+      attr(rPlan.output, keyCol), attr(rPlan.output, tsCol),
+      payloadCols.map(attr(rPlan.output, _)))
+    org.apache.spark.sql.graft.DatasetShim.ofRows(spark, node)
+  }
+
   /** Forward as-of: the right row with the SMALLEST `tsCol` ≥ the left
     * row's timestamp per key (next-event attribution: "first purchase at
     * or after this impression"). Same union + single-window shape as

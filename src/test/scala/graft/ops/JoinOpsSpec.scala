@@ -57,6 +57,33 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(Some(100L), Some(100L), None, None))
   }
 
+  test("asofBackwardNative (custom physical operator) == window formulation") {
+    import spark.implicits._
+    // randomized multi-partition corpus incl. keys with no right rows
+    val l = (1L to 300L).map(i => (i, i % 7, ts(f"2026-01-01 ${(i % 12) + 1}%02d:${i % 60}%02d:00"), 0.0))
+    val r = (1L to 80L).map(i => (1000 + i, i % 9, ts(f"2026-01-01 ${(i % 12) + 1}%02d:${(i * 7) % 60}%02d:30"), i * 1.5))
+    val lf = l.toDF("id", "k", "ts", "x").repartition(5)
+    val rf = r.toDF("id", "k", "ts", "v").repartition(3)
+    val viaWindow = AsOfJoin.asofBackward(lf, rf, "k", "ts", Seq("id", "v"))
+      .select("id", "asof_id", "asof_v")
+    val viaNative = AsOfJoin.asofBackwardNative(lf, rf, "k", "ts", Seq("id", "v"))
+      .select("id", "asof_id", "asof_v")
+    assert(viaNative.count() == 300)
+    assert(viaNative.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaNative).isEmpty)
+  }
+
+  test("asofBackwardNative plans through AsofJoinExec, golden semantics hold") {
+    val df = AsOfJoin.asofBackwardNative(left, right, "k", "ts", Seq("id", "v"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the physical node renders without its Exec suffix
+    assert(plan.contains("AsofJoin "), s"custom exec not planned:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    val out = df.orderBy("id").select(col("id"), col("asof_id"), col("asof_v")).collect()
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(None, Some(100L), Some(101L), Some(102L)))
+    assert(out(2).getDouble(2) == 2.5)
+  }
+
 }
 
 class RangeJoinSpec extends SparkSpec {
