@@ -127,6 +127,38 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** SCD2-style interval building: each user's event stream becomes a
+    * validity history — `valid_from` = the event's ts, `valid_to` = the
+    * next event's ts (null while current) via one `lead` window. The
+    * slowly-changing-dimension shape every lakehouse keeps for
+    * point-in-time joins (the as-of joins consume exactly this layout).
+    */
+  private def q22Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .filter(col("event_type") === "signup" || col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("valid_from_s", unix_timestamp(col("ts")))
+      .withColumn("valid_to_s", unix_timestamp(lead(col("ts"), 1).over(w)))
+      .withColumn("is_current", col("valid_to_s").isNull)
+      .select("user_id", "event_id", "event_type", "valid_from_s", "valid_to_s", "is_current")
+      .orderBy("user_id", "valid_from_s", "event_id")
+  }
+
+  /** Pivot / crosstab through the gate: per-user event-type counts as
+    * columns (`df.groupBy(...).pivot(...)` — Catalyst turns it into one
+    * aggregate with CASE-guarded partials, no per-column pass). The
+    * oracle is the engine-portable manual CASE form.
+    */
+  private def q23Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** Grouping sets through the gate: ROLLUP over (returnflag, linestatus)
     * — subtotal and grand-total rows come free from Catalyst's Expand;
     * exact cents keep every aggregation level engine-identical. The
@@ -1320,6 +1352,8 @@ object SparkEntry {
     "t12_normalize" -> t12Normalize _,
     "q18_topk_agg" -> q18TopkAgg _,
     "q19_rollup" -> q19Rollup _,
+    "q22_scd2" -> q22Scd2 _,
+    "q23_pivot" -> q23Pivot _,
     "sim3_quantize" -> sim3Quantize _,
     "sim4_centroids" -> sim4Centroids _,
     "d1_exact_dedup" -> d1ExactDedup _,
@@ -1843,6 +1877,26 @@ object SparkEntry {
         | CAST(length(packed_text) AS BIGINT) AS packed_chars,
         | md5(packed_text) AS packed_md5
         |FROM p ORDER BY bucket, shard""".stripMargin,
+    // lead-window validity intervals, epoch-second outputs
+    "q22_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts)//1000000000 AS from_s, ts FROM events
+        | WHERE event_type IN ('signup', 'error')),
+        |v AS (SELECT user_id, event_id, event_type, from_s,
+        |  epoch_ns(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))//1000000000 AS to_s
+        | FROM e)
+        |SELECT user_id, event_id, event_type,
+        | from_s AS valid_from_s, to_s AS valid_to_s, (to_s IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from_s, event_id""".stripMargin,
+    // pivot = the engine-portable manual CASE crosstab
+    "q23_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // DuckDB GROUP BY ROLLUP mirrors Catalyst's Expand levels exactly
     "q19_rollup" ->
       """SELECT l_returnflag, l_linestatus,
