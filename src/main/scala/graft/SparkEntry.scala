@@ -159,6 +159,21 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Unpivot/melt through the gate (`Dataset.unpivot`, the inverse
+    * reshaping of q23): wide per-user type counts back to long
+    * `(user_id, event_type, n)` rows — Catalyst's Expand, one pass.
+    */
+  private def q24Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Grouping sets through the gate: ROLLUP over (returnflag, linestatus)
     * — subtotal and grand-total rows come free from Catalyst's Expand;
     * exact cents keep every aggregation level engine-identical. The
@@ -1354,6 +1369,7 @@ object SparkEntry {
     "q19_rollup" -> q19Rollup _,
     "q22_scd2" -> q22Scd2 _,
     "q23_pivot" -> q23Pivot _,
+    "q24_unpivot" -> q24Unpivot _,
     "sim3_quantize" -> sim3Quantize _,
     "sim4_centroids" -> sim4Centroids _,
     "d1_exact_dedup" -> d1ExactDedup _,
@@ -1888,6 +1904,14 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type,
         | from_s AS valid_from_s, to_s AS valid_to_s, (to_s IS NULL) AS is_current
         |FROM v ORDER BY user_id, valid_from_s, event_id""".stripMargin,
+    // melt(pivot(x)) == plain long-form counts incl. explicit zeros
+    "q24_unpivot" ->
+      """WITH t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id, t.event_type,
+        | CAST((SELECT count(*) FROM events e
+        |        WHERE e.user_id = u.user_id AND e.event_type = t.event_type) AS BIGINT) AS n
+        |FROM u CROSS JOIN t ORDER BY user_id, event_type""".stripMargin,
     // pivot = the engine-portable manual CASE crosstab
     "q23_pivot" ->
       """SELECT user_id,
