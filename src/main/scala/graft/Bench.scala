@@ -40,11 +40,36 @@ object Bench {
     val ordered =
       if (args.isEmpty) all
       else all.filter { case (n, _) => args.exists(n.startsWith) }
-    ordered.foreach { case (name, fn) =>
-      try fn(spark, warmDir).count() catch {
+    // Warmup (codegen compile + JIT per query shape) dominates the bench's
+    // WALL time (the timed passes sum to ~1.5 min; serial warmup of 60+
+    // shapes took ~7). Janino compiles on independent threads, so batch
+    // queries warm CONCURRENTLY. The streaming queries must stay serial:
+    // they temporarily rewrite spark.sql.shuffle.partitions for state
+    // sizing (SparkEntry.withStatePartitions), which would leak into any
+    // query planned concurrently.
+    val streamingNames = Set(
+      "q9_stream_hourly", "q12_stream_sessions", "q13_stream_user_stats", "q17_stream_join")
+    val (serialWarm, parWarm) = ordered.partition(q => streamingNames(q._1))
+    val warmT0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val warmFutures = parWarm.map { case (name, fn) =>
+      scala.concurrent.Future {
+        try fn(spark, warmDir).count(): Unit catch {
+          case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e")
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(warmFutures), scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
+    serialWarm.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count(): Unit catch {
         case NonFatal(e) => System.err.println(s"[bench] warmup $name failed: $e")
       }
     }
+    System.err.println(f"[bench] warmup ${(System.nanoTime() - warmT0) / 1e9}%.1f s")
     // Stage-level diagnostics: record every stage over 3 s wall with its
     // job group (= query name), so a slow run names the guilty stage
     // instead of needing a thread-dump safari. stderr only; the stdout
