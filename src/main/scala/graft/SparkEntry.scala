@@ -159,6 +159,27 @@ object SparkEntry {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** Cohort retention through the gate: users grouped by first-seen day
+    * (their cohort), counted per subsequent active day offset — the
+    * min-over-window + distinct-activity + self-aligned aggregation the
+    * canonical retention matrix needs. Day arithmetic in whole epoch
+    * days keeps both engines integral.
+    */
+  private def q25Retention(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), (unix_timestamp(col("ts")) / 86400L).cast("long").as("day"))
+    val withCohort = e.withColumn("cohort_day",
+      min(col("day")).over(Window.partitionBy("user_id")))
+    withCohort
+      .select(col("user_id"), col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      .distinct()
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("offset") <= 7)
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Unpivot/melt through the gate (`Dataset.unpivot`, the inverse
     * reshaping of q23): wide per-user type counts back to long
     * `(user_id, event_type, n)` rows — Catalyst's Expand, one pass.
@@ -1370,6 +1391,7 @@ object SparkEntry {
     "q22_scd2" -> q22Scd2 _,
     "q23_pivot" -> q23Pivot _,
     "q24_unpivot" -> q24Unpivot _,
+    "q25_retention" -> q25Retention _,
     "sim3_quantize" -> sim3Quantize _,
     "sim4_centroids" -> sim4Centroids _,
     "d1_exact_dedup" -> d1ExactDedup _,
@@ -1904,6 +1926,14 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type,
         | from_s AS valid_from_s, to_s AS valid_to_s, (to_s IS NULL) AS is_current
         |FROM v ORDER BY user_id, valid_from_s, event_id""".stripMargin,
+    // whole-epoch-day arithmetic on both engines
+    "q25_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000//86400 AS day FROM events),
+        |c AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+        |d AS (SELECT DISTINCT user_id, cohort_day, day - cohort_day AS "offset" FROM c)
+        |SELECT cohort_day, "offset", count(*) AS n_users
+        |FROM d WHERE "offset" <= 7 GROUP BY cohort_day, "offset"
+        |ORDER BY cohort_day, "offset"""".stripMargin,
     // melt(pivot(x)) == plain long-form counts incl. explicit zeros
     "q24_unpivot" ->
       """WITH t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
