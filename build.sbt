@@ -16,6 +16,12 @@ run / fork := true
 // machine-parsed JSON metric line, and the prefix broke the driver's parse
 // (BENCH_r01 "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop sbt's own "[success] Total time: ..." trailer, which lands
+// on stdout AFTER the metric line — the driver parses the LAST stdout line
+// and recorded "parsed": null in BENCH_r04 because the trailer was last.
+Global / showSuccess := false
+// (showSuccess is consumed by sbt's command layer, which the lint can't see)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,6 +50,12 @@ object Bench {
     val streamingNames = Set(
       "q9_stream_hourly", "q12_stream_sessions", "q13_stream_user_stats", "q17_stream_join")
     val (serialWarm, parWarm) = ordered.partition(q => streamingNames(q._1))
+    // Pre-install the as-of planner strategy on THIS thread before the
+    // warmup pool spawns: q21's warmup otherwise read-modify-writes the
+    // plain var `experimental.extraStrategies` while sibling threads are
+    // concurrently planning (install() synchronizes writers against each
+    // other, not against the planner's unsynchronized reads).
+    graft.plans.AsofJoinStrategy.install(spark)
     val warmT0 = System.nanoTime()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =

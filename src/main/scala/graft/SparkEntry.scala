@@ -21,6 +21,13 @@ import graft.ops.Curation
   *   - synthetic derived columns (titles, salaries) are built from `doc_id`
   *     arithmetic duplicated verbatim in the SQL text
   *   - aliases match column-for-column between Spark and SQL
+  *   - the gate hashes dtype-sensitively: any DuckDB column derived from a
+  *     window/agg `sum(BIGINT)` is HUGEINT (→ pandas float64 vs Spark's
+  *     int64, hash mismatch on equal values) — `CAST(... AS BIGINT)` every
+  *     sum-derived integer column in the oracle SQL
+  *   - no list/array-typed columns in gated output (the harness cannot
+  *     sort/hash them) — emit `md5(array_to_string(arr, ','))` (Spark:
+  *     `md5(concat_ws(",", arr.cast("array<string>")))`) or explode
   */
 object SparkEntry {
 
@@ -674,7 +681,13 @@ object SparkEntry {
     * its salt context (`... and`, end-of-text, `.NET development`), so
     * longest-match filtering cannot shadow or add hits to these five.
     */
-  private val RefGazetteer = "/root/reference/assets/skills_no_en.jsonl"
+  /** Harness default for the full gazetteer; overridable via
+    * `GRAFT_GAZETTEER` so the library entry point carries no baked-in
+    * sandbox path — production supplies its own JSONL
+    * ([[SkillMatcher.fromJsonlFile]] is the public loading API).
+    */
+  private val RefGazetteer = sys.env.getOrElse("GRAFT_GAZETTEER",
+    "/root/reference/assets/skills_no_en.jsonl")
 
   /** The planted phrases (as the matcher emits them — lowercased). */
   private val PlantedSkills = Seq("apache spark", "python", "machine learning", "sql", ".net")
@@ -985,11 +998,17 @@ object SparkEntry {
   /** Symmetric int8 embedding quantization ([[ops.Similarity
     * .quantizeInt8]]): per-vector scale, quantized array, reconstruction
     * MSE — all double arithmetic, reproduced element-for-element by the
-    * oracle.
+    * oracle. The quantized array is emitted as an md5 digest of its
+    * comma-joined elements, not as a raw list column: the gate harness
+    * hash-compares scalar cells and cannot hash array values (see the
+    * oracle-parity rules above) — the digest still pins every element.
     */
   private def sim3Quantize(s: SparkSession, dir: String): DataFrame =
     ops.Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
-      .select(col("vec_id"), col("q"), col("scale"), col("mse"))
+      .select(
+        col("vec_id"),
+        md5(concat_ws(",", col("q").cast("array<string>")).cast("binary")).as("q_md5"),
+        col("scale"), col("mse"))
       .orderBy("vec_id")
 
   // ---------------------------------------------------------------------
@@ -1880,7 +1899,7 @@ object SparkEntry {
         |  coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         | FROM d)
-        |SELECT bucket, start_off // 2000 AS shard, count(*) AS n_docs,
+        |SELECT bucket, CAST(start_off // 2000 AS BIGINT) AS shard, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM o GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin,
     // decomposed plants (chr() = the same combining code points) through
@@ -1907,7 +1926,7 @@ object SparkEntry {
         |  coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
         | FROM d),
-        |p AS (SELECT bucket, start_off // 2000 AS shard,
+        |p AS (SELECT bucket, CAST(start_off // 2000 AS BIGINT) AS shard,
         |        count(*) AS n_docs,
         |        string_agg(text, ' ' ORDER BY start_off, doc_id) AS packed_text
         |       FROM o GROUP BY bucket, shard)
@@ -1982,7 +2001,7 @@ object SparkEntry {
         |        CASE WHEN s_raw = 0 THEN list_transform(v, x -> 0)
         |             ELSE list_transform(v, x -> CAST(round(x / s_raw, 0) AS INT)) END AS q
         |       FROM s)
-        |SELECT vec_id, q,
+        |SELECT vec_id, md5(array_to_string(q, ',')) AS q_md5,
         | round(s_raw, 6) AS scale,
         | round(CASE WHEN s_raw = 0 THEN 0.0
         |        ELSE list_sum(list_transform(generate_series(1, len(v)),

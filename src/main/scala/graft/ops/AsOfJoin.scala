@@ -28,9 +28,12 @@ object AsOfJoin {
     * Right rows sort BEFORE left rows at equal ts (tag 0 < 1), so a right
     * row at exactly the left timestamp matches (inclusive as-of, the
     * DuckDB/pandas `merge_asof` convention). If several right rows share
-    * (key, ts), which of them is carried is tie-ambiguous — pre-aggregate
-    * the right side to one row per (key, ts) first (DuckDB's native ASOF
-    * JOIN has the same caveat).
+    * (key, ts), the GREATEST payload struct among them is carried (the
+    * payload is the final window sort key, so the pick is deterministic
+    * across runs and partitionings — without it, `last(_, ignoreNulls)`
+    * would depend on shuffle arrival order). DuckDB's native ASOF leaves
+    * the same tie unspecified; pre-aggregate the right side to one row per
+    * (key, ts) when a different tie rule is needed.
     *
     * Output: every left column, plus each `payloadCols` right column
     * prefixed `asof_`.
@@ -48,7 +51,11 @@ object AsOfJoin {
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
       lit(null).cast(leftPayloadType).as("__lp"),
       struct(payloadCols.map(col): _*).as("__rp"))
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+    // __rp as the final sort key = deterministic tiebreak among right rows
+    // sharing (key, ts): `last` then always picks the greatest payload.
+    // Left rows (all-null __rp) tie with each other, which is harmless —
+    // their frames see the same preceding right rows either way.
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__rp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
@@ -95,6 +102,9 @@ object AsOfJoin {
     * [[asofBackward]], mirrored: `first(_, ignoreNulls)` over the
     * UNBOUNDED FOLLOWING frame, right rows sorting AFTER left rows at
     * equal ts so an exactly-simultaneous right row matches (inclusive).
+    * Right rows tied on (key, ts) resolve to the GREATEST payload struct,
+    * matching [[asofBackward]]'s tie rule (descending payload sort, so
+    * `first` meets the greatest one).
     */
   def asofForward(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
@@ -109,7 +119,8 @@ object AsOfJoin {
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__tag"),
       lit(null).cast(leftPayloadType).as("__lp"),
       struct(payloadCols.map(col): _*).as("__rp"))
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__tag"), desc("__rp"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = l.unionByName(r)
       .withColumn("__m", first(col("__rp"), ignoreNulls = true).over(w))

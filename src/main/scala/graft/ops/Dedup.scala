@@ -274,9 +274,15 @@ object Dedup {
     */
   def simhashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.expr.VecExpressions.register(df.sparkSession)
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col(idCol).as("id"),
-        coalesce(call_function("simhash16", col(textCol)), lit(0)).as("sk"))
+    // Repartition ONLY when the input is parallelism-starved (fewer input
+    // splits than shuffle partitions — the local-bench regime, where one
+    // 5k-doc parquet file would otherwise sketch on one core). A 100 TB
+    // corpus arrives in thousands of splits; an unconditional repartition
+    // there is a gratuitous full shuffle of the raw text.
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val wide = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    wide.select(col(idCol).as("id"),
+      coalesce(call_function("simhash16", col(textCol)), lit(0)).as("sk"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, via segment

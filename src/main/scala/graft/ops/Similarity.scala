@@ -144,6 +144,42 @@ object Similarity {
         .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")),
       idCol, vecCol)
 
+  /** Cell assignment shared by [[ivfTopKWith]] and [[cosineDupPairs]]:
+    * each vector keeps its `keep` L2-nearest centroids (ties by cent_id),
+    * from candidates scored map-side against a broadcast centroid table.
+    *
+    * keep == 1 (the corpus side — the side that is 100 TB) is an argmin
+    * expressed as a partial-aggregable groupBy, the same pattern as the
+    * Lloyd's step in [[trainCentroids]]: the ncells candidate rows per
+    * vector collapse map-side to ONE row before the shuffle, hash-based,
+    * no sort. A Window would shuffle and locally sort all n×ncells rows.
+    * `any_value` is deterministic here because vec/nrm are constant per id.
+    *
+    * keep > 1 (query probes / multi-probe dedup) stays a window rank:
+    * there is no partial-aggregable bounded top-k among the algebraic
+    * aggregates, and Spark's InferWindowGroupLimit already bounds the
+    * shuffle to `keep` rows per id per input partition (plan-locked in
+    * PlanAuditSpec), which at one row per (id, kept cell) is within keep×
+    * of the groupBy form's volume.
+    */
+  private def assignCells(df: DataFrame, cents: DataFrame,
+      id: String, vec: String, nrm: String, keep: Int): DataFrame = {
+    val scored = df.join(broadcast(cents))
+      .select(col(id), col(vec), col(nrm), col("cent_id"),
+        rounded(sqrt(l2NativeSq(col(vec), col("cent_vec")))).as("d"))
+    if (keep == 1)
+      scored.groupBy(col(id))
+        .agg(min(struct(col("d"), col("cent_id"))).as("best"),
+          any_value(col(vec)).as(vec), any_value(col(nrm)).as(nrm))
+        .select(col(id), col(vec), col(nrm), col("best.cent_id").as("cent_id"))
+    else {
+      val w = Window.partitionBy(id).orderBy(col("d"), col("cent_id"))
+      scored.withColumn("__cell_rank", row_number().over(w))
+        .filter(col("__cell_rank") <= keep)
+        .select(col(id), col(vec), col(nrm), col("cent_id"))
+    }
+  }
+
   /** IVF cell-probed top-k against an explicit centroid table
     * `(cent_id, cent_vec: array<float>)` — e.g. [[trainCentroids]] output.
     */
@@ -151,21 +187,10 @@ object Similarity {
       cents: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
 
-    // map-side cell assignment: nearest centroid by (rounded L2, cent_id)
-    def assign(df: DataFrame, id: String, vec: String, nrm: String,
-        rankCol: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cents))
-        .select(col(id), col(vec), col(nrm), col("cent_id"),
-          rounded(sqrt(l2NativeSq(col(vec), col("cent_vec")))).as("d"))
-      val w = Window.partitionBy(id).orderBy(col("d"), col("cent_id"))
-      scored.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= keep)
-        .select(col(id), col(vec), col(nrm), col("cent_id"))
-    }
-
-    val cells = assign(withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
-      "nn_id", "nn_vec", "nn_nrm", "cell_rank", 1)
-    val probes = assign(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"),
-      "query_id", "q_vec", "q_nrm", "probe_rank", nprobe)
+    val cells = assignCells(withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
+      cents, "nn_id", "nn_vec", "nn_nrm", 1)
+    val probes = assignCells(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"),
+      cents, "query_id", "q_vec", "q_nrm", nprobe)
 
     val scored = cells.join(probes,
         cells("cent_id") === probes("cent_id") && col("query_id") =!= col("nn_id"))
@@ -205,13 +230,7 @@ object Similarity {
     val v = withNorm(df, idCol, vecCol, "id", "v", "nrm")
     val cents = df.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    val scored = v.join(broadcast(cents))
-      .select(col("id"), col("v"), col("nrm"), col("cent_id"),
-        rounded(sqrt(l2NativeSq(col("v"), col("cent_vec")))).as("d"))
-    val w = Window.partitionBy("id").orderBy(col("d"), col("cent_id"))
-    val cells = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") <= probes)
-      .select(col("id"), col("v"), col("nrm"), col("cent_id"))
+    val cells = assignCells(v, cents, "id", "v", "nrm", probes)
     cells.as("a").join(cells.as("b"),
         col("a.cent_id") === col("b.cent_id") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

@@ -117,6 +117,19 @@ object EventsStream {
     * passes `purchase_ts − 1 hour` (views) / `purchase_ts` (purchases):
     * state size tracks the delay window × arrival rate, not stream
     * history. Append mode; shuffles once on user_id per side.
+    *
+    * Arrival-order caveat (inherent to watermarked stream-stream joins,
+    * not this formulation): a view arriving more than the 2-hour
+    * watermark delay LATER than the stream's event-time frontier is
+    * dropped from state and cannot match a subsequent purchase — the
+    * streaming result equals the batch join only when each side arrives
+    * within its allowed lateness. The q17 gate satisfies this
+    * structurally: the fixture is one parquet file, which
+    * `Trigger.AvailableNow` (file source, `maxFilesPerTrigger` ≥ 1)
+    * processes as a single micro-batch, so no state is evicted before
+    * its matches arrive. Feeding this from a source that slices batches
+    * out of event-time order requires the watermark delay to cover that
+    * disorder.
     */
   def purchaseViewJoin(events: DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")

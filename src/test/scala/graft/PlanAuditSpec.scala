@@ -119,6 +119,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF corpus cell assignment is a partial-aggregable argmin, not a window sort") {
+    // keep=1 nearest-centroid assignment must collapse the n×ncells scored
+    // rows map-side (partial_min before the shuffle) instead of shuffling
+    // and sorting them all under a Window — the difference between moving
+    // n rows and n×ncells rows at 100 TB. The probe side (keep=nprobe>1)
+    // legitimately keeps a window; this locks the corpus side's shape.
+    val plan = executed(SparkEntry.queries("sim2_ivf_topk")(spark, sf0001))
+    assert(plan.contains("partial_min"),
+      s"sim2 corpus assignment lost the partial-aggregable argmin:\n$plan")
+  }
+
   test("window top-k filters get WindowGroupLimit (partial per-partition top-k)") {
     // Spark's InferWindowGroupLimit turns `row_number().over(w) <= k`
     // into a pre-window partial top-k on each input partition, bounding

@@ -5,17 +5,28 @@ run graft.Verify output vs SparkEntry.oracleSql in DuckDB.
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 
 (Dev tooling only — the shipped library is pure Scala/Spark.)
-"""
-import duckdb, json, math, sys, glob, os
 
-def norm(v):
-    # EXACT value compare, mirroring the driver's hash-based gate. Round 1
-    # taught us the hard way: normalizing Decimal->float here made selfcheck
-    # report 27/27 while the driver failed every DECIMAL-output query.
-    # Lists become tuples only so rows are hashable/comparable.
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+Mirrors the driver harness through pandas, because the driver is
+dtype-sensitive where plain Python `==` is not. Round-4 lessons baked in:
+  - DuckDB window/agg sum(BIGINT) -> HUGEINT -> pandas float64, while Spark
+    emits int64. Values compare equal under `==` (1.0 == 1) but the driver's
+    hash differs -> FAIL. So we compare pandas dtypes, not just values.
+  - List-typed output columns crash the driver's sort_values
+    ("unhashable type: numpy.ndarray") -> the query records as err. So we
+    reject any list/array-typed column outright.
+Round-1 lesson retained: no value normalization (Decimal->float here once
+made selfcheck green while the driver failed every DECIMAL query).
+"""
+import duckdb, json, sys, os
+import numpy as np
+
+def list_cols(df):
+    out = []
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+                lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+            out.append(c)
+    return out
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -29,32 +40,47 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(spark_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            want = con.sql(sql)
-            want_cols = sorted(want.columns)
-            want_rows = [tuple(norm(r[want.columns.index(c)]) for c in want_cols)
-                         for r in want.fetchall()]
-            got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-            got_cols = sorted(got.columns)
-            got_rows = [tuple(norm(r[got.columns.index(c)]) for c in got_cols)
-                        for r in got.fetchall()]
+            want = con.sql(sql).df()
+            got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        if want_cols != got_cols:
-            print(f"FAIL {name}: cols want={want_cols} got={got_cols}"); n_fail += 1
-        elif want_rows != got_rows:
-            print(f"FAIL {name}: rows want={len(want_rows)} got={len(got_rows)}")
-            for i, (w, g) in enumerate(zip(want_rows, got_rows)):
-                if w != g:
-                    print(f"  first diff at row {i}:\n   want={w}\n   got ={g}")
-                    break
-            else:
-                if len(want_rows) != len(got_rows):
-                    w = want_rows[len(got_rows):len(got_rows)+1]
-                    g = got_rows[len(want_rows):len(want_rows)+1]
-                    print(f"  extra: want={w} got={g}")
+        want = want[sorted(want.columns)]
+        got = got[sorted(got.columns)]
+        bad = sorted(set(list_cols(want)) | set(list_cols(got)))
+        if bad:
+            # the driver's pandas sort crashes on these -> recorded as err
+            print(f"FAIL {name}: list-typed column(s) {bad} — emit "
+                  f"md5(array_to_string(...)) or explode instead")
+            n_fail += 1; continue
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: cols want={list(want.columns)} "
+                  f"got={list(got.columns)}"); n_fail += 1; continue
+        wt, gt = [str(t) for t in want.dtypes], [str(t) for t in got.dtypes]
+        if wt != gt:
+            diffs = [f"{c}: oracle={a} spark={b}"
+                     for c, a, b in zip(want.columns, wt, gt) if a != b]
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(diffs)}) — the "
+                  f"driver hashes dtype-sensitively (1.0 != 1)")
+            n_fail += 1; continue
+        try:
+            cols = list(want.columns)
+            want = want.sort_values(cols, kind="mergesort").reset_index(drop=True)
+            got = got.sort_values(cols, kind="mergesort").reset_index(drop=True)
+        except Exception as e:
+            print(f"FAIL {name}: driver-style sort crashed: {e}")
+            n_fail += 1; continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            n_fail += 1
+        elif not want.equals(got):
+            neq = (want != got) & ~(want.isna() & got.isna())
+            idx = neq.any(axis=1)
+            i = int(idx[idx].index[0]) if idx.any() else 0
+            print(f"FAIL {name}: values differ; first diff at sorted row {i}:"
+                  f"\n   want={tuple(want.iloc[i])}\n   got ={tuple(got.iloc[i])}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
