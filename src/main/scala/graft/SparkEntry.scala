@@ -1072,6 +1072,39 @@ object SparkEntry {
     ops.Dedup.winnowDupPairs(Tables.documents(s, dir), "text", "doc_id", 4, 4, 3L)
       .orderBy("id1", "id2")
 
+  /** Connected-components dup clustering ([[ops.Dedup.dupClusters]]) —
+    * pairs → transitive groups, cluster id = minimum member id (the
+    * canonical survivor). The edge list is synthesized from doc_id
+    * arithmetic to exercise real topology: 6-node CHAINS (`b = a+1` for
+    * `a%20 < 5` — diameter 5 forces multiple propagation rounds, so the
+    * gate fails if the loop under-iterates) and 5–6-node STARS
+    * (`b = a − a%7` for `a%20 ≥ 15`, hub reached only through spokes);
+    * everything else stays a singleton. Both edge rules are self-joins on
+    * `documents`, so endpoints provably exist, duplicated verbatim in the
+    * oracle, whose recursive CTE computes min-reachable-id independently
+    * of the propagation schedule.
+    */
+  private def d9DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val chain = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 20 < 5)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val star = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") - col("a.doc_id") % 7 &&
+          col("a.doc_id") % 20 >= 15 && col("a.doc_id") % 7 =!= 0)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    // the label frame is 2 longs/doc — the per-ROUND shuffle cost is task
+    // overhead, not bytes, so partitions track label volume (the streaming
+    // state-partition lesson applied to an iterative batch op)
+    val cc = withStatePartitions(s, 8) {
+      ops.Dedup.dupClusters(d, chain.unionByName(star), "doc_id")
+    }
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     ops.Dedup.simhashDupPairs(Tables.documents(s, dir), "text", "doc_id", 3)
@@ -1417,6 +1450,7 @@ object SparkEntry {
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d7_incremental_dedup" -> d7IncrementalDedup _,
     "d8_winnow" -> d8Winnow _,
+    "d9_dup_clusters" -> d9DupClusters _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
@@ -2072,6 +2106,28 @@ object SparkEntry {
         |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT id1, id2, shared_fps FROM p WHERE shared_fps >= 3 ORDER BY id1, id2""".stripMargin,
+    // transitive closure via recursive CTE: min reachable id = cluster id,
+    // schedule-independent (vs Spark's round-based label propagation)
+    "d9_dup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 20 < 5
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id - (a.doc_id % 7)
+        |   AND a.doc_id % 20 >= 15 AND a.doc_id % 7 <> 0
+        |),
+        |ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id
+        |),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       s"""WITH h AS (SELECT doc_id,
         |  list_transform(${toksSql("text")}, tok -> CAST(concat('0x', substring(md5(tok), 1, 4)) AS INT)) AS hs

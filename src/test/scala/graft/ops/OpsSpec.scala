@@ -61,6 +61,40 @@ class DedupSpec extends SparkSpec {
     assert(r.exists(x => x.getAs[Long]("id1") == 1L && x.getAs[Long]("id2") == 2L &&
       x.getAs[Int]("hamming") == 0))
   }
+
+  private def ccOf(nodeIds: Seq[Long], edges: Seq[(Long, Long)],
+      parts: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    val n = nodeIds.toDF("id").repartition(parts)
+    val e = edges.toDF("src", "dst").repartition(parts)
+    Dedup.dupClusters(n, e, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("dupClusters: chain, clique, and singleton resolve to min-id components") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds), clique
+    // {10,11,12}, singleton 20; edge direction must not matter
+    val cc = ccOf(Seq(1, 2, 3, 4, 5, 10, 11, 12, 20),
+      Seq((2, 1), (2, 3), (4, 3), (4, 5), (10, 11), (11, 12), (12, 10)))
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L)
+  }
+
+  test("dupClusters: result is partitioning-independent") {
+    val edges = (1L to 40L).filter(_ % 4 != 0).map(i => (i, i + 1))
+    val a = ccOf(1L to 41L, edges, parts = 2)
+    val b = ccOf(1L to 41L, edges, parts = 13)
+    assert(a == b)
+    assert(a(3L) == 1L && a(5L) == 5L) // 4-node runs starting at 1,5,9,...
+  }
+
+  test("dupClusters: transitive closure of exactDedup pairs keeps one survivor per group") {
+    // a~b and b~c but never a~c directly: pairs from shared fingerprints
+    // via different salts would miss transitivity without the closure
+    val cc = ccOf(Seq(1, 2, 3), Seq((1, 2), (2, 3)))
+    assert(cc.values.toSet == Set(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -162,6 +196,32 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     info(f"trained-IVF recall@3 (nprobe=2/8 cells): $recall%.2f")
     assert(recall >= 0.5, f"recall $recall%.2f below floor")
+  }
+
+  test("ivfTopKWith trained centroids plans like gated sim2 (no oracle needed)") {
+    // The trained path is spec-gated (Lloyd's is not replicable in DuckDB
+    // SQL at reasonable cost); this locks that it produces the SAME
+    // physical shape as the oracle-gated id-derived path: the keep=1
+    // corpus assignment collapses map-side (partial_min) and nothing
+    // degenerates into a nested-loop pairing. Centroids are precomputed
+    // (collect+recreate) so the training job's own plan doesn't obscure
+    // the search plan under audit.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, 8, iters = 1)
+    val trained = cents.collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    import spark.implicits._
+    val centsDf = spark.createDataset(trained.toSeq).toDF("cent_id", "cent_vec")
+      .withColumn("cent_vec", col("cent_vec").cast("array<float>"))
+    val q = e.filter(col("vec_id") < 10)
+    val plan = Similarity.ivfTopKWith(e, q, 3, 2, centsDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"trained-IVF corpus assignment lost the partial-aggregable argmin:\n$plan")
+    // centroid scoring is a BROADCAST nested-loop against the k-row
+    // centroid table — bounded and intended; what must never appear is a
+    // non-broadcast cartesian pairing
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast cartesian pairing in trained-IVF plan:\n$plan")
   }
 }
 
