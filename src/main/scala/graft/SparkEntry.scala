@@ -333,7 +333,12 @@ object SparkEntry {
   private def q17StreamJoin(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q17_sink"
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
-    withStatePartitions(s, 8) {
+    // 4, not 8: the stream-stream join keeps FOUR state stores per
+    // partition (left/right × keyToNumValues/keyWithIndexToValue), so its
+    // per-partition fixed cost is ~4× a windowed agg's — measured
+    // isolated min-of-3 at sf0.1: 4.5 s @ 8 partitions, 2.1 s @ 4, flat
+    // at 2 (q9/q12/q13 windowed aggs measured BETTER at 8; kept there).
+    withStatePartitions(s, 4) {
       val q = graft.streaming.EventsStream.purchaseViewJoin(
           graft.streaming.EventsStream.readEvents(s, dir))
         .writeStream.format("memory").queryName(sink)
@@ -1319,6 +1324,26 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Z-order layout clustering ([[ops.Layout]]) through the gate: lineitem
+    * rewritten along the Morton curve of (l_partkey, l_suppkey) — the
+    * write-side layout that lets parquet min/max stats skip files for
+    * selective predicates on EITHER dimension. The gate pins (a) the
+    * interleave arithmetic bit-for-bit against DuckDB replaying the same
+    * shift/mask folds and (b) that the re-layout is a pure permutation
+    * (row set unchanged through the shuffle+sort). The locality payoff —
+    * per-file bounding boxes shrinking on both dims vs a single-column
+    * sort — is partitioning metadata the sorted gate cannot see; it is
+    * spec-asserted in LayoutSpec instead.
+    */
+  private def io8Zorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_partkey") % 65536).as("x"), (col("l_suppkey") % 65536).as("y"))
+    val clustered = ops.Layout.clusterByZ(li, Seq("x", "y"), 16, 8)
+    clustered.select(col("l_orderkey"), col("l_linenumber"),
+        ops.Layout.zValue(Seq(col("x"), col("y")), 16).as("zval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** The DSv2 scrape connector (S1+S2, `graft.sources.JobsDataSource`)
     * through the driver gate: deterministic fixture pages (no live HTTP),
     * read via `format("linkedin-jobs")` with the limit pushed into the scan
@@ -1467,6 +1492,7 @@ object SparkEntry {
     "io3_scrape_source" -> io3ScrapeSource _,
     "io6_bad_records" -> io6BadRecords _,
     "io7_schema_evolution" -> io7SchemaEvolution _,
+    "io8_zorder" -> io8Zorder _,
   )
 
   // ---- oracle SQL building blocks (mirror the Scala expressions above) ----
@@ -1582,6 +1608,14 @@ object SparkEntry {
         | count(*) FILTER (doc_id % 2 = 1) AS n_scored,
         | CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT) AS sum_score
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the Morton interleave replayed as the same shift/mask folds
+    "io8_zorder" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        | CAST(list_sum(list_transform(generate_series(0, 15), i ->
+        |   (((x >> i) & 1) << (2*i)) | (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
