@@ -1068,6 +1068,28 @@ object SparkEntry {
       3, MinhashK, MinhashR, 0.5)
       .orderBy("id1", "id2")
 
+  /** Incremental NEAR-dup ([[ops.Dedup.incrementalMinhashDupPairs]]) —
+    * d7's nightly fixture run through MinHash/LSH instead of exact
+    * fingerprints: verbatim re-arrivals match their source at J = 1.0,
+    * and the salted re-arrivals (which exact dedup calls fresh) surface
+    * as near-dups when enough shingles survive the salt. The history
+    * side goes in as a precomputed [[ops.Dedup.minhashSignatures]]
+    * artifact — the production path where the corpus sketch is persisted
+    * and only the batch is shingled.
+    */
+  private def d10IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" fresh salt "), col("doc_id").cast("string")).as("text")))
+    val histSigs = ops.Dedup.minhashSignatures(d, "text", "doc_id", 3, MinhashK)
+    ops.Dedup.incrementalMinhashDupPairs(d, fresh, "text", "doc_id",
+        3, MinhashK, MinhashR, 0.5, historySigs = Some(histSigs))
+      .orderBy("fresh_id", "hist_id")
+  }
+
   /** Winnowing partial-overlap pairs ([[ops.Dedup.winnowDupPairs]]):
     * 4-gram hashes, window 4, pairs sharing ≥ 3 fingerprints. The oracle
     * replays the positional hash + sliding-window-min construction
@@ -1476,6 +1498,7 @@ object SparkEntry {
     "d7_incremental_dedup" -> d7IncrementalDedup _,
     "d8_winnow" -> d8Winnow _,
     "d9_dup_clusters" -> d9DupClusters _,
+    "d10_incremental_minhash" -> d10IncrementalMinhash _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
@@ -2106,6 +2129,32 @@ object SparkEntry {
         | (h.fingerprint IS NOT NULL) AS is_dup
         |FROM fresh f LEFT JOIN h ON ${fpSql("f.text")} = h.fingerprint
         |ORDER BY f.doc_id""".stripMargin,
+    // d3's banding CTE chain, instantiated once per corpus: candidates are
+    // the fresh x history band collisions, verified by exact Jaccard
+    "d10_incremental_minhash" ->
+      s"""WITH fresh AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |         text || ' fresh salt ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |hsh AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |fsh AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM fresh),
+        |hd AS (SELECT doc_id, sh, $baseHashSql AS hs FROM hsh),
+        |fd AS (SELECT doc_id, sh, $baseHashSql AS hs FROM fsh),
+        |hsig AS (SELECT doc_id, $sigSql AS sig FROM hd),
+        |fsig AS (SELECT doc_id, $sigSql AS sig FROM fd),
+        |hbn AS (SELECT doc_id, $bandsSql AS bands FROM hsig),
+        |fbn AS (SELECT doc_id, $bandsSql AS bands FROM fsig),
+        |hb AS (SELECT doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM hbn),
+        |fb AS (SELECT doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM fbn),
+        |cand AS (SELECT DISTINCT f.doc_id AS fresh_id, h.doc_id AS hist_id
+        |         FROM fb f JOIN hb h ON f.bi = h.bi AND f.b = h.b),
+        |j AS (SELECT fresh_id, hist_id, ${jaccardSql("fs.sh", "hs.sh")} AS jaccard
+        |      FROM cand JOIN fsh fs ON cand.fresh_id = fs.doc_id
+        |                JOIN hsh hs ON cand.hist_id = hs.doc_id)
+        |SELECT fresh_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY fresh_id, hist_id""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

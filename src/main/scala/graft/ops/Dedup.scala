@@ -224,6 +224,90 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash signatures + shingle count per document:
+    * `(id, h0..h{k-1}, n_sh)` — the persistable nightly sketch artifact
+    * (k longs + a count ≈ 100 bytes/doc regardless of document size).
+    * Same construction as [[minhashDupPairs]]'s internal pass: one base
+    * hash per shingle, k primitive mins in a single codegen'd
+    * HashAggregate. Documents with fewer than `n` tokens produce no row
+    * (no shingles → nothing to sketch), matching the oracle's NULL-band
+    * non-candidates.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int): DataFrame = {
+    val exH = explodedShingles(df, textCol, idCol, n)
+      .select(col("id"), baseHash(col("s")).as("h"))
+    val sigAggs = (0 until k).map(i =>
+      min(permuted(i, col("h"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
+    exH.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private def bandedSigs(sigs: DataFrame, k: Int, r: Int): DataFrame = {
+    val bandArr = array((0 until k / r).map { j =>
+      md5(concat_ws("|",
+        (0 until r).map(i => col(s"h${j * r + i}").cast("string")): _*).cast("binary"))
+    }: _*)
+    sigs.select(col("id"), col("n_sh"),
+      posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Incremental NEAR-dup — [[incrementalDedup]]'s nightly shape lifted
+    * from exact fingerprints to MinHash/LSH: label each fresh document
+    * with the historical documents it near-duplicates (exact Jaccard ≥
+    * threshold), emitting `(fresh_id, hist_id, jaccard)`.
+    *
+    * The 100 TB contract: HISTORY IS NEVER RE-SKETCHED. Pass the persisted
+    * signature table ([[minhashSignatures]] output, appended nightly) as
+    * `historySigs`; only the fresh batch is shingled and hashed, and the
+    * candidate search is the same band equi-join as [[minhashDupPairs]]
+    * but fresh×history instead of a self-join — shuffle volume tracks the
+    * BATCH, not the corpus. History TEXT is touched only for verification,
+    * and only the candidates' rows (semi-join pushdown before the shingle
+    * explode), so the expensive relation scales with matches, not history.
+    * Member rows are tagged with their side, so fresh and historical id
+    * spaces may overlap safely.
+    */
+  def incrementalMinhashDupPairs(history: DataFrame, fresh: DataFrame,
+      textCol: String, idCol: String, n: Int, k: Int, r: Int,
+      threshold: Double, historySigs: Option[DataFrame] = None): DataFrame = {
+    require(k % r == 0, s"k=$k not divisible by band size r=$r")
+    val hSigs = historySigs.getOrElse(minhashSignatures(history, textCol, idCol, n, k))
+    val fSigs = minhashSignatures(fresh, textCol, idCol, n, k)
+    val cand = bandedSigs(fSigs, k, r).as("f")
+      .join(bandedSigs(hSigs, k, r).as("h"),
+        col("f.band_idx") === col("h.band_idx") &&
+        col("f.band_hash") === col("h.band_hash"))
+      .select(col("f.id").as("fresh_id"), col("h.id").as("hist_id"),
+        col("f.n_sh").as("n1"), col("h.n_sh").as("n2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verify over ONLY candidate members' shingles: one pass, sides
+    // tagged, |A ∩ B| by counting shingles seen from both members
+    val members = cand.select(
+      struct(col("fresh_id"), col("hist_id"), col("n1"), col("n2")).as("p"),
+      explode(array(
+        struct(lit("f").as("side"), col("fresh_id").as("id")),
+        struct(lit("h").as("side"), col("hist_id").as("id")))).as("m"))
+      .select(col("p"), col("m.side").as("side"), col("m.id").as("id"))
+    def needed(df: DataFrame, ids: DataFrame): DataFrame =
+      df.join(ids, df(idCol) === ids("__cid"), "left_semi")
+    val exF = explodedShingles(
+        needed(fresh, cand.select(col("fresh_id").as("__cid")).distinct()),
+        textCol, idCol, n)
+      .withColumn("side", lit("f"))
+    val exH = explodedShingles(
+        needed(history, cand.select(col("hist_id").as("__cid")).distinct()),
+        textCol, idCol, n)
+      .withColumn("side", lit("h"))
+    exF.union(exH).join(broadcast(members), Seq("side", "id"))
+      .groupBy(col("p"), col("s")).agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2)
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .select(col("p.fresh_id").as("fresh_id"), col("p.hist_id").as("hist_id"),
+        (col("c").cast("double") / (col("p.n1") + col("p.n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Partial-overlap near-dup candidates via winnowing fingerprints
     * ([[graft.expr.WinnowFps]] — MOSS-style local fingerprints: positional
     * n-gram hashes, min per sliding window of `w`): pairs sharing at least

@@ -62,6 +62,30 @@ class DedupSpec extends SparkSpec {
       x.getAs[Int]("hamming") == 0))
   }
 
+  test("incrementalMinhashDupPairs: verbatim re-arrival matches at J=1, novel doc stays silent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val hist = docs((1L, base), (2L, "unrelated history content about other topics entirely different"))
+    val fresh = docs((100L, base),
+      (101L, "completely novel fresh words sharing nothing with any history document"))
+    val r = Dedup.incrementalMinhashDupPairs(hist, fresh, "text", "doc_id", 3, 12, 3, 0.5)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("fresh_id") == 100L && r(0).getAs[Long]("hist_id") == 1L)
+    assert(r(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("incrementalMinhashDupPairs: precomputed history signatures give identical results") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val hist = docs((1L, base), (2L, "some other historical text with enough tokens to shingle fully"))
+    val fresh = docs((100L, base.replace("today", "tomorrow")))
+    def run(sigs: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.incrementalMinhashDupPairs(hist, fresh, "text", "doc_id", 3, 12, 3, 0.5, sigs)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val artifact = Dedup.minhashSignatures(hist, "text", "doc_id", 3, 12)
+    assert(run(None) == run(Some(artifact)))
+    assert(run(None).nonEmpty)
+  }
+
   private def ccOf(nodeIds: Seq[Long], edges: Seq[(Long, Long)],
       parts: Int = 3): Map[Long, Long] = {
     import spark.implicits._
