@@ -808,6 +808,24 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Deterministic mixture sampling ([[ops.Sampling.mixToTarget]]): the
+    * largest corpus matching a target language mix (en down-weighted from
+    * its natural ~44% share, the other four up-weighted to 15% each; fr
+    * is the binding group and keeps everything). Every arithmetic step —
+    * counts, the binding `min(n/p)`, the per-group rate, the hash
+    * threshold — is double IEEE replayed verbatim by the oracle, so the
+    * kept SET (not just its size) hash-matches. The oracle's target table
+    * casts its weights to DOUBLE explicitly: DuckDB VALUES literals like
+    * 0.15 are DECIMAL, and decimal division rounds differently.
+    */
+  private def t13Mixing(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.mixToTarget(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** TF-IDF top-3 terms per document. Cross-engine float discipline: the
     * idf is ROUNDED to 6 decimals before the tf multiply — ln() may
     * differ between engines in the last ulp, and a raw idf inside the
@@ -1067,6 +1085,28 @@ object SparkEntry {
     ops.Dedup.minhashDupPairs(Tables.documents(s, dir), "text", "doc_id",
       3, MinhashK, MinhashR, 0.5)
       .orderBy("id1", "id2")
+
+  /** Large-star/small-star connected components ([[ops.Dedup
+    * .dupClustersStar]]) on an adversarial LONG-PATH topology: 64-node
+    * chains (`b = a+1` for `a%100 < 63`), diameter 63 — the regime d9's
+    * O(diameter) label propagation is wrong for (63 rounds; its default
+    * bound would trip) and the O(log²) star alternation converges in a
+    * handful of cycles. Same schedule-independent recursive-CTE oracle
+    * as d9.
+    */
+  private def d11DupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val chain = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 100 < 63)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val cc = withStatePartitions(s, 8) {
+      ops.Dedup.dupClustersStar(d, chain, "doc_id")
+    }
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
 
   /** Incremental NEAR-dup ([[ops.Dedup.incrementalMinhashDupPairs]]) —
     * d7's nightly fixture run through MinHash/LSH instead of exact
@@ -1475,6 +1515,7 @@ object SparkEntry {
     "t2_lang_quality" -> t2LangQuality _,
     "t3_fingerprint" -> t3Fingerprint _,
     "t4_split" -> t4Split _,
+    "t13_mixing" -> t13Mixing _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
     "t7_pii" -> t7Pii _,
@@ -1499,6 +1540,7 @@ object SparkEntry {
     "d8_winnow" -> d8Winnow _,
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_incremental_minhash" -> d10IncrementalMinhash _,
+    "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
@@ -1911,6 +1953,22 @@ object SparkEntry {
         |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
     // md5-bucket split recomputed verbatim (engine-portable by design)
+    // the mixture arithmetic (counts -> binding min(n/p) -> rates ->
+    // hash threshold) replayed in DOUBLE on both engines
+    "t13_mixing" ->
+      """WITH t(lang, p) AS (VALUES
+        |  ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('zh', CAST(0.15 AS DOUBLE))),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |ct AS (SELECT c.lang, n, p FROM c JOIN t ON c.lang = t.lang),
+        |k AS (SELECT min(n / p) AS k FROM ct),
+        |r AS (SELECT lang, least(k.k * p / n, CAST(1.0 AS DOUBLE)) AS rate FROM ct, k)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+        |      < CAST(floor(rate * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "t4_split" ->
       """WITH b AS (SELECT lang, n_chars,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
@@ -2129,6 +2187,23 @@ object SparkEntry {
         | (h.fingerprint IS NOT NULL) AS is_dup
         |FROM fresh f LEFT JOIN h ON ${fpSql("f.text")} = h.fingerprint
         |ORDER BY f.doc_id""".stripMargin,
+    // d9's oracle shape on the long-chain fixture (64-node paths)
+    "d11_dup_clusters_star" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 100 < 63
+        |),
+        |ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id
+        |),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
     // d3's banding CTE chain, instantiated once per corpus: candidates are
     // the fresh x history band collisions, verified by exact Jaccard
     "d10_incremental_minhash" ->

@@ -482,7 +482,95 @@ object Dedup {
     sym.unpersist()
     require(converged || maxIters == 0,
       s"dupClusters did not converge in $maxIters rounds — graph diameter " +
-        "exceeds the bound; raise maxIters or pre-contract with large-star/small-star")
+        s"exceeds the bound; raise maxIters or use dupClustersStar")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", public MapReduce literature) — [[dupClusters]]'s
+    * O(diameter)-round label propagation replaced by O(log² n) rounds:
+    * the variant to reach for when the dup graph is NOT near-clique
+    * (chained plagiarism, threaded re-posts, any long-path topology).
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u}) — strictly-larger neighbors hop toward the
+    *     minimum, halving long paths;
+    *   - small-star(u): every neighbor v ≤ u (and u itself) attaches to
+    *     m = min(Γ⁻(u) ∪ {u}) — local stars consolidate.
+    *
+    * Both steps preserve connectivity; the fixpoint is a star forest
+    * rooted at each component's minimum id. Per round: two
+    * partial-aggregable groupBy-mins and two equi-joins on the node id —
+    * the same shuffle primitive as [[dupClusters]], O(|E|) rows per round
+    * with no sorting. Round results are eagerly `localCheckpoint`ed for
+    * the same exponential-lineage reason documented there; convergence is
+    * an (edge-count, order-free hash-sum) checksum pair per cycle, two
+    * scalar aggregates.
+    *
+    * Returns `(idCol, cluster_id)` for every node, singletons included —
+    * same contract as [[dupClusters]] (spec-checked equal on shared
+    * topologies; gate-checked against the recursive-CTE oracle).
+    */
+  def dupClustersStar(nodes: DataFrame, edges: DataFrame, idCol: String,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxIters: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical storage is u < v, so the "neighbors ≤ center"
+      // orientation is exactly the reversed edge list — no sym+filter
+      val smaller = e.select(col("v").as("u"), col("u").as("v"))
+      val m = smaller.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      canon(smaller.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .transform(canon)
+      .localCheckpoint(true)
+    var prev = checksum(e)
+    var it = 0
+    var converged = e.isEmpty
+    while (!converged && it < maxIters) {
+      // checkpoint BETWEEN the stars too: smallStar consumes its input
+      // twice (reversed edges + the center-min aggregate), which would
+      // otherwise recompute the whole largeStar join per cycle
+      val next = smallStar(largeStar(e).localCheckpoint(true)).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e.unpersist()
+      e = next
+      it += 1
+    }
+    require(converged,
+      s"dupClustersStar did not converge in $maxIters cycles")
+    // fixpoint is a star forest (u = component min < v): every non-root
+    // node appears as exactly one edge's v; roots and singletons fall
+    // back to themselves
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(e.groupBy(col("v").as("id")).agg(min(col("u")).as("lbl")),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 }

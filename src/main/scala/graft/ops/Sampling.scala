@@ -73,6 +73,40 @@ object Sampling {
       .drop("rk")
   }
 
+  /** Deterministic mixture sampling — assemble the largest corpus whose
+    * group composition matches `targets` (proportions per group value,
+    * e.g. language or source weights of a training mix). The achievable
+    * size is bound by the scarcest group relative to its target,
+    * `K = min_g(n_g / p_g)`; each group then keeps `K·p_g` of its `n_g`
+    * rows via the engine-portable hash order ([[hashBucket]] over 10⁶
+    * buckets — the kept set is a uniform, run-stable sample, and a row
+    * kept at one target stays kept when the target grows).
+    *
+    * Fully distributed, no driver round-trip: group counts are one
+    * partial-aggregable groupBy (|groups| rows), the binding constraint a
+    * 1-row aggregate cross-joined back, and membership a broadcast join +
+    * codegen'd filter on the corpus — the corpus is scanned once and
+    * never shuffled. Groups absent from `targets` are dropped (weight 0).
+    */
+  def mixToTarget(df: DataFrame, groupCol: String, idCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"targets must be positive: $targets")
+    val s = df.sparkSession
+    import s.implicits._
+    val t = targets.toSeq.sortBy(_._1).toDF(groupCol, "__p")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .join(t, groupCol) // inner: untargeted groups drop out
+    val k = counts.agg(min(col("__n") / col("__p")).as("__k"))
+    val rates = counts.crossJoin(k)
+      .select(col(groupCol),
+        least(col("__k") * col("__p") / col("__n"), lit(1.0)).as("__rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(idCol), 1000000) <
+        floor(col("__rate") * 1000000d).cast("long"))
+      .drop("__rate")
+  }
+
   /** Materialize [[packShards]] output into actual training sequences:
     * one row per (bucket, shard) with the member documents concatenated
     * in pack order (space-separated — the tokenizer-neutral join; a real

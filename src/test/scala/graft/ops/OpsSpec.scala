@@ -119,6 +119,39 @@ class DedupSpec extends SparkSpec {
     val cc = ccOf(Seq(1, 2, 3), Seq((1, 2), (2, 3)))
     assert(cc.values.toSet == Set(1L))
   }
+
+  private def starCcOf(nodeIds: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.dupClustersStar(nodeIds.toDF("id").repartition(3),
+        edges.toDF("src", "dst").repartition(3), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("dupClustersStar == dupClusters on chains, cliques, stars, random graphs") {
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic fixture
+    val shapes: Seq[(Seq[Long], Seq[(Long, Long)])] = Seq(
+      // 20-node chain + clique + singleton
+      ((1L to 26L), (1L to 19L).map(i => (i, i + 1)) ++
+        Seq((21L, 22L), (22L, 23L), (23L, 21L))),
+      // random sparse graph, 60 nodes / 40 edges (duplicates + self-ids ok)
+      ((1L to 60L), Seq.fill(40)((rnd.nextInt(60) + 1L, rnd.nextInt(60) + 1L))),
+      // empty edge set: all singletons
+      ((1L to 5L), Seq.empty)
+    )
+    for (((nodes, edges), i) <- shapes.zipWithIndex) {
+      val a = starCcOf(nodes, edges.filter(e => e._1 != e._2))
+      val b = ccOf(nodes, edges.filter(e => e._1 != e._2))
+      assert(a == b, s"shape $i: star and propagation disagree")
+    }
+  }
+
+  test("dupClustersStar converges in far fewer rounds than the diameter") {
+    // a 200-node path (diameter 199): label propagation would need ~200
+    // rounds; the star alternation must land well inside 30 cycles (the
+    // default bound) — this is the op's reason to exist
+    val cc = starCcOf(1L to 200L, (1L to 199L).map(i => (i, i + 1)))
+    assert(cc.values.toSet == Set(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

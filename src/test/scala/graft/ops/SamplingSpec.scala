@@ -57,4 +57,38 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("mixToTarget: binding group kept whole, others thinned toward the mix") {
+    import spark.implicits._
+    // sizes 150/100/50, targets 0.5/0.25/0.25 -> K = min(300, 400, 200) =
+    // 200 -> expected keeps (100, 50, 50): c is the binding group (rate 1,
+    // kept EXACTLY whole); a and b are hash-thinned approximations
+    val df = ((1L to 150L).map((_, "a")) ++ (201L to 300L).map((_, "b")) ++
+      (401L to 450L).map((_, "c"))).toDF("id", "g")
+    val kept = Sampling.mixToTarget(df, "g", "id",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("c") == 50L, s"binding group not kept whole: $kept")
+    assert(math.abs(kept("a") - 100L) <= 25, s"group a far off target: $kept")
+    assert(math.abs(kept("b") - 50L) <= 20, s"group b far off target: $kept")
+  }
+
+  test("mixToTarget: deterministic, monotone under target growth, drops untargeted groups") {
+    import spark.implicits._
+    val df = ((1L to 80L).map((_, "a")) ++ (101L to 140L).map((_, "b")) ++
+      (201L to 210L).map((_, "zz"))).toDF("id", "g")
+    def keptIds(t: Map[String, Double]): Set[Long] =
+      Sampling.mixToTarget(df, "g", "id", t).select("id")
+        .collect().map(_.getLong(0)).toSet
+    val small = keptIds(Map("a" -> 0.8, "b" -> 0.2))
+    assert(small == keptIds(Map("a" -> 0.8, "b" -> 0.2)), "not deterministic")
+    assert(!small.exists(_ >= 201L), "untargeted group leaked through")
+    // raising b's share (b becomes less binding for a... a's rate can only
+    // grow or shrink monotonically per group): every kept id in a group
+    // whose rate grew stays kept (hash-threshold monotonicity)
+    val grown = keptIds(Map("a" -> 0.9, "b" -> 0.1))
+    val aIds = (1L to 80L).toSet
+    assert((small & aIds).subsetOf(grown & aIds),
+      "rate growth must not evict previously kept rows")
+  }
 }
