@@ -808,6 +808,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Unigram LM surprisal ([[ops.Curation.unigramSurprisal]]) — corpus
+    * self-trained distributional quality score. The oracle replays the
+    * micro-nat fixed-point discipline: `ln` rounded to integer micro-nats
+    * per token, LONG sums across the shuffle, one division at emit.
+    */
+  private def t14Surprisal(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.unigramSurprisal(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Deterministic mixture sampling ([[ops.Sampling.mixToTarget]]): the
     * largest corpus matching a target language mix (en down-weighted from
     * its natural ~44% share, the other four up-weighted to 15% each; fr
@@ -1516,6 +1526,7 @@ object SparkEntry {
     "t3_fingerprint" -> t3Fingerprint _,
     "t4_split" -> t4Split _,
     "t13_mixing" -> t13Mixing _,
+    "t14_surprisal" -> t14Surprisal _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
     "t7_pii" -> t7Pii _,
@@ -1953,6 +1964,18 @@ object SparkEntry {
         |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
     // md5-bucket split recomputed verbatim (engine-portable by design)
+    // micro-nat fixed point: ln rounded to integer micro-nats per token
+    // (absorbing cross-engine ln ulps), LONG sums, one division at emit
+    "t14_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+        |vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+        |sup AS (SELECT t, CAST(round(-ln(c / tot.n) * 1000000, 0) AS BIGINT) AS s_micro
+        |        FROM vocab, tot),
+        |d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(s_micro) AS BIGINT) AS ssum
+        |      FROM tok JOIN sup USING (t) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(ssum / n_tokens / 1000000, 6) AS surprisal
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the mixture arithmetic (counts -> binding min(n/p) -> rates ->
     // hash threshold) replayed in DOUBLE on both engines
     "t13_mixing" ->

@@ -77,6 +77,43 @@ object Curation {
   def piiRedact(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"), Ipv4Pattern, "[IP]")
 
+  /** Unigram language-model surprisal — the distributional quality score
+    * (the in-engine analogue of the KenLM-perplexity filters in
+    * CCNet-style curation: a document whose vocabulary is improbable
+    * under the corpus model scores high; production swaps in a real LM,
+    * the pipeline shape is identical). The model is trained on the corpus
+    * itself in the same pass: `p(t) = count(t) / Σcounts`, doc score =
+    * mean per-token surprisal `−ln p(t)`.
+    *
+    * Engine-exact discipline (the [[Similarity.groupCentroids]]
+    * fixed-point rule applied to floats that must cross a shuffle):
+    * per-token surprisal is rounded to integer MICRO-nats immediately
+    * after the `ln` (absorbing the ≤1-ulp cross-engine `ln` wobble, as
+    * t5's idf does), summed as LONGs (order-free — a double sum's low
+    * bits depend on shuffle arrival order), divided once at emit.
+    *
+    * Plan shape: one tokenize pass feeds the vocabulary aggregate and the
+    * doc join; vocabulary is the compact artifact (|vocab| rows) that at
+    * 100 TB would persist as a table and broadcast below the auto
+    * threshold. Docs with zero tokens emit no row (no distribution to
+    * score against).
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("n"))
+    val sup = vocab.crossJoin(total)
+      .select(col("t"),
+        round(-log(col("c").cast("double") / col("n")) * 1e6, 0)
+          .cast("long").as("s_micro"))
+    tok.join(sup, "t")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_micro")).as("ssum"))
+      .select(col("id"), col("n_tokens"),
+        round(col("ssum").cast("double") / col("n_tokens") / 1e6, 6).as("surprisal"))
+  }
+
   /** Repetition / boilerplate metrics (Gopher-style repetition signals):
     * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
     * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.

@@ -185,4 +185,26 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(e - a) <= 0.05 * 9973, s"group ${r.getString(0)}: exact=$e approx=$a")
     }
   }
+
+  test("unigramSurprisal: rare-vocabulary docs score higher; repeated common text lower") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the the the the the the the the"),          // one very common token
+      (2L, "the quick brown fox jumps over lazy dogs"), // mixed
+      (3L, "xylophone quizzical jabberwocky vex")       // all singletons
+    ).toDF("doc_id", "text")
+    val r = Curation.unigramSurprisal(df, "text", "doc_id")
+      .orderBy("id").collect()
+    val s = r.map(_.getAs[Double]("surprisal"))
+    assert(s(0) < s(1) && s(1) < s(2), s.toSeq.toString)
+    assert(r(0).getAs[Long]("n_tokens") == 8L)
+  }
+
+  test("unigramSurprisal is partitioning-independent (fixed-point sums)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(parts: Int) =
+      Curation.unigramSurprisal(docs.repartition(parts), "text", "doc_id")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(2) == run(17))
+  }
 }
