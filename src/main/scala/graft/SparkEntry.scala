@@ -1096,6 +1096,33 @@ object SparkEntry {
       3, MinhashK, MinhashR, 0.5)
       .orderBy("id1", "id2")
 
+  /** The dedup pipeline END-TO-END through one gate: MinHash/LSH pairing
+    * ([[ops.Dedup.minhashDupPairs]]) feeding connected components
+    * ([[ops.Dedup.dupClusters]]) feeding the dup-group summary — the
+    * composition a production corpus-curation run actually executes
+    * (pairs alone never answer "keep which docs?"). Planted trios
+    * (doc, +100000, +500000 for doc%20=0) force transitive grouping;
+    * duos (+100000 for doc%10=0) and the corpus's natural near-dups ride
+    * along. Output: one row per multi-member cluster.
+    */
+  private def d12DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = d
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val pairs = ops.Dedup.minhashDupPairs(planted, "text", "doc_id",
+      3, MinhashK, MinhashR, 0.5)
+    val cc = withStatePartitions(s, 8) {
+      ops.Dedup.dupClusters(planted.select(col("doc_id")),
+        pairs.select(col("id1"), col("id2")), "doc_id", "id1", "id2")
+    }
+    cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .orderBy("cluster_id")
+  }
+
   /** Large-star/small-star connected components ([[ops.Dedup
     * .dupClustersStar]]) on an adversarial LONG-PATH topology: 64-node
     * chains (`b = a+1` for `a%100 < 63`), diameter 63 — the regime d9's
@@ -1552,6 +1579,7 @@ object SparkEntry {
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_incremental_minhash" -> d10IncrementalMinhash _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
+    "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
@@ -2210,6 +2238,32 @@ object SparkEntry {
         | (h.fingerprint IS NOT NULL) AS is_dup
         |FROM fresh f LEFT JOIN h ON ${fpSql("f.text")} = h.fingerprint
         |ORDER BY f.doc_id""".stripMargin,
+    // d3's LSH CTE chain over the planted corpus feeding d9's recursive
+    // closure — the whole dedup pipeline replayed in one statement
+    "d12_dedup_pipeline" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |d0 AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM base),
+        |d AS (SELECT doc_id, sh, $baseHashSql AS hs FROM d0),
+        |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM d),
+        |bands AS (SELECT doc_id, sh, $bandsSql AS bands FROM sigs),
+        |e0 AS (SELECT doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM bands),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM e0 a JOIN e0 b ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+        |p AS (SELECT id1, id2 FROM (
+        |        SELECT id1, id2, ${jaccardSql("da.sh", "db.sh")} AS j
+        |        FROM cand JOIN d da ON cand.id1 = da.doc_id JOIN d db ON cand.id2 = db.doc_id) x
+        |      WHERE j >= 0.5),
+        |ee AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2 AS src, id1 AS dst FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM base
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id),
+        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id
+        |HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
     // d9's oracle shape on the long-chain fixture (64-node paths)
     "d11_dup_clusters_star" ->
       """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
