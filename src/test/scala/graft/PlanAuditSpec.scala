@@ -130,6 +130,30 @@ class PlanAuditSpec extends SparkSpec {
       s"sim2 corpus assignment lost the partial-aggregable argmin:\n$plan")
   }
 
+  test("t13 mixing joins the corpus against broadcast rates — corpus side unshuffled") {
+    // the rate table is |groups| rows; the corpus must meet it via a
+    // broadcast hash join (a shuffled join would move the corpus for a
+    // five-row dimension). The tiny SinglePartition exchange on the
+    // counts frame (global min) is by design.
+    val plan = executed(SparkEntry.queries("t13_mixing")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mixing corpus join is not broadcast:\n$plan")
+  }
+
+  test("io8 z-order rewrite is a single range repartition (no extra shuffles)") {
+    val plan = executed(SparkEntry.queries("io8_zorder")(spark, sf0001))
+    assert(plan.contains("rangepartitioning"),
+      s"clusterByZ lost its range partitioning:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppStatusStore UDF"),
+      "zValue must stay native")
+  }
+
+  test("d10 incremental band join pairs fresh x history by equi-key, no nested loop") {
+    val plan = executed(SparkEntry.queries("d10_incremental_minhash")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop pairing in d10 plan:\n$plan")
+  }
+
   test("window top-k filters get WindowGroupLimit (partial per-partition top-k)") {
     // Spark's InferWindowGroupLimit turns `row_number().over(w) <= k`
     // into a pre-window partial top-k on each input partition, bounding
