@@ -1044,6 +1044,15 @@ object SparkEntry {
         col("scale"), col("mse"))
       .orderBy("vec_id")
 
+  /** Random projection 64→8 ([[ops.Similarity.randomProject]]): the
+    * oracle derives the ±1 sign matrix INDEPENDENTLY from the same
+    * md5("i|j")-parity rule and replays the left-to-right fold — eight
+    * scalar columns, every element pinned.
+    */
+  private def sim5RandomProject(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding", 64, 8)
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------------
   // Dedup tier
   // ---------------------------------------------------------------------
@@ -1572,6 +1581,7 @@ object SparkEntry {
     "q25_retention" -> q25Retention _,
     "sim3_quantize" -> sim3Quantize _,
     "sim4_centroids" -> sim4Centroids _,
+    "sim5_random_project" -> sim5RandomProject _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d7_incremental_dedup" -> d7IncrementalDedup _,
@@ -2192,6 +2202,16 @@ object SparkEntry {
         |    doc_id) AS rk
         | FROM documents)
         |SELECT doc_id, lang FROM r WHERE rk <= 60 ORDER BY doc_id""".stripMargin,
+    // sign matrix re-derived from md5("i|j") parity; left-to-right fold
+    "sim5_random_project" -> {
+      def pSql(j: Int): String =
+        s"round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * " +
+          s"(CASE WHEN CAST(('0x' || substr(md5(CAST(i-1 AS VARCHAR) || '|$j'), 1, 4)) AS BIGINT) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END))) / sqrt(8.0), 6) AS p$j"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id, ${(0 until 8).map(pSql).mkString(",\n ")}
+        |FROM e ORDER BY vec_id""".stripMargin
+    },
     // double IEEE arithmetic + half-away-zero rounds on both engines
     "sim3_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -305,6 +305,44 @@ object Similarity {
         round(col("s").cast("double") / col("n") / scale, 6).as("centroid"))
   }
 
+  /** Deterministic ±1 random projection (Achlioptas-style
+    * Johnson–Lindenstrauss sketch): `p_j = Σ_i v_i · s(i,j) / √outDim`
+    * with `s(i,j) ∈ {±1}` derived from `md5("i|j")` parity — the
+    * dimensionality-reduction step in front of ANN indexing and
+    * near-dup blocking (distances are preserved within ~√(2/outDim)
+    * relative error, so a 64→8 sketch is 8× less shuffle/state for every
+    * downstream vector op).
+    *
+    * The sign matrix is SEED-FREE and engine-derivable: the oracle
+    * recomputes it independently from the same md5 rule, rather than
+    * trusting a serialized matrix. Per row the projection is `outDim`
+    * zip_with/aggregate folds — LEFT-TO-RIGHT array folds, identical in
+    * any engine, so no fixed-point scaling is needed (same argument as
+    * [[quantizeInt8]]'s mse); rounded to 6 decimals at emit. Narrow map,
+    * no shuffle; signs are compile-time literals inside the expression
+    * (no per-row hashing).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"bad projection dims: $inDim -> $outDim")
+    def sign(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i|$j".getBytes("UTF-8"))
+      val nib = ((d(0) & 0xff) << 8) | (d(1) & 0xff) // first 4 hex chars
+      if (nib % 2 == 0) 1d else -1d
+    }
+    val v = col(vecCol).cast("array<double>")
+    val scale = math.sqrt(outDim.toDouble)
+    val outs = (0 until outDim).map { j =>
+      val sArr = array((0 until inDim).map(i => lit(sign(i, j))): _*)
+      round(
+        aggregate(zip_with(v, sArr, (x, s) => x * s), lit(0d), (acc, e) => acc + e)
+          / scale, 6).as(s"p$j")
+    }
+    df.select(col(idCol) +: outs: _*)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× compression for ANN serving / training-data shipping. Per vector:
     * `scale = max(|x_i|) / 127`, `q_i = round(x_i / scale)` ∈ [−127, 127]

@@ -255,6 +255,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.2f below floor")
   }
 
+  test("randomProject approximately preserves norms (JL property)") {
+    // E[||Pv||^2] = ||v||^2 with relative std ~ sqrt(2/outDim); at
+    // outDim=32 every ratio should land well inside [0.3, 3] and the mean
+    // near 1 — distance-preservation is WHY the sketch is usable for ANN
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = Similarity.randomProject(e, "vec_id", "embedding", 64, 32)
+    val projNorm = (0 until 32).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    val origNorm = aggregate(col("embedding").cast("array<double>"),
+      lit(0d), (acc, x) => acc + x * x)
+    val ratios = e.select(col("vec_id"), origNorm.as("n0"))
+      .join(p.select(col("vec_id"), projNorm.as("n1")), "vec_id")
+      .filter(col("n0") > 0)
+      .select((col("n1") / col("n0")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratios.forall(r => r > 0.3 && r < 3.0),
+      s"JL distortion out of range: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.25, s"mean norm ratio drifted: $mean")
+  }
+
+  test("randomProject is deterministic and seed-free across sessions/partitionings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def run(parts: Int) =
+      Similarity.randomProject(e.repartition(parts), "vec_id", "embedding", 64, 8)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(run(2) == run(11))
+  }
+
   test("ivfTopKWith trained centroids plans like gated sim2 (no oracle needed)") {
     // The trained path is spec-gated (Lloyd's is not replicable in DuckDB
     // SQL at reasonable cost); this locks that it produces the SAME
