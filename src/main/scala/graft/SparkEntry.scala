@@ -296,6 +296,32 @@ object SparkEntry {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stream-static enrichment ([[graft.streaming.EventsStream
+    * .segmentTotals]]) through the ACTUAL streaming engine: the events
+    * stream joins the static customer dimension and totals per
+    * (segment, event_type); the oracle is the equivalent batch join.
+    */
+  private def q26StreamStatic(s: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_q26_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.segmentTotals(
+          graft.streaming.EventsStream.readEvents(s, dir),
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    s.table(sink)
+      .select(col("segment"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("segment", "event_type")
+  }
+
   private def q9StreamHourly(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q9_sink"
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
@@ -1569,6 +1595,7 @@ object SparkEntry {
     "t8_repetition" -> t8Repetition _,
     "q16_quantiles" -> q16Quantiles _,
     "q17_stream_join" -> q17StreamJoin _,
+    "q26_stream_static" -> q26StreamStatic _,
     "t9_shard_pack" -> t9ShardPack _,
     "t10_rebalance" -> t10Rebalance _,
     "t11_pack_texts" -> t11PackTexts _,
@@ -2227,6 +2254,12 @@ object SparkEntry {
         |        ELSE list_sum(list_transform(generate_series(1, len(v)),
         |               i -> (v[i] - q[i] * s_raw) * (v[i] - q[i] * s_raw))) / len(v) END, 6) AS mse
         |FROM qq ORDER BY vec_id""".stripMargin,
+    // batch mirror of the stream-static enrichment join
+    "q26_stream_static" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // batch mirror of the streaming interval join, micros semantics
     "q17_stream_join" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts)//1000 AS vus

@@ -51,6 +51,24 @@ object EventsStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), (col("tv_cents").cast("double") / lit(100d)).as("total_value"))
 
+  /** Stream-STATIC enrichment join + running aggregate: the stream joins
+    * a static dimension frame (customer → market segment) and totals per
+    * (segment, event_type) — the standard "enrich events with reference
+    * data" shape. Stream-static inner joins are STATELESS on the stream
+    * side (each micro-batch probes the static relation — broadcast by
+    * Catalyst when small — nothing is buffered across batches, no
+    * watermark needed); only the downstream aggregate keeps state, and
+    * at 100 TB/day that state is |segments × event types| rows. Exact
+    * integral-cents money totals, the engine-wide convention.
+    */
+  def segmentTotals(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("tv_cents"))
+      .select(col("c_mktsegment").as("segment"), col("event_type"),
+        col("n_events"), (col("tv_cents").cast("double") / lit(100d)).as("total_value"))
+
   /** Per-user session ids: a new session starts after `gapMinutes` of
     * inactivity. Stateful flatMapGroupsWithState-free formulation for the
     * batch mirror; the streaming form uses session windows.
