@@ -834,6 +834,16 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Overlapping token chunking ([[ops.Curation.chunkDocs]], size 64,
+    * stride 48): one row per (doc, chunk), each chunk's token content
+    * pinned by md5. The oracle replays the chunk-count arithmetic and
+    * 1-based list slicing.
+    */
+  private def t15Chunking(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.chunkDocs(Tables.documents(s, dir), "text", "doc_id", 64, 48)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Unigram LM surprisal ([[ops.Curation.unigramSurprisal]]) — corpus
     * self-trained distributional quality score. The oracle replays the
     * micro-nat fixed-point discipline: `ln` rounded to integer micro-nats
@@ -1589,6 +1599,7 @@ object SparkEntry {
     "t4_split" -> t4Split _,
     "t13_mixing" -> t13Mixing _,
     "t14_surprisal" -> t14Surprisal _,
+    "t15_chunking" -> t15Chunking _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
     "t7_pii" -> t7Pii _,
@@ -2029,6 +2040,20 @@ object SparkEntry {
         |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
     // md5-bucket split recomputed verbatim (engine-portable by design)
+    // chunk-count arithmetic + 1-based inclusive slicing replayed
+    "t15_chunking" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        |n AS (SELECT doc_id, tk,
+        |        1 + (GREATEST(0, len(tk) - 64) + 47) // 48 AS nc
+        |      FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_idx, tk FROM n),
+        |s AS (SELECT doc_id, chunk_idx,
+        |        tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+        |      FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(len(chunk) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     // micro-nat fixed point: ln rounded to integer micro-nats per token
     // (absorbing cross-engine ln ulps), LONG sums, one division at emit
     "t14_surprisal" ->

@@ -77,6 +77,36 @@ object Curation {
   def piiRedact(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"), Ipv4Pattern, "[IP]")
 
+  /** Fixed-size token chunking with overlap — the splitter in front of
+    * embedding generation / RAG indexing: chunk k covers tokens
+    * `[k·stride + 1, k·stride + size]`, chunks are emitted until the
+    * first one whose window reaches the document's end (count =
+    * `1 + ⌈max(0, len − size) / stride⌉`, all-integer arithmetic), and
+    * the final chunk may be short. `stride < size` gives the overlap
+    * that keeps boundary-spanning content retrievable. Pure narrow map +
+    * explode — one output row per (doc, chunk), no shuffle; empty docs
+    * emit nothing.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"bad chunking params: size=$chunkSize stride=$stride")
+    // (len − size + stride − 1) ÷ stride: Column `/` is double division;
+    // the floor-cast equals integer division for these non-negatives
+    def nChunks(tk: Column): Column =
+      lit(1) + ((greatest(lit(0), size(tk) - chunkSize) + (stride - 1))
+        / stride).cast("int")
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(0), nChunks(col("tk")) - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("tk"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+  }
+
   /** Unigram language-model surprisal — the distributional quality score
     * (the in-engine analogue of the KenLM-perplexity filters in
     * CCNet-style curation: a document whose vocabulary is improbable

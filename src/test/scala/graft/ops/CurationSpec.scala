@@ -200,6 +200,23 @@ class CurationSpec extends SparkSpec {
     assert(r(0).getAs[Long]("n_tokens") == 8L)
   }
 
+  test("chunkDocs: boundaries, overlap, short docs, empty docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 toks, size 8 stride 4 -> 2 chunks
+      (2L, "a b c"),                          // shorter than size -> 1 chunk
+      (3L, "")                                // empty -> no rows
+    ).toDF("doc_id", "text")
+    val r = Curation.chunkDocs(df, "text", "doc_id", 8, 4)
+      .orderBy("id", "chunk_idx").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 0L, 8L), (1L, 1L, 6L), (2L, 0L, 3L)))
+    // chunk 1 of doc 1 = tokens 5..10 (overlap of 4 with chunk 0)
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1).getAs[String]("chunk_md5") == md5of("t5 t6 t7 t8 t9 t10"))
+  }
+
   test("unigramSurprisal is partitioning-independent (fixed-point sums)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(parts: Int) =
