@@ -834,6 +834,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** PMI collocations ([[ops.Curation.pmiCollocations]]): top-50 adjacent
+    * bigrams by pointwise mutual information, min pair count 5. The ln
+    * argument is one exact integer ratio on both engines; 6-decimal
+    * rounding before the rank, bigram-string tiebreak.
+    */
+  private def t16Pmi(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.pmiCollocations(Tables.documents(s, dir), "text", 5L, 50)
+      .orderBy(desc("pmi"), col("bigram"))
+
   /** Overlapping token chunking ([[ops.Curation.chunkDocs]], size 64,
     * stride 48): one row per (doc, chunk), each chunk's token content
     * pinned by md5. The oracle replays the chunk-count arithmetic and
@@ -1600,6 +1609,7 @@ object SparkEntry {
     "t13_mixing" -> t13Mixing _,
     "t14_surprisal" -> t14Surprisal _,
     "t15_chunking" -> t15Chunking _,
+    "t16_pmi" -> t16Pmi _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
     "t7_pii" -> t7Pii _,
@@ -2040,6 +2050,26 @@ object SparkEntry {
         |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
     // md5-bucket split recomputed verbatim (engine-portable by design)
+    // one exact integer ratio into one ln, rounded before the rank
+    "t16_pmi" ->
+      s"""WITH tk AS (SELECT ${toksSql("text")} AS tk FROM documents),
+        |tok AS (SELECT unnest(tk) AS t FROM tk),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+        |big AS (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |          i -> [tk[i], tk[i+1]])) AS p
+        |        FROM tk WHERE len(tk) >= 2),
+        |bcnt AS (SELECT p[1] AS ta, p[2] AS tb, count(*) AS c_ab FROM big GROUP BY 1, 2),
+        |nbi AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bcnt),
+        |j AS (SELECT bcnt.ta || ' ' || bcnt.tb AS bigram, c_ab AS n_pair,
+        |        round(ln((c_ab * n_tok * n_tok) / (n_bi * ua.c * ub.c)), 6) AS pmi
+        |      FROM bcnt
+        |      CROSS JOIN ntok CROSS JOIN nbi
+        |      JOIN uni ua ON bcnt.ta = ua.t
+        |      JOIN uni ub ON bcnt.tb = ub.t
+        |      WHERE c_ab >= 5)
+        |SELECT bigram, n_pair, pmi FROM j
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
     // chunk-count arithmetic + 1-based inclusive slicing replayed
     "t15_chunking" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),

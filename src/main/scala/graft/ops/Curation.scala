@@ -144,6 +144,47 @@ object Curation {
         round(col("ssum").cast("double") / col("n_tokens") / 1e6, 6).as("surprisal"))
   }
 
+  /** Top-k adjacent-token collocations by pointwise mutual information —
+    * phrase mining over the corpus (multi-word entities, idioms,
+    * domain terms): `pmi(a,b) = ln(p(a,b) / (p(a)·p(b)))` over raw
+    * occurrence counts (NOT per-doc-distinct shingles — PMI needs true
+    * frequencies), thresholded at `minCount` to kill one-off pairings.
+    *
+    * Engine parity: the ln argument is assembled as ONE exact integer
+    * ratio `(c_ab·N_tok²) / (N_bi·c_a·c_b)` (all factors < 2⁵³ at any
+    * realistic corpus, so the doubles are exact), one `ln`, rounded to 6
+    * decimals before ranking, ties broken by the bigram string. The
+    * global top-k runs as orderBy+limit — Catalyst plans
+    * TakeOrderedAndProject (per-partition partial top-k), never a
+    * single-partition window sort.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val tok = df.select(explode(toks).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val bigrams = df.select(toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+    val bcnt = bigrams.groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+    val nBi = bcnt.agg(sum(col("c_ab")).as("n_bi"))
+    bcnt.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("t").as("ta"), col("c").as("c_a")), "ta")
+      .join(uni.select(col("t").as("tb"), col("c").as("c_b")), "tb")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(concat_ws(" ", col("ta"), col("tb")).as("bigram"),
+        col("c_ab").as("n_pair"),
+        round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast("double")
+          / (col("n_bi") * col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(k)
+  }
+
   /** Repetition / boilerplate metrics (Gopher-style repetition signals):
     * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
     * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.

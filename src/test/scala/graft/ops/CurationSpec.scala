@@ -217,6 +217,22 @@ class CurationSpec extends SparkSpec {
     assert(r(1).getAs[String]("chunk_md5") == md5of("t5 t6 t7 t8 t9 t10"))
   }
 
+  test("pmiCollocations: inseparable pair tops the list; global top-k avoids a single-partition sort") {
+    import spark.implicits._
+    // "zig zag" always adjacent and never apart -> maximal PMI;
+    // "the cat"/"the dog" share a promiscuous left token -> lower PMI
+    val rows = Seq.fill(6)("zig zag") ++ Seq.fill(10)("the cat sat") ++
+      Seq.fill(10)("the dog ran")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val q = Curation.pmiCollocations(df, "text", 5L, 10)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global top-k must plan as TakeOrderedAndProject, not a full sort")
+    val r = q.collect()
+    assert(r.head.getAs[String]("bigram") == "zig zag", r.map(_.toSeq).mkString("; "))
+    val pmiOf = r.map(x => x.getAs[String]("bigram") -> x.getAs[Double]("pmi")).toMap
+    assert(pmiOf("zig zag") > pmiOf("the cat"))
+  }
+
   test("unigramSurprisal is partitioning-independent (fixed-point sums)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(parts: Int) =
