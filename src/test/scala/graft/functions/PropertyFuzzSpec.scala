@@ -89,4 +89,48 @@ class PropertyFuzzSpec extends SparkSpec {
       assert(s == want, s"id=${r.getLong(0)} bucket=$b split=$s")
     }
   }
+
+  // --- connected components ----------------------------------------------
+
+  /** Independent reference: classic path-compressed union-find, nothing
+    * shared with either distributed formulation.
+    */
+  private def refComponents(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root = component min because unions always parent the larger root
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("dupClusters AND dupClustersStar match union-find on random graphs") {
+    import spark.implicits._
+    val n = 40
+    val graphGen: Gen[Seq[(Int, Int)]] = for {
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (a, b))
+    } yield es
+    for ((edges, i) <- samples(graphGen, 5).zipWithIndex) {
+      val want = refComponents(n, edges)
+      val nodes = (0L until n.toLong).toDF("id")
+      val e = edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val prop = graft.ops.Dedup.dupClusters(nodes, e, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = graft.ops.Dedup.dupClustersStar(nodes, e, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == want, s"graph $i: propagation != union-find")
+      assert(star == want, s"graph $i: star != union-find")
+    }
+  }
 }
