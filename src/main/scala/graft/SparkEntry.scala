@@ -834,6 +834,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Temperature mixing ([[ops.Sampling.mixByTemperature]], α = 0.5):
+    * targets derived from the data as `p ∝ √n` — rare languages
+    * up-weighted. Integer micro-weights make the whole rate pipeline
+    * engine-exact; the oracle replays it from the same quantization.
+    */
+  private def t17Temperature(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.mixByTemperature(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** PMI collocations ([[ops.Curation.pmiCollocations]]): top-50 adjacent
     * bigrams by pointwise mutual information, min pair count 5. The ln
     * argument is one exact integer ratio on both engines; 6-decimal
@@ -1610,6 +1622,7 @@ object SparkEntry {
     "t14_surprisal" -> t14Surprisal _,
     "t15_chunking" -> t15Chunking _,
     "t16_pmi" -> t16Pmi _,
+    "t17_temperature" -> t17Temperature _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
     "t7_pii" -> t7Pii _,
@@ -2050,6 +2063,20 @@ object SparkEntry {
         |   (a, b) -> (a * 31 + b) % ${TextFunctions.RollingHashMod}) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
     // md5-bucket split recomputed verbatim (engine-portable by design)
+    // integer micro-weights (round(pow·1e6)) -> exact-LONG sum -> double
+    // rates in the same expression order as the engine
+    "t17_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(round(pow(n, 0.5) * 1000000, 0) AS BIGINT) AS w FROM c),
+        |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        |t AS (SELECT lang, n, w / sw.sw AS p FROM w, sw),
+        |k AS (SELECT min(n / p) AS k FROM t),
+        |r AS (SELECT lang, least(k.k * p / n, CAST(1.0 AS DOUBLE)) AS rate FROM t, k)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+        |      < CAST(floor(rate * 1000000) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     // one exact integer ratio into one ln, rounded before the rank
     "t16_pmi" ->
       s"""WITH tk AS (SELECT ${toksSql("text")} AS tk FROM documents),

@@ -107,6 +107,39 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Temperature-scaled mixture ([[mixToTarget]] with targets derived
+    * from the data): group proportions `p_g ∝ n_g^α` — the α-sampling of
+    * the multilingual-pretraining literature (α = 1 keeps the natural
+    * distribution, α → 0 approaches uniform; 0.3–0.7 is the usual
+    * rare-language up-weighting band).
+    *
+    * Engine-exact derivation: `n^α` is quantized to integer micro-weights
+    * immediately (`round(pow·10⁶)` — absorbing any last-ulp libm `pow`
+    * disagreement, the same rule as the ln-based scores), weights are
+    * summed as LONGs, and every downstream double (`p_g`, the binding
+    * `K`, the rates) is computed from those exact integers in the same
+    * expression order on both engines. Same distributed shape as
+    * [[mixToTarget]]: no driver round-trip, corpus scanned once, never
+    * shuffled.
+    */
+  def mixByTemperature(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(pow(col("__n").cast("double"), alpha) * 1e6, 0).cast("long"))
+    val sumw = counts.agg(sum(col("__w")).as("__sw"))
+    val t = counts.crossJoin(broadcast(sumw))
+      .withColumn("__p", col("__w").cast("double") / col("__sw"))
+    val k = t.agg(min(col("__n") / col("__p")).as("__k"))
+    val rates = t.crossJoin(broadcast(k))
+      .select(col(groupCol),
+        least(col("__k") * col("__p") / col("__n"), lit(1.0)).as("__rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(idCol), 1000000) <
+        floor(col("__rate") * 1000000d).cast("long"))
+      .drop("__rate")
+  }
+
   /** Materialize [[packShards]] output into actual training sequences:
     * one row per (bucket, shard) with the member documents concatenated
     * in pack order (space-separated — the tokenizer-neutral join; a real

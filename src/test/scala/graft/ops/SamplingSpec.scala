@@ -73,6 +73,19 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("b") - 50L) <= 20, s"group b far off target: $kept")
   }
 
+  test("mixByTemperature (alpha=0.5): rare group kept whole, dominant group thinned") {
+    import spark.implicits._
+    // sizes 400/100 -> sqrt weights 2:1 -> p = (2/3, 1/3) -> K = 300:
+    // the rare group binds (rate 1, kept exactly whole), the dominant
+    // group thins to ~200 — the multilingual up-weighting effect
+    val df = ((1L to 400L).map((_, "big")) ++ (1001L to 1100L).map((_, "rare")))
+      .toDF("id", "g")
+    val kept = Sampling.mixByTemperature(df, "g", "id", 0.5)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 100L, s"rare group not kept whole: $kept")
+    assert(math.abs(kept("big") - 200L) <= 40, s"dominant group off target: $kept")
+  }
+
   test("mixToTarget: deterministic, monotone under target growth, drops untargeted groups") {
     import spark.implicits._
     val df = ((1L to 80L).map((_, "a")) ++ (101L to 140L).map((_, "b")) ++
