@@ -1277,7 +1277,10 @@ object SparkEntry {
 
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
-    ops.Dedup.simhashDupPairs(Tables.documents(s, dir), "text", "doc_id", 3)
+    // spread = true: the sf fixtures are single parquet files — without
+    // the repartition the whole sketch map runs on one core
+    ops.Dedup.simhashDupPairs(Tables.documents(s, dir), "text", "doc_id", 3,
+      spread = true)
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
       .orderBy("id1", "id2")
 
@@ -2077,7 +2080,8 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
         |      < CAST(floor(rate * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
-    // one exact integer ratio into one ln, rounded before the rank
+    // ln argument assembled as three double ratios in fixed IEEE order
+    // (overflow-free at any corpus size — see Curation.pmiCollocations)
     "t16_pmi" ->
       s"""WITH tk AS (SELECT ${toksSql("text")} AS tk FROM documents),
         |tok AS (SELECT unnest(tk) AS t FROM tk),
@@ -2089,7 +2093,9 @@ object SparkEntry {
         |bcnt AS (SELECT p[1] AS ta, p[2] AS tb, count(*) AS c_ab FROM big GROUP BY 1, 2),
         |nbi AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bcnt),
         |j AS (SELECT bcnt.ta || ' ' || bcnt.tb AS bigram, c_ab AS n_pair,
-        |        round(ln((c_ab * n_tok * n_tok) / (n_bi * ua.c * ub.c)), 6) AS pmi
+        |        round(ln((CAST(c_ab AS DOUBLE) / n_bi)
+        |                * (CAST(n_tok AS DOUBLE) / ua.c)
+        |                * (CAST(n_tok AS DOUBLE) / ub.c)), 6) AS pmi
         |      FROM bcnt
         |      CROSS JOIN ntok CROSS JOIN nbi
         |      JOIN uni ua ON bcnt.ta = ua.t

@@ -35,12 +35,22 @@ object AsOfJoin {
     * the same tie unspecified; pre-aggregate the right side to one row per
     * (key, ts) when a different tie rule is needed.
     *
+    * The whole-struct tiebreak requires every payload column to be
+    * ORDERABLE (no map types — validated up front with a clear error),
+    * and it puts the full payload width into the sort key of every row.
+    * For wide payloads, or payloads containing maps, pass `tiebreakCol`
+    * — a single payload column used as the tie sort key instead; right
+    * rows that also tie on it fall back to shuffle-order ambiguity, so
+    * pick a column unique per (key, ts).
+    *
     * Output: every left column, plus each `payloadCols` right column
     * prefixed `asof_`.
     */
   def asofBackward(left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+      keyCol: String, tsCol: String, payloadCols: Seq[String],
+      tiebreakCol: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val tie = tieKey(right, payloadCols, tiebreakCol)
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val l = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__tag"),
@@ -51,11 +61,12 @@ object AsOfJoin {
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
       lit(null).cast(leftPayloadType).as("__lp"),
       struct(payloadCols.map(col): _*).as("__rp"))
-    // __rp as the final sort key = deterministic tiebreak among right rows
-    // sharing (key, ts): `last` then always picks the greatest payload.
+    // the tie key (whole payload struct, or the caller's tiebreakCol) as
+    // the final sort key = deterministic tiebreak among right rows
+    // sharing (key, ts): `last` then always picks the greatest one.
     // Left rows (all-null __rp) tie with each other, which is harmless —
     // their frames see the same preceding right rows either way.
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), col("__rp"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tag"), tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
@@ -104,11 +115,14 @@ object AsOfJoin {
     * equal ts so an exactly-simultaneous right row matches (inclusive).
     * Right rows tied on (key, ts) resolve to the GREATEST payload struct,
     * matching [[asofBackward]]'s tie rule (descending payload sort, so
-    * `first` meets the greatest one).
+    * `first` meets the greatest one); `tiebreakCol` narrows the tie sort
+    * key exactly as documented there.
     */
   def asofForward(left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+      keyCol: String, tsCol: String, payloadCols: Seq[String],
+      tiebreakCol: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val tie = tieKey(right, payloadCols, tiebreakCol)
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val l = left.select(
       col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__tag"),
@@ -120,7 +134,7 @@ object AsOfJoin {
       lit(null).cast(leftPayloadType).as("__lp"),
       struct(payloadCols.map(col): _*).as("__rp"))
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts"), col("__tag"), desc("__rp"))
+      .orderBy(col("__ts"), col("__tag"), tie.desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = l.unionByName(r)
       .withColumn("__m", first(col("__rp"), ignoreNulls = true).over(w))
@@ -129,4 +143,27 @@ object AsOfJoin {
       payloadCols.map(c => col(s"__m.$c").as(s"asof_$c"))
     matched.select(outCols: _*)
   }
+
+  /** Tie sort key among right rows sharing (key, ts): the whole payload
+    * struct by default — validated ORDERABLE up front, because a
+    * map-typed payload column would otherwise fail window analysis with
+    * an opaque engine error — or the caller's single `tiebreakCol`
+    * (extracted from the payload struct; null on left rows, which only
+    * tie with each other).
+    */
+  private def tieKey(right: DataFrame, payloadCols: Seq[String],
+      tiebreakCol: Option[String]): org.apache.spark.sql.Column =
+    tiebreakCol match {
+      case Some(c) =>
+        require(payloadCols.contains(c),
+          s"tiebreakCol '$c' must be one of payloadCols $payloadCols")
+        col(s"__rp.$c")
+      case None =>
+        val st = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
+        require(
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(st),
+          s"as-of payload is not orderable as a tie key (map-typed column?): " +
+            s"$st — pass tiebreakCol to use one orderable payload column instead")
+        col("__rp")
+    }
 }

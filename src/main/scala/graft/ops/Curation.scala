@@ -124,20 +124,24 @@ object Curation {
     *
     * Plan shape: one tokenize pass feeds the vocabulary aggregate and the
     * doc join; vocabulary is the compact artifact (|vocab| rows) that at
-    * 100 TB would persist as a table and broadcast below the auto
-    * threshold. Docs with zero tokens emit no row (no distribution to
-    * score against).
+    * 100 TB would persist as a table. The corpus-side token join keys on
+    * raw token — Zipf head words are mega-keys under a shuffle join, so
+    * the vocab side carries an EXPLICIT `broadcast()` hint (never rely on
+    * the 10 MB auto threshold: a web-scale vocab can exceed it and fall
+    * back to a skewed sort-merge join silently; if the vocab genuinely
+    * outgrows broadcast, salt it k-ways as in [[SkewJoin]]). Docs with
+    * zero tokens emit no row (no distribution to score against).
     */
   def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("n"))
-    val sup = vocab.crossJoin(total)
+    val sup = vocab.crossJoin(broadcast(total))
       .select(col("t"),
         round(-log(col("c").cast("double") / col("n")) * 1e6, 0)
           .cast("long").as("s_micro"))
-    tok.join(sup, "t")
+    tok.join(broadcast(sup), "t")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("s_micro")).as("ssum"))
       .select(col("id"), col("n_tokens"),
@@ -150,13 +154,24 @@ object Curation {
     * occurrence counts (NOT per-doc-distinct shingles — PMI needs true
     * frequencies), thresholded at `minCount` to kill one-off pairings.
     *
-    * Engine parity: the ln argument is assembled as ONE exact integer
-    * ratio `(c_ab·N_tok²) / (N_bi·c_a·c_b)` (all factors < 2⁵³ at any
-    * realistic corpus, so the doubles are exact), one `ln`, rounded to 6
-    * decimals before ranking, ties broken by the bigram string. The
-    * global top-k runs as orderBy+limit — Catalyst plans
-    * TakeOrderedAndProject (per-partition partial top-k), never a
-    * single-partition window sort.
+    * Engine parity: the ln argument is assembled in the DOUBLE domain as
+    * an overflow-free product of three ratios
+    * `(c_ab/N_bi) · (N_tok/c_a) · (N_tok/c_b)` — each factor is a
+    * count ratio bounded far below double overflow, so the expression is
+    * safe at ANY corpus size (the former integer form `c_ab·N_tok²`
+    * overflows 2⁶³ beyond ~10⁹ tokens: ANSI mode throws, non-ANSI wraps
+    * silently). Both engines evaluate the identical IEEE ops in the
+    * identical order, then one `ln`, rounded to 6 decimals before
+    * ranking, ties broken by the bigram string. The global top-k runs as
+    * orderBy+limit — Catalyst plans TakeOrderedAndProject (per-partition
+    * partial top-k), never a single-partition window sort.
+    *
+    * Skew posture: the two unigram joins key the (minCount-filtered)
+    * bigram table on raw token — Zipf head words ("the") are mega-keys
+    * under a shuffle join. The vocab side is broadcast explicitly (a
+    * unigram vocab is compact — ~10⁷ rows even web-scale; if a corpus
+    * ever exceeds the broadcast ceiling the fallback is salting the
+    * vocab side k-ways, same shape as [[SkewJoin]]).
     */
   def pmiCollocations(df: DataFrame, textCol: String,
       minCount: Long, k: Int): DataFrame = {
@@ -174,13 +189,14 @@ object Curation {
     val bcnt = bigrams.groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
     val nBi = bcnt.agg(sum(col("c_ab")).as("n_bi"))
     bcnt.filter(col("c_ab") >= minCount)
-      .join(uni.select(col("t").as("ta"), col("c").as("c_a")), "ta")
-      .join(uni.select(col("t").as("tb"), col("c").as("c_b")), "tb")
+      .join(broadcast(uni.select(col("t").as("ta"), col("c").as("c_a"))), "ta")
+      .join(broadcast(uni.select(col("t").as("tb"), col("c").as("c_b"))), "tb")
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
       .select(concat_ws(" ", col("ta"), col("tb")).as("bigram"),
         col("c_ab").as("n_pair"),
-        round(log((col("c_ab") * col("n_tok") * col("n_tok")).cast("double")
-          / (col("n_bi") * col("c_a") * col("c_b"))), 6).as("pmi"))
+        round(log((col("c_ab").cast("double") / col("n_bi"))
+          * (col("n_tok").cast("double") / col("c_a"))
+          * (col("n_tok").cast("double") / col("c_b"))), 6).as("pmi"))
       .orderBy(desc("pmi"), col("bigram"))
       .limit(k)
   }

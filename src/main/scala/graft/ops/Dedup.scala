@@ -355,16 +355,23 @@ object Dedup {
     * under the pairing self-join, whose auto-broadcast build then
     * re-executed the whole sketch pipeline as a separate job. Docs with
     * zero tokens (or null text) get sk = 0.
+    *
+    * `spread = true` repartitions the input to the session shuffle-
+    * partition count first — the knob for parallelism-starved inputs
+    * (the local-bench regime, where one 5k-doc parquet file would
+    * otherwise sketch on one core). It defaults OFF: a 100 TB corpus
+    * arrives in thousands of splits, and repartitioning there is a
+    * gratuitous full shuffle of the raw text. (An earlier auto-detect via
+    * `df.rdd.getNumPartitions` was dropped — it eagerly converts the plan
+    * to an RDD per call and throws on streaming frames, making a pure
+    * plan-builder action-ish.)
     */
-  def simhashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def simhashSketch(df: DataFrame, textCol: String, idCol: String,
+      spread: Boolean = false): DataFrame = {
     graft.expr.VecExpressions.register(df.sparkSession)
-    // Repartition ONLY when the input is parallelism-starved (fewer input
-    // splits than shuffle partitions — the local-bench regime, where one
-    // 5k-doc parquet file would otherwise sketch on one core). A 100 TB
-    // corpus arrives in thousands of splits; an unconditional repartition
-    // there is a gratuitous full shuffle of the raw text.
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    val wide = if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val wide = if (spread)
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    else df
     wide.select(col(idCol).as("id"),
       coalesce(call_function("simhash16", col(textCol)), lit(0)).as("sk"))
   }
@@ -383,7 +390,7 @@ object Dedup {
     * the DuckDB oracle can replicate it bit-for-bit.
     */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String, maxDist: Int,
-      segments: Int = 4): DataFrame = {
+      segments: Int = 4, spread: Boolean = false): DataFrame = {
     require(maxDist < segments,
       s"segment blocking is only lossless for maxDist < segments (got $maxDist >= $segments)")
     require(16 % segments == 0, s"16-bit sketch not divisible into $segments segments")
@@ -392,7 +399,7 @@ object Dedup {
     // bounded-artifact reasoning as the MinHash signature persist): the
     // segment self-join consumes it on both sides, and without this the
     // 2-md5-per-token sketch map re-runs per consumer
-    val base = simhashSketch(df, textCol, idCol)
+    val base = simhashSketch(df, textCol, idCol, spread)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val segs = base.select(col("id"), col("sk"),
       posexplode(array((0 until segments).map(j =>
@@ -450,6 +457,7 @@ object Dedup {
   def dupClusters(nodes: DataFrame, edges: DataFrame, idCol: String,
       srcCol: String = "src", dstCol: String = "dst",
       maxIters: Int = 50): DataFrame = {
+    requireIntegralIds(nodes, edges, idCol, srcCol, dstCol)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shuffleParts = nodes.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges
@@ -483,7 +491,33 @@ object Dedup {
     require(converged || maxIters == 0,
       s"dupClusters did not converge in $maxIters rounds — graph diameter " +
         s"exceeds the bound; raise maxIters or use dupClustersStar")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    // edge endpoints absent from `nodes` participate in propagation (they
+    // carry connectivity and can supply the component minimum) but emit no
+    // output row — the same stray-endpoint contract as [[dupClustersStar]]
+    labels.join(nodes.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
+  /** Both CC implementations shuffle and compare ids as longs; a silent
+    * `cast("long")` would turn non-numeric ids (e.g. the md5 fingerprints
+    * other Dedup ops accept) into nulls under non-ANSI or runtime errors
+    * under ANSI, corrupting components with no clear failure — so the id
+    * columns are validated up front. Map string fingerprints to dense
+    * long ids (e.g. `hash`/`monotonically_increasing_id` + a dim table)
+    * before clustering.
+    */
+  private def requireIntegralIds(nodes: DataFrame, edges: DataFrame,
+      idCol: String, srcCol: String, dstCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def check(df: DataFrame, c: String, what: String): Unit = {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$what column '$c' must be integral (byte/short/int/long), got $dt; " +
+          "map string fingerprints to dense long ids before clustering")
+    }
+    check(nodes, idCol, "node id")
+    check(edges, srcCol, "edge src")
+    check(edges, dstCol, "edge dst")
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
@@ -515,6 +549,7 @@ object Dedup {
   def dupClustersStar(nodes: DataFrame, edges: DataFrame, idCol: String,
       srcCol: String = "src", dstCol: String = "dst",
       maxIters: Int = 30): DataFrame = {
+    requireIntegralIds(nodes, edges, idCol, srcCol, dstCol)
     def canon(df: DataFrame): DataFrame =
       df.filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"),

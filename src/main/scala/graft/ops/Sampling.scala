@@ -98,7 +98,7 @@ object Sampling {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
       .join(t, groupCol) // inner: untargeted groups drop out
     val k = counts.agg(min(col("__n") / col("__p")).as("__k"))
-    val rates = counts.crossJoin(k)
+    val rates = counts.crossJoin(broadcast(k))
       .select(col(groupCol),
         least(col("__k") * col("__p") / col("__n"), lit(1.0)).as("__rate"))
     df.join(broadcast(rates), groupCol)
