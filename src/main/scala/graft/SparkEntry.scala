@@ -1397,6 +1397,38 @@ object SparkEntry {
       .select(col("doc_id"), col("width"), col("height"), col("pix_sum"))
       .orderBy("doc_id")
 
+  /** REAL text embedding ([[ops.Similarity.embedText]], dim=16), gated to
+    * the last float bit: each component is round-tripped float32→double,
+    * micro-quantized (×10⁶, half-up) to a LONG, and the per-doc vector
+    * digested as md5 — the oracle re-derives the identical hashing-trick
+    * vector in SQL and must reproduce every digest. (Digest, not the
+    * array itself: list columns crash the driver's pandas compare.)
+    */
+  private def m6EmbedReal(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.embedText(Tables.documents(s, dir), 16)
+      .select(col("doc_id"),
+        md5(array_join(transform(col("embedding"),
+            x => round(x.cast("double") * 1e6, 0).cast("long").cast("string")),
+          " ").cast("binary")).as("emb_md5"))
+      .orderBy("doc_id")
+
+  /** Text → ANN end-to-end: the corpus embeds itself via [[ops.Similarity
+    * .embedText]] and feeds the SAME IVF cell-probed path sim2 gates
+    * (centroids = vec_id % 50 == 0, nprobe 2, top-3) — no fixture
+    * vectors, no model artifact. The embedding frame is persisted: three
+    * plan consumers (corpus cells, query probes, centroid table) would
+    * otherwise each re-run the per-token md5 featurization.
+    */
+  private def sim6TextAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = ops.Similarity.embedText(Tables.documents(s, dir), 16)
+      .withColumnRenamed("doc_id", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ops.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 3, 2, 50)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -1665,6 +1697,8 @@ object SparkEntry {
     "m3_image_decode" -> m3ImageDecode _,
     "m4_resize" -> m4Resize _,
     "m5_resize_real" -> m5ResizeReal _,
+    "m6_embed_real" -> m6EmbedReal _,
+    "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
     "io3_scrape_source" -> io3ScrapeSource _,
@@ -1757,6 +1791,33 @@ object SparkEntry {
     (0 until 16).map { j =>
       s"CASE WHEN 2 * len(list_filter(hs, h -> (h & ${1 << j}) <> 0)) > len(hs) THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
+
+  /** DuckDB CTE chain re-deriving [[ops.Similarity.embedText]] (dim=16
+    * over documents.text) independently: md5 bucket + sign hash → exact
+    * LONG bucket counts → double norm/divide → float32 round-trip
+    * (`CAST(x AS REAL)` = Spark's float cast, then widened back). Ends
+    * with `ev(doc_id, j, x DOUBLE)` — per-component values bit-identical
+    * to the engine's emitted floats.
+    */
+  private val embedTextSql: String =
+    s"""etok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+      |eh AS (SELECT doc_id, md5(t) AS h FROM etok),
+      |ef AS (SELECT doc_id,
+      |        CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 16 AS j,
+      |        CASE WHEN CAST(('0x' || substr(h, 9, 1)) AS BIGINT) % 2 = 0
+      |             THEN 1 ELSE -1 END AS s
+      |       FROM eh),
+      |ec AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS c FROM ef GROUP BY 1, 2),
+      |eg AS (SELECT d.doc_id, js.j, coalesce(ec.c, 0) AS c
+      |       FROM documents d
+      |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+      |       LEFT JOIN ec ON ec.doc_id = d.doc_id AND ec.j = js.j),
+      |en AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+      |       FROM eg GROUP BY doc_id),
+      |ev AS (SELECT eg.doc_id, eg.j,
+      |        CAST(CAST(CASE WHEN en.nrm = 0 THEN 0 ELSE eg.c / en.nrm END
+      |          AS REAL) AS DOUBLE) AS x
+      |       FROM eg JOIN en USING (doc_id))""".stripMargin
 
   /** DuckDB embedding CTEs: doubles + norms. */
   private val embNormSql: String =
@@ -2585,6 +2646,35 @@ object SparkEntry {
         |    CASE WHEN (n_total - 1) % 4 = 0 THEN 256 * n_total - ob ELSE 0 END
         |    AS BIGINT) AS sampled_bytes
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the hashing-trick embedding re-derived independently; micro-long
+    // digest of the float32-round-tripped components (see embedTextSql)
+    "m6_embed_real" ->
+      s"""WITH $embedTextSql,
+        |em AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS m FROM ev)
+        |SELECT doc_id, md5(string_agg(CAST(m AS VARCHAR), ' ' ORDER BY j)) AS emb_md5
+        |FROM em GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sim2's IVF body over text-derived embeddings instead of the fixture
+    "sim6_text_ann" ->
+      s"""WITH $embedTextSql,
+        |e AS (SELECT doc_id AS vec_id, list(x ORDER BY j) AS v FROM ev GROUP BY doc_id),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     // generation arithmetic of withGeneratedPng, recovered by the REAL
     // ImageIO decode
     "m3_image_decode" ->

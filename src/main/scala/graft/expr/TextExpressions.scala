@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the token-array kernels that every
@@ -212,6 +212,43 @@ object TextExprHelpers {
     sk
   }
 
+  /** Hashing-trick embedding (see [[HashedEmbed]]): bucket = first 8 md5
+    * hex chars (bytes 0–3, unsigned) mod dim; sign = parity of the 9th
+    * hex char (high nibble of byte 4), even → +1 — byte-for-byte the
+    * values `conv(substring(md5(t), 1, 8), 16, 10) % dim` and
+    * `conv(substring(md5(t), 9, 1), 16, 10) % 2` yield. Norm and divide
+    * in double from exact LONG counts, truncate to float32 — the same
+    * IEEE op order the DuckDB oracle replays.
+    */
+  def hashedEmbed(text: UTF8String, dim: Int): ArrayData = {
+    val raw = tokenSplit.split(text.toLowerCase.toString, -1)
+    val c = new Array[Long](dim)
+    val md = mdPool.get()
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) {
+        md.reset()
+        val d = md.digest(raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val b = (hi % dim).toInt
+        c(b) += (if (((d(4) >>> 4) & 1) == 0) 1L else -1L)
+      }
+      i += 1
+    }
+    var ss = 0L
+    var j = 0
+    while (j < dim) { ss += c(j) * c(j); j += 1 }
+    val out = new Array[Any](dim)
+    if (ss == 0L) {
+      j = 0; while (j < dim) { out(j) = 0f; j += 1 }
+    } else {
+      val nrm = math.sqrt(ss.toDouble)
+      j = 0; while (j < dim) { out(j) = (c(j) / nrm).toFloat; j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** acc = (acc·31 + h) mod 2⁴⁰ over tokens, h = first 15 hex chars of
     * md5(tok) as an integer (= top 60 bits of the digest) mod 2⁴⁰ —
     * byte-for-byte the value `conv(substring(md5(t),1,15),16,10)` yields.
@@ -361,6 +398,40 @@ case class WinnowFps(child: Expression, n: Expression, w: Expression)
   * `nfc_normalize` implements the same Unicode tables, which makes the
   * operator oracle-checkable byte-for-byte.
   */
+/** Hashing-trick text embedding kernel (the whole-document form of
+  * [[graft.ops.Similarity.embedText]] — see its scaladoc for the
+  * algorithm and the engine-parity contract): tokenize, md5-bucket each
+  * token with a ±1 sign hash, accumulate exact LONG counts, L2-normalize
+  * in double, emit `array<float>`. One codegen'd call per document — the
+  * nested-HOF form (transform·aggregate over a (bucket, sign) struct
+  * array) is CodegenFallback and measured ~17 ms/doc interpreted; this
+  * loop is the same md5-per-token cost as [[Simhash16]]. `dim` must be a
+  * foldable positive int.
+  */
+case class HashedEmbed(child: Expression, dim: Expression) extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = dim
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, dim.dataType) match {
+    case (StringType, IntegerType) if dim.foldable => TypeCheckResult.TypeCheckSuccess
+    case (c, d) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, foldable int), got (${c.simpleString}, ${d.simpleString})")
+  }
+
+  @transient private lazy val dimVal: Int = dim.eval(null).asInstanceOf[Number].intValue()
+
+  override def nullSafeEval(t: Any, unused: Any): Any =
+    TextExprHelpers.hashedEmbed(t.asInstanceOf[UTF8String], dimVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.expr.TextExprHelpers.hashedEmbed($t, $dimVal);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, dim = newRight)
+}
+
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 

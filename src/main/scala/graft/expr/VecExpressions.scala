@@ -108,6 +108,8 @@ object VecExpressions {
     GraftFunction("rolling_token_hash", classOf[RollingTokenHash], exprs => RollingTokenHash(exprs(0))),
     GraftFunction("word_shingles", classOf[WordShingles], exprs => WordShingles(exprs(0), exprs(1))),
     GraftFunction("simhash16", classOf[Simhash16], exprs => Simhash16(exprs(0))),
+    GraftFunction("hashed_embed", classOf[HashedEmbed],
+      exprs => HashedEmbed(exprs(0), exprs(1))),
     GraftFunction("winnow_fps", classOf[WinnowFps],
       exprs => WinnowFps(exprs(0), exprs(1), exprs(2))),
     GraftFunction("nfc_normalize", classOf[NfcNormalize], exprs => NfcNormalize(exprs(0))))

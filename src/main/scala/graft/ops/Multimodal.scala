@@ -246,10 +246,14 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
 
-  /** STUB feature-extract: a deterministic `dim`-float embedding from the
-    * payload (md5-seeded, cycled) in [-1, 1). Produces exactly the
-    * `array<float>` layout [[Similarity]] consumes, so the media →
-    * embedding → ANN chain is testable end-to-end without a real model.
+  /** STUB feature-extract — the BINARY-payload test double (a
+    * deterministic `dim`-float embedding from the payload, md5-seeded,
+    * cycled, in [-1, 1)). Produces exactly the `array<float>` layout
+    * [[Similarity]] consumes, so the media → embedding → ANN chain is
+    * testable end-to-end without a real codec. For TEXT the real,
+    * gate-verified embedder is [[Similarity.embedText]] (hashing-trick
+    * features — m6/sim6); this stub remains only for the opaque-binary
+    * modalities whose decoders aren't in this container.
     */
   def embedStub(df: DataFrame, dim: Int = 16,
       idCol: String = "doc_id", binCol: String = "media"): DataFrame = {

@@ -372,4 +372,42 @@ object Similarity {
             lit(0d), (acc, e) => acc + e) / size(col("v"))), 6))
       .withColumn("scale", round(col("s_raw"), 6))
       .drop("v", "s_raw")
+
+  /** REAL text embedder — the hashing-trick bag-of-tokens featurizer
+    * (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    * Learning"): each token is feature-hashed into one of `dim` buckets
+    * (first 8 md5 hex chars mod dim) with a ±1 sign (parity of the 9th
+    * hex char — the unbiasing sign hash from the paper), signed counts
+    * are accumulated per bucket, and the vector is L2-normalized and
+    * emitted as `array<float>` — exactly the layout every [[Similarity]]
+    * ANN/dedup op consumes, so text → [[embedText]] → [[ivfTopK]] /
+    * [[cosineDupPairs]] runs end-to-end with no model artifact.
+    *
+    * Scale shape: a PURE NARROW MAP — zero shuffles, zero state, one md5
+    * per token (reused for bucket and sign), then an O(dim · n_tokens)
+    * expression fold per row. That per-row constant is the deliberate
+    * trade for shuffle-freedom at small `dim` (16–256, the regime here);
+    * a wide-`dim` production variant would explode to (id, bucket, sign)
+    * and pivot through one groupBy — swap shapes, same semantics.
+    *
+    * Engine parity (how m6 gates this exactly): bucket counts are exact
+    * LONGs, the norm is √(Σc²) computed in double from an exact integer,
+    * and each component c/‖c‖ is one double division — bit-identical
+    * IEEE ops in both engines — before the final float32 cast, which
+    * DuckDB replays as `CAST(x AS REAL)`. Docs with zero tokens (or null
+    * text) embed as the zero vector (guarded — no 0/0).
+    *
+    * The kernel is the native codegen'd [[graft.expr.HashedEmbed]]: the
+    * equivalent nested-HOF form (transform · aggregate over a
+    * (bucket, sign) struct array) is CodegenFallback and measured
+    * ~17 ms/doc interpreted vs sub-ms compiled.
+    */
+  def embedText(df: DataFrame, dim: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0 && dim <= 4096, s"embedText dim out of range: $dim")
+    VecExpressions.register(df.sparkSession)
+    df.select(col(idCol).as(idCol),
+      coalesce(call_function("hashed_embed", col(textCol), lit(dim)),
+        array_repeat(lit(0f), dim)).as("embedding"))
+  }
 }

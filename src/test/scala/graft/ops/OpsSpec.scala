@@ -407,4 +407,39 @@ class MultimodalSpec extends SparkSpec {
     assert(top.getAs[Long]("nn_id") == 2L)
     assert(top.getAs[Double]("cosine") == 1.0)
   }
+
+  test("embedText: unit norm, token-order invariance, sign/bucket math") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma beta alpha"), // same bag
+      (3L, "alpha alpha alpha"), (4L, "")).toDF("doc_id", "text")
+    val r = Similarity.embedText(docs, dim = 8)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Float](1)).toMap
+    // bag-of-tokens: order must not matter
+    assert(r(1L) == r(2L))
+    // L2 norm 1 for non-empty docs (float tolerance), zero vector for empty
+    def nrm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(nrm(r(1L)) - 1.0) < 1e-6)
+    assert(r(4L).forall(_ == 0f) && r(4L).length == 8)
+    // a single repeated token concentrates all mass in one bucket
+    assert(r(3L).count(x => math.abs(x) == 1f) == 1)
+    assert(r(3L).count(_ == 0f) == 7)
+    // bucket/sign replay for "alpha": md5 first 8 hex mod 8, 9th hex parity
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val b = (java.lang.Long.parseLong(h.substring(0, 8), 16) % 8).toInt
+    val s = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0) 1f else -1f
+    assert(r(3L)(b) == s)
+  }
+
+  test("embedText feeds ANN: identical texts are exact neighbors") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "unrelated totally other words")).toDF("doc_id", "text")
+    val emb = Similarity.embedText(docs, dim = 16).withColumnRenamed("doc_id", "vec_id")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 1), 1)
+      .collect().head
+    assert(top.getAs[Long]("nn_id") == 2L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
 }
