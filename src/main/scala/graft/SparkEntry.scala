@@ -1334,6 +1334,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Shared by sim7/sim8: 2 deterministic Lloyd's iterations at k=4 over
+    * the embeddings fixture.
+    */
+  private def trainedCents(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.trainCentroids(Tables.embeddings(s, dir), 4, 2)
+
+  /** TRAINED k-means centroid table, hashed to the float bit: each
+    * centroid component micro-quantized (×10⁶) to a LONG and digested —
+    * the oracle replays both Lloyd's iterations (rounded-distance argmin,
+    * 1e-6-rounded means, float32 truncation between iterations) in plain
+    * SQL and must reproduce every digest. This closes the r5 gap where
+    * the trained path was spec+plan-gated only.
+    */
+  private def sim7Kmeans(s: SparkSession, dir: String): DataFrame =
+    trainedCents(s, dir)
+      .select(col("cent_id"),
+        md5(array_join(transform(col("cent_vec"),
+            x => round(x.cast("double") * 1e6, 0).cast("long").cast("string")),
+          " ").cast("binary")).as("cent_md5"))
+      .orderBy("cent_id")
+
+  /** IVF search over the TRAINED centroids (sim2's plan shape, but the
+    * centroid table comes from [[ops.Similarity.trainCentroids]] instead
+    * of the id-derived stand-in) — the full production form, oracle-gated
+    * end-to-end.
+    */
+  private def sim8TrainedIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 10), 3, 2,
+        trainedCents(s, dir))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Multimodal tier (binary payload plumbing, stub codec)
   // ---------------------------------------------------------------------
@@ -1692,6 +1727,8 @@ object SparkEntry {
     "d6_ivf_dup" -> d6IvfDup _,
     "sim1_topk" -> sim1TopK _,
     "sim2_ivf_topk" -> sim2IvfTopK _,
+    "sim7_kmeans" -> sim7Kmeans _,
+    "sim8_trained_ivf" -> sim8TrainedIvf _,
     "m1_media_decode" -> m1MediaDecode _,
     "m2_frame_sample" -> m2FrameSample _,
     "m3_image_decode" -> m3ImageDecode _,
@@ -1818,6 +1855,44 @@ object SparkEntry {
       |        CAST(CAST(CASE WHEN en.nrm = 0 THEN 0 ELSE eg.c / en.nrm END
       |          AS REAL) AS DOUBLE) AS x
       |       FROM eg JOIN en USING (doc_id))""".stripMargin
+
+  /** One DuckDB Lloyd's iteration (mirror of the [[ops.Similarity
+    * .trainCentroids]] loop body): rounded-sqrt distance argmin against
+    * the previous FLOAT centroids (`prevF`), 1e-6-rounded per-dimension
+    * means, memberless cells keeping the previous DOUBLE value
+    * (`prevD`), and the float32 truncation the next iteration reads.
+    */
+  private def kmeansIterSql(i: Int, prevF: String, prevD: String): String =
+    s"""a$i AS (SELECT e.vec_id, c.cent_id,
+      |        round(sqrt(list_sum(list_transform(generate_series(1, 64),
+      |          ii -> (e.v[ii] - c.v[ii]) * (e.v[ii] - c.v[ii])))), 6) AS d
+      |       FROM e CROSS JOIN $prevF c),
+      |b$i AS (SELECT vec_id, cent_id FROM (
+      |        SELECT vec_id, cent_id,
+      |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS r
+      |        FROM a$i) WHERE r = 1),
+      |m$i AS (SELECT b.cent_id, gs.i - 1 AS pos,
+      |        round(avg(e.v[gs.i]) * 1000000, 0) / 1000000 AS x
+      |       FROM b$i b JOIN e ON e.vec_id = b.vec_id
+      |       CROSS JOIN generate_series(1, 64) AS gs(i)
+      |       GROUP BY b.cent_id, gs.i),
+      |c$i AS (SELECT c.cent_id, list(coalesce(m.x, c.v[gs.i]) ORDER BY gs.i) AS v
+      |       FROM $prevD c CROSS JOIN generate_series(1, 64) AS gs(i)
+      |       LEFT JOIN m$i m ON m.cent_id = c.cent_id AND m.pos = gs.i - 1
+      |       GROUP BY c.cent_id),
+      |f$i AS (SELECT cent_id,
+      |        list_transform(v, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS v
+      |       FROM c$i)""".stripMargin
+
+  /** Full 2-iteration k=4 replay ending at `f2` = the trained float
+    * centroids as double lists (init = the 4 lowest-id vectors).
+    */
+  private val kmeansSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id, v
+      |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+      |${kmeansIterSql(1, "c0", "c0")},
+      |${kmeansIterSql(2, "f1", "c1")}""".stripMargin
 
   /** DuckDB embedding CTEs: doubles + norms. */
   private val embNormSql: String =
@@ -2646,6 +2721,36 @@ object SparkEntry {
         |    CASE WHEN (n_total - 1) % 4 = 0 THEN 256 * n_total - ob ELSE 0 END
         |    AS BIGINT) AS sampled_bytes
         |FROM f ORDER BY doc_id""".stripMargin,
+    // both Lloyd's iterations replayed in SQL (see kmeansIterSql); the
+    // trained centroid table digested component-by-component
+    "sim7_kmeans" ->
+      s"""WITH $kmeansSql,
+        |km AS (SELECT f.cent_id, gs.i AS j,
+        |        CAST(round(f.v[gs.i] * 1000000, 0) AS BIGINT) AS m
+        |       FROM f2 f CROSS JOIN generate_series(1, 64) AS gs(i))
+        |SELECT cent_id, md5(string_agg(CAST(m AS VARCHAR), ' ' ORDER BY j)) AS cent_md5
+        |FROM km GROUP BY cent_id ORDER BY cent_id""".stripMargin,
+    // sim2's IVF body with the TRAINED centroids from the kmeans replay
+    "sim8_trained_ivf" ->
+      s"""WITH $kmeansSql,
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cents AS (SELECT cent_id, v FROM f2),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     // the hashing-trick embedding re-derived independently; micro-long
     // digest of the float32-round-tripped components (see embedTextSql)
     "m6_embed_real" ->

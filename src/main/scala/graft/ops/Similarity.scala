@@ -69,11 +69,15 @@ object Similarity {
     * the standard move at that scale.
     *
     * Determinism (seed-free by construction): init = the k lowest-id
-    * vectors; assignment ties break by cent_id; each new mean is rounded
-    * to 6 decimals, absorbing the ~1e-13 double-fold-order wobble of a
-    * distributed avg, then truncated to float — two runs produce
-    * bit-identical centroids. Cells that lose every member keep their
-    * previous centroid.
+    * vectors; assignment distance is 6-decimal-rounded (the same
+    * [[assignCells]] discipline — raw doubles would leave the argmin
+    * exposed to last-ulp fold wobble across engines) with ties broken by
+    * cent_id; each new mean is rounded to 6 decimals, absorbing the
+    * ~1e-13 double-fold-order wobble of a distributed avg, then truncated
+    * to float — two runs produce bit-identical centroids, and the whole
+    * loop is replayable in plain SQL (gated: sim7 hashes the centroid
+    * table against a DuckDB re-derivation, sim8 gates search over it).
+    * Cells that lose every member keep their previous centroid.
     *
     * Returns `(cent_id int, cent_vec array<float>)`, directly consumable
     * by [[ivfTopKWith]].
@@ -113,7 +117,7 @@ object Similarity {
         .withColumn("vf", col("v").cast("array<float>"))
         .join(broadcast(centsDf(cents)))
         .select(col("id"), col("v"),
-          struct(l2NativeSq(col("vf"), col("cent_vec")).as("d"),
+          struct(rounded(sqrt(l2NativeSq(col("vf"), col("cent_vec")))).as("d"),
             col("cent_id").as("cent_id")).as("dc"))
       val members = assigned.groupBy("id")
         .agg(min(col("dc")).as("best"), any_value(col("v")).as("v"))
