@@ -140,6 +140,22 @@ class PlanAuditSpec extends SparkSpec {
       s"mixing corpus join is not broadcast:\n$plan")
   }
 
+  test("t14/t16 corpus-side unigram joins are broadcast (Zipf mega-keys never shuffle)") {
+    // the exploded corpus joins the vocab on raw token — a shuffled join
+    // would hash-partition every occurrence of "the" onto one task. The
+    // vocab side carries an explicit broadcast() hint; lock that every
+    // token-keyed join in both plans is a BroadcastHashJoin (the t16
+    // bigram→unigram joins count twice) and that no sort-merge join
+    // sneaks in anywhere.
+    for ((q, minBhj) <- Seq("t14_surprisal" -> 1, "t16_pmi" -> 2)) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf0001))
+      assert(countOf(plan, "BroadcastHashJoin") >= minBhj,
+        s"$q unigram join(s) not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q fell back to a shuffled token join:\n$plan")
+    }
+  }
+
   test("io8 z-order rewrite is a single range repartition (no extra shuffles)") {
     val plan = executed(SparkEntry.queries("io8_zorder")(spark, sf0001))
     assert(plan.contains("rangepartitioning"),
