@@ -123,7 +123,12 @@ object Bench {
       name -> (times(name) match { case Nil => -1.0; case ts => ts.min })
     }
     slowStages.forEach(l => System.err.println(l))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: the full-precision doubles pushed the 80+-query line
+    // past the driver's 2000-char stdout tail capture, truncating the
+    // leading queries out of the archived artifact
+    def sec(v: Double): String = // Locale.ROOT: a comma decimal separator would break the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     // -1 marks a query that failed EVERY pass: report it in `failed` and
     // keep it out of the total (a sentinel subtracted from the sum would
@@ -134,8 +139,13 @@ object Bench {
     // `valid` guards cross-run comparison: a query failing every pass is
     // excluded from the total, which would otherwise read as a speedup.
     val valid = results.forall(_._2 >= 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,"queries":$qs,""" +
-      s""""failed":$failed,"passes":$passes,"agg":"min-of-passes-interleaved","sf":"$sfDir"}"""
+    // `queries` FIRST and the scalar metadata LAST: if the driver's tail
+    // capture still truncates, it cuts query rows from the FRONT of the
+    // line while the verdict-critical fields (total, failed, the pointer
+    // to the complete on-disk copy) survive at the end.
+    val line = s"""{"queries":$qs,"metric":"total","value":${sec(total)},"unit":"sec",""" +
+      s""""valid":$valid,"failed":$failed,"passes":$passes,""" +
+      s""""agg":"min-of-passes-interleaved","sf":"$sfDir","full":"target/bench.json"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     println(line)
     spark.stop()

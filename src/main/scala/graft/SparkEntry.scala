@@ -1233,6 +1233,91 @@ object SparkEntry {
       .orderBy("fresh_id", "hist_id")
   }
 
+  /** STREAMING incremental dedup — the nightly shape the reference's
+    * orchestration implies, run as an actual Structured Streaming query:
+    * two "nights" of fresh documents arrive as files
+    * (`maxFilesPerTrigger=1` pins one night per micro-batch, oldest
+    * modtime first — set explicitly, so the batch split is
+    * deterministic), and each `foreachBatch` runs
+    * [[ops.Dedup.incrementalMinhashDupPairs]] against the PERSISTED
+    * signature artifact, then appends the batch's own signatures and
+    * text exactly-once (`batch_id=` subdir overwrite — a replayed batch
+    * rewrites its own directory, never double-appends). Night-1 verbatim
+    * copies of night-0 fresh docs therefore match via the signatures
+    * appended one batch earlier — the cross-batch evidence that the
+    * artifact loop actually closes. The oracle replays both nights in
+    * batch order as plain SQL (night 1's history = corpus ∪ night 0).
+    *
+    * Scale shape: identical to d10 per batch — history text is touched
+    * only via the candidate semi-join, shuffle volume tracks the batch.
+    */
+  private def d13StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = ioTmp(dir, "d13")
+    // stale artifacts from a previous identical run would pollute batch
+    // 0's history with that run's night-0/1 output — wipe first
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val baseF = new java.io.File(base)
+    if (baseF.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseF)
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val (sigsPath, docsPath, outPath) = (s"$base/sigs", s"$base/docs", s"$base/out")
+    // bootstrap: the corpus is the pre-existing history artifact pair
+    ops.Dedup.minhashSignatures(d, "text", "doc_id", 3, MinhashK)
+      .write.mode("overwrite").parquet(s"$sigsPath/batch_id=-1")
+    d.write.mode("overwrite").parquet(s"$docsPath/batch_id=-1")
+    // two nights as single stream files with pinned modtimes (fixed
+    // epochs → stable oldest-first ordering on any filesystem)
+    def writeNight(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    writeNight(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("text")),
+      "night0", 1000000000000L)
+    writeNight(d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" night salt "), col("doc_id").cast("string")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"), col("text"))),
+      "night1", 1000000060000L)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint("graft_d13")
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val fresh = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hist = s.read.parquet(docsPath).select(col("doc_id"), col("text"))
+        val sigs = s.read.parquet(sigsPath).drop("batch_id")
+        ops.Dedup.incrementalMinhashDupPairs(hist, fresh, "text", "doc_id",
+            3, MinhashK, MinhashR, 0.5, historySigs = Some(sigs))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ops.Dedup.minhashSignatures(fresh, "text", "doc_id", 3, MinhashK)
+          .write.mode("overwrite").parquet(s"$sigsPath/batch_id=$batchId")
+        fresh.write.mode("overwrite").parquet(s"$docsPath/batch_id=$batchId")
+        fresh.unpersist(): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    s.read.parquet(outPath)
+      .select(col("fresh_id"), col("hist_id"), col("jaccard"))
+      .orderBy("fresh_id", "hist_id")
+  }
+
   /** Winnowing partial-overlap pairs ([[ops.Dedup.winnowDupPairs]]):
     * 4-gram hashes, window 4, pairs sharing ≥ 3 fingerprints. The oracle
     * replays the positional hash + sliding-window-min construction
@@ -1719,6 +1804,7 @@ object SparkEntry {
     "d8_winnow" -> d8Winnow _,
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_incremental_minhash" -> d10IncrementalMinhash _,
+    "d13_stream_dedup" -> d13StreamDedup _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -2582,6 +2668,39 @@ object SparkEntry {
         |j AS (SELECT fresh_id, hist_id, ${jaccardSql("fs.sh", "hs.sh")} AS jaccard
         |      FROM cand JOIN fsh fs ON cand.fresh_id = fs.doc_id
         |                JOIN hsh hs ON cand.hist_id = hs.doc_id)
+        |SELECT fresh_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY fresh_id, hist_id""".stripMargin,
+    // batch-order replay of the streaming run: night tag nt joins fresh
+    // docs only against their batch's history (corpus for night 0,
+    // corpus ∪ night 0 for night 1 — the appended signature artifact)
+    "d13_stream_dedup" ->
+      s"""WITH f AS (
+        |  SELECT 0 AS nt, doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 1, doc_id + 500000,
+        |         text || ' night salt ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT 1, doc_id + 600000, text FROM documents WHERE doc_id % 10 = 0),
+        |h AS (
+        |  SELECT 0 AS nt, doc_id, text FROM documents
+        |  UNION ALL SELECT 1, doc_id, text FROM documents
+        |  UNION ALL SELECT 1, doc_id + 400000, text FROM documents WHERE doc_id % 10 = 0),
+        |fsh AS (SELECT nt, doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM f),
+        |hsh AS (SELECT nt, doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM h),
+        |fd AS (SELECT nt, doc_id, sh, $baseHashSql AS hs FROM fsh),
+        |hd AS (SELECT nt, doc_id, sh, $baseHashSql AS hs FROM hsh),
+        |fsig AS (SELECT nt, doc_id, $sigSql AS sig FROM fd),
+        |hsig AS (SELECT nt, doc_id, $sigSql AS sig FROM hd),
+        |fbn AS (SELECT nt, doc_id, $bandsSql AS bands FROM fsig),
+        |hbn AS (SELECT nt, doc_id, $bandsSql AS bands FROM hsig),
+        |fb AS (SELECT nt, doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM fbn),
+        |hb AS (SELECT nt, doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM hbn),
+        |cand AS (SELECT DISTINCT f.nt, f.doc_id AS fresh_id, h.doc_id AS hist_id
+        |         FROM fb f JOIN hb h ON f.nt = h.nt AND f.bi = h.bi AND f.b = h.b),
+        |j AS (SELECT fresh_id, hist_id, ${jaccardSql("fs.sh", "hs.sh")} AS jaccard
+        |      FROM cand JOIN fsh fs ON cand.nt = fs.nt AND cand.fresh_id = fs.doc_id
+        |                JOIN hsh hs ON cand.nt = hs.nt AND cand.hist_id = hs.doc_id)
         |SELECT fresh_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY fresh_id, hist_id""".stripMargin,
     "d2_jaccard_pairs" ->
