@@ -1318,6 +1318,26 @@ object SparkEntry {
       .orderBy("fresh_id", "hist_id")
   }
 
+  /** Exact-substring span recovery ([[ops.Dedup.substringSpans]], n=8,
+    * minLen=20): docs with `doc_id % 25 == 0` (and ≥ 44 tokens) get a
+    * planted copy carrying tokens 5–44 verbatim plus a unique tail, so
+    * the op must report the (orig, copy) pairs with the exact 40-token
+    * span at the exact offsets — alongside any natural ≥20-token repeats
+    * in the corpus. The oracle replays anchors + diagonal islands in SQL.
+    */
+  private def d14SubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tk = functions.TextFunctions.tokens(col("text"))
+    val planted = d.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 44)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        concat(array_join(slice(col("tk"), 5, 40), " "),
+          lit(" plant tail "), col("doc_id").cast("string")).as("text"))
+    ops.Dedup.substringSpans(d.unionByName(planted), "text", "doc_id", 8, 20)
+      .orderBy("id1", "id2", "start1", "start2")
+  }
+
   /** Winnowing partial-overlap pairs ([[ops.Dedup.winnowDupPairs]]):
     * 4-gram hashes, window 4, pairs sharing ≥ 3 fingerprints. The oracle
     * replays the positional hash + sliding-window-min construction
@@ -1805,6 +1825,7 @@ object SparkEntry {
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_incremental_minhash" -> d10IncrementalMinhash _,
     "d13_stream_dedup" -> d13StreamDedup _,
+    "d14_substring_spans" -> d14SubstringSpans _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -2703,6 +2724,31 @@ object SparkEntry {
         |                JOIN hsh hs ON cand.nt = hs.nt AND cand.hist_id = hs.doc_id)
         |SELECT fresh_id, hist_id, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY fresh_id, hist_id""".stripMargin,
+    // positional 8-gram anchors -> equal-hash matches on one alignment
+    // diagonal -> gaps-and-islands maximal runs (span = max-min+n)
+    "d14_substring_spans" ->
+      s"""WITH base AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        |pl AS (SELECT doc_id + 700000 AS doc_id,
+        |         array_to_string(tk[5:44], ' ') || ' plant tail ' || CAST(doc_id AS VARCHAR) AS text
+        |       FROM base WHERE doc_id % 25 = 0 AND len(tk) >= 44),
+        |u AS (SELECT doc_id, tk FROM base
+        |      UNION ALL SELECT doc_id, ${toksSql("text")} AS tk FROM pl),
+        |g AS (SELECT doc_id AS id, tk,
+        |        unnest(generate_series(1, len(tk) - 7)) AS p
+        |      FROM u WHERE len(tk) >= 8),
+        |g2 AS (SELECT id, p, md5(array_to_string(tk[p:p+7], ' ')) AS h FROM g),
+        |m AS (SELECT a.id AS id1, b.id AS id2, a.p AS p1, b.p - a.p AS diag
+        |      FROM g2 a JOIN g2 b ON a.h = b.h AND a.id < b.id),
+        |w AS (SELECT id1, id2, diag, p1,
+        |        p1 - row_number() OVER (PARTITION BY id1, id2, diag ORDER BY p1) AS isl
+        |      FROM m),
+        |sp AS (SELECT id1, id2, diag, min(p1) AS start1, max(p1) AS maxp1
+        |       FROM w GROUP BY id1, id2, diag, isl)
+        |SELECT id1, id2, CAST(start1 AS BIGINT) AS start1,
+        |  CAST(start1 + diag AS BIGINT) AS start2,
+        |  CAST(maxp1 - start1 + 8 AS BIGINT) AS span_len
+        |FROM sp WHERE maxp1 - start1 + 8 >= 20
+        |ORDER BY id1, id2, start1, start2""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

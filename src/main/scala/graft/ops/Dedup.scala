@@ -608,4 +608,60 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
+
+  /** EXACT-substring span recovery — the distributed approximation of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": duplicated SPANS, not duplicated
+    * documents, are what inflate memorization). Where [[winnowDupPairs]]
+    * says "these two docs share ≥k fingerprints", this op returns the
+    * actual shared runs: `(id1, id2, start1, start2, span_len)` — every
+    * maximal exactly-matching token run of length ≥ `minLen` between any
+    * two documents (1-based token offsets, id1 < id2).
+    *
+    * Algorithm: every position contributes its n-gram md5 anchor; anchors
+    * equal across documents match on an alignment DIAGONAL
+    * (`p2 − p1` constant along an exact run), and consecutive anchor
+    * positions on one diagonal are grouped gaps-and-islands style
+    * (`p1 − row_number()` is constant within a run) — a shared run of
+    * L ≥ n tokens yields exactly L−n+1 consecutive anchors, so
+    * `span_len = max(p1) − min(p1) + n` is exact. No candidate is
+    * verified against text: equal md5 anchors at every covered position
+    * ARE the verification.
+    *
+    * Scale shape: one narrow map to anchors (O(tokens) rows), one
+    * equi-join shuffled on the anchor hash, one window per (pair, diag).
+    * `n` is the selectivity knob — at n=8 natural-language n-grams are
+    * near-unique, so anchor buckets stay tiny (the Zipf head lives at
+    * n≤3). At 100 TB the standard composition restricts the anchor join
+    * to candidate pairs first (semi-join the ids [[winnowDupPairs]] or
+    * [[minhashDupPairs]] surfaces, then span-recover) — same operator,
+    * pre-filtered input.
+    */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minLen: Int): DataFrame = {
+    require(n >= 2, s"anchor n-gram too short: $n")
+    require(minLen >= n, s"minLen $minLen must be >= n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        p => md5(array_join(slice(col("tk"), p, lit(n)), " ").cast("binary"))))
+        .as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).as("p"), col("h"))
+    val m = grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.p").as("p1"), (col("b.p") - col("a.p")).as("diag"))
+    val w = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    m.withColumn("isl", col("p1") - row_number().over(w))
+      .groupBy("id1", "id2", "diag", "isl")
+      .agg(min(col("p1")).as("start1"), max(col("p1")).as("maxp1"))
+      .select(col("id1"), col("id2"),
+        col("start1").cast("long").as("start1"),
+        (col("start1") + col("diag")).cast("long").as("start2"),
+        (col("maxp1") - col("start1") + n).cast("long").as("span_len"))
+      .filter(col("span_len") >= minLen)
+  }
 }

@@ -20,6 +20,26 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2.isEmpty)
   }
 
+  test("substringSpans recovers the exact shared run and offsets") {
+    // doc2 carries doc1's tokens 3..12 (10 tokens: c3..c12) at offset 3
+    val shared = (3 to 12).map(i => s"c$i").mkString(" ")
+    val r = Dedup.substringSpans(docs(
+        (1L, (1 to 20).map(i => s"c$i").mkString(" ")),
+        (2L, s"x y $shared q r s t")),
+      "text", "doc_id", n = 4, minLen = 8).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("id1") == 1L && row.getAs[Long]("id2") == 2L)
+    assert(row.getAs[Long]("start1") == 3L, "span start in doc1")
+    assert(row.getAs[Long]("start2") == 3L, "span start in doc2")
+    assert(row.getAs[Long]("span_len") == 10L, "exact shared run length")
+    // a full-doc 6-token dup: reported at minLen=6, silent at minLen=8
+    val sixDup = docs((1L, "a b c d e f"), (2L, "a b c d e f"))
+    val six = Dedup.substringSpans(sixDup, "text", "doc_id", n = 4, minLen = 6).collect()
+    assert(six.length == 1 && six.head.getAs[Long]("span_len") == 6L)
+    assert(Dedup.substringSpans(sixDup, "text", "doc_id", n = 4, minLen = 8).count() == 0)
+  }
+
   test("exactDedup groups identical normalized text") {
     val r = Dedup.exactDedup(docs((1L, "Hello  World"), (2L, "hello world"), (3L, "other")),
       "text", "doc_id").orderBy("keep_id").collect()
