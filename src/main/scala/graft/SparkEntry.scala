@@ -1569,6 +1569,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** REAL multi-frame decode: per-doc animated GIFs (see
+    * [[ops.Multimodal.withGeneratedGif]]) frame-sampled every 2nd frame
+    * by an actual `ImageIO` reader — decoded dimensions and per-frame
+    * 24-bit pixel sums must equal the generation arithmetic the oracle
+    * computes (the m2 stub's arithmetic check upgraded to a real codec,
+    * as m3/m5 did for single images).
+    */
+  private def m7FramesReal(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.frameSampleImage(
+        ops.Multimodal.withGeneratedGif(Tables.documents(s, dir)), 2)
+      .orderBy("doc_id", "frame_idx")
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -1842,6 +1854,7 @@ object SparkEntry {
     "m4_resize" -> m4Resize _,
     "m5_resize_real" -> m5ResizeReal _,
     "m6_embed_real" -> m6EmbedReal _,
+    "m7_frames_real" -> m7FramesReal _,
     "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
@@ -2945,6 +2958,22 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // withGeneratedGif's frame arithmetic, recovered by the REAL
+    // multi-frame ImageIO decode: nf = 2 + id%4 frames, every 2nd
+    // sampled, pixel (x,y,f) = ((id + 31x + 131y + 997f) % 256)·0x010101
+    "m7_frames_real" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+        |            2 + doc_id % 4 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS fi FROM d),
+        |s AS (SELECT * FROM f WHERE fi % 2 = 0),
+        |px AS (SELECT s.doc_id, s.fi, s.w, s.h,
+        |        CAST(sum(((s.doc_id + 31 * gx.x + 131 * gy.y + 997 * s.fi) % 256) * 65793) AS BIGINT) AS pix_sum
+        |       FROM s, generate_series(0, 9) AS gx(x), generate_series(0, 7) AS gy(y)
+        |       WHERE gx.x < s.w AND gy.y < s.h
+        |       GROUP BY s.doc_id, s.fi, s.w, s.h)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height, pix_sum
+        |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
     // generation arithmetic of withGeneratedPng, recovered by the REAL
     // ImageIO decode
     "m3_image_decode" ->

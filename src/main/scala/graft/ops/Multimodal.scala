@@ -214,6 +214,120 @@ object Multimodal {
     }(RowEncoder.encoderFor(resizedRealSchema))
   }
 
+  /** Attach REAL encoded multi-frame media: a deterministic animated GIF
+    * per row (`2 + id % 4` frames of `(6 + id % 5) × (6 + id % 3)`),
+    * written executor-side with the JDK's own GIF sequence writer — pure
+    * JVM, no native codec. Pixels come from an EXPLICIT 256-gray
+    * `IndexColorModel` (palette entry i = opaque (i,i,i)): every pixel
+    * value is a palette member, so the encode quantizes nothing and the
+    * decode applies no colorspace transform (`TYPE_BYTE_GRAY` would gamma-
+    * convert) — frame f's pixel (x,y) is exactly
+    * `((id + 31x + 131y + 997f) % 256) · 0x010101`, making the decoded
+    * frames pure arithmetic the DuckDB oracle replays. Same
+    * repartition-then-stream shape as [[withGeneratedPng]].
+    */
+  def withGeneratedGif(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(binCol, BinaryType, nullable = false)))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).cast("long")).repartition(par).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see withGeneratedPng
+      val cmap = Array.tabulate(256)(i => (0xff << 24) | i * 0x010101)
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 6 + (id % 5).toInt
+        val h = 6 + (id % 3).toInt
+        val nf = 2 + (id % 4).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id + 31 * x + 131 * y + 997 * f) % 256).toInt
+              img.setRGB(x, y, (0xff << 24) | v * 0x010101)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        Row(id, bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  val frameRealSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false)))
+
+  /** REAL frame sampling: open the payload with an `ImageIO` reader,
+    * enumerate its frames (`getNumImages`), and emit every `everyN`-th
+    * frame as its own row with actual decoded dimensions and the 24-bit
+    * RGB pixel sum — the 1→N video fan-out of [[frameSampleStub]] driven
+    * by a real multi-frame codec (animated GIF being the format the bare
+    * JVM decodes). Lazy iterator fan-out, one payload in memory at a
+    * time; unreadable payloads emit one `frame_idx = −1` row — the
+    * row-level corrupt channel, same contract as [[decodeImage]].
+    */
+  def frameSampleImage(df: DataFrame, everyN: Int = 2,
+      idCol: String = "doc_id", binCol: String = "media"): DataFrame = {
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Seq(Row(id, -1, -1, -1, -1L)) }
+          else {
+            val reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = (0 until n).collect { case i if i % everyN == 0 =>
+              val img = reader.read(i)
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { s += img.getRGB(x, y) & 0xffffff; x += 1 }
+                y += 1
+              }
+              Row(id, i, img.getWidth, img.getHeight, s)
+            }
+            reader.dispose()
+            iis.close()
+            out
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq(Row(id, -1, -1, -1, -1L))
+        }
+      }
+    }(RowEncoder.encoderFor(frameRealSchema))
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -416,6 +416,26 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.withMedia(Seq((6L, "")).toDF("doc_id", "text"))).count() == 0)
   }
 
+  test("withGeneratedGif round-trips exactly through the real frame sampler") {
+    import spark.implicits._
+    // id 7: w=6+2=8, h=6+1=7, nf=2+3=5 frames; everyN=1 keeps all
+    val r = Multimodal.frameSampleImage(
+        Multimodal.withGeneratedGif(Seq((7L, "x")).toDF("doc_id", "text")), 1)
+      .orderBy("frame_idx").collect()
+    assert(r.length == 5)
+    assert(r.forall(x => x.getAs[Int]("width") == 8 && x.getAs[Int]("height") == 7))
+    // exact palette arithmetic: no quantization, no gamma
+    def expected(f: Int): Long =
+      (for (y <- 0 until 7; x <- 0 until 8)
+        yield ((7L + 31 * x + 131 * y + 997 * f) % 256) * 65793L).sum
+    for (row <- r)
+      assert(row.getAs[Long]("pix_sum") == expected(row.getAs[Int]("frame_idx")))
+    // non-media bytes land in the corrupt channel, not a task failure
+    val bad = Multimodal.frameSampleImage(
+      Multimodal.withMedia(Seq((1L, "not a gif")).toDF("doc_id", "text")), 2).collect()
+    assert(bad.length == 1 && bad.head.getAs[Int]("frame_idx") == -1)
+  }
+
   test("embedStub output feeds the ANN operators end-to-end") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "totally different")).toDF("doc_id", "text")
