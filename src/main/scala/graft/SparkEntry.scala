@@ -855,6 +855,25 @@ object SparkEntry {
     ops.Curation.pmiCollocations(Tables.documents(s, dir), "text", 5L, 50)
       .orderBy(desc("pmi"), col("bigram"))
 
+  /** Trained quality classifier ([[ops.Curation.trainTextClassifier]]):
+    * 2 full-batch GD iterations of logistic regression over dim-16
+    * hashed features, label = `lang == 'en'`, lr 0.5 — then every doc
+    * scored with the trained weights. The oracle replays both iterations
+    * (exact micro-integer margins, DECIMAL gradient sums, the same
+    * rounded weight updates) and the final sigmoid scores in SQL.
+    */
+  private def t18QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wm = ops.Curation.trainTextClassifier(
+      d.withColumn("__y", (col("lang") === "en").cast("int")),
+      "text", "__y", 16, 2, 0.5)
+    ops.Curation.scoreTextClassifier(d, "text", "doc_id", wm)
+      .join(d.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("label")), "doc_id")
+      .select(col("doc_id"), col("label"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token chunking ([[ops.Curation.chunkDocs]], size 64,
     * stride 48): one row per (doc, chunk), each chunk's token content
     * pinned by md5. The oracle replays the chunk-count arithmetic and
@@ -1809,6 +1828,7 @@ object SparkEntry {
     "t14_surprisal" -> t14Surprisal _,
     "t15_chunking" -> t15Chunking _,
     "t16_pmi" -> t16Pmi _,
+    "t18_quality_classifier" -> t18QualityClassifier _,
     "t17_temperature" -> t17Temperature _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
@@ -2013,6 +2033,26 @@ object SparkEntry {
       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
       |${kmeansIterSql(1, "c0", "c0")},
       |${kmeansIterSql(2, "f1", "c1")}""".stripMargin
+
+  /** One DuckDB logistic-regression GD iteration (mirror of the
+    * [[ops.Curation.trainTextClassifier]] loop body): exact micro-integer
+    * margins against the previous weights, sigmoid micro-rounded, exact
+    * HUGEINT gradient sums, the identical rounded double weight update.
+    * `0.5` is cast to DOUBLE — a bare DuckDB decimal literal would pull
+    * the HUGEINT gradient into DECIMAL arithmetic instead of the
+    * engine's IEEE double path.
+    */
+  private def logregIterSql(i: Int, prevW: String): String =
+    s"""z$i AS (SELECT xm.doc_id, CAST(sum(xm.xm * pw.wm) AS BIGINT) AS zm
+      |       FROM xm JOIN $prevW pw USING (j) GROUP BY xm.doc_id),
+      |p$i AS (SELECT doc_id,
+      |        CAST(round(1.0/(1.0 + exp(-(zm / 1000000000000.0))) * 1000000, 0) AS BIGINT) AS pm
+      |       FROM z$i),
+      |g$i AS (SELECT xm.j, sum((p.pm - y.ym) * xm.xm) AS s
+      |       FROM xm JOIN p$i p USING (doc_id) JOIN y USING (doc_id) GROUP BY xm.j),
+      |w$i AS (SELECT g.j,
+      |        CAST(round(pw.wm - CAST(0.5 AS DOUBLE) * g.s / (n.n * 1000000.0), 0) AS BIGINT) AS wm
+      |       FROM $prevW pw JOIN g$i g USING (j) CROSS JOIN n)""".stripMargin
 
   /** DuckDB embedding CTEs: doubles + norms. */
   private val embNormSql: String =
@@ -2929,6 +2969,25 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // both GD iterations replayed (see logregIterSql) over the re-derived
+    // hashed features; final sigmoid scores per document
+    "t18_quality_classifier" ->
+      s"""WITH $embedTextSql,
+        |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
+        |y AS (SELECT doc_id,
+        |       CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS ym
+        |      FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w0 AS (SELECT unnest(generate_series(0, 15)) AS j, CAST(0 AS BIGINT) AS wm),
+        |${logregIterSql(1, "w0")},
+        |${logregIterSql(2, "w1")},
+        |zf AS (SELECT xm.doc_id, CAST(sum(xm.xm * pw.wm) AS BIGINT) AS zm
+        |       FROM xm JOIN w2 pw USING (j) GROUP BY xm.doc_id)
+        |SELECT d.doc_id,
+        | CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+        | round(1.0/(1.0 + exp(-(zm / 1000000000000.0))), 6) AS score
+        |FROM documents d JOIN zf ON d.doc_id = zf.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the hashing-trick embedding re-derived independently; micro-long
     // digest of the float32-round-tripped components (see embedTextSql)
     "m6_embed_real" ->

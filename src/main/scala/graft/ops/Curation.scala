@@ -201,6 +201,91 @@ object Curation {
       .limit(k)
   }
 
+  /** TRAINED quality classifier — the fastText-style supervised filter of
+    * the curation literature (a linear model over hashed bag-of-tokens
+    * features; CCNet/GPT-3-style pipelines train exactly this shape to
+    * score "reference-like" text): logistic regression on
+    * [[Similarity.embedText]]'s hashing-trick features, trained by
+    * full-batch gradient descent for `iters` iterations at rate `lr`,
+    * returning the weight vector in integer MICRO units.
+    *
+    * Distributed shape (the [[Similarity.trainCentroids]] contract): per
+    * iteration ONE aggregate over the corpus — margins are computed
+    * map-side against the broadcast (literal) weight vector, residuals
+    * explode to (dimension, resid·x) and collapse in a
+    * partial-aggregable groupBy — and only `dim` aggregate rows ever
+    * reach the driver. Runs unchanged at 100 TB.
+    *
+    * Engine-exact discipline (every float crossing a shuffle is integer):
+    * features and weights are micro-LONGs, so the margin
+    * `z = Σ wᵐ·xᵐ / 10¹²` is an EXACT order-free integer sum; the
+    * sigmoid is the one libm call, its output micro-rounded immediately
+    * (absorbing cross-engine `exp` ulps, the t14 `ln` rule); gradient
+    * sums run in DECIMAL(38) (exact at any corpus size — resid·x ≤ 10¹²
+    * per row, so a LONG Σ would overflow near 10⁷ docs); the weight
+    * update is computed in double from those exact integers and
+    * re-rounded to micro. Two runs — or two engines — produce
+    * bit-identical weights (gated: t18 replays both iterations in SQL).
+    */
+  def trainTextClassifier(df: DataFrame, textCol: String, labelCol: String,
+      dim: Int, iters: Int, lr: Double): Array[Long] = {
+    require(iters >= 0 && lr > 0, s"bad training params: iters=$iters lr=$lr")
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val base = df.select(
+        (col(labelCol).cast("double") * 1e6).cast("long").as("ym"),
+        transform(
+          coalesce(call_function("hashed_embed", col(textCol), lit(dim)),
+            array_repeat(lit(0f), dim)),
+          x => round(x.cast("double") * 1e6, 0).cast("long")).as("xm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    require(n > 0, "empty training corpus")
+    var wm = Array.fill(dim)(0L)
+    for (_ <- 0 until iters) {
+      val wmLit = typedlit(wm.toSeq)
+      val zMicro2 = aggregate(
+        zip_with(col("xm"), wmLit, (x, w) => x * w), lit(0L), (a, b) => a + b)
+      val pm = round(
+        lit(1.0) / (lit(1.0) + exp(-(zMicro2.cast("double") / 1e12))) * 1e6, 0)
+        .cast("long")
+      val sums = base.select((pm - col("ym")).as("r"),
+          posexplode(col("xm")).as(Seq("j", "x")))
+        .groupBy("j")
+        .agg(sum((col("r") * col("x")).cast("decimal(38,0)")).as("s"))
+        .collect()
+      val next = wm.clone()
+      sums.foreach { row =>
+        val j = row.getInt(0)
+        val sd = row.getDecimal(1).doubleValue()
+        next(j) = math.rint(wm(j) - lr * sd / (n * 1e6)).toLong
+      }
+      wm = next
+    }
+    base.unpersist()
+    wm
+  }
+
+  /** Score documents with a [[trainTextClassifier]] weight vector:
+    * `(idCol, score)` with `score = σ(w·x)` rounded to 6 decimals — a
+    * pure narrow map (features and margin recomputed map-side, weights a
+    * broadcast literal), zero shuffles.
+    */
+  def scoreTextClassifier(df: DataFrame, textCol: String, idCol: String,
+      weightsMicro: Array[Long]): DataFrame = {
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val dim = weightsMicro.length
+    val xm = transform(
+      coalesce(call_function("hashed_embed", col(textCol), lit(dim)),
+        array_repeat(lit(0f), dim)),
+      x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val zMicro2 = aggregate(
+      zip_with(xm, typedlit(weightsMicro.toSeq), (x, w) => x * w),
+      lit(0L), (a, b) => a + b)
+    df.select(col(idCol),
+      round(lit(1.0) / (lit(1.0) + exp(-(zMicro2.cast("double") / 1e12))), 6)
+        .as("score"))
+  }
+
   /** Repetition / boilerplate metrics (Gopher-style repetition signals):
     * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
     * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.

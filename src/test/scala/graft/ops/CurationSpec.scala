@@ -240,4 +240,24 @@ class CurationSpec extends SparkSpec {
         .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(run(2) == run(17))
   }
+
+  test("trainTextClassifier learns a separable corpus; bit-identical across partitionings") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      if (i % 2 == 0) (i.toLong, "excellent wonderful prose with careful structure", 1)
+      else (i.toLong, "spam spam buy now click here spam", 0)
+    }
+    val df = rows.toDF("doc_id", "text", "y")
+    val wm = Curation.trainTextClassifier(df, "text", "y", dim = 16, iters = 5, lr = 1.0)
+    val scores = Curation.scoreTextClassifier(df, "text", "doc_id", wm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = rows.filter(_._3 == 1).map(r => scores(r._1))
+    val neg = rows.filter(_._3 == 0).map(r => scores(r._1))
+    assert(pos.min > neg.max,
+      s"classifier failed to separate: pos min ${pos.min} <= neg max ${neg.max}")
+    // exact-integer training discipline → identical weights at any parallelism
+    val wm2 = Curation.trainTextClassifier(df.repartition(7), "text", "y",
+      dim = 16, iters = 5, lr = 1.0)
+    assert(wm.toSeq == wm2.toSeq)
+  }
 }
