@@ -1273,28 +1273,46 @@ object SparkEntry {
   private def d13StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val base = ioTmp(dir, "d13")
-    // stale artifacts from a previous identical run would pollute batch
-    // 0's history with that run's night-0/1 output — wipe first
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    val baseF = new java.io.File(base)
-    if (baseF.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseF)
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val (sigsPath, docsPath, outPath) = (s"$base/sigs", s"$base/docs", s"$base/out")
-    // bootstrap: the corpus is the pre-existing history artifact pair
-    ops.Dedup.minhashSignatures(d, "text", "doc_id", 3, MinhashK)
-      .write.mode("overwrite").parquet(s"$sigsPath/batch_id=-1")
-    d.write.mode("overwrite").parquet(s"$docsPath/batch_id=-1")
+    // k in the path: a param change must not reuse a stale sketch
+    val (sigsPath, docsPath, outPath) =
+      (s"$base/sigs-k$MinhashK", s"$base/docs", s"$base/out")
+    // Wipe only the PER-RUN artifacts (this run's batch outputs and the
+    // previous run's appended batches — batch 0's history must not see
+    // them). The BOOTSTRAP history pair and the night input files are
+    // corpus-determined and persist across runs — re-sketching history
+    // nightly is exactly the anti-pattern the incremental op exists to
+    // avoid, and the bench should measure the pipeline, not the
+    // bootstrap.
+    for (p <- Seq(s"$sigsPath/batch_id=0", s"$sigsPath/batch_id=1",
+        s"$docsPath/batch_id=0", s"$docsPath/batch_id=1", outPath)) {
+      val f = new java.io.File(p)
+      if (f.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(f)
+    }
+    def bootstrap(path: String)(write: String => Unit): Unit = {
+      val ok = new java.io.File(path, "_SUCCESS")
+      if (!ok.exists()) write(path)
+    }
+    bootstrap(s"$sigsPath/batch_id=-1") { p =>
+      ops.Dedup.minhashSignatures(d, "text", "doc_id", 3, MinhashK)
+        .write.mode("overwrite").parquet(p)
+    }
+    bootstrap(s"$docsPath/batch_id=-1") { p =>
+      d.write.mode("overwrite").parquet(p)
+    }
     // two nights as single stream files with pinned modtimes (fixed
     // epochs → stable oldest-first ordering on any filesystem)
-    def writeNight(df: DataFrame, name: String, mtime: Long): Unit = {
+    def writeNight(df: => DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      if (target.exists()) return
       val tmp = new java.io.File(s"$base/in/$name.tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file under $tmp"))
-      val target = new java.io.File(s"$base/in/$name.parquet")
       java.nio.file.Files.move(part.toPath, target.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       rm(tmp)

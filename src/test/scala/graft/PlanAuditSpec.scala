@@ -156,6 +156,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("m6 text embedding is a pure narrow map — no shuffle, no fallback eval") {
+    // the embedder must stay a per-row projection (hashed_embed is a
+    // native expression): any Exchange here means the featurizer grew a
+    // wide edge, and BatchEvalPython/CodegenFallback would mean the hot
+    // kernel left compiled code
+    val plan = executed(SparkEntry.queries("m6_embed_real")(spark, sf0001))
+    assert(countOf(plan, "Exchange hashpartitioning") == 0,
+      s"embedding projection shuffles:\n$plan")
+    assert(!plan.contains("BatchEvalPython"), "embedder must stay native")
+  }
+
+  test("d14 substring anchor pairing is an equi-join on the anchor hash, no nested loop") {
+    val plan = executed(SparkEntry.queries("d14_substring_spans")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop pairing in d14 plan:\n$plan")
+  }
+
+  test("t18 gradient aggregate is partial before the shuffle") {
+    // the classifier's per-iteration gradient must combine map-side —
+    // at 100 TB the shuffle carries dim-sized partials, not the corpus
+    val d = Tables.documents(spark, sf0001)
+      .withColumn("__y", (col("lang") === "en").cast("int"))
+    graft.expr.VecExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    val base = d.select((col("__y").cast("double") * 1e6).cast("long").as("ym"),
+      transform(call_function("hashed_embed", col("text"), lit(16)),
+        x => round(x.cast("double") * 1e6, 0).cast("long")).as("xm"))
+    val grad = base.select(col("ym").as("r"), posexplode(col("xm")).as(Seq("j", "x")))
+      .groupBy("j").agg(sum((col("r") * col("x")).cast("decimal(38,0)")).as("s"))
+    val plan = executed(grad)
+    assert(plan.contains("partial_sum"), s"no map-side gradient combine:\n$plan")
+  }
+
   test("io8 z-order rewrite is a single range repartition (no extra shuffles)") {
     val plan = executed(SparkEntry.queries("io8_zorder")(spark, sf0001))
     assert(plan.contains("rangepartitioning"),
