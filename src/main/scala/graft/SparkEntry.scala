@@ -1375,6 +1375,36 @@ object SparkEntry {
       .orderBy("id1", "id2", "start1", "start2")
   }
 
+  /** SemDeDup — the embedding-cluster dedup pipeline (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", public): raw text → [[ops.Similarity.embedText]]
+    * hashed embeddings → IVF-cell-blocked cosine pairs at 0.9 →
+    * connected components → duplicate-group summary. The all-real
+    * composition of m6 + d6 + d9 machinery: exact copies are planted
+    * (`doc_id % 10 == 0` duplicated at +100000) so clusters exist by
+    * construction; the oracle replays the embedding, the CELL BLOCKING
+    * itself (not an all-pairs shortcut — blocking recall is part of the
+    * contract), and the transitive closure in SQL.
+    */
+  private def d15Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val e = ops.Similarity.embedText(planted, 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = ops.Similarity.cosineDupPairs(e, 0.9, "doc_id", "embedding",
+      probes = 2, centroidEvery = 50)
+    val cc = withStatePartitions(s, 8) {
+      ops.Dedup.dupClusters(e.select(col("doc_id")),
+        pairs.select(col("id1"), col("id2")), "doc_id", "id1", "id2")
+    }
+    val out = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .orderBy("cluster_id")
+    e.unpersist()
+    out
+  }
+
   /** Winnowing partial-overlap pairs ([[ops.Dedup.winnowDupPairs]]):
     * 4-gram hashes, window 4, pairs sharing ≥ 3 fingerprints. The oracle
     * replays the positional hash + sliding-window-min construction
@@ -1876,6 +1906,7 @@ object SparkEntry {
     "d10_incremental_minhash" -> d10IncrementalMinhash _,
     "d13_stream_dedup" -> d13StreamDedup _,
     "d14_substring_spans" -> d14SubstringSpans _,
+    "d15_semdedup" -> d15Semdedup _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -1994,8 +2025,8 @@ object SparkEntry {
     * with `ev(doc_id, j, x DOUBLE)` — per-component values bit-identical
     * to the engine's emitted floats.
     */
-  private val embedTextSql: String =
-    s"""etok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+  private def embedTextSql(src: String = "documents"): String =
+    s"""etok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM $src),
       |eh AS (SELECT doc_id, md5(t) AS h FROM etok),
       |ef AS (SELECT doc_id,
       |        CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 16 AS j,
@@ -2004,7 +2035,7 @@ object SparkEntry {
       |       FROM eh),
       |ec AS (SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS c FROM ef GROUP BY 1, 2),
       |eg AS (SELECT d.doc_id, js.j, coalesce(ec.c, 0) AS c
-      |       FROM documents d
+      |       FROM $src d
       |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
       |       LEFT JOIN ec ON ec.doc_id = d.doc_id AND ec.j = js.j),
       |en AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
@@ -2820,6 +2851,35 @@ object SparkEntry {
         |  CAST(maxp1 - start1 + 8 AS BIGINT) AS span_len
         |FROM sp WHERE maxp1 - start1 + 8 >= 20
         |ORDER BY id1, id2, start1, start2""".stripMargin,
+    // SemDeDup replay: hashed embeddings over the planted universe, the
+    // 2-probe cell blocking itself (recall is part of the contract),
+    // rounded cosine >= 0.9, recursive-CTE transitive closure
+    "d15_semdedup" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |${embedTextSql("base")},
+        |e AS (SELECT doc_id AS vec_id, list(x ORDER BY j) AS v FROM ev GROUP BY doc_id),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT id, cent_id FROM (
+        |  SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY d, cent_id) AS r FROM ca) WHERE r <= 2),
+        |p0 AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+        |       FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.id < b.id),
+        |p AS (SELECT id1, id2 FROM (
+        |        SELECT p0.id1, p0.id2, ${cosineSql("na", "nb")} AS cosine
+        |        FROM p0 JOIN n na ON na.vec_id = p0.id1 JOIN n nb ON nb.vec_id = p0.id2) x
+        |      WHERE cosine >= 0.9),
+        |ee AS (SELECT id1 AS src, id2 AS dst FROM p UNION SELECT id2 AS src, id1 AS dst FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM base
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id),
+        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id
+        |HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard
@@ -2990,7 +3050,7 @@ object SparkEntry {
     // both GD iterations replayed (see logregIterSql) over the re-derived
     // hashed features; final sigmoid scores per document
     "t18_quality_classifier" ->
-      s"""WITH $embedTextSql,
+      s"""WITH ${embedTextSql()},
         |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
         |y AS (SELECT doc_id,
         |       CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS ym
@@ -3009,13 +3069,13 @@ object SparkEntry {
     // the hashing-trick embedding re-derived independently; micro-long
     // digest of the float32-round-tripped components (see embedTextSql)
     "m6_embed_real" ->
-      s"""WITH $embedTextSql,
+      s"""WITH ${embedTextSql()},
         |em AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS m FROM ev)
         |SELECT doc_id, md5(string_agg(CAST(m AS VARCHAR), ' ' ORDER BY j)) AS emb_md5
         |FROM em GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sim2's IVF body over text-derived embeddings instead of the fixture
     "sim6_text_ann" ->
-      s"""WITH $embedTextSql,
+      s"""WITH ${embedTextSql()},
         |e AS (SELECT doc_id AS vec_id, list(x ORDER BY j) AS v FROM ev GROUP BY doc_id),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
         |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
