@@ -827,6 +827,15 @@ object SparkEntry {
     * split is uniform across languages. The oracle recomputes the md5
     * bucket expression verbatim.
     */
+  /** One-pass column profiler ([[ops.Profile.profile]]) over orders:
+    * per-column rows/nulls/exact-distinct through Spark's Expand-based
+    * multi-distinct (one scan, one shuffle — not a scan per column).
+    */
+  private def t19Profile(s: SparkSession, dir: String): DataFrame =
+    ops.Profile.profile(Tables.orders(s, dir),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+      .orderBy("column")
+
   private def t4Split(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.withSplit(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
@@ -1877,6 +1886,7 @@ object SparkEntry {
     "t15_chunking" -> t15Chunking _,
     "t16_pmi" -> t16Pmi _,
     "t18_quality_classifier" -> t18QualityClassifier _,
+    "t19_profile" -> t19Profile _,
     "t17_temperature" -> t17Temperature _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
@@ -2490,6 +2500,19 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
         |      < CAST(floor(rate * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    // per-column counts as one UNION of scalar aggregates (the engine
+    // does one Expand pass; the oracle's k passes are equivalent SQL)
+    "t19_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(o_custkey) AS n_null, count(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders)
+        |ORDER BY "column"""".stripMargin,
     "t4_split" ->
       """WITH b AS (SELECT lang, n_chars,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt

@@ -189,6 +189,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"no map-side gradient combine:\n$plan")
   }
 
+  test("t19 profiler computes all multi-distincts in ONE scan via Expand") {
+    val plan = executed(SparkEntry.queries("t19_profile")(spark, sf0001))
+    assert(plan.contains("Expand"), s"multi-distinct lost its Expand plan:\n$plan")
+    assert(countOf(plan, "FileScan parquet") == 1,
+      s"profiler re-scans the table per column:\n$plan")
+  }
+
   test("io8 z-order rewrite is a single range repartition (no extra shuffles)") {
     val plan = executed(SparkEntry.queries("io8_zorder")(spark, sf0001))
     assert(plan.contains("rangepartitioning"),
