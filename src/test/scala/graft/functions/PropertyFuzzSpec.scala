@@ -133,4 +133,25 @@ class PropertyFuzzSpec extends SparkSpec {
       assert(star == want, s"graph $i: star != union-find")
     }
   }
+
+  test("CC stray-endpoint contract: both impls drop them, both let them carry connectivity") {
+    import spark.implicits._
+    // nodes 0..4; edges reference strays 90/91: 0-90, 90-1 (stray BRIDGES
+    // 0 and 1), 2-91 (dangling stray), 3-4 direct. Contract: no output
+    // row for 90/91, but 0 and 1 land in one component THROUGH 90.
+    val nodes = (0L to 4L).toDF("id")
+    val e = Seq((0L, 90L), (90L, 1L), (2L, 91L), (3L, 4L)).toDF("src", "dst")
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L)
+    for ((name, res) <- Seq(
+        "propagation" -> graft.ops.Dedup.dupClusters(nodes, e, "id"),
+        "star" -> graft.ops.Dedup.dupClustersStar(nodes, e, "id"))) {
+      val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"$name stray contract: $got")
+    }
+    // non-integral ids refuse loudly instead of null-corrupting
+    val bad = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.dupClusters(nodes, bad, "id")
+    }
+  }
 }
