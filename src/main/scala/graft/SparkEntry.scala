@@ -1380,7 +1380,8 @@ object SparkEntry {
       .select((col("doc_id") + 700000).as("doc_id"),
         concat(array_join(slice(col("tk"), 5, 40), " "),
           lit(" plant tail "), col("doc_id").cast("string")).as("text"))
-    ops.Dedup.substringSpans(d.unionByName(planted), "text", "doc_id", 8, 20)
+    ops.Dedup.substringSpans(d.unionByName(planted), "text", "doc_id", 8, 20,
+        maxAnchorOcc = 50)
       .orderBy("id1", "id2", "start1", "start2")
   }
 
@@ -2861,7 +2862,10 @@ object SparkEntry {
         |g AS (SELECT doc_id AS id, tk,
         |        unnest(generate_series(1, len(tk) - 7)) AS p
         |      FROM u WHERE len(tk) >= 8),
-        |g2 AS (SELECT id, p, md5(array_to_string(tk[p:p+7], ' ')) AS h FROM g),
+        |g1 AS (SELECT id, p, md5(array_to_string(tk[p:p+7], ' ')) AS h FROM g),
+        |g2 AS (SELECT id, p, h FROM (
+        |        SELECT id, p, h, count(*) OVER (PARTITION BY h) AS f FROM g1)
+        |      WHERE f <= 50),
         |m AS (SELECT a.id AS id1, b.id AS id2, a.p AS p1, b.p - a.p AS diag
         |      FROM g2 a JOIN g2 b ON a.h = b.h AND a.id < b.id),
         |w AS (SELECT id1, id2, diag, p1,

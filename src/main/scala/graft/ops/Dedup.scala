@@ -632,17 +632,27 @@ object Dedup {
     * equi-join shuffled on the anchor hash, one window per (pair, diag).
     * `n` is the selectivity knob — at n=8 natural-language n-grams are
     * near-unique, so anchor buckets stay tiny (the Zipf head lives at
-    * n≤3). At 100 TB the standard composition restricts the anchor join
-    * to candidate pairs first (semi-join the ids [[winnowDupPairs]] or
+    * n≤3). The residual hazard is BOILERPLATE: a license header or
+    * template repeated across millions of documents is one anchor value
+    * whose join bucket explodes quadratically. `maxAnchorOcc` is the
+    * standard guard (suffix-array dedup tools discard high-frequency
+    * substrings the same way): anchors occurring more than that many
+    * times corpus-wide are dropped before the pairing join — the
+    * frequency count is a whole-partition window over the anchor hash,
+    * so it rides the SAME shuffle the self-join needs, no extra
+    * exchange. A span covered only by capped anchors is boilerplate by
+    * definition — [[winnowDupPairs]]/t8 are its detectors. At 100 TB the
+    * other standard composition restricts the anchor join to candidate
+    * pairs first (semi-join the ids [[winnowDupPairs]] or
     * [[minhashDupPairs]] surfaces, then span-recover) — same operator,
     * pre-filtered input.
     */
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
-      n: Int, minLen: Int): DataFrame = {
+      n: Int, minLen: Int, maxAnchorOcc: Int = 0): DataFrame = {
     require(n >= 2, s"anchor n-gram too short: $n")
     require(minLen >= n, s"minLen $minLen must be >= n=$n")
     import org.apache.spark.sql.expressions.Window
-    val grams = df
+    val raw = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("id"), posexplode(transform(
@@ -650,6 +660,12 @@ object Dedup {
         p => md5(array_join(slice(col("tk"), p, lit(n)), " ").cast("binary"))))
         .as(Seq("p0", "h")))
       .select(col("id"), (col("p0") + 1).as("p"), col("h"))
+    val grams =
+      if (maxAnchorOcc <= 0) raw
+      else raw
+        .withColumn("__f", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("__f") <= maxAnchorOcc)
+        .drop("__f")
     val m = grams.as("a").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),

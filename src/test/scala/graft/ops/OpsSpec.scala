@@ -40,6 +40,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringSpans(sixDup, "text", "doc_id", n = 4, minLen = 8).count() == 0)
   }
 
+  test("substringSpans anchor-frequency cap drops boilerplate runs only") {
+    // the same 8-token header in every doc (boilerplate); docs 1 and 2
+    // additionally share a unique 8-token body run
+    val header = "standard license header tokens one two three four"
+    val body = "unique shared body content alpha beta gamma delta"
+    val d = docs(
+      (1L, s"$header $body"), (2L, s"$header $body"),
+      (3L, s"$header other text entirely here now today ok"),
+      (4L, s"$header more unrelated words in this doc too"))
+    // uncapped: header matches across all 6 pairs; capped at 4 occurrences
+    // (header anchors occur 4x, body anchors 2x) header survives; cap at 3
+    // kills header pairs, keeps the unique body span between 1 and 2
+    // 6 pairs: (1,2) one merged header+body run of 16; the other 5 share
+    // the 8-token header only
+    val uncapped = Dedup.substringSpans(d, "text", "doc_id", 8, 8).collect()
+    assert(uncapped.length == 6)
+    assert(uncapped.count(_.getAs[Long]("span_len") == 16L) == 1)
+    val capped = Dedup.substringSpans(d, "text", "doc_id", 8, 8, maxAnchorOcc = 3)
+      .collect()
+    assert(capped.length == 1)
+    assert(capped.head.getAs[Long]("id1") == 1L && capped.head.getAs[Long]("id2") == 2L)
+  }
+
   test("exactDedup groups identical normalized text") {
     val r = Dedup.exactDedup(docs((1L, "Hello  World"), (2L, "hello world"), (3L, "other")),
       "text", "doc_id").orderBy("keep_id").collect()
