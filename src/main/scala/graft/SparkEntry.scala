@@ -827,6 +827,17 @@ object SparkEntry {
     * split is uniform across languages. The oracle recomputes the md5
     * bucket expression verbatim.
     */
+  /** Dense global index ([[ops.Sampling.withGlobalIndex]]): contiguous
+    * 0..n−1 ids in doc_id order via distributed range sort +
+    * zipWithIndex — no single-reducer global window. Oracle =
+    * `row_number() OVER (ORDER BY doc_id) − 1`.
+    */
+  private def t20GlobalIndex(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.withGlobalIndex(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("global_id"))
+      .orderBy("doc_id")
+
   /** One-pass column profiler ([[ops.Profile.profile]]) over orders:
     * per-column rows/nulls/exact-distinct through Spark's Expand-based
     * multi-distinct (one scan, one shuffle — not a scan per column).
@@ -1888,6 +1899,7 @@ object SparkEntry {
     "t16_pmi" -> t16Pmi _,
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t19_profile" -> t19Profile _,
+    "t20_global_index" -> t20GlobalIndex _,
     "t17_temperature" -> t17Temperature _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
@@ -2501,6 +2513,10 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
         |      < CAST(floor(rate * 1000000) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    "t20_global_index" ->
+      """SELECT doc_id, lang,
+        | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // per-column counts as one UNION of scalar aggregates (the engine
     // does one Expand pass; the oracle's k passes are equivalent SQL)
     "t19_profile" ->

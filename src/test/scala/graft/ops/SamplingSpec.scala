@@ -104,4 +104,20 @@ class SamplingSpec extends SparkSpec {
     assert((small & aIds).subsetOf(grown & aIds),
       "rate growth must not evict previously kept rows")
   }
+
+  test("withGlobalIndex: dense 0..n-1 in key order, partitioning-independent") {
+    import spark.implicits._
+    // shuffled insert order + skewed input partitioning — the index must
+    // still be the rank in key order
+    val keys = scala.util.Random.shuffle((0L until 200L).toList)
+    val df = keys.map(k => (k, s"v$k")).toDF("k", "v")
+    def run(parts: Int) =
+      Sampling.withGlobalIndex(df.repartition(parts), "k")
+        .select("k", "global_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(3)
+    assert(got == (0L until 200L).map(k => k -> k).toMap,
+      "global_id must equal rank in key order")
+    assert(run(11) == got, "index must not depend on input partitioning")
+  }
 }
