@@ -1669,6 +1669,16 @@ object SparkEntry {
         ops.Multimodal.withGeneratedGif(Tables.documents(s, dir)), 2)
       .orderBy("doc_id", "frame_idx")
 
+  /** REAL audio decode: per-doc generated PCM WAVs ([[ops.Multimodal
+    * .withGeneratedWav]]) decoded by the JDK's actual audio codec — the
+    * recovered sample rate, frame count, and unsigned-amplitude sum must
+    * equal the generation arithmetic the oracle computes.
+    */
+  private def m8AudioReal(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.decodeAudio(
+        ops.Multimodal.withGeneratedWav(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -1947,6 +1957,7 @@ object SparkEntry {
     "m5_resize_real" -> m5ResizeReal _,
     "m6_embed_real" -> m6EmbedReal _,
     "m7_frames_real" -> m7FramesReal _,
+    "m8_audio_real" -> m8AudioReal _,
     "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
@@ -3154,6 +3165,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(w AS INT) AS width,
         | CAST(h AS INT) AS height, pix_sum
         |FROM px ORDER BY doc_id, frame_idx""".stripMargin,
+    // withGeneratedWav's sample arithmetic, recovered by the REAL JDK
+    // audio codec: n = 400 + id%100 samples at 8 kHz, sample i =
+    // (id + 7i) % 256, summed unsigned
+    "m8_audio_real" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |a AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |        CAST(sum((doc_id + 7 * i) % 256) AS BIGINT) AS amp_sum
+        |      FROM s GROUP BY doc_id)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_samples, amp_sum
+        |FROM a ORDER BY doc_id""".stripMargin,
     // generation arithmetic of withGeneratedPng, recovered by the REAL
     // ImageIO decode
     "m3_image_decode" ->

@@ -328,6 +328,76 @@ object Multimodal {
     }(RowEncoder.encoderFor(frameRealSchema))
   }
 
+  /** Attach REAL encoded audio: a deterministic 8-bit unsigned PCM mono
+    * WAV per row, written executor-side with the JDK's own
+    * `javax.sound.sampled` codec (pure JVM, headless-safe — WAV encode
+    * is file I/O, no audio device). Sample i of doc id is
+    * `(id + 7i) % 256` over `400 + id % 100` samples at 8 kHz — pure
+    * arithmetic, so the decoded stream is SQL-expressible and the real
+    * audio path can face the oracle, exactly the [[withGeneratedPng]] /
+    * [[withGeneratedGif]] pattern for the audio modality.
+    */
+  def withGeneratedWav(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(binCol, BinaryType, nullable = false)))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).cast("long")).repartition(par).mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = 400 + (id % 100).toInt
+        val pcm = Array.tabulate(n)(i => ((id + 7L * i) % 256).toByte)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false)))
+
+  /** REAL audio decode: parse the payload with `AudioSystem`, recover the
+    * actual sample rate and frame count, and sum the unsigned 8-bit
+    * sample values — the audio analogue of [[decodeImage]]'s
+    * pixel-level check. Unparseable payloads emit
+    * `(−1, −1, −1)` — the row-level corrupt channel. Partition-local
+    * streaming, one payload in memory at a time.
+    */
+  def decodeAudio(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          val n = ais.getFrameLength
+          val buf = ais.readAllBytes()
+          var s = 0L
+          var i = 0
+          while (i < buf.length) { s += (buf(i) & 0xff); i += 1 }
+          ais.close()
+          Row(id, fmt.getSampleRate.toInt, n, s)
+        } catch {
+          case scala.util.control.NonFatal(_) => Row(id, -1, -1L, -1L)
+        }
+      }
+    }(RowEncoder.encoderFor(audioSchema))
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

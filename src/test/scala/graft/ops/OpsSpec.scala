@@ -459,6 +459,22 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.getAs[Int]("frame_idx") == -1)
   }
 
+  test("withGeneratedWav round-trips exactly through the real audio decoder") {
+    import spark.implicits._
+    // id 3: 403 samples, sample i = (3 + 7i) % 256
+    val r = Multimodal.decodeAudio(
+        Multimodal.withGeneratedWav(Seq((3L, "x")).toDF("doc_id", "text")))
+      .collect().head
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Long]("n_samples") == 403L)
+    assert(r.getAs[Long]("amp_sum") ==
+      (0 until 403).map(i => (3L + 7 * i) % 256).sum)
+    // non-audio bytes land in the corrupt channel, not a task failure
+    val bad = Multimodal.decodeAudio(
+      Multimodal.withMedia(Seq((1L, "not audio at all")).toDF("doc_id", "text"))).collect()
+    assert(bad.length == 1 && bad.head.getAs[Int]("sample_rate") == -1)
+  }
+
   test("embedStub output feeds the ANN operators end-to-end") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "totally different")).toDF("doc_id", "text")
