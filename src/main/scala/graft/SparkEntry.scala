@@ -1181,6 +1181,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** d7's fixture through the BLOOM-prefiltered incremental dedup
+    * ([[ops.Dedup.incrementalDedupBloom]]) against d7's exact oracle —
+    * gating that the map-side negative filter changes nothing but the
+    * shuffle volume.
+    */
+  private def d16IncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" fresh salt "), col("doc_id").cast("string")).as("text")))
+    ops.Dedup.incrementalDedupBloom(d, fresh, "text", "doc_id",
+        expectedItems = 10000L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5; the corpus has 25
     * planted pairs ≥0.9 and nothing between 0.1 and 0.9).
     */
@@ -1940,6 +1958,7 @@ object SparkEntry {
     "d13_stream_dedup" -> d13StreamDedup _,
     "d14_substring_spans" -> d14SubstringSpans _,
     "d15_semdedup" -> d15Semdedup _,
+    "d16_incremental_bloom" -> d16IncrementalBloom _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -2764,6 +2783,20 @@ object SparkEntry {
         |FROM f GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
     // nightly-ingest labeling vs the historical fingerprint set (see d7)
     "d7_incremental_dedup" ->
+      s"""WITH fresh AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |         text || ' fresh salt ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |h AS (SELECT DISTINCT ${fpSql("text")} AS fingerprint FROM documents)
+        |SELECT f.doc_id, ${fpSql("f.text")} AS fingerprint,
+        | (h.fingerprint IS NOT NULL) AS is_dup
+        |FROM fresh f LEFT JOIN h ON ${fpSql("f.text")} = h.fingerprint
+        |ORDER BY f.doc_id""".stripMargin,
+    // IDENTICAL oracle to d7: the bloom prefilter must be invisible in
+    // the result (no false negatives; positives re-verified exactly)
+    "d16_incremental_bloom" ->
       s"""WITH fresh AS (
         |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL

@@ -123,6 +123,45 @@ object Dedup {
       .select(col("id"), col("fingerprint"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** [[incrementalDedup]] with a BLOOM-FILTER negative prefilter — the
+    * nightly-ingest shape when history is enormous and almost all fresh
+    * documents are new: the history fingerprint set is summarized into a
+    * distributed-built Bloom filter (`df.stat.bloomFilter` runs a
+    * treeAggregate; bitmap OR is order-independent, so the sketch is
+    * deterministic) and broadcast, and fresh rows it rejects are marked
+    * unique MAP-SIDE — they never reach the join shuffle. Only the
+    * `mightContain` survivors (true dups + the fpp false positives) join
+    * history exactly, so the shuffle volume tracks the DUPLICATE rate,
+    * not the batch. Bloom has no false negatives and every positive is
+    * re-verified by the exact join, so the output equals
+    * [[incrementalDedup]]'s row-for-row at ANY fpp — the gate runs both
+    * against the same oracle. The `mightContain` probe is a scala UDF
+    * (Spark exposes no Column-level bloom probe publicly): a boolean
+    * broadcast-lookup off the arithmetic hot path, re-verified
+    * downstream — the one UDF shape the no-UDFs rule tolerates.
+    */
+  def incrementalDedupBloom(history: DataFrame, fresh: DataFrame,
+      textCol: String, idCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val s = fresh.sparkSession
+    val histFp = history
+      .select(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+    val bloom = histFp.stat.bloomFilter("fingerprint", expectedItems, fpp)
+    val b = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => b.value.mightContainString(fp))
+    val f = fresh
+      .select(col(idCol).as("id"),
+        TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .withColumn("__cand", mightContain(col("fingerprint")))
+    val hist = histFp.distinct().withColumn("is_dup", lit(true))
+    f.filter(col("__cand"))
+      .join(hist, Seq("fingerprint"), "left")
+      .select(col("id"), col("fingerprint"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .unionByName(f.filter(!col("__cand"))
+        .select(col("id"), col("fingerprint"), lit(false).as("is_dup")))
+  }
+
   /** All candidate near-dup pairs by exact n-gram Jaccard ≥ threshold.
     * Candidates = pairs sharing at least one shingle (exploded self-join on
     * the shingle — correct but worst-case quadratic; see [[minhashDupPairs]]

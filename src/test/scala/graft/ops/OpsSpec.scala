@@ -20,6 +20,29 @@ class DedupSpec extends SparkSpec {
     assert(r(1)._2.isEmpty)
   }
 
+  test("incrementalDedupBloom == incrementalDedup; the bloom really prunes") {
+    import spark.implicits._
+    val hist = (0 until 200).map(i => (i.toLong, s"history doc number $i words"))
+      .toDF("doc_id", "text")
+    val fresh = ((0 until 10).map(i => (1000L + i, s"history doc number $i words")) ++ // dups
+      (0 until 90).map(i => (2000L + i, s"entirely new content $i here")))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val plain = norm(Dedup.incrementalDedup(hist, fresh, "text", "doc_id"))
+    val bloom = norm(Dedup.incrementalDedupBloom(hist, fresh, "text", "doc_id",
+      expectedItems = 1000L))
+    assert(bloom == plain, "bloom prefilter changed the result")
+    assert(plain.count(_._3) == 10)
+    // at 1% fpp nearly all 90 new docs must be rejected map-side
+    val b = hist.select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("f"))
+      .stat.bloomFilter("f", 1000L, 0.01)
+    val freshFps = fresh.select(graft.functions.TextFunctions.fingerprintMd5(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    val pruned = freshFps.count(fp => !b.mightContainString(fp))
+    assert(pruned >= 80, s"bloom pruned only $pruned of 90 new docs")
+  }
+
   test("substringSpans recovers the exact shared run and offsets") {
     // doc2 carries doc1's tokens 3..12 (10 tokens: c3..c12) at offset 3
     val shared = (3 to 12).map(i => s"c$i").mkString(" ")
