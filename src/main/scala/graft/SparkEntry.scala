@@ -153,6 +153,43 @@ object SparkEntry {
       .orderBy("user_id", "valid_from_s", "event_id")
   }
 
+  /** CDC merge through the gate ([[ops.Cdc.applyChanges]]): a snapshot of
+    * orders (keys ≢ 0 mod 4) receives a synthetic out-of-order change log
+    * — for every key ≡ 0 mod 3 an early update and a later change that is
+    * a DELETE for keys ≡ 0 mod 5, a status-NULLing update for keys ≡ 0
+    * mod 11 (exercising "change NULLs must not resurrect snapshot
+    * values"), else a plain update; keys ≡ 0 mod 4 in the log are inserts
+    * of rows absent from the snapshot; keys ≡ 1 mod 3 ∧ ≡ 0 mod 7 get two
+    * changes at the SAME timestamp where the seq tiebreak decides. Money
+    * as integral cents per the oracle-parity discipline.
+    */
+  private def q27CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+      unix_timestamp(col("o_orderdate")).as("ts_s"))
+    val snapshot = o.filter(col("k") % 4 =!= 0).select("k", "status", "price_cents")
+    val c1 = o.filter(col("k") % 3 === 0).select(
+      col("k"), lit("U").as("op"), col("ts_s"), lit(1L).as("seq"),
+      lit("X1").as("status"), (col("price_cents") + 111L).as("price_cents"))
+    val c2 = o.filter(col("k") % 3 === 0).select(
+      col("k"),
+      when(col("k") % 5 === 0, "D").otherwise("U").as("op"),
+      (col("ts_s") + 86400L).as("ts_s"), lit(1L).as("seq"),
+      when(col("k") % 11 === 0, lit(null).cast("string")).otherwise(lit("X2")).as("status"),
+      (col("price_cents") + 222L).as("price_cents"))
+    val c3 = o.filter(col("k") % 3 === 1 && col("k") % 7 === 0).select(
+      col("k"), lit("U").as("op"), col("ts_s"), lit(2L).as("seq"),
+      lit("T2").as("status"), (col("price_cents") + 333L).as("price_cents"))
+    val c4 = o.filter(col("k") % 3 === 1 && col("k") % 7 === 0).select(
+      col("k"), lit("U").as("op"), col("ts_s"), lit(1L).as("seq"),
+      lit("T1").as("status"), (col("price_cents") + 444L).as("price_cents"))
+    val changes = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    ops.Cdc.applyChanges(snapshot, changes, "k", "ts_s", "seq", "op")
+      .select(col("k").as("o_orderkey"), col("status"), col("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
   /** Pivot / crosstab through the gate: per-user event-type counts as
     * columns (`df.groupBy(...).pivot(...)` — Catalyst turns it into one
     * aggregate with CASE-guarded partials, no per-column pass). The
@@ -1199,6 +1236,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance near-dup pairs ([[ops.Dedup.editDistanceDupPairs]]):
+    * 32-char prefix blocks, length filter, banded Levenshtein ≤ 10. The
+    * corpus's planted near-dup families share prefixes and differ by
+    * small suffix edits (measured: true pairs sit at distance 4), so
+    * prefix blocking finds them; the oracle replays block + full
+    * Levenshtein — exact integers, no float parity concerns.
+    */
+  private def d17EditDistance(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.editDistanceDupPairs(Tables.documents(s, dir), "text", "doc_id",
+        prefixLen = 32, maxDist = 10, maxBlock = 64)
+      .orderBy("id1", "id2")
+
+  /** PageRank authority over a deterministic "reference" graph on 500
+    * content shards (node = doc_id % 500; each shard links to two
+    * arithmetically-derived shards — a stand-in for the crawl's domain
+    * graph, which the synthetic corpus lacks; [[ops.Graph.pageRank]] is
+    * graph-generic). 3 iterations, all-LONG nano fixed point: the oracle
+    * unrolls the same three rounds in SQL and must match every rank to
+    * the nano.
+    */
+  private def g1PageRank(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(s, dir)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .unionByName(Tables.documents(s, dir)
+        .select(shard.as("src"), ((shard * 17 + 3) % 500).as("dst")))
+      .distinct()
+    ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node_id")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5; the corpus has 25
     * planted pairs ≥0.9 and nothing between 0.1 and 0.9).
     */
@@ -1959,6 +2027,9 @@ object SparkEntry {
     "d14_substring_spans" -> d14SubstringSpans _,
     "d15_semdedup" -> d15Semdedup _,
     "d16_incremental_bloom" -> d16IncrementalBloom _,
+    "d17_edit_distance" -> d17EditDistance _,
+    "g1_pagerank" -> g1PageRank _,
+    "q27_cdc_merge" -> q27CdcMerge _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -2155,6 +2226,24 @@ object SparkEntry {
       |w$i AS (SELECT g.j,
       |        CAST(round(pw.wm - CAST(0.5 AS DOUBLE) * g.s / (n.n * 1000000.0), 0) AS BIGINT) AS wm
       |       FROM $prevW pw JOIN g$i g USING (j) CROSS JOIN n)""".stripMargin
+
+  /** One PageRank round in DuckDB, mirroring [[ops.Graph.pageRank]]'s
+    * all-LONG nano fixed point: inflow = Σ r_prev div outdeg over
+    * in-edges (sum cast BIGINT — DuckDB sum(BIGINT) is HUGEINT), then
+    * r = base + (damp · inflow) div 1e9. Expects CTEs `e(src,dst)`,
+    * `nodes(id)`, `nn(n)`, `od(src,outdeg)` and the previous round
+    * `r{i-1}(id, r)`.
+    */
+  private def pageRankIterSql(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""f$i AS (SELECT e.dst AS id, CAST(sum($p.r // od.outdeg) AS BIGINT) AS inflow
+      |       FROM e JOIN $p ON $p.id = e.src JOIN od ON od.src = e.src
+      |       GROUP BY e.dst),
+      |r$i AS (SELECT nodes.id,
+      |        (1000000000 - 850000000) // nn.n
+      |         + (850000000 * coalesce(f$i.inflow, 0)) // 1000000000 AS r
+      |       FROM nodes CROSS JOIN nn LEFT JOIN f$i ON f$i.id = nodes.id)""".stripMargin
+  }
 
   /** DuckDB embedding CTEs: doubles + norms. */
   private val embNormSql: String =
@@ -2967,6 +3056,65 @@ object SparkEntry {
         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
         |SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id
         |HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+    // prefix-block + length filter + FULL Levenshtein (the engine's banded
+    // threshold variant early-exits to -1 above 10; same surviving set)
+    "d17_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text, md5(substr(text, 1, 32)) AS blk,
+        |        length(text) AS len FROM documents),
+        |c AS (SELECT * FROM (
+        |        SELECT d.*, count(*) OVER (PARTITION BY blk) AS bn FROM d)
+        |      WHERE bn <= 64),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        levenshtein(a.text, b.text) AS ed
+        |      FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |       AND abs(a.len - b.len) <= 10)
+        |SELECT id1, id2, CAST(ed AS BIGINT) AS edit_dist FROM p
+        |WHERE ed <= 10 ORDER BY id1, id2""".stripMargin,
+    // three PageRank rounds unrolled, every rank exact integer nano-units
+    "g1_pagerank" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 31 + 7) % 500 AS dst FROM documents
+        |  UNION
+        |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 17 + 3) % 500 AS dst FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT nodes.id, 1000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+        |${pageRankIterSql(1)},
+        |${pageRankIterSql(2)},
+        |${pageRankIterSql(3)}
+        |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_nano
+        |FROM r3 ORDER BY node_id""".stripMargin,
+    // latest-wins reduction (ts desc, seq desc) + full-outer merge; winning
+    // 'D' deletes, otherwise the change row's columns replace wholesale
+    // (including NULLs — no per-column coalesce)
+    "q27_cdc_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |        epoch_ns(o_orderdate) // 1000000000 AS ts_s FROM orders),
+        |snap AS (SELECT k, status, price_cents FROM o WHERE k % 4 <> 0),
+        |ch AS (
+        |  SELECT k, 'U' AS op, ts_s, 1 AS seq, 'X1' AS status,
+        |         price_cents + 111 AS price_cents FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'D' ELSE 'U' END, ts_s + 86400, 1,
+        |         CASE WHEN k % 11 = 0 THEN NULL ELSE 'X2' END,
+        |         price_cents + 222 FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 2, 'T2', price_cents + 333 FROM o
+        |  WHERE k % 3 = 1 AND k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 1, 'T1', price_cents + 444 FROM o
+        |  WHERE k % 3 = 1 AND k % 7 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY k ORDER BY ts_s DESC, seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |m AS (SELECT coalesce(s.k, c.k) AS k, c.op,
+        |        CASE WHEN c.op IS NOT NULL THEN c.status ELSE s.status END AS status,
+        |        CASE WHEN c.op IS NOT NULL THEN c.price_cents ELSE s.price_cents END AS price_cents
+        |      FROM snap s FULL OUTER JOIN latest c ON s.k = c.k)
+        |SELECT k AS o_orderkey, status, price_cents FROM m
+        |WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

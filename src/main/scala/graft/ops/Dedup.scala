@@ -719,4 +719,48 @@ object Dedup {
         (col("maxp1") - col("start1") + n).cast("long").as("span_len"))
       .filter(col("span_len") >= minLen)
   }
+
+  /** Edit-distance-verified near-dup pairs: cheap blocking, expensive
+    * exact verify — the ED-Join family's shape (prefix filtering + length
+    * filter + banded Levenshtein), the right tool when "duplicate" means
+    * "a few character edits apart" rather than "high shingle overlap".
+    *
+    * Blocking: md5 of the first `prefixLen` characters (fixed-width key
+    * regardless of prefix size) — candidates must agree on the prefix, so
+    * edits INSIDE the first `prefixLen` chars are invisible (documented
+    * recall bound; run with two offset prefixes and union to tighten).
+    * The length filter `|len(a) − len(b)| ≤ maxDist` is a true lower
+    * bound on edit distance, applied inside the join condition.
+    *
+    * Verify uses Spark's threshold Levenshtein (`levenshtein(a, b, k)`:
+    * banded O(k·n) DP that early-exits to −1 above k) — on verified-dup
+    * corpora the band is what makes the verify affordable; distances are
+    * exact integers, so cross-engine parity is free.
+    *
+    * Scale shape: one shuffle on the block key. A boilerplate prefix
+    * ("click here to unsubscribe…") would square a block, so blocks
+    * larger than `maxBlock` are dropped via a window count that rides the
+    * pairing join's own shuffle (same guard as [[substringSpans]]'s
+    * anchor cap) — mega-blocks are boilerplate detection's job, not
+    * pairwise edit distance's.
+    */
+  def editDistanceDupPairs(df: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int, maxDist: Int, maxBlock: Int = 64): DataFrame = {
+    require(prefixLen >= 1 && maxDist >= 0, s"bad params $prefixLen/$maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("id"), col("t"),
+        md5(substring(col("t"), 1, prefixLen).cast("binary")).as("blk"),
+        length(col("t")).as("len"))
+    val capped = d
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("blk")))
+      .filter(col("__bn") <= maxBlock).drop("__bn")
+    capped.as("a").join(capped.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        levenshtein(col("a.t"), col("b.t"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") =!= -1L)
+  }
 }

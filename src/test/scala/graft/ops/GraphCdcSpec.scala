@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRank]] + [[Cdc.applyChanges]] + [[Dedup.editDistanceDupPairs]]. */
+class GraphCdcSpec extends SparkSpec {
+
+  private def edges(es: (Long, Long)*) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  test("pageRank: a cycle is a fixed point at 1/N") {
+    val r = Graph.pageRank(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // base 150000000 div 3 + 850000000 * 333333333 div 1e9 = 333333333
+    assert(r == Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L))
+  }
+
+  test("pageRank: in-degree concentrates mass; teleport keeps floors") {
+    // a <- b, a <- c, a -> b : node a aggregates b+c, c only teleports
+    val r = Graph.pageRank(edges(1L -> 2L, 2L -> 1L, 3L -> 1L), "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L), r)
+    assert(r(3L) == 50000000L) // exactly the teleport base, no inflow
+    assert(r.values.sum <= 1000000000L) // floor truncation only loses mass
+  }
+
+  test("pageRank is partitioning-invariant (exact integer ranks)") {
+    val e = edges((0L until 60L).flatMap(i => Seq(i -> (i * 7 + 1) % 60, i -> (i * 11 + 3) % 60)): _*)
+    val a = Graph.pageRank(e, "src", "dst", 3).collect().toSet
+    val b = Graph.pageRank(e.repartition(7), "src", "dst", 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("applyChanges: upsert, delete, insert, latest-wins, seq tiebreak, NULL overwrite") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (5L, "e", 50L))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      // k=2: two changes, later ts wins
+      (2L, "U", 100L, 1L, Option("b1"), 21L),
+      (2L, "U", 200L, 1L, Option("b2"), 22L),
+      // k=3: delete
+      (3L, "D", 100L, 1L, Option("x"), 0L),
+      // k=4: insert (absent from snapshot)
+      (4L, "I", 100L, 1L, Option("d"), 40L),
+      // k=5: same ts, seq decides; winner nulls the string column
+      (5L, "U", 100L, 2L, None, 52L),
+      (5L, "U", 100L, 1L, Option("e1"), 51L))
+      .toDF("k", "op", "ts", "seq", "s", "v")
+    val out = Cdc.applyChanges(snap, changes, "k", "ts", "seq", "op")
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((Some("a"), 10L)),   // untouched
+      2L -> ((Some("b2"), 22L)),  // latest ts
+      4L -> ((Some("d"), 40L)),   // inserted
+      5L -> ((None, 52L))))       // seq tiebreak; NULL not resurrected
+  }
+
+  test("applyChanges rejects changes missing snapshot columns") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("k", "s")
+    val ch = Seq((1L, "U", 1L, 1L)).toDF("k", "op", "ts", "seq")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(snap, ch, "k", "ts", "seq", "op")
+    }
+  }
+
+  test("editDistanceDupPairs: verified distances, threshold, prefix recall bound, block cap") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " x"),            // distance 2 from 1
+      (3L, base + " zz yy ww qq"),  // distance 12 from 1 — above maxDist
+      (4L, "completely different prefix but same tail " + base),
+      (10L, "aa " + base),          // prefix differs from 1 in first chars
+      (20L, "boiler " + base), (21L, "boiler " + base + " y"),
+      (22L, "boiler " + base + " z"), (23L, "boiler " + base + " w w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceDupPairs(df, "text", "doc_id", 32, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 2L)
+    assert(!pairs.contains((1L, 3L)))  // above threshold
+    assert(!pairs.contains((1L, 4L)))  // different prefix block (recall bound)
+    assert(!pairs.contains((1L, 10L))) // prefix edit is invisible by design
+    assert(pairs((20L, 21L)) == 2L && pairs((21L, 22L)) == 1L)
+    // block cap: the four-member "boiler" block vanishes at maxBlock=3,
+    // the three-member block of 1/2/3 survives
+    val capped = Dedup.editDistanceDupPairs(df, "text", "doc_id", 32, 10, maxBlock = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+}
