@@ -931,6 +931,77 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Interpolated bigram-LM surprisal ([[ops.Curation.bigramSurprisal]],
+    * λ = 0.7): per-doc mean −ln p(w_i|w_{i−1}) — the LM-quality filter
+    * one rung above t14's unigram. The oracle replays vocabulary, bigram
+    * counts, the fixed-order double interpolation, and the micro-nat
+    * fixed point.
+    */
+  private def t23BigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.bigramSurprisal(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Leakage-safe train/val/test split: assignment is keyed on the dup
+    * CLUSTER (d9's arithmetic edge fixture → [[ops.Dedup.dupClusters]]),
+    * not the document — near-duplicate docs land in the SAME split by
+    * construction, so evaluation can't see training paraphrases (the
+    * contamination t6 detects, prevented structurally). Singleton docs
+    * get their own cluster id (= doc_id), reducing to t4's per-doc split.
+    */
+  private def t24ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val chain = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 20 < 5)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val star = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") - col("a.doc_id") % 7 &&
+          col("a.doc_id") % 20 >= 15 && col("a.doc_id") % 7 =!= 0)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val cc = withStatePartitions(s, 8) {
+      ops.Dedup.dupClusters(d, chain.unionByName(star), "doc_id")
+    }
+    ops.Sampling.withSplit(cc, "cluster_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Count-min-sketch heavy hitters ([[ops.Sketch.cmsBuild]] /
+    * [[ops.Sketch.cmsEstimate]]): a 4×512 CMS over the corpus tokens,
+    * probed with the exact top-20 tokens — output pairs each true count
+    * with its sketch estimate (an overestimate by construction; at this
+    * vocabulary/width ratio they coincide, which the oracle confirms by
+    * replaying every counter). ONE corpus tokenize pass: the per-token
+    * counts frame is persisted and feeds truth, sketch, and probe sides.
+    */
+  private def t21CmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = ops.Sketch.cmsBuildFromCounts(counts, "t", "cnt", 4, 512)
+    val top = counts.orderBy(col("cnt").desc, col("t")).limit(20)
+      .withColumnRenamed("cnt", "true_cnt")
+    ops.Sketch.cmsEstimate(sketch, top, "t", 4, 512)
+      .join(top, "t")
+      .select(col("t").as("token"), col("true_cnt"), col("cms_est"))
+      .orderBy("token")
+  }
+
+  /** HLL-style distinct sketch ([[ops.Sketch.hllRegisters]] /
+    * [[ops.Sketch.hllEstimate]], b=6 → 64 registers) over the document
+    * ids: one summary row carrying the register-table digest (every
+    * register bit gated), the zero-register count, and both estimator
+    * branches — raw harmonic (integer-exact sum, one final IEEE division)
+    * and linear counting.
+    */
+  private def t22HllDistinct(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.hllEstimate(
+      ops.Sketch.hllRegisters(
+        Tables.documents(s, dir).select(col("doc_id").cast("string").as("v")),
+        "v", 6), 6)
+
   /** Overlapping token chunking ([[ops.Curation.chunkDocs]], size 64,
     * stride 48): one row per (doc, chunk), each chunk's token content
     * pinned by md5. The oracle replays the chunk-count arithmetic and
@@ -1765,6 +1836,28 @@ object SparkEntry {
         ops.Multimodal.withGeneratedWav(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** Audio features through the REAL codec ([[ops.Multimodal
+    * .audioFeatures]]): generated PCM WAVs decoded by `javax.sound`,
+    * energy / zero-crossings / peak recomputed by the oracle from the
+    * generation arithmetic `s_i = (id + 7i) % 256` — m8's codec
+    * round-trip upgraded to signal statistics.
+    */
+  private def m10AudioFeatures(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.audioFeatures(
+        ops.Multimodal.withGeneratedWav(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
+  /** Perceptual dHash through the REAL codec: generated PNGs decoded by
+    * `ImageIO`, 9×8-gray downsampled, adjacent-pixel bits — the oracle
+    * recomputes all 72 grays and 64 comparisons from the generation
+    * arithmetic, so the whole perceptual-hash kernel faces the gate
+    * bit-for-bit ([[ops.Multimodal.dhashImage]]).
+    */
+  private def m9Dhash(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.dhashImage(
+        ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -1878,6 +1971,20 @@ object SparkEntry {
     clustered.select(col("l_orderkey"), col("l_linenumber"),
         ops.Layout.zValue(Seq(col("x"), col("y")), 16).as("zval"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Compaction planning ([[ops.Layout.compactionBins]]) through the
+    * gate: pseudo-file listing = one row per (lang, source) with its
+    * total byte volume; bins target 20 kB. The oracle replays the
+    * running-total window and the `(cum − size) div target` assignment.
+    */
+  private def io9Compaction(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("bytes"))
+    ops.Layout.compactionBins(files, Seq("lang", "source"), "bytes", 20000L)
+      .select(col("lang"), col("source"), col("bytes"), col("bin"))
+      .orderBy("lang", "source")
   }
 
   /** The DSv2 scrape connector (S1+S2, `graft.sources.JobsDataSource`)
@@ -1996,6 +2103,10 @@ object SparkEntry {
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
+    "t21_cms_topk" -> t21CmsTopk _,
+    "t22_hll_distinct" -> t22HllDistinct _,
+    "t23_bigram_surprisal" -> t23BigramSurprisal _,
+    "t24_cluster_split" -> t24ClusterSplit _,
     "t17_temperature" -> t17Temperature _,
     "t5_tfidf" -> t5Tfidf _,
     "t6_contamination" -> t6Contamination _,
@@ -2048,6 +2159,8 @@ object SparkEntry {
     "m6_embed_real" -> m6EmbedReal _,
     "m7_frames_real" -> m7FramesReal _,
     "m8_audio_real" -> m8AudioReal _,
+    "m9_dhash" -> m9Dhash _,
+    "m10_audio_features" -> m10AudioFeatures _,
     "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
@@ -2055,6 +2168,7 @@ object SparkEntry {
     "io6_bad_records" -> io6BadRecords _,
     "io7_schema_evolution" -> io7SchemaEvolution _,
     "io8_zorder" -> io8Zorder _,
+    "io9_compaction" -> io9Compaction _,
   )
 
   // ---- oracle SQL building blocks (mirror the Scala expressions above) ----
@@ -2281,6 +2395,16 @@ object SparkEntry {
         | CAST(list_sum(list_transform(generate_series(0, 15), i ->
         |   (((x >> i) & 1) << (2*i)) | (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // running-total window + (cum - size) div target bin assignment
+    "io9_compaction" ->
+      """WITH f AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |           FROM documents GROUP BY lang, source),
+        |w AS (SELECT lang, source, bytes,
+        |        CAST(sum(bytes) OVER (ORDER BY lang, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM f)
+        |SELECT lang, source, bytes, (cum - bytes) // 20000 AS bin
+        |FROM w ORDER BY lang, source""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
@@ -2604,6 +2728,57 @@ object SparkEntry {
         | CAST(len(chunk) AS BIGINT) AS n_tokens,
         | md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // t16's bigram CTEs + t14's micro-nat fixed point; the interpolated
+    // probability assembled in one fixed double-op order, λ as integer
+    // micro-units forced through the double path
+    "t23_bigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        |tok AS (SELECT unnest(tk) AS t FROM tk),
+        |uni AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |pos AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |          i -> [tk[i], tk[i+1]])) AS p
+        |        FROM tk WHERE len(tk) >= 2),
+        |pp AS (SELECT doc_id, p[1] AS ta, p[2] AS tb FROM pos),
+        |bcnt AS (SELECT ta, tb, count(*) AS c_ab FROM pp GROUP BY 1, 2),
+        |sc AS (SELECT bcnt.ta, bcnt.tb,
+        |         CAST(round(-ln((CAST(700000 AS DOUBLE) * c_ab / ua.c
+        |                        + CAST(300000 AS DOUBLE) * ub.c / ntok.n)
+        |                       / 1000000.0) * 1000000, 0) AS BIGINT) AS s_micro
+        |       FROM bcnt JOIN uni ua ON bcnt.ta = ua.t
+        |                 JOIN uni ub ON bcnt.tb = ub.t CROSS JOIN ntok),
+        |d AS (SELECT pp.doc_id, count(*) AS n_bigrams,
+        |        CAST(sum(sc.s_micro) AS BIGINT) AS ssum
+        |      FROM pp JOIN sc ON pp.ta = sc.ta AND pp.tb = sc.tb
+        |      GROUP BY pp.doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(ssum / n_bigrams / 1000000, 6) AS surprisal
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // d9's recursive-CTE components + t4's md5 bucket, keyed on the
+    // CLUSTER id — near-dups provably share a split
+    "t24_cluster_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 20 < 5
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id - (a.doc_id % 7)
+        |   AND a.doc_id % 20 >= 15 AND a.doc_id % 7 <> 0
+        |),
+        |ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id
+        |),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |b AS (SELECT doc_id, cluster_id,
+        |        CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        |      FROM cc)
+        |SELECT doc_id, cluster_id,
+        | CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // micro-nat fixed point: ln rounded to integer micro-nats per token
     // (absorbing cross-engine ln ulps), LONG sums, one division at emit
     "t14_surprisal" ->
@@ -2636,6 +2811,46 @@ object SparkEntry {
       """SELECT doc_id, lang,
         | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every CMS counter replayed: row-i bucket = md5 hex slice [1+8i, 8)
+    // mod 512; estimate = min over the 4 rows of the probed counters
+    "t21_cms_topk" ->
+      s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |sk AS (SELECT i.i AS row_idx,
+        |         CAST(('0x' || substr(md5(cnt.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket,
+        |         CAST(sum(cnt.cnt) AS BIGINT) AS cnt
+        |       FROM cnt CROSS JOIN generate_series(0, 3) AS i(i) GROUP BY 1, 2),
+        |top AS (SELECT t, cnt AS true_cnt FROM cnt ORDER BY cnt DESC, t LIMIT 20),
+        |pe AS (SELECT top.t, i.i AS row_idx,
+        |         CAST(('0x' || substr(md5(top.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket
+        |       FROM top CROSS JOIN generate_series(0, 3) AS i(i)),
+        |est AS (SELECT pe.t, min(sk.cnt) AS cms_est
+        |        FROM pe JOIN sk USING (row_idx, bucket) GROUP BY pe.t)
+        |SELECT top.t AS token, top.true_cnt, est.cms_est
+        |FROM top JOIN est ON est.t = top.t ORDER BY token""".stripMargin,
+    // register-exact HLL replay: 60-bit md5 hash, bucket = low 6 bits,
+    // rho from the binary-digit length of the high 54; harmonic sum as
+    // integer 2^(57-rho) terms; alpha_64 = 0.709 forced through the
+    // double path (a DECIMAL product would round differently)
+    "t22_hll_distinct" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |           FROM documents),
+        |br AS (SELECT h % 64 AS bucket,
+        |         CASE WHEN (h >> 6) = 0 THEN 55
+        |              ELSE 54 - length(bin(h >> 6)) + 1 END AS r FROM h),
+        |reg AS (SELECT bucket, max(r) AS rho FROM br GROUP BY bucket),
+        |agg AS (SELECT count(*) AS n_present,
+        |          CAST(sum(CAST(1 AS BIGINT) << (57 - rho)) AS BIGINT) AS s_present,
+        |          md5(string_agg(bucket || ':' || rho, ',' ORDER BY bucket || ':' || rho)) AS reg_md5
+        |        FROM reg)
+        |SELECT CAST(64 AS BIGINT) AS m,
+        | CAST(64 - n_present AS BIGINT) AS n_zero, reg_md5,
+        | round(CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 57)
+        |   / CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 57) AS DOUBLE), 6) AS est_raw,
+        | CASE WHEN n_present < 64
+        |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
+        |      ELSE NULL END AS lc_est
+        |FROM agg""".stripMargin,
     // per-column counts as one UNION of scalar aggregates (the engine
     // does one Expand pass; the oracle's k passes are equivalent SQL)
     "t19_profile" ->
@@ -3356,6 +3571,40 @@ object SparkEntry {
         |        CAST(sum((doc_id + 7 * i) % 256) AS BIGINT) AS amp_sum
         |      FROM s GROUP BY doc_id)
         |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n_samples, amp_sum
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // the full perceptual-hash kernel replayed from the generation
+    // arithmetic: 9x8 NN downsample (src = (x*sw)//9, (y*sh)//8), gray =
+    // (r+g+b)//3 over pix = (id + 31*sx + 131*sy) % 2^24, bit =
+    // gray[x+1] > gray[x], concatenated row-major
+    "m9_dhash" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh FROM documents),
+        |g AS (SELECT d.doc_id, gy.y, gx.x,
+        |        ((d.doc_id + 31 * ((gx.x * d.sw) // 9) + 131 * ((gy.y * d.sh) // 8)) % 16777216) AS pix
+        |      FROM d, generate_series(0, 8) AS gx(x), generate_series(0, 7) AS gy(y)),
+        |gr AS (SELECT doc_id, y, x,
+        |        ((pix // 65536) + ((pix // 256) % 256) + (pix % 256)) // 3 AS gray FROM g),
+        |b AS (SELECT a.doc_id, a.y, a.x,
+        |        CASE WHEN n.gray > a.gray THEN '1' ELSE '0' END AS bit
+        |      FROM gr a JOIN gr n ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+        |      WHERE a.x < 8)
+        |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // m8's sample arithmetic extended to signal statistics: centered
+    // samples c = s - 128, energy sum c^2, sign-transition count via lag,
+    // peak |c| — all integers
+    "m10_audio_features" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |c AS (SELECT doc_id, n, i, ((doc_id + 7 * i) % 256) - 128 AS c FROM s),
+        |w AS (SELECT doc_id, n, i, c,
+        |        lag(c) OVER (PARTITION BY doc_id ORDER BY i) AS pc FROM c),
+        |a AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |        CAST(sum(c * c) AS BIGINT) AS sum_sq,
+        |        CAST(sum(CASE WHEN pc IS NOT NULL AND ((c >= 0) <> (pc >= 0))
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |        CAST(max(abs(c)) AS INT) AS peak
+        |      FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_samples, sum_sq, zero_crossings, peak
         |FROM a ORDER BY doc_id""".stripMargin,
     // generation arithmetic of withGeneratedPng, recovered by the REAL
     // ImageIO decode

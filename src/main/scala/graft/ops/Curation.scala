@@ -148,6 +148,61 @@ object Curation {
         round(col("ssum").cast("double") / col("n_tokens") / 1e6, 6).as("surprisal"))
   }
 
+  /** Interpolated bigram-LM surprisal — the next LM rung above
+    * [[unigramSurprisal]] and the classic cheap perplexity filter for
+    * pretraining corpora: score each document by
+    * `−mean ln p(w_i | w_{i−1})` under
+    * `p(b|a) = λ·c(ab)/c(a) + (1−λ)·c(b)/N` (interpolation, so unseen
+    * continuations still get the unigram floor and no ln(0) exists —
+    * every observed bigram's backoff term is positive).
+    *
+    * Engine parity: the probability is assembled in the DOUBLE domain in
+    * a fixed operation order — `(λµ·c_ab/c_a + (1e6−λµ)·c_b/N) / 1e6`
+    * with λ carried as integer micro-units (both engines parse the same
+    * literals; a bare `0.7` would be DECIMAL in DuckDB) — then ONE ln,
+    * micro-nat-rounded immediately ([[unigramSurprisal]]'s fixed-point
+    * rule), LONG-summed order-free, divided once at emit.
+    *
+    * Plan shape: one tokenize pass makes the unigram vocab; one
+    * bigram-explode pass (persisted) feeds BOTH the bigram-count
+    * aggregate and the per-position scoring join. Vocab and scored-bigram
+    * tables carry explicit `broadcast()` hints — same Zipf-skew posture
+    * as [[pmiCollocations]]; a corpus whose OBSERVED-bigram table
+    * outgrows broadcast salts the scoring join k-ways instead
+    * ([[SkewJoin]]'s shape).
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String, idCol: String,
+      lambdaMicro: Long = 700000L): DataFrame = {
+    require(lambdaMicro > 0 && lambdaMicro < 1000000L, s"bad lambda $lambdaMicro")
+    val toks = TextFunctions.tokens(col(textCol))
+    val tok = df.select(explode(toks).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n"))
+    val pos = df.select(col(idCol).as("id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("id"), col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcnt = pos.groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+    val scored = bcnt
+      .join(broadcast(uni.select(col("t").as("ta"), col("c").as("c_a"))), "ta")
+      .join(broadcast(uni.select(col("t").as("tb"), col("c").as("c_b"))), "tb")
+      .crossJoin(broadcast(nTok))
+      .select(col("ta"), col("tb"),
+        round(-log(
+          (lit(lambdaMicro.toDouble) * col("c_ab") / col("c_a")
+            + lit((1000000L - lambdaMicro).toDouble) * col("c_b") / col("n"))
+            / lit(1000000.0)) * 1e6, 0).cast("long").as("s_micro"))
+    pos.join(broadcast(scored), Seq("ta", "tb"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("ssum"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("ssum").cast("double") / col("n_bigrams") / 1e6, 6).as("surprisal"))
+  }
+
   /** Top-k adjacent-token collocations by pointwise mutual information —
     * phrase mining over the corpus (multi-word entities, idioms,
     * domain terms): `pmi(a,b) = ln(p(a,b) / (p(a)·p(b)))` over raw

@@ -42,11 +42,16 @@ object Graph {
     * Overflow audit: total rank mass ≈ 1e9, so any node's inflow < 1e9
     * and `dampNano * inflow < 8.5e17 < 2^63`.
     *
+    * @param checkpointEvery rounds between lineage truncations (default
+    *        every round — right for big graphs; raise it for few-round
+    *        runs on small graphs, or to inspect the full round plan).
     * @return (node_id LONG, rank_nano LONG) — rank 1.0 ≡ 1e9.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampNano: Long = 850000000L): DataFrame = {
+      iters: Int, dampNano: Long = 850000000L,
+      checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
     require(dampNano > 0 && dampNano < 1000000000L, s"bad dampNano $dampNano")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -66,12 +71,12 @@ object Graph {
         .select(col("src").as("u"), expr("r div outdeg").as("share"))
       val inflow = e.join(shares, col("src") === col("u"))
         .groupBy(col("dst").as("v")).agg(sum("share").as("inflow"))
-      ranks = nodes.join(inflow, col("id") === col("v"), "left")
+      val next = nodes.join(inflow, col("id") === col("v"), "left")
         .crossJoin(broadcast(nFrame))
         .select(col("id"),
           expr(s"((1000000000 - $dampNano) div n) + " +
             s"(($dampNano * coalesce(inflow, 0L)) div 1000000000)").as("r"))
-        .localCheckpoint()
+      ranks = if ((it + 1) % checkpointEvery == 0) next.localCheckpoint() else next
       it += 1
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))

@@ -57,4 +57,32 @@ object Layout {
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** Compaction planner: assign files (or any sized units) to
+    * target-sized output bins — the small-files problem's planning step
+    * (a 100 TB table accretes millions of KB-scale files from streaming
+    * ingest; compaction rewrites each bin as one ~`targetBytes` file).
+    * Greedy in deterministic `orderCols` order via a running byte total:
+    * `bin = (cumsum − size) div target`, so every bin except possibly the
+    * last holds ≥ `targetBytes` once its boundary file lands, no bin
+    * splits a file, and the assignment is a pure function of the listing
+    * — rerunnable, engine-replayable.
+    *
+    * Scale note: this is a METADATA-scale op (one row per file, not per
+    * record). The global ordered window is a single-reducer sort — fine
+    * up to low-millions of files; partition the listing (e.g. by table
+    * partition) and plan per-partition when beyond, or use
+    * [[Sampling.withGlobalIndex]]'s two-pass range-sort shape.
+    */
+  def compactionBins(files: DataFrame, orderCols: Seq[String],
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(orderCols.nonEmpty, "need a deterministic file order")
+    require(targetBytes > 0, s"bad target $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - $sizeCol) div $targetBytes"))
+      .drop("__cum")
+  }
 }

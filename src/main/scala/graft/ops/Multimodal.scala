@@ -398,6 +398,118 @@ object Multimodal {
     }(RowEncoder.encoderFor(audioSchema))
   }
 
+  val audioFeatSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  /** Audio feature extraction over a REAL codec decode: energy (sum of
+    * squared centered samples — RMS's integer-exact numerator),
+    * zero-crossing rate's count (sign transitions of the centered
+    * waveform — the classic cheap speech/music/noise discriminator), and
+    * peak amplitude. All-integer arithmetic over the decoded unsigned
+    * 8-bit PCM samples (`c = s − 128`; "non-negative" is the sign
+    * predicate, so silence at 128 is stable) — exact on any JVM and
+    * SQL-expressible, so generated fixtures ([[withGeneratedWav]]) face
+    * the oracle sample-for-sample. Unparseable payloads emit
+    * `(−1, −1, −1, −1)`. Partition-local streaming, one payload in
+    * memory at a time.
+    */
+  def audioFeatures(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val buf = ais.readAllBytes()
+          ais.close()
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0
+          var prevNonNeg = true
+          var i = 0
+          while (i < buf.length) {
+            val c = (buf(i) & 0xff) - 128
+            sumSq += c.toLong * c
+            val a = if (c < 0) -c else c
+            if (a > peak) peak = a
+            val nonNeg = c >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          Row(id, buf.length.toLong, sumSq, zc, peak)
+        } catch {
+          case scala.util.control.NonFatal(_) => Row(id, -1L, -1L, -1L, -1)
+        }
+      }
+    }(RowEncoder.encoderFor(audioFeatSchema))
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", StringType, nullable = true)))
+
+  /** Perceptual difference-hash (dHash) over a REAL image decode: 9×8
+    * grayscale nearest-neighbor downsample (same deterministic integer
+    * mapping `src = (x·srcW) div 9` as [[resizeImage]] — no
+    * implementation-defined `AffineTransformOp` rounding), gray =
+    * `(r+g+b) div 3`, then one bit per horizontally-adjacent pixel pair
+    * (`gray[x+1] > gray[x]`): a 64-bit fingerprint robust to rescaling
+    * and small brightness shifts — the standard cheap near-dup key for
+    * image corpora (pair by Hamming distance downstream, e.g. via
+    * [[graft.ops.Dedup.simhashDupPairs]]'s segment blocking, which is
+    * hash-width-agnostic). Emitted as a 64-char '0'/'1' string: every bit
+    * faces the oracle directly and the driver's pandas compare stays
+    * list-free. Unreadable payloads emit NULL — the corrupt-row channel.
+    * Partition-local streaming; one image in memory at a time.
+    */
+  def dhashImage(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see withGeneratedPng
+      rows.map { r =>
+        val id = r.getLong(0)
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null) Row(id, null)
+        else {
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          val gray = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            val sy = y * sh / 8
+            var x = 0
+            while (x < 9) {
+              val pix = src.getRGB(x * sw / 9, sy) & 0xffffff
+              gray(y)(x) = ((pix >> 16) + ((pix >> 8) & 0xff) + (pix & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          val sb = new java.lang.StringBuilder(64)
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              sb.append(if (gray(y)(x + 1) > gray(y)(x)) '1' else '0')
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, sb.toString)
+        }
+      }
+    }(RowEncoder.encoderFor(dhashSchema))
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

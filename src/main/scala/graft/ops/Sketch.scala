@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency / cardinality sketches — the streaming-friendly
+  * summaries a 100 TB corpus pipeline keeps instead of exact tables when
+  * "roughly how often / roughly how many" is the actual question
+  * (vocabulary pressure, heavy-hitter tokens, shard-level distinct
+  * counts). Both sketches here are pure groupBy aggregations of
+  * md5-derived integers: partial-aggregable (map-side combine), mergeable
+  * across shards/days by construction (CMS: elementwise `+`; HLL:
+  * elementwise `max`), and engine-exact — no sampled or seeded state, so
+  * the DuckDB oracle replays every register bit.
+  *
+  * Deliberately NOT Spark's built-ins: `count_min_sketch()` and
+  * `approx_count_distinct()` carry engine-private hash functions and
+  * binary payloads no other engine can replay — fine inside one job,
+  * useless as a persisted, cross-engine artifact.
+  */
+object Sketch {
+
+  /** Row-`i` CMS bucket of a token: 8 hex chars of its md5 (disjoint
+    * slices per row — one md5 call serves every row) mod `width`.
+    * Engine-portable: DuckDB mirrors as
+    * `CAST('0x' || substr(md5(t), 1+8i, 8) AS BIGINT) % width`.
+    */
+  def cmsBucket(token: Column, row: Int, width: Int): Column = {
+    require(row >= 0 && row < 4, s"md5 supplies 4 disjoint 8-hex slices, got row $row")
+    conv(substring(md5(token.cast("binary")), 1 + 8 * row, 8), 16, 10)
+      .cast("long") % width
+  }
+
+  /** Build a depth×width count-min sketch over a string column.
+    * Two aggregations: exact per-token counts first (one shuffle on the
+    * token — the only pass over the corpus), then the d buckets per
+    * DISTINCT token (the vocabulary, not the corpus) summed into the
+    * d·width counter table. The sketch is tiny (`depth·width` rows) and
+    * merges with another day's sketch by bucket-wise sum.
+    *
+    * @return (row_idx, bucket, cnt) — the counter table.
+    */
+  def cmsBuild(df: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
+    val counts = df.select(col(tokenCol).as("t")).filter(col("t").isNotNull)
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    cmsBuildFromCounts(counts, "t", "cnt", depth, width)
+  }
+
+  /** [[cmsBuild]] over pre-computed per-token counts — for callers that
+    * already hold the vocabulary frame (the common case: exact truth and
+    * sketch built from ONE corpus pass, the counts frame persisted).
+    */
+  def cmsBuildFromCounts(counts: DataFrame, tokenCol: String, cntCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth $depth (md5 gives 4 slices)")
+    require(width >= 2, s"width $width")
+    counts
+      .select(posexplode(array((0 until depth).map(i =>
+        cmsBucket(col(tokenCol), i, width)): _*)).as(Seq("row_idx", "bucket")),
+        col(cntCol).as("cnt"))
+      .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point-estimate token frequencies from a CMS: min over the depth rows
+    * of the token's bucket counters — an overestimate by construction
+    * (collisions only add). The sketch side is broadcast (≤ depth·width
+    * rows by definition); the probe side never shuffles.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokenCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val p = probes.select(col(tokenCol).as("t")).distinct()
+      .select(col("t"), posexplode(array((0 until depth).map(i =>
+        cmsBucket(col("t"), i, width)): _*)).as(Seq("row_idx", "bucket")))
+    p.join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
+      .groupBy("t").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** 60-bit positive hash: first 15 hex chars of md5 — fits a signed LONG
+    * on every engine (`CAST('0x' || substr(md5(v),1,15) AS BIGINT)`).
+    */
+  def hash60(v: Column): Column =
+    conv(substring(md5(v.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private def hllParams(b: Int): (Int, Int) = {
+    require(b >= 4 && b <= 12, s"register-index bits b=$b out of range")
+    (1 << b, 60 - b)
+  }
+
+  /** HLL-style register table over a string column: bucket = low `b` hash
+    * bits, register = max over values of ρ (leading-zero count + 1 of the
+    * remaining `60-b` bits, via the binary-digit length `len(bin(x))` both
+    * engines share; ρ = 60-b+1 for a zero remainder). One groupBy-max —
+    * partial-aggregable; merge two days' registers with another max.
+    * Buckets no value hashed into are absent (register 0 by convention —
+    * [[hllEstimate]] accounts for them).
+    *
+    * @return (bucket, rho) — at most 2^b rows.
+    */
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+    val (m, restBits) = hllParams(b)
+    val h = hash60(col(valueCol))
+    val rest = shiftright(h, b)
+    df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .select(pmod(h, lit(m.toLong)).as("bucket"),
+        when(rest === 0, lit(restBits + 1))
+          .otherwise(lit(restBits) - length(bin(rest)) + 1).cast("int").as("r"))
+      .groupBy("bucket").agg(max("r").as("rho"))
+  }
+
+  /** Cardinality estimate from a register table, exact-arithmetic form:
+    * the harmonic sum Σ 2^(−ρ) is assembled as INTEGER `Σ 2^(57−ρ)` (every
+    * term a power of two ≤ 2^56, LONG-exact, order-free — a double sum
+    * here would be order-dependent once registers span > 53 bits), absent
+    * buckets contribute 2^57 each; the only float op is the final
+    * `alpha·m²·2^57 / S` division — one IEEE op over identical integers on
+    * both engines. `lc_est` is the standard small-range linear-counting
+    * alternative `m·ln(m/V)` (choose it when `est_raw < 2.5·m` and V > 0).
+    *
+    * @return one row: (m, n_zero, reg_md5, est_raw, lc_est) — `reg_md5`
+    *         digests the sorted register table, so a gate on this frame
+    *         pins every register bit, not just the estimate.
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    val (m, restBits) = hllParams(b)
+    require(restBits >= 3, s"b=$b leaves too few remainder bits")
+    val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    registers
+      .select(col("bucket"), col("rho"),
+        expr("shiftleft(CAST(1 AS BIGINT), 57 - rho)").as("term"),
+        concat_ws(":", col("bucket"), col("rho")).as("kv"))
+      .agg(count(lit(1)).as("n_present"),
+        sum("term").as("s_present"),
+        md5(array_join(sort_array(collect_list(col("kv"))), ",").cast("binary")).as("reg_md5"))
+      .select(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("n_present")).as("n_zero"),
+        col("reg_md5"),
+        round(lit(alpha * m * m) * pow(lit(2.0), lit(57)) /
+          (col("s_present") + (lit(m.toLong) - col("n_present")) *
+            lit(1L << 57)).cast("double"), 6).as("est_raw"),
+        when(col("n_present") < m,
+          round(lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m.toLong) - col("n_present")).cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("lc_est"))
+  }
+}

@@ -221,4 +221,59 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("WindowGroupLimit"), s"$q lost WindowGroupLimit:\n$plan")
     }
   }
+
+  test("g1 pagerank rounds: partial LONG sums, scalar N broadcast, no cartesian blowup") {
+    // the gated query localCheckpoints each round (its executed plan is a
+    // checkpoint scan); lock the ROUND plan by disabling truncation
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(spark, sf0001)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .distinct()
+    val df = graft.ops.Graph.pageRank(edges, "src", "dst",
+      iters = 2, checkpointEvery = Int.MaxValue)
+    df.collect()
+    // contains-style asserts want the UNtruncated render: the persisted
+    // inner frames nest their own "== Initial Plan ==" markers, and
+    // executed()'s split would cut the outer plan at the first one
+    val plan = df.queryExecution.executedPlan.toString
+    // the inflow aggregation must combine map-side every round
+    assert(plan.contains("partial_sum"), s"inflow sum not partial:\n$plan")
+    // the only nested-loop joins are the broadcast 1-row N frame
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
+  }
+
+  test("q27 CDC merge is one reduction window + one key join, change side reduced first") {
+    val plan = executed(SparkEntry.queries("q27_cdc_merge")(spark, sf0001))
+    assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")
+    assert(countOf(plan, "RunningWindowFunction") + countOf(plan, "Window") >= 1,
+      s"latest-wins window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in CDC merge:\n$plan")
+  }
+
+  test("d17 edit-distance pairing is an equi-join on the prefix block, never nested-loop") {
+    val plan = executed(SparkEntry.queries("d17_edit_distance")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop pairing in d17:\n$plan")
+  }
+
+  test("t21 CMS probe joins the broadcast sketch; top-k is TakeOrderedAndProject") {
+    val plan = executed(SparkEntry.queries("t21_cms_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"heavy-hitter top-k became a global sort:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1,
+      s"sketch probe not broadcast:\n$plan")
+  }
+
+  test("t22 HLL register build is a partial-aggregable max (mergeable sketch shape)") {
+    val plan = executed(SparkEntry.queries("t22_hll_distinct")(spark, sf0001))
+    assert(plan.contains("partial_max"), s"register max not partial:\n$plan")
+  }
+
+  test("t23 bigram scoring joins are broadcast — the exploded corpus never shuffles on tokens") {
+    val plan = executed(SparkEntry.queries("t23_bigram_surprisal")(spark, sf0001))
+    // unigram c_a, unigram c_b, scalar N, and the per-position scoring join
+    assert(countOf(plan, "BroadcastHashJoin") >= 3,
+      s"expected broadcast vocab/scored joins:\n$plan")
+  }
 }

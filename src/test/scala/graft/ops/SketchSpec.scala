@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sketch]] (CMS + HLL) and [[Multimodal.dhashImage]]. */
+class SketchSpec extends SparkSpec {
+
+  private def toks(ts: (String, Int)*) = {
+    import spark.implicits._
+    ts.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("t")
+  }
+
+  test("CMS estimates are exact with no collisions and never underestimate") {
+    val df = toks("alpha" -> 100, "beta" -> 7, "gamma" -> 3)
+    val sk = Sketch.cmsBuild(df, "t", 4, 512)
+    val est = Sketch.cmsEstimate(sk, df.distinct(), "t", 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 tokens in 4x512 buckets: overestimate possible, never under; with
+    // this vocabulary the estimates are exact unless all 4 rows collide
+    assert(est("alpha") == 100L && est("beta") == 7L && est("gamma") == 3L)
+    // total counter mass per row equals the corpus size
+    val perRow = sk.groupBy("row_idx").agg(sum("cnt").as("s"))
+      .collect().map(_.getLong(1)).toSet
+    assert(perRow == Set(110L))
+  }
+
+  test("CMS merges by bucket-wise sum (two shards == one corpus)") {
+    val a = toks("x" -> 5, "y" -> 2)
+    val b = toks("x" -> 3, "z" -> 4)
+    val merged = Sketch.cmsBuild(a, "t", 2, 64)
+      .unionByName(Sketch.cmsBuild(b, "t", 2, 64))
+      .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.cmsBuild(a.unionByName(b), "t", 2, 64)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("HLL registers: deterministic, mergeable by max, estimate in range") {
+    import spark.implicits._
+    val vals = (0 until 2000).map(i => s"v$i").toDF("v")
+    val regs = Sketch.hllRegisters(vals, "v", 6)
+    assert(regs.count() <= 64)
+    // merge property: two halves max-merged == whole
+    val h1 = Sketch.hllRegisters(vals.filter(expr("substr(v,2) % 2 = 0")), "v", 6)
+    val h2 = Sketch.hllRegisters(vals.filter(expr("substr(v,2) % 2 = 1")), "v", 6)
+    val merged = h1.unionByName(h2).groupBy("bucket").agg(max("rho").as("rho"))
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty)
+    val est = Sketch.hllEstimate(regs, 6).collect()(0)
+    val raw = est.getDouble(est.fieldIndex("est_raw"))
+    // 64 registers -> ~13% standard error; accept 3 sigma
+    assert(raw > 2000 * 0.6 && raw < 2000 * 1.4, raw)
+  }
+
+  test("HLL estimate is partitioning-invariant bit-for-bit") {
+    import spark.implicits._
+    val vals = (0 until 500).map(i => s"u$i").toDF("v")
+    val a = Sketch.hllEstimate(Sketch.hllRegisters(vals, "v", 6), 6).collect()(0)
+    val b = Sketch.hllEstimate(Sketch.hllRegisters(vals.repartition(13), "v", 6), 6).collect()(0)
+    assert(a == b)
+  }
+
+  test("dhashImage: 64 bits, deterministic, identical images collide, distinct differ") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 17L, 17L + 63L).toDF("doc_id") // 17 and 80: same w,h mod pattern? (80%9=8 vs 17%9=8, 80%7=3 vs 17%7=3)
+    val out = Multimodal.dhashImage(Multimodal.withGeneratedPng(df))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // re-run is identical
+    val again = Multimodal.dhashImage(Multimodal.withGeneratedPng(df))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == again)
+    assert(out(0L) != out(1L)) // different generated content
+  }
+
+  test("dhashImage: unreadable payload yields NULL hash") {
+    import spark.implicits._
+    val junk = Seq((9L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val out = Multimodal.dhashImage(junk).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
+}
