@@ -190,6 +190,33 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Ordered conversion funnel ([[ops.Funnel.funnel]], view → click →
+    * purchase): earliest reach time per step, each step gated on the
+    * previous step's timestamp — per-user drop-off depth. Epoch-second
+    * timestamps on both engines.
+    */
+  private def q28Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
+    ops.Funnel.funnel(e, "user_id", "ts_s", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("user").as("user_id"), col("ts1").as("view_s"),
+        col("ts2").as("click_s"), col("ts3").as("purchase_s"), col("depth"))
+      .orderBy("user_id")
+  }
+
+  /** Event-type transition counts ([[ops.Funnel.transitionCounts]] — the
+    * first-order Markov matrix of the event stream). Order key is exact
+    * epoch MICROS (`unix_micros` ≡ DuckDB `epoch_ns(ts)//1000` on the
+    * nanos fixture) with the event id as total tiebreak.
+    */
+  private def q29Transitions(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+    ops.Funnel.transitionCounts(e, "user_id", "ts_us", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+  }
+
   /** Pivot / crosstab through the gate: per-user event-type counts as
     * columns (`df.groupBy(...).pivot(...)` — Catalyst turns it into one
     * aggregate with CASE-guarded partials, no per-column pass). The
@@ -931,6 +958,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Windowed skip-gram co-occurrence ([[ops.Curation.skipgramCounts]],
+    * window 3, min 5, top 50): word2vec-style context pairs via narrow
+    * slice zips — no positional self-join. Oracle replays every offset's
+    * pair list and the tie-broken top-k.
+    */
+  private def t26Skipgrams(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.skipgramCounts(Tables.documents(s, dir), "text", 3, 5L, 50)
+
   /** Interpolated bigram-LM surprisal ([[ops.Curation.bigramSurprisal]],
     * λ = 0.7): per-doc mean −ln p(w_i|w_{i−1}) — the LM-quality filter
     * one rung above t14's unigram. The oracle replays vocabulary, bigram
@@ -1338,6 +1373,22 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** Per-node triangle counts ([[ops.Graph.triangleCounts]]) over a shard
+    * graph with guaranteed closure (each shard links to +1, +2, and an
+    * arithmetic long-range neighbor — every consecutive triple closes a
+    * triangle): the local clustering signal. The oracle replays the
+    * canonicalization and both joins.
+    */
+  private def g2Triangles(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    def edge(dst: Column) = Tables.documents(s, dir).select(shard.as("src"), dst.as("dst"))
+    val edges = edge((shard + 1) % 500)
+      .unionByName(edge((shard + 2) % 500))
+      .unionByName(edge((shard * 31 + 7) % 500))
+    ops.Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node_id")
+  }
+
   /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5; the corpus has 25
     * planted pairs ≥0.9 and nothing between 0.1 and 0.9).
     */
@@ -1624,6 +1675,38 @@ object SparkEntry {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** Canonical-survivor selection ([[ops.Dedup.canonicalPerCluster]])
+    * over d9's clusters: per cluster keep the longest member (n_chars,
+    * ties to smallest doc_id) — the "which doc survives dedup" policy
+    * step. The oracle replays the components and the argmax.
+    */
+  private def d18Canonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val d = docs.select(col("doc_id"))
+    val chain = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 20 < 5)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val star = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") - col("a.doc_id") % 7 &&
+          col("a.doc_id") % 20 >= 15 && col("a.doc_id") % 7 =!= 0)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val cc = withStatePartitions(s, 8) {
+      ops.Dedup.dupClusters(d, chain.unionByName(star), "doc_id")
+    }
+    ops.Dedup.canonicalPerCluster(cc.join(docs, "doc_id"),
+        "doc_id", "cluster_id", "n_chars")
+      .orderBy("cluster_id")
+  }
+
+  /** Product-quantization codes ([[ops.Similarity.pqCodes]], dim 16 →
+    * m=4 subspaces, codewords from the deterministic id-rule): the
+    * compressed vector representation IVFPQ-style indexes store. The
+    * oracle replays every subspace distance and the rounded argmin.
+    */
+  private def sim9PqCodes(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.pqCodes(Tables.embeddings(s, dir), 16, 4, 50)
+      .orderBy("vec_id", "sub")
 
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
@@ -1973,6 +2056,21 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** JSONL sink+source round-trip: write, re-read with an explicit schema
+    * (inference over JSONL costs a full extra pass at 100 TB), aggregate —
+    * must equal the direct-on-parquet oracle. Extends the io matrix
+    * (CSV io1, parquet io2) to the third interchange format.
+    */
+  private def io10Jsonl(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "jsonl_docs")
+    Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").json(path)
+    s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Compaction planning ([[ops.Layout.compactionBins]]) through the
     * gate: pseudo-file listing = one row per (lang, source) with its
     * total byte volume; bins target 20 kB. The oracle replays the
@@ -2139,8 +2237,15 @@ object SparkEntry {
     "d15_semdedup" -> d15Semdedup _,
     "d16_incremental_bloom" -> d16IncrementalBloom _,
     "d17_edit_distance" -> d17EditDistance _,
+    "d18_canonical" -> d18Canonical _,
+    "sim9_pq_codes" -> sim9PqCodes _,
     "g1_pagerank" -> g1PageRank _,
+    "g2_triangles" -> g2Triangles _,
+    "t26_skipgrams" -> t26Skipgrams _,
+    "io10_jsonl" -> io10Jsonl _,
     "q27_cdc_merge" -> q27CdcMerge _,
+    "q28_funnel" -> q28Funnel _,
+    "q29_transitions" -> q29Transitions _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
@@ -3271,6 +3376,49 @@ object SparkEntry {
         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
         |SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY cluster_id
         |HAVING count(*) > 1 ORDER BY cluster_id""".stripMargin,
+    // d9's recursive closure + windowed argmax (score desc, id) + member
+    // count — the engine's partial-aggregable struct-max, replayed
+    "d18_canonical" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 20 < 5
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id - (a.doc_id % 7)
+        |   AND a.doc_id % 20 >= 15 AND a.doc_id % 7 <> 0
+        |),
+        |ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id
+        |),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |j AS (SELECT cc.doc_id, cc.cluster_id, dd.n_chars
+        |      FROM cc JOIN documents dd ON dd.doc_id = cc.doc_id),
+        |r AS (SELECT cluster_id, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+        |SELECT cluster_id, doc_id AS kept_id, CAST(n_chars AS BIGINT) AS kept_score,
+        | CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    // every subspace distance + the rounded argmin (dist, code tiebreak)
+    // replayed over 1-based list slices
+    "sim9_pq_codes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sx AS (SELECT vec_id, j.j AS sub, v[j.j*4+1 : j.j*4+4] AS sv
+        |       FROM e CROSS JOIN generate_series(0, 3) AS j(j)),
+        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sx WHERE vec_id % 50 = 0),
+        |dd AS (SELECT sx.vec_id, sx.sub, cb.code,
+        |        round(sqrt(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (sx.sv[i] - cb.cv[i]) * (sx.sv[i] - cb.cv[i])))), 6) AS dist
+        |       FROM sx JOIN cb ON sx.sub = cb.sub),
+        |r AS (SELECT vec_id, sub, code,
+        |        row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |      FROM dd)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM r
+        |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
     // prefix-block + length filter + FULL Levenshtein (the engine's banded
     // threshold variant early-exits to -1 above 10; same surviving set)
     "d17_edit_distance" ->
@@ -3285,6 +3433,34 @@ object SparkEntry {
         |       AND abs(a.len - b.len) <= 10)
         |SELECT id1, id2, CAST(ed AS BIGINT) AS edit_dist FROM p
         |WHERE ed <= 10 ORDER BY id1, id2""".stripMargin,
+    // canonical a<b edges, wedge join + closure probe, corner credit
+    "g2_triangles" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 500 AS u FROM documents),
+        |r AS (SELECT u, (u + 1) % 500 AS v FROM n
+        |      UNION ALL SELECT u, (u + 2) % 500 FROM n
+        |      UNION ALL SELECT u, (u * 31 + 7) % 500 FROM n),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |      FROM r WHERE u <> v),
+        |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |t AS (SELECT x, y, z FROM w JOIN e e3 ON w.x = e3.a AND w.z = e3.b),
+        |c AS (SELECT unnest([x, y, z]) AS node_id FROM t)
+        |SELECT node_id, count(*) AS n_triangles FROM c
+        |GROUP BY node_id ORDER BY node_id""".stripMargin,
+    // every offset's pair list replayed; top-k with (n desc, ta, tb) ties
+    "t26_skipgrams" ->
+      s"""WITH tk AS (SELECT ${toksSql("text")} AS tk FROM documents),
+        |ko AS (SELECT tk, o.o AS o FROM tk CROSS JOIN generate_series(1, 3) AS o(o)
+        |       WHERE len(tk) > o.o),
+        |pp AS (SELECT unnest(list_transform(generate_series(1, len(tk) - o),
+        |         i -> [tk[i], tk[i + o]])) AS p FROM ko),
+        |c AS (SELECT p[1] AS ta, p[2] AS tb, count(*) AS n FROM pp GROUP BY 1, 2)
+        |SELECT ta, tb, n FROM c WHERE n >= 5
+        |ORDER BY n DESC, ta, tb LIMIT 50""".stripMargin,
+    // JSONL round-trip must equal the direct aggregate (io1's oracle shape)
+    "io10_jsonl" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // three PageRank rounds unrolled, every rank exact integer nano-units
     "g1_pagerank" ->
       s"""WITH e AS (
@@ -3300,6 +3476,34 @@ object SparkEntry {
         |${pageRankIterSql(3)}
         |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_nano
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // stepwise conditional mins: step i admits only events at/after the
+    // user's step-(i-1) time; left joins preserve drop-offs
+    "q28_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000 AS ts_s, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts_s) AS view_s FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_s) AS click_s FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts_s >= s1.view_s
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_s) AS purchase_s FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts_s >= s2.click_s
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s1.user_id AS user_id, s1.view_s, s2.click_s, s3.purchase_s,
+        | CAST(1 + CAST(s2.user_id IS NOT NULL AS INT)
+        |        + CAST(s3.user_id IS NOT NULL AS INT) AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    // one lead window in exact epoch-micros order (event id tiebreak),
+    // then the (from, to) count matrix
+    "q29_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id, event_type FROM events),
+        |w AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM w
+        |WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
     // latest-wins reduction (ts desc, seq desc) + full-outer merge; winning
     // 'D' deletes, otherwise the change row's columns replace wholesale
     // (including NULLs — no per-column coalesce)

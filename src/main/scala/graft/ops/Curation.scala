@@ -148,6 +148,33 @@ object Curation {
         round(col("ssum").cast("double") / col("n_tokens") / 1e6, 6).as("surprisal"))
   }
 
+  /** Windowed skip-gram co-occurrence counts — word2vec-style context
+    * pair extraction generalizing [[pmiCollocations]]' adjacent bigrams
+    * to offsets 1..`window` (ordered pairs: `(w_i, w_{i+o})`). The
+    * extraction is NARROW — one `zip_with` of two slices per offset, no
+    * positional self-join (the naive position-explode + range-join
+    * formulation shuffles the corpus once per document token and skews on
+    * Zipf heads; the slice form never shuffles until the final count).
+    * One partial-aggregable count + `TakeOrderedAndProject` top-k.
+    */
+  def skipgramCounts(df: DataFrame, textCol: String, window: Int,
+      minCount: Long, k: Int): DataFrame = {
+    require(window >= 1 && window <= 16, s"bad window $window")
+    val toks = TextFunctions.tokens(col(textCol))
+    val pairs = (1 to window).map { o =>
+      df.select(toks.as("tk")).filter(size(col("tk")) > o)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - o),
+          slice(col("tk"), lit(o + 1), size(col("tk")) - o),
+          (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+    }.reduce(_ unionByName _)
+    pairs.select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), col("ta"), col("tb"))
+      .limit(k)
+  }
+
   /** Interpolated bigram-LM surprisal — the next LM rung above
     * [[unigramSurprisal]] and the classic cheap perplexity filter for
     * pretraining corpora: score each document by

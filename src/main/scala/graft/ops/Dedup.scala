@@ -744,6 +744,30 @@ object Dedup {
     * anchor cap) — mega-blocks are boilerplate detection's job, not
     * pairwise edit distance's.
     */
+  /** Canonical-survivor selection — the policy step after clustering:
+    * per cluster keep the member with the highest score (ties to the
+    * SMALLEST id, so the choice is total); emits the cluster's keeper,
+    * its score, and the member count — i.e. "which doc survives dedup,
+    * and how many it replaces". The argmax is a single partial-aggregable
+    * `max(struct(score, −id))` groupBy (the [[Similarity]] keep=1 argmin
+    * pattern, flipped) — one hash shuffle of one row per cluster, no
+    * window sort over members.
+    *
+    * @param labeled one row per (member, cluster) with an integral score
+    *        (carry float scores as micro-units — the struct-max needs an
+    *        exact total order to be engine-deterministic).
+    */
+  def canonicalPerCluster(labeled: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame =
+    labeled
+      .select(col(clusterCol).as("cluster_id"),
+        struct(col(scoreCol).cast("long").as("s"),
+          (-col(idCol)).cast("long").as("nid")).as("cand"))
+      .groupBy("cluster_id")
+      .agg(max(col("cand")).as("best"), count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
+        col("best.s").as("kept_score"), col("n_members"))
+
   def editDistanceDupPairs(df: DataFrame, textCol: String, idCol: String,
       prefixLen: Int, maxDist: Int, maxBlock: Int = 64): DataFrame = {
     require(prefixLen >= 1 && maxDist >= 0, s"bad params $prefixLen/$maxDist")

@@ -81,4 +81,36 @@ object Graph {
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
+
+  /** Per-node triangle counts — the local clustering signal (spam/link-farm
+    * detection on crawl graphs: organic neighborhoods triangulate, farms
+    * don't). Classic two-join formulation over canonicalized undirected
+    * edges `(u < v)`: wedges `a−b−c (a<b<c)` from the first equi-join,
+    * closed into triangles by probing the edge set again; each triangle
+    * is found exactly once and credits all three corners via an explode +
+    * partial-aggregable count.
+    *
+    * Scale shape: two equi-join shuffles on edge endpoints and one count
+    * — no broadcast of the graph, no per-node adjacency materialization.
+    * The canonical `a<b<c` ordering is what bounds the wedge count; the
+    * standard refinement at web scale (order vertices by degree instead
+    * of id, so high-degree hubs sit last and generate few wedges) is a
+    * drop-in replacement for the id comparisons here.
+    *
+    * @return (node_id, n_triangles) — only nodes in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = raw.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // probed three times below
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(e.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(col("x"), col("y"), col("z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -414,4 +414,46 @@ object Similarity {
       coalesce(call_function("hashed_embed", col(textCol), lit(dim)),
         array_repeat(lit(0f), dim)).as("embedding"))
   }
+
+  /** Product-quantization codes: split each `dim`-vector into `m` equal
+    * subvectors and encode each as the id of its L2-nearest subspace
+    * codeword — the compressed representation ANN indexes (FAISS-style
+    * IVFPQ) store instead of raw floats: `m` small ints per vector
+    * (here: m codewords from the same deterministic `id % centroidEvery`
+    * rule the IVF tier uses; [[trainCentroids]] per subspace is the
+    * trained production form).
+    *
+    * Scale shape: the codebooks are broadcast (m × ncodes × dim/m floats
+    * — KBs); each vector explodes to its m subvectors MAP-SIDE and the
+    * argmin is the same partial-aggregable groupBy-min as
+    * [[assignCells]] keep=1 (rounded distance, codeword-id tiebreak) —
+    * the only shuffle carries one row per (vector, subspace), hash-based,
+    * no sort. Same determinism discipline: 6-decimal-rounded distances
+    * make the argmin engine-exact.
+    *
+    * @param dim the vector dimensionality (a parameter, not probed with
+    *        a driver action — plan builders stay pure).
+    * @return (vec_id, sub, code) — `sub` ∈ [0, m), `code` = codeword id.
+    */
+  def pqCodes(corpus: DataFrame, dim: Int, m: Int, centroidEvery: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cb = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("code"),
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol), j * sub + 1, sub)): _*)).as(Seq("csub", "cvec")))
+    corpus
+      .select(col(idCol).as("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol), j * sub + 1, sub)): _*)).as(Seq("sub", "svec")))
+      .join(broadcast(cb), col("sub") === col("csub"))
+      .select(col("vec_id"), col("sub"),
+        struct(rounded(sqrt(l2NativeSq(col("svec"), col("cvec")))).as("d"),
+          col("code")).as("cand"))
+      .groupBy("vec_id", "sub").agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("best.code").as("code"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Funnel]], [[Similarity.pqCodes]], [[Dedup.canonicalPerCluster]]. */
+class FunnelSpec extends SparkSpec {
+
+  test("funnel: steps gate on the previous step's time; drop-offs keep NULLs") {
+    import spark.implicits._
+    // u1 completes in order; u2's purchase PRECEDES its click (not counted);
+    // u3 views only; u4 never views (absent from output)
+    val e = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "view"), (2L, 50L, "click"), (2L, 40L, "purchase"),
+      (3L, 5L, "view"),
+      (4L, 1L, "click"), (4L, 2L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(10L), Some(50L), None, 2L))) // purchase@40 < click@50
+    assert(out(3L) == ((Some(5L), None, None, 1L)))
+    assert(!out.contains(4L)) // funnel starts at step 1
+  }
+
+  test("funnel: step time can equal the previous step's (>= bound)") {
+    import spark.implicits._
+    val e = Seq((1L, 10L, "view"), (1L, 10L, "click")).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(e, "user_id", "ts", "event_type", Seq("view", "click"))
+      .collect()(0)
+    assert(out.getLong(1) == 10L && out.getLong(2) == 10L && out.getLong(3) == 2L)
+  }
+
+  test("transitionCounts: lead in (ts, tie) order, per-user boundaries respected") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "c"), // tie on ts=2: id order
+      (2L, 9L, 4L, "a"))                                       // no next -> no row
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.transitionCounts(e, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("pqCodes: codewords encode themselves as themselves; codes are valid ids") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 7 + j * 3).toFloat % 11)))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(vecs, 8, 2, 10) // codewords: ids 0,10,20,30
+    val byVec = codes.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byVec.size == 40 * 2)
+    // a codeword's nearest codeword in every subspace is itself (distance 0)
+    for (cw <- Seq(0L, 10L, 20L, 30L); s <- Seq(0L, 1L))
+      assert(byVec((cw, s)) == cw, s"codeword $cw sub $s")
+    assert(byVec.values.forall(c => c % 10 == 0))
+  }
+
+  test("canonicalPerCluster: highest score survives, ties to smallest id") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, 100L, 5L), (2L, 100L, 9L), (3L, 100L, 9L), // tie at 9 -> id 2
+      (7L, 200L, 1L))
+      .toDF("doc_id", "cluster_id", "score")
+    val out = Dedup.canonicalPerCluster(labeled, "doc_id", "cluster_id", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(100L -> ((2L, 9L, 3L)), 200L -> ((7L, 1L, 1L))))
+  }
+}

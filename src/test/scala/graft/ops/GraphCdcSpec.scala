@@ -34,6 +34,31 @@ class GraphCdcSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("triangleCounts: K4 has 3 per node; direction/duplicate edges don't double-count") {
+    // K4 (complete graph on 4 nodes): C(3,2)=3 triangles per node — feed
+    // it with mixed directions and a duplicate edge
+    val k4 = edges(1L -> 2L, 2L -> 1L, 1L -> 3L, 1L -> 4L, 2L -> 3L,
+      3L -> 2L, 2L -> 4L, 3L -> 4L)
+    val out = Graph.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a triangle-free path emits nothing
+    assert(Graph.triangleCounts(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), "src", "dst")
+      .count() == 0)
+  }
+
+  test("skipgramCounts: window offsets, ordering, threshold and top-k ties") {
+    import spark.implicits._
+    val df = Seq.fill(5)("a b c").toDF("text")
+    // offsets 1..2 over "a b c": (a,b) (b,c) at o=1; (a,c) at o=2 — x5 docs
+    val out = Curation.skipgramCounts(df, "text", 2, 5L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 5L, ("b", "c") -> 5L, ("a", "c") -> 5L))
+    // threshold: below minCount drops out
+    val thin = Curation.skipgramCounts(df, "text", 2, 6L, 10).count()
+    assert(thin == 0)
+  }
+
   test("applyChanges: upsert, delete, insert, latest-wins, seq tiebreak, NULL overwrite") {
     import spark.implicits._
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (5L, "e", 50L))
