@@ -276,4 +276,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(plan, "BroadcastHashJoin") >= 3,
       s"expected broadcast vocab/scored joins:\n$plan")
   }
+
+  test("q28 funnel: equi-joins on the user key only, partial-aggregable step mins") {
+    val plan = executed(SparkEntry.queries("q28_funnel")(spark, sf0001))
+    assert(plan.contains("partial_min"), s"step mins not partial:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"ts-bound turned a funnel join non-equi:\n$plan")
+  }
+
+  test("sim9 PQ: codebook broadcast, argmin is a partial-aggregable groupBy") {
+    val plan = executed(SparkEntry.queries("sim9_pq_codes")(spark, sf0001))
+    assert(countOf(plan, "BroadcastHashJoin") >= 1, s"codebook not broadcast:\n$plan")
+    assert(plan.contains("partial_min"), s"PQ argmin not partial:\n$plan")
+    assert(!plan.contains("Window"), s"PQ argmin fell back to a window sort:\n$plan")
+  }
+
+  test("g2 triangles: wedge/closure joins are equi-joins, corner count is partial") {
+    val plan = executed(SparkEntry.queries("g2_triangles")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in triangle join:\n$plan")
+    assert(plan.contains("partial_count"), s"corner count not partial:\n$plan")
+  }
+
+  test("t26 skip-grams: narrow extraction, top-k plans as TakeOrderedAndProject") {
+    val plan = executed(SparkEntry.queries("t26_skipgrams")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"skip-gram top-k became a global sort:\n$plan")
+    // one count shuffle — the slice-zip extraction itself must not shuffle
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+      s"extraction shuffled:\n$plan")
+  }
 }
