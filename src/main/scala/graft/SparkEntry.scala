@@ -217,6 +217,38 @@ object SparkEntry {
       .orderBy("from_type", "to_type")
   }
 
+  /** CUBE grouping through the gate: event counts over every subset of
+    * the (event_type, weekday) dims with `grouping_id` distinguishing
+    * the aggregation levels — q19's ROLLUP completed to the full lattice
+    * (one Expand pass in Catalyst, not 2^d scans).
+    */
+  private def q30Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        ((unix_timestamp(col("ts")) / 86400L).cast("long") % 7).as("weekday"))
+      .cube("event_type", "weekday")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("weekday"))
+
+  /** The remaining rank-family window functions through one gate:
+    * `ntile(4)`, `percent_rank`, `cume_dist`, and `nth_value` over the
+    * per-user event sequence (total (ts, event_id) order). Completes SQL
+    * window parity beyond q7's row_number/rank and q22's lead.
+    */
+  private def q31WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("event_id"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_event"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Pivot / crosstab through the gate: per-user event-type counts as
     * columns (`df.groupBy(...).pivot(...)` — Catalyst turns it into one
     * aggregate with CASE-guarded partials, no per-column pass). The
@@ -1930,6 +1962,16 @@ object SparkEntry {
         ops.Multimodal.withGeneratedWav(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** Brightness statistics through the REAL codec ([[ops.Multimodal
+    * .imageHistogram]]): generated PNGs decoded, 4-bin gray histogram +
+    * integer mean — the oracle recomputes every pixel's gray and bin
+    * from the generation arithmetic.
+    */
+  private def m11Histogram(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.imageHistogram(
+        ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
+      .orderBy("doc_id")
+
   /** Perceptual dHash through the REAL codec: generated PNGs decoded by
     * `ImageIO`, 9×8-gray downsampled, adjacent-pixel bits — the oracle
     * recomputes all 72 grays and 64 comparisons from the generation
@@ -2066,6 +2108,20 @@ object SparkEntry {
     Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").json(path)
     s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** ORC sink+source round-trip — the third columnar format Spark ships
+    * natively (vectorized reader, predicate pushdown like parquet):
+    * write, re-read, aggregate — must equal the direct-on-parquet oracle.
+    */
+  private def io11Orc(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "orc_docs")
+    Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
@@ -2243,7 +2299,10 @@ object SparkEntry {
     "g2_triangles" -> g2Triangles _,
     "t26_skipgrams" -> t26Skipgrams _,
     "io10_jsonl" -> io10Jsonl _,
+    "io11_orc" -> io11Orc _,
     "q27_cdc_merge" -> q27CdcMerge _,
+    "q30_cube" -> q30Cube _,
+    "q31_window_family" -> q31WindowFamily _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
@@ -2266,6 +2325,7 @@ object SparkEntry {
     "m8_audio_real" -> m8AudioReal _,
     "m9_dhash" -> m9Dhash _,
     "m10_audio_features" -> m10AudioFeatures _,
+    "m11_histogram" -> m11Histogram _,
     "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
@@ -3461,6 +3521,33 @@ object SparkEntry {
     "io10_jsonl" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // ORC round-trip: same direct-aggregate oracle
+    "io11_orc" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // full grouping lattice; GROUPING bitmask matches Spark's grouping_id
+    // (first dim = MSB); NULLS FIRST aligns DuckDB's default NULLS LAST
+    // sort with Spark's NULLS FIRST
+    "q30_cube" ->
+      """WITH e AS (SELECT event_type,
+        |        (epoch_ns(ts) // 1000000000 // 86400) % 7 AS weekday FROM events)
+        |SELECT event_type, weekday, count(*) AS n,
+        | CAST(GROUPING(event_type, weekday) AS BIGINT) AS gid
+        |FROM e GROUP BY CUBE (event_type, weekday)
+        |ORDER BY gid, event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
+    // rank-family windows over the same total (ts_us, event_id) order
+    "q31_window_family" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id FROM events),
+        |w AS (SELECT user_id, event_id,
+        |        ntile(4) OVER win AS quartile,
+        |        round(percent_rank() OVER win, 6) AS pct_rank,
+        |        round(cume_dist() OVER win, 6) AS cume,
+        |        nth_value(event_id, 2) OVER
+        |          (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, quartile, pct_rank, cume, second_event
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     // three PageRank rounds unrolled, every rank exact integer nano-units
     "g1_pagerank" ->
       s"""WITH e AS (
@@ -3793,6 +3880,23 @@ object SparkEntry {
         |      WHERE a.x < 8)
         |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every pixel's gray + bin replayed from the generation arithmetic
+    "m11_histogram" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |g AS (SELECT d.doc_id, ((d.doc_id + 31 * gx.x + 131 * gy.y) % 16777216) AS pix
+        |      FROM d, generate_series(0, 16) AS gx(x), generate_series(0, 14) AS gy(y)
+        |      WHERE gx.x < d.w AND gy.y < d.h),
+        |gr AS (SELECT doc_id,
+        |        ((pix // 65536) + ((pix // 256) % 256) + (pix % 256)) // 3 AS gray FROM g),
+        |a AS (SELECT doc_id, count(*) AS n_pix,
+        |        CAST(sum(CASE WHEN gray // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |        CAST(sum(CASE WHEN gray // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |        CAST(sum(CASE WHEN gray // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |        CAST(sum(CASE WHEN gray // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+        |        CAST(CAST(sum(gray) AS BIGINT) // count(*) AS BIGINT) AS mean_gray
+        |      FROM gr GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_pix AS BIGINT) AS n_pix, b0, b1, b2, b3, mean_gray
+        |FROM a ORDER BY doc_id""".stripMargin,
     // m8's sample arithmetic extended to signal statistics: centered
     // samples c = s - 128, energy sum c^2, sign-transition count via lag,
     // peak |c| — all integers

@@ -510,6 +510,56 @@ object Multimodal {
     }(RowEncoder.encoderFor(dhashSchema))
   }
 
+  val histSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_pix", LongType, nullable = false),
+    StructField("b0", LongType, nullable = false),
+    StructField("b1", LongType, nullable = false),
+    StructField("b2", LongType, nullable = false),
+    StructField("b3", LongType, nullable = false),
+    StructField("mean_gray", LongType, nullable = false)))
+
+  /** Per-image brightness statistics over a REAL decode: 4-bin gray
+    * histogram (bin = gray div 64 over gray = (r+g+b) div 3) and the
+    * integer mean — the cheap exposure/blank-frame screen an image-corpus
+    * curation pass runs before anything expensive. All-integer, so
+    * generated fixtures face the oracle pixel-for-pixel. Unreadable
+    * payloads emit a −1 row. Partition-local streaming.
+    */
+  def imageHistogram(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see withGeneratedPng
+      rows.map { r =>
+        val id = r.getLong(0)
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null) Row(id, -1L, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val (w, h) = (src.getWidth, src.getHeight)
+          val bins = new Array[Long](4)
+          var graySum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val pix = src.getRGB(x, y) & 0xffffff
+              val gray = ((pix >> 16) + ((pix >> 8) & 0xff) + (pix & 0xff)) / 3
+              bins(gray / 64) += 1
+              graySum += gray
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Row(id, n, bins(0), bins(1), bins(2), bins(3), graySum / n)
+        }
+      }
+    }(RowEncoder.encoderFor(histSchema))
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -112,6 +112,49 @@ class PropertyFuzzSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  test("CMS never underestimates and is exact for below-width vocabularies (fuzzed)") {
+    import spark.implicits._
+    val corpusGen = Gen.listOfN(300,
+      Gen.oneOf((0 until 40).map(i => s"tok$i")))
+    val rounds = samples(corpusGen, 3)
+    for (round <- 0 until 3) {
+      val toks = rounds(round)
+      val df = toks.toDF("t")
+      val truth = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val est = graft.ops.Sketch.cmsEstimate(
+          graft.ops.Sketch.cmsBuild(df, "t", 4, 256), df.distinct(), "t", 4, 256)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (t, n) =>
+        assert(est(t) >= n, s"round $round: CMS underestimated $t")
+      }
+      // 40 tokens in 4x256 buckets: a 4-way simultaneous collision is
+      // practically impossible — estimates should be exact
+      assert(truth.forall { case (t, n) => est(t) == n }, s"round $round")
+    }
+  }
+
+  test("pqCodes == brute-force per-subspace argmin on random vectors (fuzzed)") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.choose(-100, 100))
+    val vecs = samples(vecGen, 30).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat / 7f).toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.pqCodes(df, 8, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val codebook = vecs.filter(_._1 % 10 == 0)
+    for ((id, v) <- vecs; s <- 0 to 1) {
+      val slice = v.slice(s * 4, s * 4 + 4)
+      val best = codebook.map { case (cid, cv) =>
+        val cs = cv.slice(s * 4, s * 4 + 4)
+        val d = math.sqrt(slice.zip(cs).map { case (a, b) =>
+          val diff = a.toDouble - b; diff * diff }.sum)
+        // mirror the op's 6-decimal rounding before the argmin
+        (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }.min
+      assert(got((id, s.toLong)) == best._2, s"vec $id sub $s")
+    }
+  }
+
   test("dupClusters AND dupClustersStar match union-find on random graphs") {
     import spark.implicits._
     val n = 40

@@ -72,6 +72,28 @@ class SketchSpec extends SparkSpec {
     assert(out(0L) != out(1L)) // different generated content
   }
 
+  test("imageHistogram: bins partition the pixels; mean matches; corrupt row channels") {
+    import spark.implicits._
+    val df = Seq(3L, 11L).toDF("doc_id")
+    val out = Multimodal.imageHistogram(Multimodal.withGeneratedPng(df))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 11L)) {
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      val grays = for (y <- 0 until h; x <- 0 until w) yield {
+        val pix = ((id + 31 * x + 131 * y) % 0x1000000).toInt
+        ((pix >> 16) + ((pix >> 8) & 0xff) + (pix & 0xff)) / 3
+      }
+      val r = out(id)
+      assert(r.getLong(1) == w.toLong * h)
+      val bins = (0 to 3).map(b => grays.count(_ / 64 == b).toLong)
+      assert((2 to 5).map(r.getLong) == bins, s"doc $id bins")
+      assert(r.getLong(6) == grays.map(_.toLong).sum / (w * h), s"doc $id mean")
+    }
+    val bad = Multimodal.imageHistogram(
+      Seq((5L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media")).collect()(0)
+    assert(bad.getLong(1) == -1L)
+  }
+
   test("dhashImage: unreadable payload yields NULL hash") {
     import spark.implicits._
     val junk = Seq((9L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "media")
