@@ -249,6 +249,33 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Forward-fill gap-filling ([[ops.Timeseries.gapFillHourly]]) through
+    * the gate: users < 10 resampled onto their dense hourly grid, last
+    * observation carried forward — the oracle rebuilds the grid with
+    * `unnest(generate_series)` and replays the fill with
+    * `last_value(... IGNORE NULLS)`.
+    */
+  private def q32Gapfill(s: SparkSession, dir: String): DataFrame =
+    ops.Timeseries.gapFillHourly(
+        Tables.events(s, dir).filter(col("user_id") < 10),
+        "user_id", "ts", "value", "event_id")
+      .select(col("key").as("user_id"), col("hour"),
+        col("value_filled"), col("observed"))
+      .orderBy("user_id", "hour")
+
+  /** Rolling z-score anomaly screen ([[ops.Timeseries.rollingZScore]])
+    * through the gate: users < 30, each value against its 5 prior
+    * events — integer-cents window sums, LONG variance numerator,
+    * doubles only in the final normalized score.
+    */
+  private def q33RollingZscore(s: SparkSession, dir: String): DataFrame =
+    ops.Timeseries.rollingZScore(
+        Tables.events(s, dir).filter(col("user_id") < 30),
+        "user_id", "ts", "value", "event_id", 5)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("value"), col("zscore"))
+      .orderBy("user_id", "event_id")
+
   /** Pivot / crosstab through the gate: per-user event-type counts as
     * columns (`df.groupBy(...).pivot(...)` — Catalyst turns it into one
     * aggregate with CASE-guarded partials, no per-column pass). The
@@ -997,6 +1024,18 @@ object SparkEntry {
     */
   private def t26Skipgrams(s: SparkSession, dir: String): DataFrame =
     ops.Curation.skipgramCounts(Tables.documents(s, dir), "text", 3, 5L, 50)
+
+  /** Weighted sampling without replacement ([[ops.Sampling
+    * .weightedSample]], k = 25, weight = n_chars): Efraimidis–Spirakis
+    * order sampling with md5-derived uniforms and micro-unit ln keys —
+    * the oracle recomputes every key and replays the top-25.
+    */
+  private def t27WeightedSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", 25)
+      .select(col("doc_id"), col("n_chars"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
 
   /** Interpolated bigram-LM surprisal ([[ops.Curation.bigramSurprisal]],
     * λ = 0.7): per-doc mean −ln p(w_i|w_{i−1}) — the LM-quality filter
@@ -1834,6 +1873,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diverse top-3 ([[ops.Similarity.mmrTopK]], λ = 70%) for the
+    * first 3 query vectors over the whole corpus: greedy relevance-vs-
+    * redundancy selection, k unrolled rounds — the oracle unrolls the
+    * same three argmax rounds as CTEs (round 1 = raw relevance, rounds
+    * 2–3 subtract the max similarity to the already-picked set).
+    */
+  private def sim10Mmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.mmrTopK(e, e.filter(col("vec_id") < 3), 3, 70)
+      .orderBy("query_id", "sel_round")
+  }
+
   // ---------------------------------------------------------------------
   // Multimodal tier (binary payload plumbing, stub codec)
   // ---------------------------------------------------------------------
@@ -2303,6 +2354,10 @@ object SparkEntry {
     "q27_cdc_merge" -> q27CdcMerge _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
+    "q32_gapfill" -> q32Gapfill _,
+    "q33_rolling_zscore" -> q33RollingZscore _,
+    "t27_weighted_sample" -> t27WeightedSample _,
+    "sim10_mmr" -> sim10Mmr _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
@@ -3517,6 +3572,18 @@ object SparkEntry {
         |c AS (SELECT p[1] AS ta, p[2] AS tb, count(*) AS n FROM pp GROUP BY 1, 2)
         |SELECT ta, tb, n FROM c WHERE n >= 5
         |ORDER BY n DESC, ta, tb LIMIT 50""".stripMargin,
+    // A-Res keys replayed exactly: 48-bit md5 uniform, ln in integer
+    // micro-units (the t14 rule), top-25 by (key DESC, id)
+    "t27_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS u48
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, n_chars,
+        |    CAST(round(ln((CAST(u48 AS DOUBLE) + 0.5) / 281474976710656.0)
+        |         / CAST(n_chars AS DOUBLE) * 1000000, 0) AS BIGINT) AS key_micro
+        |  FROM k)
+        |SELECT doc_id, n_chars, key_micro FROM s
+        |ORDER BY key_micro DESC, doc_id LIMIT 25""".stripMargin,
     // JSONL round-trip must equal the direct aggregate (io1's oracle shape)
     "io10_jsonl" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -3547,6 +3614,47 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event
         |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id))
         |SELECT user_id, event_id, quartile, pct_rank, cume, second_event
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+    // dense hourly grid via unnest(generate_series); forward fill via
+    // last_value IGNORE NULLS; all value arithmetic in integer cents
+    "q32_gapfill" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |      FROM events WHERE user_id < 10),
+        |h AS (SELECT user_id, ts_us//3600000000 AS hour, cents,
+        |        row_number() OVER (PARTITION BY user_id, ts_us//3600000000
+        |                           ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev),
+        |hh AS (SELECT user_id, hour, cents FROM h WHERE rn = 1),
+        |b AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi FROM hh GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hour FROM b),
+        |j AS (SELECT g.user_id, g.hour, hh.cents FROM grid g
+        |      LEFT JOIN hh ON g.user_id = hh.user_id AND g.hour = hh.hour),
+        |f AS (SELECT user_id, hour,
+        |        CAST(last_value(cents IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY hour
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fc,
+        |        CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS observed
+        |      FROM j)
+        |SELECT user_id, hour, CAST(fc AS DOUBLE)/100.0 AS value_filled,
+        |  CAST(observed AS BIGINT) AS observed
+        |FROM f ORDER BY user_id, hour""".stripMargin,
+    // frame sums CAST to BIGINT immediately (HUGEINT rule); variance
+    // numerator n*ss - s*s stays integer; doubles only in the final score
+    "q33_rolling_zscore" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |      FROM events WHERE user_id < 30),
+        |w AS (SELECT user_id, event_id, cents,
+        |        CAST(count(*) OVER fr AS BIGINT) AS n,
+        |        CAST(sum(cents) OVER fr AS BIGINT) AS s,
+        |        CAST(sum(cents*cents) OVER fr AS BIGINT) AS ss
+        |      FROM ev WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                            ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, CAST(cents AS DOUBLE)/100.0 AS value,
+        |  CASE WHEN n >= 2 AND n*ss - s*s > 0
+        |    THEN round((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+        |               / sqrt(CAST(n*ss - s*s AS DOUBLE)/CAST(n*n AS DOUBLE)), 6)
+        |    ELSE NULL END AS zscore
         |FROM w ORDER BY user_id, event_id""".stripMargin,
     // three PageRank rounds unrolled, every rank exact integer nano-units
     "g1_pagerank" ->
@@ -3788,6 +3896,44 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // the three greedy MMR rounds unrolled: round 1 = argmax relevance,
+    // rounds 2-3 = argmax of 70/100·rel − 30/100·max-sim-to-selected;
+    // every cosine 6-rounded before max/argmax, ties on cand_id
+    "sim10_mmr" ->
+      s"""WITH $embNormSql,
+        |q AS (SELECT vec_id AS query_id, v, nrm FROM n WHERE vec_id < 3),
+        |rel AS (SELECT q.query_id, c.vec_id AS cand_id, c.v AS v, c.nrm AS nrm,
+        |          ${cosineSql("q", "c")} AS rel
+        |        FROM q JOIN n c ON c.vec_id <> q.query_id),
+        |p1 AS (SELECT query_id, cand_id, rel,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        |       FROM rel),
+        |s1 AS (SELECT query_id, cand_id AS sel_id, rel AS score FROM p1 WHERE rn = 1),
+        |sc2 AS (SELECT r.query_id, r.cand_id,
+        |          round(70/100.0 * r.rel - 30/100.0 * (${cosineSql("r", "sv")}), 6) AS score
+        |        FROM rel r
+        |          JOIN s1 ON r.query_id = s1.query_id AND r.cand_id <> s1.sel_id
+        |          JOIN n sv ON sv.vec_id = s1.sel_id),
+        |p2 AS (SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+        |       FROM sc2),
+        |s2 AS (SELECT query_id, cand_id AS sel_id, score FROM p2 WHERE rn = 1),
+        |sc3 AS (SELECT r.query_id, r.cand_id,
+        |          round(70/100.0 * r.rel - 30/100.0 *
+        |            greatest(${cosineSql("r", "sv1")}, ${cosineSql("r", "sv2")}), 6) AS score
+        |        FROM rel r
+        |          JOIN s1 ON r.query_id = s1.query_id AND r.cand_id <> s1.sel_id
+        |          JOIN s2 ON r.query_id = s2.query_id AND r.cand_id <> s2.sel_id
+        |          JOIN n sv1 ON sv1.vec_id = s1.sel_id
+        |          JOIN n sv2 ON sv2.vec_id = s2.sel_id),
+        |p3 AS (SELECT query_id, cand_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+        |       FROM sc3),
+        |s3 AS (SELECT query_id, cand_id AS sel_id, score FROM p3 WHERE rn = 1)
+        |SELECT query_id, CAST(1 AS BIGINT) AS sel_round, sel_id, score FROM s1
+        |UNION ALL SELECT query_id, CAST(2 AS BIGINT), sel_id, score FROM s2
+        |UNION ALL SELECT query_id, CAST(3 AS BIGINT), sel_id, score FROM s3
+        |ORDER BY query_id, sel_round""".stripMargin,
     // both GD iterations replayed (see logregIterSql) over the re-derived
     // hashed features; final sigmoid scores per document
     "t18_quality_classifier" ->

@@ -140,6 +140,39 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, k rows — the
+    * Efraimidis–Spirakis A-Res order-sampling scheme: each row draws a
+    * uniform `u` and takes key `u^(1/w)`; the k largest keys are a
+    * weighted-without-replacement sample. Worked in log space
+    * (`ln(u)/w`, same argmax) so heavy weights don't underflow.
+    *
+    * Seed-free and engine-portable: `u` derives from md5(id) (first 12
+    * hex = 48 uniform bits, +0.5 so u ∈ (0,1) — `ln(0)` never fires),
+    * and the key is quantized to integer micro-units
+    * (`round(ln(u)/w · 10⁶)` — the same rule that absorbs last-ulp
+    * libm `ln` disagreement in the surprisal scores). A row's key never
+    * changes as the corpus grows, so the sample is stable under
+    * appends — only genuinely better keys displace members.
+    *
+    * Distributed shape: one narrow codegen'd projection computes keys,
+    * and the global top-k plans as `TakeOrderedAndProject` —
+    * per-partition partial top-k, k rows per partition to the driver-
+    * side merge, never a global sort. Weights must be positive (rows
+    * with w ≤ 0 are dropped: zero weight means zero inclusion mass).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u48 = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (u48.cast("double") + 0.5) / 281474976710656.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro",
+        round(log(u) / col(weightCol).cast("double") * 1e6, 0).cast("long"))
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Materialize [[packShards]] output into actual training sequences:
     * one row per (bucket, shard) with the member documents concatenated
     * in pack order (space-separated — the tokenizer-neutral join; a real

@@ -456,4 +456,75 @@ object Similarity {
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
         col("best.code").as("code"))
   }
+
+  /** Maximal-Marginal-Relevance diverse top-k — the retrieval reranker
+    * that trades raw relevance against redundancy: greedily select
+    * `score = λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`, so the
+    * second pick is pushed away from the first instead of being its
+    * near-duplicate (the standard diversity pass over an ANN candidate
+    * pool before context assembly).
+    *
+    * The greedy recurrence is inherently sequential in k but fully
+    * distributed in the corpus: relevance is ONE broadcast-queries pass
+    * (as [[bruteForceTopK]]), then each of the k rounds joins candidates
+    * against the ≤ k·|queries|-row selected set (broadcast), takes a
+    * per-query `row_number` argmax, and appends one winner per query.
+    * k driver-blind rounds of narrow work — corpus rows never shuffle;
+    * `localCheckpoint` pins the relevance frame so the k rounds re-read
+    * it instead of re-scoring the corpus. In production, feed this a
+    * pre-cut ANN pool ([[ivfTopK]] output), not the whole corpus.
+    *
+    * Determinism: every cosine is 6-decimal-rounded before the max/argmax
+    * (the module rule), λ enters as integer percent so both engines parse
+    * identical doubles (`lamPct/100.0`), scores re-round to 6, ties break
+    * on candidate id. Round 1's score is raw relevance (nothing selected
+    * yet to repel from).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int, lamPct: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(lamPct >= 0 && lamPct <= 100, s"lamPct out of [0,100]: $lamPct")
+    val c = withNorm(corpus, idCol, vecCol, "cand_id", "c_vec", "c_nrm")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm")
+    val rel = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("c_vec"), col("c_nrm"),
+        rounded(cosineWithNorms(col("q_vec"), col("c_vec"), col("q_nrm"), col("c_nrm"))).as("rel"))
+      .localCheckpoint()
+    val lam = lit(lamPct) / 100.0
+    val oneMinusLam = lit(100 - lamPct) / 100.0
+    val pickW = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (r == 1)
+          rel.select(col("query_id"), col("cand_id"), col("rel").as("score"))
+        else {
+          val sel = selected.select(col("query_id"), col("sel_id"),
+            col("s_vec"), col("s_nrm"))
+          rel.join(broadcast(sel), Seq("query_id"))
+            .filter(col("cand_id") =!= col("sel_id"))
+            .select(col("query_id"), col("cand_id"), col("rel"),
+              rounded(cosineWithNorms(col("c_vec"), col("s_vec"), col("c_nrm"), col("s_nrm"))).as("sim"))
+            .groupBy("query_id", "cand_id", "rel")
+            .agg(max(col("sim")).as("ms"), count(lit(1)).as("n_sel"))
+            // a candidate missing a sim row IS a selected one — the
+            // inner count check keeps only true candidates
+            .filter(col("n_sel") === lit(r - 1))
+            .select(col("query_id"), col("cand_id"),
+              round(lam * col("rel") - oneMinusLam * col("ms"), 6).as("score"))
+        }
+      val pick = scored.withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(r.toLong).as("sel_round"),
+          col("cand_id").as("sel_id"), col("score"))
+      val pickV = pick.join(
+        c.select(col("cand_id").as("sel_id"), col("c_vec").as("s_vec"),
+          col("c_nrm").as("s_nrm")), "sel_id")
+        .select(col("query_id"), col("sel_round"), col("sel_id"),
+          col("score"), col("s_vec"), col("s_nrm"))
+        .localCheckpoint()
+      selected = if (selected == null) pickV else selected.unionByName(pickV)
+    }
+    selected.select(col("query_id"), col("sel_round"), col("sel_id"), col("score"))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over the event stream — the gap-fill /
+  * rolling-statistics layer a metrics or feature pipeline runs between
+  * raw events and model input.
+  *
+  * Both operators shuffle exactly once, on the series key: every window
+  * is `partitionBy(key)`, so a 100 TB event log spreads across the
+  * cluster by key and each executor fills/scans its own series
+  * sequentially (Spark's window frames stream — no per-series
+  * materialization beyond the frame). Per-series data volume, not total
+  * volume, is the scaling bound — the natural one for per-user series.
+  * All value arithmetic is integer cents (the money rule: doubles only
+  * at the output boundary), so results are bit-stable across engines
+  * and partitionings.
+  */
+object Timeseries {
+
+  /** Resample each key's event series onto a dense hourly grid and
+    * forward-fill the gaps — the "last observation carried forward"
+    * regularization every dashboard / feature-store pipeline needs
+    * before joining series with different clocks.
+    *
+    * Mechanics: per (key, hour) keep the LAST event's value (total
+    * `(ts_us, event_id)` order, so the survivor is unambiguous), build
+    * each key's `[min hour, max hour]` grid with one narrow
+    * `sequence`+`explode` over the per-key bounds row (|keys| rows in,
+    * grid rows out — never a corpus-sized shuffle), left-join the
+    * observations, and carry values forward with a running
+    * `last(ignoreNulls)` window. The grid is dense by construction, so
+    * the first grid row of every key is its own first observation —
+    * `value_filled` is never null.
+    *
+    * At 100 TB the join and the fill window share the by-key
+    * partitioning, and AQE coalesces the sparse post-join side. For
+    * multi-year grids per key, bound the sequence explosion by
+    * gap-filling within coarser buckets (day files) first.
+    *
+    * Output: key, hour (epoch hours), `value_filled` (double, cents
+    * integer ÷100 at the boundary), `observed` (1 = real event, 0 =
+    * carried forward).
+    */
+  def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val ev = df.select(col(keyCol).as("key"),
+      unix_micros(col(tsCol)).as("ts_us"), col(idCol).as("id"),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("hour", expr("ts_us div 3600000000"))
+    // last event per (key, hour) in total order — deterministic survivor
+    val perHour = ev.withColumn("rn", row_number().over(
+        Window.partitionBy("key", "hour").orderBy(col("ts_us").desc, col("id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("hour"), col("cents"))
+    val grid = perHour.groupBy("key")
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("key"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val fillW = Window.partitionBy("key").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("key", "hour"), "left")
+      .select(col("key"), col("hour"),
+        (last(col("cents"), ignoreNulls = true).over(fillW).cast("double") / 100.0)
+          .as("value_filled"),
+        when(col("cents").isNotNull, 1L).otherwise(0L).as("observed"))
+  }
+
+  /** Rolling z-score anomaly screen: each event's value against the
+    * mean/std of its key's previous `lag` events (frame `[-lag, -1]` in
+    * total `(ts_us, event_id)` order — the current row never scores
+    * against itself, so an outlier can't mask its own detection).
+    *
+    * Engine-exact variance: the frame's sum, sum-of-squares, and count
+    * are integer-cents window aggregates (exact, order-free); the
+    * variance numerator `n·Σx² − (Σx)²` stays in LONG arithmetic
+    * (bounded by lag·(10⁴·max_value)² — overflow-safe for any sane
+    * cents range), and doubles appear only in the final
+    * `(x − mean)/std` with a fixed operation order + 6-decimal
+    * rounding. Rows with fewer than 2 prior events or zero variance
+    * emit a null score (a constant history has no scale — flagging
+    * against it would be noise), mirroring the CaseWhen lazy-branch
+    * guard rule for ANSI division.
+    */
+  def rollingZScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, lag: Int): DataFrame = {
+    require(lag >= 2, s"need a frame of at least 2 prior rows, got $lag")
+    val ev = df.select(col(keyCol).as("key"),
+      unix_micros(col(tsCol)).as("ts_us"), col(idCol).as("id"),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+    val frame = Window.partitionBy("key").orderBy(col("ts_us"), col("id"))
+      .rowsBetween(-lag, -1)
+    val n = count(lit(1)).over(frame)
+    val s = sum(col("cents")).over(frame)
+    val ss = sum(col("cents") * col("cents")).over(frame)
+    val scored = ev.select(col("key"), col("id"), col("cents"),
+      n.as("n"), s.as("s"), ss.as("ss"))
+    val num = col("n") * col("ss") - col("s") * col("s")
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val std = sqrt(num.cast("double") / (col("n") * col("n")).cast("double"))
+    scored.select(col("key"), col("id"),
+      (col("cents").cast("double") / 100.0).as("value"),
+      when(col("n") >= 2 && num > 0,
+        round((col("cents").cast("double") - mean) / std, 6))
+        .otherwise(lit(null).cast("double")).as("zscore"))
+  }
+}

@@ -249,6 +249,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0).getAs[Double]("cosine") > 0.99)
   }
 
+  test("mmrTopK prefers a diverse pick over a redundant higher-relevance one") {
+    // query (1,1); candidates 1 and 2 are identical, 3 mirrors them across
+    // the query axis. All three tie on relevance (pick lowest id first);
+    // at lambda=50 the mirror's diversity then beats the exact duplicate.
+    val v = vecs((0L, Seq(1f, 1f)), (1L, Seq(1f, 0.9f)),
+      (2L, Seq(1f, 0.9f)), (3L, Seq(0.9f, 1f)))
+    val r = Similarity.mmrTopK(v, v.filter(col("vec_id") === 0), 3, 50)
+      .orderBy("sel_round").collect()
+    assert(r.map(_.getAs[Long]("sel_id")).toSeq == Seq(1L, 3L, 2L))
+    // round 1 score is raw relevance; the duplicate's final score is
+    // rel/2 - 1/2 (max-sim to an identical selected vector is 1)
+    assert(r(0).getAs[Double]("score") > 0.99)
+    assert(r(2).getAs[Double]("score") < 0)
+  }
+
   test("cosineDupPairs finds near-identical vectors") {
     val r = Similarity.cosineDupPairs(vecs(
       (0L, Seq(1f, 1f, 0f)), (1L, Seq(0.99f, 1.01f, 0f)), (2L, Seq(0f, 0f, 1f))), 0.95).collect()

@@ -120,4 +120,31 @@ class SamplingSpec extends SparkSpec {
       "global_id must equal rank in key order")
     assert(run(11) == got, "index must not depend on input partitioning")
   }
+
+  test("weightedSample: deterministic, drops w<=0, heavy weights dominate") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, if (i == 7L) 1000000000L else 1L))
+      .toDF("id", "w")
+    val top = Sampling.weightedSample(df, "id", "w", 5).collect()
+    // weight 1e9 compresses the key to ~0, beating every unit-weight key
+    assert(top.head.getLong(0) == 7L)
+    assert(top.length == 5)
+    val again = Sampling.weightedSample(df, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == top.map(_.getLong(0)).toSeq, "sample must be run-stable")
+    // zero/negative weights never sampled even at k >= n
+    val withZero = Sampling.weightedSample(
+      Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("id", "w"), "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(withZero == Seq(1L))
+  }
+
+  test("weightedSample: keys match the md5 A-Res arithmetic") {
+    import spark.implicits._
+    val df = Seq((0L, 1L), (3L, 1L)).toDF("id", "w")
+    val keys = Sampling.weightedSample(df, "id", "w", 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independently derived: round(ln((md5_48(id)+0.5)/2^48) * 1e6)
+    assert(keys(0L) == -208595L && keys(3L) == -77978L)
+  }
 }

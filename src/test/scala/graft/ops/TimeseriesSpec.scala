@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeseriesSpec extends SparkSpec {
+
+  private def evdf(rows: Seq[(Long, Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "sec", "event_id", "value")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("value"))
+  }
+
+  test("gapFillHourly: dense grid, last-per-hour survivor, forward fill") {
+    val df = evdf(Seq(
+      (1L, 36000L, 1L, 1.00),        // hour 10
+      (1L, 36100L, 2L, 3.00),        // hour 10, later -> survivor
+      (1L, 48600L, 3L, 2.50),        // hour 13
+      (2L, 36000L, 4L, 7.00)))       // single-hour user
+    val out = Timeseries.gapFillHourly(df, "user_id", "ts", "value", "event_id")
+      .orderBy("key", "hour").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 3.00, 1L), (1L, 11L, 3.00, 0L),
+      (1L, 12L, 3.00, 0L), (1L, 13L, 2.50, 1L),
+      (2L, 10L, 7.00, 1L)))
+  }
+
+  test("gapFillHourly: same-second events break ties on id") {
+    val df = evdf(Seq((1L, 36000L, 1L, 1.00), (1L, 36000L, 2L, 9.00)))
+    val out = Timeseries.gapFillHourly(df, "user_id", "ts", "value", "event_id")
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(2) == 9.00)
+  }
+
+  test("rollingZScore: nulls under 2 priors / zero variance; exact score") {
+    val df = evdf(Seq(
+      (1L, 100L, 1L, 1.00), (1L, 200L, 2L, 3.00),
+      (1L, 300L, 3L, 1.00), (1L, 400L, 4L, 5.00)))
+    val out = Timeseries.rollingZScore(df, "user_id", "ts", "value", "event_id", 5)
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3)) // 0 and 1 priors
+    // id 3: priors {100, 300} cents -> mean 200, std 100, x=100 -> -1.0
+    assert(out(2).getDouble(3) == -1.0)
+    // id 4: priors {100, 300, 100} -> z = (500-500/3)/sqrt(80000/9)/100-free
+    assert(math.abs(out(3).getDouble(3) - 3.535534) < 1e-6)
+  }
+
+  test("rollingZScore: constant history emits null, not a division error") {
+    val df = evdf(Seq(
+      (1L, 100L, 1L, 2.00), (1L, 200L, 2L, 2.00), (1L, 300L, 3L, 2.00)))
+    val out = Timeseries.rollingZScore(df, "user_id", "ts", "value", "event_id", 5)
+      .orderBy("id").collect()
+    assert(out.forall(_.isNullAt(3)))
+  }
+}
