@@ -306,4 +306,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(plan, "Exchange hashpartitioning") <= 1,
       s"extraction shuffled:\n$plan")
   }
+
+  test("t27 weighted sample: key projection is narrow, top-k never global-sorts") {
+    val plan = executed(SparkEntry.queries("t27_weighted_sample")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-Res top-k became a global sort:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") == 0,
+      s"key computation must not shuffle:\n$plan")
+  }
+
+  test("q32 gap fill: grid join and fill window share the key partitioning") {
+    val plan = executed(SparkEntry.queries("q32_gapfill")(spark, sf0001))
+    // per-hour survivor + bounds agg + grid join + fill window all hash on
+    // the series key; nothing explodes into a nested-loop join
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_max"),
+      s"per-key bounds not partial-aggregated:\n$plan")
+  }
+
+  test("q33 rolling z-score: one window pass computes all three frame aggregates") {
+    val plan = executed(SparkEntry.queries("q33_rolling_zscore")(spark, sf0001))
+    assert(countOf(plan, "Window") == 1,
+      s"frame aggregates split into multiple window passes:\n$plan")
+  }
+
+  test("sim10 MMR rounds join broadcast-selected sets — the corpus never sort-merges") {
+    val plan = executed(SparkEntry.queries("sim10_mmr")(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"),
+      s"selected-set join fell back to sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in MMR scoring:\n$plan")
+  }
 }
