@@ -1037,6 +1037,20 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"), col("key_micro"))
       .orderBy(col("key_micro").desc, col("doc_id"))
 
+  /** Train/val token-distribution drift ([[ops.Curation.tokenKlDrift]],
+    * top 20): the t4 hash split's 80% bucket as reference, 20% as
+    * current — per-token smoothed-KL contributions in integer micro-nats
+    * plus the order-free total. The oracle rebuilds the split, both
+    * count tables, and every factor-wise double in the same operation
+    * order.
+    */
+  private def t29KlDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val b = ops.Sampling.hashBucket(col("doc_id"), 100)
+    ops.Curation.tokenKlDrift(d.filter(b < 80), d.filter(b >= 80), "text", 20)
+      .orderBy(abs(col("contrib_micro")).desc, col("t"))
+  }
+
   /** Interpolated bigram-LM surprisal ([[ops.Curation.bigramSurprisal]],
     * λ = 0.7): per-doc mean −ln p(w_i|w_{i−1}) — the LM-quality filter
     * one rung above t14's unigram. The oracle replays vocabulary, bigram
@@ -1444,6 +1458,23 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** LPA community detection ([[ops.Graph.labelPropagation]], 3 rounds)
+    * over a deterministic block-star graph on doc-id shards: stars of 10
+    * around each block head plus sparse bridges every 60 shards — blocks
+    * must agree on one label, bridges must NOT merge dense blocks. The
+    * oracle unrolls the same three synchronous rounds
+    * ([[lpaRoundSql]]).
+    */
+  private def g3Communities(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 300
+    val star = Tables.documents(s, dir)
+      .select(shard.as("src"), (shard - shard % 10).as("dst"))
+    val bridge = Tables.documents(s, dir).filter(shard % 60 === 0)
+      .select(shard.as("src"), ((shard + 17) % 300).as("dst"))
+    ops.Graph.labelPropagation(star.unionByName(bridge), "src", "dst", 3)
+      .orderBy("node_id")
+  }
+
   /** Per-node triangle counts ([[ops.Graph.triangleCounts]]) over a shard
     * graph with guaranteed closure (each shard links to +1, +2, and an
     * arithmetic long-range neighbor — every consecutive triple closes a
@@ -1465,6 +1496,16 @@ object SparkEntry {
     */
   private def d2JaccardPairs(s: SparkSession, dir: String): DataFrame =
     ops.Dedup.jaccardDupPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
+      .orderBy("id1", "id2")
+
+  /** Prefix-filtered exact Jaccard ([[ops.Dedup.prefixJaccardPairs]],
+    * same 3-gram/0.5 contract as d2): PPJoin-style candidate generation
+    * through the rarest-shingle prefix. The filter is LOSSLESS, so the
+    * oracle is d2's all-pairs SQL verbatim — identical answer, scalable
+    * candidate set.
+    */
+  private def d19PrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
       .orderBy("id1", "id2")
 
   private val MinhashK = 12
@@ -2357,7 +2398,10 @@ object SparkEntry {
     "q32_gapfill" -> q32Gapfill _,
     "q33_rolling_zscore" -> q33RollingZscore _,
     "t27_weighted_sample" -> t27WeightedSample _,
+    "t29_kl_drift" -> t29KlDrift _,
     "sim10_mmr" -> sim10Mmr _,
+    "g3_communities" -> g3Communities _,
+    "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
@@ -2583,6 +2627,18 @@ object SparkEntry {
   private val embNormSql: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** One synchronous LPA round as a CTE pair: tally the previous round's
+    * labels over the undirected+self-loop edge frame `e`, then the
+    * `(count DESC, label ASC)` argmax — mirror of one
+    * [[ops.Graph.labelPropagation]] iteration.
+    */
+  private def lpaRoundSql(r: Int): String =
+    s"""t$r AS (SELECT e.v AS id, l.label, count(*) AS c
+       |        FROM e JOIN l${r - 1} l ON e.u = l.id GROUP BY e.v, l.label),
+       |l$r AS (SELECT id, label FROM (
+       |        SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+       |        FROM t$r) WHERE rn = 1)""".stripMargin
 
   /** DuckDB cosine between two rows of the `n` CTE (aliases nq/nc),
     * 6-decimal rounded — mirror of [[graft.functions.VectorFunctions.cosine]]
@@ -3584,6 +3640,34 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, n_chars, key_micro FROM s
         |ORDER BY key_micro DESC, doc_id LIMIT 25""".stripMargin,
+    // the t4 hash split re-derived; p, q, and the ln argument assembled
+    // factor-wise in doubles (never an integer cross-product — overflow);
+    // contributions in integer micro-nats, total an order-free LONG sum
+    "t29_kl_drift" ->
+      s"""WITH b AS (SELECT text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        |  FROM documents),
+        |tr AS (SELECT unnest(${toksSql("text")}) AS t FROM b WHERE bkt < 80),
+        |tc AS (SELECT unnest(${toksSql("text")}) AS t FROM b WHERE bkt >= 80),
+        |cr AS (SELECT t, count(*) AS c FROM tr GROUP BY t),
+        |cc AS (SELECT t, count(*) AS c FROM tc GROUP BY t),
+        |vocab AS (SELECT COALESCE(cr.t, cc.t) AS t,
+        |            CAST(COALESCE(cr.c, 0) AS BIGINT) AS c_ref,
+        |            CAST(COALESCE(cc.c, 0) AS BIGINT) AS c_cur
+        |          FROM cr FULL OUTER JOIN cc ON cr.t = cc.t),
+        |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |               CAST(sum(c_cur) AS BIGINT) AS n_cur,
+        |               count(*) AS v FROM vocab),
+        |ctr AS (SELECT t, c_ref, c_cur,
+        |          CAST(round(
+        |            (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + v AS DOUBLE))
+        |            * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + v AS DOUBLE))
+        |                 / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + v AS DOUBLE)))
+        |            * 1000000, 0) AS BIGINT) AS contrib_micro
+        |        FROM vocab, tot),
+        |kl AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS kl_micro FROM ctr)
+        |SELECT t, c_ref, c_cur, contrib_micro, kl_micro FROM ctr, kl
+        |ORDER BY abs(contrib_micro) DESC, t LIMIT 20""".stripMargin,
     // JSONL round-trip must equal the direct aggregate (io1's oracle shape)
     "io10_jsonl" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -3671,6 +3755,24 @@ object SparkEntry {
         |${pageRankIterSql(3)}
         |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_nano
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // three synchronous LPA rounds unrolled (lpaRoundSql); the edge frame
+    // is the undirected dedup of the block-star graph plus one self-loop
+    // per node (the op's oscillation damping)
+    "g3_communities" ->
+      s"""WITH raw AS (
+        |  SELECT doc_id % 300 AS u, (doc_id % 300) - (doc_id % 300) % 10 AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 300, ((doc_id % 300) + 17) % 300 FROM documents
+        |  WHERE (doc_id % 300) % 60 = 0),
+        |ded AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+        |und AS (SELECT u, v FROM ded UNION SELECT v, u FROM ded),
+        |nodes AS (SELECT DISTINCT u AS id FROM und),
+        |e AS (SELECT u, v FROM und UNION ALL SELECT id, id FROM nodes),
+        |l0 AS (SELECT id, id AS label FROM nodes),
+        |${lpaRoundSql(1)},
+        |${lpaRoundSql(2)},
+        |${lpaRoundSql(3)}
+        |SELECT id AS node_id, label FROM l3 ORDER BY node_id""".stripMargin,
     // stepwise conditional mins: step i admits only events at/after the
     // user's step-(i-1) time; left joins preserve drop-offs
     "q28_funnel" ->
@@ -3730,6 +3832,14 @@ object SparkEntry {
         |SELECT k AS o_orderkey, status, price_cents FROM m
         |WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey""".stripMargin,
     "d2_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
+        |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // prefix filtering is LOSSLESS (pigeonhole on the required overlap),
+    // so the oracle is d2's exact all-pairs SQL — same answer by theorem
+    "d19_prefix_jaccard" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard
         |      FROM d a JOIN d b ON a.doc_id < b.doc_id

@@ -390,4 +390,56 @@ object Curation {
       round(when(nBigrams <= 0, lit(0.0))
         .otherwise(lit(1.0) - nDistinctBi.cast("double") / nBigrams), 6).as("dup_bigram_ratio"))
   }
+
+  /** Token-distribution drift between two corpora as smoothed KL
+    * divergence, decomposed per token — the distribution-shift monitor a
+    * training pipeline runs between train/validation splits, crawl
+    * snapshots, or mixture revisions. Per token over the UNION vocab
+    * (add-one smoothing keeps every term finite):
+    * `contrib(t) = p(t)·ln(p(t)/q(t))`, `p = (c_ref+1)/(N_ref+V)`,
+    * `q = (c_cur+1)/(N_cur+V)`; `KL = Σ contrib`. The top movers (by
+    * |contrib|) name WHAT drifted, the total says HOW MUCH.
+    *
+    * Engine parity: counts and the smoothing sums are exact LONGs, and
+    * every downstream double is assembled FACTOR-WISE —
+    * `p = (c_ref+1)/(N_ref+V)`, `q = (c_cur+1)/(N_cur+V)`, ln argument
+    * `p/q` — never as an integer cross-product (the
+    * `(c_ref+1)·(N_cur+V)` form overflows 2^63 once corpora pass ~10⁹
+    * tokens; each individual factor stays < 2^53, so the divisions are
+    * IEEE-exact in both engines — the [[pmiCollocations]] overflow
+    * lesson applied from the start). Contributions are quantized to
+    * integer micro-nats (`round(p·ln(p/q)·10⁶)` — the
+    * [[unigramSurprisal]] rule), and the total KL is an order-free LONG
+    * sum of those micro-units, identical under any partitioning.
+    *
+    * Scale shape: two token-count aggregations (map-side partial), one
+    * full-outer vocab join keyed on token, scalar totals broadcast, and
+    * a `TakeOrderedAndProject` top-k. The vocab join is token-keyed —
+    * Zipf heads are ONE ROW each here (counts, not occurrences), so no
+    * skew.
+    */
+  def tokenKlDrift(ref: DataFrame, cur: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    def counts(df: DataFrame) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+    val cr = counts(ref)
+    val cc = counts(cur)
+    val vocab = cr.select(col("t"), col("c").as("c_ref"))
+      .join(cc.select(col("t"), col("c").as("c_cur")), Seq("t"), "full_outer")
+      .select(col("t"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val totals = vocab.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"), count(lit(1)).as("v"))
+    val p = (col("c_ref") + 1).cast("double") / (col("n_ref") + col("v")).cast("double")
+    val q = (col("c_cur") + 1).cast("double") / (col("n_cur") + col("v")).cast("double")
+    val contrib = vocab.crossJoin(broadcast(totals))
+      .select(col("t"), col("c_ref"), col("c_cur"),
+        round(p * log(p / q) * 1e6, 0).cast("long").as("contrib_micro"))
+    val klTotal = contrib.agg(sum(col("contrib_micro")).as("kl_micro"))
+    contrib.crossJoin(broadcast(klTotal))
+      .orderBy(abs(col("contrib_micro")).desc, col("t"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -198,6 +199,65 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
       .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
+    * Xiao et al. 2011) — same answer as [[jaccardDupPairs]], different
+    * candidate generator: instead of joining on EVERY shared shingle
+    * (the all-pairs shape whose Zipf-head shingles each produce a
+    * quadratic bucket), documents meet only through their prefix — the
+    * `n − ⌈t·n⌉ + 1` globally RAREST shingles of each document. Two
+    * documents with Jaccard ≥ t must share at least one prefix shingle
+    * (pigeonhole on the ⌈t·n⌉ overlap they need), so the filter is
+    * LOSSLESS — which is why the gate can hold this op to the all-pairs
+    * oracle, not a recall target. Head shingles ("the quick") sit at the
+    * END of the frequency order and never enter a prefix, so the
+    * candidate join's buckets are rare-shingle-sized — this is the
+    * all-pairs scale fix when LSH's probabilistic recall
+    * ([[minhashDupPairs]]) isn't acceptable.
+    *
+    * Candidate-side size filter (`t·n1 ≤ n2 ∧ t·n2 ≤ n1`) prunes pairs
+    * whose lengths already cap Jaccard below t; both filters only shrink
+    * the VERIFY set — every surviving candidate is exactly verified on
+    * its own shingle arrays (`array_intersect`, per-pair work bounded by
+    * document length, no global re-join).
+    *
+    * Shuffles: shingle-frequency count, per-doc rank window (partitioned
+    * by doc — bounded by document length), prefix equi-join, and the
+    * pair distinct. All keyed, all skew-safe by the rarity argument.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val withSh = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"),
+        call_function("word_shingles", col(textCol), lit(n)).as("sh"))
+    val ex = withSh.select(col("id"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+    val rankW = Window.partitionBy("id").orderBy(col("df_s"), col("s"))
+    val sized = ex.join(freq, "s")
+      .withColumn("pos", row_number().over(rankW))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = sized
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("s"), col("n_sh"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          lit(threshold) * col("a.n_sh") <= col("b.n_sh") &&
+          lit(threshold) * col("b.n_sh") <= col("a.n_sh"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cands
+      .join(withSh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(withSh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("c"),
+        size(col("sh1")).cast("long").as("n1"), size(col("sh2")).cast("long").as("n2"))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -113,4 +113,60 @@ object Graph {
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node_id"))
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label-propagation COMMUNITY detection, fixed round
+    * count — the near-linear community pass (Raghavan et al. 2007) a
+    * crawl-graph pipeline runs where connected components
+    * ([[Dedup.dupClusters]]) is too coarse: each round every node adopts
+    * the most frequent label among its neighbors, so dense blocks agree
+    * on one label while bridge edges can't flip whole communities.
+    *
+    * Raw LPA is schedule-dependent; this one is deterministic by
+    * construction: rounds are fully synchronous (labels update from the
+    * previous round's frame only), the winning label is
+    * `(count DESC, label ASC)` — no RNG tie-break — and the round count
+    * is fixed, so the whole run unrolls into plain SQL (the same
+    * replayability contract as [[pageRank]]). Every node tallies its own
+    * current label once (a self-loop added to the edge frame): the
+    * standard damping that stops the bipartite oscillation synchronous
+    * LPA exhibits on stars, and what lets hub labels stabilize after one
+    * round instead of flip-flopping with their leaves.
+    *
+    * Scale shape mirrors [[pageRank]]: the (undirected, deduped) edge
+    * list persists once; each round shuffles only the 2-long label
+    * frame, the per-(node, label) tally combines map-side, the argmax is
+    * a partial-aggregable `min(struct)` — never a window sort — and
+    * `localCheckpoint` truncates the per-round lineage.
+    *
+    * @return (node_id, label) after `rounds` rounds; labels are node ids
+    *         (a community is named after one of its members).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val undirected = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val nodes = undirected.select(col("u").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // self-loops are disjoint from the u =!= v edges — no re-distinct
+    val e = undirected
+      .union(nodes.select(col("id").as("u"), col("id").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var it = 0
+    while (it < rounds) {
+      val tally = e.join(labels, col("u") === col("id"))
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("c"))
+      val winner = tally
+        .select(col("v"), struct((-col("c")).as("nc"), col("label")).as("cand"))
+        .groupBy("v").agg(min(col("cand")).as("best"))
+        .select(col("v").as("id"), col("best.label").as("label"))
+      labels = if ((it + 1) % checkpointEvery == 0) winner.localCheckpoint() else winner
+      it += 1
+    }
+    labels.select(col("id").as("node_id"), col("label"))
+  }
 }

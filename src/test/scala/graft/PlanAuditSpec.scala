@@ -331,6 +331,36 @@ class PlanAuditSpec extends SparkSpec {
       s"frame aggregates split into multiple window passes:\n$plan")
   }
 
+  test("g3 LPA rounds: keyed equi-joins, partial-aggregable tally and argmax") {
+    // the gated query localCheckpoints each round (its executed plan is a
+    // checkpoint scan); lock the ROUND plan by disabling truncation
+    val shard = col("doc_id") % 300
+    val edges = Tables.documents(spark, sf0001)
+      .select(shard.as("src"), (shard - shard % 10).as("dst"))
+    val df = graft.ops.Graph.labelPropagation(edges, "src", "dst",
+      rounds = 2, checkpointEvery = Int.MaxValue)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in LPA round:\n$plan")
+    assert(plan.contains("partial_count") && plan.contains("partial_min"),
+      s"tally/argmax not map-side combined:\n$plan")
+  }
+
+  test("d19 prefix filter: candidates meet on the prefix-shingle equi-key only") {
+    val plan = executed(SparkEntry.queries("d19_prefix_jaccard")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degenerated:\n$plan")
+  }
+
+  test("t29 KL drift: scalar totals broadcast; top-k is TakeOrderedAndProject") {
+    val plan = executed(SparkEntry.queries("t29_kl_drift")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top movers became a global sort:\n$plan")
+    assert(countOf(plan, "BroadcastExchange") >= 2,
+      s"totals/kl scalars not broadcast:\n$plan")
+  }
+
   test("sim10 MMR rounds join broadcast-selected sets — the corpus never sort-merges") {
     val plan = executed(SparkEntry.queries("sim10_mmr")(spark, sf0001))
     assert(!plan.contains("SortMergeJoin"),

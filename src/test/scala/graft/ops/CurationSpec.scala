@@ -260,4 +260,36 @@ class CurationSpec extends SparkSpec {
       dim = 16, iters = 5, lr = 1.0)
     assert(wm.toSeq == wm2.toSeq)
   }
+
+  test("tokenKlDrift: identical corpora score zero everywhere") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val r = Curation.tokenKlDrift(d, d, "text", 10).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("contrib_micro") == 0L))
+    assert(r.forall(_.getAs[Long]("kl_micro") == 0L))
+  }
+
+  test("tokenKlDrift: the over-represented reference token tops the movers") {
+    import spark.implicits._
+    val ref = Seq((1L, "drift drift drift drift drift common common"),
+      (2L, "drift drift drift drift common")).toDF("doc_id", "text")
+    val cur = Seq((3L, "common common common stable"),
+      (4L, "common stable stable")).toDF("doc_id", "text")
+    val rows = Curation.tokenKlDrift(ref, cur, "text", 10).collect()
+    // 'drift' is 9/12 of ref mass and absent from cur: largest |contrib|,
+    // positive direction (p >> q)
+    assert(rows.head.getAs[String]("t") == "drift")
+    assert(rows.head.getAs[Long]("contrib_micro") > 0)
+    // total KL is the sum of the per-token contributions (order-free LONGs)
+    val total = rows.head.getAs[Long]("kl_micro")
+    assert(total == rows.map(_.getAs[Long]("contrib_micro")).sum,
+      "kl_micro must equal the contribution sum when k covers the vocab")
+    // partitioning invariance of the quantized contributions
+    val again = Curation.tokenKlDrift(ref.repartition(5), cur.repartition(3),
+      "text", 10).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(3))).toSeq ==
+      rows.map(r => (r.getString(0), r.getLong(3))).toSeq)
+  }
 }

@@ -118,4 +118,37 @@ class GraphCdcSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 2L)))
   }
+
+  test("labelPropagation: dense blocks keep distinct labels across a bridge") {
+    // two triangles {0,1,2} and {3,4,5} joined by the single edge 2-3:
+    // each triangle's majority must win; the bridge must not merge them
+    val e = edges(0L -> 1L, 1L -> 2L, 0L -> 2L, 3L -> 4L, 4L -> 5L, 3L -> 5L, 2L -> 3L)
+    val r = Graph.labelPropagation(e, "src", "dst", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(r(_) == 0L), r)
+    assert(Seq(3L, 4L, 5L).forall(r(_) == 3L), r)
+  }
+
+  test("labelPropagation: a star converges to the min member, no oscillation") {
+    val star = edges(1L -> 9L, 2L -> 9L, 3L -> 9L)
+    // round 1: each leaf ties {hub, self} and keeps its min; the hub ties
+    // across all leaves and adopts 1
+    val r1 = Graph.labelPropagation(star, "src", "dst", 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 9L -> 1L), r1)
+    // round 2: leaves follow the hub's label; everyone stays at 1 after —
+    // the self-loop tally is what stops the classic hub<->leaf flip-flop
+    for (rounds <- 2 to 4) {
+      val r = Graph.labelPropagation(star, "src", "dst", rounds)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L), s"rounds=$rounds: $r")
+    }
+  }
+
+  test("labelPropagation is partitioning-invariant") {
+    val e = edges((0L until 40L).map(i => i -> (i - i % 5)): _*)
+    val a = Graph.labelPropagation(e, "src", "dst", 3).collect().toSet
+    val b = Graph.labelPropagation(e.repartition(7), "src", "dst", 3).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }

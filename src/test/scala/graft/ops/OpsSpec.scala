@@ -104,6 +104,26 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Double]("jaccard") > 0.6)
   }
 
+  test("prefixJaccardPairs == jaccardDupPairs (lossless filter) on varied docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = docs(
+      (1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, "completely different words in this one nothing shared at all here"),
+      (4L, base), // exact duplicate of 1
+      (5L, "the quick brown fox sentence shares a few shingles with the base"),
+      (6L, "another unrelated document that talks about sampling and windows"))
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("jaccard"))).toSet
+    val exact = pairs(Dedup.jaccardDupPairs(corpus, "text", "doc_id", 3, 0.5))
+    val pref = pairs(Dedup.prefixJaccardPairs(corpus, "text", "doc_id", 3, 0.5))
+    assert(pref == exact && exact.nonEmpty, s"prefix=$pref exact=$exact")
+    // and at a lower threshold (longer prefixes, more candidates)
+    val exactLo = pairs(Dedup.jaccardDupPairs(corpus, "text", "doc_id", 3, 0.2))
+    val prefLo = pairs(Dedup.prefixJaccardPairs(corpus, "text", "doc_id", 3, 0.2))
+    assert(prefLo == exactLo, s"prefix=$prefLo exact=$exactLo")
+  }
+
   test("minhash LSH candidates include exact duplicates (identical signatures)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val r = Dedup.minhashDupPairs(docs((1L, base), (2L, base), (3L, "unrelated text entirely about other things completely")),
