@@ -276,6 +276,22 @@ object SparkEntry {
         col("value"), col("zscore"))
       .orderBy("user_id", "event_id")
 
+  /** Explicit GROUPING SETS through the gate — the asymmetric lattice
+    * neither q19's ROLLUP nor q30's CUBE can express: `(type, weekday)`,
+    * `(type)`, and the grand total, but NOT `(weekday)` alone. Still one
+    * Expand pass in Catalyst.
+    */
+  private def q34GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        ((unix_timestamp(col("ts")) / 86400L).cast("long") % 7).as("weekday"))
+    e.groupingSets(
+        Seq(Seq(col("event_type"), col("weekday")), Seq(col("event_type")), Seq()),
+        col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("event_type"), col("weekday"))
+  }
+
   /** Pivot / crosstab through the gate: per-user event-type counts as
     * columns (`df.groupBy(...).pivot(...)` — Catalyst turns it into one
     * aggregate with CASE-guarded partials, no per-column pass). The
@@ -1050,6 +1066,26 @@ object SparkEntry {
     ops.Curation.tokenKlDrift(d.filter(b < 80), d.filter(b >= 80), "text", 20)
       .orderBy(abs(col("contrib_micro")).desc, col("t"))
   }
+
+  /** Cross-group vocabulary overlap ([[ops.Curation.vocabOverlap]]) over
+    * the language column: exact token-set Jaccard + containment for all
+    * 10 language pairs — the oracle recomputes the distinct sets and
+    * both exact ratios.
+    */
+  private def t30VocabOverlap(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.vocabOverlap(Tables.documents(s, dir), "lang", "text")
+      .select(col("g1").as("lang1"), col("g2").as("lang2"),
+        col("v1"), col("v2"), col("inter"), col("jaccard"), col("containment"))
+      .orderBy("lang1", "lang2")
+
+  /** Per-document character entropy ([[ops.Curation.charEntropy]]) — the
+    * degenerate-text screen in integer micro-nats; the oracle replays
+    * every per-character term with the same quantize-then-sum order.
+    */
+  private def t31CharEntropy(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.charEntropy(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_chars_counted"), col("entropy_micro"))
+      .orderBy("doc_id")
 
   /** Interpolated bigram-LM surprisal ([[ops.Curation.bigramSurprisal]],
     * λ = 0.7): per-doc mean −ln p(w_i|w_{i−1}) — the LM-quality filter
@@ -2399,6 +2435,9 @@ object SparkEntry {
     "q33_rolling_zscore" -> q33RollingZscore _,
     "t27_weighted_sample" -> t27WeightedSample _,
     "t29_kl_drift" -> t29KlDrift _,
+    "t30_vocab_overlap" -> t30VocabOverlap _,
+    "t31_char_entropy" -> t31CharEntropy _,
+    "q34_grouping_sets" -> q34GroupingSets _,
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
@@ -3668,6 +3707,34 @@ object SparkEntry {
         |kl AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS kl_micro FROM ctr)
         |SELECT t, c_ref, c_cur, contrib_micro, kl_micro FROM ctr, kl
         |ORDER BY abs(contrib_micro) DESC, t LIMIT 20""".stripMargin,
+    // exact distinct-(group, token) sets; both ratios are divisions of
+    // exact integers — IEEE-identical across engines, no rounding needed
+    "t30_vocab_overlap" ->
+      s"""WITH tok AS (SELECT DISTINCT lang AS g, unnest(${toksSql("text")}) AS t FROM documents),
+        |s AS (SELECT g, count(*) AS nv FROM tok GROUP BY g),
+        |i AS (SELECT a.g AS g1, b.g AS g2, count(*) AS inter
+        |      FROM tok a JOIN tok b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2)
+        |SELECT g1 AS lang1, g2 AS lang2, s1.nv AS v1, s2.nv AS v2,
+        |  CAST(i.inter AS BIGINT) AS inter,
+        |  CAST(i.inter AS DOUBLE) / (s1.nv + s2.nv - i.inter) AS jaccard,
+        |  CAST(i.inter AS DOUBLE) / least(s1.nv, s2.nv) AS containment
+        |FROM i JOIN s s1 ON i.g1 = s1.g JOIN s s2 ON i.g2 = s2.g
+        |ORDER BY lang1, lang2""".stripMargin,
+    // per-character terms quantized to micro-nats BEFORE the per-doc sum
+    // (order-free LONG total), c/n formed as one exact-long division
+    "t31_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE length(ch) = 1
+        |      GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id),
+        |t AS (SELECT c.doc_id, n.n,
+        |        CAST(round(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |          * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 1000000, 0)
+        |          AS BIGINT) AS term
+        |      FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, max(n) AS n_chars_counted,
+        |  CAST(sum(term) AS BIGINT) AS entropy_micro
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // JSONL round-trip must equal the direct aggregate (io1's oracle shape)
     "io10_jsonl" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -3685,6 +3752,14 @@ object SparkEntry {
         |SELECT event_type, weekday, count(*) AS n,
         | CAST(GROUPING(event_type, weekday) AS BIGINT) AS gid
         |FROM e GROUP BY CUBE (event_type, weekday)
+        |ORDER BY gid, event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
+    // asymmetric lattice — (type, weekday), (type), (); NOT (weekday)
+    "q34_grouping_sets" ->
+      """WITH e AS (SELECT event_type,
+        |        (epoch_ns(ts) // 1000000000 // 86400) % 7 AS weekday FROM events)
+        |SELECT event_type, weekday, count(*) AS n,
+        | CAST(GROUPING(event_type, weekday) AS BIGINT) AS gid
+        |FROM e GROUP BY GROUPING SETS ((event_type, weekday), (event_type), ())
         |ORDER BY gid, event_type NULLS FIRST, weekday NULLS FIRST""".stripMargin,
     // rank-family windows over the same total (ts_us, event_id) order
     "q31_window_family" ->

@@ -442,4 +442,65 @@ object Curation {
       .orderBy(abs(col("contrib_micro")).desc, col("t"))
       .limit(k)
   }
+
+  /** Per-document character-distribution Shannon entropy — the cheap
+    * degenerate-text screen below even [[repetitionStats]]: binary
+    * junk/mojibake scores high, single-character spam scores ~0, natural
+    * language sits in a narrow band (≈ 2.8–3.2 nats for English), so
+    * both tails are filterable. `H = −Σ (c/n)·ln(c/n)` over the doc's
+    * character counts.
+    *
+    * Parity: each term is quantized to integer micro-nats BEFORE the
+    * per-doc sum ([[unigramSurprisal]]'s rule — the sum is then
+    * order-free LONG arithmetic), with `c/n` formed as one double
+    * division of exact longs. Two shuffles, both partial-aggregable:
+    * (doc, char) counts, then the per-doc term sum; the totals join is
+    * co-partitioned with the counts by the doc key.
+    */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ch = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) === 1) // empty-text artifact guard
+    val counts = ch.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("id").agg(sum(col("c")).as("n"))
+    val frac = col("c").cast("double") / col("n").cast("double")
+    counts.join(totals, "id")
+      .select(col("id"), col("n"),
+        round(-frac * log(frac) * 1e6, 0).cast("long").as("term"))
+      .groupBy("id")
+      .agg(max(col("n")).as("n_chars_counted"),
+        sum(col("term")).as("entropy_micro"))
+  }
+
+  /** Pairwise VOCABULARY overlap between corpus groups (languages,
+    * sources, crawl snapshots): exact token-set Jaccard and containment
+    * for every group pair — the dataset-level diagnostic that catches a
+    * mislabeled source or a cross-lingual contamination path before
+    * per-document dedup ever runs.
+    *
+    * Scale shape: the token frame is DISTINCT (group, token) — Zipf
+    * heads collapse to ≤ |groups| rows per token, so the pair join's
+    * per-key fan-out is bounded by the group count squared, never by
+    * corpus frequency. One distinct, one self-join on token, one
+    * partial-aggregable pair count. Pairs with empty intersection are
+    * absent (inner join) — at |groups| ≤ thousands the dense completion
+    * is a driver-side concern, not an engine one.
+    */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("g"),
+      explode(TextFunctions.tokens(col(textCol))).as("t")).distinct()
+    val sizes = tok.groupBy("g").agg(count(lit(1)).as("nv"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("g").as("g1"), col("nv").as("v1")), "g1")
+      .join(sizes.select(col("g").as("g2"), col("nv").as("v2")), "g2")
+      .select(col("g1"), col("g2"), col("v1"), col("v2"), col("inter"),
+        (col("inter").cast("double") / (col("v1") + col("v2") - col("inter")))
+          .as("jaccard"),
+        (col("inter").cast("double") / least(col("v1"), col("v2")))
+          .as("containment"))
+  }
 }

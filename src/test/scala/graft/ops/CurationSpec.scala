@@ -261,6 +261,35 @@ class CurationSpec extends SparkSpec {
     assert(wm.toSeq == wm2.toSeq)
   }
 
+  test("charEntropy: uniform text maxes, single-char text zeroes, exact terms") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val r = Curation.charEntropy(df, "text", "doc_id").orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r(0) == ((1L, 4L, 0L)))               // one symbol: H = 0
+    // two symbols at 1/2 each: 2 * round(0.5*ln2*1e6) = 2*346574
+    assert(r(1) == ((2L, 4L, 693148L)))
+    // four at 1/4: 4 * round(0.25*ln4*1e6) = 4*346574
+    assert(r(2) == ((3L, 4L, 1386296L)))
+  }
+
+  test("vocabOverlap: exact set ratios; zero-overlap pairs absent") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "alpha beta gamma"), ("en", "alpha delta"),
+      ("de", "alpha beta zeta"), ("zz", "nothing shared here"))
+      .toDF("lang", "text")
+    val r = Curation.vocabOverlap(df, "lang", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val de_en = r(("de", "en"))
+    // en vocab {alpha,beta,gamma,delta}=4, de {alpha,beta,zeta}=3, inter 2
+    assert(de_en.getAs[Long]("v2") == 4L && de_en.getAs[Long]("v1") == 3L)
+    assert(de_en.getAs[Long]("inter") == 2L)
+    assert(de_en.getAs[Double]("jaccard") == 2.0 / 5.0)
+    assert(de_en.getAs[Double]("containment") == 2.0 / 3.0)
+    assert(!r.contains(("de", "zz")) && !r.contains(("en", "zz")))
+  }
+
   test("tokenKlDrift: identical corpora score zero everywhere") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
