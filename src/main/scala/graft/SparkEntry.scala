@@ -2100,6 +2100,18 @@ object SparkEntry {
         ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** Video fingerprint through the REAL codec ([[ops.Multimodal
+    * .videoDhash]]): every frame of the generated GIFs decoded and
+    * dHashed — the oracle replays all 72 sampled grays and 64
+    * comparisons per frame from the generation arithmetic
+    * `v = (id + 31x + 131y + 997f) % 256` (gray = v on the opaque
+    * (v,v,v) palette).
+    */
+  private def m12VideoDhash(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.videoDhash(
+        ops.Multimodal.withGeneratedGif(Tables.documents(s, dir)))
+      .orderBy("doc_id", "frame_idx")
+
   /** Perceptual dHash through the REAL codec: generated PNGs decoded by
     * `ImageIO`, 9×8-gray downsampled, adjacent-pixel bits — the oracle
     * recomputes all 72 grays and 64 comparisons from the generation
@@ -2250,6 +2262,29 @@ object SparkEntry {
     Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").orc(path)
     s.read.orc(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** Dynamic partition overwrite — the lakehouse upsert-by-partition
+    * semantics (`partitionOverwriteMode=dynamic`): a full seed write
+    * plants a sentinel in every lang partition, then a second overwrite
+    * containing ONLY `lang=en` must replace that one partition and leave
+    * every other partition's files untouched. Static overwrite would
+    * truncate the whole table first (all non-en rows gone — the gate
+    * would catch it); dynamic deletes only partitions present in the
+    * incoming data. The oracle states the end state per partition.
+    */
+  private def io12DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "dyn_overwrite")
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+    docs.withColumn("n_chars", lit(-1L))
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    docs.filter(col("lang") === "en")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(path)
+    s.read.parquet(path)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
       .orderBy("lang")
@@ -2464,6 +2499,8 @@ object SparkEntry {
     "m9_dhash" -> m9Dhash _,
     "m10_audio_features" -> m10AudioFeatures _,
     "m11_histogram" -> m11Histogram _,
+    "m12_video_dhash" -> m12VideoDhash _,
+    "io12_dynamic_overwrite" -> io12DynamicOverwrite _,
     "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
     "io2_parquet_partitioned" -> io2ParquetPartitioned _,
@@ -4211,6 +4248,33 @@ object SparkEntry {
         |      WHERE a.x < 8)
         |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-frame dHash replayed: gray = (id + 31·sx + 131·sy + 997f) % 256
+    // on the opaque (v,v,v) palette; same 9x8 NN grid + adjacent compare
+    // as m9, with the frame dimension added
+    "m12_video_dhash" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 5 AS sw, 6 + doc_id % 3 AS sh,
+        |             2 + doc_id % 4 AS nf FROM documents),
+        |g AS (SELECT d.doc_id, gf.f, gy.y, gx.x,
+        |        ((d.doc_id + 31 * ((gx.x * d.sw) // 9) + 131 * ((gy.y * d.sh) // 8)
+        |          + 997 * gf.f) % 256) AS gray
+        |      FROM d, generate_series(0, 4) AS gf(f),
+        |           generate_series(0, 8) AS gx(x), generate_series(0, 7) AS gy(y)
+        |      WHERE gf.f < d.nf),
+        |b AS (SELECT a.doc_id, a.f, a.y, a.x,
+        |        CASE WHEN n.gray > a.gray THEN '1' ELSE '0' END AS bit
+        |      FROM g a JOIN g n ON n.doc_id = a.doc_id AND n.f = a.f
+        |        AND n.y = a.y AND n.x = a.x + 1
+        |      WHERE a.x < 8)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  string_agg(bit, '' ORDER BY y, x) AS dhash
+        |FROM b GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+    // dynamic overwrite end state: en rewritten with real values, every
+    // other partition keeps the seeded sentinel rows
+    "io12_dynamic_overwrite" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(CASE WHEN lang = 'en' THEN sum(n_chars)
+        |       ELSE -count(*) END AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // every pixel's gray + bin replayed from the generation arithmetic
     "m11_histogram" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),

@@ -479,35 +479,80 @@ object Multimodal {
         val src =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           catch { case scala.util.control.NonFatal(_) => null }
-        if (src == null) Row(id, null)
-        else {
-          val (sw, sh) = (src.getWidth, src.getHeight)
-          val gray = Array.ofDim[Int](8, 9)
-          var y = 0
-          while (y < 8) {
-            val sy = y * sh / 8
-            var x = 0
-            while (x < 9) {
-              val pix = src.getRGB(x * sw / 9, sy) & 0xffffff
-              gray(y)(x) = ((pix >> 16) + ((pix >> 8) & 0xff) + (pix & 0xff)) / 3
-              x += 1
-            }
-            y += 1
-          }
-          val sb = new java.lang.StringBuilder(64)
-          y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              sb.append(if (gray(y)(x + 1) > gray(y)(x)) '1' else '0')
-              x += 1
-            }
-            y += 1
-          }
-          Row(id, sb.toString)
-        }
+        if (src == null) Row(id, null) else Row(id, dhashOf(src))
       }
     }(RowEncoder.encoderFor(dhashSchema))
+  }
+
+  /** The 9×8 nearest-neighbor gray downsample + adjacent-pixel-compare
+    * core shared by [[dhashImage]] and [[videoDhash]]. */
+  private def dhashOf(src: java.awt.image.BufferedImage): String = {
+    val (sw, sh) = (src.getWidth, src.getHeight)
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      val sy = y * sh / 8
+      var x = 0
+      while (x < 9) {
+        val pix = src.getRGB(x * sw / 9, sy) & 0xffffff
+        gray(y)(x) = ((pix >> 16) + ((pix >> 8) & 0xff) + (pix & 0xff)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        sb.append(if (gray(y)(x + 1) > gray(y)(x)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  val videoDhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("dhash", StringType, nullable = true)))
+
+  /** Per-FRAME perceptual dHash over a real multi-frame decode — the
+    * video fingerprint: a clip's signature is its frame-hash sequence,
+    * and near-duplicate clips (re-encodes, crops, watermarks) collide
+    * frame-by-frame the way near-duplicate stills collide under
+    * [[dhashImage]]. Composes the [[frameSampleImage]] reader loop (real
+    * `ImageIO` multi-frame decode, lazy 1→N fan-out, one payload in
+    * memory at a time) with the [[dhashImage]] core per frame.
+    * Unreadable payloads emit one `frame_idx = −1` null-hash row.
+    */
+  def videoDhash(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Seq(Row(id, -1, null)) }
+          else {
+            val reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = (0 until n).map(i => Row(id, i, dhashOf(reader.read(i))))
+            reader.dispose()
+            iis.close()
+            out
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Seq(Row(id, -1, null))
+        }
+      }
+    }(RowEncoder.encoderFor(videoDhashSchema))
   }
 
   val histSchema: StructType = StructType(Seq(

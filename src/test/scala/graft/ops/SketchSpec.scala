@@ -94,6 +94,27 @@ class SketchSpec extends SparkSpec {
     assert(bad.getLong(1) == -1L)
   }
 
+  test("videoDhash: per-frame hashes match the generation arithmetic") {
+    import spark.implicits._
+    val df = Seq(3L, 10L).toDF("doc_id")
+    val out = Multimodal.videoDhash(Multimodal.withGeneratedGif(df))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    for (id <- Seq(3L, 10L)) {
+      val (sw, sh, nf) = ((6 + id % 5).toInt, (6 + id % 3).toInt, (2 + id % 4).toInt)
+      assert(out.keys.count(_._1 == id) == nf, s"doc $id frame count")
+      for (f <- 0 until nf) {
+        val gray = (y: Int, x: Int) =>
+          ((id + 31 * (x * sw / 9) + 131 * (y * sh / 8) + 997 * f) % 256).toInt
+        val expect = (for (y <- 0 until 8; x <- 0 until 8)
+          yield if (gray(y, x + 1) > gray(y, x)) '1' else '0').mkString
+        assert(out((id, f)) == expect, s"doc $id frame $f")
+      }
+    }
+    val bad = Multimodal.videoDhash(
+      Seq((5L, "junk".getBytes("UTF-8"))).toDF("doc_id", "media")).collect()(0)
+    assert(bad.getInt(1) == -1 && bad.isNullAt(2))
+  }
+
   test("dhashImage: unreadable payload yields NULL hash") {
     import spark.implicits._
     val junk = Seq((9L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "media")
