@@ -461,6 +461,32 @@ object SparkEntry {
       .orderBy("segment", "event_type")
   }
 
+  /** Hopping-window streaming aggregate ([[graft.streaming.EventsStream
+    * .hoppingAgg]]): 1-hour windows every 30 minutes through the real
+    * micro-batch engine — each event must land in exactly two windows;
+    * the oracle replays the duplication with the two half-hour-aligned
+    * starts per event.
+    */
+  private def q35StreamHopping(s: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_q35_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.hoppingAgg(
+          graft.streaming.EventsStream.readEvents(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    s.table(sink)
+      .select(col("win_start"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   private def q9StreamHourly(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q9_sink"
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
@@ -1544,6 +1570,15 @@ object SparkEntry {
     ops.Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
       .orderBy("id1", "id2")
 
+  /** Asymmetric containment pairs ([[ops.Dedup.containmentDupPairs]],
+    * 3-gram, 0.7): catches embedded/excerpted documents whose Jaccard
+    * stays low; the oracle recomputes `|A∩B| / min(|A|,|B|)` from the
+    * exact shingle sets.
+    */
+  private def d20Containment(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.containmentDupPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.7)
+      .orderBy("id1", "id2")
+
   private val MinhashK = 12
   private val MinhashR = 3
 
@@ -2476,6 +2511,8 @@ object SparkEntry {
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
+    "d20_containment" -> d20Containment _,
+    "q35_stream_hopping" -> q35StreamHopping _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
     "d11_dup_clusters_star" -> d11DupClustersStar _,
@@ -2793,6 +2830,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event duplicated into its two half-hour-aligned 1h windows;
+    // window starts as epoch seconds (timestamp-output rule)
+    "q35_stream_hopping" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+        |        (epoch_ns(ts)//1000000000 // 1800) * 1800 AS w0 FROM events),
+        |x AS (SELECT w0 AS win_start, event_type, cents FROM e
+        |      UNION ALL
+        |      SELECT w0 - 1800, event_type, cents FROM e)
+        |SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(cents) AS DOUBLE)/100.0 AS total_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // lag + cumulative-sum sessionization; us = Spark's micros timestamps
     // (nanos//1000 — no event has sub-micro precision), gap compare in
     // whole seconds mirroring unix_timestamp
@@ -3957,6 +4007,17 @@ object SparkEntry {
         |      FROM d a JOIN d b ON a.doc_id < b.doc_id
         |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
         |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // asymmetric containment over the same exact shingle sets
+    "d20_containment" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        CAST(len(a.sh) AS BIGINT) AS n1, CAST(len(b.sh) AS BIGINT) AS n2,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / least(len(a.sh), len(b.sh)) AS containment
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
+        |SELECT id1, id2, n1, n2, containment FROM p
+        |WHERE containment >= 0.7 ORDER BY id1, id2""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH d0 AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |d AS (SELECT doc_id, sh, $baseHashSql AS hs FROM d0),

@@ -204,6 +204,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: `c / min(|A|, |B|)` — the
+    * small-document-inside-big-document case Jaccard structurally
+    * misses (a 40-shingle doc fully embedded in a 4000-shingle doc has
+    * Jaccard ≈ 0.01 but containment 1.0 — quote farms, boilerplate
+    * wrappers, excerpt pages). Same shared-shingle counting shape as
+    * [[jaccardDupPairs]] (this is the exact baseline; [[winnowDupPairs]]
+    * is the sketch-based scale path for the same partial-overlap
+    * geometry, and the d14 span recovery names the overlap itself).
+    */
+  def containmentDupPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val ex = explodedShingles(df, textCol, idCol, n)
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n_sh").as("n1")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        (col("c").cast("double") / least(col("n1"), col("n2"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
     * Xiao et al. 2011) — same answer as [[jaccardDupPairs]], different
     * candidate generator: instead of joining on EVERY shared shingle

@@ -51,6 +51,23 @@ object EventsStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), (col("tv_cents").cast("double") / lit(100d)).as("total_value"))
 
+  /** HOPPING (sliding) windows — 1-hour windows advancing every 30
+    * minutes, so each event lands in exactly two overlapping windows:
+    * the smoothing aggregation tumbling windows can't express (a spike
+    * at :29 splits across tumbling buckets; the hop sees it whole).
+    * Same watermark/state discipline as [[hourlyAgg]]; state size is
+    * windows×types, 2× tumbling for the same horizon. Window starts are
+    * emitted as epoch SECONDS (the engine-wide timestamp-output rule).
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("tv_cents"))
+      .select(unix_timestamp(col("window.start")).as("win_start"), col("event_type"),
+        col("n_events"), (col("tv_cents").cast("double") / lit(100d)).as("total_value"))
+
   /** Stream-STATIC enrichment join + running aggregate: the stream joins
     * a static dimension frame (customer → market segment) and totals per
     * (segment, event_type) — the standard "enrich events with reference

@@ -104,6 +104,20 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Double]("jaccard") > 0.6)
   }
 
+  test("containmentDupPairs catches an embedded doc that Jaccard misses") {
+    val big = (1 to 40).map(i => s"word$i").mkString(" ")
+    val small = (10 to 16).map(i => s"word$i").mkString(" ") // fully inside big
+    val corpus = docs((1L, big), (2L, small),
+      (3L, "entirely different content with nothing shared at all in it"))
+    val cont = Dedup.containmentDupPairs(corpus, "text", "doc_id", 3, 0.9).collect()
+    assert(cont.length == 1)
+    assert(cont(0).getAs[Long]("id1") == 1L && cont(0).getAs[Long]("id2") == 2L)
+    assert(cont(0).getAs[Double]("containment") == 1.0) // all 5 trigram shingles shared
+    // the same pair is invisible to Jaccard at any useful threshold
+    val jac = Dedup.jaccardDupPairs(corpus, "text", "doc_id", 3, 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("prefixJaccardPairs == jaccardDupPairs (lossless filter) on varied docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = docs(

@@ -23,6 +23,26 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  test("streaming hopping agg: every event lands in exactly two windows") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.hoppingAgg(EventsStream.readEvents(spark, sf0001)), "hopping_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    // batch mirror: duplicate each event into its two half-hour starts
+    val e = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("cents"),
+        (expr("unix_timestamp(ts) div 1800") * 1800).as("w0"))
+    val batch = e.select(col("w0").as("win_start"), col("event_type"), col("cents"))
+      .unionByName(e.select((col("w0") - 1800).as("win_start"), col("event_type"), col("cents")))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents")).cast("double") / lit(100d)).as("total_value"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // window-count invariant: sum of n_events = 2 × event count
+    val total = streamed.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 2 * Tables.events(spark, sf0001).count())
+  }
+
   test("sessionizedBatch assigns increasing session ids per user on gap") {
     import spark.implicits._
     val df = Seq(
