@@ -1093,6 +1093,16 @@ object SparkEntry {
       .orderBy(abs(col("contrib_micro")).desc, col("t"))
   }
 
+  /** Deterministic token dropout ([[ops.Curation.tokenDropout]], 10%):
+    * seed-free word-dropout augmentation — the oracle recomputes every
+    * (doc, pos) bucket and reassembles the surviving tokens with
+    * `string_agg ORDER BY pos`.
+    */
+  private def t32TokenDropout(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.tokenDropout(Tables.documents(s, dir), "text", "doc_id", 10)
+      .select(col("id").as("doc_id"), col("n_orig"), col("n_kept"), col("aug_text"))
+      .orderBy("doc_id")
+
   /** Cross-group vocabulary overlap ([[ops.Curation.vocabOverlap]]) over
     * the language column: exact token-set Jaccard + containment for all
     * 10 language pairs — the oracle recomputes the distinct sets and
@@ -2325,6 +2335,27 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Corrupt-file tolerance — a junk file planted among valid parquet
+    * parts must be SKIPPED, not fail the scan, under the per-read
+    * `ignoreCorruptFiles` option (per-read, not session conf: the conf
+    * would be restored before the lazy plan ever executes). The oracle
+    * is the clean-data aggregate — the read succeeding AND excluding
+    * the junk is exactly what's asserted. The production posture for
+    * 100 TB ingest where one bad object must not kill a 10-hour job.
+    */
+  private def io13CorruptFiles(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "corrupt_mix")
+    Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-99999-junk.parquet"),
+      "this is not a parquet file at all".getBytes("UTF-8"))
+    s.read.option("ignoreCorruptFiles", "true").parquet(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Compaction planning ([[ops.Layout.compactionBins]]) through the
     * gate: pseudo-file listing = one row per (lang, source) with its
     * total byte volume; bins target 20 kB. The oracle replays the
@@ -2507,7 +2538,9 @@ object SparkEntry {
     "t29_kl_drift" -> t29KlDrift _,
     "t30_vocab_overlap" -> t30VocabOverlap _,
     "t31_char_entropy" -> t31CharEntropy _,
+    "t32_token_dropout" -> t32TokenDropout _,
     "q34_grouping_sets" -> q34GroupingSets _,
+    "io13_corrupt_files" -> io13CorruptFiles _,
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
@@ -3807,6 +3840,24 @@ object SparkEntry {
         |  CAST(i.inter AS DOUBLE) / least(s1.nv, s2.nv) AS containment
         |FROM i JOIN s s1 ON i.g1 = s1.g JOIN s s2 ON i.g2 = s2.g
         |ORDER BY lang1, lang2""".stripMargin,
+    // every (doc, pos) survival bucket recomputed; reassembly via
+    // string_agg ORDER BY pos (posexplode is 0-based, subscripts 1-based)
+    "t32_token_dropout" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+        |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_orig,
+        |          unnest(toks) AS t, generate_subscripts(toks, 1) - 1 AS pos
+        |        FROM tk),
+        |k AS (SELECT doc_id, n_orig, pos, t,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |          CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM tok)
+        |SELECT doc_id, max(n_orig) AS n_orig, count(*) AS n_kept,
+        |  string_agg(t, ' ' ORDER BY pos) AS aug_text
+        |FROM k WHERE b >= 10 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the junk part file must be skipped: clean-data aggregate
+    "io13_corrupt_files" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // per-character terms quantized to micro-nats BEFORE the per-doc sum
     // (order-free LONG total), c/n formed as one exact-long division
     "t31_char_entropy" ->

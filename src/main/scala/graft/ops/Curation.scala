@@ -472,6 +472,33 @@ object Curation {
         sum(col("term")).as("entropy_micro"))
   }
 
+  /** Deterministic token-dropout augmentation — the word-dropout text
+    * augmentation of the robust-training literature, made seed-free:
+    * token (doc, pos) survives iff its md5 bucket ≥ `dropPct`, so the
+    * augmented corpus is a pure function of the input (regenerable,
+    * cacheable, identical across engines and runs — the [[Sampling
+    * .hashBucket]] philosophy applied inside documents instead of
+    * across them). Reassembly sorts `(pos, token)` structs per doc
+    * (`array_sort` over `collect_list` — arrival order is not
+    * deterministic, the sort is), one shuffle on the doc key.
+    */
+  def tokenDropout(df: DataFrame, textCol: String, idCol: String,
+      dropPct: Int): DataFrame = {
+    require(dropPct >= 0 && dropPct < 100, s"dropPct out of [0,100): $dropPct")
+    val tok = df.select(col(idCol).as("id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_orig"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+    val bucket = pmod(conv(substring(md5(concat_ws("#",
+        col("id").cast("string"), col("pos").cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+    tok.filter(bucket >= dropPct)
+      .groupBy("id", "n_orig")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          m => m.getField("t"))).as("aug_text"))
+  }
+
   /** Pairwise VOCABULARY overlap between corpus groups (languages,
     * sources, crawl snapshots): exact token-set Jaccard and containment
     * for every group pair — the dataset-level diagnostic that catches a

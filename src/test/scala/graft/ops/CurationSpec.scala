@@ -261,6 +261,32 @@ class CurationSpec extends SparkSpec {
     assert(wm.toSeq == wm2.toSeq)
   }
 
+  test("tokenDropout: deterministic, order-preserving, identity at 0%") {
+    import spark.implicits._
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val r = Curation.tokenDropout(df, "text", "doc_id", 10)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // same text, different ids -> different masks (position hash keys on id)
+    assert(r(1L).getAs[String]("aug_text") != r(2L).getAs[String]("aug_text"))
+    // ~10% dropped, never reordered
+    for (id <- Seq(1L, 2L)) {
+      val kept = r(id).getAs[Long]("n_kept")
+      assert(r(id).getAs[Long]("n_orig") == 200L)
+      assert(kept > 160 && kept < 200, s"doc $id kept $kept")
+      val toks = r(id).getAs[String]("aug_text").split(" ")
+      val idx = toks.map(_.drop(3).toInt)
+      assert(idx.sorted.sameElements(idx), "token order must be preserved")
+    }
+    // run-stability under repartitioning
+    val again = Curation.tokenDropout(df.repartition(7), "text", "doc_id", 10)
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("aug_text")).toMap
+    assert(again(1L) == r(1L).getAs[String]("aug_text"))
+    // 0% dropout is the identity
+    val id0 = Curation.tokenDropout(df, "text", "doc_id", 0).collect()
+    assert(id0.forall(_.getAs[String]("aug_text") == text))
+  }
+
   test("charEntropy: uniform text maxes, single-char text zeroes, exact terms") {
     import spark.implicits._
     val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
