@@ -361,6 +361,20 @@ class PlanAuditSpec extends SparkSpec {
       s"totals/kl scalars not broadcast:\n$plan")
   }
 
+  test("t32 token dropout: mask+reassembly is one doc-keyed shuffle") {
+    val plan = executed(SparkEntry.queries("t32_token_dropout")(spark, sf0001))
+    // posexplode + md5 mask are narrow; only the per-doc reassembly
+    // aggregation (plus the final presentation sort) may shuffle
+    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+      s"dropout mask shuffled:\n$plan")
+  }
+
+  test("d20 containment: shingle equi-join only, no nested loop") {
+    val plan = executed(SparkEntry.queries("d20_containment")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment join degenerated:\n$plan")
+  }
+
   test("sim10 MMR rounds join broadcast-selected sets — the corpus never sort-merges") {
     val plan = executed(SparkEntry.queries("sim10_mmr")(spark, sf0001))
     assert(!plan.contains("SortMergeJoin"),

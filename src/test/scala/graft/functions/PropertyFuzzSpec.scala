@@ -155,6 +155,27 @@ class PropertyFuzzSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs == jaccardDupPairs on random corpora (lossless fuzz)") {
+    import spark.implicits._
+    // small vocab + short docs force heavy shingle sharing — the regime
+    // where a broken prefix bound would actually drop true pairs
+    val docGen = Gen.listOfN(12, Gen.oneOf((0 until 8).map(i => s"w$i")))
+      .map(_.mkString(" "))
+    for (round <- 0 until 3) {
+      val texts = samples(docGen, 25)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(r: org.apache.spark.sql.DataFrame) = r.collect()
+        .map(x => (x.getAs[Long]("id1"), x.getAs[Long]("id2"),
+          x.getAs[Double]("jaccard"))).toSet
+      for (t <- Seq(0.3, 0.6)) {
+        val exact = pairs(graft.ops.Dedup.jaccardDupPairs(df, "text", "doc_id", 2, t))
+        val pref = pairs(graft.ops.Dedup.prefixJaccardPairs(df, "text", "doc_id", 2, t))
+        assert(pref == exact, s"round $round t=$t: prefix filter dropped/invented pairs")
+      }
+    }
+  }
+
   test("dupClusters AND dupClustersStar match union-find on random graphs") {
     import spark.implicits._
     val n = 40
