@@ -1901,6 +1901,19 @@ object SparkEntry {
     ops.Similarity.pqCodes(Tables.embeddings(s, dir), 16, 4, 50)
       .orderBy("vec_id", "sub")
 
+  /** PQ asymmetric-distance search ([[ops.Similarity.pqTopK]], same
+    * 16-dim/4-subspace/50-stride codebook as sim9, top-5 for the first
+    * 10 queries): distance-table lookups summed in integer micro-units —
+    * the oracle replays codes, every table cell, and the ranked sums.
+    */
+  private def sim11PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 16, 4, 50, 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("approx_d_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     // spread = true: the sf fixtures are single parquet files — without
@@ -2524,6 +2537,7 @@ object SparkEntry {
     "d17_edit_distance" -> d17EditDistance _,
     "d18_canonical" -> d18Canonical _,
     "sim9_pq_codes" -> sim9PqCodes _,
+    "sim11_pq_adc" -> sim11PqAdc _,
     "g1_pagerank" -> g1PageRank _,
     "g2_triangles" -> g2Triangles _,
     "t26_skipgrams" -> t26Skipgrams _,
@@ -3749,6 +3763,36 @@ object SparkEntry {
         |      FROM dd)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM r
         |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    // codes replayed as in sim9, then every distance-table cell in
+    // integer micro-units and the per-(query, vector) order-free sum
+    "sim11_pq_adc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sx AS (SELECT vec_id, j.j AS sub, v[j.j*4+1 : j.j*4+4] AS sv
+        |       FROM e CROSS JOIN generate_series(0, 3) AS j(j)),
+        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sx WHERE vec_id % 50 = 0),
+        |dd AS (SELECT sx.vec_id, sx.sub, cb.code,
+        |        round(sqrt(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (sx.sv[i] - cb.cv[i]) * (sx.sv[i] - cb.cv[i])))), 6) AS dist
+        |       FROM sx JOIN cb ON sx.sub = cb.sub),
+        |c AS (SELECT vec_id, sub, code FROM (
+        |        SELECT vec_id, sub, code,
+        |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |        FROM dd) WHERE rn = 1),
+        |dt AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+        |        CAST(round(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) * 1000000, 0)
+        |          AS BIGINT) AS d_micro
+        |       FROM sx q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 10),
+        |sc AS (SELECT dt.query_id, c.vec_id AS nn_id,
+        |         CAST(sum(dt.d_micro) AS BIGINT) AS approx_d_micro
+        |       FROM c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+        |       WHERE dt.query_id <> c.vec_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, nn_id, approx_d_micro,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY approx_d_micro, nn_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, nn_id, approx_d_micro FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // prefix-block + length filter + FULL Levenshtein (the engine's banded
     // threshold variant early-exits to -1 above 10; same surviving set)
     "d17_edit_distance" ->

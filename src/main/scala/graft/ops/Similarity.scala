@@ -457,6 +457,51 @@ object Similarity {
         col("best.code").as("code"))
   }
 
+  /** PQ asymmetric-distance top-k (ADC — Jégou et al.'s search side of
+    * [[pqCodes]]): queries stay full-precision, the corpus is its m
+    * one-byte-per-subspace codes, and each query precomputes a DISTANCE
+    * TABLE (query-slice → every codebook entry, per subspace); a corpus
+    * vector's approximate distance is then m table lookups summed —
+    * never a float op against the corpus itself. This is what makes
+    * billion-vector search scan-bound instead of FLOP-bound: the big
+    * side touched per (query, vector) is m small-int lookups.
+    *
+    * Distributed shape: the distance table is |queries|·m·|codebook|
+    * rows, BROADCAST; the codes frame (the only big relation) joins it
+    * on the (sub, code) equi-key and one partial-aggregable LONG sum
+    * per (query, vector) produces the ranking key. Table cells are
+    * quantized to integer micro-units at build (`round(l2²·10⁶)`) so
+    * the per-vector sum is order-free exact integer arithmetic — the
+    * cross-engine determinism rule — and ranking ties break on id.
+    * Compose with [[ivfTopK]]'s cells for the full IVFADC layout.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      centroidEvery: Int, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codes = pqCodes(corpus, dim, m, centroidEvery, idCol, vecCol)
+    val cb = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("code"),
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol), j * sub + 1, sub)): _*)).as(Seq("csub", "cvec")))
+    val qs = queries.select(col(idCol).as("query_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * sub + 1, sub)): _*)).as(Seq("qsub", "qvec")))
+    val dt = qs.join(broadcast(cb), col("qsub") === col("csub"))
+      .select(col("query_id"), col("qsub").cast("long").as("sub"), col("code"),
+        round(l2NativeSq(col("qvec"), col("cvec")) * 1e6, 0).cast("long").as("d_micro"))
+    val scored = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nn_id"))
+      .agg(sum(col("d_micro")).as("approx_d_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d_micro"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("approx_d_micro"))
+  }
+
   /** Maximal-Marginal-Relevance diverse top-k — the retrieval reranker
     * that trades raw relevance against redundancy: greedily select
     * `score = λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`, so the

@@ -283,6 +283,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0).getAs[Double]("cosine") > 0.99)
   }
 
+  test("pqTopK with a per-vector codebook degenerates to exact L2 ranking") {
+    // centroidEvery=1: every vector is its own code, so the ADC lookup
+    // sum IS the true squared distance (per-subspace micro-rounded)
+    val v = vecs((0L until 12L).map(i =>
+      (i, Seq(i * 0.3f, (i % 5) * 0.7f, (i % 3) * 1.1f, i * 0.05f))): _*)
+    val got = Similarity.pqTopK(v, v.filter(col("vec_id") < 2), 4, 2, 1, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("nn_id"), r.getAs[Long]("approx_d_micro"))).toMap
+    val data = (0L until 12L).map(i =>
+      i -> Array(i * 0.3f, (i % 5) * 0.7f, (i % 3) * 1.1f, i * 0.05f)).toMap
+    def subMicro(a: Array[Float], b: Array[Float], s: Int): Long = {
+      val d = (s * 2 until s * 2 + 2).map { j =>
+        val diff = a(j).toDouble - b(j).toDouble; diff * diff
+      }.sum
+      BigDecimal(d * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    for (q <- 0L until 2L) {
+      val expect = (0L until 12L).filter(_ != q)
+        .map(n => (subMicro(data(q), data(n), 0) + subMicro(data(q), data(n), 1), n))
+        .sorted.take(3)
+      for (((d, n), i) <- expect.zipWithIndex)
+        assert(got((q, i + 1)) == ((n, d)), s"query $q rank ${i + 1}")
+    }
+  }
+
   test("mmrTopK prefers a diverse pick over a redundant higher-relevance one") {
     // query (1,1); candidates 1 and 2 are identical, 3 mirrors them across
     // the query axis. All three tie on relevance (pick lowest id first);
