@@ -1093,6 +1093,17 @@ object SparkEntry {
       .orderBy(abs(col("contrib_micro")).desc, col("t"))
   }
 
+  /** Sketch-estimated vocabulary overlap ([[ops.Curation
+    * .minhashVocabOverlap]], k = 16): t30's matrix by k-min signatures
+    * instead of the exact self-join — the oracle replays the identical
+    * md5-seeded sketch, so the estimate is gate-exact.
+    */
+  private def t33MinhashOverlap(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.minhashVocabOverlap(Tables.documents(s, dir), "lang", "text", 16)
+      .select(col("g1").as("lang1"), col("g2").as("lang2"),
+        col("matches"), col("est_jaccard"))
+      .orderBy("lang1", "lang2")
+
   /** Deterministic token dropout ([[ops.Curation.tokenDropout]], 10%):
     * seed-free word-dropout augmentation — the oracle recomputes every
     * (doc, pos) bucket and reassembles the surviving tokens with
@@ -1560,6 +1571,21 @@ object SparkEntry {
       .unionByName(edge((shard + 2) % 500))
       .unionByName(edge((shard * 31 + 7) % 500))
     ops.Graph.triangleCounts(edges, "src", "dst")
+      .orderBy("node_id")
+  }
+
+  /** Local clustering coefficient ([[ops.Graph.clusteringCoeff]]) over
+    * g2's closure-guaranteed shard graph: `2T/(deg·(deg−1))` per node,
+    * one exact double division — the oracle replays triangles, degrees,
+    * and the ratio.
+    */
+  private def g4ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    def edge(dst: Column) = Tables.documents(s, dir).select(shard.as("src"), dst.as("dst"))
+    val edges = edge((shard + 1) % 500)
+      .unionByName(edge((shard + 2) % 500))
+      .unionByName(edge((shard * 31 + 7) % 500))
+    ops.Graph.clusteringCoeff(edges, "src", "dst")
       .orderBy("node_id")
   }
 
@@ -2557,6 +2583,8 @@ object SparkEntry {
     "io13_corrupt_files" -> io13CorruptFiles _,
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
+    "g4_clustering_coeff" -> g4ClusteringCoeff _,
+    "t33_minhash_overlap" -> t33MinhashOverlap _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "q35_stream_hopping" -> q35StreamHopping _,
@@ -3821,6 +3849,29 @@ object SparkEntry {
         |c AS (SELECT unnest([x, y, z]) AS node_id FROM t)
         |SELECT node_id, count(*) AS n_triangles FROM c
         |GROUP BY node_id ORDER BY node_id""".stripMargin,
+    // g2's triangle replay + degrees over the same canonical edges;
+    // the coefficient is one exact-LONG double division
+    "g4_clustering_coeff" ->
+      """WITH n AS (SELECT DISTINCT doc_id % 500 AS u FROM documents),
+        |r AS (SELECT u, (u + 1) % 500 AS v FROM n
+        |      UNION ALL SELECT u, (u + 2) % 500 FROM n
+        |      UNION ALL SELECT u, (u * 31 + 7) % 500 FROM n),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |      FROM r WHERE u <> v),
+        |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |t AS (SELECT x, y, z FROM w JOIN e e3 ON w.x = e3.a AND w.z = e3.b),
+        |c AS (SELECT unnest([x, y, z]) AS node_id FROM t),
+        |tri AS (SELECT node_id, count(*) AS n_triangles FROM c GROUP BY node_id),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |          SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id)
+        |SELECT d.id AS node_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.deg >= 2
+        |    THEN CAST(COALESCE(t.n_triangles, 0) * 2 AS DOUBLE) / (d.deg * (d.deg - 1))
+        |    ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN tri t ON t.node_id = d.id
+        |ORDER BY node_id""".stripMargin,
     // every offset's pair list replayed; top-k with (n desc, ta, tb) ties
     "t26_skipgrams" ->
       s"""WITH tk AS (SELECT ${toksSql("text")} AS tk FROM documents),
@@ -3871,6 +3922,20 @@ object SparkEntry {
         |kl AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS kl_micro FROM ctr)
         |SELECT t, c_ref, c_cur, contrib_micro, kl_micro FROM ctr, kl
         |ORDER BY abs(contrib_micro) DESC, t LIMIT 20""".stripMargin,
+    // the identical md5-seeded k-min sketch replayed; the estimate is a
+    // deterministic function of it, so the gate compares it exactly
+    "t33_minhash_overlap" ->
+      s"""WITH tok AS (SELECT DISTINCT lang AS g, unnest(${toksSql("text")}) AS t FROM documents),
+        |hx AS (SELECT g, i.i AS i,
+        |        CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || '#' || t), 1, 12)) AS BIGINT) AS h
+        |       FROM tok CROSS JOIN generate_series(0, 15) AS i(i)),
+        |sig AS (SELECT g, i, min(h) AS m FROM hx GROUP BY g, i),
+        |p AS (SELECT a.g AS g1, b.g AS g2,
+        |        CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS matches
+        |      FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g GROUP BY 1, 2)
+        |SELECT g1 AS lang1, g2 AS lang2, matches,
+        |  CAST(matches AS DOUBLE) / 16 AS est_jaccard
+        |FROM p ORDER BY lang1, lang2""".stripMargin,
     // exact distinct-(group, token) sets; both ratios are divisions of
     // exact integers — IEEE-identical across engines, no rounding needed
     "t30_vocab_overlap" ->

@@ -513,6 +513,39 @@ object Curation {
     * absent (inner join) — at |groups| ≤ thousands the dense completion
     * is a driver-side concern, not an engine one.
     */
+  /** [[vocabOverlap]]'s estimate-by-sketch sibling: per-group k-min
+    * MINHASH SIGNATURES over the token vocabulary, pairwise similarity
+    * estimated as the fraction of matching signature positions — the
+    * shape that survives when vocabularies are too large to self-join:
+    * each group compresses to k LONGs (mergeable: min is associative,
+    * so shard signatures combine map-side and incrementally across
+    * snapshots), and the pair comparison touches k·|groups| rows
+    * instead of the union vocabulary. Hashes are md5-derived
+    * (position-seeded: `md5(i # token)` — engine-portable, the
+    * [[Sampling.hashBucket]] rule), so the signature itself is
+    * deterministic and exactly replayable; the ESTIMATE is what it is
+    * (±1/√k) — gate-exact because both engines compute the identical
+    * sketch. Every pair is present (k aligned positions always join),
+    * unlike the exact op's inner-join sparsity.
+    */
+  def minhashVocabOverlap(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of [1,64]: $k")
+    val tok = df.select(col(groupCol).as("g"),
+      explode(TextFunctions.tokens(col(textCol))).as("t")).distinct()
+    val sig = tok
+      .select(col("g"), posexplode(array((0 until k).map(i =>
+        conv(substring(md5(concat_ws("#", lit(i), col("t"))), 1, 12), 16, 10)
+          .cast("long")): _*)).as(Seq("i", "h")))
+      .groupBy("g", "i").agg(min(col("h")).as("m"))
+    sig.as("a").join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L)).as("matches"))
+      .select(col("g1"), col("g2"), col("matches"),
+        (col("matches").cast("double") / k).as("est_jaccard"))
+  }
+
   def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(groupCol).as("g"),
       explode(TextFunctions.tokens(col(textCol))).as("t")).distinct()

@@ -114,6 +114,32 @@ object Graph {
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node LOCAL CLUSTERING COEFFICIENT —
+    * `2·T(v) / (deg(v)·(deg(v)−1))`, the normalized form of
+    * [[triangleCounts]]' raw signal (a hub with 50 triangles over 1000
+    * neighbors is organically sparse; 50 over 11 neighbors is a clique —
+    * the raw count can't tell them apart, the coefficient can).
+    * Composes the triangle pass with one degree aggregation over the
+    * same canonicalized edge set; the ratio is a single double division
+    * of exact LONGs (engine-identical, no rounding needed). Degree-<2
+    * nodes score 0 (no possible wedge).
+    */
+  def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = raw.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges, srcCol, dstCol)
+    val t = coalesce(col("n_triangles"), lit(0L))
+    deg.join(tri, col("id") === col("node_id"), "left")
+      .select(col("id").as("node_id"), col("deg"), t.as("n_triangles"),
+        when(col("deg") >= 2,
+          (t * 2).cast("double") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Synchronous label-propagation COMMUNITY detection, fixed round
     * count — the near-linear community pass (Raghavan et al. 2007) a
     * crawl-graph pipeline runs where connected components

@@ -316,6 +316,24 @@ class CurationSpec extends SparkSpec {
     assert(!r.contains(("de", "zz")) && !r.contains(("en", "zz")))
   }
 
+  test("minhashVocabOverlap: identical vocabs estimate 1, disjoint 0, overlap tracks exact") {
+    import spark.implicits._
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val extra = (61 to 120).map(i => s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("a", shared), ("b", shared), ("c", shared), ("c", extra),
+      ("d", other)).toDF("g", "text")
+    val r = Curation.minhashVocabOverlap(df, "g", "text", 32)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(3)).toMap
+    assert(r(("a", "b")) == 1.0)            // identical sets: every min matches
+    assert(r(("a", "d")) == 0.0)            // disjoint sets: no min can match
+    // a⊂c with |a|/|c| = 0.5 true Jaccard: the k=32 estimate must land
+    // within the sketch's ±3/sqrt(k) band
+    assert(math.abs(r(("a", "c")) - 0.5) < 0.55 && r(("a", "c")) > 0.1, r(("a", "c")))
+    // every pair is present, even the disjoint one
+    assert(r.size == 6)
+  }
+
   test("tokenKlDrift: identical corpora score zero everywhere") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))

@@ -119,6 +119,17 @@ class GraphCdcSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("clusteringCoeff: clique scores 1, path interior 0, deg<2 guarded") {
+    // K4 on 1-4 plus a pendant 5-1: the K4 corners stay cliquish, the
+    // pendant has deg 1 (guarded zero), node 1 dilutes to 3/(5*4/2)
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L, 5L -> 1L)
+    val r = Graph.clusteringCoeff(e, "src", "dst")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(2L) == ((3L, 3L, 1.0)) && r(3L) == ((3L, 3L, 1.0)) && r(4L) == ((3L, 3L, 1.0)))
+    assert(r(1L) == ((4L, 3L, 0.5))) // 2*3 / (4*3)
+    assert(r(5L) == ((1L, 0L, 0.0)))
+  }
+
   test("labelPropagation: dense blocks keep distinct labels across a bridge") {
     // two triangles {0,1,2} and {3,4,5} joined by the single edge 2-3:
     // each triangle's majority must win; the bridge must not merge them
