@@ -3950,7 +3950,8 @@ object SparkEntry {
         |FROM i JOIN s s1 ON i.g1 = s1.g JOIN s s2 ON i.g2 = s2.g
         |ORDER BY lang1, lang2""".stripMargin,
     // every (doc, pos) survival bucket recomputed; reassembly via
-    // string_agg ORDER BY pos (posexplode is 0-based, subscripts 1-based)
+    // string_agg FILTER ORDER BY pos (the HOF filter index is 0-based,
+    // generate_subscripts 1-based; all-dropped docs coalesce to '')
     "t32_token_dropout" ->
       s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
         |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_orig,
@@ -3960,9 +3961,11 @@ object SparkEntry {
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
         |          CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM tok)
-        |SELECT doc_id, max(n_orig) AS n_orig, count(*) AS n_kept,
-        |  string_agg(t, ' ' ORDER BY pos) AS aug_text
-        |FROM k WHERE b >= 10 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, max(n_orig) AS n_orig,
+        |  CAST(sum(CASE WHEN b >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(t, ' ' ORDER BY pos) FILTER (WHERE b >= 10), '')
+        |    AS aug_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the junk part file must be skipped: clean-data aggregate
     "io13_corrupt_files" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -254,11 +254,21 @@ object Dedup {
     * Shuffles: shingle-frequency count, per-doc rank window (partitioned
     * by doc — bounded by document length), prefix equi-join, and the
     * pair distinct. All keyed, all skew-safe by the rarity argument.
+    * The crossover is corpus-shape-dependent: on the small, dup-sparse
+    * bench fixture the fixed extra shuffles cost more than the all-pairs
+    * join they avoid ([[jaccardDupPairs]] wins at sf0.1); the prefix
+    * form wins exactly when the shared-shingle join's hot buckets
+    * explode — Zipf-heavy natural text at corpus scale.
     */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     graft.expr.VecExpressions.register(df.sparkSession)
+    // deliberately NOT persisted: the frame is consumed three times
+    // (candidate path + both verify sides), but materializing the
+    // shingle arrays measured slower than recomputing the codegen'd
+    // word_shingles kernel (5.3 s vs 4.1 s at sf0.1) — cache only when
+    // the upstream is an expensive scan, not a cheap expression
     val withSh = df
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("id"),

@@ -361,11 +361,11 @@ class PlanAuditSpec extends SparkSpec {
       s"totals/kl scalars not broadcast:\n$plan")
   }
 
-  test("t32 token dropout: mask+reassembly is one doc-keyed shuffle") {
+  test("t32 token dropout is entirely narrow — zero shuffles before the presentation sort") {
     val plan = executed(SparkEntry.queries("t32_token_dropout")(spark, sf0001))
-    // posexplode + md5 mask are narrow; only the per-doc reassembly
-    // aggregation (plus the final presentation sort) may shuffle
-    assert(countOf(plan, "Exchange hashpartitioning") <= 1,
+    // the index-aware filter HOF masks and reassembles row-locally; the
+    // corpus must never hash-shuffle (only the final orderBy ranges)
+    assert(countOf(plan, "Exchange hashpartitioning") == 0,
       s"dropout mask shuffled:\n$plan")
   }
 
