@@ -1205,6 +1205,29 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").cast("string").as("v")),
         "v", 6), 6)
 
+  /** The HLL MERGE LAW through the gate: registers built on two disjoint
+    * halves of the corpus, merged with a bucket-wise max, must equal the
+    * registers built directly on the whole — bit-for-bit (`reg_md5`),
+    * not just in the estimate. This is the property that makes the
+    * sketch shardable across 1000 executors and days of snapshots; the
+    * oracle replays both paths.
+    */
+  private def t34HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").cast("string").as("v"))
+    val b = ops.Sampling.hashBucket(col("doc_id"), 100)
+    val regA = ops.Sketch.hllRegisters(d.filter(b < 50), "v", 6)
+    val regB = ops.Sketch.hllRegisters(d.filter(b >= 50), "v", 6)
+    val merged = regA.unionByName(regB)
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    val direct = ops.Sketch.hllRegisters(d, "v", 6)
+    ops.Sketch.hllEstimate(merged, 6).withColumn("side", lit("merged"))
+      .unionByName(ops.Sketch.hllEstimate(direct, 6).withColumn("side", lit("direct")))
+      .select(col("side"), col("m"), col("n_zero"), col("reg_md5"),
+        col("est_raw"), col("lc_est"))
+      .orderBy("side")
+  }
+
   /** Overlapping token chunking ([[ops.Curation.chunkDocs]], size 64,
     * stride 48): one row per (doc, chunk), each chunk's token content
     * pinned by md5. The oracle replays the chunk-count arithmetic and
@@ -2585,6 +2608,7 @@ object SparkEntry {
     "g3_communities" -> g3Communities _,
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
+    "t34_hll_merge" -> t34HllMerge _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "q35_stream_hopping" -> q35StreamHopping _,
@@ -2827,6 +2851,21 @@ object SparkEntry {
        |l$r AS (SELECT id, label FROM (
        |        SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
        |        FROM t$r) WHERE rn = 1)""".stripMargin
+
+  /** t22's register→estimate SQL over a named register CTE, tagged with
+    * `side` — used twice by t34 (merged vs direct). */
+  private def hllSideSql(reg: String, side: String): String =
+    s"""SELECT '$side' AS side, CAST(64 AS BIGINT) AS m,
+       | CAST(64 - n_present AS BIGINT) AS n_zero, reg_md5,
+       | round(CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 57)
+       |   / CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 57) AS DOUBLE), 6) AS est_raw,
+       | CASE WHEN n_present < 64
+       |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
+       |      ELSE NULL END AS lc_est
+       |FROM (SELECT count(*) AS n_present,
+       |        CAST(sum(CAST(1 AS BIGINT) << (57 - rho)) AS BIGINT) AS s_present,
+       |        md5(string_agg(bucket || ':' || rho, ',' ORDER BY bucket || ':' || rho)) AS reg_md5
+       |      FROM $reg)""".stripMargin
 
   /** DuckDB cosine between two rows of the `n` CTE (aliases nq/nc),
     * 6-decimal rounded — mirror of [[graft.functions.VectorFunctions.cosine]]
@@ -3328,6 +3367,23 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // both register paths replayed: per-half max-merge vs direct — the
+    // sorted register digest proves bit-equality, not just estimate-equality
+    "t34_hll_merge" ->
+      s"""WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        |           FROM documents),
+        |br AS (SELECT bkt, h % 64 AS bucket,
+        |         CASE WHEN (h >> 6) = 0 THEN 55
+        |              ELSE 54 - length(bin(h >> 6)) + 1 END AS r FROM h),
+        |regA AS (SELECT bucket, max(r) AS rho FROM br WHERE bkt < 50 GROUP BY bucket),
+        |regB AS (SELECT bucket, max(r) AS rho FROM br WHERE bkt >= 50 GROUP BY bucket),
+        |regM AS (SELECT bucket, max(rho) AS rho FROM
+        |          (SELECT * FROM regA UNION ALL SELECT * FROM regB) GROUP BY bucket),
+        |regD AS (SELECT bucket, max(r) AS rho FROM br GROUP BY bucket)
+        |SELECT * FROM (${hllSideSql("regM", "merged")}
+        |UNION ALL ${hllSideSql("regD", "direct")})
+        |ORDER BY side""".stripMargin,
     // per-column counts as one UNION of scalar aggregates (the engine
     // does one Expand pass; the oracle's k passes are equivalent SQL)
     "t19_profile" ->

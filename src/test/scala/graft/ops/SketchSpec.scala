@@ -94,6 +94,24 @@ class SketchSpec extends SparkSpec {
     assert(bad.getLong(1) == -1L)
   }
 
+  test("hllRegisters merge law: max-merged halves equal the direct sketch bit-for-bit") {
+    import spark.implicits._
+    val all = (0 until 300).map(i => s"val$i")
+    def reg(vs: Seq[String]) = Sketch.hllRegisters(vs.toDF("v"), "v", 6)
+    val merged = reg(all.take(150)).unionByName(reg(all.drop(150)))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = reg(all)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == direct)
+    // and the estimates derived from them are therefore identical
+    val em = Sketch.hllEstimate(reg(all.take(150)).unionByName(reg(all.drop(150)))
+      .groupBy("bucket").agg(max(col("rho")).as("rho")), 6).collect()(0)
+    val ed = Sketch.hllEstimate(reg(all), 6).collect()(0)
+    assert(em.getAs[String]("reg_md5") == ed.getAs[String]("reg_md5"))
+    assert(em.getAs[Double]("est_raw") == ed.getAs[Double]("est_raw"))
+  }
+
   test("videoDhash: per-frame hashes match the generation arithmetic") {
     import spark.implicits._
     val df = Seq(3L, 10L).toDF("doc_id")
