@@ -1205,6 +1205,32 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").cast("string").as("v")),
         "v", 6), 6)
 
+  /** The CMS MERGE LAW through the gate (t34's additive sibling):
+    * counter tables built on two disjoint corpus halves, merged with a
+    * bucket-wise SUM, must equal the directly-built table cell-for-cell
+    * (`sketch_md5`) — counts are linear, so the sketch shards and
+    * accumulates incrementally. The oracle replays both paths.
+    */
+  private def t35CmsMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val b = ops.Sampling.hashBucket(col("doc_id"), 100)
+    def toks(df: DataFrame) = df.select(
+      explode(functions.TextFunctions.tokens(col("text"))).as("t"))
+    val sa = ops.Sketch.cmsBuild(toks(d.filter(b < 50)), "t", 4, 512)
+    val sb = ops.Sketch.cmsBuild(toks(d.filter(b >= 50)), "t", 4, 512)
+    val merged = sa.unionByName(sb)
+      .groupBy("row_idx", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val direct = ops.Sketch.cmsBuild(toks(d), "t", 4, 512)
+    def side(df: DataFrame, name: String) = df.agg(
+        count(lit(1)).as("n_cells"), sum(col("cnt")).as("total_cnt"),
+        md5(array_join(sort_array(collect_list(
+          concat_ws(":", col("row_idx"), col("bucket"), col("cnt")))), ",")
+          .cast("binary")).as("sketch_md5"))
+      .select(lit(name).as("side"), col("n_cells"), col("total_cnt"),
+        col("sketch_md5"))
+    side(merged, "merged").unionByName(side(direct, "direct")).orderBy("side")
+  }
+
   /** The HLL MERGE LAW through the gate: registers built on two disjoint
     * halves of the corpus, merged with a bucket-wise max, must equal the
     * registers built directly on the whole — bit-for-bit (`reg_md5`),
@@ -2609,6 +2635,7 @@ object SparkEntry {
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
+    "t35_cms_merge" -> t35CmsMerge _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "q35_stream_hopping" -> q35StreamHopping _,
@@ -3367,6 +3394,43 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // both counter paths replayed: per-half sum-merge vs direct, digested
+    // cell-for-cell
+    "t35_cms_merge" ->
+      s"""WITH b AS (SELECT text,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        |  FROM documents),
+        |tok AS (SELECT unnest(${toksSql("text")}) AS t, bkt FROM b),
+        |ca AS (SELECT t, count(*) AS cnt FROM tok WHERE bkt < 50 GROUP BY t),
+        |cb AS (SELECT t, count(*) AS cnt FROM tok WHERE bkt >= 50 GROUP BY t),
+        |cd AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |skA AS (SELECT i.i AS row_idx,
+        |          CAST(('0x' || substr(md5(ca.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket,
+        |          CAST(sum(ca.cnt) AS BIGINT) AS cnt
+        |        FROM ca CROSS JOIN generate_series(0, 3) AS i(i) GROUP BY 1, 2),
+        |skB AS (SELECT i.i AS row_idx,
+        |          CAST(('0x' || substr(md5(cb.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket,
+        |          CAST(sum(cb.cnt) AS BIGINT) AS cnt
+        |        FROM cb CROSS JOIN generate_series(0, 3) AS i(i) GROUP BY 1, 2),
+        |skM AS (SELECT row_idx, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM
+        |          (SELECT * FROM skA UNION ALL SELECT * FROM skB) GROUP BY 1, 2),
+        |skD AS (SELECT i.i AS row_idx,
+        |          CAST(('0x' || substr(md5(cd.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket,
+        |          CAST(sum(cd.cnt) AS BIGINT) AS cnt
+        |        FROM cd CROSS JOIN generate_series(0, 3) AS i(i) GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT 'merged' AS side, count(*) AS n_cells,
+        |    CAST(sum(cnt) AS BIGINT) AS total_cnt,
+        |    md5(string_agg(row_idx || ':' || bucket || ':' || cnt, ','
+        |        ORDER BY row_idx || ':' || bucket || ':' || cnt)) AS sketch_md5
+        |  FROM skM
+        |  UNION ALL
+        |  SELECT 'direct', count(*),
+        |    CAST(sum(cnt) AS BIGINT),
+        |    md5(string_agg(row_idx || ':' || bucket || ':' || cnt, ','
+        |        ORDER BY row_idx || ':' || bucket || ':' || cnt))
+        |  FROM skD)
+        |ORDER BY side""".stripMargin,
     // both register paths replayed: per-half max-merge vs direct — the
     // sorted register digest proves bit-equality, not just estimate-equality
     "t34_hll_merge" ->
