@@ -1125,6 +1125,15 @@ object SparkEntry {
         col("v1"), col("v2"), col("inter"), col("jaccard"), col("containment"))
       .orderBy("lang1", "lang2")
 
+  /** OOV rate under a 2000-token truncated vocabulary ([[ops.Curation
+    * .oovRate]]): the tokenizer-budget screen — the oracle re-derives
+    * the tie-broken vocab cut and every per-doc ratio.
+    */
+  private def t36OovRate(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.oovRate(Tables.documents(s, dir), "text", "doc_id", 2000)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+      .orderBy("doc_id")
+
   /** Per-document character entropy ([[ops.Curation.charEntropy]]) — the
     * degenerate-text screen in integer micro-nats; the oracle replays
     * every per-character term with the same quantize-then-sum order.
@@ -2636,6 +2645,7 @@ object SparkEntry {
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
     "t35_cms_merge" -> t35CmsMerge _,
+    "t36_oov_rate" -> t36OovRate _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "q35_stream_hopping" -> q35StreamHopping _,
@@ -3394,6 +3404,19 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // tie-broken vocab cut re-derived; the rate is one exact division
+    "t36_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+        |vc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |vocab AS (SELECT t FROM vc ORDER BY c DESC, t LIMIT 2000),
+        |j AS (SELECT tok.doc_id,
+        |        CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM tok LEFT JOIN vocab v ON tok.t = v.t),
+        |a AS (SELECT doc_id, count(*) AS n_tokens,
+        |        CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+        |FROM a ORDER BY doc_id""".stripMargin,
     // both counter paths replayed: per-half sum-merge vs direct, digested
     // cell-for-cell
     "t35_cms_merge" ->

@@ -443,6 +443,33 @@ object Curation {
       .limit(k)
   }
 
+  /** Out-of-vocabulary rate under a TRUNCATED top-k vocabulary — the
+    * tokenizer-budget diagnostic: pick the `vocabSize` most frequent
+    * tokens (total `(count DESC, token)` order, so the cutoff tie is
+    * deterministic), then score every document by the fraction of its
+    * tokens that fall outside — the documents a fixed-vocab tokenizer
+    * will shred into bytes. One corpus count (map-side partial), a
+    * `TakeOrderedAndProject` vocab cut, and a BROADCAST left join back
+    * onto the exploded corpus (explicit: the corpus side is Zipf-keyed —
+    * the [[unigramSurprisal]] skew rule). The rate is one exact-LONG
+    * double division.
+    */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1L).as("in_v"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Per-document character-distribution Shannon entropy — the cheap
     * degenerate-text screen below even [[repetitionStats]]: binary
     * junk/mojibake scores high, single-character spam scores ~0, natural
