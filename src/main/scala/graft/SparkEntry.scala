@@ -1664,6 +1664,16 @@ object SparkEntry {
     ops.Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
       .orderBy("id1", "id2")
 
+  /** Embedding LSH near-dup pairs ([[ops.Similarity.lshCosinePairs]],
+    * 16-bit signature, 4-bit bands, cosine ≥ 0.4 — the fixture's
+    * planted dups sit at 0.4–0.51): the training-free
+    * candidate generator — the oracle re-derives the sign matrix,
+    * signatures, band collisions, and every verified cosine.
+    */
+  private def d21EmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.lshCosinePairs(Tables.embeddings(s, dir), 0.4, 64)
+      .orderBy("id1", "id2")
+
   /** Asymmetric containment pairs ([[ops.Dedup.containmentDupPairs]],
     * 3-gram, 0.7): catches embedded/excerpted documents whose Jaccard
     * stays low; the oracle recomputes `|A∩B| / min(|A|,|B|)` from the
@@ -2648,6 +2658,7 @@ object SparkEntry {
     "t36_oov_rate" -> t36OovRate _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
+    "d21_embedding_lsh" -> d21EmbeddingLsh _,
     "q35_stream_hopping" -> q35StreamHopping _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
@@ -3665,6 +3676,29 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, ${(0 until 8).map(pSql).mkString(",\n ")}
         |FROM e ORDER BY vec_id""".stripMargin
+    },
+    // sign matrix re-derived from the md5 parity rule; signatures, band
+    // collisions, and verified cosines all replayed
+    "d21_embedding_lsh" -> {
+      def pSql(j: Int): String =
+        s"round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * " +
+          s"(CASE WHEN CAST(('0x' || substr(md5(CAST(i-1 AS VARCHAR) || '|$j'), 1, 4)) AS BIGINT) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END))) / sqrt(16.0), 6)"
+      val bitsSql = (0 until 16)
+        .map(j => s"(CASE WHEN ${pSql(j)} > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH $embNormSql,
+        |sig AS (SELECT vec_id, $bitsSql AS sig FROM e),
+        |bands AS (SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS bits
+        |          FROM sig CROSS JOIN generate_series(0, 3) AS b(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+        |p AS (SELECT cand.id1, cand.id2, ${cosineSql("x", "y")} AS cosine
+        |      FROM cand JOIN n x ON x.vec_id = cand.id1
+        |        JOIN n y ON y.vec_id = cand.id2)
+        |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.4
+        |ORDER BY id1, id2""".stripMargin
     },
     // double IEEE arithmetic + half-away-zero rounds on both engines
     "sim3_quantize" ->

@@ -347,6 +347,44 @@ object Similarity {
     df.select(col(idCol) +: outs: _*)
   }
 
+  /** Random-hyperplane LSH near-dup pairs over embeddings — the third
+    * candidate generator beside the exact block-grid
+    * ([[cosineDupPairsExact]]) and the centroid-bucketed
+    * [[cosineDupPairs]]: sign-of-projection bits ([[randomProject]]'s
+    * seed-free ±1 matrix) form an `outDim`-bit signature; vectors
+    * meeting in ANY `bandBits`-bit band become candidates (SimHash
+    * banding applied to dense vectors — P[bit agrees] = 1 − θ/π, so
+    * high-cosine pairs collide in some band w.h.p. while the corpus
+    * never self-joins); candidates are verified with exact cosine.
+    * Needs NO centroids/training — the trade is probabilistic recall,
+    * tuned by (outDim, bandBits). One narrow signature pass, one
+    * banded equi-join, one verify join.
+    */
+  def lshCosinePairs(df: DataFrame, threshold: Double, inDim: Int,
+      outDim: Int = 16, bandBits: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(outDim % bandBits == 0, s"outDim $outDim not banded by $bandBits")
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val proj = randomProject(df, idCol, vecCol, inDim, outDim)
+    val bits = (0 until outDim).map(j =>
+      when(col(s"p$j") > 0, lit("1")).otherwise(lit("0")))
+    val sig = proj.select(col(idCol).as("id"), concat(bits: _*).as("sig"))
+    val nBands = outDim / bandBits
+    val bands = sig.select(col("id"), posexplode(array((0 until nBands).map(b =>
+        substring(col("sig"), b * bandBits + 1, bandBits)): _*)).as(Seq("band", "bits")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val v = withNorm(df, idCol, vecCol, "vid", "vv", "vn")
+    cand
+      .join(v.select(col("vid").as("id1"), col("vv").as("v1"), col("vn").as("n1")), "id1")
+      .join(v.select(col("vid").as("id2"), col("vv").as("v2"), col("vn").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        rounded(cosineWithNorms(col("v1"), col("v2"), col("n1"), col("n2"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4× compression for ANN serving / training-data shipping. Per vector:
     * `scale = max(|x_i|) / 127`, `q_i = round(x_i / scale)` ∈ [−127, 127]

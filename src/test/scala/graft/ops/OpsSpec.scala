@@ -323,6 +323,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2).getAs[Double]("score") < 0)
   }
 
+  test("lshCosinePairs: scaled twin collides in every band; verify filters the rest") {
+    val base = Seq(0.5f, -1f, 2f, 0.25f, 1f, -0.5f, 0.75f, -2f)
+    val near = base.map(_ * 1.01f) // same projection signs -> same signature
+    val far = Seq(2f, 1f, -0.5f, 1f, -1f, 2f, -0.75f, 0.5f)
+    val r = Similarity.lshCosinePairs(
+      vecs((1L, base), (2L, near), (3L, far)), 0.95, 8, 8, 4).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 2L)
+    assert(r(0).getDouble(2) > 0.99)
+  }
+
   test("cosineDupPairs finds near-identical vectors") {
     val r = Similarity.cosineDupPairs(vecs(
       (0L, Seq(1f, 1f, 0f)), (1L, Seq(0.99f, 1.01f, 0f)), (2L, Seq(0f, 0f, 1f))), 0.95).collect()
