@@ -369,6 +369,12 @@ class PlanAuditSpec extends SparkSpec {
       s"dropout mask shuffled:\n$plan")
   }
 
+  test("d21 embedding LSH: band-bucket equi-join, corpus never self-joins raw") {
+    val plan = executed(SparkEntry.queries("d21_embedding_lsh")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate join degenerated:\n$plan")
+  }
+
   test("d20 containment: shingle equi-join only, no nested loop") {
     val plan = executed(SparkEntry.queries("d20_containment")(spark, sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
