@@ -1214,6 +1214,38 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").cast("string").as("v")),
         "v", 6), 6)
 
+  /** Rolling 7-day distinct users, exact AND sketch-estimated — the
+    * query where the HLL merge law ([[t34HllMerge]]) earns its keep:
+    * per-day register tables roll into any window with a bucket-wise
+    * max (7 tiny tables merged per anchor), while the exact path must
+    * re-touch every (day, user) row per window. Both paths here use the
+    * same NARROW fan-out (each day's slice explodes into its 7 window
+    * anchors — no range join, no nested loop); at 100 TB the exact side
+    * grows with users×7 while the sketch side stays |days|·64 rows.
+    * Anchors are restricted to days that exist (broadcast semi-ish
+    * join). The oracle replays both paths, registers included.
+    */
+  private def q36RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        col("user_id").cast("string").as("v"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    val exact = du
+      .select(explode(sequence(col("day"), col("day") + lit(6L))).as("day"), col("v"))
+      .join(broadcast(days), "day")
+      .groupBy("day").agg(countDistinct(col("v")).as("dau7"))
+    val regDay = ops.Sketch.hllRegistersBy(du, Seq("day"), "v", 6)
+    val rolled = regDay
+      .select(explode(sequence(col("day"), col("day") + lit(6L))).as("day"),
+        col("bucket"), col("rho"))
+      .join(broadcast(days), "day")
+      .groupBy("day", "bucket").agg(max(col("rho")).as("rho"))
+    exact.join(ops.Sketch.hllEstimateBy(rolled, Seq("day"), 6), "day")
+      .select(col("day"), col("dau7"), col("est").as("dau7_hll"))
+      .orderBy("day")
+  }
+
   /** The CMS MERGE LAW through the gate (t34's additive sibling):
     * counter tables built on two disjoint corpus halves, merged with a
     * bucket-wise SUM, must equal the directly-built table cell-for-cell
@@ -2656,6 +2688,7 @@ object SparkEntry {
     "t34_hll_merge" -> t34HllMerge _,
     "t35_cms_merge" -> t35CmsMerge _,
     "t36_oov_rate" -> t36OovRate _,
+    "q36_rolling_distinct" -> q36RollingDistinct _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3415,6 +3448,31 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // both rolling paths replayed: exact distinct over the 7-anchor
+    // fan-out, and per-day registers max-merged per anchor + the t22
+    // estimate arithmetic per day
+    "q36_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts)//1000000000//86400 AS day,
+        |              CAST(user_id AS VARCHAR) AS v FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |ex AS (SELECT unnest(generate_series(day, day + 6)) AS day, v FROM du),
+        |exact AS (SELECT ex.day, count(DISTINCT v) AS dau7
+        |          FROM ex JOIN days USING (day) GROUP BY ex.day),
+        |h AS (SELECT day, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h FROM du),
+        |br AS (SELECT day, h % 64 AS bucket,
+        |         CASE WHEN (h >> 6) = 0 THEN 55
+        |              ELSE 54 - length(bin(h >> 6)) + 1 END AS r FROM h),
+        |reg AS (SELECT day, bucket, max(r) AS rho FROM br GROUP BY 1, 2),
+        |rex AS (SELECT unnest(generate_series(day, day + 6)) AS day, bucket, rho FROM reg),
+        |roll AS (SELECT rex.day, bucket, max(rho) AS rho
+        |         FROM rex JOIN days USING (day) GROUP BY 1, 2),
+        |est AS (SELECT day, count(*) AS n_present,
+        |          CAST(sum(CAST(1 AS BIGINT) << (57 - rho)) AS BIGINT) AS s_present
+        |        FROM roll GROUP BY day)
+        |SELECT e.day, e.dau7,
+        |  round(CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 57)
+        |    / CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 57) AS DOUBLE), 6) AS dau7_hll
+        |FROM exact e JOIN est USING (day) ORDER BY day""".stripMargin,
     // tie-broken vocab cut re-derived; the rate is one exact division
     "t36_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),

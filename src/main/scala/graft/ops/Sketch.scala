@@ -96,15 +96,43 @@ object Sketch {
     *
     * @return (bucket, rho) — at most 2^b rows.
     */
-  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, valueCol: String, b: Int): DataFrame =
+    hllRegistersBy(df, Nil, valueCol, b)
+
+  /** [[hllRegisters]] keyed by grouping columns — one register table per
+    * key (per day, per shard, per source): the form that rolls up, since
+    * any union of key-slices merges with a bucket-wise max.
+    */
+  def hllRegistersBy(df: DataFrame, keys: Seq[String], valueCol: String,
+      b: Int): DataFrame = {
     val (m, restBits) = hllParams(b)
     val h = hash60(col(valueCol))
     val rest = shiftright(h, b)
-    df.select(col(valueCol)).filter(col(valueCol).isNotNull)
-      .select(pmod(h, lit(m.toLong)).as("bucket"),
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) ++ Seq(pmod(h, lit(m.toLong)).as("bucket"),
         when(rest === 0, lit(restBits + 1))
-          .otherwise(lit(restBits) - length(bin(rest)) + 1).cast("int").as("r"))
-      .groupBy("bucket").agg(max("r").as("rho"))
+          .otherwise(lit(restBits) - length(bin(rest)) + 1).cast("int").as("r")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max("r").as("rho"))
+  }
+
+  /** Per-key cardinality estimates from a keyed register table — the
+    * [[hllEstimate]] arithmetic (integer-exact harmonic sum, one final
+    * IEEE division) grouped by `keys`; emits `(keys..., est)` with the
+    * raw estimate rounded to 6 decimals.
+    */
+  def hllEstimateBy(registers: DataFrame, keys: Seq[String], b: Int): DataFrame = {
+    val (m, restBits) = hllParams(b)
+    require(restBits >= 3, s"b=$b leaves too few remainder bits")
+    val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    registers
+      .select(keys.map(col) :+ expr("shiftleft(CAST(1 AS BIGINT), 57 - rho)").as("term"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_present"), sum("term").as("s_present"))
+      .select(keys.map(col) :+
+        round(lit(alpha * m * m) * pow(lit(2.0), lit(57)) /
+          (col("s_present") + (lit(m.toLong) - col("n_present")) *
+            lit(1L << 57)).cast("double"), 6).as("est"): _*)
   }
 
   /** Cardinality estimate from a register table, exact-arithmetic form:

@@ -94,6 +94,27 @@ class SketchSpec extends SparkSpec {
     assert(bad.getLong(1) == -1L)
   }
 
+  test("keyed HLL: per-key registers estimate each key's cardinality independently") {
+    import spark.implicits._
+    val df = ((0 until 400).map(i => ("big", s"u$i")) ++
+      (0 until 25).map(i => ("small", s"u$i"))).toDF("k", "v")
+    val est = Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(df, Seq("k"), "v", 6), Seq("k"), 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m=64 RAW estimate (no linear-counting branch here): ~13% typical
+    // error at scale, biased high below 2.5m — band accordingly, and
+    // require clear separation between the keys
+    assert(est("big") > 250 && est("big") < 700, est("big"))
+    assert(est("small") > 8 && est("small") < 120, est("small"))
+    assert(est("big") > est("small") * 3)
+    // unkeyed form == keyed form with no keys
+    val a = Sketch.hllRegisters(df.select("v"), "v", 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Sketch.hllRegistersBy(df.select("v"), Nil, "v", 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("hllRegisters merge law: max-merged halves equal the direct sketch bit-for-bit") {
     import spark.implicits._
     val all = (0 until 300).map(i => s"val$i")
