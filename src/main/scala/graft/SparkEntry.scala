@@ -2274,6 +2274,17 @@ object SparkEntry {
         ops.Multimodal.withGeneratedWav(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** Audio decimation through the REAL codec ([[ops.Multimodal
+    * .decimateAudio]], factor 2): every 2nd decoded sample kept, the
+    * decimated stream pinned by integer energy/peak AND an md5 of its
+    * first 64 sample values — the oracle replays the generation
+    * arithmetic at stride 2.
+    */
+  private def m13AudioDecimate(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.decimateAudio(
+        ops.Multimodal.withGeneratedWav(Tables.documents(s, dir)), 2)
+      .orderBy("doc_id")
+
   /** Brightness statistics through the REAL codec ([[ops.Multimodal
     * .imageHistogram]]): generated PNGs decoded, 4-bin gray histogram +
     * integer mean — the oracle recomputes every pixel's gray and bin
@@ -2717,6 +2728,7 @@ object SparkEntry {
     "m10_audio_features" -> m10AudioFeatures _,
     "m11_histogram" -> m11Histogram _,
     "m12_video_dhash" -> m12VideoDhash _,
+    "m13_audio_decimate" -> m13AudioDecimate _,
     "io12_dynamic_overwrite" -> io12DynamicOverwrite _,
     "sim6_text_ann" -> sim6TextAnn _,
     "io1_csv_roundtrip" -> io1CsvRoundtrip _,
@@ -4734,6 +4746,18 @@ object SparkEntry {
         |  CAST(CASE WHEN lang = 'en' THEN sum(n_chars)
         |       ELSE -count(*) END AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // generation arithmetic replayed at stride 2; first-64-sample digest
+    // pins actual values, not just statistics
+    "m13_audio_decimate" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n, i.i AS i,
+        |        CAST((d.doc_id + 7 * i.i) % 256 - 128 AS BIGINT) AS c
+        |      FROM d, generate_series(0, 498, 2) AS i(i) WHERE i.i < d.n)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_in, count(*) AS n_out,
+        |  CAST(sum(c * c) AS BIGINT) AS energy,
+        |  CAST(max(abs(c)) AS INT) AS peak,
+        |  md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) FILTER (WHERE i < 128)) AS head_md5
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // every pixel's gray + bin replayed from the generation arithmetic
     "m11_histogram" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
