@@ -1470,6 +1470,35 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy("lang")
 
+  /** Binned-histogram quantile ESTIMATES — the mergeable scale path
+    * beside q16's exact percentiles: integer cents bucket into
+    * whole-unit bins (a histogram merges across shards/days by bin-wise
+    * SUM, like the CMS), one cumulative window per group, and the
+    * q-quantile estimate is the first bin whose cumulative count
+    * reaches `ceil(q·n)` (upper edge reported). Everything is LONG
+    * arithmetic except the `q·n` products — identical IEEE doubles on
+    * both engines. Error is bounded by bin width by construction; at
+    * 100 TB this is the percentile monitor that needs no sort and no
+    * GK/t-digest state.
+    */
+  private def q37BinnedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS LONG) div 100").as("bin"))
+    val hist = e.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    def qEst(q: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin") + 1)).as(name)
+    x.groupBy("event_type")
+      .agg(max(col("n")).as("n"), qEst(0.5, "p50_bin"),
+        qEst(0.9, "p90_bin"), qEst(0.99, "p99_bin"))
+      .orderBy("event_type")
+  }
+
   /** Unicode NFC normalization through the gate ([[graft.expr
     * .NfcNormalize]]): DECOMPOSED sequences are planted (base letters
     * followed by combining acute U+0301 / cedilla U+0327 / ring U+030A /
@@ -2700,6 +2729,7 @@ object SparkEntry {
     "t35_cms_merge" -> t35CmsMerge _,
     "t36_oov_rate" -> t36OovRate _,
     "q36_rolling_distinct" -> q36RollingDistinct _,
+    "q37_binned_quantiles" -> q37BinnedQuantiles _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3460,6 +3490,22 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // bin histogram + cumulative window replayed; ceil(q*n) products are
+    // the only doubles (identical IEEE on both engines)
+    "q37_binned_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) // 100 AS bin FROM events),
+        |h AS (SELECT event_type, bin, count(*) AS c FROM e GROUP BY 1, 2),
+        |x AS (SELECT event_type, bin, c,
+        |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM h)
+        |SELECT event_type, max(n) AS n,
+        |  CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN bin + 1 END) AS BIGINT) AS p50_bin,
+        |  CAST(min(CASE WHEN cum >= ceil(0.9 * n) THEN bin + 1 END) AS BIGINT) AS p90_bin,
+        |  CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN bin + 1 END) AS BIGINT) AS p99_bin
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
     // both rolling paths replayed: exact distinct over the 7-anchor
     // fan-out, and per-day registers max-merged per anchor + the t22
     // estimate arithmetic per day
