@@ -1470,6 +1470,27 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
       .orderBy("lang")
 
+  /** The SQL-TEXT API surface: the same engine driven through
+    * `spark.sql(...)` over registered temp views — a reference user who
+    * writes SQL strings, not DataFrame chains, gets the identical
+    * Catalyst planning (this query: join + distinct count + exact-cents
+    * money aggregation, all in one SQL text). The oracle is the same
+    * statement over DuckDB's tables.
+    */
+  private def q38SqlText(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql("""
+      SELECT d.lang,
+             count(*) AS n_events,
+             count(DISTINCT e.user_id) AS n_users,
+             CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+      FROM events_v e
+      JOIN documents_v d ON d.doc_id = e.user_id % 500
+      GROUP BY d.lang
+      ORDER BY d.lang""")
+  }
+
   /** Binned-histogram quantile ESTIMATES — the mergeable scale path
     * beside q16's exact percentiles: integer cents bucket into
     * whole-unit bins (a histogram merges across shards/days by bin-wise
@@ -2730,6 +2751,7 @@ object SparkEntry {
     "t36_oov_rate" -> t36OovRate _,
     "q36_rolling_distinct" -> q36RollingDistinct _,
     "q37_binned_quantiles" -> q37BinnedQuantiles _,
+    "q38_sql_text" -> q38SqlText _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3490,6 +3512,13 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // the same SQL statement, verbatim semantics, on DuckDB's tables
+    "q38_sql_text" ->
+      """SELECT d.lang, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+        |FROM events e JOIN documents d ON d.doc_id = e.user_id % 500
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // bin histogram + cumulative window replayed; ceil(q*n) products are
     // the only doubles (identical IEEE on both engines)
     "q37_binned_quantiles" ->
