@@ -672,6 +672,32 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** As-of join with a TOLERANCE bound (pandas `merge_asof(tolerance=)`
+    * semantics): matches staler than 1 hour are nulled out — the
+    * feature-freshness guard a backfill pipeline needs (a quote from
+    * last week must not label today's trade). Composes [[ops.AsOfJoin
+    * .asofBackward]] with the right timestamp carried in the payload;
+    * the staleness test is whole-second arithmetic on both engines. The
+    * oracle post-filters DuckDB's native ASOF the same way.
+    */
+  private def q39AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event"),
+        cents(col("value")).as("p_cents"))
+    val j = ops.AsOfJoin.asofBackward(clicks, purchases, "user_id", "ts",
+      Seq("ts", "p_event", "p_cents"))
+    val fresh = col("asof_ts").isNotNull &&
+      unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")) <= 3600L
+    j.select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        when(fresh, col("asof_p_event")).as("p_event"),
+        when(fresh, centsOut(col("asof_p_cents"))).as("p_value"))
+      .orderBy("event_id")
+  }
+
   /** The CUSTOM PHYSICAL OPERATOR through the gate ([[graft.plans
     * .AsofJoinExec]] via [[ops.AsOfJoin.asofBackwardNative]]): identical
     * query to q14, planned through graft's own logical node + strategy +
@@ -2752,6 +2778,7 @@ object SparkEntry {
     "q36_rolling_distinct" -> q36RollingDistinct _,
     "q37_binned_quantiles" -> q37BinnedQuantiles _,
     "q38_sql_text" -> q38SqlText _,
+    "q39_asof_tolerance" -> q39AsofTolerance _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3145,6 +3172,22 @@ object SparkEntry {
         | p.p_event, CAST(p.p_cents AS DOUBLE)/100.0 AS p_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    // native ASOF post-filtered by the same whole-second staleness test
+    "q39_asof_tolerance" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS p_event,
+        |       CAST(floor(value*100 + 0.5) AS BIGINT) AS p_cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.p_event, p.p_cents
+        |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, epoch_ns(ts)//1000000000 AS ts_s,
+        |  CASE WHEN pts IS NOT NULL
+        |         AND epoch_ns(ts)//1000000000 - epoch_ns(pts)//1000000000 <= 3600
+        |       THEN p_event END AS p_event,
+        |  CASE WHEN pts IS NOT NULL
+        |         AND epoch_ns(ts)//1000000000 - epoch_ns(pts)//1000000000 <= 3600
+        |       THEN CAST(p_cents AS DOUBLE)/100.0 END AS p_value
+        |FROM j ORDER BY event_id""".stripMargin,
     // same oracle as q14 — the custom physical operator must agree with
     // both the window formulation and DuckDB's native ASOF
     "q21_asof_native" ->
