@@ -1707,6 +1707,22 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** Multi-source BFS ([[ops.Graph.bfsDistances]], source shard 0,
+    * 4 rounds) over g1's shard graph: exact hop distances within the
+    * radius, null beyond — the oracle unrolls the same four min-plus
+    * relaxations ([[bfsRoundSql]]).
+    */
+  private def g5BfsDistances(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(s, dir)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .unionByName(Tables.documents(s, dir)
+        .select(shard.as("src"), ((shard * 17 + 3) % 500).as("dst")))
+      .distinct()
+    ops.Graph.bfsDistances(edges, "src", "dst", Seq(0L), 4)
+      .orderBy("node_id")
+  }
+
   /** LPA community detection ([[ops.Graph.labelPropagation]], 3 rounds)
     * over a deterministic block-star graph on doc-id shards: stars of 10
     * around each block head plus sparse bridges every 60 shards — blocks
@@ -2771,6 +2787,7 @@ object SparkEntry {
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
+    "g5_bfs_distances" -> g5BfsDistances _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
     "t35_cms_merge" -> t35CmsMerge _,
@@ -3023,6 +3040,16 @@ object SparkEntry {
        |l$r AS (SELECT id, label FROM (
        |        SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
        |        FROM t$r) WHERE rn = 1)""".stripMargin
+
+  /** One BFS min-plus relaxation as a CTE — mirror of one
+    * [[ops.Graph.bfsDistances]] round (least skips NULLs identically in
+    * both engines). */
+  private def bfsRoundSql(r: Int): String =
+    s"""d$r AS (SELECT d.id, least(d.dist, x.nd) AS dist
+       |        FROM d${r - 1} d LEFT JOIN (
+       |          SELECT e.v AS id, min(l.dist + 1) AS nd
+       |          FROM e JOIN d${r - 1} l ON e.u = l.id
+       |          WHERE l.dist IS NOT NULL GROUP BY e.v) x ON x.id = d.id)""".stripMargin
 
   /** t22's register→estimate SQL over a named register CTE, tagged with
     * `side` — used twice by t34 (merged vs direct). */
@@ -4445,6 +4472,21 @@ object SparkEntry {
         |${pageRankIterSql(3)}
         |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_nano
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // four min-plus rounds unrolled over g1's undirected shard graph
+    "g5_bfs_distances" ->
+      s"""WITH r0 AS (
+        |  SELECT DISTINCT doc_id % 500 AS u, ((doc_id % 500) * 31 + 7) % 500 AS v FROM documents
+        |  UNION
+        |  SELECT DISTINCT doc_id % 500, ((doc_id % 500) * 17 + 3) % 500 FROM documents),
+        |ded AS (SELECT DISTINCT u, v FROM r0 WHERE u <> v),
+        |e AS (SELECT u, v FROM ded UNION SELECT v, u FROM ded),
+        |nodes AS (SELECT DISTINCT u AS id FROM e),
+        |d0 AS (SELECT id, CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END AS dist FROM nodes),
+        |${bfsRoundSql(1)},
+        |${bfsRoundSql(2)},
+        |${bfsRoundSql(3)},
+        |${bfsRoundSql(4)}
+        |SELECT id AS node_id, dist FROM d4 ORDER BY node_id""".stripMargin,
     // three synchronous LPA rounds unrolled (lpaRoundSql); the edge frame
     // is the undirected dedup of the block-star graph plus one self-loop
     // per node (the op's oscillation damping)

@@ -114,6 +114,51 @@ object Graph {
       .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS distances, fixed round count — the min-plus
+    * propagation member of the iterative family ([[pageRank]] sums,
+    * [[labelPropagation]] argmaxes, [[Dedup.dupClusters]] mins over
+    * labels; this mins over DISTANCES): hop distance from the nearest
+    * source, the reachability/centrality primitive (crawl-depth from
+    * seed hosts, contamination radius from a flagged node). Each round
+    * relaxes one hop: `d'(v) = min(d(v), min over u→v of d(u) + 1)`;
+    * after `rounds` rounds every node within that hop radius holds its
+    * exact distance, farther nodes stay null — fixed rounds make the
+    * run SQL-unrollable (the replayability contract of the family).
+    * Same scale shape as the siblings: edges persist once, each round
+    * shuffles the 2-long distance frame with a partial-aggregable min,
+    * `localCheckpoint` truncates lineage.
+    *
+    * @return (node_id, dist) — null dist = unreached within `rounds`.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], rounds: Int, checkpointEvery: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(sources.nonEmpty, "need at least one source")
+    require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = sources.toSet
+    var dist = nodes.select(col("id"),
+      when(col("id").isInCollection(srcSet), lit(0L))
+        .otherwise(lit(null).cast("long")).as("dist"))
+    var it = 0
+    while (it < rounds) {
+      val relaxed = e.join(dist, col("u") === col("id"))
+        .filter(col("dist").isNotNull)
+        .groupBy(col("v")).agg(min(col("dist") + 1).as("nd"))
+      val next = dist.join(relaxed, col("id") === col("v"), "left")
+        .select(col("id"), least(col("dist"), col("nd")).as("dist"))
+      dist = if ((it + 1) % checkpointEvery == 0) next.localCheckpoint() else next
+      it += 1
+    }
+    dist.select(col("id").as("node_id"), col("dist"))
+  }
+
   /** Per-node LOCAL CLUSTERING COEFFICIENT —
     * `2·T(v) / (deg(v)·(deg(v)−1))`, the normalized form of
     * [[triangleCounts]]' raw signal (a hub with 50 triangles over 1000

@@ -119,6 +119,23 @@ class GraphCdcSpec extends SparkSpec {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("bfsDistances: exact hop counts on a path; unreached stays null") {
+    // path 1-2-3-4-5 plus isolated pair 8-9; sources {1}
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 8L -> 9L)
+    val r = Graph.bfsDistances(e, "src", "dst", Seq(1L), 3)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r(1L) == Some(0L) && r(2L) == Some(1L) && r(3L) == Some(2L))
+    assert(r(4L) == Some(3L))
+    assert(r(5L).isEmpty, "beyond the 3-hop radius")
+    assert(r(8L).isEmpty && r(9L).isEmpty, "disconnected component")
+    // multi-source takes the nearest
+    val m = Graph.bfsDistances(e, "src", "dst", Seq(1L, 5L), 3)
+      .collect().filterNot(_.isNullAt(1))
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(m(3L) == 2L && m(4L) == 1L && m(5L) == 0L)
+  }
+
   test("clusteringCoeff: clique scores 1, path interior 0, deg<2 guarded") {
     // K4 on 1-4 plus a pendant 5-1: the K4 corners stay cliquish, the
     // pendant has deg 1 (guarded zero), node 1 dilutes to 3/(5*4/2)
