@@ -1151,6 +1151,15 @@ object SparkEntry {
         col("v1"), col("v2"), col("inter"), col("jaccard"), col("containment"))
       .orderBy("lang1", "lang2")
 
+  /** Document-frequency vocabulary pruning ([[ops.Curation
+    * .dfPruneVocab]], min_df 3, max_df 60%): every token labeled
+    * kept/too_rare/too_common — the oracle replays the distinct-df
+    * counts and the integer band test.
+    */
+  private def t40DfPrune(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.dfPruneVocab(Tables.documents(s, dir), "text", "doc_id", 3L, 60)
+      .orderBy("t")
+
   /** OOV rate under a 2000-token truncated vocabulary ([[ops.Curation
     * .oovRate]]): the tokenizer-budget screen — the oracle re-derives
     * the tie-broken vocab cut and every per-doc ratio.
@@ -2792,6 +2801,7 @@ object SparkEntry {
     "t34_hll_merge" -> t34HllMerge _,
     "t35_cms_merge" -> t35CmsMerge _,
     "t36_oov_rate" -> t36OovRate _,
+    "t40_df_prune" -> t40DfPrune _,
     "q36_rolling_distinct" -> q36RollingDistinct _,
     "q37_binned_quantiles" -> q37BinnedQuantiles _,
     "q38_sql_text" -> q38SqlText _,
@@ -3630,6 +3640,16 @@ object SparkEntry {
         |  round(CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 57)
         |    / CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 57) AS DOUBLE), 6) AS dau7_hll
         |FROM exact e JOIN est USING (day) ORDER BY day""".stripMargin,
+    // distinct-df counts + the integer band test replayed
+    "t40_df_prune" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(${toksSql("text")}) AS t FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |c AS (SELECT t, count(*) AS df_count FROM dt GROUP BY t)
+        |SELECT t, df_count,
+        |  CASE WHEN df_count < 3 THEN 'too_rare'
+        |       WHEN df_count * 100 > 60 * n.n_docs THEN 'too_common'
+        |       ELSE 'kept' END AS status
+        |FROM c, n ORDER BY t""".stripMargin,
     // tie-broken vocab cut re-derived; the rate is one exact division
     "t36_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),

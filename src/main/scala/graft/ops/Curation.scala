@@ -443,6 +443,34 @@ object Curation {
       .limit(k)
   }
 
+  /** DOCUMENT-frequency vocabulary pruning — the CountVectorizer
+    * `min_df`/`max_df` band: tokens in fewer than `minDf` documents are
+    * noise (typos, ids), tokens in more than `maxDfPct`% of documents
+    * are boilerplate/stopwords; both poison features. Distinct from
+    * [[oovRate]]'s total-frequency top-k: df counts each document once
+    * (a token spammed 500× in one doc is still df=1) and the band cuts
+    * BOTH tails. Labels every token rather than filtering, so the
+    * decision is auditable. One distinct + one partial-aggregable count;
+    * the doc total enters as a broadcast 1-row aggregate and the band
+    * test is pure integer arithmetic (`df·100` vs `pct·n` — no ratio
+    * doubles to disagree on).
+    */
+  def dfPruneVocab(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long, maxDfPct: Int): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1: $minDf")
+    require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct out of [1,100]: $maxDfPct")
+    val docTok = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t")).distinct()
+    val nDocs = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    docTok.groupBy("t").agg(count(lit(1)).as("df_count"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t"), col("df_count"),
+        when(col("df_count") < minDf, lit("too_rare"))
+          .when(col("df_count") * 100 > lit(maxDfPct.toLong) * col("n_docs"),
+            lit("too_common"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Out-of-vocabulary rate under a TRUNCATED top-k vocabulary — the
     * tokenizer-budget diagnostic: pick the `vocabSize` most frequent
     * tokens (total `(count DESC, token)` order, so the cutoff tie is
