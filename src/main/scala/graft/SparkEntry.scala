@@ -1526,6 +1526,30 @@ object SparkEntry {
       ORDER BY d.lang""")
   }
 
+  /** Correlated subqueries through Catalyst's DECORRELATION: an
+    * above-customer-average filter written as two correlated scalar
+    * subqueries plus an EXISTS — the optimizer must rewrite all three
+    * into aggregate+join shapes (no per-row re-execution exists on a
+    * cluster). The average test is integer-exact
+    * (`cents·n > Σcents` — no double `avg` to disagree on); DuckDB runs
+    * the identical statement.
+    */
+  private def q40CorrelatedSubqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                 FROM orders_v)
+      SELECT o.o_custkey, count(*) AS n_above
+      FROM o
+      WHERE o.cents * (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT sum(o3.cents) FROM o o3 WHERE o3.o_custkey = o.o_custkey)
+        AND EXISTS (SELECT 1 FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey)
+      GROUP BY o.o_custkey
+      ORDER BY o.o_custkey""")
+  }
+
   /** Binned-histogram quantile ESTIMATES — the mergeable scale path
     * beside q16's exact percentiles: integer cents bucket into
     * whole-unit bins (a histogram merges across shards/days by bin-wise
@@ -2806,6 +2830,7 @@ object SparkEntry {
     "q37_binned_quantiles" -> q37BinnedQuantiles _,
     "q38_sql_text" -> q38SqlText _,
     "q39_asof_tolerance" -> q39AsofTolerance _,
+    "q40_correlated_subqueries" -> q40CorrelatedSubqueries _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3592,6 +3617,19 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // identical statement; sum-correlated subquery CAST to BIGINT on the
+    // DuckDB side (HUGEINT rule)
+    "q40_correlated_subqueries" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o.o_custkey, count(*) AS n_above
+        |FROM o
+        |WHERE o.cents * (SELECT count(*) FROM o o2 WHERE o2.o_custkey = o.o_custkey)
+        |      > (SELECT CAST(sum(o3.cents) AS BIGINT) FROM o o3 WHERE o3.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |GROUP BY o.o_custkey
+        |ORDER BY o.o_custkey""".stripMargin,
     // the same SQL statement, verbatim semantics, on DuckDB's tables
     "q38_sql_text" ->
       """SELECT d.lang, count(*) AS n_events,
