@@ -1526,6 +1526,31 @@ object SparkEntry {
       ORDER BY d.lang""")
   }
 
+  /** NULL-SAFE equality join (`<=>` / `IS NOT DISTINCT FROM`): under
+    * plain `=`, null keys never match and silently drop — the classic
+    * lost-rows bug when a nullable dimension key joins a lookup that
+    * legitimately has a null row. A null-keyed segment is derived
+    * deterministically (every 10th user), joined null-safely to a
+    * segment dimension that includes the null segment, and the row
+    * count proves the null bucket matched instead of vanishing.
+    */
+  private def q41NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("user_id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 5).as("seg"))
+    val dim = Tables.events(s, dir)
+      .select(when(col("user_id") % 10 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 5).as("seg"))
+      .distinct()
+      .withColumn("seg_name",
+        coalesce(concat(lit("seg_"), col("seg")), lit("unassigned")))
+    e.join(dim, e("seg") <=> dim("seg"))
+      .groupBy(col("seg_name"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("seg_name")
+  }
+
   /** Correlated subqueries through Catalyst's DECORRELATION: an
     * above-customer-average filter written as two correlated scalar
     * subqueries plus an EXISTS — the optimizer must rewrite all three
@@ -2831,6 +2856,7 @@ object SparkEntry {
     "q38_sql_text" -> q38SqlText _,
     "q39_asof_tolerance" -> q39AsofTolerance _,
     "q40_correlated_subqueries" -> q40CorrelatedSubqueries _,
+    "q41_nullsafe_join" -> q41NullsafeJoin _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3617,6 +3643,16 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // IS NOT DISTINCT FROM = Spark's <=>; the null segment must match
+    "q41_nullsafe_join" ->
+      """WITH e AS (SELECT event_id,
+        |        CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 5 END AS seg
+        |      FROM events),
+        |dim AS (SELECT DISTINCT seg,
+        |          COALESCE('seg_' || seg, 'unassigned') AS seg_name FROM e)
+        |SELECT dim.seg_name, count(*) AS n_events
+        |FROM e JOIN dim ON e.seg IS NOT DISTINCT FROM dim.seg
+        |GROUP BY dim.seg_name ORDER BY dim.seg_name""".stripMargin,
     // identical statement; sum-correlated subquery CAST to BIGINT on the
     // DuckDB side (HUGEINT rule)
     "q40_correlated_subqueries" ->
