@@ -1526,6 +1526,26 @@ object SparkEntry {
       ORDER BY d.lang""")
   }
 
+  /** The SQL SET OPERATORS (`INTERSECT` / `EXCEPT`, distinct
+    * semantics) — converters who clicked AND purchased but never
+    * errored (value-thresholded legs — the fixture gives every user
+    * every event type, so unfiltered sets collapse to the empty
+    * difference). Catalyst plans these as semi/anti joins under the hood
+    * (q4's shapes), but the operator surface itself must parse and
+    * agree; explicit parens pin the standard precedence on both
+    * engines.
+    */
+  private def q42SetOps(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql("""
+      (SELECT user_id FROM events_v WHERE event_type = 'click' AND value > 150
+       INTERSECT
+       SELECT user_id FROM events_v WHERE event_type = 'purchase' AND value > 150)
+      EXCEPT
+      SELECT user_id FROM events_v WHERE event_type = 'error' AND value > 200
+      ORDER BY user_id""")
+  }
+
   /** NULL-SAFE equality join (`<=>` / `IS NOT DISTINCT FROM`): under
     * plain `=`, null keys never match and silently drop — the classic
     * lost-rows bug when a nullable dimension key joins a lookup that
@@ -2612,6 +2632,22 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Compression-codec round-trip: the same data written as ZSTD
+    * parquet (the modern lakehouse default — better ratio than snappy
+    * at comparable decode speed) must read back identically — codec is
+    * a storage property, never a semantics one. Same direct-aggregate
+    * oracle as io11.
+    */
+  private def io14Zstd(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "zstd_docs")
+    Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+    s.read.parquet(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Dynamic partition overwrite — the lakehouse upsert-by-partition
     * semantics (`partitionOverwriteMode=dynamic`): a full seed write
     * plants a sentinel in every lang partition, then a second overwrite
@@ -2842,6 +2878,7 @@ object SparkEntry {
     "t32_token_dropout" -> t32TokenDropout _,
     "q34_grouping_sets" -> q34GroupingSets _,
     "io13_corrupt_files" -> io13CorruptFiles _,
+    "io14_zstd" -> io14Zstd _,
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
@@ -2857,6 +2894,7 @@ object SparkEntry {
     "q39_asof_tolerance" -> q39AsofTolerance _,
     "q40_correlated_subqueries" -> q40CorrelatedSubqueries _,
     "q41_nullsafe_join" -> q41NullsafeJoin _,
+    "q42_set_ops" -> q42SetOps _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3643,6 +3681,14 @@ object SparkEntry {
         |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
         |      ELSE NULL END AS lc_est
         |FROM agg""".stripMargin,
+    // identical set-operator statement
+    "q42_set_ops" ->
+      """(SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150)
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 200
+        |ORDER BY user_id""".stripMargin,
     // IS NOT DISTINCT FROM = Spark's <=>; the null segment must match
     "q41_nullsafe_join" ->
       """WITH e AS (SELECT event_id,
@@ -4452,6 +4498,10 @@ object SparkEntry {
         |  COALESCE(string_agg(t, ' ' ORDER BY pos) FILTER (WHERE b >= 10), '')
         |    AS aug_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // codec is storage-only: same direct aggregate
+    "io14_zstd" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the junk part file must be skipped: clean-data aggregate
     "io13_corrupt_files" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
