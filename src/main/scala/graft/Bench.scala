@@ -49,7 +49,8 @@ object Bench {
     // query planned concurrently.
     val streamingNames = Set(
       "q9_stream_hourly", "q12_stream_sessions", "q13_stream_user_stats",
-      "q17_stream_join", "q26_stream_static")
+      "q17_stream_join", "q26_stream_static", "q35_stream_hopping",
+      "d13_stream_dedup")
     val (serialWarm, parWarm) = ordered.partition(q => streamingNames(q._1))
     // Pre-install the as-of planner strategy on THIS thread before the
     // warmup pool spawns: q21's warmup otherwise read-modify-writes the
