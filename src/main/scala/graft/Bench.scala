@@ -78,6 +78,7 @@ object Bench {
       }
     }
     System.err.println(f"[bench] warmup ${(System.nanoTime() - warmT0) / 1e9}%.1f s")
+    spark.catalog.clearCache() // warmup-pass persists are dead weight now
     // Stage-level diagnostics: record every stage over 3 s wall with its
     // job group (= query name), so a slow run names the guilty stage
     // instead of needing a thread-dump safari. stderr only; the stdout
@@ -119,6 +120,10 @@ object Bench {
         case NonFatal(e) => System.err.println(s"[bench] $name failed: $e")
       }
       spark.sparkContext.clearJobGroup()
+      // outside the timed region: queries that persist shared scans and
+      // return lazily can't unpersist in-op; without this, 3 passes ×
+      // those queries accumulate dead blocks that crowd later caches
+      spark.catalog.clearCache()
     }
     val results = ordered.map { case (name, _) =>
       name -> (times(name) match { case Nil => -1.0; case ts => ts.min })

@@ -29,6 +29,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent: drop any frames the one that just ran
+      // persisted (some ops cache shared scans and return lazily, so they
+      // cannot unpersist in-op) — otherwise blocks accumulate across the
+      // 147-query session and squeeze later queries' working memory
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

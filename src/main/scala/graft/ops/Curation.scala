@@ -567,6 +567,24 @@ object Curation {
     * absent (inner join) — at |groups| ≤ thousands the dense completion
     * is a driver-side concern, not an engine one.
     */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("g"),
+      explode(TextFunctions.tokens(col(textCol))).as("t")).distinct()
+    val sizes = tok.groupBy("g").agg(count(lit(1)).as("nv"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("g").as("g1"), col("nv").as("v1")), "g1")
+      .join(sizes.select(col("g").as("g2"), col("nv").as("v2")), "g2")
+      .select(col("g1"), col("g2"), col("v1"), col("v2"), col("inter"),
+        (col("inter").cast("double") / (col("v1") + col("v2") - col("inter")))
+          .as("jaccard"),
+        (col("inter").cast("double") / least(col("v1"), col("v2")))
+          .as("containment"))
+  }
+
   /** [[vocabOverlap]]'s estimate-by-sketch sibling: per-group k-min
     * MINHASH SIGNATURES over the token vocabulary, pairwise similarity
     * estimated as the fraction of matching signature positions — the
@@ -598,23 +616,5 @@ object Curation {
       .agg(sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L)).as("matches"))
       .select(col("g1"), col("g2"), col("matches"),
         (col("matches").cast("double") / k).as("est_jaccard"))
-  }
-
-  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(groupCol).as("g"),
-      explode(TextFunctions.tokens(col(textCol))).as("t")).distinct()
-    val sizes = tok.groupBy("g").agg(count(lit(1)).as("nv"))
-    val inter = tok.as("a").join(tok.as("b"),
-        col("a.t") === col("b.t") && col("a.g") < col("b.g"))
-      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("g").as("g1"), col("nv").as("v1")), "g1")
-      .join(sizes.select(col("g").as("g2"), col("nv").as("v2")), "g2")
-      .select(col("g1"), col("g2"), col("v1"), col("v2"), col("inter"),
-        (col("inter").cast("double") / (col("v1") + col("v2") - col("inter")))
-          .as("jaccard"),
-        (col("inter").cast("double") / least(col("v1"), col("v2")))
-          .as("containment"))
   }
 }

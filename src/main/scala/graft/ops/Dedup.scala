@@ -149,7 +149,12 @@ object Dedup {
       .select(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
     val bloom = histFp.stat.bloomFilter("fingerprint", expectedItems, fpp)
     val b = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => b.value.mightContainString(fp))
+    // null guard: a null-text row yields a null fingerprint, which Spark
+    // passes through to the UDF (Guava's mightContainString NPEs on it);
+    // route it to the non-candidate branch like incrementalDedup's left
+    // join does, so the two ops stay row-for-row identical on null text.
+    val mightContain =
+      udf((fp: String) => fp != null && b.value.mightContainString(fp))
     val f = fresh
       .select(col(idCol).as("id"),
         TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
@@ -816,30 +821,6 @@ object Dedup {
       .filter(col("span_len") >= minLen)
   }
 
-  /** Edit-distance-verified near-dup pairs: cheap blocking, expensive
-    * exact verify — the ED-Join family's shape (prefix filtering + length
-    * filter + banded Levenshtein), the right tool when "duplicate" means
-    * "a few character edits apart" rather than "high shingle overlap".
-    *
-    * Blocking: md5 of the first `prefixLen` characters (fixed-width key
-    * regardless of prefix size) — candidates must agree on the prefix, so
-    * edits INSIDE the first `prefixLen` chars are invisible (documented
-    * recall bound; run with two offset prefixes and union to tighten).
-    * The length filter `|len(a) − len(b)| ≤ maxDist` is a true lower
-    * bound on edit distance, applied inside the join condition.
-    *
-    * Verify uses Spark's threshold Levenshtein (`levenshtein(a, b, k)`:
-    * banded O(k·n) DP that early-exits to −1 above k) — on verified-dup
-    * corpora the band is what makes the verify affordable; distances are
-    * exact integers, so cross-engine parity is free.
-    *
-    * Scale shape: one shuffle on the block key. A boilerplate prefix
-    * ("click here to unsubscribe…") would square a block, so blocks
-    * larger than `maxBlock` are dropped via a window count that rides the
-    * pairing join's own shuffle (same guard as [[substringSpans]]'s
-    * anchor cap) — mega-blocks are boilerplate detection's job, not
-    * pairwise edit distance's.
-    */
   /** Canonical-survivor selection — the policy step after clustering:
     * per cluster keep the member with the highest score (ties to the
     * SMALLEST id, so the choice is total); emits the cluster's keeper,
@@ -864,17 +845,53 @@ object Dedup {
       .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
         col("best.s").as("kept_score"), col("n_members"))
 
-  def editDistanceDupPairs(df: DataFrame, textCol: String, idCol: String,
-      prefixLen: Int, maxDist: Int, maxBlock: Int = 64): DataFrame = {
-    require(prefixLen >= 1 && maxDist >= 0, s"bad params $prefixLen/$maxDist")
+  /** Per-id prefix-block frame shared by [[editDistanceDupPairs]] and
+    * [[editDistanceCapStats]]: (id, t, blk = md5 of the first `prefixLen`
+    * chars, len, __bn = block population via a window count that rides
+    * the block key's own shuffle).
+    */
+  private def editDistanceBlocked(df: DataFrame, textCol: String,
+      idCol: String, prefixLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull)
       .select(col("id"), col("t"),
         md5(substring(col("t"), 1, prefixLen).cast("binary")).as("blk"),
         length(col("t")).as("len"))
-    val capped = d
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy("blk")))
+  }
+
+  /** Edit-distance-verified near-dup pairs: cheap blocking, expensive
+    * exact verify — the ED-Join family's shape (prefix filtering + length
+    * filter + banded Levenshtein), the right tool when "duplicate" means
+    * "a few character edits apart" rather than "high shingle overlap".
+    *
+    * Blocking: md5 of the first `prefixLen` characters (fixed-width key
+    * regardless of prefix size) — candidates must agree on the prefix, so
+    * edits INSIDE the first `prefixLen` chars are invisible (documented
+    * recall bound; run with two offset prefixes and union to tighten).
+    * The length filter `|len(a) − len(b)| ≤ maxDist` is a true lower
+    * bound on edit distance, applied inside the join condition.
+    *
+    * Verify uses Spark's threshold Levenshtein (`levenshtein(a, b, k)`:
+    * banded O(k·n) DP that early-exits to −1 above k) — on verified-dup
+    * corpora the band is what makes the verify affordable; distances are
+    * exact integers, so cross-engine parity is free.
+    *
+    * Scale shape: one shuffle on the block key. A boilerplate prefix
+    * ("click here to unsubscribe…") would square a block, so blocks
+    * larger than `maxBlock` are dropped via a window count that rides the
+    * pairing join's own shuffle (same guard as [[substringSpans]]'s
+    * anchor cap) — mega-blocks are boilerplate detection's job, not
+    * pairwise edit distance's. The cap is NOT silent: run
+    * [[editDistanceCapStats]] with the same parameters to get the
+    * dropped blocks and row counts (same one-aggregation price as the
+    * blocking pass itself).
+    */
+  def editDistanceDupPairs(df: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int, maxDist: Int, maxBlock: Int = 64): DataFrame = {
+    require(prefixLen >= 1 && maxDist >= 0, s"bad params $prefixLen/$maxDist")
+    val capped = editDistanceBlocked(df, textCol, idCol, prefixLen)
       .filter(col("__bn") <= maxBlock).drop("__bn")
     capped.as("a").join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
@@ -882,5 +899,23 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         levenshtein(col("a.t"), col("b.t"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist") =!= -1L)
+  }
+
+  /** The blocks [[editDistanceDupPairs]] EXCLUDES under the same
+    * parameters — the cap's audit trail (the "no silent caps" rule): one
+    * row per over-`maxBlock` block with its population, so a pipeline
+    * can alert on how much text the pairwise pass never saw and route
+    * those blocks to boilerplate handling instead. Same plan shape as
+    * the blocking pass (one window count on the block key); at any
+    * scale the output is ≤ |corpus|/maxBlock rows.
+    *
+    * @return (blk, n_rows) for each dropped block, n_rows > maxBlock.
+    */
+  def editDistanceCapStats(df: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int, maxBlock: Int = 64): DataFrame = {
+    require(prefixLen >= 1, s"bad prefixLen $prefixLen")
+    editDistanceBlocked(df, textCol, idCol, prefixLen)
+      .filter(col("__bn") > maxBlock)
+      .groupBy(col("blk")).agg(count(lit(1)).as("n_rows"))
   }
 }

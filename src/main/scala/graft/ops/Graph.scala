@@ -79,6 +79,13 @@ object Graph {
       ranks = if ((it + 1) % checkpointEvery == 0) next.localCheckpoint() else next
       it += 1
     }
+    // the eager final-round checkpoint cut lineage, so the helper caches
+    // are dead weight — release them instead of leaking blocks across a
+    // long session (skipped when truncation is off: the lazy result
+    // still reads through them)
+    if (iters % checkpointEvery == 0) {
+      e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    }
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
 
@@ -156,6 +163,7 @@ object Graph {
       dist = if ((it + 1) % checkpointEvery == 0) next.localCheckpoint() else next
       it += 1
     }
+    if (rounds % checkpointEvery == 0) { e.unpersist(); nodes.unpersist() }
     dist.select(col("id").as("node_id"), col("dist"))
   }
 
@@ -238,6 +246,7 @@ object Graph {
       labels = if ((it + 1) % checkpointEvery == 0) winner.localCheckpoint() else winner
       it += 1
     }
+    if (rounds % checkpointEvery == 0) { nodes.unpersist(); e.unpersist() }
     labels.select(col("id").as("node_id"), col("label"))
   }
 }

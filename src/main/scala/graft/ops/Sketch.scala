@@ -128,20 +128,26 @@ object Sketch {
     registers
       .select(keys.map(col) :+ expr("shiftleft(CAST(1 AS BIGINT), 57 - rho)").as("term"): _*)
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_present"), sum("term").as("s_present"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(col("term").cast("decimal(38,0)")).as("s_present"))
       .select(keys.map(col) :+
         round(lit(alpha * m * m) * pow(lit(2.0), lit(57)) /
-          (col("s_present") + (lit(m.toLong) - col("n_present")) *
+          (col("s_present") + (lit(m.toLong) - col("n_present")).cast("decimal(38,0)") *
             lit(1L << 57)).cast("double"), 6).as("est"): _*)
   }
 
   /** Cardinality estimate from a register table, exact-arithmetic form:
     * the harmonic sum Σ 2^(−ρ) is assembled as INTEGER `Σ 2^(57−ρ)` (every
-    * term a power of two ≤ 2^56, LONG-exact, order-free — a double sum
-    * here would be order-dependent once registers span > 53 bits), absent
+    * term a power of two ≤ 2^56, exact, order-free — a double sum here
+    * would be order-dependent once registers span > 53 bits), absent
     * buckets contribute 2^57 each; the only float op is the final
     * `alpha·m²·2^57 / S` division — one IEEE op over identical integers on
-    * both engines. `lc_est` is the standard small-range linear-counting
+    * both engines. The sum accumulates in DECIMAL(38,0), not LONG: the
+    * worst case `m·2^57` reaches 2^69 at b=12 (and already exceeds 2^63
+    * at b=7 with sparse registers), which would wrap silently under
+    * non-ANSI LONG arithmetic; decimal keeps every term exact through
+    * b=12 and converts to double with the same round-to-nearest as a
+    * long would. `lc_est` is the standard small-range linear-counting
     * alternative `m·ln(m/V)` (choose it when `est_raw < 2.5·m` and V > 0).
     *
     * @return one row: (m, n_zero, reg_md5, est_raw, lc_est) — `reg_md5`
@@ -158,14 +164,14 @@ object Sketch {
         expr("shiftleft(CAST(1 AS BIGINT), 57 - rho)").as("term"),
         concat_ws(":", col("bucket"), col("rho")).as("kv"))
       .agg(count(lit(1)).as("n_present"),
-        sum("term").as("s_present"),
+        sum(col("term").cast("decimal(38,0)")).as("s_present"),
         md5(array_join(sort_array(collect_list(col("kv"))), ",").cast("binary")).as("reg_md5"))
       .select(
         lit(m.toLong).as("m"),
         (lit(m.toLong) - col("n_present")).as("n_zero"),
         col("reg_md5"),
         round(lit(alpha * m * m) * pow(lit(2.0), lit(57)) /
-          (col("s_present") + (lit(m.toLong) - col("n_present")) *
+          (col("s_present") + (lit(m.toLong) - col("n_present")).cast("decimal(38,0)") *
             lit(1L << 57)).cast("double"), 6).as("est_raw"),
         when(col("n_present") < m,
           round(lit(m.toDouble) * log(lit(m.toDouble) /

@@ -49,7 +49,12 @@ object Timeseries {
     val ev = df.select(col(keyCol).as("key"),
       unix_micros(col(tsCol)).as("ts_us"), col(idCol).as("id"),
       floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
-      .withColumn("hour", expr("ts_us div 3600000000"))
+      // FLOOR division, not `div` (which truncates toward zero): the
+      // DuckDB oracle's `//` floors, and a pre-1970 timestamp would
+      // bucket one hour high under truncation — `ts_us - pmod(...)` is
+      // the largest hour multiple ≤ ts_us on both signs, exactly.
+      .withColumn("hour",
+        expr("(ts_us - pmod(ts_us, 3600000000)) div 3600000000"))
     // last event per (key, hour) in total order — deterministic survivor
     val perHour = ev.withColumn("rn", row_number().over(
         Window.partitionBy("key", "hour").orderBy(col("ts_us").desc, col("id").desc)))

@@ -43,6 +43,42 @@ class DedupSpec extends SparkSpec {
     assert(pruned >= 80, s"bloom pruned only $pruned of 90 new docs")
   }
 
+  test("incrementalDedupBloom: null-text fresh rows don't NPE and match plain op") {
+    import spark.implicits._
+    val hist = Seq((1L, "some history doc"), (2L, "another history doc"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((10L, "some history doc"), (11L, null), (12L, "brand new doc"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2))).toSet
+    val plain = norm(Dedup.incrementalDedup(hist, fresh, "text", "doc_id"))
+    val bloom = norm(Dedup.incrementalDedupBloom(hist, fresh, "text", "doc_id",
+      expectedItems = 100L))
+    assert(bloom == plain, "null-text row diverged between bloom and plain")
+    assert(plain.exists { case (id, fp, dup) => id == 11L && fp.isEmpty && !dup })
+  }
+
+  test("editDistanceCapStats reports exactly the blocks the pairing pass drops") {
+    // planted boilerplate: 5 docs share a 16-char prefix (over cap=3);
+    // a 2-doc block stays under the cap and still pairs
+    val boiler = "click here now!!"
+    assert(boiler.length == 16)
+    val df = docs(
+      (1L, boiler + " tail one"), (2L, boiler + " tail two"),
+      (3L, boiler + " tail tri"), (4L, boiler + " tail for"),
+      (5L, boiler + " tail fiv"),
+      (10L, "unique prefix aa doc body x"), (11L, "unique prefix aa doc body y"))
+    val stats = Dedup.editDistanceCapStats(df, "text", "doc_id",
+      prefixLen = 16, maxBlock = 3).collect()
+    assert(stats.length == 1 && stats(0).getLong(1) == 5L,
+      s"expected one dropped block of 5 rows, got ${stats.mkString(",")}")
+    val pairs = Dedup.editDistanceDupPairs(df, "text", "doc_id",
+      prefixLen = 16, maxDist = 5, maxBlock = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the under-cap block pairs; none of ids 1-5 appear
+    assert(pairs == Set((10L, 11L)), pairs.toString)
+  }
+
   test("substringSpans recovers the exact shared run and offsets") {
     // doc2 carries doc1's tokens 3..12 (10 tokens: c3..c12) at offset 3
     val shared = (3 to 12).map(i => s"c$i").mkString(" ")

@@ -115,6 +115,32 @@ class SketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("HLL wide-b sparse registers don't overflow (b=8..12, 1-3 values)") {
+    import spark.implicits._
+    // regression: at b >= 7 the absent-bucket mass (m - n)·2^57 exceeds
+    // 2^63 when registers are sparse — a LONG harmonic sum wraps negative
+    // silently; the decimal(38,0) accumulation must keep every estimate
+    // positive and near the tiny true cardinality across the full b range
+    for (b <- Seq(8, 10, 12)) {
+      val est = Sketch.hllEstimate(
+        Sketch.hllRegisters(Seq("a", "b", "c").toDF("v"), "v", b), b)
+        .collect()(0)
+      val raw = est.getAs[Double]("est_raw")
+      val lc = est.getAs[Double]("lc_est")
+      // the RAW estimator reads ~alpha·m at tiny cardinality (standard
+      // small-range bias — lc_est is the branch to use); overflow showed
+      // up as a NEGATIVE or astronomically large value, so bound by m
+      val m = 1L << b
+      assert(raw > 0 && raw < m, s"b=$b est_raw=$raw")
+      // linear counting is the branch a caller would pick here; exact-ish
+      assert(lc > 1 && lc < 10, s"b=$b lc_est=$lc")
+    }
+    val keyed = Sketch.hllEstimateBy(
+      Sketch.hllRegistersBy(Seq(("k", "x")).toDF("k", "v"), Seq("k"), "v", 10),
+      Seq("k"), 10).collect()(0)
+    assert(keyed.getAs[Double]("est") > 0, keyed)
+  }
+
   test("hllRegisters merge law: max-merged halves equal the direct sketch bit-for-bit") {
     import spark.implicits._
     val all = (0 until 300).map(i => s"val$i")

@@ -34,6 +34,16 @@ class TimeseriesSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getDouble(2) == 9.00)
   }
 
+  test("gapFillHourly: pre-epoch timestamps bucket by FLOOR, grid spans the sign") {
+    // -7200 s = hour -2 exactly; -1 s sits in hour -1 (truncating `div`
+    // would call it hour 0 and shift the whole pre-epoch grid one high)
+    val df = evdf(Seq((1L, -7200L, 1L, 1.00), (1L, -1L, 2L, 2.00)))
+    val out = Timeseries.gapFillHourly(df, "user_id", "ts", "value", "event_id")
+      .orderBy("hour").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((-2L, 1.00, 1L), (-1L, 2.00, 1L)), out.mkString(","))
+  }
+
   test("rollingZScore: nulls under 2 priors / zero variance; exact score") {
     val df = evdf(Seq(
       (1L, 100L, 1L, 1.00), (1L, 200L, 2L, 3.00),
