@@ -1867,14 +1867,37 @@ object SparkEntry {
       .orderBy("id1", "id2")
 
   /** Embedding LSH near-dup pairs ([[ops.Similarity.lshCosinePairs]],
-    * 16-bit signature, 4-bit bands, cosine ≥ 0.4 — the fixture's
-    * planted dups sit at 0.4–0.51): the training-free
-    * candidate generator — the oracle re-derives the sign matrix,
-    * signatures, band collisions, and every verified cosine.
+    * 16-bit signature, 4-bit bands — the NARROW config, passed
+    * explicitly: at 2⁴ buckets/band it is a correctness baseline for
+    * small corpora, not the at-scale shape (see [[d22LshWide]]),
+    * cosine ≥ 0.4 — the fixture's planted dups sit at 0.4–0.51): the
+    * training-free candidate generator — the oracle re-derives the sign
+    * matrix, signatures, band collisions, and every verified cosine.
     */
   private def d21EmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    ops.Similarity.lshCosinePairs(Tables.embeddings(s, dir), 0.4, 64)
+    ops.Similarity.lshCosinePairs(Tables.embeddings(s, dir), 0.4, 64,
+        outDim = 16, bandBits = 4)
       .orderBy("id1", "id2")
+
+  /** Embedding LSH at the DEFAULT wide-band config (64-bit signature,
+    * 4 bands × 16 bits = 65,536 buckets/band — the 100 TB shape whose
+    * bucket math is derived in [[ops.Similarity.lshCosinePairs]]'s
+    * scaladoc). Wide bands only collide near-identical directions, so
+    * the corpus is augmented with ×2-scaled twins (every 25th vector;
+    * scaling by a power of two is IEEE-exact, so twin signs — hence
+    * signatures — match bit-for-bit and the twins collide in EVERY
+    * band): the gate then proves the wide path end-to-end — sign
+    * matrix, 64-bit signatures, 16-bit band collisions, verified
+    * cosines — against an oracle that replays all of it.
+    */
+  private def d22LshWide(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val aug = base.unionByName(
+      base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    ops.Similarity.lshCosinePairs(aug, 0.4, 64).orderBy("id1", "id2")
+  }
 
   /** Asymmetric containment pairs ([[ops.Dedup.containmentDupPairs]],
     * 3-gram, 0.7): catches embedded/excerpted documents whose Jaccard
@@ -2898,6 +2921,7 @@ object SparkEntry {
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
+    "d22_lsh_wide" -> d22LshWide _,
     "q35_stream_hopping" -> q35StreamHopping _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
@@ -4045,6 +4069,36 @@ object SparkEntry {
       s"""WITH $embNormSql,
         |sig AS (SELECT vec_id, $bitsSql AS sig FROM e),
         |bands AS (SELECT vec_id, b.b AS band, substr(sig, b.b * 4 + 1, 4) AS bits
+        |          FROM sig CROSS JOIN generate_series(0, 3) AS b(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id),
+        |p AS (SELECT cand.id1, cand.id2, ${cosineSql("x", "y")} AS cosine
+        |      FROM cand JOIN n x ON x.vec_id = cand.id1
+        |        JOIN n y ON y.vec_id = cand.id2)
+        |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.4
+        |ORDER BY id1, id2""".stripMargin
+    },
+    // wide-band replay: 64-dim sign matrix, 64-bit signatures, 16-bit
+    // bands, over the ×2-twin-augmented corpus (scaling by 2 is
+    // IEEE-exact, so the doubles are identical on both engines)
+    "d22_lsh_wide" -> {
+      def pSql(j: Int): String =
+        s"round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * " +
+          s"(CASE WHEN CAST(('0x' || substr(md5(CAST(i-1 AS VARCHAR) || '|$j'), 1, 4)) AS BIGINT) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END))) / sqrt(64.0), 6)"
+      val bitsSql = (0 until 64)
+        .map(j => s"(CASE WHEN ${pSql(j)} > 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding::DOUBLE[], x -> x * 2) AS v
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |sig AS (SELECT vec_id, $bitsSql AS sig FROM e),
+        |bands AS (SELECT vec_id, b.b AS band, substr(sig, b.b * 16 + 1, 16) AS bits
         |          FROM sig CROSS JOIN generate_series(0, 3) AS b(b)),
         |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         |         FROM bands a JOIN bands b

@@ -274,8 +274,20 @@ object Dedup {
     // shingle arrays measured slower than recomputing the codegen'd
     // word_shingles kernel (5.3 s vs 4.1 s at sf0.1) — cache only when
     // the upstream is an expensive scan, not a cheap expression
-    val withSh = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    //
+    // CONDITIONAL spread, not an unconditional exchange: a small-file
+    // local input (the sf0.01 gate reads ONE parquet file → 1-2 splits)
+    // starves the 3× shingle recompute of parallelism, so spread it to
+    // the shuffle width; but when upstream already carries adequate
+    // splits — any real corpus, where the scan yields thousands — a
+    // corpus-wide repartition of raw TEXT is pure cost (the candidate
+    // and verify joins exchange on their own keys regardless), so skip
+    // it. The planning-time getNumPartitions probe compiles the plan
+    // but runs no job.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spread =
+      if (df.rdd.getNumPartitions * 2 < width) df.repartition(width) else df
+    val withSh = spread
       .select(col(idCol).as("id"),
         call_function("word_shingles", col(textCol), lit(n)).as("sh"))
     val ex = withSh.select(col("id"), explode(col("sh")).as("s"))

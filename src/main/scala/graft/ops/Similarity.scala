@@ -359,9 +359,23 @@ object Similarity {
     * Needs NO centroids/training — the trade is probabilistic recall,
     * tuned by (outDim, bandBits). One narrow signature pass, one
     * banded equi-join, one verify join.
+    *
+    * BUCKET-COUNT MATH (the scale knob — size it before trusting the
+    * plan): each band hashes into at most `2^bandBits` buckets, so the
+    * candidate self-join's expected bucket population is
+    * `n / 2^bandBits` per band. Narrow bands degenerate toward all
+    * pairs: at `bandBits = 4` a 10⁹-vector corpus puts ~6×10⁷ vectors
+    * in EVERY bucket and the join is O(n²) regardless of how many
+    * bands there are. The defaults (`outDim = 64, bandBits = 16`
+    * → 4 bands × 65,536 buckets) keep buckets ~n/65k — the 100 TB
+    * configuration; recall per band is `(1 − θ/π)^bandBits`, so wide
+    * bands trade recall for bucket size and are the right default for
+    * near-DUPLICATE detection (θ small → per-band recall stays high).
+    * Pass a narrow config explicitly only for small corpora or
+    * low-cosine matching, where the quadratic bucket is affordable.
     */
   def lshCosinePairs(df: DataFrame, threshold: Double, inDim: Int,
-      outDim: Int = 16, bandBits: Int = 4, idCol: String = "vec_id",
+      outDim: Int = 64, bandBits: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(outDim % bandBits == 0, s"outDim $outDim not banded by $bandBits")
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
