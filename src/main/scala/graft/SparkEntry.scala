@@ -1595,6 +1595,150 @@ object SparkEntry {
       ORDER BY o.o_custkey""")
   }
 
+  /** PIVOT through the gate: per-user event counts AND exact-cents value
+    * totals spread across an EXPLICIT event-type column list. The
+    * explicit list is the scale posture — `pivot(col)` without values
+    * runs a driver-side distinct over the corpus first; with the list
+    * the whole pivot is one partial-aggregable groupBy (no extra scan,
+    * no driver round-trip). Absent cells are coalesced to 0 so the frame
+    * matches the oracle's FILTER-aggregation encoding.
+    */
+  private def q43Pivot(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      expr("CAST(floor(value * 100 + 0.5) AS LONG)").as("cents"))
+    def out(t: String) = Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      (coalesce(col(s"${t}_cents"), lit(0L)).cast("double") / 100).as(s"${t}_value"))
+    e.groupBy("user_id")
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(col("user_id") +: Seq("view", "click", "purchase").flatMap(out): _*)
+      .orderBy("user_id")
+  }
+
+  /** UNPIVOT/melt through the gate: the four lineitem measures unfolded
+    * to (key, measure, value) long form — `Dataset.unpivot`, a narrow
+    * per-row expand (Catalyst `Expand`, no shuffle, no UDF), the shape
+    * feature stores and metric pipelines emit. Values are echoed
+    * verbatim (no arithmetic), so parity is bit-exact.
+    */
+  private def q44Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Weekly cohort retention — the standard growth-analytics matrix:
+    * cohort = a user's first active epoch-week, age = active week −
+    * cohort week, cell = distinct users. Shape: one distinct over
+    * (user, week) — partial-aggregable — then a user-key equi-join of
+    * two frames ALREADY partitioned by user (no extra exchange beyond
+    * the groupBys), then the (cohort, age) count-distinct. No window
+    * over the whole corpus, no driver state; every step keyed.
+    */
+  private def q45Retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("CAST(unix_timestamp(ts) AS LONG) div 604800").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("w0"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("wk") - col("w0")).as("age"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "age")
+  }
+
+  /** Correlation / regression statistics from EXACT integer sums — the
+    * engine's answer to `corr()`/`regr_slope()` with cross-engine hash
+    * parity: per group, the five moment sums Σx, Σy, Σx², Σy², Σxy are
+    * accumulated over integer CENTS in decimal(38,0) (order-free, exact
+    * — a double or LONG accumulation would be run-order-dependent or
+    * overflowable: Σpc² alone reaches ~2.2×10¹⁸ per group at sf0.1 and
+    * 10²¹ at corpus scale), then Pearson r and the OLS slope/intercept
+    * are ONE double formula over those exact sums — identical IEEE ops
+    * on identical integers on both engines. This is also the mergeable
+    * form: shard-local sums combine by addition, so the same op runs
+    * partial → merge at any scale.
+    */
+  private def q46Stats(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      expr("CAST(floor(l_quantity * 100 + 0.5) AS LONG)").as("qc"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS LONG)").as("pc"))
+    val d = (c: Column) => c.cast("double")
+    val sums = l.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("qc").cast("decimal(38,0)")).as("sx"),
+      sum(col("pc").cast("decimal(38,0)")).as("sy"),
+      sum((col("qc") * col("qc")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("pc") * col("pc")).cast("decimal(38,0)")).as("syy"),
+      sum((col("qc") * col("pc")).cast("decimal(38,0)")).as("sxy"))
+    sums.select(col("l_returnflag"), col("n"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+           sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+          .as("corr_qty_price"),
+        round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))), 6)
+          .as("slope_cents"),
+        round(sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+          (d(col("n")) * (d(col("n")) - 1))) / 100, 6).as("stddev_qty"),
+        round(sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))) /
+          (d(col("n")) * (d(col("n")) - 1))) / 100, 6).as("stddev_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Batch sessionization — the 30-minute-inactivity-gap session op (the
+    * batch twin of the streaming session windows): one lag to mark
+    * session starts, one running sum to number them, one grouped
+    * aggregate for the session stats. All three windows share ONE
+    * partitioning (user key) and ONE sort (ts, id) — Catalyst plans a
+    * single Exchange+Sort for the whole chain, so at 100 TB this is one
+    * shuffle, not three. Micros arithmetic; money in exact cents.
+    */
+  private def q47Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      expr("CAST(floor(value * 100 + 0.5) AS LONG)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val sess = e
+      // first row per user: lag is null → NULL > gap is null → ELSE 0
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("sess_idx", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts_us) div 1000000").as("start_s"),
+        expr("max(ts_us) div 1000000").as("end_s"),
+        (sum(col("cents")).cast("double") / 100).as("total_value"))
+      .orderBy("user_id", "sess_idx")
+  }
+
+  /** RANGE-frame window through the gate — a frame bounded by VALUE
+    * distance (`1 hour of microseconds PRECEDING`), not row count: the
+    * rolling-hour spend/activity monitor. RANGE frames include ORDER-BY
+    * peers by definition, so ties resolve identically on both engines
+    * with no tiebreak column; sums stay in exact integer cents inside
+    * the frame. Same single-shuffle shape as every keyed window.
+    */
+  private def q48RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id") < 50)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS LONG)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    e.select(col("user_id"), col("event_id"),
+        expr("ts_us div 1000000").as("ts_s"),
+        (sum(col("cents")).over(w).cast("double") / 100).as("hour_value"),
+        count(lit(1)).over(w).as("hour_events"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Binned-histogram quantile ESTIMATES — the mergeable scale path
     * beside q16's exact percentiles: integer cents bucket into
     * whole-unit bins (a histogram merges across shards/days by bin-wise
@@ -2918,6 +3062,12 @@ object SparkEntry {
     "q40_correlated_subqueries" -> q40CorrelatedSubqueries _,
     "q41_nullsafe_join" -> q41NullsafeJoin _,
     "q42_set_ops" -> q42SetOps _,
+    "q43_pivot" -> q43Pivot _,
+    "q44_unpivot" -> q44Unpivot _,
+    "q45_retention" -> q45Retention _,
+    "q46_stats" -> q46Stats _,
+    "q47_sessionize" -> q47Sessionize _,
+    "q48_range_frame" -> q48RangeFrame _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
@@ -3736,6 +3886,87 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         |GROUP BY o.o_custkey
         |ORDER BY o.o_custkey""".stripMargin,
+    // pivot encoded as FILTER aggregations; absent cells 0, money exact
+    "q43_pivot" -> {
+      def cols(t: String): String =
+        s""" count(*) FILTER (WHERE event_type = '$t') AS ${t}_n,
+           | CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           |   FILTER (WHERE event_type = '$t'), 0) AS DOUBLE) / 100.0 AS ${t}_value""".stripMargin
+      s"""SELECT user_id,
+         |${Seq("view", "click", "purchase").map(cols).mkString(",\n")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    // long-form melt as UNION ALL; values echoed verbatim
+    "q44_unpivot" -> {
+      def leg(m: String): String =
+        s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           | '$m' AS measure, $m AS value FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(leg).mkString("", "\nUNION ALL\n", "\nORDER BY l_orderkey, l_linenumber, measure")
+    },
+    // cohort week = min active epoch-week per user; // floors like div
+    // on the post-epoch fixture
+    "q45_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |              epoch_ns(ts) // 1000000000 // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS w0 FROM wk GROUP BY user_id)
+        |SELECT c.w0 AS cohort_week, wk.wk - c.w0 AS age,
+        | count(DISTINCT wk.user_id) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact HUGEINT moment sums -> one double formula (identical IEEE
+    // ops over identical integers)
+    "q46_stats" ->
+      """WITH l AS (SELECT l_returnflag,
+        |        CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        |      FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |        CAST(sum(qc) AS DOUBLE) AS sx, CAST(sum(pc) AS DOUBLE) AS sy,
+        |        CAST(sum(qc * qc) AS DOUBLE) AS sxx,
+        |        CAST(sum(pc * pc) AS DOUBLE) AS syy,
+        |        CAST(sum(qc * pc) AS DOUBLE) AS sxy
+        |      FROM l GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |   (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |    sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price,
+        | round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |   (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope_cents,
+        | round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100, 6) AS stddev_qty,
+        | round(sqrt((CAST(n AS DOUBLE) * syy - sy * sy) /
+        |   (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100, 6) AS stddev_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    // same lag/cumsum/aggregate chain; sess_idx CAST to BIGINT (HUGEINT
+    // rule), first-row lag NULL falls to ELSE 0 on both engines
+    "q47_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT user_id, ts_us, event_id, cents,
+        |        CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |x AS (SELECT user_id, ts_us, event_id, cents,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        |      FROM m)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        | min(ts_us) // 1000000 AS start_s, max(ts_us) // 1000000 AS end_s,
+        | CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value
+        |FROM x GROUP BY user_id, sess_idx
+        |ORDER BY user_id, sess_idx""".stripMargin,
+    // value-bounded RANGE frame; peers included by definition both sides
+    "q48_range_frame" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events WHERE user_id < 50)
+        |SELECT user_id, event_id, ts_us // 1000000 AS ts_s,
+        | CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS hour_value,
+        | count(*) OVER w AS hour_events
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     // the same SQL statement, verbatim semantics, on DuckDB's tables
     "q38_sql_text" ->
       """SELECT d.lang, count(*) AS n_events,
