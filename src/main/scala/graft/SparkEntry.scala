@@ -1160,6 +1160,29 @@ object SparkEntry {
     ops.Curation.dfPruneVocab(Tables.documents(s, dir), "text", "doc_id", 3L, 60)
       .orderBy("t")
 
+  /** C4-style boilerplate screen ([[ops.Curation
+    * .boilerplateShingleStats]], 5-gram, df ≥ 2): per-doc fraction of
+    * distinct 5-grams shared with ≥ 1 other document — the oracle
+    * replays shingling, document frequency, and every ratio.
+    */
+  private def t41Boilerplate(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.boilerplateShingleStats(Tables.documents(s, dir),
+        "text", "doc_id", 5, 2)
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sampling ([[ops.Sampling
+    * .stratifiedHashSample]]): per-event-type Bernoulli rates decided by
+    * an exact integer hash compare — the oracle recomputes the 32-bit
+    * md5 prefix and the same precomputed LONG thresholds.
+    */
+  private def t42StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.stratifiedHashSample(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id")),
+        "event_id", "event_type",
+        Map("view" -> 0.05, "click" -> 0.1, "purchase" -> 0.5, "error" -> 0.25))
+      .select(col("event_id"), col("event_type"), col("user_id"), col("hv"))
+      .orderBy("event_id")
+
   /** OOV rate under a 2000-token truncated vocabulary ([[ops.Curation
     * .oovRate]]): the tokenizer-budget screen — the oracle re-derives
     * the tie-broken vocab cut and every per-doc ratio.
@@ -3055,6 +3078,8 @@ object SparkEntry {
     "t35_cms_merge" -> t35CmsMerge _,
     "t36_oov_rate" -> t36OovRate _,
     "t40_df_prune" -> t40DfPrune _,
+    "t41_boilerplate" -> t41Boilerplate _,
+    "t42_stratified_sample" -> t42StratifiedSample _,
     "q36_rolling_distinct" -> q36RollingDistinct _,
     "q37_binned_quantiles" -> q37BinnedQuantiles _,
     "q38_sql_text" -> q38SqlText _,
@@ -4025,6 +4050,35 @@ object SparkEntry {
         |       WHEN df_count * 100 > 60 * n.n_docs THEN 'too_common'
         |       ELSE 'kept' END AS status
         |FROM c, n ORDER BY t""".stripMargin,
+    // distinct per-doc shingles make count() the document frequency;
+    // docs shorter than 5 words guard through greatest(n_sh, 1)
+    "t41_boilerplate" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesNSql(toksSql("text"), 5)} AS sh FROM documents),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |b AS (SELECT s FROM ex GROUP BY s HAVING count(*) >= 2),
+        |nb AS (SELECT doc_id, count(*) AS n_boiler
+        |       FROM ex JOIN b USING (s) GROUP BY doc_id)
+        |SELECT sh.doc_id, CAST(len(sh.sh) AS BIGINT) AS n_sh,
+        | CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+        | round(CAST(coalesce(nb.n_boiler, 0) AS DOUBLE)
+        |   / greatest(len(sh.sh), 1), 6) AS boiler_ratio
+        |FROM sh LEFT JOIN nb ON sh.doc_id = nb.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
+    // thresholds are the SAME JVM-computed long literals the Spark op
+    // uses (floor(rate*2^32) — cross-engine double->int rounding differs,
+    // so neither engine converts at query time); signup absent -> dropped
+    "t42_stratified_sample" -> {
+      def thr(r: Double): Long = (r * 4294967296L).toLong
+      s"""WITH e AS (SELECT event_id, event_type, user_id,
+        |       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |     FROM events)
+        |SELECT event_id, event_type, user_id, hv FROM e
+        |WHERE hv < CASE event_type
+        |  WHEN 'view' THEN ${thr(0.05)} WHEN 'click' THEN ${thr(0.1)}
+        |  WHEN 'purchase' THEN ${thr(0.5)} WHEN 'error' THEN ${thr(0.25)}
+        |  ELSE -1 END
+        |ORDER BY event_id""".stripMargin
+    },
     // tie-broken vocab cut re-derived; the rate is one exact division
     "t36_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents),

@@ -617,4 +617,42 @@ object Curation {
       .select(col("g1"), col("g2"), col("matches"),
         (col("matches").cast("double") / k).as("est_jaccard"))
   }
+
+  /** C4-style boilerplate detection at n-gram granularity: an n-gram
+    * whose DOCUMENT frequency reaches `minDf` is boilerplate (navigation
+    * chrome, license headers, "click here to unsubscribe…" — text that
+    * recurs across unrelated pages), and each document is scored by the
+    * fraction of its distinct n-grams that are boilerplate — the
+    * filter/strip signal a pretraining pipeline thresholds on before
+    * near-dup detection ever runs.
+    *
+    * Scale shape: one explode of distinct per-doc shingles (so the
+    * per-shingle count IS document frequency — no count-distinct), one
+    * groupBy(shingle) for df, then a join of the exploded frame against
+    * only the shingles that PASSED the df bar. That survivor set is the
+    * broadcast side by construction: boilerplate vocabulary is the
+    * Zipf HEAD of the shingle distribution — df ≥ minDf caps its size
+    * at |corpus-shingle-occurrences| / minDf, and in practice it is
+    * thousands of rows at any corpus size, so the per-doc scoring join
+    * ships no shuffle at all. Docs shorter than n words score 0 via the
+    * greatest(n_sh, 1) guard.
+    */
+  def boilerplateShingleStats(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"bad params n=$n minDf=$minDf")
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val sh = df.select(col(idCol).as("doc_id"),
+      call_function("word_shingles", col(textCol), lit(n)).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val boiler = ex.groupBy("s").agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") >= minDf)
+    val nb = ex.join(broadcast(boiler.select("s")), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+          greatest(col("n_sh"), lit(1L)), 6).as("boiler_ratio"))
+  }
 }

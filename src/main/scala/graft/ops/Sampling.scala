@@ -51,6 +51,35 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 100) < pct)
   }
 
+  /** Stratified deterministic Bernoulli sampling — per-stratum rates at
+    * fine (2⁻³²) granularity: a row survives iff the first 32 bits of
+    * md5(id) fall below its stratum's threshold. The thresholds are
+    * precomputed LONG literals (`⌊rate·2³²⌋` — computed ONCE here, not
+    * per-engine: double→int conversion rounds differently across
+    * engines, so the integer literal is the contract), which keeps the
+    * survive/drop decision an exact integer comparison — the same id
+    * survives every run, every engine, every cluster size.
+    *
+    * This is `sampleBy`/Bernoulli sampling done scale-right: a narrow
+    * map + filter, NO shuffle, no RNG state, no seed plumbing — the
+    * reproducibility property a training-data pipeline needs when a
+    * sample must be reconstructible months later. Strata absent from
+    * `rates` are dropped (threshold −1). `hv` (the 32-bit hash value)
+    * is emitted for auditability.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= 1),
+      s"rates out of [0,1]: $rates")
+    val hv = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(-1L): Column) {
+      case (acc, (k, r)) =>
+        when(col(stratumCol) === k, lit((r * 4294967296L).toLong)).otherwise(acc)
+    }
+    df.withColumn("hv", hv).filter(col("hv") < thr)
+  }
+
   /** Deterministic per-group cap — the data-mixing / rebalancing
     * primitive (e.g. cap every language at N documents): keep each
     * group's `cap` rows with the smallest `(hash bucket, id)` key. The

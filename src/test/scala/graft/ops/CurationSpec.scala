@@ -365,4 +365,23 @@ class CurationSpec extends SparkSpec {
     assert(again.map(r => (r.getString(0), r.getLong(3))).toSeq ==
       rows.map(r => (r.getString(0), r.getLong(3))).toSeq)
   }
+
+  test("boilerplateShingleStats: shared 5-grams flagged, short docs score 0") {
+    import spark.implicits._
+    val chrome = "subscribe to our newsletter today please"
+    val df = Seq(
+      (1L, chrome + " unique alpha body one two"),
+      (2L, chrome + " other beta content three four"),
+      (3L, "completely independent document body with words galore here"),
+      (4L, "tiny doc") // < 5 words → 0 shingles
+    ).toDF("doc_id", "text")
+    val out = Curation.boilerplateShingleStats(df, "text", "doc_id", 5, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // docs 1,2 share exactly the 2 five-grams inside the 6-word chrome
+    assert(out(0)._2 == 7 && out(0)._3 == 2 && out(0)._4 == 0.285714, out(0))
+    assert(out(1)._3 == 2, out(1))
+    assert(out(2)._3 == 0 && out(2)._4 == 0.0, out(2))
+    assert(out(3) == ((4L, 0L, 0L, 0.0)), out(3))
+  }
 }

@@ -147,4 +147,26 @@ class SamplingSpec extends SparkSpec {
     // independently derived: round(ln((md5_48(id)+0.5)/2^48) * 1e6)
     assert(keys(0L) == -208595L && keys(3L) == -77978L)
   }
+
+  test("stratifiedHashSample: exact integer thresholds, absent strata drop") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val out = Sampling.stratifiedHashSample(df, "id", "stratum",
+      Map("a" -> 0.5)).collect()
+    // stratum b absent from rates → fully dropped
+    assert(out.forall(_.getString(1) == "a"))
+    // every survivor's hv is the md5 32-bit prefix and beats the threshold
+    def hv(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xff))
+    }
+    val thr = (0.5 * 4294967296L).toLong
+    val expect = (0L until 400L by 2).filter(i => hv(i) < thr).toSet
+    assert(out.map(_.getLong(0)).toSet == expect)
+    assert(out.forall(r => r.getLong(2) == hv(r.getLong(0))))
+    // ~half of the 200 'a' rows survive at rate 0.5
+    assert(out.length > 60 && out.length < 140, out.length.toString)
+  }
 }
