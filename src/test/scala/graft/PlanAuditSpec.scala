@@ -388,4 +388,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"cartesian in MMR scoring:\n$plan")
   }
+
+  test("d22 wide-band LSH: band-bucket equi-join, no degenerate join") {
+    val plan = executed(SparkEntry.queries("d22_lsh_wide")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wide LSH candidate join degenerated:\n$plan")
+  }
+
+  test("q43 pivot: one scan, two partial-combined agg shuffles, no distinct pass") {
+    val plan = executed(SparkEntry.queries("q43_pivot")(spark, sf0001))
+    // the explicit value list means no distinct-values scan: ONE parquet
+    // read feeds Spark's two-level pivot plan — pre-aggregate on
+    // (user, type), then pivotfirst on user — each level map-side
+    // combined before its exchange
+    assert(countOf(plan, "FileScan parquet") == 1, s"extra scan:\n$plan")
+    assert(countOf(plan, "Exchange hashpartitioning") == 2, s"plan:\n$plan")
+    assert(plan.contains("partial_pivotfirst") && plan.contains("partial_count"),
+      s"no partial aggregates:\n$plan")
+  }
+
+  test("q47 sessionize: lag, running sum, and session agg share ONE shuffle") {
+    val plan = executed(SparkEntry.queries("q47_sessionize")(spark, sf0001))
+    // both windows sort (user, ts, id) and the final aggregate's
+    // (user, sess_idx) clustering is satisfied by the user partitioning
+    assert(countOf(plan, "Exchange hashpartitioning") == 1,
+      s"window/agg chain re-shuffled:\n$plan")
+  }
+
+  test("t41 boilerplate: survivor vocabulary broadcasts to the scoring join") {
+    val plan = executed(SparkEntry.queries("t41_boilerplate")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set not broadcast:\n$plan")
+  }
+
+  test("t42 stratified sample op is narrow — zero shuffles") {
+    val e = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val plan = executed(graft.ops.Sampling.stratifiedHashSample(
+      e, "event_id", "event_type", Map("view" -> 0.1, "purchase" -> 0.5)))
+    assert(countOf(plan, "Exchange") == 0, s"sample shuffled:\n$plan")
+  }
 }
