@@ -1933,6 +1933,19 @@ object SparkEntry {
         prefixLen = 32, maxDist = 10, maxBlock = 64)
       .orderBy("id1", "id2")
 
+  /** The cap AUDIT for edit-distance blocking ([[ops.Dedup
+    * .editDistanceCapStats]]) — the "no silent caps" rule through the
+    * gate: every block the pairing pass would EXCLUDE at
+    * (prefixLen = 8, maxBlock = 4), with its population, so a pipeline
+    * alerts on how much text pairwise verification never saw. The
+    * oracle recomputes the same prefix-md5 blocks and the same
+    * over-cap filter.
+    */
+  private def d23EditCapStats(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.editDistanceCapStats(Tables.documents(s, dir), "text", "doc_id",
+        prefixLen = 8, maxBlock = 4)
+      .orderBy("blk")
+
   /** PageRank authority over a deterministic "reference" graph on 500
     * content shards (node = doc_id % 500; each shard links to two
     * arithmetically-derived shards — a stand-in for the crawl's domain
@@ -3097,6 +3110,7 @@ object SparkEntry {
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
     "d22_lsh_wide" -> d22LshWide _,
+    "d23_edit_cap_stats" -> d23EditCapStats _,
     "q35_stream_hopping" -> q35StreamHopping _,
     "q28_funnel" -> q28Funnel _,
     "q29_transitions" -> q29Transitions _,
@@ -4706,6 +4720,13 @@ object SparkEntry {
         |       AND abs(a.len - b.len) <= 10)
         |SELECT id1, id2, CAST(ed AS BIGINT) AS edit_dist FROM p
         |WHERE ed <= 10 ORDER BY id1, id2""".stripMargin,
+    // same prefix-md5 blocks, same over-cap filter: the rows the pairing
+    // pass drops, as data
+    "d23_edit_cap_stats" ->
+      """SELECT md5(substr(text, 1, 8)) AS blk, count(*) AS n_rows
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY blk HAVING count(*) > 4
+        |ORDER BY blk""".stripMargin,
     // canonical a<b edges, wedge join + closure probe, corner credit
     "g2_triangles" ->
       """WITH n AS (SELECT DISTINCT doc_id % 500 AS u FROM documents),
