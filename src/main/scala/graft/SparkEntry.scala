@@ -2413,6 +2413,21 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ shortlist → exact re-rank ([[ops.Similarity.pqRerankTopK]]):
+    * sim11's ADC scan widened to a top-20 shortlist, then only those 20
+    * candidates per query pay a full-width 64-dim exact cosine for the
+    * final top-5 — the FAISS refine-over-IVFADC serving shape. The
+    * oracle replays the integer ADC shortlist and the rounded cosine
+    * re-rank.
+    */
+  private def sim12PqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 10), 16, 4, 50, 20, 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     // spread = true: the sf fixtures are single parquet files — without
@@ -3064,6 +3079,7 @@ object SparkEntry {
     "d18_canonical" -> d18Canonical _,
     "sim9_pq_codes" -> sim9PqCodes _,
     "sim11_pq_adc" -> sim11PqAdc _,
+    "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g2_triangles" -> g2Triangles _,
     "t26_skipgrams" -> t26Skipgrams _,
@@ -4705,6 +4721,45 @@ object SparkEntry {
         |                          ORDER BY approx_d_micro, nn_id) AS rank
         |      FROM sc)
         |SELECT query_id, rank, nn_id, approx_d_micro FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim11's ADC replay widened to a top-20 shortlist, then the exact
+    // full-width cosine re-rank over only those candidates
+    "sim12_pq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sx AS (SELECT vec_id, j.j AS sub, v[j.j*4+1 : j.j*4+4] AS sv
+        |       FROM e CROSS JOIN generate_series(0, 3) AS j(j)),
+        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sx WHERE vec_id % 50 = 0),
+        |dd AS (SELECT sx.vec_id, sx.sub, cb.code,
+        |        round(sqrt(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (sx.sv[i] - cb.cv[i]) * (sx.sv[i] - cb.cv[i])))), 6) AS dist
+        |       FROM sx JOIN cb ON sx.sub = cb.sub),
+        |c AS (SELECT vec_id, sub, code FROM (
+        |        SELECT vec_id, sub, code,
+        |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |        FROM dd) WHERE rn = 1),
+        |dt AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+        |        CAST(round(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) * 1000000, 0)
+        |          AS BIGINT) AS d_micro
+        |       FROM sx q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 10),
+        |sc AS (SELECT dt.query_id, c.vec_id AS nn_id,
+        |         CAST(sum(dt.d_micro) AS BIGINT) AS approx_d_micro
+        |       FROM c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+        |       WHERE dt.query_id <> c.vec_id GROUP BY 1, 2),
+        |sl AS (SELECT query_id, nn_id FROM (
+        |        SELECT query_id, nn_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |                             ORDER BY approx_d_micro, nn_id) AS rank
+        |        FROM sc) WHERE rank <= 20),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (SELECT sl.query_id, sl.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM sl JOIN n nq ON nq.vec_id = sl.query_id
+        |      JOIN n nc ON nc.vec_id = sl.nn_id),
+        |rr AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM rr WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // prefix-block + length filter + FULL Levenshtein (the engine's banded
     // threshold variant early-exits to -1 above 10; same surviving set)

@@ -554,6 +554,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("approx_d_micro"))
   }
 
+  /** PQ shortlist → exact re-rank — the standard billion-vector serving
+    * composition (FAISS `IndexRefineFlat` over IVFADC): the cheap
+    * asymmetric-distance scan ([[pqTopK]]) cuts the corpus to a
+    * per-query shortlist of `shortlist` candidates, and only those
+    * candidates pay a full-precision cosine against the query before the
+    * final top-`k`. ADC compresses aggressively (here: the first `dim`
+    * components in m one-byte codes), so its ranking is approximate near
+    * the cut line; re-ranking the shortlist with exact arithmetic
+    * recovers full-precision ordering while touching `shortlist/|corpus|`
+    * of the data at full width.
+    *
+    * Distributed shape: the shortlist is |queries|·shortlist id pairs —
+    * KBs — and is BROADCAST to the corpus scan, so the re-rank pass is
+    * one narrow corpus read with a broadcast-hash probe (plan-locked: no
+    * corpus shuffle, no nested loop); queries broadcast as in
+    * [[bruteForceTopK]]. The corpus is read twice (once to code, once to
+    * re-rank) exactly as a production index stores codes as a prebuilt
+    * artifact and fetches raw vectors only for shortlist hits.
+    *
+    * Determinism: the shortlist replays [[pqTopK]]'s integer micro-unit
+    * ADC ranking; re-rank cosines are 6-decimal-rounded before ranking
+    * with id tiebreaks (the module rule), so both stages are
+    * reproducible bit-for-bit in SQL.
+    */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, dim: Int, m: Int,
+      centroidEvery: Int, shortlist: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = pqTopK(corpus, queries, dim, m, centroidEvery, shortlist,
+        idCol, vecCol)
+      .select(col("query_id"), col("nn_id"))
+    val c = withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm")
+    val exact = c.join(broadcast(short), Seq("nn_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        rounded(cosineWithNorms(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("nn_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
+
   /** Maximal-Marginal-Relevance diverse top-k — the retrieval reranker
     * that trades raw relevance against redundancy: greedily select
     * `score = λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`, so the

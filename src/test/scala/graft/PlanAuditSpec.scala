@@ -291,6 +291,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"PQ argmin fell back to a window sort:\n$plan")
   }
 
+  test("sim12 PQ re-rank: shortlist and queries broadcast, corpus never shuffles") {
+    val plan = executed(SparkEntry.queries("sim12_pq_rerank")(spark, sf0001))
+    // codebook, distance table, shortlist, and query joins all broadcast
+    assert(countOf(plan, "BroadcastHashJoin") >= 3,
+      s"re-rank probe not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"re-rank degenerated to a nested loop:\n$plan")
+    // the only sort-bearing window is over |queries|·shortlist rows
+    assert(countOf(plan, "SortMergeJoin") == 0,
+      s"corpus side shuffled for a join:\n$plan")
+  }
+
   test("g2 triangles: wedge/closure joins are equi-joins, corner count is partial") {
     val plan = executed(SparkEntry.queries("g2_triangles")(spark, sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

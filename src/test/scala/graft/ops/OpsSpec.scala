@@ -344,6 +344,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqRerankTopK with a full-corpus shortlist equals bruteForceTopK") {
+    // shortlist = |corpus| - 1: every candidate survives the ADC cut, so
+    // the exact re-rank must reproduce the brute-force ranking bit-for-bit
+    val v = vecs((0L until 12L).map(i =>
+      (i, Seq(i * 0.3f + 0.1f, (i % 5) * 0.7f, (i % 3) * 1.1f, i * 0.05f))): _*)
+    val q = v.filter(col("vec_id") < 2)
+    val got = Similarity.pqRerankTopK(v, q, 4, 2, 1, 11, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("nn_id"), r.getAs[Double]("cosine"))).toMap
+    val want = Similarity.bruteForceTopK(v, q, 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("nn_id"), r.getAs[Double]("cosine"))).toMap
+    assert(got == want)
+  }
+
   test("mmrTopK prefers a diverse pick over a redundant higher-relevance one") {
     // query (1,1); candidates 1 and 2 are identical, 3 mirrors them across
     // the query axis. All three tie on relevance (pick lowest id first);
