@@ -19,19 +19,41 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader only
-    * surfaces as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set by [[graft.GraftSession]]); convert to a microsecond timestamp on
-    * read (matching DuckDB's ns→µs truncation) so downstream code sees a
-    * plain TimestampType column.
+  /** Canonical event-time decode — the ONE place that knows how `ts` may
+    * arrive physically. The driver's generator has shipped `events.ts` as
+    * parquet TIMESTAMP(NANOS) (surfaced by Spark only as a nanosecond
+    * long under `spark.sql.legacy.parquet.nanosAsLong`, set by
+    * [[graft.GraftSession]]) and later as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ); either way the
+    * stored value is the same UTC wall-clock instant DuckDB reads as a
+    * plain TIMESTAMP. Normalize every physical encoding to session-tz
+    * TimestampType so downstream `unix_micros`/window/watermark code sees
+    * one type:
+    *   - LongType            → nanos; truncate ns→µs (DuckDB does the same)
+    *   - TimestampNTZType    → exact wall-clock reinterpretation via
+    *                           `cast(TimestampType)` under the UTC session
+    *                           timezone (GraftSession pins it)
+    *   - TimestampType       → already canonical
+    * Works on batch and streaming frames alike (pure column rewrite).
+    * Every events consumer MUST come through here (or [[events]] /
+    * [[graft.streaming.EventsStream.readEvents]], which do) rather than
+    * decode `ts` ad hoc — the generator has changed encoding once already.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  def normalizeEventTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType          => df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType  => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType     => df
+      case other => throw new IllegalArgumentException(
+        s"events.$tsCol has unsupported physical type $other " +
+          "(expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(table(spark, sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

@@ -18,23 +18,27 @@ import org.apache.spark.sql.Row
   */
 object EventsStream {
 
-  /** Schema of the events stream as the driver generates it (ts arrives as
-    * nanosecond longs under the nanosAsLong parquet flag).
-    */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-based event stream with proper event-time ts (the sf dirs keep
     * one file per table, so the stream source reads the directory with a
     * glob filter — FileStreamSource requires a directory path).
+    *
+    * The stream source requires an explicit schema, and the driver's
+    * generator has shipped `ts` under more than one physical encoding
+    * (int64 nanos, TIMESTAMP_NTZ micros — see
+    * [[graft.io.Tables.normalizeEventTs]]). Hard-coding one encoding
+    * silently corrupts event time when the data changes (a ÷1000 applied
+    * to micros collapses the whole corpus to January 1970), so probe the
+    * batch reader's schema of the same file — one driver-side footer
+    * read, no data scan — use it as the stream schema, and route the
+    * decode through the canonical normalizer.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.io.Tables.normalizeEventTs(
+      spark.readStream.schema(physical)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** Hourly tumbling-window aggregate per event type, 2-hour watermark:
     * the streaming mirror of SparkEntry's `q5_events_hourly` batch query.
