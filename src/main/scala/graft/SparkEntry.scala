@@ -1085,6 +1085,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Trained one-vs-rest language-ID ([[ops.Curation
+    * .trainOneVsRestClassifiers]]): five per-language logistic
+    * regressions (de/en/es/fr/zh — the fixture's label set, including
+    * the marker-less `zh` the t2 heuristic can only call "und") trained
+    * in lockstep — one corpus pass per GD iteration for ALL classes —
+    * then every doc labeled by score argmax with ascending-class tie
+    * precedence. The oracle replays each class's two GD iterations with
+    * the t18 arithmetic (exact micro margins, HUGEINT gradient sums,
+    * identical weight rounding) and the same argmax cascade in SQL.
+    */
+  private def t43TrainedLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val models = ops.Curation.trainOneVsRestClassifiers(
+      d, "text", "lang", OvrLangClasses, 16, 2, 0.5)
+    ops.Curation.predictLangOneVsRest(d, "text", "doc_id", models)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val OvrLangClasses = Seq("de", "en", "es", "fr", "zh")
+
   /** Windowed skip-gram co-occurrence ([[ops.Curation.skipgramCounts]],
     * window 3, min 5, top 50): word2vec-style context pairs via narrow
     * slice zips — no positional self-join. Oracle replays every offset's
@@ -2044,6 +2066,19 @@ object SparkEntry {
     */
   private def d19PrefixJaccard(s: SparkSession, dir: String): DataFrame =
     ops.Dedup.prefixJaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
+      .orderBy("id1", "id2")
+
+  /** Adaptive Jaccard candidate generation ([[ops.Dedup
+    * .adaptiveJaccardPairs]], same 3-gram/0.5 contract as d2/d19): the
+    * all-pairs-vs-prefix-filter choice made from the measured shingle-df
+    * blowup (one aggregate pass → one 2-long driver row). Both branches
+    * are exact, so the oracle is d2's all-pairs SQL regardless of which
+    * branch the data selects (the dup-sparse fixture selects all-pairs;
+    * OpsSpec forces the prefix branch on a Zipf-heavy corpus and holds
+    * the two branches equal).
+    */
+  private def d24AdaptiveJaccard(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.adaptiveJaccardPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
       .orderBy("id1", "id2")
 
   /** Embedding LSH near-dup pairs ([[ops.Similarity.lshCosinePairs]],
@@ -3038,6 +3073,7 @@ object SparkEntry {
     "t15_chunking" -> t15Chunking _,
     "t16_pmi" -> t16Pmi _,
     "t18_quality_classifier" -> t18QualityClassifier _,
+    "t43_trained_langid" -> t43TrainedLangId _,
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
     "t21_cms_topk" -> t21CmsTopk _,
@@ -3123,6 +3159,7 @@ object SparkEntry {
     "q47_sessionize" -> q47Sessionize _,
     "q48_range_frame" -> q48RangeFrame _,
     "d19_prefix_jaccard" -> d19PrefixJaccard _,
+    "d24_adaptive_jaccard" -> d24AdaptiveJaccard _,
     "d20_containment" -> d20Containment _,
     "d21_embedding_lsh" -> d21EmbeddingLsh _,
     "d22_lsh_wide" -> d22LshWide _,
@@ -3333,6 +3370,40 @@ object SparkEntry {
       |w$i AS (SELECT g.j,
       |        CAST(round(pw.wm - CAST(0.5 AS DOUBLE) * g.s / (n.n * 1000000.0), 0) AS BIGINT) AS wm
       |       FROM $prevW pw JOIN g$i g USING (j) CROSS JOIN n)""".stripMargin
+
+  /** Per-class variant of [[logregIterSql]] for the one-vs-rest replay
+    * (t43): identical arithmetic, CTE names suffixed by class, labels
+    * from `y_<cls>`. The engine trains all classes in one corpus pass
+    * per iteration ([[ops.Curation.trainOneVsRestClassifiers]]); the
+    * lockstep gradients are bit-equal to this independent per-class
+    * replay because classes never interact in the update.
+    */
+  private def ovrIterSql(cls: String, i: Int, prevW: String): String =
+    s"""z_${cls}_$i AS (SELECT xm.doc_id, CAST(sum(xm.xm * pw.wm) AS BIGINT) AS zm
+      |       FROM xm JOIN $prevW pw USING (j) GROUP BY xm.doc_id),
+      |p_${cls}_$i AS (SELECT doc_id,
+      |        CAST(round(1.0/(1.0 + exp(-(zm / 1000000000000.0))) * 1000000, 0) AS BIGINT) AS pm
+      |       FROM z_${cls}_$i),
+      |g_${cls}_$i AS (SELECT xm.j, sum((p.pm - y.ym) * xm.xm) AS s
+      |       FROM xm JOIN p_${cls}_$i p USING (doc_id) JOIN y_$cls y USING (doc_id)
+      |       GROUP BY xm.j),
+      |w_${cls}_$i AS (SELECT g.j,
+      |        CAST(round(pw.wm - CAST(0.5 AS DOUBLE) * g.s / (n.n * 1000000.0), 0) AS BIGINT) AS wm
+      |       FROM $prevW pw JOIN g_${cls}_$i g USING (j) CROSS JOIN n)""".stripMargin
+
+  /** Full t43 one-vs-rest chain: per class the label table, two GD
+    * iterations, and the final sigmoid scores `sc_<cls>(doc_id, score)`.
+    */
+  private def ovrClassChainSql(cls: String): String =
+    s"""y_$cls AS (SELECT doc_id,
+      |        CAST(CASE WHEN lang = '$cls' THEN 1000000 ELSE 0 END AS BIGINT) AS ym
+      |       FROM documents),
+      |${ovrIterSql(cls, 1, "w0")},
+      |${ovrIterSql(cls, 2, s"w_${cls}_1")},
+      |sc_$cls AS (SELECT xm.doc_id,
+      |        round(1.0/(1.0 + exp(-(CAST(sum(xm.xm * pw.wm) AS BIGINT)
+      |          / 1000000000000.0))), 6) AS score
+      |       FROM xm JOIN w_${cls}_2 pw USING (j) GROUP BY xm.doc_id)""".stripMargin
 
   /** One PageRank round in DuckDB, mirroring [[ops.Graph.pageRank]]'s
     * all-LONG nano fixed point: inflow = Σ r_prev div outdeg over
@@ -5136,6 +5207,14 @@ object SparkEntry {
         |      FROM d a JOIN d b ON a.doc_id < b.doc_id
         |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
         |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // both adaptive branches are exact (prefix filtering is lossless),
+    // so the oracle is again d2's all-pairs SQL, branch-independent
+    "d24_adaptive_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) > 0)
+        |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
     // asymmetric containment over the same exact shingle sets
     "d20_containment" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
@@ -5365,6 +5444,27 @@ object SparkEntry {
         | round(1.0/(1.0 + exp(-(zm / 1000000000000.0))), 6) AS score
         |FROM documents d JOIN zf ON d.doc_id = zf.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // all five one-vs-rest classes replayed independently (each =
+    // t18's two GD iterations with that class's labels), then the same
+    // rounded-score argmax cascade with ascending-class tie precedence
+    "t43_trained_langid" -> {
+      val Seq(de, en, es, fr, zh) = OvrLangClasses.map(c => s"sc_$c.score")
+      s"""WITH ${embedTextSql()},
+        |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w0 AS (SELECT unnest(generate_series(0, 15)) AS j, CAST(0 AS BIGINT) AS wm),
+        |${OvrLangClasses.map(ovrClassChainSql).mkString(",\n")}
+        |SELECT d.doc_id, d.lang,
+        | CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+        |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+        |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
+        |      WHEN $fr >= $zh THEN 'fr'
+        |      ELSE 'zh' END AS pred_lang,
+        | greatest($de, $en, $es, $fr, $zh) AS score
+        |FROM documents d
+        |${OvrLangClasses.map(c => s"JOIN sc_$c ON sc_$c.doc_id = d.doc_id").mkString("\n")}
+        |ORDER BY d.doc_id""".stripMargin
+    },
     // the hashing-trick embedding re-derived independently; micro-long
     // digest of the float32-round-tripped components (see embedTextSql)
     "m6_embed_real" ->

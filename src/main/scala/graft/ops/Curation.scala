@@ -347,6 +347,107 @@ object Curation {
     wm
   }
 
+  /** TRAINED one-vs-rest language-ID — the multi-class generalization of
+    * [[trainTextClassifier]] (fastText-style supervised langid: one
+    * logistic regression per language over the same hashed bag-of-tokens
+    * features), trained for ALL classes in lockstep. Where per-class
+    * training would scan the corpus `classes × iters` times, here each GD
+    * iteration is ONE corpus pass: the per-class weight vectors travel as
+    * a single broadcast `Map(class → weights)` literal, each cached
+    * feature row fans out to its `classes` residuals map-side, and one
+    * partial-aggregable groupBy over `(class, dimension)` collapses every
+    * gradient — `classes·dim` aggregate rows reach the driver per
+    * iteration, never corpus rows. The marker-voting [[TextFunctions
+    * .langId]] heuristic stays the zero-training default; this is the
+    * trained path that also covers languages with no marker set (e.g. the
+    * fixture's `zh`).
+    *
+    * Arithmetic is per-class IDENTICAL to [[trainTextClassifier]] (micro
+    * LONG margins, micro-rounded sigmoid, DECIMAL(38) gradient sums, the
+    * same rounded double weight update), so the SQL oracle replays each
+    * class independently with the t18 iteration block and the lockstep
+    * training is bit-equal to `classes` separate runs.
+    *
+    * @param classes distinct label values, ascending (the argmax
+    *        precedence order [[predictLangOneVsRest]] uses).
+    * @return (class, micro-weights) in `classes` order.
+    */
+  def trainOneVsRestClassifiers(df: DataFrame, textCol: String, labelCol: String,
+      classes: Seq[String], dim: Int, iters: Int, lr: Double): Seq[(String, Array[Long])] = {
+    require(classes.nonEmpty && classes == classes.sorted && classes.distinct == classes,
+      s"classes must be distinct and ascending: $classes")
+    require(iters >= 0 && lr > 0, s"bad training params: iters=$iters lr=$lr")
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val base = df.select(col(labelCol).cast("string").as("lab"),
+        transform(
+          coalesce(call_function("hashed_embed", col(textCol), lit(dim)),
+            array_repeat(lit(0f), dim)),
+          x => round(x.cast("double") * 1e6, 0).cast("long")).as("xm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
+    require(n > 0, "empty training corpus")
+    val w = scala.collection.mutable.LinkedHashMap(
+      classes.map(_ -> Array.fill(dim)(0L)): _*)
+    for (_ <- 0 until iters) {
+      val wMap = typedlit(w.map { case (c, a) => c -> a.toSeq }.toMap)
+      val wvec = element_at(wMap, col("cls"))
+      val zMicro2 = aggregate(
+        zip_with(col("xm"), wvec, (x, wc) => x * wc), lit(0L), (a, b) => a + b)
+      val pm = round(
+        lit(1.0) / (lit(1.0) + exp(-(zMicro2.cast("double") / 1e12))) * 1e6, 0)
+        .cast("long")
+      val ym = (col("lab") === col("cls")).cast("long") * lit(1000000L)
+      val sums = base
+        .select(col("lab"), col("xm"), explode(typedlit(classes)).as("cls"))
+        .select(col("cls"), (pm - ym).as("r"), col("xm"))
+        .select(col("cls"), col("r"), posexplode(col("xm")).as(Seq("j", "x")))
+        .groupBy("cls", "j")
+        .agg(sum((col("r") * col("x")).cast("decimal(38,0)")).as("s"))
+        .collect()
+      sums.foreach { row =>
+        val (c, j) = (row.getString(0), row.getInt(1))
+        val sd = row.getDecimal(2).doubleValue()
+        w(c)(j) = math.rint(w(c)(j) - lr * sd / (n * 1e6)).toLong
+      }
+    }
+    base.unpersist()
+    w.toSeq
+  }
+
+  /** Predict a language per document from [[trainOneVsRestClassifiers]]
+    * models: every class's sigmoid score is computed MAP-SIDE against its
+    * broadcast-literal weights (features embedded once per row, zero
+    * shuffles, zero state), and the prediction is the argmax with
+    * ascending-class precedence on rounded-score ties — the same cascade
+    * shape as the [[TextFunctions.langId]] heuristic, so both are exactly
+    * SQL-replayable. Returns `(idCol, pred_lang, score)` with `score` the
+    * winning class's 6-rounded sigmoid.
+    */
+  def predictLangOneVsRest(df: DataFrame, textCol: String, idCol: String,
+      models: Seq[(String, Array[Long])]): DataFrame = {
+    require(models.nonEmpty && models.map(_._1) == models.map(_._1).sorted,
+      "models must be in ascending class order")
+    graft.expr.VecExpressions.register(df.sparkSession)
+    val dim = models.head._2.length
+    val xm = transform(
+      coalesce(call_function("hashed_embed", col(textCol), lit(dim)),
+        array_repeat(lit(0f), dim)),
+      x => round(x.cast("double") * 1e6, 0).cast("long"))
+    val scores: Seq[(String, Column)] = models.map { case (c, wm) =>
+      val zMicro2 = aggregate(
+        zip_with(xm, typedlit(wm.toSeq), (x, w) => x * w), lit(0L), (a, b) => a + b)
+      c -> round(lit(1.0) / (lit(1.0) + exp(-(zMicro2.cast("double") / 1e12))), 6)
+    }
+    def cascade(i: Int): Column =
+      if (i == scores.size - 1) lit(scores(i)._1)
+      else when(scores.drop(i + 1).map(_._2).foldLeft(lit(true)) {
+          (acc, s) => acc && scores(i)._2 >= s
+        }, scores(i)._1).otherwise(cascade(i + 1))
+    df.select(col(idCol),
+      cascade(0).as("pred_lang"),
+      scores.map(_._2).reduce(greatest(_, _)).as("score"))
+  }
+
   /** Score documents with a [[trainTextClassifier]] weight vector:
     * `(idCol, score)` with `score = σ(w·x)` rounded to 6 decimals — a
     * pure narrow map (features and margin recomputed map-side, weights a

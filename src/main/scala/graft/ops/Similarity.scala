@@ -569,20 +569,31 @@ object Similarity {
     * KBs — and is BROADCAST to the corpus scan, so the re-rank pass is
     * one narrow corpus read with a broadcast-hash probe (plan-locked: no
     * corpus shuffle, no nested loop); queries broadcast as in
-    * [[bruteForceTopK]]. The corpus is read twice (once to code, once to
-    * re-rank) exactly as a production index stores codes as a prebuilt
-    * artifact and fetches raw vectors only for shortlist hits.
+    * [[bruteForceTopK]]. The corpus is scanned three times, all narrow:
+    * the codebook filter (`id % centroidEvery` inside [[pqCodes]]), the
+    * coding pass, and the re-rank fetch — exactly as a production index
+    * builds its codebook and codes as prebuilt artifacts and fetches raw
+    * vectors only for shortlist hits.
     *
     * Determinism: the shortlist replays [[pqTopK]]'s integer micro-unit
     * ADC ranking; re-rank cosines are 6-decimal-rounded before ranking
     * with id tiebreaks (the module rule), so both stages are
     * reproducible bit-for-bit in SQL.
+    *
+    * @param codedDim the PQ-coded PREFIX width — the leading `codedDim`
+    *        vector components that [[pqCodes]] slices into `m` subspaces
+    *        for the shortlist stage (16 in the sim12 gate, against wider
+    *        embeddings). NOT the full vector dimensionality: components
+    *        past the prefix skip coding but still count in the exact
+    *        re-rank cosine, which always runs full-width. Must divide
+    *        into `m`, and must not exceed the shortest vector (Spark's
+    *        `slice` would silently truncate).
     */
-  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, dim: Int, m: Int,
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, codedDim: Int, m: Int,
       centroidEvery: Int, shortlist: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val short = pqTopK(corpus, queries, dim, m, centroidEvery, shortlist,
+    val short = pqTopK(corpus, queries, codedDim, m, centroidEvery, shortlist,
         idCol, vecCol)
       .select(col("query_id"), col("nn_id"))
     val c = withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm")

@@ -261,6 +261,48 @@ class CurationSpec extends SparkSpec {
     assert(wm.toSeq == wm2.toSeq)
   }
 
+  test("one-vs-rest lockstep training == independent per-class training; argmax separates") {
+    import spark.implicits._
+    val langs = Map(
+      "en" -> "the cat sat on the mat with the dog and the bird",
+      "de" -> "der hund und die katze sind nicht mit der maus",
+      "es" -> "el gato y el perro que viven por la casa grande")
+    val rows = (0 until 30).map { i =>
+      val l = Seq("de", "en", "es")(i % 3)
+      (i.toLong, s"${langs(l)} extra$i", l)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val classes = Seq("de", "en", "es")
+    val ovr = Curation.trainOneVsRestClassifiers(df, "text", "lang", classes,
+      dim = 16, iters = 3, lr = 1.0)
+    // lockstep (one corpus pass per iteration for all classes) must be
+    // bit-equal to three independent binary runs — classes never interact
+    for ((c, wm) <- ovr) {
+      val solo = Curation.trainTextClassifier(
+        df.withColumn("__y", (col("lang") === c).cast("int")),
+        "text", "__y", dim = 16, iters = 3, lr = 1.0)
+      assert(wm.toSeq == solo.toSeq, s"lockstep weights diverged for class $c")
+    }
+    val pred = Curation.predictLangOneVsRest(df, "text", "doc_id", ovr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val acc = rows.count { case (id, _, l) => pred(id) == l }.toDouble / rows.size
+    assert(acc > 0.9, s"one-vs-rest langid accuracy $acc")
+    // bit-determinism across partitionings
+    val ovr2 = Curation.trainOneVsRestClassifiers(df.repartition(7), "text", "lang",
+      classes, dim = 16, iters = 3, lr = 1.0)
+    assert(ovr.map { case (c, w) => c -> w.toSeq } ==
+      ovr2.map { case (c, w) => c -> w.toSeq })
+  }
+
+  test("predictLangOneVsRest ties break on ascending class precedence") {
+    import spark.implicits._
+    val df = Seq((1L, "anything")).toDF("doc_id", "text")
+    // two identical (all-zero) models → identical 0.5 scores → 'aa' wins
+    val models = Seq("aa" -> Array.fill(16)(0L), "bb" -> Array.fill(16)(0L))
+    val r = Curation.predictLangOneVsRest(df, "text", "doc_id", models).collect()(0)
+    assert(r.getString(1) == "aa" && r.getDouble(2) == 0.5)
+  }
+
   test("tokenDropout: deterministic, order-preserving, identity at 0%") {
     import spark.implicits._
     val text = (1 to 200).map(i => s"tok$i").mkString(" ")

@@ -174,6 +174,35 @@ class DedupSpec extends SparkSpec {
     assert(prefLo == exactLo, s"prefix=$prefLo exact=$exactLo")
   }
 
+  test("adaptiveJaccardPairs picks the branch the shingle-df shape demands; both exact") {
+    // dup-sparse corpus (the d2 fixture shape): candidate blowup ≈ input
+    // rows → the all-pairs branch (no row_number ranking in the plan)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val sparse = docs(
+      (1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, "completely different words in this one nothing shared at all here"),
+      (4L, "another unrelated document that talks about sampling and windows"))
+    val aSparse = Dedup.adaptiveJaccardPairs(sparse, "text", "doc_id", 3, 0.5)
+    assert(!aSparse.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "dup-sparse corpus should select the all-pairs branch")
+    // Zipf-heavy corpus: every doc shares two head shingles, so the
+    // all-pairs join would emit 2·C(60,2) candidate rows against ~300
+    // input rows → the prefix branch (row_number prefix ranking present)
+    val zipf = docs((1 to 60).map(i =>
+      (i.toLong, s"alpha beta gamma delta unique$i tail$i words$i")) ++
+      Seq((61L, base), (62L, base)): _*)
+    val aZipf = Dedup.adaptiveJaccardPairs(zipf, "text", "doc_id", 3, 0.5)
+    assert(aZipf.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "Zipf-heavy corpus should select the prefix branch")
+    def pairs(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(pairs(aSparse) == pairs(Dedup.jaccardDupPairs(sparse, "text", "doc_id", 3, 0.5)))
+    val exactZipf = pairs(Dedup.jaccardDupPairs(zipf, "text", "doc_id", 3, 0.5))
+    assert(pairs(aZipf) == exactZipf && exactZipf.contains((61L, 62L, 1.0)),
+      "prefix branch must reproduce the exact all-pairs answer")
+  }
+
   test("minhash LSH candidates include exact duplicates (identical signatures)") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val r = Dedup.minhashDupPairs(docs((1L, base), (2L, base), (3L, "unrelated text entirely about other things completely")),
