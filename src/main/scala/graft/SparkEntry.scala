@@ -472,13 +472,15 @@ object SparkEntry {
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
     withStatePartitions(s, 8) {
       val q = graft.streaming.EventsStream.hoppingAgg(
-          graft.streaming.EventsStream.readEvents(s, dir))
+          graft.streaming.EventsStream.observeEvents(
+            graft.streaming.EventsStream.readEvents(s, dir), "graft_q35_in"))
         .writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", ckpt)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      requireCleanStreamAudit(s, dir, q, "graft_q35_in")
     }
     graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
@@ -487,18 +489,46 @@ object SparkEntry {
       .orderBy("win_start", "event_type")
   }
 
+  /** Watermark/ingest observability gate for the streaming queries: the
+    * stream's observed row count and event-time span
+    * ([[graft.streaming.EventsStream.observeEvents]]) must equal the
+    * batch reader's truth over the same file, and no state operator may
+    * have dropped rows at the watermark (an `AvailableNow` single-file
+    * replay has no late data). This is the check that catches a decode
+    * regression INSTANTLY and structurally: the round-8 micros-as-nanos
+    * collapse shrank the stream's event-time span ~1000× while row
+    * counts stayed identical — span equality fails loudly before any
+    * result hash is compared.
+    */
+  private def requireCleanStreamAudit(s: SparkSession, dir: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery, obsName: String): Unit = {
+    val audit = graft.streaming.EventsStream.auditOf(q, obsName)
+    val truth = Tables.events(s, dir)
+      .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    require(audit.droppedByWatermark == 0L,
+      s"$obsName: ${audit.droppedByWatermark} rows dropped by watermark in a bounded replay")
+    require(audit.inputRows == truth.getLong(0) &&
+        audit.minTsMicros == truth.getLong(1) && audit.maxTsMicros == truth.getLong(2),
+      s"$obsName: stream ingest (rows=${audit.inputRows}, span=[${audit.minTsMicros}," +
+        s" ${audit.maxTsMicros}]) != batch truth (rows=${truth.getLong(0)}," +
+        s" span=[${truth.getLong(1)}, ${truth.getLong(2)}])")
+  }
+
   private def q9StreamHourly(s: SparkSession, dir: String): DataFrame = {
     val sink = "graft_q9_sink"
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
     withStatePartitions(s, 8) {
       val q = graft.streaming.EventsStream.hourlyAgg(
-          graft.streaming.EventsStream.readEvents(s, dir))
+          graft.streaming.EventsStream.observeEvents(
+            graft.streaming.EventsStream.readEvents(s, dir), "graft_q9_in"))
         .writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", ckpt)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      requireCleanStreamAudit(s, dir, q, "graft_q9_in")
     }
     graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     // unload the streaming state-store providers now that the bounded run

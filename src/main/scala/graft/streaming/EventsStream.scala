@@ -40,6 +40,52 @@ object EventsStream {
         .parquet(dir))
   }
 
+  /** Ingest + watermark accounting for a bounded streaming run (the
+    * observability a production stream exports continuously; here it
+    * doubles as a gate: see [[auditOf]]).
+    */
+  final case class StreamAudit(inputRows: Long, minTsMicros: Long,
+      maxTsMicros: Long, droppedByWatermark: Long)
+
+  /** Attach an event-time observation point to the events stream:
+    * row count + min/max event time (epoch micros), computed as
+    * micro-batch accumulators inside the existing plan — `observe()` adds
+    * NO shuffle and no extra pass, and the metrics surface through every
+    * progress event. The decode-collapse failure mode (a wrong ts unit
+    * shrinking the corpus's event-time span ~1000×) is invisible to row
+    * counts but glaring in min/max — which is why the audit tracks the
+    * span, not just volume.
+    */
+  def observeEvents(events: DataFrame, obsName: String): DataFrame =
+    events.observe(obsName, count(lit(1)).as("n"),
+      min(unix_micros(col("ts"))).as("min_ts_us"),
+      max(unix_micros(col("ts"))).as("max_ts_us"))
+
+  /** Fold a finished bounded query's progress log into a [[StreamAudit]]:
+    * observed rows/span from [[observeEvents]] plus every state
+    * operator's rows-dropped-by-watermark. Reads `recentProgress`
+    * (synchronous after `awaitTermination` — no listener race; retains
+    * the last 100 progress updates, far above an `AvailableNow` run's
+    * batch count). The q9/q35 gates REQUIRE a clean audit against the
+    * batch-read truth: dropped == 0 (single-file AvailableNow replay —
+    * nothing arrives late) and identical count/min/max (any decode or
+    * watermark bug breaks one of the four before the result hash can
+    * even be compared).
+    */
+  def auditOf(q: org.apache.spark.sql.streaming.StreamingQuery,
+      obsName: String): StreamAudit = {
+    val progs = q.recentProgress
+    val obs = progs.flatMap(p => Option(p.observedMetrics.get(obsName)))
+      .filter(r => !r.isNullAt(0) && r.getLong(0) > 0)
+    val dropped = progs.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    StreamAudit(
+      inputRows = obs.map(_.getLong(0)).sum,
+      minTsMicros = if (obs.isEmpty) Long.MinValue else obs.map(_.getLong(1)).min,
+      maxTsMicros = if (obs.isEmpty) Long.MaxValue else obs.map(_.getLong(2)).max,
+      droppedByWatermark = dropped)
+  }
+
   /** Hourly tumbling-window aggregate per event type, 2-hour watermark:
     * the streaming mirror of SparkEntry's `q5_events_hourly` batch query.
     */

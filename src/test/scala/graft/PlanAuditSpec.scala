@@ -293,8 +293,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("sim12 PQ re-rank: shortlist and queries broadcast, corpus never shuffles") {
     val plan = executed(SparkEntry.queries("sim12_pq_rerank")(spark, sf0001))
-    // codebook, distance table, shortlist, and query joins all broadcast
-    assert(countOf(plan, "BroadcastHashJoin") >= 3,
+    // exactly five broadcast joins (probed via PlanProbe): the coding
+    // pass's codebook join, the query×codebook distance-table build, the
+    // codes⋈distance-table probe, the corpus⋈shortlist re-rank fetch,
+    // and the final ⋈queries — an exact count so no join can silently
+    // regress to another strategy
+    assert(countOf(plan, "BroadcastHashJoin") == 5,
       s"re-rank probe not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"re-rank degenerated to a nested loop:\n$plan")
@@ -439,5 +443,23 @@ class PlanAuditSpec extends SparkSpec {
     val plan = executed(graft.ops.Sampling.stratifiedHashSample(
       e, "event_id", "event_type", Map("view" -> 0.1, "purchase" -> 0.5)))
     assert(countOf(plan, "Exchange") == 0, s"sample shuffled:\n$plan")
+  }
+
+  test("t43 one-vs-rest prediction: map-side scoring, one equi-join, no window") {
+    // (training runs driver-bounded GD jobs before this plan; the scored
+    // output itself must stay a narrow map + one doc_id equi-join)
+    val plan = executed(SparkEntry.queries("t43_trained_langid")(spark, sf0001))
+    assert(countOf(plan, "BroadcastHashJoin") == 1 &&
+      countOf(plan, "SortMergeJoin") == 0,
+      s"label join regressed from broadcast:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"per-class scoring must not rank or cross:\n$plan")
+  }
+
+  test("d24 adaptive Jaccard meets only on shingle equi-keys, never nested-loops") {
+    val plan = executed(SparkEntry.queries("d24_adaptive_jaccard")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated:\n$plan")
   }
 }

@@ -43,6 +43,41 @@ class EventsStreamSpec extends SparkSpec {
     assert(total == 2 * Tables.events(spark, sf0001).count())
   }
 
+  test("stream audit: observed rows/span match batch truth; a collapsed decode is caught") {
+    // clean run: the observed ingest equals the batch reader's truth
+    val src = EventsStream.observeEvents(EventsStream.readEvents(spark, sf0001), "audit_in")
+    val q = EventsStream.hourlyAgg(src)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("audit_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val audit = EventsStream.auditOf(q, "audit_in")
+    val truth = Tables.events(spark, sf0001)
+      .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    assert(audit.droppedByWatermark == 0L)
+    assert(audit.inputRows == truth.getLong(0))
+    assert(audit.minTsMicros == truth.getLong(1) && audit.maxTsMicros == truth.getLong(2))
+
+    // simulated decode collapse (the round-8 failure: micros re-divided by
+    // 1000): row count still matches, but the event-time span shrinks
+    // ~1000× — exactly the signal the span check trips on
+    val collapsed = EventsStream.observeEvents(
+      EventsStream.readEvents(spark, sf0001)
+        .withColumn("ts", expr("timestamp_micros(unix_micros(ts) div 1000)")), "audit_bad")
+    val qb = EventsStream.hourlyAgg(collapsed)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("audit_bad_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qb.awaitTermination()
+    val bad = EventsStream.auditOf(qb, "audit_bad")
+    assert(bad.inputRows == truth.getLong(0), "collapse is invisible to row counts")
+    assert(bad.maxTsMicros - bad.minTsMicros <
+        (truth.getLong(2) - truth.getLong(1)) / 100,
+      "collapsed span should be ~1000x smaller")
+    assert(bad.minTsMicros != truth.getLong(1) || bad.maxTsMicros != truth.getLong(2))
+  }
+
   test("sessionizedBatch assigns increasing session ids per user on gap") {
     import spark.implicits._
     val df = Seq(
