@@ -1137,6 +1137,33 @@ object SparkEntry {
 
   private val OvrLangClasses = Seq("de", "en", "es", "fr", "zh")
 
+  /** Distributed BPE tokenizer training ([[ops.Tokenize.bpeMerges]],
+    * first 5 merges over the documents corpus): ONE corpus shuffle
+    * builds the word-frequency table, then each round is a
+    * partial-aggregable pair count over vocab rows plus a limit-1
+    * argmax — one row to the driver per round. The oracle replays every
+    * round: same pair explosion, same rank-1 tie-break, same leftmost
+    * non-overlapping boundary-padded `replace` (identical semantics in
+    * both engines).
+    */
+  private def t44BpeMerges(s: SparkSession, dir: String): DataFrame =
+    ops.Tokenize.bpeMerges(Tables.documents(s, dir), "text", 5)
+      .orderBy("round")
+
+  /** Key-skew profiles ([[ops.Profile.keySkewProfile]]) for the two
+    * shapes a join planner cares about: the high-cardinality key
+    * (user_id — mild skew, salting pointless) and the tiny-domain key
+    * (event_type — top1_share says a per-type reducer gets that share
+    * of the corpus). The oracle replays counts, ranks, and both
+    * 6-rounded ratios with identical operation order.
+    */
+  private def t45SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    ops.Profile.keySkewProfile(e, "user_id")
+      .unionByName(ops.Profile.keySkewProfile(e, "event_type"))
+      .orderBy("key_col")
+  }
+
   /** Windowed skip-gram co-occurrence ([[ops.Curation.skipgramCounts]],
     * window 3, min 5, top 50): word2vec-style context pairs via narrow
     * slice zips — no positional self-join. Oracle replays every offset's
@@ -3104,6 +3131,8 @@ object SparkEntry {
     "t16_pmi" -> t16Pmi _,
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t43_trained_langid" -> t43TrainedLangId _,
+    "t44_bpe_merges" -> t44BpeMerges _,
+    "t45_skew_profile" -> t45SkewProfile _,
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
     "t21_cms_topk" -> t21CmsTopk _,
@@ -3434,6 +3463,49 @@ object SparkEntry {
       |        round(1.0/(1.0 + exp(-(CAST(sum(xm.xm * pw.wm) AS BIGINT)
       |          / 1000000000000.0))), 6) AS score
       |       FROM xm JOIN w_${cls}_2 pw USING (j) GROUP BY xm.doc_id)""".stripMargin
+
+  /** One BPE training round in DuckDB (mirror of the
+    * [[ops.Tokenize.bpeMerges]] loop body): explode each vocab word's
+    * adjacent symbol pairs weighted by frequency, rank-1 argmax with
+    * pair-string tie-break, then the SAME left-to-right non-overlapping
+    * merge fold (`list_reduce` with the space-joined-prefix accumulator
+    * — the exact-boundary suffix test and no-remerge property mirror
+    * `Tokenize.mergePass`) building the next round's symbol strings.
+    */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""t$i AS (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS t, n FROM $prev),
+      |pc$i AS (SELECT p, CAST(sum(n) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |      k -> t[k] || ' ' || t[k + 1])) AS p, n FROM t$i) GROUP BY p),
+      |b$i AS (SELECT p, c, split_part(p, ' ', 1) AS l, split_part(p, ' ', 2) AS r,
+      |        replace(p, ' ', '') AS m FROM (
+      |    SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rn FROM pc$i) WHERE rn = 1),
+      |s$i AS (SELECT list_reduce(t.t, (acc, x) ->
+      |          CASE WHEN x = b.r AND (acc = b.l OR right(acc, len(b.l) + 1) = ' ' || b.l)
+      |               THEN substr(acc, 1, len(acc) - len(b.l)) || b.m
+      |               ELSE acc || ' ' || x END) AS sym, t.n
+      |       FROM t$i t CROSS JOIN b$i b)""".stripMargin
+  }
+
+  /** One key's skew-profile replay in DuckDB (mirror of
+    * [[ops.Profile.keySkewProfile]]): per-key counts (nulls split out),
+    * ascending (count, key) rank, exact integer moments, and the two
+    * 6-rounded double ratios in the engine's operation order. CTE names
+    * suffixed by `i` so two keys compose in one statement.
+    */
+  private def skewProfileSql(keyExpr: String, label: String, i: Int): String =
+    s"""kp$i AS (SELECT CAST($keyExpr AS VARCHAR) AS k FROM events),
+      |c$i AS (SELECT k, count(*) AS c FROM kp$i WHERE k IS NOT NULL GROUP BY k),
+      |r$i AS (SELECT c, row_number() OVER (ORDER BY c, k) AS rk FROM c$i),
+      |a$i AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+      |        CAST(max(c) AS BIGINT) AS max_n, sum(rk * c) AS rc FROM r$i),
+      |nn$i AS (SELECT count(*) AS n_null_rows FROM kp$i WHERE k IS NULL),
+      |p$i AS (SELECT '$label' AS key_col, n_rows, n_null_rows, n_keys, max_n,
+      |        round(CAST(max_n AS DOUBLE) / n_rows, 6) AS top1_share,
+      |        round(2.0 * rc / (CAST(n_keys AS DOUBLE) * n_rows)
+      |          - (n_keys + 1.0) / n_keys, 6) AS gini
+      |       FROM a$i CROSS JOIN nn$i)""".stripMargin
 
   /** One PageRank round in DuckDB, mirroring [[ops.Graph.pageRank]]'s
     * all-LONG nano fixed point: inflow = Σ r_prev div outdeg over
@@ -5495,6 +5567,24 @@ object SparkEntry {
         |${OvrLangClasses.map(c => s"JOIN sc_$c ON sc_$c.doc_id = d.doc_id").mkString("\n")}
         |ORDER BY d.doc_id""".stripMargin
     },
+    // all five BPE rounds replayed (see bpeRoundSql); each round's
+    // winning pair re-derived by the same weighted count + tie-break
+    "t44_bpe_merges" ->
+      s"""WITH wf AS (SELECT w, count(*) AS n
+        |      FROM (SELECT unnest(${toksSql("text")}) AS w FROM documents) GROUP BY w),
+        |s0 AS (SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, n FROM wf),
+        |${(1 to 5).map(bpeRoundSql).mkString(",\n")}
+        |${(1 to 5).map(i =>
+             s"SELECT CAST($i AS INT) AS round, split_part(p, ' ', 1) AS lhs, " +
+             s"split_part(p, ' ', 2) AS rhs, replace(p, ' ', '') AS merged, c AS n_pair FROM b$i")
+           .mkString("\nUNION ALL ")}
+        |ORDER BY round""".stripMargin,
+    // both key profiles replayed (see skewProfileSql): exact counts,
+    // (count, key) ascending ranks, integer moments, 6-rounded ratios
+    "t45_skew_profile" ->
+      s"""WITH ${skewProfileSql("user_id", "user_id", 1)},
+        |${skewProfileSql("event_type", "event_type", 2)}
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY key_col""".stripMargin,
     // the hashing-trick embedding re-derived independently; micro-long
     // digest of the float32-round-tripped components (see embedTextSql)
     "m6_embed_real" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the ingest-time health check a 100 TB
@@ -42,5 +43,55 @@ object Profile {
     one.select(explode(array(stacked: _*)).as("p"))
       .select(col("p.column").as("column"), col("p.n_rows").as("n_rows"),
         col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
+  }
+
+  /** Key-skew profile for a prospective shuffle/join/groupBy key — the
+    * diagnostic that decides WHICH mitigation a 100 TB plan needs
+    * (nothing / AQE skew split / explicit salting / broadcast): one row
+    * of `(key_col, n_rows, n_null_rows, n_keys, max_n, top1_share,
+    * gini)` where `top1_share` is the hottest key's row fraction (the
+    * straggler-task bound: one reducer gets at least this share) and
+    * `gini` is the Gini coefficient of the per-key count distribution
+    * (0 = uniform, →1 = one key owns everything).
+    *
+    * Scale shape: per-key counts are ONE partial-aggregable shuffle over
+    * the data; everything after runs on the COUNT table (bounded by key
+    * cardinality, the vocab-not-corpus contract). The Gini rank is a
+    * global `row_number` over that table — a single-task sort of n_keys
+    * rows, same bound as t20's global index; swap in a range-partitioned
+    * rank when key cardinality itself is web-scale. Null keys are
+    * counted separately and excluded from the distribution (engines
+    * disagree on NULL sort placement, and a null join key never matches
+    * anyway — its rows drop, not route, in an equi-join).
+    *
+    * Determinism: counts and the rank·count moment are exact integers
+    * (DECIMAL(38) — rank·count can pass 2⁶³ near 10⁹ keys × 10⁹ rows);
+    * the two ratios are ONE double formula each, 6-rounded, identical
+    * operation order in the oracle:
+    * `G = 2·Σ(rank·c) / (n_keys·n_rows) − (n_keys+1)/n_keys` with ranks
+    * ascending by (count, key).
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+    val counts = keyed.filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val nNull = keyed.filter(col("k").isNull)
+      .agg(count(lit(1)).as("n_null_rows"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(col("c"), col("k"))))
+    val nk = col("n_keys").cast("double")
+    val nr = col("n_rows").cast("double")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_n"),
+        sum((col("rk") * col("c")).cast("decimal(38,0)")).as("rc"))
+      .crossJoin(nNull)
+      .select(
+        lit(keyCol).as("key_col"),
+        col("n_rows"), col("n_null_rows"), col("n_keys"), col("max_n"),
+        round(col("max_n").cast("double") / nr, 6).as("top1_share"),
+        round(lit(2.0) * col("rc").cast("double") / (nk * nr)
+          - (nk + lit(1.0)) / nk, 6).as("gini"))
   }
 }

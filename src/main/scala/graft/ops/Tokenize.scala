@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TextFunctions
+
+/** Tokenizer-training operators: the vocabulary-construction step a
+  * training-data pipeline runs BEFORE it can token-count, pack, or price
+  * a corpus (the reference pipeline consumes text downstream of exactly
+  * such a tokenizer; `TextFunctions.bpeTokenCountEstimate` approximates
+  * one — this module trains the real thing's first merges).
+  */
+object Tokenize {
+
+  /** One canonical BPE merge pass over a space-joined symbol string: a
+    * left-to-right fold that replaces each non-overlapping adjacent
+    * `(l, r)` with `l+r` — `[a,a,a,a,a,a]` under `(a,a)` becomes
+    * `[aa,aa,aa]`, the Sennrich rule (a single string `replace` gets
+    * this WRONG: its one pass consumes the shared separator and strands
+    * `[aa,a,aa,a]`). The fold carries the space-joined prefix as its
+    * accumulator, so "previous symbol" tests are exact-boundary string
+    * checks; a just-merged symbol can never re-merge because the
+    * accumulator then ends with `l+r`, not `l`. An interpreted
+    * higher-order fold, deliberately: it runs over VOCABULARY rows (one
+    * corpus shuffle reduces 100 TB to ~10⁷-10⁸ words), where linear
+    * interpreted work is noise — never over the corpus.
+    */
+  private def mergePass(syms: Column, l: String, r: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      try_element_at(syms, lit(1)),
+      (acc, x) => when(
+        x === lit(r) && (acc === lit(l) || acc.endsWith(lit(" " + l))),
+        concat(acc.substr(lit(1), length(acc) - lit(l.length)), lit(l + r)))
+        .otherwise(concat(acc, lit(" "), x)))
+
+  private def resplit(sym: Column): Column = array_remove(split(sym, " "), "")
+
+  /** First `rounds` BPE merges (Sennrich et al. 2016) trained distributed.
+    *
+    * Classic BPE shape: the working set is the WORD-FREQUENCY table, not
+    * the corpus — one corpus-wide shuffle builds `(word, n)` (at 100 TB
+    * that is the only pass over the data; vocabulary cardinality is
+    * ~10⁷-10⁸ rows from then on), each word becomes its symbol sequence,
+    * and every round is: count adjacent symbol pairs weighted by word
+    * frequency (partial-aggregable — map-side combine collapses the
+    * Zipf head before the shuffle), take the global argmax
+    * (`TakeOrderedAndProject` limit-1 — ONE `(pair, count)` row reaches
+    * the driver per round, the [[Similarity.trainCentroids]]
+    * driver-bounded-loop contract), and apply [[mergePass]] everywhere.
+    *
+    * Determinism: pair counts are exact LONG sums; argmax ties break on
+    * the pair string ascending; the fold is position-exact. The oracle
+    * replays every round independently — same weighted counts, same
+    * rank-1 tie-break, same fold via DuckDB `list_reduce`.
+    *
+    * @return one row per merge round:
+    *         `(round, lhs, rhs, merged, n_pair)`.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val s = df.sparkSession
+    val wf = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " ")
+        .as("sym"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = wf
+    var prev: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (r <- 1 to rounds if merges.length == r - 1) {
+      val toks = resplit(col("sym"))
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val best = cur
+        .select(explode(pairs).as("p"), col("n"))
+        .groupBy("p").agg(sum(col("n")).as("c"))
+        .orderBy(desc("c"), asc("p"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (p, c) = (best(0).getString(0), best(0).getLong(1))
+        val Array(l, rr) = p.split(" ", 2)
+        merges += Row(r, l, rr, l + rr, c)
+        // persist each round's vocab (still ~100 bytes/word — the same
+        // artifact class as the minhash signatures), with a 2-deep cache
+        // window: round r+1's argmax materializes `next` FROM the still-
+        // cached `cur` (one interpreted fold, not an r-deep chain from
+        // the raw vocabulary), and only then is r−1's frame — which
+        // nothing references anymore — dropped. No extra materialization
+        // jobs; the per-round cost is the pair-count aggregate itself.
+        val next = cur.withColumn("sym", mergePass(resplit(col("sym")), l, rr))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev.foreach(_.unpersist())
+        prev = if (cur eq wf) None else Some(cur)
+        cur = next
+      }
+    }
+    prev.foreach(_.unpersist())
+    if (!(cur eq wf)) cur.unpersist()
+    wf.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(merges.toSeq, 1),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("n_pair", LongType, nullable = false))))
+  }
+
+  /** Segment a word with a trained merge list: replay the merges in
+    * training order (merge PRIORITY = training order — the standard BPE
+    * inference rule), one [[mergePass]] per merge. A pure narrow map —
+    * the merge table is baked into the expression tree, nothing
+    * shuffles. Appends a `pieces` array column.
+    */
+  def bpeSegment(df: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val chars = regexp_extract_all(col(wordCol), lit("."), lit(0))
+    val merged = merges.foldLeft(array_join(chars, " ")) { case (acc, (l, r)) =>
+      mergePass(resplit(acc), l, r)
+    }
+    df.withColumn("pieces", resplit(merged))
+  }
+}

@@ -17,6 +17,23 @@ class ProfileSpec extends SparkSpec {
     assert(r("s") == ((5L, 1L, 2L)), s"s profile: ${r("s")}")
   }
 
+  test("keySkewProfile: hand-computed Gini/top-share; nulls split out; uniform keys score 0") {
+    import spark.implicits._
+    // counts a:4 b:2 c:1 (+1 null row) → ranks asc (c,k): c=1,b=2,a=3
+    // rc = 1·1 + 2·2 + 3·4 = 17; G = 2·17/(3·7) − 4/3 = 6/21 = 0.285714
+    val df = Seq("a", "a", "a", "a", "b", "b", "c", null)
+      .toDF("k")
+    val r = Profile.keySkewProfile(df, "k").collect()(0)
+    assert(r.getString(0) == "k")
+    assert(r.getLong(1) == 7L && r.getLong(2) == 1L && r.getLong(3) == 3L &&
+      r.getLong(4) == 4L)
+    assert(r.getDouble(5) == 0.571429, s"top1_share ${r.getDouble(5)}")
+    assert(r.getDouble(6) == 0.285714, s"gini ${r.getDouble(6)}")
+    // perfectly uniform distribution → Gini exactly 0
+    val u = Profile.keySkewProfile(Seq("a", "b", "c").toDF("k"), "k").collect()(0)
+    assert(u.getDouble(6) == 0.0 && u.getDouble(5) == 0.333333)
+  }
+
   test("approx_count_distinct swap stays within its documented error bound") {
     // the scaladoc'd web-scale alternative: same inputs, HLL++ estimate
     // within a few percent of the exact count on a real column
