@@ -2520,6 +2520,21 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Full IVFADC ([[ops.Similarity.ivfAdcTopK]]): sim2's coarse
+    * quantizer (full-width cells, stride-50 centroids, nprobe 2)
+    * restricting sim11's ADC scan (16-dim/4-subspace codes) — only
+    * vectors in a query's probed cells pay table lookups, the complete
+    * billion-vector index layout. The oracle composes both replays and
+    * the cell-membership restriction.
+    */
+  private def sim13IvfAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.ivfAdcTopK(e, e.filter(col("vec_id") < 10), 16, 4, 50, 2, 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("approx_d_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     // spread = true: the sf fixtures are single parquet files — without
@@ -3174,6 +3189,7 @@ object SparkEntry {
     "d18_canonical" -> d18Canonical _,
     "sim9_pq_codes" -> sim9PqCodes _,
     "sim11_pq_adc" -> sim11PqAdc _,
+    "sim13_ivfadc" -> sim13IvfAdc _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g2_triangles" -> g2Triangles _,
@@ -4889,6 +4905,49 @@ object SparkEntry {
         |         CAST(sum(dt.d_micro) AS BIGINT) AS approx_d_micro
         |       FROM c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
         |       WHERE dt.query_id <> c.vec_id GROUP BY 1, 2),
+        |r AS (SELECT query_id, nn_id, approx_d_micro,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY approx_d_micro, nn_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, nn_id, approx_d_micro FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // sim11's codes/table replay + sim2's coarse cells and probes; the
+    // ADC sum keeps only (query, vector) pairs whose cell was probed
+    "sim13_ivfadc" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sx AS (SELECT vec_id, j.j AS sub, v[j.j*4+1 : j.j*4+4] AS sv
+        |       FROM e CROSS JOIN generate_series(0, 3) AS j(j)),
+        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sx WHERE vec_id % 50 = 0),
+        |dd AS (SELECT sx.vec_id, sx.sub, cb.code,
+        |        round(sqrt(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (sx.sv[i] - cb.cv[i]) * (sx.sv[i] - cb.cv[i])))), 6) AS dist
+        |       FROM sx JOIN cb ON sx.sub = cb.sub),
+        |cd AS (SELECT vec_id, sub, code FROM (
+        |        SELECT vec_id, sub, code,
+        |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |        FROM dd) WHERE rn = 1),
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT vec_id, cent_id FROM (
+        |        SELECT vec_id, cent_id,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS r
+        |        FROM ca) WHERE r = 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id FROM (
+        |        SELECT vec_id, cent_id,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS r
+        |        FROM ca WHERE vec_id < 10) WHERE r <= 2),
+        |dt AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+        |        CAST(round(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) * 1000000, 0)
+        |          AS BIGINT) AS d_micro
+        |       FROM sx q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 10),
+        |sc AS (SELECT dt.query_id, cd.vec_id AS nn_id,
+        |         CAST(sum(dt.d_micro) AS BIGINT) AS approx_d_micro
+        |       FROM cd JOIN dt ON cd.sub = dt.sub AND cd.code = dt.code
+        |       JOIN cell ce ON ce.vec_id = cd.vec_id
+        |       JOIN probes pr ON pr.query_id = dt.query_id AND pr.cent_id = ce.cent_id
+        |       WHERE dt.query_id <> cd.vec_id GROUP BY 1, 2),
         |r AS (SELECT query_id, nn_id, approx_d_micro,
         |       row_number() OVER (PARTITION BY query_id
         |                          ORDER BY approx_d_micro, nn_id) AS rank

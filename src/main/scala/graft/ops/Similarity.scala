@@ -554,6 +554,69 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("approx_d_micro"))
   }
 
+  /** FULL IVFADC (Jégou et al.'s complete layout — the billion-vector
+    * index shape): the coarse quantizer restricts each query to its
+    * `nprobe` nearest IVF cells, and ONLY vectors in those cells pay the
+    * ADC table-lookup distance. This is the piece [[pqTopK]] leaves out
+    * (it ADC-scans the whole corpus): cell restriction is what turns the
+    * scan-bound ADC pass into a `nprobe/ncells` fraction of the corpus.
+    *
+    * Distributed shape, split exactly as a production index splits it:
+    *   - INDEX BUILD (once, stored): cell assignment (broadcast
+    *     centroids, partial-aggregable argmin) + PQ codes, joined into
+    *     the cell-tagged codes artifact — the ONE keyed shuffle, in
+    *     production materialized as a table partitioned by `cent_id`.
+    *   - SERVING (per query batch): probes (|queries|·nprobe rows) and
+    *     the distance table broadcast; the codes artifact is probed
+    *     map-side — rows outside probed cells die at the broadcast-hash
+    *     join, never reaching the final partial-aggregable sum. No
+    *     corpus shuffle at query time.
+    *
+    * Same determinism as [[pqTopK]] (integer micro-unit ADC cells,
+    * order-free LONG sums, id tiebreaks) plus [[ivfTopK]]'s rounded-L2
+    * cell argmin — every stage SQL-replayable. The coarse quantizer runs
+    * on the FULL vector; the PQ codes on the `codedDim` prefix (the
+    * sim9/sim11 contract).
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, codedDim: Int, m: Int,
+      centroidEvery: Int, nprobe: Int, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
+    require(m >= 1 && codedDim % m == 0, s"codedDim $codedDim not divisible into $m subspaces")
+    val sub = codedDim / m
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val cells = assignCells(
+        withNorm(corpus, idCol, vecCol, "vec_id", "nn_vec", "nn_nrm"),
+        cents, "vec_id", "nn_vec", "nn_nrm", 1)
+      .select(col("vec_id"), col("cent_id"))
+    val probes = assignCells(
+        withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"),
+        cents, "query_id", "q_vec", "q_nrm", nprobe)
+      .select(col("query_id"), col("cent_id"))
+    val codesC = pqCodes(corpus, codedDim, m, centroidEvery, idCol, vecCol)
+      .join(cells, "vec_id")
+    val cb = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("code"),
+        posexplode(array((0 until m).map(j =>
+          slice(col(vecCol), j * sub + 1, sub)): _*)).as(Seq("csub", "cvec")))
+    val qs = queries.select(col(idCol).as("query_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * sub + 1, sub)): _*)).as(Seq("qsub", "qvec")))
+    val dt = qs.join(broadcast(cb), col("qsub") === col("csub"))
+      .select(col("query_id"), col("qsub").cast("long").as("sub"), col("code"),
+        round(l2NativeSq(col("qvec"), col("cvec")) * 1e6, 0).cast("long").as("d_micro"))
+    val scored = codesC.join(broadcast(probes), "cent_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("nn_id"))
+      .agg(sum(col("d_micro")).as("approx_d_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("approx_d_micro"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("approx_d_micro"))
+  }
+
   /** PQ shortlist → exact re-rank — the standard billion-vector serving
     * composition (FAISS `IndexRefineFlat` over IVFADC): the cheap
     * asymmetric-distance scan ([[pqTopK]]) cuts the corpus to a

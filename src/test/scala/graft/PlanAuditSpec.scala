@@ -307,6 +307,18 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus side shuffled for a join:\n$plan")
   }
 
+  test("sim13 IVFADC: probes/table broadcast, only centroid scoring nested-loops") {
+    val plan = executed(SparkEntry.queries("sim13_ivfadc")(spark, sf0001))
+    // exactly two broadcast nested loops — the deliberate vector ×
+    // broadcast-centroid-table cross scores (cells + probes); anything
+    // more means a real join degenerated
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 2,
+      s"unexpected nested-loop count:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") == 0 && !plan.contains("CartesianProduct"),
+      s"ADC/probe join regressed from broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), s"ADC sum not partial:\n$plan")
+  }
+
   test("g2 triangles: wedge/closure joins are equi-joins, corner count is partial") {
     val plan = executed(SparkEntry.queries("g2_triangles")(spark, sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
