@@ -2044,6 +2044,24 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** Personalized PageRank ([[ops.Graph.personalizedPageRank]], seeds
+    * 0–4, 3 iterations) over g1's shard graph: teleport mass splits
+    * over the seed set only, so rank measures authority RELATIVE to the
+    * seeds. Same all-LONG nano fixed point as g1; the oracle unrolls
+    * the three seeded rounds and must match every rank to the nano.
+    */
+  private def g6PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(s, dir)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .unionByName(Tables.documents(s, dir)
+        .select(shard.as("src"), ((shard * 17 + 3) % 500).as("dst")))
+      .distinct()
+    ops.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq(0L, 1L, 2L, 3L, 4L), iters = 3)
+      .orderBy("node_id")
+  }
+
   /** Multi-source BFS ([[ops.Graph.bfsDistances]], source shard 0,
     * 4 rounds) over g1's shard graph: exact hop distances within the
     * radius, null beyond — the oracle unrolls the same four min-plus
@@ -3192,6 +3210,7 @@ object SparkEntry {
     "sim13_ivfadc" -> sim13IvfAdc _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
+    "g6_personalized_pagerank" -> g6PersonalizedPagerank _,
     "g2_triangles" -> g2Triangles _,
     "t26_skipgrams" -> t26Skipgrams _,
     "io10_jsonl" -> io10Jsonl _,
@@ -3522,6 +3541,26 @@ object SparkEntry {
       |        round(2.0 * rc / (CAST(n_keys AS DOUBLE) * n_rows)
       |          - (n_keys + 1.0) / n_keys, 6) AS gini
       |       FROM a$i CROSS JOIN nn$i)""".stripMargin
+
+  /** One PERSONALIZED PageRank round in DuckDB (mirror of
+    * [[ops.Graph.personalizedPageRank]]'s loop): inflow exactly as
+    * [[pageRankIterSql]], but the teleport term lands only on seed
+    * nodes, split over `ns.ns` seeds. Expects the g1 CTEs plus
+    * `seeds(id)` and `ns(ns)`.
+    */
+  private def pprIterSql(i: Int): String = {
+    val p = s"pr${i - 1}"
+    s"""pf$i AS (SELECT e.dst AS id, CAST(sum($p.r // od.outdeg) AS BIGINT) AS inflow
+      |       FROM e JOIN $p ON $p.id = e.src JOIN od ON od.src = e.src
+      |       GROUP BY e.dst),
+      |pr$i AS (SELECT nodes.id,
+      |        (CASE WHEN s.id IS NOT NULL
+      |              THEN (1000000000 - 850000000) // ns.ns ELSE 0 END)
+      |         + (850000000 * coalesce(pf$i.inflow, 0)) // 1000000000 AS r
+      |       FROM nodes CROSS JOIN ns
+      |       LEFT JOIN seeds s ON s.id = nodes.id
+      |       LEFT JOIN pf$i ON pf$i.id = nodes.id)""".stripMargin
+  }
 
   /** One PageRank round in DuckDB, mirroring [[ops.Graph.pageRank]]'s
     * all-LONG nano fixed point: inflow = Σ r_prev div outdeg over
@@ -5263,6 +5302,25 @@ object SparkEntry {
         |${pageRankIterSql(3)}
         |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_nano
         |FROM r3 ORDER BY node_id""".stripMargin,
+    // g1's graph with the teleport mass split over seeds 0-4 only; all
+    // three seeded rounds unrolled (see pprIterSql), nano-exact
+    "g6_personalized_pagerank" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 31 + 7) % 500 AS dst FROM documents
+        |  UNION
+        |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 17 + 3) % 500 AS dst FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT unnest([0, 1, 2, 3, 4]) AS id),
+        |ns AS (SELECT count(*) AS ns FROM seeds),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |pr0 AS (SELECT nodes.id,
+        |        CASE WHEN s.id IS NOT NULL THEN 1000000000 // ns.ns ELSE 0 END AS r
+        |       FROM nodes CROSS JOIN ns LEFT JOIN seeds s ON s.id = nodes.id),
+        |${pprIterSql(1)},
+        |${pprIterSql(2)},
+        |${pprIterSql(3)}
+        |SELECT id AS node_id, CAST(r AS BIGINT) AS rank_nano
+        |FROM pr3 ORDER BY node_id""".stripMargin,
     // four min-plus rounds unrolled over g1's undirected shard graph
     "g5_bfs_distances" ->
       s"""WITH r0 AS (

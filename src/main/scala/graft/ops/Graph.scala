@@ -89,6 +89,58 @@ object Graph {
     ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
   }
 
+  /** PERSONALIZED PageRank — random walks that teleport back to a SEED
+    * set instead of the uniform distribution: authority relative to a
+    * query's seeds, the data-attribution / related-content primitive
+    * (which documents does this seed set endorse?). Identical iteration
+    * discipline to [[pageRank]] — all-LONG nano fixed point, per-round
+    * 2-column frames, localCheckpoint lineage cuts — with the teleport
+    * mass `(1 − d)` split over the seeds only, so non-seed nodes receive
+    * rank exclusively through in-links. Seeds travel as a broadcast
+    * `isin` literal (a query's seed set is human-scale; a frame-sized
+    * seed variant would swap the literal for a broadcast join, same
+    * plan class). Dangling-node mass is dropped, [[pageRank]]'s
+    * convention, so ranks are comparable across both ops.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int, dampNano: Long = 850000000L,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty && seeds.distinct == seeds, s"bad seed set: $seeds")
+    require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
+    require(dampNano > 0 && dampNano < 1000000000L, s"bad dampNano $dampNano")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val isSeed = col("id").isin(seeds: _*)
+    val nSeeds = seeds.length
+    var ranks = nodes
+      .select(col("id"),
+        when(isSeed, lit(1000000000L / nSeeds)).otherwise(lit(0L)).as("r"))
+    var it = 0
+    while (it < iters) {
+      val shares = ranks.join(outdeg, col("id") === col("src"))
+        .select(col("src").as("u"), expr("r div outdeg").as("share"))
+      val inflow = e.join(shares, col("src") === col("u"))
+        .groupBy(col("dst").as("v")).agg(sum("share").as("inflow"))
+      val next = nodes.join(inflow, col("id") === col("v"), "left")
+        .select(col("id"),
+          (when(isSeed, lit((1000000000L - dampNano) / nSeeds)).otherwise(lit(0L))
+            + expr(s"($dampNano * coalesce(inflow, 0L)) div 1000000000")).as("r"))
+      ranks = if ((it + 1) % checkpointEvery == 0) next.localCheckpoint() else next
+      it += 1
+    }
+    if (iters % checkpointEvery == 0) {
+      e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    }
+    ranks.select(col("id").as("node_id"), col("r").as("rank_nano"))
+  }
+
   /** Per-node triangle counts — the local clustering signal (spam/link-farm
     * detection on crawl graphs: organic neighborhoods triangulate, farms
     * don't). Classic two-join formulation over canonicalized undirected

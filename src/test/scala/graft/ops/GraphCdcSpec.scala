@@ -27,6 +27,26 @@ class GraphCdcSpec extends SparkSpec {
     assert(r.values.sum <= 1000000000L) // floor truncation only loses mass
   }
 
+  test("personalizedPageRank: mass flows from seeds only; hand-computed one round") {
+    // cycle 1→2→3→1 plus disconnected 10→11; seed = {1}
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 10L -> 11L)
+    val r = Graph.personalizedPageRank(g, "src", "dst", Seq(1L), 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r0: node1 = 1e9, rest 0. One round: node1 teleport 150000000;
+    // node2 inflow = 850000000·1e9 div 1e9; everything else untouched
+    assert(r == Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L), r)
+    // components unreachable from the seeds stay at exactly zero forever
+    val r3 = Graph.personalizedPageRank(g, "src", "dst", Seq(1L), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r3(10L) == 0L && r3(11L) == 0L)
+    assert(r3(1L) > 0L && r3(2L) > 0L && r3(3L) > 0L)
+    // and the seeded walk is partitioning-invariant like g1's
+    val again = Graph.personalizedPageRank(g.repartition(5), "src", "dst", Seq(1L), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r3)
+  }
+
   test("pageRank is partitioning-invariant (exact integer ranks)") {
     val e = edges((0L until 60L).flatMap(i => Seq(i -> (i * 7 + 1) % 60, i -> (i * 11 + 3) % 60)): _*)
     val a = Graph.pageRank(e, "src", "dst", 3).collect().toSet
