@@ -1164,6 +1164,23 @@ object SparkEntry {
       .orderBy("key_col")
   }
 
+  /** Exact distributed AUC ([[ops.Curation.binaryAuc]]) of the t18
+    * trained quality classifier's scores against the `lang == 'en'`
+    * labels: Mann–Whitney rank-sum with tie-corrected average ranks,
+    * exact integer moments, one 6-rounded double division. The oracle
+    * replays the full t18 training + scoring chain and the rank-sum.
+    */
+  private def t46ClassifierAuc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wm = ops.Curation.trainTextClassifier(
+      d.withColumn("__y", (col("lang") === "en").cast("int")),
+      "text", "__y", 16, 2, 0.5)
+    val scored = ops.Curation.scoreTextClassifier(d, "text", "doc_id", wm)
+      .join(d.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("label")), "doc_id")
+    ops.Curation.binaryAuc(scored, "score", "label")
+  }
+
   /** Windowed skip-gram co-occurrence ([[ops.Curation.skipgramCounts]],
     * window 3, min 5, top 50): word2vec-style context pairs via narrow
     * slice zips — no positional self-join. Oracle replays every offset's
@@ -3166,6 +3183,7 @@ object SparkEntry {
     "t43_trained_langid" -> t43TrainedLangId _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t45_skew_profile" -> t45SkewProfile _,
+    "t46_classifier_auc" -> t46ClassifierAuc _,
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
     "t21_cms_topk" -> t21CmsTopk _,
@@ -5663,6 +5681,39 @@ object SparkEntry {
         | round(1.0/(1.0 + exp(-(zm / 1000000000000.0))), 6) AS score
         |FROM documents d JOIN zf ON d.doc_id = zf.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // t18's full training+scoring chain, then the Mann-Whitney rank-sum
+    // with tie-corrected average ranks (2x-rank integers; one division)
+    "t46_classifier_auc" ->
+      s"""WITH ${embedTextSql()},
+        |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
+        |y AS (SELECT doc_id,
+        |       CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS ym
+        |      FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w0 AS (SELECT unnest(generate_series(0, 15)) AS j, CAST(0 AS BIGINT) AS wm),
+        |${logregIterSql(1, "w0")},
+        |${logregIterSql(2, "w1")},
+        |zf AS (SELECT xm.doc_id, CAST(sum(xm.xm * pw.wm) AS BIGINT) AS zm
+        |       FROM xm JOIN w2 pw USING (j) GROUP BY xm.doc_id),
+        |scored AS (SELECT d.doc_id,
+        |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+        |        round(1.0/(1.0 + exp(-(zm / 1000000000000.0))), 6) AS score
+        |       FROM documents d JOIN zf ON d.doc_id = zf.doc_id),
+        |g AS (SELECT score AS s, count(*) AS n, CAST(sum(label) AS BIGINT) AS np
+        |      FROM scored GROUP BY score),
+        |cum AS (SELECT s, n, np,
+        |        coalesce(sum(n) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |       FROM g),
+        |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |       sum(np * (2 * off + n + 1)) AS r2 FROM cum)
+        |SELECT n_pos, n_neg,
+        | CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        |  round((CAST(r2 AS DOUBLE)
+        |    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+        |    / (2.0 * n_pos * n_neg), 6) END AS auc
+        |FROM a""".stripMargin,
     // all five one-vs-rest classes replayed independently (each =
     // t18's two GD iterations with that class's labels), then the same
     // rounded-score argmax cascade with ascending-class tie precedence

@@ -469,6 +469,46 @@ object Curation {
         .as("score"))
   }
 
+  /** EXACT binary AUC (Mann–Whitney rank-sum form with tie-corrected
+    * average ranks) — the evaluation primitive behind every
+    * quality-classifier threshold decision: the probability a random
+    * positive outranks a random negative. `AUC = (2·ΣR⁺ − n⁺(n⁺+1)) /
+    * (2·n⁺·n⁻)` where ΣR⁺ sums positives' AVERAGE ranks (tie groups
+    * share `offset + (n+1)/2`), kept integral by carrying 2×rank:
+    * `2·ΣR⁺ = Σ_groups n⁺_g·(2·offset_g + n_g + 1)`.
+    *
+    * Scale shape: one partial-aggregable groupBy collapses the corpus to
+    * per-distinct-score rows; the cumulative offset is a window over
+    * that SCORE table (bounded by distinct score values — 6-rounded
+    * sigmoids cap it at ~10⁶ rows regardless of corpus size, the
+    * vocab-not-corpus contract); moments are exact DECIMAL(38) sums
+    * (2·ΣR⁺ passes 2⁶³ near 10¹⁰ rows), and the single double division
+    * happens once at the end, 6-rounded — bit-identical in SQL.
+    *
+    * @return one row: `(n_pos, n_neg, auc)`; `auc` null when either
+    *         class is empty (undefined, not 0).
+    */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("np"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum((col("np") * (lit(2L) * col("off") + col("n") + lit(1L)))
+          .cast("decimal(38,0)")).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(round(
+            (col("r2").cast("double")
+              - col("n_pos").cast("double") * (col("n_pos").cast("double") + lit(1.0)))
+              / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
   /** Repetition / boilerplate metrics (Gopher-style repetition signals):
     * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
     * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.

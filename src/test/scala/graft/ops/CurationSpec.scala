@@ -294,6 +294,27 @@ class CurationSpec extends SparkSpec {
       ovr2.map { case (c, w) => c -> w.toSeq })
   }
 
+  test("binaryAuc: hand-computed with ties; perfect separation = 1; degenerate = null") {
+    import spark.implicits._
+    // + at 0.9, 0.8; − at 0.8, 0.1: pairwise wins 3 + one tie (0.5)
+    // → 3.5/4 = 0.875 (rank-sum: r2 = 5 + 8 = 13; (13 − 6)/8)
+    val df = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.1, 0)).toDF("score", "label")
+    val r = Curation.binaryAuc(df, "score", "label").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.875, s"auc ${r.getDouble(2)}")
+    val perfect = Curation.binaryAuc(
+      Seq((0.9, 1), (0.8, 1), (0.3, 0)).toDF("score", "label"), "score", "label")
+      .collect()(0)
+    assert(perfect.getDouble(2) == 1.0)
+    val onlyPos = Curation.binaryAuc(
+      Seq((0.9, 1), (0.8, 1)).toDF("score", "label"), "score", "label").collect()(0)
+    assert(onlyPos.isNullAt(2), "AUC with one class must be null")
+    // partitioning-invariant (exact integer rank sums)
+    val big = (0 until 200).map(i => ((i % 17) / 17.0, i % 3 min 1)).toDF("score", "label")
+    assert(Curation.binaryAuc(big, "score", "label").collect()(0) ==
+      Curation.binaryAuc(big.repartition(7), "score", "label").collect()(0))
+  }
+
   test("predictLangOneVsRest ties break on ascending class precedence") {
     import spark.implicits._
     val df = Seq((1L, "anything")).toDF("doc_id", "text")
