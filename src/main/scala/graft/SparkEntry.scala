@@ -1181,6 +1181,23 @@ object SparkEntry {
     ops.Curation.binaryAuc(scored, "score", "label")
   }
 
+  /** Calibration bins ([[ops.Curation.calibrationBins]], 10 buckets) of
+    * the HEURISTIC quality score against the `lang == 'en'` labels —
+    * the reliability diagram one draws before trusting a filter score
+    * as a probability. The heuristic spreads across bins (unlike the
+    * t18 2-iteration sigmoids, which collapse into one bucket — a
+    * one-bin diagram audits nothing); its SQL replay is t1's proven
+    * quality expression. Oracle replays the score, the clamped
+    * bucketing, and both 6-rounded per-bin ratios.
+    */
+  private def t47Calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(TextFunctions.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").cast("int").as("label"))
+    ops.Curation.calibrationBins(scored, "score", "label", 10)
+      .orderBy("bin")
+  }
+
   /** Windowed skip-gram co-occurrence ([[ops.Curation.skipgramCounts]],
     * window 3, min 5, top 50): word2vec-style context pairs via narrow
     * slice zips — no positional self-join. Oracle replays every offset's
@@ -3184,6 +3201,7 @@ object SparkEntry {
     "t44_bpe_merges" -> t44BpeMerges _,
     "t45_skew_profile" -> t45SkewProfile _,
     "t46_classifier_auc" -> t46ClassifierAuc _,
+    "t47_calibration" -> t47Calibration _,
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
     "t21_cms_topk" -> t21CmsTopk _,
@@ -3471,7 +3489,7 @@ object SparkEntry {
     * the HUGEINT gradient into DECIMAL arithmetic instead of the
     * engine's IEEE double path.
     */
-  private def logregIterSql(i: Int, prevW: String): String =
+  private def logregIterSql(i: Int, prevW: String, lr: String = "0.5"): String =
     s"""z$i AS (SELECT xm.doc_id, CAST(sum(xm.xm * pw.wm) AS BIGINT) AS zm
       |       FROM xm JOIN $prevW pw USING (j) GROUP BY xm.doc_id),
       |p$i AS (SELECT doc_id,
@@ -3480,7 +3498,7 @@ object SparkEntry {
       |g$i AS (SELECT xm.j, sum((p.pm - y.ym) * xm.xm) AS s
       |       FROM xm JOIN p$i p USING (doc_id) JOIN y USING (doc_id) GROUP BY xm.j),
       |w$i AS (SELECT g.j,
-      |        CAST(round(pw.wm - CAST(0.5 AS DOUBLE) * g.s / (n.n * 1000000.0), 0) AS BIGINT) AS wm
+      |        CAST(round(pw.wm - CAST($lr AS DOUBLE) * g.s / (n.n * 1000000.0), 0) AS BIGINT) AS wm
       |       FROM $prevW pw JOIN g$i g USING (j) CROSS JOIN n)""".stripMargin
 
   /** Per-class variant of [[logregIterSql]] for the one-vs-rest replay
@@ -5714,6 +5732,33 @@ object SparkEntry {
         |    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
         |    / (2.0 * n_pos * n_neg), 6) END AS auc
         |FROM a""".stripMargin,
+    // t1's proven quality-score replay over documents.text, then the
+    // clamped equal-width buckets with exact micro-integer score sums
+    "t47_calibration" ->
+      s"""WITH s AS (SELECT lang, ${toksSql("text")} AS toks,
+        |        CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio
+        |       FROM documents),
+        |s2 AS (SELECT lang, punct_ratio,
+        |        CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, t -> t IN (${inList(TextFunctions.Stopwords)})))::DOUBLE / len(toks) END AS stopword_ratio,
+        |        least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS len_signal
+        |       FROM s),
+        |scored AS (SELECT
+        |        len_signal * (1.0 - least(1.0, punct_ratio * 4.0))
+        |          * (0.5 + least(1.0, stopword_ratio * 4.0) * 0.5) AS score,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        |       FROM s2),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |        CAST(round(score * 1000000, 0) AS BIGINT) AS sm, label
+        |       FROM scored),
+        |gb AS (SELECT bin, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+        |        sum(sm) AS sms
+        |       FROM b GROUP BY bin)
+        |SELECT bin, n, n_pos,
+        | round(CAST(sms AS DOUBLE) / 1000000.0 / n, 6) AS mean_score,
+        | round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate
+        |FROM gb ORDER BY bin""".stripMargin,
     // all five one-vs-rest classes replayed independently (each =
     // t18's two GD iterations with that class's labels), then the same
     // rounded-score argmax cascade with ascending-class tie precedence

@@ -509,6 +509,36 @@ object Curation {
           .as("auc"))
   }
 
+  /** Calibration (reliability) bins — [[binaryAuc]]'s companion: AUC
+    * says the classifier RANKS well, calibration says its scores MEAN
+    * what they claim (a 0.9-bin whose empirical positive rate is 0.55
+    * mis-prices every threshold cut downstream). Scores land in
+    * `bins` equal-width buckets (`floor(s·bins)`, top edge clamped);
+    * per bin: row count, positives, 6-rounded mean score and empirical
+    * positive rate.
+    *
+    * One partial-aggregable pass; per-bin score sums carried as exact
+    * micro-LONGs inside DECIMAL(38) (6-rounded scores are exact micro
+    * integers, so the mean is an exact ratio until its one double
+    * division — order-free at any parallelism).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    df.select(
+        least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        round(col(scoreCol) * 1e6, 0).cast("long").as("sm"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("sm").cast("decimal(38,0)")).as("sms"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sms").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+  }
+
   /** Repetition / boilerplate metrics (Gopher-style repetition signals):
     * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
     * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.

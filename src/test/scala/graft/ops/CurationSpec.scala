@@ -315,6 +315,21 @@ class CurationSpec extends SparkSpec {
       Curation.binaryAuc(big.repartition(7), "score", "label").collect()(0))
   }
 
+  test("calibrationBins: clamped bucketing, exact means and rates") {
+    import spark.implicits._
+    val df = Seq((0.05, 0), (0.08, 0), (0.95, 1), (0.92, 0), (1.0, 1))
+      .toDF("score", "label")
+    val r = Curation.calibrationBins(df, "score", "label", 10)
+      .orderBy("bin").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 9L), "only bins 0 and 9 populated")
+    val b0 = r(0); val b9 = r(1)
+    assert(b0.getLong(1) == 2L && b0.getLong(2) == 0L)
+    assert(b0.getDouble(3) == 0.065 && b0.getDouble(4) == 0.0)
+    // 1.0 clamps into bin 9; mean = (0.95 + 0.92 + 1.0)/3 = 0.956667
+    assert(b9.getLong(1) == 3L && b9.getLong(2) == 2L)
+    assert(b9.getDouble(3) == 0.956667 && b9.getDouble(4) == 0.666667)
+  }
+
   test("predictLangOneVsRest ties break on ascending class precedence") {
     import spark.implicits._
     val df = Seq((1L, "anything")).toDF("doc_id", "text")
