@@ -242,6 +242,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
   }
 
+  test("g6 personalized pagerank rounds: partial sums, seed literal never joins") {
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(spark, sf0001)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .distinct()
+    val df = graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+      Seq(0L, 1L, 2L), iters = 2, checkpointEvery = Int.MaxValue)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"), s"inflow sum not partial:\n$plan")
+    // seeds are an isin LITERAL — no join, no broadcast frame, and
+    // (unlike g1) no 1-row N cross join anywhere in the round plan
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"seed handling introduced a degenerate join:\n$plan")
+  }
+
+  test("t45 skew profile: per-key count is partial; rank is the documented 2-window bound") {
+    val plan = executed(SparkEntry.queries("t45_skew_profile")(spark, sf0001))
+    assert(plan.contains("partial_count"), s"key counts not partial:\n$plan")
+    // one global rank window per profiled key (the vocab-bounded
+    // single-task sort the scaladoc documents) and exactly the two
+    // 1-row null-count cross joins — nothing else nested-loops
+    assert(countOf(plan, "Window") == 2, s"unexpected window count:\n$plan")
+    assert(countOf(plan, "BroadcastNestedLoopJoin") == 2 &&
+      !plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+  }
+
+  test("t46 AUC: score table partial-aggregated, one rank window, label join broadcast") {
+    val plan = executed(SparkEntry.queries("t46_classifier_auc")(spark, sf0001))
+    assert(plan.contains("partial_count"), s"score groupBy not partial:\n$plan")
+    assert(countOf(plan, "Window") == 1, s"unexpected window count:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") == 1 &&
+      countOf(plan, "SortMergeJoin") == 0, s"label join regressed:\n$plan")
+  }
+
+  test("t47 calibration is one agg shuffle + presentation sort, zero joins") {
+    val plan = executed(SparkEntry.queries("t47_calibration")(spark, sf0001))
+    assert(countOf(plan, "Exchange") == 2, s"extra shuffles:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"calibration must stay join/window-free:\n$plan")
+    assert(plan.contains("partial_count"), s"bin agg not partial:\n$plan")
+  }
+
   test("q27 CDC merge is one reduction window + one key join, change side reduced first") {
     val plan = executed(SparkEntry.queries("q27_cdc_merge")(spark, sf0001))
     assert(plan.contains("FullOuter"), s"merge lost its full-outer join:\n$plan")
