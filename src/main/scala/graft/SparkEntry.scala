@@ -1150,6 +1150,27 @@ object SparkEntry {
     ops.Tokenize.bpeMerges(Tables.documents(s, dir), "text", 5)
       .orderBy("round")
 
+  /** BPE inference through the gate ([[ops.Tokenize.bpeSegment]]): the
+    * t44-trained 5 merges applied in priority order to the vocabulary,
+    * reported for the 50 most frequent words. Because segmentation
+    * replays the training folds, the oracle IS the training chain with
+    * the word carried through — the segmented string must equal the
+    * final round's symbol string word-for-word.
+    */
+  private def t48BpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val merges = ops.Tokenize.bpeMerges(d, "text", 5)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wf = d.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    ops.Tokenize.bpeSegment(wf, "w", merges)
+      .select(col("w"), col("n"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        array_join(col("pieces"), " ").as("segmented"))
+      .orderBy(desc("n"), col("w")).limit(50)
+  }
+
   /** Key-skew profiles ([[ops.Profile.keySkewProfile]]) for the two
     * shapes a join planner cares about: the high-cardinality key
     * (user_id — mild skew, salting pointless) and the tiny-domain key
@@ -3199,6 +3220,7 @@ object SparkEntry {
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t43_trained_langid" -> t43TrainedLangId _,
     "t44_bpe_merges" -> t44BpeMerges _,
+    "t48_bpe_segment" -> t48BpeSegment _,
     "t45_skew_profile" -> t45SkewProfile _,
     "t46_classifier_auc" -> t46ClassifierAuc _,
     "t47_calibration" -> t47Calibration _,
@@ -3543,9 +3565,11 @@ object SparkEntry {
     * — the exact-boundary suffix test and no-remerge property mirror
     * `Tokenize.mergePass`) building the next round's symbol strings.
     */
-  private def bpeRoundSql(i: Int): String = {
+  private def bpeRoundSql(i: Int, keep: Seq[String] = Seq("n")): String = {
     val prev = s"s${i - 1}"
-    s"""t$i AS (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS t, n FROM $prev),
+    val tCols = keep.mkString(", ")
+    val sCols = keep.map("t." + _).mkString(", ")
+    s"""t$i AS (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS t, $tCols FROM $prev),
       |pc$i AS (SELECT p, CAST(sum(n) AS BIGINT) AS c FROM (
       |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
       |      k -> t[k] || ' ' || t[k + 1])) AS p, n FROM t$i) GROUP BY p),
@@ -3555,7 +3579,7 @@ object SparkEntry {
       |s$i AS (SELECT list_reduce(t.t, (acc, x) ->
       |          CASE WHEN x = b.r AND (acc = b.l OR right(acc, len(b.l) + 1) = ' ' || b.l)
       |               THEN substr(acc, 1, len(acc) - len(b.l)) || b.m
-      |               ELSE acc || ' ' || x END) AS sym, t.n
+      |               ELSE acc || ' ' || x END) AS sym, $sCols
       |       FROM t$i t CROSS JOIN b$i b)""".stripMargin
   }
 
@@ -5786,7 +5810,7 @@ object SparkEntry {
       s"""WITH wf AS (SELECT w, count(*) AS n
         |      FROM (SELECT unnest(${toksSql("text")}) AS w FROM documents) GROUP BY w),
         |s0 AS (SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, n FROM wf),
-        |${(1 to 5).map(bpeRoundSql).mkString(",\n")}
+        |${(1 to 5).map(i => bpeRoundSql(i)).mkString(",\n")}
         |${(1 to 5).map(i =>
              s"SELECT CAST($i AS INT) AS round, split_part(p, ' ', 1) AS lhs, " +
              s"split_part(p, ' ', 2) AS rhs, replace(p, ' ', '') AS merged, c AS n_pair FROM b$i")
@@ -5798,6 +5822,17 @@ object SparkEntry {
       s"""WITH ${skewProfileSql("user_id", "user_id", 1)},
         |${skewProfileSql("event_type", "event_type", 2)}
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY key_col""".stripMargin,
+    // the t44 training chain with the word carried through every round:
+    // inference (priority-order merge replay) == training's final state
+    "t48_bpe_segment" ->
+      s"""WITH wf AS (SELECT w, count(*) AS n
+        |      FROM (SELECT unnest(${toksSql("text")}) AS w FROM documents) GROUP BY w),
+        |s0 AS (SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, n FROM wf),
+        |${(1 to 5).map(i => bpeRoundSql(i, Seq("w", "n"))).mkString(",\n")}
+        |SELECT w, n,
+        | CAST(len(list_filter(string_split(sym, ' '), x -> x <> '')) AS BIGINT) AS n_pieces,
+        | sym AS segmented
+        |FROM s5 ORDER BY n DESC, w LIMIT 50""".stripMargin,
     // the hashing-trick embedding re-derived independently; micro-long
     // digest of the float32-round-tripped components (see embedTextSql)
     "m6_embed_real" ->
