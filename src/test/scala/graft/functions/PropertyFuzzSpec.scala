@@ -198,6 +198,73 @@ class PropertyFuzzSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges == naive in-memory BPE on generated corpora") {
+    import spark.implicits._
+    // naive reference: word-frequency map, pair counts, (count desc, pair
+    // asc) argmax, symbol-level left-to-right non-overlapping merge
+    def naiveBpe(words: Seq[String], rounds: Int): Seq[(String, String, Long)] = {
+      var wf: Map[Vector[String], Long] = words.groupBy(identity)
+        .map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, n) <- wf; i <- 0 until syms.size - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq
+            .sortBy { case ((a, b), n) => (-n, a + " " + b) }.head
+          out += ((l, r, c))
+          wf = wf.map { case (syms, n) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (s <- syms) {
+              if (acc.nonEmpty && acc.last == l && s == r)
+                acc(acc.size - 1) = l + r
+              else acc += s
+            }
+            acc.toVector -> n
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    val word: Gen[String] = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus: Gen[Seq[String]] = Gen.listOfN(12, word)
+    for ((words, i) <- samples(corpus, 6).zipWithIndex) {
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = graft.ops.Tokenize.bpeMerges(df, "text", 3).orderBy("round")
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got == naiveBpe(words, 3), s"corpus $i '$words': got $got")
+    }
+  }
+
+  test("binaryAuc == naive pairwise win/tie counting on generated score sets") {
+    import spark.implicits._
+    def naiveAuc(rows: Seq[(Double, Int)]): Option[Double] = {
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      if (pos.isEmpty || neg.isEmpty) None
+      else {
+        val wins = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        Some(BigDecimal(wins / (pos.size.toDouble * neg.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val row: Gen[(Double, Int)] = for {
+      s <- Gen.choose(0, 20).map(_ / 20.0) // coarse grid → many exact ties
+      y <- Gen.oneOf(0, 1)
+    } yield (s, y)
+    for ((rows, i) <- samples(Gen.listOfN(40, row), 6).zipWithIndex) {
+      val r = graft.ops.Curation.binaryAuc(rows.toDF("score", "label"),
+        "score", "label").collect()(0)
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(got == naiveAuc(rows), s"set $i: got $got want ${naiveAuc(rows)}")
+    }
+  }
+
   test("CC stray-endpoint contract: both impls drop them, both let them carry connectivity") {
     import spark.implicits._
     // nodes 0..4; edges reference strays 90/91: 0-90, 90-1 (stray BRIDGES
