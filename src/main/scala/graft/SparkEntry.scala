@@ -2886,6 +2886,29 @@ object SparkEntry {
         ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** Per-channel normalization stats over the REAL codec path
+    * ([[ops.Multimodal.channelStats]]): exact integer channel moments
+    * from decoded pixels, then the 6-rounded mean-per-channel and the
+    * pooled RGB standard deviation — the mean/std a vision embedder
+    * normalizes with. The oracle recomputes every pixel from the
+    * generation arithmetic and replays the one double formula in the
+    * same operation order.
+    */
+  private def m14ChannelStats(s: SparkSession, dir: String): DataFrame = {
+    val m = ops.Multimodal.channelStats(
+      ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
+    val nD = col("n_pix").cast("double")
+    val n3 = nD * lit(3.0)
+    val vs = (col("r_sum") + col("g_sum") + col("b_sum")).cast("double")
+    m.select(col("doc_id"), col("n_pix"),
+        col("r_sum"), col("g_sum"), col("b_sum"),
+        round(col("r_sum").cast("double") / nD, 6).as("r_mean"),
+        round(col("g_sum").cast("double") / nD, 6).as("g_mean"),
+        round(col("b_sum").cast("double") / nD, 6).as("b_mean"),
+        round(sqrt(n3 * col("sq_sum").cast("double") - vs * vs) / n3, 6).as("rgb_std"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // IO round-trip tier (S3/S4/S5 sources & sinks)
   // ---------------------------------------------------------------------
@@ -3340,6 +3363,7 @@ object SparkEntry {
     "m9_dhash" -> m9Dhash _,
     "m10_audio_features" -> m10AudioFeatures _,
     "m11_histogram" -> m11Histogram _,
+    "m14_channel_stats" -> m14ChannelStats _,
     "m12_video_dhash" -> m12VideoDhash _,
     "m13_audio_decimate" -> m13AudioDecimate _,
     "io12_dynamic_overwrite" -> io12DynamicOverwrite _,
@@ -5961,6 +5985,27 @@ object SparkEntry {
         |        CAST(CAST(sum(gray) AS BIGINT) // count(*) AS BIGINT) AS mean_gray
         |      FROM gr GROUP BY doc_id)
         |SELECT doc_id, CAST(n_pix AS BIGINT) AS n_pix, b0, b1, b2, b3, mean_gray
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // m9's pixel arithmetic as channel moments: exact integer sums per
+    // channel + the pooled-std double formula in identical op order
+    "m14_channel_stats" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |g AS (SELECT d.doc_id, ((d.doc_id + 31 * gx.x + 131 * gy.y) % 16777216) AS pix
+        |      FROM d, generate_series(0, 16) AS gx(x), generate_series(0, 14) AS gy(y)
+        |      WHERE gx.x < d.w AND gy.y < d.h),
+        |c AS (SELECT doc_id, pix // 65536 AS r, (pix // 256) % 256 AS g, pix % 256 AS b FROM g),
+        |a AS (SELECT doc_id, count(*) AS n_pix,
+        |        CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum,
+        |        CAST(sum(b) AS BIGINT) AS b_sum,
+        |        CAST(sum(r*r + g*g + b*b) AS BIGINT) AS sq_sum
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_pix AS BIGINT) AS n_pix, r_sum, g_sum, b_sum,
+        | round(CAST(r_sum AS DOUBLE) / CAST(n_pix AS DOUBLE), 6) AS r_mean,
+        | round(CAST(g_sum AS DOUBLE) / CAST(n_pix AS DOUBLE), 6) AS g_mean,
+        | round(CAST(b_sum AS DOUBLE) / CAST(n_pix AS DOUBLE), 6) AS b_mean,
+        | round(sqrt(CAST(n_pix AS DOUBLE) * 3.0 * CAST(sq_sum AS DOUBLE)
+        |     - CAST(r_sum + g_sum + b_sum AS DOUBLE) * CAST(r_sum + g_sum + b_sum AS DOUBLE))
+        |   / (CAST(n_pix AS DOUBLE) * 3.0), 6) AS rgb_std
         |FROM a ORDER BY doc_id""".stripMargin,
     // m8's sample arithmetic extended to signal statistics: centered
     // samples c = s - 128, energy sum c^2, sign-transition count via lag,

@@ -659,6 +659,58 @@ object Multimodal {
     }(RowEncoder.encoderFor(histSchema))
   }
 
+  val channelStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_pix", LongType, nullable = false),
+    StructField("r_sum", LongType, nullable = false),
+    StructField("g_sum", LongType, nullable = false),
+    StructField("b_sum", LongType, nullable = false),
+    StructField("sq_sum", LongType, nullable = false)))
+
+  /** Per-channel moment sums over a REAL decode — the inputs to the
+    * mean/std normalization every vision embedder applies (and the
+    * channel-imbalance screen an image-curation pass runs): per image,
+    * pixel count plus exact integer Σr, Σg, Σb and Σv² over all three
+    * channels' values. Emitting MOMENTS, not statistics, is deliberate:
+    * LONG sums are exact at any image size (Σv² ≤ 3n·255², within LONG
+    * to ~10¹³ pixels), shard-mergeable downstream, and the one lossy
+    * double formula (mean/std) happens once in the consumer where the
+    * oracle can replay its exact operation order. Unreadable payloads
+    * emit a −1 row; partition-local streaming, one payload in memory at
+    * a time.
+    */
+  def channelStats(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see withGeneratedPng
+      rows.map { r =>
+        val id = r.getLong(0)
+        val src =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (src == null) Row(id, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val (w, h) = (src.getWidth, src.getHeight)
+          var (rs, gs, bs, sq) = (0L, 0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val pix = src.getRGB(x, y) & 0xffffff
+              val cr = pix >> 16; val cg = (pix >> 8) & 0xff; val cb = pix & 0xff
+              rs += cr; gs += cg; bs += cb
+              sq += cr.toLong * cr + cg.toLong * cg + cb.toLong * cb
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w.toLong * h, rs, gs, bs, sq)
+        }
+      }
+    }(RowEncoder.encoderFor(channelStatsSchema))
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -242,6 +242,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in pagerank:\n$plan")
   }
 
+  test("partitioned read: the partition-key predicate prunes at planning, not post-scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ppr").toString + "/docs"
+    Tables.documents(spark, sf0001).select("doc_id", "lang", "source")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    val df = spark.read.parquet(path).filter(col("lang") === "de")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate must reach the scan's PartitionFilters — directory
+    // pruning at listing time, zero bytes read from other languages
+    assert(plan.contains("PartitionFilters") && plan.contains("(lang"),
+      s"lang predicate did not become a partition filter:\n$plan")
+    // and must NOT survive as a post-scan row filter (that would mean
+    // every partition was read and rows discarded after IO)
+    assert(!plan.split("PartitionFilters")(0).contains("Filter ("),
+      s"row-level filter still present above the pruned scan:\n$plan")
+  }
+
   test("g6 personalized pagerank rounds: partial sums, seed literal never joins") {
     val shard = col("doc_id") % 500
     val edges = Tables.documents(spark, sf0001)
