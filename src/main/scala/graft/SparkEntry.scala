@@ -2608,6 +2608,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus-level quantization QA ([[ops.Similarity.quantizeInt8]]
+    * audited): the 10 worst vectors by reconstruction MSE with the
+    * exact corpus-mean MSE alongside — the rollup a pipeline alerts on
+    * before shipping int8 embeddings ("measure, don't guess" applied to
+    * compression). Per-vector MSEs are 6-rounded doubles, so their
+    * micro-integer sum is EXACT and the corpus mean is order-free at
+    * any parallelism; the oracle replays quantization, every MSE, the
+    * integer mean, and the tie-broken top-10.
+    */
+  private def sim14QuantAudit(s: SparkSession, dir: String): DataFrame = {
+    val q = ops.Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"), col("mse"),
+        round(col("mse") * 1e6, 0).cast("long").as("mse_micro"))
+    val g = q.agg(sum(col("mse_micro")).as("sm"), count(lit(1)).as("n"))
+    q.crossJoin(broadcast(g))
+      .select(col("vec_id"), col("scale"), col("mse"),
+        round(col("sm").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("corpus_mean_mse"))
+      .orderBy(desc("mse"), col("vec_id")).limit(10)
+  }
+
   /** 16-bit SimHash pairs within Hamming distance 3. */
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     // spread = true: the sf fixtures are single parquet files — without
@@ -3289,6 +3310,7 @@ object SparkEntry {
     "sim9_pq_codes" -> sim9PqCodes _,
     "sim11_pq_adc" -> sim11PqAdc _,
     "sim13_ivfadc" -> sim13IvfAdc _,
+    "sim14_quant_audit" -> sim14QuantAudit _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g6_personalized_pagerank" -> g6PersonalizedPagerank _,
@@ -4751,6 +4773,27 @@ object SparkEntry {
         |        ELSE list_sum(list_transform(generate_series(1, len(v)),
         |               i -> (v[i] - q[i] * s_raw) * (v[i] - q[i] * s_raw))) / len(v) END, 6) AS mse
         |FROM qq ORDER BY vec_id""".stripMargin,
+    // sim3's quantization replay rolled up: exact micro-integer mean of
+    // the 6-rounded per-vector MSEs + the tie-broken worst-10
+    "sim14_quant_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |       list_max(list_transform(v, x -> abs(x))) / 127 AS s_raw FROM e),
+        |qq AS (SELECT vec_id, v, s_raw,
+        |        CASE WHEN s_raw = 0 THEN list_transform(v, x -> 0)
+        |             ELSE list_transform(v, x -> CAST(round(x / s_raw, 0) AS INT)) END AS q
+        |       FROM s),
+        |m AS (SELECT vec_id, round(s_raw, 6) AS scale,
+        |       round(CASE WHEN s_raw = 0 THEN 0.0
+        |        ELSE list_sum(list_transform(generate_series(1, len(v)),
+        |               i -> (v[i] - q[i] * s_raw) * (v[i] - q[i] * s_raw))) / len(v) END, 6) AS mse
+        |      FROM qq),
+        |mm AS (SELECT vec_id, scale, mse,
+        |        CAST(round(mse * 1000000, 0) AS BIGINT) AS mse_micro FROM m),
+        |g AS (SELECT CAST(sum(mse_micro) AS BIGINT) AS sm, count(*) AS n FROM mm)
+        |SELECT vec_id, scale, mse,
+        | round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS corpus_mean_mse
+        |FROM mm CROSS JOIN g ORDER BY mse DESC, vec_id LIMIT 10""".stripMargin,
     // batch mirror of the stream-static enrichment join
     "q26_stream_static" ->
       """SELECT c_mktsegment AS segment, event_type, count(*) AS n_events,
