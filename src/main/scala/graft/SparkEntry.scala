@@ -1185,6 +1185,17 @@ object SparkEntry {
       .orderBy("key_col")
   }
 
+  /** Vocabulary growth curve ([[ops.Curation.vocabGrowth]], 10
+    * hash-deciles): distinct vocabulary and token volume after each
+    * successive tenth of the corpus — ONE pass via per-word
+    * first-bucket-of-appearance instead of 10 rescans. Oracle replays
+    * the bucket hash, first-appearance minima, and both cumulative
+    * windows.
+    */
+  private def t49VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.vocabGrowth(Tables.documents(s, dir), "text", "doc_id", 10)
+      .orderBy("bucket")
+
   /** Exact distributed AUC ([[ops.Curation.binaryAuc]]) of the t18
     * trained quality classifier's scores against the `lang == 'en'`
     * labels: Mann–Whitney rank-sum with tie-corrected average ranks,
@@ -3268,6 +3279,7 @@ object SparkEntry {
     "t45_skew_profile" -> t45SkewProfile _,
     "t46_classifier_auc" -> t46ClassifierAuc _,
     "t47_calibration" -> t47Calibration _,
+    "t49_vocab_growth" -> t49VocabGrowth _,
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
     "t21_cms_topk" -> t21CmsTopk _,
@@ -4532,6 +4544,24 @@ object SparkEntry {
         | FROM b)
         |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // one-pass vocab growth: per-word first bucket of appearance, then
+    // cumulative token/new-word windows over the 10 decile rows
+    "t49_vocab_growth" ->
+      s"""WITH tk AS (SELECT
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket,
+        |  unnest(${toksSql("text")}) AS w FROM documents),
+        |f AS (SELECT w, min(bucket) AS fb FROM tk GROUP BY w),
+        |nw AS (SELECT fb AS bucket, count(*) AS new_words FROM f GROUP BY fb),
+        |nt AS (SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY bucket),
+        |j AS (SELECT nt.bucket, nt.n_tokens, coalesce(nw.new_words, 0) AS new_words
+        |      FROM nt LEFT JOIN nw ON nw.bucket = nt.bucket)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(sum(n_tokens) OVER (ORDER BY bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        | CAST(new_words AS BIGINT) AS new_words,
+        | CAST(sum(new_words) OVER (ORDER BY bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+        |FROM j ORDER BY bucket""".stripMargin,
     // idf rounded to 6 decimals BEFORE the multiply (see t5Tfidf)
     "t5_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),

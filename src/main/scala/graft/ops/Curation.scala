@@ -539,6 +539,43 @@ object Curation {
           .as("pos_rate"))
   }
 
+  /** Vocabulary growth curve (Heaps' law empirics): distinct-vocabulary
+    * size after each successive `buckets`-ile of the corpus (ordered by
+    * a deterministic hash bucket of the doc id) plus token volume — the
+    * curve that says whether more data still buys new vocabulary or the
+    * corpus has saturated (and the sanity check before vocab-dependent
+    * choices like tokenizer size).
+    *
+    * Scale shape — the naive form rescans the corpus once per prefix
+    * (`buckets×` cost); this is ONE pass: each word's FIRST bucket of
+    * appearance (`groupBy(word).min(bucket)` — partial-aggregable), one
+    * count per first-bucket, and a `buckets`-row cumulative window.
+    * `vocab(k) = Σ_{b ≤ k} |{words first seen in b}|` exactly. Token
+    * totals ride the same pass keyed by bucket.
+    *
+    * @return one row per bucket: `(bucket, n_tokens, cum_tokens,
+    *         new_words, vocab)` — all exact LONGs.
+    */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val b = Sampling.hashBucket(col(idCol), buckets).as("bucket")
+    val tok = df.select(b, explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val firsts = tok.groupBy("w").agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("new_words"))
+    val tokens = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("vocab", sum(col("new_words")).over(w))
+      .select(col("bucket"), col("n_tokens"), col("cum_tokens"),
+        col("new_words"), col("vocab"))
+  }
+
   /** Repetition / boilerplate metrics (Gopher-style repetition signals):
     * duplicate-word fraction `1 − |distinct tokens| / |tokens|` and
     * duplicate-bigram fraction `1 − |distinct bigrams| / |bigrams|`.
