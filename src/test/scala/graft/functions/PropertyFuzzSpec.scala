@@ -265,6 +265,60 @@ class PropertyFuzzSpec extends SparkSpec {
     }
   }
 
+  test("keySkewProfile == naive Gini/top-share on generated key sets") {
+    import spark.implicits._
+    def naive(keys: Seq[String]): (Long, Long, Long, Double, Double) = {
+      val counts = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val ranked = counts.toSeq.sortBy { case (k, c) => (c, k) }.map(_._2)
+      val (nk, nr) = (ranked.size.toLong, ranked.sum)
+      val rc = ranked.zipWithIndex.map { case (c, i) => (i + 1).toLong * c }.sum
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (nr, nk, ranked.max,
+        r6(ranked.max.toDouble / nr),
+        r6(2.0 * rc / (nk.toDouble * nr) - (nk + 1.0) / nk))
+    }
+    val keyGen: Gen[String] = Gen.frequency(
+      5 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b", "c"),
+      1 -> Gen.choose(0, 30).map("k" + _))
+    for ((keys, i) <- samples(Gen.listOfN(80, keyGen), 6).zipWithIndex) {
+      val r = graft.ops.Profile.keySkewProfile(keys.toDF("k"), "k").collect()(0)
+      val want = naive(keys)
+      assert((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+        == want, s"set $i: got $r want $want")
+      assert(r.getLong(2) == 0L) // no nulls generated
+    }
+  }
+
+  test("vocabGrowth == naive prefix-distinct counting on generated corpora") {
+    import spark.implicits._
+    def bucketOf(id: Long, buckets: Int): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md5.take(4).map("%02x".format(_)).mkString, 16) % buckets
+    }
+    val word: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta")
+    val doc: Gen[String] = Gen.listOfN(5, word).map(_.mkString(" "))
+    for ((texts, i) <- samples(Gen.listOfN(30, doc), 4).zipWithIndex) {
+      val rows = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.ops.Curation.vocabGrowth(df, "text", "doc_id", 4)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+      // naive: tokens per bucket + distinct vocab of the bucket-prefix
+      val byBucket = rows.map { case (id, t) => bucketOf(id, 4) -> t.split(" ").toSeq }
+      val present = byBucket.map(_._1).distinct.sorted
+      val want = present.map { b =>
+        val toks = byBucket.filter(_._1 == b).map(_._2.size.toLong).sum
+        val cum = byBucket.filter(_._1 <= b).map(_._2.size.toLong).sum
+        val vocab = byBucket.filter(_._1 <= b).flatMap(_._2).distinct.size.toLong
+        (b, toks, cum, vocab)
+      }
+      assert(got == want, s"corpus $i: got $got want $want")
+    }
+  }
+
   test("CC stray-endpoint contract: both impls drop them, both let them carry connectivity") {
     import spark.implicits._
     // nodes 0..4; edges reference strays 90/91: 0-90, 90-1 (stray BRIDGES
