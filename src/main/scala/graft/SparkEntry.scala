@@ -506,6 +506,10 @@ object SparkEntry {
     val truth = Tables.events(s, dir)
       .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head()
+    // An empty events table gives null batch min/max and sentinel audit
+    // bounds — fail with a clear diagnostic instead of an NPE below.
+    require(truth.getLong(0) > 0L && !truth.isNullAt(1) && !truth.isNullAt(2),
+      s"$obsName: events table at $dir is empty — nothing to audit the stream against")
     require(audit.droppedByWatermark == 0L,
       s"$obsName: ${audit.droppedByWatermark} rows dropped by watermark in a bounded replay")
     require(audit.inputRows == truth.getLong(0) &&
@@ -1148,6 +1152,19 @@ object SparkEntry {
     */
   private def t44BpeMerges(s: SparkSession, dir: String): DataFrame =
     ops.Tokenize.bpeMerges(Tables.documents(s, dir), "text", 5)
+      .orderBy("round")
+
+  /** BATCHED BPE training through the gate
+    * ([[ops.Tokenize.bpeMergesBatched]]): the scale path that packs up
+    * to 64 provably-safe merges into each driver round-trip instead of
+    * one job per merge. Its whole contract is bit-identical OUTPUT to
+    * the sequential trainer, so the oracle is deliberately t44's
+    * sequential replay, unchanged — the gate proves the batch-safety
+    * rules (disjoint prefix, new-pair ceiling, collision stop) preserve
+    * the exact merge sequence, counts included.
+    */
+  private def t50BpeBatched(s: SparkSession, dir: String): DataFrame =
+    ops.Tokenize.bpeMergesBatched(Tables.documents(s, dir), "text", 5)
       .orderBy("round")
 
   /** BPE inference through the gate ([[ops.Tokenize.bpeSegment]]): the
@@ -2331,20 +2348,52 @@ object SparkEntry {
     * fingerprints: verbatim re-arrivals match their source at J = 1.0,
     * and the salted re-arrivals (which exact dedup calls fresh) surface
     * as near-dups when enough shingles survive the salt. The history
-    * side goes in as a precomputed [[ops.Dedup.minhashSignatures]]
-    * artifact — the production path where the corpus sketch is persisted
-    * and only the batch is shingled.
+    * side goes in as the persisted BANDED signature artifact
+    * ([[ops.Dedup.bandedSignatures]] written `bucketBy(8, band_idx,
+    * band_hash)`) — the production path where the corpus sketch is
+    * persisted join-ready: only the batch is shingled, and the band
+    * join reads the history side with NO Exchange (SigArtifactSpec
+    * locks the plan shape).
     */
+  // d10's persisted artifact is the BANDED signature table, bucketed on
+  // the band join key — the layout that makes the nightly fresh×history
+  // band join exchange-free on the history side (the artifact is hash-
+  // placed once at write; each batch only shuffles ITSELF to align).
+  // Same memo discipline as io4: one global table per session, keyed by
+  // the dir it currently holds.
+  private val d10Built =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def ensureD10BandTable(s: SparkSession, dir: String): Unit =
+    d10Built.synchronized {
+      if (d10Built.get(s) != dir) {
+        dropManaged(s, "graft_d10_sigbands")
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        ops.Dedup.bandedSignatures(
+            ops.Dedup.minhashSignatures(d, "text", "doc_id", 3, MinhashK),
+            MinhashK, MinhashR)
+          // one file per bucket so the sortBy order survives the read
+          .repartition(8, col("band_idx"), col("band_hash"))
+          .write.mode("overwrite")
+          .bucketBy(8, "band_idx", "band_hash")
+          .sortBy("band_idx", "band_hash")
+          .saveAsTable("graft_d10_sigbands")
+        d10Built.put(s, dir)
+      }
+    }
+
   private def d10IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    ensureD10BandTable(s, dir)
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val fresh = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
       .unionByName(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" fresh salt "), col("doc_id").cast("string")).as("text")))
-    val histSigs = ops.Dedup.minhashSignatures(d, "text", "doc_id", 3, MinhashK)
     ops.Dedup.incrementalMinhashDupPairs(d, fresh, "text", "doc_id",
-        3, MinhashK, MinhashR, 0.5, historySigs = Some(histSigs))
+        3, MinhashK, MinhashR, 0.5,
+        historyBands = Some(s.table("graft_d10_sigbands")))
       .orderBy("fresh_id", "hist_id")
   }
 
@@ -2355,9 +2404,11 @@ object SparkEntry {
     * modtime first — set explicitly, so the batch split is
     * deterministic), and each `foreachBatch` runs
     * [[ops.Dedup.incrementalMinhashDupPairs]] against the PERSISTED
-    * signature artifact, then appends the batch's own signatures and
-    * text exactly-once (`batch_id=` subdir overwrite — a replayed batch
-    * rewrites its own directory, never double-appends). Night-1 verbatim
+    * signature artifact — the bucketed BANDED table, so the history
+    * side of the band join is exchange-free — then appends the batch's
+    * own bands (marker-guarded replay skip) and its text (`batch_id=`
+    * subdir overwrite — a replayed batch rewrites its own directory,
+    * never double-appends). Night-1 verbatim
     * copies of night-0 fresh docs therefore match via the signatures
     * appended one batch earlier — the cross-batch evidence that the
     * artifact loop actually closes. The oracle replays both nights in
@@ -2384,8 +2435,8 @@ object SparkEntry {
     // nightly is exactly the anti-pattern the incremental op exists to
     // avoid, and the bench should measure the pipeline, not the
     // bootstrap.
-    for (p <- Seq(s"$sigsPath/batch_id=0", s"$sigsPath/batch_id=1",
-        s"$docsPath/batch_id=0", s"$docsPath/batch_id=1", outPath)) {
+    for (p <- Seq(s"$docsPath/batch_id=0", s"$docsPath/batch_id=1",
+        s"$base/bands_applied", outPath)) {
       val f = new java.io.File(p)
       if (f.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(f)
     }
@@ -2400,6 +2451,22 @@ object SparkEntry {
     bootstrap(s"$docsPath/batch_id=-1") { p =>
       d.write.mode("overwrite").parquet(p)
     }
+    // The JOIN-READY artifact: banded signatures in a bucketed table on
+    // the band join key, so every night's fresh×history band join reads
+    // history with NO Exchange (SigArtifactSpec locks the shape). Reset
+    // per run from the persisted bootstrap SKETCH — banding is a narrow
+    // map over vocab-scale sketch rows, not a corpus re-pass. Nightly
+    // batches APPEND (same bucket spec); the post-append marker under
+    // bands_applied/ makes a replayed batch skip, not double-append —
+    // production swaps this for a transactional table commit.
+    dropManaged(s, "graft_d13_bands")
+    ops.Dedup.bandedSignatures(
+        s.read.parquet(s"$sigsPath/batch_id=-1"), MinhashK, MinhashR)
+      .repartition(8, col("band_idx"), col("band_hash"))
+      .write.mode("overwrite")
+      .bucketBy(8, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+      .saveAsTable("graft_d13_bands")
+    new java.io.File(s"$base/bands_applied").mkdirs()
     // two nights as single stream files with pinned modtimes (fixed
     // epochs → stable oldest-first ordering on any filesystem)
     def writeNight(df: => DataFrame, name: String, mtime: Long): Unit = {
@@ -2433,12 +2500,21 @@ object SparkEntry {
         val fresh = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hist = s.read.parquet(docsPath).select(col("doc_id"), col("text"))
-        val sigs = s.read.parquet(sigsPath).drop("batch_id")
         ops.Dedup.incrementalMinhashDupPairs(hist, fresh, "text", "doc_id",
-            3, MinhashK, MinhashR, 0.5, historySigs = Some(sigs))
+            3, MinhashK, MinhashR, 0.5,
+            historyBands = Some(s.table("graft_d13_bands")))
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        ops.Dedup.minhashSignatures(fresh, "text", "doc_id", 3, MinhashK)
-          .write.mode("overwrite").parquet(s"$sigsPath/batch_id=$batchId")
+        val applied = new java.io.File(s"$base/bands_applied/batch_$batchId")
+        if (!applied.exists()) {
+          ops.Dedup.bandedSignatures(
+              ops.Dedup.minhashSignatures(fresh, "text", "doc_id", 3, MinhashK),
+              MinhashK, MinhashR)
+            .repartition(8, col("band_idx"), col("band_hash"))
+            .write.mode("append")
+            .bucketBy(8, "band_idx", "band_hash").sortBy("band_idx", "band_hash")
+            .saveAsTable("graft_d13_bands")
+          applied.createNewFile(): Unit
+        }
         fresh.write.mode("overwrite").parquet(s"$docsPath/batch_id=$batchId")
         fresh.unpersist(): Unit
       }
@@ -3276,6 +3352,7 @@ object SparkEntry {
     "t43_trained_langid" -> t43TrainedLangId _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
+    "t50_bpe_batched" -> t50BpeBatched _,
     "t45_skew_profile" -> t45SkewProfile _,
     "t46_classifier_auc" -> t46ClassifierAuc _,
     "t47_calibration" -> t47Calibration _,
@@ -5919,6 +5996,19 @@ object SparkEntry {
       s"""WITH ${skewProfileSql("user_id", "user_id", 1)},
         |${skewProfileSql("event_type", "event_type", 2)}
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2 ORDER BY key_col""".stripMargin,
+    // the batched trainer's contract IS sequential equivalence, so its
+    // oracle is t44's sequential round-by-round replay, verbatim — the
+    // gate proves the batch-safety rules preserve the exact merge list
+    "t50_bpe_batched" ->
+      s"""WITH wf AS (SELECT w, count(*) AS n
+        |      FROM (SELECT unnest(${toksSql("text")}) AS w FROM documents) GROUP BY w),
+        |s0 AS (SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, n FROM wf),
+        |${(1 to 5).map(i => bpeRoundSql(i)).mkString(",\n")}
+        |${(1 to 5).map(i =>
+             s"SELECT CAST($i AS INT) AS round, split_part(p, ' ', 1) AS lhs, " +
+             s"split_part(p, ' ', 2) AS rhs, replace(p, ' ', '') AS merged, c AS n_pair FROM b$i")
+           .mkString("\nUNION ALL ")}
+        |ORDER BY round""".stripMargin,
     // the t44 training chain with the word carried through every round:
     // inference (priority-order merge replay) == training's final state
     "t48_bpe_segment" ->

@@ -498,8 +498,8 @@ object Curation {
     cum.agg(
         sum(col("np")).as("n_pos"),
         sum(col("n") - col("np")).as("n_neg"),
-        sum((col("np") * (lit(2L) * col("off") + col("n") + lit(1L)))
-          .cast("decimal(38,0)")).as("r2"))
+        sum(col("np").cast("decimal(38,0)")
+          * (lit(2L) * col("off") + col("n") + lit(1L))).as("r2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
           .otherwise(round(

@@ -358,7 +358,7 @@ object Dedup {
     val row = explodedShingles(statsIn, textCol, idCol, n)
       .groupBy("s").agg(count(lit(1)).as("df_s"))
       .agg(sum(col("df_s").cast("decimal(38,0)")).as("rows"),
-        sum((col("df_s") * (col("df_s") - 1) / 2).cast("decimal(38,0)")).as("cand"))
+        sum(col("df_s").cast("decimal(38,0)") * (col("df_s") - 1) / 2).as("cand"))
       .collect()(0)
     val shingleRows = Option(row.getDecimal(0)).map(_.doubleValue()).getOrElse(0d)
     val candPairs = Option(row.getDecimal(1)).map(_.doubleValue()).getOrElse(0d)
@@ -448,6 +448,20 @@ object Dedup {
     exH.groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
   }
 
+  /** Explode a [[minhashSignatures]] frame into LSH band rows
+    * `(id, n_sh, band_idx, band_hash)` — the JOIN-READY form of the
+    * signature artifact. Persist THIS layout (not the k-column sketch)
+    * when the artifact feeds [[incrementalMinhashDupPairs]] nightly:
+    * written `bucketBy(N, band_idx, band_hash)` (d10/d13's shape), the
+    * history side of every future band join is exchange-free — the one
+    * per-batch shuffle left is the (batch-sized) fresh side aligning to
+    * the artifact's buckets. Derivation is a pure narrow map over vocab-
+    * scale sketch rows, so rebanding after a config change is cheap;
+    * the bucket count is a layout constant the artifact owns.
+    */
+  def bandedSignatures(sigs: DataFrame, k: Int, r: Int): DataFrame =
+    bandedSigs(sigs, k, r)
+
   private def bandedSigs(sigs: DataFrame, k: Int, r: Int): DataFrame = {
     val bandArr = array((0 until k / r).map { j =>
       md5(concat_ws("|",
@@ -475,12 +489,20 @@ object Dedup {
     */
   def incrementalMinhashDupPairs(history: DataFrame, fresh: DataFrame,
       textCol: String, idCol: String, n: Int, k: Int, r: Int,
-      threshold: Double, historySigs: Option[DataFrame] = None): DataFrame = {
+      threshold: Double, historySigs: Option[DataFrame] = None,
+      historyBands: Option[DataFrame] = None): DataFrame = {
     require(k % r == 0, s"k=$k not divisible by band size r=$r")
-    val hSigs = historySigs.getOrElse(minhashSignatures(history, textCol, idCol, n, k))
+    // preference order for the history side: a pre-banded artifact (the
+    // bucketed [[bandedSignatures]] table — exchange-free join), else a
+    // persisted k-column sketch (banded here, one narrow map), else —
+    // the bootstrap case only — sketch the history text now
+    val hBands = historyBands.getOrElse {
+      val hSigs = historySigs.getOrElse(minhashSignatures(history, textCol, idCol, n, k))
+      bandedSigs(hSigs, k, r)
+    }
     val fSigs = minhashSignatures(fresh, textCol, idCol, n, k)
     val cand = bandedSigs(fSigs, k, r).as("f")
-      .join(bandedSigs(hSigs, k, r).as("h"),
+      .join(hBands.as("h"),
         col("f.band_idx") === col("h.band_idx") &&
         col("f.band_hash") === col("h.band_hash"))
       .select(col("f.id").as("fresh_id"), col("h.id").as("hist_id"),

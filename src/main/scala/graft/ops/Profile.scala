@@ -85,7 +85,7 @@ object Profile {
         count(lit(1)).as("n_keys"),
         sum(col("c")).as("n_rows"),
         max(col("c")).as("max_n"),
-        sum((col("rk") * col("c")).cast("decimal(38,0)")).as("rc"))
+        sum(col("rk").cast("decimal(38,0)") * col("c")).as("rc"))
       .crossJoin(nNull)
       .select(
         lit(keyCol).as("key_col"),

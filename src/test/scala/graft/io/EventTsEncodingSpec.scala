@@ -25,25 +25,37 @@ class EventTsEncodingSpec extends SparkSpec {
     val src = Tables.events(spark, sf0001) // canonical TimestampType frame
     val cols = src.columns
 
-    // micros-UTC: TimestampType written as TIMESTAMP(MICROS, adjustedToUTC=true)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // micros-UTC: TimestampType written as TIMESTAMP(MICROS, adjustedToUTC=true).
+    // The outputTimestampType override is scoped: the shared test session must
+    // not leak it into later specs writing timestamp parquet in this JVM.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(tsKey)
     val utcDir = s"$base/utc"
-    writeSingleEventsFile(src.select(cols.map(col): _*), utcDir)
+    try {
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      writeSingleEventsFile(src.select(cols.map(col): _*), utcDir)
 
-    // micros-NTZ: same wall-clock instants as TIMESTAMP(MICROS, adjustedToUTC=false)
-    // (exact under the UTC session timezone GraftSession pins)
-    val ntzDir = s"$base/ntz"
-    writeSingleEventsFile(
-      src.withColumn("ts", col("ts").cast(TimestampNTZType)).select(cols.map(col): _*), ntzDir)
+      // micros-NTZ: same wall-clock instants as TIMESTAMP(MICROS,
+      // adjustedToUTC=false) (exact under the UTC session timezone
+      // GraftSession pins)
+      val ntzDir = s"$base/ntz"
+      writeSingleEventsFile(
+        src.withColumn("ts", col("ts").cast(TimestampNTZType)).select(cols.map(col): _*), ntzDir)
 
-    // int64-nanos: the legacy generator encoding as the nanosAsLong flag
-    // surfaces it — a plain long column of epoch nanoseconds
-    val nanosDir = s"$base/nanos"
-    writeSingleEventsFile(
-      src.withColumn("ts", (unix_micros(col("ts")) * lit(1000L)).cast(LongType))
-        .select(cols.map(col): _*), nanosDir)
+      // int64-nanos: the legacy generator encoding as the nanosAsLong flag
+      // surfaces it — a plain long column of epoch nanoseconds
+      val nanosDir = s"$base/nanos"
+      writeSingleEventsFile(
+        src.withColumn("ts", (unix_micros(col("ts")) * lit(1000L)).cast(LongType))
+          .select(cols.map(col): _*), nanosDir)
 
-    (nanosDir, ntzDir, utcDir)
+      (nanosDir, ntzDir, utcDir)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
+      }
+    }
   }
 
   /** Land exactly `events.parquet` in `dir` (the sf-dir layout both the
