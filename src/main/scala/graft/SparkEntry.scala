@@ -2810,6 +2810,82 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN RECALL gate — the quality metric a user of approximate search
+    * actually cares about, graded as data: recall@k of the three
+    * approximate paths (sim2's id-derived IVF, sim8's trained IVF,
+    * sim13's IVFADC) against sim1's brute-force truth on the SAME
+    * queries, computed distributed (rank-join on `(query_id, nn_id)` +
+    * one aggregate per method; the driver sees 3 rows). The other sim
+    * gates prove each algorithm is implemented exactly; this one grades
+    * what the approximation COSTS. A declared floor per method
+    * ([[RecallFloors]], set from measured fixture values with slack)
+    * turns retrieval-quality collapse into a loud gate failure instead
+    * of a silent degradation.
+    *
+    * Truth is METRIC-MATCHED per method: the IVF paths search
+    * full-width cosine, so their truth is sim1's brute-force cosine
+    * top-k; IVFADC ranks by L2, so its truth is exact full-width L2.
+    * Measured (sf0.001 / 0.01 / 0.1; floors sit below the min with
+    * slack): ivf 0.333/0.567/0.367, ivf_trained 0.833/0.900/0.900,
+    * ivfadc 0.080/0.100/0.060. The spread IS the finding the gate
+    * reports: trained coarse centroids buy +0.3–0.5 recall over
+    * id-derived cells at the same nprobe=2, and sim13's fixture ADC
+    * config (untrained cells + 16-of-64-dim coding at 2 of ~n/50
+    * cells probed) trades recall for its scan shape — the production
+    * dials are nprobe and codebook training, and THIS gate is what
+    * measures those dials instead of guessing.
+    */
+  private val RecallFloors =
+    Map("ivf" -> 0.25, "ivf_trained" -> 0.75, "ivfadc" -> 0.03)
+
+  private def sim15Recall(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.VecExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val truth5 = ops.Similarity.bruteForceTopK(e, q, 5)
+      .select(col("query_id"), col("rank"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact full-width L2 truth for the ADC path: the same rounded-sqrt
+    // distance discipline as the IVF assignment path, ranked ascending
+    val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val truthL2 = e.select(col("vec_id").as("nn_id"), col("embedding").as("cv"))
+      .join(broadcast(qv), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        round(sqrt(call_function("vec_l2sq", col("qv"), col("cv"))), 6).as("d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("nn_id"))))
+      .filter(col("rank") <= 5).select("query_id", "nn_id")
+    def recallOf(method: String, k: Int, approx: DataFrame,
+        truth: DataFrame): DataFrame = {
+      val hits = approx.select(col("query_id"), col("nn_id"))
+        .join(truth, Seq("query_id", "nn_id"))
+      truth.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_true"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(method).as("method"), lit(k.toLong).as("k"),
+          col("n_queries"), col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"))
+    }
+    def cosTruth(k: Int) = truth5.filter(col("rank") <= k).select("query_id", "nn_id")
+    val out = recallOf("ivf", 3, ops.Similarity.ivfTopK(e, q, 3, 2, 50), cosTruth(3))
+      .unionByName(recallOf("ivf_trained", 3,
+        ops.Similarity.ivfTopKWith(e, q, 3, 2, trainedCents(s, dir)), cosTruth(3)))
+      .unionByName(recallOf("ivfadc", 5,
+        ops.Similarity.ivfAdcTopK(e, q, 16, 4, 50, 2, 5), truthL2))
+      .orderBy("method")
+    val rows = out.collect()
+    truth5.unpersist()
+    rows.foreach { r =>
+      val (m, rec) = (r.getString(0), r.getDouble(5))
+      require(rec >= RecallFloors(m),
+        f"ANN recall collapse: $m recall@${r.getLong(1)} = $rec%.4f < floor ${RecallFloors(m)}")
+    }
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("method")
+  }
+
   /** MMR diverse top-3 ([[ops.Similarity.mmrTopK]], λ = 70%) for the
     * first 3 query vectors over the whole corpus: greedy relevance-vs-
     * redundancy selection, k unrolled rounds — the oracle unrolls the
@@ -3400,6 +3476,7 @@ object SparkEntry {
     "sim11_pq_adc" -> sim11PqAdc _,
     "sim13_ivfadc" -> sim13IvfAdc _,
     "sim14_quant_audit" -> sim14QuantAudit _,
+    "sim15_recall" -> sim15Recall _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g6_personalized_pagerank" -> g6PersonalizedPagerank _,
@@ -3821,6 +3898,28 @@ object SparkEntry {
     * 6-decimal rounded — mirror of [[graft.functions.VectorFunctions.cosine]]
     * + rounding.
     */
+  /** One suffixed IVF search chain (mirror of [[ops.Similarity.ivfTopK]]'s
+    * body — sim2's oracle CTEs, names suffixed so several chains compose
+    * in one statement for the sim15 recall gate). Expects `e` and `n`;
+    * emits `r$sfx(query_id, nn_id, rank)` ranked by (cosine DESC, nn_id).
+    */
+  private def ivfRankSql(sfx: String, centsFrom: String): String =
+    s"""cents$sfx AS ($centsFrom),
+      |ca$sfx AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+      |       FROM e x CROSS JOIN cents$sfx c),
+      |cell$sfx AS (SELECT nn_id, cent_id FROM (
+      |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca$sfx) WHERE r = 1),
+      |pa$sfx AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+      |       FROM e x CROSS JOIN cents$sfx c WHERE x.vec_id < 10),
+      |probes$sfx AS (SELECT query_id, cent_id FROM (
+      |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa$sfx) WHERE r <= 2),
+      |p$sfx AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+      |      FROM probes$sfx pr JOIN cell$sfx ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+      |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+      |r$sfx AS (SELECT query_id, nn_id, cosine,
+      |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+      |      FROM p$sfx)""".stripMargin
+
   private def cosineSql(q: String, c: String): String =
     s"""CASE WHEN $q.nrm * $c.nrm = 0 THEN NULL
        | ELSE round(list_sum(list_transform(generate_series(1, len($q.v)), i -> $q.v[i] * $c.v[i])) / ($q.nrm * $c.nrm), 6) END""".stripMargin
@@ -4901,6 +5000,76 @@ object SparkEntry {
         |SELECT vec_id, scale, mse,
         | round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS corpus_mean_mse
         |FROM mm CROSS JOIN g ORDER BY mse DESC, vec_id LIMIT 10""".stripMargin,
+    // recall@k of all three approximate paths against the brute-force
+    // truth, every chain replayed: kmeansSql feeds the trained-IVF
+    // centroids, ivfRankSql stamps the two IVF chains, the ADC chain
+    // reuses the id-derived coarse cells/probes (same arithmetic), and
+    // the hits are the same (query_id, nn_id) rank-joins the engine runs
+    "sim15_recall" -> {
+      s"""WITH $kmeansSql,
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |pt AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${cosineSql("q", "c")} AS cosine
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |rt AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM pt),
+        |${ivfRankSql("_v", "SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0")},
+        |${ivfRankSql("_t", "SELECT cent_id, v FROM f2")},
+        |sx AS (SELECT vec_id, j.j AS sub, v[j.j*4+1 : j.j*4+4] AS sv
+        |       FROM e CROSS JOIN generate_series(0, 3) AS j(j)),
+        |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM sx WHERE vec_id % 50 = 0),
+        |dd AS (SELECT sx.vec_id, sx.sub, cb.code,
+        |        round(sqrt(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (sx.sv[i] - cb.cv[i]) * (sx.sv[i] - cb.cv[i])))), 6) AS dist
+        |       FROM sx JOIN cb ON sx.sub = cb.sub),
+        |cd AS (SELECT vec_id, sub, code FROM (
+        |        SELECT vec_id, sub, code,
+        |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |        FROM dd) WHERE rn = 1),
+        |dt AS (SELECT q.vec_id AS query_id, cb.sub, cb.code,
+        |        CAST(round(list_sum(list_transform(generate_series(1, 4),
+        |          i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i]))) * 1000000, 0)
+        |          AS BIGINT) AS d_micro
+        |       FROM sx q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 10),
+        |sca AS (SELECT dt.query_id, cd.vec_id AS nn_id,
+        |         CAST(sum(dt.d_micro) AS BIGINT) AS approx_d_micro
+        |       FROM cd JOIN dt ON cd.sub = dt.sub AND cd.code = dt.code
+        |       JOIN cell_v ce ON ce.nn_id = cd.vec_id
+        |       JOIN probes_v pr ON pr.query_id = dt.query_id AND pr.cent_id = ce.cent_id
+        |       WHERE dt.query_id <> cd.vec_id GROUP BY 1, 2),
+        |ra AS (SELECT query_id, nn_id, approx_d_micro,
+        |       row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY approx_d_micro, nn_id) AS rank
+        |      FROM sca),
+        |ptl AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${l2Sql("q", "c")} AS d
+        |       FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |rtl AS (SELECT query_id, nn_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY d, nn_id) AS rank
+        |      FROM ptl),
+        |base AS (SELECT count(DISTINCT query_id) AS n_queries FROM rt),
+        |ms AS (
+        |  SELECT 'ivf' AS method, 3 AS k,
+        |    (SELECT count(*) FROM r_v a JOIN rt t
+        |      ON a.query_id = t.query_id AND a.nn_id = t.nn_id AND t.rank <= 3
+        |      WHERE a.rank <= 3) AS n_hits,
+        |    (SELECT count(*) FROM rt WHERE rank <= 3) AS n_true
+        |  UNION ALL
+        |  SELECT 'ivf_trained', 3,
+        |    (SELECT count(*) FROM r_t a JOIN rt t
+        |      ON a.query_id = t.query_id AND a.nn_id = t.nn_id AND t.rank <= 3
+        |      WHERE a.rank <= 3),
+        |    (SELECT count(*) FROM rt WHERE rank <= 3)
+        |  UNION ALL
+        |  SELECT 'ivfadc', 5,
+        |    (SELECT count(*) FROM ra a JOIN rtl t
+        |      ON a.query_id = t.query_id AND a.nn_id = t.nn_id AND t.rank <= 5
+        |      WHERE a.rank <= 5),
+        |    (SELECT count(*) FROM rtl WHERE rank <= 5))
+        |SELECT method, CAST(k AS BIGINT) AS k, n_queries,
+        | CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
+        | round(CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS recall
+        |FROM ms CROSS JOIN base ORDER BY method""".stripMargin
+    },
     // batch mirror of the stream-static enrichment join
     "q26_stream_static" ->
       """SELECT c_mktsegment AS segment, event_type, count(*) AS n_events,
