@@ -131,34 +131,53 @@ object Dedup {
     * treeAggregate; bitmap OR is order-independent, so the sketch is
     * deterministic) and broadcast, and fresh rows it rejects are marked
     * unique MAP-SIDE — they never reach the join shuffle. Only the
-    * `mightContain` survivors (true dups + the fpp false positives) join
+    * `might_contain` survivors (true dups + the fpp false positives) join
     * history exactly, so the shuffle volume tracks the DUPLICATE rate,
     * not the batch. Bloom has no false negatives and every positive is
     * re-verified by the exact join, so the output equals
     * [[incrementalDedup]]'s row-for-row at ANY fpp — the gate runs both
-    * against the same oracle. The `mightContain` probe is a scala UDF
-    * (Spark exposes no Column-level bloom probe publicly): a boolean
-    * broadcast-lookup off the arithmetic hot path, re-verified
-    * downstream — the one UDF shape the no-UDFs rule tolerates.
+    * against the same oracle.
+    *
+    * Both sketch sides are NATIVE Catalyst expressions (Spark ships
+    * `BloomFilterAggregate`/`BloomFilterMightContain` for its own
+    * runtime join pruning but leaves them off the public Column API —
+    * we register them as session functions): the build is a partial-
+    * aggregable distributed aggregate (bitmap OR is order-free, so the
+    * sketch is deterministic), and the probe is a codegen'd expression
+    * over the serialized-filter literal — no ScalaUDF boxing in the
+    * per-row path, and the probing stage stays inside whole-stage
+    * codegen (PlanAuditSpec locks the shape). Values enter the filter
+    * as `xxhash64(fingerprint)` longs (the expressions' native domain);
+    * hash-of-hash cannot introduce false negatives, and false positives
+    * of any origin are killed by the exact join. A null-text row hashes
+    * to the xxhash64 seed; whichever branch it lands in, the exact join
+    * drops its null fingerprint key, matching [[incrementalDedup]].
     */
   def incrementalDedupBloom(history: DataFrame, fresh: DataFrame,
       textCol: String, idCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val s = fresh.sparkSession
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
     val histFp = history
       .select(TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
-    val bloom = histFp.stat.bloomFilter("fingerprint", expectedItems, fpp)
-    val b = s.sparkContext.broadcast(bloom)
-    // null guard: a null-text row yields a null fingerprint, which Spark
-    // passes through to the UDF (Guava's mightContainString NPEs on it);
-    // route it to the non-candidate branch like incrementalDedup's left
-    // join does, so the two ops stay row-for-row identical on null text.
-    val mightContain =
-      udf((fp: String) => fp != null && b.value.mightContainString(fp))
+    val bloomBytes = histFp
+      .agg(call_function("graft_bloom_agg", xxhash64(col("fingerprint")),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
     val f = fresh
       .select(col(idCol).as("id"),
         TextFunctions.fingerprintMd5(col(textCol)).as("fingerprint"))
-      .withColumn("__cand", mightContain(col("fingerprint")))
+      .withColumn("__cand",
+        call_function("graft_might_contain", lit(bloomBytes),
+          xxhash64(col("fingerprint"))))
     val hist = histFp.distinct().withColumn("is_dup", lit(true))
     f.filter(col("__cand"))
       .join(hist, Seq("fingerprint"), "left")

@@ -96,6 +96,17 @@ class PlanAuditSpec extends SparkSpec {
       s"all-pairs nested loop in d4 plan:\n$plan")
   }
 
+  test("d16 bloom prefilter probes with the native might_contain expression, no ScalaUDF") {
+    // the probe must be the codegen'd BloomFilterMightContain over the
+    // serialized-filter literal — a ScalaUDF here would force the fresh
+    // batch's probing projection out of whole-stage codegen
+    val plan = executed(SparkEntry.queries("d16_incremental_bloom")(spark, sf0001))
+    assert(plan.contains("might_contain"),
+      s"native bloom probe missing from d16 plan:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF leaked into the d16 probe path:\n$plan")
+  }
+
   test("runtime bloom-filter join pruning injects on a selective shuffle join") {
     // semi-join reduction: the big side is pre-filtered by a bloom filter
     // built from the selective side, cutting shuffled bytes before the
