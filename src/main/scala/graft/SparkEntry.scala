@@ -833,6 +833,24 @@ object SparkEntry {
         cents2Out(sum(revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
       .orderBy("p_type")
 
+  /** Skew-aware join ADVISOR through the gate
+    * ([[ops.SkewJoin.adaptiveEquiJoin]]): q8's join shape, but the
+    * plain-vs-salted choice is made from the measured t45-style key
+    * profile (lineitem's l_partkey is near-uniform — top1_share ~1e-4 —
+    * so the advisor picks the plain join here; SkewJoinSpec proves the
+    * salted branch fires and stays result-identical on a skewed key).
+    * Both branches are exact, so the oracle is q8's plain SQL join —
+    * branch-independence is the contract being gated.
+    */
+  private def q49AdaptiveSkewJoin(s: SparkSession, dir: String): DataFrame =
+    ops.SkewJoin.adaptiveEquiJoin(Tables.lineitem(s, dir),
+        Tables.part(s, dir).select("p_partkey", "p_type"),
+        "l_partkey", "p_partkey", saltFactor = 8)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_items"),
+        cents2Out(sum(revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy("p_type")
+
   /** Bucketed co-located join through the gate: both sides written
     * bucketBy(8) on the join key (the 100 TB fact⋈fact layout — the join
     * then reads bucket-aligned splits with no query-time shuffle, asserted
@@ -3399,6 +3417,7 @@ object SparkEntry {
     "q6_events_json" -> q6EventsJson _,
     "q7_window_topk" -> q7WindowTopk _,
     "q8_skew_join" -> q8SkewJoin _,
+    "q49_adaptive_skew_join" -> q49AdaptiveSkewJoin _,
     "q9_stream_hourly" -> q9StreamHourly _,
     "q10_sessions" -> q10Sessions _,
     "q11_salted_agg" -> q11SaltedAgg _,
@@ -4106,6 +4125,13 @@ object SparkEntry {
         | FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q8_skew_join" ->
+      """SELECT p_type, count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // the advisor's two branches are exact, so the oracle is q8's plain
+    // join verbatim — the gate proves branch choice is invisible
+    "q49_adaptive_skew_join" ->
       """SELECT p_type, count(*) AS n_items,
         | CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -48,6 +48,46 @@ object SkewJoin {
       .drop(replicated(smallKey))
   }
 
+  /** SKEW-AWARE join advisor — [[saltedEquiJoin]] behind a measured
+    * decision, composed the way [[Dedup.adaptiveJaccardPairs]] composes
+    * its two exact branches: profile the big side's join key with
+    * [[Profile.keySkewProfile]] (per-key counts are one partial-
+    * aggregable shuffle; the profile is ONE row to the driver), then
+    * pick the plain shuffle join when the hottest key's row share is
+    * below `top1Threshold` and the salted join when it is above —
+    * `top1_share` IS the straggler bound (one reducer owns at least
+    * that fraction of the big side), so the threshold is "the largest
+    * single-task share this cluster tolerates". Both branches are
+    * exact inner joins with identical output columns, so the choice is
+    * invisible in results — the q49 gate replays the plain SQL join and
+    * must pass whichever branch fires.
+    *
+    * At 100 TB run the profile on a row sample (`statsEveryNth` > 1:
+    * keeps rows whose full-row hash ≡ 0 mod n — uniform row thinning
+    * scales every key's count ~1/n, so the SHARE estimate is unbiased;
+    * sampling keys instead would drop the hot key entirely with
+    * probability 1−1/n). The sample only feeds the decision; the join
+    * runs on the full input either way.
+    */
+  def adaptiveEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltFactor: Int, top1Threshold: Double = 0.05,
+      statsEveryNth: Int = 1): DataFrame = {
+    require(top1Threshold > 0 && statsEveryNth >= 1,
+      s"bad advisor params: top1Threshold=$top1Threshold statsEveryNth=$statsEveryNth")
+    val statsIn =
+      if (statsEveryNth == 1) big
+      else {
+        val cols = big.columns.map(big(_))
+        big.filter(pmod(xxhash64(cols.toIndexedSeq: _*), lit(statsEveryNth)) === 0)
+      }
+    val top1Share = Profile.keySkewProfile(statsIn, bigKey)
+      .select(col("top1_share")).head().getDouble(0)
+    if (top1Share > top1Threshold)
+      saltedEquiJoin(big, small, bigKey, smallKey, saltFactor)
+    else
+      big.join(small, big(bigKey) === small(smallKey)).drop(small(smallKey))
+  }
+
   /** Two-phase ("partial-then-final") aggregation for skewed group keys
     * where the aggregate buffer itself is the problem (e.g.
     * `collect_set`-style or high-cardinality distinct counts, which

@@ -40,6 +40,42 @@ class SkewJoinSpec extends SparkSpec {
     assert(joined.filter(col("tag") === "cold").count() == 1) // k=10 appears once
   }
 
+  test("adaptiveEquiJoin: salted branch fires on a hot key and equals the plain join") {
+    import spark.implicits._
+    val big = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong else 42L, i)).toDF("k", "v")
+    val small = Seq((42L, "hot"), (10L, "cold"), (20L, "x")).toDF("sk", "tag")
+    // top1_share = 0.9 ≫ threshold → the salted branch must fire, and the
+    // result must still be exactly the plain join's
+    val adaptive = SkewJoin.adaptiveEquiJoin(big, small, "k", "sk", 8)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val plain = big.join(small, col("k") === col("sk")).drop("sk")
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(adaptive == plain && adaptive.nonEmpty)
+  }
+
+  test("adaptiveEquiJoin: plain branch on a uniform key, same result") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => (i.toLong % 1000, i)).toDF("k", "v")
+    val small = (0L until 1000L by 7).map(k => (k, s"t$k")).toDF("sk", "tag")
+    val adaptive = SkewJoin.adaptiveEquiJoin(big, small, "k", "sk", 8)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val plain = big.join(small, col("k") === col("sk")).drop("sk")
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(adaptive == plain && adaptive.nonEmpty)
+  }
+
+  test("adaptiveEquiJoin: row-sampled profile still picks the right branch") {
+    import spark.implicits._
+    val big = (1 to 20000).map(i => (if (i % 20 == 0) i.toLong else 7L, i)).toDF("k", "v")
+    val small = Seq((7L, "hot")).toDF("sk", "tag")
+    val adaptive = SkewJoin.adaptiveEquiJoin(big, small, "k", "sk", 8,
+      statsEveryNth = 4)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    val plain = big.join(small, col("k") === col("sk")).drop("sk")
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(adaptive == plain && adaptive.nonEmpty)
+  }
+
   test("saltedAgg: exact distinct count per skewed key") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (if (i % 5 == 0) "hot" else s"k${i % 50}", i % 700)).toDF("key", "v")
