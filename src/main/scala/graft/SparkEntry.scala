@@ -480,7 +480,15 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      requireCleanStreamAudit(s, dir, q, "graft_q35_in")
+      // each event lands in exactly two hopping windows: starts at
+      // floor30(ts) and floor30(ts) − 30min
+      requireCleanStreamAudit(s, dir, q, "graft_q35_in",
+        expectedStateRows = Some {
+          val f30 = (unix_timestamp(col("ts")) / 1800).cast("long") * 1800
+          Tables.events(s, dir)
+            .select(explode(array(f30, f30 - 1800)).as("w"), col("event_type"))
+            .distinct().count()
+        })
     }
     graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
@@ -500,8 +508,25 @@ object SparkEntry {
     * counts stayed identical — span equality fails loudly before any
     * result hash is compared.
     */
+  /** Optional state-size law for complete-mode windowed aggregations:
+    * the final state must hold EXACTLY the batch-computed group count —
+    * complete mode never evicts, so resident rows == distinct windows.
+    * State tracking events instead of windows (lost watermark, key leak)
+    * breaks the equality by orders of magnitude.
+    */
   private def requireCleanStreamAudit(s: SparkSession, dir: String,
-      q: org.apache.spark.sql.streaming.StreamingQuery, obsName: String): Unit = {
+      q: org.apache.spark.sql.streaming.StreamingQuery, obsName: String,
+      expectedStateRows: Option[Long] = None): Unit = {
+    expectedStateRows.foreach { expected =>
+      val st = graft.streaming.EventsStream.stateAuditOf(q)
+      require(st.nonEmpty, s"$obsName: stateful query reported no state operators")
+      val rows = st.map(_.rowsTotal).sum
+      require(rows == expected,
+        s"$obsName: state rows $rows != expected window-group count $expected " +
+          s"(state is tracking events, not windows) — ${st.mkString(", ")}")
+      require(st.forall(o => o.rowsTotal == 0 || o.memoryBytes > 0),
+        s"$obsName: state operator reports rows but zero memory — ${st.mkString(", ")}")
+    }
     val audit = graft.streaming.EventsStream.auditOf(q, obsName)
     val truth = Tables.events(s, dir)
       .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
@@ -532,7 +557,10 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      requireCleanStreamAudit(s, dir, q, "graft_q9_in")
+      requireCleanStreamAudit(s, dir, q, "graft_q9_in",
+        expectedStateRows = Some(Tables.events(s, dir)
+          .select(date_trunc("hour", col("ts")), col("event_type"))
+          .distinct().count()))
     }
     graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     // unload the streaming state-store providers now that the bounded run

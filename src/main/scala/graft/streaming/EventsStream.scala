@@ -47,6 +47,43 @@ object EventsStream {
   final case class StreamAudit(inputRows: Long, minTsMicros: Long,
       maxTsMicros: Long, droppedByWatermark: Long)
 
+  /** Per-operator state-store accounting from a bounded run's FINAL
+    * progress: rows resident, rows updated in the last batch, bytes
+    * held. The unbounded-state companion to [[StreamAudit]]'s ingest
+    * span: a stateful operator whose state scales with EVENTS instead
+    * of windows/keys (a lost watermark, a key leak, a non-evicting
+    * join condition) shows up here as `rowsTotal` tracking input volume
+    * — the gates pin `rowsTotal` to the batch-computed group count, so
+    * the regression fails loudly instead of OOMing a real cluster
+    * three weeks in.
+    */
+  final case class StateOpAudit(operator: String, rowsTotal: Long,
+      rowsUpdated: Long, memoryBytes: Long)
+
+  /** State-operator audit of a finished bounded query: the last progress
+    * entry that carries state operators (the final batch — earlier
+    * entries see partially-loaded state). Empty for stateless queries.
+    */
+  def stateAuditOf(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateOpAudit] =
+    q.recentProgress.reverse.find(_.stateOperators.nonEmpty).toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .map(so => StateOpAudit(so.operatorName, so.numRowsTotal,
+        so.numRowsUpdated, so.memoryUsedBytes))
+
+  /** [[runToMemory]] that also returns the final state-operator audit —
+    * the test/tooling entry for asserting state-size conservation laws.
+    */
+  def runToMemoryAudited(spark: SparkSession, streamed: DataFrame,
+      name: String, mode: OutputMode = OutputMode.Append)
+      : (DataFrame, Seq[StateOpAudit]) = {
+    val q = streamed.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (spark.table(name), stateAuditOf(q))
+  }
+
   /** Attach an event-time observation point to the events stream:
     * row count + min/max event time (epoch micros), computed as
     * micro-batch accumulators inside the existing plan — `observe()` adds

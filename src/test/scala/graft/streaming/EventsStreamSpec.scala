@@ -211,4 +211,56 @@ class EventsStreamSpec extends SparkSpec {
     val cols = sessions.columns.toSet
     assert(cols == Set("session_start", "session_end", "user_id", "n_events", "total_value"))
   }
+
+  // --- state-store observability: state size must track WINDOWS/KEYS,
+  // never events (the unbounded-state regression class) ---
+
+  test("session-window state law: emitted + resident == total sessions (q12 shape)") {
+    val (emitted, st) = EventsStream.runToMemoryAudited(spark,
+      EventsStream.sessionAgg(EventsStream.readEvents(spark, sf0001), 30),
+      "session_state_out")
+    assert(st.nonEmpty, "session aggregation reported no state operator")
+    val resident = st.map(_.rowsTotal).sum
+    // batch truth: total (session_window, user) groups; append mode emits
+    // the watermark-expired ones and keeps exactly the rest resident
+    val total = Tables.events(spark, sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().count()
+    assert(emitted.count() + resident == total,
+      s"emitted ${emitted.count()} + resident $resident != $total sessions — " +
+        s"state is not tracking sessions: $st")
+    assert(st.forall(o => o.rowsTotal == 0 || o.memoryBytes > 0))
+  }
+
+  test("flatMapGroupsWithState state law: resident rows == distinct users (q13 shape)") {
+    val (out, st) = EventsStream.runToMemoryAudited(spark,
+      EventsStream.runningUserStats(EventsStream.readEvents(spark, sf0001)),
+      "userstats_state_out",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    assert(st.nonEmpty, "flatMapGroupsWithState reported no state operator")
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(st.map(_.rowsTotal).sum == users,
+      s"state rows ${st.map(_.rowsTotal).sum} != $users distinct users: $st")
+    assert(out.select("user_id").distinct().count() == users)
+    assert(st.forall(_.memoryBytes > 0))
+  }
+
+  test("stream-stream join state law: resident rows bounded by joined inputs (q17 shape)") {
+    val (out, st) = EventsStream.runToMemoryAudited(spark,
+      EventsStream.purchaseViewJoin(EventsStream.readEvents(spark, sf0001)),
+      "pv_state_out")
+    assert(out.count() > 0)
+    assert(st.nonEmpty, "stream-stream join reported no state operator")
+    val resident = st.map(_.rowsTotal).sum
+    val e = Tables.events(spark, sf0001)
+    val inputs = e.filter(col("event_type") === "view").count() +
+      e.filter(col("event_type") === "purchase").count()
+    // watermark eviction keeps join state a (strict, in practice) subset
+    // of the two filtered inputs; state tracking ALL events would break
+    // this bound immediately
+    assert(resident > 0 && resident <= inputs,
+      s"join state $resident outside (0, $inputs]: $st")
+    assert(st.forall(o => o.rowsTotal == 0 || o.memoryBytes > 0))
+  }
 }
