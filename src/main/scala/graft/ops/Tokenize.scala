@@ -85,15 +85,16 @@ object Tokenize {
         val (p, c) = (best(0).getString(0), best(0).getLong(1))
         val Array(l, rr) = p.split(" ", 2)
         merges += Row(r, l, rr, l + rr, c)
-        // persist each round's vocab (still ~100 bytes/word — the same
-        // artifact class as the minhash signatures), with a 2-deep cache
-        // window: round r+1's argmax materializes `next` FROM the still-
-        // cached `cur` (one interpreted fold, not an r-deep chain from
-        // the raw vocabulary), and only then is r−1's frame — which
-        // nothing references anymore — dropped. No extra materialization
-        // jobs; the per-round cost is the pair-count aggregate itself.
+        // localCheckpoint each round's vocab (still ~100 bytes/word —
+        // the same artifact class as the minhash signatures). The
+        // TRUNCATION matters as much as the caching: `persist` keeps
+        // the chained logical plan alive, and at deep merge counts the
+        // driver goes quadratic in catalyst re-analysis + plan-string
+        // formatting (measured: a 64-merge run at sf0.1 spent >45 min
+        // INSIDE TreeNode.formatArg before any 64th-round work — the
+        // same lineage blowup the iterative graph ops cut per round).
         val next = cur.withColumn("sym", mergePass(resplit(col("sym")), l, rr))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         prev.foreach(_.unpersist())
         prev = if (cur eq wf) None else Some(cur)
         cur = next
@@ -138,17 +139,27 @@ object Tokenize {
     *     an existing symbol (else existing pairs' counts could GROW by
     *     new occurrences); the batch closes after such a merge.
     *
-    * The ceiling and collision probes are one extra vocab-bounded
-    * aggregate per round (`batchK`-literal `isin` filters over the pair
-    * table), so a round costs 2 driver round-trips for up to `batchK`
-    * merges — vs 1 per merge sequentially. Measured at sf0.1
-    * (documents, 64 merges, local[32]): sequential 64 rounds / 61.6 s;
-    * batched 10 rounds / 13.4 s — 6.4 fewer driver round-trips per
-    * merge and 4.6× the wall-clock, converging to the per-merge
-    * fold cost as batches widen. Gated: `t50_bpe_batched` replays the
-    * SEQUENTIAL oracle; BpeBatchedSpec proves equality on adversarial
-    * corpora where naive batching diverges (overlapping-symbol tops,
-    * new-symbol argmax takeover).
+    * The ceiling/collision statistics ride the top-K collect itself
+    * (one union job per round; the per-symbol maxima tables are
+    * symbol-vocabulary-bounded), so a round is one collect + one
+    * checkpoint regardless of how many merges it admits.
+    *
+    * Measured honestly (BpeBenchProbe, documents sf0.1, 64 merges,
+    * local[4]): sequential 15.4 s / 197 jobs, batched 11.8 s /
+    * 341 jobs, outputs bit-equal. Two findings. (1) The dominant
+    * driver bottleneck was never the per-merge round-trip — it was
+    * LINEAGE: with `persist` alone the 64-merge sequential run spent
+    * >48 minutes inside catalyst plan formatting before finishing;
+    * `localCheckpoint` per round (now in both trainers) is the >170×
+    * fix. (2) On natural text the exactness rules admit small batches
+    * (the hottest pairs share symbols, and a hot boundary symbol
+    * caps the new-pair ceiling near the top count), so batching is a
+    * modest win here; it widens on corpora whose top pairs are
+    * symbol-disjoint. The bit-exactness constraint is fundamental —
+    * the new-symbol takeover case in BpeBatchedSpec shows any looser
+    * batching diverges from Sennrich semantics. Gated:
+    * `t50_bpe_batched` replays the SEQUENTIAL oracle; BpeBatchedSpec
+    * proves equality on the adversarial corpora.
     */
   def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
       batchK: Int = 64): DataFrame = {
@@ -178,33 +189,40 @@ object Tokenize {
           substring_index(col("p"), " ", 1).as("lhs"),
           substring_index(col("p"), " ", -1).as("rhs"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val top = pc.orderBy(desc("c"), asc("p"))
-        .limit(batchK).collect()
+      // ONE collect per round carries everything the acceptance rules
+      // need: the top-K candidates plus the per-symbol pair-count maxima
+      // (tag L: max over pairs ENDING in s — bounds new `(x, s·r)`
+      // pairs; tag R: max over pairs STARTING in s — bounds `(l·s, y)`).
+      // The maxima tables are SYMBOL-vocabulary-bounded (chars + merges
+      // so far, ≤ ~64k rows at a full 32k-merge training — a ~1 MB
+      // driver row set), and their key union is exactly the set of
+      // pair-participating symbols, which doubles as the merged-string
+      // collision test. Folding the probe into the top-K job keeps the
+      // batched path at 2 jobs/round (collect + checkpoint) — never
+      // MORE driver round-trips than sequential even when the
+      // disjointness rules only admit one merge.
+      val gathered = pc.orderBy(desc("c"), asc("p")).limit(batchK)
+        .select(lit("T").as("t"), col("p"), col("c"))
+        .unionAll(pc.groupBy(col("rhs").as("p")).agg(max(col("c")).as("c"))
+          .select(lit("L").as("t"), col("p"), col("c")))
+        .unionAll(pc.groupBy(col("lhs").as("p")).agg(max(col("c")).as("c"))
+          .select(lit("R").as("t"), col("p"), col("c")))
+        .collect()
+      // union leg order is not contractual — re-rank the candidates on
+      // the driver with the exact (count desc, pair asc) tie-break
+      val top = gathered.filter(_.getString(0) == "T")
+        .sortBy(r => (-r.getLong(2), r.getString(1)))
       if (top.isEmpty) exhausted = true
       else {
-        val cands = top.map(r =>
-          (r.getString(2), r.getString(3), r.getLong(1)))
-        val ls = cands.map(_._1).distinct.toSeq
-        val rs = cands.map(_._2).distinct.toSeq
-        val ms = cands.map(c => c._1 + c._2).distinct.toSeq
-        // one probe job: per-symbol new-pair ceilings + merged-string
-        // symbol-collision membership, tagged and unioned
-        val probe = pc.filter(col("rhs").isin(ls: _*))
-            .groupBy(col("rhs").as("s")).agg(max(col("c")).as("m"))
-            .select(lit("L").as("t"), col("s"), col("m"))
-          .unionAll(pc.filter(col("lhs").isin(rs: _*))
-            .groupBy(col("lhs").as("s")).agg(max(col("c")).as("m"))
-            .select(lit("R").as("t"), col("s"), col("m")))
-          .unionAll(pc.select(explode(array(col("lhs"), col("rhs"))).as("s"))
-            .filter(col("s").isin(ms: _*)).distinct()
-            .select(lit("M").as("t"), col("s"), lit(0L).as("m")))
-          .collect()
-        val maxcLeft = probe.filter(_.getString(0) == "L")
+        val cands = top.map { r =>
+          val Array(l, rr) = r.getString(1).split(" ", 2)
+          (l, rr, r.getLong(2))
+        }
+        val maxcLeft = gathered.filter(_.getString(0) == "L")
           .map(r => r.getString(1) -> r.getLong(2)).toMap
-        val maxcRight = probe.filter(_.getString(0) == "R")
+        val maxcRight = gathered.filter(_.getString(0) == "R")
           .map(r => r.getString(1) -> r.getLong(2)).toMap
-        val existingSyms = probe.filter(_.getString(0) == "M")
-          .map(_.getString(1)).toSet
+        val existingSyms = maxcLeft.keySet ++ maxcRight.keySet
         val used = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var bound = 0L
@@ -224,12 +242,15 @@ object Tokenize {
         accepted.zipWithIndex.foreach { case ((l, r, c), i) =>
           merges += Row(base + i + 1, l, r, l + r, c)
         }
-        // ONE fold applies the whole batch in priority order
+        // ONE fold applies the whole batch in priority order;
+        // localCheckpoint truncates the per-round lineage (see
+        // [[bpeMerges]] — the batched fold expression is batchK merges
+        // wide, so an uncut chain would blow up even faster here)
         val mergedSym = accepted.foldLeft(resplit(col("sym"))) {
           case (acc, (l, r, _)) => resplit(mergePass(acc, l, r))
         }
         val next = cur.withColumn("sym", array_join(mergedSym, " "))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         prev.foreach(_.unpersist())
         prev = if (cur eq wf) None else Some(cur)
         cur = next
