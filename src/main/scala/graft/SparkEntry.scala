@@ -2340,6 +2340,61 @@ object SparkEntry {
       3, MinhashK, MinhashR, 0.5)
       .orderBy("id1", "id2")
 
+  /** Per-config recall floors, measured fixture values with slack — a
+    * banding regression (hash drift, band mis-grouping, a broken verify
+    * join) trips these instantly.
+    */
+  private val LshRecallFloors =
+    Map("k12_r3" -> 0.9, "k8_r4" -> 0.5, "k8_r2" -> 0.9)
+
+  /** Empirical LSH quality audit — the dedup twin of sim15's ANN recall
+    * gate: [[ops.Dedup.minhashDupPairs]] is precision-1 by construction
+    * (every candidate is exact-verified before it is emitted), so the
+    * quality question is RECALL — how many of d2's exact-Jaccard true
+    * pairs does each banding config actually surface? `n_extra` is the
+    * conservation side: any pair past the verify join that is NOT in the
+    * exact truth means the verification arithmetic itself drifted.
+    * Three configs ladder the r (band width) trade-off: wider bands →
+    * fewer, stricter collisions → lower recall, cheaper join.
+    */
+  private def d25LshQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val truth = ops.Dedup.jaccardDupPairs(d, "text", "doc_id", 3, 0.5)
+      .select(col("id1"), col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def audit(label: String, k: Int, r: Int): DataFrame = {
+      val found = ops.Dedup.minhashDupPairs(d, "text", "doc_id", 3, k, r, 0.5)
+        .select(col("id1"), col("id2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.join(truth, Seq("id1", "id2"))
+          .agg(count(lit(1)).as("n_found")))
+        .crossJoin(found.agg(count(lit(1)).as("n_all")))
+        .select(lit(label).as("config"), lit(k.toLong).as("k"), lit(r.toLong).as("r"),
+          col("n_true"), col("n_found"), (col("n_all") - col("n_found")).as("n_extra"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
+            .as("recall"))
+    }
+    val out = audit("k12_r3", 12, 3)
+      .unionByName(audit("k8_r4", 8, 4))
+      .unionByName(audit("k8_r2", 8, 2))
+      .orderBy("config")
+    val rows = out.collect()
+    truth.unpersist()
+    rows.foreach { r =>
+      require(r.getLong(5) == 0L,
+        s"LSH precision leak: ${r.getString(0)} emitted ${r.getLong(5)} pairs " +
+          "past exact verification that are not in the exact-Jaccard truth")
+      require(!r.isNullAt(6) && r.getDouble(6) >= LshRecallFloors(r.getString(0)),
+        f"LSH recall collapse: ${r.getString(0)} recall = ${r.getDouble(6)}%.4f " +
+          f"< floor ${LshRecallFloors(r.getString(0))}")
+    }
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("config")
+  }
+
   /** The dedup pipeline END-TO-END through one gate: MinHash/LSH pairing
     * ([[ops.Dedup.minhashDupPairs]]) feeding connected components
     * ([[ops.Dedup.dupClusters]]) feeding the dup-group summary — the
@@ -3648,6 +3703,7 @@ object SparkEntry {
     "d11_dup_clusters_star" -> d11DupClustersStar _,
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
+    "d25_lsh_quality" -> d25LshQuality _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
@@ -3778,20 +3834,22 @@ object SparkEntry {
     * md5-derived base hash per shingle, k universal-hash permutations
     * (a_i·h + b_i) mod 2³¹−1 — plain BIGINT arithmetic on both engines.
     */
-  private val sigSql: String = {
+  private def sigSqlK(k: Int): String = {
     val p = ops.Dedup.MinhashP
-    "[" + (0 until MinhashK).map { i =>
+    "[" + (0 until k).map { i =>
       val (a, b) = (ops.Dedup.minhashA(i), ops.Dedup.minhashB(i))
       s"list_min(list_transform(hs, h -> ($a * h + $b) % $p))"
     }.mkString(", ") + "]"
   }
+  private val sigSql: String = sigSqlK(MinhashK)
   private val baseHashSql: String =
     s"list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % ${ops.Dedup.MinhashP})"
-  private val bandsSql: String =
-    "[" + (0 until MinhashK / MinhashR).map { j =>
-      val parts = (0 until MinhashR).map(i => s"sig[${j * MinhashR + i + 1}]").mkString(" || '|' || ")
+  private def bandsSqlKR(k: Int, r: Int): String =
+    "[" + (0 until k / r).map { j =>
+      val parts = (0 until r).map(i => s"sig[${j * r + i + 1}]").mkString(" || '|' || ")
       s"md5($parts)"
     }.mkString(", ") + "]"
+  private val bandsSql: String = bandsSqlKR(MinhashK, MinhashR)
 
   /** DuckDB form of [[ops.Dedup.simhash16]] given token-hash list `hs`. */
   private val simhashSql: String =
@@ -6052,6 +6110,44 @@ object SparkEntry {
         |j AS (SELECT id1, id2, ${jaccardSql("da.sh", "db.sh")} AS jaccard
         |      FROM cand JOIN d da ON cand.id1 = da.doc_id JOIN d db ON cand.id2 = db.doc_id)
         |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id1, id2""".stripMargin,
+    // per-config LSH replay joined against the exact-Jaccard truth; the
+    // found sets are precision-1 by construction, so n_extra must be 0
+    "d25_lsh_quality" -> {
+      def cfg(label: String, k: Int, r: Int): String =
+        s"""sg_$label AS (SELECT doc_id, sh, ${sigSqlK(k)} AS sig FROM dh),
+          |bd_$label AS (SELECT doc_id, sh, ${bandsSqlKR(k, r)} AS bands FROM sg_$label),
+          |e_$label AS (SELECT doc_id, sh, unnest(bands) AS b,
+          |      generate_subscripts(bands, 1) AS bi FROM bd_$label),
+          |cd_$label AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+          |      FROM e_$label a JOIN e_$label b
+          |      ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+          |fd_$label AS (SELECT id1, id2 FROM cd_$label c
+          |      JOIN dh da ON c.id1 = da.doc_id JOIN dh db ON c.id2 = db.doc_id
+          |      WHERE ${jaccardSql("da.sh", "db.sh")} >= 0.5),
+          |m_$label AS (SELECT '$label' AS config,
+          |      CAST($k AS BIGINT) AS k, CAST($r AS BIGINT) AS r,
+          |      (SELECT count(*) FROM truth) AS n_true,
+          |      (SELECT count(*) FROM fd_$label f JOIN truth t
+          |        ON f.id1 = t.id1 AND f.id2 = t.id2) AS n_found,
+          |      (SELECT count(*) FROM fd_$label) AS n_all)""".stripMargin
+      s"""WITH d0 AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |dh AS (SELECT doc_id, sh, $baseHashSql AS hs FROM d0),
+        |truth AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM d0 a JOIN d0 b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |        AND ${jaccardSql("a.sh", "b.sh")} >= 0.5),
+        |${cfg("k12_r3", 12, 3)},
+        |${cfg("k8_r4", 8, 4)},
+        |${cfg("k8_r2", 8, 2)},
+        |m AS (SELECT * FROM m_k12_r3 UNION ALL SELECT * FROM m_k8_r4
+        |      UNION ALL SELECT * FROM m_k8_r2)
+        |SELECT config, k, r, CAST(n_true AS BIGINT) AS n_true,
+        | CAST(n_found AS BIGINT) AS n_found,
+        | CAST(n_all - n_found AS BIGINT) AS n_extra,
+        | CASE WHEN n_true = 0 THEN NULL
+        |      ELSE round(CAST(n_found AS DOUBLE) / n_true, 6) END AS recall
+        |FROM m ORDER BY config""".stripMargin
+    },
     // positional hash + sliding-window-min replayed list-for-list (d8Winnow)
     "d8_winnow" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
