@@ -3033,6 +3033,19 @@ object SparkEntry {
         col("max_gap"))
       .orderBy("term")
 
+  /** Reason-coded Gopher-style curation cascade
+    * ([[ops.Curation.gopherFilter]]): token-count bounds 20–90,
+    * mean-word-length 4.0–10.0 (×10 integer form), ≥2 stopwords,
+    * top-token share ≤200‰ — thresholds placed inside the measured
+    * fixture distribution (n ∈ [10,99], mean len 3.7–5.3, stopwords
+    * 0–14, top share ≤0.30) so every reason code actually fires. All
+    * comparisons integer-exact; the oracle replays the same cascade.
+    */
+  private def t53GopherFilter(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.gopherFilter(Tables.documents(s, dir), "text", "doc_id",
+      20, 90, 40, 100, 2, 200)
+      .orderBy("doc_id")
+
   /** Hybrid dense+sparse retrieval ([[ops.Retrieval.rrfFuse]]): RRF over
     * the brute-force cosine top-20 (embeddings, vec_id aligned with
     * doc_id) and the BM25 top-20 for the same first-10 query ids. Rank
@@ -3647,6 +3660,7 @@ object SparkEntry {
     "sim16_hybrid" -> sim16Hybrid _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
+    "t53_gopher_filter" -> t53GopherFilter _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g6_personalized_pagerank" -> g6PersonalizedPagerank _,
@@ -5301,6 +5315,32 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(generate_series(2, len(postings)),
         |    i -> postings[i] - postings[i-1])), 0) AS BIGINT) AS max_gap
         |FROM a ORDER BY term""".stripMargin,
+    "t53_gopher_filter" -> {
+      val stop = graft.functions.TextFunctions.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+        |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+        |pc AS (SELECT doc_id, tok, count(*) AS c, len(tok) AS ln,
+        |       tok IN ($stop) AS is_stop FROM e GROUP BY doc_id, tok, ln, is_stop),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(ln * c) AS BIGINT) AS sum_len,
+        |       CAST(sum(CASE WHEN is_stop THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+        |       CAST(max(c) AS BIGINT) AS top_cnt
+        |      FROM pc GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(sum_len, 0) AS sum_len, coalesce(n_stop, 0) AS n_stop,
+        |       coalesce(top_cnt, 0) AS top_cnt
+        |      FROM documents d LEFT JOIN a USING (doc_id))
+        |SELECT doc_id, n_tokens, sum_len, n_stop, top_cnt,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN n_tokens > 90 THEN 'too_long'
+        |       WHEN 10 * sum_len < 40 * n_tokens THEN 'words_too_short'
+        |       WHEN 10 * sum_len > 100 * n_tokens THEN 'words_too_long'
+        |       WHEN n_stop < 2 THEN 'low_stopword'
+        |       WHEN 1000 * top_cnt > 200 * n_tokens THEN 'repetitive'
+        |       ELSE 'kept' END AS verdict
+        |FROM st ORDER BY doc_id""".stripMargin
+    },
     "sim16_hybrid" ->
       s"""WITH $embNormSql,
         |dp AS (SELECT q.vec_id AS query_id, c.vec_id AS item_id, ${cosineSql("q", "c")} AS cosine

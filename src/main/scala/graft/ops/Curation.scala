@@ -863,4 +863,58 @@ object Curation {
         round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
           greatest(col("n_sh"), lit(1L)), 6).as("boiler_ratio"))
   }
+
+  /** Reason-coded Gopher-style quality filter (the rule family of Rae
+    * et al. 2021 §A1.1, reduced to the signals this corpus carries):
+    * token-count bounds, mean-word-length bounds, minimum stopword
+    * count, and top-token repetition share — evaluated as a FIXED
+    * cascade so every document gets exactly one verdict, and the first
+    * failing rule names WHY it was dropped (the audit trail a curation
+    * run owes its operators; a bare boolean filter can't tell you that
+    * your new crawl slice died 80% on `low_stopword`).
+    *
+    * Every comparison is integer-exact — mean length as
+    * `10·Σlen vs bound×10·n`, repetition as `1000·top_cnt vs permille·n`
+    * — so the cascade is engine- and partitioning-invariant with no
+    * float epsilon anywhere. Two partial-aggregable passes: per-(doc,
+    * token) counts (for the top-token share), then the per-doc rollup.
+    *
+    * @param meanLenMinX10 lower mean-word-length bound × 10
+    * @param maxTopPermille max share of the most frequent token, permille
+    */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Long, maxTokens: Long,
+      meanLenMinX10: Long, meanLenMaxX10: Long,
+      minStopwords: Long, maxTopPermille: Long): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val perTok = ex.groupBy("doc_id", "tok").agg(
+      count(lit(1)).as("c"), length(col("tok")).cast("long").as("len"),
+      max(col("tok").isin(TextFunctions.Stopwords: _*)).as("is_stop"))
+    val agg = perTok.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      sum(col("len") * col("c")).as("sum_len"),
+      sum(when(col("is_stop"), col("c")).otherwise(lit(0L))).as("n_stop"),
+      max(col("c")).as("top_cnt"))
+    // token-free documents vanish from the explode — restore them with
+    // zero stats so the cascade still files them (under too_short)
+    val st = df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+        coalesce(col("n_stop"), lit(0L)).as("n_stop"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+    st.select(col("doc_id"), col("n_tokens"), col("sum_len"),
+        col("n_stop"), col("top_cnt"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(lit(10L) * col("sum_len") < lit(meanLenMinX10) * col("n_tokens"),
+            "words_too_short")
+          .when(lit(10L) * col("sum_len") > lit(meanLenMaxX10) * col("n_tokens"),
+            "words_too_long")
+          .when(col("n_stop") < minStopwords, "low_stopword")
+          .when(lit(1000L) * col("top_cnt") > lit(maxTopPermille) * col("n_tokens"),
+            "repetitive")
+          .otherwise("kept").as("verdict"))
+  }
 }

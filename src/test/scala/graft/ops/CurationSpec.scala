@@ -462,4 +462,30 @@ class CurationSpec extends SparkSpec {
     assert(out(2)._3 == 0 && out(2)._4 == 0.0, out(2))
     assert(out(3) == ((4L, 0L, 0L, 0.0)), out(3))
   }
+
+  test("gopherFilter: cascade order, integer-exact bounds, token-free restore") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown foxes jumped over a lazy sleeping dog today"), // kept
+      (2L, "word"), // too_short (and would also fail low_stopword — cascade order)
+      (3L, Seq.fill(30)("aa").mkString(" ") + " the a of"), // mean len < 3.0 → words_too_short
+      (4L, "alpha beta gamma delta epsilon zeta"), // 0 stopwords → low_stopword
+      (5L, "spark spark spark spark spark the a of"), // top share 625‰ → repetitive
+      (6L, ""), // token-free → restored with zeros → too_short
+      (7L, Seq.fill(101)("tok").mkString(" ")) // too_long
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherFilter(df, "text", "doc_id",
+        minTokens = 2, maxTokens = 100, meanLenMinX10 = 30, meanLenMaxX10 = 100,
+        minStopwords = 2, maxTopPermille = 300)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(1L -> "kept", 2L -> "too_short", 3L -> "words_too_short",
+      4L -> "low_stopword", 5L -> "repetitive", 6L -> "too_short", 7L -> "too_long"))
+    // boundary exactness: mean length exactly 3.0 passes (10*sum == 30*n)
+    val edge = Curation.gopherFilter(
+        Seq((1L, "abc def ghi")).toDF("doc_id", "text"),
+        "text", "doc_id", 1, 100, 30, 100, 0, 1000)
+      .collect()(0)
+    assert(edge.getString(5) == "kept" && edge.getLong(2) == 9)
+  }
 }
