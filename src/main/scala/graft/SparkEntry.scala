@@ -3046,6 +3046,17 @@ object SparkEntry {
       20, 90, 40, 100, 2, 200)
       .orderBy("doc_id")
 
+  /** DSIR importance weights ([[ops.Sampling.dsirWeights]]): every doc
+    * scored by hashed unigram+bigram log-ratio against the `lang='en'`
+    * target slice, 1024 buckets, deterministic top-100 selection. The
+    * oracle replays the hashing, add-1 smoothing, micro-rounded λ table
+    * and exact integer Σ cnt·λ.
+    */
+  private def t54Dsir(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.dsirWeights(Tables.documents(s, dir), "text", "doc_id",
+      col("lang") === "en", 1024, 100)
+      .orderBy("doc_id")
+
   /** Hybrid dense+sparse retrieval ([[ops.Retrieval.rrfFuse]]): RRF over
     * the brute-force cosine top-20 (embeddings, vec_id aligned with
     * doc_id) and the BM25 top-20 for the same first-10 query ids. Rank
@@ -3661,6 +3672,7 @@ object SparkEntry {
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
+    "t54_dsir" -> t54Dsir _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g6_personalized_pagerank" -> g6PersonalizedPagerank _,
@@ -5341,6 +5353,30 @@ object SparkEntry {
         |       ELSE 'kept' END AS verdict
         |FROM st ORDER BY doc_id""".stripMargin
     },
+    "t54_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS ts FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(ts) AS f FROM t),
+        |big AS (SELECT doc_id, lang, unnest(list_transform(
+        |    generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])) AS f FROM t),
+        |fe AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        |dc AS (SELECT doc_id, b, count(*) AS cnt FROM fe GROUP BY 1, 2),
+        |tc AS (SELECT b, count(*) AS ct FROM fe WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM fe GROUP BY 1),
+        |tt AS (SELECT count(*) AS ct_tot FROM fe WHERE lang = 'en'),
+        |rt AS (SELECT count(*) AS cr_tot FROM fe),
+        |lam AS (SELECT rc.b, CAST(round(
+        |      (ln((coalesce(tc.ct, 0) + 1) / (tt.ct_tot + 1024))
+        |       - ln((rc.cr + 1) / (rt.cr_tot + 1024))) * 1e6, 0) AS BIGINT) AS lam
+        |    FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN rt),
+        |w AS (SELECT dc.doc_id, CAST(sum(dc.cnt) AS BIGINT) AS n_feat,
+        |      CAST(sum(dc.cnt * lam.lam) AS BIGINT) AS dsir_micro
+        |    FROM dc JOIN lam ON dc.b = lam.b GROUP BY 1),
+        |r AS (SELECT doc_id, n_feat, dsir_micro,
+        |      row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rank FROM w)
+        |SELECT doc_id, n_feat, dsir_micro, rank, rank <= 100 AS selected
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sim16_hybrid" ->
       s"""WITH $embNormSql,
         |dp AS (SELECT q.vec_id AS query_id, c.vec_id AS item_id, ${cosineSql("q", "c")} AS cosine

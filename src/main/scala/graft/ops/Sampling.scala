@@ -276,4 +276,64 @@ object Sampling {
     }
     s.createDataFrame(rdd, schema)
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-n-gram profile is,
+    * `w(d) = Σ_f cnt_d(f) · (ln p_target(f) − ln p_raw(f))`, with
+    * unigram+bigram features hashed into `buckets` cells and add-1
+    * smoothing over the bucket space. Deterministic top-k selection
+    * (weight desc, id asc) instead of the paper's Gumbel resampling —
+    * no RNG state, same contract as every sampler here.
+    *
+    * Float discipline: the per-BUCKET log-ratio λ_f is micro-rounded to
+    * a LONG once (≤ `buckets` values), and each document's score is the
+    * exact integer `Σ cnt·λ` — order-free and engine-exact. λ is bounded
+    * by ln(corpus) ≈ 40·10⁶ micro, so the per-doc sum stays under 2⁶³
+    * up to ~10¹⁴ feature occurrences per document.
+    *
+    * Scale shape: one explode over the corpus for features, two
+    * partial-aggregable counts (target slice + raw), and a ≤`buckets`-row
+    * λ table BROADCAST into the per-doc scoring join — the corpus is
+    * touched twice, never joined to itself. The global rank window here
+    * is gate-scale convenience; at 100 TB replace it with a weight
+    * threshold read off [[graft.ops.Sketch]]-style binned quantiles
+    * (q37) and keep selection embarrassingly parallel.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int, topK: Int): DataFrame = {
+    require(buckets >= 2 && topK >= 1, s"bad params buckets=$buckets topK=$topK")
+    val toks = df.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("ts"))
+    val uni = toks.select(col("doc_id"), col("is_target"), explode(col("ts")).as("f"))
+    val big = toks.select(col("doc_id"), col("is_target"),
+      explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("f"))
+    val fe = uni.unionByName(big)
+      .select(col("doc_id"), col("is_target"),
+        Sketch.cmsBucket(col("f"), 0, buckets).as("b"))
+    val dc = fe.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val tc = fe.filter(col("is_target")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = fe.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tt = fe.filter(col("is_target")).agg(count(lit(1)).as("ct_tot"))
+    val rt = fe.agg(count(lit(1)).as("cr_tot"))
+    val lam = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .select(col("b"),
+        round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("ct_tot") + lit(buckets.toLong)))
+          - log((col("cr") + 1).cast("double")
+            / (col("cr_tot") + lit(buckets.toLong)))) * 1e6, 0)
+          .cast("long").as("lam"))
+    val w = dc.join(broadcast(lam), "b")
+      .groupBy("doc_id").agg(sum(col("cnt")).as("n_feat"),
+        sum(col("cnt") * col("lam")).as("dsir_micro"))
+    import org.apache.spark.sql.expressions.Window
+    w.withColumn("rank", row_number()
+        .over(Window.orderBy(desc("dsir_micro"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_feat"), col("dsir_micro"), col("rank"),
+        (col("rank") <= topK).as("selected"))
+  }
 }

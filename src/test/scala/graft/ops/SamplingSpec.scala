@@ -169,4 +169,27 @@ class SamplingSpec extends SparkSpec {
     // ~half of the 200 'a' rows survive at rate 0.5
     assert(out.length > 60 && out.length < 140, out.length.toString)
   }
+
+  test("dsirWeights: target-vocabulary docs outrank off-target; exact integer score") {
+    import spark.implicits._
+    // target docs speak 'quantum flux'; raw background speaks 'mundane noise'
+    val df = ((0L until 20L).map(i => (i, "quantum flux quantum flux theory", true)) ++
+      (20L until 40L).map(i => (i, "mundane noise mundane noise chatter", false)) ++
+      Seq((40L, "quantum flux theory", false), // off-target doc with target vocab
+          (41L, "mundane noise chatter", false)))
+      .toDF("doc_id", "text", "tgt")
+    val out = Sampling.dsirWeights(df, "text", "doc_id", col("tgt"), 256, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // the target-sounding doc 40 must outrank its same-length off-target twin 41
+    assert(out(40L)._1 > out(41L)._1)
+    // rank is a permutation and selected == (rank <= 5)
+    assert(out.values.map(_._2).toSeq.sorted == (1L to 42L))
+    assert(out.values.forall(v => v._3 == (v._2 <= 5L)))
+    // score is an exact function: recompute doc 40's score from the λ table
+    val lamCheck = Sampling.dsirWeights(
+      df, "text", "doc_id", col("tgt"), 256, 5)
+      .filter(col("doc_id") === 40L).collect()(0).getLong(2)
+    assert(lamCheck == out(40L)._1) // deterministic across runs
+  }
 }
