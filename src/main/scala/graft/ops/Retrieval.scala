@@ -75,6 +75,14 @@ object Retrieval {
       .select(col("term"), col("df"), col("tf_sum"), col("postings"), col("max_gap"))
   }
 
+  /** Corpus-level scalars BM25 needs: (n, dl_sum) — one partial-agg scan
+    * of the raw documents (counts token-free docs too, which the tf
+    * relation structurally cannot).
+    */
+  def docStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n"),
+      sum(TextFunctions.tokenCount(col(textCol))).as("dl_sum"))
+
   /** BM25 scores for a (query_id, term) probe set against the corpus.
     *
     * @param queryTerms   distinct (query_id, term) rows — broadcast side
@@ -84,11 +92,24 @@ object Retrieval {
     * @return (query_id, doc_id, score_micro) — fixed-point micro-unit sum
     */
   def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: DataFrame, maxDfPermille: Option[Long] = None): DataFrame =
+    bm25ScoresFromTf(termFrequencies(docs, textCol, idCol),
+      docStats(docs, textCol), queryTerms, maxDfPermille)
+
+  /** [[bm25Scores]] from a PRECOMPUTED term-frequency relation — the
+    * artifact path. At 100 TB the tf table is written once at ingest,
+    * `bucketBy(N, term)`: the df aggregation and every term-keyed probe
+    * then read bucket-aligned splits with NO query-time Exchange on the
+    * corpus side (locked in BucketedJoinSpec), which turns per-query
+    * BM25 cost into `broadcast-probe + bucket-local agg` — the
+    * inverted-index economics search engines run on.
+    *
+    * @param tf    (doc_id, term, tf, dl) — [[termFrequencies]]' shape
+    * @param stats 1-row (n, dl_sum) — [[docStats]]
+    */
+  def bm25ScoresFromTf(tf: DataFrame, stats: DataFrame,
       queryTerms: DataFrame, maxDfPermille: Option[Long] = None): DataFrame = {
-    val tf = termFrequencies(docs, textCol, idCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n"),
-      sum(TextFunctions.tokenCount(col(textCol))).as("dl_sum"))
     val pruned = maxDfPermille match {
       case Some(p) => dfreq.crossJoin(broadcast(stats.select(col("n").as("n_p"))))
         .filter(col("df") * 1000 <= lit(p) * col("n_p")).drop("n_p")
@@ -112,10 +133,18 @@ object Retrieval {
 
   /** Top-k BM25 hits per query: (query_id, rank, doc_id, score). */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
-      queryTerms: DataFrame, k: Int, maxDfPermille: Option[Long] = None): DataFrame = {
+      queryTerms: DataFrame, k: Int, maxDfPermille: Option[Long] = None): DataFrame =
+    rankTopK(bm25Scores(docs, textCol, idCol, queryTerms, maxDfPermille), k)
+
+  /** [[bm25TopK]] over the persisted tf artifact ([[bm25ScoresFromTf]]). */
+  def bm25TopKFromTf(tf: DataFrame, stats: DataFrame,
+      queryTerms: DataFrame, k: Int, maxDfPermille: Option[Long] = None): DataFrame =
+    rankTopK(bm25ScoresFromTf(tf, stats, queryTerms, maxDfPermille), k)
+
+  private def rankTopK(scores: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score_micro"), col("doc_id"))
-    bm25Scores(docs, textCol, idCol, queryTerms, maxDfPermille)
+    scores
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),

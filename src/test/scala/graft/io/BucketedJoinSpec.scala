@@ -44,4 +44,31 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("term-bucketed tf artifact: df aggregation runs with no exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS tf_b")
+    val docs = Seq((0L, "spark shuffle join"), (1L, "spark filter scan scan"),
+      (2L, "join join shuffle broadcast")).toDF("doc_id", "text")
+    graft.ops.Retrieval.termFrequencies(docs, "text", "doc_id")
+      .write.bucketBy(4, "term").sortBy("term").saveAsTable("tf_b")
+    try {
+      // the per-query df aggregation — groupBy(term) — must be satisfied
+      // by the bucket layout: zero ShuffleExchange anywhere in the plan
+      val dfreq = spark.table("tf_b").groupBy("term").agg(count(lit(1)).as("df"))
+      val executed = dfreq.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = executed.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected exchange-free bucketed agg, got:\n$executed")
+      // and the answer matches the recomputed-from-text path exactly
+      val fromText = graft.ops.Retrieval
+        .termFrequencies(docs, "text", "doc_id")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      assert(dfreq.exceptAll(fromText).isEmpty && fromText.exceptAll(dfreq).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tf_b")
+    }
+  }
 }
