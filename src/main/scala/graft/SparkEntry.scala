@@ -3111,6 +3111,26 @@ object SparkEntry {
       .orderBy("query_id", "fused_rank")
   }
 
+  /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
+    * NDCG@10 of the brute-force cosine ranking against label-match
+    * relevance (`embeddings.label` as topic truth — 10 balanced classes,
+    * so every query has ≥ k relevant items and IDCG is the full-k
+    * prefix). Completes the retrieval-eval ladder: sim15 grades ANN
+    * recall vs exact search, d25 grades LSH recall vs exact Jaccard,
+    * this grades the ranking itself against exogenous relevance.
+    */
+  private def sim17Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val ranked = ops.Similarity.bruteForceTopK(e, q, 10)
+      .select(col("query_id"), col("nn_id").as("item_id"), col("rank"))
+    val rel = e.select(col("vec_id").as("item_id"), col("label").as("l"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("label").as("ql"))),
+        col("query_id") =!= col("item_id") && col("l") === col("ql"))
+      .select(col("query_id"), col("item_id"))
+    ops.Retrieval.ndcgAtK(ranked, rel, 10).orderBy("query_id")
+  }
+
   /** MMR diverse top-3 ([[ops.Similarity.mmrTopK]], λ = 70%) for the
     * first 3 query vectors over the whole corpus: greedy relevance-vs-
     * redundancy selection, k unrolled rounds — the oracle unrolls the
@@ -3704,6 +3724,7 @@ object SparkEntry {
     "sim14_quant_audit" -> sim14QuantAudit _,
     "sim15_recall" -> sim15Recall _,
     "sim16_hybrid" -> sim16Hybrid _,
+    "sim17_ndcg" -> sim17Ndcg _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -5419,6 +5440,43 @@ object SparkEntry {
         |      row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rank FROM w)
         |SELECT doc_id, n_feat, dsir_micro, rank, rank <= 100 AS selected
         |FROM r ORDER BY doc_id""".stripMargin,
+    "sim17_ndcg" ->
+      s"""WITH $embNormSql,
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS item_id, ${cosineSql("q", "c")} AS cosine
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |rk AS (SELECT query_id, item_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rank
+        |      FROM p),
+        |r10 AS (SELECT query_id, item_id, rank FROM rk WHERE rank <= 10),
+        |rel AS (SELECT q.vec_id AS query_id, c.vec_id AS item_id
+        |      FROM lb q JOIN lb c
+        |      ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label = q.label),
+        |terms AS (SELECT i AS rank,
+        |       CAST(round(1e6 * ln(2.0) / ln(i + 1.0), 0) AS BIGINT) AS tm
+        |      FROM generate_series(1, 10) t(i)),
+        |mk AS (SELECT r10.query_id, r10.rank,
+        |       CASE WHEN rel.item_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        |      FROM r10 LEFT JOIN rel
+        |      ON r10.query_id = rel.query_id AND r10.item_id = rel.item_id),
+        |pq AS (SELECT query_id,
+        |       CAST(sum(CASE WHEN rel = 1 THEN tm ELSE 0 END) AS BIGINT) AS dcg_micro,
+        |       min(CASE WHEN rel = 1 THEN rank END) AS frr
+        |      FROM mk JOIN terms USING (rank) GROUP BY 1),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |ic AS (SELECT nr.query_id, nr.n_rel, CAST(sum(tm) AS BIGINT) AS idcg_micro
+        |      FROM nr JOIN terms ON terms.rank <= least(nr.n_rel, 10) GROUP BY 1, 2)
+        |SELECT coalesce(pq.query_id, ic.query_id) AS query_id,
+        | CAST(coalesce(ic.n_rel, 0) AS BIGINT) AS n_rel,
+        | CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank,
+        | coalesce(CAST(round(1e6 / frr, 0) AS BIGINT), 0) AS rr_micro,
+        | coalesce(dcg_micro, 0) AS dcg_micro,
+        | CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro,
+        | CASE WHEN coalesce(idcg_micro, 0) = 0 THEN NULL
+        |      ELSE round(CAST(coalesce(dcg_micro, 0) AS DOUBLE) / idcg_micro, 6)
+        | END AS ndcg
+        |FROM pq FULL JOIN ic ON pq.query_id = ic.query_id
+        |ORDER BY query_id""".stripMargin,
     "sim16_hybrid" ->
       s"""WITH $embNormSql,
         |dp AS (SELECT q.vec_id AS query_id, c.vec_id AS item_id, ${cosineSql("q", "c")} AS cosine

@@ -151,6 +151,54 @@ object Retrieval {
         round(col("score_micro").cast("double") / 1e6, 6).as("score"))
   }
 
+  /** Graded retrieval metrics — MRR and NDCG@k of a ranked list against
+    * a binary relevance set, per query. The discount table
+    * `1/log2(rank+1)` is micro-rounded ONCE into a k-row broadcast frame
+    * (so per-query DCG/IDCG are exact integer sums — order-free and
+    * engine-replayable), and IDCG is the ideal prefix sum over
+    * `min(n_rel, k)` discounts via the same table. Rank rows only ever
+    * reach the metric groupBy: queries × k, driver-scale at any corpus
+    * size — the expensive part is whatever produced the ranking, not
+    * the grading.
+    *
+    * @param ranked   (query_id, item_id, rank) — rank 1-based, unique
+    * @param relevant (query_id, item_id) — the binary relevance truth
+    * @return per query: n_rel, first_rel_rank (0 = none), rr_micro,
+    *         dcg_micro, idcg_micro, ndcg (null when no relevant items)
+    */
+  def ndcgAtK(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val terms = ranked.sparkSession.range(1, k + 1L).select(
+      col("id").as("rank"),
+      round(lit(1e6) * log(lit(2.0)) / log(col("id") + lit(1.0)), 0)
+        .cast("long").as("term_micro"))
+    val rel = relevant.select(col("query_id"), col("item_id"), lit(1L).as("rel"))
+    val marked = ranked.filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("rank").cast("long").as("rank"))
+      .join(rel, Seq("query_id", "item_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perq = marked.join(broadcast(terms), "rank")
+      .groupBy("query_id").agg(
+        sum(when(col("rel") === 1, col("term_micro")).otherwise(lit(0L)))
+          .as("dcg_micro"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"))
+    val nrel = relevant.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val idcg = nrel.join(broadcast(terms),
+        col("rank") <= least(col("n_rel"), lit(k.toLong)))
+      .groupBy("query_id", "n_rel").agg(sum(col("term_micro")).as("idcg_micro"))
+    perq.join(idcg, Seq("query_id"), "full")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank"),
+        coalesce(round(lit(1e6) / col("first_rel_rank"), 0).cast("long"), lit(0L))
+          .as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(coalesce(col("dcg_micro"), lit(0L)).cast("double")
+            / col("idcg_micro"), 6)).as("ndcg"))
+  }
+
   /** Reciprocal-Rank Fusion of ranked lists from heterogeneous
     * retrievers (the standard dense+sparse hybrid: neither cosine nor
     * BM25 scores are commensurable, but ranks always are).

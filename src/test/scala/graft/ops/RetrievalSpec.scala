@@ -87,6 +87,28 @@ class RetrievalSpec extends SparkSpec {
       (12L, 3L, r2, 1L)))
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG, MRR, and the no-relevant null case") {
+    import spark.implicits._
+    def tm(r: Long): Long = math.round(1e6 * math.log(2.0) / math.log(r + 1.0))
+    val ranked = Seq(
+      (1L, 100L, 1L), (1L, 101L, 2L), (1L, 102L, 3L), // q1: rel at ranks 1,3
+      (2L, 100L, 1L), (2L, 101L, 2L)) // q2: nothing relevant
+      .toDF("query_id", "item_id", "rank")
+    val rel = Seq((1L, 100L), (1L, 102L), (1L, 103L)) // 103 exists but unranked
+      .toDF("query_id", "item_id")
+    val got = Retrieval.ndcgAtK(ranked, rel, 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q1 = got(1L)
+    assert(q1.getLong(1) == 3 && q1.getLong(2) == 1 && q1.getLong(3) == 1000000L)
+    assert(q1.getLong(4) == tm(1) + tm(3)) // dcg: hits at ranks 1 and 3
+    assert(q1.getLong(5) == tm(1) + tm(2) + tm(3)) // idcg: min(n_rel, k) = 3
+    assert(q1.getDouble(6) ==
+      math.rint(1e6 * (tm(1) + tm(3)).toDouble / (tm(1) + tm(2) + tm(3))) / 1e6)
+    val q2 = got(2L)
+    assert(q2.getLong(1) == 0 && q2.getLong(2) == 0 && q2.getLong(3) == 0)
+    assert(q2.getLong(5) == 0 && q2.isNullAt(6)) // no relevant → ndcg null
+  }
+
   test("bm25 probe plan: query terms and df frame broadcast, corpus side single-pass") {
     val plan = Retrieval.bm25Scores(corpus, "text", "doc_id",
       queryTerms(1L -> "spark")).queryExecution.executedPlan.toString
