@@ -2726,9 +2726,11 @@ object SparkEntry {
     * ties to smallest doc_id) — the "which doc survives dedup" policy
     * step. The oracle replays the components and the argmax.
     */
-  private def d18Canonical(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-    val d = docs.select(col("doc_id"))
+  /** d9/d18/d26's deterministic synthetic dup graph (chain + star rules
+    * on doc_id arithmetic) resolved to (doc_id, cluster_id).
+    */
+  private def syntheticClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
     val chain = d.as("a").join(d.as("b"),
         col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 20 < 5)
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
@@ -2736,11 +2738,32 @@ object SparkEntry {
         col("b.doc_id") === col("a.doc_id") - col("a.doc_id") % 7 &&
           col("a.doc_id") % 20 >= 15 && col("a.doc_id") % 7 =!= 0)
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    val cc = withStatePartitions(s, 8) {
+    withStatePartitions(s, 8) {
       ops.Dedup.dupClusters(d, chain.unionByName(star), "doc_id")
     }
-    ops.Dedup.canonicalPerCluster(cc.join(docs, "doc_id"),
+  }
+
+  private def d18Canonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    ops.Dedup.canonicalPerCluster(syntheticClusters(s, dir).join(docs, "doc_id"),
         "doc_id", "cluster_id", "n_chars")
+      .orderBy("cluster_id")
+  }
+
+  /** Quality-aware dedup survivor ([[ops.Dedup.qualityCanonical]]):
+    * d18's clusters, but the kept member is chosen by t53's curation
+    * verdict FIRST (is_kept desc, n_tokens desc, doc_id asc) — dedup
+    * keeps the best copy, not just the longest. n_kept_members audits
+    * how much of each cluster passed the cascade.
+    */
+  private def d26QualityCanonical(s: SparkSession, dir: String): DataFrame = {
+    val quality = ops.Curation.gopherFilter(Tables.documents(s, dir),
+        "text", "doc_id", 20, 90, 40, 100, 2, 200)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("verdict") === "kept").as("is_kept"))
+    ops.Dedup.qualityCanonical(
+        syntheticClusters(s, dir).join(quality, "doc_id"),
+        "doc_id", "cluster_id", "is_kept", "n_tokens")
       .orderBy("cluster_id")
   }
 
@@ -3787,6 +3810,7 @@ object SparkEntry {
     "d12_dedup_pipeline" -> d12DedupPipeline _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d25_lsh_quality" -> d25LshQuality _,
+    "d26_quality_canonical" -> d26QualityCanonical _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
@@ -5734,6 +5758,57 @@ object SparkEntry {
         |SELECT cluster_id, doc_id AS kept_id, CAST(n_chars AS BIGINT) AS kept_score,
         | CAST(n_members AS BIGINT) AS n_members
         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    // d18's recursive-CTE clusters + t53's kept-boolean + the
+    // (kept, n_tokens, -id) argmax replayed as a window
+    "d26_quality_canonical" -> {
+      val stop = graft.functions.TextFunctions.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 20 < 5
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id - (a.doc_id % 7)
+        |   AND a.doc_id % 20 >= 15 AND a.doc_id % 7 <> 0
+        |),
+        |ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id
+        |),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+        |et AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+        |pc AS (SELECT doc_id, tok, count(*) AS c, len(tok) AS ln,
+        |       tok IN ($stop) AS is_stop FROM et GROUP BY doc_id, tok, ln, is_stop),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(ln * c) AS BIGINT) AS sum_len,
+        |       CAST(sum(CASE WHEN is_stop THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+        |       CAST(max(c) AS BIGINT) AS top_cnt
+        |      FROM pc GROUP BY doc_id),
+        |q AS (SELECT dd.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |       (coalesce(a.n_tokens, 0) >= 20 AND coalesce(a.n_tokens, 0) <= 90
+        |        AND 10 * coalesce(a.sum_len, 0) >= 40 * coalesce(a.n_tokens, 0)
+        |        AND 10 * coalesce(a.sum_len, 0) <= 100 * coalesce(a.n_tokens, 0)
+        |        AND coalesce(a.n_stop, 0) >= 2
+        |        AND 1000 * coalesce(a.top_cnt, 0) <= 200 * coalesce(a.n_tokens, 0))
+        |         AS is_kept
+        |      FROM documents dd LEFT JOIN a ON a.doc_id = dd.doc_id),
+        |j AS (SELECT cc.doc_id, cc.cluster_id, q.n_tokens, q.is_kept
+        |      FROM cc JOIN q ON q.doc_id = cc.doc_id),
+        |r AS (SELECT cluster_id, doc_id, n_tokens, is_kept,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY is_kept DESC, n_tokens DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |        sum(CASE WHEN is_kept THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY cluster_id) AS n_kept_members FROM j)
+        |SELECT cluster_id, doc_id AS kept_id, is_kept AS kept_is_kept,
+        | n_tokens AS kept_score, CAST(n_members AS BIGINT) AS n_members,
+        | CAST(n_kept_members AS BIGINT) AS n_kept_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    },
     // every subspace distance + the rounded argmin (dist, code tiebreak)
     // replayed over 1-based list slices
     "sim9_pq_codes" ->

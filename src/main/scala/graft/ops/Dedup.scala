@@ -952,6 +952,35 @@ object Dedup {
       .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
         col("best.s").as("kept_score"), col("n_members"))
 
+  /** Quality-aware survivor selection — [[canonicalPerCluster]] with the
+    * curation verdict ahead of the size score: per cluster keep the
+    * member winning `(is_kept DESC, score DESC, id ASC)`, so dedup
+    * retains the copy that PASSED the quality cascade, falling back to
+    * the biggest member only among equals (a boilerplate-infested
+    * near-dup of a clean page must lose to the clean page even when it
+    * is longer). Same struct-max shape — one hash shuffle of one row per
+    * member, no window sort — plus the kept-member count per cluster as
+    * the audit column.
+    *
+    * @param labeled one row per (member, cluster) with a BOOLEAN
+    *        `keptCol` and an integral `scoreCol`
+    */
+  def qualityCanonical(labeled: DataFrame, idCol: String, clusterCol: String,
+      keptCol: String, scoreCol: String): DataFrame =
+    labeled
+      .select(col(clusterCol).as("cluster_id"),
+        struct(col(keptCol).cast("long").as("k"),
+          col(scoreCol).cast("long").as("s"),
+          (-col(idCol)).cast("long").as("nid")).as("cand"),
+        col(keptCol).cast("long").as("kept_flag"))
+      .groupBy("cluster_id")
+      .agg(max(col("cand")).as("best"), count(lit(1)).as("n_members"),
+        sum(col("kept_flag")).as("n_kept_members"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
+        (col("best.k") === 1L).as("kept_is_kept"),
+        col("best.s").as("kept_score"),
+        col("n_members"), col("n_kept_members"))
+
   /** Per-id prefix-block frame shared by [[editDistanceDupPairs]] and
     * [[editDistanceCapStats]]: (id, t, blk = md5 of the first `prefixLen`
     * chars, len, __bn = block population via a window count that rides

@@ -69,4 +69,24 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out == Map(100L -> ((2L, 9L, 3L)), 200L -> ((7L, 1L, 1L))))
   }
+
+  test("qualityCanonical: kept member beats a longer filtered one; counts audit") {
+    import spark.implicits._
+    val labeled = Seq(
+      // cluster 100: doc 2 is longer but filtered — kept doc 1 must win
+      (1L, 100L, true, 50L), (2L, 100L, false, 99L), (3L, 100L, true, 40L),
+      // cluster 200: nobody kept — longest member wins, kept_is_kept false
+      (7L, 200L, false, 10L), (8L, 200L, false, 20L),
+      // cluster 300: kept tie on score — smallest id
+      (10L, 300L, true, 30L), (11L, 300L, true, 30L))
+      .toDF("doc_id", "cluster_id", "is_kept", "n_tokens")
+    val out = Dedup.qualityCanonical(labeled, "doc_id", "cluster_id",
+        "is_kept", "n_tokens")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      100L -> ((1L, true, 50L, 3L, 2L)),
+      200L -> ((8L, false, 20L, 2L, 0L)),
+      300L -> ((10L, true, 30L, 2L, 2L))))
+  }
 }
