@@ -3476,6 +3476,24 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Hilbert-curve re-layout ([[ops.Layout.clusterByHilbert]], io8's
+    * locality-superior sibling): same (l_partkey, l_suppkey) dims, same
+    * permutation + index-arithmetic gate contract — the oracle replays
+    * all 16 rounds of the rotate-and-flip state machine as a CTE chain.
+    * The locality advantage over Morton (no long jumps → tighter
+    * per-file bounding boxes) is spec-asserted in LayoutSpec, including
+    * the exhaustive bijectivity + step-adjacency law that pins the curve
+    * up to orientation.
+    */
+  private def io16Hilbert(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_partkey") % 65536).as("x"), (col("l_suppkey") % 65536).as("y"))
+    val clustered = ops.Layout.clusterByHilbert(li, "x", "y", 16, 8)
+    ops.Layout.withHilbertIndex(clustered, "x", "y", 16, "hval")
+      .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** JSONL sink+source round-trip: write, re-read with an explicit schema
     * (inference over JSONL costs a full extra pass at 100 TB), aggregate —
     * must equal the direct-on-parquet oracle. Extends the io matrix
@@ -3753,6 +3771,7 @@ object SparkEntry {
     "t53_gopher_filter" -> t53GopherFilter _,
     "t54_dsir" -> t54Dsir _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
+    "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
     "g1_pagerank" -> g1PageRank _,
     "g6_personalized_pagerank" -> g6PersonalizedPagerank _,
@@ -4261,6 +4280,30 @@ object SparkEntry {
         | CAST(list_sum(list_transform(generate_series(0, 15), i ->
         |   (((x >> i) & 1) << (2*i)) | (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval
         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // all 16 rotate-and-flip rounds replayed as a CTE chain (one pair of
+    // CTEs per level, exactly Layout.withHilbertIndex's projection order)
+    "io16_hilbert" -> {
+      def level(i: Int, prev: String): String = {
+        val s = 1L << i
+        s"""hr$i AS (SELECT l_orderkey, l_linenumber, x, y, d,
+           |   CASE WHEN x & $s > 0 THEN 1 ELSE 0 END AS rx,
+           |   CASE WHEN y & $s > 0 THEN 1 ELSE 0 END AS ry FROM $prev),
+           |h$i AS (SELECT l_orderkey, l_linenumber,
+           |   CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END
+           |        ELSE x END AS x,
+           |   CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END
+           |        ELSE y END AS y,
+           |   d + CAST($s AS BIGINT) * $s * xor(3 * rx, ry) AS d FROM hr$i)""".stripMargin
+      }
+      val chain = (15 to 0 by -1)
+        .map(i => level(i, if (i == 15) "h16" else s"h${i + 1}")).mkString(",\n")
+      s"""WITH h16 AS (SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+        |  CAST(0 AS BIGINT) AS d FROM lineitem),
+        |$chain
+        |SELECT l_orderkey, l_linenumber, d AS hval
+        |FROM h0 ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     // running-total window + (cum - size) div target bin assignment
     "io9_compaction" ->
       """WITH f AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes

@@ -58,6 +58,69 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
 
+  /** Hilbert-curve index of a 2-D point — [[zValue]]'s
+    * locality-superior sibling. Both curves bound every clustered
+    * dimension's per-file range, but the Hilbert curve makes NO long
+    * jumps: every step along the curve moves to a grid NEIGHBOR
+    * (Manhattan distance exactly 1 — LayoutSpec proves both bijectivity
+    * and this adjacency law exhaustively on the 8×8 grid), so a
+    * contiguous curve segment is a tighter rectangle than the
+    * corresponding Morton segment and min/max file skipping prunes more
+    * files at equal file counts. The price is the classic
+    * rotate-and-flip state machine: `bits` rounds of integer
+    * when/shift/mask primitives instead of one interleave. Each round is
+    * materialized as its OWN projection (not one nested Column) — the
+    * rotation reads both coordinates of the previous round twice, so a
+    * single expression tree would grow ~3^bits nodes, while the
+    * per-round projection chain stays linear and fully codegen'd.
+    * 2-D only: the rotation table is the 2-D recursion; for d > 2
+    * dimensions use [[zValue]] (Morton generalizes for free).
+    *
+    * Inputs must be non-negative and below `2^bits` (same caller
+    * contract as [[zValue]] — map or wrap the domain first).
+    */
+  def withHilbertIndex(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"bad bits=$bits")
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+      cur = cur
+        .withColumn("__hd", col("__hd")
+          + lit(s) * lit(s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // rotate/flip: ry=0 ∧ rx=1 → (x,y) = (s−1−y, s−1−x); ry=0 ∧ rx=0
+        // → swap; ry=1 → unchanged
+        .withColumn("__nx", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__rx", "__ry", "__nx", "__ny")
+    }
+    cur.withColumn(out, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** [[clusterByZ]] along the Hilbert curve — identical re-layout shape
+    * (range-partition on the index, sort within partitions), tighter
+    * per-file rectangles (see [[withHilbertIndex]]).
+    */
+  def clusterByHilbert(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, numPartitions: Int): DataFrame =
+    withHilbertIndex(df, xCol, yCol, bits, "__h")
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+
   /** Compaction planner: assign files (or any sized units) to
     * target-sized output bins — the small-files problem's planning step
     * (a 100 TB table accretes millions of KB-scale files from streaming

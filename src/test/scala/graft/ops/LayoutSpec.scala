@@ -56,4 +56,40 @@ class LayoutSpec extends SparkSpec {
       f"z-order not better on average: z=($zx%.3f,$zy%.3f) x-sort=($sx%.3f,$sy%.3f)")
     assert(zy < 0.5 * sy, f"z-order did not bound the second dim: $zy%.3f vs $sy%.3f")
   }
+
+  test("hilbert index: exhaustive bijection + step-adjacency law on the 8x8 grid") {
+    import spark.implicits._
+    val grid = (0L until 64L).map(i => (i % 8, i / 8)).toDF("x", "y")
+    val idx = Layout.withHilbertIndex(grid, "x", "y", 3, "h")
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    // bijection: indexes are exactly 0..63
+    assert(idx.map(_._1).toSeq == (0L until 64L))
+    // the defining Hilbert property: EVERY consecutive curve step moves
+    // to a grid neighbor (Manhattan distance exactly 1) — Morton fails
+    // this at every power-of-two boundary
+    for (Seq((_, (x1, y1)), (_, (x2, y2))) <- idx.toSeq.sliding(2))
+      assert((x1 - x2).abs + (y1 - y2).abs == 1,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    // curve starts at the origin
+    assert(idx.head._2 == ((0L, 0L)))
+  }
+
+  test("hilbert segments beat morton segments on per-file bounding boxes") {
+    import spark.implicits._
+    // full 64x64 grid cut into 10 files: 409.6 points per file does NOT
+    // align with any dyadic block, so Morton's long jumps widen its
+    // boxes while Hilbert's adjacency keeps segments compact
+    val pts = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    def bboxCost(df: org.apache.spark.sql.DataFrame): Double = {
+      val withPid = df.withColumn("p", spark_partition_id())
+      withPid.groupBy("p")
+        .agg(((max("x") - min("x")) + (max("y") - min("y"))).as("c"))
+        .agg(avg("c")).head.getDouble(0)
+    }
+    val h = bboxCost(Layout.clusterByHilbert(pts, "x", "y", 6, 10))
+    val z = bboxCost(Layout.clusterByZ(pts, Seq("x", "y"), 6, 10))
+    info(f"avg per-file bbox semiperimeter: hilbert $h%.1f vs morton $z%.1f")
+    assert(h < z, f"hilbert ($h%.1f) not tighter than morton ($z%.1f)")
+  }
 }
