@@ -3338,6 +3338,23 @@ object SparkEntry {
         ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
       .orderBy("doc_id")
 
+  /** Near-duplicate IMAGE detection end-to-end ([[ops.Dedup
+    * .bitstringDupPairs]] over [[ops.Multimodal.dhashImage]]): real
+    * PNG decode → 64-bit perceptual dHash → pigeonhole segment join →
+    * exact Hamming verify at ≤ 3 bits — the multimodal counterpart of
+    * d4's simhash pigeonhole, and the standard image-dedup shape for a
+    * multimodal training corpus. The oracle replays the full chain:
+    * m9's gray/bit arithmetic, the 4×16-char segment candidates, and a
+    * char-diff Hamming count (provably equal to the engine's
+    * per-segment `bit_count(xor(conv))` over '0'/'1' strings).
+    */
+  private def m15PhashDedup(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.bitstringDupPairs(
+        ops.Multimodal.dhashImage(
+          ops.Multimodal.withGeneratedPng(Tables.documents(s, dir))),
+        "doc_id", "dhash", 64, 3)
+      .orderBy("id1", "id2")
+
   /** Per-channel normalization stats over the REAL codec path
     * ([[ops.Multimodal.channelStats]]): exact integer channel moments
     * from decoded pixels, then the 6-rounded mean-per-channel and the
@@ -3849,6 +3866,7 @@ object SparkEntry {
     "m10_audio_features" -> m10AudioFeatures _,
     "m11_histogram" -> m11Histogram _,
     "m14_channel_stats" -> m14ChannelStats _,
+    "m15_phash_dedup" -> m15PhashDedup _,
     "m12_video_dhash" -> m12VideoDhash _,
     "m13_audio_decimate" -> m13AudioDecimate _,
     "io12_dynamic_overwrite" -> io12DynamicOverwrite _,
@@ -6845,6 +6863,33 @@ object SparkEntry {
         |      WHERE a.x < 8)
         |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // m9's hash chain + 4x16 pigeonhole candidates + char-diff Hamming
+    "m15_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh FROM documents),
+        |g AS (SELECT d.doc_id, gy.y, gx.x,
+        |        ((d.doc_id + 31 * ((gx.x * d.sw) // 9) + 131 * ((gy.y * d.sh) // 8)) % 16777216) AS pix
+        |      FROM d, generate_series(0, 8) AS gx(x), generate_series(0, 7) AS gy(y)),
+        |gr AS (SELECT doc_id, y, x,
+        |        ((pix // 65536) + ((pix // 256) % 256) + (pix % 256)) // 3 AS gray FROM g),
+        |b AS (SELECT a.doc_id, a.y, a.x,
+        |        CASE WHEN n.gray > a.gray THEN '1' ELSE '0' END AS bit
+        |      FROM gr a JOIN gr n ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+        |      WHERE a.x < 8),
+        |h AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
+        |      FROM b GROUP BY doc_id),
+        |sg AS (SELECT doc_id, dhash, s.s AS seg_idx,
+        |        substr(dhash, 1 + s.s * 16, 16) AS seg
+        |       FROM h, generate_series(0, 3) AS s(s)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |          a.dhash AS h1, b.dhash AS h2
+        |         FROM sg a JOIN sg b
+        |         ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id),
+        |hm AS (SELECT id1, id2,
+        |        CAST(len(list_filter(generate_series(1, 64),
+        |          k -> substr(h1, k, 1) <> substr(h2, k, 1))) AS BIGINT) AS hamming
+        |       FROM cand)
+        |SELECT id1, id2, hamming FROM hm WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
     // per-frame dHash replayed: gray = (id + 31·sx + 131·sy + 997f) % 256
     // on the opaque (v,v,v) palette; same 9x8 NN grid + adjacent compare
     // as m9, with the frame dimension added

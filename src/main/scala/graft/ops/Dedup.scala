@@ -952,6 +952,49 @@ object Dedup {
       .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
         col("best.s").as("kept_score"), col("n_members"))
 
+  /** Near-duplicate pairs over BIT-STRING perceptual hashes (dHash /
+    * pHash output — [[graft.ops.Multimodal.dhashImage]]'s 64-char
+    * '0'/'1' form): the image twin of [[simhashDupPairs]]' pigeonhole.
+    * Two hashes within `maxHamming` bits must agree EXACTLY on at least
+    * one of `maxHamming + 1` equal segments, so candidates come from a
+    * segment equi-join — never an all-pairs scan — and each candidate is
+    * verified with the exact Hamming distance, computed per segment as
+    * codegen'd `bit_count(xor(conv(seg, 2, 10)))` primitives (segments
+    * are ≤ 16 bits, so the base-2 conv stays far from LONG wrap; a raw
+    * 64-bit conv would overflow the signed cast on a high first bit).
+    *
+    * Scale: segment-bucket sizes follow the hash distribution the same
+    * way LSH band buckets do — a 16-bit segment has 65k buckets, and
+    * genuinely-popular segments mean genuinely-similar images (the thing
+    * being hunted). The verify join touches candidates only.
+    */
+  def bitstringDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val nseg = maxHamming + 1
+    require(maxHamming >= 0 && bits % nseg == 0,
+      s"bits=$bits not divisible into ${nseg} segments")
+    val segLen = bits / nseg
+    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val segs = h.select(col("id"), col("h"),
+      posexplode(array((0 until nseg).map(s =>
+        substring(col("h"), 1 + s * segLen, segLen)): _*)).as(Seq("seg_idx", "seg")))
+    val cand = segs.as("a").join(segs.as("b"),
+        col("a.seg_idx") === col("b.seg_idx") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.h").as("h1"), col("b.h").as("h2"))
+      .distinct()
+    val ham = (0 until nseg).map { s =>
+      bit_count(conv(substring(col("h1"), 1 + s * segLen, segLen), 2, 10)
+        .cast("long")
+        .bitwiseXOR(conv(substring(col("h2"), 1 + s * segLen, segLen), 2, 10)
+          .cast("long")))
+    }.reduce(_ + _)
+    cand.select(col("id1"), col("id2"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Quality-aware survivor selection — [[canonicalPerCluster]] with the
     * curation verdict ahead of the size score: per cluster keep the
     * member winning `(is_kept DESC, score DESC, id ASC)`, so dedup

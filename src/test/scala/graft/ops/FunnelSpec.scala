@@ -70,6 +70,36 @@ class FunnelSpec extends SparkSpec {
     assert(out == Map(100L -> ((2L, 9L, 3L)), 200L -> ((7L, 1L, 1L))))
   }
 
+  test("bitstringDupPairs: exact hamming verify, pigeonhole lossless vs naive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def flip(h: String, ks: Seq[Int]): String = {
+      val a = h.toCharArray
+      ks.foreach(k => a(k) = if (a(k) == '0') '1' else '0')
+      new String(a)
+    }
+    val base = Seq.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString
+    val far = Seq.fill(64)(if (rnd.nextBoolean()) '1' else '0').mkString
+    val hs = Seq(
+      0L -> base, 1L -> base, // hamming 0
+      2L -> flip(base, Seq(5)), // 1 bit from base
+      3L -> flip(base, Seq(1, 17, 33, 49)), // 4 bits — one per segment: OUT at T=3
+      4L -> flip(base, Seq(2, 3, 4)), // 3 bits in one segment: IN
+      5L -> far).toDF("doc_id", "dhash")
+    val got = Dedup.bitstringDupPairs(hs, "doc_id", "dhash", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // naive truth over all pairs
+    val rows = Seq(0L -> base, 1L -> base, 2L -> flip(base, Seq(5)),
+      3L -> flip(base, Seq(1, 17, 33, 49)), 4L -> flip(base, Seq(2, 3, 4)), 5L -> far)
+    val naive = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j
+      d = a.zip(b).count { case (x, y) => x != y } if d <= 3
+    } yield (i, j) -> d.toLong).toMap
+    assert(got == naive, s"got $got expected $naive")
+    assert(got((0L, 1L)) == 0L && got((0L, 2L)) == 1L && got((0L, 4L)) == 3L)
+    assert(!got.contains((0L, 3L))) // 4 bits: correctly outside the radius
+  }
+
   test("qualityCanonical: kept member beats a longer filtered one; counts audit") {
     import spark.implicits._
     val labeled = Seq(
