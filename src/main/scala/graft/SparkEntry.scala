@@ -1480,6 +1480,84 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id").cast("string").as("v")),
         "v", 6), 6)
 
+  /** Streaming CMS maintenance through the REAL micro-batch engine —
+    * the incremental form of t21/t35's sketch algebra: events split into
+    * 3 deterministic slices (event_id % 3), file-source stream at
+    * `maxFilesPerTrigger=1` (3 micro-batches), each `foreachBatch`
+    * building that batch's depth-2×256 user-frequency CMS
+    * ([[ops.Sketch.cmsBuild]] — partial-aggregable inside the batch) and
+    * folding it bucket-wise into a driver-held counter map. The counter
+    * table is 512 rows REGARDLESS of corpus size — that is the sketch's
+    * contract — so the driver is the right owner at any scale, and
+    * the fold is commutative, so file pickup order cannot matter. A
+    * processed-batchId guard keeps the fold idempotent under
+    * foreachBatch's at-least-once replay (d13's marker discipline,
+    * in-memory form). Gate: the STREAMED sketch's estimates for the
+    * top-10 users vs exact batch counts, with the overestimate law
+    * (est ≥ exact) required per row; the oracle rebuilds the sketch
+    * from the batch side — t35's merge linearity is exactly what makes
+    * stream-fold == batch-build bit-identical.
+    */
+  private def q50StreamCms(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q50")
+    for (i <- 0 until 3) {
+      val p = new java.io.File(s"$base/slice_id=$i")
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        Tables.events(s, dir).filter(col("event_id") % 3 === i)
+          .select(col("user_id"))
+          .coalesce(1).write.mode("overwrite").parquet(p.toString)
+    }
+    val acc = scala.collection.mutable.Map[(Int, Long), Long]()
+    val seen = scala.collection.mutable.Set[Long]()
+    val streamed = s.readStream
+      .schema(new StructType().add("user_id", LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+      .select(col("user_id").cast("string").as("u"))
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        acc.synchronized {
+          if (seen.add(batchId)) {
+            ops.Sketch.cmsBuild(batch.toDF(), "u", 2, 256).collect().foreach { r =>
+              val k = (r.getInt(0), r.getLong(1))
+              acc(k) = acc.getOrElse(k, 0L) + r.getLong(2)
+            }
+          }
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(acc.synchronized(seen.size) == 3,
+      s"q50: expected 3 micro-batches, saw ${seen.size}")
+    val sketchRows = acc.toSeq.sortBy(_._1).map { case ((ri, b), c) =>
+      org.apache.spark.sql.Row(ri, b, c)
+    }
+    val sketchDf = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sketchRows: _*)),
+      new StructType().add("row_idx", IntegerType, nullable = false)
+        .add("bucket", LongType, nullable = false)
+        .add("cnt", LongType, nullable = false))
+    val top = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      .withColumn("u", col("user_id").cast("string"))
+    val out = top
+      .join(ops.Sketch.cmsEstimate(sketchDf, top, "u", 2, 256),
+        col("u") === col("t"))
+      .select(col("user_id"), col("exact_n"), col("cms_est"))
+      .orderBy("user_id")
+    val rows = out.collect()
+    rows.foreach { r =>
+      require(r.getLong(2) >= r.getLong(1),
+        s"CMS under-estimated user ${r.getLong(0)}: est ${r.getLong(2)} < exact " +
+          s"${r.getLong(1)} — the streamed fold lost counts")
+    }
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("user_id")
+  }
+
   /** Rolling 7-day distinct users, exact AND sketch-estimated — the
     * query where the HLL merge law ([[t34HllMerge]]) earns its keep:
     * per-day register tables roll into any window with a bucket-wise
@@ -3740,6 +3818,7 @@ object SparkEntry {
     "t19_profile" -> t19Profile _,
     "t20_global_index" -> t20GlobalIndex _,
     "t21_cms_topk" -> t21CmsTopk _,
+    "q50_stream_cms" -> q50StreamCms _,
     "t22_hll_distinct" -> t22HllDistinct _,
     "t23_bigram_surprisal" -> t23BigramSurprisal _,
     "t24_cluster_split" -> t24ClusterSplit _,
@@ -4791,6 +4870,25 @@ object SparkEntry {
         |        FROM pe JOIN sk USING (row_idx, bucket) GROUP BY pe.t)
         |SELECT top.t AS token, top.true_cnt, est.cms_est
         |FROM top JOIN est ON est.t = top.t ORDER BY token""".stripMargin,
+    // batch-side rebuild of the streamed sketch (merge linearity makes
+    // stream-fold == batch-build exact) + the same left-join min-estimate
+    "q50_stream_cms" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS t, user_id,
+        |           count(*) AS exact_n FROM events GROUP BY 1, 2),
+        |sk AS (SELECT i.i AS row_idx,
+        |         CAST(('0x' || substr(md5(c.t), 1 + 8 * i.i, 8)) AS BIGINT) % 256 AS bucket,
+        |         CAST(sum(c.exact_n) AS BIGINT) AS cnt
+        |       FROM c CROSS JOIN generate_series(0, 1) AS i(i) GROUP BY 1, 2),
+        |top AS (SELECT user_id, t, exact_n FROM c
+        |        ORDER BY exact_n DESC, user_id LIMIT 10),
+        |pe AS (SELECT top.user_id, top.t, top.exact_n, i.i AS row_idx,
+        |         CAST(('0x' || substr(md5(top.t), 1 + 8 * i.i, 8)) AS BIGINT) % 256 AS bucket
+        |       FROM top CROSS JOIN generate_series(0, 1) AS i(i)),
+        |est AS (SELECT user_id, exact_n, min(coalesce(sk.cnt, 0)) AS cms_est
+        |        FROM pe LEFT JOIN sk USING (row_idx, bucket) GROUP BY 1, 2)
+        |SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+        | CAST(cms_est AS BIGINT) AS cms_est
+        |FROM est ORDER BY user_id""".stripMargin,
     // register-exact HLL replay: 60-bit md5 hash, bucket = low 6 bits,
     // rho from the binary-digit length of the high 54; harmonic sum as
     // integer 2^(57-rho) terms; alpha_64 = 0.709 forced through the
