@@ -547,4 +547,27 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate generation degenerated:\n$plan")
   }
+
+  test("t54 DSIR: lambda table and totals broadcast; corpus never sort-merges") {
+    val plan = executed(SparkEntry.queries("t54_dsir")(spark, sf0001))
+    // the per-doc scoring join against the <=buckets-row lambda frame and
+    // the scalar-totals joins must all be broadcast — a SortMergeJoin here
+    // means the corpus got shuffled against a 1024-row table
+    assert(!plan.contains("SortMergeJoin"), s"corpus sort-merged:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("t51 BM25: probe and df frames broadcast onto the tf relation") {
+    val plan = executed(SparkEntry.queries("t51_bm25")(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin"), s"posting probe sort-merged:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"degenerate probe:\n$plan")
+  }
+
+  test("t53 gopher cascade: two partial-combined aggregations, no window sort") {
+    val plan = executed(SparkEntry.queries("t53_gopher_filter")(spark, sf0001))
+    // per-(doc,token) counts then the per-doc rollup — both HashAggregate
+    // pairs with map-side partials; the cascade itself is a projection
+    assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
 }
