@@ -2318,6 +2318,32 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** k-core decomposition ([[ops.Graph.kCore]], k=4, 4 synchronous
+    * peeling rounds) over a graph built to HAVE a non-trivial core:
+    * d18's chain+star periphery (degrees 1–3 — peels in cascades) plus
+    * a dense 50-node block (3 edge rules among doc_id < 50 — survives).
+    * Measured cascade: survivors 62→50→50 at sf0.01, 190→50→50 at
+    * sf0.1 — fixpoint in 3 rounds at both scales, so the 4-round budget
+    * carries one no-op proof round and the op's convergence require
+    * holds. The oracle unrolls all 4 rounds.
+    */
+  private def g7Kcore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"))
+    val a = col("doc_id")
+    val chain = d.filter(a % 20 < 5).select(a.as("src"), (a + 1).as("dst"))
+    val star = d.filter(a % 20 >= 15 && a % 7 =!= 0)
+      .select(a.as("src"), (a - a % 7).as("dst"))
+    val dense = d.filter(a < 50).select(a.as("src"), ((a + 1) % 50).as("dst"))
+      .unionByName(d.filter(a < 50).select(a.as("src"), ((a + 5) % 50).as("dst")))
+      .unionByName(d.filter(a < 50).select(a.as("src"), ((a * 37 + 11) % 50).as("dst")))
+    // chain's (a, a+1) can point past the last doc — keep endpoints real
+    val edges = chain.join(d.select(col("doc_id").as("dst")), "dst")
+      .select("src", "dst")
+      .unionByName(star).unionByName(dense)
+    ops.Graph.kCore(edges, "src", "dst", 4, 4)
+      .orderBy("node_id")
+  }
+
   /** Local clustering coefficient ([[ops.Graph.clusteringCoeff]]) over
     * g2's closure-guaranteed shard graph: `2T/(deg·(deg−1))` per node,
     * one exact double division — the oracle replays triangles, degrees,
@@ -3891,6 +3917,7 @@ object SparkEntry {
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
+    "g7_kcore" -> g7Kcore _,
     "g5_bfs_distances" -> g5BfsDistances _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
@@ -4870,6 +4897,31 @@ object SparkEntry {
         |        FROM pe JOIN sk USING (row_idx, bucket) GROUP BY pe.t)
         |SELECT top.t AS token, top.true_cnt, est.cms_est
         |FROM top JOIN est ON est.t = top.t ORDER BY token""".stripMargin,
+    // 4 synchronous peeling rounds unrolled (round 4 is the no-op
+    // fixpoint-proof round); final degrees over the induced core
+    "g7_kcore" -> {
+      def round(i: Int): String =
+        s"""d$i AS (SELECT ee.v AS id, count(*) AS c FROM ee
+           |  JOIN a${i - 1} au ON ee.u = au.id JOIN a${i - 1} av ON ee.v = av.id
+           |  GROUP BY ee.v),
+           |a$i AS (SELECT id FROM d$i WHERE c >= 4)""".stripMargin
+      s"""WITH e0 AS (
+        |  SELECT a.doc_id AS u, a.doc_id + 1 AS v FROM documents a
+        |   JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 20 < 5
+        |  UNION ALL SELECT doc_id, doc_id - doc_id % 7 FROM documents
+        |   WHERE doc_id % 20 >= 15 AND doc_id % 7 <> 0
+        |  UNION ALL SELECT doc_id, (doc_id + 1) % 50 FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id, (doc_id + 5) % 50 FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id, (doc_id * 37 + 11) % 50 FROM documents WHERE doc_id < 50),
+        |ee AS (SELECT DISTINCT u, v FROM (
+        |  SELECT u, v FROM e0 WHERE u <> v
+        |  UNION ALL SELECT v AS u, u AS v FROM e0 WHERE u <> v)),
+        |a0 AS (SELECT DISTINCT u AS id FROM ee),
+        |${(1 to 4).map(round).mkString(",\n")}
+        |SELECT ee.v AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM ee JOIN a4 au ON ee.u = au.id JOIN a4 av ON ee.v = av.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // batch-side rebuild of the streamed sketch (merge linearity makes
     // stream-fold == batch-build exact) + the same left-join min-estimate
     "q50_stream_cms" ->

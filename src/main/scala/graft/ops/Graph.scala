@@ -272,6 +272,62 @@ object Graph {
     * @return (node_id, label) after `rounds` rounds; labels are node ids
     *         (a community is named after one of its members).
     */
+  /** k-core membership via synchronous peeling — the density filter a
+    * link-graph curation pass runs to separate organically-connected
+    * pages from spam chains and orphan tails: a node is in the k-core
+    * iff it keeps ≥ k neighbors that are themselves in the k-core, so
+    * low-degree periphery peels away in cascades while dense blocks
+    * survive. Rounds are fully synchronous (degree counted over the
+    * PREVIOUS round's survivor set), which makes the whole run unroll
+    * into plain SQL — the same replayability contract as [[pageRank]] /
+    * [[labelPropagation]]. The round budget is fixed and convergence is
+    * REQUIRED: peeling is monotone (survivors only shrink), so an
+    * unchanged survivor count between the last two rounds proves the
+    * fixpoint, and extra rounds past it are no-ops — callers pick
+    * `rounds` ≥ the measured cascade depth and the gate fails loudly if
+    * the graph ever needs more.
+    *
+    * Scale shape: the undirected edge frame persists once; each round
+    * is one partial-aggregable degree count over the induced subgraph
+    * (two semi-join hash probes against the survivor set) plus an eager
+    * `localCheckpoint` + survivor count (one driver scalar per round —
+    * the convergence witness; cascade depth on real degree
+    * distributions is tens of rounds, not |V|).
+    *
+    * @return (node_id, core_deg) for every k-core member — core_deg is
+    *         the degree within the final core
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 2, s"bad params k=$k rounds=$rounds")
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val e = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def induced(alive: DataFrame): DataFrame =
+      e.join(alive.select(col("id").as("u")), "u")
+        .join(alive.select(col("id").as("v")), "v")
+    var alive = e.select(col("u").as("id")).distinct()
+    var prevCount = -1L
+    var lastCount = -2L
+    for (_ <- 1 to rounds) {
+      alive = induced(alive)
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v").as("id"))
+        .localCheckpoint()
+      prevCount = lastCount
+      lastCount = alive.count()
+    }
+    require(prevCount == lastCount,
+      s"k-core did not reach fixpoint in $rounds rounds " +
+        s"(last two survivor counts: $prevCount, $lastCount) — raise rounds")
+    val out = induced(alive)
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("node_id"), col("core_deg"))
+    out
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

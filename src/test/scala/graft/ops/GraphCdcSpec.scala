@@ -199,4 +199,24 @@ class GraphCdcSpec extends SparkSpec {
     val b = Graph.labelPropagation(e.repartition(7), "src", "dst", 3).collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("kCore: tail peels in cascade, clique survives, convergence gated") {
+    // 4-clique (degree 3 each) with a 3-node pendant chain hanging off it
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L, 6L -> 7L)
+    val core = Graph.kCore(e, "src", "dst", 3, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=3 core: exactly the clique, every member back at degree 3
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the chain forces 3 shrinking rounds (7 then 6 then 5 peel); a
+    // 2-round budget cannot reach the fixpoint proof and must throw
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(e, "src", "dst", 2, 2).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+    // k=2: clique + nothing of the chain (ends peel inward completely)
+    val k2 = Graph.kCore(e, "src", "dst", 2, 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(1L, 2L, 3L, 4L))
+  }
 }
