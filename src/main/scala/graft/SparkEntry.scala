@@ -2444,6 +2444,22 @@ object SparkEntry {
       3, MinhashK, MinhashR, 0.5)
       .orderBy("id1", "id2")
 
+  /** Fuzzy eval-set decontamination ([[ops.Dedup.crossMinhashPairs]]):
+    * the test split LSH-banded against the train split on t4/t6's
+    * deterministic 80/10/10 hash split — catches the paraphrased /
+    * lightly-edited eval leakage that t6's exact 3-gram overlap misses.
+    * Split disjointness gives the cross-verify its id-uniqueness
+    * precondition by construction.
+    */
+  private def d27FuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = ops.Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    ops.Dedup.crossMinhashPairs(
+        d.filter(col("split") === "train"), d.filter(col("split") === "test"),
+        "text", "doc_id", 3, MinhashK, MinhashR, 0.5)
+      .orderBy("test_id", "train_id")
+  }
+
   /** Per-config recall floors, measured fixture values with slack — a
     * banding regression (hash drift, band mis-grouping, a broken verify
     * join) trips these instantly.
@@ -3953,6 +3969,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d25_lsh_quality" -> d25LshQuality _,
     "d26_quality_canonical" -> d26QualityCanonical _,
+    "d27_fuzzy_decontam" -> d27FuzzyDecontam _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
@@ -6610,6 +6627,29 @@ object SparkEntry {
         |      ELSE round(CAST(n_found AS DOUBLE) / n_true, 6) END AS recall
         |FROM m ORDER BY config""".stripMargin
     },
+    // split buckets + BOTH sides' signatures/bands + the cross-band join
+    // + exact-Jaccard verify, replayed end to end
+    "d27_fuzzy_decontam" ->
+      s"""WITH b AS (SELECT doc_id, text,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+        | FROM documents),
+        |d0q AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM b WHERE bkt >= 90),
+        |d0c AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM b WHERE bkt < 80),
+        |dq AS (SELECT doc_id, sh, $baseHashSql AS hs FROM d0q),
+        |dc AS (SELECT doc_id, sh, $baseHashSql AS hs FROM d0c),
+        |sq AS (SELECT doc_id, sh, $sigSql AS sig FROM dq),
+        |sc AS (SELECT doc_id, sh, $sigSql AS sig FROM dc),
+        |gq AS (SELECT doc_id, sh, $bandsSql AS bands FROM sq),
+        |gc AS (SELECT doc_id, sh, $bandsSql AS bands FROM sc),
+        |eq AS (SELECT doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM gq),
+        |ec AS (SELECT doc_id, unnest(bands) AS b, generate_subscripts(bands, 1) AS bi FROM gc),
+        |cand AS (SELECT DISTINCT a.doc_id AS test_id, c.doc_id AS train_id
+        |         FROM eq a JOIN ec c ON a.bi = c.bi AND a.b = c.b),
+        |j AS (SELECT test_id, train_id, ${jaccardSql("da.sh", "db.sh")} AS jaccard
+        |      FROM cand JOIN dq da ON cand.test_id = da.doc_id
+        |      JOIN dc db ON cand.train_id = db.doc_id)
+        |SELECT test_id, train_id, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY test_id, train_id""".stripMargin,
     // positional hash + sliding-window-min replayed list-for-list (d8Winnow)
     "d8_winnow" ->
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),

@@ -449,6 +449,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus fuzzy decontamination pairs — [[minhashDupPairs]]' LSH
+    * machinery in TWO-relation form: eval/test documents banded against
+    * the training corpus, so the candidate join is strictly
+    * queries × corpus on band keys (never within-corpus pairs, never
+    * all-pairs), and each candidate is exact-Jaccard verified in one
+    * pass over the union of both sides' exploded shingles. This is the
+    * fuzzy sibling of the exact n-gram contamination check: an eval
+    * document paraphrased or lightly edited into the training set slips
+    * past exact shingle hits but not past near-dup similarity.
+    *
+    * IDs must be DISJOINT across the two relations (the verify counts
+    * a shingle seen from both members of a pair — a shared id would
+    * alias them); the split-based caller satisfies this by
+    * construction.
+    *
+    * Scale: signatures are one codegen'd HashAggregate per side; the
+    * band join's big side is the corpus bands artifact (persistable,
+    * bucketable — d10/d13's layout applies verbatim); the eval side is
+    * tiny by definition. Shuffle volume tracks candidates, not the
+    * corpus.
+    */
+  def crossMinhashPairs(corpus: DataFrame, queries: DataFrame,
+      textCol: String, idCol: String, n: Int, k: Int, r: Int,
+      threshold: Double): DataFrame = {
+    require(k % r == 0, s"k=$k not divisible by band size r=$r")
+    val exC = explodedShingles(corpus, textCol, idCol, n)
+    val exQ = explodedShingles(queries, textCol, idCol, n)
+    def sigsOf(ex: DataFrame): DataFrame = {
+      val exH = ex.select(col("id"), baseHash(col("s")).as("h"))
+      val aggs = (0 until k).map(i =>
+        min(permuted(i, col("h"))).as(s"h$i")) :+ count(lit(1)).as("n_sh")
+      exH.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    }
+    val cand = bandedSigs(sigsOf(exQ), k, r).as("a")
+      .join(bandedSigs(sigsOf(exC), k, r).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"),
+        col("a.n_sh").as("nq"), col("b.n_sh").as("nc"))
+      .distinct()
+    val members = cand.select(
+      struct(col("qid"), col("cid"), col("nq"), col("nc")).as("p"),
+      explode(array(col("qid"), col("cid"))).as("id"))
+    exQ.unionByName(exC).join(broadcast(members), "id")
+      .groupBy(col("p"), col("s")).agg(count(lit(1)).as("sides"))
+      .filter(col("sides") === 2)
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .select(col("p.qid").as("test_id"), col("p.cid").as("train_id"),
+        (col("c").cast("double") / (col("p.nq") + col("p.nc") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures + shingle count per document:
     * `(id, h0..h{k-1}, n_sh)` — the persistable nightly sketch artifact
     * (k longs + a count ≈ 100 bytes/doc regardless of document size).
