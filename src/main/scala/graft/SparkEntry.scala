@@ -3254,6 +3254,31 @@ object SparkEntry {
       .orderBy("query_id", "fused_rank")
   }
 
+  /** Filtered vector search ([[ops.Similarity.ivfTopKFiltered]]): IVF
+    * top-3 where every candidate must carry the query's `label` — the
+    * tenant/category-routed ANN shape, with the filter applied
+    * PRE-distance inside the cell join. The op-level law (every hit
+    * matches the query's label) is required distributed before the
+    * frame is returned; the oracle replays cells, probes, the filtered
+    * candidate join, and the rank.
+    */
+  private def sim18FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val out = ops.Similarity.ivfTopKFiltered(
+        e, e.filter(col("vec_id") < 10), 3, 2, 50, "label")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+    val lab = e.select(col("vec_id"), col("label"))
+    val bad = out
+      .join(lab.toDF("query_id", "ql"), "query_id")
+      .join(lab.toDF("nn_id", "nl"), "nn_id")
+      .filter(col("ql") =!= col("nl")).count()
+    require(bad == 0,
+      s"filtered ANN leaked $bad cross-label hits past the pre-filter")
+    out
+  }
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -3904,6 +3929,7 @@ object SparkEntry {
     "sim15_recall" -> sim15Recall _,
     "sim16_hybrid" -> sim16Hybrid _,
     "sim17_ndcg" -> sim17Ndcg _,
+    "sim18_filtered_ann" -> sim18FilteredAnn _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -5692,6 +5718,29 @@ object SparkEntry {
         |      row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rank FROM w)
         |SELECT doc_id, n_feat, dsir_micro, rank, rank <= 100 AS selected
         |FROM r ORDER BY doc_id""".stripMargin,
+    // sim2's cells/probes + the label pre-filter in the candidate join
+    "sim18_filtered_ann" ->
+      s"""WITH $embNormSql,
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN lb lq ON lq.vec_id = pr.query_id
+        |      JOIN lb ln ON ln.vec_id = ce.nn_id AND ln.label = lq.label
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "sim17_ndcg" ->
       s"""WITH $embNormSql,
         |lb AS (SELECT vec_id, label FROM embeddings),

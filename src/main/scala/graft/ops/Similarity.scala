@@ -206,6 +206,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Metadata-FILTERED IVF search — the tenant/language/category-routed
+    * form of [[ivfTopK]]: a candidate must carry the query's `matchCol`
+    * value, and the predicate applies PRE-distance, inside the cell
+    * join, so a selective filter cuts cosine work proportionally
+    * instead of ranking everything and discarding post-hoc. The
+    * distinction matters for quality, not just cost: post-filtering an
+    * unfiltered top-k loses exactly the hits the filter removes from
+    * the head — at 10% selectivity that is ~90% of them — while
+    * pre-filtering ranks within the eligible set from the start. Same
+    * gate-scale label re-join shape as the ADC paths; a production
+    * artifact threads the routing column through the cell assignment
+    * instead (one column appended to the persisted cell layout).
+    */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, centroidEvery: Int, matchCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
+    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val cells = assignCells(
+        withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
+        cents, "nn_id", "nn_vec", "nn_nrm", 1)
+      .join(corpus.select(col(idCol).as("nn_id"), col(matchCol).as("nn_m")), "nn_id")
+    val probes = assignCells(
+        withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"),
+        cents, "query_id", "q_vec", "q_nrm", nprobe)
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(matchCol).as("q_m"))), "query_id")
+    val scored = cells.join(probes,
+        cells("cent_id") === probes("cent_id") &&
+          col("nn_m") === col("q_m") && col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        rounded(cosineWithNorms(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold),
     * blocked on IVF cells: every vector is assigned to its `probes`
     * L2-nearest centroid cells (same deterministic centroid rule as
