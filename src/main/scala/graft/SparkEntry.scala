@@ -3254,6 +3254,17 @@ object SparkEntry {
       .orderBy("query_id", "fused_rank")
   }
 
+  /** SentencePiece-style unigram-LM Viterbi segmentation
+    * ([[ops.Tokenize.unigramViterbiSegment]], pieces ≤ 4 chars, 10 DP
+    * rounds — corpus max word length is 8, gated by the op's budget
+    * require): the independent-piece tokenizer family next to BPE's
+    * merge-rule family. The oracle unrolls every DP round with the same
+    * (cost, longer-piece, path) argmin.
+    */
+  private def t55UnigramSegment(s: SparkSession, dir: String): DataFrame =
+    ops.Tokenize.unigramViterbiSegment(Tables.documents(s, dir), "text", 4, 10)
+      .orderBy("word")
+
   /** Filtered vector search ([[ops.Similarity.ivfTopKFiltered]]): IVF
     * top-3 where every candidate must carry the query's `label` — the
     * tenant/category-routed ANN shape, with the filter applied
@@ -3941,6 +3952,7 @@ object SparkEntry {
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
     "t54_dsir" -> t54Dsir _,
+    "t55_unigram_segment" -> t55UnigramSegment _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -5700,6 +5712,41 @@ object SparkEntry {
         |       WHEN 1000 * top_cnt > 200 * n_tokens THEN 'repetitive'
         |       ELSE 'kept' END AS verdict
         |FROM st ORDER BY doc_id""".stripMargin
+    },
+    // piece vocabulary + costs + all 10 Viterbi rounds unrolled, argmin
+    // replayed as (cost, longer-piece, path) row_number
+    "t55_unigram_segment" -> {
+      def round(i: Int): String = {
+        val branches = (1 to math.min(4, i)).map { l =>
+          s"""SELECT s.w, s.wc, s.cost + pc.pc AS c, ${-l} AS nl,
+             |  CASE WHEN s.seg = '' THEN substr(s.w, ${i - l + 1}, $l)
+             |       ELSE s.seg || '|' || substr(s.w, ${i - l + 1}, $l) END AS sg
+             |FROM v${i - l} s JOIN pc ON pc.p = substr(s.w, ${i - l + 1}, $l)
+             |WHERE len(s.w) >= $i""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""c$i AS ($branches),
+           |v$i AS (SELECT w, wc, c AS cost, sg AS seg FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY c, nl, sg) AS rn
+           |  FROM c$i) WHERE rn = 1)""".stripMargin
+      }
+      val fin = (1 to 10).map(i => s"SELECT * FROM v$i WHERE len(w) = $i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        |    SELECT unnest(${toksSql("text")}) AS w FROM documents) GROUP BY w),
+        |pcnt AS (SELECT substr(w, j.j, l.l) AS p, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM w0 CROSS JOIN generate_series(1, 10) AS j(j)
+        |       CROSS JOIN generate_series(1, 4) AS l(l)
+        |  WHERE j.j <= len(w) AND j.j + l.l - 1 <= len(w)
+        |  GROUP BY 1),
+        |tv AS (SELECT CAST(sum(cnt) + count(*) AS BIGINT) AS totv FROM pcnt),
+        |pc AS (SELECT p, CAST(round(-ln((cnt + 1) / tv.totv) * 1e6, 0) AS BIGINT) AS pc
+        |  FROM pcnt CROSS JOIN tv),
+        |v0 AS (SELECT w, wc, CAST(0 AS BIGINT) AS cost, '' AS seg FROM w0),
+        |${(1 to 10).map(round).mkString(",\n")}
+        |SELECT w AS word, wc, seg AS pieces,
+        | CAST(len(string_split(seg, '|')) AS BIGINT) AS n_pieces,
+        | cost AS cost_micro
+        |FROM ($fin) ORDER BY word""".stripMargin
     },
     "t54_dsir" ->
       s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS ts FROM documents),

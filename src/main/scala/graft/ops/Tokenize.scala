@@ -283,4 +283,93 @@ object Tokenize {
     }
     df.withColumn("pieces", resplit(merged))
   }
+
+  /** SentencePiece-style UNIGRAM-LM segmentation — the other half of the
+    * tokenizer family next to [[bpeMerges]]/[[bpeSegment]]: pieces are
+    * scored independently (`cost(p) = −ln p(p)`, add-1-smoothed
+    * substring frequencies over the word-frequency table), and each word
+    * takes its MINIMUM-total-cost split via Viterbi DP. Everything runs
+    * on the DISTINCT-word vocabulary (corpus-size-independent after the
+    * one word-count shuffle — the same economics as BPE training), the
+    * piece costs are micro-rounded LONGs so path sums are exact
+    * integers, and the DP unrolls one position per round (`rounds`
+    * bounded frames, each a tiny vocab-scale join), so the whole
+    * chain — candidate pieces, costs, every DP round, the
+    * (cost, longer-piece, lexicographic) argmin — replays in SQL.
+    *
+    * Determinism: ties broken by (total cost, longer last piece first,
+    * then the path string) — no RNG, no float comparisons (costs are
+    * integer micro-nats).
+    *
+    * @param maxPieceLen max piece length considered (vocab = all corpus
+    *        substrings up to this length, weighted by word frequency)
+    * @param rounds DP positions unrolled; must cover the longest word
+    *        (REQUIRED — fails loudly rather than mis-segmenting)
+    * @return (word, wc, pieces '|'-joined, n_pieces, cost_micro)
+    */
+  def unigramViterbiSegment(df: DataFrame, textCol: String,
+      maxPieceLen: Int, rounds: Int): DataFrame = {
+    require(maxPieceLen >= 1 && rounds >= 1, s"bad $maxPieceLen/$rounds")
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxLen = words.agg(max(length(col("w")))).head.getInt(0)
+    require(maxLen <= rounds,
+      s"longest word ($maxLen chars) exceeds the $rounds-round DP budget")
+    // candidate pieces: every (start, len<=maxPieceLen) substring of every
+    // word, weighted by word frequency; costs from add-1 smoothing over
+    // the piece vocabulary
+    val pieces = words.select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("j"))
+      .select(col("w"), col("wc"), col("j"),
+        explode(sequence(lit(1), least(lit(maxPieceLen),
+          length(col("w")) - col("j") + 1))).as("l"))
+      .select(col("wc"), substring_pos(col("w"), col("j"), col("l")).as("p"))
+    val cnts = pieces.groupBy("p").agg(sum(col("wc")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cnts.agg(sum(col("cnt")).as("c_tot"), count(lit(1)).as("v")).head
+    val (cTot, v) = (totals.getLong(0), totals.getLong(1))
+    val costs = cnts.select(col("p"),
+      round(-log((col("cnt") + 1).cast("double") / lit(cTot + v)) * 1e6, 0)
+        .cast("long").as("pc"))
+    // Viterbi: best(word, i) = min over piece ending at i; one tiny
+    // vocab-scale frame per position, argmin via min(struct) — the
+    // engine-deterministic total order (cost, −len, path)
+    var best = words.select(col("w"), col("wc"), lit(0L).as("cost"),
+      lit("").as("seg"))
+    val states = new Array[DataFrame](rounds + 1)
+    states(0) = best
+    for (i <- 1 to rounds) {
+      val cands = (1 to math.min(maxPieceLen, i)).map { l =>
+        states(i - l).filter(length(col("w")) >= i)
+          .select(col("w"), col("wc"),
+            substring(col("w"), i - l + 1, l).as("p"), lit(l.toLong).as("pl"),
+            col("cost"), col("seg"))
+      }.reduce(_ unionByName _)
+      states(i) = cands.join(broadcast(costs), "p")
+        .select(col("w"), col("wc"),
+          struct((col("cost") + col("pc")).as("c"), (-col("pl")).as("nl"),
+            when(col("seg") === "", col("p"))
+              .otherwise(concat(col("seg"), lit("|"), col("p"))).as("s")).as("cand"))
+        .groupBy("w", "wc").agg(min(col("cand")).as("best"))
+        .select(col("w"), col("wc"), col("best.c").as("cost"),
+          col("best.s").as("seg"))
+        .localCheckpoint()
+    }
+    val done = (1 to rounds).map(i =>
+        states(i).filter(length(col("w")) === i))
+      .reduce(_ unionByName _)
+    words.unpersist(); cnts.unpersist()
+    done.select(col("w").as("word"), col("wc"),
+      col("seg").as("pieces"),
+      (size(split(col("seg"), "\\|"))).cast("long").as("n_pieces"),
+      col("cost").as("cost_micro"))
+  }
+
+  /** `substring(w, j, l)` with COLUMN position/length (the built-in
+    * `substring` takes Ints) — `substr` expression form.
+    */
+  private def substring_pos(w: Column, j: Column, l: Column): Column =
+    w.substr(j, l)
 }

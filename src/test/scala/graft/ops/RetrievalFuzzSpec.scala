@@ -99,6 +99,48 @@ class RetrievalFuzzSpec extends SparkSpec {
     }
   }
 
+  test("unigramViterbiSegment: cost-optimal vs full enumeration; tie-break vs naive DP") {
+    import spark.implicits._
+    val docs = samples(doc, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = Tokenize.unigramViterbiSegment(docs.toDF("doc_id", "text"), "text", 4, 12)
+      .collect().map(r => r.getString(0) -> ((r.getString(2), r.getLong(4)))).toMap
+    // independent piece-cost table
+    val words = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val cnt = scala.collection.mutable.Map[String, Long]()
+    for ((w, wc) <- words; j <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - j))
+      cnt(w.substring(j, j + l)) = cnt.getOrElse(w.substring(j, j + l), 0L) + wc
+    val totv = cnt.values.sum + cnt.size
+    def pc(p: String): Long = BigDecimal(-math.log((cnt(p) + 1).toDouble / totv) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // (1) enumeration: engine cost must be the true minimum
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap(l =>
+        allSegs(w.substring(l)).map(w.substring(0, l) +: _))
+    // (2) naive DP with the engine's (cost, longer-last-piece, path) tie-break
+    def dpSeg(w: String): (String, Long) = {
+      val best = new Array[(Long, Long, String)](w.length + 1) // (cost, -lastLen, path)
+      best(0) = (0L, 0L, "")
+      for (i <- 1 to w.length) {
+        val cands = for (l <- 1 to math.min(4, i)) yield {
+          val p = w.substring(i - l, i)
+          val (c0, _, s0) = best(i - l)
+          (c0 + pc(p), -l.toLong, if (s0.isEmpty) p else s0 + "|" + p)
+        }
+        best(i) = cands.min
+      }
+      (best(w.length)._3, best(w.length)._1)
+    }
+    for (w <- words.keys) {
+      val (seg, cost) = got(w)
+      val minCost = allSegs(w).map(_.map(pc).sum).min
+      assert(cost == minCost, s"'$w': engine cost $cost != enumerated min $minCost")
+      assert((seg, cost) == dpSeg(w), s"'$w': engine $seg vs naive DP ${dpSeg(w)}")
+    }
+  }
+
   /** Naive Hilbert xy→d (classic iterative form). */
   private def refHilbert(x0: Long, y0: Long, bits: Int): Long = {
     var (x, y, d) = (x0, y0, 0L)
