@@ -3511,6 +3511,24 @@ object SparkEntry {
         "doc_id", "dhash", 64, 3)
       .orderBy("id1", "id2")
 
+  /** Near-duplicate AUDIO detection end-to-end
+    * ([[ops.Multimodal.audioFingerprint]] → [[ops.Dedup
+    * .bitstringDupPairs]]): real WAV decode → 64-bit energy-contour
+    * fingerprint (integer window sums, cross-multiplied mean compares —
+    * float-free) → pigeonhole segment join → exact Hamming ≤ 3. With
+    * m15 (images) and d3/d4 (text) this completes the per-modality
+    * near-dup family on the same verified-pigeonhole machinery. The
+    * oracle replays the generation arithmetic
+    * (`(doc_id + 7i) % 256 − 128`), the `i·65/n` window mapping, the
+    * cross-mult bits, and the m15 candidate/verify chain.
+    */
+  private def m16AudioDedup(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.bitstringDupPairs(
+        ops.Multimodal.audioFingerprint(
+          ops.Multimodal.withGeneratedWav(Tables.documents(s, dir))),
+        "doc_id", "afp", 64, 3)
+      .orderBy("id1", "id2")
+
   /** Per-channel normalization stats over the REAL codec path
     * ([[ops.Multimodal.channelStats]]): exact integer channel moments
     * from decoded pixels, then the 6-rounded mean-per-channel and the
@@ -4035,6 +4053,7 @@ object SparkEntry {
     "m11_histogram" -> m11Histogram _,
     "m14_channel_stats" -> m14ChannelStats _,
     "m15_phash_dedup" -> m15PhashDedup _,
+    "m16_audio_dedup" -> m16AudioDedup _,
     "m12_video_dhash" -> m12VideoDhash _,
     "m13_audio_decimate" -> m13AudioDecimate _,
     "io12_dynamic_overwrite" -> io12DynamicOverwrite _,
@@ -7156,6 +7175,35 @@ object SparkEntry {
         |      WHERE a.x < 8)
         |SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // generation arithmetic + i*65/n windows + cross-mult bits + the
+    // m15 pigeonhole/verify chain
+    "m16_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n, i.i AS i,
+        |        abs((d.doc_id + 7 * i.i) % 256 - 128) AS a
+        |      FROM d CROSS JOIN generate_series(0, 499) AS i(i) WHERE i.i < d.n),
+        |e AS (SELECT doc_id, (i * 65) // n AS w,
+        |        CAST(sum(a) AS BIGINT) AS eng, count(*) AS ln
+        |      FROM s GROUP BY doc_id, (i * 65) // n),
+        |b AS (SELECT a.doc_id, a.w,
+        |        CASE WHEN nx.eng * a.ln > a.eng * nx.ln THEN '1' ELSE '0' END AS bit
+        |      FROM e a JOIN e nx ON nx.doc_id = a.doc_id AND nx.w = a.w + 1
+        |      WHERE a.w < 64),
+        |h AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS afp
+        |      FROM b GROUP BY doc_id),
+        |sg AS (SELECT doc_id, afp, s.s AS seg_idx,
+        |        substr(afp, 1 + s.s * 16, 16) AS seg
+        |       FROM h, generate_series(0, 3) AS s(s)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |          a.afp AS h1, b.afp AS h2
+        |         FROM sg a JOIN sg b
+        |         ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id),
+        |hm AS (SELECT id1, id2,
+        |        CAST(len(list_filter(generate_series(1, 64),
+        |          k -> substr(h1, k, 1) <> substr(h2, k, 1))) AS BIGINT) AS hamming
+        |       FROM cand)
+        |SELECT id1, id2, hamming FROM hm WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
     // m9's hash chain + 4x16 pigeonhole candidates + char-diff Hamming
     "m15_phash_dedup" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh FROM documents),

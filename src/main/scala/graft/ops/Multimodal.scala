@@ -451,6 +451,62 @@ object Multimodal {
     }(RowEncoder.encoderFor(audioFeatSchema))
   }
 
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", StringType, nullable = true)))
+
+  /** 64-bit audio fingerprint over the REAL decode — the audio member
+    * of the perceptual-hash family (dHash for images, this for
+    * waveforms): samples map to 65 windows by `w = i·65 / n` (pure
+    * integer division — identical in the JVM, Spark SQL, and DuckDB,
+    * which is why the mapping is defined THIS way and not by floor'd
+    * window boundaries), each window accumulates its integer
+    * |amplitude| sum, and bit w asks "does window w+1 carry higher MEAN
+    * energy than window w", compared by integer cross-multiplication
+    * (`e₂·l₁ > e₁·l₂` — no division, no floats anywhere). The bit
+    * pattern tracks the energy CONTOUR, so it survives loudness-scaling
+    * and small length edits the way dHash survives resizes. Corrupt
+    * payloads → NULL (dropped by [[Dedup.bitstringDupPairs]]).
+    */
+  def audioFingerprint(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(binCol))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val buf = ais.readAllBytes()
+          ais.close()
+          val n = buf.length
+          if (n < 65) Row(id, null)
+          else {
+            val eng = Array.ofDim[Long](65)
+            val len = Array.ofDim[Long](65)
+            var i = 0
+            while (i < n) {
+              val c = (buf(i) & 0xff) - 128
+              val w = (i.toLong * 65 / n).toInt
+              eng(w) += (if (c < 0) -c else c)
+              len(w) += 1
+              i += 1
+            }
+            val sb = new java.lang.StringBuilder(64)
+            var w = 0
+            while (w < 64) {
+              sb.append(if (eng(w + 1) * len(w) > eng(w) * len(w + 1)) '1' else '0')
+              w += 1
+            }
+            Row(id, sb.toString)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Row(id, null)
+        }
+      }
+    }(RowEncoder.encoderFor(audioFpSchema))
+  }
+
   val decimateSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_in", LongType, nullable = false),
