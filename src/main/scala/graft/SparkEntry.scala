@@ -3290,6 +3290,41 @@ object SparkEntry {
     out
   }
 
+  /** Recall gate for FILTERED ANN (sim18's quality twin, sim15's
+    * method): [[ops.Similarity.ivfTopKFiltered]] graded against the
+    * exact FILTERED brute-force truth — recall vs unfiltered truth
+    * would conflate filter selectivity with retrieval quality. Floor
+    * measured with slack: recall 0.367 at sf0.001/sf0.01, 0.200 at
+    * sf0.1 (nprobe=2 of 100 cells shrinks the filtered candidate pool —
+    * the informative number this gate exists to expose; production
+    * raises nprobe with the cell count).
+    */
+  private val FilteredRecallFloor = 0.10
+  private def sim19FilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val truth = ops.Similarity.bruteForceTopKFiltered(e, q, 3, "label")
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = ops.Similarity.ivfTopKFiltered(e, q, 3, 2, 50, "label")
+      .select(col("query_id"), col("nn_id"))
+    val out = truth.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_true"))
+      .crossJoin(approx.join(truth, Seq("query_id", "nn_id"))
+        .agg(count(lit(1)).as("n_hits")))
+      .select(lit("ivf_filtered").as("method"), lit(3L).as("k"),
+        col("n_queries"), col("n_hits"), col("n_true"),
+        round(col("n_hits").cast("double") / col("n_true").cast("double"), 6)
+          .as("recall"))
+    val rows = out.collect()
+    truth.unpersist()
+    require(rows(0).getDouble(5) >= FilteredRecallFloor,
+      f"filtered-ANN recall collapse: ${rows(0).getDouble(5)}%.4f < " +
+        f"floor $FilteredRecallFloor")
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+  }
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -3966,6 +4001,7 @@ object SparkEntry {
     "sim16_hybrid" -> sim16Hybrid _,
     "sim17_ndcg" -> sim17Ndcg _,
     "sim18_filtered_ann" -> sim18FilteredAnn _,
+    "sim19_filtered_recall" -> sim19FilteredRecall _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -5791,6 +5827,44 @@ object SparkEntry {
         |      row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rank FROM w)
         |SELECT doc_id, n_feat, dsir_micro, rank, rank <= 100 AS selected
         |FROM r ORDER BY doc_id""".stripMargin,
+    // filtered brute truth + sim18's approx chain + the recall counts
+    "sim19_filtered_recall" ->
+      s"""WITH $embNormSql,
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |tp AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${cosineSql("q", "c")} AS cosine
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |      JOIN lb lq ON lq.vec_id = q.vec_id
+        |      JOIN lb lc ON lc.vec_id = c.vec_id AND lc.label = lq.label),
+        |tr AS (SELECT query_id, nn_id FROM (
+        |  SELECT query_id, nn_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM tp) WHERE rank <= 3),
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN lb lq ON lq.vec_id = pr.query_id
+        |      JOIN lb ln ON ln.vec_id = ce.nn_id AND ln.label = lq.label
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |ar AS (SELECT query_id, nn_id FROM (
+        |  SELECT query_id, nn_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM p) WHERE rank <= 3)
+        |SELECT 'ivf_filtered' AS method, CAST(3 AS BIGINT) AS k,
+        | CAST((SELECT count(DISTINCT query_id) FROM tr) AS BIGINT) AS n_queries,
+        | CAST((SELECT count(*) FROM ar a JOIN tr t
+        |    ON a.query_id = t.query_id AND a.nn_id = t.nn_id) AS BIGINT) AS n_hits,
+        | CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_true,
+        | round(CAST((SELECT count(*) FROM ar a JOIN tr t
+        |    ON a.query_id = t.query_id AND a.nn_id = t.nn_id) AS DOUBLE)
+        |   / (SELECT count(*) FROM tr), 6) AS recall""".stripMargin,
     // sim2's cells/probes + the label pre-filter in the candidate join
     "sim18_filtered_ann" ->
       s"""WITH $embNormSql,

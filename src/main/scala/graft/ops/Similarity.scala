@@ -206,6 +206,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Exact filtered-search truth: [[bruteForceTopK]] restricted to
+    * candidates matching the query's `matchCol` — the baseline
+    * [[ivfTopKFiltered]]'s recall is honestly graded against (recall vs
+    * UNfiltered truth would conflate filter selectivity with retrieval
+    * quality).
+    */
+  def bruteForceTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+      matchCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm")
+      .join(corpus.select(col(idCol).as("nn_id"), col(matchCol).as("nn_m")), "nn_id")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm")
+      .join(queries.select(col(idCol).as("query_id"), col(matchCol).as("q_m")),
+        "query_id")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("nn_id") && col("nn_m") === col("q_m"))
+      .select(col("query_id"), col("nn_id"),
+        rounded(cosineWithNorms(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
+  }
+
   /** Metadata-FILTERED IVF search — the tenant/language/category-routed
     * form of [[ivfTopK]]: a candidate must carry the query's `matchCol`
     * value, and the predicate applies PRE-distance, inside the cell
