@@ -2460,6 +2460,15 @@ object SparkEntry {
       .orderBy("test_id", "train_id")
   }
 
+  /** Soft-dedup weights ([[ops.Dedup.softDedupWeights]]) over d18's
+    * clusters: every member kept at `1/|cluster|` micro-influence —
+    * the data-constrained alternative to hard dropping (Σ weights ==
+    * cluster count by construction, gated by the oracle's replay).
+    */
+  private def t56SoftDedupWeights(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.softDedupWeights(syntheticClusters(s, dir), "doc_id", "cluster_id")
+      .orderBy("doc_id")
+
   /** Per-config recall floors, measured fixture values with slack — a
     * banding regression (hash drift, band mis-grouping, a broken verify
     * join) trips these instantly.
@@ -4007,6 +4016,7 @@ object SparkEntry {
     "t53_gopher_filter" -> t53GopherFilter _,
     "t54_dsir" -> t54Dsir _,
     "t55_unigram_segment" -> t55UnigramSegment _,
+    "t56_soft_dedup_weights" -> t56SoftDedupWeights _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -6823,6 +6833,29 @@ object SparkEntry {
         |      ELSE round(CAST(n_found AS DOUBLE) / n_true, 6) END AS recall
         |FROM m ORDER BY config""".stripMargin
     },
+    // d18's recursive closure + per-cluster size + the 1e6/size weight
+    "t56_soft_dedup_weights" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 20 < 5
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id - (a.doc_id % 7)
+        |   AND a.doc_id % 20 >= 15 AND a.doc_id % 7 <> 0
+        |),
+        |ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT ee.dst, reach.lbl FROM reach JOIN ee ON ee.src = reach.id
+        |),
+        |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+        | CAST(round(1e6 / sz.cluster_size, 0) AS BIGINT) AS weight_micro
+        |FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id""".stripMargin,
     // split buckets + BOTH sides' signatures/bands + the cross-band join
     // + exact-Jaccard verify, replayed end to end
     "d27_fuzzy_decontam" ->

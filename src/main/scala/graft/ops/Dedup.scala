@@ -1005,6 +1005,29 @@ object Dedup {
       .select(col("cluster_id"), (-col("best.nid")).as("kept_id"),
         col("best.s").as("kept_score"), col("n_members"))
 
+  /** Soft-dedup training weights: instead of DROPPING duplicates, keep
+    * every member and down-weight it by its cluster's multiplicity
+    * (`w = 1/|cluster|`, micro-rounded) — the data-constrained regime's
+    * alternative to hard dedup (repeating data has diminishing but
+    * nonzero value; a hard drop throws the tail away, a soft weight
+    * keeps it at calibrated influence). Total corpus influence equals
+    * the deduped count by construction: Σ w = #clusters. Two
+    * partial-aggregable shuffles on the cluster id (size count + the
+    * member join), no window sort.
+    *
+    * @param clustered (member id, cluster id) — [[dupClusters]] output
+    * @return (doc_id, cluster_id, cluster_size, weight_micro)
+    */
+  def softDedupWeights(clustered: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val sizes = clustered.groupBy(col(clusterCol).as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clustered.select(col(idCol).as("doc_id"), col(clusterCol).as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1e6) / col("cluster_size"), 0).cast("long").as("weight_micro"))
+  }
+
   /** Near-duplicate pairs over BIT-STRING perceptual hashes (dHash /
     * pHash output — [[graft.ops.Multimodal.dhashImage]]'s 64-char
     * '0'/'1' form): the image twin of [[simhashDupPairs]]' pigeonhole.

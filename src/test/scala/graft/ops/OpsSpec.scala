@@ -317,6 +317,24 @@ class DedupSpec extends SparkSpec {
     val cc = starCcOf(1L to 200L, (1L to 199L).map(i => (i, i + 1)))
     assert(cc.values.toSet == Set(1L))
   }
+
+  test("softDedupWeights: 1/|cluster| micro weights; influence conserved") {
+    import spark.implicits._
+    // clusters: {1,2,3} (size 3), {4,5} (size 2), {6} (singleton)
+    val clustered = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("doc_id", "cluster_id").repartition(3)
+    val r = Dedup.softDedupWeights(clustered, "doc_id", "cluster_id")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 2L, 500000L), (5L, 4L, 2L, 500000L),
+      (6L, 6L, 1L, 1000000L)))
+    // conservation: Σ weights == #clusters (to within micro rounding:
+    // each cluster contributes 1e6 ± cluster_size/2 micro-units)
+    val total = r.map(_._4).sum
+    assert(math.abs(total - 3L * 1000000L) <= r.length / 2 + 3)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
