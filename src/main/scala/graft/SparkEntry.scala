@@ -2469,6 +2469,18 @@ object SparkEntry {
     ops.Dedup.softDedupWeights(syntheticClusters(s, dir), "doc_id", "cluster_id")
       .orderBy("doc_id")
 
+  /** CCNet-style duplicated-segment removal + reassembly
+    * ([[ops.Curation.dedupSegments]]): 8-token windows, corpus df ≥ 2 →
+    * cut everywhere, survivors stitched back in order. `clean_md5` pins
+    * every rebuilt document byte-for-byte (153 boilerplate segments
+    * fire at sf0.01).
+    */
+  private def t57SegmentDedup(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.dedupSegments(Tables.documents(s, dir), "text", "doc_id", 8, 2)
+      .select(col("doc_id"), col("n_segs"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
   /** Per-config recall floors, measured fixture values with slack — a
     * banding regression (hash drift, band mis-grouping, a broken verify
     * join) trips these instantly.
@@ -4017,6 +4029,7 @@ object SparkEntry {
     "t54_dsir" -> t54Dsir _,
     "t55_unigram_segment" -> t55UnigramSegment _,
     "t56_soft_dedup_weights" -> t56SoftDedupWeights _,
+    "t57_segment_dedup" -> t57SegmentDedup _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -6856,6 +6869,25 @@ object SparkEntry {
         |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
         | CAST(round(1e6 / sz.cluster_size, 0) AS BIGINT) AS weight_micro
         |FROM cc JOIN sz USING (cluster_id) ORDER BY cc.doc_id""".stripMargin,
+    // segmentation windows, the corpus df screen, and every rebuilt
+    // document's bytes (md5) replayed
+    "t57_segment_dedup" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+        |t AS (SELECT doc_id, unnest(t) AS tok,
+        |        generate_subscripts(t, 1) - 1 AS pos FROM d),
+        |s AS (SELECT doc_id, pos // 8 AS seg_idx,
+        |        string_agg(tok, ' ' ORDER BY pos) AS seg
+        |      FROM t GROUP BY doc_id, pos // 8),
+        |b AS (SELECT seg FROM s GROUP BY seg HAVING count(*) >= 2),
+        |k AS (SELECT * FROM s WHERE seg NOT IN (SELECT seg FROM b)),
+        |n AS (SELECT doc_id, CAST((len(t) + 7) // 8 AS BIGINT) AS n_segs FROM d),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |      FROM k GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_segs,
+        |  n.n_segs - coalesce(c.n_kept, 0) AS n_removed,
+        |  md5(coalesce(c.clean_text, '')) AS clean_md5
+        |FROM n LEFT JOIN c USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     // split buckets + BOTH sides' signatures/bands + the cross-band join
     // + exact-Jaccard verify, replayed end to end
     "d27_fuzzy_decontam" ->

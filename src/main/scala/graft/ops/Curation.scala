@@ -917,4 +917,57 @@ object Curation {
             "repetitive")
           .otherwise("kept").as("verdict"))
   }
+
+  /** CCNet-style duplicated-segment REMOVAL with document reassembly
+    * (Wenzek et al. 2020 §4.1 dedups at the line level; this corpus is
+    * single-line, so the unit generalizes to fixed `segTokens`-token
+    * windows): every segment whose corpus-wide occurrence count reaches
+    * `minDf` is boilerplate and is cut from EVERY document that carries
+    * it (first occurrences included — the CCNet rule), and the
+    * survivors are stitched back in original order. This is the
+    * curation family's missing MUTATION step: t41 scores boilerplate
+    * load, d14 locates copied spans — this one rewrites the corpus.
+    *
+    * Scale shape: segmentation is one narrow projection (token-array
+    * `slice`s — no per-token explode before the df pass needs one); the
+    * df aggregate is the single corpus-scale shuffle, and its `minDf`
+    * survivor head is Zipf-bounded by `Σtokens / (segTokens·minDf)`, so
+    * the removal join broadcasts it and stays map-side (t41's shape; at
+    * a low-threshold regime where the head outgrows broadcast, drop the
+    * hint and let AQE plan the equi-join). Reassembly shuffles only the
+    * KEPT segments once on the doc key, partial-aggregable all the way.
+    * Deleting a whole document (all segments boilerplate) yields an
+    * empty `clean_text`, not a dropped row — the caller decides.
+    *
+    * @return (doc_id, n_segs, n_removed, clean_text) — original token
+    *         count recoverable as `n_segs`·window arithmetic; removal
+    *         audit per doc, cleaned doc reassembled
+    */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+      segTokens: Int, minDf: Int): DataFrame = {
+    require(segTokens >= 1 && minDf >= 2, s"bad params seg=$segTokens minDf=$minDf")
+    val toks = TextFunctions.tokens(col(textCol))
+    // ceil-div segment count; sequence(0, -1) would yield [0, -1], so
+    // empty docs short-circuit to an empty segment array
+    // Column `/` is double division — floor+cast back for the ceil-div
+    val nSeg = floor((size(toks) + lit(segTokens - 1)) / lit(segTokens)).cast("int")
+    val segs = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+    val base = df.select(col(idCol).as("doc_id"), segs.as("segs"))
+    val ex = base.select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_idx", "seg")))
+    val boiler = ex.groupBy("seg").agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") >= minDf)
+    val kept = ex.join(broadcast(boiler.select("seg")), Seq("seg"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(
+          col("seg_idx").as("i"), col("seg").as("s")))), x => x.getField("s")),
+          " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -570,4 +570,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
+
+  test("t57 segment dedup: boilerplate head broadcasts, removal join map-side") {
+    val plan = executed(SparkEntry.queries("t57_segment_dedup")(spark, sf0001))
+    // the df>=minDf survivor set rides a broadcast anti-join — the
+    // corpus's segment side must never sort-merge against it, and the
+    // reassembly is the only segment-frame shuffle beyond the df agg
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"removal join not a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus sort-merged:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
 }

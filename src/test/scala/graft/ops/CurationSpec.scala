@@ -488,4 +488,27 @@ class CurationSpec extends SparkSpec {
       .collect()(0)
     assert(edge.getString(5) == "kept" && edge.getLong(2) == 9)
   }
+
+  test("dedupSegments: df>=minDf windows cut everywhere, docs reassembled in order") {
+    import spark.implicits._
+    // segTokens=2, minDf=2: "a b" appears in docs 1 (twice) and 2 → cut
+    // from all three sites including the first; doc 3 is ALL boilerplate
+    // → empty clean_text; doc 4 has a short trailing segment; doc 5 empty
+    val df = Seq(
+      (1L, "a b x y a b"),     // segs: [a b][x y][a b] → keep [x y]
+      (2L, "a b p q r"),       // segs: [a b][p q][r]   → keep [p q][r]
+      (3L, "a b a b"),         // segs: [a b][a b]      → all cut
+      (4L, "u v w"),           // segs: [u v][w]        → all kept
+      (5L, "")                 // no tokens → 0 segments
+    ).toDF("doc_id", "text")
+    val r = Curation.dedupSegments(df.repartition(3), "text", "doc_id", 2, 2)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 3L, 2L, "x y"),
+      (2L, 3L, 1L, "p q r"),
+      (3L, 2L, 2L, ""),
+      (4L, 2L, 0L, "u v w"),
+      (5L, 0L, 0L, "")))
+  }
 }
