@@ -2481,6 +2481,16 @@ object SparkEntry {
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
 
+  /** Token-budget curation cut ([[ops.Sampling.tokenBudgetSelect]]):
+    * best-quality documents totalling ≤ 8,000 tokens, threshold found on
+    * the score histogram (never a corpus-wide running-sum window), the
+    * boundary score's ties broken (md5, id)-deterministically.
+    */
+  private def t58TokenBudget(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.tokenBudgetSelect(Tables.documents(s, dir), "text", "doc_id",
+        8000L)
+      .orderBy("doc_id")
+
   /** Per-config recall floors, measured fixture values with slack — a
     * banding regression (hash drift, band mis-grouping, a broken verify
     * join) trips these instantly.
@@ -4030,6 +4040,7 @@ object SparkEntry {
     "t55_unigram_segment" -> t55UnigramSegment _,
     "t56_soft_dedup_weights" -> t56SoftDedupWeights _,
     "t57_segment_dedup" -> t57SegmentDedup _,
+    "t58_token_budget" -> t58TokenBudget _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -6888,6 +6899,36 @@ object SparkEntry {
         |  n.n_segs - coalesce(c.n_kept, 0) AS n_removed,
         |  md5(coalesce(c.clean_text, '')) AS clean_md5
         |FROM n LEFT JOIN c USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+    // t47's proven score replay → histogram → desc cumulative window →
+    // boundary + residual → filter + tie-broken boundary prefix
+    "t58_token_budget" ->
+      s"""WITH s AS (SELECT doc_id, ${toksSql("text")} AS toks,
+        |        CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio
+        |       FROM documents),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(round(least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+        |          * (1.0 - least(1.0, punct_ratio * 4.0))
+        |          * (0.5 + least(1.0, CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE len(list_filter(toks, t -> t IN (${inList(TextFunctions.Stopwords)})))::DOUBLE / len(toks) END
+        |              * 4.0) * 0.5) * 1000000, 0) AS BIGINT) AS score_micro
+        |       FROM s),
+        |h AS (SELECT score_micro, sum(n_tokens) AS tok FROM sc GROUP BY 1),
+        |c AS (SELECT score_micro, tok,
+        |        sum(tok) OVER (ORDER BY score_micro DESC) AS cum FROM h),
+        |b AS (SELECT score_micro AS b_score, 8000 - (cum - tok) AS remaining
+        |      FROM c WHERE cum > 8000 ORDER BY score_micro DESC LIMIT 1),
+        |sel AS (
+        |  SELECT doc_id, score_micro, n_tokens FROM sc
+        |  WHERE score_micro > coalesce((SELECT b_score FROM b), -1)
+        |  UNION ALL
+        |  SELECT doc_id, score_micro, n_tokens FROM (
+        |    SELECT sc.*, sum(n_tokens) OVER (
+        |        ORDER BY md5('budget#' || CAST(doc_id AS VARCHAR)), doc_id) AS crun
+        |    FROM sc WHERE score_micro = (SELECT b_score FROM b))
+        |  WHERE crun <= (SELECT remaining FROM b))
+        |SELECT doc_id, score_micro, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM sel ORDER BY doc_id""".stripMargin,
     // split buckets + BOTH sides' signatures/bands + the cross-band join
     // + exact-Jaccard verify, replayed end to end
     "d27_fuzzy_decontam" ->

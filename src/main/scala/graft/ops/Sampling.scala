@@ -336,4 +336,64 @@ object Sampling {
       .select(col("doc_id"), col("n_feat"), col("dsir_micro"), col("rank"),
         (col("rank") <= topK).as("selected"))
   }
+
+  /** Token-budget-constrained corpus selection: keep the highest-
+    * [[graft.functions.TextFunctions.qualityScore]] documents whose
+    * total token count fits `budgetTokens` — "train on the best N
+    * tokens", the compute-optimal curation cut, decided WITHOUT a
+    * corpus-wide running-sum window (a global `sum().over(orderBy)` is
+    * one reducer sorting 100 TB).
+    *
+    * Two-pass threshold shape (q37's sortless-percentile idea applied
+    * to a budget): (1) one partial-aggregable histogram over the
+    * 6-rounded score (≤ 10⁶+1 distinct micro values, so the cumulative
+    * window runs over a VOCAB-scale frame, not the corpus); (2) the
+    * boundary score + its residual budget — ONE row — comes back to the
+    * driver, and selection is a map-side filter against the two
+    * literals. Only documents AT the boundary score need an order (the
+    * deterministic (md5, id) tie-break): that window partitions on the
+    * single boundary value, a hot key bounded by the tie population at
+    * exactly the cut score — corpus/10⁶ in expectation under the
+    * micro-rounding, and the documented two-pass refinement (re-bin
+    * inside the boundary) if a degenerate score distribution piles up.
+    *
+    * @return (doc_id, score_micro, n_tokens) — the selected documents;
+    *         Σ n_tokens ≤ budget, maximal under the (score, hash, id)
+    *         priority order
+    */
+  def tokenBudgetSelect(df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val scored = df.select(col(idCol).as("doc_id"),
+      round(TextFunctions.qualityScore(col(textCol)) * 1e6, 0).cast("long")
+        .as("score_micro"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val hist = scored.groupBy("score_micro").agg(sum("n_tokens").as("tok"))
+    val cum = hist.withColumn("cum",
+      sum(col("tok")).over(Window.orderBy(col("score_micro").desc)))
+    // the highest score whose INCLUSIVE prefix overflows the budget is
+    // the boundary; tokens strictly above it are already spent
+    val bound = cum.filter(col("cum") > budgetTokens)
+      .orderBy(col("score_micro").desc).limit(1)
+      .select(col("score_micro"),
+        (lit(budgetTokens) - (col("cum") - col("tok"))).as("remaining"))
+      .collect() // ≤ 1 row — a driver-sized aggregate, not corpus data
+    val sel = bound match {
+      case Array() => scored // the whole corpus fits the budget
+      case Array(b) =>
+        val bScore = b.getLong(0)
+        val wb = Window.partitionBy("score_micro")
+          .orderBy("h", "doc_id")
+        val keptAtBoundary = scored.filter(col("score_micro") === bScore)
+          .withColumn("h", md5(concat_ws("#", lit("budget"),
+            col("doc_id").cast("string"))))
+          .withColumn("crun", sum(col("n_tokens")).over(wb))
+          .filter(col("crun") <= b.getLong(1))
+          .drop("h", "crun")
+        scored.filter(col("score_micro") > bScore).unionByName(keptAtBoundary)
+    }
+    sel.select(col("doc_id"), col("score_micro"), col("n_tokens"))
+  }
 }

@@ -192,4 +192,49 @@ class SamplingSpec extends SparkSpec {
       .filter(col("doc_id") === 40L).collect()(0).getLong(2)
     assert(lamCheck == out(40L)._1) // deterministic across runs
   }
+
+  test("tokenBudgetSelect == greedy (score, md5, id) prefix at every budget") {
+    import graft.functions.TextFunctions
+    import java.security.MessageDigest
+    val docs = graft.io.Tables.documents(spark, sf0001)
+    // the op's own scoring projection, collected once as the reference
+    val scored = docs.select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")) * 1e6, 0).cast("long")
+        .as("score_micro"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def hex(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+    def naive(budget: Long): Set[Long] = {
+      // boundary = highest score whose score-group cumulative overflows
+      val byScore = scored.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(-_._1)
+      var cum = 0L
+      var bScore = Option.empty[Long]
+      var rem = 0L
+      for ((sc, tok) <- byScore if bScore.isEmpty) {
+        if (cum + tok > budget) { bScore = Some(sc); rem = budget - cum }
+        else cum += tok
+      }
+      bScore match {
+        case None => scored.map(_._1).toSet
+        case Some(bs) =>
+          val above = scored.filter(_._2 > bs).map(_._1)
+          // boundary group: (md5, id)-ordered running sum over ALL its
+          // docs (excluded ones still advance it) — the op's crun filter
+          val bdocs = scored.filter(_._2 == bs)
+            .sortBy { case (id, _, _) => (hex(s"budget#$id"), id) }
+          val crun = bdocs.map(_._3).scanLeft(0L)(_ + _).tail
+          (above ++ bdocs.zip(crun).filter(_._2 <= rem).map(_._1._1)).toSet
+      }
+    }
+    val total = scored.map(_._3).sum
+    for (budget <- Seq(0L, 37L, 200L, total - 1, total, total + 100)) {
+      val got = Sampling.tokenBudgetSelect(docs, "text", "doc_id", budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == naive(budget), s"budget=$budget")
+      val spent = scored.filter(t => got(t._1)).map(_._3).sum
+      assert(spent <= budget || budget >= total, s"overspent at $budget")
+    }
+  }
 }
