@@ -3042,6 +3042,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Contrastive mining ([[ops.Similarity.hardNegativeMine]]): per
+    * query, top-3 other-label neighbors + the nearest same-label
+    * positive, triplet margins in exact micro units.
+    */
+  private def sim20HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    ops.Similarity.hardNegativeMine(e, e.filter(col("vec_id") < 10), 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_cosine"), col("pos_id"), col("pos_cosine"),
+        col("margin_micro"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF cell-probed top-3 (centroids = vec_id % 50 == 0, nprobe=2). */
   private def sim2IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -4107,6 +4120,7 @@ object SparkEntry {
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
     "sim1_topk" -> sim1TopK _,
+    "sim20_hard_negatives" -> sim20HardNegatives _,
     "sim2_ivf_topk" -> sim2IvfTopK _,
     "sim7_kmeans" -> sim7Kmeans _,
     "sim8_trained_ivf" -> sim8TrainedIvf _,
@@ -7034,6 +7048,30 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
         |      FROM p)
         |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // one cosine pass split by label parity: other-label top-3 +
+    // same-label top-1 + the micro-exact triplet margin
+    "sim20_hard_negatives" ->
+      s"""WITH $embNormSql,
+        |nl AS (SELECT n.vec_id, n.v, n.nrm, emb.label
+        |       FROM n JOIN embeddings emb USING (vec_id)),
+        |p AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+        |        c.vec_id AS nn_id, c.label AS nn_label,
+        |        ${cosineSql("q", "c")} AS cosine
+        |      FROM nl q JOIN nl c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |negs AS (SELECT query_id, nn_id AS neg_id, cosine AS neg_cosine,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine DESC, nn_id) AS rank
+        |         FROM p WHERE nn_label <> q_label),
+        |pos AS (SELECT query_id, nn_id AS pos_id, cosine AS pos_cosine FROM (
+        |         SELECT query_id, nn_id, cosine,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cosine DESC, nn_id) AS r
+        |         FROM p WHERE nn_label = q_label) WHERE r = 1)
+        |SELECT negs.query_id, CAST(negs.rank AS BIGINT) AS rank, neg_id,
+        |  neg_cosine, pos_id, pos_cosine,
+        |  CAST(round((pos_cosine - neg_cosine) * 1000000, 0) AS BIGINT) AS margin_micro
+        |FROM negs LEFT JOIN pos USING (query_id) WHERE negs.rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
     "sim2_ivf_topk" ->
       s"""WITH $embNormSql,

@@ -58,6 +58,52 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** Contrastive-pair mining for embedding-model training: per query,
+    * the k nearest OTHER-label vectors (hard negatives — the confusable
+    * examples a triplet/InfoNCE loss learns most from) plus the single
+    * nearest SAME-label vector (the hard positive), with the triplet
+    * margin `pos_cos − neg_cos` in exact micro units — negative margins
+    * are active triplets. One cosine pass feeds both sides; the exact
+    * scorer is [[bruteForceTopK]]'s broadcast shape (queries are the
+    * mining batch — bounded), and at corpus scale the candidate pass
+    * swaps for the IVF cell join ([[ivfTopKFiltered]]'s routing with
+    * the label predicate inverted) without touching the rank/margin
+    * logic.
+    *
+    * @return (query_id, rank, neg_id, neg_cosine, pos_id, pos_cosine,
+    *         margin_micro); pos columns null when the query's label has
+    *         no other member
+    */
+  def hardNegativeMine(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      normNative(col(vecCol)).as("nn_nrm"), col(labelCol).as("nn_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normNative(col(vecCol)).as("q_nrm"), col(labelCol).as("q_label"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("q_label"), col("nn_id"), col("nn_label"),
+        rounded(cosineWithNorms(col("q_vec"), col("nn_vec"),
+          col("q_nrm"), col("nn_nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("nn_id"))
+    val negs = scored.filter(col("nn_label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("nn_id").as("neg_id"), col("cosine").as("neg_cosine"))
+    val pos = scored.filter(col("nn_label") === col("q_label"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("nn_id").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    negs.join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neg_id"), col("neg_cosine"),
+        col("pos_id"), col("pos_cosine"),
+        round((col("pos_cosine") - col("neg_cosine")) * 1e6, 0).cast("long")
+          .as("margin_micro"))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — the real
     * trainer behind [[ivfTopKWith]] (vs [[ivfTopK]]'s id-derived,
     * oracle-reproducible stand-in). Fully distributed per iteration:

@@ -366,6 +366,35 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0).getAs[Double]("cosine") > 0.99)
   }
 
+  test("hardNegativeMine: label laws, rank order, margins vs brute-force truth") {
+    import spark.implicits._
+    val v = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.95f, 0.05f), 0), (2L, Seq(0.9f, 0.1f), 1),
+      (3L, Seq(0.8f, 0.2f), 1), (4L, Seq(0f, 1f), 2), (5L, Seq(-1f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val labels = Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2)
+    val got = Similarity.hardNegativeMine(v, v.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+    // negatives are the nearest OTHER-label vectors in cosine order
+    assert(got.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(got.forall(r => labels(r.getAs[Long]("neg_id")) != 0))
+    // the positive is the nearest SAME-label vector, shared by all ranks
+    assert(got.map(_.getAs[Long]("pos_id")).toSet == Set(1L))
+    // margins: pos_cos − neg_cos in micro units, negative = active triplet
+    val truth = Similarity.bruteForceTopK(v, v.filter(col("vec_id") === 0), 5)
+      .collect().map(r => r.getAs[Long]("nn_id") -> r.getAs[Double]("cosine")).toMap
+    got.foreach { r =>
+      val want = math.round((truth(1L) - truth(r.getAs[Long]("neg_id"))) * 1e6)
+      assert(r.getAs[Long]("margin_micro") == want)
+    }
+    // a query whose label is unique → null positive, negatives intact
+    val lone = Similarity.hardNegativeMine(
+      v.filter(col("vec_id") =!= 1L), v.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(lone.length == 2 && lone.forall(_.isNullAt(4)) &&
+      lone.forall(_.isNullAt(6)))
+  }
+
   test("pqTopK with a per-vector codebook degenerates to exact L2 ranking") {
     // centroidEvery=1: every vector is its own code, so the ADC lookup
     // sum IS the true squared distance (per-subspace micro-rounded)
