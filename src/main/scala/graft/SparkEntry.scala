@@ -2491,6 +2491,14 @@ object SparkEntry {
         8000L)
       .orderBy("doc_id")
 
+  /** Two deterministic epoch permutations ([[ops.Sampling.epochShuffle]]):
+    * RNG-free md5 training order, contiguous 0..n−1 seq per epoch from
+    * the range-sort + zipWithIndex two-pass.
+    */
+  private def t59EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", 2)
+      .orderBy("epoch", "seq")
+
   /** Per-config recall floors, measured fixture values with slack — a
     * banding regression (hash drift, band mis-grouping, a broken verify
     * join) trips these instantly.
@@ -4054,6 +4062,7 @@ object SparkEntry {
     "t56_soft_dedup_weights" -> t56SoftDedupWeights _,
     "t57_segment_dedup" -> t57SegmentDedup _,
     "t58_token_budget" -> t58TokenBudget _,
+    "t59_epoch_shuffle" -> t59EpochShuffle _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -6943,6 +6952,18 @@ object SparkEntry {
         |  WHERE crun <= (SELECT remaining FROM b))
         |SELECT doc_id, score_micro, CAST(n_tokens AS BIGINT) AS n_tokens
         |FROM sel ORDER BY doc_id""".stripMargin,
+    // both epochs' hash orders and dense sequence numbers replayed
+    "t59_epoch_shuffle" ->
+      """WITH ep AS (SELECT unnest(generate_series(0, 1)) AS epoch),
+        |o AS (SELECT ep.epoch, d.doc_id,
+        |        md5('epoch#' || CAST(ep.epoch AS VARCHAR) || '#'
+        |            || CAST(d.doc_id AS VARCHAR))
+        |          || lpad(CAST(d.doc_id AS VARCHAR), 20, '0') AS ord
+        |      FROM documents d CROSS JOIN ep)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY ord) - 1 AS seq,
+        |  doc_id
+        |FROM o ORDER BY epoch, seq""".stripMargin,
     // split buckets + BOTH sides' signatures/bands + the cross-band join
     // + exact-Jaccard verify, replayed end to end
     "d27_fuzzy_decontam" ->

@@ -277,6 +277,32 @@ object Sampling {
     s.createDataFrame(rdd, schema)
   }
 
+  /** Deterministic per-epoch training order: epoch `e`'s permutation
+    * ranks documents by `md5("epoch#e#id")` — a fresh, reproducible,
+    * RNG-free shuffle per epoch (the training-loader contract: every
+    * worker, restart, and engine derives the SAME order, and no two
+    * epochs repeat an order). Sequence numbers come from
+    * [[withGlobalIndex]]'s range-sort + zipWithIndex two-pass — never a
+    * corpus-wide `row_number` window. The hash key is suffixed with the
+    * zero-padded id so the order column is total even on the (2⁻¹²⁸)
+    * digest collision.
+    *
+    * @return (epoch, seq, doc_id): seq is 0..n−1 within each epoch
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be positive: $epochs")
+    (0 until epochs).map { e =>
+      val keyed = df.select(col(idCol).as("doc_id"))
+        .withColumn("ord", concat(
+          md5(concat_ws("#", lit("epoch"), lit(e).cast("string"),
+            col("doc_id").cast("string"))),
+          lpad(col("doc_id").cast("string"), 20, "0")))
+      withGlobalIndex(keyed, "ord")
+        .select(lit(e).cast("long").as("epoch"),
+          col("global_id").as("seq"), col("doc_id"))
+    }.reduce(_ unionByName _)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how target-like its hashed-n-gram profile is,

@@ -193,6 +193,37 @@ class SamplingSpec extends SparkSpec {
     assert(lamCheck == out(40L)._1) // deterministic across runs
   }
 
+  test("epochShuffle: per-epoch permutations, deterministic, epochs differ") {
+    import java.security.MessageDigest
+    val docs = graft.io.Tables.documents(spark, sf0001).select("doc_id")
+    val n = docs.count()
+    val r = Sampling.epochShuffle(docs, "doc_id", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // each epoch: a dense 0..n−1 sequence over every doc exactly once
+    for (e <- 0L to 2L) {
+      val ep = r.filter(_._1 == e)
+      assert(ep.map(_._2).sorted.toSeq == (0L until n))
+      assert(ep.map(_._3).distinct.length == n)
+    }
+    // the order is exactly the md5 rank (naive reference)
+    def hex(s: String) = MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+    val ids = docs.collect().map(_.getLong(0))
+    for (e <- 0L to 2L) {
+      val want = ids.sortBy(id => (hex(s"epoch#$e#$id"), id)).toSeq
+      val got = r.filter(_._1 == e).sortBy(_._2).map(_._3).toSeq
+      assert(got == want, s"epoch $e order mismatch")
+    }
+    // different epochs produce different orders (the point of the op)
+    val o0 = r.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    val o1 = r.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(o0 != o1)
+    // deterministic across runs
+    val again = Sampling.epochShuffle(docs, "doc_id", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("tokenBudgetSelect == greedy (score, md5, id) prefix at every budget") {
     import graft.functions.TextFunctions
     import java.security.MessageDigest
