@@ -163,7 +163,10 @@ object SparkEntry {
     * changes at the SAME timestamp where the seq tiebreak decides. Money
     * as integral cents per the oracle-parity discipline.
     */
-  private def q27CdcMerge(s: SparkSession, dir: String): DataFrame = {
+  /** q27/q51's shared synthetic change log over orders: out-of-order
+    * updates, deletes, NULL overwrites, and same-ts seq tiebreaks.
+    */
+  private def cdcChangeLog(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(s, dir).select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
@@ -184,10 +187,28 @@ object SparkEntry {
     val c4 = o.filter(col("k") % 3 === 1 && col("k") % 7 === 0).select(
       col("k"), lit("U").as("op"), col("ts_s"), lit(1L).as("seq"),
       lit("T1").as("status"), (col("price_cents") + 444L).as("price_cents"))
-    val changes = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    (snapshot, c1.unionByName(c2).unionByName(c3).unionByName(c4))
+  }
+
+  private def q27CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val (snapshot, changes) = cdcChangeLog(s, dir)
     ops.Cdc.applyChanges(snapshot, changes, "k", "ts_s", "seq", "op")
       .select(col("k").as("o_orderkey"), col("status"), col("price_cents"))
       .orderBy("o_orderkey")
+  }
+
+  /** SCD Type-2 history over q27's change log
+    * ([[ops.Cdc.scd2History]]): validity intervals from one
+    * key-partitioned lead window, deletes close versions, same-ts seq
+    * supersession yields zero-length intervals.
+    */
+  private def q51Scd2(s: SparkSession, dir: String): DataFrame = {
+    val (_, changes) = cdcChangeLog(s, dir)
+    ops.Cdc.scd2History(changes, "k", "ts_s", "seq", "op")
+      .select(col("k").as("o_orderkey"), col("status"), col("price_cents"),
+        col("valid_from"), col("valid_to"), col("version_seq"),
+        col("is_current"))
+      .orderBy("o_orderkey", "valid_from", "version_seq")
   }
 
   /** Ordered conversion funnel ([[ops.Funnel.funnel]], view → click →
@@ -4073,6 +4094,7 @@ object SparkEntry {
     "io10_jsonl" -> io10Jsonl _,
     "io11_orc" -> io11Orc _,
     "q27_cdc_merge" -> q27CdcMerge _,
+    "q51_scd2" -> q51Scd2 _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -6798,6 +6820,32 @@ object SparkEntry {
         |      FROM snap s FULL OUTER JOIN latest c ON s.k = c.k)
         |SELECT k AS o_orderkey, status, price_cents FROM m
         |WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // the same change log; versions opened per change, closed by the
+    // key's next (ts, seq), deletes close-without-emitting
+    "q51_scd2" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |        epoch_ns(o_orderdate) // 1000000000 AS ts_s FROM orders),
+        |ch AS (
+        |  SELECT k, 'U' AS op, ts_s, 1 AS seq, 'X1' AS status,
+        |         price_cents + 111 AS price_cents FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'D' ELSE 'U' END, ts_s + 86400, 1,
+        |         CASE WHEN k % 11 = 0 THEN NULL ELSE 'X2' END,
+        |         price_cents + 222 FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 2, 'T2', price_cents + 333 FROM o
+        |  WHERE k % 3 = 1 AND k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 1, 'T1', price_cents + 444 FROM o
+        |  WHERE k % 3 = 1 AND k % 7 = 0),
+        |v AS (SELECT ch.*, lead(ts_s) OVER (
+        |        PARTITION BY k ORDER BY ts_s, seq) AS valid_to FROM ch)
+        |SELECT k AS o_orderkey, status, price_cents,
+        |  ts_s AS valid_from, valid_to, CAST(seq AS BIGINT) AS version_seq,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY o_orderkey, valid_from, version_seq""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

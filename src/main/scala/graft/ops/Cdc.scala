@@ -46,4 +46,36 @@ object Cdc {
       .select(col(keyCol) +: dataCols.map(c =>
         when(present, col(s"c.$c")).otherwise(col(s"s.$c")).as(c)): _*)
   }
+
+  /** SCD Type-2 dimension history from the same change log
+    * [[applyChanges]] consumes: instead of keeping only the latest
+    * value, every non-delete change opens a VERSION valid from its
+    * `(ts, seq)` until the key's next change (`valid_to` null = still
+    * open); a delete closes the prior version and emits no row of its
+    * own. `is_current` marks open versions — the slowly-changing-
+    * dimension contract (Kimball type 2), the audit-trail complement to
+    * the latest-wins merge.
+    *
+    * Same-timestamp versions are ordered by `seq` (the log offset), so
+    * a superseded same-ts version gets a zero-length `[ts, ts)`
+    * interval — present in the history (the log really carried it),
+    * never matched by an as-of lookup.
+    *
+    * Scale shape: ONE key-partitioned window (the `lead` over
+    * `(ts, seq)`) — no self-join, no driver state; history building is
+    * embarrassingly key-parallel.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, opCol: String): DataFrame = {
+    val dataCols = changes.columns
+      .filterNot(Set(keyCol, tsCol, seqCol, opCol)).toSeq
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(col(keyCol) +: dataCols.map(col) :+
+        col(tsCol).as("valid_from") :+ col("valid_to") :+
+        col(seqCol).as("version_seq") :+
+        (col("valid_to").isNull).as("is_current"): _*)
+  }
 }

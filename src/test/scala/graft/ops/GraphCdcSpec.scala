@@ -104,6 +104,31 @@ class GraphCdcSpec extends SparkSpec {
       5L -> ((None, 52L))))       // seq tiebreak; NULL not resurrected
   }
 
+  test("scd2History: versions close at the next change; deletes close-only; same-ts supersession") {
+    import spark.implicits._
+    val changes = Seq(
+      // k=2: two versions, the first closes at ts 200
+      (2L, "U", 100L, 1L, Option("b1"), 21L),
+      (2L, "U", 200L, 1L, Option("b2"), 22L),
+      // k=3: one version, then a delete closes it — no delete row emitted
+      (3L, "U", 100L, 1L, Option("c1"), 31L),
+      (3L, "D", 300L, 1L, Option("x"), 0L),
+      // k=5: same ts, seq 1 superseded instantly → zero-length interval
+      (5L, "U", 100L, 2L, None, 52L),
+      (5L, "U", 100L, 1L, Option("e1"), 51L))
+      .toDF("k", "op", "ts", "seq", "s", "v")
+    val out = Cdc.scd2History(changes.repartition(3), "k", "ts", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getBoolean(6))).sortBy(t => (t._1, t._2, t._4))
+    assert(out.toSeq == Seq(
+      (2L, 100L, Some(200L), 1L, false),
+      (2L, 200L, None, 1L, true),
+      (3L, 100L, Some(300L), 1L, false),   // closed by the delete, not current
+      (5L, 100L, Some(100L), 1L, false),   // zero-length: superseded same-ts
+      (5L, 100L, None, 2L, true)))
+  }
+
   test("applyChanges rejects changes missing snapshot columns") {
     import spark.implicits._
     val snap = Seq((1L, "a")).toDF("k", "s")
