@@ -3868,6 +3868,29 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Snapshot isolation + time travel through the gate
+    * ([[graft.io.Snapshots]]): two append-commits, then BOTH versions
+    * read back through their manifests — v1 must still aggregate to its
+    * pre-v2 state (nothing rewritten), latest must see the union. The
+    * oracle replays both versions' content from the orders table.
+    */
+  private def io17Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "snapshots")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 4 =!= 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 4 === 0), table)
+    require(graft.io.Snapshots.latestVersion(s, table) == 2,
+      s"expected 2 committed versions at $table")
+    def agg(v: Int) = graft.io.Snapshots.read(s, table, Some(v))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_cents"))
+    agg(1).unionByName(agg(2)).orderBy("version")
+  }
+
   /** Corrupt-file tolerance — a junk file planted among valid parquet
     * parts must be SKIPPED, not fail the scan, under the per-read
     * `ignoreCorruptFiles` option (per-read, not session conf: the conf
@@ -4106,6 +4129,7 @@ object SparkEntry {
     "t32_token_dropout" -> t32TokenDropout _,
     "q34_grouping_sets" -> q34GroupingSets _,
     "io13_corrupt_files" -> io13CorruptFiles _,
+    "io17_snapshot" -> io17Snapshot _,
     "io14_zstd" -> io14Zstd _,
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
@@ -6600,6 +6624,18 @@ object SparkEntry {
     "io13_corrupt_files" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // both snapshots' contents replayed: v1 = the first commit's slice,
+    // v2 (latest) = the whole table — isolation means v1 never moves
+    "io17_snapshot" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM o WHERE k % 4 <> 0
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT) FROM o)
+        |ORDER BY version""".stripMargin,
     // per-character terms quantized to micro-nats BEFORE the per-doc sum
     // (order-free LONG total), c/n formed as one exact-long division
     "t31_char_entropy" ->

@@ -1,0 +1,56 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+
+  private def freshTable(): String = {
+    val t = s"/tmp/graft_io/snapspec/${java.util.UUID.randomUUID()}"
+    t
+  }
+
+  test("commit/read: versions accumulate; time travel reproduces history") {
+    import spark.implicits._
+    val t = freshTable()
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val v2 = Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    assert(v1 == 1 && v2 == 2 && Snapshots.latestVersion(spark, t) == 2)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 2)
+    assert(Snapshots.read(spark, t).count() == 3) // latest
+    assert(Snapshots.read(spark, t, Some(2)).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("isolation: a plan resolved at v1 is untouched by a later commit") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+    // resolve the reader BEFORE v2 exists — its file list is fixed
+    val readerAtV1 = Snapshots.read(spark, t)
+    Snapshots.commit(Seq((3L, 999L)).toDF("id", "v"), t)
+    assert(readerAtV1.agg(sum("v")).head.getLong(0) == 30L)
+    // and explicit time travel to v1 AFTER v2 gives the same answer
+    assert(Snapshots.read(spark, t, Some(1)).agg(sum("v")).head.getLong(0) == 30L)
+  }
+
+  test("atomic publish: a torn commit (data, no manifest) is invisible; retry lands") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    // simulate a writer that died after the data write, before publish:
+    // orphan data directory with NO manifest naming it
+    Seq((99L, "orphan")).toDF("id", "s").write.parquet(s"$t/data/c-orphan")
+    assert(Snapshots.latestVersion(spark, t) == 1)
+    assert(Snapshots.read(spark, t).count() == 1) // orphan never read
+    // the retried commit publishes cleanly despite the orphan
+    assert(Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t) == 2)
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("read before any commit fails loudly") {
+    val t = freshTable()
+    intercept[IllegalArgumentException] { Snapshots.read(spark, t) }
+  }
+}
