@@ -197,6 +197,21 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Interval-overlap join ([[ops.RangeJoin.intervalOverlapJoin]]):
+    * synthetic [ts, ts + (k%7+1)h] spans from orders, 8h buckets (≥ the
+    * max 7h length ⇒ ≤ 2 replicas per interval), canonical-bucket
+    * emission — exactly the theta join's pairs with zero dedup pass.
+    */
+  private def q52IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("ts"))
+    def iv(m: Int) = o.filter(col("k") % 20 === m).select(col("k"),
+      col("ts").as("s"), (col("ts") + (col("k") % 7 + 1) * 3600L).as("e"))
+    ops.RangeJoin.intervalOverlapJoin(iv(0), iv(1),
+        ("k", "k"), ("s", "s"), ("e", "e"), 8L * 3600L)
+      .orderBy("a_id", "b_id")
+  }
+
   /** SCD Type-2 history over q27's change log
     * ([[ops.Cdc.scd2History]]): validity intervals from one
     * key-partitioned lead window, deletes close versions, same-ts seq
@@ -4118,6 +4133,7 @@ object SparkEntry {
     "io11_orc" -> io11Orc _,
     "q27_cdc_merge" -> q27CdcMerge _,
     "q51_scd2" -> q51Scd2 _,
+    "q52_interval_join" -> q52IntervalJoin _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -6856,6 +6872,19 @@ object SparkEntry {
         |      FROM snap s FULL OUTER JOIN latest c ON s.k = c.k)
         |SELECT k AS o_orderkey, status, price_cents FROM m
         |WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // the bucketized path is lossless + exactly-once by the canonical-
+    // bucket pigeonhole, so the oracle is the plain theta join
+    "q52_interval_join" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        epoch_ns(o_orderdate) // 1000000000 AS ts FROM orders),
+        |a AS (SELECT k AS a_id, ts AS s, ts + (k % 7 + 1) * 3600 AS e
+        |      FROM o WHERE k % 20 = 0),
+        |b AS (SELECT k AS b_id, ts AS s, ts + (k % 7 + 1) * 3600 AS e
+        |      FROM o WHERE k % 20 = 1)
+        |SELECT a_id, b_id,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+        |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+        |ORDER BY a_id, b_id""".stripMargin,
     // the same change log; versions opened per change, closed by the
     // key's next (ts, seq), deletes close-without-emitting
     "q51_scd2" ->

@@ -47,4 +47,40 @@ object RangeJoin {
         col("__rus") >= col("__us") - beforeUs && col("__rus") <= col("__us"))
       .select((leftCols.map(col) ++ payloadCols.map(c => col(s"r_$c"))): _*)
   }
+
+  /** Interval-OVERLAP join: pairs `(a, b)` whose closed intervals
+    * `[a.start, a.end] ∩ [b.start, b.end] ≠ ∅` — span reconciliation
+    * (sessions × incidents, ad slots × deliveries, substring-span sets)
+    * that a raw `a.s <= b.e AND b.s <= a.e` predicate plans as a
+    * quadratic nested loop. Bucketized: each interval replicates to
+    * every `bucketWidth` bucket it covers (replication bounded by
+    * `maxLen/width + 1` — pick width near the p99 interval length), the
+    * join is an equi-join on the bucket with the exact overlap predicate
+    * as residual, and each qualifying pair is emitted EXACTLY ONCE with
+    * no distinct pass: only in the canonical bucket
+    * `floor(max(a.start, b.start) / width)` — overlap guarantees both
+    * sides cover it, uniqueness is arithmetic ([[graft.ops.Funnel]]-spec
+    * proves the same pigeonhole style for bitstrings).
+    *
+    * @return (idA, idB, overlap_s) — overlap length inclusive-seconds
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      idCols: (String, String), startCols: (String, String),
+      endCols: (String, String), bucketWidthS: Long): DataFrame = {
+    require(bucketWidthS > 0, s"bucket width must be positive: $bucketWidthS")
+    val w = bucketWidthS
+    def spread(df: DataFrame, id: String, s: String, e: String,
+        p: String): DataFrame =
+      df.select(col(id).as(s"${p}_id"), col(s).as(s"${p}_s"), col(e).as(s"${p}_e"))
+        .withColumn("__bkt",
+          explode(sequence(floor(col(s"${p}_s") / w), floor(col(s"${p}_e") / w))))
+    val av = spread(a, idCols._1, startCols._1, endCols._1, "a")
+    val bv = spread(b, idCols._2, startCols._2, endCols._2, "b")
+    av.join(bv, Seq("__bkt"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("__bkt") === floor(greatest(col("a_s"), col("b_s")) / w))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_s"))
+  }
 }

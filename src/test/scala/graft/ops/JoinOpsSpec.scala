@@ -119,4 +119,39 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("intervalOverlapJoin == naive theta join, exactly-once, on random spans") {
+    import spark.implicits._
+    // deterministic pseudo-random intervals spanning many buckets
+    def ivs(seed: Long, n: Int) = (0 until n).map { i =>
+      val s = (i * 9973 + seed * 131) % 5000
+      (seed * 1000 + i, s, s + 1 + (i * 37 + seed) % 900) // len 1..900
+    }
+    val a = ivs(1, 80).toDF("a_id", "s", "e")
+    val b = ivs(2, 80).toDF("b_id", "s", "e")
+    val got = RangeJoin.intervalOverlapJoin(a.repartition(3), b.repartition(5),
+        ("a_id", "b_id"), ("s", "s"), ("e", "e"), 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly-once: no pair appears twice
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+    // equality with the naive quadratic reference, overlap lengths included
+    val want = for {
+      (ai, as_, ae) <- ivs(1, 80)
+      (bi, bs, be) <- ivs(2, 80)
+      if as_ <= be && bs <= ae
+    } yield (ai, bi, math.min(ae, be).toLong - math.max(as_, bs).toLong)
+    assert(got.sorted.toSeq == want.sorted.map(t => (t._1, t._2, t._3)))
+    assert(got.nonEmpty)
+  }
+
+  test("intervalOverlapJoin plans as an equi-join on the bucket — no nested loop") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 100L)).toDF("a_id", "s", "e")
+    val b = Seq((2L, 50L, 150L)).toDF("b_id", "s", "e")
+    val plan = RangeJoin.intervalOverlapJoin(a, b,
+        ("a_id", "b_id"), ("s", "s"), ("e", "e"), 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
