@@ -62,6 +62,12 @@ object RangeJoin {
     * sides cover it, uniqueness is arithmetic ([[graft.ops.Funnel]]-spec
     * proves the same pigeonhole style for bitstrings).
     *
+    * Intervals must be well-formed (`start <= end`): an inverted row
+    * would replicate to a DESCENDING bucket sequence (empty under
+    * Spark's step inference rules is not guaranteed) and could miss its
+    * canonical bucket — gate ingest with t19's profiler or a
+    * `filter(s <= e)` when the source can't promise it.
+    *
     * @return (idA, idB, overlap_s) — overlap length inclusive-seconds
     */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame,
