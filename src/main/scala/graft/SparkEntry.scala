@@ -2535,6 +2535,18 @@ object SparkEntry {
     ops.Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", 2)
       .orderBy("epoch", "seq")
 
+  /** Kneser–Ney bigram surprisal ([[ops.Curation.knSurprisal]],
+    * D = 0.75): the production-grade perplexity filter (CCNet/KenLM
+    * smoothing semantics) above t23's plain interpolation. The oracle
+    * replays the bigram type table, all three KN statistics (left
+    * marginal, continuation/context type counts, total types), the
+    * fixed-order double assembly, and the micro-nat fixed point.
+    */
+  private def t60KnSurprisal(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.knSurprisal(Tables.documents(s, dir), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Per-config recall floors, measured fixture values with slack — a
     * banding regression (hash drift, band mis-grouping, a broken verify
     * join) trips these instantly.
@@ -4122,6 +4134,7 @@ object SparkEntry {
     "t57_segment_dedup" -> t57SegmentDedup _,
     "t58_token_budget" -> t58TokenBudget _,
     "t59_epoch_shuffle" -> t59EpochShuffle _,
+    "t60_kn_surprisal" -> t60KnSurprisal _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -7077,6 +7090,33 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY epoch ORDER BY ord) - 1 AS seq,
         |  doc_id
         |FROM o ORDER BY epoch, seq""".stripMargin,
+    // bigram type table + all three KN statistics (left marginal,
+    // continuation/context types, total types) + the fixed-order double
+    // assembly + micro-nat fixed point, replayed exactly
+    "t60_kn_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksSql("text")} AS tk FROM documents),
+        |pos AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |          i -> [tk[i], tk[i+1]])) AS p
+        |        FROM tk WHERE len(tk) >= 2),
+        |pp AS (SELECT doc_id, p[1] AS ta, p[2] AS tb FROM pos),
+        |bcnt AS (SELECT ta, tb, count(*) AS c_ab FROM pp GROUP BY 1, 2),
+        |l AS (SELECT ta, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1p_a
+        |      FROM bcnt GROUP BY ta),
+        |r AS (SELECT tb, count(*) AS n1p_b FROM bcnt GROUP BY tb),
+        |tt AS (SELECT count(*) AS tt FROM bcnt),
+        |sc AS (SELECT bcnt.ta, bcnt.tb,
+        |         CAST(round(-ln(((CAST(c_ab AS DOUBLE) - CAST(750000 AS DOUBLE) / 1000000.0)
+        |                        + CAST(750000 AS DOUBLE) / 1000000.0 * n1p_a * n1p_b / tt.tt)
+        |                       / c_a) * 1000000, 0) AS BIGINT) AS s_micro
+        |       FROM bcnt JOIN l ON bcnt.ta = l.ta
+        |                 JOIN r ON bcnt.tb = r.tb CROSS JOIN tt),
+        |d AS (SELECT pp.doc_id, count(*) AS n_bigrams,
+        |        CAST(sum(sc.s_micro) AS BIGINT) AS ssum
+        |      FROM pp JOIN sc ON pp.ta = sc.ta AND pp.tb = sc.tb
+        |      GROUP BY pp.doc_id)
+        |SELECT doc_id, n_bigrams,
+        | round(ssum / n_bigrams / 1000000, 6) AS kn_surprisal
+        |FROM d ORDER BY doc_id""".stripMargin,
     // split buckets + BOTH sides' signatures/bands + the cross-band join
     // + exact-Jaccard verify, replayed end to end
     "d27_fuzzy_decontam" ->

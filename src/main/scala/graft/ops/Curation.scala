@@ -230,6 +230,84 @@ object Curation {
         round(col("ssum").cast("double") / col("n_bigrams") / 1e6, 6).as("surprisal"))
   }
 
+  /** Kneser–Ney-interpolated bigram surprisal — the top LM rung above
+    * [[bigramSurprisal]] and the smoothing the production perplexity
+    * filters (CCNet-style KenLM gating) actually use: score each doc by
+    * `−mean ln p_KN(w_i | w_{i−1})` under absolute discounting with a
+    * continuation-probability backoff,
+    * `p_KN(b|a) = (c(ab) − D)/c(a) + D·N1+(a·)/c(a) · N1+(·b)/T`,
+    * where `c(a) = Σ_b c(ab)` (bigram-table left marginal — the standard
+    * KN normalizer, NOT the raw unigram count: it differs at document
+    * boundaries and only the marginal makes the distribution sum to 1),
+    * `N1+(a·)` / `N1+(·b)` are distinct-continuation / distinct-context
+    * type counts, and `T` is the total observed-bigram type count. KN's
+    * insight over plain interpolation: the backoff weight of a word is
+    * how many CONTEXTS it completes ("Francisco" is frequent but follows
+    * only "San" — its continuation probability is tiny, so boilerplate
+    * n-grams stop masquerading as fluent text). In-corpus scoring means
+    * every scored bigram is observed, so with `0 < D < 1` the discounted
+    * term is positive and no ln(0) exists.
+    *
+    * Engine parity: every count is an exact LONG from one aggregate;
+    * the probability is assembled in the DOUBLE domain in a fixed
+    * operation order — `((c_ab − Dµ/1e6) + Dµ/1e6 · n1p_a · n1p_b / T)
+    * / c_a` with the discount carried as integer micro-units (`Dµ/1e6`
+    * constant-folds to the SAME exactly-representable double in both
+    * engines for the 0.75 default; a bare `0.75` literal would be
+    * DECIMAL in DuckDB) — then ONE ln, micro-nat-rounded immediately
+    * ([[unigramSurprisal]]'s fixed-point rule), LONG-summed order-free,
+    * divided once at emit. The `n1p_a·n1p_b` double product is bounded
+    * by vocab² ≈ 10¹⁴ — inside the 2⁵³ exact-integer window even
+    * web-scale.
+    *
+    * Plan shape: ONE bigram-explode pass (persisted) feeds the type
+    * table; all three KN statistics (left marginal + continuation
+    * types, context types, total types) are vocab-sized aggregates OVER
+    * the type table, broadcast back onto it; the per-position scoring
+    * join broadcasts the scored-bigram table — same Zipf-skew posture
+    * as [[bigramSurprisal]] (shuffling position rows on raw bigram keys
+    * mega-skews on "of the"; broadcasting the vocab-bounded scored side
+    * keeps the corpus-sized side shuffle-free). A corpus whose
+    * observed-bigram table outgrows broadcast salts the scoring join
+    * k-ways instead ([[SkewJoin]]'s shape).
+    */
+  def knSurprisal(df: DataFrame, textCol: String, idCol: String,
+      discountMicro: Long = 750000L): DataFrame = {
+    require(discountMicro > 0 && discountMicro < 1000000L,
+      s"bad discount $discountMicro")
+    val toks = TextFunctions.tokens(col(textCol))
+    val pos = df.select(col(idCol).as("id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("id"), col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcnt = pos.groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = bcnt.groupBy("ta")
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_a"))
+    val right = bcnt.groupBy("tb").agg(count(lit(1)).as("n1p_b"))
+    val total = bcnt.agg(count(lit(1)).as("tt"))
+    val d = lit(discountMicro.toDouble) / lit(1000000.0)
+    val scored = bcnt
+      .join(broadcast(left), "ta")
+      .join(broadcast(right), "tb")
+      .crossJoin(broadcast(total))
+      .select(col("ta"), col("tb"),
+        round(-log(
+          ((col("c_ab").cast("double") - d)
+            + d * col("n1p_a") * col("n1p_b") / col("tt"))
+            / col("c_a")) * 1e6, 0).cast("long").as("s_micro"))
+    pos.join(broadcast(scored), Seq("ta", "tb"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s_micro")).as("ssum"))
+      .select(col("id"), col("n_bigrams"),
+        round(col("ssum").cast("double") / col("n_bigrams") / 1e6, 6)
+          .as("kn_surprisal"))
+  }
+
   /** Top-k adjacent-token collocations by pointwise mutual information —
     * phrase mining over the corpus (multi-word entities, idioms,
     * domain terms): `pmi(a,b) = ln(p(a,b) / (p(a)·p(b)))` over raw

@@ -233,6 +233,59 @@ class CurationSpec extends SparkSpec {
     assert(pmiOf("zig zag") > pmiOf("the cat"))
   }
 
+  test("knSurprisal: hand-computed Kneser-Ney probabilities on a tiny corpus") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "san francisco"), (2L, "san francisco"), (3L, "new york")
+    ).toDF("doc_id", "text")
+    // type table: (san,francisco) c_ab=2; (new,york) c_ab=1; T=2
+    // p(francisco|san) = (2-.75)/2 + .75*(1/2)*(1/2) = 0.8125
+    // p(york|new)      = (1-.75)/1 + .75*(1/1)*(1/2) = 0.625
+    val r = Curation.knSurprisal(df, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("n_bigrams")).toSeq == Seq(1L, 1L, 1L))
+    val s = r.map(_.getAs[Double]("kn_surprisal"))
+    assert(s(0) == math.rint(-math.log(0.8125) * 1e6) / 1e6, s.toSeq.toString)
+    assert(s(1) == s(0))
+    assert(s(2) == math.rint(-math.log(0.625) * 1e6) / 1e6, s.toSeq.toString)
+  }
+
+  test("knSurprisal: continuation backoff punishes one-context tokens (the KN property)") {
+    import spark.implicits._
+    // "francisco" appears 6 times but ALWAYS after "san" (1 context);
+    // "runs" appears 6 times after 6 DIFFERENT words. Under plain
+    // interpolation both unseen-backoffs would look identical (same
+    // unigram count); under KN the (x,runs) bigrams carry higher
+    // continuation mass, so a doc of one-context boilerplate scores
+    // LESS fluent (higher surprisal) on its backoff term. Gate the
+    // statistic that drives it: n1p_b(francisco)=1 vs n1p_b(runs)=6.
+    val rows = Seq.fill(6)("san francisco") ++
+      Seq("cat runs", "dog runs", "horse runs", "fox runs", "mouse runs", "wolf runs")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val pos = df.select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("ta"), b.as("tb")))).as("p"))
+      .select(col("p.ta"), col("p.tb"))
+    val n1pB = pos.groupBy("ta", "tb").count()
+      .groupBy("tb").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n1pB("francisco") == 1L && n1pB("runs") == 6L)
+    // and the full scores are finite and positive for every doc
+    val out = Curation.knSurprisal(df, "text", "doc_id").collect()
+    assert(out.length == 12 &&
+      out.forall(r => r.getAs[Double]("kn_surprisal") > 0.0))
+  }
+
+  test("knSurprisal is partitioning-independent (fixed-point sums)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(parts: Int) =
+      Curation.knSurprisal(docs.repartition(parts), "text", "doc_id")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(2) == run(17))
+  }
+
   test("unigramSurprisal is partitioning-independent (fixed-point sums)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(parts: Int) =
