@@ -226,6 +226,40 @@ object SparkEntry {
       .orderBy("o_orderkey", "valid_from", "version_seq")
   }
 
+  /** Bitemporal history ([[ops.Cdc.bitemporalHistory]]): q51's change
+    * log reshaped into two transaction batches — batch 1 carries the
+    * original updates/deletes, batch 2 retroactively corrects the even
+    * keys AT THE SAME valid timestamp (higher seq) — so corrected keys
+    * carry both the superseded timeline (closed tx interval) and the
+    * restated one. The oracle replays the per-key batch list, the
+    * `tx ≤ tx_from` restatement join, and both leads.
+    */
+  private def q53Bitemporal(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+      unix_timestamp(col("o_orderdate")).as("ts_s"))
+    val c1 = o.filter(col("k") % 3 === 0).select(
+      col("k"), lit("U").as("op"), col("ts_s"), lit(1L).as("seq"),
+      lit(1L).as("tx"), lit("X1").as("status"),
+      (col("price_cents") + 111L).as("price_cents"))
+    val c2 = o.filter(col("k") % 3 === 0).select(
+      col("k"), when(col("k") % 5 === 0, "D").otherwise("U").as("op"),
+      (col("ts_s") + 86400L).as("ts_s"), lit(1L).as("seq"),
+      lit(1L).as("tx"), lit("X2").as("status"),
+      (col("price_cents") + 222L).as("price_cents"))
+    val c5 = o.filter(col("k") % 3 === 0 && col("k") % 2 === 0).select(
+      col("k"), lit("U").as("op"), col("ts_s"), lit(2L).as("seq"),
+      lit(2L).as("tx"), lit("R1").as("status"),
+      (col("price_cents") + 555L).as("price_cents"))
+    val changes = c1.unionByName(c2).unionByName(c5)
+    ops.Cdc.bitemporalHistory(changes, "k", "ts_s", "seq", "op", "tx")
+      .select(col("k").as("o_orderkey"), col("status"), col("price_cents"),
+        col("valid_from"), col("valid_to"), col("version_seq"),
+        col("tx_from"), col("tx_to"), col("is_current"))
+      .orderBy("o_orderkey", "tx_from", "valid_from", "version_seq")
+  }
+
   /** Ordered conversion funnel ([[ops.Funnel.funnel]], view → click →
     * purchase): earliest reach time per step, each step gated on the
     * previous step's timestamp — per-user drop-off depth. Epoch-second
@@ -4147,6 +4181,7 @@ object SparkEntry {
     "q27_cdc_merge" -> q27CdcMerge _,
     "q51_scd2" -> q51Scd2 _,
     "q52_interval_join" -> q52IntervalJoin _,
+    "q53_bitemporal" -> q53Bitemporal _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -6924,6 +6959,35 @@ object SparkEntry {
         |  (valid_to IS NULL) AS is_current
         |FROM v WHERE op <> 'D'
         |ORDER BY o_orderkey, valid_from, version_seq""".stripMargin,
+    // two tx batches; per-key batch list + tx<=tx_from restatement join
+    // + per-(key, tx_from) valid-interval lead, replayed end to end
+    "q53_bitemporal" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |        epoch_ns(o_orderdate) // 1000000000 AS ts_s FROM orders),
+        |ch AS (
+        |  SELECT k, 'U' AS op, ts_s, 1 AS seq, 1 AS tx, 'X1' AS status,
+        |         price_cents + 111 AS price_cents FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'D' ELSE 'U' END, ts_s + 86400,
+        |         1, 1, 'X2', price_cents + 222 FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 2, 2, 'R1', price_cents + 555 FROM o
+        |  WHERE k % 3 = 0 AND k % 2 = 0),
+        |b AS (SELECT k, tx AS tx_from,
+        |        lead(tx) OVER (PARTITION BY k ORDER BY tx) AS tx_to
+        |      FROM (SELECT DISTINCT k, tx FROM ch)),
+        |j AS (SELECT ch.k, ch.op, ch.ts_s, ch.seq, ch.status, ch.price_cents,
+        |        b.tx_from, b.tx_to
+        |      FROM ch JOIN b ON ch.k = b.k AND ch.tx <= b.tx_from),
+        |v AS (SELECT j.*, lead(ts_s) OVER (
+        |        PARTITION BY k, tx_from ORDER BY ts_s, seq) AS valid_to FROM j)
+        |SELECT k AS o_orderkey, status, price_cents,
+        |  ts_s AS valid_from, valid_to, CAST(seq AS BIGINT) AS version_seq,
+        |  CAST(tx_from AS BIGINT) AS tx_from, CAST(tx_to AS BIGINT) AS tx_to,
+        |  (valid_to IS NULL AND tx_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY o_orderkey, tx_from, valid_from, version_seq""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

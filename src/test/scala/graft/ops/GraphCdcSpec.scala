@@ -129,6 +129,45 @@ class GraphCdcSpec extends SparkSpec {
       (5L, 100L, None, 2L, true)))
   }
 
+  test("bitemporalHistory: retroactive correction restates under a new tx, audit trail survives") {
+    import spark.implicits._
+    val changes = Seq(
+      // k=2: batch 1 writes two versions; batch 2 retroactively corrects
+      // the FIRST version (same valid ts 100, higher seq)
+      (2L, "U", 100L, 1L, 1L, "b1", 21L),
+      (2L, "U", 200L, 1L, 1L, "b2", 22L),
+      (2L, "U", 100L, 2L, 2L, "b1fix", 29L),
+      // k=3: single batch, version then delete — delete closes, no row
+      (3L, "U", 100L, 1L, 1L, "c1", 31L),
+      (3L, "D", 300L, 1L, 1L, "x", 0L))
+      .toDF("k", "op", "ts", "seq", "tx", "s", "v")
+    val hist = Cdc.bitemporalHistory(changes.repartition(3),
+      "k", "ts", "seq", "op", "tx")
+    val out = hist.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getLong(6), Option(r.get(7)).map(_.asInstanceOf[Long]),
+        r.getBoolean(8)))
+      .sortBy(t => (t._1, t._5, t._3, t._2)).toSeq
+    assert(out == Seq(
+      // k=2 as-of tx 1: the ORIGINAL timeline, tx interval closed by tx 2
+      (2L, "b1", 100L, Some(200L), 1L, Some(2L), false),
+      (2L, "b2", 200L, None, 1L, Some(2L), false),
+      // k=2 as-of tx 2: b1 superseded same-ts (zero-length), fix spans
+      (2L, "b1", 100L, Some(100L), 2L, None, false),
+      (2L, "b1fix", 100L, Some(200L), 2L, None, false),
+      (2L, "b2", 200L, None, 2L, None, true),
+      // k=3: one restatement, closed by the delete
+      (3L, "c1", 100L, Some(300L), 1L, None, false)), out.toString)
+    // point-in-time: what did we believe at tx 1 about valid time 150?
+    val asOf = Cdc.asOfBitemporal(hist, lit(1L), lit(150L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(asOf == Seq((2L, "b1"), (3L, "c1")))
+    // ...and at tx 2 the correction has replaced b1
+    val asOf2 = Cdc.asOfBitemporal(hist, lit(2L), lit(150L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(asOf2 == Seq((2L, "b1fix"), (3L, "c1")))
+  }
+
   test("applyChanges rejects changes missing snapshot columns") {
     import spark.implicits._
     val snap = Seq((1L, "a")).toDF("k", "s")
