@@ -2321,6 +2321,23 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** HITS hubs/authorities ([[ops.Graph.hits]], 2 iterations) over g1's
+    * shard graph: mutual hub/authority recursion with L1 nano
+    * renormalization each half-step — the DECIMAL(38) `div` rescale and
+    * both LONG half-step sums replayed exactly by the oracle's
+    * unrolled rounds.
+    */
+  private def g8Hits(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(s, dir)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .unionByName(Tables.documents(s, dir)
+        .select(shard.as("src"), ((shard * 17 + 3) % 500).as("dst")))
+      .distinct()
+    ops.Graph.hits(edges, "src", "dst", iters = 2)
+      .orderBy("node_id")
+  }
+
   /** Personalized PageRank ([[ops.Graph.personalizedPageRank]], seeds
     * 0–4, 3 iterations) over g1's shard graph: teleport mass splits
     * over the seed set only, so rank measures authority RELATIVE to the
@@ -4199,6 +4216,7 @@ object SparkEntry {
     "g3_communities" -> g3Communities _,
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
     "g7_kcore" -> g7Kcore _,
+    "g8_hits" -> g8Hits _,
     "g5_bfs_distances" -> g5BfsDistances _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
@@ -4582,6 +4600,26 @@ object SparkEntry {
     * `nodes(id)`, `nn(n)`, `od(src,outdeg)` and the previous round
     * `r{i-1}(id, r)`.
     */
+  /** One unrolled HITS round: authority half-step (join + sum + L1
+    * HUGEINT rescale, DuckDB's exact analogue of Spark's DECIMAL(38)
+    * `div`), then the hub half-step over the fresh authorities.
+    */
+  private def hitsIterSql(i: Int): String = {
+    val p = s"h${i - 1}"
+    s"""ar$i AS (SELECT e.dst AS v, CAST(sum(hh.h) AS BIGINT) AS araw
+      |       FROM e JOIN $p hh ON hh.id = e.src GROUP BY e.dst),
+      |sa$i AS (SELECT CAST(sum(araw) AS HUGEINT) AS s FROM ar$i),
+      |a$i AS (SELECT nodes.id,
+      |        CAST(CAST(coalesce(ar$i.araw, 0) AS HUGEINT) * 1000000000 // sa$i.s AS BIGINT) AS a
+      |       FROM nodes CROSS JOIN sa$i LEFT JOIN ar$i ON ar$i.v = nodes.id),
+      |hr$i AS (SELECT e.src AS u, CAST(sum(aa.a) AS BIGINT) AS hraw
+      |       FROM e JOIN a$i aa ON aa.id = e.dst GROUP BY e.src),
+      |sh$i AS (SELECT CAST(sum(hraw) AS HUGEINT) AS s FROM hr$i),
+      |h$i AS (SELECT nodes.id,
+      |        CAST(CAST(coalesce(hr$i.hraw, 0) AS HUGEINT) * 1000000000 // sh$i.s AS BIGINT) AS h
+      |       FROM nodes CROSS JOIN sh$i LEFT JOIN hr$i ON hr$i.u = nodes.id)""".stripMargin
+  }
+
   private def pageRankIterSql(i: Int): String = {
     val p = s"r${i - 1}"
     s"""f$i AS (SELECT e.dst AS id, CAST(sum($p.r // od.outdeg) AS BIGINT) AS inflow
@@ -6796,6 +6834,21 @@ object SparkEntry {
         |    ELSE NULL END AS zscore
         |FROM w ORDER BY user_id, event_id""".stripMargin,
     // three PageRank rounds unrolled, every rank exact integer nano-units
+    // both unrolled rounds: LONG half-step sums + HUGEINT L1 rescale
+    // (exact analogue of Spark's DECIMAL(38) div), floor-truncating
+    "g8_hits" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 31 + 7) % 500 AS dst FROM documents
+        |  UNION
+        |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 17 + 3) % 500 AS dst FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |h0 AS (SELECT nodes.id, 1000000000 // nn.n AS h FROM nodes CROSS JOIN nn),
+        |${hitsIterSql(1)},
+        |${hitsIterSql(2)}
+        |SELECT h2.id AS node_id, CAST(h2.h AS BIGINT) AS hub_nano,
+        |  CAST(a2.a AS BIGINT) AS auth_nano
+        |FROM h2 JOIN a2 ON a2.id = h2.id ORDER BY node_id""".stripMargin,
     "g1_pagerank" ->
       s"""WITH e AS (
         |  SELECT DISTINCT doc_id % 500 AS src, ((doc_id % 500) * 31 + 7) % 500 AS dst FROM documents

@@ -357,4 +357,77 @@ object Graph {
     if (rounds % checkpointEvery == 0) { nodes.unpersist(); e.unpersist() }
     labels.select(col("id").as("node_id"), col("label"))
   }
+
+  /** HITS hubs & authorities (Kleinberg) — the asymmetric complement to
+    * [[pageRank]]: a node is a good AUTHORITY when good hubs link to it
+    * and a good HUB when it links to good authorities, the
+    * link-directory / citation structure PageRank's single score
+    * conflates (a crawl index page can be a top hub with zero
+    * authority). Mutual recursion, fixed iteration count:
+    * `a'(v) = Σ_{u→v} h(u)`, `h'(u) = Σ_{u→v} a'(v)`, each half-step
+    * L1-renormalized to nano mass 1e9.
+    *
+    * Determinism discipline: classic HITS renormalizes by the L2 norm —
+    * a `sqrt` no integer fixed point survives — so this op uses L1
+    * (sum) normalization instead, which has the SAME fixed-point
+    * direction (normalization only rescales; the principal eigenvector
+    * is scale-free) and is exactly replayable: raw sums are LONG
+    * (bounded by 1e9·max-degree — audit: overflow needs in-degree
+    * > 9×10⁹, impossible below ~10 B nodes; lift the raw sums to
+    * DECIMAL(38,0) past that), and the rescale
+    * `raw·1e9 div Σraw` runs in DECIMAL(38,0) with integral `div`
+    * (the product alone passes 2⁶³ — ≤ 10²⁵ ≪ 10³⁸), floor-truncating
+    * identically in Spark and ANSI SQL. Total mass leaks < 1e-9/node to
+    * truncation, [[pageRank]]'s documented dust.
+    *
+    * Scale shape: per half-step ONE keyed join of the persisted edge
+    * list against a 2-column score frame + a partial-aggregable LONG
+    * sum; the normalizer enters as a broadcast 1-row aggregate (never a
+    * `.collect()`); `localCheckpoint` per round truncates lineage.
+    * Nodes with no in-links (resp. out-links) hold authority (resp.
+    * hub) 0 — kept in the output, they are the graph's pure hubs/sinks.
+    *
+    * @return (node_id LONG, hub_nano LONG, auth_nano LONG) — L1 mass
+    *         1e9 per axis, minus truncation dust.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, s"bad checkpointEvery $checkpointEvery")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nFrame = nodes.agg(count(lit(1)).as("n"))
+    var hubs = nodes.crossJoin(broadcast(nFrame))
+      .select(col("id"), expr("1000000000 div n").as("h"))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val araw = e.join(hubs, col("id") === col("src"))
+        .groupBy(col("dst").as("v")).agg(sum("h").as("araw"))
+      val asum = araw.agg(sum(col("araw").cast("decimal(38,0)")).as("s"))
+      auth = nodes.join(araw, col("id") === col("v"), "left")
+        .crossJoin(broadcast(asum))
+        .select(col("id"), expr(
+          "CAST(coalesce(araw, 0) AS DECIMAL(38,0)) * 1000000000 div s").as("a"))
+      val hraw = e.join(auth, col("id") === col("dst"))
+        .groupBy(col("src").as("u")).agg(sum("a").as("hraw"))
+      val hsum = hraw.agg(sum(col("hraw").cast("decimal(38,0)")).as("s"))
+      val nextH = nodes.join(hraw, col("id") === col("u"), "left")
+        .crossJoin(broadcast(hsum))
+        .select(col("id"), expr(
+          "CAST(coalesce(hraw, 0) AS DECIMAL(38,0)) * 1000000000 div s").as("h"))
+      if ((it + 1) % checkpointEvery == 0) {
+        hubs = nextH.localCheckpoint(); auth = auth.localCheckpoint()
+      } else hubs = nextH
+      it += 1
+    }
+    hubs.join(auth.select(col("id").as("aid"), col("a")),
+        col("id") === col("aid"))
+      .select(col("id").as("node_id"), col("h").as("hub_nano"),
+        col("a").as("auth_nano"))
+  }
 }

@@ -264,6 +264,49 @@ class GraphCdcSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hits: pure hub and pure authority separate; hand-computed one round") {
+    import spark.implicits._
+    // 0→2, 1→2: node 2 is the sole authority, 0/1 pure hubs
+    val e = Seq((0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1).toSeq
+    // h0 = 1e9 div 3 = 333333333 each.
+    // araw(2) = 2·333333333; rescale → a(2) = 1e9, a(0)=a(1)=0.
+    // hraw(0) = hraw(1) = 1e9; rescale → h = 1e9·1e9 div 2e9 = 5e8.
+    assert(r == Seq((0L, 500000000L, 0L), (1L, 500000000L, 0L),
+      (2L, 0L, 1000000000L)), r.toString)
+  }
+
+  test("hits: a directory page is a top hub with zero authority; mass conserved") {
+    import spark.implicits._
+    // "directory" 9 links to every leaf; leaves link each other sparsely
+    val dir9 = (0L until 6L).map(v => (9L, v))
+    val chain = (0L until 5L).map(v => (v, v + 1))
+    val e = (dir9 ++ chain).toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iters = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    // the directory out-links dominate every chain node's single out-link
+    assert(out.forall { case (id, h, _) => id == 9L || h <= byId(9L)._2 })
+    assert(byId(9L)._3 == 0L) // nothing links TO the directory
+    // L1 mass ≈ 1e9 per axis minus truncation dust (< 1 nano per node)
+    val hubMass = out.map(_._2).sum
+    val authMass = out.map(_._3).sum
+    assert(hubMass > 1000000000L - out.length && hubMass <= 1000000000L)
+    assert(authMass > 1000000000L - out.length && authMass <= 1000000000L)
+  }
+
+  test("hits is partitioning-invariant (integer fixed point)") {
+    import spark.implicits._
+    val e = (0 until 60).map(i => (i.toLong % 13, (i * 7 + 3).toLong % 13))
+      .toDF("src", "dst")
+    def run(parts: Int) = Graph.hits(e.repartition(parts), "src", "dst", 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run(2) == run(11))
+  }
+
   test("kCore: tail peels in cascade, clique survives, convergence gated") {
     // 4-clique (degree 3 each) with a 3-node pendant chain hanging off it
     val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
