@@ -3281,6 +3281,57 @@ object SparkEntry {
       .orderBy("method")
   }
 
+  /** Recall-vs-nprobe OPERATING CURVE — sim15 grades three methods at
+    * one operating point; this grades ONE method (sim8's trained IVF)
+    * across its probe dial, the table a user actually tunes from:
+    * recall@3 at nprobe ∈ {1, 2, 4} against sim1's brute-force cosine
+    * truth, computed distributed (the driver sees 3 rows). Two hard
+    * invariants are gated, not just measured: (a) MONOTONICITY — a
+    * larger probe set is a superset of a smaller one over the same
+    * cells, so recall can never decrease in nprobe (a violation means
+    * the probe ranking or the cell restriction is broken); (b) the
+    * EXACTNESS ENDPOINT — at nprobe = #cells (4 trained centroids) the
+    * cell restriction vanishes and the "approximate" search must equal
+    * exact brute force, recall = 1.0 bit-for-bit (same rounded-cosine,
+    * same nn_id tiebreak). The curve in between is the finding:
+    * measured 0.6→0.9→1.0 at sf0.01 — each probed cell buys ~1/k of
+    * the corpus scanned, and THIS table is what prices that trade.
+    */
+  private def sim21NprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.VecExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val cents = trainedCents(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = ops.Similarity.bruteForceTopK(e, q, 3)
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rec(nprobe: Int): DataFrame = {
+      val hits = ops.Similarity.ivfTopKWith(e, q, 3, nprobe, cents)
+        .select(col("query_id"), col("nn_id"))
+        .join(truth, Seq("query_id", "nn_id"))
+      truth.agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_true"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(nprobe.toLong).as("nprobe"), col("n_queries"),
+          col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"))
+    }
+    val out = rec(1).unionByName(rec(2)).unionByName(rec(4)).orderBy("nprobe")
+    val rows = out.collect()
+    truth.unpersist(); cents.unpersist()
+    val curve = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    require(curve.zip(curve.tail).forall { case (lo, hi) => lo <= hi },
+      s"IVF recall not monotone in nprobe: ${curve.toSeq} — probe ranking " +
+        "or cell restriction is broken")
+    require(curve.last == 1.0,
+      s"nprobe = #cells must reproduce exact search, got recall ${curve.last}")
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("nprobe")
+  }
+
   // ---------------------------------------------------------------------
   // Sparse + hybrid retrieval tier (ops.Retrieval)
   // ---------------------------------------------------------------------
@@ -4172,6 +4223,7 @@ object SparkEntry {
     "sim13_ivfadc" -> sim13IvfAdc _,
     "sim14_quant_audit" -> sim14QuantAudit _,
     "sim15_recall" -> sim15Recall _,
+    "sim21_nprobe_curve" -> sim21NprobeCurve _,
     "sim16_hybrid" -> sim16Hybrid _,
     "sim17_ndcg" -> sim17Ndcg _,
     "sim18_filtered_ann" -> sim18FilteredAnn _,
@@ -4682,7 +4734,8 @@ object SparkEntry {
     * in one statement for the sim15 recall gate). Expects `e` and `n`;
     * emits `r$sfx(query_id, nn_id, rank)` ranked by (cosine DESC, nn_id).
     */
-  private def ivfRankSql(sfx: String, centsFrom: String): String =
+  private def ivfRankSql(sfx: String, centsFrom: String,
+      nprobe: Int = 2): String =
     s"""cents$sfx AS ($centsFrom),
       |ca$sfx AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
       |       FROM e x CROSS JOIN cents$sfx c),
@@ -4691,7 +4744,7 @@ object SparkEntry {
       |pa$sfx AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
       |       FROM e x CROSS JOIN cents$sfx c WHERE x.vec_id < 10),
       |probes$sfx AS (SELECT query_id, cent_id FROM (
-      |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa$sfx) WHERE r <= 2),
+      |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa$sfx) WHERE r <= $nprobe),
       |p$sfx AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
       |      FROM probes$sfx pr JOIN cell$sfx ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
       |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
@@ -5923,6 +5976,43 @@ object SparkEntry {
         | CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
         | round(CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS recall
         |FROM ms CROSS JOIN base ORDER BY method""".stripMargin
+    },
+    // trained-IVF recall replayed at all three probe widths against the
+    // brute-force truth — same kmeans CTEs, same rounded-cosine ranks
+    "sim21_nprobe_curve" -> {
+      s"""WITH $kmeansSql,
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |pt AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${cosineSql("q", "c")} AS cosine
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |rt AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM pt),
+        |${ivfRankSql("_p1", "SELECT cent_id, v FROM f2", 1)},
+        |${ivfRankSql("_p2", "SELECT cent_id, v FROM f2", 2)},
+        |${ivfRankSql("_p4", "SELECT cent_id, v FROM f2", 4)},
+        |base AS (SELECT count(DISTINCT query_id) AS n_queries FROM rt),
+        |ms AS (
+        |  SELECT 1 AS nprobe,
+        |    (SELECT count(*) FROM r_p1 a JOIN rt t
+        |      ON a.query_id = t.query_id AND a.nn_id = t.nn_id AND t.rank <= 3
+        |      WHERE a.rank <= 3) AS n_hits,
+        |    (SELECT count(*) FROM rt WHERE rank <= 3) AS n_true
+        |  UNION ALL
+        |  SELECT 2,
+        |    (SELECT count(*) FROM r_p2 a JOIN rt t
+        |      ON a.query_id = t.query_id AND a.nn_id = t.nn_id AND t.rank <= 3
+        |      WHERE a.rank <= 3),
+        |    (SELECT count(*) FROM rt WHERE rank <= 3)
+        |  UNION ALL
+        |  SELECT 4,
+        |    (SELECT count(*) FROM r_p4 a JOIN rt t
+        |      ON a.query_id = t.query_id AND a.nn_id = t.nn_id AND t.rank <= 3
+        |      WHERE a.rank <= 3),
+        |    (SELECT count(*) FROM rt WHERE rank <= 3))
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_queries,
+        | CAST(n_hits AS BIGINT) AS n_hits, CAST(n_true AS BIGINT) AS n_true,
+        | round(CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE), 6) AS recall
+        |FROM ms CROSS JOIN base ORDER BY nprobe""".stripMargin
     },
     "t51_bm25" ->
       s"""WITH ${bm25Sql("doc_id % 50 = 0", 900)}
