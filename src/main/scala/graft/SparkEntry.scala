@@ -2586,6 +2586,39 @@ object SparkEntry {
     ops.Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", 2)
       .orderBy("epoch", "seq")
 
+  /** URL canonicalization dedup ([[ops.Dedup.urlCanonicalDedup]]): a
+    * synthetic crawl-frontier fixture derives per-doc URLs rich in
+    * real-world variant noise — scheme case, `WWW.` host case, `:443`
+    * default ports, duplicate+trailing slashes, tracking params in
+    * shuffled positions, fragments — and the op must collapse exactly
+    * the variant classes and elect min-id survivors. The oracle replays
+    * the full canonicalization string pipeline (anchored regexes,
+    * tracking-param filter, byte-order param sort) and the group
+    * reduction.
+    */
+  private def t61UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val d = Tables.documents(s, dir).select(id,
+      concat(
+        when(id % 2 === 0, "https").otherwise("HTTPS"),
+        lit("://"),
+        when(id % 3 === 0, "WWW.Example.COM")
+          .when(id % 3 === 1, "example.com").otherwise("Sub.Example.com"),
+        when(id % 7 === 0, ":443").otherwise(""),
+        when(id % 5 === 0, "/a//b/").otherwise("/a/b"),
+        when(id % 4 === 0,
+            concat(lit("?id="), (id % 10).cast("string"), lit("&utm_source=feed")))
+          .when(id % 4 === 1,
+            concat(lit("?utm_campaign=x&id="), (id % 10).cast("string")))
+          .when(id % 4 === 2, concat(lit("?id="), (id % 10).cast("string")))
+          .otherwise(""),
+        when(id % 6 === 0, "#sec").otherwise("")).as("url"))
+    ops.Dedup.urlCanonicalDedup(d, "url", "doc_id")
+      .select(col("id").as("doc_id"), col("canonical_url"), col("keep_id"),
+        col("n_variants"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Kneser–Ney bigram surprisal ([[ops.Curation.knSurprisal]],
     * D = 0.75): the production-grade perplexity filter (CCNet/KenLM
     * smoothing semantics) above t23's plain interpolation. The oracle
@@ -4238,6 +4271,7 @@ object SparkEntry {
     "t58_token_budget" -> t58TokenBudget _,
     "t59_epoch_shuffle" -> t59EpochShuffle _,
     "t60_kn_surprisal" -> t60KnSurprisal _,
+    "t61_url_dedup" -> t61UrlDedup _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -7324,6 +7358,44 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ssum / n_bigrams / 1000000, 6) AS kn_surprisal
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the URL fixture + full canonicalization string pipeline (anchored
+    // regexes, tracking filter, byte-order param sort) + min-id groups
+    "t61_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+        |    (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+        |          WHEN 1 THEN 'example.com' ELSE 'Sub.Example.com' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/a//b/' ELSE '/a/b' END) ||
+        |    (CASE doc_id % 4 WHEN 0 THEN '?id=' || (doc_id % 10) || '&utm_source=feed'
+        |          WHEN 1 THEN '?utm_campaign=x&id=' || (doc_id % 10)
+        |          WHEN 2 THEN '?id=' || (doc_id % 10) ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |qs AS (SELECT doc_id, url, regexp_extract(url, '\?([^#]*)', 1) AS q0 FROM u),
+        |qq AS (SELECT doc_id, url,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      CASE WHEN q0 = '' THEN CAST([] AS VARCHAR[])
+        |           ELSE string_split(q0, '&') END,
+        |      x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'),
+        |      '') AS q
+        |  FROM qs),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^www\.', ''), ':(80|443)$', '') ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/{2,}', '/', 'g'), '/+$', '') ||
+        |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+        |  FROM qq),
+        |k AS (SELECT canonical_url, min(doc_id) AS keep_id,
+        |        count(*) AS n_variants FROM c GROUP BY 1)
+        |SELECT c.doc_id, c.canonical_url, k.keep_id, k.n_variants,
+        |  (c.doc_id <> k.keep_id) AS is_dup
+        |FROM c JOIN k USING (canonical_url)
+        |ORDER BY doc_id""".stripMargin,
     // split buckets + BOTH sides' signatures/bands + the cross-band join
     // + exact-Jaccard verify, replayed end to end
     "d27_fuzzy_decontam" ->

@@ -1173,4 +1173,64 @@ object Dedup {
       .filter(col("__bn") > maxBlock)
       .groupBy(col("blk")).agg(count(lit(1)).as("n_rows"))
   }
+
+  /** URL canonicalization — the FIRST dedup pass every web-corpus
+    * pipeline runs (RefinedWeb/CCNet shape): the same page is crawled
+    * under scheme-case, `www.`, default-port, duplicate-slash,
+    * trailing-slash, tracking-parameter, query-order, and fragment
+    * variants, and none of the content-level passes should ever see
+    * those as distinct documents. Normalization rules, applied as ONE
+    * narrow codegen'd string expression (zero shuffles, no UDF):
+    * scheme and host lowercased; leading `www.` and explicit `:80`/
+    * `:443` ports dropped; duplicate path slashes collapsed and
+    * trailing slashes stripped (root path canonicalizes to the bare
+    * host); tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`)
+    * removed; surviving query parameters SORTED (byte order — query
+    * order never carries meaning for dedup purposes); fragments
+    * dropped. Deliberately NOT done: percent-decoding (decoding can
+    * merge genuinely distinct resources, e.g. `%2F` in a path segment)
+    * and IDN/punycode folding (needs a table, and mixed encodings are
+    * rare enough to leave to the content passes).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_replace(
+        regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        "/{2,}", "/"),
+      "/+$", "")
+    val qraw = regexp_extract(url, "\\?([^#]*)", 1)
+    val prs = when(qraw === "", array().cast("array<string>"))
+      .otherwise(split(qraw, "&"))
+    val kept = filter(prs, x => !x.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
+    val q = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** URL-level dedup over [[canonicalUrl]]: per input row, the
+    * canonical form, the group's surviving id (min — the usual
+    * first-crawl-wins policy) and a dup flag. Scale shape: the
+    * canonicalization is map-side; the reduction is one
+    * partial-aggregable `min` per canonical key plus one
+    * co-partitioned join back (both sides hash on the canonical
+    * string — AQE coalesces; a viral mega-dup URL is a min-reduction,
+    * combiner-friendly, never a skew hazard the way a windowed
+    * `min over (partition by url)` row-sort would be).
+    */
+  def urlCanonicalDedup(df: DataFrame, urlCol: String,
+      idCol: String): DataFrame = {
+    val c = df.select(col(idCol).as("id"),
+      canonicalUrl(col(urlCol)).as("canonical_url"))
+    val keep = c.groupBy("canonical_url")
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_variants"))
+    c.join(keep, Seq("canonical_url"))
+      .select(col("id"), col("canonical_url"), col("keep_id"),
+        col("n_variants"), (col("id") =!= col("keep_id")).as("is_dup"))
+  }
 }
