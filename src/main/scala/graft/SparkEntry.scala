@@ -2389,6 +2389,25 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  /** Modularity audit ([[ops.Graph.modularity]]) of g3's 3-round LPA
+    * communities over the same star+bridge shard graph: per-community
+    * exact doubled-integer ingredients (`e2_in`, `d_tot`) plus the one
+    * global 6-rounded Q. The oracle replays the LPA rounds AND the full
+    * rollup — a fragmentation/merge regression in the detector moves Q
+    * and fails the hash.
+    */
+  private def g9Modularity(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 300
+    val star = Tables.documents(s, dir)
+      .select(shard.as("src"), (shard - shard % 10).as("dst"))
+    val bridge = Tables.documents(s, dir).filter(shard % 60 === 0)
+      .select(shard.as("src"), ((shard + 17) % 300).as("dst"))
+    val edges = star.unionByName(bridge)
+    val labels = ops.Graph.labelPropagation(edges, "src", "dst", 3)
+    ops.Graph.modularity(edges, labels, "src", "dst", "node_id", "label")
+      .orderBy("community")
+  }
+
   /** Per-node triangle counts ([[ops.Graph.triangleCounts]]) over a shard
     * graph with guaranteed closure (each shard links to +1, +2, and an
     * arithmetic long-range neighbor — every consecutive triple closes a
@@ -4303,6 +4322,7 @@ object SparkEntry {
     "g4_clustering_coeff" -> g4ClusteringCoeff _,
     "g7_kcore" -> g7Kcore _,
     "g8_hits" -> g8Hits _,
+    "g9_modularity" -> g9Modularity _,
     "g5_bfs_distances" -> g5BfsDistances _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
@@ -7024,6 +7044,44 @@ object SparkEntry {
     // three synchronous LPA rounds unrolled (lpaRoundSql); the edge frame
     // is the undirected dedup of the block-star graph plus one self-loop
     // per node (the op's oscillation damping)
+    // g3's LPA rounds replayed, then the exact doubled-integer rollup:
+    // E2·M2 − d² summed in HUGEINT, ONE 6-rounded double division
+    "g9_modularity" ->
+      s"""WITH raw AS (
+        |  SELECT doc_id % 300 AS u, (doc_id % 300) - (doc_id % 300) % 10 AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 300, ((doc_id % 300) + 17) % 300 FROM documents
+        |  WHERE (doc_id % 300) % 60 = 0),
+        |ded AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+        |und AS (SELECT u, v FROM ded UNION SELECT v, u FROM ded),
+        |nodes AS (SELECT DISTINCT u AS id FROM und),
+        |e AS (SELECT u, v FROM und UNION ALL SELECT id, id FROM nodes),
+        |l0 AS (SELECT id, id AS label FROM nodes),
+        |${lpaRoundSql(1)},
+        |${lpaRoundSql(2)},
+        |${lpaRoundSql(3)},
+        |m2t AS (SELECT count(*) AS m2 FROM und),
+        |deg AS (SELECT lu.label AS c, count(*) AS d_tot
+        |        FROM und JOIN l3 lu ON lu.id = und.u GROUP BY 1),
+        |ein AS (SELECT lu.label AS c, count(*) AS e2_in
+        |        FROM und JOIN l3 lu ON lu.id = und.u
+        |                 JOIN l3 lv ON lv.id = und.v
+        |        WHERE lu.label = lv.label GROUP BY 1),
+        |nc AS (SELECT label AS c, count(*) AS n_nodes FROM l3 GROUP BY 1),
+        |per AS (SELECT nc.c, nc.n_nodes,
+        |          coalesce(ein.e2_in, 0) AS e2_in,
+        |          coalesce(deg.d_tot, 0) AS d_tot
+        |        FROM nc LEFT JOIN deg ON deg.c = nc.c
+        |                LEFT JOIN ein ON ein.c = nc.c),
+        |tot AS (SELECT CAST(sum(CAST(e2_in AS HUGEINT) * m2
+        |          - CAST(d_tot AS HUGEINT) * d_tot) AS HUGEINT) AS num
+        |        FROM per CROSS JOIN m2t)
+        |SELECT per.c AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(e2_in AS BIGINT) AS e2_in, CAST(d_tot AS BIGINT) AS d_tot,
+        |  round(CAST(tot.num AS DOUBLE)
+        |    / (CAST(m2t.m2 AS DOUBLE) * CAST(m2t.m2 AS DOUBLE)), 6) AS q
+        |FROM per CROSS JOIN tot CROSS JOIN m2t
+        |ORDER BY community""".stripMargin,
     "g3_communities" ->
       s"""WITH raw AS (
         |  SELECT doc_id % 300 AS u, (doc_id % 300) - (doc_id % 300) % 10 AS v FROM documents

@@ -358,6 +358,69 @@ object Graph {
     labels.select(col("id").as("node_id"), col("label"))
   }
 
+  /** Newman modularity of a community assignment — the AUDIT for
+    * [[labelPropagation]] (and any other clustering over the graph):
+    * `Q = Σ_c [ m_c/m − (d_c/2m)² ]` — how much denser each community
+    * is than the degree-preserving random graph. A community detector
+    * without this number is unfalsifiable; with it, a regression that
+    * fragments or merges communities moves a single scalar a gate can
+    * hold (LPA on the fixture graph scores ≈ 0.73; random labels score
+    * ≈ 0).
+    *
+    * Exactness: everything is computed on DOUBLED integer quantities —
+    * `M2 = 2m` (undirected row count), `E2_c = 2·m_c` (both-endpoint
+    * intra rows), `d_c` (community degree sum) — so
+    * `Q = Σ_c (E2_c·M2 − d_c²) / M2²` with the numerator summed in
+    * DECIMAL(38,0) (`d_c²` alone passes 2⁶³ beyond ~3×10⁹ community
+    * degree) and ONE double division at emit, 6-rounded. Per-community
+    * rows carry the exact integer ingredients so any judge can re-derive
+    * the scalar.
+    *
+    * Scale shape: edge canonicalization is [[labelPropagation]]'s
+    * (distinct undirected, self-loops dropped); two label joins keyed on
+    * node id (the label frame is node-sized — broadcast when it fits,
+    * shuffle-join co-partitioned with the edge list otherwise, which is
+    * the default here since community frames are corpus-sized at web
+    * scale); per-community aggregates are partial-aggregable counts;
+    * the global numerator is a 1-row broadcast back onto the
+    * community-sized frame. Nothing drives through the driver.
+    *
+    * @return (community, n_nodes, e2_in, d_tot, q) — `e2_in`/`d_tot`
+    *         exact doubled integers, `q` the GLOBAL modularity repeated
+    *         per row (6-rounded once).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame, srcCol: String,
+      dstCol: String, idCol: String, labelCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = und.agg(count(lit(1)).as("m2"))
+    val lbl = labels.select(col(idCol).as("id"), col(labelCol).as("lbl"))
+    val withL = und
+      .join(lbl.select(col("id").as("u"), col("lbl").as("lu")), "u")
+      .join(lbl.select(col("id").as("v"), col("lbl").as("lv")), "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degC = withL.groupBy(col("lu").as("c")).agg(count(lit(1)).as("d_tot"))
+    val inC = withL.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("c")).agg(count(lit(1)).as("e2_in"))
+    val per = lbl.groupBy(col("lbl").as("c")).agg(count(lit(1)).as("n_nodes"))
+      .join(degC, Seq("c"), "left")
+      .join(inC, Seq("c"), "left")
+      .select(col("c"), col("n_nodes"),
+        coalesce(col("e2_in"), lit(0L)).as("e2_in"),
+        coalesce(col("d_tot"), lit(0L)).as("d_tot"))
+    val num = per.crossJoin(broadcast(m2))
+      .agg(sum(col("e2_in").cast("decimal(38,0)") * col("m2")
+        - col("d_tot").cast("decimal(38,0)") * col("d_tot")).as("num"))
+    per.crossJoin(broadcast(num)).crossJoin(broadcast(m2))
+      .select(col("c").as("community"), col("n_nodes"), col("e2_in"),
+        col("d_tot"),
+        round(col("num").cast("double")
+          / (col("m2").cast("double") * col("m2").cast("double")), 6).as("q"))
+  }
+
   /** HITS hubs & authorities (Kleinberg) — the asymmetric complement to
     * [[pageRank]]: a node is a good AUTHORITY when good hubs link to it
     * and a good HUB when it links to good authorities, the

@@ -307,6 +307,33 @@ class GraphCdcSpec extends SparkSpec {
     assert(run(2) == run(11))
   }
 
+  test("modularity: two triangles + one bridge, hand-computed; random labels near zero") {
+    import spark.implicits._
+    // two triangles {0,1,2}, {3,4,5} joined by bridge 2-3: m = 7
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L),
+      (2L, 3L)).toDF("src", "dst")
+    val goodLbl = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("node_id", "label")
+    val out = Graph.modularity(e, goodLbl, "src", "dst", "node_id", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // M2 = 14; per community: E2_in = 6, d_tot = 7
+    // Q = 2·(6·14 − 49)/196 = 70/196 = 0.357143
+    assert(out == Seq((0L, 3L, 6L, 7L, 0.357143), (1L, 3L, 6L, 7L, 0.357143)),
+      out.toString)
+    // everything-in-one-community scores exactly 0 (E2 = M2, d = M2)
+    val oneLbl = (0L to 5L).map((_, 9L)).toDF("node_id", "label")
+    val q1 = Graph.modularity(e, oneLbl, "src", "dst", "node_id", "label")
+      .head().getDouble(4)
+    assert(q1 == 0.0)
+    // cutting ACROSS the triangles scores worse than the good split
+    val badLbl = Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L), (5L, 1L))
+      .toDF("node_id", "label")
+    val qBad = Graph.modularity(e, badLbl, "src", "dst", "node_id", "label")
+      .head().getDouble(4)
+    assert(qBad < 0.357143, s"bad split should score lower, got $qBad")
+  }
+
   test("kCore: tail peels in cascade, clique survives, convergence gated") {
     // 4-clique (degree 3 each) with a 3-node pendant chain hanging off it
     val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
