@@ -2605,6 +2605,31 @@ object SparkEntry {
     ops.Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", 2)
       .orderBy("epoch", "seq")
 
+  /** Two-sample KS drift ([[ops.Curation.ksDrift]]) on the per-doc
+    * length statistic, two gated pairs: the even/odd NULL SPLIT (same
+    * distribution — D is pure sampling noise, shrinking ~1/√n) and a
+    * +37-shifted copy (pure location drift — D is scale-STABLE, so the
+    * two separate ever harder as n grows; measured 0.116 vs 0.176 at
+    * sf0.01's n=250/side). KL on tokens (t29) barely moves under a
+    * length shift; this is the alarm that fires.
+    * The oracle replays the distinct-value CDF tables, the exact
+    * HUGEINT cross-product gap, and the (D desc, x asc) argmax.
+    */
+  private def t62KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val even = d.filter(col("doc_id") % 2 === 0).select(col("n_chars"))
+    val odd = d.filter(col("doc_id") % 2 === 1).select(col("n_chars"))
+    val shifted = d.filter(col("doc_id") % 2 === 1)
+      .select((col("n_chars") + 37L).as("n_chars"))
+    ops.Curation.ksDrift(even, odd, "n_chars")
+        .select(lit("null_split").as("pair"), col("n_ref"), col("n_cur"),
+          col("ks_at"), col("ks"))
+      .unionByName(ops.Curation.ksDrift(even, shifted, "n_chars")
+        .select(lit("shift37").as("pair"), col("n_ref"), col("n_cur"),
+          col("ks_at"), col("ks")))
+      .orderBy("pair")
+  }
+
   /** URL canonicalization dedup ([[ops.Dedup.urlCanonicalDedup]]): a
     * synthetic crawl-frontier fixture derives per-doc URLs rich in
     * real-world variant noise — scheme case, `WWW.` host case, `:443`
@@ -4291,6 +4316,7 @@ object SparkEntry {
     "t59_epoch_shuffle" -> t59EpochShuffle _,
     "t60_kn_surprisal" -> t60KnSurprisal _,
     "t61_url_dedup" -> t61UrlDedup _,
+    "t62_ks_drift" -> t62KsDrift _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -4706,6 +4732,23 @@ object SparkEntry {
     * `nodes(id)`, `nn(n)`, `od(src,outdeg)` and the previous round
     * `r{i-1}(id, r)`.
     */
+  /** One KS pair as CTEs: distinct-value counts per side, full-outer
+    * merge, windowed CDFs, exact HUGEINT gap, (D desc, x asc) argmax.
+    */
+  private def ksPairSql(sfx: String, curFrom: String): String =
+    s"""a$sfx AS (SELECT x, count(*) AS a FROM
+      |      (SELECT n_chars AS x FROM documents WHERE doc_id % 2 = 0) GROUP BY x),
+      |b$sfx AS (SELECT x, count(*) AS b FROM ($curFrom) GROUP BY x),
+      |m$sfx AS (SELECT coalesce(a$sfx.x, b$sfx.x) AS x,
+      |        coalesce(a, 0) AS a, coalesce(b, 0) AS b
+      |      FROM a$sfx FULL OUTER JOIN b$sfx ON a$sfx.x = b$sfx.x),
+      |n$sfx AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2 FROM m$sfx),
+      |c$sfx AS (SELECT x, CAST(sum(a) OVER (ORDER BY x) AS BIGINT) AS c1,
+      |        CAST(sum(b) OVER (ORDER BY x) AS BIGINT) AS c2 FROM m$sfx),
+      |s$sfx AS (SELECT x, abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) AS dnum
+      |      FROM c$sfx CROSS JOIN n$sfx),
+      |best$sfx AS (SELECT x, dnum FROM s$sfx ORDER BY dnum DESC, x LIMIT 1)""".stripMargin
+
   /** One unrolled HITS round: authority half-step (join + sum + L1
     * HUGEINT rescale, DuckDB's exact analogue of Spark's DECIMAL(38)
     * `div`), then the hub half-step over the fresh authorities.
@@ -7416,6 +7459,21 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ssum / n_bigrams / 1000000, 6) AS kn_surprisal
         |FROM d ORDER BY doc_id""".stripMargin,
+    // both KS pairs replayed: CDF tables, HUGEINT gap, argmax, one
+    // 6-rounded division each
+    "t62_ks_drift" ->
+      s"""WITH ${ksPairSql("A", "SELECT n_chars AS x FROM documents WHERE doc_id % 2 = 1")},
+        |${ksPairSql("B", "SELECT n_chars + 37 AS x FROM documents WHERE doc_id % 2 = 1")}
+        |SELECT * FROM (
+        |  SELECT 'null_split' AS pair, n1 AS n_ref, n2 AS n_cur,
+        |    CAST(x AS BIGINT) AS ks_at,
+        |    round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks
+        |  FROM bestA CROSS JOIN nA
+        |  UNION ALL
+        |  SELECT 'shift37', n1, n2, CAST(x AS BIGINT),
+        |    round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+        |  FROM bestB CROSS JOIN nB)
+        |ORDER BY pair""".stripMargin,
     // the URL fixture + full canonicalization string pipeline (anchored
     // regexes, tracking filter, byte-order param sort) + min-id groups
     "t61_url_dedup" ->

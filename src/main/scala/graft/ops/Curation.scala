@@ -729,6 +729,62 @@ object Curation {
       .limit(k)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic — the DISTRIBUTION
+    * twin of [[tokenKlDrift]]'s vocabulary drift: `D = sup_x |F_ref(x)
+    * − F_cur(x)|` over a per-document numeric statistic (length,
+    * quality score, perplexity). KS catches the drift KL cannot see —
+    * a location/scale shift in a continuous statistic barely moves
+    * token frequencies but walks the empirical CDFs apart — and it is
+    * the standard ingest-monitoring alarm between corpus versions.
+    *
+    * Exactness: no doubles until the last line. The CDF gap at x is
+    * `|c_ref(x)·n_cur − c_cur(x)·n_ref| / (n_ref·n_cur)` — the
+    * numerator is exact in DECIMAL(38,0) (the cross product alone
+    * passes 2⁶³ near 10¹⁰×10¹⁰ rows), the argmax is a struct-ordered
+    * max with min-x tiebreak, and the single double division is
+    * 6-rounded at emit. Both engines replay it bit-for-bit.
+    *
+    * Scale shape: one partial-aggregable count per side collapses each
+    * corpus to DISTINCT-VALUE rows (the vocab-not-corpus contract —
+    * 6-rounded scores / integer lengths bound the merged table far
+    * below corpus size); the cumulative counts are ONE window over that
+    * value table ([[binaryAuc]]'s posture: distinct-value-bounded, swap
+    * in a range-partitioned prefix sum if a statistic is ever truly
+    * continuous); the argmax is a 1-row aggregate. The driver sees one
+    * row.
+    *
+    * @return one row `(n_ref, n_cur, ks_at, ks)` — `ks_at` the smallest
+    *         value attaining the sup.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ref.select(col(valCol).cast("long").as("x"))
+      .filter(col("x").isNotNull).groupBy("x").agg(count(lit(1)).as("a"))
+    val b = cur.select(col(valCol).cast("long").as("x"))
+      .filter(col("x").isNotNull).groupBy("x").agg(count(lit(1)).as("b"))
+    val merged = a.join(b, Seq("x"), "full_outer")
+      .select(col("x"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val n = merged.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = merged
+      .withColumn("c1", sum(col("a")).over(w))
+      .withColumn("c2", sum(col("b")).over(w))
+      .crossJoin(broadcast(n))
+      .select(col("x"),
+        abs(col("c1").cast("decimal(38,0)") * col("n2")
+          - col("c2").cast("decimal(38,0)") * col("n1")).as("dnum"),
+        col("n1"), col("n2"))
+    scored
+      .agg(max(struct(col("dnum"), (-col("x")).as("nx"))).as("best"),
+        first(col("n1")).as("n_ref"), first(col("n2")).as("n_cur"))
+      .select(col("n_ref"), col("n_cur"), (-col("best.nx")).as("ks_at"),
+        round(col("best.dnum").cast("double")
+          / (col("n_ref").cast("double") * col("n_cur").cast("double")), 6)
+          .as("ks"))
+  }
+
   /** DOCUMENT-frequency vocabulary pruning — the CountVectorizer
     * `min_df`/`max_df` band: tokens in fewer than `minDf` documents are
     * noise (typos, ids), tokens in more than `maxDfPct`% of documents

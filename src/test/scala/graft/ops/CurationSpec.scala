@@ -286,6 +286,38 @@ class CurationSpec extends SparkSpec {
     assert(run(2) == run(17))
   }
 
+  test("ksDrift: hand-computed D, argmax tiebreak, identical samples score 0") {
+    import spark.implicits._
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val cur = Seq(3L, 4L, 5L, 6L).toDF("v")
+    // F_ref - F_cur at x=1: 1/4-0; x=2: 2/4-0 = .5 (max, first at x=2);
+    // x=3: 3/4-1/4 = .5 (tied, later); x=4: 1-2/4 = .5 (tied)
+    val r = Curation.ksDrift(ref, cur, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      (4L, 4L, 2L, 0.5))
+    val same = Curation.ksDrift(ref, ref, "v").head()
+    assert(same.getDouble(3) == 0.0)
+    // disjoint supports -> D = 1 exactly
+    val far = Seq(100L, 101L).toDF("v")
+    assert(Curation.ksDrift(ref, far, "v").head().getDouble(3) == 1.0)
+    // unequal sample sizes stay exact: ref {1,1,2} vs cur {2}
+    // F_ref(1)=2/3 vs 0 -> D = 2/3
+    val r2 = Curation.ksDrift(Seq(1L, 1L, 2L).toDF("v"), Seq(2L).toDF("v"), "v")
+      .head()
+    assert(r2.getLong(2) == 1L && r2.getDouble(3) == 0.666667)
+  }
+
+  test("ksDrift is partitioning-independent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(parts: Int) = {
+      val d = docs.repartition(parts)
+      Curation.ksDrift(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "n_chars")
+        .head().toSeq
+    }
+    assert(run(2) == run(17))
+  }
+
   test("unigramSurprisal is partitioning-independent (fixed-point sums)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(parts: Int) =
