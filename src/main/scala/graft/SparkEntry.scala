@@ -260,6 +260,39 @@ object SparkEntry {
       .orderBy("o_orderkey", "tx_from", "valid_from", "version_seq")
   }
 
+  /** Last-touch attribution ([[ops.AsOfJoin.asofBackward]] composed as
+    * a marketing-credit query): each purchase credits its cents to the
+    * user's LATEST view/click at-or-before the purchase, within a
+    * 30-day lookback — the classic conversion-credit join, and the
+    * as-of operator's natural second consumer after q14's quote join.
+    * Timestamps are exact epoch MICROS on both engines (second
+    * truncation would reorder sub-second touch/purchase pairs); the
+    * lookback is applied post-join so out-of-window purchases surface
+    * as explicit unattributed NULL rows, not dropped rows. Same-micro
+    * touch ties resolve by the payload-struct max (greatest event id) —
+    * replayed in the oracle's (ts DESC, event DESC, type DESC) rank.
+    */
+  private def q54Attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("t_event"), col("event_type").as("t_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        cents(col("value")).as("credit_cents"))
+    val j = ops.AsOfJoin.asofBackward(purchases, touches, "user_id", "ts_us",
+      Seq("ts_us", "t_event", "t_type"))
+    val fresh = col("asof_ts_us").isNotNull &&
+      col("ts_us") - col("asof_ts_us") <= 30L * 86400L * 1000000L
+    j.select(col("event_id"), col("user_id"), col("ts_us"),
+        when(fresh, col("asof_t_event")).as("touch_event"),
+        when(fresh, col("asof_t_type")).as("touch_type"),
+        when(fresh, col("asof_ts_us")).as("touch_ts_us"),
+        col("credit_cents"))
+      .orderBy("event_id")
+  }
+
   /** Ordered conversion funnel ([[ops.Funnel.funnel]], view → click →
     * purchase): earliest reach time per step, each step gated on the
     * previous step's timestamp — per-user drop-off depth. Epoch-second
@@ -2605,6 +2638,20 @@ object SparkEntry {
     ops.Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", 2)
       .orderBy("epoch", "seq")
 
+  /** Zipf-law fit ([[ops.Curation.zipfFit]], top-256 vocab): OLS of
+    * ln-count on ln-rank with exact DECIMAL moments — slope, intercept,
+    * R² as one gated row. The oracle replays the top-N rank, both
+    * micro-nat logs, all five moment sums, and the three closed-form
+    * ratios. On THIS corpus the audit fires exactly as designed: the
+    * synthetic documents fixture measures slope −0.18 / R² 0.06 at
+    * sf0.01 — nowhere near natural text's slope ≈ −1 — which is the
+    * "machine-generated corpus" verdict the op exists to raise
+    * (CurationSpec holds the converse: an exact 1/r corpus fits
+    * slope −1, R² ≈ 1).
+    */
+  private def t63ZipfFit(s: SparkSession, dir: String): DataFrame =
+    ops.Curation.zipfFit(Tables.documents(s, dir), "text", 256)
+
   /** Two-sample KS drift ([[ops.Curation.ksDrift]]) on the per-doc
     * length statistic, two gated pairs: the even/odd NULL SPLIT (same
     * distribution — D is pure sampling noise, shrinking ~1/√n) and a
@@ -4317,6 +4364,7 @@ object SparkEntry {
     "t60_kn_surprisal" -> t60KnSurprisal _,
     "t61_url_dedup" -> t61UrlDedup _,
     "t62_ks_drift" -> t62KsDrift _,
+    "t63_zipf_fit" -> t63ZipfFit _,
     "io15_bucketed_bm25" -> io15BucketedBm25 _,
     "io16_hilbert" -> io16Hilbert _,
     "sim12_pq_rerank" -> sim12PqRerank _,
@@ -4330,6 +4378,7 @@ object SparkEntry {
     "q51_scd2" -> q51Scd2 _,
     "q52_interval_join" -> q52IntervalJoin _,
     "q53_bitemporal" -> q53Bitemporal _,
+    "q54_attribution" -> q54Attribution _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -7237,6 +7286,27 @@ object SparkEntry {
         |  (valid_to IS NULL) AS is_current
         |FROM v WHERE op <> 'D'
         |ORDER BY o_orderkey, valid_from, version_seq""".stripMargin,
+    // inclusive backward as-of at micro precision + 30-day window gate
+    // + (ts, event, type)-DESC tie rank, NULLed unattributed rows kept
+    "q54_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |        event_id AS t_event, event_type AS t_type
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS credit_cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts_us, p.credit_cents,
+        |        t.t_event, t.t_type, t.ts_us AS touch_ts_us,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY t.ts_us DESC, t.t_event DESC, t.t_type DESC) AS rn
+        |      FROM p LEFT JOIN t
+        |        ON t.user_id = p.user_id AND t.ts_us <= p.ts_us)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN t_event END AS touch_event,
+        |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN t_type END AS touch_type,
+        |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN touch_ts_us END AS touch_ts_us,
+        |  credit_cents
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // two tx batches; per-key batch list + tx<=tx_from restatement join
     // + per-(key, tx_from) valid-interval lead, replayed end to end
     "q53_bitemporal" ->
@@ -7459,6 +7529,32 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         | round(ssum / n_bigrams / 1000000, 6) AS kn_surprisal
         |FROM d ORDER BY doc_id""".stripMargin,
+    // top-256 rank, micro-nat logs, five HUGEINT moments, three exact
+    // closed-form ratios — replayed end to end
+    "t63_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(${toksSql("text")}) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |top AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rk
+        |        FROM v ORDER BY c DESC, t LIMIT 256),
+        |pts AS (SELECT CAST(round(ln(rk) * 1000000, 0) AS BIGINT) AS x,
+        |          CAST(round(ln(c) * 1000000, 0) AS BIGINT) AS y FROM top),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |      FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        | round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS intercept,
+        | CASE WHEN n * syy - sy * sy = 0 THEN 0.0 ELSE
+        |   round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        | END AS r2
+        |FROM m""".stripMargin,
     // both KS pairs replayed: CDF tables, HUGEINT gap, argmax, one
     // 6-rounded division each
     "t62_ks_drift" ->

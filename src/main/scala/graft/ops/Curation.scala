@@ -308,6 +308,60 @@ object Curation {
           .as("kn_surprisal"))
   }
 
+  /** Zipf-law fit over the top-`topN` vocabulary — the corpus-health
+    * audit the token-level screens assume but never check: natural text
+    * has log-frequency falling ~linearly in log-rank with slope ≈ −1;
+    * machine-generated spam, template farms, and truncated/corrupted
+    * decodes bend or flatten the curve. One OLS line
+    * `ln c ~ slope·ln rank + intercept` plus R² — three scalars a drift
+    * gate can hold across corpus versions.
+    *
+    * Exactness: ranks come from a TakeOrderedAndProject top-N (never a
+    * corpus sort); `ln rank` / `ln count` are micro-nat-rounded LONGs
+    * ([[unigramSurprisal]]'s fixed-point rule — the ONLY doubles before
+    * the emit line), and all five OLS moments are exact DECIMAL(38,0)
+    * sums (`N·Σxy` alone passes 2⁶³ at micro scale). Slope, intercept
+    * and R² are each ONE closed-form ratio of exact integers —
+    * `(NΣxy−ΣxΣy)/(NΣx²−(Σx)²)`, `(ΣyΣx²−ΣxΣxy)/(NΣx²−(Σx)²)` (µ-scale
+    * divided out at emit), `(NΣxy−ΣxΣy)²/((NΣx²−(Σx)²)(NΣy²−(Σy)²))` —
+    * 6-rounded, bit-replayable in SQL.
+    *
+    * Scale shape: one partial-aggregable vocab count, one top-N
+    * (per-partition partial top-k), moments over N rows. Driver sees
+    * one row.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 3, s"topN must be >= 3: $topN")
+    val vocab = df.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(topN)
+    val ranked = vocab.withColumn("rk",
+      row_number().over(Window.orderBy(desc("c"), col("t"))))
+    val pts = ranked.select(
+      round(log(col("rk")) * 1e6, 0).cast("long").as("x"),
+      round(log(col("c")) * 1e6, 0).cast("long").as("y"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val nD = dec(col("n"))
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    val inum = col("sy") * col("sxx") - col("sx") * col("sxy")
+    // den > 0 always (ranks are distinct and topN >= 3); deny = 0 iff
+    // every count is identical — a degenerate flat "law", R² := 0
+    m.select(col("n").as("n_terms"),
+      round(num.cast("double") / den.cast("double"), 6).as("slope"),
+      round(inum.cast("double") / den.cast("double") / 1e6, 6).as("intercept"),
+      when(deny === 0, lit(0.0)).otherwise(
+        round(num.cast("double") * num.cast("double")
+          / (den.cast("double") * deny.cast("double")), 6)).as("r2"))
+  }
+
   /** Top-k adjacent-token collocations by pointwise mutual information —
     * phrase mining over the corpus (multi-word entities, idioms,
     * domain terms): `pmi(a,b) = ln(p(a,b) / (p(a)·p(b)))` over raw

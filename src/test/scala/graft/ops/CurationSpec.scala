@@ -307,6 +307,33 @@ class CurationSpec extends SparkSpec {
     assert(r2.getLong(2) == 1L && r2.getDouble(3) == 0.666667)
   }
 
+  test("zipfFit: an exact 1/r law fits slope -1 with r2 ~ 1; uniform counts flatten to 0") {
+    import spark.implicits._
+    // c_r = 840/r for r = 1..8 — exactly Zipf with exponent 1
+    val counts = (1 to 8).map(r => s"t$r" -> 840 / r)
+    val text = counts.flatMap { case (t, c) => Seq.fill(c)(t) }.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Curation.zipfFit(df, "text", 256).head()
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-4, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(3) > 0.9999, s"r2 ${r.getDouble(3)}")
+    // intercept ~ ln 840
+    assert(math.abs(r.getDouble(2) - math.log(840)) < 1e-4)
+    // uniform counts: slope exactly 0 (y constant), r2 0 by convention
+    val flat = Seq((1L, (1 to 6).map(i => s"u$i u$i u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = Curation.zipfFit(flat, "text", 256).head()
+    assert(f.getDouble(1) == 0.0 && f.getDouble(3) == 0.0, f.toString)
+  }
+
+  test("zipfFit plans the top-N as TakeOrderedAndProject, not a full sort") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c a b a")).toDF("doc_id", "text")
+    val plan = Curation.zipfFit(df, "text", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("ksDrift is partitioning-independent") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(parts: Int) = {
