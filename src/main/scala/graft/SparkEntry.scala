@@ -2505,6 +2505,46 @@ object SparkEntry {
     ops.Dedup.jaccardDupPairs(Tables.documents(s, dir), "text", "doc_id", 3, 0.5)
       .orderBy("id1", "id2")
 
+  /** Dedup threshold OPERATING CURVE — sim21's pattern pointed at the
+    * dedup dial: exact-Jaccard pair and touched-doc counts at
+    * threshold ∈ {0.5, 0.7, 0.9} over ONE persisted ≥0.5 pair table
+    * (the sweep re-filters, never re-joins). Gated invariant:
+    * both counts are NON-INCREASING in the threshold (a higher bar can
+    * only drop pairs — a violation means the similarity itself moved
+    * between filters). The curve is what a user tunes dedup
+    * aggressiveness from: yield-vs-threshold, priced on real data
+    * instead of folklore defaults. (On THIS fixture the curve is flat —
+    * the synthetic near-dups are all ≥ 0.9 Jaccard, so every cut keeps
+    * the same 25 pairs; the invariant gate still binds, and
+    * OpsSpec holds a graded-similarity corpus where the curve
+    * genuinely declines.)
+    */
+  private def d28ThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ops.Dedup.jaccardDupPairs(Tables.documents(s, dir),
+        "text", "doc_id", 3, 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def at(t: Double, pm: Long): DataFrame = {
+      val f = pairs.filter(col("jaccard") >= t)
+      f.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(f.select(explode(array(col("id1"), col("id2"))).as("d"))
+          .agg(countDistinct(col("d")).as("n_docs")))
+        .select(lit(pm).as("threshold_permille"), col("n_pairs"), col("n_docs"))
+    }
+    val out = at(0.5, 500L).unionByName(at(0.7, 700L))
+      .unionByName(at(0.9, 900L)).orderBy("threshold_permille")
+    val rows = out.collect()
+    pairs.unpersist()
+    val byT = rows.sortBy(_.getLong(0))
+    Seq(1, 2).foreach { i =>
+      require(byT(i).getLong(1) <= byT(i - 1).getLong(1) &&
+        byT(i).getLong(2) <= byT(i - 1).getLong(2),
+        s"dedup yield increased with a HIGHER threshold: ${rows.toSeq}")
+    }
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("threshold_permille")
+  }
+
   /** Prefix-filtered exact Jaccard ([[ops.Dedup.prefixJaccardPairs]],
     * same 3-gram/0.5 contract as d2): PPJoin-style candidate generation
     * through the rarest-shingle prefix. The filter is LOSSLESS, so the
@@ -4434,6 +4474,7 @@ object SparkEntry {
     "d25_lsh_quality" -> d25LshQuality _,
     "d26_quality_canonical" -> d26QualityCanonical _,
     "d27_fuzzy_decontam" -> d27FuzzyDecontam _,
+    "d28_threshold_curve" -> d28ThresholdCurve _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
@@ -7336,6 +7377,32 @@ object SparkEntry {
         |  (valid_to IS NULL AND tx_to IS NULL) AS is_current
         |FROM v WHERE op <> 'D'
         |ORDER BY o_orderkey, tx_from, valid_from, version_seq""".stripMargin,
+    // the same exact all-pairs table re-filtered at each threshold;
+    // counts replayed per cut
+    "d28_threshold_curve" ->
+      s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard
+        |      FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) > 0),
+        |q AS (SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5),
+        |ms AS (
+        |  SELECT 500 AS threshold_permille,
+        |    (SELECT count(*) FROM q WHERE jaccard >= 0.5) AS n_pairs,
+        |    (SELECT count(DISTINCT x) FROM (SELECT id1 AS x FROM q WHERE jaccard >= 0.5
+        |       UNION SELECT id2 FROM q WHERE jaccard >= 0.5)) AS n_docs
+        |  UNION ALL
+        |  SELECT 700,
+        |    (SELECT count(*) FROM q WHERE jaccard >= 0.7),
+        |    (SELECT count(DISTINCT x) FROM (SELECT id1 AS x FROM q WHERE jaccard >= 0.7
+        |       UNION SELECT id2 FROM q WHERE jaccard >= 0.7))
+        |  UNION ALL
+        |  SELECT 900,
+        |    (SELECT count(*) FROM q WHERE jaccard >= 0.9),
+        |    (SELECT count(DISTINCT x) FROM (SELECT id1 AS x FROM q WHERE jaccard >= 0.9
+        |       UNION SELECT id2 FROM q WHERE jaccard >= 0.9)))
+        |SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM ms ORDER BY threshold_permille""".stripMargin,
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

@@ -140,6 +140,24 @@ class DedupSpec extends SparkSpec {
     assert(r(0).getAs[Double]("jaccard") > 0.6)
   }
 
+  test("threshold sweep over one pair table declines with graded similarity") {
+    // three pairs engineered at distinct Jaccard levels: ~0.93 (one word
+    // of 15 changed), ~0.72 (three words changed), ~0.55 (five changed)
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    val corpus = docs(
+      (1L, base), (2L, base.replace("w15", "x")),
+      (3L, base), (4L, base.replace("w1 w2 w3", "x1 x2 x3")),
+      (5L, base), (6L, base.replace("w1 w2 w3 w4 w5", "x1 x2 x3 x4 x5")))
+    // NOTE docs 1/3/5 are identical (jaccard 1.0) — count only the
+    // engineered cross pairs at each cut
+    val pairs = Dedup.jaccardDupPairs(corpus, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def yieldAt(t: Double) = pairs.count(_._3 >= t)
+    val curve = Seq(0.5, 0.7, 0.9).map(yieldAt)
+    assert(curve(0) > curve(1) && curve(1) > curve(2),
+      s"curve should strictly decline on graded corpus: $curve / ${pairs.toSeq}")
+  }
+
   test("containmentDupPairs catches an embedded doc that Jaccard misses") {
     val big = (1 to 40).map(i => s"word$i").mkString(" ")
     val small = (10 to 16).map(i => s"word$i").mkString(" ") // fully inside big
