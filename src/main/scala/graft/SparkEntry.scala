@@ -3964,6 +3964,35 @@ object SparkEntry {
     * (S3/S5): write, re-read with schema inference, aggregate — must equal
     * the direct-on-parquet oracle.
     */
+  /** Zone-map file skipping ([[graft.io.ZoneMap]]): orders bucketed by
+    * `floor(key/250)` with a per-bucket min/max manifest; the range read
+    * [250, 749] must (a) answer exactly the full-scan filter (the
+    * oracle), (b) PROVABLY prune — `bucketsRead < bucketsTotal` is
+    * required in-query and the scan's `inputFiles` are asserted to lie
+    * inside the two hit buckets (a manifest that silently stops pruning
+    * fails loudly, not slowly).
+    */
+  private def io18ZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = ioTmp(dir, "zonemap_orders")
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    graft.io.ZoneMap.writeWithManifest(o, "k", 250L, path)
+    val (pruned, nRead, nTotal) =
+      graft.io.ZoneMap.readPruned(s, path, "k", 250L, 749L)
+    require(nRead < nTotal,
+      s"zone map pruned nothing: read $nRead of $nTotal buckets")
+    val files = pruned.inputFiles
+    require(files.nonEmpty && files.forall(f =>
+        f.contains("zb=1") || f.contains("zb=2")),
+      s"scan read outside the hit buckets: ${files.take(3).mkString(", ")}")
+    pruned.groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("status"), col("n"), col("sum_cents"),
+        lit(nTotal).as("n_buckets_total"), lit(nRead).as("n_buckets_read"))
+      .orderBy("status")
+  }
+
   private def io1CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = ioTmp(dir, "csv_docs")
     Tables.writeRefCsv(Tables.documents(s, dir).select("doc_id", "lang", "n_chars"), path)
@@ -4431,6 +4460,7 @@ object SparkEntry {
     "q34_grouping_sets" -> q34GroupingSets _,
     "io13_corrupt_files" -> io13CorruptFiles _,
     "io17_snapshot" -> io17Snapshot _,
+    "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
     "sim10_mmr" -> sim10Mmr _,
     "g3_communities" -> g3Communities _,
@@ -7015,6 +7045,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT) FROM o)
         |ORDER BY version""".stripMargin,
+    // zone-map pruning is lossless (stats admit, residual filter
+    // proves), so the oracle is the plain range filter; bucket counts
+    // replayed from the same floor arithmetic
+    "io18_zonemap_prune" ->
+      """WITH f AS (SELECT o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders WHERE o_orderkey BETWEEN 250 AND 749),
+        |a AS (SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |      FROM f GROUP BY status),
+        |mt AS (SELECT count(DISTINCT o_orderkey // 250) AS n_buckets_total FROM orders),
+        |mr AS (SELECT count(DISTINCT o_orderkey // 250) AS n_buckets_read
+        |       FROM orders WHERE o_orderkey BETWEEN 250 AND 749)
+        |SELECT status, n, sum_cents,
+        |  CAST(n_buckets_total AS BIGINT) AS n_buckets_total,
+        |  CAST(n_buckets_read AS BIGINT) AS n_buckets_read
+        |FROM a CROSS JOIN mt CROSS JOIN mr ORDER BY status""".stripMargin,
     // per-character terms quantized to micro-nats BEFORE the per-doc sum
     // (order-free LONG total), c/n formed as one exact-long division
     "t31_char_entropy" ->
