@@ -3965,8 +3965,8 @@ object SparkEntry {
     * the direct-on-parquet oracle.
     */
   /** Zone-map file skipping ([[graft.io.ZoneMap]]): orders bucketed by
-    * `floor(key/250)` with a per-bucket min/max manifest; the range read
-    * [250, 749] must (a) answer exactly the full-scan filter (the
+    * `floor(key/1000)` with a per-bucket min/max manifest; the range
+    * read [1000, 3999] must (a) answer exactly the full-scan filter (the
     * oracle), (b) PROVABLY prune — `bucketsRead < bucketsTotal` is
     * required in-query and the scan's `inputFiles` are asserted to lie
     * inside the two hit buckets (a manifest that silently stops pruning
@@ -3977,14 +3977,14 @@ object SparkEntry {
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       col("o_orderstatus").as("status"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    graft.io.ZoneMap.writeWithManifest(o, "k", 250L, path)
+    graft.io.ZoneMap.writeWithManifest(o, "k", 1000L, path)
     val (pruned, nRead, nTotal) =
-      graft.io.ZoneMap.readPruned(s, path, "k", 250L, 749L)
+      graft.io.ZoneMap.readPruned(s, path, "k", 1000L, 3999L)
     require(nRead < nTotal,
       s"zone map pruned nothing: read $nRead of $nTotal buckets")
     val files = pruned.inputFiles
     require(files.nonEmpty && files.forall(f =>
-        f.contains("zb=1") || f.contains("zb=2")),
+        f.contains("zb=1") || f.contains("zb=2") || f.contains("zb=3")),
       s"scan read outside the hit buckets: ${files.take(3).mkString(", ")}")
     pruned.groupBy("status")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
@@ -7051,12 +7051,12 @@ object SparkEntry {
     "io18_zonemap_prune" ->
       """WITH f AS (SELECT o_orderstatus AS status,
         |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |      FROM orders WHERE o_orderkey BETWEEN 250 AND 749),
+        |      FROM orders WHERE o_orderkey BETWEEN 1000 AND 3999),
         |a AS (SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |      FROM f GROUP BY status),
-        |mt AS (SELECT count(DISTINCT o_orderkey // 250) AS n_buckets_total FROM orders),
-        |mr AS (SELECT count(DISTINCT o_orderkey // 250) AS n_buckets_read
-        |       FROM orders WHERE o_orderkey BETWEEN 250 AND 749)
+        |mt AS (SELECT count(DISTINCT o_orderkey // 1000) AS n_buckets_total FROM orders),
+        |mr AS (SELECT count(DISTINCT o_orderkey // 1000) AS n_buckets_read
+        |       FROM orders WHERE o_orderkey BETWEEN 1000 AND 3999)
         |SELECT status, n, sum_cents,
         |  CAST(n_buckets_total AS BIGINT) AS n_buckets_total,
         |  CAST(n_buckets_read AS BIGINT) AS n_buckets_read

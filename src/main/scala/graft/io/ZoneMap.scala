@@ -37,7 +37,12 @@ object ZoneMap {
       path: String): Unit = {
     require(width >= 1, s"width must be >= 1: $width")
     val b = df.withColumn("zb", floor(col(keyCol) / lit(width)).cast("long"))
-    b.write.mode("overwrite").partitionBy("zb").parquet(s"$path/data")
+    // hash-cluster rows by bucket before the partitioned write: without
+    // it every task writes a sliver into every bucket dir (tasks ×
+    // buckets small files — measured 2× the whole query's time at
+    // sf0.1); with it each bucket dir holds one file per owning task
+    b.repartition(col("zb"))
+      .write.mode("overwrite").partitionBy("zb").parquet(s"$path/data")
     b.groupBy("zb")
       .agg(min(col(keyCol)).as("min_k"), max(col(keyCol)).as("max_k"),
         count(lit(1)).as("n_rows"))
