@@ -3930,6 +3930,30 @@ object SparkEntry {
         "doc_id", "afp", 64, 3)
       .orderBy("id1", "id2")
 
+  /** Single-pass modality routing over a MIXED binary corpus
+    * ([[ops.Multimodal.routeModality]]): even docs carry real PNGs,
+    * odd docs real WAVs, interleaved in ONE persisted frame; the
+    * magic-byte router must classify every row (gated: zero `unknown`)
+    * and each decoder branch sees only its own rows — image rows get
+    * m9's dhash, audio rows m16's energy fingerprint. The oracle
+    * replays both generation+decode chains per parity class.
+    */
+  private def m17ModalityRouter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val mixed = ops.Multimodal.withGeneratedPng(d.filter(col("doc_id") % 2 === 0))
+      .unionByName(ops.Multimodal.withGeneratedWav(d.filter(col("doc_id") % 2 === 1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val routed = ops.Multimodal.routeModality(mixed)
+    val nUnknown = routed.filter(col("modality") === "unknown").count()
+    require(nUnknown == 0L,
+      s"router failed to classify $nUnknown rows of a corpus it generated")
+    val img = ops.Multimodal.dhashImage(routed.filter(col("modality") === "image"))
+      .select(col("doc_id"), lit("image").as("modality"), col("dhash").as("sig"))
+    val aud = ops.Multimodal.audioFingerprint(routed.filter(col("modality") === "audio"))
+      .select(col("doc_id"), lit("audio").as("modality"), col("afp").as("sig"))
+    img.unionByName(aud).orderBy("doc_id")
+  }
+
   /** Per-channel normalization stats over the REAL codec path
     * ([[ops.Multimodal.channelStats]]): exact integer channel moments
     * from decoded pixels, then the 6-rounded mean-per-channel and the
@@ -4522,6 +4546,7 @@ object SparkEntry {
     "m7_frames_real" -> m7FramesReal _,
     "m8_audio_real" -> m8AudioReal _,
     "m9_dhash" -> m9Dhash _,
+    "m17_modality_router" -> m17ModalityRouter _,
     "m10_audio_features" -> m10AudioFeatures _,
     "m11_histogram" -> m11Histogram _,
     "m14_channel_stats" -> m14ChannelStats _,
@@ -8158,6 +8183,40 @@ object SparkEntry {
     // arithmetic: 9x8 NN downsample (src = (x*sw)//9, (y*sh)//8), gray =
     // (r+g+b)//3 over pix = (id + 31*sx + 131*sy) % 2^24, bit =
     // gray[x+1] > gray[x], concatenated row-major
+    // both per-parity decode chains replayed: m9's dhash arithmetic for
+    // the even (image) rows, m16's energy fingerprint for the odd
+    // (audio) rows — the router itself is lossless by the magic-byte gate
+    "m17_modality_router" ->
+      """WITH di AS (SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh
+        |      FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT di.doc_id, gy.y, gx.x,
+        |        ((di.doc_id + 31 * ((gx.x * di.sw) // 9) + 131 * ((gy.y * di.sh) // 8)) % 16777216) AS pix
+        |      FROM di, generate_series(0, 8) AS gx(x), generate_series(0, 7) AS gy(y)),
+        |gr AS (SELECT doc_id, y, x,
+        |        ((pix // 65536) + ((pix // 256) % 256) + (pix % 256)) // 3 AS gray FROM g),
+        |bi AS (SELECT a.doc_id, a.y, a.x,
+        |        CASE WHEN n.gray > a.gray THEN '1' ELSE '0' END AS bit
+        |      FROM gr a JOIN gr n ON n.doc_id = a.doc_id AND n.y = a.y AND n.x = a.x + 1
+        |      WHERE a.x < 8),
+        |ih AS (SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS sig
+        |      FROM bi GROUP BY doc_id),
+        |da AS (SELECT doc_id, 400 + doc_id % 100 AS n FROM documents WHERE doc_id % 2 = 1),
+        |sa AS (SELECT da.doc_id, da.n, i.i AS i,
+        |        abs((da.doc_id + 7 * i.i) % 256 - 128) AS a
+        |      FROM da CROSS JOIN generate_series(0, 499) AS i(i) WHERE i.i < da.n),
+        |ea AS (SELECT doc_id, (i * 65) // n AS w,
+        |        CAST(sum(a) AS BIGINT) AS eng, count(*) AS ln
+        |      FROM sa GROUP BY doc_id, (i * 65) // n),
+        |ba AS (SELECT a.doc_id, a.w,
+        |        CASE WHEN nx.eng * a.ln > a.eng * nx.ln THEN '1' ELSE '0' END AS bit
+        |      FROM ea a JOIN ea nx ON nx.doc_id = a.doc_id AND nx.w = a.w + 1
+        |      WHERE a.w < 64),
+        |ah AS (SELECT doc_id, string_agg(bit, '' ORDER BY w) AS sig
+        |      FROM ba GROUP BY doc_id)
+        |SELECT doc_id, 'image' AS modality, sig FROM ih
+        |UNION ALL
+        |SELECT doc_id, 'audio' AS modality, sig FROM ah
+        |ORDER BY doc_id""".stripMargin,
     "m9_dhash" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh FROM documents),
         |g AS (SELECT d.doc_id, gy.y, gx.x,

@@ -826,4 +826,24 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(embeddedSchema))
   }
+
+  /** Modality routing over a MIXED binary corpus — the dispatch step a
+    * real multimodal lake needs before any decoder runs: rows carry
+    * opaque bytes of unknown kind (crawls interleave images, audio,
+    * junk), and running every decoder over every row multiplies the
+    * most expensive stage by the modality count. Detection is by
+    * container MAGIC BYTES (PNG's 8-byte signature, RIFF/WAV's 4), as
+    * ONE narrow codegen'd expression — `hex(substring(bin))` compares,
+    * no UDF, no decode, no row materialized beyond the prefix — so the
+    * router costs a prefix inspection while the per-modality decoders
+    * each see only their own rows. Rows matching no signature route to
+    * `unknown` (corrupt uploads, truncated writes) for the caller to
+    * quarantine, mirroring the decoders' NULL-on-corrupt contract.
+    */
+  def routeModality(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame =
+    df.withColumn("modality",
+      when(hex(substring(col(binCol), 1, 8)) === "89504E470D0A1A0A", "image")
+        .when(hex(substring(col(binCol), 1, 4)) === "52494646", "audio")
+        .otherwise("unknown"))
 }

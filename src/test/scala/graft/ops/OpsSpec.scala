@@ -625,6 +625,35 @@ class GroupCentroidsSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("routeModality: magic bytes classify PNG/WAV, junk quarantines as unknown") {
+    import spark.implicits._
+    val d = Seq((2L, ""), (4L, "")).toDF("doc_id", "text")
+    val png = Multimodal.withGeneratedPng(d)
+    val wav = Multimodal.withGeneratedWav(d.select((col("doc_id") + 1).as("doc_id")))
+    val junk = Seq((99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)))
+      .toDF("doc_id", "media")
+    val out = Multimodal.routeModality(png.unionByName(wav).unionByName(junk))
+      .select("doc_id", "modality").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "image", 4L -> "image",
+      3L -> "audio", 5L -> "audio", 99L -> "unknown"), out.toString)
+    // a TRUNCATED png prefix (magic intact) still routes as image —
+    // the router admits, the decoder's NULL-on-corrupt contract proves
+    val broken = Seq((7L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
+      0x0D, 0x0A, 0x1A, 0x0A, 0x00))).toDF("doc_id", "media")
+    val r = Multimodal.routeModality(broken).head.getString(2)
+    assert(r == "image")
+    val decoded = Multimodal.dhashImage(broken).head
+    assert(decoded.isNullAt(1), "corrupt-but-routed row must decode to NULL")
+  }
+
+  test("routeModality stays codegen-compiled (no UDF)") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2))).toDF("doc_id", "media")
+    val plan = Multimodal.routeModality(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+  }
+
   test("decodeStub: deterministic dims + checksum via mapPartitions") {
     import spark.implicits._
     val df = Seq((7L, "abc")).toDF("doc_id", "text")
