@@ -1290,6 +1290,32 @@ object SparkEntry {
 
   private val OvrLangClasses = Seq("de", "en", "es", "fr", "zh")
 
+  /** Language-ID CONFUSION MATRIX over t43's trained predictor — the
+    * eval harness as a gated frame: per (true, predicted) cell counts
+    * plus one exact global accuracy ratio repeated per row. A
+    * classifier regression (feature drift, a broken training round, a
+    * tie-break flip) moves cells — and because the oracle replays the
+    * ENTIRE train+predict chain through the same shared SQL as t43,
+    * the two gates can never drift apart.
+    */
+  private def t64LangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val models = ops.Curation.trainOneVsRestClassifiers(
+      d, "text", "lang", OvrLangClasses, 16, 2, 0.5)
+    val cm = ops.Curation.predictLangOneVsRest(d, "text", "doc_id", models)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val acc = cm.agg(
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("n_correct"),
+      sum(col("n")).as("n_total"))
+    cm.crossJoin(broadcast(acc))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        round(col("n_correct").cast("double") / col("n_total").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Distributed BPE tokenizer training ([[ops.Tokenize.bpeMerges]],
     * first 5 merges over the documents corpus): ONE corpus shuffle
     * builds the word-frequency table, then each round is a
@@ -4388,6 +4414,7 @@ object SparkEntry {
     "t16_pmi" -> t16Pmi _,
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t43_trained_langid" -> t43TrainedLangId _,
+    "t64_langid_confusion" -> t64LangidConfusion _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -4645,6 +4672,28 @@ object SparkEntry {
   private def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
 
   /** DuckDB form of [[TextFunctions.langId]] given a token-list expr. */
+  /** t43's full trained one-vs-rest prediction chain as a WITH body
+    * ending in `pred(doc_id, lang, pred_lang, score)` — shared by the
+    * t43 gate and t64's confusion rollup so the two can never drift.
+    */
+  private def trainedLangPredSql: String = {
+    val Seq(de, en, es, fr, zh) = OvrLangClasses.map(c => s"sc_$c.score")
+    s"""${embedTextSql()},
+      |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w0 AS (SELECT unnest(generate_series(0, 15)) AS j, CAST(0 AS BIGINT) AS wm),
+      |${OvrLangClasses.map(ovrClassChainSql).mkString(",\n")},
+      |pred AS (SELECT d.doc_id, d.lang,
+      | CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+      |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+      |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
+      |      WHEN $fr >= $zh THEN 'fr'
+      |      ELSE 'zh' END AS pred_lang,
+      | greatest($de, $en, $es, $fr, $zh) AS score
+      |FROM documents d
+      |${OvrLangClasses.map(c => s"JOIN sc_$c ON sc_$c.doc_id = d.doc_id").mkString("\n")})""".stripMargin
+  }
+
   private def langIdSql(toks: String): String = {
     val scores = TextFunctions.Markers.map { case (lang, words) =>
       lang -> s"len(list_filter($toks, t -> t IN (${inList(words)})))"
@@ -8063,24 +8112,20 @@ object SparkEntry {
     // all five one-vs-rest classes replayed independently (each =
     // t18's two GD iterations with that class's labels), then the same
     // rounded-score argmax cascade with ascending-class tie precedence
-    "t43_trained_langid" -> {
-      val Seq(de, en, es, fr, zh) = OvrLangClasses.map(c => s"sc_$c.score")
-      s"""WITH ${embedTextSql()},
-        |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |w0 AS (SELECT unnest(generate_series(0, 15)) AS j, CAST(0 AS BIGINT) AS wm),
-        |${OvrLangClasses.map(ovrClassChainSql).mkString(",\n")}
-        |SELECT d.doc_id, d.lang,
-        | CASE WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
-        |      WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
-        |      WHEN $es >= $fr AND $es >= $zh THEN 'es'
-        |      WHEN $fr >= $zh THEN 'fr'
-        |      ELSE 'zh' END AS pred_lang,
-        | greatest($de, $en, $es, $fr, $zh) AS score
-        |FROM documents d
-        |${OvrLangClasses.map(c => s"JOIN sc_$c ON sc_$c.doc_id = d.doc_id").mkString("\n")}
-        |ORDER BY d.doc_id""".stripMargin
-    },
+    "t43_trained_langid" ->
+      s"""WITH $trainedLangPredSql
+        |SELECT doc_id, lang, pred_lang, score FROM pred
+        |ORDER BY doc_id""".stripMargin,
+    // t43's full prediction chain + the confusion rollup and one exact
+    // accuracy ratio — model evaluation itself as a gated frame
+    "t64_langid_confusion" ->
+      s"""WITH $trainedLangPredSql,
+        |cm AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+        |acc AS (SELECT CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS n_correct,
+        |          CAST(sum(n) AS BIGINT) AS n_total FROM cm)
+        |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS accuracy
+        |FROM cm CROSS JOIN acc ORDER BY lang, pred_lang""".stripMargin,
     // all five BPE rounds replayed (see bpeRoundSql); each round's
     // winning pair re-derived by the same weighted count + tie-break
     "t44_bpe_merges" ->
