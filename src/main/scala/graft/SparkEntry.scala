@@ -1296,7 +1296,14 @@ object SparkEntry {
     * classifier regression (feature drift, a broken training round, a
     * tie-break flip) moves cells — and because the oracle replays the
     * ENTIRE train+predict chain through the same shared SQL as t43,
-    * the two gates can never drift apart.
+    * the two gates can never drift apart. The matrix also does its real
+    * job on THIS fixture: the synthetic "languages" are statistically
+    * identical text, so the trained model collapses to the majority
+    * class (every row predicts `en`; accuracy 0.436 = the en base rate
+    * at sf0.01) — the eval harness loudly reporting a model that
+    * learned nothing, which is exactly the production failure it
+    * exists to catch (CurationSpec holds the converse: on a separable
+    * corpus the same trainer reaches exact labels).
     */
   private def t64LangidConfusion(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
