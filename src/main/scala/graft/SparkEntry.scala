@@ -813,6 +813,87 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** STREAMING last-touch attribution ([[graft.streaming.EventsStream
+    * .lastTouchAttribution]]): q54's order-sensitive credit join run
+    * through the real micro-batch engine — three ts-tercile slice files
+    * (pinned modtimes, `maxFilesPerTrigger = 1` → three state-carrying
+    * batches), per-user latest-touch state, purchases emitting as they
+    * stream. Gated: (a) the ORACLE IS q54's batch SQL — stream must
+    * equal batch bit-for-bit, the strongest statement a stateful
+    * operator can make; (b) ingest audit (rows + exact event-time span
+    * vs the batch truth); (c) state size pinned to the
+    * distinct-users-with-touches count (state tracking events instead
+    * of users = the unbounded-state regression, caught loudly).
+    * Slices are REWRITTEN every run — a persisted stale slice after a
+    * testdata regeneration is exactly the r8 failure class.
+    */
+  private def q55StreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = ioTmp(dir, "q55")
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        cents(col("value")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mm = e.agg(min(col("ts_us")), max(col("ts_us")), count(lit(1))).head()
+    val (lo, hi, nAll) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val inDir = new java.io.File(s"$base/in")
+    if (inDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(inDir)
+    def writeSlice(pred: Column, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      e.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    writeSlice(col("ts_us") < c1, "slice0", 1000000000000L)
+    writeSlice(col("ts_us") >= c1 && col("ts_us") < c2, "slice1", 1000000060000L)
+    writeSlice(col("ts_us") >= c2, "slice2", 1000000120000L)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    val sink = "graft_q55_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .observe("graft_q55_in", count(lit(1)).as("n"),
+          min(col("ts_us")).as("min_ts_us"), max(col("ts_us")).as("max_ts_us"))
+      val q = graft.streaming.EventsStream
+        .lastTouchAttribution(src, 30L * 86400L * 1000000L)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val audit = graft.streaming.EventsStream.auditOf(q, "graft_q55_in")
+      require(audit.inputRows == nAll && audit.minTsMicros == lo &&
+          audit.maxTsMicros == hi,
+        s"q55 ingest (rows=${audit.inputRows}, span=[${audit.minTsMicros}, " +
+          s"${audit.maxTsMicros}]) != batch truth (rows=$nAll, span=[$lo, $hi])")
+      val expectedState = e.filter(col("event_type").isin("view", "click"))
+        .agg(countDistinct(col("user_id"))).head().getLong(0)
+      val st = graft.streaming.EventsStream.stateAuditOf(q)
+      require(st.map(_.rowsTotal).sum == expectedState,
+        s"q55 state rows ${st.map(_.rowsTotal).sum} != users-with-touches " +
+          s"$expectedState (state is tracking events, not users)")
+    }
+    e.unpersist()
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    s.table(sink).orderBy("event_id")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -4506,6 +4587,7 @@ object SparkEntry {
     "q52_interval_join" -> q52IntervalJoin _,
     "q53_bitemporal" -> q53Bitemporal _,
     "q54_attribution" -> q54Attribution _,
+    "q55_stream_attribution" -> q55StreamAttribution _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -7457,6 +7539,28 @@ object SparkEntry {
     // inclusive backward as-of at micro precision + 30-day window gate
     // + (ts, event, type)-DESC tie rank, NULLed unattributed rows kept
     "q54_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |        event_id AS t_event, event_type AS t_type
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS credit_cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts_us, p.credit_cents,
+        |        t.t_event, t.t_type, t.ts_us AS touch_ts_us,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY t.ts_us DESC, t.t_event DESC, t.t_type DESC) AS rn
+        |      FROM p LEFT JOIN t
+        |        ON t.user_id = p.user_id AND t.ts_us <= p.ts_us)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN t_event END AS touch_event,
+        |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN t_type END AS touch_type,
+        |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN touch_ts_us END AS touch_ts_us,
+        |  credit_cents
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // THE SAME SQL AS q54: the streaming stateful operator must equal
+    // the batch as-of bit-for-bit (ts-sliced batches + in-group sort
+    // make the stream order-exact)
+    "q55_stream_attribution" ->
       """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
         |        event_id AS t_event, event_type AS t_type
         |      FROM events WHERE event_type IN ('view', 'click')),

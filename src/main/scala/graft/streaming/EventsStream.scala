@@ -232,6 +232,83 @@ object EventsStream {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming last-touch attribution — q54's batch as-of credit as an
+    * ORDER-SENSITIVE stateful operator: per-user state is the single
+    * latest view/click seen so far (`(ts_us, event_id, type)` — a few
+    * dozen bytes per user, bounded by the user population, never by
+    * stream length), and each purchase emits its credit against that
+    * state the moment it is processed. This is the stateful shape the
+    * order-FREE windowed aggregates can't express: the answer depends
+    * on the event sequence, so correctness needs (a) event-time-sliced
+    * micro-batches (the caller feeds ts-range files in order — same
+    * contract d13's nightly slices satisfy) and (b) an in-batch sort of
+    * each group's iterator, which arrives in shuffle order, not event
+    * order.
+    *
+    * Tie semantics replicate the batch op exactly: within one event
+    * timestamp, touches are absorbed BEFORE purchases emit (inclusive
+    * as-of), and competing same-ts touches resolve by the
+    * `(ts, event_id, type)` maximum — q54's payload-struct max. The
+    * caller's slicing must not split one timestamp across batches
+    * (ts-range cuts guarantee this by construction).
+    *
+    * Expects `(event_id, user_id, ts_us, event_type, cents)`; returns
+    * one row per purchase, NULL-touch when nothing precedes within
+    * `lookbackUs`.
+    */
+  def lastTouchAttribution(events: DataFrame, lookbackUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
+    events.select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts_us").cast("long"), col("event_type"), col("cents").cast("long"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long, String),
+          (Long, Long, Long, Option[Long], Option[String], Option[Long], Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        val evs = rows.toArray.sortBy(r => (r._3, r._1))
+        var latest: Option[(Long, Long, String)] = state.getOption
+        def better(c: (Long, Long, String)): Boolean = latest.forall { l =>
+          c._1 > l._1 || (c._1 == l._1 &&
+            (c._2 > l._2 || (c._2 == l._2 && c._3 > l._3)))
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Option[Long], Option[String], Option[Long], Long)]
+        var i = 0
+        while (i < evs.length) {
+          val ts = evs(i)._3
+          var j = i
+          while (j < evs.length && evs(j)._3 == ts) j += 1
+          // inclusive as-of: absorb this timestamp's touches first
+          var k = i
+          while (k < j) {
+            val e = evs(k)
+            if (e._4 == "view" || e._4 == "click") {
+              val cand = (e._3, e._1, e._4)
+              if (better(cand)) latest = Some(cand)
+            }
+            k += 1
+          }
+          k = i
+          while (k < j) {
+            val e = evs(k)
+            if (e._4 == "purchase") {
+              val hit = latest.filter(l => e._3 - l._1 <= lookbackUs)
+              out += ((e._1, uid, e._3, hit.map(_._2), hit.map(_._3),
+                hit.map(_._1), e._5))
+            }
+            k += 1
+          }
+          i = j
+        }
+        latest.foreach(state.update)
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_us", "touch_event", "touch_type",
+        "touch_ts_us", "credit_cents")
+  }
+
   /** Stream-stream interval self-join: every purchase joined to the same
     * user's views in the preceding hour — the attribution-join shape.
     * Both sides carry watermarks and the join condition bounds the event

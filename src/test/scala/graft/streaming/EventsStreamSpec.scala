@@ -23,6 +23,65 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  test("lastTouchAttribution: state carries across batches; ties, lookback, null-touch") {
+    import spark.implicits._
+    val base = "/tmp/graft_io/spec_q55/in"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    // (event_id, user_id, ts_us, type, cents)
+    // batch 1 (ts < 100): u1 click@10; u2 view@20; u1 purchase@10 (same-ts
+    //   inclusive tie -> credits click 1); u2 purchase@90 -> view 2
+    // batch 2 (ts >= 100): u1 purchase@120 -> STATE-carried click 1;
+    //   u2 view@200 then purchase@1300 -> lookback (1000) expired -> NULL;
+    //   u3 purchase@150 with no touch ever -> NULL
+    val b1 = Seq((1L, 1L, 10L, "click", 0L), (2L, 2L, 20L, "view", 0L),
+      (3L, 1L, 10L, "purchase", 500L), (4L, 2L, 90L, "purchase", 700L))
+    val b2 = Seq((5L, 1L, 120L, "purchase", 900L), (6L, 2L, 200L, "view", 0L),
+      (7L, 2L, 1300L, "purchase", 300L), (8L, 3L, 150L, "purchase", 100L))
+    def write(rows: Seq[(Long, Long, Long, String, Long)], name: String,
+        mtime: Long): Unit = {
+      val tmp = new java.io.File(s"$base/$name.tmp")
+      rows.toDF("event_id", "user_id", "ts_us", "event_type", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$base/$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp); target.setLastModified(mtime): Unit
+    }
+    write(b1, "b1", 1000000000000L)
+    write(b2, "b2", 1000000060000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    val ckpt = EventsStream.ephemeralCheckpoint("spec_q55")
+    val q = EventsStream.lastTouchAttribution(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(base), lookbackUs = 1000L)
+      .writeStream.format("memory").queryName("spec_q55_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    EventsStream.dropEphemeralCheckpoint(ckpt)
+    val out = spark.table("spec_q55_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[String]), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (3L, Some(1L), Some("click"), 500L), // same-ts inclusive tie
+      (4L, Some(2L), Some("view"), 700L),
+      (5L, Some(1L), Some("click"), 900L), // state carried from batch 1
+      (7L, None, None, 300L),              // lookback expired
+      (8L, None, None, 100L)),             // never touched
+      out.toString)
+  }
+
   test("streaming hopping agg: every event lands in exactly two windows") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.hoppingAgg(EventsStream.readEvents(spark, sf0001)), "hopping_out",
