@@ -1349,6 +1349,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Cumulative lift/gain table ([[ops.Curation.liftTable]], 10 bins)
+    * over t18's trained quality score and `lang == 'en'` labels — the
+    * threshold-picking table: per bin (top-down) the cumulative
+    * positive capture and the lift of cutting there vs the base rate.
+    * The oracle replays the score chain, the binning, both cumulative
+    * sums and the two fixed-order ratios.
+    */
+  private def t65LiftTable(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val wm = ops.Curation.trainTextClassifier(
+      d.withColumn("__y", (col("lang") === "en").cast("int")),
+      "text", "__y", 16, 2, 0.5)
+    val scored = ops.Curation.scoreTextClassifier(d, "text", "doc_id", wm)
+      .join(d.select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("label")), "doc_id")
+    ops.Curation.liftTable(scored, "score", "label", 10)
+      .orderBy(desc("bin"))
+  }
+
   /** Trained one-vs-rest language-ID ([[ops.Curation
     * .trainOneVsRestClassifiers]]): five per-language logistic
     * regressions (de/en/es/fr/zh — the fixture's label set, including
@@ -4503,6 +4522,7 @@ object SparkEntry {
     "t18_quality_classifier" -> t18QualityClassifier _,
     "t43_trained_langid" -> t43TrainedLangId _,
     "t64_langid_confusion" -> t64LangidConfusion _,
+    "t65_lift_table" -> t65LiftTable _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -8143,6 +8163,40 @@ object SparkEntry {
         |ORDER BY query_id, sel_round""".stripMargin,
     // both GD iterations replayed (see logregIterSql) over the re-derived
     // hashed features; final sigmoid scores per document
+    // t18's trained-score chain + equal-width bins + top-down cumulative
+    // sums + the two fixed-order ratios, replayed end to end
+    "t65_lift_table" ->
+      s"""WITH ${embedTextSql()},
+        |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
+        |y AS (SELECT doc_id,
+        |       CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS ym
+        |      FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w0 AS (SELECT unnest(generate_series(0, 15)) AS j, CAST(0 AS BIGINT) AS wm),
+        |${logregIterSql(1, "w0")},
+        |${logregIterSql(2, "w1")},
+        |zf AS (SELECT xm.doc_id, CAST(sum(xm.xm * pw.wm) AS BIGINT) AS zm
+        |       FROM xm JOIN w2 pw USING (j) GROUP BY xm.doc_id),
+        |scored AS (SELECT d.doc_id,
+        |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label,
+        |        round(1.0/(1.0 + exp(-(zm / 1000000000000.0))), 6) AS score
+        |       FROM documents d JOIN zf ON d.doc_id = zf.doc_id),
+        |per AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |          count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+        |        FROM scored GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |          CAST(sum(n_pos) AS BIGINT) AS pt FROM per),
+        |c AS (SELECT bin, n, n_pos,
+        |        CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos
+        |      FROM per)
+        |SELECT bin, CAST(n AS BIGINT) AS n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN pt = 0 THEN NULL
+        |    ELSE round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6) END AS capture,
+        |  CASE WHEN pt = 0 THEN NULL
+        |    ELSE round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+        |      / (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) END AS lift
+        |FROM c CROSS JOIN tot ORDER BY bin DESC""".stripMargin,
     "t18_quality_classifier" ->
       s"""WITH ${embedTextSql()},
         |xm AS (SELECT doc_id, j, CAST(round(x * 1000000, 0) AS BIGINT) AS xm FROM ev),
@@ -8195,21 +8249,28 @@ object SparkEntry {
         |FROM a""".stripMargin,
     // t1's proven quality-score replay over documents.text, then the
     // clamped equal-width buckets with exact micro-integer score sums
+    // the same heuristic scored chain as t47, then the top-down
+    // cumulative capture/lift rollout with its two fixed-order ratios
+    "t65_lift_table" ->
+      s"""WITH $heuristicScoredSql,
+        |per AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+        |          count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+        |        FROM scored GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |          CAST(sum(n_pos) AS BIGINT) AS pt FROM per),
+        |c AS (SELECT bin, n, n_pos,
+        |        CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos
+        |      FROM per)
+        |SELECT bin, CAST(n AS BIGINT) AS n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN pt = 0 THEN NULL
+        |    ELSE round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6) END AS capture,
+        |  CASE WHEN pt = 0 THEN NULL
+        |    ELSE round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+        |      / (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) END AS lift
+        |FROM c CROSS JOIN tot ORDER BY bin DESC""".stripMargin,
     "t47_calibration" ->
-      s"""WITH s AS (SELECT lang, ${toksSql("text")} AS toks,
-        |        CASE WHEN length(text) = 0 THEN 0.0
-        |         ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio
-        |       FROM documents),
-        |s2 AS (SELECT lang, punct_ratio,
-        |        CASE WHEN len(toks) = 0 THEN 0.0
-        |         ELSE len(list_filter(toks, t -> t IN (${inList(TextFunctions.Stopwords)})))::DOUBLE / len(toks) END AS stopword_ratio,
-        |        least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS len_signal
-        |       FROM s),
-        |scored AS (SELECT
-        |        len_signal * (1.0 - least(1.0, punct_ratio * 4.0))
-        |          * (0.5 + least(1.0, stopword_ratio * 4.0) * 0.5) AS score,
-        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
-        |       FROM s2),
+      s"""WITH $heuristicScoredSql,
         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
         |        CAST(round(score * 1000000, 0) AS BIGINT) AS sm, label
         |       FROM scored),

@@ -308,6 +308,49 @@ object Curation {
           .as("kn_surprisal"))
   }
 
+  /** Cumulative lift/gain table — [[calibrationBins]]' decision-making
+    * companion and the fourth leg of the model-eval family (AUC ranks,
+    * calibration prices, confusion localizes, LIFT answers "how much
+    * better than random is keeping only the top X%?"): bins ordered
+    * top-score-down, each row carrying the cumulative capture rate
+    * (share of all positives above the bin floor) and the lift of that
+    * cut versus the base rate — the table a curation pipeline reads to
+    * pick its quality threshold.
+    *
+    * Exactness: per-bin counts are one partial-aggregable pass; the
+    * cumulative sums run over ≤ `bins` rows (a bins-sized window, never
+    * corpus-sized); capture and lift are each ONE fixed-order double
+    * formula over exact LONGs, 6-rounded — `(cum_pos/cum_n)/(pt/nt)`
+    * with all four operands exact. Lift is NULL when the corpus has no
+    * positives (undefined, not 0 — [[binaryAuc]]'s convention).
+    */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val per = df.select(
+        least(floor(col(scoreCol) * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("pt"))
+    val w = Window.orderBy(desc("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        when(col("pt") === 0, lit(null))
+          .otherwise(round(col("cum_pos").cast("double") / col("pt").cast("double"), 6))
+          .as("capture"),
+        when(col("pt") === 0, lit(null))
+          .otherwise(round(
+            (col("cum_pos").cast("double") / col("cum_n").cast("double"))
+              / (col("pt").cast("double") / col("nt").cast("double")), 6))
+          .as("lift"))
+  }
+
   /** Zipf-law fit over the top-`topN` vocabulary — the corpus-health
     * audit the token-level screens assume but never check: natural text
     * has log-frequency falling ~linearly in log-rank with slope ≈ −1;

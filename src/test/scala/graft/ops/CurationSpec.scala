@@ -307,6 +307,30 @@ class CurationSpec extends SparkSpec {
     assert(r2.getLong(2) == 1L && r2.getDouble(3) == 0.666667)
   }
 
+  test("liftTable: hand-computed capture and lift; no-positives corpus yields NULLs") {
+    import spark.implicits._
+    // scores place 4 rows in bin 9, 4 in bin 4, 2 in bin 0;
+    // positives: 3 of 4 top, 1 of 4 mid, 0 of 2 bottom; base rate 4/10
+    val df = (Seq.fill(3)((0.95, 1)) ++ Seq((0.95, 0)) ++
+      Seq((0.45, 1)) ++ Seq.fill(3)((0.45, 0)) ++ Seq.fill(2)((0.05, 0)))
+      .toDF("score", "label")
+    val r = Curation.liftTable(df, "score", "label", 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6)))
+      .sortBy(-_._1).toSeq
+    assert(r == Seq(
+      // keep top bin: capture 3/4, lift (3/4)/(4/10) = 1.875
+      (9L, 4L, 3L, 4L, 3L, 0.75, 1.875),
+      // keep top two: capture 1.0, lift (4/8)/(4/10) = 1.25
+      (4L, 4L, 1L, 8L, 4L, 1.0, 1.25),
+      // keep all: lift exactly 1 by construction
+      (0L, 2L, 0L, 10L, 4L, 1.0, 1.0)), r.toString)
+    // all-negative corpus: capture/lift undefined -> NULL, not 0
+    val neg = Seq((0.9, 0), (0.1, 0)).toDF("score", "label")
+    val rn = Curation.liftTable(neg, "score", "label", 10).collect()
+    assert(rn.forall(x => x.isNullAt(5) && x.isNullAt(6)))
+  }
+
   test("zipfFit: an exact 1/r law fits slope -1 with r2 ~ 1; uniform counts flatten to 0") {
     import spark.implicits._
     // c_r = 840/r for r = 1..8 — exactly Zipf with exponent 1
