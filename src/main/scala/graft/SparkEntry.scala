@@ -4803,6 +4803,27 @@ object SparkEntry {
       |${OvrLangClasses.map(c => s"JOIN sc_$c ON sc_$c.doc_id = d.doc_id").mkString("\n")})""".stripMargin
   }
 
+  /** t1's heuristic quality-score chain over documents.text as a WITH
+    * body ending in `scored(score, label)` — shared by the t47
+    * calibration gate (its historical inline form) so bin edges and the
+    * en/other label definition can never drift between consumers.
+    */
+  private def heuristicScoredSql: String =
+    s"""s AS (SELECT lang, ${toksSql("text")} AS toks,
+      |        CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio
+      |       FROM documents),
+      |s2 AS (SELECT lang, punct_ratio,
+      |        CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE len(list_filter(toks, t -> t IN (${inList(TextFunctions.Stopwords)})))::DOUBLE / len(toks) END AS stopword_ratio,
+      |        least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) AS len_signal
+      |       FROM s),
+      |scored AS (SELECT
+      |        len_signal * (1.0 - least(1.0, punct_ratio * 4.0))
+      |          * (0.5 + least(1.0, stopword_ratio * 4.0) * 0.5) AS score,
+      |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      |       FROM s2)""".stripMargin
+
   private def langIdSql(toks: String): String = {
     val scores = TextFunctions.Markers.map { case (lang, words) =>
       lang -> s"len(list_filter($toks, t -> t IN (${inList(words)})))"
@@ -8247,28 +8268,9 @@ object SparkEntry {
         |    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
         |    / (2.0 * n_pos * n_neg), 6) END AS auc
         |FROM a""".stripMargin,
-    // t1's proven quality-score replay over documents.text, then the
-    // clamped equal-width buckets with exact micro-integer score sums
-    // the same heuristic scored chain as t47, then the top-down
-    // cumulative capture/lift rollout with its two fixed-order ratios
-    "t65_lift_table" ->
-      s"""WITH $heuristicScoredSql,
-        |per AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
-        |          count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos
-        |        FROM scored GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
-        |          CAST(sum(n_pos) AS BIGINT) AS pt FROM per),
-        |c AS (SELECT bin, n, n_pos,
-        |        CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n,
-        |        CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pos
-        |      FROM per)
-        |SELECT bin, CAST(n AS BIGINT) AS n, n_pos, cum_n, cum_pos,
-        |  CASE WHEN pt = 0 THEN NULL
-        |    ELSE round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6) END AS capture,
-        |  CASE WHEN pt = 0 THEN NULL
-        |    ELSE round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
-        |      / (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) END AS lift
-        |FROM c CROSS JOIN tot ORDER BY bin DESC""".stripMargin,
+    // t1's proven quality-score replay over documents.text (shared
+    // heuristicScoredSql chain), then the clamped equal-width buckets
+    // with exact micro-integer score sums
     "t47_calibration" ->
       s"""WITH $heuristicScoredSql,
         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
