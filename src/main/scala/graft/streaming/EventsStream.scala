@@ -210,6 +210,18 @@ object EventsStream {
     * by user — at scale this shuffles once on user_id and state lives in
     * the executor-local RocksDB/HDFS-backed store, emitting one updated
     * row per user per micro-batch.
+    *
+    * State-bound audit (deliberate NoTimeout): unlike
+    * [[lastTouchAttribution]]'s lookback — which gives a natural horizon
+    * past which state is provably dead and therefore gets an
+    * `EventTimeTimeout` TTL — LIFETIME running totals are the operator's
+    * contract: evicting a user would silently reset their totals on the
+    * next event, breaking the q13 gate's exact batch equality. State is
+    * O(distinct users) at 16 bytes of payload per key (two LONGs), not
+    * O(events) — the EventsStreamSpec state law pins resident rows to the
+    * distinct-user count. A deployment needing bounded state should window
+    * the totals upstream (group on `(user, window)` with a watermark)
+    * rather than TTL-ing lifetime semantics.
     */
   def runningUserStats(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
@@ -255,18 +267,38 @@ object EventsStream {
     * Expects `(event_id, user_id, ts_us, event_type, cents)`; returns
     * one row per purchase, NULL-touch when nothing precedes within
     * `lookbackUs`.
+    *
+    * STATE TTL: per-user state is one touch, but with no eviction the
+    * store would grow with ever-seen users forever — the classic
+    * state-store OOM at 100× users on an unbounded stream. The operator
+    * therefore watermarks event time (0s delay — the caller's ordered
+    * ts-range slices admit no late data) and arms an `EventTimeTimeout`
+    * at `latest_touch + lookback`: once the watermark passes that, the
+    * touch could no longer credit ANY future purchase (a later purchase's
+    * event time is ≥ the watermark that evicted it), so dropping the
+    * state row cannot change the output — batch equality stays
+    * bit-for-bit while resident state tracks only users with a
+    * still-creditable touch.
     */
   def lastTouchAttribution(events: DataFrame, lookbackUs: Long): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     require(lookbackUs > 0, s"lookbackUs must be positive: $lookbackUs")
     events.select(col("event_id").cast("long"), col("user_id").cast("long"),
-        col("ts_us").cast("long"), col("event_type"), col("cents").cast("long"))
-      .as[(Long, Long, Long, String, Long)]
+        col("ts_us").cast("long"), col("event_type"), col("cents").cast("long"),
+        timestamp_micros(col("ts_us").cast("long")).as("evt_ts"))
+      .withWatermark("evt_ts", "0 seconds")
+      .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[(Long, Long, String),
           (Long, Long, Long, Option[Long], Option[String], Option[Long], Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (uid, rows, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed latest_touch + lookback: no future purchase
+          // can credit this touch — evict and emit nothing
+          state.remove()
+          Iterator.empty
+        } else {
         val evs = rows.toArray.sortBy(r => (r._3, r._1))
         var latest: Option[(Long, Long, String)] = state.getOption
         def better(c: (Long, Long, String)): Boolean = latest.forall { l =>
@@ -302,8 +334,18 @@ object EventsStream {
           }
           i = j
         }
-        latest.foreach(state.update)
+        latest.foreach { l =>
+          state.update(l)
+          // TTL: evictable once the watermark passes touch + lookback
+          // (+1 ms so µs→ms truncation never evicts a still-live touch);
+          // clamped above the current watermark because Spark rejects
+          // timeouts at/behind it (an already-expired touch carried in
+          // state evicts at the next watermark advance)
+          val ttlMs = l._1 / 1000L + lookbackUs / 1000L + 1L
+          state.setTimeoutTimestamp(math.max(ttlMs, state.getCurrentWatermarkMs() + 1L))
+        }
         out.iterator
+        }
       }
       .toDF("event_id", "user_id", "ts_us", "touch_event", "touch_type",
         "touch_ts_us", "credit_cents")

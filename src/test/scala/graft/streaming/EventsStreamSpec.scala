@@ -82,6 +82,67 @@ class EventsStreamSpec extends SparkSpec {
       out.toString)
   }
 
+  test("lastTouchAttribution TTL law: expired touches leave the state store") {
+    import spark.implicits._
+    val base = "/tmp/graft_io/spec_q55_ttl/in"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    // lookback = 1000 µs. b1 seeds touches for u1 and u2; b2's purchases
+    // arrive far past the lookback (u1 -> NULL) and u2 re-touches; b3's
+    // u2 purchase credits within lookback. The watermark (0s delay) walks
+    // the slice maxima, so u1's touch (TTL 1002 ms) expires once b3 runs
+    // under watermark 6000 ms — WITHOUT EventTimeTimeout eviction the
+    // final state would hold 2 rows; the law demands exactly 1 (u2).
+    val b1 = Seq((1L, 1L, 1000000L, "view", 0L), (2L, 2L, 2000000L, "view", 0L))
+    val b2 = Seq((3L, 1L, 5000000L, "purchase", 500L),
+      (4L, 2L, 6000000L, "view", 0L))
+    val b3 = Seq((5L, 2L, 6000800L, "purchase", 300L))
+    def write(rows: Seq[(Long, Long, Long, String, Long)], name: String,
+        mtime: Long): Unit = {
+      val tmp = new java.io.File(s"$base/$name.tmp")
+      rows.toDF("event_id", "user_id", "ts_us", "event_type", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$base/$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp); target.setLastModified(mtime): Unit
+    }
+    write(b1, "b1", 1000000000000L)
+    write(b2, "b2", 1000000060000L)
+    write(b3, "b3", 1000000120000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+    val ckpt = EventsStream.ephemeralCheckpoint("spec_q55_ttl")
+    val q = EventsStream.lastTouchAttribution(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(base), lookbackUs = 1000L)
+      .writeStream.format("memory").queryName("spec_q55_ttl_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val st = EventsStream.stateAuditOf(q)
+    EventsStream.dropEphemeralCheckpoint(ckpt)
+    val out = spark.table("spec_q55_ttl_out").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(6)))
+      .sortBy(_._1).toSeq
+    // output semantics unchanged by eviction: expired touch -> NULL,
+    // live touch -> credited
+    assert(out == Seq((3L, None, 500L), (5L, Some(4L), 300L)), out.toString)
+    // the law: u1's touch expired (watermark 6000 ms > TTL 1002 ms) and
+    // was EVICTED; only u2's live touch remains resident
+    assert(st.map(_.rowsTotal).sum == 1L,
+      s"state rows ${st.map(_.rowsTotal).sum} != 1 — expired touch not evicted: $st")
+  }
+
   test("streaming hopping agg: every event lands in exactly two windows") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.hoppingAgg(EventsStream.readEvents(spark, sf0001)), "hopping_out",
