@@ -1736,12 +1736,19 @@ object SparkEntry {
     */
   private def q50StreamCms(s: SparkSession, dir: String): DataFrame = {
     val base = ioTmp(dir, "q50")
+    // slices are REWRITTEN every run (q55's discipline): a `_SUCCESS`
+    // skip-guard would fold STALE slices after a testdata regeneration
+    // into the same dir — the r8 stale-slice failure class
+    def rmQ50(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmQ50)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rmQ50(baseDir)
     for (i <- 0 until 3) {
       val p = new java.io.File(s"$base/slice_id=$i")
-      if (!new java.io.File(p, "_SUCCESS").exists())
-        Tables.events(s, dir).filter(col("event_id") % 3 === i)
-          .select(col("user_id"))
-          .coalesce(1).write.mode("overwrite").parquet(p.toString)
+      Tables.events(s, dir).filter(col("event_id") % 3 === i)
+        .select(col("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(p.toString)
     }
     val acc = scala.collection.mutable.Map[(Int, Long), Long]()
     val seen = scala.collection.mutable.Set[Long]()
@@ -5060,9 +5067,10 @@ object SparkEntry {
     * merge, windowed CDFs, exact HUGEINT gap, (D desc, x asc) argmax.
     */
   private def ksPairSql(sfx: String, curFrom: String): String =
-    s"""a$sfx AS (SELECT x, count(*) AS a FROM
-      |      (SELECT n_chars AS x FROM documents WHERE doc_id % 2 = 0) GROUP BY x),
-      |b$sfx AS (SELECT x, count(*) AS b FROM ($curFrom) GROUP BY x),
+    s"""a$sfx AS (SELECT CAST(round(x * 1000000, 0) AS BIGINT) AS x, count(*) AS a FROM
+      |      (SELECT n_chars AS x FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+      |b$sfx AS (SELECT CAST(round(x * 1000000, 0) AS BIGINT) AS x, count(*) AS b
+      |      FROM ($curFrom) GROUP BY 1),
       |m$sfx AS (SELECT coalesce(a$sfx.x, b$sfx.x) AS x,
       |        coalesce(a, 0) AS a, coalesce(b, 0) AS b
       |      FROM a$sfx FULL OUTER JOIN b$sfx ON a$sfx.x = b$sfx.x),
@@ -7901,11 +7909,11 @@ object SparkEntry {
         |${ksPairSql("B", "SELECT n_chars + 37 AS x FROM documents WHERE doc_id % 2 = 1")}
         |SELECT * FROM (
         |  SELECT 'null_split' AS pair, n1 AS n_ref, n2 AS n_cur,
-        |    CAST(x AS BIGINT) AS ks_at,
+        |    round(CAST(x AS DOUBLE) / 1000000.0, 6) AS ks_at,
         |    round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks
         |  FROM bestA CROSS JOIN nA
         |  UNION ALL
-        |  SELECT 'shift37', n1, n2, CAST(x AS BIGINT),
+        |  SELECT 'shift37', n1, n2, round(CAST(x AS DOUBLE) / 1000000.0, 6),
         |    round(CAST(dnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
         |  FROM bestB CROSS JOIN nB)
         |ORDER BY pair""".stripMargin,

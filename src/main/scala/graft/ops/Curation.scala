@@ -855,9 +855,17 @@ object Curation {
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = ref.select(col(valCol).cast("long").as("x"))
+    // micro-integer values (×1e6, the engine-wide exactness convention),
+    // NOT cast-to-long truncation: a [0,1]-range statistic (quality
+    // score) would collapse every value to bin 0 and the alarm would
+    // silently never fire. Monotone + injective at 1e-6 resolution, so
+    // the CDF ordering — and hence D — is preserved for integral inputs
+    // and faithfully resolved for continuous ones; ks_at divides back to
+    // the caller's scale at emit.
+    def toMicro(c: Column): Column = round(c.cast("double") * lit(1e6), 0).cast("long")
+    val a = ref.select(toMicro(col(valCol)).as("x"))
       .filter(col("x").isNotNull).groupBy("x").agg(count(lit(1)).as("a"))
-    val b = cur.select(col(valCol).cast("long").as("x"))
+    val b = cur.select(toMicro(col(valCol)).as("x"))
       .filter(col("x").isNotNull).groupBy("x").agg(count(lit(1)).as("b"))
     val merged = a.join(b, Seq("x"), "full_outer")
       .select(col("x"), coalesce(col("a"), lit(0L)).as("a"),
@@ -876,7 +884,8 @@ object Curation {
     scored
       .agg(max(struct(col("dnum"), (-col("x")).as("nx"))).as("best"),
         first(col("n1")).as("n_ref"), first(col("n2")).as("n_cur"))
-      .select(col("n_ref"), col("n_cur"), (-col("best.nx")).as("ks_at"),
+      .select(col("n_ref"), col("n_cur"),
+        round((-col("best.nx")).cast("double") / lit(1e6), 6).as("ks_at"),
         round(col("best.dnum").cast("double")
           / (col("n_ref").cast("double") * col("n_cur").cast("double")), 6)
           .as("ks"))

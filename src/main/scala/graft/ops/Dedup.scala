@@ -1050,6 +1050,14 @@ object Dedup {
     require(maxHamming >= 0 && bits % nseg == 0,
       s"bits=$bits not divisible into ${nseg} segments")
     val segLen = bits / nseg
+    // a segment wider than 62 bits overflows conv's signed-LONG output
+    // (string→long cast nulls, hamming nulls, every pair SILENTLY
+    // dropped) — e.g. bits=64 with maxHamming=0. Fail loudly instead;
+    // the doc's pigeonhole math assumes ≤16-bit segments anyway.
+    require(segLen <= 62,
+      s"segment width $segLen bits (bits=$bits / ${nseg} segments) exceeds " +
+        "62 — conv(seg, 2, 10) would overflow LONG and null every pair; " +
+        "raise maxHamming so segments stay narrow")
     val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
       .filter(col("h").isNotNull)
     val segs = h.select(col("id"), col("h"),

@@ -293,8 +293,8 @@ class CurationSpec extends SparkSpec {
     // F_ref - F_cur at x=1: 1/4-0; x=2: 2/4-0 = .5 (max, first at x=2);
     // x=3: 3/4-1/4 = .5 (tied, later); x=4: 1-2/4 = .5 (tied)
     val r = Curation.ksDrift(ref, cur, "v").head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
-      (4L, 4L, 2L, 0.5))
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      (4L, 4L, 2.0, 0.5))
     val same = Curation.ksDrift(ref, ref, "v").head()
     assert(same.getDouble(3) == 0.0)
     // disjoint supports -> D = 1 exactly
@@ -304,7 +304,15 @@ class CurationSpec extends SparkSpec {
     // F_ref(1)=2/3 vs 0 -> D = 2/3
     val r2 = Curation.ksDrift(Seq(1L, 1L, 2L).toDF("v"), Seq(2L).toDF("v"), "v")
       .head()
-    assert(r2.getLong(2) == 1L && r2.getDouble(3) == 0.666667)
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 0.666667)
+    // the continuous-statistic case micro-rounding exists for: a
+    // [0,1]-range quality score used to truncate to bin 0 on both sides
+    // (D ~ 0 — the drift alarm could never fire); disjoint fractional
+    // supports must now score D = 1 with ks_at at the caller's scale
+    val fr = Seq(0.1, 0.2, 0.3).toDF("v")
+    val fc = Seq(0.7, 0.8, 0.9).toDF("v")
+    val rf = Curation.ksDrift(fr, fc, "v").head()
+    assert(rf.getDouble(2) == 0.3 && rf.getDouble(3) == 1.0)
   }
 
   test("liftTable: hand-computed capture and lift; no-positives corpus yields NULLs") {

@@ -98,6 +98,13 @@ class FunnelSpec extends SparkSpec {
     assert(got == naive, s"got $got expected $naive")
     assert(got((0L, 1L)) == 0L && got((0L, 2L)) == 1L && got((0L, 4L)) == 3L)
     assert(!got.contains((0L, 3L))) // 4 bits: correctly outside the radius
+    // degenerate config guard: bits=64, maxHamming=0 → one 64-bit segment
+    // overflows conv's signed-LONG output; hamming would null and every
+    // pair silently vanish — must fail loudly at require instead
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bitstringDupPairs(hs, "doc_id", "dhash", 64, 0)
+    }
+    assert(ex.getMessage.contains("62"))
   }
 
   test("qualityCanonical: kept member beats a longer filtered one; counts audit") {
