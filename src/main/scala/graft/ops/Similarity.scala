@@ -285,8 +285,21 @@ object Similarity {
     * distinction matters for quality, not just cost: post-filtering an
     * unfiltered top-k loses exactly the hits the filter removes from
     * the head — at 10% selectivity that is ~90% of them — while
-    * pre-filtering ranks within the eligible set from the start. Same
-    * gate-scale label re-join shape as the ADC paths; a production
+    * pre-filtering ranks within the eligible set from the start.
+    *
+    * SELECTIVITY-SCALED probing: a filter at selectivity `s` thins every
+    * probed cell to `s` of its population, so fixed-`nprobe` filtered
+    * search silently degrades to near-random recall as filters sharpen
+    * (measured 0.200 at sf0.1 with nprobe=2 of 100 cells). The standard
+    * fix, applied here: each query probes `min(ncells,
+    * ceil(nprobe / s_label))` cells — `s_label` the query label's corpus
+    * fraction — so the ELIGIBLE candidates examined stay on the
+    * unfiltered operating point and total cosine work stays ~constant
+    * per query regardless of filter sharpness. All-integer arithmetic
+    * (`(nprobe·n_tot + n_m − 1) div n_m`), label counts one
+    * partial-aggregable groupBy, corpus/centroid totals two 1-row
+    * broadcast aggregates — no driver action, SQL-replayable exactly.
+    * Same gate-scale label re-join shape as the ADC paths; a production
     * artifact threads the routing column through the cell assignment
     * instead (one column appended to the persisted cell layout).
     */
@@ -300,11 +313,25 @@ object Similarity {
         withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
         cents, "nn_id", "nn_vec", "nn_nrm", 1)
       .join(corpus.select(col(idCol).as("nn_id"), col(matchCol).as("nn_m")), "nn_id")
-    val probes = assignCells(
-        withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"),
-        cents, "query_id", "q_vec", "q_nrm", nprobe)
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(matchCol).as("q_m"))), "query_id")
+    val nCells = cents.agg(count(lit(1)).as("n_cells"))
+    val nTot = corpus.agg(count(lit(1)).as("n_tot"))
+    val labCnt = corpus.groupBy(col(matchCol).as("q_m")).agg(count(lit(1)).as("n_m"))
+    val npEff = queries.select(col(idCol).as("query_id"), col(matchCol).as("q_m"))
+      .join(labCnt, Seq("q_m"), "left")
+      .crossJoin(broadcast(nCells)).crossJoin(broadcast(nTot))
+      .select(col("query_id"), col("q_m"),
+        least(col("n_cells"),
+          expr(s"($nprobe * n_tot + coalesce(n_m, n_tot) - 1) div coalesce(n_m, n_tot)"))
+          .as("np_eff"))
+    val qScored = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm")
+      .join(broadcast(cents))
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("cent_id"),
+        rounded(sqrt(l2NativeSq(col("q_vec"), col("cent_vec")))).as("d"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("d"), col("cent_id"))
+    val probes = qScored.withColumn("__cell_rank", row_number().over(wProbe))
+      .join(broadcast(npEff), "query_id")
+      .filter(col("__cell_rank") <= col("np_eff"))
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("cent_id"), col("q_m"))
     val scored = cells.join(probes,
         cells("cent_id") === probes("cent_id") &&
           col("nn_m") === col("q_m") && col("query_id") =!= col("nn_id"))
