@@ -197,19 +197,26 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
-  /** Interval-overlap join ([[ops.RangeJoin.intervalOverlapJoin]]):
+  /** Interval-overlap join ([[ops.RangeJoin.intervalOverlapJoinValidated]]):
     * synthetic [ts, ts + (k%7+1)h] spans from orders, 8h buckets (≥ the
     * max 7h length ⇒ ≤ 2 replicas per interval), canonical-bucket
     * emission — exactly the theta join's pairs with zero dedup pass.
+    * Runs through the VALIDATING path: malformed spans route to a
+    * quarantine frame instead of silently dropping pairs, and this
+    * fixture (spans derived `[ts, ts + positive]`) must quarantine
+    * nothing — required loudly, so the validator itself is gated.
     */
   private def q52IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       unix_timestamp(col("o_orderdate")).as("ts"))
     def iv(m: Int) = o.filter(col("k") % 20 === m).select(col("k"),
       col("ts").as("s"), (col("ts") + (col("k") % 7 + 1) * 3600L).as("e"))
-    ops.RangeJoin.intervalOverlapJoin(iv(0), iv(1),
-        ("k", "k"), ("s", "s"), ("e", "e"), 8L * 3600L)
-      .orderBy("a_id", "b_id")
+    val (pairs, quarantine) = ops.RangeJoin.intervalOverlapJoinValidated(
+      iv(0), iv(1), ("k", "k"), ("s", "s"), ("e", "e"), 8L * 3600L)
+    val nq = quarantine.count()
+    require(nq == 0,
+      s"q52: $nq well-formed-by-construction spans were quarantined")
+    pairs.orderBy("a_id", "b_id")
   }
 
   /** SCD Type-2 history over q27's change log

@@ -89,4 +89,40 @@ object RangeJoin {
         (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
           .as("overlap_s"))
   }
+
+  /** VALIDATING form of [[intervalOverlapJoin]] — io6's corrupt-record
+    * side channel applied to the well-formed-interval contract: the
+    * strict operator documents that an inverted (`start > end`) or
+    * NULL-bounded row can silently miss its canonical bucket and drop
+    * pairs, which makes a misbehaving upstream producer an invisible
+    * correctness bug. Here malformed rows are split into a QUARANTINE
+    * frame `(side, id, s, e, reason)` (`reason ∈ {null_bound,
+    * inverted}`) BEFORE the bucket spread, the join runs on the
+    * well-formed remainder only, and the caller decides the policy —
+    * alert, re-ingest, or require-empty. Two narrow filters per side,
+    * no extra shuffle; the pair output is identical to the strict
+    * operator on pre-cleaned input.
+    *
+    * @return (pairs, quarantine)
+    */
+  def intervalOverlapJoinValidated(a: DataFrame, b: DataFrame,
+      idCols: (String, String), startCols: (String, String),
+      endCols: (String, String), bucketWidthS: Long): (DataFrame, DataFrame) = {
+    def valid(s: String, e: String) =
+      col(s).isNotNull && col(e).isNotNull && col(s) <= col(e)
+    def quarantineOf(df: DataFrame, side: String, id: String, s: String,
+        e: String): DataFrame =
+      df.filter(!valid(s, e))
+        .select(lit(side).as("side"), col(id).cast("long").as("id"),
+          col(s).cast("long").as("s"), col(e).cast("long").as("e"),
+          when(col(s).isNull || col(e).isNull, "null_bound")
+            .otherwise("inverted").as("reason"))
+    val pairs = intervalOverlapJoin(
+      a.filter(valid(startCols._1, endCols._1)),
+      b.filter(valid(startCols._2, endCols._2)),
+      idCols, startCols, endCols, bucketWidthS)
+    val quarantine = quarantineOf(a, "a", idCols._1, startCols._1, endCols._1)
+      .unionByName(quarantineOf(b, "b", idCols._2, startCols._2, endCols._2))
+    (pairs, quarantine)
+  }
 }

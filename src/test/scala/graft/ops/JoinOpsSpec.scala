@@ -144,6 +144,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("intervalOverlapJoinValidated: malformed spans quarantined, pairs intact") {
+    import spark.implicits._
+    // rows 10/11 malformed (inverted, null bound) — with the STRICT
+    // operator the inverted span could silently drop pairs; the
+    // validator must route both to quarantine with reasons and produce
+    // exactly the pairs of the pre-cleaned input
+    val a = Seq((1L, Some(0L), Some(100L)), (10L, Some(90L), Some(20L)),
+      (11L, None, Some(50L))).toDF("a_id", "s", "e")
+    val b = Seq((2L, Some(50L), Some(150L)), (3L, Some(400L), Some(500L)))
+      .toDF("b_id", "s", "e")
+    val (pairs, quarantine) = RangeJoin.intervalOverlapJoinValidated(a, b,
+      ("a_id", "b_id"), ("s", "s"), ("e", "e"), 64L)
+    val q = quarantine.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4))).sorted.toSeq
+    assert(q == Seq(("a", 10L, "inverted"), ("a", 11L, "null_bound")), q)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 50L)), got.toString)
+    // clean input: quarantine empty, pairs equal the strict operator
+    val (p2, q2) = RangeJoin.intervalOverlapJoinValidated(
+      a.filter(col("a_id") === 1L), b,
+      ("a_id", "b_id"), ("s", "s"), ("e", "e"), 64L)
+    assert(q2.isEmpty)
+    assert(p2.collect().toSeq == RangeJoin.intervalOverlapJoin(
+      a.filter(col("a_id") === 1L), b,
+      ("a_id", "b_id"), ("s", "s"), ("e", "e"), 64L).collect().toSeq)
+  }
+
   test("intervalOverlapJoin plans as an equi-join on the bucket — no nested loop") {
     import spark.implicits._
     val a = Seq((1L, 0L, 100L)).toDF("a_id", "s", "e")
