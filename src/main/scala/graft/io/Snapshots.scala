@@ -14,14 +14,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    and a crashed attempt's orphan never collides with its retry;
   *  - a version is DEFINED by `manifest-v<N>.txt` (the data directories
   *    composing it: all prior commits plus the new one — append
-  *    semantics), written to a temp name and atomically renamed, so a
-  *    manifest either exists complete or not at all — a crash
-  *    mid-commit leaves orphan data files (harmless, GC-able), never a
-  *    torn table;
-  *  - `_latest` (the current version number) is updated LAST, again by
-  *    rename; readers resolve it, then read only the files its
-  *    manifest names — a writer publishing v+1 concurrently is
-  *    invisible until that final rename lands.
+  *    semantics), and the manifest name itself is the COMMIT POINT: the
+  *    full content is written to a temp file first, then CLAIMED at the
+  *    version-unique name by an atomic-exclusive publish — so a
+  *    manifest either exists complete or not at all, and exactly ONE
+  *    writer can own any version number;
+  *  - `_latest` is a monotonic HINT, updated after the claim; the
+  *    authoritative current version is `max(hint, listed manifests)`
+  *    ([[latestVersion]] reconciles), so a crash or a lost hint race
+  *    between the claim and the hint write can delay visibility but
+  *    never tear or regress the table.
+  *
+  * MULTI-WRITER CAS: concurrent committers race on the exclusive
+  * manifest-v<N> claim — the winner owns version N, the loser observes
+  * the new manifest, re-reads the chain, and retries at N+1 (bounded
+  * attempts), so no committed data directory is ever dropped from the
+  * chain. The exclusive-create primitive is real on both target
+  * filesystems: HDFS `rename(tmp, dest)` is namenode-atomic and refuses
+  * an existing destination; the local FS uses a POSIX hard link
+  * (`link(2)` — atomic, `EEXIST` on conflict; plain `rename(2)` would
+  * silently replace). S3-class object stores need a conditional PUT
+  * (`If-None-Match`) instead — out of scope here, as rename-based
+  * claims are not atomic there.
   *
   * Time travel = reading an old manifest; nothing is ever rewritten, so
   * every historical version stays exactly reproducible until a GC
@@ -29,10 +43,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file-list artifact (KBs per commit) and the data path is the
   * engine's ordinary parquet sink — commit cost is O(new files), not
   * O(table).
-  *
-  * Single-writer per table is assumed (the reference pipeline's shape);
-  * multi-writer needs a CAS on `_latest`, which plain filesystems don't
-  * give — documented, not faked.
   */
 object Snapshots {
 
@@ -45,7 +55,7 @@ object Snapshots {
   /** Atomically write `content` at `dest` via temp-file + rename.
     * `FileContext.rename(OVERWRITE)` rather than `FileSystem.rename`:
     * the latter refuses an existing destination on the local FS, and
-    * `_latest` is republished on every commit.
+    * the `_latest` hint is republished on every commit.
     */
   private def atomicWrite(s: SparkSession, f: FileSystem, dest: Path,
       content: String): Unit = {
@@ -57,16 +67,54 @@ object Snapshots {
       .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Current version, 0 when the table doesn't exist yet. */
+  /** Atomically publish `content` at `dest` IF AND ONLY IF `dest` does
+    * not exist — the CAS primitive commits race on. Full content lands
+    * in a temp file first, so the claimed name is complete the instant
+    * it appears. Returns false when another writer already owns `dest`.
+    */
+  private def publishExclusive(s: SparkSession, f: FileSystem, dest: Path,
+      content: String): Boolean = {
+    val tmp = new Path(dest.getParent, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val isLocal = Option(dest.toUri.getScheme).forall(sc => sc == "file" || sc == "")
+    val won =
+      if (isLocal) {
+        // POSIX link(2): atomic, EEXIST if dest exists. rename(2) would
+        // silently REPLACE an existing dest — unusable as a claim.
+        val tmpNio = java.nio.file.Paths.get(
+          f.makeQualified(tmp).toUri.getPath)
+        val destNio = java.nio.file.Paths.get(
+          f.makeQualified(dest).toUri.getPath)
+        try { java.nio.file.Files.createLink(destNio, tmpNio); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS rename: namenode-atomic, false when dest exists
+        f.rename(tmp, dest)
+      }
+    if (isLocal || !won) f.delete(tmp, false)
+    won
+  }
+
+  /** Current version, 0 when the table doesn't exist yet — the
+    * AUTHORITATIVE value: the `_latest` hint reconciled against the
+    * listed manifests, so a commit whose hint write crashed or lost an
+    * interleaving race is still visible.
+    */
   def latestVersion(s: SparkSession, table: String): Int = {
     val f = fs(s, table)
-    val p = new Path(s"$table/_latest")
-    if (!f.exists(p)) 0
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
+    val hint = latestHintOnly(s, table)
+    val listed =
+      if (!f.exists(new Path(table))) 0
+      else f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
+        case null => 0
+        case sts => sts.map(_.getPath.getName
+          .stripPrefix("manifest-v").stripSuffix(".txt").toInt)
+          .foldLeft(0)(math.max)
+      }
+    math.max(hint, listed)
   }
 
   private def manifestDirs(s: SparkSession, table: String, v: Int): Seq[String] = {
@@ -77,21 +125,58 @@ object Snapshots {
     finally in.close()
   }
 
-  /** Append-commit `df` as the table's next version; returns it. The
-    * data directory name is COMMIT-unique (not version-derived), so a
-    * crashed attempt's orphan never collides with the retry.
+  /** Append-commit `df` as the table's next version; returns the version
+    * this writer WON. The data directory name is COMMIT-unique (not
+    * version-derived), so a crashed attempt's orphan never collides with
+    * the retry — and under multi-writer contention the directory is
+    * written once while only the cheap manifest claim retries.
     */
-  def commit(df: DataFrame, table: String): Int = {
+  def commit(df: DataFrame, table: String, maxAttempts: Int = 50): Int = {
     val s = df.sparkSession
-    val prev = latestVersion(s, table)
-    val v = prev + 1
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     df.write.mode("errorifexists").parquet(s"$table/$dir")
-    val dirs = (if (prev == 0) Nil else manifestDirs(s, table, prev)) :+ dir
     val f = fs(s, table)
-    atomicWrite(s, f, manifestPath(table, v), dirs.mkString("\n"))
-    atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
-    v
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      val v = prev + 1
+      val dirs = (if (prev == 0) Nil else manifestDirs(s, table, prev)) :+ dir
+      if (publishExclusive(s, f, manifestPath(table, v), dirs.mkString("\n"))) {
+        // monotonic hint bump — BEST-EFFORT: concurrent hint writers can
+        // collide inside Rename.OVERWRITE's delete+rename window; the
+        // claim above already committed, so a failed/lost bump costs
+        // readers one manifest listing, never a torn table
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return v
+      }
+      attempt += 1
+    }
+    sys.error(s"commit to $table lost the version race $maxAttempts times")
+  }
+
+  /** Best-effort `_latest` hint read. DEFENSIVE by design: under
+    * concurrent hint republishes the local ChecksumFs renames the data
+    * file and its `.crc` sidecar as two steps, so a racing reader can
+    * catch a torn pair (ChecksumException) — and a crashed writer can
+    * leave a stale or corrupt hint. Any unreadable hint degrades to 0;
+    * [[latestVersion]]'s manifest listing is the authority.
+    */
+  private def latestHintOnly(s: SparkSession, table: String): Int = {
+    val f = fs(s, table)
+    val p = new Path(s"$table/_latest")
+    try {
+      if (!f.exists(p)) 0
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    } catch {
+      case _: java.io.IOException | _: NumberFormatException => 0
+    }
   }
 
   /** Read a specific version (time travel), or the latest when None. */
