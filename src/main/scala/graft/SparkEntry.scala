@@ -1375,6 +1375,52 @@ object SparkEntry {
       .orderBy(desc("bin"))
   }
 
+  /** Mergeable QUANTILE sketch through the gate ([[ops.Sketch
+    * .ddBuckets]]/[[ops.Sketch.ddQuantiles]] — DDSketch log-buckets):
+    * order totals in cents sketched at α=1%, p50/p90/p99 estimated from
+    * the ~0.9k-row bucket table, each estimate audited against the
+    * EXACT same-rank quantile with the DDSketch guarantee
+    * `|est/true − 1| ≤ α` REQUIRED distributed (+2e-4 slack for the
+    * boundary 6-rounding). q16 is the exact percentile (full value
+    * table per group); this is the 100 TB shape — partial-aggregable
+    * build, bucket-wise `+` merge across shards/days, relative-error
+    * bound independent of scale. The oracle replays buckets, the rank
+    * walk, the geometric-midpoint estimate, and the exact-quantile
+    * audit column.
+    */
+  private def t66DdQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alphaMicro = 10000L
+    val qMicros = Seq(500000L, 900000L, 990000L)
+    val o = Tables.orders(s, dir).select(cents(col("o_totalprice")).as("v"))
+    val est = ops.Sketch.ddQuantiles(
+      ops.Sketch.ddBuckets(o, "v", alphaMicro), qMicros, alphaMicro)
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vcum = o.groupBy("v").agg(count(lit(1)).as("cn"))
+      .withColumn("cum_n", sum(col("cn")).over(w))
+    val out = est
+      .withColumn("rank_target",
+        greatest(lit(1L), expr("(q_micro * n_total + 999999) div 1000000")))
+      .join(vcum, col("cum_n") >= col("rank_target"))
+      .groupBy("q_micro", "n_total", "bucket", "est")
+      .agg(min(col("v")).as("exact_cents"))
+      .select(col("q_micro"), col("n_total"), col("bucket"), col("est"),
+        col("exact_cents"),
+        round(abs(col("est") / col("exact_cents").cast("double") - lit(1.0)), 6)
+          .as("rel_err"))
+      .orderBy("q_micro")
+    val rows = out.collect()
+    rows.foreach { r =>
+      require(r.getDouble(5) <= alphaMicro / 1e6 + 2e-4,
+        s"DDSketch guarantee broken at q=${r.getLong(0)}: rel_err " +
+          s"${r.getDouble(5)} > α=${alphaMicro / 1e6}")
+    }
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("q_micro")
+  }
+
   /** Trained one-vs-rest language-ID ([[ops.Curation
     * .trainOneVsRestClassifiers]]): five per-language logistic
     * regressions (de/en/es/fr/zh — the fixture's label set, including
@@ -1482,16 +1528,22 @@ object SparkEntry {
         round(col("n_correct").cast("double") / col("n_total").cast("double"), 6)
           .as("accuracy"))
       .orderBy("lang", "pred_lang")
+    // collect ONCE: the floor check and the returned frame share the
+    // materialized rows instead of re-running predict+confusion per use
+    val rows = out.collect()
     // gated LEARNING floor: on the separable corpus the trained model
     // must beat the majority-class base rate decisively — accuracy AT
     // the base rate is the collapse regression this gate exists to catch
-    val accVal = out.select(max(col("accuracy"))).head().getDouble(0)
-    val baseRate = d.groupBy("lang").count().agg(max("count")).head().getLong(0)
-      .toDouble / d.count()
+    val accVal = rows.map(_.getDouble(3)).max
+    val counts = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getLong(2)).sum }
+    val baseRate = counts.max.toDouble / counts.sum
     require(accVal >= 0.9 && accVal > baseRate + 0.2,
       f"t64: trained langid accuracy $accVal%.3f not meaningfully above " +
         f"base rate $baseRate%.3f — model collapsed on a separable corpus")
-    out
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("lang", "pred_lang")
   }
 
   /** Distributed BPE tokenizer training ([[ops.Tokenize.bpeMerges]],
@@ -4603,6 +4655,7 @@ object SparkEntry {
     "t43_trained_langid" -> t43TrainedLangId _,
     "t64_langid_confusion" -> t64LangidConfusion _,
     "t65_lift_table" -> t65LiftTable _,
+    "t66_dd_quantiles" -> t66DdQuantiles _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -8397,6 +8450,37 @@ object SparkEntry {
         |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
         |  round(CAST(n_correct AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS accuracy
         |FROM cm CROSS JOIN acc ORDER BY lang, pred_lang""".stripMargin,
+    // DDSketch log-buckets (6-rounded ln ratio before ceil), the rank
+    // walk, the geometric-midpoint estimate, and the exact same-rank
+    // quantile audit — γ spelled as the same IEEE division both engines
+    // compute: (1e6+10000)/(1e6-10000)
+    "t66_dd_quantiles" ->
+      s"""WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+        |b AS (SELECT CAST(ceil(round(ln(CAST(v AS DOUBLE))
+        |        / ln(1010000.0/990000.0), 6)) AS BIGINT) AS bucket
+        |      FROM v WHERE v > 0),
+        |sk AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM sk),
+        |cumb AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n FROM sk),
+        |qs AS (SELECT unnest([CAST(500000 AS BIGINT), 900000, 990000]) AS q_micro),
+        |rt AS (SELECT q_micro, n_total,
+        |        greatest(CAST(1 AS BIGINT), (q_micro * n_total + 999999) // 1000000) AS rank_target
+        |       FROM qs CROSS JOIN tot),
+        |pick AS (SELECT rt.q_micro, rt.n_total, rt.rank_target,
+        |          min(cumb.bucket) AS bucket
+        |         FROM rt JOIN cumb ON cumb.cum_n >= rt.rank_target GROUP BY 1, 2, 3),
+        |vc AS (SELECT v, count(*) AS cn FROM v GROUP BY v),
+        |vcum AS (SELECT v, CAST(sum(cn) OVER (ORDER BY v) AS BIGINT) AS cum_n FROM vc),
+        |ex AS (SELECT rt.q_micro, min(vcum.v) AS exact_cents
+        |       FROM rt JOIN vcum ON vcum.cum_n >= rt.rank_target GROUP BY 1),
+        |est AS (SELECT p.q_micro, p.n_total, p.bucket,
+        |         round(2.0 * pow(1010000.0/990000.0, p.bucket)
+        |           / (1010000.0/990000.0 + 1.0), 6) AS est
+        |        FROM pick p)
+        |SELECT e.q_micro, e.n_total, e.bucket, e.est, ex.exact_cents,
+        |  round(abs(e.est / CAST(ex.exact_cents AS DOUBLE) - 1.0), 6) AS rel_err
+        |FROM est e JOIN ex ON ex.q_micro = e.q_micro
+        |ORDER BY e.q_micro""".stripMargin,
     // all five BPE rounds replayed (see bpeRoundSql); each round's
     // winning pair re-derived by the same weighted count + tie-break
     "t44_bpe_merges" ->

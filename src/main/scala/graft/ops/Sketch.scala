@@ -178,4 +178,65 @@ object Sketch {
             (lit(m.toLong) - col("n_present")).cast("double")), 6))
           .otherwise(lit(null).cast("double")).as("lc_est"))
   }
+
+  /** DDSketch-style log-bucket QUANTILE sketch — the third mergeable
+    * summary (CMS: frequency, HLL: cardinality, this: distribution), and
+    * the production quantile shape at 100 TB: q16's exact percentile
+    * needs the full value table per group, while this collapses any
+    * positive-valued column to `O(log(max/min)/log γ)` bucket rows
+    * (~0.9k buckets spanning 1 cent → 10¹⁶ at α=1%) with a RELATIVE
+    * error guarantee `|est/true − 1| ≤ α`. Bucket of x is
+    * `ceil(ln x / ln γ)` with `γ = (1e6+αµ)/(1e6−αµ)`; the ratio is
+    * 6-rounded before `ceil` so the two engines' 1-ulp `ln`
+    * disagreements cannot flip a boundary. One partial-aggregable
+    * groupBy builds it; shards/days merge by bucket-wise `+` (the same
+    * algebra CMS rides); no randomness, no seeds — DuckDB replays every
+    * bucket.
+    *
+    * @param alphaMicro α in micro units (10000 = 1% relative error);
+    *        only positive values are sketched — route zeros/negatives
+    *        through their own counter upstream (DDSketch's own posture).
+    */
+  def ddBuckets(df: DataFrame, valCol: String, alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro out of (0, 1e6): $alphaMicro")
+    val gamma = (1e6 + alphaMicro) / (1e6 - alphaMicro)
+    df.select(col(valCol).cast("double").as("x")).filter(col("x") > 0d)
+      .select(ceil(round(log(col("x")) / lit(math.log(gamma)), 6)).cast("long")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from a [[ddBuckets]] sketch: for each requested
+    * `q` (micro units), the 1-based target rank is `max(1, ceil(q·n))`,
+    * the answering bucket is the smallest whose cumulative count reaches
+    * it (one window over the ~log-range bucket table — vocab-not-corpus
+    * sized), and the estimate is the bucket's geometric midpoint
+    * `2·γ^i/(γ+1)`, which is what makes the α relative-error bound
+    * hold at both bucket edges.
+    */
+  def ddQuantiles(buckets: DataFrame, qMicros: Seq[Long],
+      alphaMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qMicros.nonEmpty && qMicros.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must lie in (0, 1e6]: $qMicros")
+    val gamma = (1e6 + alphaMicro) / (1e6 - alphaMicro)
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets.withColumn("cum_n", sum(col("n")).over(w))
+    val tot = buckets.agg(sum(col("n")).as("n_total"))
+    val s = buckets.sparkSession
+    import s.implicits._
+    val qs = qMicros.toDF("q_micro")
+    // integer ceil — exact to n_total ~9e12 where the double path rounds
+    qs.crossJoin(broadcast(tot))
+      .withColumn("rank_target",
+        greatest(lit(1L), expr("(q_micro * n_total + 999999) div 1000000")))
+      .join(cum, col("cum_n") >= col("rank_target"))
+      .groupBy("q_micro", "n_total", "rank_target")
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("q_micro"), col("n_total"), col("bucket"),
+        round(lit(2.0) * pow(lit(gamma), col("bucket").cast("double"))
+          / lit(gamma + 1.0), 6).as("est"))
+  }
 }

@@ -186,4 +186,46 @@ class SketchSpec extends SparkSpec {
     val out = Multimodal.dhashImage(junk).collect()
     assert(out.length == 1 && out(0).isNullAt(1))
   }
+
+  test("ddBuckets/ddQuantiles: hand case, merge law, relative-error guarantee") {
+    import spark.implicits._
+    val alpha = 10000L // 1%
+    // hand case: 1..100 — p50 targets rank 50 (value 50), p99 rank 99
+    val vals = (1 to 100).map(_.toLong)
+    val sk = Sketch.ddBuckets(vals.toDF("v"), "v", alpha)
+    val est = Sketch.ddQuantiles(sk, Seq(500000L, 990000L), alpha)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(est(500000L)._1 == 100L)
+    assert(math.abs(est(500000L)._2 / 50.0 - 1.0) <= 0.0102,
+      s"p50 ${est(500000L)._2} off >1% from 50")
+    assert(math.abs(est(990000L)._2 / 99.0 - 1.0) <= 0.0102,
+      s"p99 ${est(990000L)._2} off >1% from 99")
+    // non-positive values are excluded by contract, never bucketed
+    val skz = Sketch.ddBuckets(Seq(-5L, 0L, 10L).toDF("v"), "v", alpha)
+    assert(skz.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 1L)
+    // merge law: sketch(a ∪ b) == bucket-wise sum of the two sketches —
+    // the property that lets shards/days build independently
+    val a = (1 to 60).map(_.toLong * 7).toDF("v")
+    val b = (1 to 40).map(_.toLong * 13).toDF("v")
+    val whole = Sketch.ddBuckets(a.unionByName(b), "v", alpha)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Sketch.ddBuckets(a, "v", alpha)
+      .unionByName(Sketch.ddBuckets(b, "v", alpha))
+      .groupBy("bucket").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(whole == merged)
+    // guarantee sweep on a skewed (power-law-ish) corpus: every decile
+    // estimate within alpha of the exact same-rank quantile
+    val skew = (1 to 2000).map(i => (i.toLong * i * i)).toDF("v")
+    val sorted = (1 to 2000).map(i => i.toLong * i * i).sorted
+    val qs = (1 to 9).map(_ * 100000L)
+    val got = Sketch.ddQuantiles(Sketch.ddBuckets(skew, "v", alpha), qs, alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    qs.foreach { q =>
+      val rank = math.max(1L, (q * 2000L + 999999L) / 1000000L)
+      val exact = sorted((rank - 1).toInt).toDouble
+      assert(math.abs(got(q) / exact - 1.0) <= 0.0102,
+        s"q=$q est=${got(q)} exact=$exact")
+    }
+  }
 }
