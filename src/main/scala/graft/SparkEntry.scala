@@ -901,6 +901,31 @@ object SparkEntry {
     s.table(sink).orderBy("event_id")
   }
 
+  /** Incremental VIEW maintenance through the gate ([[ops.Cdc
+    * .incrementalAgg]]): a per-user `(n, cents)` view built over the
+    * base slice (event_id % 5 ≠ 0), then maintained under a CDC delta
+    * log — the % 5 slice arrives as inserts, every base row with
+    * event_id % 7 = 0 is deleted — at O(delta) cost. The ORACLE IS THE
+    * INDEPENDENT END STATE: DuckDB aggregates the survivor multiset
+    * from scratch, so incremental maintenance must equal full
+    * recomputation bit-for-bit — the strongest statement an IVM
+    * operator can make, and the complement of q27's row-level
+    * latest-wins merge.
+    */
+  private def q56IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      cents(col("value")).as("v"))
+    val base = e.filter(col("event_id") % 5 =!= 0)
+    val baseAgg = base.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+    val delta = e.filter(col("event_id") % 5 === 0)
+        .select(lit("I").as("op"), col("user_id"), col("v"))
+      .unionByName(base.filter(col("event_id") % 7 === 0)
+        .select(lit("D").as("op"), col("user_id"), col("v")))
+    ops.Cdc.incrementalAgg(baseAgg, delta, "user_id", "op", "v")
+      .orderBy("user_id")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -4741,6 +4766,7 @@ object SparkEntry {
     "q53_bitemporal" -> q53Bitemporal _,
     "q54_attribution" -> q54Attribution _,
     "q55_stream_attribution" -> q55StreamAttribution _,
+    "q56_incremental_agg" -> q56IncrementalAgg _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -7770,6 +7796,18 @@ object SparkEntry {
         |  CASE WHEN ts_us - touch_ts_us <= 2592000000000 THEN touch_ts_us END AS touch_ts_us,
         |  credit_cents
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // NOT a replay of the incremental path: the INDEPENDENT end state —
+    // the survivor multiset (base minus deletes, plus inserts)
+    // aggregated from scratch; incremental must equal recompute
+    "q56_incremental_agg" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |survivors AS (
+        |  SELECT user_id, v FROM e WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT user_id, v FROM e WHERE event_id % 5 = 0)
+        |SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM survivors GROUP BY user_id ORDER BY user_id""".stripMargin,
     // two tx batches; per-key batch list + tx<=tx_from restatement join
     // + per-(key, tx_from) valid-interval lead, replayed end to end
     "q53_bitemporal" ->

@@ -147,4 +147,51 @@ object Cdc {
       (col("tx_to").isNull || txAt < col("tx_to")) &&
       col("valid_from") <= validAt &&
       (col("valid_to").isNull || validAt < col("valid_to")))
+
+  /** INCREMENTAL aggregate (materialized-view) maintenance — the
+    * DBSP/Materialize Z-set idea reduced to its Spark-native core: a
+    * keyed `(n, sum_v)` view is kept current under a CDC delta log by
+    * treating every delta row as a SIGNED MULTIPLICITY (+1 insert, −1
+    * delete), folding the log to per-key `(Δn, Δsum)` with ONE
+    * partial-aggregable groupBy, and merging into the base view with
+    * ONE key full-outer join. Cost is O(delta + touched keys) — never a
+    * rescan of the corpus the view summarizes, which is the entire
+    * point at 100 TB: the nightly delta is GBs while the base is the
+    * lake.
+    *
+    * Count/sum (and any commutative-group aggregate) maintain exactly;
+    * min/max/distinct do NOT fold under deletion (they need the d7-style
+    * auxiliary structure) — callers wanting those compose with
+    * [[applyChanges]] row-level instead.
+    *
+    * Keys whose maintained count reaches 0 leave the view (the group no
+    * longer exists). NEGATIVE counts are deliberately kept visible:
+    * they mean the log deleted rows the base never had — corruption a
+    * silent clamp would hide, and which any recompute-equality gate
+    * then catches loudly.
+    *
+    * @param baseAgg `(keyCol, n, sum_v)` — the view being maintained
+    * @param delta   `(opCol ∈ {I, D}, keyCol, valCol)` — the CDC log
+    */
+  def incrementalAgg(baseAgg: DataFrame, delta: DataFrame, keyCol: String,
+      opCol: String, valCol: String): DataFrame = {
+    val d = delta.select(col(keyCol),
+        when(col(opCol) === "I", lit(1L))
+          .when(col(opCol) === "D", lit(-1L))
+          // an op that is neither I nor D is a malformed log — fail the
+          // job loudly instead of silently skipping the row
+          .otherwise(raise_error(concat(lit("incrementalAgg: unknown op '"),
+            col(opCol), lit("'"))).cast("long")).as("__sgn"),
+        col(valCol).cast("long").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__sgn")).as("__dn"),
+        sum(col("__sgn") * col("__v")).as("__dv"))
+    baseAgg.select(col(keyCol), col("n"), col("sum_v"))
+      .join(d, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as("sum_v"))
+      .filter(col("n") =!= 0L)
+  }
 }

@@ -177,6 +177,36 @@ class GraphCdcSpec extends SparkSpec {
     }
   }
 
+  test("incrementalAgg: equals full recompute; zero-count keys drop; over-delete surfaces") {
+    import spark.implicits._
+    // base rows: k1 ×3 (v 10,20,30), k2 ×1 (v 5), k3 ×2 (v 7,8)
+    val baseRows = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 5L), (3L, 7L), (3L, 8L))
+    val baseAgg = baseRows.toDF("k", "v").groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+    // delta: insert k1 +40, k4 +100; delete k1 -20, both k3 rows
+    val delta = Seq(("I", 1L, 40L), ("I", 4L, 100L), ("D", 1L, 20L),
+      ("D", 3L, 7L), ("D", 3L, 8L)).toDF("op", "k", "v")
+    val got = Cdc.incrementalAgg(baseAgg, delta, "k", "op", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // recompute truth: k1 {10,30,40}, k2 {5}, k3 gone (count 0), k4 {100}
+    assert(got == Seq((1L, 3L, 80L), (2L, 1L, 5L), (4L, 1L, 100L)), got.toString)
+    // over-delete: deleting from a key the base never had surfaces as a
+    // NEGATIVE count — visible corruption, never silently clamped
+    val bad = Seq(("D", 9L, 50L)).toDF("op", "k", "v")
+    val neg = Cdc.incrementalAgg(baseAgg, bad, "k", "op", "v")
+      .filter(col("k") === 9L).collect()
+    assert(neg.length == 1 && neg(0).getLong(1) == -1L && neg(0).getLong(2) == -50L)
+    // malformed op fails loudly, never skips
+    val ex = intercept[Exception] {
+      Cdc.incrementalAgg(baseAgg,
+        Seq(("X", 1L, 1L)).toDF("op", "k", "v"), "k", "op", "v").collect()
+    }
+    assert(ex.getMessage.contains("unknown op") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown op")), ex.getMessage)
+  }
+
   test("editDistanceDupPairs: verified distances, threshold, prefix recall bound, block cap") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
