@@ -926,6 +926,70 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Incremental DISTINCT maintenance through the gate ([[ops.Cdc
+    * .incrementalDistinct]]): per-user distinct cents-values maintained
+    * via the support multiset under q56's delta slicing. The oracle is
+    * again the independent end state — `count(DISTINCT v)` over the
+    * survivor multiset from scratch — exercising exactly the case plain
+    * aggregate folding gets wrong: a deleted row whose value survives
+    * in other copies must not shrink the distinct count.
+    */
+  private def q57IncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      cents(col("value")).as("v"))
+    val base = e.filter(col("event_id") % 5 =!= 0)
+    val baseVc = base.groupBy(col("user_id"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val delta = e.filter(col("event_id") % 5 === 0)
+        .select(lit("I").as("op"), col("user_id"), col("v"))
+      .unionByName(base.filter(col("event_id") % 7 === 0)
+        .select(lit("D").as("op"), col("user_id"), col("v")))
+    ops.Cdc.incrementalDistinct(baseVc, delta, "user_id", "op", "v")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n_rows"))
+      .orderBy("user_id")
+  }
+
+  /** Incremental JOIN-view maintenance through the gate — aggregate
+    * push-through-join over two [[ops.Cdc.incrementalAgg]]-maintained
+    * side views: per-user click stats (n_a, sum_a) and purchase stats
+    * (n_b, sum_b) are each kept current at O(delta), and the JOIN-level
+    * aggregates derive ALGEBRAICALLY — over the click×purchase pair
+    * space, `n_pairs = n_a·n_b` and `Σ(a_v + b_v) = n_b·Σa_v + n_a·Σb_v`
+    * — so the pair view updates without ever materializing a pair or
+    * rescanning fact data (the delta-join identity
+    * `Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB` collapsed into the maintained
+    * aggregates). The oracle materializes the ACTUAL survivor join in
+    * DuckDB and aggregates it — derived algebra must equal the real
+    * pair table bit-for-bit.
+    */
+  private def q58IncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), cents(col("value")).as("v"))
+    def side(t: String): (DataFrame, DataFrame) = {
+      val rows = e.filter(col("event_type") === t)
+      val base = rows.filter(col("event_id") % 5 =!= 0)
+      val baseAgg = base.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      val delta = rows.filter(col("event_id") % 5 === 0)
+          .select(lit("I").as("op"), col("user_id"), col("v"))
+        .unionByName(base.filter(col("event_id") % 7 === 0)
+          .select(lit("D").as("op"), col("user_id"), col("v")))
+      (baseAgg, delta)
+    }
+    val (ca, cd) = side("click")
+    val (pa, pd) = side("purchase")
+    val clicks = ops.Cdc.incrementalAgg(ca, cd, "user_id", "op", "v")
+      .select(col("user_id"), col("n").as("n_a"), col("sum_v").as("sum_a"))
+    val purchases = ops.Cdc.incrementalAgg(pa, pd, "user_id", "op", "v")
+      .select(col("user_id"), col("n").as("n_b"), col("sum_v").as("sum_b"))
+    clicks.join(purchases, "user_id")
+      .select(col("user_id"),
+        (col("n_a") * col("n_b")).as("n_pairs"),
+        (col("n_b") * col("sum_a") + col("n_a") * col("sum_b")).as("pair_sum"))
+      .orderBy("user_id")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -4767,6 +4831,8 @@ object SparkEntry {
     "q54_attribution" -> q54Attribution _,
     "q55_stream_attribution" -> q55StreamAttribution _,
     "q56_incremental_agg" -> q56IncrementalAgg _,
+    "q57_incremental_distinct" -> q57IncrementalDistinct _,
+    "q58_incremental_join" -> q58IncrementalJoin _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -7808,6 +7874,33 @@ object SparkEntry {
         |  SELECT user_id, v FROM e WHERE event_id % 5 = 0)
         |SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
         |FROM survivors GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // independent end state again: count(DISTINCT) over the survivor
+    // multiset — the case plain aggregate folding gets wrong
+    "q57_incremental_distinct" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |survivors AS (
+        |  SELECT user_id, v FROM e WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT user_id, v FROM e WHERE event_id % 5 = 0)
+        |SELECT user_id, count(DISTINCT v) AS n_distinct, count(*) AS n_rows
+        |FROM survivors GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the REAL survivor pair table, materialized and aggregated — the
+    // algebraically-derived join view must match it exactly
+    "q58_incremental_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |surv AS (
+        |  SELECT user_id, event_type, v FROM e
+        |  WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT user_id, event_type, v FROM e WHERE event_id % 5 = 0),
+        |a AS (SELECT user_id, v FROM surv WHERE event_type = 'click'),
+        |b AS (SELECT user_id, v FROM surv WHERE event_type = 'purchase')
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  CAST(sum(a.v + b.v) AS BIGINT) AS pair_sum
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     // two tx batches; per-key batch list + tx<=tx_from restatement join
     // + per-(key, tx_from) valid-interval lead, replayed end to end
     "q53_bitemporal" ->

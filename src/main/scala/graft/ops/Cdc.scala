@@ -173,6 +173,38 @@ object Cdc {
     * @param baseAgg `(keyCol, n, sum_v)` — the view being maintained
     * @param delta   `(opCol ∈ {I, D}, keyCol, valCol)` — the CDC log
     */
+  /** Incremental DISTINCT-count maintenance — the aggregate
+    * [[incrementalAgg]] cannot fold (distinct is not a group under
+    * deletion: dropping one copy of a value must not drop the value
+    * while other copies survive). The classic fix, applied here: keep
+    * the SUPPORT MULTISET `(key, value, cnt)` as the maintained
+    * auxiliary artifact — itself just [[incrementalAgg]]'s Z-set algebra
+    * keyed by `(key, value)` — and derive `n_distinct = |{value :
+    * cnt > 0}|` with one partial-aggregable rollup over the support
+    * table (distinct-values-sized, not corpus-sized). Same guarantees:
+    * O(delta + touched pairs) maintenance, zero-count support rows
+    * drop, over-deletes stay visible as negative counts.
+    *
+    * @param baseVc `(keyCol, valCol, cnt)` — the support multiset
+    * @param delta  `(opCol ∈ {I, D}, keyCol, valCol)`
+    * @return the maintained support multiset, same shape as `baseVc`
+    */
+  def incrementalDistinct(baseVc: DataFrame, delta: DataFrame, keyCol: String,
+      opCol: String, valCol: String): DataFrame = {
+    val d = delta.select(col(keyCol), col(valCol),
+        when(col(opCol) === "I", lit(1L))
+          .when(col(opCol) === "D", lit(-1L))
+          .otherwise(raise_error(concat(lit("incrementalDistinct: unknown op '"),
+            col(opCol), lit("'"))).cast("long")).as("__sgn"))
+      .groupBy(col(keyCol), col(valCol))
+      .agg(sum(col("__sgn")).as("__dc"))
+    baseVc.select(col(keyCol), col(valCol), col("cnt"))
+      .join(d, Seq(keyCol, valCol), "full_outer")
+      .select(col(keyCol), col(valCol),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("__dc"), lit(0L))).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+  }
+
   def incrementalAgg(baseAgg: DataFrame, delta: DataFrame, keyCol: String,
       opCol: String, valCol: String): DataFrame = {
     val d = delta.select(col(keyCol),

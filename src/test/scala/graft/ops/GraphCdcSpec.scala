@@ -207,6 +207,30 @@ class GraphCdcSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("unknown op")), ex.getMessage)
   }
 
+  test("incrementalDistinct: deleted copy keeps the value while siblings survive") {
+    import spark.implicits._
+    // k1 has value 10 TWICE and 20 once; k2 has 5 once
+    val baseVc = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 5L))
+      .toDF("k", "v").groupBy("k", "v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    // delete ONE copy of (1,10): the value must survive (cnt 2 -> 1);
+    // delete (2,5) entirely: k2's support empties; insert (1,30)
+    val delta = Seq(("D", 1L, 10L), ("D", 2L, 5L), ("I", 1L, 30L))
+      .toDF("op", "k", "v")
+    val vc = Cdc.incrementalDistinct(baseVc, delta, "k", "op", "v")
+    val got = vc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 10L, 1L), (1L, 20L, 1L), (1L, 30L, 1L)), got.toString)
+    // the derived distinct view: k1 -> 3 distinct, k2 gone — where naive
+    // aggregate folding of "distinct -= 1 per delete" would report 2
+    val dv = vc.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("nd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dv == Seq((1L, 3L)), dv.toString)
+  }
+
   test("editDistanceDupPairs: verified distances, threshold, prefix recall bound, block cap") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
