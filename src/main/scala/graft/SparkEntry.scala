@@ -990,6 +990,34 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Incremental QUANTILE maintenance — the composition the two new
+    * families exist for: [[ops.Sketch.ddBuckets]]' log-bucket counts
+    * form a GROUP under deletion (unlike raw quantiles), so the sketch
+    * maintains under a CDC delta log with the q56 signed fold —
+    * `maintained = base ⊕ buckets(inserts) ⊖ buckets(deletes)` — at
+    * O(delta + touched buckets), and p50/p90/p99 re-derive from the
+    * ~0.9k-row maintained table. The oracle REBUILDS the sketch from
+    * the survivor multiset: maintained must equal rebuilt bucket-for-
+    * bucket — distribution monitoring over a mutating 100 TB table
+    * without ever rescanning it.
+    */
+  private def q59IncrementalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val alphaMicro = 10000L
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("v"))
+    val base = o.filter(col("k") % 5 =!= 0)
+    val baseSk = ops.Sketch.ddBuckets(base, "v", alphaMicro)
+    val insSk = ops.Sketch.ddBuckets(o.filter(col("k") % 5 === 0), "v", alphaMicro)
+    val delSk = ops.Sketch.ddBuckets(base.filter(col("k") % 7 === 0), "v", alphaMicro)
+    val maintained = baseSk
+      .unionByName(insSk)
+      .unionByName(delSk.select(col("bucket"), (-col("n")).as("n")))
+      .groupBy("bucket").agg(sum(col("n")).as("n"))
+      .filter(col("n") =!= 0L)
+    ops.Sketch.ddQuantiles(maintained, Seq(500000L, 900000L, 990000L), alphaMicro)
+      .orderBy("q_micro")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -4833,6 +4861,7 @@ object SparkEntry {
     "q56_incremental_agg" -> q56IncrementalAgg _,
     "q57_incremental_distinct" -> q57IncrementalDistinct _,
     "q58_incremental_join" -> q58IncrementalJoin _,
+    "q59_incremental_quantiles" -> q59IncrementalQuantiles _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -7901,6 +7930,29 @@ object SparkEntry {
         |  CAST(sum(a.v + b.v) AS BIGINT) AS pair_sum
         |FROM a JOIN b ON a.user_id = b.user_id
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // sketch REBUILT from the survivor multiset (t66's bucket chain +
+    // rank walk) — maintained-under-deltas must equal rebuilt
+    "q59_incremental_quantiles" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+        |surv AS (SELECT v FROM o WHERE k % 5 <> 0 AND k % 7 <> 0
+        |         UNION ALL SELECT v FROM o WHERE k % 5 = 0),
+        |b AS (SELECT CAST(ceil(round(ln(CAST(v AS DOUBLE))
+        |        / ln(1010000.0/990000.0), 6)) AS BIGINT) AS bucket
+        |      FROM surv WHERE v > 0),
+        |sk AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM sk),
+        |cumb AS (SELECT bucket, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n FROM sk),
+        |qs AS (SELECT unnest([CAST(500000 AS BIGINT), 900000, 990000]) AS q_micro),
+        |rt AS (SELECT q_micro, n_total,
+        |        greatest(CAST(1 AS BIGINT), (q_micro * n_total + 999999) // 1000000) AS rank_target
+        |       FROM qs CROSS JOIN tot),
+        |pick AS (SELECT rt.q_micro, rt.n_total, min(cumb.bucket) AS bucket
+        |         FROM rt JOIN cumb ON cumb.cum_n >= rt.rank_target GROUP BY 1, 2)
+        |SELECT q_micro, n_total, bucket,
+        |  round(2.0 * pow(1010000.0/990000.0, bucket)
+        |    / (1010000.0/990000.0 + 1.0), 6) AS est
+        |FROM pick ORDER BY q_micro""".stripMargin,
     // two tx batches; per-key batch list + tx<=tx_from restatement join
     // + per-(key, tx_from) valid-interval lead, replayed end to end
     "q53_bitemporal" ->

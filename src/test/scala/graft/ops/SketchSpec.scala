@@ -228,4 +228,24 @@ class SketchSpec extends SparkSpec {
         s"q=$q est=${got(q)} exact=$exact")
     }
   }
+
+  test("ddBuckets fold under deletion: maintained sketch == rebuilt sketch") {
+    import spark.implicits._
+    val alpha = 10000L
+    val base = (1 to 300).map(_.toLong * 3)
+    val dels = base.filter(_ % 9 == 0)
+    val ins = (1 to 50).map(_.toLong * 11)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maintained = toMap(
+      Sketch.ddBuckets(base.toDF("v"), "v", alpha)
+        .unionByName(Sketch.ddBuckets(ins.toDF("v"), "v", alpha))
+        .unionByName(Sketch.ddBuckets(dels.toDF("v"), "v", alpha)
+          .select(col("bucket"), (-col("n")).as("n")))
+        .groupBy("bucket").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+        .filter(col("n") =!= 0L))
+    val survivors = base.filterNot(dels.toSet) ++ ins
+    val rebuilt = toMap(Sketch.ddBuckets(survivors.toDF("v"), "v", alpha))
+    assert(maintained == rebuilt)
+  }
 }
