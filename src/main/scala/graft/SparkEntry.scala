@@ -4619,6 +4619,41 @@ object SparkEntry {
     agg(1).unionByName(agg(2)).orderBy("version")
   }
 
+  /** Snapshot history expiry + GC through the gate ([[graft.io
+    * .Snapshots.vacuum]]): three commits plus a planted crashed-commit
+    * orphan, vacuum to the newest two versions — exactly one manifest
+    * (v1's) and one data dir (the orphan — v1's data stays referenced
+    * by the append-semantics v2/v3 manifests) must delete, the expired
+    * version must turn unreadable, and the retained/latest contents
+    * must be byte-identical to before. Each leg REQUIRED in-query; the
+    * oracle replays the surviving versions' aggregates plus the exact
+    * GC counts.
+    */
+  private def io19Vacuum(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "vacuum")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 1), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 2), table)
+    o.limit(5).write.parquet(s"$table/data/c-orphan") // crashed commit
+    val (nm, nd) = graft.io.Snapshots.vacuum(s, table, keepVersions = 2)
+    require(nm == 1 && nd == 1, s"vacuum deleted ($nm manifests, $nd dirs)")
+    val gone = try { graft.io.Snapshots.read(s, table, Some(1)).count(); false }
+      catch { case _: java.io.FileNotFoundException => true }
+    require(gone, "expired version 1 still readable after vacuum")
+    def agg(v: Int) = graft.io.Snapshots.read(s, table, Some(v))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_cents"))
+    agg(2).unionByName(agg(3))
+      .select(col("version"), col("n_rows"), col("sum_cents"),
+        lit(nm.toLong).as("n_manifests_gc"), lit(nd.toLong).as("n_dirs_gc"))
+      .orderBy("version")
+  }
+
   /** Corrupt-file tolerance — a junk file planted among valid parquet
     * parts must be SKIPPED, not fail the scan, under the per-read
     * `ignoreCorruptFiles` option (per-read, not session conf: the conf
@@ -4874,6 +4909,7 @@ object SparkEntry {
     "q34_grouping_sets" -> q34GroupingSets _,
     "io13_corrupt_files" -> io13CorruptFiles _,
     "io17_snapshot" -> io17Snapshot _,
+    "io19_vacuum" -> io19Vacuum _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
     "sim10_mmr" -> sim10Mmr _,
@@ -7519,6 +7555,21 @@ object SparkEntry {
         |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM o WHERE k % 4 <> 0
         |  UNION ALL
         |  SELECT CAST(2 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT) FROM o)
+        |ORDER BY version""".stripMargin,
+    // surviving versions' cumulative contents (append semantics:
+    // v2 = slices 0+1, v3 = all) + the exact GC counts as literals
+    "io19_vacuum" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(1 AS BIGINT) AS n_manifests_gc, CAST(1 AS BIGINT) AS n_dirs_gc
+        |  FROM o WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+        |    CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM o)
         |ORDER BY version""".stripMargin,
     // zone-map pruning is lossless (stats admit, residual filter
     // proves), so the oracle is the plain range filter; bucket counts

@@ -186,4 +186,44 @@ object Snapshots {
     val paths = manifestDirs(s, table, v).map(d => s"$table/$d")
     s.read.parquet(paths: _*)
   }
+
+  /** Expire history: drop every version older than the newest
+    * `keepVersions`, then GC data directories no RETAINED manifest
+    * references — both crashed-commit orphans and directories only old
+    * manifests named. Ordered for crash safety the same way commits
+    * are: retired MANIFESTS delete first (the version stops being
+    * resolvable before its files go), then unreferenced data dirs — a
+    * vacuum that dies mid-way leaves extra files, never a readable
+    * version with missing data. In-flight readers that already resolved
+    * an expiring manifest keep their plan's file list; vacuum only
+    * deletes what retained versions don't reference, so run it with a
+    * retention window ≥ the longest reader (the Iceberg/Delta
+    * `expire_snapshots`/`VACUUM` contract, including its caveat).
+    *
+    * @return (manifests deleted, data directories deleted)
+    */
+  def vacuum(s: SparkSession, table: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val f = fs(s, table)
+    val latest = latestVersion(s, table)
+    require(latest >= 1, s"nothing committed at $table")
+    val cutoff = math.max(1, latest - keepVersions + 1)
+    val keptDirs = (cutoff to latest)
+      .flatMap(v => manifestDirs(s, table, v)).toSet
+    var nManifests = 0
+    (1 until cutoff).foreach { v =>
+      if (f.delete(manifestPath(table, v), false)) nManifests += 1
+    }
+    val dataRoot = new Path(s"$table/data")
+    var nDirs = 0
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { st =>
+        val rel = s"data/${st.getPath.getName}"
+        if (!keptDirs.contains(rel)) {
+          if (f.delete(st.getPath, true)) nDirs += 1
+        }
+      }
+    }
+    (nManifests, nDirs)
+  }
 }

@@ -85,6 +85,34 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: expired versions unreadable, retained intact, orphans GC'd") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    // crashed-commit orphan: data with no manifest
+    Seq((99L, "orphan")).toDF("id", "s").write.parquet(s"$t/data/c-orphan")
+    val (nm, nd) = Snapshots.vacuum(spark, t, keepVersions = 2)
+    // v1's manifest gone; v1's data dir is still referenced by v2/v3
+    // manifests (append semantics) so only the orphan dir deletes
+    assert((nm, nd) == ((1, 1)), s"($nm, $nd)")
+    intercept[java.io.FileNotFoundException] {
+      Snapshots.read(spark, t, Some(1)).collect()
+    }
+    assert(Snapshots.read(spark, t, Some(2)).count() == 2)
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.latestVersion(spark, t) == 3)
+    // a later commit continues the chain past the vacuum
+    Snapshots.commit(Seq((4L, "d")).toDF("id", "s"), t)
+    assert(Snapshots.read(spark, t).count() == 4)
+    // keeping only the latest version GCs nothing data-wise (append
+    // semantics: the newest manifest references every live dir)
+    val (nm2, nd2) = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(nm2 == 2 && nd2 == 0, s"($nm2, $nd2)")
+    assert(Snapshots.read(spark, t).count() == 4)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
