@@ -1018,6 +1018,80 @@ object SparkEntry {
       .orderBy("q_micro")
   }
 
+  /** STREAMING view maintenance with retractions through the gate
+    * ([[graft.streaming.EventsStream.maintainedUserStats]]): q56's CDC
+    * delta log — base inserts, the % 5 insert slice, the % 7 delete
+    * slice — streamed as three micro-batches into per-user Z-set state.
+    * The fold is commutative (no slice-order contract — ANY
+    * interleaving converges), the final emission per user is selected
+    * by the monotone per-user delta count, zero-count users drop, and
+    * the ORACLE IS q56's INDEPENDENT RECOMPUTE: streamed maintenance ==
+    * batch recompute == (via q56) batch maintenance, closing the
+    * triangle. State-rows audit pinned to distinct users in the log.
+    */
+  private def q60StreamIvm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = ioTmp(dir, "q60")
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        cents(col("value")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val inDir = new java.io.File(s"$base/in")
+    if (inDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(inDir)
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    val baseRows = e.filter(col("event_id") % 5 =!= 0)
+    writeSlice(baseRows.select(lit("I").as("op"), col("user_id"),
+      col("v").as("cents")), "slice0", 1000000000000L)
+    writeSlice(e.filter(col("event_id") % 5 === 0)
+      .select(lit("I").as("op"), col("user_id"), col("v").as("cents")),
+      "slice1", 1000000060000L)
+    writeSlice(baseRows.filter(col("event_id") % 7 === 0)
+      .select(lit("D").as("op"), col("user_id"), col("v").as("cents")),
+      "slice2", 1000000120000L)
+    val nUsers = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    e.unpersist()
+    val schema = StructType(Seq(StructField("op", StringType),
+      StructField("user_id", LongType), StructField("cents", LongType)))
+    val sink = "graft_q60_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.maintainedUserStats(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/in"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val st = graft.streaming.EventsStream.stateAuditOf(q)
+      require(st.map(_.rowsTotal).sum == nUsers,
+        s"q60 state rows ${st.map(_.rowsTotal).sum} != $nUsers users — " +
+          "state is not tracking the keyed view")
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    s.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_deltas"), col("n"), col("cents"))).as("fin"))
+      .select(col("user_id"), col("fin.n").as("n"),
+        col("fin.cents").as("sum_v"))
+      .filter(col("n") =!= 0L)
+      .orderBy("user_id")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -4897,6 +4971,7 @@ object SparkEntry {
     "q57_incremental_distinct" -> q57IncrementalDistinct _,
     "q58_incremental_join" -> q58IncrementalJoin _,
     "q59_incremental_quantiles" -> q59IncrementalQuantiles _,
+    "q60_stream_ivm" -> q60StreamIvm _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -7981,6 +8056,17 @@ object SparkEntry {
         |  CAST(sum(a.v + b.v) AS BIGINT) AS pair_sum
         |FROM a JOIN b ON a.user_id = b.user_id
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // q56's independent recompute, verbatim: streamed Z-set maintenance
+    // must land on the same end state as batch recompute
+    "q60_stream_ivm" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |survivors AS (
+        |  SELECT user_id, v FROM e WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT user_id, v FROM e WHERE event_id % 5 = 0)
+        |SELECT user_id, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM survivors GROUP BY user_id ORDER BY user_id""".stripMargin,
     // sketch REBUILT from the survivor multiset (t66's bucket chain +
     // rank walk) — maintained-under-deltas must equal rebuilt
     "q59_incremental_quantiles" ->

@@ -244,6 +244,43 @@ object EventsStream {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** STREAMING incremental-view maintenance with RETRACTIONS — the
+    * q56 Z-set fold run through the real micro-batch engine: the input
+    * is a CDC delta stream `(op ∈ {I, D}, user_id, cents)` and per-user
+    * state is the maintained `(n, cents)` view, folded with signed
+    * multiplicities (+1/−1). Spark's built-in streaming aggregation
+    * cannot express this (it has no retraction input path); arbitrary
+    * state can. The fold is COMMUTATIVE, so unlike [[lastTouchAttribution]]
+    * no slice-order contract is needed — any interleaving of the log
+    * converges to the same state, which is exactly what makes the
+    * batch-recompute gate meaningful. Update mode emits the view row
+    * each time a user's state changes, tagged with the monotone
+    * per-user delta count so the caller can select the final emission
+    * deterministically. Deliberate NoTimeout, like [[runningUserStats]]:
+    * the maintained view IS lifetime state (O(users) × three LONGs);
+    * evicting a key would silently reset its view.
+    */
+  def maintainedUserStats(deltas: DataFrame): DataFrame = {
+    import deltas.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    deltas.select(col("user_id").cast("long"),
+        when(col("op") === "I", lit(1L))
+          .when(col("op") === "D", lit(-1L))
+          .otherwise(raise_error(concat(lit("maintainedUserStats: unknown op '"),
+            col("op"), lit("'"))).cast("long")).as("sgn"),
+        col("cents").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var (n, cents, seen) = state.getOption.getOrElse((0L, 0L, 0L))
+        rows.foreach { case (_, sgn, c) => n += sgn; cents += sgn * c; seen += 1 }
+        state.update((n, cents, seen))
+        Iterator((uid, n, cents, seen))
+      }
+      .toDF("user_id", "n", "cents", "n_deltas")
+  }
+
   /** Streaming last-touch attribution — q54's batch as-of credit as an
     * ORDER-SENSITIVE stateful operator: per-user state is the single
     * latest view/click seen so far (`(ts_us, event_id, type)` — a few

@@ -143,6 +143,54 @@ class EventsStreamSpec extends SparkSpec {
       s"state rows ${st.map(_.rowsTotal).sum} != 1 — expired touch not evicted: $st")
   }
 
+  test("maintainedUserStats: Z-set fold is order-free — deletes-first converges") {
+    import spark.implicits._
+    def run(tag: String, slices: Seq[(Seq[(String, Long, Long)], Long)]): Map[Long, (Long, Long)] = {
+      val base = s"/tmp/graft_io/spec_q60_$tag/in"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      slices.zipWithIndex.foreach { case ((rows, mtime), i) =>
+        val tmp = new java.io.File(s"$base/s$i.tmp")
+        rows.toDF("op", "user_id", "cents").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(s"$base/s$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rm(tmp); target.setLastModified(mtime): Unit
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType)))
+      val ckpt = EventsStream.ephemeralCheckpoint(s"spec_q60_$tag")
+      val q = EventsStream.maintainedUserStats(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(base))
+        .writeStream.format("memory").queryName(s"spec_q60_${tag}_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      EventsStream.dropEphemeralCheckpoint(ckpt)
+      spark.table(s"spec_q60_${tag}_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_deltas"), col("n"), col("cents"))).as("f"))
+        .select(col("user_id"), col("f.n"), col("f.cents"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val ins = Seq(("I", 1L, 100L), ("I", 1L, 50L), ("I", 2L, 30L))
+    val del = Seq(("D", 1L, 50L), ("D", 2L, 30L))
+    val fwd = run("fwd", Seq((ins, 1000000000000L), (del, 1000000060000L)))
+    // deletes BEFORE their inserts: state dips negative mid-stream but
+    // the commutative fold lands on the identical end state
+    val rev = run("rev", Seq((del, 1000000000000L), (ins, 1000000060000L)))
+    assert(fwd == rev, s"fwd=$fwd rev=$rev")
+    assert(fwd(1L) == ((1L, 100L)) && fwd(2L) == ((0L, 0L)), fwd.toString)
+  }
+
   test("streaming hopping agg: every event lands in exactly two windows") {
     val streamed = EventsStream.runToMemory(spark,
       EventsStream.hoppingAgg(EventsStream.readEvents(spark, sf0001)), "hopping_out",
