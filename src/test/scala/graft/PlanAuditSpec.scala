@@ -581,4 +581,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus sort-merged:\n$plan")
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
+
+  test("q56 incremental agg: delta folds partial-aggregably, merge is keyed — no cartesian") {
+    val plan = executed(SparkEntry.queries("q56_incremental_agg")(spark, sf0001))
+    // the delta fold and base build are HashAggregates with map-side
+    // partials; the merge is a keyed full-outer join — any nested loop
+    // here means the view merge would rescan pairs at 100 TB
+    assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
+    assert(plan.contains("FullOuter"), s"merge not a full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"non-keyed join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
+  test("DD quantiles ops: sketch build partial-aggregable; walk never sort-merges") {
+    // audit the ops directly — the t66 query returns pre-collected rows
+    // (its guarantee require() materializes them), so its own plan is a
+    // LocalTableScan
+    val o = Tables.orders(spark, sf0001)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+    val sk = graft.ops.Sketch.ddBuckets(o, "v", 10000L)
+    val skPlan = executed(sk)
+    assert(skPlan.contains("HashAggregate"), s"no hash aggregation:\n$skPlan")
+    assert(!skPlan.contains("Window"), s"corpus window-sorted:\n$skPlan")
+    // the rank walk: every join has a rows-scale side (3 quantiles /
+    // 1-row totals) — nothing should ever sort-merge
+    val qPlan = executed(
+      graft.ops.Sketch.ddQuantiles(sk, Seq(500000L, 990000L), 10000L))
+    assert(!qPlan.contains("SortMergeJoin"), s"bucket walk sort-merged:\n$qPlan")
+  }
 }
