@@ -1092,6 +1092,75 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** STREAMING→LAKEHOUSE exactly-once through the gate ([[graft.io
+    * .Snapshots.commitIfAbsent]]): three micro-batches land in a
+    * snapshot table via `foreachBatch` — the at-least-once sink Spark
+    * actually gives you — with each batch's `(writerId, batchId)` txn
+    * tag riding inside the atomically-claimed manifest. Then the ENTIRE
+    * stream replays from a FRESH checkpoint (same slices, same batch
+    * ids — the redelivery failure mode): every replayed commit must
+    * no-op, the version count must not move, and the final table must
+    * aggregate to the batch truth — which IS the oracle. Completes the
+    * d13/q50 marker-discipline family with the marker now atomic WITH
+    * the data publish instead of beside it.
+    */
+  private def q61StreamLakehouse(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = ioTmp(dir, "q61")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      cents(col("value")).as("v"))
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    for (i <- 0 until 3)
+      writeSlice(e.filter(col("event_id") % 3 === i)
+          .select(col("user_id"), col("v")),
+        s"slice$i", 1000000000000L + i * 60000L)
+    val table = s"$base/table"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", LongType)))
+    def runStream(tag: String): Unit = {
+      val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(s"q61_$tag")
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.io.Snapshots.commitIfAbsent(b.toDF(), table, "q61", id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    }
+    runStream("first")
+    val vAfterFirst = graft.io.Snapshots.latestVersion(s, table)
+    require(vAfterFirst == 3, s"q61: expected 3 committed batches, got $vAfterFirst")
+    // full redelivery: fresh checkpoint replays batch ids 0..2 verbatim
+    runStream("replay")
+    val vAfterReplay = graft.io.Snapshots.latestVersion(s, table)
+    require(vAfterReplay == vAfterFirst,
+      s"q61: replay committed duplicates ($vAfterFirst -> $vAfterReplay)")
+    graft.io.Snapshots.read(s, table)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy("user_id")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -4972,6 +5041,7 @@ object SparkEntry {
     "q58_incremental_join" -> q58IncrementalJoin _,
     "q59_incremental_quantiles" -> q59IncrementalQuantiles _,
     "q60_stream_ivm" -> q60StreamIvm _,
+    "q61_stream_lakehouse" -> q61StreamLakehouse _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -8056,6 +8126,12 @@ object SparkEntry {
         |  CAST(sum(a.v + b.v) AS BIGINT) AS pair_sum
         |FROM a JOIN b ON a.user_id = b.user_id
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // batch truth over events — exactly-once means the doubly-delivered
+    // stream lands on the plain batch aggregate
+    "q61_stream_lakehouse" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q56's independent recompute, verbatim: streamed Z-set maintenance
     // must land on the same end state as batch recompute
     "q60_stream_ivm" ->

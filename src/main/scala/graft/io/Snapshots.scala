@@ -117,7 +117,7 @@ object Snapshots {
     math.max(hint, listed)
   }
 
-  private def manifestDirs(s: SparkSession, table: String, v: Int): Seq[String] = {
+  private def manifestLines(s: SparkSession, table: String, v: Int): Seq[String] = {
     val f = fs(s, table)
     val in = f.open(manifestPath(table, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -125,23 +125,85 @@ object Snapshots {
     finally in.close()
   }
 
+  private def manifestDirs(s: SparkSession, table: String, v: Int): Seq[String] =
+    manifestLines(s, table, v).filterNot(_.startsWith("#"))
+
   /** Append-commit `df` as the table's next version; returns the version
     * this writer WON. The data directory name is COMMIT-unique (not
     * version-derived), so a crashed attempt's orphan never collides with
     * the retry — and under multi-writer contention the directory is
     * written once while only the cheap manifest claim retries.
     */
-  def commit(df: DataFrame, table: String, maxAttempts: Int = 50): Int = {
+  def commit(df: DataFrame, table: String, maxAttempts: Int = 50): Int =
+    commitTagged(df, table, None, maxAttempts)
+      .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+
+  /** EXACTLY-ONCE commit for at-least-once writers (the `foreachBatch`
+    * retry contract): the `(writerId, batchId)` transaction tag travels
+    * INSIDE the manifest whose atomic-exclusive claim IS the commit
+    * point — so the tag and the data publish in one atomic step, the
+    * Delta `txn` idea on this CAS. A retry (or a concurrent duplicate
+    * of the same batch) sees the tag in the retained chain — rechecked
+    * after every lost claim race, which closes the check-then-claim
+    * window — and returns None without committing; a crash after the
+    * data write but before the claim leaves only a GC-able orphan. Tag
+    * visibility lasts as long as its manifest: run [[vacuum]] with a
+    * retention ≥ the writer's maximum replay horizon.
+    *
+    * @return Some(version) when this call committed; None when the
+    *         (writerId, batchId) transaction was already in the chain
+    */
+  def commitIfAbsent(df: DataFrame, table: String, writerId: String,
+      batchId: Long, maxAttempts: Int = 50): Option[Int] =
+    commitTagged(df, table, Some((writerId, batchId)), maxAttempts)
+
+  /** True when `(writerId, batchId)` already committed — i.e. some
+    * retained manifest carries its tag line.
+    */
+  def txnSeen(s: SparkSession, table: String, writerId: String,
+      batchId: Long): Boolean =
+    txnSeenUpTo(s, table, writerId, batchId, latestVersion(s, table))
+
+  private def txnSeenUpTo(s: SparkSession, table: String, writerId: String,
+      batchId: Long, upTo: Int): Boolean = {
+    val tag = txnLine(writerId, batchId)
+    (1 to upTo).exists { v =>
+      try manifestLines(s, table, v).contains(tag)
+      catch { case _: java.io.FileNotFoundException => false } // vacuumed
+    }
+  }
+
+  private def txnLine(writerId: String, batchId: Long): String = {
+    require(!writerId.contains("\n") && writerId.nonEmpty,
+      s"bad writerId: '$writerId'")
+    s"#txn $writerId $batchId"
+  }
+
+  private def commitTagged(df: DataFrame, table: String,
+      txn: Option[(String, Long)], maxAttempts: Int): Option[Int] = {
     val s = df.sparkSession
+    if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     df.write.mode("errorifexists").parquet(s"$table/$dir")
     val f = fs(s, table)
     var attempt = 0
     while (attempt < maxAttempts) {
       val prev = latestVersion(s, table)
+      // the duplicate scan runs AFTER reading prev and covers 1..prev:
+      // claiming prev+1 atomically fails if anything newer appeared, so
+      // a concurrent same-txn commit either falls inside this scan or
+      // forces a lost race and a rescan — the check-then-claim window
+      // is closed (scanning before prev left it open: a duplicate
+      // landing between scan and prev-read escaped both)
+      if (txn.exists { case (w, b) => txnSeenUpTo(s, table, w, b, prev) }) {
+        f.delete(new Path(s"$table/$dir"), true): Unit // our orphan
+        return None
+      }
       val v = prev + 1
       val dirs = (if (prev == 0) Nil else manifestDirs(s, table, prev)) :+ dir
-      if (publishExclusive(s, f, manifestPath(table, v), dirs.mkString("\n"))) {
+      val header = txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("")
+      if (publishExclusive(s, f, manifestPath(table, v),
+          header + dirs.mkString("\n"))) {
         // monotonic hint bump — BEST-EFFORT: concurrent hint writers can
         // collide inside Rename.OVERWRITE's delete+rename window; the
         // claim above already committed, so a failed/lost bump costs
@@ -150,7 +212,7 @@ object Snapshots {
           if (v > latestHintOnly(s, table))
             atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
         } catch { case _: java.io.IOException => () }
-        return v
+        return Some(v)
       }
       attempt += 1
     }

@@ -113,6 +113,41 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 4)
   }
 
+  test("commitIfAbsent: replayed batch no-ops; concurrent duplicates commit once") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(Snapshots.commitIfAbsent(Seq((1L, "a")).toDF("id", "s"), t,
+      "w1", 0L) == Some(1))
+    // at-least-once replay of the same (writer, batch): must no-op
+    assert(Snapshots.commitIfAbsent(Seq((1L, "a")).toDF("id", "s"), t,
+      "w1", 0L).isEmpty)
+    assert(Snapshots.read(spark, t).count() == 1)
+    // a different batch and a different writer both land
+    assert(Snapshots.commitIfAbsent(Seq((2L, "b")).toDF("id", "s"), t,
+      "w1", 1L) == Some(2))
+    assert(Snapshots.commitIfAbsent(Seq((3L, "c")).toDF("id", "s"), t,
+      "w2", 0L) == Some(3))
+    assert(Snapshots.read(spark, t).count() == 3)
+    // concurrent duplicates of ONE batch: exactly one side commits
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val dups = (1 to 4).map { _ =>
+      scala.concurrent.Future {
+        Snapshots.commitIfAbsent(Seq((9L, "dup")).toDF("id", "s"), t, "w1", 2L)
+      }
+    }
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(dups),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(results.flatten.size == 1, results.toString)
+    assert(Snapshots.read(spark, t).filter(col("id") === 9L).count() == 1)
+    // interleaved regular commits keep their own path working
+    assert(Snapshots.commit(Seq((4L, "d")).toDF("id", "s"), t) ==
+      Snapshots.latestVersion(spark, t))
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
