@@ -207,6 +207,57 @@ class GraphCdcSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("unknown op")), ex.getMessage)
   }
 
+  test("IVM fuzz: random I/D logs — maintained == recompute for agg AND distinct") {
+    import spark.implicits._
+    // deterministic pseudo-random log: inserts drawn first, deletes only
+    // ever delete a previously-inserted surviving row (well-formed CDC)
+    val rnd = new scala.util.Random(1234)
+    val nKeys = 7
+    val live = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val baseRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val deltaRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    for (_ <- 1 to 400) {
+      val r = (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong)
+      baseRows += r; live += r
+    }
+    for (_ <- 1 to 300) {
+      if (live.nonEmpty && rnd.nextInt(3) == 0) {
+        val i = rnd.nextInt(live.size)
+        val (k, v) = live.remove(i)
+        deltaRows += (("D", k, v))
+      } else {
+        val r = (rnd.nextInt(nKeys).toLong, rnd.nextInt(20).toLong)
+        live += r; deltaRows += (("I", r._1, r._2))
+      }
+    }
+    val baseDf = baseRows.toSeq.toDF("k", "v")
+    val delta = deltaRows.toSeq.toDF("op", "k", "v")
+    // agg view
+    val baseAgg = baseDf.groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("sum_v"))
+    val gotAgg = Cdc.incrementalAgg(baseAgg, delta, "k", "op", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val wantAgg = live.groupBy(_._1).map { case (k, rs) =>
+      (k, rs.size.toLong, rs.map(_._2).sum)
+    }.toSeq.sorted
+    assert(gotAgg == wantAgg)
+    // distinct view via the support multiset
+    val baseVc = baseDf.groupBy("k", "v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val gotD = Cdc.incrementalDistinct(baseVc, delta, "k", "op", "v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("nd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantD = live.groupBy(_._1).map { case (k, rs) =>
+      (k, rs.map(_._2).distinct.size.toLong)
+    }.toSeq.sorted
+    assert(gotD == wantD)
+  }
+
   test("incrementalDistinct: deleted copy keeps the value while siblings survive") {
     import spark.implicits._
     // k1 has value 10 TWICE and 20 once; k2 has 5 once
