@@ -3068,6 +3068,51 @@ object SparkEntry {
       .orderBy("threshold_permille")
   }
 
+  /** Word list for the d29 linkage fixture — pairwise edit distance ≥ 3,
+    * so records sharing no word slot are unlinkable at maxEditDist 1.
+    */
+  private val LinkageWords = Seq("alpha", "bravo", "charlie", "delta",
+    "echo", "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+    "mike", "november", "oscar", "papa")
+
+  /** Multi-pass blocked RECORD LINKAGE through the gate ([[ops.Dedup
+    * .linkagePairs]]): a deterministic dirty-record fixture derived from
+    * `customer` — names are two word-list slots plus the key's
+    * DOUBLE-DIGIT form (doubling makes every numeric difference cost ≥ 2
+    * edits, so distinct customers are provably unlinkable at the
+    * 1-edit threshold — validated exhaustively at sf0.01 and sf0.1),
+    * and every 10th customer gains a typo'd variant: most drop an
+    * interior character, every 20th drops the FIRST character — the
+    * typo class that kills a name-prefix block. Blocking runs two
+    * complementary passes (prefix-2 + suffix-2) with nation + segment
+    * as must-match exacts; the prefix-breaking typos are exactly why
+    * the union is needed, and the gate's exactness (precisely the
+    * planted clean↔variant pairs, nothing else) proves both recall and
+    * precision of the whole pipeline.
+    */
+  private def d29RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val wArr = array(LinkageWords.map(lit): _*)
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").cast("long").as("k"),
+      col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"))
+      .withColumn("nm", concat(
+        element_at(wArr, (col("k") * 7 % 16 + 1).cast("int")), lit(" "),
+        element_at(wArr, ((col("k") * 13 + 5) % 16 + 1).cast("int")), lit(" "),
+        regexp_replace(col("k").cast("string"), "(.)", "$1$1")))
+    val clean = base.select((col("k") * 2).as("rec_id"), col("nm").as("name"),
+      col("nation"), col("segment"))
+    val dirty = base.filter(col("k") % 10 === 0)
+      .select((col("k") * 2 + 1).as("rec_id"),
+        when(col("k") % 20 === 0, expr("substring(nm, 2)"))
+          .otherwise(concat(substring(col("nm"), 1, 3), expr("substring(nm, 5)")))
+          .as("name"),
+        col("nation"), col("segment"))
+    ops.Dedup.linkagePairs(clean.unionByName(dirty), "rec_id", "name",
+        Seq("nation", "segment"),
+        Seq(substring(col("name"), 1, 2), expr("right(name, 2)")), 1)
+      .orderBy("id1", "id2")
+  }
+
   /** Prefix-filtered exact Jaccard ([[ops.Dedup.prefixJaccardPairs]],
     * same 3-gram/0.5 contract as d2): PPJoin-style candidate generation
     * through the rarest-shingle prefix. The filter is LOSSLESS, so the
@@ -5100,6 +5145,7 @@ object SparkEntry {
     "d26_quality_canonical" -> d26QualityCanonical _,
     "d27_fuzzy_decontam" -> d27FuzzyDecontam _,
     "d28_threshold_curve" -> d28ThresholdCurve _,
+    "d29_record_linkage" -> d29RecordLinkage _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
@@ -8221,6 +8267,36 @@ object SparkEntry {
         |SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
         |  CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
         |FROM ms ORDER BY threshold_permille""".stripMargin,
+    // fixture construction + both blocking passes + exact Levenshtein
+    // verify, replayed end to end
+    "d29_record_linkage" -> {
+      val wl = s"[${LinkageWords.map(w => s"'$w'").mkString(", ")}]"
+      s"""WITH base AS (SELECT c_custkey AS k, c_nationkey AS nation,
+        |        c_mktsegment AS segment,
+        |        ($wl)[CAST(c_custkey * 7 % 16 + 1 AS INT)] || ' ' ||
+        |        ($wl)[CAST((c_custkey * 13 + 5) % 16 + 1 AS INT)] || ' ' ||
+        |        regexp_replace(CAST(c_custkey AS VARCHAR), '(.)', '\\1\\1', 'g') AS nm
+        |      FROM customer),
+        |recs AS (
+        |  SELECT k * 2 AS rec_id, nm, nation, segment FROM base
+        |  UNION ALL
+        |  SELECT k * 2 + 1,
+        |    CASE WHEN k % 20 = 0 THEN substr(nm, 2)
+        |         ELSE substr(nm, 1, 3) || substr(nm, 5) END,
+        |    nation, segment
+        |  FROM base WHERE k % 10 = 0),
+        |p AS (SELECT 0 AS pass, substr(nm, 1, 2) AS bk, rec_id, nm, nation, segment FROM recs
+        |  UNION ALL
+        |  SELECT 1, right(nm, 2), rec_id, nm, nation, segment FROM recs),
+        |cand AS (SELECT DISTINCT a.rec_id AS id1, b.rec_id AS id2,
+        |        a.nm AS n1, b.nm AS n2
+        |      FROM p a JOIN p b ON a.pass = b.pass AND a.bk = b.bk
+        |        AND a.nation = b.nation AND a.segment = b.segment
+        |        AND a.rec_id < b.rec_id)
+        |SELECT id1, id2, CAST(levenshtein(n1, n2) AS BIGINT) AS edit_dist
+        |FROM cand WHERE levenshtein(n1, n2) <= 1
+        |ORDER BY id1, id2""".stripMargin
+    },
     "d2_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, ${shinglesSql(toksSql("text"))} AS sh FROM documents),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, ${jaccardSql("a.sh", "b.sh")} AS jaccard

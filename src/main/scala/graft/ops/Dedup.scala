@@ -1241,4 +1241,54 @@ object Dedup {
       .select(col("id"), col("canonical_url"), col("keep_id"),
         col("n_variants"), (col("id") =!= col("keep_id")).as("is_dup"))
   }
+
+  /** MULTI-PASS blocked RECORD LINKAGE — entity resolution over
+    * structured records, the field-aware sibling of the text dedup
+    * family: candidate pairs come from the union of several cheap
+    * BLOCKING passes (each an equi-join on a blocking key plus the
+    * must-match exact columns — never an all-pairs scan), and each
+    * candidate is verified with the exact Levenshtein distance on the
+    * name field. Multiple passes are the recall story: a single
+    * blocking key is brittle against typos that mutate it (a dropped
+    * first character kills a prefix block), so production linkage runs
+    * complementary passes — e.g. name-prefix AND name-suffix — and a
+    * typo must break EVERY pass's key to escape (the pigeonhole
+    * argument [[bitstringDupPairs]] makes for Hamming, applied to
+    * blocking). Pairs surfacing in several passes emit once.
+    *
+    * Scale shape: each pass is an equi-join shuffled on
+    * `(pass, block-key, exact cols)`; block populations bound each
+    * bucket, the verify join touches candidates only, and the distinct
+    * is over the candidate-pair space — the standard Fellegi-Sunter
+    * pipeline skeleton with the probabilistic weights replaced by an
+    * exact distance gate (deterministic, cross-engine replayable).
+    *
+    * @param blockPasses one Column per pass, evaluated against the
+    *        record frame (e.g. `substring(col("name"), 1, 2)`,
+    *        `substring(col("name"), -2, 2)`)
+    * @return (id1, id2, edit_dist) — id1 < id2, dist ≤ maxEditDist
+    */
+  def linkagePairs(records: DataFrame, idCol: String, nameCol: String,
+      exactCols: Seq[String], blockPasses: Seq[org.apache.spark.sql.Column],
+      maxEditDist: Int): DataFrame = {
+    require(blockPasses.nonEmpty, "at least one blocking pass required")
+    require(maxEditDist >= 0, s"maxEditDist must be >= 0: $maxEditDist")
+    val passes = blockPasses.zipWithIndex.map { case (bk, i) =>
+      records.select(Seq(col(idCol).cast("long").as("id"),
+          col(nameCol).as("nm"), bk.cast("string").as("bk")) ++
+          exactCols.map(c => col(c).as(s"x_$c")): _*)
+        .withColumn("pass", lit(i))
+    }.reduce(_ unionByName _)
+    val joinCond = col("a.pass") === col("b.pass") &&
+      col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
+      exactCols.map(c => col(s"a.x_$c") === col(s"b.x_$c"))
+        .foldLeft(lit(true))(_ && _)
+    passes.as("a").join(passes.as("b"), joinCond)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nm").as("nm1"), col("b.nm").as("nm2"))
+      .distinct() // a pair sharing several pass-blocks surfaces once
+      .select(col("id1"), col("id2"),
+        levenshtein(col("nm1"), col("nm2")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxEditDist)
+  }
 }

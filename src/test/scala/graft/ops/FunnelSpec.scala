@@ -107,6 +107,37 @@ class FunnelSpec extends SparkSpec {
     assert(ex.getMessage.contains("62"))
   }
 
+  test("linkagePairs: multi-pass blocking recovers prefix-breaking typos; exacts gate") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha bravo 11", 5L, "A"),
+      (2L, "lpha bravo 11", 5L, "A"),   // first char dropped: prefix block broken
+      (3L, "alpha bravo 1", 5L, "A"),   // last char dropped: suffix block broken
+      (4L, "alpha bravo 11", 9L, "A"),  // name identical, nation differs: NOT linked
+      (5L, "delta hotel 22", 5L, "A"),  // unrelated
+      (6L, "alpha bravo 11", 5L, "B")   // segment differs: NOT linked
+    ).toDF("rec_id", "name", "nation", "segment")
+    val passes = Seq(substring(col("name"), 1, 2),
+      org.apache.spark.sql.functions.expr("right(name, 2)"))
+    val got = Dedup.linkagePairs(recs, "rec_id", "name",
+        Seq("nation", "segment"), passes, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1-2 only share the SUFFIX block, 1-3 only the PREFIX block — each
+    // found via exactly one pass; 2-3 differ by 2 edits (out)
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L), got.toString)
+    // prefix-only blocking misses the first-char typo — the multi-pass
+    // union is load-bearing, not decorative
+    val prefixOnly = Dedup.linkagePairs(recs, "rec_id", "name",
+        Seq("nation", "segment"), passes.take(1), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixOnly == Set((1L, 3L)), prefixOnly.toString)
+    // plan: candidates come from an equi-join, never a nested loop
+    val plan = Dedup.linkagePairs(recs, "rec_id", "name",
+      Seq("nation", "segment"), passes, 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
   test("qualityCanonical: kept member beats a longer filtered one; counts audit") {
     import spark.implicits._
     val labeled = Seq(
