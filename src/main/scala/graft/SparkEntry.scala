@@ -2743,6 +2743,45 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
       .orderBy("bucket", "shard")
 
+  /** END-TO-END training-corpus curation — the user story the extended
+    * operators exist for, run as ONE gated composition: `documents` →
+    * Gopher quality cascade (t53's bounds) keeps clean docs → exact
+    * dedup (d1's fingerprint, min-id survivor) drops redundant copies →
+    * token-budget shard packing (t9's deterministic walk) lays the
+    * survivors out for training. Each stage has its own oracle-gated
+    * query; THIS gate proves the stages COMPOSE — the interfaces line
+    * up and the chained result is still bit-exact across engines. The
+    * per-(bucket, shard) layout rides with three pipeline-audit
+    * constants (input → kept → unique counts, the funnel every corpus
+    * build reports).
+    */
+  private def t67CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val kept = ops.Curation.gopherFilter(d, "text", "doc_id",
+        20, 90, 40, 100, 2, 200)
+      .filter(col("verdict") === "kept").select("doc_id")
+      .join(d, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unique = ops.Dedup.exactDedup(kept, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+      .join(kept, "doc_id")
+    val packed = ops.Sampling.packShards(
+        unique.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", 2000L, 8)
+      .groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+    val audit = d.agg(count(lit(1)).as("n_input"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(unique.agg(count(lit(1)).as("n_unique")))
+    val out = packed.crossJoin(broadcast(audit)).orderBy("bucket", "shard")
+    val rows = out.collect()
+    kept.unpersist()
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("bucket", "shard")
+  }
+
   /** Per-language embedding centroids ([[ops.Similarity.groupCentroids]]):
     * embeddings joined to their documents' lang, element-wise fixed-point
     * mean per (lang, position) — order-independent integer accumulation
@@ -4996,6 +5035,7 @@ object SparkEntry {
     "t64_langid_confusion" -> t64LangidConfusion _,
     "t65_lift_table" -> t65LiftTable _,
     "t66_dd_quantiles" -> t66DdQuantiles _,
+    "t67_corpus_pipeline" -> t67CorpusPipeline _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -6969,6 +7009,48 @@ object SparkEntry {
         |       WHEN 1000 * top_cnt > 200 * n_tokens THEN 'repetitive'
         |       ELSE 'kept' END AS verdict
         |FROM st ORDER BY doc_id""".stripMargin
+    },
+    // the full t53 → d1 → t9 chain replayed end to end, plus the
+    // input/kept/unique funnel constants
+    "t67_corpus_pipeline" -> {
+      val stop = graft.functions.TextFunctions.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+        |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+        |pc AS (SELECT doc_id, tok, count(*) AS c, len(tok) AS ln,
+        |       tok IN ($stop) AS is_stop FROM e GROUP BY doc_id, tok, ln, is_stop),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(ln * c) AS BIGINT) AS sum_len,
+        |       CAST(sum(CASE WHEN is_stop THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+        |       CAST(max(c) AS BIGINT) AS top_cnt
+        |      FROM pc GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(sum_len, 0) AS sum_len, coalesce(n_stop, 0) AS n_stop,
+        |       coalesce(top_cnt, 0) AS top_cnt
+        |      FROM documents d LEFT JOIN a USING (doc_id)),
+        |kept AS (SELECT doc_id FROM st
+        |      WHERE NOT (n_tokens < 20 OR n_tokens > 90
+        |        OR 10 * sum_len < 40 * n_tokens OR 10 * sum_len > 100 * n_tokens
+        |        OR n_stop < 2 OR 1000 * top_cnt > 200 * n_tokens)),
+        |kd AS (SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+        |u AS (SELECT min(doc_id) AS doc_id
+        |      FROM (SELECT doc_id, ${fpSql("text")} AS fp FROM kd) GROUP BY fp),
+        |ud AS (SELECT kd.doc_id, kd.text FROM kd JOIN u USING (doc_id)),
+        |dd AS (SELECT doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+        | FROM ud),
+        |o AS (SELECT doc_id, bucket, n_tok,
+        |  coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        | FROM dd),
+        |packed AS (SELECT bucket, CAST(start_off // 2000 AS BIGINT) AS shard,
+        |        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |       FROM o GROUP BY bucket, shard),
+        |aud AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+        |        CAST((SELECT count(*) FROM kd) AS BIGINT) AS n_kept,
+        |        CAST((SELECT count(*) FROM ud) AS BIGINT) AS n_unique)
+        |SELECT bucket, shard, n_docs, total_tokens, n_input, n_kept, n_unique
+        |FROM packed CROSS JOIN aud ORDER BY bucket, shard""".stripMargin
     },
     // piece vocabulary + costs + all 10 Viterbi rounds unrolled, argmin
     // replayed as (cost, longer-piece, path) row_number
