@@ -2782,6 +2782,33 @@ object SparkEntry {
       .orderBy("bucket", "shard")
   }
 
+  /** k-ANONYMITY release gate ([[ops.Privacy.generalizeUntilK]]): the
+    * customer quasi-identifiers (nation, segment, account-balance
+    * bucket) audited down a four-level generalization ladder — $500
+    * buckets → $2000 buckets → balance dropped → nation dropped — with
+    * the FIRST fully-k-anonymous level (k=5) marked chosen. Balance
+    * buckets via `floor(cents/width)` double floor (NOT integer `div`:
+    * balances go negative and Spark's `div` truncates toward zero where
+    * DuckDB's `//` floors — the one cross-engine trap in this query).
+    * The oracle replays every level's group rollup and the
+    * first-satisfying choice.
+    */
+  private def t68KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("bal_cents"))
+    def balBucket(widthCents: Long): Column =
+      floor(col("bal_cents") / lit(widthCents.toDouble)).cast("long")
+    ops.Privacy.generalizeUntilK(c, Seq(
+      ("nation_segment_bal500", Seq("nation" -> col("nation"),
+        "segment" -> col("segment"), "bal_b" -> balBucket(50000L))),
+      ("nation_segment_bal2000", Seq("nation" -> col("nation"),
+        "segment" -> col("segment"), "bal_b" -> balBucket(200000L))),
+      ("nation_segment", Seq("nation" -> col("nation"),
+        "segment" -> col("segment"))),
+      ("segment", Seq("segment" -> col("segment")))), 5L)
+      .orderBy("level")
+  }
+
   /** Per-language embedding centroids ([[ops.Similarity.groupCentroids]]):
     * embeddings joined to their documents' lang, element-wise fixed-point
     * mean per (lang, position) — order-independent integer accumulation
@@ -5036,6 +5063,7 @@ object SparkEntry {
     "t65_lift_table" -> t65LiftTable _,
     "t66_dd_quantiles" -> t66DdQuantiles _,
     "t67_corpus_pipeline" -> t67CorpusPipeline _,
+    "t68_k_anonymity" -> t68KAnonymity _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -7009,6 +7037,34 @@ object SparkEntry {
         |       WHEN 1000 * top_cnt > 200 * n_tokens THEN 'repetitive'
         |       ELSE 'kept' END AS verdict
         |FROM st ORDER BY doc_id""".stripMargin
+    },
+    // all four generalization levels' group rollups + the
+    // first-zero-violations choice via the prior-level window
+    "t68_k_anonymity" -> {
+      def lvl(i: Int, name: String, groupBy: String): String =
+        s"""SELECT CAST($i AS BIGINT) AS level, '$name' AS level_name,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  CAST(min(n) AS BIGINT) AS min_group
+           |FROM (SELECT count(*) AS n FROM c GROUP BY $groupBy)""".stripMargin
+      s"""WITH c AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |      FROM customer),
+        |lv AS (
+        |${lvl(0, "nation_segment_bal500",
+               "nation, segment, CAST(floor(bal_cents / 50000.0) AS BIGINT)")}
+        |UNION ALL
+        |${lvl(1, "nation_segment_bal2000",
+               "nation, segment, CAST(floor(bal_cents / 200000.0) AS BIGINT)")}
+        |UNION ALL
+        |${lvl(2, "nation_segment", "nation, segment")}
+        |UNION ALL
+        |${lvl(3, "segment", "segment")})
+        |SELECT level, level_name, n_groups, n_violating, min_group,
+        |  (n_violating = 0 AND coalesce(max(CASE WHEN n_violating = 0 THEN 1 ELSE 0 END)
+        |     OVER (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0)
+        |    AS chosen
+        |FROM lv ORDER BY level""".stripMargin
     },
     // the full t53 → d1 → t9 chain replayed end to end, plus the
     // input/kept/unique funnel constants
