@@ -386,6 +386,23 @@ object SparkEntry {
         col("value"), col("zscore"))
       .orderBy("user_id", "event_id")
 
+  /** EWMA smoothing ([[ops.Timeseries.ewmaSmooth]]) through the gate:
+    * users < 20, α = 0.3, every event's exact micro-cent EWMA state.
+    * The oracle replays the integer recurrence SEQUENTIALLY per key
+    * (DuckDB `list_reduce` over the `(ts, id)`-ordered prefix — an
+    * independent formulation of the same fold), so the bit-stability
+    * claim of the integer design is what is actually gated.
+    */
+  private def q62Ewma(s: SparkSession, dir: String): DataFrame =
+    ops.Timeseries.ewmaSmooth(
+        Tables.events(s, dir).filter(col("user_id") < 20),
+        "user_id", "ts", "value", "event_id", 300000L)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        (col("ts_us") / lit(1000000L)).cast("long").as("ts_s"),
+        (col("cents").cast("double") / 100.0).as("value"),
+        round(col("ewma_micro").cast("double") / 1e8, 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+
   /** Explicit GROUPING SETS through the gate — the asymmetric lattice
     * neither q19's ROLLUP nor q30's CUBE can express: `(type, weekday)`,
     * `(type)`, and the grand total, but NOT `(weekday)` alone. Still one
@@ -5155,6 +5172,7 @@ object SparkEntry {
     "q59_incremental_quantiles" -> q59IncrementalQuantiles _,
     "q60_stream_ivm" -> q60StreamIvm _,
     "q61_stream_lakehouse" -> q61StreamLakehouse _,
+    "q62_ewma" -> q62Ewma _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -8011,6 +8029,27 @@ object SparkEntry {
         |               / sqrt(CAST(n*ss - s*s AS DOUBLE)/CAST(n*n AS DOUBLE)), 6)
         |    ELSE NULL END AS zscore
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+    // the integer EWMA recurrence replayed sequentially per key:
+    // list_reduce over the (ts, id)-ordered micro-value prefix — an
+    // independent formulation of the same exact fold
+    "q62_ewma" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) * 1000000 AS xm
+        |      FROM events WHERE user_id < 20),
+        |g AS (SELECT user_id,
+        |        list(xm ORDER BY ts_us, event_id) AS xs,
+        |        list(event_id ORDER BY ts_us, event_id) AS ids,
+        |        list(ts_us ORDER BY ts_us, event_id) AS tss
+        |      FROM ev GROUP BY user_id),
+        |ix AS (SELECT user_id, xs, ids, tss,
+        |        unnest(generate_series(1, len(xs))) AS i FROM g)
+        |SELECT user_id, ids[i] AS event_id,
+        |  tss[i] // 1000000 AS ts_s,
+        |  CAST(xs[i] // 1000000 AS DOUBLE) / 100.0 AS value,
+        |  round(CAST(list_reduce(xs[1:i],
+        |    (a, b) -> (300000 * b + 700000 * a + 500000) // 1000000) AS DOUBLE)
+        |    / 100000000.0, 6) AS ewma
+        |FROM ix ORDER BY user_id, event_id""".stripMargin,
     // three PageRank rounds unrolled, every rank exact integer nano-units
     // both unrolled rounds: LONG half-step sums + HUGEINT L1 rescale
     // (exact analogue of Spark's DECIMAL(38) div), floor-truncating

@@ -110,4 +110,50 @@ object Timeseries {
         round((col("cents").cast("double") - mean) / std, 6))
         .otherwise(lit(null).cast("double")).as("zscore"))
   }
+
+  /** EXPONENTIALLY-WEIGHTED moving average per key — the smoothing/
+    * forecasting primitive (`S₁ = x₁`, `Sᵢ = α·xᵢ + (1−α)·Sᵢ₋₁`; the
+    * one-step forecast is the last S). Defined as an EXACT INTEGER
+    * RECURRENCE in micro-cents with round-half-up at every step
+    * (`floorDiv(αµ·x + (1e6−αµ)·S + 5e5, 1e6)`) — the engine-wide
+    * micro-integer convention applied to a sequential fold, so both
+    * engines replay the same integers and the result is bit-stable with
+    * no float-drift caveat. Overflow-safe to cents ≈ 9·10⁶ (≈ $90k per
+    * value).
+    *
+    * Scale shape: EWMA is inherently sequential PER KEY, so the honest
+    * distributed form is keys-in-parallel / sequential-within-key:
+    * `flatMapSortedGroups` shuffles once on the key and streams each
+    * group in `(ts, id)` order through the fold — state is one LONG, no
+    * window, no per-row job. A key's history must fit one task's
+    * stream (it is never collected), which holds for any per-entity
+    * series; a single key spanning the whole corpus is a modeling
+    * error, not a plan hazard.
+    *
+    * @return (key, ts_us, id, cents, ewma_micro) — `ewma_micro` in
+    *         micro-cents
+    */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro out of (0, 1e6): $alphaMicro")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), col(idCol).cast("long").as("id"),
+        (floor(col(valueCol) * 100 + 0.5).cast("long") * 1000000L).as("xm"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("id")) { (key, rows) =>
+        var st = 0L
+        var first = true
+        rows.map { case (_, ts, id, xm) =>
+          st = if (first) { first = false; xm }
+          else Math.floorDiv(
+            alphaMicro * xm + (1000000L - alphaMicro) * st + 500000L, 1000000L)
+          (key, ts, id, xm / 1000000L, st)
+        }
+      }
+      .toDF("key", "ts_us", "id", "cents", "ewma_micro")
+  }
 }

@@ -64,4 +64,26 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(out.forall(_.isNullAt(3)))
   }
+
+  test("ewmaSmooth: hand-computed integer recurrence; keys independent; order by (ts, id)") {
+    // α = 0.5 in micros; x in cents: 100, 200, 100 (events arrive out of
+    // ts order — the sorted-group order must fix it)
+    val df = evdf(Seq(
+      (1L, 300L, 3L, 1.00), (1L, 100L, 1L, 1.00), (1L, 200L, 2L, 2.00),
+      (2L, 100L, 4L, 4.00)))
+    val out = Timeseries.ewmaSmooth(df, "user_id", "ts", "value", "event_id", 500000L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // S1 = 100e6; S2 = (0.5·200e6 + 0.5·100e6) = 150e6;
+    // S3 = (0.5·100e6 + 0.5·150e6) = 125e6; key 2 starts fresh at 400e6
+    assert(out == Seq(
+      (1L, 100L, 100000000L), (2L, 200L, 150000000L),
+      (3L, 100L, 125000000L), (4L, 400L, 400000000L)), out.toString)
+    // per-step round-half-up: α=0.3, x = 100 then 101 cents:
+    // S2 = floor((0.3·101e6 + 0.7·100e6 + 0.5)/1) -> (30.3e6+70e6) = 100.3e6
+    val odd = evdf(Seq((1L, 100L, 1L, 1.00), (1L, 200L, 2L, 1.01)))
+    val s2 = Timeseries.ewmaSmooth(odd, "user_id", "ts", "value", "event_id", 300000L)
+      .orderBy("id").collect().last.getLong(4)
+    assert(s2 == 100300000L, s2.toString)
+  }
 }
