@@ -229,6 +229,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("ddQuantiles endpoints: q=1.0 lands in the max bucket, tiny q in the min") {
+    import spark.implicits._
+    val sk = Sketch.ddBuckets((1 to 100).map(_.toLong).toDF("v"), "v", 10000L)
+    val maxBucket = sk.agg(org.apache.spark.sql.functions.max("bucket"))
+      .head.getLong(0)
+    val minBucket = sk.agg(org.apache.spark.sql.functions.min("bucket"))
+      .head.getLong(0)
+    val got = Sketch.ddQuantiles(sk, Seq(1L, 1000000L), 10000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1000000L) == maxBucket, s"p100 not in max bucket: $got")
+    assert(got(1L) == minBucket, s"p~0 not in min bucket: $got")
+    // out-of-range quantiles refused loudly
+    intercept[IllegalArgumentException] {
+      Sketch.ddQuantiles(sk, Seq(0L), 10000L)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.ddQuantiles(sk, Seq(1000001L), 10000L)
+    }
+  }
+
   test("ddBuckets fold under deletion: maintained sketch == rebuilt sketch") {
     import spark.implicits._
     val alpha = 10000L
