@@ -403,6 +403,76 @@ object SparkEntry {
         round(col("ewma_micro").cast("double") / 1e8, 6).as("ewma"))
       .orderBy("user_id", "event_id")
 
+  /** STREAMING EWMA through the gate ([[graft.streaming.EventsStream
+    * .ewmaStream]]): q62's exact-integer smoothing run through the real
+    * micro-batch engine — users < 20 sliced into three ts-tercile
+    * batches, per-user LONG state carrying the fold across batches,
+    * every event emitting its smoothed row as it streams. THE ORACLE IS
+    * q62's BATCH SQL verbatim: stream == batch bit-for-bit, which only
+    * the integer recurrence can promise (float EWMA would drift with
+    * the fold boundary). State rows pinned to the distinct-user count.
+    */
+  private def q63StreamEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = ioTmp(dir, "q63")
+    val e = Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), cents(col("value")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val inDir = new java.io.File(s"$base/in")
+    if (inDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(inDir)
+    val mm = e.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    def writeSlice(pred: Column, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      e.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    writeSlice(col("ts_us") < c1, "slice0", 1000000000000L)
+    writeSlice(col("ts_us") >= c1 && col("ts_us") < c2, "slice1", 1000000060000L)
+    writeSlice(col("ts_us") >= c2, "slice2", 1000000120000L)
+    val nUsers = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    e.unpersist()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_id", LongType), StructField("cents", LongType)))
+    val sink = "graft_q63_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.ewmaStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/in"), 300000L)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val st = graft.streaming.EventsStream.stateAuditOf(q)
+      require(st.map(_.rowsTotal).sum == nUsers,
+        s"q63 state rows ${st.map(_.rowsTotal).sum} != $nUsers users")
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    s.table(sink)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_us div 1000000").as("ts_s"),
+        (col("cents").cast("double") / 100.0).as("value"),
+        round(col("ewma_micro").cast("double") / 1e8, 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Explicit GROUPING SETS through the gate — the asymmetric lattice
     * neither q19's ROLLUP nor q30's CUBE can express: `(type, weekday)`,
     * `(type)`, and the grand total, but NOT `(weekday)` alone. Still one
@@ -5173,6 +5243,7 @@ object SparkEntry {
     "q60_stream_ivm" -> q60StreamIvm _,
     "q61_stream_lakehouse" -> q61StreamLakehouse _,
     "q62_ewma" -> q62Ewma _,
+    "q63_stream_ewma" -> q63StreamEwma _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -8029,6 +8100,26 @@ object SparkEntry {
         |               / sqrt(CAST(n*ss - s*s AS DOUBLE)/CAST(n*n AS DOUBLE)), 6)
         |    ELSE NULL END AS zscore
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+    // q62's batch oracle VERBATIM: the integer recurrence makes
+    // stream == batch bit-for-bit, so one SQL serves both gates
+    "q63_stream_ewma" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) * 1000000 AS xm
+        |      FROM events WHERE user_id < 20),
+        |g AS (SELECT user_id,
+        |        list(xm ORDER BY ts_us, event_id) AS xs,
+        |        list(event_id ORDER BY ts_us, event_id) AS ids,
+        |        list(ts_us ORDER BY ts_us, event_id) AS tss
+        |      FROM ev GROUP BY user_id),
+        |ix AS (SELECT user_id, xs, ids, tss,
+        |        unnest(generate_series(1, len(xs))) AS i FROM g)
+        |SELECT user_id, ids[i] AS event_id,
+        |  tss[i] // 1000000 AS ts_s,
+        |  CAST(xs[i] // 1000000 AS DOUBLE) / 100.0 AS value,
+        |  round(CAST(list_reduce(xs[1:i],
+        |    (a, b) -> (300000 * b + 700000 * a + 500000) // 1000000) AS DOUBLE)
+        |    / 100000000.0, 6) AS ewma
+        |FROM ix ORDER BY user_id, event_id""".stripMargin,
     // the integer EWMA recurrence replayed sequentially per key:
     // list_reduce over the (ts, id)-ordered micro-value prefix — an
     // independent formulation of the same exact fold

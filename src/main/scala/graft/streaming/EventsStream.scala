@@ -281,6 +281,49 @@ object EventsStream {
       .toDF("user_id", "n", "cents", "n_deltas")
   }
 
+  /** STREAMING exact-integer EWMA — [[graft.ops.Timeseries.ewmaSmooth]]'s
+    * sequential fold as an ORDER-SENSITIVE stateful operator (the q55
+    * pattern applied to smoothing): per-user state is the single LONG
+    * micro-cent EWMA value, each event emits its smoothed row as it
+    * streams, and because the recurrence is integer-exact the streamed
+    * output can be gated BIT-FOR-BIT against the batch op — the payoff
+    * of defining EWMA as integers instead of floats, where stream/batch
+    * fold orders would drift. Same caller contracts as
+    * [[lastTouchAttribution]]: ts-range slice files keep cross-batch
+    * event order, the in-group sort fixes shuffle order within a batch.
+    * Deliberate NoTimeout ([[runningUserStats]]' reasoning): a lifetime
+    * smoothing state has no natural horizon; evicting a key would
+    * restart its series.
+    *
+    * Expects `(user_id, ts_us, event_id, cents)`; returns
+    * `(user_id, ts_us, event_id, cents, ewma_micro)`.
+    */
+  def ewmaStream(events: DataFrame, alphaMicro: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro out of (0, 1e6): $alphaMicro")
+    events.select(col("user_id").cast("long"), col("ts_us").cast("long"),
+        col("event_id").cast("long"), col("cents").cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Boolean), (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var (st, seeded) = state.getOption.getOrElse((0L, false))
+        val out = rows.toArray.sortBy(r => (r._2, r._3)).map {
+          case (_, ts, id, cents) =>
+            val xm = cents * 1000000L
+            st = if (!seeded) { seeded = true; xm }
+            else Math.floorDiv(
+              alphaMicro * xm + (1000000L - alphaMicro) * st + 500000L, 1000000L)
+            (uid, ts, id, cents, st)
+        }
+        state.update((st, seeded))
+        out.iterator
+      }
+      .toDF("user_id", "ts_us", "event_id", "cents", "ewma_micro")
+  }
+
   /** Streaming last-touch attribution — q54's batch as-of credit as an
     * ORDER-SENSITIVE stateful operator: per-user state is the single
     * latest view/click seen so far (`(ts_us, event_id, type)` — a few
