@@ -4981,7 +4981,10 @@ object SparkEntry {
     graft.io.Snapshots.commit(o.filter(col("k") % 3 === 1), table)
     graft.io.Snapshots.commit(o.filter(col("k") % 3 === 2), table)
     o.limit(5).write.parquet(s"$table/data/c-orphan") // crashed commit
-    val (nm, nd) = graft.io.Snapshots.vacuum(s, table, keepVersions = 2)
+    // grace 0: the planted orphan is seconds old and no commit is in
+    // flight here — production vacuums keep the default grace window
+    val (nm, nd) = graft.io.Snapshots.vacuum(s, table, keepVersions = 2,
+      orphanGraceMs = 0L)
     require(nm == 1 && nd == 1, s"vacuum deleted ($nm manifests, $nd dirs)")
     val gone = try { graft.io.Snapshots.read(s, table, Some(1)).count(); false }
       catch { case _: java.io.FileNotFoundException => true }

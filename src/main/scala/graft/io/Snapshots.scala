@@ -262,10 +262,22 @@ object Snapshots {
     * retention window ≥ the longest reader (the Iceberg/Delta
     * `expire_snapshots`/`VACUUM` contract, including its caveat).
     *
+    * ORPHAN GRACE — the in-flight-commit race: a concurrent committer
+    * writes its data directory BEFORE claiming a manifest, so to a
+    * vacuum running in that window the directory is indistinguishable
+    * from a crashed commit's orphan — deleting it would let the claim
+    * land on vanished data, the one torn-table path in this design.
+    * Unreferenced directories younger than `orphanGraceMs` are
+    * therefore spared (the Iceberg orphan-GC retention-age rule):
+    * choose a grace comfortably above the longest data-write, and only
+    * pass 0 when no commit can be in flight.
+    *
     * @return (manifests deleted, data directories deleted)
     */
-  def vacuum(s: SparkSession, table: String, keepVersions: Int): (Int, Int) = {
+  def vacuum(s: SparkSession, table: String, keepVersions: Int,
+      orphanGraceMs: Long = 3600000L): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    require(orphanGraceMs >= 0, s"orphanGraceMs must be >= 0: $orphanGraceMs")
     val f = fs(s, table)
     val latest = latestVersion(s, table)
     require(latest >= 1, s"nothing committed at $table")
@@ -278,10 +290,12 @@ object Snapshots {
     }
     val dataRoot = new Path(s"$table/data")
     var nDirs = 0
+    val now = System.currentTimeMillis()
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { st =>
         val rel = s"data/${st.getPath.getName}"
-        if (!keptDirs.contains(rel)) {
+        if (!keptDirs.contains(rel) &&
+            st.getModificationTime <= now - orphanGraceMs) {
           if (f.delete(st.getPath, true)) nDirs += 1
         }
       }

@@ -93,10 +93,18 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
     // crashed-commit orphan: data with no manifest
     Seq((99L, "orphan")).toDF("id", "s").write.parquet(s"$t/data/c-orphan")
-    val (nm, nd) = Snapshots.vacuum(spark, t, keepVersions = 2)
-    // v1's manifest gone; v1's data dir is still referenced by v2/v3
-    // manifests (append semantics) so only the orphan dir deletes
-    assert((nm, nd) == ((1, 1)), s"($nm, $nd)")
+    // a fresh unreferenced dir is indistinguishable from an IN-FLIGHT
+    // commit's data: the default grace window must spare it...
+    val (nmG, ndG) = Snapshots.vacuum(spark, t, keepVersions = 2)
+    assert(nmG == 1 && ndG == 0, s"grace window violated: ($nmG, $ndG)")
+    assert(Snapshots.read(spark, t).count() == 3) // table intact
+    // ...and only an explicit grace-0 vacuum (no commits in flight) GCs
+    val (nm, nd) = Snapshots.vacuum(spark, t, keepVersions = 2,
+      orphanGraceMs = 0L)
+    // v1's manifest already expired above; v1's data dir is still
+    // referenced by v2/v3 manifests (append semantics) so only the
+    // orphan dir deletes now
+    assert((nm, nd) == ((0, 1)), s"($nm, $nd)")
     intercept[java.io.FileNotFoundException] {
       Snapshots.read(spark, t, Some(1)).collect()
     }
