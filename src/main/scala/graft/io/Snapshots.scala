@@ -134,8 +134,9 @@ object Snapshots {
     * the retry — and under multi-writer contention the directory is
     * written once while only the cheap manifest claim retries.
     */
-  def commit(df: DataFrame, table: String, maxAttempts: Int = 50): Int =
-    commitTagged(df, table, None, maxAttempts)
+  def commit(df: DataFrame, table: String, maxAttempts: Int = 50,
+      allowEvolve: Boolean = false): Int =
+    commitTagged(df, table, None, maxAttempts, allowEvolve)
       .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
 
   /** EXACTLY-ONCE commit for at-least-once writers (the `foreachBatch`
@@ -154,8 +155,9 @@ object Snapshots {
     *         (writerId, batchId) transaction was already in the chain
     */
   def commitIfAbsent(df: DataFrame, table: String, writerId: String,
-      batchId: Long, maxAttempts: Int = 50): Option[Int] =
-    commitTagged(df, table, Some((writerId, batchId)), maxAttempts)
+      batchId: Long, maxAttempts: Int = 50,
+      allowEvolve: Boolean = false): Option[Int] =
+    commitTagged(df, table, Some((writerId, batchId)), maxAttempts, allowEvolve)
 
   /** True when `(writerId, batchId)` already committed — i.e. some
     * retained manifest carries its tag line.
@@ -179,10 +181,52 @@ object Snapshots {
     s"#txn $writerId $batchId"
   }
 
+  /** The table's committed schema (DDL form) at version `v`, None when
+    * the manifest predates schema tracking.
+    */
+  def schemaOf(s: SparkSession, table: String, v: Int): Option[String] =
+    manifestLines(s, table, v).find(_.startsWith("#schema "))
+      .map(_.stripPrefix("#schema "))
+
+  /** SCHEMA ENFORCEMENT: a commit whose dataframe drifts from the
+    * table's committed schema is refused BEFORE any data writes —
+    * silent drift is how a lakehouse table rots (a re-typed column
+    * poisons every downstream reader at read time, far from the
+    * producer that caused it). The committed schema travels as a
+    * `#schema <ddl>` manifest header, so schema and data publish in
+    * the same atomic claim. `allowEvolve = true` permits ADDITIVE
+    * evolution only — existing columns must keep name+type+order, new
+    * nullable columns may append (the `mergeSchema` read path fills
+    * them with NULL for old files); anything else is a new table, not
+    * an evolution.
+    */
+  private def checkSchema(s: SparkSession, table: String, df: DataFrame,
+      allowEvolve: Boolean): Unit = {
+    val latest = latestVersion(s, table)
+    if (latest < 1) return
+    schemaOf(s, table, latest).foreach { prevDdl =>
+      val newDdl = df.schema.toDDL
+      if (newDdl != prevDdl) {
+        val prevFields = org.apache.spark.sql.types.StructType.fromDDL(prevDdl)
+        val newFields = df.schema
+        val additive = newFields.fields.length > prevFields.fields.length &&
+          newFields.fields.take(prevFields.fields.length).toSeq
+            .zip(prevFields.fields.toSeq)
+            .forall { case (n, p) => n.name == p.name && n.dataType == p.dataType }
+        require(allowEvolve && additive,
+          s"schema drift refused at $table: committed <$prevDdl> vs " +
+            s"offered <$newDdl>" + (if (additive)
+              " (additive — pass allowEvolve = true to accept)" else ""))
+      }
+    }
+  }
+
   private def commitTagged(df: DataFrame, table: String,
-      txn: Option[(String, Long)], maxAttempts: Int): Option[Int] = {
+      txn: Option[(String, Long)], maxAttempts: Int,
+      allowEvolve: Boolean = false): Option[Int] = {
     val s = df.sparkSession
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
+    checkSchema(s, table, df, allowEvolve)
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     df.write.mode("errorifexists").parquet(s"$table/$dir")
     val f = fs(s, table)
@@ -201,7 +245,11 @@ object Snapshots {
       }
       val v = prev + 1
       val dirs = (if (prev == 0) Nil else manifestDirs(s, table, prev)) :+ dir
-      val header = txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("")
+      // recheck drift per attempt: a competing committer may have
+      // evolved the schema between our last look and this claim
+      checkSchema(s, table, df, allowEvolve)
+      val header = txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
+        s"#schema ${df.schema.toDDL}\n"
       if (publishExclusive(s, f, manifestPath(table, v),
           header + dirs.mkString("\n"))) {
         // monotonic hint bump — BEST-EFFORT: concurrent hint writers can
@@ -241,12 +289,17 @@ object Snapshots {
     }
   }
 
-  /** Read a specific version (time travel), or the latest when None. */
+  /** Read a specific version (time travel), or the latest when None.
+    * `mergeSchema` unions commit schemas so rows from before an
+    * additive evolution surface with NULL in the appended columns —
+    * footer merging is per-referenced-file, bounded by the manifest's
+    * file list, not the lake.
+    */
   def read(s: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
     val paths = manifestDirs(s, table, v).map(d => s"$table/$d")
-    s.read.parquet(paths: _*)
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Expire history: drop every version older than the newest

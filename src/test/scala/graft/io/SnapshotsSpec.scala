@@ -156,6 +156,39 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.latestVersion(spark, t))
   }
 
+  test("schema enforcement: drift refused, additive evolution explicit + merge-read") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    // re-typed column: refused before any data write
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((2L, 9L)).toDF("id", "s"), t)
+    }
+    assert(e1.getMessage.contains("schema drift refused"))
+    // reordered columns: refused even with allowEvolve (not additive)
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(("b", 2L)).toDF("s", "id"), t, allowEvolve = true)
+    }
+    // additive without the flag: refused with the hint
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((2L, "b", 7L)).toDF("id", "s", "extra"), t)
+    }
+    assert(e2.getMessage.contains("allowEvolve"))
+    assert(Snapshots.latestVersion(spark, t) == 1, "refused commits moved the version")
+    // additive WITH the flag lands; merge-read null-fills old rows
+    Snapshots.commit(Seq((2L, "b", 7L)).toDF("id", "s", "extra"), t,
+      allowEvolve = true)
+    val rows = Snapshots.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(7L))), rows.toString)
+    // post-evolution commits enforce the EVOLVED schema
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    }
+    assert(Snapshots.schemaOf(spark, t, 2).exists(_.contains("extra")))
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
