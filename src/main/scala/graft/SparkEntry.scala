@@ -3221,6 +3221,17 @@ object SparkEntry {
       .orderBy("threshold_permille")
   }
 
+  /** Analytic LSH banding choice ([[ops.Dedup.lshTuneBands]]) for d3's
+    * signature length 12 at its 0.5 threshold: every (bands, rows)
+    * factorization costed by S-curve FP+FN mass on the similarity
+    * grid, cheapest marked chosen — the design decision behind d3/d25's
+    * 4×3 banding, derived rather than asserted, and auditable as a
+    * frame. The oracle replays the closed-form arithmetic.
+    */
+  private def d30LshTuner(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.lshTuneBands(s, 12, 500000L)
+      .orderBy("bands")
+
   /** Word list for the d29 linkage fixture — pairwise edit distance ≥ 3,
     * so records sharing no word slot are unlinkable at maxEditDist 1.
     */
@@ -5306,6 +5317,7 @@ object SparkEntry {
     "d27_fuzzy_decontam" -> d27FuzzyDecontam _,
     "d28_threshold_curve" -> d28ThresholdCurve _,
     "d29_record_linkage" -> d29RecordLinkage _,
+    "d30_lsh_tuner" -> d30LshTuner _,
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dup" -> d5EmbeddingDup _,
     "d6_ivf_dup" -> d6IvfDup _,
@@ -8538,6 +8550,23 @@ object SparkEntry {
         |SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
         |  CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_docs AS BIGINT) AS n_docs
         |FROM ms ORDER BY threshold_permille""".stripMargin,
+    // the closed-form S-curve costs replayed per factorization; the
+    // (cost, bands desc) rank picks the same config
+    "d30_lsh_tuner" ->
+      """WITH cfg AS (SELECT unnest([1, 2, 3, 4, 6, 12]) AS b),
+        |grid AS (SELECT unnest(generate_series(50000, 950000, 50000)) AS sm),
+        |curve AS (SELECT b, 12 // b AS r, sm,
+        |        1.0 - pow(1.0 - pow(sm / 1000000.0, CAST(12 // b AS DOUBLE)),
+        |                  CAST(b AS DOUBLE)) AS p
+        |       FROM cfg CROSS JOIN grid),
+        |costs AS (SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS "rows",
+        |        round(sum(CASE WHEN sm < 500000 THEN p ELSE 0.0 END), 6) AS fp_cost,
+        |        round(sum(CASE WHEN sm >= 500000 THEN 1.0 - p ELSE 0.0 END), 6) AS fn_cost
+        |       FROM curve GROUP BY 1, 2)
+        |SELECT bands, "rows", fp_cost, fn_cost,
+        |  round(fp_cost + fn_cost, 6) AS cost,
+        |  row_number() OVER (ORDER BY round(fp_cost + fn_cost, 6), bands DESC) = 1 AS chosen
+        |FROM costs ORDER BY bands""".stripMargin,
     // fixture construction + both blocking passes + exact Levenshtein
     // verify, replayed end to end
     "d29_record_linkage" -> {

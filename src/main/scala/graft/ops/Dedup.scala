@@ -1242,6 +1242,53 @@ object Dedup {
         col("n_variants"), (col("id") =!= col("keep_id")).as("is_dup"))
   }
 
+  /** ANALYTIC LSH parameter selection — the design-time complement of
+    * the d25 empirical recall ladder: for every `(bands, rows)`
+    * factorization of the signature length, the MinHash S-curve
+    * `P(candidate | s) = 1 − (1 − s^r)^b` is evaluated on a similarity
+    * grid, and each config is costed by its discrete false-positive
+    * mass below the target threshold plus false-negative mass at/above
+    * it — the standard banding-choice calculus (MMDS ch.3), emitted as
+    * a gated frame so the parameter decision itself is auditable and
+    * replayable instead of folklore. Pure closed-form arithmetic on a
+    * grid × configs frame (rows = configs × grid points — constant);
+    * the cheapest config is marked `chosen` (ties to more bands, the
+    * recall-leaning default).
+    *
+    * @return per (bands, rows): (bands, rows, fp_cost, fn_cost, cost,
+    *         chosen) — costs 6-rounded grid sums
+    */
+  def lshTuneBands(spark: org.apache.spark.sql.SparkSession, kSig: Int,
+      thresholdMicro: Long, gridStepMicro: Long = 50000L): DataFrame = {
+    require(kSig >= 2, s"signature length must be >= 2: $kSig")
+    require(thresholdMicro > 0 && thresholdMicro < 1000000L,
+      s"threshold out of (0, 1e6): $thresholdMicro")
+    require(gridStepMicro > 0 && 1000000L % gridStepMicro == 0,
+      s"grid step must divide 1e6: $gridStepMicro")
+    import spark.implicits._
+    val configs = (1 to kSig).filter(kSig % _ == 0)
+      .map(b => (b, kSig / b))
+    val grid = (gridStepMicro until 1000000L by gridStepMicro).toSeq
+    val rows = for ((b, r) <- configs; sMicro <- grid) yield {
+      val s = sMicro / 1e6
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      (b.toLong, r.toLong, sMicro, p)
+    }
+    val curve = rows.toDF("bands", "rows", "s_micro", "p")
+    val costs = curve.groupBy("bands", "rows")
+      .agg(
+        round(sum(when(col("s_micro") < thresholdMicro, col("p"))
+          .otherwise(lit(0.0))), 6).as("fp_cost"),
+        round(sum(when(col("s_micro") >= thresholdMicro, lit(1.0) - col("p"))
+          .otherwise(lit(0.0))), 6).as("fn_cost"))
+      .withColumn("cost", round(col("fp_cost") + col("fn_cost"), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cost"), col("bands").desc) // configs-sized
+    costs.withColumn("chosen", row_number().over(w) === 1)
+      .select(col("bands"), col("rows"), col("fp_cost"), col("fn_cost"),
+        col("cost"), col("chosen"))
+  }
+
   /** MULTI-PASS blocked RECORD LINKAGE — entity resolution over
     * structured records, the field-aware sibling of the text dedup
     * family: candidate pairs come from the union of several cheap
