@@ -2896,6 +2896,24 @@ object SparkEntry {
       .orderBy("level")
   }
 
+  /** Data-contract drift report ([[ops.Profile.schemaDrift]]) through
+    * the gate: a simulated producer change against `documents` — the
+    * `source` column dropped, `n_chars` silently RETYPED to string, a
+    * partially-null `quality` column added — with per-column status and
+    * both sides' null fractions (a kept column going null-heavy is a
+    * contract break schema comparison can't see). The oracle states the
+    * expected statuses literally and recomputes every null fraction
+    * from the table.
+    */
+  private def t69SchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val nu = d.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars").cast("string").as("n_chars"),
+      when(col("doc_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise((col("doc_id") % 100).cast("double") / 100.0).as("quality"))
+    ops.Profile.schemaDrift(d, nu).orderBy("column")
+  }
+
   /** Per-language embedding centroids ([[ops.Similarity.groupCentroids]]):
     * embeddings joined to their documents' lang, element-wise fixed-point
     * mean per (lang, position) — order-independent integer accumulation
@@ -5165,6 +5183,7 @@ object SparkEntry {
     "t66_dd_quantiles" -> t66DdQuantiles _,
     "t67_corpus_pipeline" -> t67CorpusPipeline _,
     "t68_k_anonymity" -> t68KAnonymity _,
+    "t69_schema_drift" -> t69SchemaDrift _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -7142,6 +7161,33 @@ object SparkEntry {
         |       ELSE 'kept' END AS verdict
         |FROM st ORDER BY doc_id""".stripMargin
     },
+    // expected statuses literal; every null fraction recomputed from
+    // the table (the quality column's nulls from the same doc_id rule)
+    "t69_schema_drift" ->
+      """WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        CAST(count(doc_id) AS DOUBLE) AS c_id,
+        |        CAST(count(text) AS DOUBLE) AS c_text,
+        |        CAST(count(lang) AS DOUBLE) AS c_lang,
+        |        CAST(count(source) AS DOUBLE) AS c_src,
+        |        CAST(count(n_chars) AS DOUBLE) AS c_nch,
+        |        CAST(count(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 1 END) AS DOUBLE) AS c_q
+        |      FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", 'kept' AS status,
+        |    'bigint' AS type_old, 'bigint' AS type_new,
+        |    round(1.0 - c_id/n, 6) AS null_frac_old,
+        |    round(1.0 - c_id/n, 6) AS null_frac_new FROM c
+        |  UNION ALL SELECT 'lang', 'kept', 'string', 'string',
+        |    round(1.0 - c_lang/n, 6), round(1.0 - c_lang/n, 6) FROM c
+        |  UNION ALL SELECT 'n_chars', 'retyped', 'bigint', 'string',
+        |    round(1.0 - c_nch/n, 6), round(1.0 - c_nch/n, 6) FROM c
+        |  UNION ALL SELECT 'quality', 'added', NULL, 'double',
+        |    NULL, round(1.0 - c_q/n, 6) FROM c
+        |  UNION ALL SELECT 'source', 'dropped', 'string', NULL,
+        |    round(1.0 - c_src/n, 6), NULL FROM c
+        |  UNION ALL SELECT 'text', 'kept', 'string', 'string',
+        |    round(1.0 - c_text/n, 6), round(1.0 - c_text/n, 6) FROM c)
+        |ORDER BY "column"""".stripMargin,
     // all four generalization levels' group rollups + the
     // first-zero-violations choice via the prior-level window
     "t68_k_anonymity" -> {

@@ -23,6 +23,58 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** SCHEMA-CONTRACT drift report between two batches of "the same"
+    * table — the data-contract audit that catches a producer change at
+    * the boundary instead of in a downstream reader's stack trace:
+    * per column, whether it was kept / dropped / added / RETYPED (the
+    * silent killer), plus each side's null fraction for kept columns
+    * (a column that keeps its type but goes 90% null is a contract
+    * break too, and schema comparison alone cannot see it — this is
+    * the reason the report is not pure metadata). Column identity is
+    * by name; types compare as Catalyst `simpleString`. One aggregate
+    * pass per side for the null counts; the schema walk is driver-side
+    * metadata.
+    *
+    * @return one row per column name in either schema:
+    *         (column, status, type_old, type_new, null_frac_old,
+    *         null_frac_new) — fracs 6-rounded, NULL on the absent side
+    */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val s = oldDf.sparkSession
+    import s.implicits._
+    val oldTypes = oldDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val newTypes = newDf.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    def nullFracs(df: DataFrame, names: Seq[String]): Map[String, Double] = {
+      if (names.isEmpty) return Map.empty
+      val aggs = count(lit(1)).as("__n") +:
+        names.map(c => count(col(c)).as(s"__nn_$c"))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0).toDouble
+      names.zipWithIndex.map { case (c, i) =>
+        c -> (if (n == 0) 0.0
+              else BigDecimal(1.0 - r.getLong(i + 1) / n)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    }
+    val oldNames = oldDf.schema.fieldNames.toSeq
+    val newNames = newDf.schema.fieldNames.toSeq
+    val ofr = nullFracs(oldDf, oldNames)
+    val nfr = nullFracs(newDf, newNames)
+    val all = (oldNames ++ newNames.filterNot(oldNames.contains)).toSeq
+    val rows = all.map { c =>
+      val (to, tn) = (oldTypes.get(c), newTypes.get(c))
+      val status = (to, tn) match {
+        case (Some(a), Some(b)) if a == b => "kept"
+        case (Some(_), Some(_)) => "retyped"
+        case (Some(_), None) => "dropped"
+        case _ => "added"
+      }
+      (c, status, to, tn, ofr.get(c), nfr.get(c))
+    }
+    rows.toDF("column", "status", "type_old", "type_new",
+      "null_frac_old", "null_frac_new")
+  }
+
   /** One row per profiled column: `(column, n_rows, n_null, n_distinct)`
     * — `n_distinct` counts distinct non-null values (SQL `count(DISTINCT
     * col)` semantics on both engines).
