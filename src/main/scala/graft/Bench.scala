@@ -50,7 +50,9 @@ object Bench {
     val streamingNames = Set(
       "q9_stream_hourly", "q12_stream_sessions", "q13_stream_user_stats",
       "q17_stream_join", "q26_stream_static", "q35_stream_hopping",
-      "d13_stream_dedup", "q50_stream_cms", "q55_stream_attribution")
+      "d13_stream_dedup", "q50_stream_cms", "q55_stream_attribution",
+      "q60_stream_ivm", "q61_stream_lakehouse", "q63_stream_ewma",
+      "q65_stream_dedup")
     val (serialWarm, parWarm) = ordered.partition(q => streamingNames(q._1))
     // Pre-install the as-of planner strategy on THIS thread before the
     // warmup pool spawns: q21's warmup otherwise read-modify-writes the

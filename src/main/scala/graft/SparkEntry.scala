@@ -197,6 +197,32 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Generalized MERGE INTO ([[ops.Cdc.mergeInto]]) — the full
+    * three-clause statement over customers × per-customer order stats:
+    * heavy accounts (n > 20 orders) DELETE, remaining matches UPDATE
+    * balance += order cents, unmatched source keys (a synthetic
+    * `+10,000,000` slice) INSERT with segment `'NEW'`. Clause order,
+    * partial-update column retention, and INSERT defaults all replay in
+    * the oracle's FULL OUTER JOIN + CASE encoding; the source-key
+    * cardinality contract is validated distributed in-op.
+    */
+  private def q64MergeInto(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.customer(s, dir).select(col("c_custkey").as("custkey"),
+      cents(col("c_acctbal")).as("bal_cents"), col("c_mktsegment").as("segment"))
+    val src0 = Tables.orders(s, dir).groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("ocents"))
+    val src = src0.unionByName(
+      src0.filter(col("custkey") % 97 === 0)
+        .select((col("custkey") + 10000000L).as("custkey"), col("n"), col("ocents")))
+    ops.Cdc.mergeInto(t, src, Seq("custkey"),
+      matchedDeleteCond = Some(col("s.n") > 20),
+      matchedUpdate = Some((None,
+        Map("bal_cents" -> (col("t.bal_cents") + col("s.ocents"))))),
+      notMatchedInsert = Some((None,
+        Map("bal_cents" -> col("s.ocents"), "segment" -> lit("NEW")))))
+      .orderBy("custkey")
+  }
+
   /** Interval-overlap join ([[ops.RangeJoin.intervalOverlapJoinValidated]]):
     * synthetic [ts, ts + (k%7+1)h] spans from orders, 8h buckets (≥ the
     * max 7h length ⇒ ≤ 2 replicas per interval), canonical-bucket
@@ -393,6 +419,60 @@ object SparkEntry {
     * independent formulation of the same fold), so the bit-stability
     * claim of the integer design is what is actually gated.
     */
+  /** Streaming exact dedup with bounded state ([[graft.streaming
+    * .EventsStream.dedupWithinWatermark]], built on Spark's
+    * `dropDuplicatesWithinWatermark`): the at-least-once-source posture
+    * — a third slice RE-DELIVERS every `event_id % 7 == 0` row after
+    * its original already streamed, and the deduped stream must equal
+    * the batch table exactly (the oracle aggregates the CLEAN source;
+    * `n == n_ids` rides in the output as the per-group duplicate-free
+    * proof). The watermark delay spans the fixture so no state evicts
+    * mid-gate; the eviction law itself is EventsStreamSpec's.
+    */
+  private def q65StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+    val base = ioTmp(dir, "q65")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"), col("event_type"), cents(col("value")).as("cents"))
+    e.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$base/in/slice_id=0")
+    e.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(s"$base/in/slice_id=1")
+    e.filter(col("event_id") % 7 === 0) // the re-delivery
+      .coalesce(1).write.parquet(s"$base/in/slice_id=2")
+    val schema = new StructType().add("event_id", LongType)
+      .add("user_id", LongType).add("ts", TimestampType)
+      .add("event_type", StringType).add("cents", LongType)
+    val sink = "graft_q65_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val q = graft.streaming.EventsStream.dedupWithinWatermark(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/in"), Seq("event_id"), "3650 days")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    val nBatch = e.count()
+    val nSink = s.table(sink).count()
+    require(nSink == nBatch,
+      s"q65: deduped stream emitted $nSink rows != $nBatch distinct events")
+    s.table(sink).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        countDistinct(col("event_id")).as("n_ids"))
+      .orderBy("event_type")
+  }
+
   private def q62Ewma(s: SparkSession, dir: String): DataFrame =
     ops.Timeseries.ewmaSmooth(
         Tables.events(s, dir).filter(col("user_id") < 20),
@@ -401,6 +481,24 @@ object SparkEntry {
         (col("ts_us") / lit(1000000L)).cast("long").as("ts_s"),
         (col("cents").cast("double") / 100.0).as("value"),
         round(col("ewma_micro").cast("double") / 1e8, 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+
+  /** Holt double-exponential smoothing ([[ops.Timeseries.holtSmooth]],
+    * α=0.4 β=0.3): level + trend + one-step-ahead forecast as exact
+    * micro-integer recurrences with FLOOR division (the trend goes
+    * negative on declining series — truncating division would diverge
+    * between engines by one micro). The oracle replays the two-state
+    * fold as a RECURSIVE CTE over per-user row numbers, the level
+    * update inlined twice so the trend sees the same integer.
+    */
+  private def q66Holt(s: SparkSession, dir: String): DataFrame =
+    ops.Timeseries.holtSmooth(
+        Tables.events(s, dir).filter(col("user_id") < 20),
+        "user_id", "ts", "value", "event_id", 400000L, 300000L)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        (col("ts_us") / lit(1000000L)).cast("long").as("ts_s"),
+        col("cents"), col("level_micro"), col("trend_micro"),
+        col("forecast_micro"))
       .orderBy("user_id", "event_id")
 
   /** STREAMING EWMA through the gate ([[graft.streaming.EventsStream
@@ -2914,6 +3012,34 @@ object SparkEntry {
     ops.Profile.schemaDrift(d, nu).orderBy("column")
   }
 
+  /** l-DIVERSITY release gate ([[ops.Privacy.lDiversityAudit]]) — the
+    * homogeneity-attack audit beside t68's k-anonymity: customer
+    * quasi-identifier groups (nation, $2000 balance bucket) flagged
+    * unless they span at least 3 DISTINCT market segments. Bucketing by
+    * double `floor` (not integer `div`) for the negative-balance
+    * cross-engine floor/truncate parity t68 documents. The oracle
+    * replays the distinct-count rollup per group.
+    */
+  private def t70LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(cents(col("c_acctbal")) / lit(200000.0)).cast("long").as("bal_b"))
+    ops.Privacy.lDiversityAudit(c, Seq("nation", "bal_b"), "segment", 3L)
+      .orderBy("nation", "bal_b")
+  }
+
+  /** Keyed-Laplace noisy count release ([[ops.Privacy.dpNoisyCounts]]):
+    * per-language document counts released with deterministic
+    * inverse-CDF Laplace noise at ε = 0.5 (scale b = 2) keyed on the
+    * release tag — the repeatable-release DP posture (a rerun must not
+    * draw FRESH noise for the same statistic). The oracle re-derives
+    * the 32-bit md5 uniform, the sign by exact integer compare, and the
+    * single ln in the identical operation order, micro-rounded once.
+    */
+  private def t71DpCounts(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.dpNoisyCounts(Tables.documents(s, dir), "lang",
+      epsilon = 0.5, releaseTag = "release-2026-08-14").orderBy("g")
+
   /** Per-language embedding centroids ([[ops.Similarity.groupCentroids]]):
     * embeddings joined to their documents' lang, element-wise fixed-point
     * mean per (lang, position) — order-independent integer accumulation
@@ -5027,6 +5153,115 @@ object SparkEntry {
       .orderBy("version")
   }
 
+  /** Copy-on-write DELETE through the gate ([[graft.io.Snapshots
+    * .deleteWhere]]): three commits keyed on `k % 3`, then a delete
+    * whose predicate (`prio = '1-URGENT' AND k % 3 = 1`) can only hit
+    * the SECOND commit's directory — exactly 2 directories must carry
+    * by reference (their files verbatim in the new version's scan,
+    * asserted via `inputFiles`), exactly 1 rewrite, the pre-delete
+    * version must still time-travel to its full state, and the new
+    * version must equal the anti-filter. The oracle replays both
+    * versions from orders plus the commit-shape literals.
+    */
+  private def io20DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "delete_where")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"), cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 1), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 2), table)
+    val preFiles = graft.io.Snapshots.read(s, table, Some(3)).inputFiles.toSet
+    val (v, carried, rewritten) = graft.io.Snapshots.deleteWhere(s, table,
+      col("prio") === "1-URGENT" && col("k") % 3 === 1)
+    require(v == 4 && carried == 2 && rewritten == 1,
+      s"delete commit shape: v=$v carried=$carried rewritten=$rewritten")
+    val postFiles = graft.io.Snapshots.read(s, table, Some(4)).inputFiles.toSet
+    val carriedFiles = preFiles intersect postFiles
+    require(carriedFiles.nonEmpty && (postFiles -- preFiles).nonEmpty &&
+      (preFiles -- postFiles).nonEmpty,
+      "copy-on-write shape: carried files by reference + a fresh rewrite " +
+        "+ the hit directory's files gone")
+    def agg(v: Int) = graft.io.Snapshots.read(s, table, Some(v))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_cents"))
+    agg(3).unionByName(agg(4))
+      .select(col("version"), col("n_rows"), col("sum_cents"),
+        lit(carried.toLong).as("n_dirs_carried"),
+        lit(rewritten.toLong).as("n_dirs_rewritten"))
+      .orderBy("version")
+  }
+
+  /** OPTIMIZE compaction through the gate ([[graft.io.Snapshots
+    * .compactSmall]]): three small commits compact into ONE directory as
+    * a new version — the row multiset must be IDENTICAL before/after
+    * (compaction moves bytes, never semantics), the scanned file count
+    * must strictly shrink, and the pre-compaction version must still
+    * time-travel. The oracle states both versions as the same full-table
+    * aggregate plus the compaction-shape literals.
+    */
+  private def io21Compact(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "compact")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 1), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 2), table)
+    val filesBefore = graft.io.Snapshots.read(s, table, Some(3)).inputFiles.length
+    val (v, nCompacted, nCarried) = graft.io.Snapshots.compactSmall(
+      s, table, smallBytes = 1L << 40)
+    require(v == 4 && nCompacted == 3 && nCarried == 0,
+      s"compaction shape: v=$v compacted=$nCompacted carried=$nCarried")
+    val filesAfter = graft.io.Snapshots.read(s, table, Some(4)).inputFiles.length
+    require(filesAfter < filesBefore,
+      s"compaction must shrink the scan: $filesBefore -> $filesAfter files")
+    def agg(v: Int) = graft.io.Snapshots.read(s, table, Some(v))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("sum_cents"))
+    agg(3).unionByName(agg(4))
+      .select(col("version"), col("n_rows"), col("sum_cents"),
+        lit(nCompacted.toLong).as("n_dirs_compacted"))
+      .orderBy("version")
+  }
+
+  /** Manifest-stats data skipping through the gate ([[graft.io.Snapshots
+    * .commitWithStats]] / [[graft.io.Snapshots.readPruned]]): three
+    * commits with DISJOINT `o_orderkey` ranges, then a range read that
+    * can only live inside the middle commit — exactly 1 of 3
+    * directories may open (required), and the residual filter makes the
+    * answer equal the full-scan filter (the oracle), so pruning is
+    * provably lossless. The range bounds derive from `max(o_orderkey)`
+    * with floor division on both engines, so the fixture scales with sf.
+    */
+  private def io22StatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "stats_prune")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    val maxK = o.agg(max("k")).head().getLong(0)
+    val c1 = maxK / 3
+    val c2 = (2 * maxK) / 3
+    graft.io.Snapshots.commitWithStats(o.filter(col("k") <= c1), table, "k")
+    graft.io.Snapshots.commitWithStats(
+      o.filter(col("k") > c1 && col("k") <= c2), table, "k")
+    graft.io.Snapshots.commitWithStats(o.filter(col("k") > c2), table, "k")
+    val (lo, hi) = (c1 + 1, (c1 + c2) / 2)
+    val scan = graft.io.Snapshots.readPruned(s, table, "k", lo, hi)
+    require(scan.dirsTotal == 3 && scan.dirsRead == 1,
+      s"stats pruning read ${scan.dirsRead}/${scan.dirsTotal} dirs — " +
+        "expected exactly the middle commit")
+    scan.df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("n"), col("sum_cents"),
+        lit(3L).as("n_dirs_total"), lit(1L).as("n_dirs_read"))
+  }
+
   /** Corrupt-file tolerance — a junk file planted among valid parquet
     * parts must be SKIPPED, not fail the scan, under the per-read
     * `ignoreCorruptFiles` option (per-read, not session conf: the conf
@@ -5184,6 +5419,9 @@ object SparkEntry {
     "t67_corpus_pipeline" -> t67CorpusPipeline _,
     "t68_k_anonymity" -> t68KAnonymity _,
     "t69_schema_drift" -> t69SchemaDrift _,
+    "t70_l_diversity" -> t70LDiversity _,
+    "t71_dp_counts" -> t71DpCounts _,
+    "q64_merge_into" -> q64MergeInto _,
     "t44_bpe_merges" -> t44BpeMerges _,
     "t48_bpe_segment" -> t48BpeSegment _,
     "t50_bpe_batched" -> t50BpeBatched _,
@@ -5290,6 +5528,11 @@ object SparkEntry {
     "io13_corrupt_files" -> io13CorruptFiles _,
     "io17_snapshot" -> io17Snapshot _,
     "io19_vacuum" -> io19Vacuum _,
+    "io20_delete_where" -> io20DeleteWhere _,
+    "io21_compact" -> io21Compact _,
+    "io22_stats_prune" -> io22StatsPrune _,
+    "q65_stream_dedup" -> q65StreamDedup _,
+    "q66_holt" -> q66Holt _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
     "sim10_mmr" -> sim10Mmr _,
@@ -7188,6 +7431,58 @@ object SparkEntry {
         |  UNION ALL SELECT 'text', 'kept', 'string', 'string',
         |    round(1.0 - c_text/n, 6), round(1.0 - c_text/n, 6) FROM c)
         |ORDER BY "column"""".stripMargin,
+    // the homogeneity audit: distinct sensitive values per QI group
+    "t70_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |        CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+        |          / 200000.0) AS BIGINT) AS bal_b
+        |      FROM customer)
+        |SELECT nation, bal_b, count(*) AS n,
+        |  CAST(count(DISTINCT segment) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT segment) < 3 AS violates
+        |FROM c GROUP BY nation, bal_b
+        |ORDER BY nation, bal_b""".stripMargin,
+    // keyed-Laplace release replayed: 32-bit md5 uniform, sign by exact
+    // integer compare, ONE ln in the identical op order, micro-rounded
+    // once; b = sensitivity/eps = 2.0
+    "t71_dp_counts" ->
+      """WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+        |u AS (SELECT g, n,
+        |        CAST(('0x' || substr(md5('release-2026-08-14' || '|' || g), 1, 8))
+        |          AS BIGINT) AS u32
+        |      FROM c),
+        |m AS (SELECT g, n,
+        |        CAST(round((CASE WHEN u32 >= 2147483648 THEN 1.0 ELSE -1.0 END)
+        |            * (-2.0)
+        |            * ln(1.0 - abs(CAST(u32 AS DOUBLE) + 0.5 - 2147483648.0)
+        |                / 2147483648.0)
+        |            * 1000000.0, 0) AS BIGINT) AS noise_micro
+        |      FROM u)
+        |SELECT g, n, noise_micro,
+        |  GREATEST(n * 1000000 + noise_micro, CAST(0 AS BIGINT)) AS released
+        |FROM m ORDER BY g""".stripMargin,
+    // MERGE clause order as FULL OUTER JOIN + CASE: delete beats
+    // update, unassigned INSERT columns default, unmatched target
+    // rows survive
+    "q64_merge_into" ->
+      """WITH src0 AS (SELECT o_custkey AS k, count(*) AS n,
+        |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |          AS BIGINT) AS ocents
+        |      FROM orders GROUP BY 1),
+        |src AS (SELECT k, n, ocents FROM src0
+        |        UNION ALL
+        |        SELECT k + 10000000, n, ocents FROM src0 WHERE k % 97 = 0),
+        |t AS (SELECT c_custkey AS k,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+        |        c_mktsegment AS seg
+        |      FROM customer)
+        |SELECT COALESCE(t.k, s.k) AS custkey,
+        |  CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN t.bal + s.ocents
+        |       WHEN t.k IS NOT NULL THEN t.bal ELSE s.ocents END AS bal_cents,
+        |  CASE WHEN t.k IS NULL THEN 'NEW' ELSE t.seg END AS segment
+        |FROM t FULL OUTER JOIN src s ON t.k = s.k
+        |WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.n > 20)
+        |ORDER BY custkey""".stripMargin,
     // all four generalization levels' group rollups + the
     // first-zero-violations choice via the prior-level window
     "t68_k_anonymity" -> {
@@ -8049,6 +8344,91 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
         |    CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM o)
+        |ORDER BY version""".stripMargin,
+    // the deduped stream must equal the CLEAN batch source; n == n_ids
+    // per group is the duplicate-free proof riding in the output
+    "q65_stream_dedup" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the two-state Holt fold as a RECURSIVE CTE: the level update is
+    // inlined (twice) so the trend sees the same integer. DuckDB `//`
+    // TRUNCATES toward zero while the op floors (Math.floorDiv — the
+    // trend numerator goes negative), so floor division replays as the
+    // exact integer identity ⌊N/d⌋ = −((−N + d − 1) // d) for N < 0.
+    "q66_holt" -> {
+      def fdiv(num: String): String =
+        s"(CASE WHEN ($num) >= 0 THEN ($num) // 1000000 " +
+          s"ELSE -(((-($num)) + 999999) // 1000000) END)"
+      val lNum = "400000 * ev.xm + 600000 * (st.l + st.b) + 500000"
+      val lExpr = fdiv(lNum)
+      val bNum = s"300000 * ($lExpr - st.l) + 700000 * st.b + 500000"
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) * 1000000 AS xm,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts)//1000, event_id) AS rn
+        |  FROM events WHERE user_id < 20),
+        |st AS (
+        |  SELECT user_id, rn, ts_us, event_id, xm, xm AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.rn, ev.ts_us, ev.event_id, ev.xm,
+        |    $lExpr,
+        |    ${fdiv(bNum)}
+        |  FROM st JOIN ev ON ev.user_id = st.user_id AND ev.rn = st.rn + 1)
+        |SELECT user_id, event_id, ts_us // 1000000 AS ts_s,
+        |  xm // 1000000 AS cents,
+        |  CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+        |  CAST(l + b AS BIGINT) AS forecast_micro
+        |FROM st ORDER BY user_id, event_id""".stripMargin
+    },
+    // stats pruning is lossless (stats admit, residual proves), so the
+    // oracle is the plain range filter; bounds re-derived from max(k)
+    // with the same floor divisions
+    "io22_stats_prune" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS c1,
+        |        (2 * max(o_orderkey)) // 3 AS c2 FROM orders),
+        |r AS (SELECT c1 + 1 AS lo, (c1 + c2) // 2 AS hi FROM b),
+        |f AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders, r WHERE o_orderkey >= lo AND o_orderkey <= hi)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(3 AS BIGINT) AS n_dirs_total, CAST(1 AS BIGINT) AS n_dirs_read
+        |FROM f""".stripMargin,
+    // copy-on-write delete: v3 = everything, v4 = the anti-filter;
+    // commit-shape literals pinned (2 carried, 1 rewritten)
+    "io20_delete_where" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(3 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(2 AS BIGINT) AS n_dirs_carried,
+        |    CAST(1 AS BIGINT) AS n_dirs_rewritten
+        |  FROM o
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+        |    CAST(2 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM o WHERE NOT (prio = '1-URGENT' AND k % 3 = 1))
+        |ORDER BY version""".stripMargin,
+    // compaction moves bytes, never semantics: both versions are the
+    // same full-table aggregate
+    "io21_compact" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(3 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(3 AS BIGINT) AS n_dirs_compacted
+        |  FROM o
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT), count(*), CAST(sum(cents) AS BIGINT),
+        |    CAST(3 AS BIGINT) FROM o)
         |ORDER BY version""".stripMargin,
     // zone-map pruning is lossless (stats admit, residual filter
     // proves), so the oracle is the plain range filter; bucket counts

@@ -139,6 +139,56 @@ object Snapshots {
     commitTagged(df, table, None, maxAttempts, allowEvolve)
       .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
 
+  /** [[commit]] plus MANIFEST COLUMN STATS: the new directory's
+    * `min/max(statsCol)` ride as a `#dirstats` manifest line (computed
+    * by one aggregate over just-written files — O(new data), the
+    * Iceberg per-file-stats idea at dir granularity), and prior
+    * versions' stats lines carry forward. [[readPruned]] then skips
+    * whole directories BEFORE file listing. Integral columns only —
+    * stats serialize as LONGs so the manifest text is engine- and
+    * locale-stable (no float formatting).
+    */
+  def commitWithStats(df: DataFrame, table: String, statsCol: String,
+      maxAttempts: Int = 50, allowEvolve: Boolean = false): Int =
+    commitTagged(df, table, None, maxAttempts, allowEvolve, Some(statsCol))
+      .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+
+  /** A manifest-stats-pruned range read: `df` is the EXACT answer (the
+    * residual filter proves what the stats admitted), `dirsRead` of
+    * `dirsTotal` directories were opened.
+    */
+  final case class PrunedScan(df: DataFrame, dirsTotal: Int, dirsRead: Int)
+
+  /** Range read with MANIFEST-LEVEL data skipping: directories whose
+    * committed `#dirstats [min, max]` cannot intersect `[lo, hi]` are
+    * skipped before any file listing; directories WITHOUT stats always
+    * read (pruning is advisory, never lossy); the residual filter runs
+    * regardless, so the answer equals the full-scan filter bit-for-bit.
+    * The planning cost is one manifest read — KB-scale at 100 TB.
+    */
+  def readPruned(s: SparkSession, table: String, colName: String,
+      lo: Long, hi: Long, version: Option[Int] = None): PrunedScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(latestVersion(s, table))
+    require(v >= 1, s"no committed version to read at $table")
+    val lines = manifestLines(s, table, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val stats = lines.filter(_.startsWith("#dirstats "))
+      .map(_.stripPrefix("#dirstats ").split(" ")) .collect {
+        case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+      }.toMap
+    val hit = dirs.filter { d =>
+      stats.get((d, colName)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val residual = col(colName) >= lo && col(colName) <= hi
+    val df =
+      if (hit.isEmpty)
+        read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
+      else s.read.option("mergeSchema", "true")
+        .parquet(hit.map(d => s"$table/$d"): _*).filter(residual)
+    PrunedScan(df, dirs.size, hit.size)
+  }
+
   /** EXACTLY-ONCE commit for at-least-once writers (the `foreachBatch`
     * retry contract): the `(writerId, batchId)` transaction tag travels
     * INSIDE the manifest whose atomic-exclusive claim IS the commit
@@ -223,12 +273,22 @@ object Snapshots {
 
   private def commitTagged(df: DataFrame, table: String,
       txn: Option[(String, Long)], maxAttempts: Int,
-      allowEvolve: Boolean = false): Option[Int] = {
+      allowEvolve: Boolean = false,
+      statsCol: Option[String] = None): Option[Int] = {
     val s = df.sparkSession
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     checkSchema(s, table, df, allowEvolve)
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     df.write.mode("errorifexists").parquet(s"$table/$dir")
+    // one aggregate over ONLY the files just written — O(new data);
+    // an empty or all-null commit records no stats line (reads always)
+    val newStatsLine: Option[String] = statsCol.flatMap { c =>
+      import org.apache.spark.sql.functions.{col, min, max}
+      val r = s.read.parquet(s"$table/$dir")
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      if (r.isNullAt(0)) None
+      else Some(s"#dirstats $dir $c ${r.getLong(0)} ${r.getLong(1)}")
+    }
     val f = fs(s, table)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -248,8 +308,14 @@ object Snapshots {
       // recheck drift per attempt: a competing committer may have
       // evolved the schema between our last look and this claim
       checkSchema(s, table, df, allowEvolve)
+      // prior dirs' stats carry forward verbatim (append semantics)
+      val carriedStats =
+        if (prev == 0) Nil
+        else manifestLines(s, table, prev).filter(_.startsWith("#dirstats "))
+      val statsHeader = (carriedStats ++ newStatsLine)
+        .map(_ + "\n").mkString
       val header = txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
-        s"#schema ${df.schema.toDDL}\n"
+        s"#schema ${df.schema.toDDL}\n" + statsHeader
       if (publishExclusive(s, f, manifestPath(table, v),
           header + dirs.mkString("\n"))) {
         // monotonic hint bump — BEST-EFFORT: concurrent hint writers can
@@ -300,6 +366,129 @@ object Snapshots {
     require(v >= 1, s"no committed version to read at $table")
     val paths = manifestDirs(s, table, v).map(d => s"$table/$d")
     s.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** COPY-ON-WRITE DELETE — the lakehouse row-delete path (Delta/Iceberg
+    * `DELETE WHERE` in copy-on-write mode): rows matching `pred` leave
+    * the CURRENT version while every historical version stays intact,
+    * and only the commit directories that actually CONTAIN matching
+    * rows are rewritten — untouched directories carry into the new
+    * manifest by reference, their files never opened for write (the
+    * GDPR-erasure cost model: O(affected files), not O(table)).
+    *
+    * Hit discovery is ONE filter-pruned pass: `input_file_name()` maps
+    * matching rows back to their commit directory, and parquet footer
+    * stats + the pushed-down predicate mean non-matching files
+    * contribute only footer reads. The hit list is file-count bounded
+    * (metadata scale, like the vacuum listing). Survivor rows from hit
+    * directories rewrite into one fresh commit-unique directory.
+    *
+    * Concurrency: the new manifest claims `prev + 1` with the same CAS
+    * as [[commit]]; a lost race ABANDONS the rewrite (orphan, GC-able)
+    * and recomputes against the new chain — so a delete never publishes
+    * a manifest computed against a superseded version (write-serializable,
+    * the Delta conflict rule). A delete matching nothing publishes
+    * nothing and returns the current version unchanged.
+    *
+    * NOTE: the historical versions retaining the deleted rows is the
+    * time-travel CONTRACT, not a leak-bug — a true erasure obligation
+    * must be followed by [[vacuum]] with a retention window that expires
+    * every manifest referencing the pre-delete directories.
+    *
+    * @return (version, dirsCarried, dirsRewritten) — `version` is the
+    *         new version, or the current one when nothing matched
+    */
+  def deleteWhere(s: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, maxAttempts: Int = 50): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val dirs = manifestDirs(s, table, prev)
+      val hitFiles = s.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$table/$d"): _*)
+        .filter(pred).select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0))
+      val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
+      if (hitDirs.isEmpty) return (prev, dirs.size, 0)
+      val carried = dirs.filterNot(hitDirs)
+      val survivors = s.read.option("mergeSchema", "true")
+        .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*)
+        .filter(!pred)
+      val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      survivors.write.mode("errorifexists").parquet(s"$table/$dir")
+      val v = prev + 1
+      val header = s"#schema ${survivors.schema.toDDL}\n"
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + (carried :+ dir).mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, carried.size, hitDirs.size)
+      }
+      // lost the race: our rewrite was computed against a superseded
+      // chain — drop the orphan and redo against the new state
+      f.delete(new Path(s"$table/$dir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"deleteWhere on $table lost the version race $maxAttempts times")
+  }
+
+  /** OPTIMIZE / small-file compaction as a snapshot commit: commit
+    * directories whose total size is below `smallBytes` rewrite into ONE
+    * fresh directory (`targetFiles` parquet parts); directories already
+    * big enough carry by reference. Readers of the new version see the
+    * IDENTICAL row multiset — compaction moves bytes, never semantics —
+    * and every historical version still time-travels (its manifest
+    * references the original directories until [[vacuum]] expires it).
+    *
+    * This is the append-heavy table's maintenance loop: streaming and
+    * micro-batch commits each land a small directory ([[commitIfAbsent]]),
+    * and without periodic compaction the manifest's file list — and every
+    * reader's footer-open count — grows with COMMITS, not data. Cost is
+    * O(small dirs), the same contract as [[deleteWhere]]; sizes come from
+    * the filesystem listing (metadata scale). CAS posture identical to
+    * [[deleteWhere]]: lost race ⇒ abandon + recompute.
+    *
+    * @return (version, dirsCompacted, dirsCarried) — `version` the new
+    *         version, or the current one when fewer than 2 dirs qualify
+    */
+  def compactSmall(s: SparkSession, table: String, smallBytes: Long,
+      targetFiles: Int = 1, maxAttempts: Int = 50): (Int, Int, Int) = {
+    require(smallBytes > 0 && targetFiles >= 1,
+      s"bad compaction params: $smallBytes/$targetFiles")
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val dirs = manifestDirs(s, table, prev)
+      val (small, big) = dirs.partition { d =>
+        f.getContentSummary(new Path(s"$table/$d")).getLength < smallBytes
+      }
+      if (small.size < 2) return (prev, 0, dirs.size)
+      val compacted = s.read.option("mergeSchema", "true")
+        .parquet(small.map(d => s"$table/$d"): _*)
+        .repartition(targetFiles)
+      val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      compacted.write.mode("errorifexists").parquet(s"$table/$dir")
+      val v = prev + 1
+      val header = s"#schema ${compacted.schema.toDDL}\n"
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + (big :+ dir).mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, small.size, big.size)
+      }
+      f.delete(new Path(s"$table/$dir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"compactSmall on $table lost the version race $maxAttempts times")
   }
 
   /** Expire history: drop every version older than the newest

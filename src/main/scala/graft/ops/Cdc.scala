@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,77 @@ object Cdc {
       .filter(!present || col(s"c.$opCol") =!= "D")
       .select(col(keyCol) +: dataCols.map(c =>
         when(present, col(s"c.$c")).otherwise(col(s"s.$c")).as(c)): _*)
+  }
+
+  /** Generalized MERGE INTO — the full three-clause upsert statement
+    * (SQL:2003 / Delta `MERGE`): `WHEN MATCHED [AND cond] THEN DELETE`,
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET ...`, `WHEN NOT MATCHED
+    * [AND cond] THEN INSERT ...`, evaluated in that clause order per
+    * matched pair; target rows with no source match always survive
+    * unchanged (there is no NOT-MATCHED-BY-SOURCE clause here — that is
+    * [[applyChanges]]'s delete op).
+    *
+    * Condition and assignment expressions reference the two sides via
+    * the `t` / `s` aliases (`col("t.balance")`, `col("s.amount")`).
+    * UPDATE assignments are partial — unassigned data columns keep the
+    * target value; INSERT assignments must produce every data column
+    * (unassigned ones become NULL, matching SQL INSERT defaults).
+    *
+    * CONTRACT (the Delta/SQL-standard cardinality rule): source must
+    * have at most ONE row per key — two source matches for one target
+    * row make the result order-dependent, so the standard errors. This
+    * op enforces it DISTRIBUTED when `validate = true` (an aggregate on
+    * the source's key — one extra partial-aggregable pass, skippable
+    * when the source is already a keyed changelog).
+    *
+    * Scale shape: ONE key-partitioned full-outer join (the same posture
+    * as [[applyChanges]] — with a key-bucketed target the big side never
+    * shuffles); clause logic is a narrow `when` chain; no window, no
+    * driver state.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+      matchedDeleteCond: Option[Column] = None,
+      matchedUpdate: Option[(Option[Column], Map[String, Column])] = None,
+      notMatchedInsert: Option[(Option[Column], Map[String, Column])] = None,
+      validate: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val dataCols = target.columns.filterNot(keyCols.contains).toSeq
+    matchedUpdate.foreach { case (_, set) =>
+      val unknown = set.keySet -- dataCols
+      require(unknown.isEmpty, s"UPDATE SET on non-target columns: $unknown") }
+    notMatchedInsert.foreach { case (_, vals) =>
+      val unknown = vals.keySet -- dataCols
+      require(unknown.isEmpty, s"INSERT on non-target columns: $unknown") }
+    if (validate) {
+      val dup = source.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dup == 0,
+        "MERGE cardinality violation: multiple source rows match one key")
+    }
+    val t = target.withColumn("__t", lit(true)).as("t")
+    val s = source.withColumn("__s", lit(true)).as("s")
+    val onCond = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, onCond, "full_outer")
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val tOnly = col("__t").isNotNull && col("__s").isNull
+    val delHit = matchedDeleteCond.map(matched && _).getOrElse(lit(false))
+    val updHit = matchedUpdate.map { case (c, _) =>
+      matched && !delHit && c.getOrElse(lit(true)) }.getOrElse(lit(false))
+    val insHit = notMatchedInsert.map { case (c, _) =>
+      col("__t").isNull && col("__s").isNotNull && c.getOrElse(lit(true)) }
+      .getOrElse(lit(false))
+    val keep = tOnly || (matched && !delHit) || insHit
+    val keyOut = keyCols.map(k =>
+      when(col("__t").isNotNull, col(s"t.$k")).otherwise(col(s"s.$k")).as(k))
+    val dataOut = dataCols.map { c =>
+      val updated = matchedUpdate.flatMap(_._2.get(c))
+        .map(e => when(updHit, e)).getOrElse(when(lit(false), lit(null)))
+      val inserted = notMatchedInsert
+        .map(v => v._2.getOrElse(c, lit(null).cast(target.schema(c).dataType)))
+        .getOrElse(lit(null))
+      updated.when(insHit, inserted).otherwise(col(s"t.$c")).as(c)
+    }
+    joined.filter(keep).select(keyOut ++ dataOut: _*)
   }
 
   /** SCD Type-2 dimension history from the same change log

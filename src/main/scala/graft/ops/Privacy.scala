@@ -29,6 +29,77 @@ object Privacy {
       .withColumn("violates", col("n") < k)
   }
 
+  /** l-DIVERSITY AUDIT — the attribute-disclosure gate k-anonymity
+    * misses: a group can hold ≥ k rows yet give its SENSITIVE attribute
+    * away because every member shares one value (the homogeneity
+    * attack, Machanavajjhala et al. 2007). Each quasi-identifier group
+    * is flagged unless it carries at least `l` DISTINCT sensitive
+    * values. Distinct-count per group is the one shuffle and it is
+    * partial-aggregable after the inner (quasi..., sensitive) collapse;
+    * output is GROUPS, never rows — the same release-gate shape as
+    * [[kAnonymityAudit]].
+    *
+    * @return (quasi cols..., n, n_sensitive, violates)
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1,
+      s"bad audit params: $quasiCols, l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("violates", col("n_sensitive") < l)
+  }
+
+  /** DP-STYLE NOISY COUNT RELEASE with KEYED (deterministic) Laplace
+    * noise: per-group counts released as `n + Lap(sensitivity/ε)`,
+    * where the Laplace draw's uniform comes from the 32-bit md5 prefix
+    * of `releaseTag || group key` via the inverse CDF — so the same
+    * release replays bit-for-bit on any engine, any partitioning, any
+    * retry (the repeatable-release discipline: re-running a publication
+    * job must not leak a FRESH noise draw for the same statistic —
+    * answering the same query twice with independent noise halves the
+    * effective ε, so keyed noise is also the better privacy posture for
+    * idempotent pipelines).
+    *
+    * NOT a general DP mechanism: an adversary who can influence the
+    * releaseTag/group-key pairing can predict the noise. Treat the tag
+    * as a secret per-epoch salt chosen by the releasing party (the
+    * standard keyed-PRF instantiation of the Laplace mechanism).
+    *
+    * Arithmetic contract (cross-engine exact): the uniform is the exact
+    * integer `u32` mapped as `u = (u32 + 0.5) / 2³²` (never 0 or ½ —
+    * the ln argument `1 − 2|u − ½|` is ≥ 2⁻³² > 0); sign by exact
+    * integer compare `u32 ≥ 2³¹`; one double ln + multiply, micro-
+    * rounded ONCE into `noise_micro`; the released count re-derives as
+    * an integer sum. One partial-aggregable groupBy; noise is a narrow
+    * map over the group table.
+    *
+    * @return (group, n, noise_micro, released) — `released` the noisy
+    *         count in exact micro units (LONG), `max(0, ...)` clamped
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      releaseTag: String, sensitivity: Double = 1.0): DataFrame = {
+    require(epsilon > 0 && sensitivity > 0,
+      s"bad DP params: eps=$epsilon sens=$sensitivity")
+    val b = sensitivity / epsilon // Laplace scale
+    val counts = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"))
+    val u32 = conv(substring(md5(
+        concat(lit(releaseTag), lit("|"), col("g").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val c = counts.withColumn("__u32", u32)
+    val half = lit(2147483648.0) // 2^31
+    val absDev = abs(col("__u32").cast("double") + lit(0.5) - half) // |u−½|·2³²
+    val lnArg = lit(1.0) - absDev / half // 1 − 2|u − ½|, in (0, 1]
+    val sign = when(col("__u32") >= 2147483648L, lit(1.0)).otherwise(lit(-1.0))
+    c.withColumn("noise_micro",
+        round(sign * lit(-b) * log(lnArg) * lit(1e6), 0).cast("long"))
+      .withColumn("released",
+        greatest(col("n") * lit(1000000L) + col("noise_micro"), lit(0L)))
+      .drop("__u32")
+  }
+
   /** GENERALIZATION LADDER to k-anonymity: evaluate a caller-supplied
     * sequence of generalization levels (finest first — e.g. exact
     * balance bucket → coarse bucket → dropped), each level a set of

@@ -156,4 +156,62 @@ object Timeseries {
       }
       .toDF("key", "ts_us", "id", "cents", "ewma_micro")
   }
+
+  /** Holt double-exponential smoothing (level + trend) as the same
+    * EXACT INTEGER recurrence discipline as [[ewmaSmooth]] — the
+    * forecasting primitive EWMA can't provide (EWMA lags a trending
+    * series by construction; Holt's trend term closes the lag and
+    * yields the standard one-step-ahead forecast `level + trend`):
+    *
+    *   l₁ = x₁, b₁ = 0
+    *   lᵢ = ⌊(α·xᵢ + (1−α)·(l + b) + ½)/1e6⌋
+    *   bᵢ = ⌊(β·(lᵢ − l) + (1−β)·b + ½)/1e6⌋
+    *
+    * all in micro units with FLOOR division (`Math.floorDiv`; floor of
+    * the +½-shifted numerator IS round-half-up for BOTH signs, where
+    * truncating division breaks down on the NEGATIVE trend numerators a
+    * declining series produces — and SQL engines that truncate `//`,
+    * DuckDB included, must replay the floor via
+    * `⌊N/d⌋ = −((−N + d − 1) // d)` for N < 0).
+    * Bit-stable across engines, restarts, and partitionings; state is
+    * two LONGs per key; distributed shape is keys-in-parallel via
+    * `flatMapSortedGroups` (one key shuffle, no window).
+    *
+    * @return (key, ts_us, id, cents, level_micro, trend_micro,
+    *         forecast_micro) — forecast the one-step-ahead `l + b`
+    */
+  def holtSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, alphaMicro: Long,
+      betaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L &&
+      betaMicro > 0 && betaMicro < 1000000L,
+      s"smoothing params out of (0, 1e6): $alphaMicro/$betaMicro")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), col(idCol).cast("long").as("id"),
+        (floor(col(valueCol) * 100 + 0.5).cast("long") * 1000000L).as("xm"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("id")) { (key, rows) =>
+        var l = 0L
+        var b = 0L
+        var first = true
+        rows.map { case (_, ts, id, xm) =>
+          if (first) { first = false; l = xm; b = 0L }
+          else {
+            val lNew = Math.floorDiv(
+              alphaMicro * xm + (1000000L - alphaMicro) * (l + b) + 500000L,
+              1000000L)
+            b = Math.floorDiv(
+              betaMicro * (lNew - l) + (1000000L - betaMicro) * b + 500000L,
+              1000000L)
+            l = lNew
+          }
+          (key, ts, id, xm / 1000000L, l, b, l + b)
+        }
+      }
+      .toDF("key", "ts_us", "id", "cents", "level_micro", "trend_micro",
+        "forecast_micro")
+  }
 }

@@ -189,6 +189,114 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.schemaOf(spark, t, 2).exists(_.contains("extra")))
   }
 
+  test("deleteWhere: hit dirs rewrite, others carry by reference, history intact") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+    Snapshots.commit(Seq((3L, 30L), (4L, 40L)).toDF("id", "v"), t)
+    Snapshots.commit(Seq((5L, 50L), (6L, 60L)).toDF("id", "v"), t)
+    val preFiles = Snapshots.read(spark, t, Some(3)).inputFiles.toSet
+    // predicate hits ONLY the second commit's rows
+    val (v, carried, rewritten) =
+      Snapshots.deleteWhere(spark, t, col("id") === 3L)
+    assert((v, carried, rewritten) == ((4, 2, 1)))
+    val post = Snapshots.read(spark, t, Some(4))
+    assert(post.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (4L, 40L), (5L, 50L), (6L, 60L)))
+    // commits 1 and 3's files appear VERBATIM in the new version's scan
+    val postFiles = post.inputFiles.toSet
+    assert((preFiles intersect postFiles).nonEmpty)
+    assert((postFiles -- preFiles).nonEmpty) // the rewrite
+    // every historical version still reproduces its full state
+    assert(Snapshots.read(spark, t, Some(3)).count() == 6)
+    assert(Snapshots.read(spark, t, Some(2)).count() == 4)
+  }
+
+  test("deleteWhere: nothing matched publishes nothing") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L)).toDF("id", "v"), t)
+    val (v, carried, rewritten) =
+      Snapshots.deleteWhere(spark, t, col("id") === 999L)
+    assert((v, carried, rewritten) == ((1, 1, 0)))
+    assert(Snapshots.latestVersion(spark, t) == 1)
+  }
+
+  test("deleteWhere: predicate spanning every dir rewrites everything") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+    Snapshots.commit(Seq((3L, 30L), (4L, 40L)).toDF("id", "v"), t)
+    val (v, carried, rewritten) =
+      Snapshots.deleteWhere(spark, t, col("id") % 2 === 0L)
+    assert((v, carried, rewritten) == ((3, 0, 2)))
+    assert(Snapshots.read(spark, t).orderBy("id").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 10L), (3L, 30L)))
+  }
+
+  test("compactSmall: small dirs fold into one, big dirs carry, rows identical") {
+    import spark.implicits._
+    val t = freshTable()
+    // one BIG commit (1000 rows) + three tiny ones
+    Snapshots.commit((1L to 1000L).map(i => (i, i * 2)).toDF("id", "v"), t)
+    Snapshots.commit(Seq((2001L, 1L)).toDF("id", "v"), t)
+    Snapshots.commit(Seq((2002L, 2L)).toDF("id", "v"), t)
+    Snapshots.commit(Seq((2003L, 3L)).toDF("id", "v"), t)
+    val before = Snapshots.read(spark, t, Some(4))
+    val beforeRows = before.orderBy("id").collect().map(_.toSeq).toSeq
+    val beforeFiles = before.inputFiles.length
+    // threshold sized between a tiny dir and the big one
+    val bigDirBytes = {
+      val p = new org.apache.hadoop.fs.Path(t)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+        .map(st => f.getContentSummary(st.getPath).getLength).max
+    }
+    val (v, nCompacted, nCarried) =
+      Snapshots.compactSmall(spark, t, smallBytes = bigDirBytes)
+    assert((v, nCompacted, nCarried) == ((5, 3, 1)))
+    val after = Snapshots.read(spark, t, Some(5))
+    assert(after.orderBy("id").collect().map(_.toSeq).toSeq == beforeRows)
+    assert(after.inputFiles.length < beforeFiles)
+    // pre-compaction version still time-travels
+    assert(Snapshots.read(spark, t, Some(4)).count() == 1003)
+    // fewer than 2 qualifying dirs -> no-op (the 3 tiny dirs are one now)
+    val (v2, c2, k2) = Snapshots.compactSmall(spark, t, smallBytes = 1L)
+    assert((v2, c2, k2) == ((5, 0, 2)))
+  }
+
+  test("commitWithStats + readPruned: prune by range, statless dirs always read") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commitWithStats(Seq((1L, "a"), (5L, "b")).toDF("k", "s"), t, "k")
+    Snapshots.commitWithStats(Seq((10L, "c"), (15L, "d")).toDF("k", "s"), t, "k")
+    Snapshots.commit(Seq((100L, "z")).toDF("k", "s"), t) // NO stats line
+    // range [9, 20]: dir1's [1,5] is provably out; dir2 hits; the
+    // statless dir must always read (pruning is advisory, never lossy)
+    val scan = Snapshots.readPruned(spark, t, "k", 9L, 20L)
+    assert((scan.dirsTotal, scan.dirsRead) == ((3, 2)))
+    assert(scan.df.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "c"), (15L, "d")))
+    // a range no stats admit: only the statless dir opens, residual
+    // filter still makes the answer exact
+    val s2 = Snapshots.readPruned(spark, t, "k", 200L, 300L)
+    assert((s2.dirsTotal, s2.dirsRead) == ((3, 1)) && s2.df.count() == 0)
+    // stats lines carried forward: time-travel to v2 prunes too
+    val s3 = Snapshots.readPruned(spark, t, "k", 1L, 5L, Some(2))
+    assert((s3.dirsTotal, s3.dirsRead) == ((2, 1)))
+    assert(s3.df.count() == 2)
+  }
+
+  test("readPruned: zero admitted dirs yields an empty frame, schema intact") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commitWithStats(Seq((1L, "a")).toDF("k", "s"), t, "k")
+    Snapshots.commitWithStats(Seq((9L, "b")).toDF("k", "s"), t, "k")
+    val scan = Snapshots.readPruned(spark, t, "k", 100L, 200L)
+    assert((scan.dirsTotal, scan.dirsRead) == ((2, 0)))
+    assert(scan.df.columns.toSeq == Seq("k", "s") && scan.df.count() == 0)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()

@@ -458,4 +458,59 @@ class GraphCdcSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(k2 == Set(1L, 2L, 3L, 4L))
   }
+
+  private def mergeFixture() = {
+    import spark.implicits._
+    val target = Seq((1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"))
+      .toDF("k", "bal", "seg")
+    val source = Seq((2L, 50L, false), (3L, 75L, true), (9L, 999L, false))
+      .toDF("k", "amt", "churn")
+    (target, source)
+  }
+
+  test("mergeInto: delete beats update; partial update keeps unset columns") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (t, s) = mergeFixture()
+    val got = Cdc.mergeInto(t, s, Seq("k"),
+      matchedDeleteCond = Some(col("s.churn")),
+      matchedUpdate = Some((None, Map("bal" -> (col("t.bal") + col("s.amt"))))),
+      notMatchedInsert = Some((None, Map("bal" -> col("s.amt"), "seg" -> lit("NEW")))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 100L, "A"),   // target-only: survives untouched
+      (2L, 250L, "B"),   // matched update: bal += amt, seg KEPT
+      (9L, 999L, "NEW")  // not matched: inserted
+    ), got.toString)     // k=3 matched the delete clause FIRST — gone
+  }
+
+  test("mergeInto: conditional insert filters; unassigned insert columns NULL") {
+    import org.apache.spark.sql.functions.col
+    val (t, s) = mergeFixture()
+    val got = Cdc.mergeInto(t, s, Seq("k"),
+      notMatchedInsert = Some((Some(col("s.amt") > 500L), Map("bal" -> col("s.amt")))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    // no matched clauses: every matched/target-only row survives as-is;
+    // only the amt>500 unmatched source row inserts, seg defaults NULL
+    assert(got == Seq((1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"),
+      (9L, 999L, null)), got.toString)
+  }
+
+  test("mergeInto: cardinality violation raises; validate=false permits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (t, _) = mergeFixture()
+    val dup = Seq((2L, 10L, false), (2L, 20L, false)).toDF("k", "amt", "churn")
+    intercept[IllegalArgumentException] {
+      Cdc.mergeInto(t, dup, Seq("k"),
+        matchedUpdate = Some((None, Map("bal" -> col("s.amt")))))
+    }
+    // skipping validation is the caller's explicit contract
+    val n = Cdc.mergeInto(t, dup, Seq("k"),
+      matchedUpdate = Some((None, Map("bal" -> col("s.amt")))),
+      validate = false).count()
+    assert(n >= 3)
+  }
 }

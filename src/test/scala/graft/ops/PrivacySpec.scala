@@ -19,6 +19,57 @@ class PrivacySpec extends SparkSpec {
       ("a", 2L) -> ((1L, true))))
   }
 
+  test("lDiversityAudit: homogeneous groups flagged even when k-large") {
+    import spark.implicits._
+    val df = Seq(
+      // group (a): 4 rows but ONE sensitive value — the homogeneity attack
+      ("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+      // group (b): 3 rows, 3 distinct values — diverse
+      ("b", "flu"), ("b", "cold"), ("b", "ulcer"),
+      // group (c): 2 rows, 2 distinct — still under l=3
+      ("c", "flu"), ("c", "cold")
+    ).toDF("quasi", "diag")
+    val got = Privacy.lDiversityAudit(df, Seq("quasi"), "diag", 3L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map("a" -> ((4L, 1L, true)), "b" -> ((3L, 3L, false)),
+      "c" -> ((2L, 2L, true))), got.toString)
+  }
+
+  test("dpNoisyCounts: keyed noise replays independently, clamps at zero") {
+    import spark.implicits._
+    val df = Seq.fill(5)("x").map(Tuple1(_)).toDF("g")
+      .unionByName(Seq.fill(100)("y").map(Tuple1(_)).toDF("g"))
+    val eps = 0.5
+    val got = Privacy.dpNoisyCounts(df, "g", eps, "tag-1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent plain-Scala replay of the keyed inverse-CDF draw
+    def expectNoise(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tag-1|$g".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u32 = java.lang.Long.parseLong(hex, 16)
+      val half = 2147483648.0
+      val lnArg = 1.0 - math.abs(u32.toDouble + 0.5 - half) / half
+      val sign = if (u32 >= 2147483648L) 1.0 else -1.0
+      math.round(sign * (-1.0 / eps) * math.log(lnArg) * 1e6)
+    }
+    assert(got("x")._1 == 5L && got("y")._1 == 100L)
+    assert(got("x")._2 == expectNoise("x"), s"x noise ${got("x")}")
+    assert(got("y")._2 == expectNoise("y"), s"y noise ${got("y")}")
+    assert(got("x")._3 == math.max(5000000L + expectNoise("x"), 0L))
+    // determinism across partitionings and reruns
+    val again = Privacy.dpNoisyCounts(df.repartition(7), "g", eps, "tag-1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+    // a different release tag draws DIFFERENT noise (fresh release)
+    val other = Privacy.dpNoisyCounts(df, "g", eps, "tag-2")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(other("x") != got("x")._2 || other("y") != got("y")._2)
+  }
+
   test("generalizeUntilK: first satisfying level chosen, finer audited, coarser unchosen") {
     import spark.implicits._
     val df = Seq(

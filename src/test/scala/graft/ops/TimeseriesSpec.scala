@@ -86,4 +86,35 @@ class TimeseriesSpec extends SparkSpec {
       .orderBy("id").collect().last.getLong(4)
     assert(s2 == 100300000L, s2.toString)
   }
+
+  test("holtSmooth: hand-computed level+trend; forecast = l + b") {
+    // α = β = 0.5; x in cents: 100, 200, 300 (a clean rising trend)
+    val df = evdf(Seq(
+      (1L, 100L, 1L, 1.00), (1L, 200L, 2L, 2.00), (1L, 300L, 3L, 3.00)))
+    val out = Timeseries.holtSmooth(df, "user_id", "ts", "value", "event_id",
+        500000L, 500000L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // x1: l=100e6 b=0; x2: l=(.5·200e6+.5·100e6)=150e6,
+    //   b=.5·(150e6−100e6)=25e6; x3: l=(.5·300e6+.5·175e6)=237.5e6,
+    //   b=(.5·87.5e6+.5·25e6)=56.25e6
+    assert(out == Seq(
+      (100000000L, 0L, 100000000L),
+      (150000000L, 25000000L, 175000000L),
+      (237500000L, 56250000L, 293750000L)), out.toString)
+  }
+
+  test("holtSmooth: negative trend uses FLOOR division, not truncation") {
+    // x: 300 then 100 cents — the trend numerator goes negative:
+    // b₂ = ⌊(.5·(200e6−300e6) + 0 + ½)/1⌋ = ⌊−49,999,999.5⌋ = −50e6
+    // (truncation toward zero would give −49,999,999 — the one-micro
+    // cross-engine divergence this test pins)
+    val df = evdf(Seq((1L, 100L, 1L, 3.00), (1L, 200L, 2L, 1.00)))
+    val last = Timeseries.holtSmooth(df, "user_id", "ts", "value", "event_id",
+        500000L, 500000L)
+      .orderBy("id").collect().last
+    assert(last.getLong(4) == 200000000L, s"level ${last.getLong(4)}")
+    assert(last.getLong(5) == -50000000L, s"trend ${last.getLong(5)}")
+    assert(last.getLong(6) == 150000000L, s"forecast ${last.getLong(6)}")
+  }
 }
