@@ -197,9 +197,12 @@ object Snapshots {
     * of the same batch) sees the tag in the retained chain — rechecked
     * after every lost claim race, which closes the check-then-claim
     * window — and returns None without committing; a crash after the
-    * data write but before the claim leaves only a GC-able orphan. Tag
-    * visibility lasts as long as its manifest: run [[vacuum]] with a
-    * retention ≥ the writer's maximum replay horizon.
+    * data write but before the claim leaves only a GC-able orphan.
+    * Tags CARRY FORWARD into every later manifest (commits and
+    * maintenance rewrites alike), so replay protection lasts for the
+    * table's lifetime, independent of [[vacuum]] retention — a replayed
+    * batch can never slip back in because the manifest that first
+    * recorded it was expired.
     *
     * @return Some(version) when this call committed; None when the
     *         (writerId, batchId) transaction was already in the chain
@@ -271,6 +274,29 @@ object Snapshots {
     }
   }
 
+  /** Manifest header for a MAINTENANCE rewrite (delete / compaction):
+    * every prior txn tag carries forward (the batches those tags
+    * recorded are folded into the data regardless of which directory
+    * now holds it — dropping a tag would reopen its batch to replay),
+    * and `#dirstats` lines carry for directories still in the chain
+    * (a removed directory's stats describe files the new version no
+    * longer references). The COMMITTED `#schema` line carries verbatim
+    * too: a rewrite moves bytes, never the contract — the parquet
+    * read-back path loosens NOT NULL to nullable, and letting that
+    * leak into the header would make the next producer commit refuse
+    * as schema drift. `fallbackDdl` covers pre-schema-tracking tables.
+    */
+  private def maintenanceHeader(s: SparkSession, table: String, prev: Int,
+      fallbackDdl: String, keptDirs: Set[String]): String = {
+    val prevLines = manifestLines(s, table, prev)
+    val txns = prevLines.filter(_.startsWith("#txn "))
+    val schemaDdl = prevLines.find(_.startsWith("#schema "))
+      .map(_.stripPrefix("#schema ")).getOrElse(fallbackDdl)
+    val stats = prevLines.filter(_.startsWith("#dirstats "))
+      .filter(l => keptDirs.contains(l.stripPrefix("#dirstats ").split(" ")(0)))
+    (txns ++ (s"#schema $schemaDdl" +: stats)).map(_ + "\n").mkString
+  }
+
   private def commitTagged(df: DataFrame, table: String,
       txn: Option[(String, Long)], maxAttempts: Int,
       allowEvolve: Boolean = false,
@@ -308,13 +334,20 @@ object Snapshots {
       // recheck drift per attempt: a competing committer may have
       // evolved the schema between our last look and this claim
       checkSchema(s, table, df, allowEvolve)
-      // prior dirs' stats carry forward verbatim (append semantics)
-      val carriedStats =
-        if (prev == 0) Nil
-        else manifestLines(s, table, prev).filter(_.startsWith("#dirstats "))
+      // prior txn tags and dirs' stats carry forward verbatim (append
+      // semantics). Tags accumulating in the NEWEST manifest make
+      // replay protection independent of history retention — without
+      // the carry, vacuuming the manifest that recorded a batch would
+      // silently reopen that batch to replay (the Delta setTransaction
+      // retention trap, closed by construction here).
+      val prevLines =
+        if (prev == 0) Nil else manifestLines(s, table, prev)
+      val carriedTxn = prevLines.filter(_.startsWith("#txn "))
+      val carriedStats = prevLines.filter(_.startsWith("#dirstats "))
       val statsHeader = (carriedStats ++ newStatsLine)
         .map(_ + "\n").mkString
-      val header = txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
+      val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
+        .map(_ + "\n").mkString +
         s"#schema ${df.schema.toDDL}\n" + statsHeader
       if (publishExclusive(s, f, manifestPath(table, v),
           header + dirs.mkString("\n"))) {
@@ -420,7 +453,8 @@ object Snapshots {
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       survivors.write.mode("errorifexists").parquet(s"$table/$dir")
       val v = prev + 1
-      val header = s"#schema ${survivors.schema.toDDL}\n"
+      val header = maintenanceHeader(s, table, prev,
+        survivors.schema.toDDL, carried.toSet)
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (carried :+ dir).mkString("\n"))) {
         try {
@@ -476,7 +510,8 @@ object Snapshots {
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       compacted.write.mode("errorifexists").parquet(s"$table/$dir")
       val v = prev + 1
-      val header = s"#schema ${compacted.schema.toDDL}\n"
+      val header = maintenanceHeader(s, table, prev,
+        compacted.schema.toDDL, big.toSet)
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (big :+ dir).mkString("\n"))) {
         try {

@@ -297,6 +297,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(scan.df.columns.toSeq == Seq("k", "s") && scan.df.count() == 0)
   }
 
+  test("txn tags survive vacuum + maintenance rewrites: replay stays closed") {
+    import spark.implicits._
+    val t = freshTable()
+    assert(Snapshots.commitIfAbsent(
+      Seq((1L, "a")).toDF("id", "s"), t, "w", 0L).contains(1))
+    assert(Snapshots.commitIfAbsent(
+      Seq((2L, "b")).toDF("id", "s"), t, "w", 1L).contains(2))
+    // maintenance rewrite folds both commits into one directory (v3),
+    // then vacuum expires every pre-compaction manifest — the manifests
+    // that FIRST recorded the tags are gone
+    Snapshots.compactSmall(spark, t, smallBytes = 1L << 40)
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    // the carried tags in v3 must still refuse both replays
+    assert(Snapshots.commitIfAbsent(
+      Seq((1L, "a")).toDF("id", "s"), t, "w", 0L).isEmpty)
+    assert(Snapshots.commitIfAbsent(
+      Seq((2L, "b")).toDF("id", "s"), t, "w", 1L).isEmpty)
+    // a genuinely new batch still lands, and carries the tags onward
+    assert(Snapshots.commitIfAbsent(
+      Seq((3L, "c")).toDF("id", "s"), t, "w", 2L).contains(4))
+    assert(Snapshots.read(spark, t).count() == 3)
+    assert(Snapshots.commitIfAbsent(
+      Seq((3L, "c")).toDF("id", "s"), t, "w", 2L).isEmpty)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
