@@ -1346,6 +1346,80 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Streaming→lakehouse MAINTENANCE composition (q61 + [[graft.io
+    * .Snapshots.compactSmall]] + [[graft.io.Snapshots.vacuum]]): three
+    * exactly-once stream commits, compaction folds them into one
+    * directory, vacuum expires EVERY pre-compaction manifest — the
+    * manifests that first recorded the txn tags — and then the WHOLE
+    * stream replays from a fresh checkpoint. Every replayed batch must
+    * no-op on the CARRIED tags (version count pinned at 4), and the
+    * final table must equal the batch truth. This is the gate for the
+    * tags-survive-maintenance contract: without the carry, the replay
+    * would silently double every row.
+    */
+  private def q67StreamMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = ioTmp(dir, "q67")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      cents(col("value")).as("v"))
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    for (i <- 0 until 3)
+      writeSlice(e.filter(col("event_id") % 3 === i)
+          .select(col("user_id"), col("v")),
+        s"slice$i", 1000000000000L + i * 60000L)
+    val table = s"$base/table"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v", LongType)))
+    def runStream(tag: String): Unit = {
+      val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(s"q67_$tag")
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.io.Snapshots.commitIfAbsent(b.toDF(), table, "q67", id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    }
+    runStream("first")
+    require(graft.io.Snapshots.latestVersion(s, table) == 3,
+      "q67: expected 3 committed batches")
+    val (v4, nComp, nCar) = graft.io.Snapshots.compactSmall(
+      s, table, smallBytes = 1L << 40)
+    require(v4 == 4 && nComp == 3 && nCar == 0,
+      s"q67 compaction shape: v=$v4 compacted=$nComp carried=$nCar")
+    val (nm, nd) = graft.io.Snapshots.vacuum(s, table, keepVersions = 1,
+      orphanGraceMs = 0L)
+    require(nm == 3 && nd == 3,
+      s"q67 vacuum: expected (3 manifests, 3 dirs) GC'd, got ($nm, $nd)")
+    runStream("replay")
+    require(graft.io.Snapshots.latestVersion(s, table) == 4,
+      "q67: replay after maintenance committed duplicates — txn tags lost")
+    graft.io.Snapshots.read(s, table)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy("user_id")
+  }
+
   /** Backward as-of join through the gate ([[ops.AsOfJoin.asofBackward]]):
     * every click event picks up the user's most recent purchase at or
     * before it (feature backfill). The oracle is DuckDB's NATIVE
@@ -3040,6 +3114,21 @@ object SparkEntry {
     ops.Privacy.dpNoisyCounts(Tables.documents(s, dir), "lang",
       epsilon = 0.5, releaseTag = "release-2026-08-14").orderBy("g")
 
+  /** t-closeness release gate ([[ops.Privacy.tClosenessAudit]]) — the
+    * distribution-skew audit completing the k-anonymity (t68) /
+    * l-diversity (t70) ladder: per-nation market-segment distributions
+    * vs the global one, TVD in exact DECIMAL(38) numerators, one
+    * 6-rounded division per group, flag at t = 0.1. The oracle replays
+    * the dense grid, the cross-multiplied numerator, and the rounded
+    * compare.
+    */
+  private def t72TCloseness(s: SparkSession, dir: String): DataFrame =
+    ops.Privacy.tClosenessAudit(
+        Tables.customer(s, dir).select(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment")),
+        Seq("nation"), "segment", 0.1)
+      .orderBy("nation")
+
   /** Per-language embedding centroids ([[ops.Similarity.groupCentroids]]):
     * embeddings joined to their documents' lang, element-wise fixed-point
     * mean per (lang, position) — order-independent integer accumulation
@@ -3172,6 +3261,23 @@ object SparkEntry {
       .distinct()
     ops.Graph.pageRank(edges, "src", "dst", iters = 3)
       .orderBy("node_id")
+  }
+
+  /** Link prediction ([[ops.Graph.linkPrediction]], top-20 by
+    * Adamic–Adar) over g1's shard graph: common-neighbor wedges with
+    * per-term micro-rounded `1e6/ln(deg)` weights summed order-free,
+    * existing edges anti-joined away. The oracle replays the undirected
+    * neighbor relation, the wedge join, every degree weight, and the
+    * tie-broken top-20.
+    */
+  private def g10LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val shard = col("doc_id") % 500
+    val edges = Tables.documents(s, dir)
+      .select(shard.as("src"), ((shard * 31 + 7) % 500).as("dst"))
+      .unionByName(Tables.documents(s, dir)
+        .select(shard.as("src"), ((shard * 17 + 3) % 500).as("dst")))
+      .distinct()
+    ops.Graph.linkPrediction(edges, "src", "dst", 20)
   }
 
   /** HITS hubs/authorities ([[ops.Graph.hits]], 2 iterations) over g1's
@@ -5513,6 +5619,8 @@ object SparkEntry {
     "q59_incremental_quantiles" -> q59IncrementalQuantiles _,
     "q60_stream_ivm" -> q60StreamIvm _,
     "q61_stream_lakehouse" -> q61StreamLakehouse _,
+    "q67_stream_maintenance" -> q67StreamMaintenance _,
+    "t72_t_closeness" -> t72TCloseness _,
     "q62_ewma" -> q62Ewma _,
     "q63_stream_ewma" -> q63StreamEwma _,
     "q30_cube" -> q30Cube _,
@@ -5541,6 +5649,7 @@ object SparkEntry {
     "g7_kcore" -> g7Kcore _,
     "g8_hits" -> g8Hits _,
     "g9_modularity" -> g9Modularity _,
+    "g10_link_prediction" -> g10LinkPrediction _,
     "g5_bfs_distances" -> g5BfsDistances _,
     "t33_minhash_overlap" -> t33MinhashOverlap _,
     "t34_hll_merge" -> t34HllMerge _,
@@ -8887,6 +8996,56 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // compaction + vacuum + replay must land on the identical batch
+    // truth — the oracle is q61's, maintenance changes nothing
+    "q67_stream_maintenance" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // dense group × segment grid, exact cross-multiplied TVD numerator,
+    // the t compare on the ROUNDED value
+    "t72_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey AS nation, c_mktsegment AS v,
+        |        count(*) AS cg FROM customer GROUP BY 1, 2),
+        |g AS (SELECT nation, CAST(sum(cg) AS BIGINT) AS ng FROM c GROUP BY 1),
+        |vv AS (SELECT v, CAST(sum(cg) AS BIGINT) AS cv FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cv) AS BIGINT) AS ntot FROM vv),
+        |grid AS (SELECT g.nation, g.ng, vv.v, vv.cv, tot.ntot
+        |         FROM g CROSS JOIN vv CROSS JOIN tot),
+        |j AS (SELECT grid.nation, grid.ng, grid.ntot,
+        |        abs(CAST(COALESCE(c.cg, 0) AS HUGEINT) * grid.ntot
+        |          - CAST(grid.cv AS HUGEINT) * grid.ng) AS num
+        |      FROM grid LEFT JOIN c ON c.nation = grid.nation AND c.v = grid.v),
+        |sres AS (SELECT nation, ng, ntot, sum(num) AS numsum
+        |         FROM j GROUP BY nation, ng, ntot)
+        |SELECT nation, ng AS n,
+        |  round(CAST(numsum AS DOUBLE) / (2.0 * ng * ntot), 6) AS tvd,
+        |  round(CAST(numsum AS DOUBLE) / (2.0 * ng * ntot), 6) > 0.1 AS violates
+        |FROM sres ORDER BY nation""".stripMargin,
+    // undirected neighbors, wedge join, per-term micro-rounded
+    // Adamic–Adar weights, existing edges anti-joined, tie-broken top-20
+    "g10_link_prediction" ->
+      """WITH und AS (
+        |  SELECT src AS x, dst AS y FROM (
+        |    SELECT DISTINCT doc_id % 500 AS src,
+        |      ((doc_id % 500) * 31 + 7) % 500 AS dst FROM documents
+        |    UNION
+        |    SELECT DISTINCT doc_id % 500 AS src,
+        |      ((doc_id % 500) * 17 + 3) % 500 AS dst FROM documents)
+        |  WHERE src <> dst),
+        |nbr AS (SELECT x, y FROM und UNION SELECT y, x FROM und),
+        |deg AS (SELECT x AS c, count(*) AS deg FROM nbr GROUP BY 1),
+        |wed AS (SELECT l.x AS a, r.x AS b, l.y AS c
+        |        FROM nbr l JOIN nbr r ON l.y = r.y AND l.x < r.x),
+        |sc AS (SELECT a, b,
+        |        CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE)), 0) AS BIGINT) AS term
+        |       FROM wed JOIN deg ON deg.c = wed.c),
+        |agg AS (SELECT a, b, count(*) AS common,
+        |        CAST(sum(term) AS BIGINT) AS aa_micro FROM sc GROUP BY a, b),
+        |ex AS (SELECT x AS a, y AS b FROM nbr WHERE x < y)
+        |SELECT a, b, common, aa_micro FROM agg
+        |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.a = agg.a AND ex.b = agg.b)
+        |ORDER BY aa_micro DESC, a, b LIMIT 20""".stripMargin,
     // q56's independent recompute, verbatim: streamed Z-set maintenance
     // must land on the same end state as batch recompute
     "q60_stream_ivm" ->

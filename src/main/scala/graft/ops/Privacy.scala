@@ -51,6 +51,45 @@ object Privacy {
       .withColumn("violates", col("n_sensitive") < l)
   }
 
+  /** t-CLOSENESS AUDIT — the distribution-skew gate completing the
+    * k-anonymity / l-diversity ladder: a group can be k-large and
+    * l-diverse yet still leak because its SENSITIVE-value distribution
+    * sits far from the table's (90% one diagnosis in a group vs 10%
+    * globally). Distance is total variation
+    * `TVD = ½·Σ_v |p_g(v) − p(v)|` (the categorical instantiation of
+    * t-closeness's EMD under unit ground distance); groups with
+    * TVD > t flag.
+    *
+    * Exactness: the numerator is the exact integer
+    * `Σ_v |c_gv·n − c_v·n_g|` in DECIMAL(38,0) over the dense
+    * group × value grid (absent values contribute `c_v·n_g` — the
+    * grid is groups × |sensitive vocab|, vocab-bounded); ONE 6-rounded
+    * double division per group at emit, and the t compare runs on the
+    * ROUNDED value so both engines decide identically at the boundary.
+    *
+    * @return (quasi cols..., n, tvd, violates)
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t >= 0, s"bad audit params: $quasiCols, t=$t")
+    val cells = df.groupBy((quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = cells.groupBy(quasiCols.map(col): _*).agg(sum("__c").as("__ng"))
+    val vals = cells.groupBy(col("__v")).agg(sum("__c").as("__cv"))
+    val total = vals.agg(sum("__cv").as("__n"))
+    val grid = groups.crossJoin(broadcast(vals)).crossJoin(broadcast(total))
+    val joined = grid.join(cells, quasiCols :+ "__v", "left")
+      .select((quasiCols.map(col) :+ col("__ng") :+ col("__n") :+
+        abs(coalesce(col("__c"), lit(0L)).cast("decimal(38,0)") * col("__n")
+          - col("__cv").cast("decimal(38,0)") * col("__ng")).as("__num")): _*)
+    joined.groupBy(quasiCols.map(col) :+ col("__ng") :+ col("__n"): _*)
+      .agg(sum("__num").as("__numsum"))
+      .select((quasiCols.map(col) :+ col("__ng").as("n") :+
+        round(col("__numsum").cast("double")
+          / (lit(2.0) * col("__ng") * col("__n")), 6).as("tvd")): _*)
+      .withColumn("violates", col("tvd") > t)
+  }
+
   /** DP-STYLE NOISY COUNT RELEASE with KEYED (deterministic) Laplace
     * noise: per-group counts released as `n + Lap(sensitivity/ε)`,
     * where the Laplace draw's uniform comes from the 32-bit md5 prefix

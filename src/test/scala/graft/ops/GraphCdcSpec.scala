@@ -459,6 +459,22 @@ class GraphCdcSpec extends SparkSpec {
     assert(k2 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("linkPrediction: path + square hand case; directed dups collapse; edges excluded") {
+    import spark.implicits._
+    // path 1–2–3 and square 4–5–6–7; (2,1) is a redundant reverse edge
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (4L, 7L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, "src", "dst", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val aa = math.round(1e6 / math.log(2.0)) // every wedge center has deg 2
+    // square diagonals share TWO centers; the path endpoints share one;
+    // no existing edge appears
+    assert(got == Seq(
+      (4L, 6L, 2L, 2 * aa), (5L, 7L, 2L, 2 * aa), (1L, 3L, 1L, aa)),
+      got.toString)
+  }
+
   private def mergeFixture() = {
     import spark.implicits._
     val target = Seq((1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"))

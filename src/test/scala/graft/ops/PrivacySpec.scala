@@ -70,6 +70,23 @@ class PrivacySpec extends SparkSpec {
     assert(other("x") != got("x")._2 || other("y") != got("y")._2)
   }
 
+  test("tClosenessAudit: hand-computed TVD incl. absent-value terms") {
+    import spark.implicits._
+    // global: x=6, y=4 over n=10
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),          // 4x, 0y
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y"),          // 1x, 3y
+      ("C", "x"), ("C", "y")                                   // 1x, 1y
+    ).toDF("quasi", "diag")
+    val got = Privacy.tClosenessAudit(df, Seq("quasi"), "diag", 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // A: |1−.6| + |0−.4| = .8 → TVD .4 (the y term comes from the dense
+    // grid — a sparse join would silently drop it); B: .35; C: .1
+    assert(got == Map("A" -> ((4L, 0.4, true)), "B" -> ((4L, 0.35, true)),
+      "C" -> ((2L, 0.1, false))), got.toString)
+  }
+
   test("generalizeUntilK: first satisfying level chosen, finer audited, coarser unchosen") {
     import spark.implicits._
     val df = Seq(
