@@ -259,6 +259,33 @@ object SparkEntry {
       .orderBy("o_orderkey", "valid_from", "version_seq")
   }
 
+  /** Point-in-time SCD2 enrichment ([[ops.Cdc.pointInTimeJoin]] over
+    * [[ops.Cdc.scd2History]]): every change key probed at three
+    * instants — 1h after its first version (hits day-1: X1, or the
+    * same-ts survivor T2), 2 days after (hits X2, or NULL inside a
+    * delete gap — the leakage case a latest-wins join gets wrong), and
+    * 1s before any version (NULL). The oracle replays q51's history
+    * chain plus the interval-residual left join.
+    */
+  private def q68PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val (_, changes) = cdcChangeLog(s, dir)
+    val hist = ops.Cdc.scd2History(changes, "k", "ts_s", "seq", "op")
+      .select(col("k"), col("status"), col("price_cents"),
+        col("valid_from"), col("valid_to"))
+    val keys = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        unix_timestamp(col("o_orderdate")).as("ts_s"))
+      .filter(col("k") % 3 === 0 || (col("k") % 3 === 1 && col("k") % 7 === 0))
+    def probe(tag: String, ts: Column) =
+      keys.select(col("k"), lit(tag).as("probe"), ts.as("probe_ts"))
+    val probes = probe("A", col("ts_s") + 3600L)
+      .unionByName(probe("B", col("ts_s") + 172800L))
+      .unionByName(probe("C", col("ts_s") - 1L))
+    ops.Cdc.pointInTimeJoin(probes, hist, "k", "probe_ts")
+      .select(col("k").as("o_orderkey"), col("probe"), col("probe_ts"),
+        col("status"), col("price_cents"))
+      .orderBy("o_orderkey", "probe")
+  }
+
   /** Bitemporal history ([[ops.Cdc.bitemporalHistory]]): q51's change
     * log reshaped into two transaction batches — batch 1 carries the
     * original updates/deletes, batch 2 retroactively corrects the even
@@ -5368,6 +5395,40 @@ object SparkEntry {
         lit(3L).as("n_dirs_total"), lit(1L).as("n_dirs_read"))
   }
 
+  /** DYNAMIC PARTITION PRUNING through the gate — Spark's star-schema
+    * scale feature: the fact table is partitioned by `lang`, the
+    * dimension's filter is on a column (`grp`) the optimizer CANNOT
+    * statically relate to the partition key (the dim is read back from
+    * parquet, severing expression lineage), so the only way to skip
+    * fact partitions is the runtime DPP subquery — required present in
+    * the executed plan, and the answer must equal the plain join (the
+    * oracle re-derives `grp` from the same substring rule). At 100 TB
+    * this is the difference between scanning 2/5 and 5/5 of the fact.
+    */
+  private def io23DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "dpp")
+    val docs = Tables.documents(s, dir)
+    docs.select("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$base/fact")
+    docs.select(col("lang")).distinct()
+      .select(col("lang"), substring(col("lang"), 1, 1).as("grp"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = s.read.parquet(s"$base/fact")
+    val dim = s.read.parquet(s"$base/dim").filter(col("grp") === "e")
+    val joined = fact.join(dim, Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+    val rows = joined.collect()
+    val planStr = joined.queryExecution.executedPlan.toString
+    require(planStr.toLowerCase.contains("dynamicpruning"),
+      "io23: no dynamic-partition-pruning subquery in the executed plan " +
+        "— the fact scan would read every partition at 100 TB")
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), joined.schema)
+      .orderBy("lang")
+  }
+
   /** Corrupt-file tolerance — a junk file planted among valid parquet
     * parts must be SKIPPED, not fail the scan, under the per-read
     * `ignoreCorruptFiles` option (per-read, not session conf: the conf
@@ -5639,8 +5700,10 @@ object SparkEntry {
     "io20_delete_where" -> io20DeleteWhere _,
     "io21_compact" -> io21Compact _,
     "io22_stats_prune" -> io22StatsPrune _,
+    "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
+    "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
     "sim10_mmr" -> sim10Mmr _,
@@ -8508,6 +8571,51 @@ object SparkEntry {
         |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(3 AS BIGINT) AS n_dirs_total, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM f""".stripMargin,
+    // DPP is lossless: the oracle is the plain filtered join, grp
+    // re-derived by the same substring rule
+    "io23_dynamic_pruning" ->
+      """WITH dim AS (SELECT DISTINCT lang FROM documents),
+        |d AS (SELECT lang FROM dim WHERE substr(lang, 1, 1) = 'e')
+        |SELECT f.lang, count(*) AS n,
+        |  CAST(sum(f.n_chars) AS BIGINT) AS total_chars
+        |FROM documents f JOIN d ON f.lang = d.lang
+        |GROUP BY f.lang ORDER BY f.lang""".stripMargin,
+    // q51's SCD2 chain + the interval-residual left join: probe A hits
+    // day-1 (X1 / same-ts survivor T2), probe B hits day-2 or the
+    // delete gap (NULL), probe C predates every version (NULL)
+    "q68_point_in_time" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |        epoch_ns(o_orderdate) // 1000000000 AS ts_s FROM orders),
+        |ch AS (
+        |  SELECT k, 'U' AS op, ts_s, 1 AS seq, 'X1' AS status,
+        |         price_cents + 111 AS price_cents FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN 'D' ELSE 'U' END, ts_s + 86400, 1,
+        |         CASE WHEN k % 11 = 0 THEN NULL ELSE 'X2' END,
+        |         price_cents + 222 FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 2, 'T2', price_cents + 333 FROM o
+        |  WHERE k % 3 = 1 AND k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'U', ts_s, 1, 'T1', price_cents + 444 FROM o
+        |  WHERE k % 3 = 1 AND k % 7 = 0),
+        |v AS (SELECT ch.*, lead(ts_s) OVER (
+        |        PARTITION BY k ORDER BY ts_s, seq) AS valid_to FROM ch),
+        |hist AS (SELECT k, status, price_cents, ts_s AS valid_from, valid_to
+        |         FROM v WHERE op <> 'D'),
+        |keys AS (SELECT k, ts_s FROM o
+        |         WHERE k % 3 = 0 OR (k % 3 = 1 AND k % 7 = 0)),
+        |probes AS (
+        |  SELECT k, 'A' AS probe, ts_s + 3600 AS probe_ts FROM keys
+        |  UNION ALL SELECT k, 'B', ts_s + 172800 FROM keys
+        |  UNION ALL SELECT k, 'C', ts_s - 1 FROM keys)
+        |SELECT p.k AS o_orderkey, p.probe, p.probe_ts,
+        |  h.status, h.price_cents
+        |FROM probes p LEFT JOIN hist h ON h.k = p.k
+        |  AND p.probe_ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+        |ORDER BY o_orderkey, probe""".stripMargin,
     // copy-on-write delete: v3 = everything, v4 = the anti-filter;
     // commit-shape literals pinned (2 carried, 1 rewritten)
     "io20_delete_where" ->

@@ -150,6 +150,40 @@ object Cdc {
         (col("valid_to").isNull).as("is_current"): _*)
   }
 
+  /** POINT-IN-TIME dimension join — the warehouse enrichment step that
+    * makes [[scd2History]] useful to facts: each fact row joins the
+    * dimension version VALID AT ITS OWN timestamp (half-open
+    * `[valid_from, valid_to)`, NULL `valid_to` = still open), so a
+    * reprocessed fact from last March gets last March's dimension, not
+    * today's — the join that prevents silent feature leakage in
+    * training-data builds. Facts with no valid version (unknown key, a
+    * timestamp before the first version, or inside a delete gap) keep
+    * NULL dimension columns; zero-length same-ts superseded versions
+    * can never match (`ts >= from AND ts < to` is empty).
+    *
+    * Scale shape: ONE key-partitioned join (equi on the key, the
+    * interval as a residual predicate — never a theta join); SCD2
+    * disjointness bounds matches at ≤ 1 per fact, so no fanout and no
+    * dedup pass. With a key-bucketed dimension the big fact side is the
+    * only shuffle.
+    *
+    * @return facts' columns + the dimension's payload columns (key and
+    *         validity bounds dropped)
+    */
+  def pointInTimeJoin(facts: DataFrame, hist: DataFrame, keyCol: String,
+      factTsCol: String, fromCol: String = "valid_from",
+      toCol: String = "valid_to"): DataFrame = {
+    val f = facts.as("f")
+    val h = hist.as("h")
+    val cond = col(s"f.$keyCol") === col(s"h.$keyCol") &&
+      col(s"f.$factTsCol") >= col(s"h.$fromCol") &&
+      (col(s"h.$toCol").isNull || col(s"f.$factTsCol") < col(s"h.$toCol"))
+    val payload = hist.columns.filterNot(Set(keyCol, fromCol, toCol)).toSeq
+    f.join(h, cond, "left")
+      .select(facts.columns.toSeq.map(c => col(s"f.$c")) ++
+        payload.map(c => col(s"h.$c")): _*)
+  }
+
   /** Bitemporal version history — [[scd2History]] lifted to TWO time
     * axes: valid time (`tsCol` — when the fact was true in the world)
     * and transaction time (`txCol` — the ingestion batch in which the

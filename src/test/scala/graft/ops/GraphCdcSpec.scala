@@ -475,6 +475,34 @@ class GraphCdcSpec extends SparkSpec {
       got.toString)
   }
 
+  test("pointInTimeJoin: version valid at the fact ts; gaps and pre-history NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // key 1: v1 [10, 20), v2 [20, ∞); key 2: one closed version [10, 30)
+    // (a delete gap after 30); key 3: same-ts supersession — v(seq1)
+    // zero-length [10, 10), v(seq2) [10, ∞)
+    val hist = Seq(
+      (1L, "v1", 10L, Some(20L)), (1L, "v2", 20L, None),
+      (2L, "w1", 10L, Some(30L)),
+      (3L, "z1", 10L, Some(10L)), (3L, "z2", 10L, None)
+    ).toDF("k", "ver", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, 15L), (1L, 20L), (1L, 25L), // v1, v2 (half-open), v2
+      (2L, 35L),                       // delete gap -> NULL
+      (3L, 10L),                       // zero-length v never matches -> z2
+      (4L, 10L), (1L, 5L)              // unknown key / pre-history -> NULL
+    ).toDF("k", "ts")
+    val got = Cdc.pointInTimeJoin(facts, hist, "k", "ts")
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 5L, null), (1L, 15L, "v1"), (1L, 20L, "v2"), (1L, 25L, "v2"),
+      (2L, 35L, null), (3L, 10L, "z2"), (4L, 10L, null)), got.toString)
+    // SCD2 disjointness means no fanout: row count == fact count
+    assert(Cdc.pointInTimeJoin(facts, hist, "k", "ts").count() == facts.count())
+  }
+
   private def mergeFixture() = {
     import spark.implicits._
     val target = Seq((1L, 100L, "A"), (2L, 200L, "B"), (3L, 300L, "C"))
