@@ -3141,6 +3141,22 @@ object SparkEntry {
     ops.Privacy.dpNoisyCounts(Tables.documents(s, dir), "lang",
       epsilon = 0.5, releaseTag = "release-2026-08-14").orderBy("g")
 
+  /** MAD robust outlier screen ([[ops.Profile.madOutlierStats]]) over
+    * event value cents per type — the median-based screen a mean/stddev
+    * z-score can't be (outliers drag the mean and inflate sigma until
+    * nothing flags). Spark `percentile` and DuckDB `quantile_cont`
+    * share the `p·(n−1)` rank definition; p=0.5 over integer cents
+    * interpolates on the exact half grid, so every flag decision
+    * replays bit-for-bit.
+    */
+  private def t73MadOutliers(s: SparkSession, dir: String): DataFrame =
+    ops.Profile.madOutlierStats(
+        Tables.events(s, dir).select(col("event_type"),
+          cents(col("value")).as("cents")),
+        "event_type", "cents")
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
   /** t-closeness release gate ([[ops.Privacy.tClosenessAudit]]) — the
     * distribution-skew audit completing the k-anonymity (t68) /
     * l-diversity (t70) ladder: per-nation market-segment distributions
@@ -4895,6 +4911,25 @@ object SparkEntry {
         ops.Multimodal.withGeneratedGif(Tables.documents(s, dir)))
       .orderBy("doc_id", "frame_idx")
 
+  /** Decode-free image triage ([[ops.Multimodal.pngHeaderStats]]):
+    * width/height straight out of the PNG IHDR bytes as one codegen'd
+    * projection — the column-scan-speed pass that sizes and filters an
+    * image corpus before any real decode. Dimensions are required
+    * in-query to match the generation arithmetic distributed, and the
+    * oracle replays the same rule — so a header-offset bug cannot pass.
+    */
+  private def m18PngHeader(s: SparkSession, dir: String): DataFrame = {
+    val stats = ops.Multimodal.pngHeaderStats(
+      ops.Multimodal.withGeneratedPng(Tables.documents(s, dir)))
+    val bad = stats.filter(col("width") =!= lit(8) + col("doc_id") % 9 ||
+      col("height") =!= lit(8) + col("doc_id") % 7).limit(1).count()
+    require(bad == 0,
+      "m18: IHDR-parsed dimensions disagree with the generated geometry")
+    stats.select(col("doc_id"), col("width"), col("height"),
+        (col("width") * col("height")).as("n_px"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual dHash through the REAL codec: generated PNGs decoded by
     * `ImageIO`, 9×8-gray downsampled, adjacent-pixel bits — the oracle
     * recomputes all 72 grays and 64 comparisons from the generation
@@ -5682,6 +5717,8 @@ object SparkEntry {
     "q61_stream_lakehouse" -> q61StreamLakehouse _,
     "q67_stream_maintenance" -> q67StreamMaintenance _,
     "t72_t_closeness" -> t72TCloseness _,
+    "t73_mad_outliers" -> t73MadOutliers _,
+    "m18_png_header" -> m18PngHeader _,
     "q62_ewma" -> q62Ewma _,
     "q63_stream_ewma" -> q63StreamEwma _,
     "q30_cube" -> q30Cube _,
@@ -8571,6 +8608,30 @@ object SparkEntry {
         |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(3 AS BIGINT) AS n_dirs_total, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM f""".stripMargin,
+    // IHDR parsing replayed from the generation geometry (the in-query
+    // require already pinned parse == generation distributed)
+    "m18_png_header" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+        |  CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_px
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // median + MAD + flags: quantile_cont shares percentile's p(n-1)
+    // rank rule; p=.5 over integer cents stays on the exact half grid
+    "t73_mad_outliers" ->
+      """WITH e AS (SELECT event_type AS g,
+        |        CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) AS x
+        |      FROM events),
+        |m AS (SELECT g, quantile_cont(x, 0.5) AS med FROM e GROUP BY g),
+        |d AS (SELECT e.g, m.med, abs(e.x - m.med) AS dd
+        |      FROM e JOIN m ON e.g = m.g),
+        |md AS (SELECT g, quantile_cont(dd, 0.5) AS mad FROM d GROUP BY g)
+        |SELECT d.g AS event_type, count(*) AS n,
+        |  any_value(d.med) AS med, any_value(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN dd > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md ON d.g = md.g
+        |GROUP BY d.g ORDER BY event_type""".stripMargin,
     // DPP is lossless: the oracle is the plain filtered join, grp
     // re-derived by the same substring rule
     "io23_dynamic_pruning" ->

@@ -846,4 +846,27 @@ object Multimodal {
       when(hex(substring(col(binCol), 1, 8)) === "89504E470D0A1A0A", "image")
         .when(hex(substring(col(binCol), 1, 4)) === "52494646", "audio")
         .otherwise("unknown"))
+
+  /** DECODE-FREE image metadata — width/height parsed straight out of
+    * the PNG IHDR header bytes (signature at offset 0, big-endian
+    * dimensions at byte offsets 16/20) as ONE codegen'd
+    * `conv(hex(substring(...)))` projection: no ImageIO, no object
+    * allocation, no UDF. At 100 TB this is the triage pass that sizes,
+    * routes, and filters an image corpus at column-scan speed, reserving
+    * the ~1000× costlier real decode ([[decodeImage]]) for the rows that
+    * survive. Non-PNG rows emit NULL dimensions (the quarantine-style
+    * degrade of [[routeModality]], never a throw).
+    *
+    * @return (idCol, width, height, n_bytes)
+    */
+  def pngHeaderStats(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media"): DataFrame = {
+    val isPng = hex(substring(col(binCol), 1, 8)) === "89504E470D0A1A0A"
+    def be32(pos: Int) =
+      conv(hex(substring(col(binCol), pos, 4)), 16, 10).cast("long")
+    df.select(col(idCol),
+      when(isPng, be32(17)).as("width"),
+      when(isPng, be32(21)).as("height"),
+      length(col(binCol)).cast("long").as("n_bytes"))
+  }
 }

@@ -97,6 +97,42 @@ object Profile {
         col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
   }
 
+  /** MAD-based robust outlier screen — the median/median-absolute-
+    * deviation twin of q33's rolling z-score: mean/stddev screens are
+    * themselves dragged by the outliers they hunt (one 1000× row shifts
+    * the mean AND inflates sigma until nothing flags), medians are not.
+    * Flags `|x − median| > k·MAD` per group.
+    *
+    * Exactness: Spark's `percentile` and the oracle's `quantile_cont`
+    * share the same rank definition (`p·(n−1)`, linear interpolation);
+    * over integer-valued inputs the p=0.5 interpolation lands on the
+    * exact 0.5 grid in doubles (midpoints of integers ≤ 2⁵¹), so med,
+    * MAD, and every flag decision replay bit-for-bit. The groupwise
+    * exact percentile is sort-based per group — the documented swap at
+    * corpus scale is [[graft.ops.Sketch]]'s DDSketch quantiles (t66),
+    * which trade the sort for α-relative error.
+    *
+    * Scale shape: two grouped aggregates + one broadcast-joined flag
+    * pass, all keyed on the (vocab-bounded) group column.
+    *
+    * @return (group, n, med, mad, n_outliers)
+    */
+  def madOutlierStats(df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"MAD multiplier must be positive: $k")
+    val v = df.select(col(groupCol).as("g"), col(valCol).cast("double").as("x"))
+    val med = v.groupBy("g").agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = v.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("x"), col("med"), abs(col("x") - col("med")).as("d"))
+    val mad = dev.groupBy("g").agg(expr("percentile(d, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
   /** Key-skew profile for a prospective shuffle/join/groupBy key — the
     * diagnostic that decides WHICH mitigation a 100 TB plan needs
     * (nothing / AQE skew split / explicit salting / broadcast): one row

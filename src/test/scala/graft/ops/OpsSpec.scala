@@ -647,6 +647,27 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.isNullAt(1), "corrupt-but-routed row must decode to NULL")
   }
 
+  test("pngHeaderStats: IHDR dims match the real decoder; non-PNG rows NULL") {
+    import spark.implicits._
+    val d = Seq((2L, ""), (11L, ""), (40L, "")).toDF("doc_id", "text")
+    val png = Multimodal.withGeneratedPng(d)
+    val got = Multimodal.pngHeaderStats(png).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // header parse must equal the REAL ImageIO decode, not just the
+    // generation arithmetic
+    val dec = Multimodal.decodeImage(png).select("doc_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getInt(2).toLong))).toMap
+    assert(got == dec, s"header $got vs decoder $dec")
+    val junk = Seq((99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+      11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24)))
+      .toDF("doc_id", "media")
+    val j = Multimodal.pngHeaderStats(junk).head
+    assert(j.isNullAt(1) && j.isNullAt(2) && j.getLong(3) == 24L)
+    // decode-free: the projection stays codegen, no UDF, no ImageIO
+    val plan = Multimodal.pngHeaderStats(png).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("mapPartitions"), plan)
+  }
+
   test("routeModality stays codegen-compiled (no UDF)") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1, 2))).toDF("doc_id", "media")

@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
 
+  test("madOutlierStats: hand case incl. even-count interpolation; robust to the outlier") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 10L)).toDF("g", "v")
+    val got = Profile.madOutlierStats(df, "g", "v")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // a: med 3, devs [2,1,0,1,97] -> mad 1; only 100 exceeds 3·1
+    //    (a mean/stddev screen flags NOTHING here: mean 22, σ≈43.6)
+    assert(got("a") == ((5L, 3.0, 1.0, 1L)), got.toString)
+    // b: even count — med (2+3)/2 = 2.5, devs [1.5, .5, .5, 7.5]
+    //    -> mad (.5+1.5)/2 = 1.0; only 10 flags
+    assert(got("b") == ((4L, 2.5, 1.0, 1L)), got.toString)
+  }
+
   test("profile: exact rows/nulls/distincts per column, one row each") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](
