@@ -610,4 +610,41 @@ class PlanAuditSpec extends SparkSpec {
       graft.ops.Sketch.ddQuantiles(sk, Seq(500000L, 990000L), 10000L))
     assert(!qPlan.contains("SortMergeJoin"), s"bucket walk sort-merged:\n$qPlan")
   }
+
+  test("q68 point-in-time join is equi-keyed with interval residual, never a nested loop") {
+    // the interval predicate must ride as a RESIDUAL on the key equi-join;
+    // a planner regression to theta pairing is the 100 TB killer here
+    val plan = executed(SparkEntry.queries("q68_point_in_time")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"point-in-time join planned as a nested loop:\n$plan")
+  }
+
+  test("q64 MERGE INTO is one key equi-join, never a nested loop") {
+    val plan = executed(SparkEntry.queries("q64_merge_into")(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"MERGE planned as a nested loop:\n$plan")
+  }
+
+  test("io20 deleteWhere hit discovery pushes the predicate to the parquet scan") {
+    import org.apache.spark.sql.functions.input_file_name
+    val t = "/tmp/graft_io/planaudit/delwhere"
+    val p = new org.apache.hadoop.fs.Path(t)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+    graft.io.Snapshots.commit(o, t)
+    // the same read shape deleteWhere uses for hit discovery: the filter
+    // must reach the scan as PushedFilters so non-matching files cost
+    // only footer reads at 100 TB
+    val dir = f.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .head.getPath.toString
+    val probe = spark.read.parquet(dir).filter(col("prio") === "1-URGENT")
+      .select(input_file_name().as("f")).distinct()
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(prio), EqualTo(prio,1-URGENT)]")
+      || plan.contains("EqualTo(prio,1-URGENT)"),
+      s"delete predicate not pushed to the scan:\n$plan")
+  }
 }
