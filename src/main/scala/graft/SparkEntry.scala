@@ -1162,6 +1162,32 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Incremental MIN/MAX maintenance through the gate ([[ops.Cdc
+    * .incrementalMinMax]]) — the non-invertible aggregate q56's signed
+    * fold cannot express: extrema re-derive from the maintained support
+    * multiset (q57's artifact), so a deleted minimum resurrects its
+    * successor with zero rescans. Same CDC fixture as q57; the oracle
+    * recomputes the survivor multiset's extrema from scratch.
+    */
+  private def q69IncrementalMinMax(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      cents(col("value")).as("v"))
+    val base = e.filter(col("event_id") % 5 =!= 0)
+    val baseVc = base.groupBy(col("user_id"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val delta = e.filter(col("event_id") % 5 === 0)
+        .select(lit("I").as("op"), col("user_id"), col("v"))
+      .unionByName(base.filter(col("event_id") % 7 === 0)
+        .select(lit("D").as("op"), col("user_id"), col("v")))
+    val out = ops.Cdc.incrementalMinMax(baseVc, delta, "user_id", "op", "v")
+    // this fixture only deletes rows that exist — any negative support
+    // is a maintenance bug, required loudly
+    require(out.filter(col("n_negative") =!= 0L).limit(1).count() == 0,
+      "q69: negative support rows from a clean change log")
+    out.select(col("user_id"), col("min_v"), col("max_v"), col("n_distinct"))
+      .orderBy("user_id")
+  }
+
   /** Incremental JOIN-view maintenance through the gate — aggregate
     * push-through-join over two [[ops.Cdc.incrementalAgg]]-maintained
     * side views: per-user click stats (n_a, sum_a) and purchase stats
@@ -5711,6 +5737,7 @@ object SparkEntry {
     "q55_stream_attribution" -> q55StreamAttribution _,
     "q56_incremental_agg" -> q56IncrementalAgg _,
     "q57_incremental_distinct" -> q57IncrementalDistinct _,
+    "q69_incremental_minmax" -> q69IncrementalMinMax _,
     "q58_incremental_join" -> q58IncrementalJoin _,
     "q59_incremental_quantiles" -> q59IncrementalQuantiles _,
     "q60_stream_ivm" -> q60StreamIvm _,
@@ -9142,6 +9169,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT user_id, v FROM e WHERE event_id % 5 = 0)
         |SELECT user_id, count(DISTINCT v) AS n_distinct, count(*) AS n_rows
+        |FROM survivors GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // extrema recomputed from the survivor multiset from scratch — the
+    // support-maintained min/max must land on the identical values
+    "q69_incremental_minmax" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |survivors AS (
+        |  SELECT user_id, v FROM e WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT user_id, v FROM e WHERE event_id % 5 = 0)
+        |SELECT user_id, min(v) AS min_v, max(v) AS max_v,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
         |FROM survivors GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the REAL survivor pair table, materialized and aggregated — the
     // algebraically-derived join view must match it exactly

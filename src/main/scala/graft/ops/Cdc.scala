@@ -310,6 +310,28 @@ object Cdc {
       .filter(col("cnt") =!= 0L)
   }
 
+  /** Incremental MIN/MAX maintenance — the canonical NON-INVERTIBLE
+    * aggregate (deleting the current minimum tells you nothing about
+    * the next one): like DISTINCT ([[incrementalDistinct]]), the
+    * maintained artifact is the SUPPORT MULTISET `(key, value, cnt)`,
+    * and min/max/distinct re-derive by one rollup over that
+    * distinct-values-bounded table — when the minimum is deleted, its
+    * successor is already in the support, no fact rescans ever.
+    * Over-deleted values (negative support) are EXCLUDED from the
+    * derive but surfaced in `n_negative`, so corruption stays visible
+    * without poisoning the extrema.
+    *
+    * @return (key, min_v, max_v, n_distinct, n_negative)
+    */
+  def incrementalMinMax(baseVc: DataFrame, delta: DataFrame, keyCol: String,
+      opCol: String, valCol: String): DataFrame =
+    incrementalDistinct(baseVc, delta, keyCol, opCol, valCol)
+      .groupBy(col(keyCol))
+      .agg(min(when(col("cnt") > 0, col(valCol))).as("min_v"),
+        max(when(col("cnt") > 0, col(valCol))).as("max_v"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_distinct"),
+        sum(when(col("cnt") < 0, 1L).otherwise(0L)).as("n_negative"))
+
   def incrementalAgg(baseAgg: DataFrame, delta: DataFrame, keyCol: String,
       opCol: String, valCol: String): DataFrame = {
     val d = delta.select(col(keyCol),

@@ -475,6 +475,25 @@ class GraphCdcSpec extends SparkSpec {
       got.toString)
   }
 
+  test("incrementalMinMax: deleted minimum resurrects its successor; over-delete audited") {
+    import spark.implicits._
+    // key A support: 1×1, 2×2, 9×1 — min 1, max 9
+    val base = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 9L, 1L))
+      .toDF("k", "v", "cnt")
+    // delete the minimum AND the maximum; insert a new high
+    val delta = Seq(("D", "A", 1L), ("D", "A", 9L), ("I", "A", 5L))
+      .toDF("op", "k", "v")
+    val r = Cdc.incrementalMinMax(base, delta, "k", "op", "v").head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 5L, 2L, 0L)), r.toString) // min resurrects 2, max falls to 5
+    // an over-delete of a value never present: extrema unpoisoned,
+    // corruption surfaced in n_negative
+    val bad = Seq(("D", "A", 777L)).toDF("op", "k", "v")
+    val r2 = Cdc.incrementalMinMax(base, bad, "k", "op", "v").head()
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(4)) == ((1L, 9L, 1L)),
+      r2.toString)
+  }
+
   test("pointInTimeJoin: version valid at the fact ts; gaps and pre-history NULL") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
