@@ -52,7 +52,7 @@ object Bench {
       "q17_stream_join", "q26_stream_static", "q35_stream_hopping",
       "d13_stream_dedup", "q50_stream_cms", "q55_stream_attribution",
       "q60_stream_ivm", "q61_stream_lakehouse", "q63_stream_ewma",
-      "q65_stream_dedup", "q67_stream_maintenance")
+      "q65_stream_dedup", "q67_stream_maintenance", "q70_stream_restart")
     val (serialWarm, parWarm) = ordered.partition(q => streamingNames(q._1))
     // Pre-install the as-of planner strategy on THIS thread before the
     // warmup pool spawns: q21's warmup otherwise read-modify-writes the

@@ -537,6 +537,98 @@ object SparkEntry {
     * the integer recurrence can promise (float EWMA would drift with
     * the fold boundary). State rows pinned to the distinct-user count.
     */
+  /** STREAM RESTART — checkpoint state recovery through the gate: the
+    * one streaming durability property the other gates don't touch.
+    * q63's order-sensitive integer EWMA runs on two slices, the query
+    * STOPS, a third slice arrives, and a NEW query on the SAME
+    * checkpoint resumes — source offsets must restore (the second run
+    * is REQUIRED to emit only the new slice's rows, never reprocess)
+    * and the per-user fold state must restore bit-exactly (the union of
+    * both runs' emissions is gated against q62's batch SQL verbatim; a
+    * state reset would restart every user's EWMA at the slice-3
+    * boundary and hash-mismatch). This is the crash/redeploy contract a
+    * 24/7 pipeline actually relies on.
+    */
+  private def q70StreamRestart(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = ioTmp(dir, "q70")
+    val e = Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), cents(col("value")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base) // in/ AND the durable ckpt/
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val mm = e.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+    def writeSlice(pred: Column, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      e.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    writeSlice(col("ts_us") < c1, "slice0", 1000000000000L)
+    writeSlice(col("ts_us") >= c1 && col("ts_us") < c2, "slice1", 1000000060000L)
+    val n01 = e.filter(col("ts_us") < c2).count()
+    val n2 = e.filter(col("ts_us") >= c2).count()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_id", LongType), StructField("cents", LongType)))
+    val ckpt = s"$base/ckpt" // DURABLE: shared by both runs — the point
+    // memory sink cannot recover a checkpoint; foreachBatch can — the
+    // emissions collect driver-side with a batch-id replay guard (q50's
+    // at-least-once discipline). Batch ids continue across the restart,
+    // so one guard set covers both runs.
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val seen = scala.collection.mutable.Set[Long]()
+    var outSchema: StructType = null
+    def run(): Long = withStatePartitions(s, 8) {
+      val before = got.synchronized(got.size)
+      val streamed = graft.streaming.EventsStream.ewmaStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/in"), 300000L)
+      outSchema = streamed.schema
+      val q = streamed.writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            val rows = b.collect()
+            got.synchronized { if (seen.add(id)) got ++= rows }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.synchronized(got.size) - before
+    }
+    val nA = run()
+    require(nA == n01, s"q70 first run emitted $nA rows, expected $n01")
+    // the RESTART: new data lands, a fresh query resumes the checkpoint
+    writeSlice(col("ts_us") >= c2, "slice2", 1000000120000L)
+    e.unpersist()
+    val nB = run()
+    require(nB == n2,
+      s"q70 restart reprocessed history: emitted $nB rows, expected only " +
+        s"the new slice's $n2 — source offsets did not restore")
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(
+          got.synchronized(got.toSeq): _*)), outSchema)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_us div 1000000").as("ts_s"),
+        (col("cents").cast("double") / 100.0).as("value"),
+        round(col("ewma_micro").cast("double") / 1e8, 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def q63StreamEwma(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val base = ioTmp(dir, "q63")
@@ -5748,6 +5840,7 @@ object SparkEntry {
     "m18_png_header" -> m18PngHeader _,
     "q62_ewma" -> q62Ewma _,
     "q63_stream_ewma" -> q63StreamEwma _,
+    "q70_stream_restart" -> q70StreamRestart _,
     "q30_cube" -> q30Cube _,
     "q31_window_family" -> q31WindowFamily _,
     "q32_gapfill" -> q32Gapfill _,
@@ -8848,6 +8941,26 @@ object SparkEntry {
         |FROM w ORDER BY user_id, event_id""".stripMargin,
     // q62's batch oracle VERBATIM: the integer recurrence makes
     // stream == batch bit-for-bit, so one SQL serves both gates
+    // q62's batch SQL verbatim a second time: a restart that loses
+    // offsets or state cannot reproduce the batch fold
+    "q70_stream_restart" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |        CAST(floor(value*100 + 0.5) AS BIGINT) * 1000000 AS xm
+        |      FROM events WHERE user_id < 20),
+        |g AS (SELECT user_id,
+        |        list(xm ORDER BY ts_us, event_id) AS xs,
+        |        list(event_id ORDER BY ts_us, event_id) AS ids,
+        |        list(ts_us ORDER BY ts_us, event_id) AS tss
+        |      FROM ev GROUP BY user_id),
+        |ix AS (SELECT user_id, xs, ids, tss,
+        |        unnest(generate_series(1, len(xs))) AS i FROM g)
+        |SELECT user_id, ids[i] AS event_id,
+        |  tss[i] // 1000000 AS ts_s,
+        |  CAST(xs[i] // 1000000 AS DOUBLE) / 100.0 AS value,
+        |  round(CAST(list_reduce(xs[1:i],
+        |    (a, b) -> (300000 * b + 700000 * a + 500000) // 1000000) AS DOUBLE)
+        |    / 100000000.0, 6) AS ewma
+        |FROM ix ORDER BY user_id, event_id""".stripMargin,
     "q63_stream_ewma" ->
       """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
         |        CAST(floor(value*100 + 0.5) AS BIGINT) * 1000000 AS xm
