@@ -528,6 +528,81 @@ object SparkEntry {
         col("forecast_micro"))
       .orderBy("user_id", "event_id")
 
+  /** Holt-Winters additive-seasonal smoothing
+    * ([[ops.Timeseries.holtWinters]], α=0.4 β=0.3 γ=0.5, period 4):
+    * level + trend + per-phase seasonal as exact micro-integer
+    * recurrences. The oracle replays the (2+m)-state fold as a
+    * RECURSIVE CTE carrying the m=4 seasonal slots as four explicit
+    * columns rotated by `(rn−1) % 4` — the level update is inlined
+    * into the trend AND seasonal updates so all three see the same
+    * floor-divided integer (the q66 discipline, one state wider).
+    */
+  private def q71HoltWinters(s: SparkSession, dir: String): DataFrame =
+    ops.Timeseries.holtWinters(
+        Tables.events(s, dir).filter(col("user_id") < 20),
+        "user_id", "ts", "value", "event_id", 400000L, 300000L, 500000L, 4)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        (col("ts_us") / lit(1000000L)).cast("long").as("ts_s"),
+        col("cents"), col("level_micro"), col("trend_micro"),
+        col("season_micro"), col("forecast_micro"))
+      .orderBy("user_id", "event_id")
+
+  /** Frequent BRAND pairs within orders ([[ops.Baskets.frequentPairs]])
+    * — market-basket affinity with exact integer-micro lift. Baskets =
+    * order → distinct part brands (broadcast dim join; brand domain is
+    * fixed at 25, so results stay dense at every sf). Support floor is
+    * RELATIVE (`max(3, n_baskets/50)`) so the query means the same
+    * thing at sf0.001 and at 100 TB. The lift numerator
+    * `support·n_baskets·1e6` stays in LONG — exact to n_baskets ≈ 3·10⁹,
+    * i.e. per-day partitions at corpus scale; beyond that the same
+    * expression moves to DECIMAL(38,0).
+    */
+  private def q72BasketPairs(s: SparkSession, dir: String): DataFrame =
+    ops.Baskets.frequentPairsRelative(
+        basketBrands(s, dir), "basket", "item", 3L, 50L)
+      .orderBy("item_a", "item_b")
+
+  private def basketBrands(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+
+  /** Frequent brand TRIPLES ([[ops.Baskets.frequentTriples]]) — a-priori
+    * level 3: only extensions of already-frequent pairs are counted.
+    * Lower relative floor (`max(3, n_baskets/500)`) than q72 — triple
+    * supports are an order sparser than pair supports by construction.
+    */
+  private def q73BasketTriples(s: SparkSession, dir: String): DataFrame =
+    ops.Baskets.frequentTriplesRelative(
+        basketBrands(s, dir), "basket", "item", 3L, 500L)
+      .orderBy("item_a", "item_b", "item_c")
+
+  /** KMV bottom-k distinct sketch over users per event type
+    * ([[ops.Sketch.kmvSketchBy]], k=64) plus the MERGED all-types row
+    * ([[ops.Sketch.kmvMerge]] — set-algebra union of the per-type
+    * sketches, never re-reading the corpus). Output pins the estimate
+    * next to the exact count, so the oracle hash-locks both the sketch
+    * mechanics and its accuracy at this data.
+    */
+  private def t74KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val sk = ops.Sketch.kmvSketchBy(ev, Seq("event_type"), "user_id", k)
+    val perType = ops.Sketch.kmvEstimateBy(sk, Seq("event_type"), k)
+      .select(col("event_type"), col("n_sketch"), col("kth_hash"), col("est"))
+    val merged = ops.Sketch.kmvEstimateBy(ops.Sketch.kmvMerge(sk, k), Nil, k)
+      .select(lit("ALL").as("event_type"), col("n_sketch"), col("kth_hash"), col("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .unionByName(ev.select(countDistinct(col("user_id")).as("n_exact"))
+        .withColumn("event_type", lit("ALL")))
+    perType.unionByName(merged).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_sketch"),
+        col("kth_hash"), col("est"))
+      .orderBy("event_type")
+  }
+
   /** STREAMING EWMA through the gate ([[graft.streaming.EventsStream
     * .ewmaStream]]): q62's exact-integer smoothing run through the real
     * micro-batch engine — users < 20 sliced into three ts-tercile
@@ -5860,6 +5935,10 @@ object SparkEntry {
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
+    "q71_holt_winters" -> q71HoltWinters _,
+    "q72_basket_pairs" -> q72BasketPairs _,
+    "q73_basket_triples" -> q73BasketTriples _,
+    "t74_kmv_sketch" -> t74KmvSketch _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -8716,6 +8795,105 @@ object SparkEntry {
         |  CAST(l + b AS BIGINT) AS forecast_micro
         |FROM st ORDER BY user_id, event_id""".stripMargin
     },
+    // q66's recursive-fold discipline, one state wider: the four
+    // seasonal slots ride as explicit columns s0..s3 rotated by phase
+    // (rn-1)%4; the level expression is inlined into trend and season
+    // so every update floor-divides the same integer
+    "q71_holt_winters" -> {
+      def fdiv(num: String): String =
+        s"(CASE WHEN ($num) >= 0 THEN ($num) // 1000000 " +
+          s"ELSE -(((-($num)) + 999999) // 1000000) END)"
+      val sPrev = "(CASE (ev.rn - 1) % 4 WHEN 0 THEN st.s0 WHEN 1 THEN st.s1 " +
+        "WHEN 2 THEN st.s2 ELSE st.s3 END)"
+      val lExpr = fdiv(s"400000 * (ev.xm - $sPrev) + 600000 * (st.l + st.b) + 500000")
+      val bExpr = fdiv(s"300000 * ($lExpr - st.l) + 700000 * st.b + 500000")
+      val sExpr = fdiv(s"500000 * (ev.xm - $lExpr) + 500000 * $sPrev + 500000")
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS ts_us, event_id,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) * 1000000 AS xm,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts)//1000, event_id) AS rn
+        |  FROM events WHERE user_id < 20),
+        |st AS (
+        |  SELECT user_id, rn, ts_us, event_id, xm, xm AS l,
+        |    CAST(0 AS BIGINT) AS b,
+        |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+        |    CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ev.user_id, ev.rn, ev.ts_us, ev.event_id, ev.xm,
+        |    $lExpr,
+        |    $bExpr,
+        |    CASE WHEN (ev.rn - 1) % 4 = 0 THEN $sExpr ELSE st.s0 END,
+        |    CASE WHEN (ev.rn - 1) % 4 = 1 THEN $sExpr ELSE st.s1 END,
+        |    CASE WHEN (ev.rn - 1) % 4 = 2 THEN $sExpr ELSE st.s2 END,
+        |    CASE WHEN (ev.rn - 1) % 4 = 3 THEN $sExpr ELSE st.s3 END
+        |  FROM st JOIN ev ON ev.user_id = st.user_id AND ev.rn = st.rn + 1)
+        |SELECT user_id, event_id, ts_us // 1000000 AS ts_s,
+        |  xm // 1000000 AS cents,
+        |  CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro,
+        |  CAST(CASE (rn - 1) % 4 WHEN 0 THEN s0 WHEN 1 THEN s1
+        |       WHEN 2 THEN s2 ELSE s3 END AS BIGINT) AS season_micro,
+        |  CAST(l + b + CASE rn % 4 WHEN 0 THEN s0 WHEN 1 THEN s1
+        |       WHEN 2 THEN s2 ELSE s3 END AS BIGINT) AS forecast_micro
+        |FROM st ORDER BY user_id, event_id""".stripMargin
+    },
+    // plain self-join truth: the engine's a-priori pruning is lossless
+    // by monotonicity (pair support >= floor forces both item supports
+    // >= floor), so the f-joins below drop nothing
+    "q72_basket_pairs" ->
+      """WITH it AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |th AS (SELECT count(DISTINCT basket) AS nb,
+        |        greatest(3, count(DISTINCT basket) // 50) AS ms FROM it),
+        |f AS (SELECT item, count(*) AS supp FROM it GROUP BY item
+        |      HAVING count(*) >= (SELECT ms FROM th)),
+        |pr AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+        |      FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= (SELECT ms FROM th))
+        |SELECT pr.item_a, pr.item_b, pr.support,
+        |  fa.supp AS supp_a, fb.supp AS supp_b,
+        |  (pr.support * th.nb * 1000000) // (fa.supp * fb.supp) AS lift_micro
+        |FROM pr JOIN f fa ON fa.item = pr.item_a
+        |  JOIN f fb ON fb.item = pr.item_b, th
+        |ORDER BY item_a, item_b""".stripMargin,
+    "q73_basket_triples" ->
+      """WITH it AS (SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |th AS (SELECT greatest(3, count(DISTINCT basket) // 500) AS ms FROM it)
+        |SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+        |  count(*) AS support
+        |FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+        |  JOIN it c ON a.basket = c.basket AND c.item > b.item
+        |GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT ms FROM th)
+        |ORDER BY item_a, item_b, item_c""".stripMargin,
+    // bottom-k replayed with the repo-wide md5-u32 idiom; the ALL row
+    // re-ranks the union of the per-type sketches (values deduped),
+    // exercising the KMV merge law the Scala side uses
+    "t74_kmv_sketch" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+        |      FROM events),
+        |h AS (SELECT event_type, v,
+        |        CAST(('0x' || substr(md5('kmv:' || v), 1, 8)) AS BIGINT) AS h
+        |      FROM d),
+        |sk AS (SELECT event_type, v, h, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY h, v) AS rn FROM h),
+        |kept AS (SELECT * FROM sk WHERE rn <= 64),
+        |typ AS (SELECT event_type, count(*) AS n_sketch, max(h) AS kth_hash
+        |      FROM kept GROUP BY event_type),
+        |mrg AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rn
+        |      FROM (SELECT DISTINCT v, h FROM kept)),
+        |mtyp AS (SELECT 'ALL' AS event_type, count(*) AS n_sketch,
+        |        max(h) AS kth_hash FROM mrg WHERE rn <= 64),
+        |ex AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY event_type
+        |      UNION ALL
+        |      SELECT 'ALL', count(DISTINCT v) FROM d),
+        |u AS (SELECT * FROM typ UNION ALL SELECT * FROM mtyp)
+        |SELECT u.event_type, ex.n_exact, u.n_sketch, u.kth_hash,
+        |  CASE WHEN u.n_sketch < 64 THEN u.n_sketch
+        |       ELSE (63 * 4294967296) // (u.kth_hash + 1) END AS est
+        |FROM u JOIN ex ON ex.event_type = u.event_type
+        |ORDER BY u.event_type""".stripMargin,
     // stats pruning is lossless (stats admit, residual proves), so the
     // oracle is the plain range filter; bounds re-derived from max(k)
     // with the same floor divisions

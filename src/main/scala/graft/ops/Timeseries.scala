@@ -180,6 +180,82 @@ object Timeseries {
     * @return (key, ts_us, id, cents, level_micro, trend_micro,
     *         forecast_micro) — forecast the one-step-ahead `l + b`
     */
+  /** Holt-Winters ADDITIVE-SEASONAL smoothing — the third rung of the
+    * smoothing ladder ([[ewmaSmooth]] level-only → [[holtSmooth]]
+    * level+trend → this level+trend+season), for series with a known
+    * period `m` (hour-of-day, day-of-week): the seasonal term absorbs
+    * the repeating offset that Holt would smear into trend. Same EXACT
+    * INTEGER discipline — micro units, `+½` floor division
+    * (`Math.floorDiv`), bit-stable across engines/partitionings:
+    *
+    *   i = 1:  l = x₁, b = 0, season untouched (all-zero init)
+    *   i ≥ 2:  p     = (i−1) mod m          (phase of this observation)
+    *           lNew  = ⌊(α·(xᵢ − s[p]) + (1−α)·(l + b) + ½)/1e6⌋
+    *           bNew  = ⌊(β·(lNew − l)  + (1−β)·b       + ½)/1e6⌋
+    *           s[p]  = ⌊(γ·(xᵢ − lNew) + (1−γ)·s[p]    + ½)/1e6⌋
+    *
+    * One-step-ahead forecast = l + b + s[i mod m] AFTER the update —
+    * the next observation's phase. Zero seasonal init (not the
+    * textbook first-season average) keeps step 1 identical to Holt and
+    * makes the recurrence single-pass — at 100 TB a second
+    * initialization pass over every key costs a full extra shuffle for
+    * an offset the γ-recurrence learns within two seasons anyway.
+    *
+    * State: 2 + m LONGs per key; distributed shape identical to
+    * [[holtSmooth]] — one shuffle on the key, `flatMapSortedGroups`
+    * streams each series in `(ts, id)` order, nothing collected.
+    *
+    * @return (key, ts_us, id, cents, level_micro, trend_micro,
+    *         season_micro, forecast_micro) — `season_micro` is s[p]
+    *         after the update (0 at i=1), forecast the one-step-ahead
+    *         `l + b + s[next phase]`
+    */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, alphaMicro: Long,
+      betaMicro: Long, gammaMicro: Long, period: Int): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L &&
+      betaMicro > 0 && betaMicro < 1000000L &&
+      gammaMicro > 0 && gammaMicro < 1000000L,
+      s"smoothing params out of (0, 1e6): $alphaMicro/$betaMicro/$gammaMicro")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), col(idCol).cast("long").as("id"),
+        (floor(col(valueCol) * 100 + 0.5).cast("long") * 1000000L).as("xm"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("id")) { (key, rows) =>
+        var l = 0L
+        var b = 0L
+        val season = new Array[Long](period)
+        var i = 0L
+        rows.map { case (_, ts, id, xm) =>
+          i += 1
+          val sOut = if (i == 1L) { l = xm; b = 0L; 0L }
+          else {
+            val p = ((i - 1) % period).toInt
+            val sPrev = season(p)
+            val lNew = Math.floorDiv(
+              alphaMicro * (xm - sPrev) + (1000000L - alphaMicro) * (l + b)
+                + 500000L, 1000000L)
+            b = Math.floorDiv(
+              betaMicro * (lNew - l) + (1000000L - betaMicro) * b + 500000L,
+              1000000L)
+            l = lNew
+            season(p) = Math.floorDiv(
+              gammaMicro * (xm - lNew) + (1000000L - gammaMicro) * sPrev
+                + 500000L, 1000000L)
+            season(p)
+          }
+          val fc = l + b + season((i % period).toInt)
+          (key, ts, id, xm / 1000000L, l, b, sOut, fc)
+        }
+      }
+      .toDF("key", "ts_us", "id", "cents", "level_micro", "trend_micro",
+        "season_micro", "forecast_micro")
+  }
+
   def holtSmooth(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, idCol: String, alphaMicro: Long,
       betaMicro: Long): DataFrame = {

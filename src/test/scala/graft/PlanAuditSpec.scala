@@ -647,4 +647,41 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("EqualTo(prio,1-URGENT)"),
       s"delete predicate not pushed to the scan:\n$plan")
   }
+
+  test("KMV sketch: rn<=k gets WindowGroupLimit — shuffle carries O(keys*k), not the corpus") {
+    // The scaladoc's scale claim: Catalyst's InferWindowGroupLimit
+    // installs a partial bottom-k on the map side of the window
+    // shuffle. If a refactor loses the `row_number <= k` shape, the
+    // full distinct-value volume hits one sort per key.
+    val plan = executed(SparkEntry.queries("t74_kmv_sketch")(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), s"t74 lost WindowGroupLimit:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"t74 fell off codegen:\n$plan")
+  }
+
+  test("q72 basket pairs: pruning lists broadcast, self-join equi-keyed, no cartesian") {
+    val plan = executed(SparkEntry.queries("q72_basket_pairs")(spark, sf0001))
+    assert(countOf(plan, "CartesianProduct") == 0, s"cartesian in q72:\n$plan")
+    // the within-basket pair join is an EQUI-join on the basket id
+    // (sort-merge or shuffled-hash, either is the bounded shape);
+    // nested-loop joins appear only as broadcast 1-row stats feeds:
+    // one inside each of the three freq-subtree references (semi-join
+    // prune, supp_a, supp_b) — Catalyst dedupes the expensive parts
+    // underneath them via ReusedExchange (asserted below), so the
+    // corpus-level support shuffle runs once, not three times
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || countOf(plan, "BroadcastHashJoin") >= 3, s"q72 join shape:\n$plan")
+    val bnl = countOf(plan, "BroadcastNestedLoopJoin")
+    assert(bnl <= 3, s"q72 has $bnl nested-loop joins (expected only 1-row stats):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"q72 recomputes the shared support subplan instead of reusing it:\n$plan")
+    // support counting combines before its shuffle
+    assert(plan.contains("partial_count"), s"q72 lost partial aggregation:\n$plan")
+  }
+
+  test("q73 basket triples: a-priori semi-joins stay broadcast, no cartesian") {
+    val plan = executed(SparkEntry.queries("q73_basket_triples")(spark, sf0001))
+    assert(countOf(plan, "CartesianProduct") == 0, s"cartesian in q73:\n$plan")
+    assert(plan.contains("LeftSemi"), s"q73 lost the a-priori semi-join prune:\n$plan")
+    assert(plan.contains("partial_count"), s"q73 lost partial aggregation:\n$plan")
+  }
 }

@@ -268,4 +268,44 @@ class SketchSpec extends SparkSpec {
     val rebuilt = toMap(Sketch.ddBuckets(survivors.toDF("v"), "v", alpha))
     assert(maintained == rebuilt)
   }
+
+  test("KMV: small key is stored exactly; large key estimates within 4/sqrt(k)") {
+    import spark.implicits._
+    val k = 64
+    val df = ((1 to 10).map(i => ("small", i)) ++
+      (1 to 2000).map(i => ("big", i))).toDF("g", "v")
+    val sk = Sketch.kmvSketchBy(df, Seq("g"), "v", k)
+    val est = Sketch.kmvEstimateBy(sk, Seq("g"), k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(est("small") == ((10L, 10L)), est.toString) // < k: sketch IS the set
+    val (nSk, bigEst) = est("big")
+    assert(nSk == k.toLong)
+    assert(math.abs(bigEst - 2000.0) / 2000.0 < 4.0 / math.sqrt(k.toDouble),
+      s"big est $bigEst")
+  }
+
+  test("KMV: duplicates never re-enter the sketch; estimate is multiplicity-free") {
+    import spark.implicits._
+    val k = 16
+    val once = (1 to 9).map(i => ("g", i)).toDF("g", "v")
+    val thrice = (1 to 9).flatMap(i => Seq.fill(3)(("g", i))).toDF("g", "v")
+    val a = Sketch.kmvEstimateBy(Sketch.kmvSketchBy(once, Seq("g"), "v", k), Seq("g"), k).collect()
+    val b = Sketch.kmvEstimateBy(Sketch.kmvSketchBy(thrice, Seq("g"), "v", k), Seq("g"), k).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.head.getLong(3) == 9L)
+  }
+
+  test("KMV merge law: bottom-k of per-key sketches equals the direct global sketch") {
+    import spark.implicits._
+    val k = 32
+    // 600 values spread over 3 keys with overlap (v % 3 and v % 5 slices)
+    val rows = (1 to 600).map(v => (s"k${v % 3}", v)) ++
+      (1 to 600).filter(_ % 5 == 0).map(v => (s"k${v % 3}x", v))
+    val df = rows.toDF("g", "v")
+    val merged = Sketch.kmvMerge(Sketch.kmvSketchBy(df, Seq("g"), "v", k), k)
+      .select("v", "h", "rn").collect().map(_.toSeq).toSet
+    val direct = Sketch.kmvSketchBy(df.select(col("v")), Nil, "v", k)
+      .select("v", "h", "rn").collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
 }

@@ -117,4 +117,68 @@ class TimeseriesSpec extends SparkSpec {
     assert(last.getLong(5) == -50000000L, s"trend ${last.getLong(5)}")
     assert(last.getLong(6) == 150000000L, s"forecast ${last.getLong(6)}")
   }
+
+  test("holtWinters: constant series fixes level=x, trend=0, season=0") {
+    // With zero seasonal init and a constant x: x−s[p]=x so the level
+    // update is Holt's on a flat series (level pinned at x), the trend
+    // numerator is 0, and the seasonal numerator γ(x−l)=0 — all three
+    // states are exact fixed points, any α/β/γ/period.
+    val df = evdf((1L to 10L).map(i => (1L, i * 100L, i, 2.50)))
+    val out = Timeseries.holtWinters(df, "user_id", "ts", "value", "event_id",
+        400000L, 300000L, 500000L, 4)
+      .orderBy("id").collect()
+    out.foreach { r =>
+      assert(r.getLong(4) == 250000000L, s"level ${r.getLong(4)}")
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L)
+      assert(r.getLong(7) == 250000000L, s"forecast ${r.getLong(7)}")
+    }
+  }
+
+  test("holtWinters: exact recurrence with seasonal rotation (hand-computed)") {
+    // α=β=γ=0.5, m=2; x cents: 100, 300, 100, 300 (pure period-2 signal)
+    // i=1: l=100e6 b=0 s=[0,0]            forecast=l+b+s[1]=100e6
+    // i=2 (p=1): l=⌊.5·300e6+.5·100e6⌋=200e6, b=.5·100e6=50e6,
+    //            s[1]=.5·(300e6−200e6)=50e6   forecast=l+b+s[0]=250e6
+    // i=3 (p=0): l=.5·100e6+.5·250e6=175e6, b=.5·(−25e6)+.5·50e6=12.5e6,
+    //            s[0]=.5·(100e6−175e6)=−37.5e6 forecast=l+b+s[1]=237.5e6
+    // i=4 (p=1): l=.5·(300e6−50e6)+.5·187.5e6=218.75e6,
+    //            b=.5·43.75e6+.5·12.5e6=28.125e6,
+    //            s[1]=.5·(300e6−218.75e6)+.5·50e6=65.625e6
+    //            forecast=l+b+s[0]=209.375e6
+    val df = evdf(Seq((1L, 100L, 1L, 1.00), (1L, 200L, 2L, 3.00),
+      (1L, 300L, 3L, 1.00), (1L, 400L, 4L, 3.00)))
+    val out = Timeseries.holtWinters(df, "user_id", "ts", "value", "event_id",
+        500000L, 500000L, 500000L, 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(out == Seq(
+      (100000000L, 0L, 0L, 100000000L),
+      (200000000L, 50000000L, 50000000L, 250000000L),
+      (175000000L, 12500000L, -37500000L, 237500000L),
+      (218750000L, 28125000L, 65625000L, 209375000L)), out.toString)
+  }
+
+  test("holtWinters: periodic series forecast beats Holt's on the same data") {
+    // A strict period-4 signal: Holt smears the oscillation into trend;
+    // the seasonal term should absorb it. Compare mean |forecast − next x|
+    // over the last 8 points of a 24-point series.
+    val xs = (0 until 24).map(i => Seq(1.00, 5.00, 9.00, 5.00)(i % 4))
+    val df = evdf(xs.zipWithIndex.map { case (v, i) =>
+      (1L, (i + 1) * 100L, (i + 1).toLong, v) })
+    def err(rows: Array[(Long, Long)]): Double = {
+      // rows: (id, forecast_micro); forecast at id i predicts x_{i+1}
+      val fc = rows.toMap
+      (16 to 23).map { i =>
+        math.abs(fc(i.toLong) / 1e8 - xs(i)) // forecast from row i predicts xs(i) (0-based i = id i)
+      }.sum / 8.0
+    }
+    val hw = Timeseries.holtWinters(df, "user_id", "ts", "value", "event_id",
+        400000L, 300000L, 500000L, 4)
+      .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(7)))
+    val holt = Timeseries.holtSmooth(df, "user_id", "ts", "value", "event_id",
+        400000L, 300000L)
+      .orderBy("id").collect().map(r => (r.getLong(2), r.getLong(6)))
+    assert(err(hw) < err(holt) / 2,
+      s"holt-winters ${err(hw)} not clearly better than holt ${err(holt)}")
+  }
 }
