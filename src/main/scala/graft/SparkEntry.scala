@@ -603,6 +603,79 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** AMS F2 (self-join size) sketch over `events.user_id`
+    * ([[ops.Sketch.amsCounters]] / [[ops.Sketch.amsF2Estimate]],
+    * depth 9) pinned beside the EXACT `Σ f_v²` — the oracle hash-locks
+    * sketch mechanics AND accuracy at this data — plus the MERGE LAW:
+    * counters built separately on the md5-parity halves of the event
+    * stream and summed must estimate IDENTICALLY to the direct build
+    * (counters are linear in the data), which is what lets shards/days
+    * maintain the sketch without re-reads.
+    */
+  private def t75AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val depth = 9
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+    val direct = ops.Sketch.amsCounters(ev, "user_id", depth)
+    val parity = pmod(conv(substring(md5(concat(lit("amssplit:"),
+      col("event_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(2L))
+    val halves = ev.withColumn("p", parity)
+    val mergedCounters = ops.Sketch.amsCounters(
+        halves.filter(col("p") === 0L), "user_id", depth)
+      .withColumnRenamed("counter", "c0")
+      .join(ops.Sketch.amsCounters(
+          halves.filter(col("p") === 1L), "user_id", depth)
+        .withColumnRenamed("counter", "c1"), Seq("row_idx"), "full_outer")
+      .select(col("row_idx"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)))
+          .as("counter"))
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt").cast("decimal(19,0)") * col("cnt"))
+        .cast("long").as("f2_exact"))
+    ops.Sketch.amsF2Estimate(direct, depth)
+      .crossJoin(ops.Sketch.amsF2Estimate(mergedCounters, depth)
+        .select(col("f2_est").as("f2_est_merged")))
+      .crossJoin(exact)
+      .select(col("depth"), col("f2_exact"), col("f2_est"),
+        col("f2_est_merged"))
+  }
+
+  /** PPS Poisson corpus sampling ([[ops.Sampling.ppsPoissonSample]]):
+    * documents sampled with probability ∝ `n_chars` (the "sample by
+    * token mass" design), expected 200 docs, membership an exact
+    * integer compare of the md5-u32 of the id vs the DECIMAL(38)-exact
+    * per-row threshold. Every surviving row's (hv, thr) audit pair is
+    * hash-gated — a 1-ulp drift anywhere in the threshold arithmetic
+    * flips a membership and fails the oracle.
+    */
+  private def t76PpsSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.ppsPoissonSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", 200L)
+      .select(col("doc_id"), col("n_chars"), col("hv"), col("thr"))
+      .orderBy("doc_id")
+
+  /** Declarative data-quality expectation suite over `orders`
+    * ([[ops.Profile.expectationAudit]]) — the Deequ-shape ingest gate:
+    * not-null, key uniqueness, DECIMAL-exact range, value-set, regex
+    * format, and referential integrity against `customer`, one verdict
+    * row each, computed in one scan + one anti-join. The range check's
+    * bounds sit far from any data value, so the gate is insensitive to
+    * double→decimal ulp at the boundary by construction.
+    */
+  private def t77Expectations(s: SparkSession, dir: String): DataFrame = {
+    import ops.Profile.Expectation._
+    ops.Profile.expectationAudit(Tables.orders(s, dir), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", "0", "1000000"),
+        InSet("o_orderstatus", Seq("O", "F", "P")),
+        MatchesRegex("o_orderpriority", "^[1-5]-[A-Z]+$"),
+        ForeignKey("o_custkey", Tables.customer(s, dir), "c_custkey")))
+      .orderBy("check", "column")
+  }
+
   /** STREAMING EWMA through the gate ([[graft.streaming.EventsStream
     * .ewmaStream]]): q62's exact-integer smoothing run through the real
     * micro-batch engine — users < 20 sliced into three ts-tercile
@@ -5939,6 +6012,9 @@ object SparkEntry {
     "q72_basket_pairs" -> q72BasketPairs _,
     "q73_basket_triples" -> q73BasketTriples _,
     "t74_kmv_sketch" -> t74KmvSketch _,
+    "t75_ams_f2" -> t75AmsF2 _,
+    "t76_pps_sample" -> t76PpsSample _,
+    "t77_expectations" -> t77Expectations _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -8894,6 +8970,90 @@ object SparkEntry {
         |       ELSE (63 * 4294967296) // (u.kth_hash + 1) END AS est
         |FROM u JOIN ex ON ex.event_type = u.event_type
         |ORDER BY u.event_type""".stripMargin,
+    // signed counters + median-of-squares replayed end-to-end; the
+    // merged leg rebuilds per-parity-half counters and sums them — the
+    // linearity law means est == est_merged by construction, and the
+    // hash gate pins it
+    "t75_ams_f2" ->
+      """WITH cnt AS (SELECT CAST(user_id AS VARCHAR) AS v, count(*) AS cnt
+        |      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |fan AS (SELECT v, cnt, r FROM cnt
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS r)),
+        |sg AS (SELECT r, v, cnt, CASE WHEN CAST(('0x' || substr(md5(
+        |        'ams:' || CAST(r AS VARCHAR) || ':' || v), 1, 8)) AS BIGINT)
+        |        % 2 = 1 THEN 1 ELSE -1 END AS s FROM fan),
+        |ctr AS (SELECT r, CAST(sum(cnt * s) AS BIGINT) AS c FROM sg GROUP BY r),
+        |est AS (SELECT CAST(sq AS BIGINT) AS f2_est FROM (
+        |      SELECT CAST(c AS HUGEINT) * c AS sq,
+        |        row_number() OVER (ORDER BY CAST(c AS HUGEINT) * c) AS rn
+        |      FROM ctr) WHERE rn = 5),
+        |par AS (SELECT CAST(user_id AS VARCHAR) AS v,
+        |        CAST(('0x' || substr(md5('amssplit:' ||
+        |          CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS p
+        |      FROM events WHERE user_id IS NOT NULL),
+        |pcnt AS (SELECT p, v, count(*) AS cnt FROM par GROUP BY p, v),
+        |pfan AS (SELECT p, v, cnt, r FROM pcnt
+        |      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS r)),
+        |psg AS (SELECT p, r, cnt, CASE WHEN CAST(('0x' || substr(md5(
+        |        'ams:' || CAST(r AS VARCHAR) || ':' || v), 1, 8)) AS BIGINT)
+        |        % 2 = 1 THEN 1 ELSE -1 END AS s FROM pfan),
+        |mctr AS (SELECT r, CAST(sum(cnt * s) AS BIGINT) AS c
+        |      FROM psg GROUP BY r),
+        |mest AS (SELECT CAST(sq AS BIGINT) AS f2_est_merged FROM (
+        |      SELECT CAST(c AS HUGEINT) * c AS sq,
+        |        row_number() OVER (ORDER BY CAST(c AS HUGEINT) * c) AS rn
+        |      FROM mctr) WHERE rn = 5),
+        |ex AS (SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT)
+        |        AS f2_exact FROM cnt)
+        |SELECT CAST(9 AS BIGINT) AS depth, ex.f2_exact, est.f2_est,
+        |  mest.f2_est_merged
+        |FROM est, mest, ex""".stripMargin,
+    // threshold arithmetic replayed in HUGEINT with the same single
+    // floor division; membership = the same integer compare
+    "t76_pps_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+        |t AS (SELECT sum(CAST(n_chars AS HUGEINT)) AS w_total FROM d),
+        |s AS (SELECT doc_id, n_chars,
+        |        CAST(('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)),
+        |          1, 8)) AS BIGINT) AS hv,
+        |        CAST(least(4294967296, (200 * CAST(n_chars AS HUGEINT)
+        |          * 4294967296) // w_total) AS BIGINT) AS thr
+        |      FROM d, t)
+        |SELECT doc_id, n_chars, hv, thr FROM s
+        |WHERE hv < thr ORDER BY doc_id""".stripMargin,
+    // each expectation restated as plain SQL over the same tables; the
+    // FK leg counts rows (not distinct orphans) via NOT EXISTS
+    "t77_expectations" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders),
+        |v AS (
+        |  SELECT 'foreign_key' AS "check", 'o_custkey' AS "column",
+        |    CAST((SELECT count(*) FROM orders o
+        |      WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |      AS BIGINT) AS n_violations
+        |  UNION ALL
+        |  SELECT 'in_range', 'o_totalprice', CAST((SELECT count(*) FROM orders
+        |    WHERE o_totalprice IS NOT NULL AND NOT (
+        |      CAST(o_totalprice AS DECIMAL(38,6)) BETWEEN 0 AND 1000000))
+        |    AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'in_set', 'o_orderstatus', CAST((SELECT count(*) FROM orders
+        |    WHERE o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'matches_regex', 'o_orderpriority',
+        |    CAST((SELECT count(*) FROM orders
+        |      WHERE o_orderpriority IS NOT NULL AND NOT
+        |        regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'not_null', 'o_custkey', CAST((SELECT count(*) FROM orders
+        |    WHERE o_custkey IS NULL) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'unique', 'o_orderkey', CAST((SELECT count(o_orderkey)
+        |      - count(DISTINCT o_orderkey) FROM orders) AS BIGINT))
+        |SELECT v."check", v."column", n.n_rows, v.n_violations,
+        |  v.n_violations = 0 AS pass
+        |FROM v, n ORDER BY v."check", v."column"""".stripMargin,
     // stats pruning is lossless (stats admit, residual proves), so the
     // oracle is the plain range filter; bounds re-derived from max(k)
     // with the same floor divisions

@@ -182,4 +182,106 @@ object Profile {
         round(lit(2.0) * col("rc").cast("double") / (nk * nr)
           - (nk + lit(1.0)) / nk, 6).as("gini"))
   }
+
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * contract shape): a constraint suite verified in as close to ONE
+    * pass as the constraints allow, emitting one verdict row per check —
+    * the machine-readable gate a lakehouse ingest job publishes next to
+    * its snapshot commit. Null policy is the standard one: `NotNull`
+    * alone counts nulls; the value-shape checks (`InRange`/`InSet`/
+    * `MatchesRegex`) pass nulls through uncounted, so each violation is
+    * attributable to exactly one rule.
+    */
+  sealed trait Expectation
+  object Expectation {
+    /** Column must hold no nulls. */
+    case class NotNull(column: String) extends Expectation
+    /** Non-null tuples of `columns` must be unique (violations = the
+      * surplus rows beyond the first of each duplicate tuple). */
+    case class Unique(columns: Seq[String]) extends Expectation
+    /** Non-null values must fall in `[lo, hi]` — bounds are DECIMAL
+      * string literals compared at DECIMAL(38,6), never doubles, so the
+      * boundary decision is engine-exact. */
+    case class InRange(column: String, lo: String, hi: String) extends Expectation
+    /** Non-null values must be one of `values` (string compare). */
+    case class InSet(column: String, values: Seq[String]) extends Expectation
+    /** Non-null values must match `pattern` — keep patterns in the
+      * Java∩RE2 common dialect (classes, anchors, quantifiers), the
+      * same rule the engine-portable regexes elsewhere follow. */
+    case class MatchesRegex(column: String, pattern: String) extends Expectation
+    /** Every non-null value must exist in `ref.refColumn` (referential
+      * integrity; violations count ROWS, not distinct orphan values). */
+    case class ForeignKey(column: String, ref: DataFrame,
+        refColumn: String) extends Expectation
+  }
+
+  /** Run an expectation suite. Scale shape: every row-local check and
+    * every uniqueness check folds into ONE aggregate over ONE scan
+    * (uniques ride the same Expand that [[profile]] uses; row-locals
+    * are plain conditional sums, partial-aggregable); each foreign key
+    * adds one LEFT ANTI join against the (distinct, usually broadcast-
+    * small) reference keys. No driver round-trips — the verdict frame
+    * assembles from 1-row aggregates by union.
+    *
+    * @return (check, column, n_rows, n_violations, pass), one row per
+    *         expectation in suite order semantics (sort on emit —
+    *         check+column is the natural key).
+    */
+  def expectationAudit(df: DataFrame,
+      expectations: Seq[Expectation]): DataFrame = {
+    import Expectation._
+    require(expectations.nonEmpty, "expectationAudit: empty suite")
+    val rowLocal: Seq[(String, String, org.apache.spark.sql.Column)] =
+      expectations.collect {
+        case NotNull(c) =>
+          ("not_null", c, when(col(c).isNull, 1L).otherwise(0L))
+        case InRange(c, lo, hi) =>
+          ("in_range", c, when(col(c).isNull
+            || col(c).cast("decimal(38,6)").between(
+                 lit(new java.math.BigDecimal(lo)),
+                 lit(new java.math.BigDecimal(hi))), 0L).otherwise(1L))
+        case InSet(c, vs) =>
+          ("in_set", c, when(col(c).isNull
+            || col(c).cast("string").isin(vs: _*), 0L).otherwise(1L))
+        case MatchesRegex(c, p) =>
+          ("matches_regex", c, when(col(c).isNull
+            || col(c).cast("string").rlike(p), 0L).otherwise(1L))
+      }
+    val uniques = expectations.collect { case Unique(cs) => cs }
+    val aggs = (count(lit(1)).as("__n") +:
+      rowLocal.zipWithIndex.map { case ((_, _, v), i) => sum(v).as(s"__v_$i") }) ++
+      uniques.zipWithIndex.flatMap { case (cs, i) =>
+        val allNonNull = cs.map(col(_).isNotNull).reduce(_ && _)
+        Seq(sum(when(allNonNull, 1L).otherwise(0L)).as(s"__un_$i"),
+          countDistinct(col(cs.head), cs.tail.map(col): _*).as(s"__ud_$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val localStructs = rowLocal.zipWithIndex.map { case ((name, c, _), i) =>
+      struct(lit(name).as("check"), lit(c).as("column"),
+        col("__n").as("n_rows"), col(s"__v_$i").as("n_violations"))
+    } ++ uniques.zipWithIndex.map { case (cs, i) =>
+      struct(lit("unique").as("check"), lit(cs.mkString(",")).as("column"),
+        col("__n").as("n_rows"),
+        (col(s"__un_$i") - col(s"__ud_$i")).as("n_violations"))
+    }
+    val localRows =
+      if (localStructs.isEmpty) None
+      else Some(one.select(explode(array(localStructs: _*)).as("r"))
+        .select(col("r.check").as("check"), col("r.column").as("column"),
+          col("r.n_rows").as("n_rows"),
+          col("r.n_violations").as("n_violations")))
+    val nOnly = one.select(col("__n"))
+    val fkRows = expectations.collect {
+      case ForeignKey(c, ref, refC) =>
+        df.select(col(c).as("__k")).filter(col("__k").isNotNull)
+          .join(ref.select(col(refC).as("__k")).distinct(), Seq("__k"),
+            "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .crossJoin(nOnly)
+          .select(lit("foreign_key").as("check"), lit(c).as("column"),
+            col("__n").as("n_rows"), col("n_violations"))
+    }
+    val all = (localRows.toSeq ++ fkRows).reduce(_.unionByName(_))
+    all.withColumn("pass", col("n_violations") === 0L)
+  }
 }

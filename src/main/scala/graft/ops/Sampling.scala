@@ -422,4 +422,41 @@ object Sampling {
     }
     sel.select(col("doc_id"), col("score_micro"), col("n_tokens"))
   }
+
+  /** PPS (probability-proportional-to-size) Poisson sampling — each row
+    * included independently with probability `min(1, n·w_i/Σw)`, the
+    * Horvitz–Thompson design behind importance-weighted corpus subsets
+    * ("sample documents proportional to token count / quality mass").
+    * The third sampling mode beside [[stratifiedHashSample]] (uniform
+    * within stratum) and [[weightedSample]] (fixed-k A-ES): expected
+    * size n, EXACTLY integer — no libm anywhere. Inclusion is
+    * `md5-u32(id) < ⌊n · w_i · 2³² / Σw⌋`, the whole threshold
+    * computed in DECIMAL(38,0) (`n·w·2³² ≤ 10⁶·10¹⁸·2³² < 10³⁸` for
+    * micro-unit weights to 10¹², i.e. any realistic per-doc token
+    * count), floor-divided once — so the survive/drop decision is the
+    * same exact integer comparison on every engine, run, and cluster
+    * size, and the sample is an append-stable pure function of the id.
+    *
+    * Scale shape: ONE aggregate produces the scalar Σw (broadcast
+    * back); membership is then a narrow codegen'd map+filter — no
+    * shuffle, no sort, no per-row state. `thr` is emitted for
+    * auditability (the HT estimator `Σ_kept w_i·2³²/thr_i` reconstructs
+    * totals unbiasedly downstream).
+    */
+  def ppsPoissonSample(df: DataFrame, idCol: String, weightCol: String,
+      targetN: Long): DataFrame = {
+    require(targetN > 0, s"targetN must be positive: $targetN")
+    val tot = df.filter(col(weightCol) > 0)
+      .agg(sum(col(weightCol).cast("decimal(38,0)")).as("w_total"))
+    val hv = conv(substring(md5(concat(lit("pps:"),
+      col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+    df.filter(col(weightCol) > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("thr", least(lit(4294967296L), expr(
+        s"(CAST($targetN AS DECIMAL(38,0)) * CAST($weightCol AS DECIMAL(38,0))"
+          + " * CAST(4294967296 AS DECIMAL(38,0))) div w_total")))
+      .withColumn("hv", hv)
+      .filter(col("hv") < col("thr"))
+      .drop("w_total")
+  }
 }

@@ -306,4 +306,61 @@ object Sketch {
         round(lit(2.0) * pow(lit(gamma), col("bucket").cast("double"))
           / lit(gamma + 1.0), 6).as("est"))
   }
+
+  /** AMS (Alon–Matias–Szegedy) F2 sketch — `depth` independent signed
+    * counters estimating the SECOND frequency moment `F2 = Σ_v f_v²`,
+    * i.e. the equi-self-join size of the column. The one cardinality
+    * question CMS/HLL/KMV cannot answer, and the quantity a join
+    * planner actually wants: `|A ⋈ B|` on a shared key is bounded via
+    * the two sides' F2 by Cauchy–Schwarz, and skew (t45's top1-share)
+    * is F2 normalized by n². Counter `r` is `Σ_v f_v · s_r(v)` with
+    * `s_r(v) ∈ {−1,+1}` four-wise-independent-in-spirit from the low
+    * bit of md5-u32(`"ams:r:" v`) — seed-free, engine-replayable.
+    * `E[C_r²] = F2` exactly under random signs; the median over `depth`
+    * rows tames the variance (VAR ≤ 2·F2²).
+    *
+    * Scale shape: the corpus collapses to the per-value count table
+    * FIRST (one partial-aggregable shuffle — the same vocab-not-corpus
+    * posture as [[cmsBuildFromCounts]]), then a `depth`-way fan-out of
+    * ONLY the vocab rows feeds `depth` LONG sums. Shards/days merge by
+    * `row_idx`-wise `+` (counters are linear in the data — the same
+    * algebra CMS rides), which the merged-estimate gate exercises.
+    * Counters stay in LONG to |C| ≈ 9·10¹⁸ (corpus row count, worst
+    * case all-one-sign); squares go through DECIMAL(38,0) and only the
+    * final median is emitted as LONG — exact to F2 ≈ 9·10¹⁸, beyond
+    * which the emit moves to DECIMAL unchanged.
+    *
+    * @return one LONG counter row per `row_idx ∈ [0, depth)`.
+    */
+  def amsCounters(df: DataFrame, valueCol: String, depth: Int): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1 && depth <= 99,
+      s"depth must be odd in [1, 99]: $depth")
+    val counts = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val fan = counts.select(col("v"), col("cnt"),
+      explode(array((0 until depth).map(i => lit(i)): _*)).as("row_idx"))
+    val u32 = conv(substring(md5(concat(lit("ams:"),
+      col("row_idx").cast("string"), lit(":"), col("v")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val sign = when(pmod(u32, lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))
+    fan.select(col("row_idx"), (col("cnt") * sign).as("term"))
+      .groupBy("row_idx").agg(sum(col("term")).as("counter"))
+  }
+
+  /** Median-of-squares F2 estimate from an [[amsCounters]] frame —
+    * `depth` rows in, ONE row out; the median is an exact rank pick
+    * over the odd-sized counter table (never an interpolation), so
+    * both engines agree bit-for-bit. @return (depth, f2_est)
+    */
+  def amsF2Estimate(counters: DataFrame, depth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sq = counters.select(
+      (col("counter").cast("decimal(19,0)") * col("counter"))
+        .cast("decimal(38,0)").as("sq"))
+      .withColumn("rn", row_number().over(Window.partitionBy().orderBy("sq")))
+    sq.filter(col("rn") === (depth + 1) / 2)
+      .select(lit(depth).cast("long").as("depth"),
+        col("sq").cast("long").as("f2_est"))
+  }
 }

@@ -58,4 +58,53 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx $approx vs exact $exact drifted past 5%")
   }
+
+  test("expectationAudit: every rule counts its own violations once, " +
+      "nulls route to not_null only") {
+    import spark.implicits._
+    import Profile.Expectation._
+    val df = Seq(
+      (Some(1L), Some("a@x.io"), Some(10.0), Some("OK")),
+      (Some(2L), Some("bad"), Some(-3.0), Some("OK")),
+      (Some(2L), None, Some(5.0), Some("NOPE")),
+      (None, Some("c@y.io"), None, None)
+    ).toDF("k", "email", "v", "status")
+    val ref = Seq(1L, 2L).toDF("rk")
+    val got = Profile.expectationAudit(df, Seq(
+        NotNull("email"),
+        Unique(Seq("k")),
+        InRange("v", "0", "100"),
+        InSet("status", Seq("OK")),
+        MatchesRegex("email", "^[a-z]+@[a-z]+\\.[a-z]+$"),
+        ForeignKey("k", ref, "rk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(("not_null", "email")) == ((4L, 1L, false)))
+    // k: 3 non-null rows over 2 distinct -> 1 surplus duplicate
+    assert(got(("unique", "k")) == ((4L, 1L, false)))
+    // v: one negative; the null v is NOT an in_range violation
+    assert(got(("in_range", "v")) == ((4L, 1L, false)))
+    assert(got(("in_set", "status")) == ((4L, 1L, false)))
+    // emails: "bad" fails the shape; null passes through
+    assert(got(("matches_regex", "email")) == ((4L, 1L, false)))
+    // FK: all non-null k values exist in ref
+    assert(got(("foreign_key", "k")) == ((4L, 0L, true)))
+  }
+
+  test("expectationAudit: clean table passes every check; FK counts " +
+      "rows not distinct orphans") {
+    import spark.implicits._
+    import Profile.Expectation._
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+    val ref = Seq(1L).toDF("rk")
+    val clean = Profile.expectationAudit(df, Seq(
+        NotNull("k"), Unique(Seq("k", "s")), InSet("s", Seq("x", "y", "z"))))
+      .collect()
+    assert(clean.forall(_.getBoolean(4)))
+    // two rows share the orphan value 9 -> 2 row violations
+    val dup = Seq((9L, "a"), (9L, "b"), (1L, "c")).toDF("k", "s")
+    val fk = Profile.expectationAudit(dup,
+        Seq(ForeignKey("k", ref, "rk"))).collect()(0)
+    assert(fk.getLong(3) == 2L && !fk.getBoolean(4))
+  }
 }

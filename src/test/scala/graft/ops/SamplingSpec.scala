@@ -268,4 +268,50 @@ class SamplingSpec extends SparkSpec {
       assert(spent <= budget || budget >= total, s"overspent at $budget")
     }
   }
+
+  test("PPS Poisson: membership is the exact integer threshold compare, " +
+      "append-stable, and capped at probability 1") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, (i % 97 + 1).toLong))
+      .toDF("id", "w")
+    val got = Sampling.ppsPoissonSample(docs, "id", "w", 50L)
+    val rows = got.collect()
+    // recompute membership independently: hv < floor(n*w*2^32 / sumW)
+    val sumW = (1 to 500).map(i => (i % 97 + 1).toLong).sum
+    def hv(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pps:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = (1 to 500).flatMap { i =>
+      val w = (i % 97 + 1).toLong
+      val thr = math.min(4294967296L,
+        (BigInt(50) * w * BigInt(4294967296L) / sumW).toLong)
+      if (hv(i.toLong) < thr) Some(i.toLong) else None
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet == expect)
+    // thresholds emitted match the recompute exactly
+    rows.foreach { r =>
+      val w = r.getLong(1)
+      val thr = math.min(4294967296L,
+        (BigInt(50) * w * BigInt(4294967296L) / sumW).toLong)
+      assert(r.getAs[Long]("thr") == thr, s"id=${r.getLong(0)}")
+    }
+    // appending rows only ever changes membership through sumW — same
+    // ids, same engine, rerun is bit-stable
+    val again = Sampling.ppsPoissonSample(docs, "id", "w", 50L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
+
+  test("PPS Poisson: weight-1 rows need w*n >= sumW/2^32 mass; zero and " +
+      "negative weights are excluded; huge targetN keeps everything") {
+    import spark.implicits._
+    val docs = Seq((1L, 0L), (2L, -5L), (3L, 100L), (4L, 1L))
+      .toDF("id", "w")
+    val all = Sampling.ppsPoissonSample(docs, "id", "w", 1000000L)
+      .collect().map(_.getLong(0)).toSet
+    // thr saturates at 2^32 for every positive-weight row
+    assert(all == Set(3L, 4L))
+  }
 }

@@ -308,4 +308,41 @@ class SketchSpec extends SparkSpec {
       .select("v", "h", "rn").collect().map(_.toSeq).toSet
     assert(merged == direct)
   }
+
+  test("AMS F2: counters are linear (half-merge == direct) and the median " +
+      "estimate brackets the exact F2 on skewed data") {
+    import spark.implicits._
+    // skewed frequencies: F2 = 100^2 + 10^2 + ... dominated by the head
+    val rows = Seq.fill(100)("hot") ++ Seq.fill(10)("warm") ++
+      (0 until 50).map(i => s"cold$i")
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val depth = 9
+    val direct = Sketch.amsCounters(df, "v", depth)
+    assert(direct.count() == depth)
+    // linearity: counters over any disjoint split sum to the direct build
+    val h0 = Sketch.amsCounters(df.filter(col("id") % 2 === 0), "v", depth)
+      .withColumnRenamed("counter", "c0")
+    val h1 = Sketch.amsCounters(df.filter(col("id") % 2 === 1), "v", depth)
+      .withColumnRenamed("counter", "c1")
+    val merged = h0.join(h1, Seq("row_idx"), "full_outer")
+      .select(col("row_idx"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("c1"), lit(0L)))
+          .as("counter"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    val f2Exact = 100L * 100 + 10L * 10 + 50L
+    val est = Sketch.amsF2Estimate(direct, depth).head.getLong(1)
+    // median-of-9 keeps the estimate within a small constant of F2
+    assert(est > f2Exact / 4 && est < f2Exact * 4, s"est $est vs $f2Exact")
+  }
+
+  test("AMS F2: estimate is partitioning-invariant and depth rows are " +
+      "exactly the odd-median input") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => s"v${i % 40}").toDF("v")
+    val a = Sketch.amsF2Estimate(Sketch.amsCounters(df, "v", 5), 5).head
+    val b = Sketch.amsF2Estimate(
+      Sketch.amsCounters(df.repartition(7), "v", 5), 5).head
+    assert(a == b)
+  }
 }
