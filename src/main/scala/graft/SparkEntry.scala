@@ -641,6 +641,29 @@ object SparkEntry {
         col("f2_est_merged"))
   }
 
+  /** KMV theta-style INTERSECTION ([[ops.Sketch.kmvIntersectEstimate]],
+    * k=64): clicking users ∩ purchasing users estimated from the two
+    * bottom-k sketches alone — the set-algebra read HLL cannot do —
+    * pinned beside the exact overlap. Both sketches are full at every
+    * sf ≥ 0.01 (user cardinality ≫ k), so the θ-scaled estimator
+    * branch is the one under gate.
+    */
+  private def t78KmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    def sk(t: String) = ops.Sketch.kmvSketchBy(
+      ev.filter(col("event_type") === t), Nil, "user_id", k)
+    val exact = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), Seq("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    ops.Sketch.kmvIntersectEstimate(sk("click"), sk("purchase"), k)
+      .crossJoin(exact)
+      .select(col("n_a"), col("n_b"), col("theta"), col("n_common"),
+        col("est"), col("n_exact"))
+  }
+
   /** PPS Poisson corpus sampling ([[ops.Sampling.ppsPoissonSample]]):
     * documents sampled with probability ∝ `n_chars` (the "sample by
     * token mass" design), expected 200 docs, membership an exact
@@ -6015,6 +6038,7 @@ object SparkEntry {
     "t75_ams_f2" -> t75AmsF2 _,
     "t76_pps_sample" -> t76PpsSample _,
     "t77_expectations" -> t77Expectations _,
+    "t78_kmv_intersect" -> t78KmvIntersect _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -9008,6 +9032,34 @@ object SparkEntry {
         |SELECT CAST(9 AS BIGINT) AS depth, ex.f2_exact, est.f2_est,
         |  mest.f2_est_merged
         |FROM est, mest, ex""".stripMargin,
+    // both bottom-k sketches, theta, and the scaled estimator replayed;
+    // exact overlap pinned in the same row
+    "t78_kmv_intersect" ->
+      """WITH da AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+        |      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |db AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+        |      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |ha AS (SELECT v, CAST(('0x' || substr(md5('kmv:' || v), 1, 8))
+        |        AS BIGINT) AS h FROM da),
+        |hb AS (SELECT v, CAST(('0x' || substr(md5('kmv:' || v), 1, 8))
+        |        AS BIGINT) AS h FROM db),
+        |ska AS (SELECT v, h FROM (SELECT v, h,
+        |        row_number() OVER (ORDER BY h, v) AS rn FROM ha) WHERE rn <= 64),
+        |skb AS (SELECT v, h FROM (SELECT v, h,
+        |        row_number() OVER (ORDER BY h, v) AS rn FROM hb) WHERE rn <= 64),
+        |ca AS (SELECT count(*) AS n_a, CASE WHEN count(*) >= 64
+        |        THEN max(h) + 1 ELSE 4294967296 END AS cap_a FROM ska),
+        |cb AS (SELECT count(*) AS n_b, CASE WHEN count(*) >= 64
+        |        THEN max(h) + 1 ELSE 4294967296 END AS cap_b FROM skb),
+        |th AS (SELECT n_a, n_b, least(cap_a, cap_b) AS theta FROM ca, cb),
+        |cmn AS (SELECT count(*) AS n_common FROM ska JOIN skb USING (v), th
+        |      WHERE ska.h < th.theta),
+        |ex AS (SELECT count(*) AS n_exact FROM da JOIN db USING (v))
+        |SELECT th.n_a, th.n_b, th.theta, cmn.n_common,
+        |  CASE WHEN th.theta = 4294967296 THEN cmn.n_common
+        |       ELSE (cmn.n_common * 4294967296) // th.theta END AS est,
+        |  ex.n_exact
+        |FROM th, cmn, ex""".stripMargin,
     // threshold arithmetic replayed in HUGEINT with the same single
     // floor division; membership = the same integer compare
     "t76_pps_sample" ->

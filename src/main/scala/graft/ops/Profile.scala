@@ -215,22 +215,31 @@ object Profile {
         refColumn: String) extends Expectation
   }
 
-  /** Run an expectation suite. Scale shape: every row-local check and
-    * every uniqueness check folds into ONE aggregate over ONE scan
-    * (uniques ride the same Expand that [[profile]] uses; row-locals
-    * are plain conditional sums, partial-aggregable); each foreign key
-    * adds one LEFT ANTI join against the (distinct, usually broadcast-
-    * small) reference keys. No driver round-trips — the verdict frame
-    * assembles from 1-row aggregates by union.
+  /** Run an expectation suite. Scale shape: ONE scan of `df`, ONE
+    * aggregate — every check folds into it. Foreign keys pre-join the
+    * (distinct, broadcast) reference keys onto the scan, so an FK
+    * violation is just another row-local conditional sum — the star-
+    * schema shape, no anti-join legs, no second fact scan; uniqueness
+    * rides the same aggregate through Catalyst's distinct rewrite
+    * (two-level keyed aggregate for one distinct, Expand for several).
+    * No driver round-trips — the verdict frame is the 1-row aggregate
+    * explode-unpivoted, exactly [[profile]]'s layout trick.
     *
     * @return (check, column, n_rows, n_violations, pass), one row per
-    *         expectation in suite order semantics (sort on emit —
-    *         check+column is the natural key).
+    *         expectation (sort on emit — check+column is the natural
+    *         key).
     */
   def expectationAudit(df: DataFrame,
       expectations: Seq[Expectation]): DataFrame = {
     import Expectation._
     require(expectations.nonEmpty, "expectationAudit: empty suite")
+    val fks = expectations.zipWithIndex.collect {
+      case (fk: ForeignKey, i) => (fk, s"__fk_$i")
+    }
+    val withFk = fks.foldLeft(df) { case (acc, (ForeignKey(c, ref, refC), m)) =>
+      acc.join(broadcast(ref.select(col(refC).as(m)).distinct()),
+        col(c) === col(m), "left")
+    }
     val rowLocal: Seq[(String, String, org.apache.spark.sql.Column)] =
       expectations.collect {
         case NotNull(c) =>
@@ -246,6 +255,9 @@ object Profile {
         case MatchesRegex(c, p) =>
           ("matches_regex", c, when(col(c).isNull
             || col(c).cast("string").rlike(p), 0L).otherwise(1L))
+      } ++ fks.map { case (ForeignKey(c, _, _), m) =>
+        ("foreign_key", c,
+          when(col(c).isNotNull && col(m).isNull, 1L).otherwise(0L))
       }
     val uniques = expectations.collect { case Unique(cs) => cs }
     val aggs = (count(lit(1)).as("__n") +:
@@ -255,8 +267,8 @@ object Profile {
         Seq(sum(when(allNonNull, 1L).otherwise(0L)).as(s"__un_$i"),
           countDistinct(col(cs.head), cs.tail.map(col): _*).as(s"__ud_$i"))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val localStructs = rowLocal.zipWithIndex.map { case ((name, c, _), i) =>
+    val one = withFk.agg(aggs.head, aggs.tail: _*)
+    val structs = rowLocal.zipWithIndex.map { case ((name, c, _), i) =>
       struct(lit(name).as("check"), lit(c).as("column"),
         col("__n").as("n_rows"), col(s"__v_$i").as("n_violations"))
     } ++ uniques.zipWithIndex.map { case (cs, i) =>
@@ -264,24 +276,9 @@ object Profile {
         col("__n").as("n_rows"),
         (col(s"__un_$i") - col(s"__ud_$i")).as("n_violations"))
     }
-    val localRows =
-      if (localStructs.isEmpty) None
-      else Some(one.select(explode(array(localStructs: _*)).as("r"))
-        .select(col("r.check").as("check"), col("r.column").as("column"),
-          col("r.n_rows").as("n_rows"),
-          col("r.n_violations").as("n_violations")))
-    val nOnly = one.select(col("__n"))
-    val fkRows = expectations.collect {
-      case ForeignKey(c, ref, refC) =>
-        df.select(col(c).as("__k")).filter(col("__k").isNotNull)
-          .join(ref.select(col(refC).as("__k")).distinct(), Seq("__k"),
-            "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
-          .crossJoin(nOnly)
-          .select(lit("foreign_key").as("check"), lit(c).as("column"),
-            col("__n").as("n_rows"), col("n_violations"))
-    }
-    val all = (localRows.toSeq ++ fkRows).reduce(_.unionByName(_))
-    all.withColumn("pass", col("n_violations") === 0L)
+    one.select(explode(array(structs: _*)).as("r"))
+      .select(col("r.check").as("check"), col("r.column").as("column"),
+        col("r.n_rows").as("n_rows"), col("r.n_violations").as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
   }
 }

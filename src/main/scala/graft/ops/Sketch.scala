@@ -307,6 +307,41 @@ object Sketch {
           / lit(gamma + 1.0), 6).as("est"))
   }
 
+  /** Theta-style INTERSECTION estimate from two global [[kmvSketchBy]]
+    * sketches — the set-algebra operation KMV supports and HLL cannot:
+    * `|A ∩ B|` without touching either corpus again (audience overlap,
+    * cross-split contamination mass, retained-user counts). θ is the
+    * smaller sketch's exclusive hash bound (`kth+1` when full, 2³²
+    * when the sketch IS the distinct set); values common to both
+    * sketches with `h < θ` form a uniform sample of the intersection
+    * at rate θ/2³², so `est = n_common·2³² div θ` — pure LONG, and
+    * EXACT whenever both sketches are below k. One join of two ≤k-row
+    * frames: driver-scale at any corpus size.
+    *
+    * @return one row (n_a, n_b, theta, n_common, est)
+    */
+  def kmvIntersectEstimate(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    def cap(sk: DataFrame) = sk
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(col("n"), when(col("n") >= k, col("kth") + 1L)
+        .otherwise(lit(4294967296L)).as("cap"))
+    val a = cap(skA).select(col("n").as("n_a"), col("cap").as("cap_a"))
+    val b = cap(skB).select(col("n").as("n_b"), col("cap").as("cap_b"))
+    val ab = a.crossJoin(b)
+      .withColumn("theta", least(col("cap_a"), col("cap_b")))
+    val common = skA.select(col("v"), col("h"))
+      .join(skB.select(col("v")), Seq("v"))
+    // global aggregate: exactly one row even when the intersection is
+    // empty — the estimate must report 0, not vanish
+    val cnt = common.crossJoin(broadcast(ab.select(col("theta").as("th"))))
+      .filter(col("h") < col("th"))
+      .agg(count(lit(1)).as("n_common"))
+    ab.crossJoin(cnt)
+      .select(col("n_a"), col("n_b"), col("theta"), col("n_common"),
+        when(col("theta") === 4294967296L, col("n_common"))
+          .otherwise(expr("(n_common * 4294967296L) div theta")).as("est"))
+  }
+
   /** AMS (Alon–Matias–Szegedy) F2 sketch — `depth` independent signed
     * counters estimating the SECOND frequency moment `F2 = Σ_v f_v²`,
     * i.e. the equi-self-join size of the column. The one cardinality

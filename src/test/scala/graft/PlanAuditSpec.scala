@@ -684,4 +684,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"q73 lost the a-priori semi-join prune:\n$plan")
     assert(plan.contains("partial_count"), s"q73 lost partial aggregation:\n$plan")
   }
+
+  test("t75 AMS: corpus collapses to the count table before the depth fan-out") {
+    // the scaladoc's vocab-not-corpus claim: the per-value groupBy
+    // (partial-aggregable) runs BEFORE the explode — a fan-out of raw
+    // rows would multiply the shuffle by depth
+    val plan = executed(SparkEntry.queries("t75_ams_f2")(spark, sf0001))
+    assert(plan.contains("partial_count"), s"t75 lost partial aggregation:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"t75 fell off codegen:\n$plan")
+    val gen = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gen.nonEmpty, s"t75 lost the depth fan-out:\n$plan")
+    assert(countOf(plan, "CartesianProduct") == 0, s"cartesian in t75:\n$plan")
+  }
+
+  test("t76 PPS sampling: one scalar aggregate broadcast back, membership is a narrow filter") {
+    val plan = executed(SparkEntry.queries("t76_pps_sample")(spark, sf0001))
+    // the Σw feed is the only join, and it must be the 1-row broadcast
+    // shape — a shuffle-partitioned join here would mean the corpus is
+    // being co-partitioned just to read one scalar
+    assert(countOf(plan, "BroadcastNestedLoopJoin") <= 1
+      && countOf(plan, "SortMergeJoin") == 0
+      && countOf(plan, "ShuffledHashJoin") == 0,
+      s"t76 membership is not a broadcast-scalar filter:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"t76 fell off codegen:\n$plan")
+  }
+
+  test("t77 expectations: the whole suite — FK included — rides ONE fact scan") {
+    val plan = executed(SparkEntry.queries("t77_expectations")(spark, sf0001))
+    // uniqueness rides the SAME aggregate as the row-local checks: with
+    // one distinct aggregate Catalyst plans the rewrite as a two-level
+    // aggregate keyed on the distinct column (the row-local sums ride
+    // along as merge_sum) — with ≥2 distincts it would be Expand; either
+    // way the row-local block adds NO extra scan
+    assert(plan.contains("Expand") || plan.contains("merge_sum"),
+      s"t77 lost the shared-scan distinct rewrite:\n$plan")
+    // the FK reference pre-joins as a broadcast flag column — the
+    // star-schema shape; an anti-join leg would re-scan the fact table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t77 lost the broadcast FK join:\n$plan")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders"))
+    assert(scans == 1, s"t77 scans orders $scans times (want 1):\n$plan")
+    assert(countOf(plan, "CartesianProduct") == 0, s"cartesian in t77:\n$plan")
+  }
 }

@@ -345,4 +345,31 @@ class SketchSpec extends SparkSpec {
       Sketch.amsCounters(df.repartition(7), "v", 5), 5).head
     assert(a == b)
   }
+
+  test("KMV intersection: exact below k, theta-scaled when full, one row " +
+      "even for empty overlap") {
+    import spark.implicits._
+    val k = 16
+    // small sets (both below k): estimate must be EXACTLY the overlap
+    val a1 = Sketch.kmvSketchBy((1 to 10).map(_.toString).toDF("v"), Nil, "v", k)
+    val b1 = Sketch.kmvSketchBy((6 to 12).map(_.toString).toDF("v"), Nil, "v", k)
+    val r1 = Sketch.kmvIntersectEstimate(a1, b1, k).head
+    assert(r1.getAs[Long]("theta") == 4294967296L)
+    assert(r1.getAs[Long]("n_common") == 5L && r1.getAs[Long]("est") == 5L)
+    // disjoint sets: the frame still reports one zero row
+    val c = Sketch.kmvSketchBy(Seq("x", "y").toDF("v"), Nil, "v", k)
+    val d = Sketch.kmvSketchBy(Seq("z").toDF("v"), Nil, "v", k)
+    val r2 = Sketch.kmvIntersectEstimate(c, d, k).collect()
+    assert(r2.length == 1 && r2(0).getAs[Long]("est") == 0L)
+    // large overlapping sets: sketches full, estimate within 3 sigma
+    // (~1/sqrt(k) relative) of the true 600-value overlap
+    val big1 = (1 to 1000).map(i => s"u$i").toDF("v")
+    val big2 = (401 to 1400).map(i => s"u$i").toDF("v")
+    val r3 = Sketch.kmvIntersectEstimate(
+      Sketch.kmvSketchBy(big1, Nil, "v", 256),
+      Sketch.kmvSketchBy(big2, Nil, "v", 256), 256).head
+    assert(r3.getAs[Long]("theta") < 4294967296L)
+    val est = r3.getAs[Long]("est")
+    assert(est > 300 && est < 1000, s"intersection est $est vs true 600")
+  }
 }
