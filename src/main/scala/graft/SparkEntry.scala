@@ -641,6 +641,32 @@ object SparkEntry {
         col("f2_est_merged"))
   }
 
+  /** Per-key DDSketch quantiles ([[ops.Sketch.ddBucketsBy]] /
+    * [[ops.Sketch.ddQuantilesBy]], α=1%): p50/p99 of the purchase-value
+    * cents PER EVENT TYPE — the per-tenant/per-type latency-monitor
+    * shape t66 proves globally. Per-key sketches stay mergeable
+    * bucket-wise across shards and days; the quantile walk runs on the
+    * per-key O(log range) bucket tables, never the corpus.
+    */
+  private def q74DdQuantilesByType(s: SparkSession, dir: String): DataFrame = {
+    val alphaMicro = 10000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    ops.Sketch.ddQuantilesBy(
+        ops.Sketch.ddBucketsBy(ev, Seq("event_type"), "v", alphaMicro),
+        Seq("event_type"), Seq(500000L, 990000L), alphaMicro)
+      .orderBy("event_type", "q_micro")
+  }
+
+  /** TF-IDF top-3 keyword extraction per document
+    * ([[ops.Retrieval.tfidfTopK]]) — the corpus-triage tagging
+    * primitive; scores micro-rounded once per (doc, term), per-doc
+    * top-k through the WindowGroupLimit partial bottom-k.
+    */
+  private def t79TfidfTopK(s: SparkSession, dir: String): DataFrame =
+    ops.Retrieval.tfidfTopK(Tables.documents(s, dir), "text", "doc_id", 3)
+      .orderBy("doc_id", "rank")
+
   /** KMV theta-style INTERSECTION ([[ops.Sketch.kmvIntersectEstimate]],
     * k=64): clicking users ∩ purchasing users estimated from the two
     * bottom-k sketches alone — the set-algebra read HLL cannot do —
@@ -6039,6 +6065,8 @@ object SparkEntry {
     "t76_pps_sample" -> t76PpsSample _,
     "t77_expectations" -> t77Expectations _,
     "t78_kmv_intersect" -> t78KmvIntersect _,
+    "q74_dd_by_type" -> q74DdQuantilesByType _,
+    "t79_tfidf_topk" -> t79TfidfTopK _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -9032,6 +9060,50 @@ object SparkEntry {
         |SELECT CAST(9 AS BIGINT) AS depth, ex.f2_exact, est.f2_est,
         |  mest.f2_est_merged
         |FROM est, mest, ex""".stripMargin,
+    // t66's replay partitioned by event_type: per-key buckets, per-key
+    // cumulative walk, same rank arithmetic and geometric midpoint
+    "q74_dd_by_type" ->
+      """WITH v AS (SELECT event_type,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |b AS (SELECT event_type, CAST(ceil(round(ln(CAST(v AS DOUBLE))
+        |        / ln(1010000.0/990000.0), 6)) AS BIGINT) AS bucket
+        |      FROM v WHERE v > 0),
+        |sk AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total
+        |      FROM sk GROUP BY 1),
+        |cumb AS (SELECT event_type, bucket, CAST(sum(n) OVER (
+        |        PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum_n
+        |      FROM sk),
+        |qs AS (SELECT unnest([CAST(500000 AS BIGINT), 990000]) AS q_micro),
+        |rt AS (SELECT t.event_type, q.q_micro, t.n_total,
+        |        greatest(CAST(1 AS BIGINT),
+        |          (q.q_micro * t.n_total + 999999) // 1000000) AS rank_target
+        |      FROM qs q CROSS JOIN tot t),
+        |pick AS (SELECT rt.event_type, rt.q_micro, rt.n_total,
+        |        rt.rank_target, min(cumb.bucket) AS bucket
+        |      FROM rt JOIN cumb ON cumb.event_type = rt.event_type
+        |        AND cumb.cum_n >= rt.rank_target GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, q_micro, n_total, bucket,
+        |  round(2.0 * pow(1010000.0/990000.0, bucket)
+        |    / (1010000.0/990000.0 + 1.0), 6) AS est
+        |FROM pick ORDER BY event_type, q_micro""".stripMargin,
+    // tf, df, and the micro-rounded tf·ln(n/df) replayed; per-doc
+    // top-3 by the same (score desc, term) tie order
+    "t79_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ts) AS term FROM t) GROUP BY doc_id, term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |        CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) * 1e6, 0)
+        |          AS BIGINT) AS tfidf_micro
+        |      FROM tf JOIN dfq USING (term), n),
+        |r AS (SELECT doc_id, term, tfidf_micro, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf_micro
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // both bottom-k sketches, theta, and the scaled estimator replayed;
     // exact overlap pinned in the same row
     "t78_kmv_intersect" ->

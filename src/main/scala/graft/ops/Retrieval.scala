@@ -235,4 +235,41 @@ object Retrieval {
       .select(col("query_id"), col("fused_rank"), col("item_id"),
         col("rrf_micro"), col("n_lists"))
   }
+
+  /** TF-IDF top-k KEYWORD extraction — the document-side dual of
+    * [[bm25TopK]]'s query-side probe: for every document, its k most
+    * characteristic terms by `tf · ln(n/df)` (the classic smooth-free
+    * form; df ≥ 1 for every term actually present, so the log argument
+    * is always ≥ 1). The tagging/labeling primitive of corpus triage —
+    * near-free once [[termFrequencies]] exists.
+    *
+    * Scale shape: df is one partial-aggregable aggregate of the tf
+    * relation; the corpus total is a 1-row broadcast; scoring is a
+    * broadcast(df-table) hash join when the vocab is Zipf-head bounded
+    * (it is, after `maxDfPermille` drops nothing here — df joins are
+    * vocab-not-corpus); the per-document top-k is `row_number ≤ k`,
+    * which Catalyst turns into a map-side partial top-k
+    * (WindowGroupLimit — the same O(docs·k) shuffle bound t74 rides).
+    * Scores micro-rounded ONCE per (doc, term) — order-free,
+    * engine-exact thereafter.
+    *
+    * @return (doc_id, rank, term, tfidf_micro)
+    */
+  def tfidfTopK(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = termFrequencies(docs, textCol, idCol)
+    val n1 = docs.select(col(idCol)).agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf_micro"), col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n1))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")) * 1e6, 0)
+          .cast("long").as("tfidf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf_micro"))
+  }
 }

@@ -307,6 +307,61 @@ object Sketch {
           / lit(gamma + 1.0), 6).as("est"))
   }
 
+  /** Keyed [[ddBuckets]] — one DDSketch per group: the "p99 per
+    * event_type / per tenant / per day" monitoring shape. Same log-γ
+    * bucket rule (6-rounded before `ceil` so 1-ulp `ln` disagreement
+    * cannot flip a boundary), one partial-aggregable groupBy; per-key
+    * sketches merge across shards/days bucket-wise, and day×key
+    * sketches roll up to key alone by the same `+`.
+    */
+  def ddBucketsBy(df: DataFrame, keys: Seq[String], valCol: String,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro out of (0, 1e6): $alphaMicro")
+    require(keys.nonEmpty, "ddBucketsBy: use ddBuckets for the global sketch")
+    val gamma = (1e6 + alphaMicro) / (1e6 - alphaMicro)
+    df.select((keys.map(col) :+ col(valCol).cast("double").as("x")): _*)
+      .filter(col("x") > 0d)
+      .select((keys.map(col) :+
+        ceil(round(log(col("x")) / lit(math.log(gamma)), 6)).cast("long")
+          .as("bucket")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-key quantiles from a [[ddBucketsBy]] frame: [[ddQuantiles]]'
+    * rank-pick, partitioned by key — the cumulative window and the
+    * crossing-bucket argmin both run on the per-key bucket tables
+    * (O(log range) rows each), never the corpus.
+    * @return (keys…, q_micro, n_total, bucket, est)
+    */
+  def ddQuantilesBy(buckets: DataFrame, keys: Seq[String], qMicros: Seq[Long],
+      alphaMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qMicros.nonEmpty && qMicros.forall(q => q > 0 && q <= 1000000L),
+      s"quantiles must lie in (0, 1e6]: $qMicros")
+    require(keys.nonEmpty, "ddQuantilesBy: use ddQuantiles for the global sketch")
+    val gamma = (1e6 + alphaMicro) / (1e6 - alphaMicro)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = buckets.withColumn("cum_n", sum(col("n")).over(w))
+    val tot = buckets.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n_total"))
+    val s = buckets.sparkSession
+    import s.implicits._
+    val qs = qMicros.toDF("q_micro")
+    qs.crossJoin(broadcast(tot))
+      .withColumn("rank_target",
+        greatest(lit(1L), expr("(q_micro * n_total + 999999) div 1000000")))
+      .join(cum, keys)
+      .filter(col("cum_n") >= col("rank_target"))
+      .groupBy((keys ++ Seq("q_micro", "n_total", "rank_target")).map(col): _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .select((keys.map(col) ++ Seq(col("q_micro"), col("n_total"),
+        col("bucket"),
+        round(lit(2.0) * pow(lit(gamma), col("bucket").cast("double"))
+          / lit(gamma + 1.0), 6).as("est"))): _*)
+  }
+
   /** Theta-style INTERSECTION estimate from two global [[kmvSketchBy]]
     * sketches — the set-algebra operation KMV supports and HLL cannot:
     * `|A ∩ B|` without touching either corpus again (audience overlap,

@@ -115,4 +115,28 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("tfidfTopK: rare terms outrank common ones; k and tie order hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zebra common common common"),
+      (2L, "common common apple apple"),
+      (3L, "common banana")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.tfidfTopK(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // 'common' appears in all 3 docs -> ln(3/3)=0, never a top keyword
+    // over any term unique to the doc
+    assert(got((1L, 1L))._1 == "zebra")
+    assert(got((2L, 1L))._1 == "apple")
+    assert(got((3L, 1L))._1 == "banana")
+    // df=3 term scores exactly 0 micro
+    assert(got((1L, 2L)) == (("common", 0L)))
+    // apple: tf=2, df=1 -> 2*ln(3)*1e6 rounded
+    val want = math.round(2 * math.log(3.0) * 1e6)
+    assert(got((2L, 1L))._2 == want)
+    // k=2 respected
+    assert(!got.contains((1L, 3L)))
+  }
 }

@@ -372,4 +372,34 @@ class SketchSpec extends SparkSpec {
     val est = r3.getAs[Long]("est")
     assert(est > 300 && est < 1000, s"intersection est $est vs true 600")
   }
+
+  test("ddBucketsBy/ddQuantilesBy: per-key sketches match per-key global " +
+      "runs and merge bucket-wise") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ("a", i.toLong)) ++
+      (1 to 300).map(i => ("b", (i * 7).toLong))
+    val df = rows.toDF("g", "v")
+    val alpha = 10000L
+    val keyed = Sketch.ddQuantilesBy(
+      Sketch.ddBucketsBy(df, Seq("g"), "v", alpha),
+      Seq("g"), Seq(500000L, 990000L), alpha).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    // each key's answer equals running the GLOBAL sketch on that slice
+    for (g <- Seq("a", "b")) {
+      val slice = df.filter(col("g") === g).select("v")
+      val glob = Sketch.ddQuantiles(
+        Sketch.ddBuckets(slice, "v", alpha), Seq(500000L, 990000L), alpha)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      for (q <- Seq(500000L, 990000L))
+        assert(keyed((g, q)) == glob(q), s"key $g q $q")
+    }
+    // merge law: per-key buckets of two disjoint halves sum to direct
+    val h0 = Sketch.ddBucketsBy(df.filter(col("v") % 2 === 0), Seq("g"), "v", alpha)
+    val h1 = Sketch.ddBucketsBy(df.filter(col("v") % 2 === 1), Seq("g"), "v", alpha)
+    val merged = h0.unionByName(h1).groupBy("g", "bucket")
+      .agg(sum("n").as("n"))
+    val direct = Sketch.ddBucketsBy(df, Seq("g"), "v", alpha)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
 }
