@@ -3062,6 +3062,30 @@ object SparkEntry {
       ORDER BY d.lang""")
   }
 
+  /** RECURSIVE CTE on the ENGINE side (`WITH RECURSIVE`, Spark 4's
+    * SQL:1999 recursion): every customer's ancestor chain up a
+    * synthetic `k → k div 2` binary hierarchy to root 1, rolled up as
+    * nodes-per-root-distance — the org-chart/BOM transitive-closure
+    * query shape. The iterative-fixed-point work the DataFrame graph
+    * ops (g1/g5) hand-roll is here delegated to the engine's recursion
+    * operator; depth is log₂(max key), so the recursion is ~11 UnionLoop
+    * iterations at sf0.01 and ~30 at any conceivable key space.
+    */
+  private def q75RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT c_custkey AS start, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+        FROM customer_v
+        UNION ALL
+        SELECT start, cur DIV 2 AS cur, depth + 1 AS depth
+        FROM anc WHERE cur > 1
+      )
+      SELECT depth AS root_depth, count(*) AS n
+      FROM anc WHERE cur = 1
+      GROUP BY depth ORDER BY root_depth""")
+  }
+
   /** The SQL SET OPERATORS (`INTERSECT` / `EXCEPT`, distinct
     * semantics) — converters who clicked AND purchased but never
     * errored (value-thresholded legs — the fixture gives every user
@@ -6067,6 +6091,7 @@ object SparkEntry {
     "t78_kmv_intersect" -> t78KmvIntersect _,
     "q74_dd_by_type" -> q74DdQuantilesByType _,
     "t79_tfidf_topk" -> t79TfidfTopK _,
+    "q75_recursive_cte" -> q75RecursiveCte _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -9060,6 +9085,19 @@ object SparkEntry {
         |SELECT CAST(9 AS BIGINT) AS depth, ex.f2_exact, est.f2_est,
         |  mest.f2_est_merged
         |FROM est, mest, ex""".stripMargin,
+    // the same recursion on DuckDB (engine-side WITH RECURSIVE on both
+    // sides — only the integer-division spelling differs)
+    "q75_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS start, c_custkey AS cur,
+        |    CAST(0 AS BIGINT) AS depth FROM customer
+        |  UNION ALL
+        |  SELECT start, cur // 2 AS cur, depth + 1 AS depth
+        |  FROM anc WHERE cur > 1
+        |)
+        |SELECT depth AS root_depth, count(*) AS n
+        |FROM anc WHERE cur = 1
+        |GROUP BY depth ORDER BY root_depth""".stripMargin,
     // t66's replay partitioned by event_type: per-key buckets, per-key
     // cumulative walk, same rank arithmetic and geometric midpoint
     "q74_dd_by_type" ->
