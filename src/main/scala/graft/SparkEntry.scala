@@ -3086,6 +3086,54 @@ object SparkEntry {
       GROUP BY depth ORDER BY root_depth""")
   }
 
+  /** Deterministic keyed pseudonymization ([[ops.Privacy
+    * .pseudonymize]]): `user_id` tokenized INDEPENDENTLY in the event
+    * stream and in the customer dimension with the same salt, then
+    * joined ON THE PSEUDONYM — proving the property the op exists for
+    * (same value ⇒ same token across tables/batches/engines, so
+    * referential structure survives de-identification). The oracle
+    * recomputes the keyed hash from raw data, pinning the exact token
+    * bytes.
+    */
+  private def t80Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft-release-2026"
+    val ev = ops.Privacy.pseudonymize(
+      Tables.events(s, dir).filter(col("user_id") < 100)
+        .select(col("user_id"), cents(col("value")).as("v_cents")),
+      Seq("user_id"), salt)
+    val cust = ops.Privacy.pseudonymize(
+      Tables.customer(s, dir).filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+      Seq("user_id"), salt)
+    ev.join(cust, Seq("user_id"))
+      .groupBy(col("user_id"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("cents"))
+      .select(col("user_id").as("pseudo"), col("c_mktsegment"),
+        col("n_events"), col("cents"))
+      .orderBy("pseudo")
+  }
+
+  /** LATERAL correlated subquery (SQL:1999 lateral derived table,
+    * Spark 4 decorrelation): each customer's top-2 orders by price —
+    * the per-row-subquery surface that decorrelates into q7's
+    * window-top-k shape under Catalyst rather than executing
+    * row-at-a-time.
+    */
+  private def q76Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.cents
+      FROM customer_v c,
+      LATERAL (
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders_v o WHERE o.o_custkey = c.c_custkey
+        ORDER BY cents DESC, o_orderkey LIMIT 2
+      ) t
+      WHERE c.c_custkey <= 200
+      ORDER BY c_custkey, cents DESC, o_orderkey""")
+  }
+
   /** The SQL SET OPERATORS (`INTERSECT` / `EXCEPT`, distinct
     * semantics) — converters who clicked AND purchased but never
     * errored (value-thresholded legs — the fixture gives every user
@@ -6092,6 +6140,8 @@ object SparkEntry {
     "q74_dd_by_type" -> q74DdQuantilesByType _,
     "t79_tfidf_topk" -> t79TfidfTopK _,
     "q75_recursive_cte" -> q75RecursiveCte _,
+    "t80_pseudonymize" -> t80Pseudonymize _,
+    "q76_lateral" -> q76Lateral _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -9085,6 +9135,33 @@ object SparkEntry {
         |SELECT CAST(9 AS BIGINT) AS depth, ex.f2_exact, est.f2_est,
         |  mest.f2_est_merged
         |FROM est, mest, ex""".stripMargin,
+    // the keyed hash recomputed from RAW values on the oracle side —
+    // the token bytes themselves are under gate, not just the joins
+    "t80_pseudonymize" ->
+      """WITH ev AS (SELECT substr(md5('graft-release-2026:'
+        |        || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        |      FROM events WHERE user_id < 100),
+        |c AS (SELECT substr(md5('graft-release-2026:'
+        |        || CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudo,
+        |        c_mktsegment
+        |      FROM customer WHERE c_custkey < 100)
+        |SELECT ev.pseudo, c.c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(v_cents) AS BIGINT) AS cents
+        |FROM ev JOIN c USING (pseudo)
+        |GROUP BY 1, 2 ORDER BY pseudo""".stripMargin,
+    // identical LATERAL statement (DuckDB expects the same SQL:1999
+    // surface); both engines decorrelate to a per-key top-2
+    "q76_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin,
     // the same recursion on DuckDB (engine-side WITH RECURSIVE on both
     // sides — only the integer-division spelling differs)
     "q75_recursive_cte" ->

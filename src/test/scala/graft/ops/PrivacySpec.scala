@@ -111,4 +111,27 @@ class PrivacySpec extends SparkSpec {
     val none = Privacy.generalizeUntilK(df, levels.take(1), 3L).collect()
     assert(none.length == 1 && !none(0).getBoolean(5))
   }
+
+  test("pseudonymize: joinability and distinct cardinality survive, nulls " +
+      "pass through, a salt rotation rewrites every token") {
+    import spark.implicits._
+    val a = Seq(Some(1L), Some(2L), Some(2L), None).toDF("k")
+    val b = Seq(Some(2L), Some(3L)).toDF("k")
+    val pa = Privacy.pseudonymize(a, Seq("k"), "s1")
+    val pb = Privacy.pseudonymize(b, Seq("k"), "s1")
+    // same value -> same token across frames: the raw join and the
+    // pseudonymized join see the same cardinality
+    assert(pa.join(pb, Seq("k")).count() == a.join(b, Seq("k")).count())
+    assert(pa.filter(col("k").isNotNull).distinct().count()
+      == a.filter(col("k").isNotNull).distinct().count())
+    // null stays null (never a token for "no subject")
+    assert(pa.filter(col("k").isNull).count() == 1)
+    // tokens are 16 lowercase hex chars
+    assert(pa.filter(col("k").isNotNull)
+      .filter(!col("k").rlike("^[0-9a-f]{16}$")).count() == 0)
+    // rotating the salt rewrites the whole mapping (crypto-shredding)
+    val rot = Privacy.pseudonymize(a, Seq("k"), "s2")
+    assert(pa.filter(col("k").isNotNull)
+      .join(rot.filter(col("k").isNotNull), Seq("k")).count() == 0)
+  }
 }
