@@ -192,21 +192,32 @@ object Privacy {
     * holds the salt) while the raw identifier never lands in the
     * lakehouse. The salt is the secret — without it the map is
     * one-way; rotate the salt and every downstream join key rotates
-    * with it (the GDPR "crypto-shredding" lever). 64 bits of output
-    * keeps the birthday-collision odds below 3·10⁻⁸ at a billion
-    * distinct subjects; widen the prefix before the keyspace does.
+    * with it (the GDPR "crypto-shredding" lever).
+    *
+    * Token width vs collision risk (birthday bound, any-collision
+    * probability ≈ n²/2·2^bits): the full 128-bit md5 default keeps it
+    * below 1.5·10⁻²¹ at a BILLION distinct subjects. A 16-hex (64-bit)
+    * token — `hexChars = 16`, the narrow opt-in where token bytes are
+    * storage-sensitive — is below 3·10⁻⁸ only up to ~a MILLION
+    * subjects; at 10⁹ it reaches ~2.7%, and a collision silently
+    * merges two subjects' records under one pseudonym, so do not opt
+    * down at population scale.
     *
     * Scale shape: a narrow codegen'd projection — no shuffle, no
     * lookup table to build, distribute, or leak (the failure mode of
     * mapping-table tokenization at 100 TB).
     */
-  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String,
+      hexChars: Int = 32): DataFrame = {
     require(cols.nonEmpty, "pseudonymize: no columns given")
     require(salt.nonEmpty, "pseudonymize: empty salt defeats the point")
+    require(hexChars >= 16 && hexChars <= 32,
+      s"pseudonymize: hexChars must be in [16, 32], got $hexChars " +
+        "(below 64 bits the birthday bound bites at sub-million scale)")
     cols.foldLeft(df) { (acc, c) =>
       acc.withColumn(c, when(col(c).isNull, lit(null).cast("string"))
         .otherwise(substring(md5(concat(lit(salt), lit(":"),
-          col(c).cast("string")).cast("binary")), 1, 16)))
+          col(c).cast("string")).cast("binary")), 1, hexChars)))
     }
   }
 }

@@ -446,6 +446,22 @@ object Sampling {
   def ppsPoissonSample(df: DataFrame, idCol: String, weightCol: String,
       targetN: Long): DataFrame = {
     require(targetN > 0, s"targetN must be positive: $targetN")
+    // The exact-integer design REQUIRES integral weights: a fractional
+    // weight would be silently rounded by the DECIMAL(38,0) cast (a row
+    // with 0 < w < 0.5 passes the w > 0 filter yet gets thr = 0 and can
+    // never be sampled, and Σw sums the rounded values), so reject the
+    // dtype loudly and tell the caller the standard move — scale to
+    // micro-units (an integral column) at a fixed documented scale.
+    df.schema(weightCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 => ()
+      case other => throw new IllegalArgumentException(
+        s"ppsPoissonSample: weight column '$weightCol' is $other; the " +
+          "exact-integer inclusion rule needs an integral weight " +
+          "(tokens, bytes, micro-units) — pre-scale fractional weights " +
+          "to a fixed integer unit, e.g. round(w * 1e6) as micro-weight")
+    }
     val tot = df.filter(col(weightCol) > 0)
       .agg(sum(col(weightCol).cast("decimal(38,0)")).as("w_total"))
     val hv = conv(substring(md5(concat(lit("pps:"),

@@ -287,50 +287,59 @@ object Similarity {
     * the head — at 10% selectivity that is ~90% of them — while
     * pre-filtering ranks within the eligible set from the start.
     *
-    * SELECTIVITY-SCALED probing: a filter at selectivity `s` thins every
-    * probed cell to `s` of its population, so fixed-`nprobe` filtered
-    * search silently degrades to near-random recall as filters sharpen
-    * (measured 0.200 at sf0.1 with nprobe=2 of 100 cells). The standard
-    * fix, applied here: each query probes `min(ncells,
-    * ceil(nprobe / s_label))` cells — `s_label` the query label's corpus
-    * fraction — so the ELIGIBLE candidates examined stay on the
-    * unfiltered operating point and total cosine work stays ~constant
-    * per query regardless of filter sharpness. All-integer arithmetic
-    * (`(nprobe·n_tot + n_m − 1) div n_m`), label counts one
-    * partial-aggregable groupBy, corpus/centroid totals two 1-row
-    * broadcast aggregates — no driver action, SQL-replayable exactly.
-    * Same gate-scale label re-join shape as the ADC paths; a production
-    * artifact threads the routing column through the cell assignment
-    * instead (one column appended to the persisted cell layout).
+    * LABEL-PARTITIONED index (the round-11 advisory fix): selectivity-
+    * scaled probing of GLOBAL cells topped out at 0.633 recall at sf0.1 —
+    * widening nprobe by 1/s_label assumes the label is spread uniformly
+    * across cells, and the filtered truth's k-th neighbor lives farther
+    * out in query space than the unfiltered one, so nearest-global-cell
+    * order under-covers it. The partitioned design sidesteps both
+    * failure modes: centroids are sampled PER LABEL (`id % centroidEvery
+    * == 0`, plus each label's min-id vector so every label owns ≥ 1
+    * cell), every corpus vector is assigned to its L2-nearest OWN-LABEL
+    * centroid, and a query probes its `nprobe` nearest cells of its own
+    * label's partition. Filtered search is then literally unfiltered IVF
+    * run on the label sub-corpus — recall sits on [[ivfTopK]]'s measured
+    * operating point (sim21's curve) by construction, independent of
+    * filter sharpness. Rare labels degrade gracefully: a label too small
+    * to sample a centroid keeps exactly one cell (its min-id vector), so
+    * probing it IS the label-partitioned exact scan. The centroid table
+    * stays `n/centroidEvery + |labels|` rows — same broadcast budget as
+    * the global index — and cell population is ~centroidEvery regardless
+    * of label skew, so the candidate equi-join buckets stay bounded at
+    * 100 TB. This is the routing-column-partitioned layout a production
+    * artifact persists (one label column prepended to the cell key).
     */
   def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int, centroidEvery: Int, matchCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
-    val cents = corpus.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    val cells = assignCells(
-        withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
-        cents, "nn_id", "nn_vec", "nn_nrm", 1)
-      .join(corpus.select(col(idCol).as("nn_id"), col(matchCol).as("nn_m")), "nn_id")
-    val nCells = cents.agg(count(lit(1)).as("n_cells"))
-    val nTot = corpus.agg(count(lit(1)).as("n_tot"))
-    val labCnt = corpus.groupBy(col(matchCol).as("q_m")).agg(count(lit(1)).as("n_m"))
-    val npEff = queries.select(col(idCol).as("query_id"), col(matchCol).as("q_m"))
-      .join(labCnt, Seq("q_m"), "left")
-      .crossJoin(broadcast(nCells)).crossJoin(broadcast(nTot))
-      .select(col("query_id"), col("q_m"),
-        least(col("n_cells"),
-          expr(s"($nprobe * n_tot + coalesce(n_m, n_tot) - 1) div coalesce(n_m, n_tot)"))
-          .as("np_eff"))
-    val qScored = withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm")
-      .join(broadcast(cents))
-      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("cent_id"),
+    val minLab = corpus.groupBy(col(matchCol).as("c_m"))
+      .agg(min(col(idCol)).as("min_id"))
+    val cents = corpus
+      .join(broadcast(minLab), corpus(matchCol) === col("c_m"))
+      .filter(col(idCol) % centroidEvery === 0 || col(idCol) === col("min_id"))
+      .select(col("c_m"), col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    // one-pass projections (id, vec, norm, label) — no self-join re-joins
+    val cv = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      normNative(col(vecCol)).as("nn_nrm"), col(matchCol).as("nn_m"))
+    val scoredC = cv.join(broadcast(cents), col("nn_m") === col("c_m"))
+      .select(col("nn_id"), col("nn_vec"), col("nn_nrm"), col("nn_m"), col("cent_id"),
+        rounded(sqrt(l2NativeSq(col("nn_vec"), col("cent_vec")))).as("d"))
+    // own-label argmin, partial-aggregable (assignCells keep=1 pattern)
+    val cells = scoredC.groupBy("nn_id")
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"),
+        any_value(col("nn_vec")).as("nn_vec"), any_value(col("nn_nrm")).as("nn_nrm"),
+        any_value(col("nn_m")).as("nn_m"))
+      .select(col("nn_id"), col("nn_vec"), col("nn_nrm"), col("nn_m"),
+        col("best.cent_id").as("cent_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normNative(col(vecCol)).as("q_nrm"), col(matchCol).as("q_m"))
+    val qScored = qv.join(broadcast(cents), col("q_m") === col("c_m"))
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("q_m"), col("cent_id"),
         rounded(sqrt(l2NativeSq(col("q_vec"), col("cent_vec")))).as("d"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("d"), col("cent_id"))
     val probes = qScored.withColumn("__cell_rank", row_number().over(wProbe))
-      .join(broadcast(npEff), "query_id")
-      .filter(col("__cell_rank") <= col("np_eff"))
+      .filter(col("__cell_rank") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("q_nrm"), col("cent_id"), col("q_m"))
     val scored = cells.join(probes,
         cells("cent_id") === probes("cent_id") &&

@@ -376,6 +376,17 @@ object Sketch {
     * @return one row (n_a, n_b, theta, n_common, est)
     */
   def kmvIntersectEstimate(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    // GLOBAL-sketch precondition, enforced (not just documented): a keyed
+    // [[kmvSketchBy]] frame would aggregate count/max(h) ACROSS keys and
+    // return a silently wrong n/theta. A global sketch is exactly
+    // (v, h, rn) — reject anything carrying extra key columns loudly.
+    def checkGlobal(sk: DataFrame, side: String): Unit =
+      require(sk.columns.toSeq.sorted == Seq("h", "rn", "v"),
+        s"kmvIntersectEstimate: $side sketch has columns " +
+          s"${sk.columns.mkString("(", ", ", ")")} — expected the global " +
+          "(v, h, rn) shape; collapse a keyed sketch with kmvMerge first")
+    checkGlobal(skA, "left")
+    checkGlobal(skB, "right")
     def cap(sk: DataFrame) = sk
       .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
       .select(col("n"), when(col("n") >= k, col("kth") + 1L)
@@ -418,7 +429,9 @@ object Sketch {
     * Counters stay in LONG to |C| ≈ 9·10¹⁸ (corpus row count, worst
     * case all-one-sign); squares go through DECIMAL(38,0) and only the
     * final median is emitted as LONG — exact to F2 ≈ 9·10¹⁸, beyond
-    * which the emit moves to DECIMAL unchanged.
+    * which [[amsF2Estimate]] raises loudly in-plan rather than letting
+    * a non-ANSI cast null the estimate (switch the emit column to
+    * DECIMAL(38,0) if a larger range is ever needed).
     *
     * @return one LONG counter row per `row_idx ∈ [0, depth)`.
     */
@@ -449,8 +462,16 @@ object Sketch {
       (col("counter").cast("decimal(19,0)") * col("counter"))
         .cast("decimal(38,0)").as("sq"))
       .withColumn("rn", row_number().over(Window.partitionBy().orderBy("sq")))
+    // LONG emit, overflow LOUD: past ~9.2e18 the non-ANSI cast would
+    // return null silently — a huge-F2 corpus must fail, not lie.
+    val maxLong = lit("9223372036854775807").cast("decimal(38,0)")
     sq.filter(col("rn") === (depth + 1) / 2)
       .select(lit(depth).cast("long").as("depth"),
-        col("sq").cast("long").as("f2_est"))
+        when(col("sq") <= maxLong, col("sq").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("amsF2Estimate: F2 median "), col("sq").cast("string"),
+            lit(" exceeds LONG range — emit DECIMAL downstream instead")))
+            .cast("long"))
+          .as("f2_est"))
   }
 }

@@ -472,14 +472,17 @@ object EventsStream {
   /** LEFT OUTER variant of [[purchaseViewJoin]]: purchases with no view
     * in the preceding hour still emit (null view columns) — but only
     * once the watermark passes the purchase's match window, when the
-    * engine can PROVE no matching view can still arrive. Consequence
-    * (and why this op is spec-checked rather than oracle-gated): in a
-    * bounded run, purchases newer than the final watermark terminate
-    * still in state — their null row is withheld, so the streaming
-    * result is the batch inner join plus only the *provably*-unmatched
-    * tail. That is correct streaming semantics, not data loss: a
-    * restart with more data resumes exactly where the watermark left
-    * off.
+    * engine can PROVE no matching view can still arrive. Consequence:
+    * in a bounded run, purchases newer than the final watermark
+    * terminate still in state — their null row is withheld, so the
+    * streaming result is the batch inner join plus only the
+    * *provably*-unmatched tail. That is correct streaming semantics,
+    * not data loss: a restart with more data resumes exactly where the
+    * watermark left off. The q78 gate closes the gap with a sentinel
+    * slice past every purchase's window (+delay), making the bounded
+    * streamed result equal the batch LEFT JOIN bit-for-bit; the
+    * exactly-once-after-expiry law (a null row neither emits early nor
+    * re-emits on later batches) is spec-gated in EventsStreamSpec.
     */
   def purchaseViewJoinOuter(events: DataFrame): DataFrame = {
     val views = events.filter(col("event_type") === "view")

@@ -126,9 +126,17 @@ class PrivacySpec extends SparkSpec {
       == a.filter(col("k").isNotNull).distinct().count())
     // null stays null (never a token for "no subject")
     assert(pa.filter(col("k").isNull).count() == 1)
-    // tokens are 16 lowercase hex chars
+    // tokens default to the full 32 lowercase hex chars (128-bit md5);
+    // 16-hex is the explicit opt-in
     assert(pa.filter(col("k").isNotNull)
+      .filter(!col("k").rlike("^[0-9a-f]{32}$")).count() == 0)
+    val narrow = Privacy.pseudonymize(a, Seq("k"), "s1", hexChars = 16)
+    assert(narrow.filter(col("k").isNotNull)
       .filter(!col("k").rlike("^[0-9a-f]{16}$")).count() == 0)
+    // the narrow token is the prefix of the wide one (same keyed hash)
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(a, Seq("k"), "s1", hexChars = 8)
+    }
     // rotating the salt rewrites the whole mapping (crypto-shredding)
     val rot = Privacy.pseudonymize(a, Seq("k"), "s2")
     assert(pa.filter(col("k").isNotNull)

@@ -314,4 +314,18 @@ class SamplingSpec extends SparkSpec {
     // thr saturates at 2^32 for every positive-weight row
     assert(all == Set(3L, 4L))
   }
+
+  test("PPS Poisson: fractional weight columns are rejected loudly — the " +
+      "DECIMAL(38,0) cast would silently zero sub-0.5 weights") {
+    import spark.implicits._
+    val frac = Seq((1L, 0.3), (2L, 2.0)).toDF("id", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.ppsPoissonSample(frac, "id", "w", 10L)
+    }
+    assert(ex.getMessage.contains("integral weight"))
+    // integral dtypes pass: decimal scale-0 as well as LONG
+    val dec = Seq((1L, BigDecimal(3)), (2L, BigDecimal(2)))
+      .toDF("id", "w").withColumn("w", col("w").cast("decimal(20,0)"))
+    Sampling.ppsPoissonSample(dec, "id", "w", 10L).collect()
+  }
 }

@@ -402,4 +402,36 @@ class SketchSpec extends SparkSpec {
     val direct = Sketch.ddBucketsBy(df, Seq("g"), "v", alpha)
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
+
+  test("KMV intersection: a keyed sketch is rejected loudly, not " +
+      "silently mixed across keys") {
+    import spark.implicits._
+    val keyed = Sketch.kmvSketchBy(
+      Seq(("a", "1"), ("a", "2"), ("b", "1")).toDF("g", "v"),
+      Seq("g"), "v", 16)
+    val global = Sketch.kmvSketchBy(Seq("1", "2").toDF("v"), Nil, "v", 16)
+    intercept[IllegalArgumentException] {
+      Sketch.kmvIntersectEstimate(keyed, global, 16)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.kmvIntersectEstimate(global, global.withColumn("extra", lit(1)), 16)
+    }
+  }
+
+  test("AMS F2: a median square past LONG range raises in-plan instead " +
+      "of nulling the estimate") {
+    import spark.implicits._
+    // hand-built counters frame: counter 4e9 squares to 1.6e19 > Long.Max
+    val counters = Seq((0, 4000000000L), (1, 4000000000L), (2, 4000000000L))
+      .toDF("row_idx", "counter")
+    val ex = intercept[Exception] {
+      Sketch.amsF2Estimate(counters, 3).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m => m != null && m.contains("exceeds LONG range")))
+    // and a comfortable in-range median still emits exactly
+    val ok = Seq((0, -3L), (1, 2L), (2, 10L)).toDF("row_idx", "counter")
+    assert(Sketch.amsF2Estimate(ok, 3).head.getLong(1) == 9L)
+  }
 }

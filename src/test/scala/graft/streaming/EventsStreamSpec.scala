@@ -82,6 +82,80 @@ class EventsStreamSpec extends SparkSpec {
       out.toString)
   }
 
+  test("purchaseViewJoinOuter law: an unmatched purchase's null row is " +
+      "withheld until the watermark proves expiry, then emits exactly once") {
+    import spark.implicits._
+    val H = 3600000000L // one hour in micros
+    // P1/V1 (user 1): inner match at 10:00/10:30. P2 (user 9): purchase at
+    // 10:00 with no view ever — the null-row subject.
+    val b1 = Seq((1L, 1L, 10L * H, "view", 0.0),
+      (2L, 1L, 10L * H + H / 2, "purchase", 5.0),
+      (3L, 9L, 10L * H, "purchase", 7.0))
+    // b2 advances the watermark to 18:00 (> P2's ts + its window), proving
+    // no matching view can arrive; b3 is a later batch AFTER expiry — the
+    // null row must not re-emit in it. Each advancing batch carries BOTH a
+    // view and a purchase (distinct users, matching nothing): the two
+    // withWatermark branches track separate event-time maxima and the
+    // GLOBAL watermark is their MIN, so a views-only batch stalls the
+    // purchase branch and nothing ever flushes.
+    val b2 = Seq((4L, 8L, 20L * H, "view", 0.0),
+      (40L, 7L, 20L * H, "purchase", 0.0))
+    val b3 = Seq((5L, 8L, 30L * H, "view", 0.0),
+      (50L, 6L, 30L * H, "purchase", 0.0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def run(name: String, slices: Seq[(Seq[(Long, Long, Long, String, Double)], Long)])
+        : Seq[(Long, Option[Long])] = {
+      val base = s"/tmp/graft_io/spec_q78_$name/in"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      slices.zipWithIndex.foreach { case ((rows, mtime), i) =>
+        val tmp = new java.io.File(s"$base/b$i.tmp")
+        rows.toDF("event_id", "user_id", "ts_us", "event_type", "value")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros(col("ts_us")).as("ts"), col("event_type"), col("value"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(s"$base/b$i.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rm(tmp); target.setLastModified(mtime): Unit
+      }
+      val ckpt = EventsStream.ephemeralCheckpoint(s"spec_q78_$name")
+      val q = EventsStream.purchaseViewJoinOuter(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(base))
+        .writeStream.format("memory").queryName(s"spec_q78_${name}_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      EventsStream.dropEphemeralCheckpoint(ckpt)
+      spark.table(s"spec_q78_${name}_out").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .sortBy(r => (r._1, r._2.getOrElse(-1L))).toSeq
+    }
+    // bounded run over b1 only: the inner match emits; P2's null row is
+    // WITHHELD (the engine cannot yet prove no view will arrive)
+    val early = run("early", Seq((b1, 1000000000000L)))
+    assert(early == Seq((2L, Some(1L))), early.toString)
+    // full run: watermark passes P2's window after b2; b3 runs after
+    // expiry. Exactly ONE null row for P2 — not zero (withheld), not two
+    // (re-emit on b3). Sentinel purchases (ids 40/50) are dropped from
+    // the assertion: their own null rows legitimately flush whenever a
+    // later batch passes THEIR windows.
+    val full = run("full", Seq((b1, 1000000000000L),
+      (b2, 1000000060000L), (b3, 1000000120000L)))
+      .filter(_._1 <= 3L)
+    assert(full == Seq((2L, Some(1L)), (3L, None)), full.toString)
+  }
+
   test("lastTouchAttribution TTL law: expired touches leave the state store") {
     import spark.implicits._
     val base = "/tmp/graft_io/spec_q55_ttl/in"
