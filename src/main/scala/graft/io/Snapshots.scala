@@ -150,8 +150,26 @@ object Snapshots {
     */
   def commitWithStats(df: DataFrame, table: String, statsCol: String,
       maxAttempts: Int = 50, allowEvolve: Boolean = false): Int =
-    commitTagged(df, table, None, maxAttempts, allowEvolve, Some(statsCol))
+    commitTagged(df, table, None, maxAttempts, allowEvolve, Seq(statsCol))
       .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+
+  /** [[commitWithStats]] over N DECLARED COLUMNS — real tables prune on
+    * several (tenant AND day, key AND price band). One `#dirstats` line
+    * per column rides the manifest, all N min/max pairs computed by ONE
+    * aggregate over the just-written files (still O(new data) — the
+    * column count multiplies the aggregate width, not the scan count).
+    * Composes with [[graft.ops.Layout.clusterByZ]]: a Z-clustered write
+    * gives every directory a tight hyper-rectangle in the clustered
+    * dims, so an N-predicate [[readPrunedMulti]] provably opens a
+    * subset of directories (the io24 gate).
+    */
+  def commitWithMultiStats(df: DataFrame, table: String,
+      statsCols: Seq[String], maxAttempts: Int = 50,
+      allowEvolve: Boolean = false): Int = {
+    require(statsCols.nonEmpty, "commitWithMultiStats: no stats columns")
+    commitTagged(df, table, None, maxAttempts, allowEvolve, statsCols)
+      .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+  }
 
   /** A manifest-stats-pruned range read: `df` is the EXACT answer (the
     * residual filter proves what the stats admitted), `dirsRead` of
@@ -181,6 +199,46 @@ object Snapshots {
       stats.get((d, colName)).forall { case (mn, mx) => mx >= lo && mn <= hi }
     }
     val residual = col(colName) >= lo && col(colName) <= hi
+    val df =
+      if (hit.isEmpty)
+        read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
+      else s.read.option("mergeSchema", "true")
+        .parquet(hit.map(d => s"$table/$d"): _*).filter(residual)
+    PrunedScan(df, dirs.size, hit.size)
+  }
+
+  /** N-PREDICATE range read with manifest-level data skipping: a
+    * directory is opened unless SOME predicate's committed stats prove
+    * its range disjoint — the conjunctive-pruning rule (each predicate
+    * can only shrink the read set, and any one disjoint dimension is
+    * enough to skip). Directories missing a column's stats are read for
+    * that predicate (advisory, never lossy), and the FULL conjunctive
+    * residual filter runs regardless, so the answer equals the
+    * full-scan filter bit-for-bit. Combined with a
+    * [[graft.ops.Layout.clusterByZ]]-ordered write, every directory is
+    * a tight hyper-rectangle in the clustered dims and a selective 2-D
+    * box query provably opens a strict subset (gated in io24).
+    */
+  def readPrunedMulti(s: SparkSession, table: String,
+      preds: Seq[(String, Long, Long)],
+      version: Option[Int] = None): PrunedScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readPrunedMulti: no predicates")
+    val v = version.getOrElse(latestVersion(s, table))
+    require(v >= 1, s"no committed version to read at $table")
+    val lines = manifestLines(s, table, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val stats = lines.filter(_.startsWith("#dirstats "))
+      .map(_.stripPrefix("#dirstats ").split(" ")).collect {
+        case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+      }.toMap
+    val hit = dirs.filter { d =>
+      preds.forall { case (c, lo, hi) =>
+        stats.get((d, c)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    val residual = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     val df =
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
@@ -300,21 +358,27 @@ object Snapshots {
   private def commitTagged(df: DataFrame, table: String,
       txn: Option[(String, Long)], maxAttempts: Int,
       allowEvolve: Boolean = false,
-      statsCol: Option[String] = None): Option[Int] = {
+      statsCols: Seq[String] = Nil): Option[Int] = {
     val s = df.sparkSession
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     checkSchema(s, table, df, allowEvolve)
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     df.write.mode("errorifexists").parquet(s"$table/$dir")
-    // one aggregate over ONLY the files just written — O(new data);
-    // an empty or all-null commit records no stats line (reads always)
-    val newStatsLine: Option[String] = statsCol.flatMap { c =>
-      import org.apache.spark.sql.functions.{col, min, max}
-      val r = s.read.parquet(s"$table/$dir")
-        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-      if (r.isNullAt(0)) None
-      else Some(s"#dirstats $dir $c ${r.getLong(0)} ${r.getLong(1)}")
-    }
+    // ONE aggregate over ONLY the files just written — O(new data), all
+    // declared columns' min/max in the same pass; an empty or all-null
+    // column records no stats line for it (reads always)
+    val newStatsLines: Seq[String] =
+      if (statsCols.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, min, max}
+        val aggs = statsCols.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val r = s.read.parquet(s"$table/$dir").agg(aggs.head, aggs.tail: _*).head()
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 * i)) None
+          else Some(s"#dirstats $dir $c ${r.getLong(2 * i)} ${r.getLong(2 * i + 1)}")
+        }
+      }
     val f = fs(s, table)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -344,7 +408,7 @@ object Snapshots {
         if (prev == 0) Nil else manifestLines(s, table, prev)
       val carriedTxn = prevLines.filter(_.startsWith("#txn "))
       val carriedStats = prevLines.filter(_.startsWith("#dirstats "))
-      val statsHeader = (carriedStats ++ newStatsLine)
+      val statsHeader = (carriedStats ++ newStatsLines)
         .map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +

@@ -287,6 +287,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(s3.df.count() == 2)
   }
 
+  test("commitWithMultiStats + readPrunedMulti: any one disjoint dimension " +
+      "skips; partial stats admit; conjunctive residual stays exact") {
+    import spark.implicits._
+    val t = freshTable()
+    // dir1: x in [0,9],   y in [0,9]
+    // dir2: x in [0,9],   y in [100,109]
+    // dir3: x in [100,109], y in [0,9]
+    // dir4: stats on x ONLY (null y column) -> y-predicate cannot prune it
+    def frame(rows: (Long, Option[Long], String)*) =
+      rows.toDF("x", "y", "s") // y Option -> nullable in EVERY commit
+    Snapshots.commitWithMultiStats(
+      frame((0L, Some(0L), "a"), (9L, Some(9L), "b")), t, Seq("x", "y"))
+    Snapshots.commitWithMultiStats(
+      frame((0L, Some(100L), "c"), (9L, Some(109L), "d")), t, Seq("x", "y"))
+    Snapshots.commitWithMultiStats(
+      frame((100L, Some(0L), "e"), (109L, Some(9L), "f")), t, Seq("x", "y"))
+    Snapshots.commitWithMultiStats(
+      frame((5L, None, "g")), t, Seq("x", "y"))
+    // box x in [0,9] AND y in [0,9]: dir2 pruned on y, dir3 pruned on x,
+    // dir4 admitted (no y stats -> advisory), dir1 admitted
+    val scan = Snapshots.readPrunedMulti(spark, t,
+      Seq(("x", 0L, 9L), ("y", 0L, 9L)))
+    assert((scan.dirsTotal, scan.dirsRead) == ((4, 2)))
+    // residual is the FULL conjunction: dir4's null-y row is filtered out
+    assert(scan.df.select("s").orderBy("s").as[String].collect().toSeq ==
+      Seq("a", "b"))
+    // single-dimension box through the multi reader == readPruned
+    val sx = Snapshots.readPrunedMulti(spark, t, Seq(("x", 100L, 109L)))
+    assert((sx.dirsTotal, sx.dirsRead) == ((4, 1)) && sx.df.count() == 2)
+    // nothing admitted (dir4 has x stats, so the x-predicate prunes it
+    // even without y stats) -> schema-only empty frame
+    val s0 = Snapshots.readPrunedMulti(spark, t,
+      Seq(("x", 50L, 60L), ("y", 50L, 60L)))
+    assert((s0.dirsTotal, s0.dirsRead) == ((4, 0)))
+    assert(s0.df.count() == 0 && s0.df.columns.toSeq == Seq("x", "y", "s"))
+  }
+
   test("readPruned: zero admitted dirs yields an empty frame, schema intact") {
     import spark.implicits._
     val t = freshTable()
