@@ -1484,6 +1484,76 @@ object SparkEntry {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Watermarked stream-stream FULL OUTER join through the gate
+    * ([[graft.streaming.EventsStream.purchaseViewJoinFullOuter]]) —
+    * q78's completion: BOTH sides' unmatched rows must emit exactly
+    * when the watermark closes their windows (purchases with no view
+    * in the preceding hour; views no purchase followed within an
+    * hour). Same three-slice dual-branch sentinel feed as q78 — a
+    * view's state is releasable only once the watermark passes
+    * `view_ts + 1 h`, which the +4 h sentinel covers. ORACLE IS THE
+    * BATCH FULL JOIN; nullable sides emit as −1 on both engines (q78's
+    * dtype-stability rule).
+    */
+  private def q80StreamFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q80")
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"), col("event_type"), col("value"))
+    val hiUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val inDir = new java.io.File(s"$base/in")
+    if (inDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(inDir)
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    def sentinel(hoursPast: Long, viewUser: Long, purchaseUser: Long) = {
+      val ts = timestamp_micros(lit(hiUs + hoursPast * 3600L * 1000000L))
+      e.sparkSession.range(1)
+        .select(lit(-1L).as("event_id"), lit(viewUser).as("user_id"),
+          ts.as("ts"), lit("view").as("event_type"), lit(0.0).as("value"))
+        .unionByName(e.sparkSession.range(1)
+          .select(lit(-2L).as("event_id"), lit(purchaseUser).as("user_id"),
+            ts.as("ts"), lit("purchase").as("event_type"), lit(0.0).as("value")))
+    }
+    writeSlice(e, "slice0", 1000000000000L)
+    writeSlice(sentinel(4L, -1L, -2L), "slice1", 1000000060000L)
+    writeSlice(sentinel(8L, -3L, -4L), "slice2", 1000000120000L)
+    val sink = "graft_q80_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 4) {
+      val src = s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+      val q = graft.streaming.EventsStream.purchaseViewJoinFullOuter(src)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    s.table(sink)
+      .filter(col("user_id") >= 0)
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        col("user_id"),
+        coalesce(unix_timestamp(col("purchase_ts")), lit(-1L)).as("purchase_s"),
+        coalesce(unix_timestamp(col("view_ts")), lit(-1L)).as("view_s"),
+        coalesce(col("value"), lit(-1.0)).as("value"))
+      .orderBy("purchase_id", "view_id")
+  }
+
   /** Incremental VIEW maintenance through the gate ([[ops.Cdc
     * .incrementalAgg]]): a per-user `(n, cents)` view built over the
     * base slice (event_id % 5 ≠ 0), then maintained under a CDC delta
@@ -2957,6 +3027,73 @@ object SparkEntry {
     ops.Sketch.ddQuantilesBy(streamedBuckets, Seq("event_type"),
         Seq(500000L, 990000L), alphaMicro)
       .orderBy("event_type", "q_micro")
+  }
+
+  /** Streaming HLL maintenance through the REAL micro-batch engine —
+    * the last sketch family through the streaming gate (CMS q50 folds
+    * by +, Z-sets q60 by signed +, DDSketch q79 by bucket +; HLL is
+    * the one whose merge is IDEMPOTENT MAX, which also makes it the
+    * only fold here that would survive duplicate delivery even
+    * without the batchId guard — the guard stays for uniformity).
+    * Events in 3 slices, each `foreachBatch` building that batch's
+    * b=6 register table ([[ops.Sketch.hllRegisters]]) over `user_id`
+    * and folding register-wise max into the driver-held table (≤ 64
+    * rows at ANY corpus size). Gates: streamed registers ==
+    * batch-built registers bucket-for-bucket, then the emitted
+    * [[ops.Sketch.hllEstimate]] row runs on the streamed table with
+    * t22's oracle SQL re-deriving everything from raw user ids.
+    */
+  private def q81StreamHll(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q81")
+    def rmQ81(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmQ81)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rmQ81(baseDir)
+    for (i <- 0 until 3) {
+      Tables.events(s, dir).filter(col("event_id") % 3 === i)
+        .select(col("user_id").cast("string").as("v"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/slice_id=$i")
+    }
+    val acc = scala.collection.mutable.Map[Long, Int]() // bucket -> max rho
+    val seen = scala.collection.mutable.Set[Long]()
+    val streamed = s.readStream
+      .schema(new StructType().add("v", StringType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+      .select(col("v"))
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        acc.synchronized {
+          if (seen.add(batchId)) {
+            ops.Sketch.hllRegisters(batch.toDF(), "v", 6).collect().foreach { r =>
+              val (b, rho) = (r.getLong(0), r.getInt(1))
+              acc(b) = math.max(acc.getOrElse(b, 0), rho)
+            }
+          }
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(acc.synchronized(seen.size) == 3,
+      s"q81: expected 3 micro-batches, saw ${seen.size}")
+    val regRows = acc.toSeq.sortBy(_._1).map { case (b, rho) =>
+      org.apache.spark.sql.Row(b, rho)
+    }
+    val streamedRegs = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(regRows: _*)),
+      new StructType().add("bucket", LongType, nullable = false)
+        .add("rho", IntegerType, nullable = false))
+    val batchRegs = ops.Sketch.hllRegisters(
+      Tables.events(s, dir).select(col("user_id").cast("string").as("v")), "v", 6)
+    val extra = streamedRegs.exceptAll(batchRegs).count()
+    val missing = batchRegs.exceptAll(streamedRegs).count()
+    require(extra == 0 && missing == 0,
+      s"q81: streamed HLL register table diverges from batch build " +
+        s"($extra extra, $missing missing) — the max-merge law broke in-flight")
+    ops.Sketch.hllEstimate(streamedRegs, 6)
   }
 
   /** Rolling 7-day distinct users, exact AND sketch-estimated — the
@@ -6076,6 +6213,66 @@ object SparkEntry {
         lit(scan.dirsRead.toLong).as("n_dirs_read"))
   }
 
+  /** MERGE-ON-READ DELETE through the gate ([[graft.io.Snapshots
+    * .deleteWhereMoR]]): orders committed as two halves, then every
+    * `o_orderkey % 7 == 0` row deleted by KEY TOMBSTONE — a tiny
+    * deletion-vector directory and a `#dv` manifest line, NO data
+    * directory rewritten. Gates, all in-query: (a) the new version
+    * references EXACTLY the same data dirs as the old one (the
+    * O(deleted-keys) cost promise — [[graft.io.Snapshots.dataDirsOf]]);
+    * (b) a repeat delete of the same predicate matches nothing (dv-aware
+    * matching composes); (c) a post-delete commit of FRESH keys stays
+    * visible while the tombstoned keys stay deleted (the carry law —
+    * dropping a #dv line on commit would resurrect them); (d) the
+    * pre-delete version still time-travels with every row. The oracle
+    * recomputes the post-state (survivors + the re-committed fresh
+    * keys) and the pre-state from raw orders.
+    */
+  private def io26MorDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "mor_delete")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    val dirsBefore = graft.io.Snapshots.dataDirsOf(s, table, 2)
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 7 === 0)
+    require(v3 == 3 && nDel > 0, s"io26: MoR delete landed ($v3, $nDel)")
+    require(graft.io.Snapshots.dataDirsOf(s, table, 3) == dirsBefore,
+      "io26: a merge-on-read delete must carry every data dir by " +
+        "reference — a rewrite happened")
+    // dv-aware matching: the same predicate now matches nothing
+    val (v3b, nDel2) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 7 === 0)
+    require(v3b == 3 && nDel2 == 0,
+      s"io26: repeat delete must no-op, got ($v3b, $nDel2)")
+    // carry law: fresh keys (beyond the key range) commit and stay
+    // visible; tombstoned keys stay deleted through the new version
+    val maxK = o.agg(max("k")).head().getLong(0)
+    // fresh keys 7·maxK + {1,2,3}: provably ∉ dv AND ∤ 7 at every sf.
+    // Nullability loosened to match the committed (parquet read-back)
+    // schema — range() emits NOT NULL, which the drift guard refuses.
+    val fresh = s.range(1, 4).select((col("id") + lit(7L) * maxK).as("k"),
+      lit(1L).as("cents"))
+    graft.io.Snapshots.commit(
+      s.createDataFrame(fresh.rdd,
+        org.apache.spark.sql.types.StructType(
+          fresh.schema.map(_.copy(nullable = true)))),
+      table)
+    val live = graft.io.Snapshots.read(s, table, Some(4))
+    val pre = graft.io.Snapshots.read(s, table, Some(2))
+      .agg(count(lit(1)).as("n_pre"), sum("cents").as("cents_pre"))
+    live.agg(count(lit(1)).as("n_post"), sum("cents").as("cents_post"),
+        sum(when(col("k") % 7 === 0, 1L).otherwise(0L)).as("n_tombstoned_visible"))
+      .crossJoin(pre)
+      .select(col("n_pre"), col("cents_pre"), col("n_post"),
+        col("cents_post"), col("n_tombstoned_visible"),
+        lit(nDel).as("n_deleted_keys"))
+  }
+
   /** Parquet ROW-GROUP BLOOM FILTERS through the gate
     * ([[graft.io.ParquetBloom]]): orders with a synthesized even key
     * (`skey = 2·o_orderkey`), written in o_custkey order — so `skey`
@@ -6455,6 +6652,7 @@ object SparkEntry {
     "io22_stats_prune" -> io22StatsPrune _,
     "io24_multi_stats" -> io24MultiStats _,
     "io25_rg_bloom" -> io25RgBloom _,
+    "io26_mor_delete" -> io26MorDelete _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -6474,6 +6672,8 @@ object SparkEntry {
     "q76_lateral" -> q76Lateral _,
     "q77_variant" -> q77Variant _,
     "q78_stream_outer_join" -> q78StreamOuterJoin _,
+    "q80_stream_full_outer" -> q80StreamFullOuterJoin _,
+    "q81_stream_hll" -> q81StreamHll _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -8691,6 +8891,43 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         | AND v.vus >= p.pus - 3600000000 AND v.vus <= p.pus
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // the batch FULL JOIN: both sides' unmatched rows, -1-coalesced
+    "q80_stream_full_outer" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts)//1000 AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts)//1000 AS pus, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(p.purchase_id, -1) AS purchase_id,
+        | coalesce(v.view_id, -1) AS view_id,
+        | coalesce(p.user_id, v.user_id) AS user_id,
+        | coalesce(p.pus//1000000, -1) AS purchase_s,
+        | coalesce(v.vus//1000000, -1) AS view_s,
+        | coalesce(p.value, -1.0) AS value
+        |FROM p FULL JOIN v ON p.user_id = v.user_id
+        | AND v.vus >= p.pus - 3600000000 AND v.vus <= p.pus
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    // t22's register->estimate SQL over the events user ids — the
+    // streamed max-fold is register-gated in-query, so the estimate
+    // must coincide with the from-scratch derivation
+    "q81_stream_hll" ->
+      """WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |           FROM events WHERE user_id IS NOT NULL),
+        |br AS (SELECT h % 64 AS bucket,
+        |         CASE WHEN (h >> 6) = 0 THEN 55
+        |              ELSE 54 - length(bin(h >> 6)) + 1 END AS r FROM h),
+        |reg AS (SELECT bucket, max(r) AS rho FROM br GROUP BY bucket),
+        |agg AS (SELECT count(*) AS n_present,
+        |          CAST(sum(CAST(1 AS BIGINT) << (57 - rho)) AS BIGINT) AS s_present,
+        |          md5(string_agg(bucket || ':' || rho, ',' ORDER BY bucket || ':' || rho)) AS reg_md5
+        |        FROM reg)
+        |SELECT CAST(64 AS BIGINT) AS m,
+        | CAST(64 - n_present AS BIGINT) AS n_zero, reg_md5,
+        | round(CAST(0.709 AS DOUBLE) * 64 * 64 * pow(2.0, 57)
+        |   / CAST(s_present + (64 - n_present) * (CAST(1 AS BIGINT) << 57) AS DOUBLE), 6) AS est_raw,
+        | CASE WHEN n_present < 64
+        |      THEN round(64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE)), 6)
+        |      ELSE NULL END AS lc_est
+        |FROM agg""".stripMargin,
     // q17's join as a batch LEFT JOIN: the streamed outer result (null
     // rows flushed by the sentinel watermark advance) must equal this
     "q78_stream_outer_join" ->
@@ -9686,6 +9923,25 @@ object SparkEntry {
         |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(3 AS BIGINT) AS n_dirs_total, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM f""".stripMargin,
+    // post-state = survivors of the key tombstones + the fresh commit;
+    // pre-state = all of orders; the no-rewrite/no-resurrect laws are
+    // require-gated in-query
+    "io26_mor_delete" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |pre AS (SELECT count(*) AS n_pre,
+        |        CAST(sum(cents) AS BIGINT) AS cents_pre FROM o),
+        |u AS (SELECT k, cents FROM o WHERE k % 7 <> 0
+        |      UNION ALL
+        |      SELECT 7 * (SELECT max(k) FROM o) + i, CAST(1 AS BIGINT)
+        |      FROM generate_series(1, 3) t(i)),
+        |post AS (SELECT count(*) AS n_post,
+        |        CAST(sum(cents) AS BIGINT) AS cents_post FROM u),
+        |nd AS (SELECT count(DISTINCT k) AS n_deleted_keys FROM o WHERE k % 7 = 0)
+        |SELECT pre.n_pre, pre.cents_pre, post.n_post, post.cents_post,
+        |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
+        |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
+        |FROM pre, post, nd""".stripMargin,
     // the emitted frame is the real Spark scan over the bloom file; the
     // pruning audit itself is require-gated in-query (bloom internals
     // are not SQL-expressible)

@@ -202,8 +202,9 @@ object Snapshots {
     val df =
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
-      else s.read.option("mergeSchema", "true")
-        .parquet(hit.map(d => s"$table/$d"): _*).filter(residual)
+      else applyDv(s, table, dvLinesOf(lines),
+        s.read.option("mergeSchema", "true")
+          .parquet(hit.map(d => s"$table/$d"): _*).filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 
@@ -242,8 +243,9 @@ object Snapshots {
     val df =
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
-      else s.read.option("mergeSchema", "true")
-        .parquet(hit.map(d => s"$table/$d"): _*).filter(residual)
+      else applyDv(s, table, dvLinesOf(lines),
+        s.read.option("mergeSchema", "true")
+          .parquet(hit.map(d => s"$table/$d"): _*).filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 
@@ -352,7 +354,12 @@ object Snapshots {
       .map(_.stripPrefix("#schema ")).getOrElse(fallbackDdl)
     val stats = prevLines.filter(_.startsWith("#dirstats "))
       .filter(l => keptDirs.contains(l.stripPrefix("#dirstats ").split(" ")(0)))
-    (txns ++ (s"#schema $schemaDdl" +: stats)).map(_ + "\n").mkString
+    // #dv lines carry UNCONDITIONALLY: a rewrite may move deleted rows
+    // into a fresh directory (compaction reads raw parquet), and the
+    // anti-join on read is what keeps them invisible — dropping a dv
+    // line would resurrect its keys
+    val dvs = prevLines.filter(_.startsWith("#dv "))
+    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs).map(_ + "\n").mkString
   }
 
   private def commitTagged(df: DataFrame, table: String,
@@ -408,7 +415,8 @@ object Snapshots {
         if (prev == 0) Nil else manifestLines(s, table, prev)
       val carriedTxn = prevLines.filter(_.startsWith("#txn "))
       val carriedStats = prevLines.filter(_.startsWith("#dirstats "))
-      val statsHeader = (carriedStats ++ newStatsLines)
+      val carriedDv = prevLines.filter(_.startsWith("#dv "))
+      val statsHeader = (carriedStats ++ newStatsLines ++ carriedDv)
         .map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +
@@ -452,6 +460,13 @@ object Snapshots {
     }
   }
 
+  /** The data directories a version references — the O(new files)
+    * commit-cost audit surface (io26 gates that a merge-on-read delete
+    * carries every data dir by reference, rewriting none).
+    */
+  def dataDirsOf(s: SparkSession, table: String, version: Int): Seq[String] =
+    manifestDirs(s, table, version)
+
   /** Read a specific version (time travel), or the latest when None.
     * `mergeSchema` unions commit schemas so rows from before an
     * additive evolution surface with NULL in the appended columns —
@@ -461,8 +476,99 @@ object Snapshots {
   def read(s: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
-    val paths = manifestDirs(s, table, v).map(d => s"$table/$d")
-    s.read.option("mergeSchema", "true").parquet(paths: _*)
+    val lines = manifestLines(s, table, v)
+    val paths = lines.filterNot(_.startsWith("#")).map(d => s"$table/$d")
+    val base = s.read.option("mergeSchema", "true").parquet(paths: _*)
+    // MERGE-ON-READ deletes: every `#dv <dir> <keyCol>` line names a
+    // deletion-vector directory of deleted keys; reads apply ONE
+    // anti-join over their union. The dv side is O(deleted keys) and
+    // broadcast-eligible, so the read-time cost is a map-side hash
+    // probe — the merge-on-read half of the Iceberg v2 / Delta DV
+    // trade (deletes O(keys), reads pay the probe) next to
+    // [[deleteWhere]]'s copy-on-write half.
+    applyDv(s, table, dvLinesOf(lines), base)
+  }
+
+  /** Apply deletion-vector `(dir, keyCol)` pairs to a data frame — one
+    * anti-join over the union of the dv key files. Shared by [[read]]
+    * and the pruned readers (a pruned scan that skipped the dv would
+    * resurrect deleted rows).
+    */
+  private def applyDv(s: SparkSession, table: String,
+      dvs: Seq[(String, String)], base: DataFrame): DataFrame =
+    if (dvs.isEmpty) base
+    else {
+      val keyCols = dvs.map(_._2).distinct
+      require(keyCols.size == 1,
+        s"mixed dv key columns at $table: $keyCols — one key per table")
+      val keys = s.read.parquet(dvs.map(t => s"$table/${t._1}"): _*).distinct()
+      base.join(keys, Seq(keyCols.head), "left_anti")
+    }
+
+  private def dvLinesOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith("#dv "))
+      .map(_.stripPrefix("#dv ").split(" ")).collect {
+        case Array(d, k) => (d, k)
+      }
+
+  /** MERGE-ON-READ DELETE — [[deleteWhere]]'s O(deleted-keys) sibling
+    * (Iceberg v2 equality-deletes / Delta deletion vectors, expressed at
+    * key granularity): matching rows' KEYS land in a tiny
+    * deletion-vector directory and a `#dv` manifest line; NO data
+    * directory is rewritten (the new manifest carries every data dir by
+    * reference), and [[read]] applies the anti-join. The write cost is
+    * O(matching keys) regardless of how many terabytes hold the rows —
+    * the GDPR-erasure fast path when rewrite amplification is the
+    * bottleneck; schedule [[deleteWhere]]/[[compactSmall]] to
+    * materialize accumulated dvs when the read-side probe grows.
+    * Matching is evaluated against the dv-aware LIVE view, so a second
+    * delete composes (already-deleted keys don't re-enter). CAS posture
+    * identical to [[deleteWhere]]: lost race ⇒ abandon orphan, recompute.
+    *
+    * SEMANTICS: dv keys are TOMBSTONES — they suppress the key in every
+    * data directory of the version, including rows committed AFTER the
+    * delete (unlike Iceberg's sequence-number-scoped equality deletes).
+    * Re-admitting a key requires materializing the dv through
+    * [[deleteWhere]] (which rewrites survivors and could drop the
+    * then-redundant dv lines) — the right trade for the erase-this-key
+    * use case the op exists for.
+    *
+    * @return (version, nKeysDeleted) — current version unchanged when
+    *         nothing matched
+    */
+  def deleteWhereMoR(s: SparkSession, table: String, keyCol: String,
+      pred: org.apache.spark.sql.Column, maxAttempts: Int = 50): (Int, Long) = {
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val keys = read(s, table, Some(prev)).filter(pred)
+        .select(keyCol).distinct()
+      val dir = s"data/dv-${java.util.UUID.randomUUID().toString.take(13)}"
+      keys.coalesce(1).write.mode("errorifexists").parquet(s"$table/$dir")
+      val n = s.read.parquet(s"$table/$dir").count()
+      if (n == 0) {
+        f.delete(new Path(s"$table/$dir"), true): Unit
+        return (prev, 0L)
+      }
+      val prevLines = manifestLines(s, table, prev)
+      val header = prevLines.filter(_.startsWith("#")) :+ s"#dv $dir $keyCol"
+      val dirs = prevLines.filterNot(_.startsWith("#"))
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v),
+          header.map(_ + "\n").mkString + dirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, n)
+      }
+      f.delete(new Path(s"$table/$dir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"deleteWhereMoR on $table lost the version race $maxAttempts times")
   }
 
   /** COPY-ON-WRITE DELETE — the lakehouse row-delete path (Delta/Iceberg
@@ -623,8 +729,14 @@ object Snapshots {
     val latest = latestVersion(s, table)
     require(latest >= 1, s"nothing committed at $table")
     val cutoff = math.max(1, latest - keepVersions + 1)
-    val keptDirs = (cutoff to latest)
-      .flatMap(v => manifestDirs(s, table, v)).toSet
+    // referenced = data dirs PLUS deletion-vector dirs named by #dv
+    // lines — GC'ing a retained manifest's dv would resurrect its keys
+    val keptDirs = (cutoff to latest).flatMap { v =>
+      val lines = manifestLines(s, table, v)
+      lines.filterNot(_.startsWith("#")) ++
+        lines.filter(_.startsWith("#dv "))
+          .map(_.stripPrefix("#dv ").split(" ")(0))
+    }.toSet
     var nManifests = 0
     (1 until cutoff).foreach { v =>
       if (f.delete(manifestPath(table, v), false)) nManifests += 1

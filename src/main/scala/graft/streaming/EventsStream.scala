@@ -502,6 +502,36 @@ object EventsStream {
         col("purchase_ts"), col("view_ts"), col("value"))
   }
 
+  /** FULL OUTER variant of [[purchaseViewJoin]]: both sides' unmatched
+    * rows emit once the watermark proves their match windows closed — a
+    * purchase with no view in its preceding hour (null view columns)
+    * AND a view no purchase followed within an hour (null purchase
+    * columns). Same eviction mechanics as [[purchaseViewJoinOuter]]:
+    * a view's state is releasable once the watermark passes
+    * `view_ts + 1 hour` (no purchase that could still arrive matches
+    * it), a purchase's once it passes `purchase_ts`. The q80 gate
+    * equates the bounded streamed result with the batch FULL JOIN via
+    * the q78 dual-branch sentinel discipline.
+    */
+  def purchaseViewJoinFullOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(views,
+      col("view_user") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"),
+      "fullOuter")
+      .select(col("purchase_id"), col("view_id"),
+        coalesce(col("user_id"), col("view_user")).as("user_id"),
+        col("purchase_ts"), col("view_ts"), col("value"))
+  }
+
   /** Streaming exact dedup with bounded state: drops re-deliveries of the
     * same key arriving within the watermark delay
     * (`dropDuplicatesWithinWatermark` — state for a key is evicted once the

@@ -324,6 +324,46 @@ class SnapshotsSpec extends SparkSpec {
     assert(s0.df.count() == 0 && s0.df.columns.toSeq == Seq("x", "y", "s"))
   }
 
+  test("deleteWhereMoR: tombstones hide keys without rewriting data dirs, " +
+      "carry through commits/compaction, and survive vacuum") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 6L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    Snapshots.commit((7L to 12L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    val dirsBefore = Snapshots.dataDirsOf(spark, t, 2)
+    val (v3, n) = Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 3 === 0)
+    assert(v3 == 3 && n == 4) // 3, 6, 9, 12
+    // no data dir rewritten; reads hide the keys; history intact
+    assert(Snapshots.dataDirsOf(spark, t, 3) == dirsBefore)
+    assert(Snapshots.read(spark, t).select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L))
+    assert(Snapshots.read(spark, t, Some(2)).count() == 12)
+    // dv-aware matching: repeat delete no-ops at the same version
+    assert(Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 3 === 0)
+      == ((3, 0L)))
+    // a later commit carries the dv: fresh keys visible, tombstones not
+    Snapshots.commit(Seq((100L, "new")).toDF("k", "s"), t)
+    assert(Snapshots.read(spark, t, Some(4)).select("k").as[Long]
+      .collect().sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L, 100L))
+    // key-tombstone semantics: re-inserting a deleted key stays hidden
+    Snapshots.commit(Seq((3L, "again")).toDF("k", "s"), t)
+    assert(!Snapshots.read(spark, t, Some(5)).select("k").as[Long]
+      .collect().contains(3L))
+    // compaction carries the dv line: rows stay invisible even though
+    // the compacted directory physically holds them
+    val (v6, nComp, _) = Snapshots.compactSmall(spark, t, smallBytes = 1L << 30)
+    assert(v6 == 6 && nComp >= 2)
+    assert(Snapshots.read(spark, t, Some(6)).select("k").as[Long]
+      .collect().sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L, 100L))
+    // vacuum keeps the dv dir referenced by retained manifests
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, t).select("k").as[Long]
+      .collect().sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L, 100L))
+  }
+
   test("readPruned: zero admitted dirs yields an empty frame, schema intact") {
     import spark.implicits._
     val t = freshTable()
