@@ -6302,12 +6302,20 @@ object SparkEntry {
     // row groups and min/max stats admit nearly everything.
     val o = Tables.orders(s, dir).select(col("o_custkey"),
       (col("o_orderkey") * 2L).as("skey"), cents(col("o_totalprice")).as("cents"))
+    // Row-group size scaled to the fixture: target ~12 groups per file
+    // (floor 16 KB keeps ≥ 2 groups even at sf0.001's ~36 KB buffered
+    // size), so the audit is multi-group at every sf without degenerating
+    // into hundreds of KB-sized groups at sf0.1. ndv sized to the
+    // per-group population, not the table.
+    val nRows = o.count()
+    val blockBytes = math.max(16L * 1024L, nRows * 24L / 12L)
     def write(sub: String, bloom: Boolean): Unit = {
       var w = o.orderBy("o_custkey", "skey").coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (64 * 1024).toString)
+        .option("parquet.block.size", blockBytes.toString)
       if (bloom) w = w
         .option("parquet.bloom.filter.enabled#skey", "true")
-        .option("parquet.bloom.filter.expected.ndv#skey", "20000")
+        .option("parquet.bloom.filter.expected.ndv#skey",
+          math.max(4096L, nRows / 8L).toString)
       w.parquet(s"$base/$sub")
     }
     write("bloom", bloom = true)
