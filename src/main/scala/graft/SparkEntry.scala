@@ -1222,6 +1222,36 @@ object SparkEntry {
       .orderBy("purchase_id", "view_id")
   }
 
+  /** Stream-stream LEFT SEMI join through the gate
+    * ([[graft.streaming.EventsStream.purchaseViewJoinSemi]]):
+    * purchases with at least one same-user view in the preceding hour,
+    * emitted ONCE regardless of match count — the existence-check
+    * complement of q17 (inner, fans out per view) and q78/q80 (outer,
+    * emit null rows on expiry). Semi emission is eager on first match,
+    * so q17's single-batch feed suffices; the oracle is the batch
+    * EXISTS semi join.
+    */
+  private def q82StreamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val sink = "graft_q82_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 4) { // q17's state-store sizing rationale
+      val q = graft.streaming.EventsStream.purchaseViewJoinSemi(
+          graft.streaming.EventsStream.readEvents(s, dir))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    s.table(sink)
+      .select(col("purchase_id"), col("user_id"),
+        unix_timestamp(col("purchase_ts")).as("purchase_s"), col("value"))
+      .orderBy("purchase_id")
+  }
+
   /** Batch sessionization through the gate (§2.5's batch mirror):
     * [[graft.streaming.EventsStream.sessionizedBatch]] with a 30-minute
     * inactivity gap, aggregated per (user, session) — event count,
@@ -5454,6 +5484,48 @@ object SparkEntry {
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
   }
 
+  /** Filtered-ANN OPERATING CURVE (sim21's pattern on the
+    * label-partitioned index): recall@3 vs the FILTERED brute truth at
+    * nprobe ∈ {1, 2, 3} — the quality/cost knob a user of routed
+    * vector search actually turns, graded as data. Laws required
+    * distributed: recall is monotone non-decreasing in nprobe (more
+    * probed cells can only add candidates — a violation means the
+    * index is broken, not just weak), and the shipped operating point
+    * (nprobe = 2) sits at sim19's floor. The oracle replays the shared
+    * per-label chain once and the probe/rank stage per curve point.
+    */
+  private def sim22FilteredCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val truth = ops.Similarity.bruteForceTopKFiltered(e, q, 3, "label")
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tTot = truth.agg(countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_true"))
+    val out = Seq(1, 2, 3).map { np =>
+      ops.Similarity.ivfTopKFiltered(e, q, 3, np, 50, "label")
+        .select(col("query_id"), col("nn_id"))
+        .join(truth, Seq("query_id", "nn_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(tTot))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_hits"), col("n_true"),
+          round(col("n_hits").cast("double") / col("n_true").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+    val rows = out.collect()
+    truth.unpersist()
+    val rec = rows.map(_.getDouble(4))
+    require(rec.sliding(2).forall(w => w(1) >= w(0) - 1e-9),
+      s"sim22: recall not monotone in nprobe: ${rec.mkString(", ")}")
+    require(rec(1) >= FilteredRecallFloor,
+      f"sim22: shipped operating point (nprobe=2) recall ${rec(1)}%.4f " +
+        f"under floor $FilteredRecallFloor")
+    s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+      .orderBy("nprobe")
+  }
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -6600,6 +6672,7 @@ object SparkEntry {
     "sim17_ndcg" -> sim17Ndcg _,
     "sim18_filtered_ann" -> sim18FilteredAnn _,
     "sim19_filtered_recall" -> sim19FilteredRecall _,
+    "sim22_filtered_curve" -> sim22FilteredCurve _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -6682,6 +6755,7 @@ object SparkEntry {
     "q78_stream_outer_join" -> q78StreamOuterJoin _,
     "q80_stream_full_outer" -> q80StreamFullOuterJoin _,
     "q81_stream_hll" -> q81StreamHll _,
+    "q82_stream_semi_join" -> q82StreamSemiJoin _,
     "q68_point_in_time" -> q68PointInTime _,
     "io18_zonemap_prune" -> io18ZonemapPrune _,
     "io14_zstd" -> io14Zstd _,
@@ -7252,7 +7326,7 @@ object SparkEntry {
     * candidate join is implied by centroid ownership (cells and probes
     * both key on own-label cent_ids).
     */
-  private val ivfFilteredChainSql: String =
+  private val ivfFilteredBaseSql: String =
     s"""lb AS (SELECT vec_id, label FROM embeddings),
       |mn AS (SELECT label, min(vec_id) AS min_id FROM embeddings GROUP BY label),
       |cents AS (SELECT lx.label AS c_m, x.vec_id AS cent_id, x.v
@@ -7266,12 +7340,21 @@ object SparkEntry {
       |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
       |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
       |       FROM e x JOIN lb lx ON lx.vec_id = x.vec_id
-      |       JOIN cents c ON c.c_m = lx.label WHERE x.vec_id < 10),
-      |probes AS (SELECT query_id, cent_id FROM (
-      |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
-      |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
-      |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+      |       JOIN cents c ON c.c_m = lx.label WHERE x.vec_id < 10)""".stripMargin
+
+  /** Per-nprobe probes/candidates over [[ivfFilteredBaseSql]]'s CTEs —
+    * suffixed so sim22's curve composes several in one statement
+    * (empty suffix = sim18/19's single-point chain).
+    */
+  private def ivfFilteredProbeSql(sfx: String, nprobe: Int): String =
+    s"""probes$sfx AS (SELECT query_id, cent_id FROM (
+      |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= $nprobe),
+      |p$sfx AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+      |      FROM probes$sfx pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
       |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id)""".stripMargin
+
+  private val ivfFilteredChainSql: String =
+    ivfFilteredBaseSql + ",\n" + ivfFilteredProbeSql("", 2)
 
   private def cosineSql(q: String, c: String): String =
     s"""CASE WHEN $q.nrm * $c.nrm = 0 THEN NULL
@@ -8792,6 +8875,42 @@ object SparkEntry {
         |      row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rank FROM w)
         |SELECT doc_id, n_feat, dsir_micro, rank, rank <= 100 AS selected
         |FROM r ORDER BY doc_id""".stripMargin,
+    // shared per-label chain once, probe/rank stage per curve point,
+    // filtered brute truth shared by all three recall rows
+    "sim22_filtered_curve" -> {
+      def arSql(sfx: String): String =
+        s"""ar$sfx AS (SELECT query_id, nn_id FROM (
+          |  SELECT query_id, nn_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+          |  FROM p$sfx) WHERE rank <= 3)""".stripMargin
+      def recSql(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          | CAST((SELECT count(DISTINCT query_id) FROM tr) AS BIGINT) AS n_queries,
+          | CAST((SELECT count(*) FROM ar$np a JOIN tr t
+          |    ON a.query_id = t.query_id AND a.nn_id = t.nn_id) AS BIGINT) AS n_hits,
+          | CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_true,
+          | round(CAST((SELECT count(*) FROM ar$np a JOIN tr t
+          |    ON a.query_id = t.query_id AND a.nn_id = t.nn_id) AS DOUBLE)
+          |   / (SELECT count(*) FROM tr), 6) AS recall""".stripMargin
+      s"""WITH $embNormSql,
+        |$ivfFilteredBaseSql,
+        |${ivfFilteredProbeSql("1", 1)},
+        |${ivfFilteredProbeSql("2", 2)},
+        |${ivfFilteredProbeSql("3", 3)},
+        |tp AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id, ${cosineSql("q", "c")} AS cosine
+        |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |      JOIN lb lq ON lq.vec_id = q.vec_id
+        |      JOIN lb lc ON lc.vec_id = c.vec_id AND lc.label = lq.label),
+        |tr AS (SELECT query_id, nn_id FROM (
+        |  SELECT query_id, nn_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM tp) WHERE rank <= 3),
+        |${arSql("1")},
+        |${arSql("2")},
+        |${arSql("3")}
+        |${Seq(1, 2, 3).map(recSql).mkString("", "\nUNION ALL\n", "")}
+        |ORDER BY nprobe""".stripMargin
+    },
     // filtered brute truth + sim18's approx chain + the recall counts
     "sim19_filtered_recall" ->
       s"""WITH $embNormSql,
@@ -8899,6 +9018,17 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         | AND v.vus >= p.pus - 3600000000 AND v.vus <= p.pus
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // the batch EXISTS semi join: each qualifying purchase exactly once
+    "q82_stream_semi_join" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts)//1000 AS vus
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts)//1000 AS pus, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.pus//1000000 AS purchase_s, p.value
+        |FROM p WHERE EXISTS (SELECT 1 FROM v
+        |  WHERE v.user_id = p.user_id
+        |    AND v.vus >= p.pus - 3600000000 AND v.vus <= p.pus)
+        |ORDER BY purchase_id""".stripMargin,
     // the batch FULL JOIN: both sides' unmatched rows, -1-coalesced
     "q80_stream_full_outer" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts)//1000 AS vus

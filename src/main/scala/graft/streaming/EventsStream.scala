@@ -532,6 +532,30 @@ object EventsStream {
         col("purchase_ts"), col("view_ts"), col("value"))
   }
 
+  /** LEFT SEMI variant of [[purchaseViewJoin]]: purchases that had AT
+    * LEAST ONE same-user view in the preceding hour, emitted once —
+    * the existence-check join (conversion-with-prior-engagement) whose
+    * output never fans out on match multiplicity. Emission is eager on
+    * first match, so unlike the outer variants no watermark-expiry
+    * flush is needed for correctness of the EMITTED set; state still
+    * evicts on the same schedule as the inner join.
+    */
+  def purchaseViewJoinSemi(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(views,
+      col("view_user") === col("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("purchase_ts"),
+      "leftSemi")
+  }
+
   /** Streaming exact dedup with bounded state: drops re-deliveries of the
     * same key arriving within the watermark delay
     * (`dropDuplicatesWithinWatermark` — state for a key is evicted once the

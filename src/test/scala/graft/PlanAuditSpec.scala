@@ -141,6 +141,22 @@ class PlanAuditSpec extends SparkSpec {
       s"sim2 corpus assignment lost the partial-aggregable argmin:\n$plan")
   }
 
+  test("sim18 label-partitioned filtered ANN: centroids broadcast, own-label " +
+      "assignment partial-aggregable, candidate join an equi-join") {
+    // the r12 rebuild's scale contract: the per-label centroid table is
+    // ONE broadcast (n/centroidEvery + |labels| rows), the corpus side's
+    // own-label argmin collapses map-side (partial_min), and the
+    // candidate pairing is a hash equi-join on (cent_id, label) — never
+    // a cartesian/nested loop over corpus x queries
+    val plan = executed(SparkEntry.queries("sim18_filtered_ann")(spark, sf0001))
+    assert(plan.contains("partial_min"),
+      s"sim18 own-label assignment lost the partial-aggregable argmin:\n$plan")
+    assert(countOf(plan, "BroadcastExchange") >= 1,
+      s"sim18 centroid table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"sim18 candidate pairing degenerated to a cartesian product:\n$plan")
+  }
+
   test("t13 mixing joins the corpus against broadcast rates — corpus side unshuffled") {
     // the rate table is |groups| rows; the corpus must meet it via a
     // broadcast hash join (a shuffled join would move the corpus for a
