@@ -6345,6 +6345,60 @@ object SparkEntry {
         lit(nDel).as("n_deleted_keys"))
   }
 
+  /** DELETION-VECTOR MATERIALIZE through the gate
+    * ([[graft.io.Snapshots.materializeDeletes]]) — io26's lifecycle
+    * completion: tombstones accumulated by merge-on-read deletes fold
+    * into a survivor rewrite of exactly the affected directories, the
+    * `#dv` lines drop, and the key-tombstone suppression of future
+    * re-inserts is LIFTED. Gates in-query: (a) the rewrite touches
+    * both halves (every dir holds `% 5 == 0` keys — carried 0,
+    * rewritten 2); (b) semantics preserved — the materialized version
+    * aggregates identically to the dv version; (c) a re-insert of a
+    * previously tombstoned key is now VISIBLE (it was suppressed under
+    * io26's dv semantics); (d) a repeat materialize no-ops. The oracle
+    * recomputes survivors + the re-insert from raw orders.
+    */
+  private def io27DvMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "dv_mat")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 5 === 0)
+    require(v3 == 3 && nDel > 0, s"io27: MoR delete landed ($v3, $nDel)")
+    val (v4, carried, rewritten) = graft.io.Snapshots.materializeDeletes(s, table)
+    require(v4 == 4 && rewritten == 2 && carried == 0,
+      s"io27: materialize ($v4, carried=$carried, rewritten=$rewritten) — " +
+        "both halves hold tombstoned keys, both must rewrite")
+    val a3 = graft.io.Snapshots.read(s, table, Some(3))
+      .agg(count(lit(1)), sum("cents")).head()
+    val a4 = graft.io.Snapshots.read(s, table, Some(4))
+      .agg(count(lit(1)), sum("cents")).head()
+    require(a3 == a4,
+      s"io27: materialize changed semantics: $a3 vs $a4")
+    // repeat materialize: no dv lines left -> no-op at the same version
+    require(graft.io.Snapshots.materializeDeletes(s, table)._1 == 4,
+      "io27: repeat materialize must no-op")
+    // tombstone lifted: re-inserting a deleted key is now visible
+    val k0 = o.filter(col("k") % 5 === 0).agg(min("k")).head().getLong(0)
+    val fresh = s.range(1).select(lit(k0).as("k"), lit(1L).as("cents"))
+    graft.io.Snapshots.commit(
+      s.createDataFrame(fresh.rdd,
+        org.apache.spark.sql.types.StructType(
+          fresh.schema.map(_.copy(nullable = true)))),
+      table)
+    val nRe = graft.io.Snapshots.read(s, table, Some(5))
+      .filter(col("k") === k0).count()
+    graft.io.Snapshots.read(s, table, Some(4))
+      .agg(count(lit(1)).as("n_post"), sum("cents").as("cents_post"))
+      .select(col("n_post"), col("cents_post"),
+        lit(nDel).as("n_deleted_keys"), lit(nRe).as("n_reinserted"))
+  }
+
   /** Parquet ROW-GROUP BLOOM FILTERS through the gate
     * ([[graft.io.ParquetBloom]]): orders with a synthesized even key
     * (`skey = 2·o_orderkey`), written in o_custkey order — so `skey`
@@ -6734,6 +6788,7 @@ object SparkEntry {
     "io24_multi_stats" -> io24MultiStats _,
     "io25_rg_bloom" -> io25RgBloom _,
     "io26_mor_delete" -> io26MorDelete _,
+    "io27_dv_materialize" -> io27DvMaterialize _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10061,6 +10116,18 @@ object SparkEntry {
         |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(3 AS BIGINT) AS n_dirs_total, CAST(1 AS BIGINT) AS n_dirs_read
         |FROM f""".stripMargin,
+    // v4 = survivors of the % 5 tombstones; the re-insert lands AFTER
+    // the materialize lifts the tombstone, so exactly 1 row carries k0
+    "io27_dv_materialize" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |surv AS (SELECT count(*) AS n_post,
+        |        CAST(sum(cents) AS BIGINT) AS cents_post FROM o WHERE k % 5 <> 0),
+        |nd AS (SELECT count(DISTINCT k) AS n_deleted_keys FROM o WHERE k % 5 = 0)
+        |SELECT surv.n_post, surv.cents_post,
+        |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys,
+        |  CAST(1 AS BIGINT) AS n_reinserted
+        |FROM surv, nd""".stripMargin,
     // post-state = survivors of the key tombstones + the fresh commit;
     // pre-state = all of orders; the no-rewrite/no-resurrect laws are
     // require-gated in-query

@@ -347,18 +347,21 @@ object Snapshots {
     * as schema drift. `fallbackDdl` covers pre-schema-tracking tables.
     */
   private def maintenanceHeader(s: SparkSession, table: String, prev: Int,
-      fallbackDdl: String, keptDirs: Set[String]): String = {
+      fallbackDdl: String, keptDirs: Set[String],
+      keepDv: Boolean = true): String = {
     val prevLines = manifestLines(s, table, prev)
     val txns = prevLines.filter(_.startsWith("#txn "))
     val schemaDdl = prevLines.find(_.startsWith("#schema "))
       .map(_.stripPrefix("#schema ")).getOrElse(fallbackDdl)
     val stats = prevLines.filter(_.startsWith("#dirstats "))
       .filter(l => keptDirs.contains(l.stripPrefix("#dirstats ").split(" ")(0)))
-    // #dv lines carry UNCONDITIONALLY: a rewrite may move deleted rows
-    // into a fresh directory (compaction reads raw parquet), and the
-    // anti-join on read is what keeps them invisible — dropping a dv
-    // line would resurrect its keys
-    val dvs = prevLines.filter(_.startsWith("#dv "))
+    // #dv lines carry UNCONDITIONALLY except under [[materializeDeletes]]
+    // (keepDv = false — the ONE path allowed to drop them, because it
+    // just rewrote every tombstoned row out of the data): a plain
+    // rewrite may move deleted rows into a fresh directory (compaction
+    // reads raw parquet), and the anti-join on read is what keeps them
+    // invisible — dropping a dv line anywhere else would resurrect keys
+    val dvs = if (keepDv) prevLines.filter(_.startsWith("#dv ")) else Nil
     (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs).map(_ + "\n").mkString
   }
 
@@ -639,6 +642,79 @@ object Snapshots {
       attempt += 1
     }
     sys.error(s"deleteWhere on $table lost the version race $maxAttempts times")
+  }
+
+  /** MATERIALIZE accumulated deletion vectors — the read-optimize half
+    * of the merge-on-read lifecycle ([[deleteWhereMoR]] writes O(keys),
+    * reads pay an anti-join probe; this folds the tombstones into the
+    * data once the probe cost outgrows a rewrite): directories that
+    * CONTAIN tombstoned rows rewrite their survivors into one fresh
+    * directory (hit discovery = one semi-join-pruned pass mapping
+    * matches to dirs via `input_file_name`, the [[deleteWhere]] shape),
+    * untouched directories carry by reference, and the new manifest
+    * drops every `#dv` line — the ONE operation allowed to, because the
+    * rewrite just removed what they suppressed. Consequences: reads of
+    * the new version stop paying the anti-join, and the key-tombstone
+    * suppression of future re-inserts is LIFTED (re-admitting a deleted
+    * key = materialize, then insert). Orphaned dv directories stay for
+    * [[vacuum]] (older manifests still reference them for time travel).
+    * CAS posture identical to [[deleteWhere]].
+    *
+    * @return (version, dirsCarried, dirsRewritten) — the current
+    *         version unchanged when no dv lines exist
+    */
+  def materializeDeletes(s: SparkSession, table: String,
+      maxAttempts: Int = 50): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      val dvs = dvLinesOf(lines)
+      val dirs = lines.filterNot(_.startsWith("#"))
+      if (dvs.isEmpty) return (prev, dirs.size, 0)
+      val keyCols = dvs.map(_._2).distinct
+      require(keyCols.size == 1,
+        s"mixed dv key columns at $table: $keyCols — one key per table")
+      val keyCol = keyCols.head
+      val keys = s.read.parquet(dvs.map(t => s"$table/${t._1}"): _*).distinct()
+      // input_file_name() must bind directly over the scan (it rejects
+      // multi-source plans), so project it BEFORE the semi join
+      val hitFiles = s.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$table/$d"): _*)
+        .withColumn("__f", input_file_name())
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(org.apache.spark.sql.functions.col("__f").as("f"))
+        .distinct().collect().map(_.getString(0))
+      val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
+      val carried = dirs.filterNot(hitDirs)
+      val survivors =
+        if (hitDirs.isEmpty) None
+        else Some(s.read.option("mergeSchema", "true")
+          .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*)
+          .join(keys, Seq(keyCol), "left_anti"))
+      val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      survivors.foreach(_.write.mode("errorifexists").parquet(s"$table/$dir"))
+      val newDirs = carried ++ survivors.map(_ => dir).toSeq
+      val v = prev + 1
+      val ddl = schemaOf(s, table, prev).getOrElse(
+        read(s, table, Some(prev)).schema.toDDL)
+      val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
+        keepDv = false)
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + newDirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, carried.size, hitDirs.size)
+      }
+      if (survivors.nonEmpty) f.delete(new Path(s"$table/$dir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"materializeDeletes on $table lost the race $maxAttempts times")
   }
 
   /** OPTIMIZE / small-file compaction as a snapshot commit: commit

@@ -362,6 +362,18 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).select("k").as[Long]
       .collect().sorted.toSeq
       == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L, 100L))
+    // MATERIALIZE folds the tombstones into a survivor rewrite, drops
+    // the #dv lines, and lifts the re-insert suppression
+    val (v7, _, rewr) = Snapshots.materializeDeletes(spark, t)
+    assert(v7 == 7 && rewr >= 1)
+    assert(Snapshots.read(spark, t, Some(7)).select("k").as[Long]
+      .collect().sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L, 7L, 8L, 10L, 11L, 100L))
+    // no dv lines remain -> repeat materialize no-ops
+    assert(Snapshots.materializeDeletes(spark, t)._1 == 7)
+    // re-inserting a formerly tombstoned key is now visible
+    Snapshots.commit(Seq((3L, "back")).toDF("k", "s"), t)
+    assert(Snapshots.read(spark, t, Some(8)).filter(col("k") === 3L).count() == 1)
   }
 
   test("readPruned: zero admitted dirs yields an empty frame, schema intact") {
