@@ -3489,6 +3489,58 @@ object SparkEntry {
     * DuckDB's native JSON functions (`json_valid` gating the malformed
     * channel exactly as `try_parse_json`'s null does).
     */
+  /** VARIANT SHREDDING ([[ops.Semistructured.shred]] +
+    * [[ops.Semistructured.shapeProfile]]) — q77's sequel: payloads of
+    * THREE deliberately drifting shapes (normal; `meta.k` missing;
+    * `meta.extra` added) parse once into VARIANT, the shape profile is
+    * gated in-query (`schema_of_variant` must see exactly the three
+    * constructed schemas — the drift monitor), and the declared hot
+    * paths shred into typed columns whose aggregates — including the
+    * NULL-presence accounting for missing/extra paths — match DuckDB's
+    * JSON extraction over identical payloads.
+    */
+  private def q83VariantShred(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 11 === 0, concat(
+            lit("""{"meta": {"type": """"), col("event_type"),
+            lit(""""}, "vals": ["""), cents(col("value")).cast("string"),
+            lit(", "), col("user_id").cast("string"), lit("]}")))
+          .when(col("event_id") % 13 === 0, concat(
+            lit("""{"meta": {"type": """"), col("event_type"),
+            lit("""", "k": """), get_json_object(col("props"), "$.k"),
+            lit(""", "extra": """), col("user_id").cast("string"),
+            lit("""}, "vals": ["""), cents(col("value")).cast("string"),
+            lit(", "), col("user_id").cast("string"), lit("]}")))
+          .otherwise(concat(
+            lit("""{"meta": {"type": """"), col("event_type"),
+            lit("""", "k": """), get_json_object(col("props"), "$.k"),
+            lit("""}, "vals": ["""), cents(col("value")).cast("string"),
+            lit(", "), col("user_id").cast("string"), lit("]}")))
+          .as("payload"))
+    val parsed = ops.Semistructured.parseWithQuarantine(raw, "payload")
+      .localCheckpoint()
+    require(parsed.filter(col("is_malformed")).count() == 0,
+      "q83: every constructed payload is valid JSON — malformed rows " +
+        "mean the variant parser regressed")
+    val nShapes = ops.Semistructured.shapeProfile(parsed, "variant").count()
+    require(nShapes == 3,
+      s"q83: drift monitor must see exactly the 3 constructed payload " +
+        s"shapes, saw $nShapes")
+    val shredded = ops.Semistructured.shred(parsed, "variant", Seq(
+      ("k", "$.meta.k", "long"),
+      ("extra", "$.meta.extra", "long"),
+      ("v0", "$.vals[0]", "long")))
+    shredded.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).as("sum_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing_k"),
+        sum(when(col("extra").isNotNull, 1L).otherwise(0L)).as("n_extra"),
+        sum(col("extra")).as("sum_extra"),
+        max(col("v0")).as("max_cents"))
+      .orderBy("event_type")
+  }
+
   private def q77Variant(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
@@ -5526,6 +5578,56 @@ object SparkEntry {
       .orderBy("nprobe")
   }
 
+  /** INCREMENTAL IVF INDEX MAINTENANCE ([[ops.Similarity.ivfCells]] +
+    * [[graft.io.Snapshots]]): the vector index lives as a lakehouse
+    * table of cell assignments under FROZEN centroids — the build
+    * commits the base corpus's cells, a new batch appends ONLY its own
+    * assignments (one broadcast map-side pass over the batch; history
+    * is never re-assigned or re-shuffled), and search probes the
+    * latest snapshot. The 100 TB contract, all gated in-query: (a) the
+    * append commit carries every base data dir by reference and adds
+    * exactly one (O(batch) write cost); (b) append-then-search equals
+    * rebuild-from-scratch-then-search BIT-FOR-BIT (assignment is a
+    * pure function of vector × centroids, so incrementality costs zero
+    * quality). The emitted frame is the search result over the
+    * appended index; the oracle replays the full IVF chain over the
+    * union corpus (sim2's body — base ∪ delta IS the corpus).
+    */
+  private def sim23IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "ivf_index")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val e = Tables.embeddings(s, dir)
+    // centroids frozen from the BASE (vec_id % 50 = 0 ⇒ % 10 = 0 ≠ 3,
+    // so the centroid set is disjoint from the delta by construction)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val base = e.filter(col("vec_id") % 10 =!= 3)
+    val delta = e.filter(col("vec_id") % 10 === 3)
+    graft.io.Snapshots.commit(
+      ops.Similarity.ivfCells(base, cents), table)
+    val dirsV1 = graft.io.Snapshots.dataDirsOf(s, table, 1)
+    graft.io.Snapshots.commit(
+      ops.Similarity.ivfCells(delta, cents), table)
+    val dirsV2 = graft.io.Snapshots.dataDirsOf(s, table, 2)
+    require(dirsV2.size == dirsV1.size + 1 && dirsV1.forall(dirsV2.contains),
+      "sim23: the append must carry base index dirs by reference and " +
+        s"add one (got ${dirsV1.size} -> ${dirsV2.size})")
+    val queries = e.filter(col("vec_id") < 10)
+    val viaIndex = ops.Similarity.ivfTopKFromCells(
+      graft.io.Snapshots.read(s, table, Some(2)), queries, 3, 2, cents)
+      .localCheckpoint()
+    val rebuilt = ops.Similarity.ivfTopKWith(e, queries, 3, 2, cents)
+    require(viaIndex.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(viaIndex).isEmpty,
+      "sim23: appended index search must equal a from-scratch rebuild " +
+        "bit-for-bit")
+    viaIndex.select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -6399,6 +6501,70 @@ object SparkEntry {
         lit(nDel).as("n_deleted_keys"), lit(nRe).as("n_reinserted"))
   }
 
+  /** CHANGE DATA FEED through the gate ([[graft.io.Snapshots
+    * .changeFeed]]) — the lakehouse as an incremental SOURCE: a full
+    * write lifecycle (two appends, a merge-on-read delete, a
+    * compaction, a copy-on-write delete, an append that re-inserts a
+    * tombstoned key) is replayed as row-level `insert`/`delete` deltas
+    * from per-version `#change` provenance, never by diffing versions.
+    * Gates, all in-query: (a) the compaction version emits ZERO feed
+    * rows (bytes moved, no rows changed — a feed that re-emitted it
+    * would double downstream folds); (b) the MoR delete's feed rows
+    * are the full PREIMAGE rows of the deleted keys; (c) the re-insert
+    * of a dv-suppressed key is EXCLUDED (it never became visible);
+    * (d) folding insert − delete over all six versions reconstructs
+    * `read(latest)` bit-for-bit. The emitted frame is the per-version
+    * change summary; the oracle replays every version's semantics from
+    * raw orders.
+    */
+  private def io28ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "change_feed")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 7 === 0)
+    require(v3 == 3 && nDel > 0, s"io28: MoR delete landed ($v3, $nDel)")
+    val (v4, nComp, _) = graft.io.Snapshots.compactSmall(
+      s, table, smallBytes = 1L << 30)
+    require(v4 == 4 && nComp >= 2, s"io28: compaction landed ($v4, $nComp)")
+    val (v5, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, table, col("k") % 5 === 0)
+    require(v5 == 5 && rewr >= 1, s"io28: CoW delete landed ($v5, $rewr)")
+    // v6: two fresh keys (> 7·maxK: ∉ any prior delete class) plus a
+    // RE-INSERT of the smallest tombstoned key — dv-suppressed, so the
+    // feed must exclude it
+    val maxK = o.agg(max("k")).head().getLong(0)
+    val k0 = o.filter(col("k") % 7 === 0).agg(min("k")).head().getLong(0)
+    val fresh = s.range(1, 3).select((col("id") + lit(7L) * maxK).as("k"),
+      lit(1L).as("cents"))
+      .unionAll(s.range(1).select(lit(k0).as("k"), lit(1L).as("cents")))
+    graft.io.Snapshots.commit(
+      s.createDataFrame(fresh.rdd,
+        org.apache.spark.sql.types.StructType(
+          fresh.schema.map(_.copy(nullable = true)))),
+      table)
+    val feed = graft.io.Snapshots.changeFeed(s, table, 1, 6)
+      .localCheckpoint()
+    require(feed.filter(col("_commit_version") === 4).count() == 0,
+      "io28: a compaction version must emit zero feed rows")
+    // fold law: insert − delete == read(6), bit-for-bit
+    val folded = feed.filter(col("_change_type") === "insert")
+      .select("k", "cents")
+      .join(feed.filter(col("_change_type") === "delete").select("k"),
+        Seq("k"), "left_anti")
+    val live = graft.io.Snapshots.read(s, table, Some(6)).select("k", "cents")
+    require(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
+      "io28: folding the feed must reconstruct read(latest) exactly")
+    feed.groupBy(col("_commit_version").cast("int").as("v"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+  }
+
   /** Parquet ROW-GROUP BLOOM FILTERS through the gate
     * ([[graft.io.ParquetBloom]]): orders with a synthesized even key
     * (`skey = 2·o_orderkey`), written in o_custkey order — so `skey`
@@ -6727,6 +6893,7 @@ object SparkEntry {
     "sim18_filtered_ann" -> sim18FilteredAnn _,
     "sim19_filtered_recall" -> sim19FilteredRecall _,
     "sim22_filtered_curve" -> sim22FilteredCurve _,
+    "sim23_ivf_append" -> sim23IvfAppend _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -6789,6 +6956,7 @@ object SparkEntry {
     "io25_rg_bloom" -> io25RgBloom _,
     "io26_mor_delete" -> io26MorDelete _,
     "io27_dv_materialize" -> io27DvMaterialize _,
+    "io28_change_feed" -> io28ChangeFeed _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -6807,6 +6975,7 @@ object SparkEntry {
     "t80_pseudonymize" -> t80Pseudonymize _,
     "q76_lateral" -> q76Lateral _,
     "q77_variant" -> q77Variant _,
+    "q83_variant_shred" -> q83VariantShred _,
     "q78_stream_outer_join" -> q78StreamOuterJoin _,
     "q80_stream_full_outer" -> q80StreamFullOuterJoin _,
     "q81_stream_hll" -> q81StreamHll _,
@@ -9918,6 +10087,35 @@ object SparkEntry {
     // surface); both engines decorrelate to a per-key top-2
     // payload rebuilt verbatim; json_valid gates the malformed channel
     // exactly as try_parse_json's null does
+    // mirrors the three-shape payload construction (CASE order matters:
+    // % 143 rows take the missing-k branch on both sides) and the
+    // null-presence accounting of the shredded paths
+    "q83_variant_shred" ->
+      """WITH raw AS (SELECT event_id, event_type,
+        |  CASE WHEN event_id % 11 = 0 THEN
+        |         '{"meta": {"type": "' || event_type || '"}, "vals": ['
+        |         || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |         || ', ' || CAST(user_id AS VARCHAR) || ']}'
+        |       WHEN event_id % 13 = 0 THEN
+        |         '{"meta": {"type": "' || event_type || '", "k": '
+        |         || json_extract_string(props, '$.k')
+        |         || ', "extra": ' || CAST(user_id AS VARCHAR)
+        |         || '}, "vals": [' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |         || ', ' || CAST(user_id AS VARCHAR) || ']}'
+        |       ELSE '{"meta": {"type": "' || event_type || '", "k": '
+        |         || json_extract_string(props, '$.k')
+        |         || '}, "vals": [' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |         || ', ' || CAST(user_id AS VARCHAR) || ']}'
+        |  END AS payload FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(json_extract(payload, '$.meta.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN json_extract(payload, '$.meta.k') IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+        |  CAST(sum(CASE WHEN json_extract(payload, '$.meta.extra') IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+        |  CAST(sum(CAST(json_extract(payload, '$.meta.extra') AS BIGINT)) AS BIGINT) AS sum_extra,
+        |  max(CAST(json_extract(payload, '$.vals[0]') AS BIGINT)) AS max_cents
+        |FROM raw GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q77_variant" ->
       """WITH raw AS (SELECT event_id, event_type,
         |  CASE WHEN event_id % 97 = 0 THEN '{"meta": {"type"'
@@ -10147,6 +10345,26 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // replays each version's change semantics from raw orders: appends
+    // by parity, MoR-delete preimages by key class, the CoW sidecar as
+    // (k%5=0 ∧ k%7≠0) — tombstoned rows never re-enter the feed — and
+    // the v6 append minus the dv-suppressed re-insert
+    "io28_change_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT 1 AS v, 'insert' AS change_type, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum FROM o WHERE k % 2 = 0
+        |UNION ALL
+        |SELECT 2, 'insert', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k % 2 <> 0
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT 5, 'delete', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM o WHERE k % 5 = 0 AND k % 7 <> 0
+        |UNION ALL
+        |SELECT 6, 'insert', 2, CAST(2 AS BIGINT)""".stripMargin,
     // the emitted frame is the real Spark scan over the bloom file; the
     // pruning audit itself is require-gated in-query (bloom internals
     // are not SQL-expressible)
@@ -11356,6 +11574,29 @@ object SparkEntry {
         |  neg_cosine, pos_id, pos_cosine,
         |  CAST(round((pos_cosine - neg_cosine) * 1000000, 0) AS BIGINT) AS margin_micro
         |FROM negs LEFT JOIN pos USING (query_id) WHERE negs.rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // the incremental-index law (append == rebuild) is require-gated
+    // in-query; the oracle replays the IVF chain over the union corpus
+    // with the same frozen centroid rule — sim2's body exactly, because
+    // base ∪ delta IS the corpus and assignment is centroid-pure
+    "sim23_ivf_append" ->
+      s"""WITH $embNormSql,
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
     "sim2_ivf_topk" ->
       s"""WITH $embNormSql,

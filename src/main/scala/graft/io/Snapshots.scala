@@ -348,7 +348,7 @@ object Snapshots {
     */
   private def maintenanceHeader(s: SparkSession, table: String, prev: Int,
       fallbackDdl: String, keptDirs: Set[String],
-      keepDv: Boolean = true): String = {
+      keepDv: Boolean = true, changeKind: String): String = {
     val prevLines = manifestLines(s, table, prev)
     val txns = prevLines.filter(_.startsWith("#txn "))
     val schemaDdl = prevLines.find(_.startsWith("#schema "))
@@ -360,9 +360,13 @@ object Snapshots {
     // just rewrote every tombstoned row out of the data): a plain
     // rewrite may move deleted rows into a fresh directory (compaction
     // reads raw parquet), and the anti-join on read is what keeps them
-    // invisible — dropping a dv line anywhere else would resurrect keys
+    // invisible — dropping a dv line anywhere else would resurrect keys.
+    // `#change`/`#cdf` lines are PER-VERSION provenance and never carry
+    // — a carried change marker would make [[changeFeed]] re-emit a
+    // prior version's rows at every later version.
     val dvs = if (keepDv) prevLines.filter(_.startsWith("#dv ")) else Nil
-    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs).map(_ + "\n").mkString
+    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs ++
+      Seq(s"#change $changeKind")).map(_ + "\n").mkString
   }
 
   private def commitTagged(df: DataFrame, table: String,
@@ -423,7 +427,8 @@ object Snapshots {
         .map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +
-        s"#schema ${df.schema.toDDL}\n" + statsHeader
+        s"#schema ${df.schema.toDDL}\n" + statsHeader +
+        "#change append\n"
       if (publishExclusive(s, f, manifestPath(table, v),
           header + dirs.mkString("\n"))) {
         // monotonic hint bump — BEST-EFFORT: concurrent hint writers can
@@ -556,7 +561,11 @@ object Snapshots {
         return (prev, 0L)
       }
       val prevLines = manifestLines(s, table, prev)
-      val header = prevLines.filter(_.startsWith("#")) :+ s"#dv $dir $keyCol"
+      // carry every header line EXCEPT per-version provenance
+      // (#change/#cdf belong to the version that wrote them)
+      val header = prevLines.filter(l => l.startsWith("#") &&
+          !l.startsWith("#change ") && !l.startsWith("#cdf ")) ++
+        Seq(s"#dv $dir $keyCol", "#change mor-delete")
       val dirs = prevLines.filterNot(_.startsWith("#"))
       val v = prev + 1
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
@@ -620,14 +629,28 @@ object Snapshots {
       val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
       if (hitDirs.isEmpty) return (prev, dirs.size, 0)
       val carried = dirs.filterNot(hitDirs)
-      val survivors = s.read.option("mergeSchema", "true")
+      val hitRows = s.read.option("mergeSchema", "true")
         .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*)
-        .filter(!pred)
+      val survivors = hitRows.filter(!pred)
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       survivors.write.mode("errorifexists").parquet(s"$table/$dir")
+      // CHANGE-DATA-FEED sidecar: the exact complement of the survivor
+      // filter (pred TRUE *or NULL* — `filter(!pred)` drops both), so
+      // the sidecar is bit-for-bit what the rewrite removed, captured
+      // in the same O(hit dirs) pass instead of re-derived by diffing
+      // two versions later (the Delta `_change_data` trade). Rows a dv
+      // tombstone already hid are excluded — they were never visible,
+      // so the feed must not report their deletion.
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val deleted = applyDv(s, table,
+        dvLinesOf(manifestLines(s, table, prev)),
+        hitRows.filter(not(coalesce(not(pred), lit(false)))))
+      val cdfDir = s"data/cdf-${java.util.UUID.randomUUID().toString.take(13)}"
+      deleted.write.mode("errorifexists").parquet(s"$table/$cdfDir")
       val v = prev + 1
       val header = maintenanceHeader(s, table, prev,
-        survivors.schema.toDDL, carried.toSet)
+        survivors.schema.toDDL, carried.toSet,
+        changeKind = "delete-cow") + s"#cdf $cdfDir\n"
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (carried :+ dir).mkString("\n"))) {
         try {
@@ -637,8 +660,9 @@ object Snapshots {
         return (v, carried.size, hitDirs.size)
       }
       // lost the race: our rewrite was computed against a superseded
-      // chain — drop the orphan and redo against the new state
+      // chain — drop the orphans and redo against the new state
       f.delete(new Path(s"$table/$dir"), true): Unit
+      f.delete(new Path(s"$table/$cdfDir"), true): Unit
       attempt += 1
     }
     sys.error(s"deleteWhere on $table lost the version race $maxAttempts times")
@@ -702,7 +726,7 @@ object Snapshots {
       val ddl = schemaOf(s, table, prev).getOrElse(
         read(s, table, Some(prev)).schema.toDDL)
       val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
-        keepDv = false)
+        keepDv = false, changeKind = "materialize")
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + newDirs.mkString("\n"))) {
         try {
@@ -757,7 +781,7 @@ object Snapshots {
       compacted.write.mode("errorifexists").parquet(s"$table/$dir")
       val v = prev + 1
       val header = maintenanceHeader(s, table, prev,
-        compacted.schema.toDDL, big.toSet)
+        compacted.schema.toDDL, big.toSet, changeKind = "compact")
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (big :+ dir).mkString("\n"))) {
         try {
@@ -806,12 +830,16 @@ object Snapshots {
     require(latest >= 1, s"nothing committed at $table")
     val cutoff = math.max(1, latest - keepVersions + 1)
     // referenced = data dirs PLUS deletion-vector dirs named by #dv
-    // lines — GC'ing a retained manifest's dv would resurrect its keys
+    // lines (GC'ing a retained manifest's dv would resurrect its keys)
+    // PLUS change-feed sidecars named by #cdf lines (GC'ing one would
+    // blind [[changeFeed]] over a still-resolvable version range)
     val keptDirs = (cutoff to latest).flatMap { v =>
       val lines = manifestLines(s, table, v)
       lines.filterNot(_.startsWith("#")) ++
         lines.filter(_.startsWith("#dv "))
-          .map(_.stripPrefix("#dv ").split(" ")(0))
+          .map(_.stripPrefix("#dv ").split(" ")(0)) ++
+        lines.filter(_.startsWith("#cdf "))
+          .map(_.stripPrefix("#cdf "))
     }.toSet
     var nManifests = 0
     (1 until cutoff).foreach { v =>
@@ -830,5 +858,109 @@ object Snapshots {
       }
     }
     (nManifests, nDirs)
+  }
+
+  /** CHANGE DATA FEED — the row-level delta between two versions,
+    * emitted as `(data columns…, _change_type, _commit_version)` with
+    * `_change_type ∈ {insert, delete}` (the Delta CDF / Iceberg
+    * changelog-scan surface). This is what turns the lakehouse into an
+    * incremental SOURCE: a downstream consumer folds the feed instead
+    * of re-reading the table, so maintaining a 100 TB table's derived
+    * aggregates costs O(changed rows) per sync, not O(table) — the
+    * batch-side twin of the Z-set streams in `ops.Cdc`.
+    *
+    * Per-version provenance comes from the `#change` manifest line each
+    * writer records, so the feed never DIFFS two table versions (an
+    * O(table) anti-join); the cost model per version kind:
+    *  - `append` — reads ONLY the directories new in that version
+    *    (minus keys a live dv tombstone suppresses: those rows were
+    *    never visible, so they never entered the feed);
+    *  - `delete-cow` — reads ONLY the `#cdf` sidecar the delete wrote
+    *    (O(deleted rows), captured at delete time);
+    *  - `mor-delete` — the one kind that pays a preimage scan: dv
+    *    commits write O(keys), so the deleted ROWS are recovered here
+    *    by one broadcast-eligible semi-join of the prior version
+    *    against the new dv keys (the same trade Delta makes for
+    *    DV-only commits: cheap write, feed-read pays);
+    *  - `compact` / `materialize` — emit NOTHING: maintenance moves
+    *    bytes, never rows, and a feed that re-emitted a compaction
+    *    would double every folded row downstream.
+    *
+    * Folding `insert − delete` over versions `1..v` reconstructs
+    * `read(v)` exactly (spec-gated). A version without a `#change`
+    * line (written by a pre-provenance build) fails LOUDLY — guessing
+    * a kind could silently double or drop rows downstream.
+    *
+    * @param fromV first version whose changes to emit (inclusive, ≥ 1)
+    * @param toV   last version (inclusive)
+    */
+  def changeFeed(s: SparkSession, table: String,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 1 && toV >= fromV,
+      s"changeFeed: bad version range [$fromV, $toV]")
+    require(toV <= latestVersion(s, table),
+      s"changeFeed: v$toV not committed at $table")
+    val parts: Seq[DataFrame] = (fromV to toV).flatMap { v =>
+      val lines = manifestLines(s, table, v)
+      val kind = lines.find(_.startsWith("#change "))
+        .map(_.stripPrefix("#change ")).getOrElse(sys.error(
+          s"changeFeed: $table v$v carries no #change provenance — " +
+            "feed reads are defined only over change-tracking commits"))
+      // LAZY: only `append` and `mor-delete` consult the prior
+      // manifest — `delete-cow` reads just its sidecar, so a feed over
+      // post-vacuum versions works even when v-1's manifest expired
+      // (the Delta rule: CDF range bounded by retention only where the
+      // kind actually needs history)
+      lazy val prevLines =
+        if (v == 1) Nil else manifestLines(s, table, v - 1)
+      kind match {
+        case "append" =>
+          val prevDirs = prevLines.filterNot(_.startsWith("#")).toSet
+          val newDirs = lines.filterNot(_.startsWith("#"))
+            .filterNot(prevDirs)
+          if (newDirs.isEmpty) Nil
+          else {
+            val rows = s.read.option("mergeSchema", "true")
+              .parquet(newDirs.map(d => s"$table/$d"): _*)
+            Seq(applyDv(s, table, dvLinesOf(lines), rows)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        case "mor-delete" =>
+          val newDvs = dvLinesOf(lines).toSet -- dvLinesOf(prevLines).toSet
+          if (newDvs.isEmpty) Nil
+          else {
+            val keyCols = newDvs.map(_._2).toSeq.distinct
+            require(keyCols.size == 1,
+              s"changeFeed: mixed dv key columns at $table v$v: $keyCols")
+            val keys = s.read
+              .parquet(newDvs.map(t => s"$table/${t._1}").toSeq: _*)
+              .distinct()
+            Seq(read(s, table, Some(v - 1))
+              .join(keys, Seq(keyCols.head), "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        case "delete-cow" =>
+          val cdfDirs = lines.filter(_.startsWith("#cdf "))
+            .map(_.stripPrefix("#cdf "))
+          if (cdfDirs.isEmpty) Nil
+          else Seq(s.read.option("mergeSchema", "true")
+            .parquet(cdfDirs.map(d => s"$table/$d"): _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        case "compact" | "materialize" => Nil
+        case other => sys.error(
+          s"changeFeed: unknown #change kind '$other' at $table v$v")
+      }
+    }
+    parts match {
+      case Seq() => read(s, table, Some(toV)).filter(lit(false))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+      case head +: tail => tail.foldLeft(head)(
+        _.unionByName(_, allowMissingColumns = true))
+    }
   }
 }

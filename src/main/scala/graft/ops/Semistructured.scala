@@ -49,4 +49,34 @@ object Semistructured {
     */
   def typedPath(variant: Column, path: String, sqlType: String): Column =
     try_variant_get(variant, path, sqlType)
+
+  /** SHRED a VARIANT column into declared typed columns — the
+    * schema-on-read → schema-on-disk transition (the Parquet variant-
+    * shredding idea at the logical level): hot paths become first-class
+    * typed columns that downstream filters/aggregates touch WITHOUT any
+    * variant decode, while the variant column stays alongside as the
+    * lossless residual for paths nobody declared. Each field is
+    * `(columnName, variantPath, sqlType)`; extraction is null-safe per
+    * [[typedPath]], so rows missing a path shred to NULL (presence is
+    * queryable, never a throw). One narrow codegen'd projection — the
+    * variant binary decodes each declared path in O(depth), once.
+    */
+  def shred(df: DataFrame, variantCol: String,
+      fields: Seq[(String, String, String)]): DataFrame = {
+    require(fields.nonEmpty, "shred: no fields declared")
+    fields.foldLeft(df) { case (d, (name, path, t)) =>
+      d.withColumn(name, typedPath(col(variantCol), path, t))
+    }
+  }
+
+  /** SHAPE PROFILE of a VARIANT column: per inferred payload schema
+    * (`schema_of_variant` — the merged-type DDL of each value), the
+    * row count. This is the drift monitor a schema-on-read pipeline
+    * runs before committing to a shred list: new shapes show up as new
+    * rows here, not as silent NULL columns downstream. Partial-
+    * aggregable groupBy on a codegen'd projection.
+    */
+  def shapeProfile(df: DataFrame, variantCol: String): DataFrame =
+    df.groupBy(schema_of_variant(col(variantCol)).as("shape"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -230,15 +230,33 @@ object Similarity {
     }
   }
 
-  /** IVF cell-probed top-k against an explicit centroid table
-    * `(cent_id, cent_vec: array<float>)` — e.g. [[trainCentroids]] output.
+  /** The IVF INDEX as data: each corpus vector's cell assignment under
+    * a FROZEN centroid table — `(nn_id, nn_vec, nn_nrm, cent_id)`,
+    * exactly what [[ivfTopKFromCells]] probes. Materializing this frame
+    * (e.g. as a [[graft.io.Snapshots]] table) is what makes the index
+    * INCREMENTAL at 100 TB: a new batch of vectors is assigned against
+    * the same frozen centroids (one broadcast map-side pass over ONLY
+    * the batch) and appended — history is never re-assigned, and
+    * because assignment is a deterministic pure function of (vector,
+    * centroids), append-then-search ≡ rebuild-then-search bit-for-bit
+    * (sim23-gated). Re-train centroids only when drift degrades the
+    * nprobe/recall operating point (sim21's curve is the monitor).
     */
-  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      cents: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  def ivfCells(corpus: DataFrame, cents: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
-
-    val cells = assignCells(withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
+    assignCells(withNorm(corpus, idCol, vecCol, "nn_id", "nn_vec", "nn_nrm"),
       cents, "nn_id", "nn_vec", "nn_nrm", 1)
+  }
+
+  /** Probe a PREBUILT cell-assignment frame ([[ivfCells]] output,
+    * possibly reloaded from a persisted index artifact) — the search
+    * half of [[ivfTopKWith]], touching only `nprobe` cells per query.
+    */
+  def ivfTopKFromCells(cells: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, cents: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(queries.sparkSession)
     val probes = assignCells(withNorm(queries, idCol, vecCol, "query_id", "q_vec", "q_nrm"),
       cents, "query_id", "q_vec", "q_nrm", nprobe)
 
@@ -251,6 +269,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
+
+  /** IVF cell-probed top-k against an explicit centroid table
+    * `(cent_id, cent_vec: array<float>)` — e.g. [[trainCentroids]] output.
+    */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      cents: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKFromCells(ivfCells(corpus, cents, idCol, vecCol),
+      queries, k, nprobe, cents, idCol, vecCol)
 
   /** Exact filtered-search truth: [[bruteForceTopK]] restricted to
     * candidates matching the query's `matchCol` — the baseline

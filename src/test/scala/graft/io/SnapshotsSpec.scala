@@ -411,6 +411,59 @@ class SnapshotsSpec extends SparkSpec {
       Seq((3L, "c")).toDF("id", "s"), t, "w", 2L).isEmpty)
   }
 
+  test("changeFeed: folding insert − delete over every version " +
+      "reconstructs read(latest); maintenance emits nothing") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1, v2: appends
+    Snapshots.commit((1L to 6L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    Snapshots.commit((7L to 12L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    // v3: MoR delete of multiples of 3 (4 keys)
+    val (v3, nDel) = Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 3 === 0)
+    assert(v3 == 3 && nDel == 4)
+    // v4: compaction — bytes move, rows don't
+    val (v4, nComp, _) = Snapshots.compactSmall(spark, t, smallBytes = 1L << 30)
+    assert(v4 == 4 && nComp >= 2)
+    // v5: CoW delete of k = 2 (sidecar-captured preimage)
+    val (v5, _, rewr) = Snapshots.deleteWhere(spark, t, col("k") === 2L)
+    assert(v5 == 5 && rewr >= 1)
+    // v6: append, including a RE-INSERT of tombstoned key 3 — invisible
+    // under the carried dv, so the feed must exclude it
+    Snapshots.commit(Seq((3L, "again"), (100L, "new")).toDF("k", "s"), t)
+
+    val feed = Snapshots.changeFeed(spark, t, 1, 6).cache()
+    // per-version shape
+    val byV = feed.groupBy("_commit_version", "_change_type").count()
+      .as[(Int, String, Long)].collect()
+      .map { case (v, c, n) => (v, c) -> n }.toMap
+    assert(byV((1, "insert")) == 6 && byV((2, "insert")) == 6)
+    assert(byV((3, "delete")) == 4)       // preimage rows of the 4 keys
+    assert(!byV.keySet.exists(_._1 == 4)) // compaction: zero feed rows
+    assert(byV((5, "delete")) == 1)       // the CoW sidecar row
+    assert(byV((6, "insert")) == 1)       // re-inserted key 3 excluded
+    // the MoR preimage is the ROWS, not just keys
+    assert(feed.filter($"_commit_version" === 3).select("k", "s")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+      == Seq(3L, 6L, 9L, 12L).map(k => (k, s"r$k")))
+    // fold law: inserts minus deletes == read(latest), bit-for-bit
+    val folded = feed.filter($"_change_type" === "insert")
+      .select("k", "s")
+      .join(feed.filter($"_change_type" === "delete").select("k"),
+        Seq("k"), "left_anti")
+    val live = Snapshots.read(spark, t, Some(6)).select("k", "s")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
+    // the cdf sidecar survives a vacuum that retains its version
+    Snapshots.vacuum(spark, t, keepVersions = 2, orphanGraceMs = 0L)
+    assert(Snapshots.changeFeed(spark, t, 5, 6)
+      .filter($"_change_type" === "delete").count() == 1)
+    // a pre-provenance manifest (no #change line) fails loudly
+    val m1 = java.nio.file.Paths.get(s"$t/manifest-v5.txt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("#change ")).mkString("\n")
+    java.nio.file.Files.write(m1, stripped.getBytes("UTF-8"))
+    intercept[RuntimeException] { Snapshots.changeFeed(spark, t, 5, 6) }
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()

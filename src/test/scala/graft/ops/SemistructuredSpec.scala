@@ -74,4 +74,45 @@ class SemistructuredSpec extends SparkSpec {
     assert(agg(1).getString(0) == "b" && agg(1).getLong(1) == 25 &&
       agg(1).getLong(2) == 0 && agg(1).getLong(3) == 625)
   }
+
+  test("shred: declared paths become typed columns, missing paths NULL, " +
+      "variant residual intact alongside") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"meta": {"k": 7, "tag": "en"}, "vals": [10]}"""),
+      (2L, """{"meta": {"tag": "de"}, "vals": [20]}"""), // k missing
+      (3L, """{"meta": {"k": 9, "tag": "fr", "extra": 5}, "vals": [30]}""")
+    ).toDF("id", "raw")
+    val sh = Semistructured.shred(
+      Semistructured.parseWithQuarantine(df, "raw"), "variant",
+      Seq(("k", "$.meta.k", "long"), ("tag", "$.meta.tag", "string"),
+        ("v0", "$.vals[0]", "long")))
+    val rows = sh.select("id", "k", "tag", "v0").orderBy("id").collect()
+    assert(rows(0).getLong(1) == 7L && rows(0).getString(2) == "en" &&
+      rows(0).getLong(3) == 10L)
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "de") // NULL, no throw
+    assert(rows(2).getLong(1) == 9L && rows(2).getLong(3) == 30L)
+    // the variant residual still answers paths nobody shredded
+    assert(sh.filter(col("id") === 3L)
+      .select(Semistructured.typedPath(col("variant"), "$.meta.extra", "long"))
+      .head().getLong(0) == 5L)
+  }
+
+  test("shapeProfile: one row per distinct inferred payload schema — " +
+      "the drift monitor") {
+    import spark.implicits._
+    val df = Seq.tabulate(30) { i =>
+      val raw =
+        if (i % 3 == 0) s"""{"a": $i}"""
+        else if (i % 3 == 1) s"""{"a": $i, "b": "x"}"""
+        else s"""{"a": $i}"""
+      (i.toLong, raw)
+    }.toDF("id", "raw")
+    val prof = Semistructured.shapeProfile(
+      Semistructured.parseWithQuarantine(df, "raw"), "variant")
+    val shapes = prof.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shapes.size == 2 && shapes.values.sum == 30)
+    // the drifted shape (extra "b") is its own bucket with 10 rows
+    assert(shapes.exists { case (k, n) => k.contains("b") && n == 10 })
+  }
 }
