@@ -6565,6 +6565,64 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** RENAME WITHOUT REWRITE through the gate ([[graft.io.Snapshots
+    * .renameColumn]]) — non-additive schema evolution as metadata:
+    * orders committed as two key-range halves (per-dir stats on the
+    * key), the key column renamed `k → okey` (gated: ZERO data dirs
+    * touched), a post-rename commit writing the new name natively, and
+    * a range scan UNDER THE NEW NAME that must both prune (the stats
+    * lines re-keyed) and read pre-rename directories through the
+    * mapping. Time-travel contract accuracy (v2 still answers under
+    * `k`) is also gated. The oracle re-derives the half split, the
+    * pruning arithmetic, and every aggregate from raw orders.
+    */
+  private def io29RenameEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "rename_evo")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    val mm = o.agg(min("k"), max("k")).head()
+    val (mnK, mxK) = (mm.getLong(0), mm.getLong(1))
+    val mid = (mnK + mxK) / 2
+    graft.io.Snapshots.commitWithStats(o.filter(col("k") <= mid), table, "k")
+    graft.io.Snapshots.commitWithStats(o.filter(col("k") > mid), table, "k")
+    val dirsBefore = graft.io.Snapshots.dataDirsOf(s, table, 2)
+    val v3 = graft.io.Snapshots.renameColumn(s, table, "k", "okey")
+    require(v3 == 3 &&
+        graft.io.Snapshots.dataDirsOf(s, table, 3) == dirsBefore,
+      "io29: a rename must be metadata-only — a data dir changed")
+    // time travel keeps the OLD contract
+    require(graft.io.Snapshots.read(s, table, Some(2))
+        .columns.contains("k"),
+      "io29: v2 must still answer under the pre-rename name")
+    // post-rename commit writes the new name natively
+    val fresh = s.range(1, 4).select((col("id") + lit(7L) * mxK).as("okey"),
+      lit(1L).as("cents"))
+    graft.io.Snapshots.commitWithStats(
+      s.createDataFrame(fresh.rdd,
+        org.apache.spark.sql.types.StructType(
+          fresh.schema.map(_.copy(nullable = true)))),
+      table, "okey")
+    // pruned range scan UNDER THE NEW NAME: stats re-keyed, so the
+    // upper half and the fresh dir must both skip
+    val scan = graft.io.Snapshots.readPruned(s, table, "okey", mnK, mid)
+    require(scan.dirsRead < scan.dirsTotal,
+      s"io29: pruning under the renamed column read ${scan.dirsRead}/" +
+        s"${scan.dirsTotal} dirs — the re-keyed stats are not applying")
+    val pruned = scan.df.agg(count(lit(1)).as("n_low"),
+      sum("cents").as("cents_low"))
+    graft.io.Snapshots.read(s, table, Some(4))
+      .agg(count(lit(1)).as("n_total"), sum("cents").as("cents_total"),
+        sum("okey").as("sum_okey"))
+      .crossJoin(broadcast(pruned))
+      .select(col("n_total"), col("cents_total"), col("sum_okey"),
+        col("n_low"), col("cents_low"),
+        lit(scan.dirsTotal.toLong).as("n_dirs_total"),
+        lit(scan.dirsRead.toLong).as("n_dirs_read"))
+  }
+
   /** Parquet ROW-GROUP BLOOM FILTERS through the gate
     * ([[graft.io.ParquetBloom]]): orders with a synthesized even key
     * (`skey = 2·o_orderkey`), written in o_custkey order — so `skey`
@@ -6957,6 +7015,7 @@ object SparkEntry {
     "io26_mor_delete" -> io26MorDelete _,
     "io27_dv_materialize" -> io27DvMaterialize _,
     "io28_change_feed" -> io28ChangeFeed _,
+    "io29_rename_evolution" -> io29RenameEvolution _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10345,6 +10404,26 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // re-derives the half split ((min+max)//2), the pruned lower-half
+    // aggregates, the 2-of-3-dirs-skipped arithmetic, and the
+    // post-rename totals (raw orders + the 3 fresh unit rows)
+    "io29_rename_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT (min(k) + max(k)) // 2 AS mid, max(k) AS mx FROM o),
+        |u AS (SELECT k AS okey, cents FROM o
+        |      UNION ALL
+        |      SELECT 7 * b.mx + i, CAST(1 AS BIGINT)
+        |      FROM b, generate_series(1, 3) t(i)),
+        |low AS (SELECT count(*) AS n_low, CAST(sum(cents) AS BIGINT) AS cents_low
+        |        FROM o, b WHERE k <= b.mid)
+        |SELECT (SELECT count(*) FROM u) AS n_total,
+        |  CAST((SELECT sum(cents) FROM u) AS BIGINT) AS cents_total,
+        |  CAST((SELECT sum(okey) FROM u) AS BIGINT) AS sum_okey,
+        |  low.n_low, low.cents_low,
+        |  CAST(3 AS BIGINT) AS n_dirs_total,
+        |  CAST(1 AS BIGINT) AS n_dirs_read
+        |FROM low""".stripMargin,
     // replays each version's change semantics from raw orders: appends
     // by parity, MoR-delete preimages by key class, the CoW sidecar as
     // (k%5=0 ∧ k%7≠0) — tombstoned rows never re-enter the feed — and

@@ -203,8 +203,8 @@ object Snapshots {
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
       else applyDv(s, table, dvLinesOf(lines),
-        s.read.option("mergeSchema", "true")
-          .parquet(hit.map(d => s"$table/$d"): _*).filter(residual))
+        applyRenames(lines, s.read.option("mergeSchema", "true")
+          .parquet(hit.map(d => s"$table/$d"): _*)).filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 
@@ -244,8 +244,8 @@ object Snapshots {
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
       else applyDv(s, table, dvLinesOf(lines),
-        s.read.option("mergeSchema", "true")
-          .parquet(hit.map(d => s"$table/$d"): _*).filter(residual))
+        applyRenames(lines, s.read.option("mergeSchema", "true")
+          .parquet(hit.map(d => s"$table/$d"): _*)).filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 
@@ -317,6 +317,18 @@ object Snapshots {
       allowEvolve: Boolean): Unit = {
     val latest = latestVersion(s, table)
     if (latest < 1) return
+    // a column name RENAMED AWAY can never be re-introduced: the rename
+    // mapping would silently fold the new column's values into the
+    // renamed one on every read
+    val retired = renameLinesOf(manifestLines(s, table, latest))
+      .map(_._1).toSet -- schemaOf(s, table, latest)
+        .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+          .fieldNames.toSet).getOrElse(Set.empty)
+    val clash = df.schema.fieldNames.filter(retired)
+    require(clash.isEmpty,
+      s"commit to $table re-introduces renamed-away column(s) " +
+        s"${clash.mkString(", ")} — pick a fresh name (the rename " +
+        "mapping would corrupt it)")
     schemaOf(s, table, latest).foreach { prevDdl =>
       val newDdl = df.schema.toDDL
       if (newDdl != prevDdl) {
@@ -365,7 +377,8 @@ object Snapshots {
     // — a carried change marker would make [[changeFeed]] re-emit a
     // prior version's rows at every later version.
     val dvs = if (keepDv) prevLines.filter(_.startsWith("#dv ")) else Nil
-    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs ++
+    val rens = prevLines.filter(_.startsWith("#rename "))
+    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs ++ rens ++
       Seq(s"#change $changeKind")).map(_ + "\n").mkString
   }
 
@@ -423,8 +436,11 @@ object Snapshots {
       val carriedTxn = prevLines.filter(_.startsWith("#txn "))
       val carriedStats = prevLines.filter(_.startsWith("#dirstats "))
       val carriedDv = prevLines.filter(_.startsWith("#dv "))
-      val statsHeader = (carriedStats ++ newStatsLines ++ carriedDv)
-        .map(_ + "\n").mkString
+      // #rename lines carry for the table's lifetime: any directory in
+      // the chain may still hold pre-rename physical names
+      val carriedRen = prevLines.filter(_.startsWith("#rename "))
+      val statsHeader = (carriedStats ++ newStatsLines ++ carriedDv ++
+        carriedRen).map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +
         s"#schema ${df.schema.toDDL}\n" + statsHeader +
@@ -487,14 +503,15 @@ object Snapshots {
     val lines = manifestLines(s, table, v)
     val paths = lines.filterNot(_.startsWith("#")).map(d => s"$table/$d")
     val base = s.read.option("mergeSchema", "true").parquet(paths: _*)
-    // MERGE-ON-READ deletes: every `#dv <dir> <keyCol>` line names a
-    // deletion-vector directory of deleted keys; reads apply ONE
-    // anti-join over their union. The dv side is O(deleted keys) and
-    // broadcast-eligible, so the read-time cost is a map-side hash
-    // probe — the merge-on-read half of the Iceberg v2 / Delta DV
-    // trade (deletes O(keys), reads pay the probe) next to
+    // RENAME MAPPING first (old-named dirs fold into the current
+    // contract), then MERGE-ON-READ deletes: every `#dv <dir> <keyCol>`
+    // line names a deletion-vector directory of deleted keys; reads
+    // apply ONE anti-join over their union. The dv side is O(deleted
+    // keys) and broadcast-eligible, so the read-time cost is a
+    // map-side hash probe — the merge-on-read half of the Iceberg v2 /
+    // Delta DV trade (deletes O(keys), reads pay the probe) next to
     // [[deleteWhere]]'s copy-on-write half.
-    applyDv(s, table, dvLinesOf(lines), base)
+    applyDv(s, table, dvLinesOf(lines), applyRenames(lines, base))
   }
 
   /** Apply deletion-vector `(dir, keyCol)` pairs to a data frame — one
@@ -518,6 +535,32 @@ object Snapshots {
       .map(_.stripPrefix("#dv ").split(" ")).collect {
         case Array(d, k) => (d, k)
       }
+
+  private def renameLinesOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith("#rename "))
+      .map(_.stripPrefix("#rename ").split(" ")).collect {
+        case Array(o, n) => (o, n)
+      }
+
+  /** Apply the manifest's accumulated `#rename old new` mapping to a
+    * frame read from raw parquet. Directories written BEFORE a rename
+    * hold the old physical column name, directories written after hold
+    * the new one, and a `mergeSchema` read across both yields BOTH
+    * columns (each null where the other is populated) — so the fold is
+    * per rename pair, oldest first: both present → `coalesce(new, old)`
+    * under the new name; only old → a plain rename; neither → no-op.
+    * Sequential application makes rename CHAINS (a→b, later b→a)
+    * converge correctly over arbitrarily mixed directories.
+    */
+  private def applyRenames(lines: Seq[String], df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    renameLinesOf(lines).foldLeft(df) { case (d, (o, n)) =>
+      val has = d.columns.toSet
+      if (has(o) && has(n)) d.withColumn(n, coalesce(col(n), col(o))).drop(o)
+      else if (has(o)) d.withColumnRenamed(o, n)
+      else d
+    }
+  }
 
   /** MERGE-ON-READ DELETE — [[deleteWhere]]'s O(deleted-keys) sibling
     * (Iceberg v2 equality-deletes / Delta deletion vectors, expressed at
@@ -621,16 +664,24 @@ object Snapshots {
     while (attempt < maxAttempts) {
       val prev = latestVersion(s, table)
       require(prev >= 1, s"nothing committed at $table")
-      val dirs = manifestDirs(s, table, prev)
-      val hitFiles = s.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$table/$d"): _*)
-        .filter(pred).select(input_file_name().as("f"))
+      val prevAllLines = manifestLines(s, table, prev)
+      val dirs = prevAllLines.filterNot(_.startsWith("#"))
+      // hit discovery + rewrite both run through the rename mapping:
+      // `pred` speaks the CURRENT column contract, and pre-rename
+      // directories hold the old physical names (input_file_name()
+      // binds over the scan BEFORE the mapping projections)
+      val hitFiles = applyRenames(prevAllLines,
+          s.read.option("mergeSchema", "true")
+            .parquet(dirs.map(d => s"$table/$d"): _*)
+            .withColumn("__f", input_file_name()))
+        .filter(pred).select(org.apache.spark.sql.functions.col("__f").as("f"))
         .distinct().collect().map(_.getString(0))
       val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
       if (hitDirs.isEmpty) return (prev, dirs.size, 0)
       val carried = dirs.filterNot(hitDirs)
-      val hitRows = s.read.option("mergeSchema", "true")
-        .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*)
+      val hitRows = applyRenames(prevAllLines,
+        s.read.option("mergeSchema", "true")
+          .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*))
       val survivors = hitRows.filter(!pred)
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       survivors.write.mode("errorifexists").parquet(s"$table/$dir")
@@ -642,8 +693,7 @@ object Snapshots {
       // tombstone already hid are excluded — they were never visible,
       // so the feed must not report their deletion.
       import org.apache.spark.sql.functions.{coalesce, lit, not}
-      val deleted = applyDv(s, table,
-        dvLinesOf(manifestLines(s, table, prev)),
+      val deleted = applyDv(s, table, dvLinesOf(prevAllLines),
         hitRows.filter(not(coalesce(not(pred), lit(false)))))
       val cdfDir = s"data/cdf-${java.util.UUID.randomUUID().toString.take(13)}"
       deleted.write.mode("errorifexists").parquet(s"$table/$cdfDir")
@@ -705,10 +755,13 @@ object Snapshots {
       val keyCol = keyCols.head
       val keys = s.read.parquet(dvs.map(t => s"$table/${t._1}"): _*).distinct()
       // input_file_name() must bind directly over the scan (it rejects
-      // multi-source plans), so project it BEFORE the semi join
-      val hitFiles = s.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$table/$d"): _*)
-        .withColumn("__f", input_file_name())
+      // multi-source plans), so project it BEFORE the semi join; the
+      // rename mapping folds pre-rename dirs into the current contract
+      // (the dv key column itself is rename-protected by renameColumn)
+      val hitFiles = applyRenames(lines,
+          s.read.option("mergeSchema", "true")
+            .parquet(dirs.map(d => s"$table/$d"): _*)
+            .withColumn("__f", input_file_name()))
         .join(keys, Seq(keyCol), "left_semi")
         .select(org.apache.spark.sql.functions.col("__f").as("f"))
         .distinct().collect().map(_.getString(0))
@@ -716,8 +769,8 @@ object Snapshots {
       val carried = dirs.filterNot(hitDirs)
       val survivors =
         if (hitDirs.isEmpty) None
-        else Some(s.read.option("mergeSchema", "true")
-          .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*)
+        else Some(applyRenames(lines, s.read.option("mergeSchema", "true")
+          .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*))
           .join(keys, Seq(keyCol), "left_anti"))
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       survivors.foreach(_.write.mode("errorifexists").parquet(s"$table/$dir"))
@@ -769,13 +822,18 @@ object Snapshots {
     while (attempt < maxAttempts) {
       val prev = latestVersion(s, table)
       require(prev >= 1, s"nothing committed at $table")
-      val dirs = manifestDirs(s, table, prev)
+      val prevAllLines = manifestLines(s, table, prev)
+      val dirs = prevAllLines.filterNot(_.startsWith("#"))
       val (small, big) = dirs.partition { d =>
         f.getContentSummary(new Path(s"$table/$d")).getLength < smallBytes
       }
       if (small.size < 2) return (prev, 0, dirs.size)
-      val compacted = s.read.option("mergeSchema", "true")
-        .parquet(small.map(d => s"$table/$d"): _*)
+      // rename-normalize the rewrite: the compacted directory is born
+      // under the CURRENT column contract even when its inputs predate
+      // a rename (the mapping stays a no-op for them afterwards)
+      val compacted = applyRenames(prevAllLines,
+          s.read.option("mergeSchema", "true")
+            .parquet(small.map(d => s"$table/$d"): _*))
         .repartition(targetFiles)
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       compacted.write.mode("errorifexists").parquet(s"$table/$dir")
@@ -860,6 +918,81 @@ object Snapshots {
     (nManifests, nDirs)
   }
 
+  /** RENAME WITHOUT REWRITE — logical column rename as a metadata-only
+    * commit (the Delta column-mapping / Iceberg `RENAME COLUMN` move):
+    * the new manifest carries the SAME data directories, a re-written
+    * `#schema` contract, `#dirstats` lines re-keyed to the new name
+    * (pruning keeps working), and a `#rename old new` mapping line that
+    * every read path folds over raw parquet — pre-rename directories
+    * keep their old physical names forever (no 100 TB rewrite), new
+    * commits write the new name natively, and `mergeSchema` reads
+    * across the mix coalesce into ONE column under the new name.
+    * Maintenance rewrites normalize as a side effect, and the mapping
+    * line still carries (a no-op once no old-named directory remains).
+    *
+    * Guard rails: the target name must be free in the current schema;
+    * the dv KEY column cannot rename while `#dv` lines exist
+    * (materialize first — tombstone files hold the old physical name);
+    * and [[commit]] refuses to re-introduce a renamed-away name (the
+    * mapping would silently swallow the new column). Time travel is
+    * contract-accurate: pre-rename versions read under the old name.
+    * CAS posture identical to [[commit]].
+    *
+    * @return the new version
+    */
+  def renameColumn(s: SparkSession, table: String, oldName: String,
+      newName: String, maxAttempts: Int = 50): Int = {
+    require(oldName != newName, s"renameColumn: $oldName -> itself")
+    require(!oldName.contains(" ") && !newName.contains(" ") &&
+        oldName.nonEmpty && newName.nonEmpty,
+      "renameColumn: names must be non-empty and space-free " +
+        "(the manifest line format is space-delimited)")
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      val ddl = lines.find(_.startsWith("#schema "))
+        .map(_.stripPrefix("#schema ")).getOrElse(sys.error(
+          s"renameColumn: $table carries no #schema contract"))
+      val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      require(st.fieldNames.contains(oldName),
+        s"renameColumn: no column '$oldName' at $table (schema: $ddl)")
+      require(!st.fieldNames.contains(newName),
+        s"renameColumn: '$newName' already exists at $table")
+      require(!dvLinesOf(lines).exists(_._2 == oldName),
+        s"renameColumn: '$oldName' is the live deletion-vector key at " +
+          s"$table — materializeDeletes first (tombstone files hold the " +
+          "old physical name)")
+      val newSt = org.apache.spark.sql.types.StructType(st.map(fld =>
+        if (fld.name == oldName) fld.copy(name = newName) else fld))
+      val stats = lines.filter(_.startsWith("#dirstats ")).map { l =>
+        val p = l.stripPrefix("#dirstats ").split(" ")
+        if (p(1) == oldName) s"#dirstats ${p(0)} $newName ${p(2)} ${p(3)}"
+        else l
+      }
+      val header = (lines.filter(_.startsWith("#txn ")) ++
+        Seq(s"#schema ${newSt.toDDL}") ++ stats ++
+        lines.filter(_.startsWith("#dv ")) ++
+        lines.filter(_.startsWith("#rename ")) ++
+        Seq(s"#rename $oldName $newName", "#change rename"))
+        .map(_ + "\n").mkString
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + dirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return v
+      }
+      attempt += 1
+    }
+    sys.error(s"renameColumn on $table lost the version race $maxAttempts times")
+  }
+
   /** CHANGE DATA FEED — the row-level delta between two versions,
     * emitted as `(data columns…, _change_type, _commit_version)` with
     * `_change_type ∈ {insert, delete}` (the Delta CDF / Iceberg
@@ -901,6 +1034,9 @@ object Snapshots {
       s"changeFeed: bad version range [$fromV, $toV]")
     require(toV <= latestVersion(s, table),
       s"changeFeed: v$toV not committed at $table")
+    // every emitted part folds to toV's column contract, so a feed
+    // spanning a rename stays one well-typed frame
+    val mapLines = manifestLines(s, table, toV)
     val parts: Seq[DataFrame] = (fromV to toV).flatMap { v =>
       val lines = manifestLines(s, table, v)
       val kind = lines.find(_.startsWith("#change "))
@@ -921,8 +1057,9 @@ object Snapshots {
             .filterNot(prevDirs)
           if (newDirs.isEmpty) Nil
           else {
-            val rows = s.read.option("mergeSchema", "true")
-              .parquet(newDirs.map(d => s"$table/$d"): _*)
+            val rows = applyRenames(mapLines,
+              s.read.option("mergeSchema", "true")
+                .parquet(newDirs.map(d => s"$table/$d"): _*))
             Seq(applyDv(s, table, dvLinesOf(lines), rows)
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v)))
@@ -937,8 +1074,8 @@ object Snapshots {
             val keys = s.read
               .parquet(newDvs.map(t => s"$table/${t._1}").toSeq: _*)
               .distinct()
-            Seq(read(s, table, Some(v - 1))
-              .join(keys, Seq(keyCols.head), "left_semi")
+            Seq(applyRenames(mapLines, read(s, table, Some(v - 1))
+                .join(keys, Seq(keyCols.head), "left_semi"))
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
           }
@@ -946,11 +1083,11 @@ object Snapshots {
           val cdfDirs = lines.filter(_.startsWith("#cdf "))
             .map(_.stripPrefix("#cdf "))
           if (cdfDirs.isEmpty) Nil
-          else Seq(s.read.option("mergeSchema", "true")
-            .parquet(cdfDirs.map(d => s"$table/$d"): _*)
+          else Seq(applyRenames(mapLines, s.read.option("mergeSchema", "true")
+              .parquet(cdfDirs.map(d => s"$table/$d"): _*))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v)))
-        case "compact" | "materialize" => Nil
+        case "compact" | "materialize" | "rename" => Nil
         case other => sys.error(
           s"changeFeed: unknown #change kind '$other' at $table v$v")
       }

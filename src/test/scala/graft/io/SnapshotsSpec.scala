@@ -464,6 +464,76 @@ class SnapshotsSpec extends SparkSpec {
     intercept[RuntimeException] { Snapshots.changeFeed(spark, t, 5, 6) }
   }
 
+  test("renameColumn: metadata-only, mixed-dir reads coalesce, pruning " +
+      "stats re-key, time travel keeps the old contract") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commitWithStats(Seq((1L, 10L), (2L, 20L)).toDF("k", "amt"),
+      t, "amt")
+    Snapshots.commitWithStats(Seq((3L, 900L)).toDF("k", "amt"), t, "amt")
+    val dirsBefore = Snapshots.dataDirsOf(spark, t, 2)
+    val v3 = Snapshots.renameColumn(spark, t, "amt", "amount_cents")
+    // zero data movement; the read contract flips; history keeps the old
+    assert(v3 == 3 && Snapshots.dataDirsOf(spark, t, 3) == dirsBefore)
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("k", "amount_cents"))
+    assert(Snapshots.read(spark, t, Some(2)).columns.toSeq == Seq("k", "amt"))
+    // post-rename commits write the NEW name; mixed dirs coalesce to one
+    Snapshots.commitWithStats(Seq((4L, 40L)).toDF("k", "amount_cents"), t,
+      "amount_cents")
+    assert(Snapshots.read(spark, t).select("amount_cents").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 20L, 40L, 900L))
+    // pruning stats re-keyed: the 900 dir admits, the 10/20 dir skips
+    val scan = Snapshots.readPruned(spark, t, "amount_cents", 100L, 1000L)
+    assert(scan.dirsRead < scan.dirsTotal &&
+      scan.df.select("amount_cents").as[Long].collect().toSeq == Seq(900L))
+    // guard rails: re-introducing the old name / renaming onto a live
+    // name both refuse loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((9L, 1L)).toDF("k", "amt"), t)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, t, "k", "amount_cents")
+    }
+    // compaction normalizes old dirs to the new physical name
+    val (v5, nComp, _) = Snapshots.compactSmall(spark, t, smallBytes = 1L << 30)
+    assert(v5 == 5 && nComp >= 2)
+    assert(Snapshots.read(spark, t).agg(sum("amount_cents")).head.getLong(0)
+      == 970L)
+    // rename CHAIN back to the original name converges (a→b, b→a)
+    val v6 = Snapshots.renameColumn(spark, t, "amount_cents", "amt")
+    assert(v6 == 6 && Snapshots.read(spark, t).columns.toSeq == Seq("k", "amt"))
+    assert(Snapshots.read(spark, t).agg(sum("amt")).head.getLong(0) == 970L)
+  }
+
+  test("renameColumn: dv key column refuses while tombstones live; " +
+      "changeFeed spans a rename under the current contract") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 3 === 0)
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, t, "k", "key")
+    }
+    // a non-key column renames fine even with live tombstones
+    val v3 = Snapshots.renameColumn(spark, t, "v", "val")
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, t).select("k", "val").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+      == Seq(1L -> 10L, 2L -> 20L, 4L -> 40L, 5L -> 50L))
+    Snapshots.commit(Seq((7L, 70L)).toDF("k", "val"), t)
+    // the feed spans the rename: v1 inserts emit under the NEW name,
+    // the rename version emits nothing, fold == read(latest)
+    val feed = Snapshots.changeFeed(spark, t, 1, 4)
+    assert(feed.columns.contains("val") && !feed.columns.contains("v"))
+    assert(feed.filter(col("_commit_version") === 3).count() == 0)
+    val folded = feed.filter(col("_change_type") === "insert")
+      .select("k", "val")
+      .join(feed.filter(col("_change_type") === "delete").select("k"),
+        Seq("k"), "left_anti")
+    val live = Snapshots.read(spark, t).select("k", "val")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
