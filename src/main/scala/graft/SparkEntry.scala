@@ -6565,6 +6565,54 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
   }
 
+  /** FEED-DRIVEN VIEW SYNC — io28's consumer side, closing the
+    * lakehouse→IVM loop: a keyed (n, Σcents) view is maintained from
+    * [[graft.io.Snapshots.changeFeed]] deltas alone via the Z-set fold
+    * ([[ops.Cdc.incrementalAgg]] — the feed's insert/delete ARE the
+    * signed multiplicities), across TWO syncs with a version cursor
+    * (1–2, then 3–4 after a MoR and a CoW delete land). Per-sync cost
+    * is O(changed rows + touched keys); the source is NEVER rescanned.
+    * Gate in-query: the incrementally maintained view equals a direct
+    * group-by over `read(latest)` bit-for-bit. The oracle computes the
+    * post-delete per-group aggregates from raw orders.
+    */
+  private def q84FeedSync(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "feed_sync")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      (col("o_custkey") % 10).as("grp"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    def deltaOf(fromV: Int, toV: Int) =
+      graft.io.Snapshots.changeFeed(s, table, fromV, toV)
+        .select(when(col("_change_type") === "insert", "I")
+          .otherwise("D").as("op"), col("grp"), col("cents"))
+    val view0 = o.filter(lit(false)).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    // SYNC 1: cursor at v0 → consume versions 1..2
+    val view1 = ops.Cdc.incrementalAgg(view0, deltaOf(1, 2),
+      "grp", "op", "cents").localCheckpoint()
+    // deletes land through BOTH delete paths, then SYNC 2 consumes 3..4
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 7 === 0)
+    require(v3 == 3 && nDel > 0, s"q84: MoR delete landed ($v3, $nDel)")
+    val (v4, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, table, col("k") % 5 === 0)
+    require(v4 == 4 && rewr >= 1, s"q84: CoW delete landed ($v4, $rewr)")
+    val view2 = ops.Cdc.incrementalAgg(view1, deltaOf(3, 4),
+      "grp", "op", "cents").localCheckpoint()
+    val direct = graft.io.Snapshots.read(s, table, Some(4))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    require(view2.exceptAll(direct).isEmpty &&
+        direct.exceptAll(view2).isEmpty,
+      "q84: the feed-maintained view must equal the direct aggregate " +
+        "bit-for-bit")
+    view2.orderBy("grp")
+  }
+
   /** RENAME WITHOUT REWRITE through the gate ([[graft.io.Snapshots
     * .renameColumn]]) — non-additive schema evolution as metadata:
     * orders committed as two key-range halves (per-dir stats on the
@@ -7016,6 +7064,7 @@ object SparkEntry {
     "io27_dv_materialize" -> io27DvMaterialize _,
     "io28_change_feed" -> io28ChangeFeed _,
     "io29_rename_evolution" -> io29RenameEvolution _,
+    "q84_feed_sync" -> q84FeedSync _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10404,6 +10453,14 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // the view after both deletes: groups over orders surviving the
+    // %7 tombstones and the %5 copy-on-write pass
+    "q84_feed_sync" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey % 10 AS grp,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT grp, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_v
+        |FROM o WHERE k % 7 <> 0 AND k % 5 <> 0
+        |GROUP BY grp ORDER BY grp""".stripMargin,
     // re-derives the half split ((min+max)//2), the pruned lower-half
     // aggregates, the 2-of-3-dirs-skipped arithmetic, and the
     // post-rename totals (raw orders + the 3 fresh unit rows)
