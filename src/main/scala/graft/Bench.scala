@@ -47,13 +47,12 @@ object Bench {
     // they temporarily rewrite spark.sql.shuffle.partitions for state
     // sizing (SparkEntry.withStatePartitions), which would leak into any
     // query planned concurrently.
-    val streamingNames = Set(
-      "q9_stream_hourly", "q12_stream_sessions", "q13_stream_user_stats",
-      "q17_stream_join", "q26_stream_static", "q35_stream_hopping",
-      "d13_stream_dedup", "q50_stream_cms", "q55_stream_attribution",
-      "q60_stream_ivm", "q61_stream_lakehouse", "q63_stream_ewma",
-      "q65_stream_dedup", "q67_stream_maintenance", "q70_stream_restart")
-    val (serialWarm, parWarm) = ordered.partition(q => streamingNames(q._1))
+    // Membership by NAMING CONVENTION, not a hand-list: every streaming
+    // query carries "_stream" in its registry name (a hand-list went
+    // stale the round q78-q82 landed, racing their warmup planning
+    // against concurrent batch shapes).
+    val (serialWarm, parWarm) =
+      ordered.partition(q => q._1.contains("_stream"))
     // Pre-install the as-of planner strategy on THIS thread before the
     // warmup pool spawns: q21's warmup otherwise read-modify-writes the
     // plain var `experimental.extraStrategies` while sibling threads are

@@ -6387,6 +6387,62 @@ object SparkEntry {
         lit(scan.dirsRead.toLong).as("n_dirs_read"))
   }
 
+  /** OPTIMIZE … ZORDER BY through the gate ([[graft.io.Snapshots
+    * .optimizeClustered]]): lineitem lands as SIX hash-interleaved
+    * commits — every directory spans the full (x, y) range, so the
+    * 2-predicate box query is REQUIRED to admit all six (append order
+    * gives data skipping nothing to work with) — then one layout-aware
+    * compaction rewrites the table into eight fixed Morton-range
+    * chunks with fresh per-dir multi-column stats, and the SAME query
+    * must open a strict subset (exactly the chunks whose bounding box
+    * intersects — one, by io24's arithmetic). Row identity across the
+    * rewrite and pre-optimize time travel are also gated. The oracle
+    * replays the slice spans, the chunk bounding boxes, the hit rule,
+    * and the box aggregate from raw rows.
+    */
+  private def io31OptimizeZorder(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "opt_zorder")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"),
+      cents(col("l_extendedprice")).as("cents"),
+      ((col("l_partkey") + col("l_orderkey")) % 6).as("slice"))
+    (0 until 6).foreach { i =>
+      graft.io.Snapshots.commitWithMultiStats(
+        li.filter(col("slice") === i).drop("slice"), table, Seq("x", "y"))
+    }
+    val before = graft.io.Snapshots.readPrunedMulti(s, table,
+      Seq(("x", 64L, 95L), ("y", 64L, 95L)))
+    require(before.dirsRead == before.dirsTotal && before.dirsTotal == 6,
+      s"io31: hash-interleaved dirs must ALL admit the box " +
+        s"(${before.dirsRead}/${before.dirsTotal}) — the un-clustered " +
+        "baseline is the point of comparison")
+    val aggBefore = before.df.agg(count(lit(1)), sum("cents")).head()
+    val (v7, nChunks) = graft.io.Snapshots.optimizeClustered(
+      s, table, Seq("x", "y"), 8, 8)
+    require(v7 == 7 && nChunks >= 2,
+      s"io31: optimize landed ($v7, $nChunks chunks)")
+    val after = graft.io.Snapshots.readPrunedMulti(s, table,
+      Seq(("x", 64L, 95L), ("y", 64L, 95L)))
+    require(after.dirsRead < after.dirsTotal,
+      s"io31: post-optimize pruning read ${after.dirsRead}/" +
+        s"${after.dirsTotal} dirs — clustering bought nothing")
+    val aggAfter = after.df.agg(count(lit(1)), sum("cents")).head()
+    require(aggBefore == aggAfter,
+      s"io31: optimize changed the box answer: $aggBefore vs $aggAfter")
+    // pre-optimize time travel still reads the original six dirs
+    require(graft.io.Snapshots.read(s, table, Some(6)).count() ==
+        graft.io.Snapshots.read(s, table, Some(7)).count(),
+      "io31: the rewrite must preserve the row multiset")
+    after.df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("n"), col("sum_cents"),
+        lit(6L).as("n_dirs_before"), lit(before.dirsRead.toLong).as("n_read_before"),
+        lit(after.dirsTotal.toLong).as("n_dirs_after"),
+        lit(after.dirsRead.toLong).as("n_read_after"))
+  }
+
   /** MERGE-ON-READ DELETE through the gate ([[graft.io.Snapshots
     * .deleteWhereMoR]]): orders committed as two halves, then every
     * `o_orderkey % 7 == 0` row deleted by KEY TOMBSTONE — a tiny
@@ -7065,6 +7121,7 @@ object SparkEntry {
     "io28_change_feed" -> io28ChangeFeed _,
     "io29_rename_evolution" -> io29RenameEvolution _,
     "q84_feed_sync" -> q84FeedSync _,
+    "io31_optimize_zorder" -> io31OptimizeZorder _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10453,6 +10510,30 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // io24's Morton replay lifted to the optimize gate: chunk bounding
+    // boxes, the conjunctive hit rule, the box aggregate, and the
+    // 6-dirs-all-admitted baseline constants
+    "io31_optimize_zorder" ->
+      """WITH b AS (SELECT l_partkey % 256 AS x, l_orderkey % 256 AS y,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |zc AS (SELECT x, y, cents,
+        |  CAST(list_sum(list_transform(generate_series(0, 7), i ->
+        |    (((x >> i) & 1) << (2*i)) | (((y >> i) & 1) << (2*i+1)))) AS BIGINT)
+        |    // 8192 AS c
+        |  FROM b),
+        |boxes AS (SELECT c, min(x) AS mnx, max(x) AS mxx,
+        |       min(y) AS mny, max(y) AS mxy FROM zc GROUP BY c),
+        |hits AS (SELECT count(*) AS n_read FROM boxes
+        |  WHERE mxx >= 64 AND mnx <= 95 AND mxy >= 64 AND mny <= 95),
+        |f AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |      FROM b WHERE x >= 64 AND x <= 95 AND y >= 64 AND y <= 95)
+        |SELECT f.n, f.sum_cents,
+        |  CAST(6 AS BIGINT) AS n_dirs_before,
+        |  CAST(6 AS BIGINT) AS n_read_before,
+        |  CAST((SELECT count(*) FROM boxes) AS BIGINT) AS n_dirs_after,
+        |  CAST(hits.n_read AS BIGINT) AS n_read_after
+        |FROM f, hits""".stripMargin,
     // the view after both deletes: groups over orders surviving the
     // %7 tombstones and the %5 copy-on-write pass
     "q84_feed_sync" ->

@@ -918,6 +918,101 @@ object Snapshots {
     (nManifests, nDirs)
   }
 
+  /** OPTIMIZE … ZORDER BY — layout-aware compaction as one snapshot
+    * commit (the Delta `OPTIMIZE ZORDER BY` / Iceberg sort-order
+    * rewrite): EVERY current data directory rewrites into `nChunks`
+    * FIXED Morton-range chunks (`[i·2^(d·bits)/nChunks, (i+1)·…)` — the
+    * deterministic io24 layout, not a sampled range partitioning), each
+    * chunk its own directory with fresh multi-column `#dirstats`, so a
+    * post-optimize range query prunes on TIGHT per-dir hyper-rectangles
+    * where the pre-optimize append order admitted every directory.
+    *
+    * One data pass writes all chunks (dynamic `partitionBy` on the
+    * chunk id into a staging dir, then per-chunk metadata renames into
+    * `data/`), one aggregate computes all chunks' stats; rows are
+    * UNCHANGED (dv tombstones carry and keep suppressing; the rename
+    * mapping normalizes as in [[compactSmall]]), so the version is
+    * `#change compact` — [[changeFeed]] emits nothing for it. CAS
+    * posture identical to [[deleteWhere]]: lost race ⇒ abandon chunks,
+    * recompute against the new chain.
+    *
+    * @param zCols non-negative integral columns, each below
+    *              `2^bitsPerDim` (the [[graft.ops.Layout.zValue]]
+    *              contract)
+    * @return (new version, number of chunk directories written)
+    */
+  def optimizeClustered(s: SparkSession, table: String, zCols: Seq[String],
+      bitsPerDim: Int, nChunks: Int, maxAttempts: Int = 50): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, floor, lit, max, min}
+    require(zCols.nonEmpty, "optimizeClustered: no cluster columns")
+    require(nChunks >= 1 && bitsPerDim >= 1 && zCols.size * bitsPerDim < 63,
+      s"optimizeClustered: bad layout params ($bitsPerDim bits × " +
+        s"${zCols.size} dims, $nChunks chunks)")
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val df = applyRenames(lines, s.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$table/$d"): _*))
+      val zMax = 1L << (zCols.size * bitsPerDim)
+      val width = math.max(1L, zMax / nChunks)
+      // `div` for EXACT integral chunking (a double `/` would lose
+      // precision past 2^53 — Morton codes go to 2^62 here)
+      val z = df.withColumn("__z",
+          graft.ops.Layout.zValue(zCols.map(col), bitsPerDim))
+        .withColumn("__chunk",
+          org.apache.spark.sql.functions.expr(s"__z div ${width}L"))
+        .drop("__z")
+      val stage = s"$table/.opt-${java.util.UUID.randomUUID().toString.take(13)}"
+      z.write.mode("errorifexists").partitionBy("__chunk").parquet(stage)
+      // per-chunk bounds in ONE aggregate (chunk ranges are disjoint by
+      // construction, so per-dir min/max is tight without intra-sort)
+      val statRows = z.groupBy(col("__chunk"))
+        .agg(count(lit(1)).as("__n"),
+          zCols.flatMap(c => Seq(min(col(c).cast("long")).as(s"__mn_$c"),
+            max(col(c).cast("long")).as(s"__mx_$c"))): _*)
+        .collect()
+      // metadata renames: each staged chunk becomes a first-class dir
+      val chunkDirs = statRows.map { r =>
+        val cid = r.getLong(0)
+        val d = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+        require(f.rename(new Path(s"$stage/__chunk=$cid"),
+            new Path(s"$table/$d")),
+          s"optimizeClustered: staging rename failed for chunk $cid")
+        (d, r)
+      }
+      f.delete(new Path(stage), true): Unit
+      val newStats = chunkDirs.flatMap { case (d, r) =>
+        zCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(2 + 2 * i)) None
+          else Some(s"#dirstats $d $c ${r.getLong(2 + 2 * i)} " +
+            s"${r.getLong(3 + 2 * i)}")
+        }
+      }
+      val ddl = schemaOf(s, table, prev).getOrElse(df.schema.toDDL)
+      val header = maintenanceHeader(s, table, prev, ddl, Set.empty,
+        changeKind = "compact") + newStats.map(_ + "\n").mkString
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v),
+          header + chunkDirs.map(_._1).mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, chunkDirs.length)
+      }
+      chunkDirs.foreach { case (d, _) =>
+        f.delete(new Path(s"$table/$d"), true): Unit
+      }
+      attempt += 1
+    }
+    sys.error(s"optimizeClustered on $table lost the race $maxAttempts times")
+  }
+
   /** RENAME WITHOUT REWRITE — logical column rename as a metadata-only
     * commit (the Delta column-mapping / Iceberg `RENAME COLUMN` move):
     * the new manifest carries the SAME data directories, a re-written

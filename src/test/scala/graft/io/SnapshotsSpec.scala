@@ -534,6 +534,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
   }
 
+  test("optimizeClustered: fixed Morton chunks with tight stats, row " +
+      "multiset unchanged, dv carries, feed emits nothing") {
+    import spark.implicits._
+    val t = freshTable()
+    // two interleaved commits spanning the full 8×8 grid
+    val pts = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y, x * 8 + y)
+    val (a, b) = pts.partition { case (x, y, _) => (x + y) % 2 == 0 }
+    Snapshots.commitWithMultiStats(a.toDF("x", "y", "v"), t, Seq("x", "y"))
+    Snapshots.commitWithMultiStats(b.toDF("x", "y", "v"), t, Seq("x", "y"))
+    // tombstone one key; the optimize must keep it suppressed
+    Snapshots.deleteWhereMoR(spark, t, "v", col("v") === 0L)
+    val beforeRows = Snapshots.read(spark, t).select("v").as[Long]
+      .collect().sorted.toSeq
+    val before = Snapshots.readPrunedMulti(spark, t,
+      Seq(("x", 0L, 1L), ("y", 0L, 1L)))
+    assert(before.dirsRead == before.dirsTotal) // interleave defeats stats
+    val (v4, nChunks) = Snapshots.optimizeClustered(spark, t,
+      Seq("x", "y"), 3, 4)
+    assert(v4 == 4 && nChunks == 4) // 8×8 grid → 4 non-empty 16-wide chunks
+    // same rows (dv still suppressing v=0), tighter layout
+    assert(Snapshots.read(spark, t).select("v").as[Long]
+      .collect().sorted.toSeq == beforeRows)
+    val after = Snapshots.readPrunedMulti(spark, t,
+      Seq(("x", 0L, 1L), ("y", 0L, 1L)))
+    assert(after.dirsRead < after.dirsTotal)
+    assert(after.df.count() == before.df.count())
+    // maintenance provenance: the feed emits nothing for the optimize
+    assert(Snapshots.changeFeed(spark, t, 4, 4).count() == 0)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
