@@ -6387,6 +6387,61 @@ object SparkEntry {
         lit(scan.dirsRead.toLong).as("n_dirs_read"))
   }
 
+  /** WRITE–AUDIT–PUBLISH through the gate ([[graft.io.Snapshots
+    * .commitStaged]]/`readStaged`/`publishStaged`/`abandonStaged`):
+    * the Iceberg WAP pattern — a poisoned batch (negative cents on the
+    * odd `k % 3 = 0` rows) STAGES without ever becoming a version, the
+    * audit catches it on [[graft.io.Snapshots.readStaged]], a vacuum
+    * running MID-AUDIT (orphan grace zero) must spare the staged
+    * directory, and the abandon leaves the chain exactly as it was.
+    * The clean retry then stages, audits green, and publishes as an
+    * ordinary append the change feed reports. Gates all in-query; the
+    * oracle recomputes the violation count, the published totals, and
+    * the feed arithmetic from raw orders.
+    */
+  private def io30Wap(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "wap")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    val nBase = graft.io.Snapshots.read(s, table).count()
+    // BAD batch: odd keys, with k % 3 == 0 rows poisoned negative
+    val bad = o.filter(col("k") % 2 =!= 0)
+      .select(col("k"), when(col("k") % 3 === 0, -col("cents"))
+        .otherwise(col("cents")).as("cents"))
+    val sBad = graft.io.Snapshots.commitStaged(bad, table)
+    val nViol = graft.io.Snapshots.readStaged(s, table, sBad)
+      .filter(col("cents") <= 0).count()
+    require(nViol > 0, "io30: the poisoned batch must violate the audit")
+    require(graft.io.Snapshots.latestVersion(s, table) == 1 &&
+        graft.io.Snapshots.read(s, table).count() == nBase,
+      "io30: a staged batch must be INVISIBLE to table readers")
+    // vacuum mid-audit: the marker protects the staged dir from GC
+    graft.io.Snapshots.vacuum(s, table, keepVersions = 1, orphanGraceMs = 0L)
+    require(graft.io.Snapshots.readStaged(s, table, sBad).count() > 0,
+      "io30: vacuum during the audit must spare the staged directory")
+    graft.io.Snapshots.abandonStaged(s, table, sBad)
+    require(graft.io.Snapshots.latestVersion(s, table) == 1,
+      "io30: abandon must leave the chain untouched")
+    // clean retry: stage, audit green, publish
+    val good = o.filter(col("k") % 2 =!= 0)
+    val sGood = graft.io.Snapshots.commitStaged(good, table)
+    require(graft.io.Snapshots.readStaged(s, table, sGood)
+        .filter(col("cents") <= 0).count() == 0,
+      "io30: the clean batch must audit green")
+    val v2 = graft.io.Snapshots.publishStaged(s, table, sGood)
+    require(v2 == 2, s"io30: publish landed v$v2")
+    val nFeed = graft.io.Snapshots.changeFeed(s, table, 2, 2)
+      .filter(col("_change_type") === "insert").count()
+    graft.io.Snapshots.read(s, table, Some(2))
+      .agg(count(lit(1)).as("n_total"), sum("cents").as("cents_total"))
+      .select(col("n_total"), col("cents_total"),
+        lit(nViol).as("n_violations"), lit(nFeed).as("n_feed_inserts"))
+  }
+
   /** OPTIMIZE … ZORDER BY through the gate ([[graft.io.Snapshots
     * .optimizeClustered]]): lineitem lands as SIX hash-interleaved
     * commits — every directory spans the full (x, y) range, so the
@@ -7122,6 +7177,7 @@ object SparkEntry {
     "io29_rename_evolution" -> io29RenameEvolution _,
     "q84_feed_sync" -> q84FeedSync _,
     "io31_optimize_zorder" -> io31OptimizeZorder _,
+    "io30_wap" -> io30Wap _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10510,6 +10566,18 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // the published table is all of orders; violations are the odd
+    // multiples of 3 (the poisoned negatives); the feed insert count is
+    // the clean odd batch
+    "io30_wap" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT count(*) AS n_total, CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  CAST((SELECT count(*) FROM o WHERE k % 2 <> 0 AND k % 3 = 0)
+        |    AS BIGINT) AS n_violations,
+        |  CAST((SELECT count(*) FROM o WHERE k % 2 <> 0)
+        |    AS BIGINT) AS n_feed_inserts
+        |FROM o""".stripMargin,
     // io24's Morton replay lifted to the optimize gate: chunk bounding
     // boxes, the conjunctive hit rule, the box aggregate, and the
     // 6-dirs-all-admitted baseline constants

@@ -314,6 +314,11 @@ object Snapshots {
     * an evolution.
     */
   private def checkSchema(s: SparkSession, table: String, df: DataFrame,
+      allowEvolve: Boolean): Unit =
+    checkSchemaOf(s, table, df.schema, allowEvolve)
+
+  private def checkSchemaOf(s: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
       allowEvolve: Boolean): Unit = {
     val latest = latestVersion(s, table)
     if (latest < 1) return
@@ -324,16 +329,16 @@ object Snapshots {
       .map(_._1).toSet -- schemaOf(s, table, latest)
         .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
           .fieldNames.toSet).getOrElse(Set.empty)
-    val clash = df.schema.fieldNames.filter(retired)
+    val clash = schema.fieldNames.filter(retired)
     require(clash.isEmpty,
       s"commit to $table re-introduces renamed-away column(s) " +
         s"${clash.mkString(", ")} — pick a fresh name (the rename " +
         "mapping would corrupt it)")
     schemaOf(s, table, latest).foreach { prevDdl =>
-      val newDdl = df.schema.toDDL
+      val newDdl = schema.toDDL
       if (newDdl != prevDdl) {
         val prevFields = org.apache.spark.sql.types.StructType.fromDDL(prevDdl)
-        val newFields = df.schema
+        val newFields = schema
         val additive = newFields.fields.length > prevFields.fields.length &&
           newFields.fields.take(prevFields.fields.length).toSeq
             .zip(prevFields.fields.toSeq)
@@ -898,7 +903,15 @@ object Snapshots {
           .map(_.stripPrefix("#dv ").split(" ")(0)) ++
         lines.filter(_.startsWith("#cdf "))
           .map(_.stripPrefix("#cdf "))
-    }.toSet
+    }.toSet ++ {
+      // staged-but-unpublished batches are LIVE (their audit may outlast
+      // any orphan grace window) — marker files reference their dirs
+      val st = f.globStatus(new Path(s"$table/staged-*.txt"))
+      if (st == null) Set.empty[String]
+      else st.map { m =>
+        s"data/c-${m.getPath.getName.stripPrefix("staged-").stripSuffix(".txt")}"
+      }.toSet
+    }
     var nManifests = 0
     (1 until cutoff).foreach { v =>
       if (f.delete(manifestPath(table, v), false)) nManifests += 1
@@ -916,6 +929,106 @@ object Snapshots {
       }
     }
     (nManifests, nDirs)
+  }
+
+  /** WRITE–AUDIT–PUBLISH, stage step (the Iceberg WAP pattern): the
+    * batch's data lands under its own directory and a `staged-<id>.txt`
+    * marker OUTSIDE the manifest chain — readers of the table see
+    * NOTHING, the audit sees everything via [[readStaged]], and only
+    * [[publishStaged]] makes the batch a version. The quality gate
+    * moves BEFORE visibility: a failed audit [[abandonStaged]]s at zero
+    * blast radius (no version ever existed to roll back), which at
+    * 100 TB is the difference between "the bad batch never happened"
+    * and a revert-commit scramble while downstream syncs already read
+    * it. Schema is validated at stage time (fail fast) AND re-validated
+    * by the publish CAS. [[vacuum]] treats marker-referenced dirs as
+    * live, so a long audit can outlast the orphan grace window.
+    *
+    * @return the stage id to audit/publish/abandon by
+    */
+  def commitStaged(df: DataFrame, table: String): String = {
+    val s = df.sparkSession
+    checkSchema(s, table, df, allowEvolve = false)
+    val id = java.util.UUID.randomUUID().toString.take(13)
+    val dir = s"data/c-$id"
+    df.write.mode("errorifexists").parquet(s"$table/$dir")
+    val f = fs(s, table)
+    atomicWrite(s, f, new Path(s"$table/staged-$id.txt"),
+      dir + "\n#schema " + df.schema.toDDL + "\n")
+    id
+  }
+
+  /** The AUDIT view of a staged batch: current table state (if any)
+    * plus the staged rows — what the table WOULD look like after
+    * publish, without publishing. Run the expectation suite here.
+    */
+  def readStaged(s: SparkSession, table: String, stageId: String): DataFrame = {
+    val f = fs(s, table)
+    require(f.exists(new Path(s"$table/staged-$stageId.txt")),
+      s"no staged batch $stageId at $table")
+    val staged = s.read.parquet(s"$table/data/c-$stageId")
+    if (latestVersion(s, table) < 1) staged
+    else read(s, table).unionByName(staged, allowMissingColumns = true)
+  }
+
+  /** PUBLISH a staged batch — the ordinary append CAS over the already-
+    * written directory (schema re-validated per attempt; the marker is
+    * removed after the claim). @return the new version */
+  def publishStaged(s: SparkSession, table: String, stageId: String,
+      maxAttempts: Int = 50): Int = {
+    val f = fs(s, table)
+    val marker = new Path(s"$table/staged-$stageId.txt")
+    require(f.exists(marker), s"no staged batch $stageId at $table")
+    val dir = s"data/c-$stageId"
+    val df = s.read.parquet(s"$table/$dir")
+    // validate the STAGE-TIME schema recorded in the marker, not the
+    // parquet read-back (which loosens NOT NULL to nullable — the same
+    // drift-guard trap the maintenance paths sidestep via the carried
+    // #schema line)
+    val stagedDdl = {
+      val in = f.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.find(_.startsWith("#schema "))
+        .map(_.stripPrefix("#schema "))
+        .getOrElse(sys.error(s"publishStaged: marker $stageId carries no schema"))
+    }
+    val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(stagedDdl)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      checkSchemaOf(s, table, stagedSchema, allowEvolve = false)
+      val prevLines = if (prev == 0) Nil else manifestLines(s, table, prev)
+      val prevDdl = (if (prev >= 1) schemaOf(s, table, prev) else None)
+        .getOrElse(df.schema.toDDL)
+      val header = (prevLines.filter(_.startsWith("#txn ")) ++
+        Seq(s"#schema $prevDdl") ++
+        prevLines.filter(_.startsWith("#dirstats ")) ++
+        prevLines.filter(_.startsWith("#dv ")) ++
+        prevLines.filter(_.startsWith("#rename ")) ++
+        Seq("#change append")).map(_ + "\n").mkString
+      val dirs = prevLines.filterNot(_.startsWith("#")) :+ dir
+      val v = prev + 1
+      if (publishExclusive(s, f, manifestPath(table, v),
+          header + dirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        f.delete(marker, false): Unit
+        return v
+      }
+      attempt += 1
+    }
+    sys.error(s"publishStaged on $table lost the version race $maxAttempts times")
+  }
+
+  /** ABANDON a staged batch: data dir + marker removed, the chain never
+    * knew it existed. */
+  def abandonStaged(s: SparkSession, table: String, stageId: String): Unit = {
+    val f = fs(s, table)
+    f.delete(new Path(s"$table/data/c-$stageId"), true): Unit
+    f.delete(new Path(s"$table/staged-$stageId.txt"), false): Unit
   }
 
   /** OPTIMIZE … ZORDER BY — layout-aware compaction as one snapshot

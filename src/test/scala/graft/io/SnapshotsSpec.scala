@@ -564,6 +564,44 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changeFeed(spark, t, 4, 4).count() == 0)
   }
 
+  test("write-audit-publish: staged batches invisible, vacuum-safe, " +
+      "abandon zero-trace, publish is an ordinary append") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    val sid = Snapshots.commitStaged(Seq((3L, -5L)).toDF("k", "v"), t)
+    // invisible to readers; visible to the audit
+    assert(Snapshots.read(spark, t).count() == 2)
+    assert(Snapshots.readStaged(spark, t, sid).count() == 3)
+    assert(Snapshots.readStaged(spark, t, sid)
+      .filter(col("v") < 0).count() == 1) // the audit catches it
+    // vacuum with zero grace spares the marker-referenced dir
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    assert(Snapshots.readStaged(spark, t, sid).count() == 3)
+    Snapshots.abandonStaged(spark, t, sid)
+    assert(Snapshots.latestVersion(spark, t) == 1)
+    intercept[IllegalArgumentException] {
+      Snapshots.readStaged(spark, t, sid)
+    }
+    // after abandon, a zero-grace vacuum leaves no staged orphan behind
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    // clean batch: stage → audit → publish; schema drift refuses at stage
+    intercept[IllegalArgumentException] {
+      Snapshots.commitStaged(Seq((9L, "wrong")).toDF("k", "v"), t)
+    }
+    val s2 = Snapshots.commitStaged(Seq((3L, 30L)).toDF("k", "v"), t)
+    assert(Snapshots.publishStaged(spark, t, s2) == 2)
+    assert(Snapshots.read(spark, t).select("v").as[Long]
+      .collect().sorted.toSeq == Seq(10L, 20L, 30L))
+    // the marker is consumed: a second publish of the same stage refuses
+    intercept[IllegalArgumentException] {
+      Snapshots.publishStaged(spark, t, s2)
+    }
+    // provenance: the published version feeds as an ordinary append
+    assert(Snapshots.changeFeed(spark, t, 2, 2)
+      .select("k").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
