@@ -1870,6 +1870,87 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** STREAMING VECTOR-INDEX MAINTENANCE (q61 × sim23): embedding
+    * batches arrive as a stream, each micro-batch assigns against the
+    * FROZEN centroid table ([[ops.Similarity.ivfCells]] — one
+    * broadcast map-side pass over just the batch) and lands in the
+    * snapshot-backed IVF index via [[graft.io.Snapshots
+    * .commitIfAbsent]] exactly-once. Then the WHOLE stream replays
+    * from a fresh checkpoint — every replayed commit must no-op on the
+    * carried txn tags (a duplicate index commit would double every
+    * cell's postings) — and search over the stream-built index must
+    * equal a from-scratch batch build BIT-FOR-BIT. The oracle replays
+    * the full IVF chain over the corpus (sim2's body), because the
+    * stream-built index IS the corpus index.
+    */
+  private def q85StreamIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType,
+      StructField, StructType}
+    val base = ioTmp(dir, "q85")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      .localCheckpoint()
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    for (i <- 0 until 3)
+      writeSlice(e.filter(col("vec_id") % 3 === i)
+          .select(col("vec_id"), col("embedding")),
+        s"slice$i", 1000000000000L + i * 60000L)
+    val table = s"$base/index"
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def runStream(tag: String): Unit = {
+      val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(s"q85_$tag")
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            graft.io.Snapshots.commitIfAbsent(
+              ops.Similarity.ivfCells(b.toDF(), cents), table, "q85", id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    }
+    runStream("first")
+    val v1 = graft.io.Snapshots.latestVersion(s, table)
+    require(v1 == 3, s"q85: expected 3 committed index batches, got $v1")
+    runStream("replay")
+    require(graft.io.Snapshots.latestVersion(s, table) == v1,
+      "q85: replay committed duplicate index postings")
+    val queries = e.filter(col("vec_id") < 10)
+    val viaIndex = ops.Similarity.ivfTopKFromCells(
+      graft.io.Snapshots.read(s, table), queries, 3, 2, cents)
+      .localCheckpoint()
+    val rebuilt = ops.Similarity.ivfTopKWith(e, queries, 3, 2, cents)
+    require(viaIndex.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(viaIndex).isEmpty,
+      "q85: stream-built index search must equal the batch build " +
+        "bit-for-bit")
+    viaIndex.select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Streaming→lakehouse MAINTENANCE composition (q61 + [[graft.io
     * .Snapshots.compactSmall]] + [[graft.io.Snapshots.vacuum]]): three
     * exactly-once stream commits, compaction folds them into one
@@ -7178,6 +7259,7 @@ object SparkEntry {
     "q84_feed_sync" -> q84FeedSync _,
     "io31_optimize_zorder" -> io31OptimizeZorder _,
     "io30_wap" -> io30Wap _,
+    "q85_stream_ivf" -> q85StreamIvf _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -11859,6 +11941,28 @@ object SparkEntry {
         |  neg_cosine, pos_id, pos_cosine,
         |  CAST(round((pos_cosine - neg_cosine) * 1000000, 0) AS BIGINT) AS margin_micro
         |FROM negs LEFT JOIN pos USING (query_id) WHERE negs.rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    // the stream-built index equals the batch build (require-gated);
+    // the oracle replays the IVF chain over the whole corpus — the
+    // stream slices partition it exactly
+    "q85_stream_ivf" ->
+      s"""WITH $embNormSql,
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
     // the incremental-index law (append == rebuild) is require-gated
     // in-query; the oracle replays the IVF chain over the union corpus
