@@ -5709,6 +5709,58 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF INDEX DELETES (sim23's lifecycle completion): removing
+    * vectors from the index — the dedup/right-to-erasure propagation
+    * path — is a MERGE-ON-READ key tombstone on the postings table
+    * ([[graft.io.Snapshots.deleteWhereMoR]] on `nn_id`): O(deleted
+    * ids) write cost, NO cell bucket rewritten, and search applies the
+    * one broadcast anti-join. Gates in-query: (a) the delete carries
+    * every index dir by reference; (b) post-delete search equals a
+    * from-scratch rebuild over the FILTERED corpus bit-for-bit
+    * (centroids stay frozen — they are parameters of the space, not
+    * corpus members); (c) [[graft.io.Snapshots.materializeDeletes]]
+    * folds the tombstones without changing a single search result.
+    * Oracle: the IVF chain with the corpus side filtered.
+    */
+  private def sim24IvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "ivf_del")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      .localCheckpoint()
+    graft.io.Snapshots.commit(ops.Similarity.ivfCells(e, cents), table)
+    val dirsBefore = graft.io.Snapshots.dataDirsOf(s, table, 1)
+    val (v2, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "nn_id", col("nn_id") % 9 === 0)
+    require(v2 == 2 && nDel > 0, s"sim24: index delete landed ($v2, $nDel)")
+    require(graft.io.Snapshots.dataDirsOf(s, table, 2) == dirsBefore,
+      "sim24: an index delete must be O(ids) — a cell bucket rewrote")
+    val queries = e.filter(col("vec_id") < 10)
+    val viaIndex = ops.Similarity.ivfTopKFromCells(
+      graft.io.Snapshots.read(s, table), queries, 3, 2, cents)
+      .localCheckpoint()
+    val rebuilt = ops.Similarity.ivfTopKWith(
+      e.filter(col("vec_id") % 9 =!= 0), queries, 3, 2, cents)
+    require(viaIndex.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(viaIndex).isEmpty,
+      "sim24: tombstoned index search must equal the filtered rebuild " +
+        "bit-for-bit")
+    // materializing the tombstones must not move a single result
+    val (v3, _, rewr) = graft.io.Snapshots.materializeDeletes(s, table)
+    require(v3 == 3 && rewr >= 1, s"sim24: materialize landed ($v3, $rewr)")
+    val viaMat = ops.Similarity.ivfTopKFromCells(
+      graft.io.Snapshots.read(s, table), queries, 3, 2, cents)
+    require(viaMat.exceptAll(viaIndex).isEmpty &&
+        viaIndex.exceptAll(viaMat).isEmpty,
+      "sim24: materialize changed search results")
+    viaIndex.select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -7192,6 +7244,7 @@ object SparkEntry {
     "sim19_filtered_recall" -> sim19FilteredRecall _,
     "sim22_filtered_curve" -> sim22FilteredCurve _,
     "sim23_ivf_append" -> sim23IvfAppend _,
+    "sim24_ivf_delete" -> sim24IvfDelete _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -11968,6 +12021,27 @@ object SparkEntry {
     // in-query; the oracle replays the IVF chain over the union corpus
     // with the same frozen centroid rule — sim2's body exactly, because
     // base ∪ delta IS the corpus and assignment is centroid-pure
+    // sim2's chain with the corpus side filtered (tombstoned ids out);
+    // queries keep searching — they are not corpus members
+    "sim24_ivf_delete" ->
+      s"""WITH $embNormSql,
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id % 9 <> 0),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "sim23_ivf_append" ->
       s"""WITH $embNormSql,
         |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
