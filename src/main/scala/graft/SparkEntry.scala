@@ -5761,6 +5761,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** K-CENTER GREEDY diverse selection ([[ops.Similarity
+    * .kCenterGreedy]]): four farthest-point rounds over the embedding
+    * corpus — the coreset/eval-set seeding primitive. The oracle
+    * unrolls all four greedy rounds in SQL (the sim10 discipline:
+    * micro-rounded distances, deterministic tie-break), so the
+    * sequential argmax chain itself is verified, not just the final
+    * set.
+    */
+  private def sim25Kcenter(s: SparkSession, dir: String): DataFrame =
+    ops.Similarity.kCenterGreedy(Tables.embeddings(s, dir), 4)
+      .orderBy("round")
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -7245,6 +7257,7 @@ object SparkEntry {
     "sim22_filtered_curve" -> sim22FilteredCurve _,
     "sim23_ivf_append" -> sim23IvfAppend _,
     "sim24_ivf_delete" -> sim24IvfDelete _,
+    "sim25_kcenter" -> sim25Kcenter _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -12021,6 +12034,33 @@ object SparkEntry {
     // in-query; the oracle replays the IVF chain over the union corpus
     // with the same frozen centroid rule — sim2's body exactly, because
     // base ∪ delta IS the corpus and assignment is centroid-pure
+    // all four greedy rounds unrolled: per-round min-to-selected, then
+    // (dmin DESC, cand ASC) argmax — distances 6-rounded before any
+    // min/argmax on both engines
+    "sim25_kcenter" ->
+      s"""WITH $embNormSql,
+        |s1 AS (SELECT vec_id, v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        |d2 AS (SELECT x.vec_id AS cand, min(${l2Sql("x", "y")}) AS dmin
+        |       FROM e x JOIN s1 y ON x.vec_id <> y.vec_id GROUP BY x.vec_id),
+        |s2 AS (SELECT cand, dmin FROM (
+        |  SELECT cand, dmin, row_number() OVER (ORDER BY dmin DESC, cand) AS rn FROM d2) WHERE rn = 1),
+        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT cand FROM s2),
+        |d3 AS (SELECT x.vec_id AS cand, min(${l2Sql("x", "y")}) AS dmin
+        |       FROM e x JOIN e y ON y.vec_id IN (SELECT vec_id FROM sel2)
+        |       WHERE x.vec_id NOT IN (SELECT vec_id FROM sel2) GROUP BY x.vec_id),
+        |s3 AS (SELECT cand, dmin FROM (
+        |  SELECT cand, dmin, row_number() OVER (ORDER BY dmin DESC, cand) AS rn FROM d3) WHERE rn = 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT cand FROM s3),
+        |d4 AS (SELECT x.vec_id AS cand, min(${l2Sql("x", "y")}) AS dmin
+        |       FROM e x JOIN e y ON y.vec_id IN (SELECT vec_id FROM sel3)
+        |       WHERE x.vec_id NOT IN (SELECT vec_id FROM sel3) GROUP BY x.vec_id),
+        |s4 AS (SELECT cand, dmin FROM (
+        |  SELECT cand, dmin, row_number() OVER (ORDER BY dmin DESC, cand) AS rn FROM d4) WHERE rn = 1)
+        |SELECT CAST(1 AS BIGINT) AS round, vec_id, CAST(0 AS DOUBLE) AS min_dist FROM s1
+        |UNION ALL SELECT 2, cand, dmin FROM s2
+        |UNION ALL SELECT 3, cand, dmin FROM s3
+        |UNION ALL SELECT 4, cand, dmin FROM s4
+        |ORDER BY round""".stripMargin,
     // sim2's chain with the corpus side filtered (tombstoned ids out);
     // queries keep searching — they are not corpus members
     "sim24_ivf_delete" ->

@@ -270,6 +270,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), col("cosine"))
   }
 
+  /** K-CENTER GREEDY (farthest-point) selection — the diverse-subset
+    * primitive of training-data curation (coreset seeding, eval-set
+    * picking, dedup-aware sampling): start from the smallest id, then
+    * repeatedly take the candidate whose distance to its NEAREST
+    * already-selected center is LARGEST (ties to the smaller id; every
+    * pairwise L2 micro-rounded to 6 before any argmin/argmax so two
+    * engines agree bit-for-bit). The classic 2-approximation to the
+    * k-center objective.
+    *
+    * Scale shape: each of the k−1 rounds is ONE distributed pass — the
+    * ≤k selected vectors broadcast, the per-candidate min collapses
+    * map-side (partial-aggregable groupBy, the [[assignCells]]
+    * argument), and only the single winning row reaches the driver.
+    * Nothing corpus-sized is ever collected; cost is k scans, the
+    * honest price of a sequentially-dependent greedy (each round's
+    * winner changes the next round's distances).
+    *
+    * @return (round, vec_id, min_dist) — round 1 is the seed, dist 0
+    */
+  def kCenterGreedy(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VecExpressions.register(corpus.sparkSession)
+    require(k >= 1, s"kCenterGreedy: k must be >= 1, got $k")
+    val seed = corpus.agg(min(col(idCol))).head().getLong(0)
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (1L, seed, 0.0))
+    for (r <- 2 to k) {
+      val ids = sel.map(_._2).toSeq
+      val selDf = corpus.filter(col(idCol).isin(ids: _*))
+        .select(col(vecCol).as("sel_vec"))
+      val row = corpus.filter(!col(idCol).isin(ids: _*))
+        .join(broadcast(selDf))
+        .select(col(idCol).as("cand"),
+          rounded(sqrt(l2NativeSq(col(vecCol), col("sel_vec")))).as("d"))
+        .groupBy(col("cand")).agg(min(col("d")).as("dmin"))
+        .agg(max(struct(col("dmin"), (-col("cand")).as("negid"))).as("best"))
+        .select(col("best.dmin").as("dmin"), (-col("best.negid")).as("id"))
+        .head()
+      sel += ((r.toLong, row.getLong(1), row.getDouble(0)))
+    }
+    val s = corpus.sparkSession
+    val rows = sel.map { case (r, id, d) =>
+      org.apache.spark.sql.Row(r, id, d)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("min_dist",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** IVF cell-probed top-k against an explicit centroid table
     * `(cent_id, cent_vec: array<float>)` — e.g. [[trainCentroids]] output.
     */

@@ -604,6 +604,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"non-broadcast cartesian pairing in trained-IVF plan:\n$plan")
   }
+
+  test("kCenterGreedy: seed is min id, each round picks the farthest " +
+      "point, selected set is disjoint, distances non-increasing-ish " +
+      "on a line") {
+    import spark.implicits._
+    // points on a line: 0, 1, 2, ..., 9 (1-D embeddings)
+    val df = (0L to 9L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.kCenterGreedy(df, 4).orderBy("round").collect()
+    assert(sel.map(_.getLong(1)).toSeq == Seq(0L, 9L, 4L, 2L))
+    // round 2: farthest from 0 is 9 at distance 9; round 3: the point
+    // minimizing-max coverage is 4 (min-dist 4 to {0,9}); round 4: 2
+    assert(sel(1).getDouble(2) == 9.0 && sel(2).getDouble(2) == 4.0 &&
+      sel(3).getDouble(2) == 2.0)
+    assert(sel.map(_.getLong(1)).distinct.length == 4)
+  }
 }
 
 class GroupCentroidsSpec extends SparkSpec {
