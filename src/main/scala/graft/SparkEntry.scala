@@ -1186,6 +1186,81 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** WATERMARK LATE-DATA ACCOUNTING ([[graft.streaming.EventsStream
+    * .hourlyAgg]] in APPEND mode): the one watermark behavior no other
+    * gate exercises — rows arriving BEHIND the watermark are DROPPED,
+    * and the drop is an accounted, gated quantity, not silent loss.
+    * Three-slice feed: all events; a +4 h sentinel that advances the
+    * watermark past every real window; then a LATE slice replaying the
+    * `event_id % 5 = 0` rows — every one must be dropped
+    * (`numRowsDroppedByWatermark` REQUIRED equal to the late-row
+    * count), must NOT perturb any window's aggregate, and the appended
+    * sink must equal the batch hourly aggregate over the ON-TIME rows
+    * alone — which IS the oracle (q9's SQL: the late rows are copies,
+    * so on-time == the events table).
+    */
+  private def q86StreamLate(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q86")
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts"), col("event_type"), col("value"))
+    val hiUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val nLate = e.filter(col("event_id") % 5 === 0).count()
+    require(nLate > 0, "q86: need late-replay candidates")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val inDir = new java.io.File(s"$base/in")
+    if (inDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(inDir)
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val target = new java.io.File(s"$base/in/$name.parquet")
+      val tmp = new java.io.File(s"$base/in/$name.tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(mtime): Unit
+    }
+    writeSlice(e, "slice0", 1000000000000L)
+    val sentinel = s.range(1).select(lit(-1L).as("event_id"),
+      lit(-1L).as("user_id"),
+      timestamp_micros(lit(hiUs + 4L * 3600L * 1000000L)).as("ts"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    writeSlice(sentinel, "slice1", 1000000060000L)
+    // the late replay: original timestamps, now far behind the watermark
+    writeSlice(e.filter(col("event_id") % 5 === 0)
+      .select((-col("event_id")).as("event_id"), col("user_id"),
+        col("ts"), col("event_type"), col("value")),
+      "slice2", 1000000120000L)
+    val sink = "graft_q86_sink"
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint(sink)
+    withStatePartitions(s, 8) {
+      val src = s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in")
+      val q = graft.streaming.EventsStream.hourlyAgg(
+          graft.streaming.EventsStream.observeEvents(src, "graft_q86_in"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val audit = graft.streaming.EventsStream.auditOf(q, "graft_q86_in")
+      require(audit.droppedByWatermark == nLate,
+        s"q86: watermark dropped ${audit.droppedByWatermark} rows, " +
+          s"expected exactly the $nLate late replays — late data is " +
+          "either leaking into windows or on-time data is being dropped")
+    }
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    s.table(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Stream-stream interval join through the ACTUAL streaming engine
     * ([[graft.streaming.EventsStream.purchaseViewJoin]]): purchases ⋈
     * same-user views within the preceding hour, watermarked on both
@@ -7326,6 +7401,7 @@ object SparkEntry {
     "io31_optimize_zorder" -> io31OptimizeZorder _,
     "io30_wap" -> io30Wap _,
     "q85_stream_ivf" -> q85StreamIvf _,
+    "q86_stream_late" -> q86StreamLate _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -8043,6 +8119,12 @@ object SparkEntry {
         | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q9_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // on-time rows only: the late replays are dropped (require-gated
+    // count), so the appended windows aggregate the raw events exactly
+    "q86_stream_late" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
