@@ -1186,6 +1186,22 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** AUTOCORRELATION probe ([[ops.Timeseries.autocorr]]): Pearson r of
+    * the hourly per-type event-count series against itself at lags
+    * 1–3 — the seasonality/burstiness diagnostic run before choosing a
+    * smoothing or drift model. Exact integer sums over equi-joined lag
+    * pairs; r is one micro-rounded double expression over six integer
+    * sums, mirrored operation-for-operation in the oracle.
+    */
+  private def q87Acf(s: SparkSession, dir: String): DataFrame = {
+    val series = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    ops.Timeseries.autocorr(series, "event_type", "h", "cnt", 3)
+      .orderBy("key", "lag")
+  }
+
   /** WATERMARK LATE-DATA ACCOUNTING ([[graft.streaming.EventsStream
     * .hourlyAgg]] in APPEND mode): the one watermark behavior no other
     * gate exercises — rows arriving BEHIND the watermark are DROPPED,
@@ -7402,6 +7418,7 @@ object SparkEntry {
     "io30_wap" -> io30Wap _,
     "q85_stream_ivf" -> q85StreamIvf _,
     "q86_stream_late" -> q86StreamLate _,
+    "q87_acf" -> q87Acf _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -8122,6 +8139,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact integer sums over lag-joined pairs; the Pearson expression
+    // mirrors the Spark operation order on doubles converted from
+    // exact (< 2^53) integers, so both engines produce the same bits
+    "q87_acf" ->
+      """WITH srs AS (SELECT event_type AS key,
+        |  epoch_ns(ts) // 1000 // 3600000000 AS t, count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT CAST(i AS BIGINT) AS lag FROM generate_series(1, 3) s(i)),
+        |pr AS (SELECT a.key, lags.lag, a.v AS x, b.v AS y
+        |       FROM srs a CROSS JOIN lags
+        |       JOIN srs b ON b.key = a.key AND b.t = a.t + lags.lag),
+        |sums AS (SELECT key, lag, count(*) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT key, lag, n_pairs,
+        |  CASE WHEN (n_pairs::DOUBLE) * (sxx::DOUBLE) - ((sx*sx)::DOUBLE) > 0
+        |        AND (n_pairs::DOUBLE) * (syy::DOUBLE) - ((sy*sy)::DOUBLE) > 0
+        |       THEN round(((n_pairs::DOUBLE) * (sxy::DOUBLE) - ((sx*sy)::DOUBLE))
+        |         / sqrt(((n_pairs::DOUBLE) * (sxx::DOUBLE) - ((sx*sx)::DOUBLE))
+        |              * ((n_pairs::DOUBLE) * (syy::DOUBLE) - ((sy*sy)::DOUBLE))), 6)
+        |  END AS r
+        |FROM sums ORDER BY key, lag""".stripMargin,
     // on-time rows only: the late replays are dropped (require-gated
     // count), so the appended windows aggregate the raw events exactly
     "q86_stream_late" ->

@@ -290,4 +290,48 @@ object Timeseries {
       .toDF("key", "ts_us", "id", "cents", "level_micro", "trend_micro",
         "forecast_micro")
   }
+
+  /** Per-key AUTOCORRELATION at lags 1..maxLag — the seasonality /
+    * burstiness probe run before choosing a smoothing or drift model
+    * (an hourly series with r(24) ≫ r(1) wants a daily season, not an
+    * EWMA). Pairs are formed by an EXACT self-equi-join on
+    * `t + lag·step` (missing buckets pair with nothing — gap-fill
+    * first if runs matter), every sum is exact integer arithmetic over
+    * the paired values, and Pearson r is ONE double expression over
+    * those six integer sums, micro-rounded to 6 — so two engines agree
+    * bit-for-bit. A zero-variance side (constant series) yields NULL,
+    * never a divide-by-zero.
+    *
+    * Scale shape: the self-join is a shuffle on `(key, t)` — the
+    * series table, typically orders of magnitude smaller than the
+    * events it bucketed — and everything after is partial-aggregable.
+    *
+    * @param series `(keyCol, tCol: long bucket index, vCol: long)`
+    * @return (key, lag, n_pairs, r)
+    */
+  def autocorr(series: DataFrame, keyCol: String, tCol: String,
+      vCol: String, maxLag: Int, step: Long = 1L): DataFrame = {
+    require(maxLag >= 1 && step >= 1, s"autocorr: bad lag/step $maxLag/$step")
+    val base = series.select(col(keyCol).as("key"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    val lagged = base.select(col("key"), col("t").as("t2"), col("v").as("w"))
+      .crossJoin(broadcast(series.sparkSession.range(1, maxLag + 1)
+        .select(col("id").as("lag"))))
+      .select(col("key"), col("lag"), (col("t2") - col("lag") * lit(step)).as("t"),
+        col("w"))
+    val sums = base.join(lagged, Seq("key", "t"))
+      .groupBy(col("key"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).as("sx"), sum(col("w")).as("sy"),
+        sum(col("v") * col("v")).as("sxx"),
+        sum(col("w") * col("w")).as("syy"),
+        sum(col("v") * col("w")).as("sxy"))
+    val n = col("n_pairs").cast("double")
+    val covN = n * col("sxy") - col("sx") * col("sy")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    sums.select(col("key"), col("lag"), col("n_pairs"),
+      when(varX > 0 && varY > 0,
+        round(covN / sqrt(varX * varY), 6)).as("r"))
+  }
 }
