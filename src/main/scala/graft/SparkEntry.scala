@@ -6960,6 +6960,55 @@ object SparkEntry {
     view2.orderBy("grp")
   }
 
+  /** TAGGED SNAPSHOTS through the gate ([[graft.io.Snapshots
+    * .tagVersion]]/`resolveTag`/`dropTag`): a tag pins its version —
+    * and every directory it references — through a retention-1 vacuum
+    * that expires everything else (the "frozen eval corpus" contract),
+    * while reads of the expired untagged middle version must FAIL
+    * (history genuinely collapsed, not silently retained). Tags are
+    * immutable (re-tag refuses); dropping the tag releases the pin and
+    * the next vacuum expires it. The oracle replays the tagged state
+    * (the v1 half) and the current state (post-delete) from raw
+    * orders.
+    */
+  private def io32Tags(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "tags")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.tagVersion(s, table, "baseline", 1)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    val (v3, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, table, col("k") % 5 === 0)
+    require(v3 == 3 && rewr >= 1, s"io32: delete landed ($v3, $rewr)")
+    graft.io.Snapshots.vacuum(s, table, keepVersions = 1, orphanGraceMs = 0L)
+    // the tag pins v1; the untagged v2 must be genuinely gone
+    val tagV = graft.io.Snapshots.resolveTag(s, table, "baseline")
+    require(tagV == 1, s"io32: tag resolves to v$tagV")
+    val tagAgg = graft.io.Snapshots.read(s, table, Some(tagV))
+      .agg(count(lit(1)).as("n"), sum("cents").as("c")).head()
+    require(scala.util.Try(
+        graft.io.Snapshots.read(s, table, Some(2)).count()).isFailure,
+      "io32: the expired untagged version must be unreadable")
+    require(scala.util.Try(
+        graft.io.Snapshots.tagVersion(s, table, "baseline", 3)).isFailure,
+      "io32: tags are immutable — re-tagging must refuse")
+    // releasing the pin lets the next vacuum expire it
+    graft.io.Snapshots.dropTag(s, table, "baseline")
+    graft.io.Snapshots.vacuum(s, table, keepVersions = 1, orphanGraceMs = 0L)
+    require(scala.util.Try(
+        graft.io.Snapshots.read(s, table, Some(1)).count()).isFailure,
+      "io32: a dropped tag's version must expire on the next vacuum")
+    graft.io.Snapshots.read(s, table)
+      .agg(count(lit(1)).as("n_cur"), sum("cents").as("cents_cur"))
+      .select(col("n_cur"), col("cents_cur"),
+        lit(tagAgg.getLong(0)).as("n_tag"),
+        lit(tagAgg.getLong(1)).as("cents_tag"))
+  }
+
   /** RENAME WITHOUT REWRITE through the gate ([[graft.io.Snapshots
     * .renameColumn]]) — non-additive schema evolution as metadata:
     * orders committed as two key-range halves (per-dir stats on the
@@ -7419,6 +7468,7 @@ object SparkEntry {
     "q85_stream_ivf" -> q85StreamIvf _,
     "q86_stream_late" -> q86StreamLate _,
     "q87_acf" -> q87Acf _,
+    "io32_tags" -> io32Tags _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10837,6 +10887,15 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // tagged state = the even half at v1; current = post-delete table
+    "io32_tags" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM o WHERE k % 5 <> 0) AS n_cur,
+        |  CAST((SELECT sum(cents) FROM o WHERE k % 5 <> 0) AS BIGINT) AS cents_cur,
+        |  (SELECT count(*) FROM o WHERE k % 2 = 0) AS n_tag,
+        |  CAST((SELECT sum(cents) FROM o WHERE k % 2 = 0) AS BIGINT) AS cents_tag""".stripMargin,
     // the published table is all of orders; violations are the odd
     // multiples of 3 (the poisoned negatives); the feed insert count is
     // the clean odd batch

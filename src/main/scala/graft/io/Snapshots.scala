@@ -892,11 +892,16 @@ object Snapshots {
     val latest = latestVersion(s, table)
     require(latest >= 1, s"nothing committed at $table")
     val cutoff = math.max(1, latest - keepVersions + 1)
+    // TAGGED versions are pinned: their manifests stay resolvable and
+    // their directories count as referenced, whatever the retention
+    // count says (the Iceberg tagged-snapshot retention rule)
+    val tagged = tagsOf(s, table).values.toSet
     // referenced = data dirs PLUS deletion-vector dirs named by #dv
     // lines (GC'ing a retained manifest's dv would resurrect its keys)
     // PLUS change-feed sidecars named by #cdf lines (GC'ing one would
     // blind [[changeFeed]] over a still-resolvable version range)
-    val keptDirs = (cutoff to latest).flatMap { v =>
+    val retained = ((cutoff to latest) ++ tagged).distinct.sorted
+    val keptDirs = retained.flatMap { v =>
       val lines = manifestLines(s, table, v)
       lines.filterNot(_.startsWith("#")) ++
         lines.filter(_.startsWith("#dv "))
@@ -913,7 +918,7 @@ object Snapshots {
       }.toSet
     }
     var nManifests = 0
-    (1 until cutoff).foreach { v =>
+    (1 until cutoff).filterNot(tagged).foreach { v =>
       if (f.delete(manifestPath(table, v), false)) nManifests += 1
     }
     val dataRoot = new Path(s"$table/data")
@@ -929,6 +934,55 @@ object Snapshots {
       }
     }
     (nManifests, nDirs)
+  }
+
+  /** TAG a version with a NAME (the Iceberg tag / Delta "named
+    * snapshot" ref): `tag-<name>.txt` records the version, created by
+    * the same exclusive publish as manifests — tags are IMMUTABLE
+    * (re-tagging a live name refuses; [[dropTag]] then re-tag to
+    * move). A tagged version is PINNED: [[vacuum]] retains its
+    * manifest and every directory it references regardless of the
+    * retention count — the "eval-set corpus v1" / "paper-reproduction
+    * state" use case where a 100 TB table's audit point must survive
+    * routine GC at zero storage cost beyond the shared files.
+    */
+  def tagVersion(s: SparkSession, table: String, name: String,
+      version: Int): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_' || c == '.'),
+      s"tagVersion: bad tag name '$name' (letters/digits/-_. only)")
+    require(version >= 1 && version <= latestVersion(s, table),
+      s"tagVersion: v$version not committed at $table")
+    val f = fs(s, table)
+    require(publishExclusive(s, f, new Path(s"$table/tag-$name.txt"),
+        version.toString),
+      s"tagVersion: tag '$name' already exists at $table (immutable — " +
+        "dropTag first to move it)")
+  }
+
+  /** Resolve a tag to its version; loud when absent. */
+  def resolveTag(s: SparkSession, table: String, name: String): Int = {
+    val f = fs(s, table)
+    val p = new Path(s"$table/tag-$name.txt")
+    require(f.exists(p), s"no tag '$name' at $table")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.trim.toInt
+  }
+
+  def dropTag(s: SparkSession, table: String, name: String): Unit =
+    fs(s, table).delete(new Path(s"$table/tag-$name.txt"), false): Unit
+
+  /** Every live tag, name → version. */
+  def tagsOf(s: SparkSession, table: String): Map[String, Int] = {
+    val f = fs(s, table)
+    val st = f.globStatus(new Path(s"$table/tag-*.txt"))
+    if (st == null) Map.empty
+    else st.map { m =>
+      val name = m.getPath.getName.stripPrefix("tag-").stripSuffix(".txt")
+      name -> resolveTag(s, table, name)
+    }.toMap
   }
 
   /** WRITE–AUDIT–PUBLISH, stage step (the Iceberg WAP pattern): the

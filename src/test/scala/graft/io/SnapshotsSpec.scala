@@ -602,6 +602,34 @@ class SnapshotsSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("tags: pin versions through vacuum, immutable until dropped") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "s"), t)
+    Snapshots.tagVersion(spark, t, "v1.0", 1)
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "s"), t)
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "s"), t)
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    // the tagged v1 survives a retention-1 vacuum; untagged v2 is gone
+    assert(Snapshots.resolveTag(spark, t, "v1.0") == 1)
+    assert(Snapshots.read(spark, t, Some(1)).count() == 1)
+    intercept[Exception] { Snapshots.read(spark, t, Some(2)).count() }
+    assert(Snapshots.read(spark, t).count() == 3) // latest intact
+    // immutability + bad names refuse
+    intercept[IllegalArgumentException] {
+      Snapshots.tagVersion(spark, t, "v1.0", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.tagVersion(spark, t, "bad name", 3)
+    }
+    assert(Snapshots.tagsOf(spark, t) == Map("v1.0" -> 1))
+    // dropping the tag releases the pin
+    Snapshots.dropTag(spark, t, "v1.0")
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    intercept[Exception] { Snapshots.read(spark, t, Some(1)).count() }
+    assert(Snapshots.tagsOf(spark, t).isEmpty)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
