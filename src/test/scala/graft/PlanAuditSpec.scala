@@ -743,4 +743,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"t77 scans orders $scans times (want 1):\n$plan")
     assert(countOf(plan, "CartesianProduct") == 0, s"cartesian in t77:\n$plan")
   }
+
+  test("kCenterGreedy round: selected set broadcast, per-candidate min " +
+      "partial-aggregable, nothing corpus-sized collected") {
+    import spark.implicits._
+    val df = (0L to 99L).map(i => (i, Array(i.toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    // audit ONE greedy round's distributed pass: candidates x broadcast
+    // selected -> map-side min -> single-row argmax
+    val sel = df.filter(col("vec_id") === 0L).select(col("embedding").as("sel_vec"))
+    graft.expr.VecExpressions.register(spark)
+    val pass1 = df.filter(col("vec_id") =!= 0L)
+      .join(broadcast(sel))
+      .select(col("vec_id").as("cand"),
+        round(sqrt(graft.functions.VectorFunctions.l2NativeSq(
+          col("embedding"), col("sel_vec"))), 6).as("d"))
+      .groupBy(col("cand")).agg(min(col("d")).as("dmin"))
+      .agg(max(struct(col("dmin"), (-col("cand")).as("negid"))))
+    val plan = executed(pass1)
+    assert(plan.contains("partial_min"),
+      s"k-center per-candidate min lost map-side collapse:\n$plan")
+    assert(countOf(plan, "BroadcastExchange") >= 1,
+      s"k-center selected set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") || countOf(plan, "BroadcastNestedLoopJoin") >= 1,
+      s"k-center pairing shape:\n$plan")
+  }
+
+  test("autocorr: lag fan-out broadcast, pair sums partial before the shuffle") {
+    val series = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val plan = executed(
+      graft.ops.Timeseries.autocorr(series, "event_type", "h", "cnt", 3))
+    assert(plan.contains("partial_sum"),
+      s"autocorr pair sums lost map-side combine:\n$plan")
+    assert(countOf(plan, "BroadcastExchange") >= 1,
+      s"autocorr lag table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"autocorr pairing degenerated:\n$plan")
+  }
 }
