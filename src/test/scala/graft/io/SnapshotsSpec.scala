@@ -630,6 +630,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.tagsOf(spark, t).isEmpty)
   }
 
+  test("optimizeClustered races a concurrent commit: both land, " +
+      "no rows lost, CAS arbitration serializes them") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = freshTable()
+    val pts = (0L until 64L).map(i => (i % 8, i / 8, i))
+    Snapshots.commitWithMultiStats(
+      pts.take(32).toDF("x", "y", "v"), t, Seq("x", "y"))
+    Snapshots.commitWithMultiStats(
+      pts.drop(32).toDF("x", "y", "v"), t, Seq("x", "y"))
+    val fOpt = Future(Snapshots.optimizeClustered(spark, t, Seq("x", "y"), 3, 4))
+    val fCommit = Future(Snapshots.commit(
+      Seq((0L, 0L, 999L)).toDF("x", "y", "v"), t))
+    val (vo, _) = Await.result(fOpt, 120.seconds)
+    val vc = Await.result(fCommit, 120.seconds)
+    // both claimed distinct versions; nothing clobbered
+    assert(Set(vo, vc).size == 2 && Snapshots.latestVersion(spark, t) == 4)
+    assert(Snapshots.read(spark, t).select("v").as[Long]
+      .collect().sorted.toSeq == ((0L until 64L) :+ 999L).sorted)
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
