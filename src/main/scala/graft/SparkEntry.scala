@@ -1208,19 +1208,33 @@ object SparkEntry {
     * and the drop is an accounted, gated quantity, not silent loss.
     * Three-slice feed: all events; a +4 h sentinel that advances the
     * watermark past every real window; then a LATE slice replaying the
-    * `event_id % 5 = 0` rows — every one must be dropped
-    * (`numRowsDroppedByWatermark` REQUIRED equal to the late-row
-    * count), must NOT perturb any window's aggregate, and the appended
-    * sink must equal the batch hourly aggregate over the ON-TIME rows
-    * alone — which IS the oracle (q9's SQL: the late rows are copies,
-    * so on-time == the events table).
+    * `event_id % 5 = 0` rows at least 3 h behind the stream max (late
+    * against even the PRE-sentinel watermark — watermark advances
+    * propagate at batch boundaries, one batch behind the data that
+    * caused them). Gates: drops happened, ONLY in the late
+    * batch, and post-run state holds exactly the one open sentinel
+    * window (zero late leakage — a single admitted late group would
+    * show as a second state row); the appended sink must equal the
+    * batch hourly aggregate over the ON-TIME rows alone — which IS the
+    * oracle (q9's SQL: the late rows are copies, so on-time == the
+    * events table). The raw dropped-row COUNT is deliberately not
+    * asserted: the metric counts post-partial-aggregation groups at
+    * the state operator, a partition-layout artifact.
     */
   private def q86StreamLate(s: SparkSession, dir: String): DataFrame = {
     val base = ioTmp(dir, "q86")
     val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
       col("ts"), col("event_type"), col("value"))
     val hiUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val nLate = e.filter(col("event_id") % 5 === 0).count()
+    // the late set sits ≥ 3 h behind the stream's max: global watermark
+    // advances propagate at BATCH boundaries (the sentinel's +4 h only
+    // reaches the drop filter a batch later), so rows must be late
+    // against even the pre-sentinel watermark (hi − 2 h) — measured at
+    // sf0.1: copies within the final 2 h leaked into still-unflushed
+    // windows under the lagged watermark
+    val lateFilter = col("event_id") % 5 === 0 &&
+      col("ts") < timestamp_micros(lit(hiUs - 3L * 3600L * 1000000L))
+    val nLate = e.filter(lateFilter).count()
     require(nLate > 0, "q86: need late-replay candidates")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -1245,7 +1259,7 @@ object SparkEntry {
       lit("sentinel").as("event_type"), lit(0.0).as("value"))
     writeSlice(sentinel, "slice1", 1000000060000L)
     // the late replay: original timestamps, now far behind the watermark
-    writeSlice(e.filter(col("event_id") % 5 === 0)
+    writeSlice(e.filter(lateFilter)
       .select((-col("event_id")).as("event_id"), col("user_id"),
         col("ts"), col("event_type"), col("value")),
       "slice2", 1000000120000L)
@@ -1262,11 +1276,30 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // numRowsDroppedByWatermark counts rows reaching the STATE
+      // operator — i.e. post-partial-aggregation (window, type) groups,
+      // a partition-layout-dependent reduction of the raw late rows
+      // (measured: 20 000 late rows → 3 576 dropped groups at sf0.1) —
+      // so the gate asserts the INVARIANTS, not the raw count: the
+      // watermark actively dropped, every dropped row belonged to the
+      // late batch alone, and state holds EXACTLY the one still-open
+      // sentinel window (a single leaked late group would make it 2+,
+      // and a perturbed aggregate fails the oracle hash besides).
       val audit = graft.streaming.EventsStream.auditOf(q, "graft_q86_in")
-      require(audit.droppedByWatermark == nLate,
-        s"q86: watermark dropped ${audit.droppedByWatermark} rows, " +
-          s"expected exactly the $nLate late replays — late data is " +
-          "either leaking into windows or on-time data is being dropped")
+      require(audit.droppedByWatermark > 0,
+        "q86: the watermark dropped nothing — late data leaked into " +
+          "the windows")
+      val perBatch = q.recentProgress
+        .map(p => p.batchId ->
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum).toMap
+      require(perBatch.filter(_._2 > 0).keySet == Set(2L),
+        s"q86: drops outside the late batch: $perBatch — on-time data " +
+          "is being dropped")
+      val stRows = graft.streaming.EventsStream.stateAuditOf(q)
+        .map(_.rowsTotal).sum
+      require(stRows == 1,
+        s"q86: $stRows state rows after the run — expected only the " +
+          "open sentinel window; late groups leaked into state")
     }
     org.apache.spark.sql.execution.streaming.state.StateStore.stop() // see q9
     graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
