@@ -1186,6 +1186,34 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** CMS JOIN-SIZE ESTIMATE ([[ops.Sketch.cmsJoinSizeEstimate]]): the
+    * AMS inner-product bound on |clicks ⋈ purchases| over `user_id`,
+    * from two 4×512 sketches — what a planner consults before choosing
+    * broadcast vs shuffle WITHOUT touching either input. The
+    * never-underestimates law is require-gated against the exact join
+    * size; both the estimate (deterministic md5 buckets) and the truth
+    * are replayed by the oracle.
+    */
+  private def t81CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val a = e.filter(col("event_type") === "click")
+      .select(col("user_id").cast("string").as("u"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("u"))
+    val est = ops.Sketch.cmsJoinSizeEstimate(
+      ops.Sketch.cmsBuild(a, "u", 4, 512),
+      ops.Sketch.cmsBuild(b, "u", 4, 512))
+    val tru = a.groupBy("u").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("u").agg(count(lit(1)).as("cb")), Seq("u"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_size"))
+    val out = tru.crossJoin(broadcast(est)).localCheckpoint()
+    val r = out.head()
+    require(r.getLong(1) >= r.getLong(0),
+      s"t81: CMS join-size ${r.getLong(1)} UNDER-estimates the true " +
+        s"${r.getLong(0)} — the one direction the bound forbids")
+    out.select(col("true_size"), col("join_size_est"))
+  }
+
   /** AUTOCORRELATION probe ([[ops.Timeseries.autocorr]]): Pearson r of
     * the hourly per-type event-count series against itself at lags
     * 1–3 — the seasonality/burstiness diagnostic run before choosing a
@@ -7502,6 +7530,7 @@ object SparkEntry {
     "q86_stream_late" -> q86StreamLate _,
     "q87_acf" -> q87Acf _,
     "io32_tags" -> io32Tags _,
+    "t81_cms_join_size" -> t81CmsJoinSize _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -8222,6 +8251,28 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // both CMS tables replayed at the t35 idiom, the per-depth inner
+    // products min'd, and the exact per-key product-sum truth
+    "t81_cms_join_size" ->
+      """WITH cu AS (SELECT CAST(user_id AS VARCHAR) AS t, count(*) AS cnt
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pu AS (SELECT CAST(user_id AS VARCHAR) AS t, count(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |skA AS (SELECT i.i AS row_idx,
+        |    CAST(('0x' || substr(md5(cu.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM cu CROSS JOIN generate_series(0, 3) AS i(i) GROUP BY 1, 2),
+        |skB AS (SELECT i.i AS row_idx,
+        |    CAST(('0x' || substr(md5(pu.t), 1 + 8 * i.i, 8)) AS BIGINT) % 512 AS bucket,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM pu CROSS JOIN generate_series(0, 3) AS i(i) GROUP BY 1, 2),
+        |ip AS (SELECT a.row_idx, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+        |  FROM skA a JOIN skB b ON a.row_idx = b.row_idx AND a.bucket = b.bucket
+        |  GROUP BY 1)
+        |SELECT
+        |  CAST(coalesce((SELECT sum(cu.cnt * pu.cnt) FROM cu JOIN pu ON cu.t = pu.t), 0)
+        |    AS BIGINT) AS true_size,
+        |  CAST((SELECT min(ip) FROM ip) AS BIGINT) AS join_size_est""".stripMargin,
     // exact integer sums over lag-joined pairs; the Pearson expression
     // mirrors the Spark operation order on doubles converted from
     // exact (< 2^53) integers, so both engines produce the same bits

@@ -75,6 +75,27 @@ object Sketch {
       .groupBy("t").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** EQUI-JOIN SIZE estimate from two CMS counter tables over the join
+    * key — the AMS inner-product estimator (Alon–Matias–Szegedy; the
+    * classic optimizer-statistics use of CMS): per depth row,
+    * `Σ_bucket cntA·cntB` upper-bounds `|A ⋈ B| = Σ_key a(k)·b(k)`
+    * (collisions only ADD cross terms), and the min over the depth
+    * rows is the tightest of the d bounds. Never an underestimate —
+    * the safe direction for a planner deciding whether a join result
+    * fits a broadcast. Cost: one join of two ≤ depth·width-row
+    * sketches — driver-scale at any corpus size, no touch of either
+    * input. A bucket missing from either sketch contributes zero, so
+    * the inner join is exact.
+    *
+    * @return one row: (join_size_est)
+    */
+  def cmsJoinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
+    cmsA.select(col("row_idx"), col("bucket"), col("cnt").as("ca"))
+      .join(cmsB.select(col("row_idx"), col("bucket"), col("cnt").as("cb")),
+        Seq("row_idx", "bucket"))
+      .groupBy("row_idx").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("join_size_est"))
+
   /** 60-bit positive hash: first 15 hex chars of md5 — fits a signed LONG
     * on every engine (`CAST('0x' || substr(md5(v),1,15) AS BIGINT)`).
     */

@@ -434,4 +434,24 @@ class SketchSpec extends SparkSpec {
     val ok = Seq((0, -3L), (1, 2L), (2, 10L)).toDF("row_idx", "counter")
     assert(Sketch.amsF2Estimate(ok, 3).head.getLong(1) == 9L)
   }
+
+  test("cmsJoinSizeEstimate: never underestimates, exact when no bucket " +
+      "collisions, and collisions only push it up") {
+    import spark.implicits._
+    val a = Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")
+    val b = Seq.fill(4)("x") ++ Seq("y") ++ Seq.fill(5)("w")
+    val ca = Sketch.cmsBuild(a.toDF("t"), "t", 4, 512)
+    val cb = Sketch.cmsBuild(b.toDF("t"), "t", 4, 512)
+    val est = Sketch.cmsJoinSizeEstimate(ca, cb).head().getLong(0)
+    val truth = 3 * 4 + 2 * 1 // x and y overlap; z/w contribute nothing
+    assert(est >= truth)
+    // wide sketch, 4 tokens: no collisions whp at width 512 -> exact
+    assert(est == truth, s"est $est vs exact $truth (collision at width 512?)")
+    // width 1 forces every token into one bucket: the bound degrades to
+    // |A|*|B| but must still sit ABOVE the truth
+    val est1 = Sketch.cmsJoinSizeEstimate(
+      Sketch.cmsBuild(a.toDF("t"), "t", 4, 2),
+      Sketch.cmsBuild(b.toDF("t"), "t", 4, 2)).head().getLong(0)
+    assert(est1 >= truth)
+  }
 }
