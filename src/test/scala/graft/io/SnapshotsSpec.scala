@@ -653,6 +653,29 @@ class SnapshotsSpec extends SparkSpec {
       .collect().sorted.toSeq == ((0L until 64L) :+ 999L).sorted)
   }
 
+  test("changeFeed append reads ONLY the version's new directory — " +
+      "the O(delta) promise, pinned on the scan's file list") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 100L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    Snapshots.commit((101L to 200L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    Snapshots.commit(Seq((201L, "x")).toDF("k", "s"), t)
+    val v1dirs = Snapshots.dataDirsOf(spark, t, 1)
+    val v3only = Snapshots.dataDirsOf(spark, t, 3)
+      .filterNot(Snapshots.dataDirsOf(spark, t, 2).toSet)
+    assert(v3only.size == 1)
+    val feed3 = Snapshots.changeFeed(spark, t, 3, 3)
+    assert(feed3.count() == 1)
+    // the scan's concrete file list: every file under the v3 dir, none
+    // under the older ones
+    val files = feed3.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(v3only.head)),
+      s"feed of v3 scans beyond its new dir — O(table), not O(delta): " +
+        files.mkString(", "))
+    assert(!v1dirs.exists(d => files.exists(_.contains(d))),
+      s"feed of v3 scans v1 data: ${files.mkString(", ")}")
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
