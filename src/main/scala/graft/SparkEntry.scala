@@ -3359,6 +3359,83 @@ object SparkEntry {
     ops.Sketch.hllEstimate(streamedRegs, 6)
   }
 
+  /** STREAMING KMV/THETA maintenance — the fourth corner after CMS
+    * (q50, + guarded), Z-set (q60, ±), DD (q79, + guarded), HLL (q81,
+    * idempotent max): bottom-k union is ALSO idempotent (re-adding
+    * rows already in the set changes nothing; trimming to k is
+    * monotone), so like q81 the stream runs with NO batch-id guard —
+    * and then the ENTIRE stream replays again into the same
+    * accumulator, the at-least-once worst case, and the sketch must
+    * still equal the batch build row-for-row. Driver state is ≤ k
+    * (hash, value) pairs at any corpus size. The emitted estimate row
+    * is gated by t74's oracle arithmetic over raw user ids.
+    */
+  private def q88StreamKmv(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q88")
+    def rmQ88(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmQ88)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rmQ88(baseDir)
+    for (i <- 0 until 3) {
+      Tables.events(s, dir).filter(col("event_id") % 3 === i)
+        .select(col("user_id").cast("string").as("v"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/slice_id=$i")
+    }
+    val k = 64
+    val acc = scala.collection.mutable.TreeSet[(Long, String)]()
+    var batches = 0
+    def runStream(): Unit = {
+      val q = s.readStream
+        .schema(new StructType().add("v", StringType))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base)
+        .select(col("v"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = ops.Sketch.kmvSketchBy(b.toDF(), Seq(), "v", k).collect()
+          acc.synchronized {
+            batches += 1
+            rows.foreach(r => acc.add((r.getLong(r.fieldIndex("h")),
+              r.getString(r.fieldIndex("v")))))
+            while (acc.size > k) acc.remove(acc.last)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    // the at-least-once worst case: replay EVERYTHING, no guard —
+    // bottom-k union must absorb the duplicates
+    runStream()
+    require(acc.synchronized(batches) == 6,
+      s"q88: expected 3 + 3 replayed micro-batches, saw $batches")
+    val skRows = acc.toSeq.sortBy(t => (t._1, t._2)).zipWithIndex.map {
+      case ((h, v), i) => org.apache.spark.sql.Row(v, h, i + 1)
+    }
+    val streamedSk = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(skRows: _*)),
+      new StructType().add("v", StringType, nullable = false)
+        .add("h", LongType, nullable = false)
+        .add("rn", IntegerType, nullable = false))
+      .select(col("v"), col("h"), col("rn").cast("int").as("rn"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("user_id"))
+    val batchSk = ops.Sketch.kmvSketchBy(ev, Seq(), "user_id", k)
+      .select(col("v"), col("h"), col("rn"))
+    val extra = streamedSk.exceptAll(batchSk).count()
+    val missing = batchSk.exceptAll(streamedSk).count()
+    require(extra == 0 && missing == 0,
+      s"q88: streamed KMV diverges from the batch build ($extra extra, " +
+        s"$missing missing) — the bottom-k union law broke in-flight")
+    val est = ops.Sketch.kmvEstimateBy(streamedSk, Seq(), k)
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_exact"), col("n_sketch"), col("kth_hash"), col("est"))
+  }
+
   /** Rolling 7-day distinct users, exact AND sketch-estimated — the
     * query where the HLL merge law ([[t34HllMerge]]) earns its keep:
     * per-day register tables roll into any window with a bucket-wise
@@ -7531,6 +7608,7 @@ object SparkEntry {
     "q87_acf" -> q87Acf _,
     "io32_tags" -> io32Tags _,
     "t81_cms_join_size" -> t81CmsJoinSize _,
+    "q88_stream_kmv" -> q88StreamKmv _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -10632,6 +10710,20 @@ object SparkEntry {
     // bottom-k replayed with the repo-wide md5-u32 idiom; the ALL row
     // re-ranks the union of the per-type sketches (values deduped),
     // exercising the KMV merge law the Scala side uses
+    // the global bottom-k over distinct users (t74's mrg leg) — the
+    // stream==batch row equality is require-gated in-query
+    "q88_stream_kmv" ->
+      """WITH d AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events),
+        |h AS (SELECT v,
+        |        CAST(('0x' || substr(md5('kmv:' || v), 1, 8)) AS BIGINT) AS h
+        |      FROM d),
+        |sk AS (SELECT v, h, row_number() OVER (ORDER BY h, v) AS rn FROM h),
+        |kept AS (SELECT * FROM sk WHERE rn <= 64),
+        |agg AS (SELECT count(*) AS n_sketch, max(h) AS kth_hash FROM kept)
+        |SELECT (SELECT count(*) FROM d) AS n_exact, agg.n_sketch, agg.kth_hash,
+        |  CASE WHEN agg.n_sketch < 64 THEN agg.n_sketch
+        |       ELSE (63 * 4294967296) // (agg.kth_hash + 1) END AS est
+        |FROM agg""".stripMargin,
     "t74_kmv_sketch" ->
       """WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
         |      FROM events),
