@@ -1186,6 +1186,80 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** THE REFINERY, end to end (t53 × d1 × io30 × io28): raw documents
+    * → Gopher cascade (t53's exact-integer thresholds) → exact dedup
+    * survivors (min doc_id per text fingerprint) → WRITE–AUDIT–PUBLISH
+    * into the lakehouse — where the DUPLICATED pre-dedup frame is
+    * staged first, the audit CATCHES the fingerprint collision and
+    * abandons at zero blast radius, and only the deduped frame
+    * publishes — → the change feed's inserts maintain the downstream
+    * token-count without rescanning. Every stage is an already-gated
+    * operator; this query gates the COMPOSITION (the pipeline a
+    * training-data team actually ships). The oracle replays cascade,
+    * dedup, and token accounting from raw documents.
+    */
+  private def t82Refinery(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "refinery")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val docs = Tables.documents(s, dir)
+    val verdicts = ops.Curation.gopherFilter(docs, "text", "doc_id",
+      20L, 90L, 40L, 100L, 2L, 200L)
+    val kept = verdicts.filter(col("verdict") === "kept")
+      .select(col("doc_id"), col("n_tokens"))
+      .join(docs.select(col("doc_id"), md5(col("text")).as("fp")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    // a crawl re-fetch: every kept doc_id % 7 == 0 re-enters under a
+    // fresh id (same text, same fingerprint) — the duplication the
+    // pipeline exists to catch
+    val dupes = kept.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        col("n_tokens"), col("fp"))
+    val nInjected = dupes.count()
+    require(nInjected > 0, "t82: need re-fetch candidates")
+    val withDupes = kept.unionByName(dupes)
+    // stage the WRONG frame first: pre-dedup, fingerprint collisions in
+    val sBad = graft.io.Snapshots.commitStaged(withDupes, table)
+    val audit = graft.io.Snapshots.readStaged(s, table, sBad)
+      .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("nfp")).head()
+    require(audit.getLong(1) < audit.getLong(0),
+      "t82: the duplicated staging must trip the fingerprint audit")
+    graft.io.Snapshots.abandonStaged(s, table, sBad)
+    require(graft.io.Snapshots.latestVersion(s, table) == 0,
+      "t82: the rejected batch must never have become a version")
+    // the survivors: min doc_id per fingerprint (originals win — the
+    // injected re-fetch ids are strictly larger)
+    val surv = withDupes.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("n_tokens"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("fp"), col("w.n_tokens")
+        .as("n_tokens"))
+    val sGood = graft.io.Snapshots.commitStaged(surv, table)
+    val audit2 = graft.io.Snapshots.readStaged(s, table, sGood)
+      .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("nfp"),
+        min(col("n_tokens")).as("mn")).head()
+    require(audit2.getLong(0) == audit2.getLong(1) && audit2.getLong(2) >= 20L,
+      "t82: the deduped staging must audit green")
+    require(graft.io.Snapshots.publishStaged(s, table, sGood) == 1,
+      "t82: publish must claim v1")
+    // downstream sync from the FEED, never a rescan
+    val fedTokens = graft.io.Snapshots.changeFeed(s, table, 1, 1)
+      .filter(col("_change_type") === "insert")
+      .agg(sum(col("n_tokens")).as("t")).head().getLong(0)
+    val direct = graft.io.Snapshots.read(s, table)
+      .agg(sum(col("n_tokens")).as("t")).head().getLong(0)
+    require(fedTokens == direct,
+      s"t82: feed-maintained token count $fedTokens != direct $direct")
+    docs.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"))))
+      .crossJoin(broadcast(graft.io.Snapshots.read(s, table)
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("n_tokens")).as("total_tokens"))))
+      .select(col("n_raw"), col("n_kept"), lit(nInjected).as("n_injected"),
+        col("n_survivors"), col("total_tokens"))
+  }
+
   /** CMS JOIN-SIZE ESTIMATE ([[ops.Sketch.cmsJoinSizeEstimate]]): the
     * AMS inner-product bound on |clicks ⋈ purchases| over `user_id`,
     * from two 4×512 sketches — what a planner consults before choosing
@@ -7609,6 +7683,7 @@ object SparkEntry {
     "io32_tags" -> io32Tags _,
     "t81_cms_join_size" -> t81CmsJoinSize _,
     "q88_stream_kmv" -> q88StreamKmv _,
+    "t82_refinery" -> t82Refinery _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -9569,6 +9644,43 @@ object SparkEntry {
         |  CAST(coalesce(list_max(list_transform(generate_series(2, len(postings)),
         |    i -> postings[i] - postings[i-1])), 0) AS BIGINT) AS max_gap
         |FROM a ORDER BY term""".stripMargin,
+    // cascade + dedup + token accounting replayed end-to-end: t53's
+    // chain for verdicts, min-doc_id-per-md5(text) for survivors
+    "t82_refinery" -> {
+      val stop = graft.functions.TextFunctions.Stopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS ts FROM documents),
+        |e AS (SELECT doc_id, unnest(ts) AS tok FROM t),
+        |pc AS (SELECT doc_id, tok, count(*) AS c, len(tok) AS ln,
+        |       tok IN ($stop) AS is_stop FROM e GROUP BY doc_id, tok, ln, is_stop),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(ln * c) AS BIGINT) AS sum_len,
+        |       CAST(sum(CASE WHEN is_stop THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+        |       CAST(max(c) AS BIGINT) AS top_cnt
+        |      FROM pc GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(sum_len, 0) AS sum_len, coalesce(n_stop, 0) AS n_stop,
+        |       coalesce(top_cnt, 0) AS top_cnt
+        |      FROM documents d LEFT JOIN a USING (doc_id)),
+        |kept AS (SELECT st.doc_id, st.n_tokens, md5(d.text) AS fp
+        |      FROM st JOIN documents d USING (doc_id)
+        |      WHERE NOT (n_tokens < 20 OR n_tokens > 90
+        |        OR 10 * sum_len < 40 * n_tokens OR 10 * sum_len > 100 * n_tokens
+        |        OR n_stop < 2 OR 1000 * top_cnt > 200 * n_tokens)),
+        |withd AS (SELECT doc_id, n_tokens, fp FROM kept
+        |      UNION ALL
+        |      SELECT doc_id + 1000000000, n_tokens, fp FROM kept
+        |      WHERE doc_id % 7 = 0),
+        |surv AS (SELECT fp, min(doc_id) AS doc_id FROM withd GROUP BY fp),
+        |fin AS (SELECT k.n_tokens FROM withd k
+        |      JOIN surv ON k.doc_id = surv.doc_id AND k.fp = surv.fp)
+        |SELECT (SELECT count(*) FROM documents) AS n_raw,
+        |  (SELECT count(*) FROM kept) AS n_kept,
+        |  (SELECT count(*) FROM kept WHERE doc_id % 7 = 0) AS n_injected,
+        |  count(*) AS n_survivors,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM fin""".stripMargin
+    },
     "t53_gopher_filter" -> {
       val stop = graft.functions.TextFunctions.Stopwords
         .map(w => s"'$w'").mkString(", ")
