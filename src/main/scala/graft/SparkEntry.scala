@@ -6076,6 +6076,43 @@ object SparkEntry {
     ops.Similarity.kCenterGreedy(Tables.embeddings(s, dir), 4)
       .orderBy("round")
 
+  /** EMBEDDING-SPACE DRIFT ([[ops.Similarity.ivfCells]] × t29's
+    * KL discipline): did the new crawl slice move the embedding
+    * distribution? Both corpus halves assign to the SAME frozen
+    * centroids (the monitor must hold the space fixed or it measures
+    * its own re-clustering), per-cell occupancy counts are exact
+    * integers, and the add-one-smoothed KL contribution per cell is
+    * micro-rounded BEFORE the integer total — deterministic across
+    * engines and partitionings, the t29 float-summation rule. The
+    * oracle replays cell assignment (sim2's chain) and the exact
+    * contribution arithmetic.
+    */
+  private def sim26EmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val counts = ops.Similarity.ivfCells(e, cents)
+      .select(col("nn_id"), col("cent_id"))
+      .groupBy(col("cent_id"))
+      .agg(sum(when(pmod(col("nn_id"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("c_ref"),
+        sum(when(pmod(col("nn_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("c_cur"))
+    val tot = counts.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+      count(lit(1)).as("v"))
+    val ctr = counts.crossJoin(broadcast(tot))
+      .withColumn("contrib_micro", round(
+        ((col("c_ref") + 1).cast("double") / (col("n_ref") + col("v")).cast("double"))
+          * log(((col("c_ref") + 1).cast("double") / (col("n_ref") + col("v")).cast("double"))
+            / ((col("c_cur") + 1).cast("double") / (col("n_cur") + col("v")).cast("double")))
+          * lit(1000000d), 0).cast("long"))
+    val kl = ctr.agg(sum("contrib_micro").as("kl_micro"))
+    ctr.crossJoin(broadcast(kl))
+      .select(col("cent_id"), col("c_ref"), col("c_cur"),
+        col("contrib_micro"), col("kl_micro"))
+      .orderBy(abs(col("contrib_micro")).desc, col("cent_id"))
+  }
+
   /** Graded retrieval quality ([[ops.Retrieval.ndcgAtK]]): MRR and
     * NDCG@10 of the brute-force cosine ranking against label-match
     * relevance (`embeddings.label` as topic truth — 10 balanced classes,
@@ -7610,6 +7647,7 @@ object SparkEntry {
     "sim23_ivf_append" -> sim23IvfAppend _,
     "sim24_ivf_delete" -> sim24IvfDelete _,
     "sim25_kcenter" -> sim25Kcenter _,
+    "sim26_embed_drift" -> sim26EmbedDrift _,
     "t51_bm25" -> t51Bm25 _,
     "t52_posting_lists" -> t52PostingLists _,
     "t53_gopher_filter" -> t53GopherFilter _,
@@ -12504,6 +12542,31 @@ object SparkEntry {
     // in-query; the oracle replays the IVF chain over the union corpus
     // with the same frozen centroid rule — sim2's body exactly, because
     // base ∪ delta IS the corpus and assignment is centroid-pure
+    // sim2's cell chain for occupancy, t29's micro-contribution rule
+    // for the KL — both replayed exactly
+    "sim26_embed_drift" ->
+      s"""WITH $embNormSql,
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |counts AS (SELECT cent_id,
+        |    CAST(sum(CASE WHEN nn_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN nn_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM cell GROUP BY cent_id),
+        |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |        CAST(sum(c_cur) AS BIGINT) AS n_cur, count(*) AS v FROM counts),
+        |ctr AS (SELECT cent_id, c_ref, c_cur,
+        |          CAST(round(
+        |            (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + v AS DOUBLE))
+        |            * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + v AS DOUBLE))
+        |                 / (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + v AS DOUBLE)))
+        |            * 1000000, 0) AS BIGINT) AS contrib_micro
+        |        FROM counts, tot),
+        |kl AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS kl_micro FROM ctr)
+        |SELECT cent_id, c_ref, c_cur, contrib_micro, kl_micro FROM ctr, kl
+        |ORDER BY abs(contrib_micro) DESC, cent_id""".stripMargin,
     // all four greedy rounds unrolled: per-round min-to-selected, then
     // (dmin DESC, cand ASC) argmax — distances 6-rounded before any
     // min/argmax on both engines
