@@ -314,6 +314,19 @@ object Timeseries {
     require(maxLag >= 1 && step >= 1, s"autocorr: bad lag/step $maxLag/$step")
     val base = series.select(col(keyCol).as("key"),
       col(tCol).cast("long").as("t"), col(vCol).cast("long").as("v"))
+    // the exact-integer claim needs Σv² (and every other sum) inside
+    // LONG: guard n·max(v)² < 2⁶² loudly — a wrapped sum would diverge
+    // from an exact-arithmetic oracle SILENTLY, the one failure mode
+    // this op exists to exclude. One tiny aggregate over the series
+    // (bucketed, orders of magnitude smaller than what it summarizes).
+    val bound = base.agg(max(abs(col("v"))).as("mx"),
+      count(lit(1)).as("n")).head()
+    if (!bound.isNullAt(0)) {
+      val (mx, n) = (math.max(bound.getLong(0), 1L), bound.getLong(1))
+      require(mx < 3037000499L && (java.lang.Long.MAX_VALUE / mx) / mx > n,
+        s"autocorr: n=$n values up to $mx would overflow the exact " +
+          "LONG sums (n·max(v)² ≥ 2⁶³) — pre-scale the series")
+    }
     val lagged = base.select(col("key"), col("t").as("t2"), col("v").as("w"))
       .crossJoin(broadcast(series.sparkSession.range(1, maxLag + 1)
         .select(col("id").as("lag"))))
