@@ -7209,6 +7209,62 @@ object SparkEntry {
     view2.orderBy("grp")
   }
 
+  /** RIGHT-TO-ERASURE DRILL, end to end (io26 × io27 × io19): the
+    * compliance lifecycle a lakehouse owes its operators — tombstone
+    * the subjects ([[graft.io.Snapshots.deleteWhereMoR]], the instant
+    * logical erasure), materialize (physically rewrite them out of
+    * every data file), vacuum with a retention window of 1 (expire
+    * every manifest that could still resolve them). The PROOF is
+    * filesystem truth, not manifest bookkeeping: after the drill,
+    * every surviving directory under `data/` — referenced or not — is
+    * raw-scanned and must contain ZERO rows for the erased subjects
+    * (deletion-vector key files included: they are GC'd with their
+    * manifests, because a tombstone file listing the erased keys is
+    * itself residual subject data). The oracle recomputes survivor
+    * totals from raw orders.
+    */
+  private def q89ErasureDrill(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "erasure")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    val nBefore = graft.io.Snapshots.read(s, table).count()
+    // 1. the erasure REQUEST: instant logical delete, O(keys)
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 13 === 0)
+    require(v3 == 3 && nDel > 0, s"q89: tombstones landed ($v3, $nDel)")
+    require(graft.io.Snapshots.read(s, table)
+        .filter(col("k") % 13 === 0).count() == 0,
+      "q89: logically erased subjects still readable")
+    // 2. the erasure OBLIGATION: fold tombstones into a rewrite, then
+    //    expire every version that could still resolve the rows
+    val (v4, _, rewr) = graft.io.Snapshots.materializeDeletes(s, table)
+    require(v4 == 4 && rewr >= 1, s"q89: materialize landed ($v4, $rewr)")
+    graft.io.Snapshots.vacuum(s, table, keepVersions = 1, orphanGraceMs = 0L)
+    // 3. the PROOF, against the filesystem: every surviving byte of
+    //    data — and every surviving key file — is subject-free
+    val left = f.listStatus(new org.apache.hadoop.fs.Path(s"$table/data"))
+      .map(_.getPath.toString)
+    require(left.nonEmpty, "q89: the survivors' data must still exist")
+    val residual = s.read.option("mergeSchema", "true").parquet(left: _*)
+      .filter(col("k") % 13 === 0).count()
+    require(residual == 0,
+      s"q89: $residual physical rows for erased subjects remain on " +
+        "disk after materialize + vacuum — the erasure obligation is " +
+        "NOT met")
+    require(scala.util.Try(graft.io.Snapshots
+        .read(s, table, Some(2)).count()).isFailure,
+      "q89: a pre-erasure version is still resolvable")
+    graft.io.Snapshots.read(s, table)
+      .agg(count(lit(1)).as("n_after"), sum("cents").as("cents_after"))
+      .select(lit(nBefore).as("n_before"), col("n_after"),
+        col("cents_after"), lit(nDel).as("n_erased"))
+  }
+
   /** TAGGED SNAPSHOTS through the gate ([[graft.io.Snapshots
     * .tagVersion]]/`resolveTag`/`dropTag`): a tag pins its version —
     * and every directory it references — through a retention-1 vacuum
@@ -7722,6 +7778,7 @@ object SparkEntry {
     "t81_cms_join_size" -> t81CmsJoinSize _,
     "q88_stream_kmv" -> q88StreamKmv _,
     "t82_refinery" -> t82Refinery _,
+    "q89_erasure_drill" -> q89ErasureDrill _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -11213,6 +11270,15 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // survivor totals from raw orders; the physical-erasure proof is
+    // require-gated in-query (filesystem state is not SQL-expressible)
+    "q89_erasure_drill" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT (SELECT count(*) FROM o) AS n_before,
+        |  (SELECT count(*) FROM o WHERE k % 13 <> 0) AS n_after,
+        |  CAST((SELECT sum(cents) FROM o WHERE k % 13 <> 0) AS BIGINT) AS cents_after,
+        |  (SELECT count(DISTINCT k) FROM o WHERE k % 13 = 0) AS n_erased""".stripMargin,
     // tagged state = the even half at v1; current = post-delete table
     "io32_tags" ->
       """WITH o AS (SELECT o_orderkey AS k,
