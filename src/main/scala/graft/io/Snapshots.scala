@@ -933,6 +933,15 @@ object Snapshots {
         }
       }
     }
+    // a CRASHED optimizeClustered leaves its `.opt-*` staging dir
+    // outside data/ — unreferenced by construction (chunks rename out
+    // before the manifest claim), so reap any past the grace window
+    val stale = f.globStatus(new Path(s"$table/.opt-*"))
+    if (stale != null) stale.foreach { st =>
+      if (st.getModificationTime <= now - orphanGraceMs) {
+        if (f.delete(st.getPath, true)) nDirs += 1
+      }
+    }
     (nManifests, nDirs)
   }
 

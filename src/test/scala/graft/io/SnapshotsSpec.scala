@@ -676,6 +676,19 @@ class SnapshotsSpec extends SparkSpec {
       s"feed of v3 scans v1 data: ${files.mkString(", ")}")
   }
 
+  test("vacuum reaps a crashed optimize's staging dir after the grace window") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "s"), t)
+    // simulate the crash: staging dir written, no manifest ever claimed
+    Seq((9L, "junk")).toDF("k", "s").write.parquet(s"$t/.opt-deadbeef/c=0")
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 1L << 40)
+    assert(new java.io.File(s"$t/.opt-deadbeef").exists()) // grace spares
+    val (_, n) = Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    assert(n >= 1 && !new java.io.File(s"$t/.opt-deadbeef").exists())
+    assert(Snapshots.read(spark, t).count() == 1) // table untouched
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
