@@ -181,4 +181,29 @@ class TimeseriesSpec extends SparkSpec {
     assert(err(hw) < err(holt) / 2,
       s"holt-winters ${err(hw)} not clearly better than holt ${err(holt)}")
   }
+
+  test("autocorr: ramp is perfectly correlated at every lag, alternation " +
+      "flips sign by parity, constant series yields NULL, overflow guarded") {
+    import spark.implicits._
+    // ramp v = t: (v_t, v_{t+k}) is an exact linear map -> r = 1
+    val ramp = (0L to 40L).map(t => ("a", t, t)).toDF("k", "t", "v")
+    val ra = Timeseries.autocorr(ramp, "k", "t", "v", 3).orderBy("lag").collect()
+    assert(ra.map(_.getDouble(3)).toSeq == Seq(1.0, 1.0, 1.0))
+    assert(ra.map(_.getLong(2)).toSeq == Seq(40L, 39L, 38L)) // pair counts
+    // alternating +1/-1: r(odd lag) = -1, r(even lag) = +1
+    val alt = (0L to 40L).map(t => ("a", t, if (t % 2 == 0) 1L else -1L))
+      .toDF("k", "t", "v")
+    val rb = Timeseries.autocorr(alt, "k", "t", "v", 2).orderBy("lag").collect()
+    assert(rb(0).getDouble(3) == -1.0 && rb(1).getDouble(3) == 1.0)
+    // constant series: zero variance -> NULL, never a divide-by-zero
+    val const = (0L to 10L).map(t => ("a", t, 7L)).toDF("k", "t", "v")
+    assert(Timeseries.autocorr(const, "k", "t", "v", 1).collect()
+      .forall(_.isNullAt(3)))
+    // magnitudes that would wrap the LONG sums refuse loudly
+    val big = Seq(("a", 0L, 4000000000L), ("a", 1L, 4000000000L))
+      .toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      Timeseries.autocorr(big, "k", "t", "v", 1)
+    }
+  }
 }
