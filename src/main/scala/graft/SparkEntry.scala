@@ -7209,6 +7209,58 @@ object SparkEntry {
     view2.orderBy("grp")
   }
 
+  /** MULTI-TABLE SAVEPOINT through the gate ([[graft.io.Snapshots
+    * .savepoint]]/`readAt`): one name captures BOTH tables' versions,
+    * both tables then evolve destructively (a CoW delete on the fact
+    * side, junk appended to the dimension side), a retention-1 vacuum
+    * expires everything untagged — and the reporting join re-resolved
+    * AT the savepoint must still equal its capture-time value while
+    * the current-state join must differ (proving the savepoint reads
+    * genuinely old state, not a cached frame). The oracle replays the
+    * savepoint-time join from raw tables.
+    */
+  private def q90Savepoint(s: SparkSession, dir: String): DataFrame = {
+    val tf = ioTmp(dir, "sp_fact")
+    val td = ioTmp(dir, "sp_dim")
+    Seq(tf, td).foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("ck"), cents(col("o_totalprice")).as("cents"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    graft.io.Snapshots.commit(o, tf)
+    graft.io.Snapshots.commit(c, td)
+    val cap = graft.io.Snapshots.savepoint(s, Seq(tf, td), "rec")
+    require(cap == Map(tf -> 1, td -> 1), s"q90: captured $cap")
+    def segJoin(fact: DataFrame, dimd: DataFrame) =
+      fact.join(dimd, Seq("ck"))
+        .groupBy("seg").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    // destructive evolution on both sides
+    val (v2, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, tf, col("k") % 2 === 0)
+    require(v2 == 2 && rewr >= 1, s"q90: fact delete landed ($v2, $rewr)")
+    val junk = c.limit(5).select((col("ck") + lit(1000000000L)).as("ck"),
+      lit("JUNK").as("seg"))
+    graft.io.Snapshots.commit(
+      s.createDataFrame(junk.rdd,
+        org.apache.spark.sql.types.StructType(
+          junk.schema.map(_.copy(nullable = true)))),
+      td)
+    graft.io.Snapshots.vacuum(s, tf, keepVersions = 1, orphanGraceMs = 0L)
+    graft.io.Snapshots.vacuum(s, td, keepVersions = 1, orphanGraceMs = 0L)
+    val atSp = segJoin(graft.io.Snapshots.readAt(s, tf, "rec"),
+      graft.io.Snapshots.readAt(s, td, "rec")).localCheckpoint()
+    val cur = segJoin(graft.io.Snapshots.read(s, tf),
+      graft.io.Snapshots.read(s, td))
+    require(atSp.exceptAll(cur).count() > 0,
+      "q90: the savepoint read must differ from the evolved current " +
+        "state — it is reading fresh data")
+    atSp.orderBy("seg")
+  }
+
   /** RIGHT-TO-ERASURE DRILL, end to end (io26 × io27 × io19): the
     * compliance lifecycle a lakehouse owes its operators — tombstone
     * the subjects ([[graft.io.Snapshots.deleteWhereMoR]], the instant
@@ -7779,6 +7831,7 @@ object SparkEntry {
     "q88_stream_kmv" -> q88StreamKmv _,
     "t82_refinery" -> t82Refinery _,
     "q89_erasure_drill" -> q89ErasureDrill _,
+    "q90_savepoint" -> q90Savepoint _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -11270,6 +11323,14 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_tombstoned_visible,
         |  CAST(nd.n_deleted_keys AS BIGINT) AS n_deleted_keys
         |FROM pre, post, nd""".stripMargin,
+    // the savepoint-time join: full orders x customer, before the
+    // delete and the junk dimension rows
+    "q90_savepoint" ->
+      """SELECT c.c_mktsegment AS seg, count(*) AS n,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY seg""".stripMargin,
     // survivor totals from raw orders; the physical-erasure proof is
     // require-gated in-query (filesystem state is not SQL-expressible)
     "q89_erasure_drill" ->

@@ -994,6 +994,41 @@ object Snapshots {
     }.toMap
   }
 
+  /** MULTI-TABLE SAVEPOINT: one name tags EVERY listed table's current
+    * version, so a cross-table computation (the reporting join, the
+    * training-run input set) can be re-resolved later exactly as it
+    * was — each table read at `resolveTag(name)` — and [[vacuum]] pins
+    * all of them. Claims happen per table in order: each table's tag
+    * is exact for that table, but a writer landing BETWEEN claims
+    * makes the savepoint fuzzy ACROSS tables (the standard caveat of
+    * any lakehouse without multi-table transactions — quiesce writers
+    * or check the returned versions if cross-table atomicity matters).
+    * A failed claim rolls back the tags already taken.
+    *
+    * @return table → version captured
+    */
+  def savepoint(s: SparkSession, tables: Seq[String],
+      name: String): Map[String, Int] = {
+    require(tables.nonEmpty, "savepoint: no tables")
+    val claimed = scala.collection.mutable.ListBuffer[String]()
+    try {
+      tables.map { t =>
+        val v = latestVersion(s, t)
+        tagVersion(s, t, name, v)
+        claimed += t
+        t -> v
+      }.toMap
+    } catch {
+      case e: Throwable =>
+        claimed.foreach(t => dropTag(s, t, name))
+        throw e
+    }
+  }
+
+  /** Read `table` as of the named savepoint/tag. */
+  def readAt(s: SparkSession, table: String, name: String): DataFrame =
+    read(s, table, Some(resolveTag(s, table, name)))
+
   /** WRITE–AUDIT–PUBLISH, stage step (the Iceberg WAP pattern): the
     * batch's data lands under its own directory and a `staged-<id>.txt`
     * marker OUTSIDE the manifest chain — readers of the table see
