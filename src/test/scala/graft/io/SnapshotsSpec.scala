@@ -689,6 +689,49 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 1) // table untouched
   }
 
+  test("changeFeed fold law holds under randomized operation sequences") {
+    import spark.implicits._
+    // seeded generator: appends of fresh keys, MoR deletes, CoW
+    // deletes, compactions, materializations in arbitrary interleavings
+    // — after EVERY step, folding insert − delete over the whole feed
+    // must reconstruct read(latest) bit-for-bit
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable()
+      var nextId = 0L
+      def appendFresh(n: Int): Unit = {
+        val rows = (nextId until nextId + n).map(k => (k, k * 10L))
+        nextId += n
+        Snapshots.commit(rows.toDF("k", "v"), t): Unit
+      }
+      appendFresh(20)
+      for (_ <- 1 to 6) {
+        rnd.nextInt(6) match {
+          case 0 | 1 => appendFresh(5 + rnd.nextInt(10))
+          case 2 =>
+            Snapshots.deleteWhereMoR(spark, t, "k",
+              col("k") % (3 + rnd.nextInt(4)) === rnd.nextInt(3)): Unit
+          case 3 =>
+            Snapshots.deleteWhere(spark, t,
+              col("k") % (3 + rnd.nextInt(4)) === rnd.nextInt(3)): Unit
+          case 4 =>
+            Snapshots.compactSmall(spark, t, smallBytes = 1L << 30): Unit
+          case 5 =>
+            Snapshots.materializeDeletes(spark, t): Unit
+        }
+        val latest = Snapshots.latestVersion(spark, t)
+        val feed = Snapshots.changeFeed(spark, t, 1, latest)
+        val folded = feed.filter(col("_change_type") === "insert")
+          .select("k", "v")
+          .join(feed.filter(col("_change_type") === "delete").select("k"),
+            Seq("k"), "left_anti")
+        val live = Snapshots.read(spark, t).select("k", "v")
+        assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
+          s"fold law broke at seed=$seed v$latest")
+      }
+    }
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
