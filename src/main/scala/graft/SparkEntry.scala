@@ -5527,6 +5527,63 @@ object SparkEntry {
       .orderBy("id1", "id2")
   }
 
+  /** DEDUP → SERVING-INDEX CLEANUP (d6 × sim24): near-dup DETECTION
+    * drives the index deletion — the pipeline that keeps a production
+    * ANN index duplicate-free. The d6 planted corpus (every 20th
+    * vector re-added verbatim) is indexed, [[ops.Similarity
+    * .cosineDupPairs]] finds the duplicate pairs, the LOSERS (larger
+    * id per pair — the re-adds) are REQUIRED to be exactly the planted
+    * copy set (detection is complete AND precise, no collateral), and
+    * a MoR tombstone evicts them from the postings at O(losers).
+    * Post-cleanup search must equal the index that never contained the
+    * copies, bit-for-bit. The oracle replays the IVF chain over the
+    * original corpus under the planted-corpus centroid set.
+    */
+  private def d31IndexCleanup(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "idx_cleanup")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = e.unionByName(
+      e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val cents = planted.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      .localCheckpoint()
+    graft.io.Snapshots.commit(
+      ops.Similarity.ivfCells(planted, cents), table)
+    // detection: the d6 fast path; losers = larger id per pair
+    val losers = ops.Similarity.cosineDupPairs(planted, 0.95,
+        probes = 2, centroidEvery = 50)
+      .select(greatest(col("id1"), col("id2")).as("loser")).distinct()
+    val expected = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("loser"))
+    require(losers.exceptAll(expected).isEmpty &&
+        expected.exceptAll(losers).isEmpty,
+      "d31: detected losers must be EXACTLY the planted copies — " +
+        "detection is incomplete or clipping originals")
+    // eviction: O(losers) tombstones on the postings (the require
+    // above proves this predicate IS the detected loser set)
+    val (v2, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "nn_id", col("nn_id") >= 100000L)
+    require(v2 == 2 && nDel > 0, s"d31: eviction landed ($v2, $nDel)")
+    val queries = e.filter(col("vec_id") < 10)
+    val viaIndex = ops.Similarity.ivfTopKFromCells(
+      graft.io.Snapshots.read(s, table), queries, 3, 2, cents)
+      .localCheckpoint()
+    require(viaIndex.filter(col("nn_id") >= 100000L).count() == 0,
+      "d31: a deleted duplicate surfaced in search results")
+    val rebuilt = ops.Similarity.ivfTopKWith(e, queries, 3, 2, cents)
+    require(viaIndex.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(viaIndex).isEmpty,
+      "d31: cleaned index must equal the never-duplicated index " +
+        "bit-for-bit")
+    viaIndex.select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nn_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Similarity-search tier
   // ---------------------------------------------------------------------
@@ -7832,6 +7889,7 @@ object SparkEntry {
     "t82_refinery" -> t82Refinery _,
     "q89_erasure_drill" -> q89ErasureDrill _,
     "q90_savepoint" -> q90Savepoint _,
+    "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
     "q66_holt" -> q66Holt _,
@@ -12590,6 +12648,33 @@ object SparkEntry {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, cosine FROM p WHERE cosine >= 0.4 ORDER BY id1, id2""".stripMargin,
     // lossless all-pairs oracle over the planted corpus (see d6IvfDup)
+    // search over the cleaned index == the IVF chain on the ORIGINAL
+    // corpus under the PLANTED centroid set (copy-centroids are
+    // duplicate vectors of their originals; id tie-break keeps
+    // assignment deterministic on both engines)
+    "d31_index_cleanup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS cent_id, v FROM e WHERE vec_id % 50 = 0
+        |          UNION ALL
+        |          SELECT vec_id + 100000, v FROM e
+        |          WHERE vec_id % 20 = 0 AND (vec_id + 100000) % 50 = 0),
+        |ca AS (SELECT x.vec_id AS nn_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c),
+        |cell AS (SELECT nn_id, cent_id FROM (
+        |  SELECT nn_id, cent_id, row_number() OVER (PARTITION BY nn_id ORDER BY d, cent_id) AS r FROM ca) WHERE r = 1),
+        |pa AS (SELECT x.vec_id AS query_id, c.cent_id, ${l2Sql("x", "c")} AS d
+        |       FROM e x CROSS JOIN cents c WHERE x.vec_id < 10),
+        |probes AS (SELECT query_id, cent_id FROM (
+        |  SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY d, cent_id) AS r FROM pa) WHERE r <= 2),
+        |p AS (SELECT pr.query_id, ce.nn_id, ${cosineSql("nq", "nc")} AS cosine
+        |      FROM probes pr JOIN cell ce ON pr.cent_id = ce.cent_id AND ce.nn_id <> pr.query_id
+        |      JOIN n nq ON nq.vec_id = pr.query_id JOIN n nc ON nc.vec_id = ce.nn_id),
+        |r AS (SELECT query_id, nn_id, cosine,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, nn_id, cosine FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "d6_ivf_dup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |           UNION ALL
