@@ -732,6 +732,31 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("savepoint: captures all tables, rolls back its own tags on a " +
+      "partial failure, leaves pre-existing tags untouched") {
+    import spark.implicits._
+    val t1 = freshTable()
+    val t2 = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "s"), t1)
+    Snapshots.commit(Seq((2L, "b")).toDF("k", "s"), t2)
+    // happy path: one name captures both
+    assert(Snapshots.savepoint(spark, Seq(t1, t2), "rec")
+      == Map(t1 -> 1, t2 -> 1))
+    assert(Snapshots.readAt(spark, t1, "rec").count() == 1)
+    // partial failure: ONLY t2 already holds "rec2", so t1's claim
+    // succeeds first and t2's refusal must roll t1's fresh tag back
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "s"), t1)
+    Snapshots.commit(Seq((4L, "d")).toDF("k", "s"), t2)
+    Snapshots.tagVersion(spark, t2, "rec2", 2)
+    intercept[IllegalArgumentException] {
+      Snapshots.savepoint(spark, Seq(t1, t2), "rec2")
+    }
+    // t1 carries ONLY the original savepoint tag (the rec2 claim
+    // rolled back); t2's pre-existing tags are untouched
+    assert(Snapshots.tagsOf(spark, t1) == Map("rec" -> 1))
+    assert(Snapshots.tagsOf(spark, t2) == Map("rec" -> 1, "rec2" -> 2))
+  }
+
   test("latestVersion recovers from a crashed hint write") {
     import spark.implicits._
     val t = freshTable()
