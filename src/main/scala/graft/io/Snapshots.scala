@@ -1097,8 +1097,11 @@ object Snapshots {
       val prev = latestVersion(s, table)
       checkSchemaOf(s, table, stagedSchema, allowEvolve = false)
       val prevLines = if (prev == 0) Nil else manifestLines(s, table, prev)
+      // empty table: record the STAGE-TIME contract, not the parquet
+      // read-back DDL (NOT NULL loosened to nullable — a later commit
+      // of the original non-nullable schema would refuse as drift)
       val prevDdl = (if (prev >= 1) schemaOf(s, table, prev) else None)
-        .getOrElse(df.schema.toDDL)
+        .getOrElse(stagedDdl)
       val header = (prevLines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema $prevDdl") ++
         prevLines.filter(_.startsWith("#dirstats ")) ++
@@ -1168,6 +1171,19 @@ object Snapshots {
       val dirs = lines.filterNot(_.startsWith("#"))
       val df = applyRenames(lines, s.read.option("mergeSchema", "true")
         .parquet(dirs.map(d => s"$table/$d"): _*))
+      // fail fast BEFORE the rewrite: a NULL in any z-column would
+      // yield a null __chunk (a __HIVE_DEFAULT_PARTITION__ dir and an
+      // NPE in the stats pass AFTER the full table rewrite) — the
+      // zValue contract is non-null, enforced loudly up front
+      val nullRow = df.agg(count(lit(1)).as("__all"),
+        zCols.map(c => count(col(c)).as(s"__nn_$c")): _*).head()
+      val total = nullRow.getLong(0)
+      zCols.zipWithIndex.foreach { case (c, i) =>
+        require(nullRow.getLong(i + 1) == total,
+          s"optimizeClustered: z-column '$c' at $table has " +
+            s"${total - nullRow.getLong(i + 1)} NULL row(s) — the " +
+            "zValue contract requires non-null integral values")
+      }
       val zMax = 1L << (zCols.size * bitsPerDim)
       val width = math.max(1L, zMax / nChunks)
       // `div` for EXACT integral chunking (a double `/` would lose
@@ -1363,10 +1379,15 @@ object Snapshots {
             .filterNot(prevDirs)
           if (newDirs.isEmpty) Nil
           else {
-            val rows = applyRenames(mapLines,
-              s.read.option("mergeSchema", "true")
-                .parquet(newDirs.map(d => s"$table/$d"): _*))
-            Seq(applyDv(s, table, dvLinesOf(lines), rows)
+            // dv FIRST, on the raw read: dv key files hold the physical
+            // key name of their era (renameColumn refuses while #dv
+            // lines are live, so version-v dirs share it), and toV's
+            // rename mapping may have since retired that name — folding
+            // renames first would leave the anti-join unresolvable
+            val raw = s.read.option("mergeSchema", "true")
+              .parquet(newDirs.map(d => s"$table/$d"): _*)
+            Seq(applyRenames(mapLines,
+                applyDv(s, table, dvLinesOf(lines), raw))
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v)))
           }

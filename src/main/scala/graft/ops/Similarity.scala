@@ -279,13 +279,19 @@ object Similarity {
     * engines agree bit-for-bit). The classic 2-approximation to the
     * k-center objective.
     *
-    * Scale shape: each of the k−1 rounds is ONE distributed pass — the
-    * ≤k selected vectors broadcast, the per-candidate min collapses
-    * map-side (partial-aggregable groupBy, the [[assignCells]]
-    * argument), and only the single winning row reaches the driver.
-    * Nothing corpus-sized is ever collected; cost is k scans, the
-    * honest price of a sequentially-dependent greedy (each round's
-    * winner changes the next round's distances).
+    * Scale shape — INCREMENTAL dmin (the standard farthest-point
+    * formulation): a running `(cand, cand_vec, dmin)` frame persists
+    * across rounds (localCheckpoint truncates the lineage, the
+    * Graph.scala pattern), and each round folds in ONLY the single new
+    * center — one broadcast row, one `least(dmin, d_new)` map-side
+    * pass, one max-struct aggregate whose single winning row reaches
+    * the driver. Total distance work is O(k·n), not the O(k²·n) of
+    * re-scoring every candidate against ALL selected centers each
+    * round — same k scans, k× fewer distances, the shape that holds
+    * when k is coreset-sized (thousands). Output is bit-identical to
+    * the re-score-everything form: each pairwise distance is rounded
+    * BEFORE any min, and `least` of previously-folded mins equals the
+    * min over all pairs (spec-gated at k=8).
     *
     * @return (round, vec_id, min_dist) — round 1 is the seed, dist 0
     */
@@ -293,22 +299,40 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VecExpressions.register(corpus.sparkSession)
     require(k >= 1, s"kCenterGreedy: k must be >= 1, got $k")
-    val seed = corpus.agg(min(col(idCol))).head().getLong(0)
+    val seedRow = corpus.agg(min(col(idCol))).head()
+    require(!seedRow.isNullAt(0), "kCenterGreedy: empty corpus")
+    val seed = seedRow.getLong(0)
     val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)](
       (1L, seed, 0.0))
+    def selVecOf(id: Long) = broadcast(
+      corpus.filter(col(idCol) === id).select(col(vecCol).as("sel_vec")))
+    // seed the running frame: every non-seed candidate's distance to
+    // the one selected center
+    var run = corpus.filter(col(idCol) =!= seed)
+      .select(col(idCol).as("cand"), col(vecCol).as("cand_vec"))
+      .join(selVecOf(seed))
+      .select(col("cand"), col("cand_vec"),
+        rounded(sqrt(l2NativeSq(col("cand_vec"), col("sel_vec")))).as("dmin"))
+      .localCheckpoint()
     for (r <- 2 to k) {
-      val ids = sel.map(_._2).toSeq
-      val selDf = corpus.filter(col(idCol).isin(ids: _*))
-        .select(col(vecCol).as("sel_vec"))
-      val row = corpus.filter(!col(idCol).isin(ids: _*))
-        .join(broadcast(selDf))
-        .select(col(idCol).as("cand"),
-          rounded(sqrt(l2NativeSq(col(vecCol), col("sel_vec")))).as("d"))
-        .groupBy(col("cand")).agg(min(col("d")).as("dmin"))
+      val row = run
         .agg(max(struct(col("dmin"), (-col("cand")).as("negid"))).as("best"))
         .select(col("best.dmin").as("dmin"), (-col("best.negid")).as("id"))
         .head()
-      sel += ((r.toLong, row.getLong(1), row.getDouble(0)))
+      require(!row.isNullAt(0),
+        s"kCenterGreedy: k=$k exceeds the corpus size (candidates " +
+          s"exhausted at round $r)")
+      val winner = row.getLong(1)
+      sel += ((r.toLong, winner, row.getDouble(0)))
+      if (r < k) {
+        // fold ONLY the new center into the running minima
+        run = run.filter(col("cand") =!= winner)
+          .join(selVecOf(winner))
+          .select(col("cand"), col("cand_vec"),
+            least(col("dmin"), rounded(sqrt(l2NativeSq(
+              col("cand_vec"), col("sel_vec"))))).as("dmin"))
+          .localCheckpoint()
+      }
     }
     val s = corpus.sparkSession
     val rows = sel.map { case (r, id, d) =>

@@ -744,27 +744,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOf(plan, "CartesianProduct") == 0, s"cartesian in t77:\n$plan")
   }
 
-  test("kCenterGreedy round: selected set broadcast, per-candidate min " +
-      "partial-aggregable, nothing corpus-sized collected") {
+  test("kCenterGreedy round: ONE new center broadcast, running dmin " +
+      "folded map-side via least, single-row argmax — no groupBy shuffle") {
     import spark.implicits._
     val df = (0L to 99L).map(i => (i, Array(i.toFloat, (i % 7).toFloat)))
       .toDF("vec_id", "embedding")
-    // audit ONE greedy round's distributed pass: candidates x broadcast
-    // selected -> map-side min -> single-row argmax
-    val sel = df.filter(col("vec_id") === 0L).select(col("embedding").as("sel_vec"))
     graft.expr.VecExpressions.register(spark)
-    val pass1 = df.filter(col("vec_id") =!= 0L)
-      .join(broadcast(sel))
-      .select(col("vec_id").as("cand"),
-        round(sqrt(graft.functions.VectorFunctions.l2NativeSq(
-          col("embedding"), col("sel_vec"))), 6).as("d"))
-      .groupBy(col("cand")).agg(min(col("d")).as("dmin"))
+    // audit ONE incremental round: running (cand, cand_vec, dmin) frame
+    // × broadcast(new center) → least(dmin, d_new) map-side → max-struct
+    val run = df.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id").as("cand"), col("embedding").as("cand_vec"),
+        lit(5.0).as("dmin")).localCheckpoint()
+    val newSel = df.filter(col("vec_id") === 42L)
+      .select(col("embedding").as("sel_vec"))
+    val pass = run.join(broadcast(newSel))
+      .select(col("cand"), col("cand_vec"),
+        least(col("dmin"), round(sqrt(graft.functions.VectorFunctions
+          .l2NativeSq(col("cand_vec"), col("sel_vec"))), 6)).as("dmin"))
       .agg(max(struct(col("dmin"), (-col("cand")).as("negid"))))
-    val plan = executed(pass1)
-    assert(plan.contains("partial_min"),
-      s"k-center per-candidate min lost map-side collapse:\n$plan")
+    val plan = executed(pass)
+    assert(plan.contains("partial_max"),
+      s"k-center argmax lost map-side collapse:\n$plan")
     assert(countOf(plan, "BroadcastExchange") >= 1,
-      s"k-center selected set not broadcast:\n$plan")
+      s"k-center new center not broadcast:\n$plan")
+    // the incremental fold must NOT reintroduce a per-candidate groupBy
+    // (that was the O(k²·n) form's shuffle — least() replaces it)
+    assert(!plan.contains("HashAggregate(keys=[cand"),
+      s"k-center round regressed to a keyed aggregate:\n$plan")
     assert(!plan.contains("CartesianProduct") || countOf(plan, "BroadcastNestedLoopJoin") >= 1,
       s"k-center pairing shape:\n$plan")
   }

@@ -770,4 +770,66 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, t) == 2)
     assert(Snapshots.read(spark, t).count() == 2)
   }
+
+  test("changeFeed replays an append that carried live dv lines even " +
+      "after the dv key column was materialized away and renamed") {
+    import spark.implicits._
+    val t = freshTable()
+    // v1 append; v2 MoR-delete (live #dv on 'k'); v3 append — its
+    // manifest CARRIES the #dv lines under the old physical key name
+    Snapshots.commit((1L to 6L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    val (v2, nDel) = Snapshots.deleteWhereMoR(spark, t, "k", col("k") <= 2L)
+    assert(v2 == 2 && nDel == 2)
+    Snapshots.commit(Seq((1L, "re"), (10L, "new")).toDF("k", "s"), t)
+    // v4 materialize (unblocks the rename), v5 rename k -> key
+    val (v4, _, _) = Snapshots.materializeDeletes(spark, t)
+    assert(v4 == 4)
+    assert(Snapshots.renameColumn(spark, t, "k", "key") == 5)
+    // replaying the WHOLE range must not throw: v3's append branch
+    // applies its era's dv (physical name 'k') on the raw read BEFORE
+    // folding toV's rename mapping
+    val feed = Snapshots.changeFeed(spark, t, 1, 5).cache()
+    assert(feed.columns.contains("key") && !feed.columns.contains("k"))
+    // v3's insert excludes re-inserted tombstoned key 1
+    assert(feed.filter($"_commit_version" === 3).select("key")
+      .as[Long].collect().sorted.toSeq == Seq(10L))
+    // fold law still reconstructs the live view across the rename
+    val folded = feed.filter($"_change_type" === "insert").select("key", "s")
+      .join(feed.filter($"_change_type" === "delete").select("key"),
+        Seq("key"), "left_anti")
+    val live = Snapshots.read(spark, t, Some(5)).select("key", "s")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
+  }
+
+  test("publishStaged into an empty table records the stage-time schema " +
+      "contract, not the nullable-loosened parquet read-back") {
+    import spark.implicits._
+    val t = freshTable()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s") // id: BIGINT NOT NULL
+    assert(df.schema("id").nullable == false)
+    val id = Snapshots.commitStaged(df, t)
+    assert(Snapshots.publishStaged(spark, t, id) == 1)
+    // v1's contract carries NOT NULL from stage time
+    assert(Snapshots.schemaOf(spark, t, 1).exists(_.contains("NOT NULL")))
+    // so the producer's next commit of the SAME shape is not refused
+    assert(Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t) == 2)
+    assert(Snapshots.read(spark, t).count() == 3)
+  }
+
+  test("optimizeClustered refuses a NULL z-column value BEFORE any " +
+      "rewrite — no staging dirs, version unchanged") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(3L), "a"), (2L, None, "b"), (3L, Some(5L), "c"))
+    val t = freshTable()
+    Snapshots.commit(rows.toDF("id", "z", "s"), t)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.optimizeClustered(spark, t, Seq("id", "z"),
+        bitsPerDim = 8, nChunks = 4)
+    }
+    assert(e.getMessage.contains("NULL") && e.getMessage.contains("z"))
+    assert(Snapshots.latestVersion(spark, t) == 1)
+    // fail-fast means no .opt-* staging dir was ever written
+    val f = new java.io.File(t)
+    assert(!f.listFiles().exists(_.getName.startsWith(".opt-")))
+  }
 }

@@ -620,6 +620,48 @@ class SimilaritySpec extends SparkSpec {
       sel(3).getDouble(2) == 2.0)
     assert(sel.map(_.getLong(1)).distinct.length == 4)
   }
+
+  test("kCenterGreedy incremental dmin: bit-identical to the " +
+      "re-score-all-centers formulation at k=8") {
+    import spark.implicits._
+    val vecs = (0L to 39L).map(i =>
+      (i, Array(((i * 37) % 11).toFloat, ((i * 13) % 7).toFloat,
+        ((i * 5) % 3).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(df, 8).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // local reference: the O(k²·n) form — every candidate re-scored
+    // against ALL selected centers each round (what the op used to do);
+    // same per-pair micro-rounding and max-(dmin, -id) tie-break
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      round6(math.sqrt(a.zip(b).map { case (x, y) =>
+        val dd = x.toDouble - y.toDouble; dd * dd }.sum))
+    val byId = vecs.toMap
+    var ref = Vector((1L, 0L, 0.0))
+    for (r <- 2 to 8) {
+      val ids = ref.map(_._2).toSet
+      val best = vecs.filterNot(v => ids(v._1)).map { case (id, v) =>
+        (id, ref.map(s => dist(v, byId(s._2))).min)
+      }.maxBy { case (id, d) => (d, -id) }
+      ref :+= ((r.toLong, best._1, best._2))
+    }
+    assert(got == ref)
+  }
+
+  test("kCenterGreedy guards: loud on empty corpus and on k exceeding " +
+      "the corpus size") {
+    import spark.implicits._
+    val df = (0L to 2L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(df.filter(col("vec_id") < 0L), 2))
+    assert(e1.getMessage.contains("empty corpus"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(df, 5))
+    assert(e2.getMessage.contains("exceeds the corpus size"))
+  }
 }
 
 class GroupCentroidsSpec extends SparkSpec {
