@@ -7266,6 +7266,120 @@ object SparkEntry {
     view2.orderBy("grp")
   }
 
+  /** STREAMING CHANGE-FEED-AS-SOURCE ([[graft.streaming.ChangeFeedSync]]
+    * — q84's batch view sync upgraded to CONTINUOUS): a micro-batch
+    * stream (real engine, file-source clock ticks) folds the lakehouse
+    * table's change feed into a PERSISTED aggregate view inside
+    * `foreachBatch`, cursor recovered from the view itself and every
+    * sync CAS-deduped on the consumed source version — the Delta
+    * `readChangeFeed`-as-streaming-source shape. The gate drives the
+    * source through appends, a MoR delete, a CoW delete, and a late
+    * append across THREE stream runs sharing one checkpoint, then
+    * REPLAYS every tick from a fresh checkpoint: the replay must no-op
+    * entirely (view version count pinned), and the final stream-folded
+    * view must equal the direct aggregate of the source's latest
+    * version bit-for-bit. Cost shape: each sync reads O(changed rows)
+    * and commits a group-scale state — never re-reads the source table.
+    */
+  private def q91CdfSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import s.implicits._
+    val base = ioTmp(dir, "q91")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val view = s"$base/view"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      (col("o_custkey") % 10).as("grp"), cents(col("o_totalprice")).as("cents"))
+    // clock ticks: one tiny parquet per tick — the stream's only input;
+    // the DATA rides the change feed, polled inside foreachBatch
+    def writeTick(i: Int): Unit = {
+      val target = new java.io.File(s"$base/ticks/t$i.parquet")
+      val tmp = new java.io.File(s"$base/ticks/t$i.tmp")
+      Seq(i).toDF("tick").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(1000000000000L + i * 60000L): Unit
+    }
+    val tickSchema = StructType(Seq(StructField("tick", IntegerType)))
+    def runStream(ckpt: String): Unit = {
+      val q = s.readStream.schema(tickSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/ticks")
+        .writeStream
+        .foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.streaming.ChangeFeedSync.syncViewOnce(
+              s, src, view, "q91", "grp", "cents"): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint("q91_live")
+    // v1, v2: appends; tick 0 → sync folds versions 1..2
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    writeTick(0)
+    runStream(ckpt)
+    require(graft.streaming.ChangeFeedSync.cursorOf(s, view) == 2,
+      "q91: first sync must fold source versions 1..2")
+    val after2 = graft.streaming.ChangeFeedSync.currentView(s, view, "grp")
+    val direct2 = graft.io.Snapshots.read(s, src, Some(2))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    require(after2.exceptAll(direct2).isEmpty &&
+        direct2.exceptAll(after2).isEmpty,
+      "q91: view after sync 1 must equal the direct v2 aggregate")
+    // v3: MoR delete; tick 1 → sync folds 3..3 (same checkpoint resumes)
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, src, "k", col("k") % 7 === 0)
+    require(v3 == 3 && nDel > 0, s"q91: MoR delete landed ($v3, $nDel)")
+    writeTick(1)
+    runStream(ckpt)
+    require(graft.streaming.ChangeFeedSync.cursorOf(s, view) == 3,
+      "q91: second sync must fold the MoR delete")
+    // v4: CoW delete; v5: late append (shifted keys — disjoint from the
+    // live dv tombstones); tick 2 → ONE sync folds the RANGE 4..5
+    val (v4, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, src, col("k") % 5 === 0)
+    require(v4 == 4 && rewr >= 1, s"q91: CoW delete landed ($v4, $rewr)")
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0)
+      .select((col("k") + lit(1000000000L)).as("k"),
+        col("grp"), col("cents")), src)
+    writeTick(2)
+    runStream(ckpt)
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    require(graft.streaming.ChangeFeedSync.cursorOf(s, view) == 5,
+      "q91: third sync must fold the CoW delete + late append range")
+    val viewVersions = graft.io.Snapshots.latestVersion(s, view)
+    require(viewVersions == 3,
+      s"q91: expected 3 sync commits, got $viewVersions")
+    // FULL REPLAY from a fresh checkpoint: all three ticks re-fire, and
+    // every sync must no-op — cursor already at the source head, and the
+    // CAS txn tags close the race window
+    val ckpt2 = graft.streaming.EventsStream.ephemeralCheckpoint("q91_replay")
+    runStream(ckpt2)
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt2)
+    require(graft.io.Snapshots.latestVersion(s, view) == viewVersions,
+      "q91: replayed ticks committed duplicate view states")
+    // the stream-folded view equals the direct aggregate bit-for-bit
+    val folded = graft.streaming.ChangeFeedSync.currentView(s, view, "grp")
+    val direct = graft.io.Snapshots.read(s, src, Some(5))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    require(folded.exceptAll(direct).isEmpty &&
+        direct.exceptAll(folded).isEmpty,
+      "q91: the stream-maintained view must equal the direct aggregate " +
+        "bit-for-bit")
+    folded.orderBy("grp")
+  }
+
   /** MULTI-TABLE SAVEPOINT through the gate ([[graft.io.Snapshots
     * .savepoint]]/`readAt`): one name captures BOTH tables' versions,
     * both tables then evolve destructively (a CoW delete on the fact
@@ -7421,6 +7535,148 @@ object SparkEntry {
       .select(col("n_cur"), col("cents_cur"),
         lit(tagAgg.getLong(0)).as("n_tag"),
         lit(tagAgg.getLong(1)).as("cents_tag"))
+  }
+
+  /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
+    * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
+    * zero-padded `doc_<okey>` string id, committed as THREE key-range
+    * slices; a point lookup of the smallest id must open exactly ONE
+    * directory and a two-slice range exactly TWO — proven by the
+    * manifest's truncated string bounds alone, before any file listing
+    * (the Iceberg lower/upper-bound truncation convention, ASCII
+    * contract in [[graft.io.Snapshots]]). The residual filter keeps the
+    * answers exact; the oracle replays both lookups from raw orders.
+    * 100 TB shape: "fetch THIS doc_id" costs one manifest read plus
+    * one directory's files, not a lake scan.
+    */
+  private def io33StringStats(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "string_stats")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(
+      concat(lit("doc_"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+        .as("doc_id"),
+      cents(col("o_totalprice")).as("cents"),
+      col("o_orderkey").as("k"))
+    val b = o.agg(min("k").as("lo"), max("k").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val m1 = lo + (hi - lo + 1) / 3
+    val m2 = lo + 2 * ((hi - lo + 1) / 3)
+    val slices = Seq(
+      o.filter(col("k") < m1), o.filter(col("k") >= m1 && col("k") < m2),
+      o.filter(col("k") >= m2)).map(_.drop("k"))
+    slices.foreach { sl =>
+      require(sl.limit(1).count() == 1, "io33: empty key-range slice")
+      graft.io.Snapshots.commitWithStringStats(sl, table, "doc_id"): Unit
+    }
+    def docId(k: Long) = "doc_" + ("%012d".format(k))
+    // point lookup: the global min key lives in slice 1 alone
+    val point = graft.io.Snapshots.readPrunedString(
+      s, table, "doc_id", docId(lo), docId(lo))
+    require(point.dirsTotal == 3 && point.dirsRead == 1,
+      s"io33: point lookup read ${point.dirsRead}/${point.dirsTotal} dirs")
+    val pn = point.df.agg(count(lit(1)).as("n")).head().getLong(0)
+    // range [min, m2): spans slices 1–2, slice 3's lower bound excludes it
+    val range = graft.io.Snapshots.readPrunedString(
+      s, table, "doc_id", docId(lo), docId(m2 - 1))
+    require(range.dirsRead == 2,
+      s"io33: range read ${range.dirsRead}/3 dirs (want 2)")
+    val r = range.df.agg(count(lit(1)).as("n"), sum("cents").as("c")).head()
+    s.range(1).select(
+      lit(3L).as("n_dirs_total"), lit(1L).as("n_dirs_point"),
+      lit(pn).as("n_point"), lit(2L).as("n_dirs_range"),
+      lit(r.getLong(0)).as("n_range"), lit(r.getLong(1)).as("cents_range"))
+  }
+
+  /** PARTITION EVOLUTION through the gate ([[graft.io.Snapshots
+    * .commitPartitioned]]): the first half of orders commits FLAT, the
+    * second half commits HIVE-PARTITIONED on a derived segment column —
+    * a new partition spec adopted mid-table with zero rewrite of
+    * history. One read spans both layouts (gated: a segment filter
+    * reaches the new-spec scan as a `PartitionFilters` entry, so whole
+    * directories skip), and the per-segment aggregate over the union
+    * must hash-match DuckDB over raw orders. Time travel keeps the
+    * flat-era answer. 100 TB shape: re-partitioning a lake is a
+    * decision, not a migration.
+    */
+  private def io34PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "part_evo")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      concat(lit("s"), (col("o_custkey") % 4).cast("string")).as("seg"),
+      cents(col("o_totalprice")).as("cents"))
+    val mid = o.agg(((min("k") + max("k")) / 2).cast("long")).head().getLong(0)
+    graft.io.Snapshots.commit(o.filter(col("k") <= mid), table)
+    val v2 = graft.io.Snapshots.commitPartitioned(
+      o.filter(col("k") > mid), table, Seq("seg"))
+    require(v2 == 2, s"io34: partitioned commit landed v$v2")
+    // the segment filter must prune the hive-spec branch at plan level
+    val q = graft.io.Snapshots.read(s, table).filter(col("seg") === "s1")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    require(plan.contains("PartitionFilters: [isnotnull(seg"),
+      s"io34: segment filter did not reach the new-spec scan:\n$plan")
+    // time travel: the flat era alone
+    val n1 = graft.io.Snapshots.read(s, table, Some(1)).count()
+    require(n1 == o.filter(col("k") <= mid).count(),
+      s"io34: v1 must hold the flat half, got $n1")
+    graft.io.Snapshots.read(s, table)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("seg")
+  }
+
+  /** COMMIT-LEVEL USER PROPERTIES through the gate ([[graft.io
+    * .Snapshots]] `#prop` lines): three commits record pipeline
+    * lineage (`commit` with props, bare, `commitIfAbsent` with props),
+    * a MoR delete adds a maintenance version — and the properties
+    * round-trip commit → [[graft.io.Snapshots.propsOf]] →
+    * [[graft.io.Snapshots.tableHistory]] → [[graft.io.Snapshots
+    * .changeFeed]] `_commit_props` (gated equal per version, encoding
+    * surviving spaces/slashes). The query returns the history surface;
+    * the oracle pins it as constants (version structure is
+    * deterministic by construction).
+    */
+  private def io35CommitProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = ioTmp(dir, "commit_props")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table,
+      props = Map("pipeline" -> "ingest v2", "source" -> "crawl/2026-08"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    graft.io.Snapshots.commitIfAbsent(
+      o.orderBy("k").limit(5)
+        .select((col("k") + lit(2000000000L)).as("k"), col("cents")),
+      table, "io35", 7L, props = Map("batch" -> "7"))
+    val (v4, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 13 === 0)
+    require(v4 == 4 && nDel > 0, s"io35: MoR delete landed ($v4, $nDel)")
+    require(graft.io.Snapshots.propsOf(s, table, 1) ==
+      Map("pipeline" -> "ingest v2", "source" -> "crawl/2026-08") &&
+      graft.io.Snapshots.propsOf(s, table, 2).isEmpty &&
+      graft.io.Snapshots.propsOf(s, table, 3) == Map("batch" -> "7") &&
+      graft.io.Snapshots.propsOf(s, table, 4).isEmpty,
+      "io35: propsOf must round-trip per version, never carried")
+    // feed stamps every row with its own version's props
+    val feedProps = graft.io.Snapshots.changeFeed(s, table, 1, 4)
+      .select("_commit_version", "_commit_props").distinct()
+      .as[(Int, String)].collect().toMap
+    require(feedProps(1) == "pipeline=ingest v2;source=crawl/2026-08" &&
+      feedProps(2) == "" && feedProps(3) == "batch=7" &&
+      feedProps(4) == "",
+      s"io35: feed props drifted: $feedProps")
+    graft.io.Snapshots.tableHistory(s, table)
+      .select(col("version").cast("long").as("version"), col("change"),
+        col("n_dirs"), col("props"))
+      .orderBy("version")
   }
 
   /** RENAME WITHOUT REWRITE through the gate ([[graft.io.Snapshots
@@ -7889,6 +8145,10 @@ object SparkEntry {
     "t82_refinery" -> t82Refinery _,
     "q89_erasure_drill" -> q89ErasureDrill _,
     "q90_savepoint" -> q90Savepoint _,
+    "q91_cdf_source" -> q91CdfSource _,
+    "io33_string_stats" -> io33StringStats _,
+    "io34_partition_evolution" -> io34PartitionEvolution _,
+    "io35_commit_props" -> io35CommitProps _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -11389,6 +11649,50 @@ object SparkEntry {
         |    AS BIGINT) AS cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY seg""".stripMargin,
+    // the stream-folded view: all orders surviving the %7 tombstones
+    // and the %5 copy-on-write delete, plus the late-appended shifted
+    // %3 slice (disjoint keys, so no tombstone suppression); the
+    // exactly-once replay proof is require-gated in-query
+    "q91_cdf_source" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey % 10 AS grp,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |live AS (
+        |  SELECT grp, cents FROM o WHERE k % 7 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT grp, cents FROM o WHERE k % 3 = 0)
+        |SELECT grp, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_v
+        |FROM live GROUP BY grp ORDER BY grp""".stripMargin,
+    // replays the thirds split, the 1-of-3 point / 2-of-3 range pruning
+    // arithmetic, and both lookup answers from raw orders
+    "io33_string_stats" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM o),
+        |m AS (SELECT lo, lo + 2 * ((hi - lo + 1) // 3) AS m2 FROM b),
+        |r AS (SELECT count(*) AS n_range,
+        |        CAST(sum(cents) AS BIGINT) AS cents_range
+        |      FROM o, m WHERE k >= m.lo AND k <= m.m2 - 1)
+        |SELECT CAST(3 AS BIGINT) AS n_dirs_total,
+        |  CAST(1 AS BIGINT) AS n_dirs_point,
+        |  (SELECT count(*) FROM o, b WHERE k = b.lo) AS n_point,
+        |  CAST(2 AS BIGINT) AS n_dirs_range, r.n_range, r.cents_range
+        |FROM r""".stripMargin,
+    // the per-segment aggregate over the union of both layout eras
+    "io34_partition_evolution" ->
+      """WITH o AS (SELECT 's' || CAST(o_custkey % 4 AS VARCHAR) AS seg,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o GROUP BY seg ORDER BY seg""".stripMargin,
+    // the history surface is deterministic by construction: version
+    // kinds, dir counts, and the recorded lineage properties
+    "io35_commit_props" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'append', CAST(1 AS BIGINT),
+        |   'pipeline=ingest v2;source=crawl/2026-08'),
+        |  (CAST(2 AS BIGINT), 'append', CAST(2 AS BIGINT), ''),
+        |  (CAST(3 AS BIGINT), 'append', CAST(3 AS BIGINT), 'batch=7'),
+        |  (CAST(4 AS BIGINT), 'mor-delete', CAST(3 AS BIGINT), '')
+        |) t(version, change, n_dirs, props) ORDER BY version""".stripMargin,
     // survivor totals from raw orders; the physical-erasure proof is
     // require-gated in-query (filesystem state is not SQL-expressible)
     "q89_erasure_drill" ->

@@ -128,6 +128,124 @@ object Snapshots {
   private def manifestDirs(s: SparkSession, table: String, v: Int): Seq[String] =
     manifestLines(s, table, v).filterNot(_.startsWith("#"))
 
+  /** URL-encode for manifest line safety: values ride space-delimited
+    * text lines, so spaces/newlines/controls must not appear raw.
+    */
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+
+  private def dec(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  /** String bounds truncate to this many chars before riding the
+    * manifest — the Iceberg write.metadata truncation convention: keys
+    * can be KBs (URLs, paths), and only a prefix is needed to prune.
+    */
+  private val StrStatsTrunc = 16
+
+  /** A `#dirstatsS` manifest line for a string column's [min, max] —
+    * PRINTABLE-ASCII VALUES ONLY (doc ids, URLs, paths): for ASCII,
+    * Java's per-char order, Spark's UTF8String byte order, and DuckDB's
+    * binary collation all agree, so a prune decision is provably
+    * conservative on every engine. Non-ASCII bounds record nothing (the
+    * dir always reads — advisory, never lossy). The lower bound
+    * truncates to a prefix (a prefix sorts ≤ the original — still a
+    * lower bound); the upper bound truncates and INCREMENTS its last
+    * incrementable char (a plain prefix would sort below the values it
+    * must bound).
+    */
+  private def strStatsLine(dir: String, c: String, mn: String,
+      mx: String): Option[String] = {
+    val ascii = (mn + mx).forall(ch => ch >= ' ' && ch < 127.toChar)
+    if (!ascii || mn.isEmpty || mx.isEmpty) None
+    else truncUpperAscii(mx, StrStatsTrunc).map { up =>
+      val lo = if (mn.length <= StrStatsTrunc) mn
+        else mn.substring(0, StrStatsTrunc)
+      s"#dirstatsS $dir $c ${enc(lo)} ${enc(up)}"
+    }
+  }
+
+  private def truncUpperAscii(v: String, n: Int): Option[String] =
+    if (v.length <= n) Some(v)
+    else {
+      val p = v.substring(0, n).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) >= '~') i -= 1 // '~' = max printable ASCII
+      if (i < 0) None
+      else { p(i) = (p(i) + 1).toChar; Some(new String(p, 0, i + 1)) }
+    }
+
+  /** Unsigned UTF-8 byte order — EXACTLY the order Spark's min/max
+    * computed the committed bounds in (UTF8String binary comparison),
+    * so a prune decision against arbitrary query bounds can never be
+    * optimistic. Java's String.compareTo (UTF-16 code units) diverges
+    * above the BMP.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Per-dir partition specs: `#spec <dir> <col[,col…]>` manifest lines
+    * (dir → partition columns). A dir WITHOUT a spec line is flat.
+    */
+  private def specLinesOf(lines: Seq[String]): Map[String, Seq[String]] =
+    lines.filter(_.startsWith("#spec "))
+      .map(_.stripPrefix("#spec ").split(" ")).collect {
+        case Array(d, cols) => d -> cols.split(",").toSeq
+      }.toMap
+
+  /** Raw spec-aware read of `dirs`: directories GROUP by their partition
+    * spec and each group reads as one multi-path scan — Hive partition
+    * discovery materializes the partition columns for partitioned
+    * groups, flat groups read as before — then the groups union by
+    * name. This is what lets a table EVOLVE its partition spec without
+    * rewriting history: old flat (or old-spec) dirs and new-spec dirs
+    * coexist in one version, and a filter on the partition column
+    * reaches the new-spec scan branch as a PartitionFilter (whole
+    * directories skipped) while old dirs fall back to row filtering.
+    * Partition values round-trip through path encoding, so discovered
+    * types are re-cast to the COMMITTED `#schema` contract (path
+    * inference would read a numeric-looking string back as int).
+    * With one spec group this degenerates to exactly the old single
+    * scan — no plan change for unevolved tables.
+    *
+    * `withFile` projects `input_file_name()` as `__f` INSIDE each group
+    * (the expression must bind directly over a scan, and per-branch
+    * projection keeps that true under the union).
+    */
+  private def readDirsRaw(s: SparkSession, table: String, lines: Seq[String],
+      dirs: Seq[String], withFile: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(dirs.nonEmpty, s"readDirsRaw: no directories at $table")
+    val specs = specLinesOf(lines)
+    val contract = lines.find(_.startsWith("#schema "))
+      .map(d => org.apache.spark.sql.types.StructType
+        .fromDDL(d.stripPrefix("#schema ")))
+    val groups = dirs.groupBy(d => specs.getOrElse(d, Nil)).toSeq
+      .sortBy(_._1.mkString(","))
+    val frames = groups.map { case (partCols, ds) =>
+      val base = s.read.option("mergeSchema", "true")
+        .parquet(ds.map(d => s"$table/$d"): _*)
+      val cast = partCols.foldLeft(base) { (df, c) =>
+        contract.flatMap(_.fields.find(_.name == c)) match {
+          case Some(f) if df.columns.contains(c) =>
+            df.withColumn(c, col(c).cast(f.dataType))
+          case _ => df
+        }
+      }
+      if (withFile) cast.withColumn("__f", input_file_name()) else cast
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Append-commit `df` as the table's next version; returns the version
     * this writer WON. The data directory name is COMMIT-unique (not
     * version-derived), so a crashed attempt's orphan never collides with
@@ -135,8 +253,9 @@ object Snapshots {
     * written once while only the cheap manifest claim retries.
     */
   def commit(df: DataFrame, table: String, maxAttempts: Int = 50,
-      allowEvolve: Boolean = false): Int =
-    commitTagged(df, table, None, maxAttempts, allowEvolve)
+      allowEvolve: Boolean = false,
+      props: Map[String, String] = Map.empty): Int =
+    commitTagged(df, table, None, maxAttempts, allowEvolve, props = props)
       .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
 
   /** [[commit]] plus MANIFEST COLUMN STATS: the new directory's
@@ -168,6 +287,48 @@ object Snapshots {
       allowEvolve: Boolean = false): Int = {
     require(statsCols.nonEmpty, "commitWithMultiStats: no stats columns")
     commitTagged(df, table, None, maxAttempts, allowEvolve, statsCols)
+      .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+  }
+
+  /** [[commitWithStats]] for a STRING key column (`doc_id`, URL, path —
+    * the identifiers a training-data lake is actually looked up by):
+    * the new directory's min/max ride a `#dirstatsS` line with
+    * TRUNCATED bounds (the Iceberg convention — see [[strStatsLine]]
+    * for the ASCII contract and upper-bound increment), and
+    * [[readPrunedString]] skips whole directories before file listing.
+    * Composable with the integral flavors: `intStatsCols` rides the
+    * same single O(new data) aggregate, so one commit can prune on
+    * (tenant BIGINT, doc_id STRING) together via [[readPrunedMulti]] +
+    * [[readPrunedString]].
+    */
+  def commitWithStringStats(df: DataFrame, table: String,
+      strStatsCol: String, intStatsCols: Seq[String] = Nil,
+      maxAttempts: Int = 50, allowEvolve: Boolean = false): Int =
+    commitTagged(df, table, None, maxAttempts, allowEvolve,
+      intStatsCols, Seq(strStatsCol))
+      .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+
+  /** PARTITION EVOLUTION — commit under a (possibly NEW) partition
+    * spec: the directory writes Hive-partitioned on `partCols` and a
+    * `#spec <dir> <cols>` manifest line records the layout PER
+    * DIRECTORY, so a table can change how it partitions without
+    * rewriting a byte of history (the Iceberg partition-spec-evolution
+    * move). One [[read]] spans flat, old-spec, and new-spec
+    * directories ([[readDirsRaw]] groups by spec and unions by name),
+    * and a filter on the partition column prunes whole directories on
+    * every new-spec scan branch while old dirs fall back to row
+    * filtering — new data gets the new layout's speed immediately,
+    * old data keeps working, and a later [[compactSmall]] migrates it
+    * incrementally (rewrites normalize to flat with the partition
+    * column as data).
+    */
+  def commitPartitioned(df: DataFrame, table: String,
+      partCols: Seq[String], maxAttempts: Int = 50,
+      allowEvolve: Boolean = false,
+      props: Map[String, String] = Map.empty): Int = {
+    require(partCols.nonEmpty, "commitPartitioned: no partition columns")
+    commitTagged(df, table, None, maxAttempts, allowEvolve,
+      props = props, partitionCols = partCols)
       .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
   }
 
@@ -203,8 +364,47 @@ object Snapshots {
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
       else applyDv(s, table, dvLinesOf(lines),
-        applyRenames(lines, s.read.option("mergeSchema", "true")
-          .parquet(hit.map(d => s"$table/$d"): _*)).filter(residual))
+        applyRenames(lines, readDirsRaw(s, table, lines, hit))
+          .filter(residual))
+    PrunedScan(df, dirs.size, hit.size)
+  }
+
+  /** STRING-KEY range read with manifest-level data skipping — the
+    * [[readPruned]] shape over `#dirstatsS` bounds
+    * ([[commitWithStringStats]]): a directory skips when its committed
+    * truncated [min, maxUpper] cannot intersect `[lo, hi]` in UNSIGNED
+    * UTF-8 byte order (the order the bounds were computed in);
+    * directories without string stats always read (advisory, never
+    * lossy), and the residual filter makes the answer equal the
+    * full-scan filter bit-for-bit. Point lookup = `lo == hi` — the
+    * "fetch THIS doc_id from 100 TB" path, pruned to the handful of
+    * directories whose key range admits it for one manifest read.
+    */
+  def readPrunedString(s: SparkSession, table: String, colName: String,
+      lo: String, hi: String, version: Option[Int] = None): PrunedScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(utf8Cmp(lo, hi) <= 0,
+      s"readPrunedString: empty range ['$lo', '$hi']")
+    val v = version.getOrElse(latestVersion(s, table))
+    require(v >= 1, s"no committed version to read at $table")
+    val lines = manifestLines(s, table, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val stats = lines.filter(_.startsWith("#dirstatsS "))
+      .map(_.stripPrefix("#dirstatsS ").split(" ")).collect {
+        case Array(d, c, mn, mx) => (d, c) -> ((dec(mn), dec(mx)))
+      }.toMap
+    val hit = dirs.filter { d =>
+      stats.get((d, colName)).forall { case (mn, mx) =>
+        utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
+      }
+    }
+    val residual = col(colName) >= lo && col(colName) <= hi
+    val df =
+      if (hit.isEmpty)
+        read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
+      else applyDv(s, table, dvLinesOf(lines),
+        applyRenames(lines, readDirsRaw(s, table, lines, hit))
+          .filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 
@@ -244,8 +444,8 @@ object Snapshots {
       if (hit.isEmpty)
         read(s, table, Some(v)).filter(lit(false)) // schema-only, no rows
       else applyDv(s, table, dvLinesOf(lines),
-        applyRenames(lines, s.read.option("mergeSchema", "true")
-          .parquet(hit.map(d => s"$table/$d"): _*)).filter(residual))
+        applyRenames(lines, readDirsRaw(s, table, lines, hit))
+          .filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 
@@ -269,8 +469,10 @@ object Snapshots {
     */
   def commitIfAbsent(df: DataFrame, table: String, writerId: String,
       batchId: Long, maxAttempts: Int = 50,
-      allowEvolve: Boolean = false): Option[Int] =
-    commitTagged(df, table, Some((writerId, batchId)), maxAttempts, allowEvolve)
+      allowEvolve: Boolean = false,
+      props: Map[String, String] = Map.empty): Option[Int] =
+    commitTagged(df, table, Some((writerId, batchId)), maxAttempts,
+      allowEvolve, props = props)
 
   /** True when `(writerId, batchId)` already committed — i.e. some
     * retained manifest carries its tag line.
@@ -370,8 +572,13 @@ object Snapshots {
     val txns = prevLines.filter(_.startsWith("#txn "))
     val schemaDdl = prevLines.find(_.startsWith("#schema "))
       .map(_.stripPrefix("#schema ")).getOrElse(fallbackDdl)
-    val stats = prevLines.filter(_.startsWith("#dirstats "))
-      .filter(l => keptDirs.contains(l.stripPrefix("#dirstats ").split(" ")(0)))
+    // stats and partition-spec lines carry only for directories still
+    // in the chain — both line kinds are `#<kind> <dir> …`-shaped, so
+    // the dir is the second token either way
+    val stats = prevLines.filter(l =>
+        l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
+          l.startsWith("#spec "))
+      .filter(l => keptDirs.contains(l.split(" ")(1)))
     // #dv lines carry UNCONDITIONALLY except under [[materializeDeletes]]
     // (keepDv = false — the ONE path allowed to drop them, because it
     // just rewrote every tombstoned row out of the data): a plain
@@ -390,26 +597,47 @@ object Snapshots {
   private def commitTagged(df: DataFrame, table: String,
       txn: Option[(String, Long)], maxAttempts: Int,
       allowEvolve: Boolean = false,
-      statsCols: Seq[String] = Nil): Option[Int] = {
+      statsCols: Seq[String] = Nil,
+      strStatsCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil): Option[Int] = {
     val s = df.sparkSession
+    require(props.keys.forall(_.nonEmpty), "commit: empty property key")
+    require(partitionCols.forall(df.columns.contains),
+      s"commit: partition column(s) " +
+        s"${partitionCols.filterNot(df.columns.contains).mkString(", ")} " +
+        s"not in the frame (${df.columns.mkString(", ")})")
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     checkSchema(s, table, df, allowEvolve)
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
-    df.write.mode("errorifexists").parquet(s"$table/$dir")
+    if (partitionCols.isEmpty)
+      df.write.mode("errorifexists").parquet(s"$table/$dir")
+    else
+      df.write.mode("errorifexists").partitionBy(partitionCols: _*)
+        .parquet(s"$table/$dir")
     // ONE aggregate over ONLY the files just written — O(new data), all
     // declared columns' min/max in the same pass; an empty or all-null
     // column records no stats line for it (reads always)
     val newStatsLines: Seq[String] =
-      if (statsCols.isEmpty) Nil
+      if (statsCols.isEmpty && strStatsCols.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.{col, min, max}
         val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+          Seq(min(col(c).cast("long")), max(col(c).cast("long")))) ++
+          strStatsCols.flatMap(c =>
+            Seq(min(col(c).cast("string")), max(col(c).cast("string"))))
         val r = s.read.parquet(s"$table/$dir").agg(aggs.head, aggs.tail: _*).head()
-        statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val ints = statsCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(2 * i)) None
           else Some(s"#dirstats $dir $c ${r.getLong(2 * i)} ${r.getLong(2 * i + 1)}")
         }
+        val off = 2 * statsCols.size
+        val strs = strStatsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(off + 2 * i)) None
+          else strStatsLine(dir, c, r.getString(off + 2 * i),
+            r.getString(off + 2 * i + 1))
+        }
+        ints ++ strs
       }
     val f = fs(s, table)
     var attempt = 0
@@ -439,13 +667,24 @@ object Snapshots {
       val prevLines =
         if (prev == 0) Nil else manifestLines(s, table, prev)
       val carriedTxn = prevLines.filter(_.startsWith("#txn "))
-      val carriedStats = prevLines.filter(_.startsWith("#dirstats "))
+      val carriedStats = prevLines.filter(l =>
+        l.startsWith("#dirstats ") || l.startsWith("#dirstatsS "))
       val carriedDv = prevLines.filter(_.startsWith("#dv "))
       // #rename lines carry for the table's lifetime: any directory in
-      // the chain may still hold pre-rename physical names
+      // the chain may still hold pre-rename physical names; #spec lines
+      // carry while their directory is in the chain (append-only here)
       val carriedRen = prevLines.filter(_.startsWith("#rename "))
+      val carriedSpec = prevLines.filter(_.startsWith("#spec "))
+      val newSpec =
+        if (partitionCols.isEmpty) Nil
+        else Seq(s"#spec $dir ${partitionCols.mkString(",")}")
+      // #prop lines are PER-VERSION lineage (who/why/what batch), like
+      // #change — they never carry forward
+      val propLines = props.toSeq.sortBy(_._1)
+        .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}" }
       val statsHeader = (carriedStats ++ newStatsLines ++ carriedDv ++
-        carriedRen).map(_ + "\n").mkString
+        carriedRen ++ carriedSpec ++ newSpec ++ propLines)
+        .map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +
         s"#schema ${df.schema.toDDL}\n" + statsHeader +
@@ -506,8 +745,7 @@ object Snapshots {
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
     val lines = manifestLines(s, table, v)
-    val paths = lines.filterNot(_.startsWith("#")).map(d => s"$table/$d")
-    val base = s.read.option("mergeSchema", "true").parquet(paths: _*)
+    val base = readDirsRaw(s, table, lines, lines.filterNot(_.startsWith("#")))
     // RENAME MAPPING first (old-named dirs fold into the current
     // contract), then MERGE-ON-READ deletes: every `#dv <dir> <keyCol>`
     // line names a deletion-vector directory of deleted keys; reads
@@ -610,9 +848,10 @@ object Snapshots {
       }
       val prevLines = manifestLines(s, table, prev)
       // carry every header line EXCEPT per-version provenance
-      // (#change/#cdf belong to the version that wrote them)
+      // (#change/#cdf/#prop belong to the version that wrote them)
       val header = prevLines.filter(l => l.startsWith("#") &&
-          !l.startsWith("#change ") && !l.startsWith("#cdf ")) ++
+          !l.startsWith("#change ") && !l.startsWith("#cdf ") &&
+          !l.startsWith("#prop ")) ++
         Seq(s"#dv $dir $keyCol", "#change mor-delete")
       val dirs = prevLines.filterNot(_.startsWith("#"))
       val v = prev + 1
@@ -676,17 +915,14 @@ object Snapshots {
       // directories hold the old physical names (input_file_name()
       // binds over the scan BEFORE the mapping projections)
       val hitFiles = applyRenames(prevAllLines,
-          s.read.option("mergeSchema", "true")
-            .parquet(dirs.map(d => s"$table/$d"): _*)
-            .withColumn("__f", input_file_name()))
+          readDirsRaw(s, table, prevAllLines, dirs, withFile = true))
         .filter(pred).select(org.apache.spark.sql.functions.col("__f").as("f"))
         .distinct().collect().map(_.getString(0))
       val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
       if (hitDirs.isEmpty) return (prev, dirs.size, 0)
       val carried = dirs.filterNot(hitDirs)
       val hitRows = applyRenames(prevAllLines,
-        s.read.option("mergeSchema", "true")
-          .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*))
+        readDirsRaw(s, table, prevAllLines, hitDirs.toSeq))
       val survivors = hitRows.filter(!pred)
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       survivors.write.mode("errorifexists").parquet(s"$table/$dir")
@@ -764,9 +1000,7 @@ object Snapshots {
       // rename mapping folds pre-rename dirs into the current contract
       // (the dv key column itself is rename-protected by renameColumn)
       val hitFiles = applyRenames(lines,
-          s.read.option("mergeSchema", "true")
-            .parquet(dirs.map(d => s"$table/$d"): _*)
-            .withColumn("__f", input_file_name()))
+          readDirsRaw(s, table, lines, dirs, withFile = true))
         .join(keys, Seq(keyCol), "left_semi")
         .select(org.apache.spark.sql.functions.col("__f").as("f"))
         .distinct().collect().map(_.getString(0))
@@ -774,8 +1008,8 @@ object Snapshots {
       val carried = dirs.filterNot(hitDirs)
       val survivors =
         if (hitDirs.isEmpty) None
-        else Some(applyRenames(lines, s.read.option("mergeSchema", "true")
-          .parquet(hitDirs.toSeq.map(d => s"$table/$d"): _*))
+        else Some(applyRenames(lines,
+            readDirsRaw(s, table, lines, hitDirs.toSeq))
           .join(keys, Seq(keyCol), "left_anti"))
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       survivors.foreach(_.write.mode("errorifexists").parquet(s"$table/$dir"))
@@ -835,10 +1069,12 @@ object Snapshots {
       if (small.size < 2) return (prev, 0, dirs.size)
       // rename-normalize the rewrite: the compacted directory is born
       // under the CURRENT column contract even when its inputs predate
-      // a rename (the mapping stays a no-op for them afterwards)
+      // a rename (the mapping stays a no-op for them afterwards); a
+      // partitioned input dir normalizes to flat with the partition
+      // column materialized as data — compaction IS the incremental
+      // old-spec migration path
       val compacted = applyRenames(prevAllLines,
-          s.read.option("mergeSchema", "true")
-            .parquet(small.map(d => s"$table/$d"): _*))
+          readDirsRaw(s, table, prevAllLines, small))
         .repartition(targetFiles)
       val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
       compacted.write.mode("errorifexists").parquet(s"$table/$dir")
@@ -1104,9 +1340,11 @@ object Snapshots {
         .getOrElse(stagedDdl)
       val header = (prevLines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema $prevDdl") ++
-        prevLines.filter(_.startsWith("#dirstats ")) ++
+        prevLines.filter(l => l.startsWith("#dirstats ") ||
+          l.startsWith("#dirstatsS ")) ++
         prevLines.filter(_.startsWith("#dv ")) ++
         prevLines.filter(_.startsWith("#rename ")) ++
+        prevLines.filter(_.startsWith("#spec ")) ++
         Seq("#change append")).map(_ + "\n").mkString
       val dirs = prevLines.filterNot(_.startsWith("#")) :+ dir
       val v = prev + 1
@@ -1169,8 +1407,7 @@ object Snapshots {
       require(prev >= 1, s"nothing committed at $table")
       val lines = manifestLines(s, table, prev)
       val dirs = lines.filterNot(_.startsWith("#"))
-      val df = applyRenames(lines, s.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$table/$d"): _*))
+      val df = applyRenames(lines, readDirsRaw(s, table, lines, dirs))
       // fail fast BEFORE the rewrite: a NULL in any z-column would
       // yield a null __chunk (a __HIVE_DEFAULT_PARTITION__ dir and an
       // NPE in the stats pass AFTER the full table rewrite) — the
@@ -1287,17 +1524,27 @@ object Snapshots {
         s"renameColumn: '$oldName' is the live deletion-vector key at " +
           s"$table — materializeDeletes first (tombstone files hold the " +
           "old physical name)")
+      // a live partition column cannot rename: #spec dirs encode the
+      // old physical name in their PATHS (=col/value directories) —
+      // compact those dirs to flat first, then rename
+      require(!specLinesOf(lines).values.exists(_.contains(oldName)),
+        s"renameColumn: '$oldName' is a live partition column at " +
+          s"$table — compactSmall the partitioned directories first " +
+          "(their paths encode the old physical name)")
       val newSt = org.apache.spark.sql.types.StructType(st.map(fld =>
         if (fld.name == oldName) fld.copy(name = newName) else fld))
-      val stats = lines.filter(_.startsWith("#dirstats ")).map { l =>
-        val p = l.stripPrefix("#dirstats ").split(" ")
-        if (p(1) == oldName) s"#dirstats ${p(0)} $newName ${p(2)} ${p(3)}"
+      val stats = lines.filter(l =>
+          l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ")).map { l =>
+        val kind = l.split(" ")(0)
+        val p = l.stripPrefix(kind + " ").split(" ")
+        if (p(1) == oldName) s"$kind ${p(0)} $newName ${p(2)} ${p(3)}"
         else l
       }
       val header = (lines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema ${newSt.toDDL}") ++ stats ++
         lines.filter(_.startsWith("#dv ")) ++
         lines.filter(_.startsWith("#rename ")) ++
+        lines.filter(_.startsWith("#spec ")) ++
         Seq(s"#rename $oldName $newName", "#change rename"))
         .map(_ + "\n").mkString
       val dirs = lines.filterNot(_.startsWith("#"))
@@ -1372,7 +1619,7 @@ object Snapshots {
       // kind actually needs history)
       lazy val prevLines =
         if (v == 1) Nil else manifestLines(s, table, v - 1)
-      kind match {
+      val vParts: Seq[DataFrame] = kind match {
         case "append" =>
           val prevDirs = prevLines.filterNot(_.startsWith("#")).toSet
           val newDirs = lines.filterNot(_.startsWith("#"))
@@ -1384,8 +1631,7 @@ object Snapshots {
             // lines are live, so version-v dirs share it), and toV's
             // rename mapping may have since retired that name — folding
             // renames first would leave the anti-join unresolvable
-            val raw = s.read.option("mergeSchema", "true")
-              .parquet(newDirs.map(d => s"$table/$d"): _*)
+            val raw = readDirsRaw(s, table, lines, newDirs)
             Seq(applyRenames(mapLines,
                 applyDv(s, table, dvLinesOf(lines), raw))
               .withColumn("_change_type", lit("insert"))
@@ -1418,13 +1664,67 @@ object Snapshots {
         case other => sys.error(
           s"changeFeed: unknown #change kind '$other' at $table v$v")
       }
+      // commit-level lineage rides every row of its version's changes:
+      // the sorted `k=v` props the writer recorded ("" when none) —
+      // a consumer can filter a feed by pipeline run / source batch
+      // without joining a side table
+      val propsStr = propsRendered(linesProps(lines))
+      vParts.map(_.withColumn("_commit_props", lit(propsStr)))
     }
     parts match {
       case Seq() => read(s, table, Some(toV)).filter(lit(false))
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0))
+        .withColumn("_commit_props", lit(""))
       case head +: tail => tail.foldLeft(head)(
         _.unionByName(_, allowMissingColumns = true))
     }
+  }
+
+  private def linesProps(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#prop "))
+      .map(_.stripPrefix("#prop ").split(" ")).collect {
+        case Array(k, v) => dec(k) -> dec(v)
+      }.toMap
+
+  private def propsRendered(props: Map[String, String]): String =
+    props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  /** COMMIT-LEVEL USER PROPERTIES of a version — the `k → v` lineage
+    * the writer passed to [[commit]]/[[commitIfAbsent]]/
+    * [[commitPartitioned]] (`pipeline=…`, `source_batch=…`,
+    * `operator=…`). PER-VERSION, like `#change`: properties describe
+    * the commit that recorded them and never carry forward.
+    */
+  def propsOf(s: SparkSession, table: String, version: Int): Map[String, String] =
+    linesProps(manifestLines(s, table, version))
+
+  /** TABLE HISTORY — one row per still-resolvable version: `(version,
+    * change, n_dirs, props)` with `props` the sorted `k=v;…` rendering
+    * of the commit's user properties (the Delta `DESCRIBE HISTORY`
+    * surface). Vacuumed versions are absent, not errors. Cost: one
+    * manifest read per version — metadata scale.
+    */
+  def tableHistory(s: SparkSession, table: String): DataFrame = {
+    val latest = latestVersion(s, table)
+    val rows = (1 to latest).flatMap { v =>
+      try {
+        val lines = manifestLines(s, table, v)
+        val kind = lines.find(_.startsWith("#change "))
+          .map(_.stripPrefix("#change ")).getOrElse("")
+        Some(org.apache.spark.sql.Row(v, kind,
+          lines.count(!_.startsWith("#")).toLong,
+          propsRendered(linesProps(lines))))
+      } catch { case _: java.io.FileNotFoundException => None }
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+      StructField, StructType}
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("version", IntegerType),
+        StructField("change", StringType),
+        StructField("n_dirs", LongType),
+        StructField("props", StringType))))
   }
 }

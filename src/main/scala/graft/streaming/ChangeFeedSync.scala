@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Snapshots
+
+/** CHANGE-FEED-AS-SOURCE: continuous incremental view maintenance over a
+  * [[graft.io.Snapshots]] table — the Delta `readChangeFeed` streaming
+  * shape, hand-rolled over the manifest chain. A micro-batch driver
+  * (`foreachBatch` on any clock stream) calls [[syncViewOnce]] per tick;
+  * each call folds the source's change feed `(cursor, latest]` into a
+  * PERSISTED aggregate view and advances the cursor — so a derived view
+  * of a 100 TB table is maintained at O(changed rows) per sync, never
+  * O(table), and survives driver restarts.
+  *
+  * The VERSION WATERMARK is self-contained in the view table: every sync
+  * commits the new view state stamped `to_v = <source version consumed>`,
+  * and the cursor is recovered as `max(to_v)` from the view's LATEST
+  * version — no side-channel checkpoint file whose loss would desync
+  * view and cursor. Idempotency is the snapshot CAS itself:
+  * [[Snapshots.commitIfAbsent]] keyed `(writerId, sourceVersion)` makes
+  * a replayed tick (Structured Streaming's at-least-once `foreachBatch`
+  * retry, or a full fresh-checkpoint replay) a no-op — the txn tag for
+  * that source version is already in the view chain. Single maintainer
+  * per `writerId` (the Delta `txn` contract): concurrent syncs of the
+  * SAME view must share a writerId, and the CAS serializes them.
+  *
+  * View-state cost model: each sync appends one GROUP-SCALE state frame
+  * (the aggregate's cardinality, not the source's); reads take only the
+  * newest state (`to_v = cursor`). Periodic [[Snapshots.vacuum]] +
+  * [[Snapshots.compactSmall]] bound the chain exactly as for any
+  * append-heavy table.
+  *
+  * Reference scope: the reference pipeline recomputes its outputs from
+  * scratch per run (`etl/transform.py:47-69`); this op is the
+  * at-scale replacement — fold only what changed.
+  */
+object ChangeFeedSync {
+
+  /** The view's cursor: the source version the PERSISTED view state has
+    * folded up to — 0 when no sync has landed yet.
+    */
+  def cursorOf(s: SparkSession, viewTable: String): Int =
+    if (Snapshots.latestVersion(s, viewTable) < 1) 0
+    else Snapshots.read(s, viewTable)
+      .agg(max(col("to_v"))).head().getInt(0)
+
+  /** The current materialized view: the newest persisted state frame
+    * `(keyCol, n, sum_v)` — empty (correctly-typed) before the first
+    * sync.
+    */
+  def currentView(s: SparkSession, viewTable: String,
+      keyCol: String): DataFrame = {
+    val cursor = cursorOf(s, viewTable)
+    if (cursor == 0)
+      emptyState(s, keyCol)
+    else Snapshots.read(s, viewTable)
+      .filter(col("to_v") === cursor)
+      .select(col(keyCol), col("n"), col("sum_v"))
+  }
+
+  private def emptyState(s: SparkSession, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField(keyCol, LongType),
+        StructField("n", LongType), StructField("sum_v", LongType))))
+  }
+
+  /** ONE idempotent sync step: fold the source's change feed
+    * `(cursor, latest]` into the view table via
+    * [[graft.ops.Cdc.incrementalAgg]] (count + sum per key — the Z-set
+    * fold), commit the new state stamped with the consumed source
+    * version, CAS-deduped on `(writerId, latest)`.
+    *
+    * @return Some((fromV, toV)) when this call advanced the view;
+    *         None when there was nothing new or the sync for this
+    *         source version already landed (replay / concurrent twin)
+    */
+  def syncViewOnce(s: SparkSession, sourceTable: String, viewTable: String,
+      writerId: String, keyCol: String, valCol: String): Option[(Int, Int)] = {
+    val latest = Snapshots.latestVersion(s, sourceTable)
+    val cursor = cursorOf(s, viewTable)
+    if (latest <= cursor) return None
+    val state = currentView(s, viewTable, keyCol)
+    val delta = Snapshots.changeFeed(s, sourceTable, cursor + 1, latest)
+      .select(when(col("_change_type") === "insert", "I")
+        .otherwise("D").as("op"), col(keyCol), col(valCol))
+    val next = graft.ops.Cdc.incrementalAgg(state, delta, keyCol, "op", valCol)
+      .withColumn("to_v", lit(latest))
+    // the commit IS the watermark advance: state and cursor publish in
+    // one atomic claim, and the txn tag closes the replay window
+    Snapshots.commitIfAbsent(next, viewTable, writerId, latest.toLong)
+      .map(_ => (cursor + 1, latest))
+  }
+}

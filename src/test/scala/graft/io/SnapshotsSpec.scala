@@ -816,6 +816,112 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 3)
   }
 
+  test("string manifest stats: point lookups prune dirs on truncated " +
+      "bounds; non-ASCII bounds stay advisory; result equals full filter") {
+    import spark.implicits._
+    val t = freshTable()
+    // three dirs with disjoint key prefixes, keys LONGER than the
+    // 16-char truncation window
+    def slice(p: Char) = (0 until 20).map(i =>
+      (f"doc_${p}${p}${p}_${i}%012d_tail", i.toLong)).toDF("doc_id", "v")
+    Snapshots.commitWithStringStats(slice('a'), t, "doc_id")
+    Snapshots.commitWithStringStats(slice('m'), t, "doc_id")
+    Snapshots.commitWithStringStats(slice('z'), t, "doc_id")
+    // point lookup for an m-range key opens ONLY the m dir
+    val key = f"doc_mmm_${7}%012d_tail"
+    val scan = Snapshots.readPrunedString(spark, t, "doc_id", key, key)
+    assert(scan.dirsTotal == 3 && scan.dirsRead == 1,
+      s"expected 1/3 dirs, got ${scan.dirsRead}/${scan.dirsTotal}")
+    assert(scan.df.count() == 1 &&
+      scan.df.select("v").as[Long].head() == 7L)
+    // range spanning a..m opens two dirs, answer == full-scan filter
+    val range = Snapshots.readPrunedString(spark, t, "doc_id", "doc_a", "doc_n")
+    assert(range.dirsRead == 2)
+    val full = Snapshots.read(spark, t)
+      .filter($"doc_id" >= "doc_a" && $"doc_id" <= "doc_n")
+    assert(range.df.exceptAll(full).isEmpty && full.exceptAll(range.df).isEmpty)
+    // a dir whose bounds are non-ASCII records no stats → always read
+    Snapshots.commitWithStringStats(
+      Seq(("döc_ü_nonascii", 99L)).toDF("doc_id", "v"), t, "doc_id")
+    val after = Snapshots.readPrunedString(spark, t, "doc_id", key, key)
+    assert(after.dirsTotal == 4 && after.dirsRead == 2,
+      s"non-ASCII dir must stay advisory-read: ${after.dirsRead}/4")
+    assert(after.df.count() == 1)
+    // truncated-incremented upper bound is still a valid bound: a key
+    // sharing the m-dir's 16-char prefix but sorting above every real
+    // key must still ADMIT the m dir (conservative, never lossy)
+    val probe = f"doc_mmm_${19}%012d_zzzz"
+    val hi = Snapshots.readPrunedString(spark, t, "doc_id", probe, probe)
+    assert(hi.dirsRead >= 1 && hi.df.count() == 0)
+  }
+
+  test("partition evolution: flat and hive-partitioned dirs coexist in " +
+      "one read; partition filter prunes the new-spec branch; compaction " +
+      "migrates; renaming a live partition column refuses") {
+    import spark.implicits._
+    val t = freshTable()
+    val flat = (1L to 40L).map(k => (k, s"s${k % 4}", k * 10))
+      .toDF("k", "seg", "cents")
+    Snapshots.commit(flat.filter($"k" <= 20), t)
+    // spec CHANGES for new data: hive-partition by seg
+    val v2 = Snapshots.commitPartitioned(flat.filter($"k" > 20), t, Seq("seg"))
+    assert(v2 == 2)
+    // one read spans both layouts, bit-for-bit
+    val got = Snapshots.read(spark, t).select("k", "seg", "cents")
+    assert(got.exceptAll(flat).isEmpty && flat.exceptAll(got).isEmpty)
+    // the partition filter reaches the new-spec scan as a PartitionFilter
+    val q = Snapshots.read(spark, t).filter($"seg" === "s1")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters: [isnotnull(seg"),
+      s"partition filter did not reach the hive-spec scan:\n$plan")
+    assert(q.count() == flat.filter($"seg" === "s1").count())
+    // time travel: v1 reads the flat era only
+    assert(Snapshots.read(spark, t, Some(1)).count() == 20)
+    // a live partition column refuses to rename (paths encode it)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "seg", "segment"))
+    assert(e.getMessage.contains("partition column"))
+    // compaction folds BOTH layouts into one flat dir, rows identical —
+    // and the spec line for the rewritten dir is gone, unblocking rename
+    val (v3, nComp, _) = Snapshots.compactSmall(spark, t, smallBytes = 1L << 30)
+    assert(v3 == 3 && nComp == 2)
+    val after = Snapshots.read(spark, t).select("k", "seg", "cents")
+    assert(after.exceptAll(flat).isEmpty && flat.exceptAll(after).isEmpty)
+    assert(Snapshots.renameColumn(spark, t, "seg", "segment") == 4)
+    assert(Snapshots.read(spark, t).columns.contains("segment"))
+  }
+
+  test("commit-level user properties: round-trip commit → propsOf → " +
+      "tableHistory → changeFeed; per-version, never carried") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), t,
+      props = Map("pipeline" -> "ingest v2", "source" -> "crawl/2026-08"))
+    Snapshots.commit(Seq((3L, "c")).toDF("k", "s"), t) // no props
+    // round-trip with URL-encoded specials (space, slash)
+    assert(Snapshots.propsOf(spark, t, 1) ==
+      Map("pipeline" -> "ingest v2", "source" -> "crawl/2026-08"))
+    assert(Snapshots.propsOf(spark, t, 2).isEmpty) // never carried
+    val hist = Snapshots.tableHistory(spark, t)
+      .orderBy("version").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(hist(0).getString(3) ==
+      "pipeline=ingest v2;source=crawl/2026-08" && hist(1).getString(3) == "")
+    assert(hist.forall(_.getString(1) == "append"))
+    // the feed stamps every row with its version's props
+    val feed = Snapshots.changeFeed(spark, t, 1, 2)
+    val byV = feed.select("_commit_version", "_commit_props").distinct()
+      .as[(Int, String)].collect().toMap
+    assert(byV(1) == "pipeline=ingest v2;source=crawl/2026-08" &&
+      byV(2) == "")
+    // exactly-once writers record lineage too
+    Snapshots.commitIfAbsent(Seq((4L, "d")).toDF("k", "s"), t, "w1", 0L,
+      props = Map("batch" -> "0"))
+    assert(Snapshots.propsOf(spark, t, 3) == Map("batch" -> "0"))
+  }
+
   test("optimizeClustered refuses a NULL z-column value BEFORE any " +
       "rewrite — no staging dirs, version unchanged") {
     import spark.implicits._
