@@ -60,8 +60,14 @@ object Retrieval {
     * stopword rows are exactly what [[bm25TopK]]'s df-pruning drops
     * before this artifact is probed).
     */
-  def postingLists(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = termFrequencies(docs, textCol, idCol)
+  def postingLists(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    postingListsFromTf(termFrequencies(docs, textCol, idCol))
+
+  /** [[postingLists]] from a precomputed tf relation
+    * ([[termFrequencies]]' shape) — the artifact path: at 100 TB the tf
+    * table is derived once at ingest and every index build reads it.
+    */
+  def postingListsFromTf(tf: DataFrame): DataFrame = {
     val agg = tf.groupBy("term").agg(
       count(lit(1)).as("df"),
       sum(col("tf")).as("tf_sum"),

@@ -58,12 +58,26 @@ object Tokenize {
     * @return one row per merge round:
     *         `(round, lhs, rhs, merged, n_pair)`.
     */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val s = df.sparkSession
-    val wf = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+  /** The WORD-FREQUENCY relation `(w, n)` — the one corpus-wide pass
+    * every tokenizer-family op starts from (BPE training, unigram
+    * Viterbi). Exposed so callers can derive it ONCE, persist it, and
+    * feed the `…FromWords` variants: at 100 TB the corpus shuffle is
+    * the dominant cost and there is no reason to pay it per consumer.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeMergesFromWords(wordCounts(df, textCol), rounds)
+
+  /** [[bpeMerges]] from a precomputed `(w, n)` word-frequency relation
+    * ([[wordCounts]]) — bit-identical output, corpus pass skipped.
+    */
+  def bpeMergesFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val s = words.sparkSession
+    val wf = words
       .select(array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " ")
         .as("sym"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -162,13 +176,18 @@ object Tokenize {
     * proves equality on the adversarial corpora.
     */
   def bpeMergesBatched(df: DataFrame, textCol: String, rounds: Int,
+      batchK: Int = 64): DataFrame =
+    bpeMergesBatchedFromWords(wordCounts(df, textCol), rounds, batchK)
+
+  /** [[bpeMergesBatched]] from a precomputed `(w, n)` relation
+    * ([[wordCounts]]) — bit-identical output, corpus pass skipped.
+    */
+  def bpeMergesBatchedFromWords(words: DataFrame, rounds: Int,
       batchK: Int = 64): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(batchK >= 1, s"batchK must be >= 1: $batchK")
-    val s = df.sparkSession
-    val wf = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
+    val s = words.sparkSession
+    val wf = words
       .select(array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " ")
         .as("sym"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -308,11 +327,17 @@ object Tokenize {
     * @return (word, wc, pieces '|'-joined, n_pieces, cost_micro)
     */
   def unigramViterbiSegment(df: DataFrame, textCol: String,
+      maxPieceLen: Int, rounds: Int): DataFrame =
+    unigramViterbiSegmentFromWords(wordCounts(df, textCol),
+      maxPieceLen, rounds)
+
+  /** [[unigramViterbiSegment]] from a precomputed `(w, n)` relation
+    * ([[wordCounts]]) — bit-identical output, corpus pass skipped.
+    */
+  def unigramViterbiSegmentFromWords(wordsIn: DataFrame,
       maxPieceLen: Int, rounds: Int): DataFrame = {
     require(maxPieceLen >= 1 && rounds >= 1, s"bad $maxPieceLen/$rounds")
-    val words = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val words = wordsIn.select(col("w"), col("n").as("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxLen = words.agg(max(length(col("w")))).head.getInt(0)
     require(maxLen <= rounds,
