@@ -231,17 +231,28 @@ object Snapshots {
         .fromDDL(d.stripPrefix("#schema ")))
     val groups = dirs.groupBy(d => specs.getOrElse(d, Nil)).toSeq
       .sortBy(_._1.mkString(","))
-    val frames = groups.map { case (partCols, ds) =>
-      val base = s.read.option("mergeSchema", "true")
-        .parquet(ds.map(d => s"$table/$d"): _*)
-      val cast = partCols.foldLeft(base) { (df, c) =>
-        contract.flatMap(_.fields.find(_.name == c)) match {
-          case Some(f) if df.columns.contains(c) =>
-            df.withColumn(c, col(c).cast(f.dataType))
-          case _ => df
+    val frames = groups.flatMap { case (partCols, ds) =>
+      // flat dirs share ONE multi-path scan; partitioned dirs read one
+      // scan per ROOT (Hive discovery refuses multiple roots —
+      // CONFLICTING_DIRECTORY_STRUCTURES — and basePath can't name two
+      // bases). [[compactSmall]] is what bounds the per-root union
+      // width: rewrites normalize to flat, so the partitioned tail is
+      // only the dirs since the last maintenance pass.
+      val roots =
+        if (partCols.isEmpty) Seq(ds)
+        else ds.map(Seq(_))
+      roots.map { rs =>
+        val base = s.read.option("mergeSchema", "true")
+          .parquet(rs.map(d => s"$table/$d"): _*)
+        val cast = partCols.foldLeft(base) { (df, c) =>
+          contract.flatMap(_.fields.find(_.name == c)) match {
+            case Some(f) if df.columns.contains(c) =>
+              df.withColumn(c, col(c).cast(f.dataType))
+            case _ => df
+          }
         }
+        if (withFile) cast.withColumn("__f", input_file_name()) else cast
       }
-      if (withFile) cast.withColumn("__f", input_file_name()) else cast
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }

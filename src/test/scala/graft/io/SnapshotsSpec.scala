@@ -691,23 +691,27 @@ class SnapshotsSpec extends SparkSpec {
 
   test("changeFeed fold law holds under randomized operation sequences") {
     import spark.implicits._
-    // seeded generator: appends of fresh keys, MoR deletes, CoW
-    // deletes, compactions, materializations in arbitrary interleavings
-    // — after EVERY step, folding insert − delete over the whole feed
-    // must reconstruct read(latest) bit-for-bit
+    // seeded generator: flat appends, HIVE-PARTITIONED appends (spec
+    // evolution mid-chain), MoR deletes, CoW deletes, compactions,
+    // materializations in arbitrary interleavings — after EVERY step,
+    // folding insert − delete over the whole feed must reconstruct
+    // read(latest) bit-for-bit, across mixed directory layouts
     for (seed <- 1 to 2) {
       val rnd = new scala.util.Random(seed)
       val t = freshTable()
       var nextId = 0L
-      def appendFresh(n: Int): Unit = {
-        val rows = (nextId until nextId + n).map(k => (k, k * 10L))
+      def freshRows(n: Int) = {
+        val rows = (nextId until nextId + n)
+          .map(k => (k, s"p${k % 3}", k * 10L))
         nextId += n
-        Snapshots.commit(rows.toDF("k", "v"), t): Unit
+        rows.toDF("k", "g", "v")
       }
-      appendFresh(20)
+      Snapshots.commit(freshRows(20), t)
       for (_ <- 1 to 6) {
-        rnd.nextInt(6) match {
-          case 0 | 1 => appendFresh(5 + rnd.nextInt(10))
+        rnd.nextInt(7) match {
+          case 0 => Snapshots.commit(freshRows(5 + rnd.nextInt(10)), t): Unit
+          case 1 | 6 => Snapshots.commitPartitioned(
+            freshRows(5 + rnd.nextInt(10)), t, Seq("g")): Unit
           case 2 =>
             Snapshots.deleteWhereMoR(spark, t, "k",
               col("k") % (3 + rnd.nextInt(4)) === rnd.nextInt(3)): Unit
@@ -722,10 +726,10 @@ class SnapshotsSpec extends SparkSpec {
         val latest = Snapshots.latestVersion(spark, t)
         val feed = Snapshots.changeFeed(spark, t, 1, latest)
         val folded = feed.filter(col("_change_type") === "insert")
-          .select("k", "v")
+          .select("k", "g", "v")
           .join(feed.filter(col("_change_type") === "delete").select("k"),
             Seq("k"), "left_anti")
-        val live = Snapshots.read(spark, t).select("k", "v")
+        val live = Snapshots.read(spark, t).select("k", "g", "v")
         assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
           s"fold law broke at seed=$seed v$latest")
       }

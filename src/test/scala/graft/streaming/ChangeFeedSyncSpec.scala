@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+
+class ChangeFeedSyncSpec extends SparkSpec {
+
+  private def fresh(name: String): String =
+    s"/tmp/graft_io/cfsync/${java.util.UUID.randomUUID()}/$name"
+
+  test("syncViewOnce: folds appends and deletes incrementally, " +
+      "no-ops at the head, recovers its cursor from the view table") {
+    import spark.implicits._
+    val src = fresh("src")
+    val view = fresh("view")
+    def direct() = Snapshots.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    def current() = ChangeFeedSync.currentView(spark, view, "grp")
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+    // two appends → one sync folds the range 1..2
+    Snapshots.commit((1L to 30L).map(k => (k, k % 3, k * 10L))
+      .toDF("k", "grp", "cents"), src)
+    Snapshots.commit((31L to 50L).map(k => (k, k % 3, k * 10L))
+      .toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((1, 2)))
+    assert(ChangeFeedSync.cursorOf(spark, view) == 2)
+    assert(same(current(), direct()))
+    // nothing new → None, view untouched
+    assert(ChangeFeedSync.syncViewOnce(
+      spark, src, view, "w", "grp", "cents").isEmpty)
+    assert(Snapshots.latestVersion(spark, view) == 1)
+    // a MoR delete then a CoW delete fold through one more sync
+    val (_, nDel) = Snapshots.deleteWhereMoR(spark, src, "k",
+      col("k") % 7 === 0)
+    assert(nDel > 0)
+    Snapshots.deleteWhere(spark, src, col("k") % 5 === 0)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((3, 4)))
+    assert(same(current(), direct()))
+    // the cursor is durable state: a "restarted driver" (fresh call
+    // chain, no in-memory state) resumes from the view table alone
+    Snapshots.commit(Seq((1000L, 0L, 77L)).toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((5, 5)))
+    assert(ChangeFeedSync.cursorOf(spark, view) == 5)
+    assert(same(current(), direct()))
+    // view-table versions = number of effective syncs, each txn-tagged
+    assert(Snapshots.latestVersion(spark, view) == 3)
+  }
+
+  test("syncViewOnce: empty view before first sync has the right schema") {
+    val view = fresh("view_empty")
+    val cur = ChangeFeedSync.currentView(spark, view, "grp")
+    assert(cur.columns.toSeq == Seq("grp", "n", "sum_v") && cur.count() == 0)
+    assert(ChangeFeedSync.cursorOf(spark, view) == 0)
+  }
+}
