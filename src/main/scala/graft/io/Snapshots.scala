@@ -242,8 +242,20 @@ object Snapshots {
         if (partCols.isEmpty) Seq(ds)
         else ds.map(Seq(_))
       roots.map { rs =>
-        val base = s.read.option("mergeSchema", "true")
-          .parquet(rs.map(d => s"$table/$d"): _*)
+        val paths = rs.map(d => s"$table/$d")
+        // an EMPTY-frame commit writes a directory with zero parquet
+        // files; schema inference over such a root throws — the
+        // committed #schema line IS the contract, so read under it
+        // (an empty scan with the right types, additive-evolution
+        // compatible: missing columns in older files surface as NULL)
+        val base =
+          try s.read.option("mergeSchema", "true").parquet(paths: _*)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if contract.isDefined &&
+                  e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+              s.read.schema(contract.get).parquet(paths: _*)
+          }
         val cast = partCols.foldLeft(base) { (df, c) =>
           contract.flatMap(_.fields.find(_.name == c)) match {
             case Some(f) if df.columns.contains(c) =>

@@ -38,12 +38,21 @@ import graft.io.Snapshots
 object ChangeFeedSync {
 
   /** The view's cursor: the source version the PERSISTED view state has
-    * folded up to — 0 when no sync has landed yet.
+    * folded up to — 0 when no sync has landed yet. Read from the view
+    * table's MANIFEST properties, not from the state rows: a sync whose
+    * folded state is EMPTY (a delete wiped every group) commits zero
+    * rows, and a row-derived `max(to_v)` would regress to the previous
+    * sync — the next sync would then double-fold the range. Manifest
+    * props survive empty states; reading them is metadata-scale.
     */
-  def cursorOf(s: SparkSession, viewTable: String): Int =
-    if (Snapshots.latestVersion(s, viewTable) < 1) 0
-    else Snapshots.read(s, viewTable)
-      .agg(max(col("to_v"))).head().getInt(0)
+  def cursorOf(s: SparkSession, viewTable: String): Int = {
+    val latest = Snapshots.latestVersion(s, viewTable)
+    (1 to latest).flatMap(v =>
+      Snapshots.propsOf(s, viewTable, v).get(CursorProp).map(_.toInt))
+      .maxOption.getOrElse(0)
+  }
+
+  private val CursorProp = "cdf_cursor"
 
   /** The current materialized view: the newest persisted state frame
     * `(keyCol, n, sum_v)` — empty (correctly-typed) before the first
@@ -87,9 +96,11 @@ object ChangeFeedSync {
         .otherwise("D").as("op"), col(keyCol), col(valCol))
     val next = graft.ops.Cdc.incrementalAgg(state, delta, keyCol, "op", valCol)
       .withColumn("to_v", lit(latest))
-    // the commit IS the watermark advance: state and cursor publish in
-    // one atomic claim, and the txn tag closes the replay window
-    Snapshots.commitIfAbsent(next, viewTable, writerId, latest.toLong)
+    // the commit IS the watermark advance: state rows, the cursor (a
+    // manifest property, robust to an EMPTY folded state), and the txn
+    // tag publish in one atomic claim — replay window closed
+    Snapshots.commitIfAbsent(next, viewTable, writerId, latest.toLong,
+        props = Map(CursorProp -> latest.toString))
       .map(_ => (cursor + 1, latest))
   }
 }

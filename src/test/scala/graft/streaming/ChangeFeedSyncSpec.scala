@@ -59,4 +59,33 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(cur.columns.toSeq == Seq("grp", "n", "sum_v") && cur.count() == 0)
     assert(ChangeFeedSync.cursorOf(spark, view) == 0)
   }
+
+  test("an EMPTY folded state still advances the cursor — no double-fold " +
+      "after a delete-everything range") {
+    import spark.implicits._
+    val src = fresh("src_wipe")
+    val view = fresh("view_wipe")
+    Snapshots.commit((1L to 10L).map(k => (k, k % 2, k))
+      .toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((1, 1)))
+    // v2 deletes EVERY row → the folded state is zero groups; the
+    // committed state dir has no parquet files, and the cursor must
+    // come from the manifest (rows would regress it to 1)
+    Snapshots.deleteWhere(spark, src, lit(true))
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((2, 2)))
+    assert(ChangeFeedSync.cursorOf(spark, view) == 2)
+    assert(ChangeFeedSync.currentView(spark, view, "grp").count() == 0)
+    // a later append folds ONLY v3 — a regressed cursor would re-add
+    // v1's rows on top and double every count
+    Snapshots.commit((100L to 104L).map(k => (k, k % 2, k))
+      .toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((3, 3)))
+    val got = ChangeFeedSync.currentView(spark, view, "grp")
+    val direct = Snapshots.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+  }
 }
