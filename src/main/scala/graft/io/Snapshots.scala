@@ -493,9 +493,10 @@ object Snapshots {
   def commitIfAbsent(df: DataFrame, table: String, writerId: String,
       batchId: Long, maxAttempts: Int = 50,
       allowEvolve: Boolean = false,
-      props: Map[String, String] = Map.empty): Option[Int] =
+      props: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil): Option[Int] =
     commitTagged(df, table, Some((writerId, batchId)), maxAttempts,
-      allowEvolve, props = props)
+      allowEvolve, statsCols = statsCols, props = props)
 
   /** True when `(writerId, batchId)` already committed — i.e. some
     * retained manifest carries its tag line.

@@ -47,24 +47,36 @@ object ChangeFeedSync {
     */
   def cursorOf(s: SparkSession, viewTable: String): Int = {
     val latest = Snapshots.latestVersion(s, viewTable)
-    (1 to latest).flatMap(v =>
-      Snapshots.propsOf(s, viewTable, v).get(CursorProp).map(_.toInt))
-      .maxOption.getOrElse(0)
+    // NEWEST-FIRST, stop at the first version carrying the prop: sync
+    // cursors are monotone in view version (each sync's CAS serializes
+    // on the chain), maintenance commits carry no props and skip, and
+    // vacuumed manifests read as absent — so a long-lived view pays
+    // O(1) manifest reads per sync, not O(sync history)
+    (latest to 1 by -1).iterator
+      .map { v =>
+        try Snapshots.propsOf(s, viewTable, v).get(CursorProp)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      .collectFirst { case Some(c) => c.toInt }
+      .getOrElse(0)
   }
 
   private val CursorProp = "cdf_cursor"
 
   /** The current materialized view: the newest persisted state frame
     * `(keyCol, n, sum_v)` — empty (correctly-typed) before the first
-    * sync.
+    * sync. Reads through the manifest's `to_v` stats ([[syncViewOnce]]
+    * commits them), so a view with thousands of accumulated sync
+    * states opens ONE directory, not the chain — the same pruning
+    * contract as any stats-committed table, advisory and exact.
     */
   def currentView(s: SparkSession, viewTable: String,
       keyCol: String): DataFrame = {
     val cursor = cursorOf(s, viewTable)
     if (cursor == 0)
       emptyState(s, keyCol)
-    else Snapshots.read(s, viewTable)
-      .filter(col("to_v") === cursor)
+    else Snapshots.readPruned(s, viewTable, "to_v",
+        cursor.toLong, cursor.toLong).df
       .select(col(keyCol), col("n"), col("sum_v"))
   }
 
@@ -97,10 +109,12 @@ object ChangeFeedSync {
     val next = graft.ops.Cdc.incrementalAgg(state, delta, keyCol, "op", valCol)
       .withColumn("to_v", lit(latest))
     // the commit IS the watermark advance: state rows, the cursor (a
-    // manifest property, robust to an EMPTY folded state), and the txn
-    // tag publish in one atomic claim — replay window closed
+    // manifest property, robust to an EMPTY folded state), the `to_v`
+    // dir stats [[currentView]] prunes on, and the txn tag publish in
+    // one atomic claim — replay window closed
     Snapshots.commitIfAbsent(next, viewTable, writerId, latest.toLong,
-        props = Map(CursorProp -> latest.toString))
+        props = Map(CursorProp -> latest.toString),
+        statsCols = Seq("to_v"))
       .map(_ => (cursor + 1, latest))
   }
 }

@@ -51,6 +51,11 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(same(current(), direct()))
     // view-table versions = number of effective syncs, each txn-tagged
     assert(Snapshots.latestVersion(spark, view) == 3)
+    // the current state opens ONE of the three accumulated state dirs —
+    // the to_v dir stats each sync commits make currentView O(1) dirs
+    val scan = Snapshots.readPruned(spark, view, "to_v", 5L, 5L)
+    assert(scan.dirsTotal == 3 && scan.dirsRead == 1,
+      s"state read ${scan.dirsRead}/${scan.dirsTotal} dirs (want 1/3)")
   }
 
   test("syncViewOnce: empty view before first sync has the right schema") {
