@@ -5884,14 +5884,14 @@ object SparkEntry {
   /** [[ops.Retrieval.termFrequencies]] over `documents` — shared by
     * t51/t52/io15/sim16 (and all three bench passes of each).
     */
-  private def sharedTf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedTf(s: SparkSession, dir: String): DataFrame =
     sharedArtifact(s, dir, "tf")(
       ops.Retrieval.termFrequencies(Tables.documents(s, dir), "text", "doc_id"))
 
   /** [[ops.Tokenize.wordCounts]] over `documents` — shared by the
     * tokenizer family t44/t48/t50/t55.
     */
-  private def sharedWords(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedWords(s: SparkSession, dir: String): DataFrame =
     sharedArtifact(s, dir, "words")(
       ops.Tokenize.wordCounts(Tables.documents(s, dir), "text"))
 

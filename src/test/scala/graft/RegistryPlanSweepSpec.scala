@@ -131,4 +131,15 @@ class RegistryPlanSweepSpec extends SparkSpec {
         s"after $ran clean queries:\n${violations.mkString("\n")}")
     assert(ran == SparkEntry.queries.size)
   }
+
+  test("shared corpus artifacts memoize per (session, dir) — a memo-key " +
+      "regression would silently rebuild the corpus shuffle everywhere") {
+    assert(SparkEntry.sharedTf(spark, sf0001) eq
+      SparkEntry.sharedTf(spark, sf0001))
+    assert(SparkEntry.sharedWords(spark, sf0001) eq
+      SparkEntry.sharedWords(spark, sf0001))
+    // distinct dirs are distinct artifacts
+    assert(!(SparkEntry.sharedTf(spark, sf0001) eq
+      SparkEntry.sharedTf(spark, "/root/testdata/sf0.01")))
+  }
 }

@@ -65,6 +65,32 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(ChangeFeedSync.cursorOf(spark, view) == 0)
   }
 
+  test("concurrent sync twins: two maintainers racing the same range " +
+      "commit exactly once — the CAS txn tag no-ops the loser") {
+    import spark.implicits._
+    val src = fresh("src_race")
+    val view = fresh("view_race")
+    Snapshots.commit((1L to 40L).map(k => (k, k % 4, k))
+      .toDF("k", "grp", "cents"), src)
+    // both workers observe cursor 0 and target source version 1; the
+    // (writerId, sourceVersion) tag makes the duplicate a no-op even
+    // though both computed a full state
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(Future.sequence((1 to 2).map(_ => Future {
+      ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+    })), 120.seconds)
+    assert(results.count(_.isDefined) == 1,
+      s"expected exactly one winning sync, got $results")
+    assert(Snapshots.latestVersion(spark, view) == 1)
+    val got = ChangeFeedSync.currentView(spark, view, "grp")
+    val direct = Snapshots.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
+  }
+
   test("an EMPTY folded state still advances the cursor — no double-fold " +
       "after a delete-everything range") {
     import spark.implicits._
