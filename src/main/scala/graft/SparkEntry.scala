@@ -7590,6 +7590,57 @@ object SparkEntry {
         lit(tagAgg.getLong(1)).as("cents_tag"))
   }
 
+  /** MERGE / UPSERT through the gate ([[graft.io.Snapshots
+    * .mergeUpsert]]) — the CDC-apply / dimension-upsert workhorse:
+    * orders committed as even/odd key halves, then ONE merge updates
+    * every `k % 10 == 3` row's cents (+7) and inserts shifted fresh
+    * keys for `k % 10 == 6` (+5 cents). Updates hit only the odd
+    * directory, so the even directory must CARRY by reference
+    * (O(affected files), require-gated via the manifest), and the
+    * change feed for the merge version must emit exactly the
+    * preimage-deletes and postimage-inserts — unchanged survivors
+    * never enter the feed. The oracle recomputes every aggregate from
+    * raw orders.
+    */
+  private def io36MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "merge_upsert")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    val src = o.filter(col("k") % 10 === 3)
+      .select(col("k"), (col("cents") + lit(7L)).as("cents"))
+      .unionByName(o.filter(col("k") % 10 === 6)
+        .select((col("k") + lit(2000000000L)).as("k"),
+          (col("cents") + lit(5L)).as("cents")))
+    val (v3, nUpd, nIns) = graft.io.Snapshots.mergeUpsert(s, table, src, "k")
+    require(v3 == 3 && nUpd > 0 && nIns > 0,
+      s"io36: merge landed ($v3, $nUpd updated, $nIns inserted)")
+    // k%10==3 keys are all odd → the even directory carries by reference
+    val carried = graft.io.Snapshots.dataDirsOf(s, table, 3).toSet
+      .intersect(graft.io.Snapshots.dataDirsOf(s, table, 2).toSet)
+    require(carried.size == 1,
+      s"io36: expected the even dir carried by reference, got $carried")
+    // the feed emits exactly the changed rows: nUpd preimage deletes,
+    // nUpd + nIns postimage inserts
+    val feed = graft.io.Snapshots.changeFeed(s, table, 3, 3)
+      .groupBy("_change_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(feed.get("delete").contains(nUpd) &&
+      feed.get("insert").contains(nUpd + nIns),
+      s"io36: feed shape drifted: $feed (want delete=$nUpd, " +
+        s"insert=${nUpd + nIns})")
+    val agg = graft.io.Snapshots.read(s, table, Some(3))
+      .agg(count(lit(1)).as("n"), sum("cents").as("c")).head()
+    s.range(1).select(lit(agg.getLong(0)).as("n_total"),
+      lit(agg.getLong(1)).as("cents_total"),
+      lit(nUpd).as("n_updated"), lit(nIns).as("n_inserted"),
+      lit(1L).as("n_dirs_carried"))
+  }
+
   /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
     * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
     * zero-padded `doc_<okey>` string id, committed as THREE key-range
@@ -8202,6 +8253,7 @@ object SparkEntry {
     "io33_string_stats" -> io33StringStats _,
     "io34_partition_evolution" -> io34PartitionEvolution _,
     "io35_commit_props" -> io35CommitProps _,
+    "io36_merge_upsert" -> io36MergeUpsert _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -11715,6 +11767,23 @@ object SparkEntry {
         |  SELECT grp, cents FROM o WHERE k % 3 = 0)
         |SELECT grp, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_v
         |FROM live GROUP BY grp ORDER BY grp""".stripMargin,
+    // post-merge totals from raw orders: +7 cents per updated row
+    // (k%10==3), the shifted k%10==6 inserts at +5 cents; the feed and
+    // carry proofs are require-gated in-query
+    "io36_merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT count(*) AS nu FROM o WHERE k % 10 = 3),
+        |ins AS (SELECT count(*) AS ni,
+        |        CAST(sum(cents + 5) AS BIGINT) AS ci FROM o WHERE k % 10 = 6)
+        |SELECT
+        |  (SELECT count(*) FROM o) + ins.ni AS n_total,
+        |  CAST((SELECT sum(cents) FROM o) + 7 * upd.nu + ins.ci
+        |    AS BIGINT) AS cents_total,
+        |  CAST(upd.nu AS BIGINT) AS n_updated,
+        |  CAST(ins.ni AS BIGINT) AS n_inserted,
+        |  CAST(1 AS BIGINT) AS n_dirs_carried
+        |FROM upd, ins""".stripMargin,
     // replays the thirds split, the 1-of-3 point / 2-of-3 range pruning
     // arithmetic, and both lookup answers from raw orders
     "io33_string_stats" ->

@@ -872,9 +872,10 @@ object Snapshots {
       }
       val prevLines = manifestLines(s, table, prev)
       // carry every header line EXCEPT per-version provenance
-      // (#change/#cdf/#prop belong to the version that wrote them)
+      // (#change/#cdf/#cdfdel/#cdfins/#prop belong to the version that
+      // wrote them — "#cdf" prefix-matches all three sidecar kinds)
       val header = prevLines.filter(l => l.startsWith("#") &&
-          !l.startsWith("#change ") && !l.startsWith("#cdf ") &&
+          !l.startsWith("#change ") && !l.startsWith("#cdf") &&
           !l.startsWith("#prop ")) ++
         Seq(s"#dv $dir $keyCol", "#change mor-delete")
       val dirs = prevLines.filterNot(_.startsWith("#"))
@@ -981,6 +982,108 @@ object Snapshots {
       attempt += 1
     }
     sys.error(s"deleteWhere on $table lost the version race $maxAttempts times")
+  }
+
+  /** MERGE / UPSERT as one snapshot commit — the Delta `MERGE INTO
+    * target USING source ON target.key = source.key WHEN MATCHED THEN
+    * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` shape, copy-on-write:
+    * rows whose key appears in `source` are REPLACED by the source row,
+    * source rows with fresh keys append — and only the directories that
+    * actually CONTAIN matching keys rewrite (hit discovery = one
+    * semi-join-pruned `input_file_name` pass, the [[deleteWhere]]
+    * shape); untouched directories carry by reference. Cost is
+    * O(affected files + source), not O(table) — the CDC-apply /
+    * dimension-upsert workhorse at 100 TB.
+    *
+    * CHANGE-FEED PROVENANCE: a merge changes rows in place, so the
+    * version records `#change merge` with TWO sidecars — `#cdfdel`
+    * names a directory holding the visible PREIMAGES of replaced rows
+    * (written in the same O(hit dirs) pass), and `#cdfins` points at
+    * the source directory itself (the postimages ARE the source rows —
+    * no second copy). [[changeFeed]] emits delete(preimage) +
+    * insert(postimage), so the fold law `read(v) = read(v−1) − deletes
+    * + inserts` holds exactly and unchanged survivor rows never leak
+    * into the feed.
+    *
+    * Guard rails: the source must be KEY-UNIQUE (two source rows for
+    * one key is an ambiguous merge — the Delta error, raised loudly
+    * here); live deletion vectors refuse (a dv tombstone would
+    * silently hide a just-upserted key — [[materializeDeletes]]
+    * first); schema must match the committed contract exactly (merge
+    * never evolves). CAS posture identical to [[deleteWhere]]: a lost
+    * race abandons the rewrite and recomputes against the new chain.
+    *
+    * @return (version, nUpdated, nInserted)
+    */
+  def mergeUpsert(s: SparkSession, table: String, source: DataFrame,
+      keyCol: String, maxAttempts: Int = 50): (Int, Long, Long) = {
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      require(dvLinesOf(lines).isEmpty,
+        s"mergeUpsert at $table: live deletion vectors would hide " +
+          "upserted keys — materializeDeletes first")
+      checkSchemaOf(s, table, source.schema, allowEvolve = false)
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val srcKeys = source.select(source(keyCol)).distinct()
+      val (nSrc, nSrcKeys) = {
+        import org.apache.spark.sql.functions.{count, countDistinct, lit}
+        val r = source.agg(count(lit(1)), countDistinct(source(keyCol))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(nSrc == nSrcKeys,
+        s"mergeUpsert at $table: source is not key-unique on '$keyCol' " +
+          s"($nSrc rows, $nSrcKeys keys) — resolve duplicates upstream")
+      val hitFiles = applyRenames(lines,
+          readDirsRaw(s, table, lines, dirs, withFile = true))
+        .join(srcKeys, Seq(keyCol), "left_semi")
+        .select(org.apache.spark.sql.functions.col("__f").as("f"))
+        .distinct().collect().map(_.getString(0))
+      val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
+      val carried = dirs.filterNot(hitDirs)
+      val hitRows =
+        if (hitDirs.isEmpty) None
+        else Some(applyRenames(lines, readDirsRaw(s, table, lines, hitDirs.toSeq)))
+      // preimages (the feed's delete side) and survivors in the same
+      // O(hit dirs) pass — hit dirs hold BOTH kinds of row
+      val survivorDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      val preDir = s"data/cdf-${java.util.UUID.randomUUID().toString.take(13)}"
+      var nUpdated = 0L
+      hitRows.foreach { hr =>
+        val pre = hr.join(srcKeys, Seq(keyCol), "left_semi")
+        pre.write.mode("errorifexists").parquet(s"$table/$preDir")
+        nUpdated = s.read.parquet(s"$table/$preDir").count()
+        hr.join(srcKeys, Seq(keyCol), "left_anti")
+          .write.mode("errorifexists").parquet(s"$table/$survivorDir")
+      }
+      val srcDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      source.write.mode("errorifexists").parquet(s"$table/$srcDir")
+      val newDirs = carried ++
+        (if (hitDirs.isEmpty) Nil else Seq(survivorDir)) :+ srcDir
+      val ddl = schemaOf(s, table, prev).getOrElse(source.schema.toDDL)
+      val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
+        changeKind = "merge") +
+        (if (hitDirs.isEmpty) "" else s"#cdfdel $preDir\n") +
+        s"#cdfins $srcDir\n"
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + newDirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, nUpdated, nSrc - nUpdated)
+      }
+      // lost the race: computed against a superseded chain — abandon
+      f.delete(new Path(s"$table/$survivorDir"), true): Unit
+      f.delete(new Path(s"$table/$preDir"), true): Unit
+      f.delete(new Path(s"$table/$srcDir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"mergeUpsert on $table lost the version race $maxAttempts times")
   }
 
   /** MATERIALIZE accumulated deletion vectors — the read-optimize half
@@ -1167,7 +1270,11 @@ object Snapshots {
         lines.filter(_.startsWith("#dv "))
           .map(_.stripPrefix("#dv ").split(" ")(0)) ++
         lines.filter(_.startsWith("#cdf "))
-          .map(_.stripPrefix("#cdf "))
+          .map(_.stripPrefix("#cdf ")) ++
+        lines.filter(_.startsWith("#cdfdel "))
+          .map(_.stripPrefix("#cdfdel ")) ++
+        lines.filter(_.startsWith("#cdfins "))
+          .map(_.stripPrefix("#cdfins "))
     }.toSet ++ {
       // staged-but-unpublished batches are LIVE (their audit may outlast
       // any orphan grace window) — marker files reference their dirs
@@ -1684,6 +1791,21 @@ object Snapshots {
               .parquet(cdfDirs.map(d => s"$table/$d"): _*))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v)))
+        case "merge" =>
+          // delete(preimage) from the #cdfdel sidecar, insert(postimage)
+          // from the #cdfins pointer (the merge's source directory) —
+          // both O(changed rows), unchanged survivors never emitted
+          def side(tag: String, change: String): Seq[DataFrame] = {
+            val ds = lines.filter(_.startsWith(s"#$tag "))
+              .map(_.stripPrefix(s"#$tag "))
+            if (ds.isEmpty) Nil
+            else Seq(applyRenames(mapLines,
+                s.read.option("mergeSchema", "true")
+                  .parquet(ds.map(d => s"$table/$d"): _*))
+              .withColumn("_change_type", lit(change))
+              .withColumn("_commit_version", lit(v)))
+          }
+          side("cdfdel", "delete") ++ side("cdfins", "insert")
         case "compact" | "materialize" | "rename" => Nil
         case other => sys.error(
           s"changeFeed: unknown #change kind '$other' at $table v$v")

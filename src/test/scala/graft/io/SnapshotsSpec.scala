@@ -692,10 +692,15 @@ class SnapshotsSpec extends SparkSpec {
   test("changeFeed fold law holds under randomized operation sequences") {
     import spark.implicits._
     // seeded generator: flat appends, HIVE-PARTITIONED appends (spec
-    // evolution mid-chain), MoR deletes, CoW deletes, compactions,
+    // evolution mid-chain), MoR deletes, CoW deletes, MERGE upserts
+    // (update a live slice + fresh inserts), compactions,
     // materializations in arbitrary interleavings — after EVERY step,
-    // folding insert − delete over the whole feed must reconstruct
-    // read(latest) bit-for-bit, across mixed directory layouts
+    // the LAST-WRITER-WINS fold of the whole feed must reconstruct
+    // read(latest) bit-for-bit across mixed directory layouts. (Keys
+    // are unique and never re-inserted after deletion, so per key the
+    // newest event decides: insert ⇒ that row lives, delete ⇒ gone;
+    // within a merge version the insert outranks its paired preimage
+    // delete.)
     for (seed <- 1 to 2) {
       val rnd = new scala.util.Random(seed)
       val t = freshTable()
@@ -704,11 +709,17 @@ class SnapshotsSpec extends SparkSpec {
         val rows = (nextId until nextId + n)
           .map(k => (k, s"p${k % 3}", k * 10L))
         nextId += n
-        rows.toDF("k", "g", "v")
+        // nullable schema: merge sources derive from read-back frames
+        // (parquet loosens NOT NULL), so the CONTRACT must be nullable
+        // for the strict merge schema check to compose
+        val df = rows.toDF("k", "g", "v")
+        spark.createDataFrame(df.rdd,
+          org.apache.spark.sql.types.StructType(
+            df.schema.map(_.copy(nullable = true))))
       }
       Snapshots.commit(freshRows(20), t)
       for (_ <- 1 to 6) {
-        rnd.nextInt(7) match {
+        rnd.nextInt(8) match {
           case 0 => Snapshots.commit(freshRows(5 + rnd.nextInt(10)), t): Unit
           case 1 | 6 => Snapshots.commitPartitioned(
             freshRows(5 + rnd.nextInt(10)), t, Seq("g")): Unit
@@ -722,13 +733,25 @@ class SnapshotsSpec extends SparkSpec {
             Snapshots.compactSmall(spark, t, smallBytes = 1L << 30): Unit
           case 5 =>
             Snapshots.materializeDeletes(spark, t): Unit
+          case 7 =>
+            // merge: rewrite a live slice's values + insert fresh keys
+            // (dv guard satisfied by materializing first — itself an op)
+            Snapshots.materializeDeletes(spark, t): Unit
+            val updates = Snapshots.read(spark, t).select("k", "g")
+              .filter(col("k") % 5 === rnd.nextInt(5))
+              .withColumn("v", col("k") * 100L + 7L)
+            Snapshots.mergeUpsert(spark, t,
+              updates.unionByName(freshRows(3 + rnd.nextInt(4))), "k"): Unit
         }
         val latest = Snapshots.latestVersion(spark, t)
         val feed = Snapshots.changeFeed(spark, t, 1, latest)
-        val folded = feed.filter(col("_change_type") === "insert")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(desc("_commit_version"),
+            when(col("_change_type") === "insert", 1).otherwise(0).desc)
+        val folded = feed
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("rn") === 1 && col("_change_type") === "insert")
           .select("k", "g", "v")
-          .join(feed.filter(col("_change_type") === "delete").select("k"),
-            Seq("k"), "left_anti")
         val live = Snapshots.read(spark, t).select("k", "g", "v")
         assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
           s"fold law broke at seed=$seed v$latest")
@@ -818,6 +841,49 @@ class SnapshotsSpec extends SparkSpec {
     // so the producer's next commit of the SAME shape is not refused
     assert(Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t) == 2)
     assert(Snapshots.read(spark, t).count() == 3)
+  }
+
+  test("mergeUpsert: matched rows replaced, fresh keys appended, " +
+      "untouched dirs carry, feed emits only changed rows") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    Snapshots.commit((11L to 20L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    // updates hit ONLY the second dir (keys 15..18); 3 fresh keys insert
+    val src = ((15L to 18L).map(k => (k, s"u$k")) ++
+      (100L to 102L).map(k => (k, s"n$k"))).toDF("k", "s")
+    val (v3, nUpd, nIns) = Snapshots.mergeUpsert(spark, t, src, "k")
+    assert(v3 == 3 && nUpd == 4 && nIns == 3)
+    val got = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 23 && got(15L) == "u15" && got(1L) == "r1" &&
+      got(20L) == "r20" && got(100L) == "n100")
+    // the un-hit first dir carried by reference (O(affected files))
+    val sharedDirs = Snapshots.dataDirsOf(spark, t, 3).toSet
+      .intersect(Snapshots.dataDirsOf(spark, t, 2).toSet)
+    assert(sharedDirs.size == 1, s"expected 1 carried dir, got $sharedDirs")
+    // feed: exactly the 4 preimages as deletes + 7 postimages as inserts
+    val feed = Snapshots.changeFeed(spark, t, 3, 3).cache()
+    assert(feed.filter($"_change_type" === "delete").select("k", "s")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      (15L to 18L).map(k => (k, s"r$k")))
+    assert(feed.filter($"_change_type" === "insert").count() == 7)
+    // fold law across the whole history
+    val all = Snapshots.changeFeed(spark, t, 1, 3).cache()
+    val folded = all.filter($"_change_type" === "insert").select("k", "s")
+      .join(all.filter($"_change_type" === "delete")
+        .select($"k", $"s".as("ds")), Seq("k"), "left_outer")
+      .filter($"ds".isNull || $"s" =!= $"ds").select("k", "s")
+    val live = Snapshots.read(spark, t).select("k", "s")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
+    // guards: non-key-unique source; live deletion vectors
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpsert(spark, t, dup, "k"))
+    assert(e1.getMessage.contains("key-unique"))
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") === 2L)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpsert(spark, t, src, "k"))
+    assert(e2.getMessage.contains("deletion vectors"))
   }
 
   test("string manifest stats: point lookups prune dirs on truncated " +
