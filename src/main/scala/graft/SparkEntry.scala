@@ -7590,6 +7590,65 @@ object SparkEntry {
         lit(tagAgg.getLong(1)).as("cents_tag"))
   }
 
+  /** ROW-LEVEL CDF REPLICATION through the gate
+    * ([[graft.streaming.ChangeFeedSync.replicateOnce]] — the canonical
+    * change-feed consumer): a source table evolves through appends, a
+    * CoW delete, and a MERGE (updates + re-inserts of previously
+    * deleted keys + fresh inserts), and TWO replication calls keep an
+    * exact replica — initial load, then one O(changed rows)
+    * incremental range. (MoR events reach a replica as generic delete
+    * events — that feed branch is gated by q91/io28 and the fold-law
+    * fuzz.) The replica must equal the source BIT-FOR-BIT
+    * (require-gated both directions), a third call must no-op at the
+    * head, and the oracle recomputes the final per-bucket aggregates
+    * from raw orders.
+    */
+  private def q92CdfReplica(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q92")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val dst = s"$base/replica"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, dst, "k").contains((1, 2)),
+      "q92: initial load must fold source versions 1..2")
+    // source evolves: CoW delete, then a merge re-inserting some of
+    // the just-deleted keys (%5-deleted %10==3 keys come back at +7)
+    val (v3, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, src, col("k") % 5 === 0)
+    require(v3 == 3 && rewr >= 1, s"q92: CoW delete landed ($v3, $rewr)")
+    val merged = graft.io.Snapshots.mergeUpsert(s, src,
+      o.filter(col("k") % 10 === 3)
+        .select(col("k"), (col("cents") + lit(7L)).as("cents"))
+        .unionByName(o.filter(col("k") % 10 === 6)
+          .select((col("k") + lit(2000000000L)).as("k"),
+            (col("cents") + lit(5L)).as("cents"))), "k")
+    require(merged._1 == 4, s"q92: merge landed v${merged._1}")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, dst, "k").contains((3, 4)),
+      "q92: incremental sync must fold source versions 3..4")
+    val srcDf = graft.io.Snapshots.read(s, src)
+      .select("k", "cents").localCheckpoint()
+    val dstDf = graft.io.Snapshots.read(s, dst)
+      .select("k", "cents").localCheckpoint()
+    require(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty,
+      "q92: the replica must equal the source bit-for-bit")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, dst, "k").isEmpty,
+      "q92: a sync at the head must no-op")
+    graft.io.Snapshots.read(s, dst)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
   /** MERGE / UPSERT through the gate ([[graft.io.Snapshots
     * .mergeUpsert]]) — the CDC-apply / dimension-upsert workhorse:
     * orders committed as even/odd key halves, then ONE merge updates
@@ -8254,6 +8313,7 @@ object SparkEntry {
     "io34_partition_evolution" -> io34PartitionEvolution _,
     "io35_commit_props" -> io35CommitProps _,
     "io36_merge_upsert" -> io36MergeUpsert _,
+    "q92_cdf_replica" -> q92CdfReplica _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -11767,6 +11827,22 @@ object SparkEntry {
         |  SELECT grp, cents FROM o WHERE k % 3 = 0)
         |SELECT grp, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_v
         |FROM live GROUP BY grp ORDER BY grp""".stripMargin,
+    // the replica's final state from raw orders: survivors of the %5
+    // delete (minus the %10==3 class, wholly rewritten), ALL %10==3
+    // keys re-asserted at +7 cents by the merge, the shifted %10==6
+    // inserts at +5; bit-for-bit replica equality is require-gated
+    // in-query
+    "q92_cdf_replica" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |live AS (
+        |  SELECT k, cents FROM o
+        |  WHERE k % 5 <> 0 AND k % 10 <> 3
+        |  UNION ALL SELECT k, cents + 7 FROM o WHERE k % 10 = 3
+        |  UNION ALL SELECT k + 2000000000, cents + 5 FROM o WHERE k % 10 = 6)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
     // post-merge totals from raw orders: +7 cents per updated row
     // (k%10==3), the shifted k%10==6 inserts at +5 cents; the feed and
     // carry proofs are require-gated in-query

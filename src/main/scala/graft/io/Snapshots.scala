@@ -984,6 +984,70 @@ object Snapshots {
     sys.error(s"deleteWhere on $table lost the version race $maxAttempts times")
   }
 
+  /** COPY-ON-WRITE DELETE BY KEY FRAME — [[deleteWhere]] when the
+    * doomed rows are identified by a DISTRIBUTED key list (a change
+    * feed's delete events, a right-to-erasure batch) rather than a
+    * predicate: hit discovery is a semi-join against the key frame
+    * (never a collected `isin` — the list can be millions of keys),
+    * matching directories rewrite their survivors via anti-join,
+    * untouched directories carry by reference, and the deleted
+    * preimages land in a `#cdf` sidecar so [[changeFeed]] stays
+    * O(changed rows). Unlike [[deleteWhereMoR]], no tombstone remains:
+    * the keys can re-insert immediately — the property table
+    * REPLICATION needs (a replayed key may be deleted and re-inserted
+    * across one sync range). Keys matching nothing are a no-op (the
+    * current version returns unchanged). CAS posture identical to
+    * [[deleteWhere]].
+    *
+    * @return (version, dirsCarried, dirsRewritten)
+    */
+  def deleteKeysCow(s: SparkSession, table: String, keys: DataFrame,
+      keyCol: String, maxAttempts: Int = 50): (Int, Int, Int) = {
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val keysD = keys.select(keys(keyCol)).distinct()
+      val hitFiles = applyRenames(lines,
+          readDirsRaw(s, table, lines, dirs, withFile = true))
+        .join(keysD, Seq(keyCol), "left_semi")
+        .select(org.apache.spark.sql.functions.col("__f").as("f"))
+        .distinct().collect().map(_.getString(0))
+      val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
+      if (hitDirs.isEmpty) return (prev, dirs.size, 0)
+      val carried = dirs.filterNot(hitDirs)
+      val hitRows = applyRenames(lines, readDirsRaw(s, table, lines, hitDirs.toSeq))
+      val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      hitRows.join(keysD, Seq(keyCol), "left_anti")
+        .write.mode("errorifexists").parquet(s"$table/$dir")
+      // feed sidecar: the VISIBLE preimages (dv-hidden rows were never
+      // in the feed, so their deletion must not be reported either)
+      val cdfDir = s"data/cdf-${java.util.UUID.randomUUID().toString.take(13)}"
+      applyDv(s, table, dvLinesOf(lines),
+          hitRows.join(keysD, Seq(keyCol), "left_semi"))
+        .write.mode("errorifexists").parquet(s"$table/$cdfDir")
+      val ddl = schemaOf(s, table, prev).getOrElse(hitRows.schema.toDDL)
+      val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
+        changeKind = "delete-cow") + s"#cdf $cdfDir\n"
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + (carried :+ dir).mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, carried.size, hitDirs.size)
+      }
+      f.delete(new Path(s"$table/$dir"), true): Unit
+      f.delete(new Path(s"$table/$cdfDir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"deleteKeysCow on $table lost the version race $maxAttempts times")
+  }
+
   /** MERGE / UPSERT as one snapshot commit — the Delta `MERGE INTO
     * target USING source ON target.key = source.key WHEN MATCHED THEN
     * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` shape, copy-on-write:
@@ -1016,7 +1080,9 @@ object Snapshots {
     * @return (version, nUpdated, nInserted)
     */
   def mergeUpsert(s: SparkSession, table: String, source: DataFrame,
-      keyCol: String, maxAttempts: Int = 50): (Int, Long, Long) = {
+      keyCol: String, maxAttempts: Int = 50,
+      props: Map[String, String] = Map.empty): (Int, Long, Long) = {
+    require(props.keys.forall(_.nonEmpty), "mergeUpsert: empty property key")
     val f = fs(s, table)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1064,8 +1130,10 @@ object Snapshots {
       val newDirs = carried ++
         (if (hitDirs.isEmpty) Nil else Seq(survivorDir)) :+ srcDir
       val ddl = schemaOf(s, table, prev).getOrElse(source.schema.toDDL)
+      val propLines = props.toSeq.sortBy(_._1)
+        .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}\n" }.mkString
       val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
-        changeKind = "merge") +
+        changeKind = "merge") + propLines +
         (if (hitDirs.isEmpty) "" else s"#cdfdel $preDir\n") +
         s"#cdfins $srcDir\n"
       val v = prev + 1
@@ -1787,8 +1855,10 @@ object Snapshots {
           val cdfDirs = lines.filter(_.startsWith("#cdf "))
             .map(_.stripPrefix("#cdf "))
           if (cdfDirs.isEmpty) Nil
-          else Seq(applyRenames(mapLines, s.read.option("mergeSchema", "true")
-              .parquet(cdfDirs.map(d => s"$table/$d"): _*))
+          // readDirsRaw for the sidecars too: they inherit its
+          // committed-#schema fallback (a sidecar CAN hold zero files —
+          // e.g. every doomed row was already dv-hidden)
+          else Seq(applyRenames(mapLines, readDirsRaw(s, table, lines, cdfDirs))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v)))
         case "merge" =>
@@ -1799,9 +1869,7 @@ object Snapshots {
             val ds = lines.filter(_.startsWith(s"#$tag "))
               .map(_.stripPrefix(s"#$tag "))
             if (ds.isEmpty) Nil
-            else Seq(applyRenames(mapLines,
-                s.read.option("mergeSchema", "true")
-                  .parquet(ds.map(d => s"$table/$d"): _*))
+            else Seq(applyRenames(mapLines, readDirsRaw(s, table, lines, ds))
               .withColumn("_change_type", lit(change))
               .withColumn("_commit_version", lit(v)))
           }

@@ -117,4 +117,60 @@ object ChangeFeedSync {
         statsCols = Seq("to_v"))
       .map(_ => (cursor + 1, latest))
   }
+
+  /** ROW-LEVEL TABLE REPLICATION off the change feed — the canonical
+    * CDF consumer (the Delta "CDC apply into a downstream table"
+    * recipe): one call folds the source's feed range `(cursor, latest]`
+    * into an exact replica table, so keeping a 100 TB table's copy in
+    * sync costs O(changed rows) per sync, never a re-copy.
+    *
+    * Per sync: the range's events collapse to ONE outcome per key —
+    * last writer wins (keys are unique per version; within a merge
+    * version the postimage insert outranks its paired preimage delete)
+    * — then net deletes apply via [[Snapshots.deleteKeysCow]] (a
+    * distributed key-frame semi-join; CoW so no tombstone blocks a
+    * later re-insert of the key) and net upserts via
+    * [[Snapshots.mergeUpsert]], which carries the advanced cursor as
+    * its commit property. First sync of an empty replica is a plain
+    * initial-load commit.
+    *
+    * Delivery contract: AT-LEAST-ONCE, CONVERGENT. The cursor rides
+    * the LAST commit of the sync, so a crash between the delete and
+    * the merge replays the whole range — the replayed delete finds no
+    * matching keys (no-op) and the replayed merge re-asserts the same
+    * postimages (same final state); the replica's own feed may then
+    * carry extra self-cancelling events, the standard price of
+    * non-transactional two-step apply.
+    *
+    * @return Some((fromV, toV)) when the replica advanced; None at head
+    */
+  def replicateOnce(s: SparkSession, sourceTable: String,
+      replicaTable: String, keyCol: String): Option[(Int, Int)] = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = Snapshots.latestVersion(s, sourceTable)
+    val cursor = cursorOf(s, replicaTable)
+    if (latest <= cursor) return None
+    val feed = Snapshots.changeFeed(s, sourceTable, cursor + 1, latest)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val last = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .localCheckpoint()
+    val meta = Seq("_change_type", "_commit_version", "_commit_props", "__rn")
+    val upserts = last.filter(col("_change_type") === "insert")
+      .drop(meta: _*)
+    val cursorProps = Map(CursorProp -> latest.toString)
+    if (Snapshots.latestVersion(s, replicaTable) < 1) {
+      // initial load: the folded range IS the table
+      Snapshots.commit(upserts, replicaTable, props = cursorProps): Unit
+    } else {
+      val delKeys = last.filter(col("_change_type") === "delete")
+        .select(col(keyCol))
+      Snapshots.deleteKeysCow(s, replicaTable, delKeys, keyCol): Unit
+      Snapshots.mergeUpsert(s, replicaTable, upserts, keyCol,
+        props = cursorProps): Unit
+    }
+    Some((cursor + 1, latest))
+  }
 }

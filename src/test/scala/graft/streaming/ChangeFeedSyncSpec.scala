@@ -91,6 +91,44 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty)
   }
 
+  test("replicateOnce: exact row-level replica through deletes, updates, " +
+      "re-inserts of deleted keys, and delete-only ranges") {
+    import spark.implicits._
+    val src = fresh("rep_src")
+    val dst = fresh("rep_dst")
+    def srcDf = Snapshots.read(spark, src).select("k", "s")
+    def dstDf = Snapshots.read(spark, dst).select("k", "s")
+    def inSync() =
+      srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty
+    // initial load from two appends
+    Snapshots.commit((1L to 10L).map(k => (k, s"r$k")).toDF("k", "s"), src)
+    Snapshots.commit((11L to 20L).map(k => (k, s"r$k")).toDF("k", "s"), src)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((1, 2)))
+    assert(inSync())
+    // a CoW delete + a merge (update 5..8, re-insert deleted key 3,
+    // fresh key 100) fold in one range
+    Snapshots.deleteWhere(spark, src, col("k") <= 4L)
+    Snapshots.mergeUpsert(spark, src,
+      ((5L to 8L).map(k => (k, s"u$k")) :+ ((3L, "back")) :+ ((100L, "new")))
+        .toDF("k", "s"), "k")
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((3, 4)))
+    assert(inSync())
+    assert(dstDf.as[(Long, String)].collect().toMap.get(3L).contains("back"))
+    // delete-only range (empty upsert set) still advances the cursor
+    Snapshots.deleteWhere(spark, src, col("k") === 100L)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((5, 5)))
+    assert(inSync())
+    // at head: no-op
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isEmpty)
+    // crash-replay convergence: wipe the cursor's effect by re-applying
+    // the last range manually — the delete finds nothing, the merge
+    // re-asserts the same rows, the replica state is unchanged
+    val before = dstDf.collect().map(_.toSeq).toSet
+    Snapshots.deleteKeysCow(spark, dst,
+      Seq(100L).toDF("k"), "k")
+    assert(dstDf.collect().map(_.toSeq).toSet == before)
+  }
+
   test("an EMPTY folded state still advances the cursor — no double-fold " +
       "after a delete-everything range") {
     import spark.implicits._
