@@ -886,6 +886,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion vectors"))
   }
 
+  test("mergeUpsert races a concurrent append: both land, the merge " +
+      "recomputes against the new chain, no rows lost") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 20L).map(k => (k, s"r$k")).toDF("k", "s"), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val merge = Future {
+      Snapshots.mergeUpsert(spark, t,
+        ((5L to 10L).map(k => (k, s"u$k")) ++
+          (100L to 102L).map(k => (k, s"n$k"))).toDF("k", "s"), "k")
+    }
+    val append = Future {
+      Snapshots.commit((200L to 204L).map(k => (k, s"a$k")).toDF("k", "s"), t)
+    }
+    val (mv, nUpd, nIns) = Await.result(merge, 300.seconds)
+    val av = Await.result(append, 300.seconds)
+    // CAS serialized them into versions 2 and 3, in either order
+    assert(Set(mv, av) == Set(2, 3) && nUpd == 6 && nIns == 3)
+    val got = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got.size == 28, s"expected 28 rows, got ${got.size}")
+    assert(got(5L) == "u5" && got(1L) == "r1" && got(100L) == "n100" &&
+      got(200L) == "a200")
+    // the fold law survives the interleaving (merge may have recomputed)
+    val feed = Snapshots.changeFeed(spark, t, 1, 3)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(desc("_commit_version"),
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val folded = feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .select("k", "s")
+    val live = Snapshots.read(spark, t).select("k", "s")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
+  }
+
   test("string manifest stats: point lookups prune dirs on truncated " +
       "bounds; non-ASCII bounds stay advisory; result equals full filter") {
     import spark.implicits._
