@@ -7526,7 +7526,8 @@ object SparkEntry {
     val left = f.listStatus(new org.apache.hadoop.fs.Path(s"$table/data"))
       .map(_.getPath.toString)
     require(left.nonEmpty, "q89: the survivors' data must still exist")
-    val residual = s.read.option("mergeSchema", "true").parquet(left: _*)
+    val residual = s.read.option("mergeSchema", "true")
+      .parquet(left.toIndexedSeq: _*)
       .filter(col("k") % 13 === 0).count()
     require(residual == 0,
       s"q89: $residual physical rows for erased subjects remain on " +

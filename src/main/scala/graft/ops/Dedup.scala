@@ -770,7 +770,7 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lbl"))
       .localCheckpoint(true)
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var prev = checksum(labels)
     var it = 0
     var converged = false
@@ -875,7 +875,7 @@ object Dedup {
     }
     def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)).as("n"),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).head
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h")).head()
       (r.getLong(0), r.getDecimal(1))
     }
     var e = edges

@@ -339,7 +339,7 @@ object Tokenize {
     require(maxPieceLen >= 1 && rounds >= 1, s"bad $maxPieceLen/$rounds")
     val words = wordsIn.select(col("w"), col("n").as("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxLen = words.agg(max(length(col("w")))).head.getInt(0)
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
     require(maxLen <= rounds,
       s"longest word ($maxLen chars) exceeds the $rounds-round DP budget")
     // candidate pieces: every (start, len<=maxPieceLen) substring of every
@@ -353,7 +353,7 @@ object Tokenize {
       .select(col("wc"), substring_pos(col("w"), col("j"), col("l")).as("p"))
     val cnts = pieces.groupBy("p").agg(sum(col("wc")).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = cnts.agg(sum(col("cnt")).as("c_tot"), count(lit(1)).as("v")).head
+    val totals = cnts.agg(sum(col("cnt")).as("c_tot"), count(lit(1)).as("v")).head()
     val (cTot, v) = (totals.getLong(0), totals.getLong(1))
     val costs = cnts.select(col("p"),
       round(-log((col("cnt") + 1).cast("double") / lit(cTot + v)) * 1e6, 0)
