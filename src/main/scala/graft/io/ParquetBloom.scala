@@ -44,7 +44,8 @@ object ParquetBloom {
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     var total = 0L; var withBloom = 0L; var statsAdmit = 0L; var bloomAdmit = 0L
     parts.foreach { part =>
-      val reader = ParquetFileReader.open(conf, part)
+      val reader = ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
       try {
         reader.getRowGroups.asScala.foreach { block =>
           val col = block.getColumns.asScala

@@ -70,7 +70,7 @@ object ZoneMap {
         spark.read.parquet(s"$path/data").filter(lit(false))
       else
         spark.read.option("basePath", s"$path/data")
-          .parquet(hit.map(z => s"$path/data/zb=$z"): _*)
+          .parquet(hit.toIndexedSeq.map(z => s"$path/data/zb=$z"): _*)
     (pruned.filter(residual), hit.length.toLong, total)
   }
 }
