@@ -158,8 +158,20 @@ object ChangeFeedSync {
       .filter(col("__rn") === 1)
       .localCheckpoint()
     val meta = Seq("_change_type", "_commit_version", "_commit_props", "__rn")
-    val upserts = last.filter(col("_change_type") === "insert")
+    // normalize to the SOURCE's committed column order: feed frames
+    // order columns by whichever part emitted first, and a partitioned
+    // append surfaces its partition column LAST (Hive discovery) — a
+    // feed-order frame would trip the replica's strict schema contract
+    val contractCols = Snapshots.schemaOf(s, sourceTable, latest)
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
+        .fieldNames.toSeq)
+    val upserts0 = last.filter(col("_change_type") === "insert")
       .drop(meta: _*)
+    val upserts = contractCols match {
+      case Some(cs) if cs.toSet == upserts0.columns.toSet =>
+        upserts0.select(cs.map(col): _*)
+      case _ => upserts0
+    }
     val cursorProps = Map(CursorProp -> latest.toString)
     if (Snapshots.latestVersion(s, replicaTable) < 1) {
       // initial load: the folded range IS the table

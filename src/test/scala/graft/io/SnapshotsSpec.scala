@@ -704,6 +704,7 @@ class SnapshotsSpec extends SparkSpec {
     for (seed <- 1 to 2) {
       val rnd = new scala.util.Random(seed)
       val t = freshTable()
+      val rep = s"${t}_rep"
       var nextId = 0L
       def freshRows(n: Int) = {
         val rows = (nextId until nextId + n)
@@ -755,6 +756,14 @@ class SnapshotsSpec extends SparkSpec {
         val live = Snapshots.read(spark, t).select("k", "g", "v")
         assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
           s"fold law broke at seed=$seed v$latest")
+        // the feed's flagship consumer rides the same interleavings: a
+        // replica synced after EVERY op must equal the source exactly —
+        // replication × partition evolution × merge × both delete paths
+        // × maintenance, composed under randomization
+        graft.streaming.ChangeFeedSync.replicateOnce(spark, t, rep, "k")
+        val repDf = Snapshots.read(spark, rep).select("k", "g", "v")
+        assert(repDf.exceptAll(live).isEmpty && live.exceptAll(repDf).isEmpty,
+          s"replica diverged at seed=$seed v$latest")
       }
     }
   }
