@@ -142,6 +142,15 @@ object ChangeFeedSync {
     * carry extra self-cancelling events, the standard price of
     * non-transactional two-step apply.
     *
+    * SCHEMA SCOPE: upserts normalize to the source's committed column
+    * ORDER (feed frames order by emitting part, and a partitioned
+    * append surfaces its partition column last). A source
+    * `renameColumn` is NOT propagated — the next sync refuses loudly
+    * against the replica's schema contract (recreate the replica, or
+    * rename it first); additive source evolution likewise requires
+    * evolving the replica before the range containing the new column
+    * syncs.
+    *
     * @return Some((fromV, toV)) when the replica advanced; None at head
     */
   def replicateOnce(s: SparkSession, sourceTable: String,
