@@ -5878,7 +5878,21 @@ object SparkEntry {
           fresh
         }
       }
-      m.getOrElseUpdate(s"$kind@$dir", build.localCheckpoint())
+      m.getOrElse(s"$kind@$dir", {
+        // dir changed for this kind: free the superseded artifact's
+        // checkpoint blocks EXPLICITLY before caching the new one — the
+        // map holds strong references, so without this the stale
+        // blocks outlive every consumer for the session's lifetime
+        // (the io15Built staleness discipline, plus the unpersist that
+        // localCheckpoint needs — ContextCleaner alone never fires
+        // while the map pins the RDD)
+        m.keys.filter(_.startsWith(s"$kind@")).toList.foreach { k =>
+          m.remove(k).foreach(ops.Checkpoints.free)
+        }
+        val built = build.localCheckpoint()
+        m.put(s"$kind@$dir", built)
+        built
+      })
     }
 
   /** [[ops.Retrieval.termFrequencies]] over `documents` — shared by
@@ -7596,13 +7610,18 @@ object SparkEntry {
     * change-feed consumer): a source table evolves through appends, a
     * CoW delete, and a MERGE (updates + re-inserts of previously
     * deleted keys + fresh inserts), and TWO replication calls keep an
-    * exact replica — initial load, then one O(changed rows)
-    * incremental range. (MoR events reach a replica as generic delete
-    * events — that feed branch is gated by q91/io28 and the fold-law
-    * fuzz.) The replica must equal the source BIT-FOR-BIT
-    * (require-gated both directions), a third call must no-op at the
-    * head, and the oracle recomputes the final per-bucket aggregates
-    * from raw orders.
+    * exact replica — a snapshot bootstrap, then one O(changed rows)
+    * incremental range applied as ONE atomic delete+merge commit
+    * ([[graft.io.Snapshots.applyChangesCow]] — replica version count
+    * require-gated, so a regression to the two-commit shape fails
+    * loudly). (MoR events reach a replica as generic delete events —
+    * that feed branch is gated by q91/io28 and the fold-law fuzz.) The
+    * replica must equal the source BIT-FOR-BIT (require-gated both
+    * directions), a third call must no-op at the head WITHOUT
+    * committing (the txn-tag exactly-once proof), the replica's own
+    * change feed must carry no self-cancelling delete+insert pairs,
+    * and the oracle recomputes the final per-bucket aggregates from
+    * raw orders.
     */
   private def q92CdfReplica(s: SparkSession, dir: String): DataFrame = {
     val base = ioTmp(dir, "q92")
@@ -7635,6 +7654,14 @@ object SparkEntry {
     require(graft.streaming.ChangeFeedSync
       .replicateOnce(s, src, dst, "k").contains((3, 4)),
       "q92: incremental sync must fold source versions 3..4")
+    // EXACTLY-ONCE apply: bootstrap + ONE atomic delete+merge commit —
+    // the two-commit shape would land three versions and a crash
+    // between its commits would replay the range into self-cancelling
+    // replica-feed events
+    val dstVersions = graft.io.Snapshots.latestVersion(s, dst)
+    require(dstVersions == 2,
+      s"q92: expected 2 replica versions (bootstrap + one atomic " +
+        s"apply), got $dstVersions")
     val srcDf = graft.io.Snapshots.read(s, src)
       .select("k", "cents").localCheckpoint()
     val dstDf = graft.io.Snapshots.read(s, dst)
@@ -7644,6 +7671,19 @@ object SparkEntry {
     require(graft.streaming.ChangeFeedSync
       .replicateOnce(s, src, dst, "k").isEmpty,
       "q92: a sync at the head must no-op")
+    require(graft.io.Snapshots.latestVersion(s, dst) == 2,
+      "q92: the replayed sync must not commit")
+    // the replica's OWN feed is clean: no delete+insert pair within a
+    // version carries identical values (the replayed-two-step-apply
+    // signature) — the replica is itself a faithful CDF source for a
+    // further downstream tier
+    val repFeed = graft.io.Snapshots.changeFeed(s, dst, 1, 2)
+    val rDel = repFeed.filter(col("_change_type") === "delete")
+      .select("_commit_version", "k", "cents")
+    val rIns = repFeed.filter(col("_change_type") === "insert")
+      .select("_commit_version", "k", "cents")
+    require(rDel.join(rIns, Seq("_commit_version", "k", "cents")).isEmpty,
+      "q92: replica feed carries self-cancelling delete+insert pairs")
     graft.io.Snapshots.read(s, dst)
       .groupBy((col("k") % 10).as("bucket"))
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))

@@ -193,6 +193,27 @@ object Snapshots {
     x.length - y.length
   }
 
+  /** Hive's reserved directory name for a NULL (or empty-string)
+    * partition value — a literal data value equal to it would read back
+    * as NULL, so [[commitPartitioned]] refuses it up front.
+    */
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition-path TYPE INFERENCE must be off while a partitioned root
+    * resolves: inference types a numeric-looking STRING partition value
+    * ("01", "1.10", "1e3") as int/double first, and the later cast back
+    * to the committed string contract yields "1"/"1.1" — silent
+    * corruption. With inference off the path value stays a string and
+    * the contract cast is exact (string → verbatim, numeric → parse of
+    * the canonical rendering the writer produced). The conf is session-
+    * global and file-source resolution reads it eagerly, so the toggle
+    * holds a JVM-wide lock for just the (metadata-scale) relation
+    * resolution and always restores.
+    */
+  private val PartInferKey =
+    "spark.sql.sources.partitionColumnTypeInference.enabled"
+  private val partInferLock = new Object
+
   /** Per-dir partition specs: `#spec <dir> <col[,col…]>` manifest lines
     * (dir → partition columns). A dir WITHOUT a spec line is flat.
     */
@@ -248,13 +269,22 @@ object Snapshots {
         // committed #schema line IS the contract, so read under it
         // (an empty scan with the right types, additive-evolution
         // compatible: missing columns in older files surface as NULL)
-        val base =
+        def resolve() =
           try s.read.option("mergeSchema", "true").parquet(paths: _*)
           catch {
             case e: org.apache.spark.sql.AnalysisException
                 if contract.isDefined &&
                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
               s.read.schema(contract.get).parquet(paths: _*)
+          }
+        val base =
+          if (partCols.isEmpty) resolve()
+          else partInferLock.synchronized {
+            // see [[PartInferKey]]: path values must resolve as STRINGS
+            // so the contract cast below is exact, not inference→cast
+            val saved = s.conf.get(PartInferKey, "true")
+            s.conf.set(PartInferKey, "false")
+            try resolve() finally s.conf.set(PartInferKey, saved)
           }
         val cast = partCols.foldLeft(base) { (df, c) =>
           contract.flatMap(_.fields.find(_.name == c)) match {
@@ -633,6 +663,27 @@ object Snapshots {
         s"not in the frame (${df.columns.mkString(", ")})")
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     checkSchema(s, table, df, allowEvolve)
+    // a STRING partition value equal to Hive's null-sentinel (or empty —
+    // the path writer folds "" into the same sentinel) would read back
+    // as NULL: refuse loudly before any data writes. One limit-1 job
+    // over the new data, partitioned commits only. Genuine NULLs
+    // round-trip correctly (null → sentinel dir → null) and are fine.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.StringType
+      val strParts = partitionCols.filter(c =>
+        df.schema(c).dataType == StringType)
+      if (strParts.nonEmpty) {
+        val bad = df.filter(strParts.map(c =>
+            col(c) === HiveDefaultPartition || col(c) === "")
+          .reduce(_ || _)).limit(1).count()
+        require(bad == 0,
+          s"commit to $table: a string partition value equals " +
+            s"'$HiveDefaultPartition' or '' — the partition path would " +
+            "read it back as NULL; clean the value or partition on " +
+            "another column")
+      }
+    }
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     if (partitionCols.isEmpty)
       df.write.mode("errorifexists").parquet(s"$table/$dir")
@@ -1077,7 +1128,9 @@ object Snapshots {
     * never evolves). CAS posture identical to [[deleteWhere]]: a lost
     * race abandons the rewrite and recomputes against the new chain.
     *
-    * @return (version, nUpdated, nInserted)
+    * @return (version, nUpdated, nInserted) — nUpdated counts MATCHED
+    *         KEYS (a target holding duplicate rows for a key still
+    *         counts it once), nInserted the fresh source keys
     */
   def mergeUpsert(s: SparkSession, table: String, source: DataFrame,
       keyCol: String, maxAttempts: Int = 50,
@@ -1121,7 +1174,12 @@ object Snapshots {
       hitRows.foreach { hr =>
         val pre = hr.join(srcKeys, Seq(keyCol), "left_semi")
         pre.write.mode("errorifexists").parquet(s"$table/$preDir")
-        nUpdated = s.read.parquet(s"$table/$preDir").count()
+        // matched KEYS, not preimage rows: a target holding duplicate
+        // rows for one key would otherwise overcount nUpdated and push
+        // nInserted wrong (possibly negative) — source uniqueness is
+        // enforced above, target uniqueness is not
+        nUpdated = s.read.parquet(s"$table/$preDir")
+          .select(keyCol).distinct().count()
         hr.join(srcKeys, Seq(keyCol), "left_anti")
           .write.mode("errorifexists").parquet(s"$table/$survivorDir")
       }
@@ -1152,6 +1210,137 @@ object Snapshots {
       attempt += 1
     }
     sys.error(s"mergeUpsert on $table lost the version race $maxAttempts times")
+  }
+
+  /** DELETE + MERGE as ONE atomic snapshot commit — the transactional
+    * apply step a change-feed consumer needs
+    * ([[graft.streaming.ChangeFeedSync.replicateOnce]]): a sync range
+    * collapses to net DELETES and net UPSERTS per key, and applying
+    * them as two commits ([[deleteKeysCow]] then [[mergeUpsert]])
+    * leaves a crash window where the delete landed but the merge did
+    * not — the consumer replays the whole range (convergent, but only
+    * at-least-once) and the table's own change feed records
+    * self-cancelling delete+insert pairs. Here both legs publish under
+    * ONE manifest claim: rows whose key is in `deleteKeys` leave, rows
+    * whose key is in `source` are replaced, fresh source keys append —
+    * and the header carries the merge provenance (`#cdfdel` = visible
+    * preimages of replaced AND deleted rows, `#cdfins` = the source
+    * directory), the commit properties, and an optional `(writerId,
+    * batchId)` transaction tag in the same atomic publish. A replayed
+    * or concurrent duplicate of the same tag no-ops BEFORE any data
+    * writes — the consumer's apply becomes EXACTLY-ONCE and its feed
+    * stays clean.
+    *
+    * The version records `#change merge`: [[changeFeed]] emits
+    * delete(preimage) for every removed-or-replaced visible row and
+    * insert(postimage) for every source row, so the fold law
+    * `read(v) = read(v−1) − deletes + inserts` holds exactly.
+    *
+    * Cost model and guard rails are [[mergeUpsert]]'s: hit discovery is
+    * one semi-join-pruned `input_file_name` pass over the union of both
+    * key sets, untouched directories carry by reference — O(affected
+    * files + source + deleteKeys), never O(table). The source must be
+    * key-unique; `deleteKeys` and source keys must be DISJOINT (a key
+    * both deleted and upserted in one apply is ambiguous — collapse to
+    * one outcome upstream, the way a last-writer-wins fold does); live
+    * deletion vectors refuse; schema must match the committed contract
+    * exactly. CAS posture identical to [[deleteWhere]].
+    *
+    * @return Some((version, nDeleted, nUpdated, nInserted)) — key
+    *         counts, not row counts — or None when the (writerId,
+    *         batchId) transaction already committed
+    */
+  def applyChangesCow(s: SparkSession, table: String, deleteKeys: DataFrame,
+      source: DataFrame, keyCol: String,
+      txn: Option[(String, Long)] = None, maxAttempts: Int = 50,
+      props: Map[String, String] = Map.empty): Option[(Int, Long, Long, Long)] = {
+    require(props.keys.forall(_.nonEmpty), "applyChangesCow: empty property key")
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      if (txn.exists { case (w, b) => txnSeenUpTo(s, table, w, b, prev) })
+        return None
+      val lines = manifestLines(s, table, prev)
+      require(dvLinesOf(lines).isEmpty,
+        s"applyChangesCow at $table: live deletion vectors would hide " +
+          "upserted keys — materializeDeletes first")
+      checkSchemaOf(s, table, source.schema, allowEvolve = false)
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val delKeysD = deleteKeys.select(deleteKeys(keyCol)).distinct()
+      val srcKeys = source.select(source(keyCol)).distinct()
+      val (nSrc, nSrcKeys) = {
+        import org.apache.spark.sql.functions.{count, countDistinct, lit}
+        val r = source.agg(count(lit(1)), countDistinct(source(keyCol))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(nSrc == nSrcKeys,
+        s"applyChangesCow at $table: source is not key-unique on " +
+          s"'$keyCol' ($nSrc rows, $nSrcKeys keys) — resolve duplicates " +
+          "upstream")
+      require(delKeysD.join(srcKeys, Seq(keyCol), "left_semi")
+          .limit(1).count() == 0,
+        s"applyChangesCow at $table: deleteKeys and source keys overlap " +
+          "— a key both deleted and upserted in one apply is ambiguous; " +
+          "collapse to one outcome per key upstream")
+      val allKeys = delKeysD.unionByName(srcKeys).distinct()
+      val hitFiles = applyRenames(lines,
+          readDirsRaw(s, table, lines, dirs, withFile = true))
+        .join(allKeys, Seq(keyCol), "left_semi")
+        .select(org.apache.spark.sql.functions.col("__f").as("f"))
+        .distinct().collect().map(_.getString(0))
+      val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
+      val carried = dirs.filterNot(hitDirs)
+      val hitRows =
+        if (hitDirs.isEmpty) None
+        else Some(applyRenames(lines, readDirsRaw(s, table, lines, hitDirs.toSeq)))
+      val survivorDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      val preDir = s"data/cdf-${java.util.UUID.randomUUID().toString.take(13)}"
+      var nUpdated = 0L
+      var nDeleted = 0L
+      hitRows.foreach { hr =>
+        // preimages of BOTH legs (replaced + deleted rows) in one
+        // sidecar — every one is a delete event to the feed — and the
+        // survivors in the same O(hit dirs) pass
+        hr.join(allKeys, Seq(keyCol), "left_semi")
+          .write.mode("errorifexists").parquet(s"$table/$preDir")
+        val preKeys = s.read.parquet(s"$table/$preDir")
+          .select(keyCol).distinct()
+        nUpdated = preKeys.join(srcKeys, Seq(keyCol), "left_semi").count()
+        nDeleted = preKeys.join(delKeysD, Seq(keyCol), "left_semi").count()
+        hr.join(allKeys, Seq(keyCol), "left_anti")
+          .write.mode("errorifexists").parquet(s"$table/$survivorDir")
+      }
+      val srcDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      source.write.mode("errorifexists").parquet(s"$table/$srcDir")
+      val newDirs = carried ++
+        (if (hitDirs.isEmpty) Nil else Seq(survivorDir)) :+ srcDir
+      val ddl = schemaOf(s, table, prev).getOrElse(source.schema.toDDL)
+      val propLines = props.toSeq.sortBy(_._1)
+        .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}\n" }.mkString
+      val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
+        changeKind = "merge") +
+        txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
+        propLines +
+        (if (hitDirs.isEmpty) "" else s"#cdfdel $preDir\n") +
+        s"#cdfins $srcDir\n"
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + newDirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return Some((v, nDeleted, nUpdated, nSrc - nUpdated))
+      }
+      // lost the race: computed against a superseded chain — abandon
+      f.delete(new Path(s"$table/$survivorDir"), true): Unit
+      f.delete(new Path(s"$table/$preDir"), true): Unit
+      f.delete(new Path(s"$table/$srcDir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"applyChangesCow on $table lost the version race $maxAttempts times")
   }
 
   /** MATERIALIZE accumulated deletion vectors — the read-optimize half
@@ -1761,6 +1950,41 @@ object Snapshots {
     sys.error(s"renameColumn on $table lost the version race $maxAttempts times")
   }
 
+  /** Raised when a change-feed range needs a manifest that [[vacuum]]
+    * already expired — the consumer's cursor fell behind the source's
+    * retention horizon, and silently skipping the gap would drop its
+    * deltas (the Delta `startingVersion`-out-of-retention contract).
+    * Recovery is a RE-BOOTSTRAP: full snapshot load at the current
+    * version, cursor reset there, then incremental syncs resume —
+    * exactly what [[graft.streaming.ChangeFeedSync.replicateOnce]] does
+    * for an empty replica.
+    */
+  final class OutOfRetentionException(val table: String, val requested: Int,
+      val firstAvailable: Int) extends RuntimeException(
+    s"change feed at $table: version $requested is out of retention — " +
+      s"the earliest feedable version is $firstAvailable; re-bootstrap " +
+      "the consumer (full snapshot load at the current version, then " +
+      "resume incrementally from there)")
+
+  /** The smallest version a [[changeFeed]] range may START at after
+    * vacuuming: the oldest RETAINED manifest + 1 (an `append` or
+    * `mor-delete` at version v consults v−1's manifest to diff against;
+    * only an unvacuumed chain can feed from 1). Conservative — a
+    * sidecar-only version at the horizon would be readable, but
+    * promising it would make the contract depend on the change kind.
+    */
+  def earliestFeedable(s: SparkSession, table: String): Int = {
+    val f = fs(s, table)
+    val listed = f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
+      case null => Nil
+      case sts => sts.map(_.getPath.getName
+        .stripPrefix("manifest-v").stripSuffix(".txt").toInt).toSeq
+    }
+    if (listed.isEmpty) 1
+    else if (listed.min == 1) 1
+    else listed.min + 1
+  }
+
   /** CHANGE DATA FEED — the row-level delta between two versions,
     * emitted as `(data columns…, _change_type, _commit_version)` with
     * `_change_type ∈ {insert, delete}` (the Delta CDF / Iceberg
@@ -1802,11 +2026,22 @@ object Snapshots {
       s"changeFeed: bad version range [$fromV, $toV]")
     require(toV <= latestVersion(s, table),
       s"changeFeed: v$toV not committed at $table")
+    // a manifest the range needs that [[vacuum]] already expired is a
+    // TYPED refusal, not a raw FileNotFound: the consumer's cursor fell
+    // behind the retention horizon and must re-bootstrap (the Delta
+    // "startingVersion out of retention" contract)
+    def mfOr(v: Int): Seq[String] =
+      try manifestLines(s, table, v)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new OutOfRetentionException(table, fromV,
+            earliestFeedable(s, table))
+      }
     // every emitted part folds to toV's column contract, so a feed
     // spanning a rename stays one well-typed frame
-    val mapLines = manifestLines(s, table, toV)
+    val mapLines = mfOr(toV)
     val parts: Seq[DataFrame] = (fromV to toV).flatMap { v =>
-      val lines = manifestLines(s, table, v)
+      val lines = mfOr(v)
       val kind = lines.find(_.startsWith("#change "))
         .map(_.stripPrefix("#change ")).getOrElse(sys.error(
           s"changeFeed: $table v$v carries no #change provenance — " +
@@ -1817,7 +2052,7 @@ object Snapshots {
       // (the Delta rule: CDF range bounded by retention only where the
       // kind actually needs history)
       lazy val prevLines =
-        if (v == 1) Nil else manifestLines(s, table, v - 1)
+        if (v == 1) Nil else mfOr(v - 1)
       val vParts: Seq[DataFrame] = kind match {
         case "append" =>
           val prevDirs = prevLines.filterNot(_.startsWith("#")).toSet

@@ -325,15 +325,22 @@ object Similarity {
       val winner = row.getLong(1)
       sel += ((r.toLong, winner, row.getDouble(0)))
       if (r < k) {
-        // fold ONLY the new center into the running minima
+        // fold ONLY the new center into the running minima; the prior
+        // round's checkpoint frees as soon as the successor has
+        // materialized (localCheckpoint is eager) — at coreset-scale k
+        // leaving k n-row copies to GC timing would exhaust the block
+        // manager mid-run
+        val prev = run
         run = run.filter(col("cand") =!= winner)
           .join(selVecOf(winner))
           .select(col("cand"), col("cand_vec"),
             least(col("dmin"), rounded(sqrt(l2NativeSq(
               col("cand_vec"), col("sel_vec"))))).as("dmin"))
           .localCheckpoint()
+        Checkpoints.free(prev)
       }
     }
+    Checkpoints.free(run)
     val s = corpus.sparkSession
     val rows = sel.map { case (r, id, d) =>
       org.apache.spark.sql.Row(r, id, d)

@@ -63,6 +63,25 @@ object ChangeFeedSync {
 
   private val CursorProp = "cdf_cursor"
 
+  /** A consumer table with COMMITTED VERSIONS but no retained cursor
+    * property is a vacuum casualty, not a fresh consumer: every sync
+    * commit records the cursor, so the only way to lose it is a
+    * maintenance-only retention window expiring every prop-carrying
+    * manifest. Folding "from version 1" against the surviving state
+    * would DOUBLE-COUNT everything already folded — refuse loudly and
+    * demand a re-bootstrap (the same recovery as
+    * [[Snapshots.OutOfRetentionException]]).
+    */
+  private def requireCursorIntact(s: SparkSession, consumerTable: String,
+      cursor: Int): Unit =
+    if (cursor == 0 && Snapshots.latestVersion(s, consumerTable) >= 1)
+      throw new IllegalStateException(
+        s"$consumerTable has committed versions but no retained sync " +
+          "cursor — vacuum expired every prop-carrying manifest; " +
+          "re-folding from version 1 would double-count into the " +
+          "surviving state. Re-bootstrap the consumer (drop and " +
+          "recreate it), or retain at least one sync commit.")
+
   /** The current materialized view: the newest persisted state frame
     * `(keyCol, n, sum_v)` — empty (correctly-typed) before the first
     * sync. Reads through the manifest's `to_v` stats ([[syncViewOnce]]
@@ -101,6 +120,7 @@ object ChangeFeedSync {
       writerId: String, keyCol: String, valCol: String): Option[(Int, Int)] = {
     val latest = Snapshots.latestVersion(s, sourceTable)
     val cursor = cursorOf(s, viewTable)
+    requireCursorIntact(s, viewTable, cursor)
     if (latest <= cursor) return None
     val state = currentView(s, viewTable, keyCol)
     val delta = Snapshots.changeFeed(s, sourceTable, cursor + 1, latest)
@@ -124,41 +144,106 @@ object ChangeFeedSync {
     * into an exact replica table, so keeping a 100 TB table's copy in
     * sync costs O(changed rows) per sync, never a re-copy.
     *
-    * Per sync: the range's events collapse to ONE outcome per key —
-    * last writer wins (keys are unique per version; within a merge
-    * version the postimage insert outranks its paired preimage delete)
-    * — then net deletes apply via [[Snapshots.deleteKeysCow]] (a
-    * distributed key-frame semi-join; CoW so no tombstone blocks a
-    * later re-insert of the key) and net upserts via
-    * [[Snapshots.mergeUpsert]], which carries the advanced cursor as
-    * its commit property. First sync of an empty replica is a plain
-    * initial-load commit.
+    * BOOTSTRAP: an empty replica initial-loads from a SNAPSHOT READ of
+    * the source at its current version (cursor set there in the same
+    * commit) — never a feed fold from version 1, which would need every
+    * historical manifest and break the moment the source vacuums. The
+    * bootstrap commit is CAS-deduped on `(writerId, sourceVersion)`, so
+    * twin bootstrappers land exactly one initial load.
     *
-    * Delivery contract: AT-LEAST-ONCE, CONVERGENT. The cursor rides
-    * the LAST commit of the sync, so a crash between the delete and
-    * the merge replays the whole range — the replayed delete finds no
-    * matching keys (no-op) and the replayed merge re-asserts the same
-    * postimages (same final state); the replica's own feed may then
-    * carry extra self-cancelling events, the standard price of
-    * non-transactional two-step apply.
+    * Per incremental sync: the range's events collapse to ONE outcome
+    * per key — last writer wins (keys are unique per version; within a
+    * merge version the postimage insert outranks its paired preimage
+    * delete) — then net deletes AND net upserts apply as ONE atomic
+    * commit via [[Snapshots.applyChangesCow]], carrying the advanced
+    * cursor as its commit property and the `(writerId, sourceVersion)`
+    * transaction tag in the same manifest claim.
+    *
+    * Delivery contract: EXACTLY-ONCE. Cursor, delete rewrite, upsert,
+    * feed sidecars, and txn tag publish in one atomic claim — a crash
+    * mid-sync leaves only GC-able orphans and the replay applies the
+    * identical range once; a replay AFTER the claim (or a concurrent
+    * twin) no-ops on the tag. The replica's own change feed therefore
+    * never records self-cancelling delete+insert pairs — it is a
+    * faithful re-emission of the source's net changes, consumable by a
+    * further downstream tier.
     *
     * SCHEMA SCOPE: upserts normalize to the source's committed column
-    * ORDER (feed frames order by emitting part, and a partitioned
-    * append surfaces its partition column last). A source
-    * `renameColumn` is NOT propagated — the next sync refuses loudly
-    * against the replica's schema contract (recreate the replica, or
-    * rename it first); additive source evolution likewise requires
-    * evolving the replica before the range containing the new column
-    * syncs.
+    * ORDER and WIDTH at the range head (feed frames order columns by
+    * whichever part emitted first; rows from before an additive
+    * evolution surface the new column as NULL). ADDITIVE source
+    * evolution propagates automatically: the sync first evolves the
+    * replica's contract (one metadata-scale empty commit with the new
+    * nullable columns appended), then folds the range. A source
+    * `renameColumn` (or a re-type) is NOT propagated — the sync refuses
+    * loudly against the replica's schema contract (recreate the
+    * replica, or rename it first).
+    *
+    * A cursor behind the source's vacuum horizon raises
+    * [[Snapshots.OutOfRetentionException]] (re-bootstrap); a replica
+    * whose own prop-carrying manifests were vacuumed refuses before
+    * folding (see [[requireCursorIntact]]).
     *
     * @return Some((fromV, toV)) when the replica advanced; None at head
+    *         or when this range's sync already landed (replay / twin)
     */
   def replicateOnce(s: SparkSession, sourceTable: String,
       replicaTable: String, keyCol: String): Option[(Int, Int)] = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
     val latest = Snapshots.latestVersion(s, sourceTable)
+    val repLatest = Snapshots.latestVersion(s, replicaTable)
     val cursor = cursorOf(s, replicaTable)
+    requireCursorIntact(s, replicaTable, cursor)
     if (latest <= cursor) return None
+    val cursorProps = Map(CursorProp -> latest.toString)
+    val contract = Snapshots.schemaOf(s, sourceTable, latest)
+      .map(StructType.fromDDL)
+    // normalize a frame to the SOURCE's committed column order and
+    // width: feed/read frames order columns by whichever part emitted
+    // first, a partitioned append surfaces its partition column LAST
+    // (Hive discovery), and rows predating an additive evolution lack
+    // the appended columns entirely — fill those with typed NULLs
+    def normalized(df: DataFrame): DataFrame = contract match {
+      case Some(st) =>
+        val have = df.columns.toSet
+        val unknown = have -- st.fieldNames
+        require(unknown.isEmpty,
+          s"replicateOnce: feed column(s) ${unknown.mkString(", ")} not " +
+            s"in $sourceTable's committed contract — cannot normalize")
+        df.select(st.map(f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => df
+    }
+    if (repLatest < 1) {
+      // BOOTSTRAP: snapshot at `latest` — O(source-at-head), no history
+      return Snapshots.commitIfAbsent(
+          normalized(Snapshots.read(s, sourceTable, Some(latest))),
+          replicaTable, ReplicaWriter, latest.toLong, props = cursorProps)
+        .map(_ => (cursor + 1, latest))
+    }
+    // ADDITIVE source evolution propagates to the replica FIRST (an
+    // idempotent metadata-scale commit: existing columns keep the
+    // replica's contract, the new columns append nullable) so the
+    // atomic apply below validates against the evolved contract;
+    // renames/re-types fall through to applyChangesCow's loud refusal
+    for {
+      repDdl <- Snapshots.schemaOf(s, replicaTable, repLatest)
+      srcSt <- contract
+    } {
+      val repSt = StructType.fromDDL(repDdl)
+      val additive = srcSt.fields.length > repSt.fields.length &&
+        srcSt.fields.take(repSt.fields.length).toSeq.zip(repSt.fields.toSeq)
+          .forall { case (a, b) => a.name == b.name && a.dataType == b.dataType }
+      if (additive) {
+        val evolved = StructType(repSt.fields ++
+          srcSt.fields.drop(repSt.fields.length).map(_.copy(nullable = true)))
+        Snapshots.commit(s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), evolved),
+          replicaTable, allowEvolve = true): Unit
+      }
+    }
     val feed = Snapshots.changeFeed(s, sourceTable, cursor + 1, latest)
     val w = Window.partitionBy(keyCol)
       .orderBy(col("_commit_version").desc,
@@ -167,31 +252,17 @@ object ChangeFeedSync {
       .filter(col("__rn") === 1)
       .localCheckpoint()
     val meta = Seq("_change_type", "_commit_version", "_commit_props", "__rn")
-    // normalize to the SOURCE's committed column order: feed frames
-    // order columns by whichever part emitted first, and a partitioned
-    // append surfaces its partition column LAST (Hive discovery) — a
-    // feed-order frame would trip the replica's strict schema contract
-    val contractCols = Snapshots.schemaOf(s, sourceTable, latest)
-      .map(d => org.apache.spark.sql.types.StructType.fromDDL(d)
-        .fieldNames.toSeq)
-    val upserts0 = last.filter(col("_change_type") === "insert")
-      .drop(meta: _*)
-    val upserts = contractCols match {
-      case Some(cs) if cs.toSet == upserts0.columns.toSet =>
-        upserts0.select(cs.map(col): _*)
-      case _ => upserts0
-    }
-    val cursorProps = Map(CursorProp -> latest.toString)
-    if (Snapshots.latestVersion(s, replicaTable) < 1) {
-      // initial load: the folded range IS the table
-      Snapshots.commit(upserts, replicaTable, props = cursorProps): Unit
-    } else {
-      val delKeys = last.filter(col("_change_type") === "delete")
-        .select(col(keyCol))
-      Snapshots.deleteKeysCow(s, replicaTable, delKeys, keyCol): Unit
-      Snapshots.mergeUpsert(s, replicaTable, upserts, keyCol,
-        props = cursorProps): Unit
-    }
-    Some((cursor + 1, latest))
+    val upserts = normalized(
+      last.filter(col("_change_type") === "insert").drop(meta: _*))
+    val delKeys = last.filter(col("_change_type") === "delete")
+      .select(col(keyCol))
+    val advanced = Snapshots.applyChangesCow(s, replicaTable, delKeys,
+        upserts, keyCol, txn = Some((ReplicaWriter, latest.toLong)),
+        props = cursorProps)
+      .map(_ => (cursor + 1, latest))
+    graft.ops.Checkpoints.free(last)
+    advanced
   }
+
+  private val ReplicaWriter = "cdf-replica"
 }

@@ -142,4 +142,30 @@ class RegistryPlanSweepSpec extends SparkSpec {
     assert(!(SparkEntry.sharedTf(spark, sf0001) eq
       SparkEntry.sharedTf(spark, "/root/testdata/sf0.01")))
   }
+
+  test("shared corpus artifacts EVICT on dir change: the superseded " +
+      "dir's checkpoint blocks unpersist instead of pinning for the " +
+      "session's lifetime") {
+    val sc = spark.sparkContext
+    def rddIdOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        case p => fail(s"expected a checkpointed LogicalRDD leaf, got " +
+          s"${p.getClass.getSimpleName}")
+      }
+    val a = SparkEntry.sharedTf(spark, sf0001)
+    val aId = rddIdOf(a)
+    assert(sc.getPersistentRDDs.contains(aId),
+      "a fresh shared artifact must be persisted")
+    // dir change for the same kind: the stale entry must unpersist NOW
+    // (map removal alone would leave freeing to GC + ContextCleaner)
+    val b = SparkEntry.sharedTf(spark, "/root/testdata/sf0.01")
+    assert(!sc.getPersistentRDDs.contains(aId),
+      "superseded artifact's checkpoint blocks still persisted")
+    assert(sc.getPersistentRDDs.contains(rddIdOf(b)))
+    // same-dir call is still the memo hit
+    assert(SparkEntry.sharedTf(spark, "/root/testdata/sf0.01") eq b)
+    // and the evicted dir rebuilds cleanly on demand
+    assert(SparkEntry.sharedTf(spark, sf0001).count() > 0)
+  }
 }

@@ -932,6 +932,95 @@ class SnapshotsSpec extends SparkSpec {
     assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty)
   }
 
+  test("applyChangesCow: delete + merge land as ONE version; untouched " +
+      "dirs carry by reference; the feed emits exact preimages and " +
+      "postimages; a txn replay no-ops; overlapping key sets refuse") {
+    import spark.implicits._
+    val t = freshTable()
+    def rows(r: Range, mul: Long) = {
+      val df = r.map(k => (k.toLong, k * mul)).toDF("k", "v")
+      spark.createDataFrame(df.rdd, org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true))))
+    }
+    Snapshots.commit(rows(1 to 10, 10), t)   // holds the delete hits
+    Snapshots.commit(rows(11 to 20, 10), t)  // holds the update hit
+    Snapshots.commit(rows(21 to 30, 10), t)  // untouched — must carry
+    def nullable(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true))))
+    val delKeys = Seq(1L, 2L, 999L).toDF("k") // 999 matches nothing
+    val src = nullable(Seq((11L, 111L), (100L, 1000L)).toDF("k", "v"))
+    val got = Snapshots.applyChangesCow(spark, t, delKeys, src, "k",
+      txn = Some(("apply-w", 7L)))
+    assert(got.contains((4, 2L, 1L, 1L)),
+      s"(version, nDeleted, nUpdated, nInserted) was $got")
+    // ONE version landed, both legs visible in it
+    assert(Snapshots.latestVersion(spark, t) == 4)
+    val live = Snapshots.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(!live.contains(1L) && !live.contains(2L))
+    assert(live(11L) == 111L && live(100L) == 1000L && live(21L) == 210L)
+    assert(live.size == 29) // 30 − 2 deleted + 1 fresh insert
+    // the untouched directory carries by REFERENCE (same path in both
+    // manifests); the two hit directories do not
+    val d3 = Snapshots.dataDirsOf(spark, t, 3)
+    val d4 = Snapshots.dataDirsOf(spark, t, 4)
+    assert(d3.intersect(d4).size == 1,
+      s"expected exactly the untouched dir to carry: ${d3.intersect(d4)}")
+    // feed of the apply version: deletes = visible preimages of the
+    // deleted AND replaced keys, inserts = the source rows, nothing else
+    val feed = Snapshots.changeFeed(spark, t, 4, 4)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(dels == Set((1L, 10L), (2L, 20L), (11L, 110L)))
+    assert(ins == Set((11L, 111L), (100L, 1000L)))
+    // fold law across the apply: read(4) == read(3) − deletes + inserts
+    val folded = Snapshots.read(spark, t, Some(3)).as[(Long, Long)]
+      .collect().toSet -- dels ++ ins
+    assert(folded == Snapshots.read(spark, t, Some(4))
+      .as[(Long, Long)].collect().toSet)
+    // a REPLAY of the same (writerId, batchId) no-ops before any writes
+    assert(Snapshots.applyChangesCow(spark, t, delKeys, src, "k",
+      txn = Some(("apply-w", 7L))).isEmpty)
+    assert(Snapshots.latestVersion(spark, t) == 4)
+    // overlapping delete/upsert keys are ambiguous — refused loudly
+    val e = intercept[IllegalArgumentException](Snapshots.applyChangesCow(
+      spark, t, Seq(100L).toDF("k"),
+      nullable(Seq((100L, 5L)).toDF("k", "v")), "k"))
+    assert(e.getMessage.contains("overlap"))
+  }
+
+  test("applyChangesCow race: two appliers of the same tagged range " +
+      "commit exactly once") {
+    import spark.implicits._
+    val t = freshTable()
+    val base = (1L to 30L).map(k => (k, k)).toDF("k", "v")
+    Snapshots.commit(spark.createDataFrame(base.rdd,
+      org.apache.spark.sql.types.StructType(
+        base.schema.map(_.copy(nullable = true)))), t)
+    val delKeys = Seq(1L, 2L).toDF("k")
+    val src = spark.createDataFrame(
+      Seq((3L, 333L), (100L, 100L)).toDF("k", "v").rdd,
+      org.apache.spark.sql.types.StructType(
+        Seq((3L, 333L), (100L, 100L)).toDF("k", "v")
+          .schema.map(_.copy(nullable = true))))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(Future.sequence((1 to 2).map(_ => Future {
+      Snapshots.applyChangesCow(spark, t, delKeys, src, "k",
+        txn = Some(("race-w", 1L)))
+    })), 120.seconds)
+    assert(results.count(_.isDefined) == 1,
+      s"expected exactly one winning apply, got $results")
+    assert(Snapshots.latestVersion(spark, t) == 2)
+    val live = Snapshots.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(live.size == 29 && live(3L) == 333L && live(100L) == 100L &&
+      !live.contains(1L))
+  }
+
   test("string manifest stats: point lookups prune dirs on truncated " +
       "bounds; non-ASCII bounds stay advisory; result equals full filter") {
     import spark.implicits._
@@ -1007,6 +1096,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(after.exceptAll(flat).isEmpty && flat.exceptAll(after).isEmpty)
     assert(Snapshots.renameColumn(spark, t, "seg", "segment") == 4)
     assert(Snapshots.read(spark, t).columns.contains("segment"))
+  }
+
+  test("commitPartitioned: numeric-looking STRING partition values " +
+      "round-trip verbatim; the null-sentinel and empty string refuse") {
+    import spark.implicits._
+    val t = freshTable()
+    // zero-padded / float-ish / scientific values: path-type inference
+    // would read these back as 1 / 1.1 / 1000.0 — the contract cast
+    // must see the raw path STRING, not an inferred numeric
+    val rows = Seq((1L, "01"), (2L, "1.10"), (3L, "1e3"), (4L, "s1"),
+      (5L, "01")).toDF("k", "seg")
+    assert(Snapshots.commitPartitioned(rows, t, Seq("seg")) == 1)
+    val got = Snapshots.read(spark, t).select("k", "seg")
+    assert(got.exceptAll(rows).isEmpty && rows.exceptAll(got).isEmpty,
+      s"partition values corrupted: ${got.collect().mkString(", ")}")
+    // and a genuine NULL partition value round-trips as NULL
+    val withNull = Seq((6L, Option.empty[String])).toDF("k", "seg")
+    assert(Snapshots.commitPartitioned(withNull, t, Seq("seg")) == 2)
+    assert(Snapshots.read(spark, t).filter($"seg".isNull)
+      .select("k").as[Long].collect().toSeq == Seq(6L))
+    // a literal sentinel (or empty-string) value would read back NULL —
+    // refused before any write
+    val e1 = intercept[IllegalArgumentException](Snapshots.commitPartitioned(
+      Seq((7L, "__HIVE_DEFAULT_PARTITION__")).toDF("k", "seg"), t, Seq("seg")))
+    assert(e1.getMessage.contains("read it back as NULL"))
+    val e2 = intercept[IllegalArgumentException](Snapshots.commitPartitioned(
+      Seq((8L, "")).toDF("k", "seg"), t, Seq("seg")))
+    assert(e2.getMessage.contains("read it back as NULL"))
+    // an INT partition column still lands typed under the contract
+    val t2 = freshTable()
+    val intRows = Seq((1L, 7), (2L, 8)).toDF("k", "bucket")
+    Snapshots.commitPartitioned(intRows, t2, Seq("bucket"))
+    val schema = Snapshots.read(spark, t2).schema
+    assert(schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got2 = Snapshots.read(spark, t2).select("k", "bucket")
+    assert(got2.exceptAll(intRows).isEmpty && intRows.exceptAll(got2).isEmpty)
   }
 
   test("commit-level user properties: round-trip commit → propsOf → " +

@@ -129,6 +129,146 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(dstDf.collect().map(_.toSeq).toSet == before)
   }
 
+  test("replicateOnce is exactly-once: a replayed range no-ops on the " +
+      "txn tag, and the replica's own feed carries no self-cancelling " +
+      "delete+insert pairs") {
+    import spark.implicits._
+    val src = fresh("rep_once_src")
+    val dst = fresh("rep_once_dst")
+    Snapshots.commit((1L to 20L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((1, 1)))
+    Snapshots.deleteWhere(spark, src, col("k") <= 3L)
+    Snapshots.mergeUpsert(spark, src,
+      Seq((5L, 555L), (100L, 1000L)).toDF("k", "v"), "k")
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((2, 3)))
+    val versions = Snapshots.latestVersion(spark, dst)
+    assert(versions == 2, s"one bootstrap + ONE atomic apply, got $versions")
+    // replay the applied range directly (the crash-after-claim path):
+    // same writer tag, same source version → no-op before any writes
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isEmpty)
+    assert(Snapshots.latestVersion(spark, dst) == 2)
+    // the replica's own change feed is CLEAN: within every version, no
+    // delete+insert pair carries identical values (the two-commit
+    // apply's replayed-merge signature)
+    val repFeed = Snapshots.changeFeed(spark, dst, 1, versions)
+    val dels = repFeed.filter(col("_change_type") === "delete")
+      .select("_commit_version", "k", "v")
+    val ins = repFeed.filter(col("_change_type") === "insert")
+      .select("_commit_version", "k", "v")
+    assert(dels.join(ins, Seq("_commit_version", "k", "v")).count() == 0,
+      "replica feed carries self-cancelling delete+insert pairs")
+    // and the feed's net effect IS the source's net change set
+    val srcDf = Snapshots.read(spark, src).select("k", "v")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+  }
+
+  test("a cursor behind the source's vacuum horizon raises the typed " +
+      "out-of-retention error; re-bootstrap recovers") {
+    import spark.implicits._
+    val src = fresh("ret_src")
+    val dst = fresh("ret_dst")
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), src)
+    Snapshots.commit((11L to 20L).map(k => (k, k)).toDF("k", "v"), src)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((1, 2)))
+    // the source moves on and vacuums past the replica's cursor
+    (1 to 3).foreach(i => Snapshots.commit(
+      Seq((100L + i, 0L)).toDF("k", "v"), src))
+    Snapshots.vacuum(spark, src, keepVersions = 2, orphanGraceMs = 0L)
+    val e = intercept[Snapshots.OutOfRetentionException](
+      ChangeFeedSync.replicateOnce(spark, src, dst, "k"))
+    assert(e.table == src && e.requested == 3 && e.firstAvailable == 5,
+      s"got requested=${e.requested} firstAvailable=${e.firstAvailable}")
+    assert(e.getMessage.contains("re-bootstrap"))
+    // recovery contract: drop the replica, bootstrap from the CURRENT
+    // snapshot (no history needed), resume incrementally
+    val f = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(dst), true)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((1, 5)))
+    assert(ChangeFeedSync.cursorOf(spark, dst) == 5)
+    Snapshots.commit(Seq((200L, 1L)).toDF("k", "v"), src)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((6, 6)))
+    val srcDf = Snapshots.read(spark, src).select("k", "v")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+  }
+
+  test("a consumer whose own prop-carrying manifests were vacuumed " +
+      "refuses to re-fold from version 1 — re-bootstrap, not double-count") {
+    import spark.implicits._
+    val src = fresh("guard_src")
+    val view = fresh("guard_view")
+    Snapshots.commit((1L to 10L).map(k => (k, k % 2, k))
+      .toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((1, 1)))
+    Snapshots.commit((11L to 20L).map(k => (k, k % 2, k))
+      .toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((2, 2)))
+    // a maintenance-only retention window: compaction (carries no
+    // cursor prop) becomes the only retained manifest
+    Snapshots.compactSmall(spark, view, smallBytes = 1L << 30)
+    Snapshots.vacuum(spark, view, keepVersions = 1, orphanGraceMs = 0L)
+    assert(ChangeFeedSync.cursorOf(spark, view) == 0)
+    Snapshots.commit(Seq((21L, 1L, 5L)).toDF("k", "grp", "cents"), src)
+    val e = intercept[IllegalStateException](
+      ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents"))
+    assert(e.getMessage.contains("Re-bootstrap"))
+  }
+
+  test("additive source evolution propagates through replication; a " +
+      "rename refuses loudly") {
+    import spark.implicits._
+    val src = fresh("evo_src")
+    val dst = fresh("evo_dst")
+    def nullable(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true))))
+    Snapshots.commit(nullable((1L to 10L).map(k => (k, k * 10L))
+      .toDF("k", "v")), src)
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((1, 1)))
+    // the source gains a column MID-RANGE: an evolved append plus a
+    // post-evolution merge land before the next sync
+    Snapshots.commit(nullable(Seq((100L, 1L, "x"), (101L, 2L, "y"))
+      .toDF("k", "v", "tag")), src, allowEvolve = true)
+    Snapshots.mergeUpsert(spark, src,
+      nullable(Seq((5L, 555L, "z")).toDF("k", "v", "tag")), "k")
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((2, 3)))
+    val srcDf = Snapshots.read(spark, src).select("k", "v", "tag")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v", "tag")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty,
+      "replica must converge through the additive evolution")
+    // pre-evolution rows surface NULL in the new column on BOTH sides
+    assert(Snapshots.read(spark, dst).filter($"k" === 1L && $"tag".isNull)
+      .count() == 1)
+    // a RENAME does not propagate: the next sync refuses loudly
+    Snapshots.renameColumn(spark, src, "tag", "label")
+    Snapshots.commit(nullable(Seq((200L, 9L, "w")).toDF("k", "v", "label")),
+      src)
+    val e = intercept[IllegalArgumentException](
+      ChangeFeedSync.replicateOnce(spark, src, dst, "k"))
+    assert(e.getMessage.contains("schema drift refused"))
+  }
+
+  test("bootstrap is a snapshot load, not a history fold: a fresh " +
+      "replica of a heavily-vacuumed source still initial-loads") {
+    import spark.implicits._
+    val src = fresh("boot_src")
+    val dst = fresh("boot_dst")
+    (1 to 4).foreach(i => Snapshots.commit(
+      ((i * 10L) to (i * 10L + 5L)).map(k => (k, k)).toDF("k", "v"), src))
+    Snapshots.deleteWhere(spark, src, col("k") % 10 === 0)
+    Snapshots.vacuum(spark, src, keepVersions = 1, orphanGraceMs = 0L)
+    // a feed fold from v1 would need the expired manifests; the
+    // snapshot bootstrap needs only the head
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").contains((1, 5)))
+    val srcDf = Snapshots.read(spark, src).select("k", "v")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+  }
+
   test("an EMPTY folded state still advances the cursor — no double-fold " +
       "after a delete-everything range") {
     import spark.implicits._
