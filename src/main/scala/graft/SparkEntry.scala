@@ -7690,6 +7690,218 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** CONTINUOUS CDF REPLICATION (q92's batch replication upgraded to a
+    * STREAM — the shape q91 gives view maintenance): a micro-batch
+    * stream (real engine, file-source clock ticks) drives
+    * [[graft.streaming.ChangeFeedSync.replicateOnce]] inside
+    * `foreachBatch`, keeping an exact replica of a lakehouse table as
+    * the source evolves through appends, a MERGE (updates + shifted
+    * inserts), a MoR DELETE (the deletion-vector feed branch exercised
+    * THROUGH replication — q91/io28 only drive it through view sync),
+    * and a late append. THREE syncs land across three stream runs
+    * sharing one checkpoint — snapshot bootstrap, then two single-
+    * commit atomic applies — so the replica version count is pinned at
+    * 3 and a regression to the two-commit apply shape fails loudly. A
+    * trailing tick must no-op at the head, a FULL REPLAY from a fresh
+    * checkpoint must no-op entirely (the `(writerId, sourceVersion)`
+    * txn tags close the at-least-once window), the replica must equal
+    * source-at-head BIT-FOR-BIT (require-gated both directions), and
+    * the replica's own change feed must carry no self-cancelling
+    * delete+insert pairs — a faithful CDF source for a further tier.
+    * Cost shape: each sync reads O(changed rows) and rewrites
+    * O(affected files); no sync ever re-copies the table.
+    */
+  private def q93CdfReplicaStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import s.implicits._
+    val base = ioTmp(dir, "q93")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val dst = s"$base/replica"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    // clock ticks: one tiny parquet per tick — the stream's only input;
+    // the DATA rides the change feed, polled inside foreachBatch
+    def writeTick(i: Int): Unit = {
+      val target = new java.io.File(s"$base/ticks/t$i.parquet")
+      val tmp = new java.io.File(s"$base/ticks/t$i.tmp")
+      Seq(i).toDF("tick").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(1000000000000L + i * 60000L): Unit
+    }
+    val tickSchema = StructType(Seq(StructField("tick", IntegerType)))
+    def runStream(ckpt: String): Unit = {
+      val q = s.readStream.schema(tickSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/ticks")
+        .writeStream
+        .foreachBatch {
+          (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            graft.streaming.ChangeFeedSync.replicateOnce(
+              s, src, dst, "k"): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint("q93_live")
+    // v1, v2: appends; tick 0 → SYNC 1 = snapshot bootstrap at v2
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    writeTick(0)
+    runStream(ckpt)
+    require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 2,
+      "q93: bootstrap must land at source version 2")
+    require(graft.io.Snapshots.latestVersion(s, dst) == 1,
+      "q93: bootstrap must be one snapshot commit, not a history fold")
+    // v3: MERGE (k%10==3 updated +7; shifted %10==6 keys inserted +5),
+    // v4: MoR delete over the ORIGINAL key space only; tick 1 → SYNC 2
+    // folds 3..4 as ONE atomic apply — net-delete for a key whose merge
+    // postimage the tombstones then killed, net-insert for the rest
+    val merged = graft.io.Snapshots.mergeUpsert(s, src,
+      o.filter(col("k") % 10 === 3)
+        .select(col("k"), (col("cents") + lit(7L)).as("cents"))
+        .unionByName(o.filter(col("k") % 10 === 6)
+          .select((col("k") + lit(2000000000L)).as("k"),
+            (col("cents") + lit(5L)).as("cents"))), "k")
+    require(merged._1 == 3, s"q93: merge landed v${merged._1}")
+    val (v4, nDel) = graft.io.Snapshots.deleteWhereMoR(s, src, "k",
+      col("k") % 7 === 0 && col("k") < lit(1000000000L))
+    require(v4 == 4 && nDel > 0, s"q93: MoR delete landed ($v4, $nDel)")
+    writeTick(1)
+    runStream(ckpt)
+    require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 4,
+      "q93: sync 2 must fold the merge + MoR-delete range 3..4")
+    // v5: late append of shifted %3 keys (disjoint from the tombstoned
+    // space); tick 2 → SYNC 3, tick 3 must no-op at the head
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0)
+      .select((col("k") + lit(1000000000L)).as("k"), col("cents")), src)
+    writeTick(2)
+    writeTick(3)
+    runStream(ckpt)
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
+    require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 5,
+      "q93: sync 3 must fold the late append")
+    val dstVersions = graft.io.Snapshots.latestVersion(s, dst)
+    require(dstVersions == 3,
+      s"q93: expected 3 replica versions (bootstrap + two atomic " +
+        s"applies; tick 3 must no-op), got $dstVersions")
+    // FULL REPLAY from a fresh checkpoint: all four ticks re-fire and
+    // every sync must no-op on its txn tag — exactly-once, no new commits
+    val ckpt2 = graft.streaming.EventsStream.ephemeralCheckpoint("q93_replay")
+    runStream(ckpt2)
+    graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt2)
+    require(graft.io.Snapshots.latestVersion(s, dst) == dstVersions,
+      "q93: replayed ticks committed duplicate replica versions")
+    val srcDf = graft.io.Snapshots.read(s, src)
+      .select("k", "cents").localCheckpoint()
+    val dstDf = graft.io.Snapshots.read(s, dst)
+      .select("k", "cents").localCheckpoint()
+    require(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty,
+      "q93: the stream-maintained replica must equal the source " +
+        "bit-for-bit")
+    // the replica's OWN feed stays clean across every synced version —
+    // single-commit applies never record self-cancelling pairs
+    val repFeed = graft.io.Snapshots.changeFeed(s, dst, 1, dstVersions)
+    val rDel = repFeed.filter(col("_change_type") === "delete")
+      .select("_commit_version", "k", "cents")
+    val rIns = repFeed.filter(col("_change_type") === "insert")
+      .select("_commit_version", "k", "cents")
+    require(rDel.join(rIns, Seq("_commit_version", "k", "cents")).isEmpty,
+      "q93: replica feed carries self-cancelling delete+insert pairs")
+    graft.io.Snapshots.read(s, dst)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION through CDF replication
+    * ([[graft.streaming.ChangeFeedSync.replicateOnce]] — the Delta
+    * "CDC apply with schema evolution" contract): the replica
+    * bootstraps on the source's ORIGINAL two-column shape, then the
+    * source gains a nullable column MID-RANGE (an `allowEvolve` append)
+    * and CoW-deletes across BOTH schema generations before the next
+    * sync. That one sync must (a) propagate the evolution to the
+    * replica as one metadata-scale empty commit BEFORE folding — so
+    * the replica version count pins at 3 (bootstrap + evolution + ONE
+    * atomic apply), (b) fold inserts carrying the new column alongside
+    * delete preimages that PREDATE it (the feed NULL-fills the missing
+    * column), including a key inserted AND deleted inside the range
+    * (net delete of a key the replica never held — must no-op, not
+    * error), and (c) converge the replica to source-at-head
+    * BIT-FOR-BIT, pre-evolution survivors reading the new column as
+    * NULL on both sides. A sync at the head must then no-op without
+    * committing. The oracle recomputes the final mixed-generation
+    * state from raw orders.
+    */
+  private def q94CdfEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q94")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val dst = s"$base/replica"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    // v1: the pre-evolution generation (k, cents) — %3==0 keys
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0), src)
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, dst, "k").contains((1, 1)),
+      "q94: bootstrap must land at source version 1")
+    // v2: the source GAINS `flag` — an evolved append of %3==1 keys;
+    // v3: a CoW delete spanning both generations (%5==0 keys), which
+    // also kills some keys inserted at v2 — net deletes the replica
+    // never saw
+    graft.io.Snapshots.commit(o.filter(col("k") % 3 === 1)
+        .withColumn("flag", col("k") % 2), src, allowEvolve = true)
+    val (v3, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, src, col("k") % 5 === 0)
+    require(v3 == 3 && rewr >= 1,
+      s"q94: cross-generation CoW delete landed ($v3, $rewr)")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, dst, "k").contains((2, 3)),
+      "q94: incremental sync must fold the evolution + delete range")
+    val dstVersions = graft.io.Snapshots.latestVersion(s, dst)
+    require(dstVersions == 3,
+      s"q94: expected 3 replica versions (bootstrap + evolution + one " +
+        s"atomic apply), got $dstVersions")
+    // converged bit-for-bit, pre-evolution rows NULL in the new column
+    // on BOTH sides
+    val srcDf = graft.io.Snapshots.read(s, src)
+      .select("k", "cents", "flag").localCheckpoint()
+    val dstDf = graft.io.Snapshots.read(s, dst)
+      .select("k", "cents", "flag").localCheckpoint()
+    require(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty,
+      "q94: the replica must equal the evolved source bit-for-bit")
+    val nullSrc = srcDf.filter(col("flag").isNull).count()
+    require(nullSrc > 0 &&
+        dstDf.filter(col("flag").isNull).count() == nullSrc,
+      "q94: pre-evolution survivors must read the new column as NULL " +
+        "on both sides")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, dst, "k").isEmpty,
+      "q94: a sync at the head must no-op")
+    require(graft.io.Snapshots.latestVersion(s, dst) == 3,
+      "q94: the head no-op must not commit")
+    graft.io.Snapshots.read(s, dst)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"),
+        count(col("flag")).as("n_flag"),
+        coalesce(sum("flag"), lit(0L)).as("flag_sum"))
+      .orderBy("bucket")
+  }
+
   /** MERGE / UPSERT through the gate ([[graft.io.Snapshots
     * .mergeUpsert]]) — the CDC-apply / dimension-upsert workhorse:
     * orders committed as even/odd key halves, then ONE merge updates
@@ -8355,6 +8567,8 @@ object SparkEntry {
     "io35_commit_props" -> io35CommitProps _,
     "io36_merge_upsert" -> io36MergeUpsert _,
     "q92_cdf_replica" -> q92CdfReplica _,
+    "q93_cdf_replica_stream" -> q93CdfReplicaStream _,
+    "q94_cdf_evolution" -> q94CdfEvolution _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -11883,6 +12097,41 @@ object SparkEntry {
         |  UNION ALL SELECT k + 2000000000, cents + 5 FROM o WHERE k % 10 = 6)
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the stream-replicated final state from raw orders: originals
+    // surviving the %7 MoR tombstones (k%10==3 at +7 cents — the merge
+    // updated them BEFORE the delete pass), all shifted %10==6 merge
+    // inserts at +5, the late-appended shifted %3 slice; bit-for-bit
+    // replica equality, the three-commit version pin, and the replay
+    // no-op proof are require-gated in-query
+    "q93_cdf_replica_stream" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |live AS (
+        |  SELECT k, CASE WHEN k % 10 = 3 THEN cents + 7 ELSE cents END AS cents
+        |  FROM o WHERE k % 7 <> 0
+        |  UNION ALL SELECT k + 2000000000, cents + 5 FROM o WHERE k % 10 = 6
+        |  UNION ALL SELECT k + 1000000000, cents FROM o WHERE k % 3 = 0)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the evolved replica's final state from raw orders: pre-evolution
+    // %3==0 survivors of the %5 delete read flag NULL, post-evolution
+    // %3==1 survivors carry flag = k%2; bit-for-bit convergence, the
+    // three-version pin, and the NULL-fill proof are require-gated
+    // in-query
+    "q94_cdf_evolution" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |live AS (
+        |  SELECT k, cents, CAST(NULL AS BIGINT) AS flag FROM o
+        |  WHERE k % 3 = 0 AND k % 5 <> 0
+        |  UNION ALL SELECT k, cents, k % 2 AS flag FROM o
+        |  WHERE k % 3 = 1 AND k % 5 <> 0)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  count(flag) AS n_flag,
+        |  CAST(coalesce(sum(flag), 0) AS BIGINT) AS flag_sum
         |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
     // post-merge totals from raw orders: +7 cents per updated row
     // (k%10==3), the shifted k%10==6 inserts at +5 cents; the feed and
