@@ -7953,6 +7953,186 @@ object SparkEntry {
       lit(1L).as("n_dirs_carried"))
   }
 
+  /** RESTORE / rollback-as-commit through the gate
+    * ([[graft.io.Snapshots.restoreTo]] — the Delta `RESTORE TABLE …
+    * VERSION AS OF` shape): a bad batch lands on a clean two-commit
+    * table, ONE restore rolls the head back to v2 as a NEW version.
+    * Require-gated in-query: the restore is PURE METADATA (the
+    * restored head's directory set must EQUAL v2's — zero rows
+    * copied); the head equals v2 bit-for-bit; history is preserved
+    * (v3's junk stays time-travelable pre-vacuum); the change feed
+    * emits the rollback as EXACTLY the junk rows deleted (nothing
+    * inserted — the bad batch shared no directory with the restored
+    * state); a CDF consumer bootstrapped BEFORE the bad batch
+    * converges through insert@3 + delete@4 to the restored state
+    * bit-for-bit (the poison-pill recovery a real CDC pipeline needs);
+    * and a retention-1 vacuum expires the rolled-back version while
+    * the restored head — whose directories the restore only
+    * re-references — survives intact. The oracle recomputes the
+    * restored state from raw orders.
+    */
+  private def io37Restore(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io37")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val rep = s"$base/replica"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    // the CDF consumer bootstraps on the CLEAN state
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, rep, "k").contains((1, 2)),
+      "io37: replica bootstrap must land at v2")
+    val cleanN = graft.io.Snapshots.read(s, src, Some(2)).count()
+    // v3: the bad batch — shifted keys, poisoned cents
+    val junkDf = o.filter(col("k") % 4 === 1)
+      .select((col("k") + lit(3000000000L)).as("k"),
+        (col("cents") + lit(999L)).as("cents"))
+    graft.io.Snapshots.commit(junkDf, src)
+    val junkN = junkDf.count()
+    require(junkN > 0, "io37: empty bad batch")
+    // v4: ONE restore call rolls back — pure metadata, zero rows copied
+    require(graft.io.Snapshots.restoreTo(s, src, 2).contains(4),
+      "io37: restore must land as v4")
+    require(graft.io.Snapshots.dataDirsOf(s, src, 4).toSet ==
+        graft.io.Snapshots.dataDirsOf(s, src, 2).toSet,
+      "io37: the restored head must RE-REFERENCE v2's directories " +
+        "verbatim — a restore that copies rows is the wrong shape")
+    val head = graft.io.Snapshots.read(s, src).localCheckpoint()
+    val atV2 = graft.io.Snapshots.read(s, src, Some(2)).localCheckpoint()
+    require(head.exceptAll(atV2).isEmpty && atV2.exceptAll(head).isEmpty,
+      "io37: the restored head must equal v2 bit-for-bit")
+    require(graft.io.Snapshots.read(s, src, Some(3)).count() ==
+        cleanN + junkN,
+      "io37: the rolled-back version must stay time-travelable")
+    // the feed emits the rollback as exactly the junk rows deleted
+    val fm = graft.io.Snapshots.changeFeed(s, src, 4, 4)
+      .groupBy("_change_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(fm.get("delete").contains(junkN) && !fm.contains("insert"),
+      s"io37: restore feed shape drifted: $fm (want delete=$junkN only)")
+    // the consumer converges THROUGH the poison batch + rollback
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, rep, "k").contains((3, 4)),
+      "io37: incremental sync must fold the bad batch + restore range")
+    val repDf = graft.io.Snapshots.read(s, rep)
+      .select("k", "cents").localCheckpoint()
+    require(repDf.exceptAll(head.select("k", "cents")).isEmpty &&
+        head.select("k", "cents").exceptAll(repDf).isEmpty,
+      "io37: the replica must converge to the restored state")
+    // retention-1 vacuum: the rolled-back version expires, the restored
+    // head survives on its re-referenced directories
+    graft.io.Snapshots.vacuum(s, src, keepVersions = 1, orphanGraceMs = 0L)
+    val after = graft.io.Snapshots.read(s, src).localCheckpoint()
+    require(after.exceptAll(atV2).isEmpty && atV2.exceptAll(after).isEmpty,
+      "io37: the restored head must survive a retention-1 vacuum intact")
+    val v3Gone =
+      try { graft.io.Snapshots.read(s, src, Some(3)).count(); false }
+      catch { case _: Exception => true }
+    require(v3Gone,
+      "io37: the vacuum must expire the rolled-back version's manifest")
+    graft.io.Snapshots.read(s, src)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
+  /** SHALLOW CLONE through the gate ([[graft.io.Snapshots.cloneShallow]]
+    * / [[graft.io.Snapshots.deepenClone]] — the Delta `SHALLOW CLONE`
+    * lifecycle): a dev copy of the table is created for ONE manifest
+    * write — require-gated ZERO-COPY (no `data/` directory exists under
+    * the clone), bit-for-bit equal, and immediately a CDF source (its
+    * v1 feed is the full content as inserts). The clone then diverges
+    * (junk appended) without touching the source, the source diverges
+    * without reaching the clone, a CoW delete on the still-shallow
+    * clone REFUSES loudly on the external references, [[graft.io
+    * .Snapshots.deepenClone]] folds both externals local (rows pinned
+    * identical, feed silent), after which the delete works and — the
+    * Delta vacuum-caveat's safe direction — a retention-1 vacuum on
+    * the SOURCE can no longer break the deepened clone. The oracle
+    * recomputes the clone's final state (junk added, then deleted ⇒
+    * all orders) from raw orders.
+    */
+  private def io38ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io38")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val dst = s"$base/clone"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    val nOrders = graft.io.Snapshots.read(s, src).count()
+    require(graft.io.Snapshots.cloneShallow(s, src, dst) == 1,
+      "io38: clone must land as the target's v1")
+    require(!new java.io.File(s"$dst/data").exists(),
+      "io38: a shallow clone must not materialize any data directory")
+    val srcDf = graft.io.Snapshots.read(s, src)
+      .select("k", "cents").localCheckpoint()
+    val dstDf = graft.io.Snapshots.read(s, dst)
+      .select("k", "cents").localCheckpoint()
+    require(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty,
+      "io38: the clone must equal the source bit-for-bit")
+    require(graft.io.Snapshots.changeFeed(s, dst, 1, 1)
+        .filter(col("_change_type") === "insert").count() == nOrders,
+      "io38: the clone's v1 feed must carry its full content as inserts")
+    // clone diverges: junk lands in the CLONE's chain only
+    val junk = o.filter(col("k") % 4 === 1)
+      .select((col("k") + lit(3000000000L)).as("k"),
+        (col("cents") + lit(999L)).as("cents"))
+    graft.io.Snapshots.commit(junk, dst)
+    require(graft.io.Snapshots.latestVersion(s, src) == 2 &&
+        graft.io.Snapshots.read(s, src).count() == nOrders,
+      "io38: clone writes must never touch the source")
+    // source diverges: the clone is pinned to the cloned version
+    graft.io.Snapshots.commit(o.filter(col("k") % 8 === 2)
+      .select((col("k") + lit(4000000000L)).as("k"), col("cents")), src)
+    val cloneN = graft.io.Snapshots.read(s, dst).count()
+    require(cloneN == nOrders + junk.count(),
+      "io38: source writes must never reach the clone")
+    // a CoW rewrite on the still-shallow clone refuses LOUDLY
+    val refused =
+      try { graft.io.Snapshots.deleteWhere(
+        s, dst, col("k") >= 3000000000L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("external") }
+    require(refused,
+      "io38: deleteWhere on external references must refuse loudly")
+    // deepen: both externals fold local, rows identical, feed silent
+    val (dv, folded) = graft.io.Snapshots.deepenClone(s, dst)
+    require(dv == 3 && folded == 2,
+      s"io38: deepen must fold both externals ($dv, $folded)")
+    require(graft.io.Snapshots.read(s, dst).count() == cloneN,
+      "io38: deepening must not change the row multiset")
+    require(graft.io.Snapshots.changeFeed(s, dst, 3, 3).count() == 0,
+      "io38: deepening moves bytes, never rows — the feed stays silent")
+    // the delete now works; the junk goes
+    val (v4, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, dst, col("k") >= 3000000000L)
+    require(v4 == 4 && rewr >= 1, s"io38: post-deepen delete ($v4, $rewr)")
+    // the caveat's SAFE direction: a deepened clone survives a source
+    // retention-1 vacuum
+    graft.io.Snapshots.vacuum(s, src, keepVersions = 1, orphanGraceMs = 0L)
+    val fin = graft.io.Snapshots.read(s, dst)
+      .select("k", "cents").localCheckpoint()
+    require(fin.exceptAll(srcDf).isEmpty && srcDf.exceptAll(fin).isEmpty,
+      "io38: the deepened clone must equal the pre-divergence source " +
+        "after the source vacuum")
+    graft.io.Snapshots.read(s, dst)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
   /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
     * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
     * zero-padded `doc_<okey>` string id, committed as THREE key-range
@@ -8569,6 +8749,8 @@ object SparkEntry {
     "q92_cdf_replica" -> q92CdfReplica _,
     "q93_cdf_replica_stream" -> q93CdfReplicaStream _,
     "q94_cdf_evolution" -> q94CdfEvolution _,
+    "io37_restore" -> io37Restore _,
+    "io38_shallow_clone" -> io38ShallowClone _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12133,6 +12315,26 @@ object SparkEntry {
         |  count(flag) AS n_flag,
         |  CAST(coalesce(sum(flag), 0) AS BIGINT) AS flag_sum
         |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the clone's final state: junk appended then deleted ⇒ exactly
+    // all orders; the zero-copy pin, both isolation directions, the
+    // external-refusal, deepen row-pin + silent feed, and the
+    // source-vacuum-survival proofs are require-gated in-query
+    "io38_shallow_clone" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the restored head IS the clean two-commit state — all orders,
+    // untouched; the zero-copy dir-set pin, time-travel, feed-shape,
+    // consumer-convergence, and vacuum-survival proofs are
+    // require-gated in-query
+    "io37_restore" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
     // post-merge totals from raw orders: +7 cents per updated row
     // (k%10==3), the shifted k%10==6 inserts at +5 cents; the feed and
     // carry proofs are require-gated in-query

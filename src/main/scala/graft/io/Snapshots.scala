@@ -223,6 +223,30 @@ object Snapshots {
         case Array(d, cols) => d -> cols.split(",").toSeq
       }.toMap
 
+  /** Resolve a manifest dir token to a filesystem path: ordinary tokens
+    * are table-relative (`data/c-…`); an ABSOLUTE token (leading `/`)
+    * is an EXTERNAL reference into another table's storage — the
+    * zero-copy mechanism behind [[cloneShallow]]. Read paths resolve
+    * both transparently; copy-on-write rewrites refuse externals (see
+    * [[requireNoExternal]]) because their file-level hit mapping is
+    * anchored on table-relative dir tokens.
+    */
+  private def resolveDirPath(table: String, d: String): String =
+    if (d.startsWith("/")) d else s"$table/$d"
+
+  /** Guard for ops whose hit-discovery maps `input_file_name()` back to
+    * dir tokens via substring matching — sound only for table-relative
+    * tokens. External (shallow-clone) references must fold local first.
+    */
+  private def requireNoExternal(lines: Seq[String], table: String,
+      op: String): Unit = {
+    val ext = lines.filterNot(_.startsWith("#")).filter(_.startsWith("/"))
+    require(ext.isEmpty,
+      s"$op at $table: the manifest references ${ext.size} external " +
+        "(shallow-clone) directories — file-level hit mapping cannot " +
+        "span them; deepenClone (or compactSmall) first")
+  }
+
   /** Raw spec-aware read of `dirs`: directories GROUP by their partition
     * spec and each group reads as one multi-path scan — Hive partition
     * discovery materializes the partition columns for partitioned
@@ -263,7 +287,7 @@ object Snapshots {
         if (partCols.isEmpty) Seq(ds)
         else ds.map(Seq(_))
       roots.map { rs =>
-        val paths = rs.map(d => s"$table/$d")
+        val paths = rs.map(d => resolveDirPath(table, d))
         // an EMPTY-frame commit writes a directory with zero parquet
         // files; schema inference over such a root throws — the
         // committed #schema line IS the contract, so read under it
@@ -844,7 +868,8 @@ object Snapshots {
       val keyCols = dvs.map(_._2).distinct
       require(keyCols.size == 1,
         s"mixed dv key columns at $table: $keyCols — one key per table")
-      val keys = s.read.parquet(dvs.map(t => s"$table/${t._1}"): _*).distinct()
+      val keys = s.read.parquet(
+        dvs.map(t => resolveDirPath(table, t._1)): _*).distinct()
       base.join(keys, Seq(keyCols.head), "left_anti")
     }
 
@@ -985,6 +1010,7 @@ object Snapshots {
       val prev = latestVersion(s, table)
       require(prev >= 1, s"nothing committed at $table")
       val prevAllLines = manifestLines(s, table, prev)
+      requireNoExternal(prevAllLines, table, "deleteWhere")
       val dirs = prevAllLines.filterNot(_.startsWith("#"))
       // hit discovery + rewrite both run through the rename mapping:
       // `pred` speaks the CURRENT column contract, and pre-rename
@@ -1060,6 +1086,7 @@ object Snapshots {
       val prev = latestVersion(s, table)
       require(prev >= 1, s"nothing committed at $table")
       val lines = manifestLines(s, table, prev)
+      requireNoExternal(lines, table, "deleteKeysCow")
       val dirs = lines.filterNot(_.startsWith("#"))
       val keysD = keys.select(keys(keyCol)).distinct()
       val hitFiles = applyRenames(lines,
@@ -1145,6 +1172,7 @@ object Snapshots {
       require(dvLinesOf(lines).isEmpty,
         s"mergeUpsert at $table: live deletion vectors would hide " +
           "upserted keys — materializeDeletes first")
+      requireNoExternal(lines, table, "mergeUpsert")
       checkSchemaOf(s, table, source.schema, allowEvolve = false)
       val dirs = lines.filterNot(_.startsWith("#"))
       val srcKeys = source.select(source(keyCol)).distinct()
@@ -1266,6 +1294,7 @@ object Snapshots {
       require(dvLinesOf(lines).isEmpty,
         s"applyChangesCow at $table: live deletion vectors would hide " +
           "upserted keys — materializeDeletes first")
+      requireNoExternal(lines, table, "applyChangesCow")
       checkSchemaOf(s, table, source.schema, allowEvolve = false)
       val dirs = lines.filterNot(_.startsWith("#"))
       val delKeysD = deleteKeys.select(deleteKeys(keyCol)).distinct()
@@ -1343,6 +1372,247 @@ object Snapshots {
     sys.error(s"applyChangesCow on $table lost the version race $maxAttempts times")
   }
 
+  /** RESTORE — roll the table HEAD back to `targetV`'s exact content as
+    * a NEW commit (the Delta `RESTORE TABLE … VERSION AS OF` shape):
+    * history is preserved (the rolled-back versions stay
+    * time-travelable until [[vacuum]]), the restored head is an
+    * ordinary version (re-restore forward to undo a restore), and the
+    * operation is PURE METADATA — the new manifest re-references
+    * `targetV`'s directories (zero rows copied; vacuum keeps them live
+    * while any retained manifest references them, so a retention-1
+    * vacuum after a restore keeps exactly the restored state).
+    *
+    * CHANGE-FEED EXACTNESS at zero copy cost: the commit records
+    * `#change merge` whose sidecars are directory REFERENCES — every
+    * head-only directory rides a `#cdfdel` line (its rows are the
+    * delete preimages), every target-only directory a `#cdfins` line
+    * (its rows the restored postimages); directories live at BOTH
+    * versions emit nothing (CoW directories are immutable, so their
+    * rows are identical by construction). A row a CoW delete moved from
+    * directory D to survivor S emits delete(S-row) + insert(D-row) in
+    * the one restore version and the standard insert-outranks-delete
+    * fold keeps it live. Folding the feed through a restore therefore
+    * reconstructs the rollback exactly, and every CDF consumer
+    * ([[graft.streaming.ChangeFeedSync]]) converges through it
+    * untouched, at O(rewritten-since-target rows) feed cost — the same
+    * order as the operations being rolled back. Removed directories'
+    * `#spec` lines carry so the feed's raw preimage read resolves
+    * partitioned history; the next maintenance commit drops them.
+    *
+    * REFUSALS (loud, before any write): live deletion vectors at either
+    * end (tombstones hide rows from the directory-level diff —
+    * [[materializeDeletes]] first); a `#schema` or rename-mapping
+    * difference between head and target (a restore that silently rolled
+    * the CONTRACT back would poison feed consumers mid-range — evolve
+    * or rename explicitly instead); a vacuumed target manifest raises
+    * the typed [[OutOfRetentionException]]. Prior `#txn` tags CARRY: a
+    * restore rolls data back, it never reopens committed producer
+    * batches to replay — re-landing rolled-back data is a deliberate
+    * new batch, not an idempotence hole.
+    *
+    * @return Some(new version), or None when `txn` says this restore
+    *         already landed (a replayed orchestration step)
+    */
+  def restoreTo(s: SparkSession, table: String, targetV: Int,
+      txn: Option[(String, Long)] = None,
+      props: Map[String, String] = Map.empty,
+      maxAttempts: Int = 50): Option[Int] = {
+    require(props.keys.forall(_.nonEmpty), "restoreTo: empty property key")
+    val f = fs(s, table)
+    val tgtLines =
+      try manifestLines(s, table, targetV)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new OutOfRetentionException(table, targetV,
+            earliestFeedable(s, table))
+      }
+    require(dvLinesOf(tgtLines).isEmpty,
+      s"restoreTo $table v$targetV: the target carries live deletion " +
+        "vectors — restore to a materialized version")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(targetV >= 1 && targetV < prev,
+        s"restoreTo $table: target v$targetV must precede head v$prev")
+      if (txn.exists { case (w, b) => txnSeenUpTo(s, table, w, b, prev) })
+        return None
+      val prevLines = manifestLines(s, table, prev)
+      require(dvLinesOf(prevLines).isEmpty,
+        s"restoreTo $table: head v$prev carries live deletion vectors — " +
+          "materializeDeletes first (tombstones hide rows from the " +
+          "directory-level diff)")
+      // rename check FIRST: a rename changes the #schema DDL too, and
+      // "rename back first" is the actionable message for that case
+      def renSet(ls: Seq[String]) = ls.filter(_.startsWith("#rename ")).toSet
+      require(renSet(prevLines) == renSet(tgtLines),
+        s"restoreTo $table: rename mapping differs between head v$prev " +
+          s"and target v$targetV — restore across a column rename is " +
+          "not supported; rename back first")
+      def ddlOf(ls: Seq[String]) = ls.find(_.startsWith("#schema "))
+      require(ddlOf(prevLines) == ddlOf(tgtLines),
+        s"restoreTo $table: schema differs between head v$prev and " +
+          s"target v$targetV — a restore never rolls the contract " +
+          "back; evolve explicitly instead")
+      val tgtDirs = tgtLines.filterNot(_.startsWith("#"))
+      val prevDirs = prevLines.filterNot(_.startsWith("#"))
+      val removed = prevDirs.filterNot(tgtDirs.toSet)
+      val added = tgtDirs.filterNot(prevDirs.toSet)
+      val txns = prevLines.filter(_.startsWith("#txn "))
+      val tgtMeta = tgtLines.filter(l =>
+        l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
+          l.startsWith("#spec "))
+      val removedSpec = prevLines.filter(_.startsWith("#spec "))
+        .filter(l => removed.contains(l.split(" ")(1)))
+      val propLines = (props + ("restore_of" -> targetV.toString)).toSeq
+        .sortBy(_._1)
+        .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}\n" }.mkString
+      val header = (txns ++ ddlOf(tgtLines).toSeq ++ tgtMeta ++
+          removedSpec ++ renSet(tgtLines).toSeq.sorted ++
+          Seq("#change merge")).map(_ + "\n").mkString +
+        txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
+        propLines +
+        removed.map(d => s"#cdfdel $d\n").mkString +
+        added.map(d => s"#cdfins $d\n").mkString
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + tgtDirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return Some(v)
+      }
+      attempt += 1
+    }
+    sys.error(s"restoreTo on $table lost the version race $maxAttempts times")
+  }
+
+  /** SHALLOW CLONE — a new table whose first version REFERENCES the
+    * source's data directories instead of copying them (the Delta
+    * `CREATE TABLE … SHALLOW CLONE` shape): a dev/test/experimentation
+    * copy of a 100 TB table costs ONE manifest write, O(metadata). The
+    * directory tokens absolutize into the source's path (the external
+    * form [[resolveDirPath]] resolves), and stats/spec/rename lines
+    * copy with re-keyed tokens — so reads, time travel, pruning, and
+    * the rename mapping all work on the clone unchanged. The clone is
+    * a REAL table from then on: appends, MoR deletes, renames,
+    * restores, compactions, and further clones land in its OWN chain
+    * and never touch the source; its change feed starts with the full
+    * content as version-1 inserts, so CDF consumers can replicate off
+    * a clone. Source `#txn` tags deliberately do NOT copy: producer
+    * idempotence belongs to the source's pipeline — a producer pointed
+    * at the clone is a new pipeline whose batches should land.
+    *
+    * DIVERGENCE CONTRACT: copy-on-write rewrites (deleteWhere,
+    * deleteKeysCow, mergeUpsert, applyChangesCow, materializeDeletes)
+    * anchor their file-level hit mapping on table-relative tokens and
+    * REFUSE while external references remain — run [[deepenClone]]
+    * (folds all externals local) or let [[compactSmall]] /
+    * [[optimizeClustered]] fold them as part of routine maintenance.
+    *
+    * THE VACUUM CAVEAT (Delta's, verbatim): the source does not know
+    * its clones. A vacuum on the SOURCE that expires directories the
+    * clone references breaks the clone — deepen the clone (or pin the
+    * cloned version with a source-side tag) before shortening source
+    * retention. A vacuum on the CLONE is always safe: external paths
+    * are never GC candidates (GC lists only the clone's local
+    * `data/`).
+    *
+    * Refusals: a non-empty target; live deletion vectors at the cloned
+    * source version (their key files belong to the source's
+    * maintenance lifecycle — materialize first); a vacuumed source
+    * version raises the typed [[OutOfRetentionException]].
+    */
+  def cloneShallow(s: SparkSession, sourceTable: String,
+      cloneTable: String, version: Option[Int] = None): Int = {
+    val srcV = version.getOrElse(latestVersion(s, sourceTable))
+    require(srcV >= 1, s"cloneShallow: nothing committed at $sourceTable")
+    require(latestVersion(s, cloneTable) < 1,
+      s"cloneShallow: $cloneTable already has commits")
+    val lines =
+      try manifestLines(s, sourceTable, srcV)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new OutOfRetentionException(sourceTable, srcV,
+            earliestFeedable(s, sourceTable))
+      }
+    require(dvLinesOf(lines).isEmpty,
+      s"cloneShallow: $sourceTable v$srcV carries live deletion " +
+        "vectors — materializeDeletes first")
+    def abs(d: String) = if (d.startsWith("/")) d else s"$sourceTable/$d"
+    val dirs = lines.filterNot(_.startsWith("#")).map(abs)
+    val schema = lines.filter(_.startsWith("#schema "))
+    val rens = lines.filter(_.startsWith("#rename "))
+    val meta = lines.filter(l => l.startsWith("#dirstats ") ||
+        l.startsWith("#dirstatsS ") || l.startsWith("#spec "))
+      .map { l =>
+        val parts = l.split(" ")
+        (parts.take(1) ++ Seq(abs(parts(1))) ++ parts.drop(2)).mkString(" ")
+      }
+    val props = Seq(
+      s"#prop ${enc("clone_of")} ${enc(s"$sourceTable@$srcV")}")
+    val header = (schema ++ meta ++ rens ++ props ++ Seq("#change append"))
+      .map(_ + "\n").mkString
+    val f = fs(s, cloneTable)
+    require(publishExclusive(s, f, manifestPath(cloneTable, 1),
+        header + dirs.mkString("\n")),
+      s"cloneShallow: lost the claim on $cloneTable v1 — a concurrent " +
+        "creator got there first")
+    try atomicWrite(s, f, new Path(s"$cloneTable/_latest"), "1")
+    catch { case _: java.io.IOException => () }
+    1
+  }
+
+  /** Fold every EXTERNAL (shallow-clone) directory reference into the
+    * table's OWN storage — the incremental shallow→deep conversion:
+    * one pass reads the external directories raw (rename-normalized to
+    * the current contract, partitioned externals' partition columns
+    * materialized as data) and rewrites them as ONE local directory;
+    * local directories carry by reference. Costs O(external bytes),
+    * emits NOTHING to the change feed (`#change compact` — moves
+    * bytes, never rows), and keeps any `#dv` tombstones suppressing
+    * exactly as before (the rewrite copies raw rows; the anti-join
+    * stays). After deepening, every copy-on-write op is available and
+    * source-side vacuums can no longer break this table. CAS posture
+    * identical to [[compactSmall]]: lost race ⇒ abandon orphan,
+    * recompute.
+    *
+    * @return (version, externalsFolded) — version unchanged when the
+    *         table has no external references
+    */
+  def deepenClone(s: SparkSession, table: String,
+      maxAttempts: Int = 50): (Int, Int) = {
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val prevAllLines = manifestLines(s, table, prev)
+      val dirs = prevAllLines.filterNot(_.startsWith("#"))
+      val (ext, local) = dirs.partition(_.startsWith("/"))
+      if (ext.isEmpty) return (prev, 0)
+      val folded = applyRenames(prevAllLines,
+        readDirsRaw(s, table, prevAllLines, ext))
+      val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
+      folded.write.mode("errorifexists").parquet(s"$table/$dir")
+      val v = prev + 1
+      val ddl = schemaOf(s, table, prev).getOrElse(folded.schema.toDDL)
+      val header = maintenanceHeader(s, table, prev, ddl, local.toSet,
+        changeKind = "compact")
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + (local :+ dir).mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return (v, ext.size)
+      }
+      f.delete(new Path(s"$table/$dir"), true): Unit
+      attempt += 1
+    }
+    sys.error(s"deepenClone on $table lost the version race $maxAttempts times")
+  }
+
   /** MATERIALIZE accumulated deletion vectors — the read-optimize half
     * of the merge-on-read lifecycle ([[deleteWhereMoR]] writes O(keys),
     * reads pay an anti-join probe; this folds the tombstones into the
@@ -1374,11 +1644,13 @@ object Snapshots {
       val dvs = dvLinesOf(lines)
       val dirs = lines.filterNot(_.startsWith("#"))
       if (dvs.isEmpty) return (prev, dirs.size, 0)
+      requireNoExternal(lines, table, "materializeDeletes")
       val keyCols = dvs.map(_._2).distinct
       require(keyCols.size == 1,
         s"mixed dv key columns at $table: $keyCols — one key per table")
       val keyCol = keyCols.head
-      val keys = s.read.parquet(dvs.map(t => s"$table/${t._1}"): _*).distinct()
+      val keys = s.read.parquet(
+        dvs.map(t => resolveDirPath(table, t._1)): _*).distinct()
       // input_file_name() must bind directly over the scan (it rejects
       // multi-source plans), so project it BEFORE the semi join; the
       // rename mapping folds pre-rename dirs into the current contract
@@ -1448,7 +1720,8 @@ object Snapshots {
       val prevAllLines = manifestLines(s, table, prev)
       val dirs = prevAllLines.filterNot(_.startsWith("#"))
       val (small, big) = dirs.partition { d =>
-        f.getContentSummary(new Path(s"$table/$d")).getLength < smallBytes
+        f.getContentSummary(new Path(resolveDirPath(table, d)))
+          .getLength < smallBytes
       }
       if (small.size < 2) return (prev, 0, dirs.size)
       // rename-normalize the rewrite: the compacted directory is born
@@ -2079,7 +2352,7 @@ object Snapshots {
             require(keyCols.size == 1,
               s"changeFeed: mixed dv key columns at $table v$v: $keyCols")
             val keys = s.read
-              .parquet(newDvs.map(t => s"$table/${t._1}").toSeq: _*)
+              .parquet(newDvs.map(t => resolveDirPath(table, t._1)).toSeq: _*)
               .distinct()
             Seq(applyRenames(mapLines, read(s, table, Some(v - 1))
                 .join(keys, Seq(keyCols.head), "left_semi"))

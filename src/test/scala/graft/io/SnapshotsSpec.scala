@@ -720,7 +720,7 @@ class SnapshotsSpec extends SparkSpec {
       }
       Snapshots.commit(freshRows(20), t)
       for (_ <- 1 to 6) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => Snapshots.commit(freshRows(5 + rnd.nextInt(10)), t): Unit
           case 1 | 6 => Snapshots.commitPartitioned(
             freshRows(5 + rnd.nextInt(10)), t, Seq("g")): Unit
@@ -743,6 +743,21 @@ class SnapshotsSpec extends SparkSpec {
               .withColumn("v", col("k") * 100L + 7L)
             Snapshots.mergeUpsert(spark, t,
               updates.unionByName(freshRows(3 + rnd.nextInt(4))), "k"): Unit
+          case 8 =>
+            // restore to a random earlier version (dv guard at head
+            // satisfied by materializing first); a dv-carrying TARGET
+            // refuses — that refusal path is part of the op's surface,
+            // so swallow exactly it and let the interleaving continue
+            Snapshots.materializeDeletes(spark, t): Unit
+            val head = Snapshots.latestVersion(spark, t)
+            if (head >= 2) {
+              val target = 1 + rnd.nextInt(head - 1)
+              try Snapshots.restoreTo(spark, t, target): Unit
+              catch {
+                case e: IllegalArgumentException
+                    if e.getMessage.contains("deletion vectors") => ()
+              }
+            }
         }
         val latest = Snapshots.latestVersion(spark, t)
         val feed = Snapshots.changeFeed(spark, t, 1, latest)
@@ -1179,5 +1194,240 @@ class SnapshotsSpec extends SparkSpec {
     // fail-fast means no .opt-* staging dir was ever written
     val f = new java.io.File(t)
     assert(!f.listFiles().exists(_.getName.startsWith(".opt-")))
+  }
+
+  /** LWW fold of the full feed — the reconstruction the fold-law tests
+    * assert; insert outranks delete within a version.
+    */
+  private def foldedView(t: String, cols: String*)
+      : org.apache.spark.sql.DataFrame = {
+    val latest = Snapshots.latestVersion(spark, t)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(cols.head)
+      .orderBy(desc("_commit_version"),
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    Snapshots.changeFeed(spark, t, 1, latest)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .select(cols.map(col): _*)
+  }
+
+  test("restoreTo: zero-copy rollback; CoW-delete survivors stay live " +
+      "through the same-version delete+insert pair; feed fold law holds") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    Snapshots.commit((11L to 14L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    // v3: CoW delete rewrites the hit dirs — survivors MOVE directories
+    Snapshots.deleteWhere(spark, t, col("k") % 3 === 0)
+    assert(Snapshots.read(spark, t).count() == 10)
+    // v4: restore to v2 — deleted keys come back, pure metadata
+    assert(Snapshots.restoreTo(spark, t, 2).contains(4))
+    assert(Snapshots.dataDirsOf(spark, t, 4).toSet ==
+      Snapshots.dataDirsOf(spark, t, 2).toSet,
+      "restore must re-reference the target's directories verbatim")
+    val head = Snapshots.read(spark, t).select("k", "v")
+    val atV2 = Snapshots.read(spark, t, Some(2)).select("k", "v")
+    assert(head.exceptAll(atV2).isEmpty && atV2.exceptAll(head).isEmpty)
+    // the restore version's feed: survivors emit delete(moved copy) +
+    // insert(original) — identical values, insert wins; deleted keys
+    // emit insert only
+    val v4 = Snapshots.changeFeed(spark, t, 4, 4)
+    assert(v4.filter(col("_change_type") === "insert").count() == 14)
+    assert(v4.filter(col("_change_type") === "delete").count() == 10)
+    val folded = foldedView(t, "k", "v")
+    assert(folded.exceptAll(head).isEmpty && head.exceptAll(folded).isEmpty,
+      "fold law must hold through the restore")
+    // roll FORWARD: restoring to v3 undoes the restore
+    assert(Snapshots.restoreTo(spark, t, 3).contains(5))
+    val again = Snapshots.read(spark, t).select("k", "v")
+    val atV3 = Snapshots.read(spark, t, Some(3)).select("k", "v")
+    assert(again.exceptAll(atV3).isEmpty && atV3.exceptAll(again).isEmpty)
+    val folded2 = foldedView(t, "k", "v")
+    assert(folded2.exceptAll(again).isEmpty &&
+      again.exceptAll(folded2).isEmpty)
+  }
+
+  test("restoreTo: a removed PARTITIONED directory's spec line carries " +
+      "so the feed's preimage read resolves the partition column") {
+    import spark.implicits._
+    val t = freshTable()
+    def nullable(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true))))
+    Snapshots.commit(nullable((1L to 6L).map(k => (k, s"p${k % 2}", k * 10L))
+      .toDF("k", "g", "v")), t)
+    Snapshots.commitPartitioned(
+      nullable((7L to 12L).map(k => (k, s"p${k % 2}", k * 10L))
+        .toDF("k", "g", "v")), t, Seq("g"))
+    assert(Snapshots.restoreTo(spark, t, 1).contains(3))
+    // the rollback's delete preimages are the partitioned dir's rows —
+    // the partition column must come back with real values, not NULLs
+    val dels = Snapshots.changeFeed(spark, t, 3, 3)
+      .filter(col("_change_type") === "delete").select("k", "g", "v")
+    assert(dels.count() == 6 && dels.filter(col("g").isNull).count() == 0)
+    val expect = (7L to 12L).map(k => (k, s"p${k % 2}", k * 10L))
+      .toDF("k", "g", "v")
+    assert(dels.exceptAll(expect).isEmpty && expect.exceptAll(dels).isEmpty)
+  }
+
+  test("restoreTo refusals: live dvs either end, schema drift, rename " +
+      "drift, non-past target; txn tag makes a replay no-op") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    Snapshots.commit((11L to 14L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    // head carries live dvs → refuse
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 5 === 0)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.restoreTo(spark, t, 1))
+    assert(e1.getMessage.contains("deletion vectors"))
+    // v4 materializes; v3 (the dv commit) is an ILLEGAL target
+    Snapshots.materializeDeletes(spark, t)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.restoreTo(spark, t, 3))
+    assert(e2.getMessage.contains("deletion vectors"))
+    // a non-past target refuses
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.restoreTo(spark, t, Snapshots.latestVersion(spark, t)))
+    assert(e3.getMessage.contains("must precede"))
+    // tagged restore lands once; the replay no-ops on the txn tag
+    assert(Snapshots.restoreTo(spark, t, 1,
+      txn = Some(("orch", 7L))).contains(5))
+    assert(Snapshots.restoreTo(spark, t, 1, txn = Some(("orch", 7L))).isEmpty)
+    // additive evolution after the restore → pre-evolution targets refuse
+    Snapshots.commit((20L to 22L).map(k => (k, k * 10L, s"t$k"))
+      .toDF("k", "v", "tag"), t, allowEvolve = true)
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.restoreTo(spark, t, 1))
+    assert(e4.getMessage.contains("schema differs"))
+    // rename drift refuses too (rename back first)
+    val t2 = freshTable()
+    Snapshots.commit((1L to 3L).map(k => (k, k * 10L)).toDF("k", "v"), t2)
+    Snapshots.commit((4L to 5L).map(k => (k, k * 10L)).toDF("k", "v"), t2)
+    Snapshots.renameColumn(spark, t2, "v", "w")
+    val e5 = intercept[IllegalArgumentException](
+      Snapshots.restoreTo(spark, t2, 1))
+    assert(e5.getMessage.contains("rename mapping differs"))
+    // a vacuumed target raises the TYPED out-of-retention error
+    val t3 = freshTable()
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), t3)
+    Snapshots.commit(Seq((2L, 2L)).toDF("k", "v"), t3)
+    Snapshots.commit(Seq((3L, 3L)).toDF("k", "v"), t3)
+    Snapshots.vacuum(spark, t3, keepVersions = 1, orphanGraceMs = 0L)
+    intercept[Snapshots.OutOfRetentionException](
+      Snapshots.restoreTo(spark, t3, 1))
+  }
+
+  test("cloneShallow: zero-copy create; reads, time travel, pruning, " +
+      "and the clone's own feed work; divergence is isolated BOTH ways") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    Snapshots.commitWithStats(
+      (1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), src, "k")
+    Snapshots.commitWithStats(
+      (11L to 20L).map(k => (k, k * 10L)).toDF("k", "v"), src, "k")
+    assert(Snapshots.cloneShallow(spark, src, dst) == 1)
+    // ZERO COPY: the clone wrote a manifest, not a byte of data
+    assert(!new java.io.File(s"$dst/data").exists(),
+      "a shallow clone must not materialize any data directory")
+    val srcDf = Snapshots.read(spark, src).select("k", "v")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+    // stats lines re-keyed to the absolutized tokens: pruning works
+    val pruned = Snapshots.readPruned(spark, dst, "k", 15L, 18L)
+    assert(pruned.dirsTotal == 2 && pruned.dirsRead == 1,
+      s"clone pruning lost the stats (${pruned.dirsTotal}/${pruned.dirsRead})")
+    assert(pruned.df.count() == 4)
+    // the clone's feed: version 1 IS its full content as inserts
+    val feed = Snapshots.changeFeed(spark, dst, 1, 1)
+    assert(feed.filter(col("_change_type") === "insert").count() == 20)
+    // clone diverges: append + MoR delete land in the CLONE's chain only
+    Snapshots.commit((21L to 25L).map(k => (k, k * 10L)).toDF("k", "v"), dst)
+    Snapshots.deleteWhereMoR(spark, dst, "k", col("k") <= 2)
+    assert(Snapshots.read(spark, dst).count() == 23)
+    assert(Snapshots.latestVersion(spark, src) == 2 &&
+      Snapshots.read(spark, src).count() == 20,
+      "clone writes must never touch the source")
+    // source diverges: the clone is pinned to its cloned version
+    Snapshots.commit(Seq((99L, 990L)).toDF("k", "v"), src)
+    assert(Snapshots.read(spark, dst).count() == 23,
+      "source writes must never reach the clone")
+    // vacuum on the CLONE never GCs external paths
+    Snapshots.vacuum(spark, dst, keepVersions = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, dst).count() == 23 &&
+      Snapshots.read(spark, src).count() == 21)
+  }
+
+  test("cloneShallow: CoW rewrites refuse on externals; deepenClone " +
+      "folds them local; clone-of-clone chains; refusals") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    val dst2 = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    Snapshots.commit((11L to 14L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    Snapshots.cloneShallow(spark, src, dst)
+    // every CoW rewrite refuses while externals remain
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.deleteWhere(spark, dst, col("k") % 2 === 0))
+    assert(e1.getMessage.contains("external"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.mergeUpsert(spark, dst,
+        Seq((1L, 111L)).toDF("k", "v"), "k"))
+    assert(e2.getMessage.contains("external"))
+    // clone-of-clone: still zero-copy, externals stay absolute
+    Snapshots.cloneShallow(spark, dst, dst2)
+    assert(!new java.io.File(s"$dst2/data").exists())
+    assert(Snapshots.read(spark, dst2).count() == 14)
+    // deepen: one local rewrite, rows identical, feed silent
+    val (v2, folded) = Snapshots.deepenClone(spark, dst)
+    assert(v2 == 2 && folded == 2)
+    assert(Snapshots.read(spark, dst).select("k", "v")
+      .exceptAll((1L to 14L).map(k => (k, k * 10L)).toDF("k", "v")).isEmpty)
+    assert(Snapshots.changeFeed(spark, dst, 2, 2).count() == 0,
+      "deepening moves bytes, never rows — the feed must stay silent")
+    // deepened clone: CoW ops now work, and a SOURCE vacuum can no
+    // longer break it (the Delta shallow-clone caveat, safe direction)
+    assert(Snapshots.deleteWhere(spark, dst, col("k") % 7 === 0)._1 == 3)
+    Snapshots.commit(Seq((99L, 990L)).toDF("k", "v"), src)
+    Snapshots.vacuum(spark, src, keepVersions = 1, orphanGraceMs = 0L)
+    assert(Snapshots.read(spark, dst).count() == 12)
+    // a second deepen is a no-op
+    assert(Snapshots.deepenClone(spark, dst) == (3, 0))
+    // refusals: non-empty target, dv-carrying source, vacuumed version
+    val e3 = intercept[IllegalArgumentException](
+      Snapshots.cloneShallow(spark, src, dst))
+    assert(e3.getMessage.contains("already has commits"))
+    Snapshots.deleteWhereMoR(spark, src, "k", col("k") === 99L)
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.cloneShallow(spark, src, freshTable()))
+    assert(e4.getMessage.contains("deletion vectors"))
+    intercept[Snapshots.OutOfRetentionException](
+      Snapshots.cloneShallow(spark, src, freshTable(), version = Some(1)))
+  }
+
+  test("cloneShallow carries renames and partition specs: a clone of a " +
+      "renamed, partly-partitioned source reads under the current " +
+      "contract with partition values intact") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    def nullable(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, org.apache.spark.sql.types.StructType(
+        df.schema.map(_.copy(nullable = true))))
+    Snapshots.commit(nullable((1L to 4L).map(k => (k, s"p${k % 2}", k * 10L))
+      .toDF("k", "g", "v")), src)
+    Snapshots.commitPartitioned(
+      nullable((5L to 8L).map(k => (k, s"p${k % 2}", k * 10L))
+        .toDF("k", "g", "v")), src, Seq("g"))
+    Snapshots.renameColumn(spark, src, "v", "w")
+    Snapshots.cloneShallow(spark, src, dst)
+    val got = Snapshots.read(spark, dst).select("k", "g", "w")
+    val expect = (1L to 8L).map(k => (k, s"p${k % 2}", k * 10L))
+      .toDF("k", "g", "w")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "clone must resolve the rename mapping AND the partitioned " +
+        "external's path values")
   }
 }
