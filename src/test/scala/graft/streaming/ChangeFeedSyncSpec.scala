@@ -58,6 +58,43 @@ class ChangeFeedSyncSpec extends SparkSpec {
       s"state read ${scan.dirsRead}/${scan.dirsTotal} dirs (want 1/3)")
   }
 
+  test("both consumers converge through a RESTORE: the rollback's " +
+      "merge-kind feed folds into the view and the replica exactly") {
+    import spark.implicits._
+    val src = fresh("src_restore")
+    val view = fresh("view_restore")
+    val rep = fresh("rep_restore")
+    def direct() = Snapshots.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("cents").as("sum_v"))
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    Snapshots.commit((1L to 30L).map(k => (k, k % 3, k * 10L))
+      .toDF("k", "grp", "cents"), src)
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((1, 1)))
+    assert(ChangeFeedSync.replicateOnce(spark, src, rep, "k")
+      .contains((1, 1)))
+    // a poison batch lands AND a CoW delete mangles old rows, then one
+    // restore rolls both back — the consumers see insert@2, the
+    // delete's preimages@3, and the restore's merge events@4
+    Snapshots.commit((1001L to 1010L).map(k => (k, k % 3, 1L))
+      .toDF("k", "grp", "cents"), src)
+    Snapshots.deleteWhere(spark, src, col("k") % 4 === 0)
+    assert(Snapshots.restoreTo(spark, src, 1).contains(4))
+    assert(ChangeFeedSync.syncViewOnce(spark, src, view, "w", "grp", "cents")
+      .contains((2, 4)))
+    assert(same(ChangeFeedSync.currentView(spark, view, "grp"), direct()),
+      "view must fold the poison batch + delete + restore to the " +
+        "restored aggregate")
+    assert(ChangeFeedSync.replicateOnce(spark, src, rep, "k")
+      .contains((2, 4)))
+    val repDf = Snapshots.read(spark, rep).select("k", "grp", "cents")
+    val srcDf = Snapshots.read(spark, src).select("k", "grp", "cents")
+    assert(same(repDf, srcDf),
+      "replica must converge to the restored state")
+  }
+
   test("syncViewOnce: empty view before first sync has the right schema") {
     val view = fresh("view_empty")
     val cur = ChangeFeedSync.currentView(spark, view, "grp")
