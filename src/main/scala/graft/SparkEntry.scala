@@ -8133,6 +8133,75 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** MAINTENANCE PLANNER through the gate ([[graft.io.Snapshots
+    * .maintenancePlan]] — inspect, recommend, apply, converge): a messy
+    * table accumulates six micro-batch commits (small dirs), a MoR
+    * delete (live tombstones), and seven versions of history; ONE
+    * metadata-scale plan call must recommend EXACTLY
+    * `materializeDeletes → compactSmall → vacuum` in that order (the
+    * safe application order) with the observed metrics require-gated
+    * (tombstone count, small-dir count, manifest count). Applying the
+    * plan verbatim must leave the row multiset BIT-IDENTICAL, and the
+    * re-plan must be EMPTY — the steady-state fixpoint every scheduled
+    * maintenance loop needs (a planner that re-recommends after its own
+    * medicine loops forever). The oracle recomputes the surviving state
+    * from raw orders.
+    */
+  private def io39MaintenancePlan(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "io39")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    // six micro-batch appends, then a MoR delete: small dirs + live dvs
+    (0L until 6L).foreach { i =>
+      graft.io.Snapshots.commit(o.filter(col("k") % 6 === i), table): Unit
+    }
+    val (v7, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 9 === 0)
+    require(v7 == 7 && nDel > 0, s"io39: MoR delete landed ($v7, $nDel)")
+    val pre = graft.io.Snapshots.read(s, table)
+      .select("k", "cents").localCheckpoint()
+    def plan() = graft.io.Snapshots.maintenancePlan(s, table,
+      smallBytes = 1L << 40, maxDvKeys = 0L, maxVersions = 3)
+    val p1 = plan()
+    require(p1.map(_.action) ==
+        Seq("materializeDeletes", "compactSmall", "vacuum"),
+      s"io39: plan drifted: ${p1.map(_.action)}")
+    require(p1(0).metric == nDel,
+      s"io39: dv metric ${p1(0).metric} != tombstone count $nDel")
+    require(p1(1).metric == 6 && p1(2).metric == 7,
+      s"io39: metrics drifted (${p1(1).metric} small, ${p1(2).metric} " +
+        "manifests)")
+    // apply the plan VERBATIM in its order
+    p1.foreach { a =>
+      a.action match {
+        case "materializeDeletes" =>
+          graft.io.Snapshots.materializeDeletes(s, table): Unit
+        case "compactSmall" =>
+          graft.io.Snapshots.compactSmall(s, table,
+            smallBytes = 1L << 40): Unit
+        case "vacuum" =>
+          graft.io.Snapshots.vacuum(s, table, keepVersions = 3,
+            orphanGraceMs = 0L): Unit
+      }
+    }
+    // maintenance moved bytes, never rows
+    val post = graft.io.Snapshots.read(s, table)
+      .select("k", "cents").localCheckpoint()
+    require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+      "io39: the applied plan must leave the row multiset bit-identical")
+    // steady state: the planner's own medicine converges
+    require(plan().isEmpty,
+      s"io39: re-plan after maintenance must be empty, got " +
+        s"${plan().map(_.action)}")
+    graft.io.Snapshots.read(s, table)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
   /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
     * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
     * zero-padded `doc_<okey>` string id, committed as THREE key-range
@@ -8751,6 +8820,7 @@ object SparkEntry {
     "q94_cdf_evolution" -> q94CdfEvolution _,
     "io37_restore" -> io37Restore _,
     "io38_shallow_clone" -> io38ShallowClone _,
+    "io39_maintenance_plan" -> io39MaintenancePlan _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12325,6 +12395,15 @@ object SparkEntry {
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the maintained table's final state: all orders minus the %9
+    // tombstones; the plan-shape, metric, bit-identity, and empty-
+    // re-plan fixpoint proofs are require-gated in-query
+    "io39_maintenance_plan" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o WHERE k % 9 <> 0 GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the restored head IS the clean two-commit state — all orders,
     // untouched; the zero-copy dir-set pin, time-travel, feed-shape,
     // consumer-convergence, and vacuum-survival proofs are

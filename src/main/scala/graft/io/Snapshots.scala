@@ -1613,6 +1613,73 @@ object Snapshots {
     sys.error(s"deepenClone on $table lost the version race $maxAttempts times")
   }
 
+  /** One recommended maintenance step: which op, the observed metric
+    * that crossed its threshold, and the operator-facing reason.
+    */
+  final case class MaintenanceAction(action: String, metric: Long,
+    threshold: Long, reason: String)
+
+  /** MAINTENANCE PLANNER — the ops-layer decision a 100 TB lake runs on
+    * a schedule (the Delta auto-compaction / Iceberg maintenance-action
+    * shape): inspect ONE version's METADATA and return the ordered list
+    * of maintenance actions whose trigger thresholds are crossed. Pure
+    * inspection — directory sizes come from the filesystem listing, dv
+    * cost from the key-file row counts (O(tombstones), the same order
+    * every read's anti-join probe already pays), history depth from the
+    * manifest listing, externals from the dir tokens; no data file is
+    * opened. The returned order IS the safe application order:
+    * [[deepenClone]] first (CoW ops refuse on externals),
+    * [[materializeDeletes]] before [[compactSmall]] (compacting
+    * dv-hidden rows copies dead bytes the materialize pass would then
+    * rewrite again), [[vacuum]] last (GC after the rewrites orphan
+    * their inputs). An empty plan = steady state.
+    */
+  def maintenancePlan(s: SparkSession, table: String, smallBytes: Long,
+      maxDvKeys: Long, maxVersions: Int,
+      maxSmallDirs: Int = 1): Seq[MaintenanceAction] = {
+    require(smallBytes > 0 && maxDvKeys >= 0 && maxVersions >= 1 &&
+        maxSmallDirs >= 1,
+      s"maintenancePlan: bad thresholds ($smallBytes, $maxDvKeys, " +
+        s"$maxVersions, $maxSmallDirs)")
+    val f = fs(s, table)
+    val latest = latestVersion(s, table)
+    require(latest >= 1, s"nothing committed at $table")
+    val lines = manifestLines(s, table, latest)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val ext = dirs.count(_.startsWith("/"))
+    val out = scala.collection.mutable.ListBuffer[MaintenanceAction]()
+    if (ext > 0)
+      out += MaintenanceAction("deepenClone", ext, 0,
+        s"$ext external (shallow-clone) dir(s) block CoW maintenance " +
+          "and expose the table to source-side vacuums")
+    val dvs = dvLinesOf(lines)
+    val dvKeys =
+      if (dvs.isEmpty) 0L
+      else s.read.parquet(
+        dvs.map(t => resolveDirPath(table, t._1)): _*).count()
+    if (dvKeys > maxDvKeys)
+      out += MaintenanceAction("materializeDeletes", dvKeys, maxDvKeys,
+        s"$dvKeys tombstoned key(s) make every read pay the anti-join " +
+          "probe")
+    // external dirs stay out of the small count: the deepen pass above
+    // already folds them, and counting them twice would double-plan
+    val small = dirs.filterNot(_.startsWith("/")).count { d =>
+      f.getContentSummary(new Path(resolveDirPath(table, d)))
+        .getLength < smallBytes
+    }
+    if (small > maxSmallDirs)
+      out += MaintenanceAction("compactSmall", small, maxSmallDirs,
+        s"$small sub-threshold dir(s) inflate every reader's file list")
+    val manifests = f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
+      case null => 0
+      case sts => sts.length
+    }
+    if (manifests > maxVersions)
+      out += MaintenanceAction("vacuum", manifests, maxVersions,
+        s"$manifests retained manifest(s) exceed the retention target")
+    out.toList
+  }
+
   /** MATERIALIZE accumulated deletion vectors — the read-optimize half
     * of the merge-on-read lifecycle ([[deleteWhereMoR]] writes O(keys),
     * reads pay an anti-join probe; this folds the tombstones into the

@@ -1318,6 +1318,44 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.restoreTo(spark, t3, 1))
   }
 
+  test("restoreTo races a concurrent append: the CAS serializes them — " +
+      "whichever lands second is the table's truth, and the fold law " +
+      "holds either way") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    Snapshots.commit((11L to 14L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val restore = Future { Snapshots.restoreTo(spark, t, 1) }
+    val append = Future {
+      Snapshots.commit((100L to 104L).map(k => (k, k)).toDF("k", "v"), t)
+    }
+    val rv = Await.result(restore, 300.seconds).get
+    val av = Await.result(append, 300.seconds)
+    assert(Set(rv, av) == Set(3, 4), s"CAS must serialize ($rv, $av)")
+    val n = Snapshots.read(spark, t).count()
+    // append-then-restore: the restore recomputed against the appended
+    // head and ROLLED THE APPEND BACK TOO (write-serializable: restore
+    // means "back to v1", whatever landed meanwhile). restore-then-
+    // append: the appended rows sit on the restored base.
+    assert(if (rv > av) n == 10 else n == 15,
+      s"unexpected row count $n for order (restore=$rv, append=$av)")
+    val latest = Snapshots.latestVersion(spark, t)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(desc("_commit_version"),
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val folded = Snapshots.changeFeed(spark, t, 1, latest)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .select("k", "v")
+    val live = Snapshots.read(spark, t).select("k", "v")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
+      "fold law must hold under the race, either serialization")
+  }
+
   test("cloneShallow: zero-copy create; reads, time travel, pruning, " +
       "and the clone's own feed work; divergence is isolated BOTH ways") {
     import spark.implicits._
@@ -1405,6 +1443,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(e4.getMessage.contains("deletion vectors"))
     intercept[Snapshots.OutOfRetentionException](
       Snapshots.cloneShallow(spark, src, freshTable(), version = Some(1)))
+  }
+
+  test("maintenancePlan: deepenClone leads the plan on a shallow clone, " +
+      "thresholds are strict inequalities, steady state plans empty") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    Snapshots.commit((11L to 20L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    Snapshots.cloneShallow(spark, src, dst)
+    // a MoR delete on the still-shallow clone: the plan must order
+    // deepen FIRST (materialize refuses on externals)
+    Snapshots.deleteWhereMoR(spark, dst, "k", col("k") <= 3)
+    val plan = Snapshots.maintenancePlan(spark, dst,
+      smallBytes = 1L << 40, maxDvKeys = 0L, maxVersions = 10)
+    // externals stay OUT of the small-dir count (deepen already folds
+    // them — double-planning would compact what deepen just wrote)
+    assert(plan.map(_.action) == Seq("deepenClone", "materializeDeletes"))
+    assert(plan.head.metric == 2 && plan(1).metric == 3)
+    // apply in the recommended order — each step unblocks the next
+    Snapshots.deepenClone(spark, dst)
+    Snapshots.materializeDeletes(spark, dst)
+    Snapshots.compactSmall(spark, dst, smallBytes = 1L << 40)
+    assert(Snapshots.read(spark, dst).count() == 17)
+    // thresholds are STRICT: metric == threshold does not trigger
+    val p2 = Snapshots.maintenancePlan(spark, dst,
+      smallBytes = 1L << 40, maxDvKeys = 0L, maxVersions = 4)
+    assert(p2.isEmpty, s"got ${p2.map(_.action)}")
+    // one version fewer in the budget → vacuum recommended
+    val p3 = Snapshots.maintenancePlan(spark, dst,
+      smallBytes = 1L << 40, maxDvKeys = 0L, maxVersions = 3)
+    assert(p3.map(_.action) == Seq("vacuum") && p3.head.metric == 4)
   }
 
   test("cloneShallow carries renames and partition specs: a clone of a " +
