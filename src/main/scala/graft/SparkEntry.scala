@@ -8202,6 +8202,84 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** DIRECTORY-LEVEL BLOOM PRUNING through the gate
+    * ([[graft.io.Snapshots.commitWithBloom]]/`readPrunedBloom` — the
+    * Iceberg puffin-blob idea at directory granularity): orders keyed
+    * by a SCATTERED id (`sid = k·2654435761 mod 1e9+7` — injective, so
+    * the oracle can replay lookups by key, but range-hostile: every
+    * directory's [min,max] spans nearly the whole domain, require-gated
+    * so min/max stats provably CANNOT prune here), committed as three
+    * bloom-sketched slices. A point lookup must skip at least one
+    * directory on sketch membership alone and return EXACTLY the
+    * full-scan filter's answer; a plain append WITHOUT a sketch joins
+    * the table (its dir always reads — advisory, never lossy) and the
+    * carried sketches keep pruning; a retention-1 vacuum must keep the
+    * sidecar sketches alive (referenced by the retained manifest) with
+    * the lookup still pruned and exact. The oracle replays the probe
+    * by key arithmetic plus the final totals from raw orders.
+    */
+  private def io40BloomStats(s: SparkSession, dir: String): DataFrame = {
+    val table = ioTmp(dir, "io40")
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      ((col("o_orderkey") * lit(2654435761L)) % lit(1000000007L)).as("sid"),
+      cents(col("o_totalprice")).as("cents"))
+    (0L until 3L).foreach { i =>
+      graft.io.Snapshots.commitWithBloom(
+        o.filter(col("k") % 3 === i), table, "sid"): Unit
+    }
+    // range stats CANNOT help here: every slice's sid range covers
+    // >90% of the global span (the scattered-key premise, pinned)
+    val global = o.agg(min("sid"), max("sid")).head()
+    val span = global.getLong(1) - global.getLong(0)
+    (1 to 3).foreach { v =>
+      val r = graft.io.Snapshots.read(s, table, Some(v))
+        .agg(min("sid"), max("sid")).head()
+      require((r.getLong(1) - r.getLong(0)) * 10L >= span * 9L,
+        s"io40: slice $v's sid range is not scattered — the bloom " +
+          "premise broke")
+    }
+    // the probe: smallest %3==0 key's sid (slice 1 holds it)
+    val probeRow = o.filter(col("k") % 3 === 0)
+      .orderBy("k").limit(1).head()
+    val probe = probeRow.getLong(1)
+    val scan1 = graft.io.Snapshots.readPrunedBloom(s, table, "sid", probe)
+    require(scan1.dirsTotal == 3 && scan1.dirsRead < 3,
+      s"io40: sketch lookup must skip dirs (${scan1.dirsRead}/3)")
+    val direct1 = graft.io.Snapshots.read(s, table)
+      .filter(col("sid") === probe).count()
+    require(scan1.df.count() == direct1 && direct1 == 1,
+      "io40: pruned lookup must equal the full-scan filter exactly")
+    // an ABSENT key (sid domain is < 1e9+7) finds nothing, pruned or not
+    require(graft.io.Snapshots.readPrunedBloom(s, table, "sid",
+        1000000008L).df.count() == 0,
+      "io40: absent key must return empty")
+    // a sketchless append joins: its dir always reads, carried sketches
+    // keep pruning
+    graft.io.Snapshots.commit(o.filter(col("k") % 5 === 0)
+      .select((col("k") + lit(5000000000L)).as("k"),
+        (col("sid") + lit(2000000000L)).as("sid"), col("cents")), table)
+    val scan2 = graft.io.Snapshots.readPrunedBloom(s, table, "sid", probe)
+    require(scan2.dirsTotal == 4 && scan2.dirsRead < 4,
+      s"io40: carried sketches must still prune (${scan2.dirsRead}/4)")
+    require(scan2.df.count() == 1,
+      "io40: the probe's answer must survive the sketchless append")
+    // retention-1 vacuum: the sidecar sketches are REFERENCED and live
+    graft.io.Snapshots.vacuum(s, table, keepVersions = 1, orphanGraceMs = 0L)
+    val scan3 = graft.io.Snapshots.readPrunedBloom(s, table, "sid", probe)
+    require(scan3.dirsRead < scan3.dirsTotal && scan3.df.count() == 1,
+      "io40: vacuum must keep referenced bloom sidecars alive")
+    val tot = graft.io.Snapshots.read(s, table)
+      .agg(count(lit(1)).as("n"), sum("cents").as("c")).head()
+    val pr = scan3.df.select("k", "cents").head()
+    s.range(1).select(lit(pr.getLong(0)).as("probe_k"),
+      lit(pr.getLong(1)).as("probe_cents"),
+      lit(tot.getLong(0)).as("n_total"),
+      lit(tot.getLong(1)).as("cents_total"))
+  }
+
   /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
     * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
     * zero-padded `doc_<okey>` string id, committed as THREE key-range
@@ -8821,6 +8899,7 @@ object SparkEntry {
     "io37_restore" -> io37Restore _,
     "io38_shallow_clone" -> io38ShallowClone _,
     "io39_maintenance_plan" -> io39MaintenancePlan _,
+    "io40_bloom_stats" -> io40BloomStats _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12395,6 +12474,23 @@ object SparkEntry {
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the probe is the smallest %3==0 orderkey (sid arithmetic is
+    // injective below the 1e9+7 modulus, so lookup-by-sid == lookup-by-
+    // key); totals cover all orders plus the shifted sketchless %5
+    // append; the scatter premise, prune proofs, carried-sketch and
+    // vacuum-survival legs are require-gated in-query
+    "io40_bloom_stats" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |probe AS (SELECT min(k) AS pk FROM o WHERE k % 3 = 0)
+        |SELECT CAST(probe.pk AS BIGINT) AS probe_k,
+        |  (SELECT cents FROM o WHERE o.k = probe.pk) AS probe_cents,
+        |  (SELECT count(*) FROM o) +
+        |    (SELECT count(*) FROM o WHERE k % 5 = 0) AS n_total,
+        |  CAST((SELECT sum(cents) FROM o) +
+        |    (SELECT sum(cents) FROM o WHERE k % 5 = 0) AS BIGINT)
+        |    AS cents_total
+        |FROM probe""".stripMargin,
     // the maintained table's final state: all orders minus the %9
     // tombstones; the plan-shape, metric, bit-identity, and empty-
     // re-plan fixpoint proofs are require-gated in-query

@@ -385,6 +385,73 @@ object Snapshots {
       intStatsCols, Seq(strStatsCol))
       .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
 
+  /** [[commit]] plus a per-directory MEMBERSHIP sketch: a Bloom filter
+    * over `bloomCol` of exactly the written files rides as a
+    * `data/bloom-*` sidecar file referenced by a `#dirbloom` manifest
+    * line (the Iceberg puffin-blob idea at directory granularity).
+    * This is the point-lookup complement to [[commitWithStats]]:
+    * min/max bounds prune RANGE-clustered keys, but a scattered key
+    * (hashed ids, UUIDs, content fingerprints — the identifiers a
+    * training-data lake actually joins on) spans every directory's
+    * range and min/max admits everything; the Bloom answers "is key X
+    * possibly HERE" per directory at O(sketch bytes), so
+    * [[readPrunedBloom]] opens only the directories whose sketch
+    * admits the key (false-positive rate `fpp`, never a false
+    * negative — advisory and exact, like every stats flavor here).
+    * Sketch lifecycle: appends carry the lines, rewrites drop them
+    * with their directory, vacuum pins sidecars referenced by retained
+    * manifests, clones re-key both tokens into the source's path.
+    */
+  def commitWithBloom(df: DataFrame, table: String, bloomCol: String,
+      fpp: Double = 0.001, maxAttempts: Int = 50,
+      allowEvolve: Boolean = false): Int =
+    commitTagged(df, table, None, maxAttempts, allowEvolve,
+      bloomCols = Seq(bloomCol), bloomFpp = fpp)
+      .getOrElse(sys.error("unreachable: untagged commit cannot be deduped"))
+
+  /** POINT LOOKUP with Bloom-sketch data skipping: consult each
+    * directory's `#dirbloom` sidecar for `value` (driver-side,
+    * O(directories × sketch bytes), no executor work) and scan only
+    * the admitting directories; directories without a sketch for
+    * `colName` always read (advisory, never lossy). The residual
+    * filter keeps the answer EXACT — a false positive costs one extra
+    * directory scan, never a wrong row. The 100 TB shape: "fetch THIS
+    * content-hash / user-id / fingerprint" costs one manifest read,
+    * a few KB of sketches, and one directory's files.
+    */
+  def readPrunedBloom(s: SparkSession, table: String, colName: String,
+      value: Long, version: Option[Int] = None): PrunedScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(latestVersion(s, table))
+    require(v >= 1, s"no committed version to read at $table")
+    val lines = manifestLines(s, table, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val f = fs(s, table)
+    val blooms: Map[String, String] = lines
+      .filter(_.startsWith("#dirbloom "))
+      .map(_.split(" ")).collect {
+        case Array(_, d, c, bPath) if c == colName => d -> bPath
+      }.toMap
+    val hit = dirs.filter { d =>
+      blooms.get(d) match {
+        case None => true // no sketch — must read
+        case Some(bPath) =>
+          val in = f.open(new Path(resolveDirPath(table, bPath)))
+          val bloom =
+            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+            finally in.close()
+          bloom.mightContainLong(value)
+      }
+    }
+    val df =
+      if (hit.isEmpty)
+        read(s, table, Some(v)).filter(lit(false))
+      else applyDv(s, table, dvLinesOf(lines),
+        applyRenames(lines, readDirsRaw(s, table, lines, hit))
+          .filter(col(colName) === value))
+    PrunedScan(df, dirs.size, hit.size)
+  }
+
   /** PARTITION EVOLUTION — commit under a (possibly NEW) partition
     * spec: the directory writes Hive-partitioned on `partCols` and a
     * `#spec <dir> <cols>` manifest line records the layout PER
@@ -655,7 +722,7 @@ object Snapshots {
     // the dir is the second token either way
     val stats = prevLines.filter(l =>
         l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
-          l.startsWith("#spec "))
+          l.startsWith("#dirbloom ") || l.startsWith("#spec "))
       .filter(l => keptDirs.contains(l.split(" ")(1)))
     // #dv lines carry UNCONDITIONALLY except under [[materializeDeletes]]
     // (keepDv = false — the ONE path allowed to drop them, because it
@@ -678,7 +745,9 @@ object Snapshots {
       statsCols: Seq[String] = Nil,
       strStatsCols: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
-      partitionCols: Seq[String] = Nil): Option[Int] = {
+      partitionCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.001): Option[Int] = {
     val s = df.sparkSession
     require(props.keys.forall(_.nonEmpty), "commit: empty property key")
     require(partitionCols.forall(df.columns.contains),
@@ -739,6 +808,21 @@ object Snapshots {
         ints ++ strs
       }
     val f = fs(s, table)
+    // MEMBERSHIP sketches for the new directory ([[commitWithBloom]]):
+    // one Bloom filter per declared column over exactly the written
+    // files, serialized as a `data/bloom-*` sidecar FILE and referenced
+    // by a `#dirbloom <dir> <col> <file>` line — O(new data) to build,
+    // O(sketch bytes) to consult, and vacuum keeps the sidecar exactly
+    // as long as a retained manifest references it
+    val newBloomLines: Seq[String] = bloomCols.map { c =>
+      val back = s.read.parquet(s"$table/$dir")
+      val n = math.max(1L, back.count())
+      val bloom = back.stat.bloomFilter(c, n, bloomFpp)
+      val bPath = s"data/bloom-${java.util.UUID.randomUUID().toString.take(13)}"
+      val out = f.create(new Path(s"$table/$bPath"), false)
+      try bloom.writeTo(out) finally out.close()
+      s"#dirbloom $dir $c $bPath"
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val prev = latestVersion(s, table)
@@ -767,7 +851,8 @@ object Snapshots {
         if (prev == 0) Nil else manifestLines(s, table, prev)
       val carriedTxn = prevLines.filter(_.startsWith("#txn "))
       val carriedStats = prevLines.filter(l =>
-        l.startsWith("#dirstats ") || l.startsWith("#dirstatsS "))
+        l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
+          l.startsWith("#dirbloom "))
       val carriedDv = prevLines.filter(_.startsWith("#dv "))
       // #rename lines carry for the table's lifetime: any directory in
       // the chain may still hold pre-rename physical names; #spec lines
@@ -781,8 +866,8 @@ object Snapshots {
       // #change — they never carry forward
       val propLines = props.toSeq.sortBy(_._1)
         .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}" }
-      val statsHeader = (carriedStats ++ newStatsLines ++ carriedDv ++
-        carriedRen ++ carriedSpec ++ newSpec ++ propLines)
+      val statsHeader = (carriedStats ++ newStatsLines ++ newBloomLines ++
+        carriedDv ++ carriedRen ++ carriedSpec ++ newSpec ++ propLines)
         .map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +
@@ -1460,7 +1545,7 @@ object Snapshots {
       val txns = prevLines.filter(_.startsWith("#txn "))
       val tgtMeta = tgtLines.filter(l =>
         l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
-          l.startsWith("#spec "))
+          l.startsWith("#dirbloom ") || l.startsWith("#spec "))
       val removedSpec = prevLines.filter(_.startsWith("#spec "))
         .filter(l => removed.contains(l.split(" ")(1)))
       val propLines = (props + ("restore_of" -> targetV.toString)).toSeq
@@ -1548,6 +1633,12 @@ object Snapshots {
       .map { l =>
         val parts = l.split(" ")
         (parts.take(1) ++ Seq(abs(parts(1))) ++ parts.drop(2)).mkString(" ")
+      } ++
+      // bloom lines re-key BOTH tokens: the described dir AND the
+      // sidecar file live in the source's storage
+      lines.filter(_.startsWith("#dirbloom ")).map { l =>
+        val parts = l.split(" ")
+        Seq(parts(0), abs(parts(1)), parts(2), abs(parts(3))).mkString(" ")
       }
     val props = Seq(
       s"#prop ${enc("clone_of")} ${enc(s"$sourceTable@$srcV")}")
@@ -1871,7 +1962,9 @@ object Snapshots {
         lines.filter(_.startsWith("#cdfdel "))
           .map(_.stripPrefix("#cdfdel ")) ++
         lines.filter(_.startsWith("#cdfins "))
-          .map(_.stripPrefix("#cdfins "))
+          .map(_.stripPrefix("#cdfins ")) ++
+        lines.filter(_.startsWith("#dirbloom "))
+          .map(_.split(" ")(3))
     }.toSet ++ {
       // staged-but-unpublished batches are LIVE (their audit may outlast
       // any orphan grace window) — marker files reference their dirs

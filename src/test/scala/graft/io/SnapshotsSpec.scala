@@ -1445,6 +1445,45 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.cloneShallow(spark, src, freshTable(), version = Some(1)))
   }
 
+  test("dirbloom lifecycle: point lookups skip non-member dirs; a " +
+      "rewrite drops its dir's sketch (lossy-never); clones re-key " +
+      "both tokens; vacuum pins referenced sidecars") {
+    import spark.implicits._
+    val t = freshTable()
+    // two disjoint key sets, scattered enough that ranges overlap
+    Snapshots.commitWithBloom(
+      Seq(1L, 901L, 13L, 777L).map(k => (k, k * 10L)).toDF("k", "v"),
+      t, "k")
+    Snapshots.commitWithBloom(
+      Seq(2L, 900L, 14L, 778L).map(k => (k, k * 10L)).toDF("k", "v"),
+      t, "k")
+    val s1 = Snapshots.readPrunedBloom(spark, t, "k", 901L)
+    assert(s1.dirsTotal == 2 && s1.dirsRead == 1 && s1.df.count() == 1)
+    assert(s1.df.head().getLong(1) == 9010L)
+    // absent key: nothing, regardless of what the sketches admit
+    assert(Snapshots.readPrunedBloom(spark, t, "k", 555L).df.count() == 0)
+    // a CoW delete rewrites dir 1 — its sketch line must DROP with it
+    // (the survivor dir has no sketch → always reads; never lossy)
+    Snapshots.deleteWhere(spark, t, col("k") === 13L)
+    val s2 = Snapshots.readPrunedBloom(spark, t, "k", 901L)
+    assert(s2.df.count() == 1 && s2.df.head().getLong(1) == 9010L)
+    // the sketchless survivor always reads; the carried dir's sketch
+    // rejects 901 — exactly one dir opened
+    assert(s2.dirsTotal == 2 && s2.dirsRead == 1)
+    // clone: both #dirbloom tokens re-key into the source's path — the
+    // re-keyed sketch is consulted (a broken path would throw) and
+    // still prunes the non-member dir
+    val dst = freshTable()
+    Snapshots.cloneShallow(spark, t, dst)
+    val s3 = Snapshots.readPrunedBloom(spark, dst, "k", 901L)
+    assert(s3.dirsTotal == 2 && s3.dirsRead == 1)
+    assert(s3.df.count() == 1 && s3.df.head().getLong(1) == 9010L)
+    // vacuum keeps sidecars referenced by the retained manifest
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    val s4 = Snapshots.readPrunedBloom(spark, t, "k", 900L)
+    assert(s4.df.count() == 1 && s4.df.head().getLong(1) == 9000L)
+  }
+
   test("maintenancePlan: deepenClone leads the plan on a shallow clone, " +
       "thresholds are strict inequalities, steady state plans empty") {
     import spark.implicits._
