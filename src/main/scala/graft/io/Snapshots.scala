@@ -420,8 +420,29 @@ object Snapshots {
     * a few KB of sketches, and one directory's files.
     */
   def readPrunedBloom(s: SparkSession, table: String, colName: String,
-      value: Long, version: Option[Int] = None): PrunedScan = {
-    import org.apache.spark.sql.functions.{col, lit}
+      value: Long, version: Option[Int] = None): PrunedScan =
+    readPrunedBloomImpl(s, table, colName, version,
+      _.mightContainLong(value),
+      org.apache.spark.sql.functions.col(colName) === value)
+
+  /** [[readPrunedBloom]] for STRING keys — `doc_id`, URL, content
+    * hash: the identifiers a document lake actually fetches by.
+    * Membership tests against the UTF-8 bytes, matching what
+    * `df.stat.bloomFilter` inserted for a string column at
+    * [[commitWithBloom]] time.
+    */
+  def readPrunedBloomString(s: SparkSession, table: String,
+      colName: String, value: String,
+      version: Option[Int] = None): PrunedScan =
+    readPrunedBloomImpl(s, table, colName, version,
+      _.mightContainString(value),
+      org.apache.spark.sql.functions.col(colName) === value)
+
+  private def readPrunedBloomImpl(s: SparkSession, table: String,
+      colName: String, version: Option[Int],
+      admits: org.apache.spark.util.sketch.BloomFilter => Boolean,
+      residual: org.apache.spark.sql.Column): PrunedScan = {
+    import org.apache.spark.sql.functions.lit
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
     val lines = manifestLines(s, table, v)
@@ -440,7 +461,7 @@ object Snapshots {
           val bloom =
             try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
             finally in.close()
-          bloom.mightContainLong(value)
+          admits(bloom)
       }
     }
     val df =
@@ -448,7 +469,7 @@ object Snapshots {
         read(s, table, Some(v)).filter(lit(false))
       else applyDv(s, table, dvLinesOf(lines),
         applyRenames(lines, readDirsRaw(s, table, lines, hit))
-          .filter(col(colName) === value))
+          .filter(residual))
     PrunedScan(df, dirs.size, hit.size)
   }
 

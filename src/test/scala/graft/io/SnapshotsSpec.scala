@@ -1484,6 +1484,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(s4.df.count() == 1 && s4.df.head().getLong(1) == 9000L)
   }
 
+  test("dirbloom over a STRING key: doc-id point lookups skip " +
+      "non-member dirs, membership matches the inserted UTF-8 bytes") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commitWithBloom(
+      Seq("doc_a1", "doc_z9", "doc_m4").map(d => (d, d.length.toLong))
+        .toDF("doc_id", "n"), t, "doc_id")
+    Snapshots.commitWithBloom(
+      Seq("doc_b2", "doc_y8", "doc_k3").map(d => (d, d.length.toLong))
+        .toDF("doc_id", "n"), t, "doc_id")
+    val s1 = Snapshots.readPrunedBloomString(spark, t, "doc_id", "doc_z9")
+    assert(s1.dirsTotal == 2 && s1.dirsRead == 1 && s1.df.count() == 1)
+    val s2 = Snapshots.readPrunedBloomString(spark, t, "doc_id", "doc_k3")
+    assert(s2.dirsRead == 1 && s2.df.count() == 1)
+    assert(Snapshots.readPrunedBloomString(spark, t, "doc_id", "doc_q0")
+      .df.count() == 0)
+  }
+
   test("maintenancePlan: deepenClone leads the plan on a shallow clone, " +
       "thresholds are strict inequalities, steady state plans empty") {
     import spark.implicits._
