@@ -807,6 +807,13 @@ object Snapshots {
     // ONE aggregate over ONLY the files just written — O(new data), all
     // declared columns' min/max in the same pass; an empty or all-null
     // column records no stats line for it (reads always)
+    // read-back under the frame's OWN schema, not inference: an
+    // empty-frame commit writes a directory with zero parquet files,
+    // and schema inference over it throws AFTER the data dir already
+    // landed — the explicit schema keeps the empty-commit contract
+    // (stats/sketch build over zero rows → no stats line / an
+    // admit-nothing sketch, both correct)
+    def readBackWritten() = s.read.schema(df.schema).parquet(s"$table/$dir")
     val newStatsLines: Seq[String] =
       if (statsCols.isEmpty && strStatsCols.isEmpty) Nil
       else {
@@ -815,7 +822,7 @@ object Snapshots {
           Seq(min(col(c).cast("long")), max(col(c).cast("long")))) ++
           strStatsCols.flatMap(c =>
             Seq(min(col(c).cast("string")), max(col(c).cast("string"))))
-        val r = s.read.parquet(s"$table/$dir").agg(aggs.head, aggs.tail: _*).head()
+        val r = readBackWritten().agg(aggs.head, aggs.tail: _*).head()
         val ints = statsCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(2 * i)) None
           else Some(s"#dirstats $dir $c ${r.getLong(2 * i)} ${r.getLong(2 * i + 1)}")
@@ -836,9 +843,14 @@ object Snapshots {
     // O(sketch bytes) to consult, and vacuum keeps the sidecar exactly
     // as long as a retained manifest references it
     val newBloomLines: Seq[String] = bloomCols.map { c =>
-      val back = s.read.parquet(s"$table/$dir")
-      val n = math.max(1L, back.count())
-      val bloom = back.stat.bloomFilter(c, n, bloomFpp)
+      val back = readBackWritten()
+      val n = back.count()
+      // Spark's stat.bloomFilter NPEs over a zero-partition frame —
+      // an empty commit gets an explicit admit-nothing sketch instead
+      // (correct: the dir holds no rows, so pruning it is exact)
+      val bloom =
+        if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1, bloomFpp)
+        else back.stat.bloomFilter(c, n, bloomFpp)
       val bPath = s"data/bloom-${java.util.UUID.randomUUID().toString.take(13)}"
       val out = f.create(new Path(s"$table/$bPath"), false)
       try bloom.writeTo(out) finally out.close()
@@ -1631,6 +1643,18 @@ object Snapshots {
     */
   def cloneShallow(s: SparkSession, sourceTable: String,
       cloneTable: String, version: Option[Int] = None): Int = {
+    // external references are recognized by their leading '/'
+    // ([[resolveDirPath]]), so the source must be a SCHEME-LESS ABSOLUTE
+    // path: a URI-addressed (s3a://, hdfs://, file:) or relative source
+    // would publish tokens that don't start with '/' — the clone would
+    // resolve them UNDER ITS OWN PATH (unreadable) and the CoW-refusal
+    // contract ([[requireNoExternal]]) would silently miss them
+    val srcUri = new Path(sourceTable).toUri
+    require(srcUri.getScheme == null && sourceTable.startsWith("/"),
+      s"cloneShallow: source '$sourceTable' must be a scheme-less " +
+        "absolute path — external directory tokens are classified by " +
+        "their leading '/'; strip the URI scheme (or mount the store " +
+        "at a path) before cloning")
     val srcV = version.getOrElse(latestVersion(s, sourceTable))
     require(srcV >= 1, s"cloneShallow: nothing committed at $sourceTable")
     require(latestVersion(s, cloneTable) < 1,
@@ -1765,10 +1789,13 @@ object Snapshots {
         s"$ext external (shallow-clone) dir(s) block CoW maintenance " +
           "and expose the table to source-side vacuums")
     val dvs = dvLinesOf(lines)
+    // distinct over the dv-key UNION — what [[applyDv]]'s anti-join
+    // actually probes: overlapping MoR deletes across versions would
+    // otherwise double-count a tombstoned key and inflate the metric
     val dvKeys =
       if (dvs.isEmpty) 0L
       else s.read.parquet(
-        dvs.map(t => resolveDirPath(table, t._1)): _*).count()
+        dvs.map(t => resolveDirPath(table, t._1)): _*).distinct().count()
     if (dvKeys > maxDvKeys)
       out += MaintenanceAction("materializeDeletes", dvKeys, maxDvKeys,
         s"$dvKeys tombstoned key(s) make every read pay the anti-join " +
@@ -1782,10 +1809,21 @@ object Snapshots {
     if (small > maxSmallDirs)
       out += MaintenanceAction("compactSmall", small, maxSmallDirs,
         s"$small sub-threshold dir(s) inflate every reader's file list")
-    val manifests = f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
-      case null => 0
-      case sts => sts.length
+    // [[vacuum]] PINS tagged versions: a tag older than the retention
+    // cutoff keeps its manifest through every pass, so counting it
+    // would re-trigger vacuum forever and the documented apply-converge
+    // fixpoint ("empty plan = steady state") could never terminate —
+    // the metric mirrors vacuum's own tagged/cutoff logic and counts
+    // only the manifests a vacuum at `maxVersions` could reclaim plus
+    // the retained window itself
+    val manifestVs = f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
+      case null => Seq.empty[Int]
+      case sts => sts.toSeq.map(_.getPath.getName
+        .stripPrefix("manifest-v").stripSuffix(".txt").toInt)
     }
+    val vacCutoff = math.max(1, latest - maxVersions + 1)
+    val pinned = tagsOf(s, table).values.toSet
+    val manifests = manifestVs.count(v => v >= vacCutoff || !pinned(v))
     if (manifests > maxVersions)
       out += MaintenanceAction("vacuum", manifests, maxVersions,
         s"$manifests retained manifest(s) exceed the retention target")

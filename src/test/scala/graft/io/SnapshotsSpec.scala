@@ -1534,6 +1534,85 @@ class SnapshotsSpec extends SparkSpec {
     assert(p3.map(_.action) == Seq("vacuum") && p3.head.metric == 4)
   }
 
+  test("cloneShallow: a relative or URI-addressed source refuses loudly " +
+      "(external tokens are classified by their leading '/')") {
+    import spark.implicits._
+    val src = freshTable()
+    Snapshots.commit(Seq((1L, 10L)).toDF("k", "v"), src)
+    val rel = intercept[IllegalArgumentException](
+      Snapshots.cloneShallow(spark, src.stripPrefix("/"), freshTable()))
+    assert(rel.getMessage.contains("absolute"))
+    val uri = intercept[IllegalArgumentException](
+      Snapshots.cloneShallow(spark, s"file:$src", freshTable()))
+    assert(uri.getMessage.contains("scheme"))
+    // the plain absolute path still clones
+    assert(Snapshots.cloneShallow(spark, src, freshTable()) == 1)
+  }
+
+  test("commitWithBloom/WithStats: an EMPTY frame commits (the empty-" +
+      "commit contract holds for every stats flavor); the empty dir's " +
+      "sketch admits nothing and later lookups stay exact") {
+    import spark.implicits._
+    val t = freshTable()
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    assert(Snapshots.commitWithBloom(empty, t, "k") == 1)
+    assert(Snapshots.commitWithStats(empty, t, "k") == 2)
+    assert(Snapshots.read(spark, t).count() == 0)
+    Snapshots.commitWithBloom(Seq((7L, 70L), (9L, 90L)).toDF("k", "v"),
+      t, "k")
+    val scan = Snapshots.readPrunedBloom(spark, t, "k", 7L)
+    // the two empty dirs' sketches admit nothing → only the data dir
+    // (empty-WithStats has no sketch for the bloom probe — it always
+    // reads, costing nothing: zero files)
+    assert(scan.dirsTotal == 3 && scan.dirsRead <= 2 &&
+      scan.df.count() == 1 && scan.df.head().getLong(1) == 70L)
+  }
+
+  test("maintenancePlan: a tag pinned below the retention cutoff stays " +
+      "out of the vacuum metric — apply-converge reaches the empty plan") {
+    import spark.implicits._
+    val t = freshTable()
+    (1L to 5L).foreach { i =>
+      Snapshots.commit(Seq((i, i * 10L)).toDF("k", "v"), t): Unit
+    }
+    Snapshots.tagVersion(spark, t, "eval-v1", 1)
+    val p1 = Snapshots.maintenancePlan(spark, t,
+      smallBytes = 1L, maxDvKeys = 0L, maxVersions = 2)
+    // v1 is pinned and below the cutoff → excluded from the metric
+    // even before the vacuum (4 = v2..v5, of which v2,v3 reclaimable)
+    assert(p1.map(_.action) == Seq("vacuum") && p1.head.metric == 4)
+    Snapshots.vacuum(spark, t, keepVersions = 2, orphanGraceMs = 0L)
+    // v1 survives the vacuum (pinned) — the re-plan must NOT count it,
+    // or the fixpoint never terminates
+    assert(new java.io.File(s"$t/manifest-v1.txt").exists(),
+      "the pinned manifest must survive the vacuum")
+    val p2 = Snapshots.maintenancePlan(spark, t,
+      smallBytes = 1L, maxDvKeys = 0L, maxVersions = 2)
+    assert(p2.isEmpty,
+      s"pinned-tag fixpoint broke: ${p2.map(_.action)}")
+    // and the pinned version still time-travels
+    assert(Snapshots.read(spark, t, Some(1)).count() == 1)
+  }
+
+  test("maintenancePlan: the dv metric is the DISTINCT key count over " +
+      "the dv-file union — what the read-side anti-join actually probes") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    // two MoR deletes → two dv files in the union: {4,8} then {2,6,10}
+    // (the second matches against the dv-applied live view, so the
+    // public API keeps dv files disjoint — but the metric must measure
+    // the DISTINCT union regardless, matching applyDv's probe set even
+    // for dv lines that arrive through replication or crash-replay)
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 4 === 0)
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 2 === 0)
+    val plan = Snapshots.maintenancePlan(spark, t,
+      smallBytes = 1L, maxDvKeys = 0L, maxVersions = 10)
+    val dv = plan.find(_.action == "materializeDeletes").get
+    assert(dv.metric == 5,
+      s"dv metric must be the distinct key count (got ${dv.metric})")
+  }
+
   test("cloneShallow carries renames and partition specs: a clone of a " +
       "renamed, partly-partitioned source reads under the current " +
       "contract with partition values intact") {
