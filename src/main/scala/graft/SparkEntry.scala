@@ -8280,6 +8280,98 @@ object SparkEntry {
       lit(tot.getLong(1)).as("cents_total"))
   }
 
+  /** DSv2 FRONT DOOR through the gate ([[graft.sources
+    * .SnapshotDataSource]] / [[graft.sources.SnapshotCatalog]] — the
+    * snapshot tier as a table format): ONE table built with
+    * bloom-sketched commits, a column rename, and a live MoR delete is
+    * read through THREE doors — the library (`Snapshots.read`), the
+    * format (`spark.read.format("graft-snapshot")`), and SQL text
+    * through a registered catalog — and all three must agree
+    * bit-for-bit (require-gated). SQL time travel goes through the
+    * query text: `VERSION AS OF 1` pins the first slice, `VERSION AS
+    * OF '<tag>'` resolves the pre-delete tag to the full corpus.
+    * Pushdown is proven IN-QUERY: a `WHERE sid = <probe>` point lookup
+    * in SQL must skip at least one directory on sketch membership
+    * alone ([[graft.sources.SnapshotScans]] records what the scan's
+    * manifest pruning did — the V1 execution bridge hides
+    * `inputFiles`, so the scan itself is the witness), return exactly
+    * the full-scan answer, and a TOMBSTONED key must stay invisible
+    * through the pruned path (dv anti-join inside the scan). The
+    * oracle recomputes the surviving corpus from raw orders.
+    *
+    * Wall-clock floor: two sketched commits + rename + MoR delete +
+    * THREE full-table materializations for the bit-equality legs —
+    * commit and plan-resolution overhead like the q91–q94 family, not
+    * data work (sf0.01 and sf0.1 cold runs time within a second of
+    * each other).
+    */
+  private def io41DsvCatalog(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io41")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val table = s"$base/t"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      ((col("o_orderkey") * lit(2654435761L)) % lit(1000000007L)).as("sid"),
+      cents(col("o_totalprice")).as("c"))
+    (0L until 2L).foreach { i =>
+      graft.io.Snapshots.commitWithBloom(
+        o.filter(col("k") % 2 === i), table, "sid"): Unit
+    }
+    graft.io.Snapshots.renameColumn(s, table, "c", "cents")
+    graft.io.Snapshots.tagVersion(s, table, "pre-delete", 3)
+    val (v4, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, table, "k", col("k") % 9 === 0)
+    require(v4 == 4 && nDel > 0, s"io41: MoR delete landed ($v4, $nDel)")
+    // three doors, one answer — bit-for-bit
+    val lib = graft.io.Snapshots.read(s, table)
+      .select("k", "sid", "cents").localCheckpoint()
+    val fmt = s.read.format("graft-snapshot").option("path", table)
+      .load().select("k", "sid", "cents").localCheckpoint()
+    s.conf.set("spark.sql.catalog.snap41", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.snap41.base", base)
+    val sqlDf = s.sql("SELECT k, sid, cents FROM snap41.t").localCheckpoint()
+    require(lib.exceptAll(fmt).isEmpty && fmt.exceptAll(lib).isEmpty,
+      "io41: the format read must equal the library read bit-for-bit")
+    require(lib.exceptAll(sqlDf).isEmpty && sqlDf.exceptAll(lib).isEmpty,
+      "io41: the SQL-text read must equal the library read bit-for-bit")
+    // SQL time travel: version pin and tag pin, in the query text
+    val cRow = o.agg(count(lit(1)),
+      sum(when(col("k") % 2 === 0, 1L).otherwise(0L))).head()
+    val (nAll, nSlice0) = (cRow.getLong(0), cRow.getLong(1))
+    require(s.sql("SELECT count(*) AS n FROM snap41.t VERSION AS OF 1")
+        .head().getLong(0) == nSlice0,
+      "io41: VERSION AS OF 1 must pin the first slice")
+    require(s.sql(
+        "SELECT count(*) AS n FROM snap41.t VERSION AS OF 'pre-delete'")
+        .head().getLong(0) == nAll,
+      "io41: the tag must resolve the pre-delete corpus")
+    require(lib.count() == nAll - nDel,
+      "io41: the head must be the post-delete corpus")
+    // pushdown pruning, proven in-query: smallest survivor of slice 0
+    val probeRow = o.filter(col("k") % 2 === 0 && col("k") % 9 =!= 0)
+      .orderBy("k").limit(1).head()
+    val probe = probeRow.getLong(1)
+    val got = s.sql(s"SELECT cents FROM snap41.t WHERE sid = $probe")
+      .collect()
+    val info = graft.sources.SnapshotScans.lastScan.get
+    require(info.dirsTotal == 2 && info.dirsRead == 1,
+      s"io41: the SQL point lookup must prune on sketch membership " +
+        s"(${info.dirsRead}/${info.dirsTotal})")
+    require(got.map(_.getLong(0)).toSeq == Seq(probeRow.getLong(2)),
+      "io41: the pruned SQL lookup must equal the full-scan answer")
+    // a tombstoned key stays invisible through the pruned path
+    val delSid = o.filter(col("k") % 9 === 0).orderBy("k").limit(1)
+      .head().getLong(1)
+    require(s.sql(s"SELECT * FROM snap41.t WHERE sid = $delSid")
+        .isEmpty,
+      "io41: the dv anti-join must ride inside the DSv2 scan")
+    // the deliverable rides the SQL door end-to-end
+    s.sql("""SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+      CAST(sum(cents) AS BIGINT) AS cents_sum
+      FROM snap41.t GROUP BY 1 ORDER BY bucket""")
+  }
+
   /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
     * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
     * zero-padded `doc_<okey>` string id, committed as THREE key-range
@@ -8900,6 +8992,7 @@ object SparkEntry {
     "io38_shallow_clone" -> io38ShallowClone _,
     "io39_maintenance_plan" -> io39MaintenancePlan _,
     "io40_bloom_stats" -> io40BloomStats _,
+    "io41_dsv2_catalog" -> io41DsvCatalog _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12491,6 +12584,17 @@ object SparkEntry {
         |    (SELECT sum(cents) FROM o WHERE k % 5 = 0) AS BIGINT)
         |    AS cents_total
         |FROM probe""".stripMargin,
+    // the three-door table's head state: all orders minus the %9
+    // tombstones, bucket-aggregated through the SQL catalog door; the
+    // three-way bit-equality, SQL time travel (version + tag), sketch-
+    // pruned point lookup, and tombstone-invisibility proofs are
+    // require-gated in-query
+    "io41_dsv2_catalog" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o WHERE k % 9 <> 0 GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the maintained table's final state: all orders minus the %9
     // tombstones; the plan-shape, metric, bit-identity, and empty-
     // re-plan fixpoint proofs are require-gated in-query

@@ -106,16 +106,47 @@ object Snapshots {
   def latestVersion(s: SparkSession, table: String): Int = {
     val f = fs(s, table)
     val hint = latestHintOnly(s, table)
-    val listed =
-      if (!f.exists(new Path(table))) 0
-      else f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
-        case null => 0
-        case sts => sts.map(_.getPath.getName
-          .stripPrefix("manifest-v").stripSuffix(".txt").toInt)
-          .foldLeft(0)(math.max)
-      }
-    math.max(hint, listed)
+    // FAST PATH — probe forward from the hint: versions are CONTIGUOUS
+    // (every claim is prev+1) and vacuum only expires a prefix, so when
+    // `manifest-v<hint>` exists the authoritative head is reachable by
+    // existence probes alone — O(1 + commits-since-hint) namenode RPCs
+    // instead of an O(history) directory listing (a 100 TB table with
+    // long retention lists thousands of manifests per read otherwise)
+    if (hint >= 1 && {
+      manifestProbeCount.incrementAndGet()
+      f.exists(manifestPath(table, hint))
+    }) {
+      var v = hint
+      while ({
+        manifestProbeCount.incrementAndGet()
+        f.exists(manifestPath(table, v + 1))
+      }) v += 1
+      v
+    } else {
+      // RECOVERY PATH — no hint (write crashed / never landed), or a
+      // stale hint below a vacuumed cutoff: the listing is authoritative
+      manifestListFallbacks.incrementAndGet()
+      val listed =
+        if (!f.exists(new Path(table))) 0
+        else f.globStatus(new Path(s"$table/manifest-v*.txt")) match {
+          case null => 0
+          case sts => sts.map(_.getPath.getName
+            .stripPrefix("manifest-v").stripSuffix(".txt").toInt)
+            .foldLeft(0)(math.max)
+        }
+      math.max(hint, listed)
+    }
   }
+
+  /** Diagnostics for the [[latestVersion]] cost contract: existence
+    * probes issued (fast path) and full manifest listings taken
+    * (recovery path) — spec-gated so the O(1)-probe posture can't
+    * silently regress to O(history) listings.
+    */
+  private[io] val manifestProbeCount =
+    new java.util.concurrent.atomic.AtomicLong
+  private[io] val manifestListFallbacks =
+    new java.util.concurrent.atomic.AtomicLong
 
   private def manifestLines(s: SparkSession, table: String, v: Int): Seq[String] = {
     val f = fs(s, table)
@@ -457,11 +488,7 @@ object Snapshots {
       blooms.get(d) match {
         case None => true // no sketch — must read
         case Some(bPath) =>
-          val in = f.open(new Path(resolveDirPath(table, bPath)))
-          val bloom =
-            try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-            finally in.close()
-          admits(bloom)
+          admits(loadBloomSidecar(f, resolveDirPath(table, bPath)))
       }
     }
     val df =
@@ -471,6 +498,46 @@ object Snapshots {
         applyRenames(lines, readDirsRaw(s, table, lines, hit))
           .filter(residual))
     PrunedScan(df, dirs.size, hit.size)
+  }
+
+  /** MEMOIZED sidecar sketches: `data/bloom-*` files are IMMUTABLE
+    * (UUID-named at commit, never rewritten — vacuum deletes, never
+    * mutates), so a deserialized sketch is cacheable by absolute path
+    * forever; the LRU bound caps the resident set (sketches are KBs —
+    * 256 of them is metadata scale). A vacuumed sidecar's stale entry
+    * is unreachable (no retained manifest references the path) and
+    * ages out of the LRU. Point-lookup-heavy workloads — the "fetch
+    * THIS key" serving path — stop paying one filesystem open per
+    * directory per lookup.
+    */
+  private val bloomCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, org.apache.spark.util.sketch.BloomFilter](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size() > 256
+    })
+
+  /** Sidecar opens actually issued (cache misses) — spec-gated so the
+    * one-open-per-sidecar memoization can't silently regress.
+    */
+  private[io] val bloomSidecarOpens =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def loadBloomSidecar(f: FileSystem,
+      absPath: String): org.apache.spark.util.sketch.BloomFilter = {
+    val cached = bloomCache.get(absPath)
+    if (cached != null) cached
+    else {
+      // racing loaders may both open (idempotent — same immutable bytes)
+      bloomSidecarOpens.incrementAndGet()
+      val in = f.open(new Path(absPath))
+      val b =
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      bloomCache.put(absPath, b)
+      b
+    }
   }
 
   /** PARTITION EVOLUTION — commit under a (possibly NEW) partition
@@ -612,6 +679,155 @@ object Snapshots {
         applyRenames(lines, readDirsRaw(s, table, lines, hit))
           .filter(residual))
     PrunedScan(df, dirs.size, hit.size)
+  }
+
+  /** One conjunct of a scan-time predicate set — the shape a DSv2
+    * filter pushdown ([[graft.sources.SnapshotDataSource]]) maps onto
+    * manifest pruning. Every variant is ADVISORY: it can only prove a
+    * directory's committed stats/sketch DISJOINT from the predicate
+    * (skip), never that a row matches — [[readForScan]] re-applies the
+    * exact residual, so translation is always conservative-safe.
+    */
+  sealed trait ScanPred { def colName: String }
+  /** Point predicate on an integral column: prunes on `#dirstats`
+    * range AND `#dirbloom` membership (both consulted when present). */
+  final case class EqLongPred(colName: String, value: Long) extends ScanPred
+  /** Point predicate on a string column: `#dirstatsS` truncated range
+    * AND string-keyed `#dirbloom` membership. */
+  final case class EqStringPred(colName: String, value: String) extends ScanPred
+  /** Inclusive range on an integral column (open ends = None); prunes
+    * on `#dirstats`. Strict comparisons translate conservatively to
+    * their inclusive bound — the residual keeps exactness. */
+  final case class RangeLongPred(colName: String, lo: Option[Long],
+    hi: Option[Long]) extends ScanPred
+  /** Inclusive range on a string column in unsigned UTF-8 byte order;
+    * prunes on `#dirstatsS`. */
+  final case class RangeStringPred(colName: String, lo: Option[String],
+    hi: Option[String]) extends ScanPred
+  /** IN-list on an integral column: a directory skips only when EVERY
+    * value is provably absent (disjunction inside the conjunct). */
+  final case class InLongPred(colName: String, values: Seq[Long]) extends ScanPred
+  /** IN-list on a string column. */
+  final case class InStringPred(colName: String, values: Seq[String]) extends ScanPred
+
+  /** UNIFIED pruned read for a pushed-down predicate set — the scan
+    * behind the DSv2 front door: one manifest read resolves every
+    * stats flavor (`#dirstats` / `#dirstatsS` / `#dirbloom`), a
+    * directory is opened unless SOME conjunct proves it disjoint
+    * (conjunctive pruning — any one disjoint dimension suffices), and
+    * the full residual filter applies over the dv-resolved,
+    * rename-normalized read so the answer equals the full-scan filter
+    * bit-for-bit. Directories missing a column's stats always read for
+    * that conjunct, and stats lines recorded under a PRE-RENAME
+    * physical name simply stop matching the current name — both
+    * degrade to reading, never to wrongness. Applying the residual
+    * INSIDE the returned frame (not only above the DSv2 boundary)
+    * keeps the predicates visible to Catalyst, so they also push into
+    * the parquet scans as footer-level `PushedFilters` — manifest
+    * pruning skips directories, footer pruning skips row groups, and
+    * the row filter guarantees exactness, one predicate set driving
+    * all three tiers.
+    */
+  def readForScan(s: SparkSession, table: String,
+      version: Option[Int] = None,
+      preds: Seq[ScanPred] = Nil): PrunedScan = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(latestVersion(s, table))
+    require(v >= 1, s"no committed version to read at $table")
+    val lines = manifestLines(s, table, v)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val intStats = lines.filter(_.startsWith("#dirstats "))
+      .map(_.stripPrefix("#dirstats ").split(" ")).collect {
+        case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+      }.toMap
+    val strStats = lines.filter(_.startsWith("#dirstatsS "))
+      .map(_.stripPrefix("#dirstatsS ").split(" ")).collect {
+        case Array(d, c, mn, mx) => (d, c) -> ((dec(mn), dec(mx)))
+      }.toMap
+    val blooms = lines.filter(_.startsWith("#dirbloom "))
+      .map(_.split(" ")).collect {
+        case Array(_, d, c, bPath) => (d, c) -> bPath
+      }.toMap
+    val f = fs(s, table)
+    def bloomRejects(d: String, c: String,
+        probe: org.apache.spark.util.sketch.BloomFilter => Boolean): Boolean =
+      blooms.get((d, c)).exists(bp =>
+        !probe(loadBloomSidecar(f, resolveDirPath(table, bp))))
+    def longDisjoint(d: String, c: String, x: Long): Boolean =
+      intStats.get((d, c)).exists { case (mn, mx) => x < mn || x > mx } ||
+        bloomRejects(d, c, _.mightContainLong(x))
+    def strDisjoint(d: String, c: String, x: String): Boolean =
+      strStats.get((d, c)).exists { case (mn, mx) =>
+        utf8Cmp(x, mn) < 0 || utf8Cmp(x, mx) > 0 } ||
+        bloomRejects(d, c, _.mightContainString(x))
+    def disjoint(d: String, p: ScanPred): Boolean = p match {
+      case EqLongPred(c, x) => longDisjoint(d, c, x)
+      case EqStringPred(c, x) => strDisjoint(d, c, x)
+      case RangeLongPred(c, lo, hi) =>
+        intStats.get((d, c)).exists { case (mn, mx) =>
+          lo.exists(_ > mx) || hi.exists(_ < mn) }
+      case RangeStringPred(c, lo, hi) =>
+        strStats.get((d, c)).exists { case (mn, mx) =>
+          lo.exists(utf8Cmp(_, mx) > 0) || hi.exists(utf8Cmp(_, mn) < 0) }
+      case InLongPred(c, vs) =>
+        vs.nonEmpty && vs.forall(longDisjoint(d, c, _))
+      case InStringPred(c, vs) =>
+        vs.nonEmpty && vs.forall(strDisjoint(d, c, _))
+    }
+    val hit = dirs.filter(d => !preds.exists(p => disjoint(d, p)))
+    val residual = preds.flatMap {
+      case EqLongPred(c, x) => Seq(col(c) === x)
+      case EqStringPred(c, x) => Seq(col(c) === x)
+      case RangeLongPred(c, lo, hi) =>
+        lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
+      case RangeStringPred(c, lo, hi) =>
+        lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
+      case InLongPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
+      case InStringPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
+      case _ => Nil
+    }.reduceOption(_ && _)
+    val df =
+      if (hit.isEmpty) read(s, table, Some(v)).filter(lit(false))
+      else {
+        val base = applyDv(s, table, dvLinesOf(lines),
+          applyRenames(lines, readDirsRaw(s, table, lines, hit)))
+        residual.map(base.filter).getOrElse(base)
+      }
+    PrunedScan(df, dirs.size, hit.size)
+  }
+
+  /** Resolve a wall-clock instant to the table version LIVE at that
+    * instant — the `TIMESTAMP AS OF` half of time travel: the largest
+    * version whose manifest's modification time is ≤ `millis` (commit
+    * time IS the manifest claim's filesystem timestamp, the Delta
+    * convention — no separate clock rides the manifest). Loud when the
+    * instant predates the first RETAINED commit: an expired-manifest
+    * resolution would silently answer with a later version's content.
+    */
+  def versionAt(s: SparkSession, table: String, millis: Long): Int = {
+    val f = fs(s, table)
+    val latest = latestVersion(s, table)
+    require(latest >= 1, s"nothing committed at $table")
+    // downward from the head: the answer is the LARGEST version whose
+    // claim time is ≤ the instant, so the first hit wins and the cost
+    // is O(commits since the queried instant) — "as of an hour ago"
+    // touches a handful of manifests, never the table's whole history
+    var v = latest
+    while (v >= 1) {
+      try {
+        if (f.getFileStatus(manifestPath(table, v))
+            .getModificationTime <= millis) return v
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // vacuumed below here — nothing older is resolvable
+          throw new OutOfRetentionException(table, v,
+            earliestFeedable(s, table))
+      }
+      v -= 1
+    }
+    throw new IllegalArgumentException(
+      s"versionAt $table: epoch-millis $millis predates the first " +
+        s"commit — nothing existed to read at that instant")
   }
 
   /** EXACTLY-ONCE commit for at-least-once writers (the `foreachBatch`
@@ -2419,7 +2635,14 @@ object Snapshots {
         val p = l.stripPrefix(kind + " ").split(" ")
         if (p(1) == oldName) s"$kind ${p(0)} $newName ${p(2)} ${p(3)}"
         else l
-      }
+      } ++
+        // sidecar sketches survive the rename too — the sketch hashes
+        // VALUES, not names, so re-keying the column token keeps every
+        // membership answer valid under the new contract
+        lines.filter(_.startsWith("#dirbloom ")).map { l =>
+          val p = l.split(" ") // #dirbloom <dir> <col> <sidecar>
+          if (p(2) == oldName) s"#dirbloom ${p(1)} $newName ${p(3)}" else l
+        }
       val header = (lines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema ${newSt.toDDL}") ++ stats ++
         lines.filter(_.startsWith("#dv ")) ++

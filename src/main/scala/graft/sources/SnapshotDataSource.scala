@@ -1,0 +1,397 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.io.Snapshots
+
+/** The SQL/DataFrame FRONT DOOR for the [[graft.io.Snapshots]] tier —
+  * a DataSource V2 `TableProvider` plus a session catalog, so the
+  * manifest-based lakehouse reads like any other table format:
+  *
+  * {{{
+  *   // format read, library-equivalent bit-for-bit
+  *   spark.read.format("graft-snapshot")
+  *     .option("path", "/lake/events")
+  *     .option("versionAsOf", "3")        // or timestampAsOf / tag
+  *     .load()
+  *
+  *   // SQL surface through the catalog (time travel in the query text)
+  *   spark.conf.set("spark.sql.catalog.snap",
+  *     "graft.sources.SnapshotCatalog")
+  *   spark.conf.set("spark.sql.catalog.snap.base", "/lake")
+  *   spark.sql("SELECT * FROM snap.events VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM snap.events VERSION AS OF 'eval-v1'")  // tag
+  *   spark.sql("SELECT * FROM snap.events TIMESTAMP AS OF '2026-01-01'")
+  * }}}
+  *
+  * PUSHDOWN → MANIFEST PRUNING: the scan builder implements
+  * `SupportsPushDownFilters` + `SupportsPushDownRequiredColumns` and
+  * maps the pushed predicates onto [[Snapshots.readForScan]]'s
+  * `ScanPred` set, so `#dirstats` / `#dirstatsS` range skipping and
+  * `#dirbloom` membership skipping happen INSIDE query planning — a
+  * `WHERE sid = 42` over SQL opens only the directories whose sketch
+  * admits the key, exactly like the library's `readPrunedBloom`.
+  * Every pushed filter is ALSO returned as a residual (Spark re-applies
+  * it above the scan), so a miss in the translation can cost a
+  * directory read, never a wrong row.
+  *
+  * EXECUTION delegates through `V1Scan` to the library's audited read
+  * path: the relation's `buildScan` materializes
+  * [[Snapshots.readForScan]]'s frame — deletion-vector anti-join,
+  * rename normalization, partition-spec groups, additive-evolution
+  * nulls, all identical to [[Snapshots.read]] by construction — and
+  * hands Spark its RDD. This is the honest trade at this tier: the
+  * alternative (a hand-rolled `PartitionReaderFactory`) would have to
+  * re-implement the dv anti-join and the rename/evolution fold inside
+  * row readers, duplicating exactly the semantics the library already
+  * proves; the V1 bridge reuses them, keeps whole-stage codegen for
+  * the underlying parquet scans, and pays one extra row conversion at
+  * the scan boundary (O(result rows), not O(table)).
+  *
+  * VERSION PINNING: the version resolves ONCE, at table load — a
+  * DataFrame handed out keeps reading the same snapshot however many
+  * commits land afterwards (the same isolation contract as
+  * [[Snapshots.read]]'s resolved plans).
+  */
+class SnapshotDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = SparkSession.active
+    val (path, v) = SnapshotDataSource.resolve(s, options)
+    SnapshotDataSource.schemaAt(s, path, v)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val s = SparkSession.active
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, v) = SnapshotDataSource.resolve(s, opts)
+    new SnapshotTable(path, v, schema)
+  }
+}
+
+object SnapshotDataSource {
+
+  /** Resolve `(path, version)` from reader options: exactly one of
+    * `versionAsOf` (int), `timestampAsOf` (epoch millis or a
+    * `java.sql.Timestamp`/ISO-8601 literal), or `tag` may pin the
+    * version; none pins the CURRENT version at load time.
+    */
+  private[sources] def resolve(s: SparkSession,
+      options: CaseInsensitiveStringMap): (String, Int) = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-snapshot: the 'path' option is required")
+    val pins = Seq("versionasof", "timestampasof", "tag")
+      .filter(k => options.containsKey(k))
+    require(pins.size <= 1,
+      s"graft-snapshot: at most one of versionAsOf / timestampAsOf / " +
+        s"tag may be set (got ${pins.mkString(", ")})")
+    val v = pins.headOption match {
+      case Some("versionasof") => options.get("versionasof").trim.toInt
+      case Some("timestampasof") =>
+        Snapshots.versionAt(s, path, parseMillis(options.get("timestampasof")))
+      case Some("tag") => Snapshots.resolveTag(s, path, options.get("tag"))
+      case _ => Snapshots.latestVersion(s, path)
+    }
+    require(v >= 1, s"graft-snapshot: nothing committed at $path")
+    (path, v)
+  }
+
+  private[sources] def parseMillis(raw: String): Long = {
+    val t = raw.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else
+      try java.sql.Timestamp.valueOf(t).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          java.time.Instant.parse(t).toEpochMilli
+      }
+  }
+
+  /** The version's read schema: the committed `#schema` contract
+    * (post-rename names — [[Snapshots.renameColumn]] rewrites it), with
+    * every field loosened to nullable: directories committed BEFORE an
+    * additive evolution surface NULL in appended columns, so a NOT
+    * NULL marker in the contract describes the WRITE side, not every
+    * historical read. Falls back to resolving the frame for
+    * pre-schema-tracking tables.
+    */
+  private[sources] def schemaAt(s: SparkSession, path: String,
+      v: Int): StructType = {
+    val st = Snapshots.schemaOf(s, path, v)
+      .map(StructType.fromDDL)
+      .getOrElse(Snapshots.read(s, path, Some(v)).schema)
+    StructType(st.fields.map(_.copy(nullable = true)))
+  }
+
+  /** Translate a pushed V1 `Filter` into the manifest-prunable
+    * conjuncts it implies (empty = not prunable; the filter still
+    * re-applies as a residual, so translation is conservative-safe).
+    * Strict bounds translate to their inclusive bound — stats pruning
+    * admits one boundary value too many, the residual drops it.
+    */
+  private[sources] def translate(f: Filter): Seq[Snapshots.ScanPred] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case x: Long => Some(x)
+      case x: Int => Some(x.toLong)
+      case x: Short => Some(x.toLong)
+      case x: Byte => Some(x.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v: String) => Seq(Snapshots.EqStringPred(c, v))
+      case EqualTo(c, v) =>
+        asLong(v).map(Snapshots.EqLongPred(c, _)).toSeq
+      case EqualNullSafe(c, v: String) => Seq(Snapshots.EqStringPred(c, v))
+      case EqualNullSafe(c, v) if v != null =>
+        asLong(v).map(Snapshots.EqLongPred(c, _)).toSeq
+      case GreaterThan(c, v: String) =>
+        Seq(Snapshots.RangeStringPred(c, Some(v), None))
+      case GreaterThanOrEqual(c, v: String) =>
+        Seq(Snapshots.RangeStringPred(c, Some(v), None))
+      case LessThan(c, v: String) =>
+        Seq(Snapshots.RangeStringPred(c, None, Some(v)))
+      case LessThanOrEqual(c, v: String) =>
+        Seq(Snapshots.RangeStringPred(c, None, Some(v)))
+      case GreaterThan(c, v) =>
+        asLong(v).map(x => Snapshots.RangeLongPred(c, Some(x), None)).toSeq
+      case GreaterThanOrEqual(c, v) =>
+        asLong(v).map(x => Snapshots.RangeLongPred(c, Some(x), None)).toSeq
+      case LessThan(c, v) =>
+        asLong(v).map(x => Snapshots.RangeLongPred(c, None, Some(x))).toSeq
+      case LessThanOrEqual(c, v) =>
+        asLong(v).map(x => Snapshots.RangeLongPred(c, None, Some(x))).toSeq
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Seq(Snapshots.InStringPred(c, vs.toSeq.map(_.asInstanceOf[String])))
+      case In(c, vs) if vs.nonEmpty && vs.forall(v => asLong(v).isDefined) =>
+        Seq(Snapshots.InLongPred(c, vs.toSeq.flatMap(asLong)))
+      case StringStartsWith(c, prefix) if prefix.nonEmpty =>
+        // every match is ≥ prefix; an ASCII prefix also bounds above by
+        // its last-char increment (inclusive — conservative)
+        Seq(Snapshots.RangeStringPred(c, Some(prefix),
+          incrementAscii(prefix)))
+      case And(l, r) => translate(l) ++ translate(r)
+      case _ => Nil
+    }
+  }
+
+  /** Smallest ASCII string ≥ every string with this prefix: increment
+    * the last incrementable char, drop the tail. None for non-ASCII or
+    * all-'~' prefixes (no upper bound recorded — lower bound still
+    * prunes).
+    */
+  private def incrementAscii(prefix: String): Option[String] =
+    if (!prefix.forall(ch => ch >= ' ' && ch < 127.toChar)) None
+    else {
+      val p = prefix.toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) >= '~') i -= 1
+      if (i < 0) None
+      else { p(i) = (p(i) + 1).toChar; Some(new String(p, 0, i + 1)) }
+    }
+}
+
+/** Pruning evidence for the last snapshot scan PLANNED in this JVM —
+  * the io41 gate's proof surface (`Dataset.inputFiles` cannot see
+  * through a V1 bridge, so the scan records what the manifest pruning
+  * did; driver-side diagnostics, like `PrunedScan`'s counts).
+  */
+object SnapshotScans {
+  final case class ScanInfo(table: String, version: Int, dirsTotal: Int,
+    dirsRead: Int, pushed: Seq[String])
+  private val last = new java.util.concurrent.atomic.AtomicReference[ScanInfo]
+  private[sources] def record(i: ScanInfo): Unit = last.set(i)
+  def lastScan: Option[ScanInfo] = Option(last.get)
+}
+
+final class SnapshotTable(path: String, version: Int,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot:$path@v$version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(path, version, tableSchema)
+}
+
+final class SnapshotScanBuilder(path: String, version: Int,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var preds: Seq[Snapshots.ScanPred] = Nil
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    preds = filters.toSeq.flatMap(SnapshotDataSource.translate)
+    pushed = filters.filter(f => SnapshotDataSource.translate(f).nonEmpty)
+    // EVERYTHING stays residual: correctness never depends on the
+    // translation, a miss costs directory reads only
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SnapshotScan(path, version, required, preds)
+}
+
+final class SnapshotScan(path: String, version: Int,
+    required: StructType, preds: Seq[Snapshots.ScanPred]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-snapshot $path v$version " +
+      s"pruning=[${preds.mkString(", ")}] columns=[${
+        required.fieldNames.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new SnapshotV1Relation(context, path, version, required, preds)
+      .asInstanceOf[T]
+}
+
+/** The execution bridge: one [[Snapshots.readForScan]] plan, column-
+  * pruned to the scan's required schema, surfaced as the relation's
+  * RDD. The inner frame is a full Catalyst plan of its own (parquet
+  * scans with pushed footer filters, the dv anti-join, rename
+  * coalesces), so the library's plan shape is the executed shape.
+  */
+final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
+    required: StructType, preds: Seq[Snapshots.ScanPred])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val s = ctx.sparkSession
+    val scan = Snapshots.readForScan(s, path, Some(version), preds)
+    SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
+      scan.dirsTotal, scan.dirsRead, preds.map(_.toString)))
+    val projected =
+      if (required.isEmpty) scan.df.select()
+      else scan.df.select(required.fieldNames.toIndexedSeq
+        .map(org.apache.spark.sql.functions.col): _*)
+    projected.rdd
+  }
+}
+
+/** Read-only session catalog over a ROOT DIRECTORY of snapshot tables
+  * (`<base>/<table>` each a manifest chain) — what turns the tier into
+  * SQL text: `SELECT … FROM <cat>.<table> VERSION AS OF 3`. The SQL
+  * time-travel clauses arrive through the `loadTable` overloads:
+  * `VERSION AS OF <int>` as a version string, `VERSION AS OF '<name>'`
+  * as a tag lookup, `TIMESTAMP AS OF …` in MICROseconds. Writes go
+  * through the library's commit API (CAS claims, schema enforcement,
+  * txn tags) — a `CREATE TABLE`-shaped write surface would bypass
+  * those contracts, so the catalog refuses DDL loudly rather than
+  * offering a second, weaker write path.
+  */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = options.get("base")
+    require(base != null && base.nonEmpty,
+      s"SnapshotCatalog '$name': set spark.sql.catalog.$name.base to " +
+        "the root directory holding the snapshot tables")
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (base +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new Path((base +: namespace.toSeq).mkString("/"))
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath).filter { p =>
+      f.globStatus(new Path(p, "manifest-v*.txt")) match {
+        case null => false
+        case sts => sts.nonEmpty
+      }
+    }.map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshots.latestVersion(spark, pathOf(ident)) >= 1
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** SQL `VERSION AS OF x` — an integer literal pins the version, a
+    * string literal resolves as a TAG name (the Iceberg ref shape).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val t = version.trim
+    val v =
+      if (t.nonEmpty && t.forall(_.isDigit)) t.toInt
+      else Snapshots.resolveTag(spark, path, t)
+    tableAt(ident, Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF x` — Spark hands the instant in MICROseconds
+    * since the epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    tableAt(ident,
+      Some(Snapshots.versionAt(spark, pathOf(ident), timestamp / 1000L)))
+
+  private def tableAt(ident: Identifier, version: Option[Int]): Table = {
+    val path = pathOf(ident)
+    val latest = Snapshots.latestVersion(spark, path)
+    if (latest < 1) throw new NoSuchTableException(ident)
+    val v = version.getOrElse(latest)
+    new SnapshotTable(path, v,
+      SnapshotDataSource.schemaAt(spark, path, v))
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"SnapshotCatalog '$catalogName' is read-only: $op goes through " +
+        "the graft.io.Snapshots commit API (CAS claims, schema " +
+        "enforcement, txn tags), not catalog DDL")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    readOnly(s"CREATE TABLE $ident")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly(s"ALTER TABLE $ident")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly(s"DROP TABLE $ident")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    readOnly(s"RENAME TABLE $oldIdent")
+}

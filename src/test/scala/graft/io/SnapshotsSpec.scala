@@ -1613,6 +1613,110 @@ class SnapshotsSpec extends SparkSpec {
       s"dv metric must be the distinct key count (got ${dv.metric})")
   }
 
+  test("bloom sidecar memoization: N repeated lookups deserialize each " +
+      "sidecar ONCE (immutable files cache by path)") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commitWithBloom(
+      Seq(1L, 901L, 13L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    Snapshots.commitWithBloom(
+      Seq(2L, 900L, 14L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    // first lookup warms the cache (≤ 2 opens — one per sidecar)
+    assert(Snapshots.readPrunedBloom(spark, t, "k", 901L).df.count() == 1)
+    val warm = Snapshots.bloomSidecarOpens.get()
+    (1 to 10).foreach { _ =>
+      assert(Snapshots.readPrunedBloom(spark, t, "k", 900L).dirsRead == 1)
+      assert(Snapshots.readForScan(spark, t,
+        preds = Seq(Snapshots.EqLongPred("k", 901L))).dirsRead == 1)
+    }
+    assert(Snapshots.bloomSidecarOpens.get() == warm,
+      "repeated lookups must not re-open cached sidecars")
+  }
+
+  test("renameColumn carries #dirbloom sidecars: sketches on an " +
+      "untouched column keep pruning, and renaming the sketched column " +
+      "itself re-keys its lines (values, not names, are hashed)") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commitWithBloom(
+      Seq(1L, 901L, 13L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    Snapshots.commitWithBloom(
+      Seq(2L, 900L, 14L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    // rename the NON-sketched column: sketches must survive untouched
+    Snapshots.renameColumn(spark, t, "v", "w")
+    val s1 = Snapshots.readPrunedBloom(spark, t, "k", 901L)
+    assert(s1.dirsTotal == 2 && s1.dirsRead == 1 && s1.df.count() == 1,
+      s"sketches must survive an unrelated rename (${s1.dirsRead}/2)")
+    // rename the SKETCHED column: lines re-key, membership still exact
+    Snapshots.renameColumn(spark, t, "k", "key")
+    val s2 = Snapshots.readPrunedBloom(spark, t, "key", 900L)
+    assert(s2.dirsTotal == 2 && s2.dirsRead == 1 && s2.df.count() == 1,
+      s"sketches must re-key with their column (${s2.dirsRead}/2)")
+    assert(Snapshots.readPrunedBloom(spark, t, "key", 555L).df.count() == 0)
+  }
+
+  test("latestVersion: a fresh hint answers with O(1) existence probes " +
+      "(no manifest listing); stale and missing hints recover") {
+    val t = freshTable()
+    val f = new java.io.File(t)
+    f.mkdirs()
+    // fabricate a 200-version chain directly — this leg tests ONLY the
+    // listing behavior, no data needs to exist
+    (1 to 200).foreach { v =>
+      val w = new java.io.FileWriter(s"$t/manifest-v$v.txt")
+      try w.write("#schema k BIGINT\n") finally w.close()
+    }
+    def withCounts[A](body: => A): (A, Long, Long) = {
+      val p0 = Snapshots.manifestProbeCount.get()
+      val l0 = Snapshots.manifestListFallbacks.get()
+      val r = body
+      (r, Snapshots.manifestProbeCount.get() - p0,
+        Snapshots.manifestListFallbacks.get() - l0)
+    }
+    // fresh hint: exactly 2 probes (hit at 200, miss at 201), no listing
+    new java.io.FileWriter(s"$t/_latest") { write("200"); close() }
+    val (v1, probes1, lists1) = withCounts(
+      Snapshots.latestVersion(spark, t))
+    assert(v1 == 200 && probes1 == 2 && lists1 == 0,
+      s"fresh hint must be O(1): $probes1 probes, $lists1 listings")
+    // stale hint: probes forward the gap, still no listing
+    new java.io.FileWriter(s"$t/_latest") { write("190"); close() }
+    val (v2, probes2, lists2) = withCounts(
+      Snapshots.latestVersion(spark, t))
+    assert(v2 == 200 && probes2 == 12 && lists2 == 0,
+      s"stale hint must probe the gap: $probes2 probes, $lists2 listings")
+    // missing hint: the listing is the authority
+    new java.io.File(s"$t/_latest").delete()
+    val (v3, _, lists3) = withCounts(Snapshots.latestVersion(spark, t))
+    assert(v3 == 200 && lists3 == 1, "missing hint must fall back")
+    // hint below a vacuumed cutoff: manifest gone → listing recovers
+    (1 to 150).foreach(v => new java.io.File(s"$t/manifest-v$v.txt").delete())
+    new java.io.FileWriter(s"$t/_latest") { write("100"); close() }
+    val (v4, _, lists4) = withCounts(Snapshots.latestVersion(spark, t))
+    assert(v4 == 200 && lists4 == 1, "vacuumed-hint must fall back")
+  }
+
+  test("versionAt: resolves the version live at an instant, loud below " +
+      "retention and before the first commit") {
+    import spark.implicits._
+    val t = freshTable()
+    val before = System.currentTimeMillis() - 5
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), t)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.commit(Seq((2L, 2L)).toDF("k", "v"), t)
+    assert(Snapshots.versionAt(spark, t, mid) == 1)
+    assert(Snapshots.versionAt(spark, t, System.currentTimeMillis()) == 2)
+    intercept[IllegalArgumentException](
+      Snapshots.versionAt(spark, t, before))
+    // vacuum the prefix: the instant now resolves out-of-retention
+    Snapshots.commit(Seq((3L, 3L)).toDF("k", "v"), t)
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    intercept[Snapshots.OutOfRetentionException](
+      Snapshots.versionAt(spark, t, mid))
+  }
+
   test("cloneShallow carries renames and partition specs: a clone of a " +
       "renamed, partly-partitioned source reads under the current " +
       "contract with partition values intact") {

@@ -1,0 +1,196 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+
+class SnapshotDataSourceSpec extends SparkSpec {
+
+  private def freshBase(): String = {
+    val t = s"/tmp/graft_io/snapdsv2/${java.util.UUID.randomUUID()}"
+    new java.io.File(t).mkdirs()
+    t
+  }
+
+  private def bitEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean = {
+    val x = a.localCheckpoint()
+    val y = b.localCheckpoint()
+    x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+  }
+
+  test("format read == library read bit-for-bit on a table with " +
+      "stats, bloom, rename, MoR delete, and additive evolution") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    Snapshots.commitWithBloom(
+      (1L to 40L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    Snapshots.commitWithStats(
+      (41L to 80L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    Snapshots.renameColumn(spark, t, "v", "w")
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 7 === 0)
+    Snapshots.commit(
+      (81L to 90L).map(k => (k, k * 10L, s"s$k")).toDF("k", "w", "tag"),
+      t, allowEvolve = true)
+    val lib = Snapshots.read(spark, t).select("k", "w", "tag")
+    val fmt = spark.read.format("graft-snapshot").option("path", t)
+      .load().select("k", "w", "tag")
+    assert(fmt.schema.fieldNames.toSeq == Seq("k", "w", "tag"))
+    assert(bitEqual(lib, fmt),
+      "the format read must equal the library read bit-for-bit")
+    // time travel by option: v1 predates the rename — contract-accurate
+    val v1 = spark.read.format("graft-snapshot").option("path", t)
+      .option("versionAsOf", "1").load()
+    assert(v1.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(bitEqual(v1, Snapshots.read(spark, t, Some(1))))
+  }
+
+  test("version pinning: a loaded frame keeps its snapshot across " +
+      "later commits; tag and timestamp options resolve") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), t)
+    val before = System.currentTimeMillis()
+    val pinned = spark.read.format("graft-snapshot").option("path", t).load()
+    Snapshots.tagVersion(spark, t, "first", 1)
+    Thread.sleep(30)
+    Snapshots.commit((11L to 20L).map(k => (k, k)).toDF("k", "v"), t)
+    assert(pinned.count() == 10,
+      "a resolved frame must keep reading its pinned version")
+    val tagged = spark.read.format("graft-snapshot").option("path", t)
+      .option("tag", "first").load()
+    assert(tagged.count() == 10)
+    val asOf = spark.read.format("graft-snapshot").option("path", t)
+      .option("timestampAsOf", before.toString).load()
+    assert(asOf.count() == 10,
+      "timestampAsOf between the commits must resolve v1")
+    assert(spark.read.format("graft-snapshot").option("path", t)
+      .load().count() == 20)
+    // conflicting pins refuse
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft-snapshot").option("path", t)
+        .option("versionAsOf", "1").option("tag", "first").load())
+    assert(e.getMessage.contains("at most one"))
+  }
+
+  test("SQL catalog: SELECT with VERSION AS OF <int>, VERSION AS OF " +
+      "'<tag>', TIMESTAMP AS OF, and the head read all plan through " +
+      "the manifests; DDL refuses loudly") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/events"
+    Snapshots.commit((1L to 15L).map(k => (k, k * 2L)).toDF("k", "v"), t)
+    Snapshots.tagVersion(spark, t, "eval-v1", 1)
+    Thread.sleep(30)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(30)
+    Snapshots.commit((16L to 25L).map(k => (k, k * 2L)).toDF("k", "v"), t)
+    val cat = s"snapspec_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.events")
+      .head().getLong(0) == (1L to 25L).map(_ * 2L).sum)
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat.events VERSION AS OF 1")
+      .head().getLong(0) == 15)
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat.events VERSION AS OF 'eval-v1'")
+      .head().getLong(0) == 15)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.events " +
+        s"TIMESTAMP AS OF '$mid'").head().getLong(0) == 15)
+    // a library write lands and the NEXT SQL read sees it (no caching
+    // beyond the per-query load)
+    Snapshots.commit(Seq((99L, 0L)).toDF("k", "v"), t)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.events")
+      .head().getLong(0) == 26)
+    val ddl = intercept[UnsupportedOperationException](
+      spark.sql(s"DROP TABLE $cat.events"))
+    assert(ddl.getMessage.contains("read-only"))
+    // unknown table → the standard analyzer error, not a stack trace
+    val missing = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM $cat.nope").collect())
+    assert(missing.getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("pushdown: an equality predicate on a bloom-sketched key prunes " +
+      "directories inside SQL planning; ranges prune on dirstats; " +
+      "results stay exact") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // scattered keys (ranges overlap) → only the sketch can prune
+    Snapshots.commitWithBloom(
+      Seq(1L, 901L, 13L, 777L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    Snapshots.commitWithBloom(
+      Seq(2L, 900L, 14L, 778L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    val fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    val hit = fmt.filter(col("k") === 901L).select("v")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(9010L))
+    val info = SnapshotScans.lastScan.get
+    assert(info.dirsTotal == 2 && info.dirsRead == 1,
+      s"sketch pruning must reach the DSv2 scan " +
+        s"(${info.dirsRead}/${info.dirsTotal})")
+    // the pushed filter shows up in the plan (the explain contract)
+    val planText = hit.queryExecution.executedPlan.toString
+    assert(planText.contains("PushedFilters") || planText.contains("901"),
+      s"plan must surface the pushdown:\n$planText")
+    // range stats pruning through the format: two disjoint-range commits
+    val t2 = s"$base/t2"
+    Snapshots.commitWithStats(
+      (1L to 50L).map(k => (k, k)).toDF("k", "v"), t2, "k")
+    Snapshots.commitWithStats(
+      (51L to 100L).map(k => (k, k)).toDF("k", "v"), t2, "k")
+    val r = spark.read.format("graft-snapshot").option("path", t2).load()
+      .filter(col("k") >= 60L && col("k") <= 70L)
+    assert(r.count() == 11)
+    val info2 = SnapshotScans.lastScan.get
+    assert(info2.dirsTotal == 2 && info2.dirsRead == 1,
+      s"range pruning must reach the DSv2 scan " +
+        s"(${info2.dirsRead}/${info2.dirsTotal})")
+    // IN-list over the sketches: both members' dirs open, no more
+    val inq = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("k").isin(901L, 900L)).agg(sum("v").as("s"))
+    assert(inq.head().getLong(0) == 9010L + 9000L)
+    // an untranslatable predicate still answers exactly (residual-only)
+    assert(spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("v") % 2 === 0).count() == 8)
+  }
+
+  test("column pruning: the required schema reaches the inner parquet " +
+      "scan; count(*) over an empty required schema works") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    Snapshots.commit((1L to 30L)
+      .map(k => (k, s"pad$k" * 10, k * 3L)).toDF("k", "pad", "v"), t)
+    val fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    assert(fmt.select("k").columns.toSeq == Seq("k"))
+    assert(fmt.select(sum("v")).head().getLong(0) == (1L to 30L).map(_ * 3L).sum)
+    assert(fmt.count() == 30)
+    // SQL aggregate over the catalog
+    val cat = s"snapspec_${math.abs(t.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+      .head().getLong(0) == 30)
+  }
+
+  test("catalog listTables surfaces manifest-bearing directories only") {
+    import spark.implicits._
+    val base = freshBase()
+    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), s"$base/alpha")
+    Snapshots.commit(Seq((2L, 2L)).toDF("k", "v"), s"$base/beta")
+    new java.io.File(s"$base/not_a_table").mkdirs()
+    val cat = s"snapspec_${math.abs(base.hashCode + 1)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val listed = spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet
+    assert(listed == Set("alpha", "beta"), s"got $listed")
+  }
+}
