@@ -8372,6 +8372,103 @@ object SparkEntry {
       FROM snap41.t GROUP BY 1 ORDER BY bucket""")
   }
 
+  /** COMMIT-TIME CHECK CONSTRAINTS through the gate
+    * ([[graft.io.Snapshots.addCheck]] — the Delta `ADD CONSTRAINT`
+    * contract on the manifest tier): `cents > 0` lands as a `#check`
+    * line after validating EXISTING data distributed; then every
+    * write path proves the refusal contract require-gated —
+    * a violating APPEND refuses pre-claim (version pinned, one O(new
+    * rows) aggregate, no bytes written), a violating MERGE refuses
+    * pre-claim, WAP can STAGE what publish refuses (the audit sees the
+    * staged violation, `publishStaged` refuses naming the constraint,
+    * abandon leaves no trace); clean writes land, the line CARRIES
+    * through a maintenance compaction, and REPLICATION inherits the
+    * contract (the bootstrap replica carries the same `#check`; a
+    * violating atomic apply on the replica refuses exactly like a
+    * direct commit). The deliverable is the head corpus through the
+    * constrained table — the no-op-value merge keeps it equal to raw
+    * orders, so the oracle recomputes it directly.
+    */
+  private def io42CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io42")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val table = s"$base/t"
+    val rep = s"$base/rep"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table): Unit
+    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table): Unit
+    val v3 = graft.io.Snapshots.addCheck(s, table, "cents-pos", "cents > 0")
+    require(v3 == 3 && graft.io.Snapshots.checksOf(s, table) ==
+        Map("cents-pos" -> "cents > 0"),
+      "io42: the constraint must ride the manifest")
+    // when() without otherwise is nullable — matching the parquet-read
+    // contract, so every refusal below is the CHECK, never schema drift
+    val bad = o.orderBy("k").limit(1)
+      .select((col("k") + lit(9000000000L)).as("k"),
+        when(col("k").isNotNull, lit(-1L)).as("cents"))
+    // violating APPEND: refused pre-claim, version pinned
+    val e1 = try { graft.io.Snapshots.commit(bad, table); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(e1.contains("cents-pos") &&
+        graft.io.Snapshots.latestVersion(s, table) == 3,
+      s"io42: violating append must refuse pre-claim ($e1)")
+    // violating MERGE: refused pre-claim
+    val e2 = try { graft.io.Snapshots.mergeUpsert(s, table, bad, "k"); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(e2.contains("cents-pos") &&
+        graft.io.Snapshots.latestVersion(s, table) == 3,
+      s"io42: violating merge must refuse pre-claim ($e2)")
+    // WAP: the audit can STAGE what publish refuses
+    val stage = graft.io.Snapshots.commitStaged(bad, table)
+    require(graft.io.Snapshots.readStaged(s, table, stage)
+        .filter(col("cents") < 0).count() == 1,
+      "io42: the audit must see the staged violation")
+    val e3 = try { graft.io.Snapshots.publishStaged(s, table, stage); "" }
+      catch { case e: IllegalArgumentException => e.getMessage }
+    require(e3.contains("cents-pos"),
+      s"io42: publish of a staged violation must refuse ($e3)")
+    graft.io.Snapshots.abandonStaged(s, table, stage)
+    // a CLEAN merge lands (value-identical update — corpus unchanged)
+    val kMin = o.agg(min("k")).head().getLong(0)
+    val (v4, nUpd, nIns) = graft.io.Snapshots.mergeUpsert(
+      s, table, o.filter(col("k") === kMin), "k")
+    require(v4 == 4 && nUpd == 1 && nIns == 0,
+      s"io42: clean merge must land ($v4, $nUpd, $nIns)")
+    // the line carries through maintenance
+    graft.io.Snapshots.compactSmall(s, table, smallBytes = 1L << 40): Unit
+    require(graft.io.Snapshots.checksOf(s, table) ==
+        Map("cents-pos" -> "cents > 0"),
+      "io42: maintenance must carry the constraint")
+    // replication inherits the contract at bootstrap
+    require(graft.streaming.ChangeFeedSync
+        .replicateOnce(s, table, rep, "k").isDefined,
+      "io42: bootstrap sync must land")
+    require(graft.io.Snapshots.checksOf(s, rep) ==
+        Map("cents-pos" -> "cents > 0"),
+      "io42: the replica must inherit the constraint")
+    // a violating atomic apply on the replica refuses like a commit
+    // (when(cond, v) without otherwise is nullable — matches the
+    // replica's normalized contract, so the refusal is the CHECK)
+    val badApply = graft.io.Snapshots.read(s, rep).orderBy("k").limit(1)
+      .select(when(col("k").isNotNull, col("k") + lit(9000000000L)).as("k"),
+        when(col("k").isNotNull, lit(-1L)).as("cents"))
+    val repV = graft.io.Snapshots.latestVersion(s, rep)
+    val e4 = try {
+      graft.io.Snapshots.applyChangesCow(s, rep,
+        badApply.select("k").limit(0), badApply, "k"); ""
+    } catch { case e: IllegalArgumentException => e.getMessage }
+    require(e4.contains("cents-pos") &&
+        graft.io.Snapshots.latestVersion(s, rep) == repV,
+      s"io42: violating replicated apply must refuse pre-claim ($e4)")
+    graft.io.Snapshots.read(s, table)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
   /** STRING-KEY MANIFEST STATS through the gate ([[graft.io.Snapshots
     * .commitWithStringStats]]/`readPrunedString`): orders keyed by a
     * zero-padded `doc_<okey>` string id, committed as THREE key-range
@@ -8993,6 +9090,7 @@ object SparkEntry {
     "io39_maintenance_plan" -> io39MaintenancePlan _,
     "io40_bloom_stats" -> io40BloomStats _,
     "io41_dsv2_catalog" -> io41DsvCatalog _,
+    "io42_check_constraints" -> io42CheckConstraints _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12589,6 +12687,17 @@ object SparkEntry {
     // three-way bit-equality, SQL time travel (version + tag), sketch-
     // pruned point lookup, and tombstone-invisibility proofs are
     // require-gated in-query
+    // the constrained table's head: all orders (the one merge is a
+    // value-identical update); every refusal leg — violating append /
+    // merge / staged publish / replicated apply, all pre-claim with the
+    // version pinned — plus the carry and replica-inheritance proofs
+    // are require-gated in-query
+    "io42_check_constraints" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
     "io41_dsv2_catalog" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)

@@ -972,8 +972,148 @@ object Snapshots {
     // prior version's rows at every later version.
     val dvs = if (keepDv) prevLines.filter(_.startsWith("#dv ")) else Nil
     val rens = prevLines.filter(_.startsWith("#rename "))
-    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs ++ rens ++
+    // #check lines carry like the schema contract — a rewrite moves
+    // already-validated rows, the constraint keeps binding future writes
+    val checks = prevLines.filter(_.startsWith("#check "))
+    (txns ++ (s"#schema $schemaDdl" +: stats) ++ dvs ++ rens ++ checks ++
       Seq(s"#change $changeKind")).map(_ + "\n").mkString
+  }
+
+  /** `#check <name> <urlencoded expr>` lines — the table's commit-time
+    * CHECK constraints, `name → SQL boolean expression`.
+    */
+  private def checkLinesOf(lines: Seq[String]): Seq[(String, String)] =
+    lines.filter(_.startsWith("#check "))
+      .map(_.stripPrefix("#check ").split(" ")).collect {
+        case Array(n, e) => (n, dec(e))
+      }
+
+  /** The live CHECK constraints at `version` (latest when None). */
+  def checksOf(s: SparkSession, table: String,
+      version: Option[Int] = None): Map[String, String] = {
+    val v = version.getOrElse(latestVersion(s, table))
+    if (v < 1) Map.empty else checkLinesOf(manifestLines(s, table, v)).toMap
+  }
+
+  /** Enforce CHECK constraints over `df` — ONE aggregate over the new
+    * rows, all constraints in the same pass (O(new data), the `#schema`
+    * enforcement posture extended to VALUES). SQL CHECK semantics: a
+    * row violates only when the expression evaluates to FALSE — NULL
+    * (unknown) passes, exactly the ANSI / Delta rule. Violations
+    * refuse LOUDLY naming the constraint, before any manifest claim.
+    */
+  private def requireChecks(df: DataFrame,
+      checks: Seq[(String, String)], table: String, op: String): Unit =
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+      val aggs = checks.map { case (_, e) =>
+        sum(when(coalesce(not(expr(e)), lit(false)), 1L).otherwise(0L)) }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      checks.zipWithIndex.foreach { case ((n, e), i) =>
+        val bad = if (r.isNullAt(i)) 0L else r.getLong(i)
+        require(bad == 0L,
+          s"$op at $table: CHECK constraint '$n' <$e> violated by " +
+            s"$bad row(s) — refused before any manifest claim")
+      }
+    }
+
+  /** ADD a commit-time CHECK constraint — a named SQL boolean
+    * expression every FUTURE commit's new rows must satisfy
+    * ([[commit]]*, [[mergeUpsert]], [[applyChangesCow]],
+    * [[publishStaged]] all enforce it in one O(new data) aggregate
+    * before their manifest claim; violations refuse loudly naming the
+    * constraint). EXISTING data validates NOW, distributed, before the
+    * constraint lands — a constraint the current table already
+    * violates refuses here instead of poisoning the next writer (the
+    * Delta `ADD CONSTRAINT` contract). The `#check` line CARRIES like
+    * the schema contract: through appends, maintenance rewrites,
+    * renames (which refuse while a check references the renamed
+    * column), clones, and replication
+    * ([[graft.streaming.ChangeFeedSync.replicateOnce]] propagates
+    * constraint changes like it propagates additive schema). The
+    * commit is metadata-only (`#change constraint` — the feed emits
+    * nothing). Rewrites (delete/compact/materialize) skip
+    * re-validation by design: they move existing, already-validated
+    * rows.
+    */
+  def addCheck(s: SparkSession, table: String, name: String,
+      exprSql: String, maxAttempts: Int = 50): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_' || c == '.'),
+      s"addCheck: bad constraint name '$name' (letters/digits/-_. only)")
+    require(exprSql.trim.nonEmpty && !exprSql.contains("\n"),
+      "addCheck: the expression must be non-empty single-line SQL")
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      require(!checkLinesOf(lines).exists(_._1 == name),
+        s"addCheck: constraint '$name' already exists at $table — " +
+          "dropCheck first to replace it")
+      // the expression must RESOLVE against the current contract to a
+      // boolean — fail here, not at the next writer's commit
+      val probe = read(s, table, Some(prev))
+        .select(org.apache.spark.sql.functions.expr(exprSql).as("c"))
+      require(probe.schema.head.dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"addCheck: <$exprSql> resolves to " +
+          s"${probe.schema.head.dataType.simpleString}, not boolean")
+      // existing data validates BEFORE the constraint lands
+      requireChecks(read(s, table, Some(prev)), Seq((name, exprSql)),
+        table, "addCheck")
+      val header = (lines.filter(l => l.startsWith("#") &&
+          !l.startsWith("#change ") && !l.startsWith("#cdf") &&
+          !l.startsWith("#prop ")) ++
+        Seq(s"#check $name ${enc(exprSql)}", "#change constraint"))
+        .map(_ + "\n").mkString
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + dirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return v
+      }
+      attempt += 1
+    }
+    sys.error(s"addCheck on $table lost the version race $maxAttempts times")
+  }
+
+  /** DROP a CHECK constraint by name — metadata-only commit; loud when
+    * the name is not live.
+    */
+  def dropCheck(s: SparkSession, table: String, name: String,
+      maxAttempts: Int = 50): Int = {
+    val f = fs(s, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val prev = latestVersion(s, table)
+      require(prev >= 1, s"nothing committed at $table")
+      val lines = manifestLines(s, table, prev)
+      require(checkLinesOf(lines).exists(_._1 == name),
+        s"dropCheck: no constraint '$name' at $table")
+      val header = (lines.filter(l => l.startsWith("#") &&
+          !l.startsWith("#change ") && !l.startsWith("#cdf") &&
+          !l.startsWith("#prop ") &&
+          !(l.startsWith("#check ") && l.split(" ")(1) == name)) ++
+        Seq("#change constraint")).map(_ + "\n").mkString
+      val dirs = lines.filterNot(_.startsWith("#"))
+      val v = prev + 1
+      if (latestVersion(s, table) == prev && publishExclusive(s, f,
+          manifestPath(table, v), header + dirs.mkString("\n"))) {
+        try {
+          if (v > latestHintOnly(s, table))
+            atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
+        } catch { case _: java.io.IOException => () }
+        return v
+      }
+      attempt += 1
+    }
+    sys.error(s"dropCheck on $table lost the version race $maxAttempts times")
   }
 
   private def commitTagged(df: DataFrame, table: String,
@@ -993,6 +1133,14 @@ object Snapshots {
         s"not in the frame (${df.columns.mkString(", ")})")
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     checkSchema(s, table, df, allowEvolve)
+    // CHECK constraints validate BEFORE any bytes land — one aggregate
+    // over the new rows ([[requireChecks]]); the claim loop re-validates
+    // only if a competing committer changed the constraint set
+    var validatedChecks = {
+      val v0 = latestVersion(s, table)
+      if (v0 < 1) Nil else checkLinesOf(manifestLines(s, table, v0))
+    }
+    requireChecks(df, validatedChecks, table, "commit")
     // a STRING partition value equal to Hive's null-sentinel (or empty —
     // the path writer folds "" into the same sentinel) would read back
     // as NULL: refuse loudly before any data writes. One limit-1 job
@@ -1108,6 +1256,20 @@ object Snapshots {
       // carry while their directory is in the chain (append-only here)
       val carriedRen = prevLines.filter(_.startsWith("#rename "))
       val carriedSpec = prevLines.filter(_.startsWith("#spec "))
+      // #check lines carry like the schema contract; a competing
+      // committer may have changed the set since validation — re-run
+      // the one aggregate only in that (rare) case
+      val prevChecks = checkLinesOf(prevLines)
+      if (prevChecks.toSet != validatedChecks.toSet) {
+        try requireChecks(df, prevChecks, table, "commit")
+        catch {
+          case e: Throwable =>
+            f.delete(new Path(s"$table/$dir"), true): Unit
+            throw e
+        }
+        validatedChecks = prevChecks
+      }
+      val carriedCheck = prevLines.filter(_.startsWith("#check "))
       val newSpec =
         if (partitionCols.isEmpty) Nil
         else Seq(s"#spec $dir ${partitionCols.mkString(",")}")
@@ -1116,7 +1278,8 @@ object Snapshots {
       val propLines = props.toSeq.sortBy(_._1)
         .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}" }
       val statsHeader = (carriedStats ++ newStatsLines ++ newBloomLines ++
-        carriedDv ++ carriedRen ++ carriedSpec ++ newSpec ++ propLines)
+        carriedDv ++ carriedRen ++ carriedSpec ++ newSpec ++ carriedCheck ++
+        propLines)
         .map(_ + "\n").mkString
       val header = (carriedTxn ++ txn.map { case (w, b) => txnLine(w, b) })
         .map(_ + "\n").mkString +
@@ -1508,6 +1671,9 @@ object Snapshots {
           "upserted keys — materializeDeletes first")
       requireNoExternal(lines, table, "mergeUpsert")
       checkSchemaOf(s, table, source.schema, allowEvolve = false)
+      // CHECK constraints bind the NEW rows (the upserted source) —
+      // refused before any data write or claim
+      requireChecks(source, checkLinesOf(lines), table, "mergeUpsert")
       val dirs = lines.filterNot(_.startsWith("#"))
       val srcKeys = source.select(source(keyCol)).distinct()
       val (nSrc, nSrcKeys) = {
@@ -1630,6 +1796,11 @@ object Snapshots {
           "upserted keys — materializeDeletes first")
       requireNoExternal(lines, table, "applyChangesCow")
       checkSchemaOf(s, table, source.schema, allowEvolve = false)
+      // CHECK constraints bind the NEW rows (the upserted source;
+      // deletes cannot violate) — refused before any write or claim,
+      // so a replicated batch that violates the replica's constraint
+      // refuses exactly like a direct commit would
+      requireChecks(source, checkLinesOf(lines), table, "applyChangesCow")
       val dirs = lines.filterNot(_.startsWith("#"))
       val delKeysD = deleteKeys.select(deleteKeys(keyCol)).distinct()
       val srcKeys = source.select(source(keyCol)).distinct()
@@ -1787,6 +1958,14 @@ object Snapshots {
         s"restoreTo $table: schema differs between head v$prev and " +
           s"target v$targetV — a restore never rolls the contract " +
           "back; evolve explicitly instead")
+      // same rule for CHECK constraints: a check added AFTER the target
+      // was never validated against the target's rows, and a restore
+      // that silently dropped one would unbind future writers — change
+      // the constraint set explicitly around the restore
+      require(checkLinesOf(prevLines).toSet == checkLinesOf(tgtLines).toSet,
+        s"restoreTo $table: CHECK constraints differ between head " +
+          s"v$prev and target v$targetV — a restore never changes the " +
+          "contract; dropCheck/addCheck explicitly instead")
       val tgtDirs = tgtLines.filterNot(_.startsWith("#"))
       val prevDirs = prevLines.filterNot(_.startsWith("#"))
       val removed = prevDirs.filterNot(tgtDirs.toSet)
@@ -1802,6 +1981,7 @@ object Snapshots {
         .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}\n" }.mkString
       val header = (txns ++ ddlOf(tgtLines).toSeq ++ tgtMeta ++
           removedSpec ++ renSet(tgtLines).toSeq.sorted ++
+          tgtLines.filter(_.startsWith("#check ")) ++
           Seq("#change merge")).map(_ + "\n").mkString +
         txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
         propLines +
@@ -1903,7 +2083,11 @@ object Snapshots {
       }
     val props = Seq(
       s"#prop ${enc("clone_of")} ${enc(s"$sourceTable@$srcV")}")
-    val header = (schema ++ meta ++ rens ++ props ++ Seq("#change append"))
+    // the clone INHERITS the source's CHECK constraints verbatim —
+    // expressions reference column names only, nothing to re-key
+    val checks = lines.filter(_.startsWith("#check "))
+    val header = (schema ++ meta ++ rens ++ checks ++ props ++
+        Seq("#change append"))
       .map(_ + "\n").mkString
     val f = fs(s, cloneTable)
     require(publishExclusive(s, f, manifestPath(cloneTable, 1),
@@ -2424,11 +2608,21 @@ object Snapshots {
         .getOrElse(sys.error(s"publishStaged: marker $stageId carries no schema"))
     }
     val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(stagedDdl)
+    var validatedChecks: Option[Set[(String, String)]] = None
     var attempt = 0
     while (attempt < maxAttempts) {
       val prev = latestVersion(s, table)
       checkSchemaOf(s, table, stagedSchema, allowEvolve = false)
       val prevLines = if (prev == 0) Nil else manifestLines(s, table, prev)
+      // CHECK constraints gate the PUBLISH, not the stage: the WAP
+      // audit can stage and inspect exactly what publish would refuse
+      // ([[readStaged]] sees it, the chain never does) — validated once
+      // per constraint set, pre-claim
+      val prevChecks = checkLinesOf(prevLines)
+      if (!validatedChecks.contains(prevChecks.toSet)) {
+        requireChecks(df, prevChecks, table, "publishStaged")
+        validatedChecks = Some(prevChecks.toSet)
+      }
       // empty table: record the STAGE-TIME contract, not the parquet
       // read-back DDL (NOT NULL loosened to nullable — a later commit
       // of the original non-nullable schema would refuse as drift)
@@ -2437,10 +2631,11 @@ object Snapshots {
       val header = (prevLines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema $prevDdl") ++
         prevLines.filter(l => l.startsWith("#dirstats ") ||
-          l.startsWith("#dirstatsS ")) ++
+          l.startsWith("#dirstatsS ") || l.startsWith("#dirbloom ")) ++
         prevLines.filter(_.startsWith("#dv ")) ++
         prevLines.filter(_.startsWith("#rename ")) ++
         prevLines.filter(_.startsWith("#spec ")) ++
+        prevLines.filter(_.startsWith("#check ")) ++
         Seq("#change append")).map(_ + "\n").mkString
       val dirs = prevLines.filterNot(_.startsWith("#")) :+ dir
       val v = prev + 1
@@ -2627,6 +2822,20 @@ object Snapshots {
         s"renameColumn: '$oldName' is a live partition column at " +
           s"$table — compactSmall the partitioned directories first " +
           "(their paths encode the old physical name)")
+      // a CHECK expression referencing the old name would stop
+      // resolving at the next commit — refuse; drop/re-add the
+      // constraint around the rename explicitly
+      val refed = checkLinesOf(lines).filter { case (_, e) =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(e).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.name
+          }.exists(_.equalsIgnoreCase(oldName))
+      }
+      require(refed.isEmpty,
+        s"renameColumn: CHECK constraint(s) ${refed.map(_._1).mkString(", ")} " +
+          s"reference '$oldName' at $table — dropCheck, rename, then " +
+          "addCheck under the new name")
       val newSt = org.apache.spark.sql.types.StructType(st.map(fld =>
         if (fld.name == oldName) fld.copy(name = newName) else fld))
       val stats = lines.filter(l =>
@@ -2648,6 +2857,7 @@ object Snapshots {
         lines.filter(_.startsWith("#dv ")) ++
         lines.filter(_.startsWith("#rename ")) ++
         lines.filter(_.startsWith("#spec ")) ++
+        lines.filter(_.startsWith("#check ")) ++
         Seq(s"#rename $oldName $newName", "#change rename"))
         .map(_ + "\n").mkString
       val dirs = lines.filterNot(_.startsWith("#"))
@@ -2824,7 +3034,7 @@ object Snapshots {
               .withColumn("_commit_version", lit(v)))
           }
           side("cdfdel", "delete") ++ side("cdfins", "insert")
-        case "compact" | "materialize" | "rename" => Nil
+        case "compact" | "materialize" | "rename" | "constraint" => Nil
         case other => sys.error(
           s"changeFeed: unknown #change kind '$other' at $table v$v")
       }

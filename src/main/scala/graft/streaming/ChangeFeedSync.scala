@@ -177,7 +177,10 @@ object ChangeFeedSync {
     * nullable columns appended), then folds the range. A source
     * `renameColumn` (or a re-type) is NOT propagated — the sync refuses
     * loudly against the replica's schema contract (recreate the
-    * replica, or rename it first).
+    * replica, or rename it first). CHECK constraints propagate the
+    * same way: the replica's `#check` set converges to the source's
+    * before each apply, so the apply enforces exactly the source's
+    * contract on the replicated rows.
     *
     * A cursor behind the source's vacuum horizon raises
     * [[Snapshots.OutOfRetentionException]] (re-bootstrap); a replica
@@ -216,12 +219,39 @@ object ChangeFeedSync {
           else lit(null).cast(f.dataType).as(f.name)): _*)
       case None => df
     }
+    // CHECK constraints propagate like schema: the replica's set
+    // converges to the source's at-range-head set BEFORE the apply, so
+    // the apply itself enforces them (a violating replicated batch
+    // refuses exactly like a direct commit). Adds re-validate the
+    // replica's existing rows (the addCheck contract) — O(replica),
+    // but only when the set actually changed; drops are metadata-only.
+    def propagateChecks(): Unit = {
+      val srcChecks = Snapshots.checksOf(s, sourceTable, Some(latest))
+      val repChecks = Snapshots.checksOf(s, replicaTable)
+      if (srcChecks != repChecks) {
+        (repChecks.keySet -- srcChecks.keySet)
+          .foreach(n => Snapshots.dropCheck(s, replicaTable, n): Unit)
+        srcChecks.foreach { case (n, e) =>
+          repChecks.get(n) match {
+            case Some(old) if old == e => ()
+            case Some(_) =>
+              Snapshots.dropCheck(s, replicaTable, n): Unit
+              Snapshots.addCheck(s, replicaTable, n, e): Unit
+            case None => Snapshots.addCheck(s, replicaTable, n, e): Unit
+          }
+        }
+      }
+    }
     if (repLatest < 1) {
       // BOOTSTRAP: snapshot at `latest` — O(source-at-head), no history
-      return Snapshots.commitIfAbsent(
+      val landed = Snapshots.commitIfAbsent(
           normalized(Snapshots.read(s, sourceTable, Some(latest))),
           replicaTable, ReplicaWriter, latest.toLong, props = cursorProps)
         .map(_ => (cursor + 1, latest))
+      // constraints ride AFTER the bootstrap commit (addCheck needs a
+      // committed version to validate against); idempotent on replay
+      if (landed.isDefined) propagateChecks()
+      return landed
     }
     // ADDITIVE source evolution propagates to the replica FIRST (an
     // idempotent metadata-scale commit: existing columns keep the
@@ -244,6 +274,7 @@ object ChangeFeedSync {
           replicaTable, allowEvolve = true): Unit
       }
     }
+    propagateChecks()
     val feed = Snapshots.changeFeed(s, sourceTable, cursor + 1, latest)
     val w = Window.partitionBy(keyCol)
       .orderBy(col("_commit_version").desc,

@@ -1613,6 +1613,134 @@ class SnapshotsSpec extends SparkSpec {
       s"dv metric must be the distinct key count (got ${dv.metric})")
   }
 
+  test("CHECK constraints: addCheck validates existing data; violating " +
+      "appends refuse pre-claim naming the constraint; NULL passes " +
+      "(ANSI unknown); dropCheck unbinds") {
+    import spark.implicits._
+    val t = freshTable()
+    // v is nullable from the start — the NULL-passes leg below must
+    // hit the CHECK semantics, not the schema drift guard
+    Snapshots.commit(Seq((1L, Option(10L)), (2L, Option(20L)))
+      .toDF("k", "v"), t)
+    // a constraint the table already violates refuses at add time
+    val bad = intercept[IllegalArgumentException](
+      Snapshots.addCheck(spark, t, "v-big", "v >= 15"))
+    assert(bad.getMessage.contains("v-big") &&
+      bad.getMessage.contains("violated"))
+    // a non-boolean expression refuses at add time
+    assert(intercept[IllegalArgumentException](
+      Snapshots.addCheck(spark, t, "not-bool", "v + 1"))
+      .getMessage.contains("boolean"))
+    val v2 = Snapshots.addCheck(spark, t, "v-pos", "v > 0")
+    assert(v2 == 2 && Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    // the constraint commit is metadata-only and feed-silent
+    assert(Snapshots.changeFeed(spark, t, 2, 2).count() == 0)
+    // a violating append refuses PRE-CLAIM: version unchanged
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((3L, Option(-5L))).toDF("k", "v"), t))
+    assert(e.getMessage.contains("v-pos") && e.getMessage.contains("v > 0"))
+    assert(Snapshots.latestVersion(spark, t) == 2)
+    // NULL is unknown, not a violation (ANSI CHECK semantics)
+    Snapshots.commit(Seq((3L, Some(30L)), (4L, None))
+      .toDF("k", "v"), t, allowEvolve = false)
+    assert(Snapshots.read(spark, t).count() == 4)
+    // the line CARRIES through ordinary commits
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    // dropCheck unbinds: the same violating row now lands
+    Snapshots.dropCheck(spark, t, "v-pos")
+    assert(Snapshots.checksOf(spark, t).isEmpty)
+    Snapshots.commit(Seq((5L, Option(-5L))).toDF("k", "v"), t)
+    assert(Snapshots.read(spark, t).filter(col("v") < 0).count() == 1)
+    assert(intercept[IllegalArgumentException](
+      Snapshots.dropCheck(spark, t, "v-pos"))
+      .getMessage.contains("no constraint"))
+  }
+
+  test("CHECK constraints bind mergeUpsert and applyChangesCow sources " +
+      "pre-claim; maintenance rewrites and WAP publish carry/enforce") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    Snapshots.addCheck(spark, t, "v-pos", "v > 0")
+    // merge with a violating source refuses before any claim
+    val vBefore = Snapshots.latestVersion(spark, t)
+    assert(intercept[IllegalArgumentException](
+      Snapshots.mergeUpsert(spark, t, Seq((2L, -1L)).toDF("k", "v"), "k"))
+      .getMessage.contains("v-pos"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.applyChangesCow(spark, t, Seq(1L).toDF("k"),
+        Seq((2L, -1L)).toDF("k", "v"), "k"))
+      .getMessage.contains("v-pos"))
+    assert(Snapshots.latestVersion(spark, t) == vBefore)
+    // a clean merge lands and the line carries
+    Snapshots.mergeUpsert(spark, t, Seq((2L, 222L)).toDF("k", "v"), "k")
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    // WAP: the audit can STAGE what publish refuses
+    val stage = Snapshots.commitStaged(
+      Seq((9L, -9L)).toDF("k", "v"), t)
+    assert(Snapshots.readStaged(spark, t, stage)
+      .filter(col("v") < 0).count() == 1,
+      "the audit must see the staged violation")
+    assert(intercept[IllegalArgumentException](
+      Snapshots.publishStaged(spark, t, stage))
+      .getMessage.contains("v-pos"))
+    Snapshots.abandonStaged(spark, t, stage)
+    // a compliant stage publishes, constraint carried
+    val ok = Snapshots.commitStaged(Seq((9L, 90L)).toDF("k", "v"), t)
+    Snapshots.publishStaged(spark, t, ok)
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    // maintenance rewrites carry the line (moving validated rows)
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") === 1L)
+    Snapshots.materializeDeletes(spark, t)
+    Snapshots.compactSmall(spark, t, smallBytes = 1L << 40)
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((10L, -1L)).toDF("k", "v"), t))
+      .getMessage.contains("v-pos"))
+  }
+
+  test("CHECK constraints: rename refusal when referenced, carry when " +
+      "not; restore requires equal sets; evolve interplay; clones " +
+      "inherit") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), t)
+    Snapshots.addCheck(spark, t, "v-pos", "v > 0")
+    // rename of the referenced column refuses with the actionable path
+    val e = intercept[IllegalArgumentException](
+      Snapshots.renameColumn(spark, t, "v", "w"))
+    assert(e.getMessage.contains("v-pos") && e.getMessage.contains("dropCheck"))
+    // an UNRELATED rename carries the constraint and it keeps binding
+    Snapshots.renameColumn(spark, t, "k", "key")
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((3L, -1L)).toDF("key", "v"), t))
+      .getMessage.contains("v-pos"))
+    // ADDITIVE evolution alongside a live constraint: the widened
+    // frame still validates against the (old-column) expression
+    Snapshots.commit(Seq((3L, 30L, "x")).toDF("key", "v", "tag"), t,
+      allowEvolve = true)
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    // restore across a CHANGED check set refuses; after re-aligning,
+    // the restore lands and carries the set
+    val headV = Snapshots.latestVersion(spark, t)
+    Snapshots.dropCheck(spark, t, "v-pos")
+    assert(intercept[IllegalArgumentException](
+      Snapshots.restoreTo(spark, t, headV))
+      .getMessage.contains("CHECK"))
+    Snapshots.addCheck(spark, t, "v-pos", "v > 0")
+    // target headV carried the same single constraint → sets equal
+    assert(Snapshots.restoreTo(spark, t, headV).isDefined)
+    assert(Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
+    // clones inherit the contract
+    val dst = freshTable()
+    Snapshots.cloneShallow(spark, t, dst)
+    assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((9L, -1L, "y")).toDF("key", "v", "tag"), dst))
+      .getMessage.contains("v-pos"))
+  }
+
   test("bloom sidecar memoization: N repeated lookups deserialize each " +
       "sidecar ONCE (immutable files cache by path)") {
     import spark.implicits._

@@ -166,6 +166,40 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(dstDf.collect().map(_.toSeq).toSet == before)
   }
 
+  test("replicateOnce propagates CHECK constraints like schema: adds " +
+      "ride before the apply, drops converge, and a violating source " +
+      "write never reaches a constrained replica unvalidated") {
+    import spark.implicits._
+    val src = fresh("rep_chk_src")
+    val dst = fresh("rep_chk_dst")
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    Snapshots.addCheck(spark, src, "v-pos", "v > 0")
+    // bootstrap: the replica inherits the constraint with its data
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isDefined)
+    assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
+    // the replica's constraint binds its own direct writers too (the
+    // replica's bootstrap contract is nullable — match it, so the
+    // refusal is the CHECK, not schema drift)
+    assert(intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((Option(99L), Option(-1L))).toDF("k", "v"), dst))
+      .getMessage.contains("v-pos"))
+    // incremental: a second constraint added at the source rides the
+    // next sync ahead of the fold
+    Snapshots.mergeUpsert(spark, src, Seq((2L, 222L)).toDF("k", "v"), "k")
+    Snapshots.addCheck(spark, src, "k-pos", "k > 0")
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isDefined)
+    assert(Snapshots.checksOf(spark, dst) ==
+      Map("v-pos" -> "v > 0", "k-pos" -> "k > 0"))
+    val srcDf = Snapshots.read(spark, src).select("k", "v")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+    // a source-side drop converges the replica's set on the next sync
+    Snapshots.dropCheck(spark, src, "v-pos")
+    Snapshots.mergeUpsert(spark, src, Seq((3L, 333L)).toDF("k", "v"), "k")
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isDefined)
+    assert(Snapshots.checksOf(spark, dst) == Map("k-pos" -> "k > 0"))
+  }
+
   test("replicateOnce is exactly-once: a replayed range no-ops on the " +
       "txn tag, and the replica's own feed carries no self-cancelling " +
       "delete+insert pairs") {
