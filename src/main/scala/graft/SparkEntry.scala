@@ -6549,6 +6549,79 @@ object SparkEntry {
   private def ioTmp(dir: String, name: String): String =
     s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
+  /** Shared STAGED-SOURCE template for the lakehouse/replication gate
+    * family (q92/q95/io32/io37/io38/io42 all open on the identical
+    * two-commit chain: even keys, then odd keys, over `(k, cents)`):
+    * the Spark staging jobs run ONCE per (session, sf-dir) and every
+    * gate receives an independent FILE-LEVEL COPY. Manifest dir tokens
+    * are table-relative, so a copied tree is a fully independent table
+    * — each gate's divergence (deletes, merges, restores, constraint
+    * adds, clones) lands in its own private chain and never touches
+    * the template. The copy is a local byte move (no Spark jobs), so
+    * the family's fixture cost collapses from 2 commits × gates ×
+    * bench passes to 2 commits per session — bit-identical to an
+    * in-place build, every oracle untouched (the [[sharedArtifact]]
+    * justification applied to TABLES instead of frames).
+    */
+  private val stagedTemplates =
+    java.util.Collections.synchronizedMap(
+      new java.util.HashMap[String, String]())
+
+  private def stageTemplate(s: SparkSession, dir: String, kind: String,
+      target: String)(o: => DataFrame): Unit = {
+    val key = s"$kind@$dir"
+    val tmpl = stagedTemplates.synchronized {
+      Option(stagedTemplates.get(key)).getOrElse {
+        val t = ioTmp(dir, s"_tmpl_$kind")
+        rmTree(t) // a stale on-disk template from a prior JVM rebuilds
+        val frame = o
+        graft.io.Snapshots.commit(frame.filter(col("k") % 2 === 0), t): Unit
+        graft.io.Snapshots.commit(frame.filter(col("k") % 2 =!= 0), t): Unit
+        stagedTemplates.put(key, t)
+        t
+      }
+    }
+    copyTree(tmpl, target)
+  }
+
+  /** The `(k, cents)` flavor — q92/q93/q95/q89/io26/io27/io28/io32/
+    * io36/io37/io38/io42's shared opening chain.
+    */
+  private def stageSrc2(s: SparkSession, dir: String, target: String): Unit =
+    stageTemplate(s, dir, "src2", target)(
+      Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("cents")))
+
+  /** The `(k, grp, cents)` flavor — q84/q91's view-sync opening chain. */
+  private def stageSrc2g(s: SparkSession, dir: String, target: String): Unit =
+    stageTemplate(s, dir, "src2g", target)(
+      Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 10).as("grp"),
+        cents(col("o_totalprice")).as("cents")))
+
+  private def rmTree(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+  }
+
+  private def copyTree(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t): Unit
+      else {
+        java.nio.file.Files.createDirectories(t.getParent): Unit
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    } finally walk.close()
+  }
+
   /** CSV sink+source round-trip with the reference's `;` conventions
     * (S3/S5): write, re-read with schema inference, aggregate — must equal
     * the direct-on-parquet oracle.
@@ -7129,8 +7202,7 @@ object SparkEntry {
     if (f.exists(p)) f.delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    stageSrc2(s, dir, table)
     val dirsBefore = graft.io.Snapshots.dataDirsOf(s, table, 2)
     val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
       s, table, "k", col("k") % 7 === 0)
@@ -7187,8 +7259,7 @@ object SparkEntry {
     if (f.exists(p)) f.delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    stageSrc2(s, dir, table)
     val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
       s, table, "k", col("k") % 5 === 0)
     require(v3 == 3 && nDel > 0, s"io27: MoR delete landed ($v3, $nDel)")
@@ -7244,8 +7315,7 @@ object SparkEntry {
     if (f.exists(p)) f.delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    stageSrc2(s, dir, table)
     val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
       s, table, "k", col("k") % 7 === 0)
     require(v3 == 3 && nDel > 0, s"io28: MoR delete landed ($v3, $nDel)")
@@ -7304,8 +7374,7 @@ object SparkEntry {
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       (col("o_custkey") % 10).as("grp"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    stageSrc2g(s, dir, table)
     def deltaOf(fromV: Int, toV: Int) =
       graft.io.Snapshots.changeFeed(s, table, fromV, toV)
         .select(when(col("_change_type") === "insert", "I")
@@ -7394,8 +7463,7 @@ object SparkEntry {
     }
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint("q91_live")
     // v1, v2: appends; tick 0 → sync folds versions 1..2
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    stageSrc2g(s, dir, src)
     writeTick(0)
     runStream(ckpt)
     require(graft.streaming.ChangeFeedSync.cursorOf(s, view) == 2,
@@ -7520,8 +7588,7 @@ object SparkEntry {
     if (f.exists(p)) f.delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    stageSrc2(s, dir, table)
     val nBefore = graft.io.Snapshots.read(s, table).count()
     // 1. the erasure REQUEST: instant logical delete, O(keys)
     val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
@@ -7574,9 +7641,8 @@ object SparkEntry {
     if (f.exists(p)) f.delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
+    stageSrc2(s, dir, table)
     graft.io.Snapshots.tagVersion(s, table, "baseline", 1)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
     val (v3, _, rewr) = graft.io.Snapshots.deleteWhere(
       s, table, col("k") % 5 === 0)
     require(v3 == 3 && rewr >= 1, s"io32: delete landed ($v3, $rewr)")
@@ -7634,8 +7700,7 @@ object SparkEntry {
     val dst = s"$base/replica"
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    stageSrc2(s, dir, src)
     require(graft.streaming.ChangeFeedSync
       .replicateOnce(s, src, dst, "k").contains((1, 2)),
       "q92: initial load must fold source versions 1..2")
@@ -7685,6 +7750,110 @@ object SparkEntry {
     require(rDel.join(rIns, Seq("_commit_version", "k", "cents")).isEmpty,
       "q92: replica feed carries self-cancelling delete+insert pairs")
     graft.io.Snapshots.read(s, dst)
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
+  /** CASCADED (TWO-TIER) CDF REPLICATION through a RESTORE
+    * ([[graft.streaming.ChangeFeedSync.replicateOnce]] chained — the
+    * replica-of-replica topology a geo-distributed lakehouse runs):
+    * tier-1 replicates the SOURCE's feed, tier-2 replicates TIER-1's
+    * OWN feed — legitimate only because q92 proved a replica's feed is
+    * a faithful re-emission of net changes (no self-cancelling pairs),
+    * and gated here END-TO-END across the hardest range: the source
+    * evolves (CoW delete + merge), both tiers converge, then a
+    * zero-copy [[graft.io.Snapshots.restoreTo]] ROLLS THE SOURCE BACK
+    * — its directory-reference diff (`#cdfdel`/`#cdfins` lines, no
+    * rows copied) must propagate src → tier-1 → tier-2 as ordinary
+    * merge-kind feed ranges, leaving tier-2 equal to source-at-head
+    * BIT-FOR-BIT (require-gated both directions). Version counts pin
+    * the atomic-apply shape at BOTH tiers (tier-1: bootstrap + two
+    * applies; tier-2: bootstrap + one apply), both tiers' feeds must
+    * be self-cancelling-pair-free, and a full replay must no-op at
+    * both tiers without committing (the per-tier `(writerId,
+    * sourceVersion)` txn tags close the at-least-once window hop by
+    * hop). The oracle recomputes the restored corpus — all orders —
+    * from raw orders.
+    */
+  private def q95CascadeReplica(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q95")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val t1 = s"$base/tier1"
+    val t2 = s"$base/tier2"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    stageSrc2(s, dir, src)
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, t1, "k").contains((1, 2)),
+      "q95: tier-1 bootstrap must fold source 1..2")
+    // source evolves: CoW delete + merge (updates + shifted inserts)
+    val (v3, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, src, col("k") % 5 === 0)
+    require(v3 == 3 && rewr >= 1, s"q95: CoW delete landed ($v3, $rewr)")
+    require(graft.io.Snapshots.mergeUpsert(s, src,
+      o.filter(col("k") % 10 === 3)
+        .select(col("k"), (col("cents") + lit(7L)).as("cents"))
+        .unionByName(o.filter(col("k") % 10 === 6)
+          .select((col("k") + lit(2000000000L)).as("k"),
+            (col("cents") + lit(5L)).as("cents"))), "k")._1 == 4,
+      "q95: merge landed")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, t1, "k").contains((3, 4)),
+      "q95: tier-1 incremental must fold source 3..4")
+    // tier-2 bootstraps from TIER-1 — before the restore, so the
+    // rollback diff must flow through BOTH hops incrementally
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, t1, t2, "k").contains((1, 2)),
+      "q95: tier-2 bootstrap must land off tier-1's chain")
+    // the zero-copy rollback: back to the clean two-commit state
+    require(graft.io.Snapshots.restoreTo(s, src, 2).contains(5),
+      "q95: restore must land as source v5")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, src, t1, "k").contains((5, 5)),
+      "q95: tier-1 must fold the restore's merge-kind range")
+    require(graft.streaming.ChangeFeedSync
+      .replicateOnce(s, t1, t2, "k").contains((3, 3)),
+      "q95: tier-2 must fold tier-1's re-emission of the rollback")
+    // atomic-apply shape pinned at BOTH tiers
+    require(graft.io.Snapshots.latestVersion(s, t1) == 3,
+      s"q95: tier-1 must be bootstrap + two atomic applies")
+    require(graft.io.Snapshots.latestVersion(s, t2) == 2,
+      s"q95: tier-2 must be bootstrap + one atomic apply")
+    // tier-2 == source-at-head, bit-for-bit both directions
+    val srcDf = graft.io.Snapshots.read(s, src)
+      .select("k", "cents").localCheckpoint()
+    val t2Df = graft.io.Snapshots.read(s, t2)
+      .select("k", "cents").localCheckpoint()
+    require(srcDf.exceptAll(t2Df).isEmpty && t2Df.exceptAll(srcDf).isEmpty,
+      "q95: tier-2 must equal source-at-head bit-for-bit")
+    // both tiers' feeds are faithful: no self-cancelling pairs
+    def pairFree(table: String, toV: Int, tier: String): Unit = {
+      val feed = graft.io.Snapshots.changeFeed(s, table, 1, toV)
+      val d = feed.filter(col("_change_type") === "delete")
+        .select("_commit_version", "k", "cents")
+      val i = feed.filter(col("_change_type") === "insert")
+        .select("_commit_version", "k", "cents")
+      require(d.join(i, Seq("_commit_version", "k", "cents")).isEmpty,
+        s"q95: $tier feed carries self-cancelling delete+insert pairs")
+    }
+    pairFree(t1, 3, "tier-1")
+    pairFree(t2, 2, "tier-2")
+    // full replay: both hops no-op on their txn tags, nothing commits
+    require(graft.streaming.ChangeFeedSync
+        .replicateOnce(s, src, t1, "k").isEmpty &&
+      graft.streaming.ChangeFeedSync
+        .replicateOnce(s, t1, t2, "k").isEmpty,
+      "q95: a replayed sync must no-op at both tiers")
+    require(graft.io.Snapshots.latestVersion(s, t1) == 3 &&
+      graft.io.Snapshots.latestVersion(s, t2) == 2,
+      "q95: the replay must not commit at either tier")
+    graft.io.Snapshots.read(s, t2)
       .groupBy((col("k") % 10).as("bucket"))
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
       .orderBy("bucket")
@@ -7755,8 +7924,7 @@ object SparkEntry {
     }
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint("q93_live")
     // v1, v2: appends; tick 0 → SYNC 1 = snapshot bootstrap at v2
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    stageSrc2(s, dir, src)
     writeTick(0)
     runStream(ckpt)
     require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 2,
@@ -7921,8 +8089,7 @@ object SparkEntry {
     if (f.exists(p)) f.delete(p, true)
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table)
+    stageSrc2(s, dir, table)
     val src = o.filter(col("k") % 10 === 3)
       .select(col("k"), (col("cents") + lit(7L)).as("cents"))
       .unionByName(o.filter(col("k") % 10 === 6)
@@ -7982,8 +8149,7 @@ object SparkEntry {
     val rep = s"$base/replica"
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    stageSrc2(s, dir, src)
     // the CDF consumer bootstraps on the CLEAN state
     require(graft.streaming.ChangeFeedSync
       .replicateOnce(s, src, rep, "k").contains((1, 2)),
@@ -8069,8 +8235,7 @@ object SparkEntry {
     val dst = s"$base/clone"
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), src)
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), src)
+    stageSrc2(s, dir, src)
     val nOrders = graft.io.Snapshots.read(s, src).count()
     require(graft.io.Snapshots.cloneShallow(s, src, dst) == 1,
       "io38: clone must land as the target's v1")
@@ -8398,8 +8563,7 @@ object SparkEntry {
     val rep = s"$base/rep"
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("cents"))
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 === 0), table): Unit
-    graft.io.Snapshots.commit(o.filter(col("k") % 2 =!= 0), table): Unit
+    stageSrc2(s, dir, table)
     val v3 = graft.io.Snapshots.addCheck(s, table, "cents-pos", "cents > 0")
     require(v3 == 3 && graft.io.Snapshots.checksOf(s, table) ==
         Map("cents-pos" -> "cents > 0"),
@@ -9091,6 +9255,7 @@ object SparkEntry {
     "io40_bloom_stats" -> io40BloomStats _,
     "io41_dsv2_catalog" -> io41DsvCatalog _,
     "io42_check_constraints" -> io42CheckConstraints _,
+    "q95_cascade_replica" -> q95CascadeReplica _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12687,6 +12852,16 @@ object SparkEntry {
     // three-way bit-equality, SQL time travel (version + tag), sketch-
     // pruned point lookup, and tombstone-invisibility proofs are
     // require-gated in-query
+    // tier-2's corpus after the rollback propagated through two hops:
+    // exactly all orders (restore to the clean two-commit state); the
+    // version-count pins, bit-equality, pair-free feeds at both tiers,
+    // and the no-commit replay are require-gated in-query
+    "q95_cascade_replica" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the constrained table's head: all orders (the one merge is a
     // value-identical update); every refusal leg — violating append /
     // merge / staged publish / replicated apply, all pre-claim with the

@@ -1774,6 +1774,20 @@ object Snapshots {
     * deletion vectors refuse; schema must match the committed contract
     * exactly. CAS posture identical to [[deleteWhere]].
     *
+    * NO-OP ELIMINATION: an upsert whose key currently holds exactly one
+    * value-identical row (null-safe comparison over every column) is
+    * dropped before the rewrite — it is a MOVED row, not a changed one.
+    * The case matters because [[restoreTo]]'s zero-copy feed is a
+    * DIRECTORY-level diff: it re-emits every row a prior CoW rewrite
+    * relocated, and a consumer applying that verbatim would rewrite
+    * unchanged directories (write amplification O(moved), not O(net))
+    * and stamp self-cancelling delete+insert pairs into its own feed,
+    * breaking the faithful-re-emission contract a further downstream
+    * tier relies on (the q95 cascade gate). Detection costs one
+    * O(hit dirs) comparison pass; directories hit only by
+    * moved-not-modified rows carry by reference. `nUpdated`/`nInserted`
+    * count NET changes (no-ops excluded).
+    *
     * @return Some((version, nDeleted, nUpdated, nInserted)) — key
     *         counts, not row counts — or None when the (writerId,
     *         batchId) transaction already committed
@@ -1819,12 +1833,68 @@ object Snapshots {
           "— a key both deleted and upserted in one apply is ambiguous; " +
           "collapse to one outcome per key upstream")
       val allKeys = delKeysD.unionByName(srcKeys).distinct()
-      val hitFiles = applyRenames(lines,
+      // PASS 1 — candidate hit discovery over the whole chain (footer-
+      // pruned by the key semi-join), exactly the deleteWhere shape
+      val hitFiles0 = applyRenames(lines,
           readDirsRaw(s, table, lines, dirs, withFile = true))
         .join(allKeys, Seq(keyCol), "left_semi")
         .select(org.apache.spark.sql.functions.col("__f").as("f"))
         .distinct().collect().map(_.getString(0))
-      val hitDirs = dirs.filter(d => hitFiles.exists(_.contains(s"/$d/"))).toSet
+      val hitDirs0 = dirs.filter(d => hitFiles0.exists(_.contains(s"/$d/"))).toSet
+      // PASS 2 — NO-OP ELIMINATION, O(hit dirs) only: an upsert whose
+      // key currently holds EXACTLY ONE row with value-identical
+      // columns (null-safe) is not a change — a restore's directory-
+      // level diff re-emits every row a CoW rewrite MOVED but did not
+      // modify, and applying those verbatim would rewrite unchanged
+      // directories and record self-cancelling delete+insert pairs in
+      // this table's own feed (poisoning any further downstream tier).
+      // Dropping them keeps the apply O(net changes): directories hit
+      // only by moved-not-modified rows carry by reference.
+      val (noopKeys, nNoop) =
+        if (hitDirs0.isEmpty)
+          (None, 0L)
+        else {
+          import org.apache.spark.sql.functions.{count => cnt, lit, sum, when}
+          val hitRowsF = applyRenames(lines,
+            readDirsRaw(s, table, lines, hitDirs0.toSeq))
+          val srcP = source.select(source.columns.toIndexedSeq.map(c =>
+            source(c).as(s"__s_$c")): _*)
+          val joined = hitRowsF.join(srcP,
+            hitRowsF(keyCol) === srcP(s"__s_$keyCol"), "inner")
+          // a contract column ABSENT from every hit file (rows predating
+          // an additive evolution) reads as NULL — compare against that
+          val hitCols = hitRowsF.columns.toSet
+          val same = source.columns.filterNot(_ == keyCol).toIndexedSeq
+            .map(c =>
+              if (hitCols(c)) joined(c) <=> joined(s"__s_$c")
+              else joined(s"__s_$c").isNull)
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val nk = joined.groupBy(joined(keyCol))
+            .agg(cnt(lit(1)).as("__n"),
+              sum(when(same, 1L).otherwise(0L)).as("__eq"))
+            .filter(org.apache.spark.sql.functions.col("__n") === 1 &&
+              org.apache.spark.sql.functions.col("__eq") === 1)
+            .select(joined(keyCol))
+            .localCheckpoint()
+          val n = nk.count()
+          (if (n == 0) None else Some(nk), n)
+        }
+      def dropNoop(df: DataFrame): DataFrame =
+        noopKeys.map(nk => df.join(nk, Seq(keyCol), "left_anti")).getOrElse(df)
+      val effSource = dropNoop(source)
+      val effKeys = dropNoop(allKeys)
+      // refine the hit set under the effective keys: O(hit dirs)
+      val hitDirs =
+        if (noopKeys.isEmpty) hitDirs0
+        else if (hitDirs0.isEmpty) hitDirs0
+        else {
+          val files2 = applyRenames(lines,
+              readDirsRaw(s, table, lines, hitDirs0.toSeq, withFile = true))
+            .join(effKeys, Seq(keyCol), "left_semi")
+            .select(org.apache.spark.sql.functions.col("__f").as("f"))
+            .distinct().collect().map(_.getString(0))
+          hitDirs0.filter(d => files2.exists(_.contains(s"/$d/")))
+        }
       val carried = dirs.filterNot(hitDirs)
       val hitRows =
         if (hitDirs.isEmpty) None
@@ -1837,17 +1907,17 @@ object Snapshots {
         // preimages of BOTH legs (replaced + deleted rows) in one
         // sidecar — every one is a delete event to the feed — and the
         // survivors in the same O(hit dirs) pass
-        hr.join(allKeys, Seq(keyCol), "left_semi")
+        hr.join(effKeys, Seq(keyCol), "left_semi")
           .write.mode("errorifexists").parquet(s"$table/$preDir")
         val preKeys = s.read.parquet(s"$table/$preDir")
           .select(keyCol).distinct()
         nUpdated = preKeys.join(srcKeys, Seq(keyCol), "left_semi").count()
         nDeleted = preKeys.join(delKeysD, Seq(keyCol), "left_semi").count()
-        hr.join(allKeys, Seq(keyCol), "left_anti")
+        hr.join(effKeys, Seq(keyCol), "left_anti")
           .write.mode("errorifexists").parquet(s"$table/$survivorDir")
       }
       val srcDir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
-      source.write.mode("errorifexists").parquet(s"$table/$srcDir")
+      effSource.write.mode("errorifexists").parquet(s"$table/$srcDir")
       val newDirs = carried ++
         (if (hitDirs.isEmpty) Nil else Seq(survivorDir)) :+ srcDir
       val ddl = schemaOf(s, table, prev).getOrElse(source.schema.toDDL)
@@ -1866,9 +1936,11 @@ object Snapshots {
           if (v > latestHintOnly(s, table))
             atomicWrite(s, f, new Path(s"$table/_latest"), v.toString)
         } catch { case _: java.io.IOException => () }
-        return Some((v, nDeleted, nUpdated, nSrc - nUpdated))
+        noopKeys.foreach(graft.ops.Checkpoints.free)
+        return Some((v, nDeleted, nUpdated, nSrc - nNoop - nUpdated))
       }
       // lost the race: computed against a superseded chain — abandon
+      noopKeys.foreach(graft.ops.Checkpoints.free)
       f.delete(new Path(s"$table/$survivorDir"), true): Unit
       f.delete(new Path(s"$table/$preDir"), true): Unit
       f.delete(new Path(s"$table/$srcDir"), true): Unit
