@@ -8536,6 +8536,15 @@ object SparkEntry {
     require(s.sql(s"SELECT * FROM snap41.t WHERE sid = $delSid")
         .isEmpty,
       "io41: the dv anti-join must ride inside the DSv2 scan")
+    // the WRITE door: INSERT INTO through the catalog lands as an
+    // ordinary CAS commit (schema + CHECK gates included) and the next
+    // SQL read sees it — the sentinel rides into the deliverable
+    s.sql("INSERT INTO snap41.t VALUES (9000000009, 1, 77)")
+    require(graft.io.Snapshots.latestVersion(s, table) == 5,
+      "io41: the SQL INSERT must land as commit v5")
+    require(graft.io.Snapshots.read(s, table)
+        .filter(col("k") === 9000000009L).count() == 1,
+      "io41: the inserted row must be visible to the library read")
     // the deliverable rides the SQL door end-to-end
     s.sql("""SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
       CAST(sum(cents) AS BIGINT) AS cents_sum
@@ -12857,6 +12866,8 @@ object SparkEntry {
     // three-way bit-equality, SQL time travel (version + tag), sketch-
     // pruned point lookup, and tombstone-invisibility proofs are
     // require-gated in-query
+    // (io41's oracle: the head corpus minus the %9 tombstones PLUS the
+    // SQL-INSERTed sentinel row — the write door is oracle-gated too)
     // tier-2's corpus after the rollback propagated through two hops:
     // exactly all orders (restore to the clean two-commit state); the
     // version-count pins, bit-equality, pair-free feeds at both tiers,
@@ -12880,10 +12891,12 @@ object SparkEntry {
         |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
     "io41_dsv2_catalog" ->
       """WITH o AS (SELECT o_orderkey AS k,
-        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |live AS (SELECT k, cents FROM o WHERE k % 9 <> 0
+        |  UNION ALL SELECT CAST(9000000009 AS BIGINT), CAST(77 AS BIGINT))
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
-        |FROM o WHERE k % 9 <> 0 GROUP BY 1 ORDER BY bucket""".stripMargin,
+        |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the maintained table's final state: all orders minus the %9
     // tombstones; the plan-shape, metric, bit-identity, and empty-
     // re-plan fixpoint proofs are require-gated in-query

@@ -8,10 +8,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual, StringStartsWith, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -72,7 +73,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val s = SparkSession.active
-    val (path, v) = SnapshotDataSource.resolve(s, options)
+    val (path, v, _) = SnapshotDataSource.resolve(s, options)
     SnapshotDataSource.schemaAt(s, path, v)
   }
 
@@ -80,8 +81,8 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val s = SparkSession.active
     val opts = new CaseInsensitiveStringMap(properties)
-    val (path, v) = SnapshotDataSource.resolve(s, opts)
-    new SnapshotTable(path, v, schema)
+    val (path, v, pinned) = SnapshotDataSource.resolve(s, opts)
+    new SnapshotTable(path, v, schema, pinnedRead = pinned)
   }
 }
 
@@ -93,7 +94,7 @@ object SnapshotDataSource {
     * version; none pins the CURRENT version at load time.
     */
   private[sources] def resolve(s: SparkSession,
-      options: CaseInsensitiveStringMap): (String, Int) = {
+      options: CaseInsensitiveStringMap): (String, Int, Boolean) = {
     val path = options.get("path")
     require(path != null && path.nonEmpty,
       "graft-snapshot: the 'path' option is required")
@@ -110,7 +111,7 @@ object SnapshotDataSource {
       case _ => Snapshots.latestVersion(s, path)
     }
     require(v >= 1, s"graft-snapshot: nothing committed at $path")
-    (path, v)
+    (path, v, pins.nonEmpty)
   }
 
   private[sources] def parseMillis(raw: String): Long = {
@@ -221,13 +222,75 @@ object SnapshotScans {
 }
 
 final class SnapshotTable(path: String, version: Int,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType, pinnedRead: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-snapshot:$path@v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(path, version, tableSchema)
+
+  /** APPEND through the front door (`INSERT INTO <cat>.<t>`,
+    * `df.writeTo(…).append()`): the V1 write bridge hands the resolved
+    * frame to [[Snapshots.commit]], so the SQL surface inherits every
+    * commit contract — the CAS manifest claim, schema-drift refusal,
+    * and CHECK-constraint enforcement (a violating INSERT refuses
+    * pre-claim exactly like a library commit). Writes land at the
+    * table HEAD: a time-travel-pinned load (`versionAsOf`/`tag`/
+    * `TIMESTAMP AS OF`) refuses writes loudly — inserting "into the
+    * past" would silently land at the head anyway, the one lie this
+    * surface must not tell. `INSERT OVERWRITE` refuses: replacement is
+    * a maintenance decision ([[Snapshots.deleteWhere]] + commit, or
+    * restore), not an implicit one.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinnedRead) throw new UnsupportedOperationException(
+      s"graft-snapshot: $path was loaded pinned at v$version " +
+        "(versionAsOf/timestampAsOf/tag) — writes go to the table " +
+        "head; load without a version pin to append")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"graft-snapshot: INSERT OVERWRITE at $path refused — " +
+                  "replacement is an explicit maintenance op " +
+                  "(deleteWhere/restore), not an implicit truncate")
+              val s = data.sparkSession
+              // Spark resolves the insert against the nullable-loosened
+              // read schema; re-assert the COMMITTED contract (exact
+              // nullability) so the commit's drift guard compares like
+              // for like — NOT NULL columns get a real null check first
+              val contract = Snapshots.schemaOf(s, path,
+                  Snapshots.latestVersion(s, path))
+                .map(StructType.fromDDL)
+              val frame = contract match {
+                case Some(st)
+                    if st.fieldNames.toSeq == data.columns.toSeq &&
+                      st.fields.map(_.dataType).toSeq ==
+                        data.schema.fields.map(_.dataType).toSeq =>
+                  val notNull = st.fields.filterNot(_.nullable).map(_.name)
+                  if (notNull.nonEmpty) {
+                    val bad = data.filter(notNull.toIndexedSeq
+                        .map(c => org.apache.spark.sql.functions.col(c).isNull)
+                        .reduce(_ || _))
+                      .limit(1).count()
+                    require(bad == 0,
+                      s"INSERT into $path: NULL in NOT NULL column(s) " +
+                        notNull.mkString(", "))
+                  }
+                  s.createDataFrame(data.rdd, st)
+                case _ => data
+              }
+              Snapshots.commit(frame, path): Unit
+            }
+          }
+      }
+    }
+  }
 }
 
 final class SnapshotScanBuilder(path: String, version: Int,
@@ -371,7 +434,8 @@ class SnapshotCatalog extends TableCatalog {
     if (latest < 1) throw new NoSuchTableException(ident)
     val v = version.getOrElse(latest)
     new SnapshotTable(path, v,
-      SnapshotDataSource.schemaAt(spark, path, v))
+      SnapshotDataSource.schemaAt(spark, path, v),
+      pinnedRead = version.isDefined)
   }
 
   private def readOnly(op: String): Nothing =

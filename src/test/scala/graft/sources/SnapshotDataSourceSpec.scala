@@ -179,6 +179,52 @@ class SnapshotDataSourceSpec extends SparkSpec {
       .head().getLong(0) == 30)
   }
 
+  test("write path: INSERT INTO and writeTo().append() land as CAS " +
+      "commits with schema and CHECK gates; pinned loads and OVERWRITE " +
+      "refuse") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // nullable contract (Option) so SQL inserts compare like for like
+    Snapshots.commit(Seq((Option(1L), Option(10L)), (Option(2L), Option(20L)))
+      .toDF("k", "v"), t)
+    Snapshots.addCheck(spark, t, "v-pos", "v > 0")
+    val cat = s"snapw_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    // SQL INSERT routes through Snapshots.commit: new version, data live
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 30), (4, 40)")
+    assert(Snapshots.latestVersion(spark, t) == 3)
+    assert(Snapshots.read(spark, t).count() == 4)
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.t")
+      .head().getLong(0) == 100L)
+    // the DataFrameWriterV2 door too
+    Seq((Option(5L), Option(50L))).toDF("k", "v").writeTo(s"$cat.t").append()
+    assert(Snapshots.read(spark, t).count() == 5)
+    // a violating INSERT refuses PRE-CLAIM, naming the constraint
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.t VALUES (9, -1)"))
+    assert(e.getMessage.contains("v-pos"),
+      s"expected the CHECK refusal, got: ${e.getMessage}")
+    assert(Snapshots.latestVersion(spark, t) == 4 &&
+      Snapshots.read(spark, t).count() == 5)
+    // INSERT OVERWRITE refuses — replacement is an explicit op (Spark
+    // refuses at planning: the table declares no truncate capability)
+    val ow = intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE $cat.t VALUES (1, 1)"))
+    assert(ow.getMessage.contains("truncate") ||
+      ow.getMessage.contains("OVERWRITE"))
+    // a version-pinned table refuses the write builder outright —
+    // writing "into the past" would silently land at the head (the
+    // catalog's loadTable(ident, version) constructs exactly this)
+    val pinned = new SnapshotTable(t, 1,
+      SnapshotDataSource.schemaAt(spark, t, 1), pinnedRead = true)
+    assert(intercept[UnsupportedOperationException](
+      pinned.newWriteBuilder(null)).getMessage.contains("pinned"))
+    assert(Snapshots.read(spark, t).count() == 5)
+  }
+
   test("catalog listTables surfaces manifest-bearing directories only") {
     import spark.implicits._
     val base = freshBase()
