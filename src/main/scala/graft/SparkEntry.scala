@@ -7780,6 +7780,13 @@ object SparkEntry {
     * sourceVersion)` txn tags close the at-least-once window hop by
     * hop). The oracle recomputes the restored corpus — all orders —
     * from raw orders.
+    *
+    * Wall-clock floor (the q93 family's): two source maintenance
+    * commits + a restore + FOUR atomic applies across two tiers (each
+    * an O(table-scan) hit discovery + no-op pass + commit) + two
+    * replayed no-op syncs + two full-feed pair-free scans + the
+    * bit-equality legs — commit and scan floor across three tables,
+    * not per-row compute.
     */
   private def q95CascadeReplica(s: SparkSession, dir: String): DataFrame = {
     val base = ioTmp(dir, "q95")
@@ -8498,9 +8505,14 @@ object SparkEntry {
       .select("k", "sid", "cents").localCheckpoint()
     val fmt = s.read.format("graft-snapshot").option("path", table)
       .load().select("k", "sid", "cents").localCheckpoint()
-    s.conf.set("spark.sql.catalog.snap41", "graft.sources.SnapshotCatalog")
-    s.conf.set("spark.sql.catalog.snap41.base", base)
-    val sqlDf = s.sql("SELECT k, sid, cents FROM snap41.t").localCheckpoint()
+    // catalog name keyed to the base: a catalog instance is CACHED in
+    // the session at first use with its init-time base, so one name
+    // across sf dirs (bench warms at sf0.001, times at sf0.1) would pin
+    // the warmup's base forever
+    val cat = s"snap41_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val sqlDf = s.sql(s"SELECT k, sid, cents FROM $cat.t").localCheckpoint()
     require(lib.exceptAll(fmt).isEmpty && fmt.exceptAll(lib).isEmpty,
       "io41: the format read must equal the library read bit-for-bit")
     require(lib.exceptAll(sqlDf).isEmpty && sqlDf.exceptAll(lib).isEmpty,
@@ -8509,11 +8521,11 @@ object SparkEntry {
     val cRow = o.agg(count(lit(1)),
       sum(when(col("k") % 2 === 0, 1L).otherwise(0L))).head()
     val (nAll, nSlice0) = (cRow.getLong(0), cRow.getLong(1))
-    require(s.sql("SELECT count(*) AS n FROM snap41.t VERSION AS OF 1")
+    require(s.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 1")
         .head().getLong(0) == nSlice0,
       "io41: VERSION AS OF 1 must pin the first slice")
     require(s.sql(
-        "SELECT count(*) AS n FROM snap41.t VERSION AS OF 'pre-delete'")
+        s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 'pre-delete'")
         .head().getLong(0) == nAll,
       "io41: the tag must resolve the pre-delete corpus")
     require(lib.count() == nAll - nDel,
@@ -8522,7 +8534,7 @@ object SparkEntry {
     val probeRow = o.filter(col("k") % 2 === 0 && col("k") % 9 =!= 0)
       .orderBy("k").limit(1).head()
     val probe = probeRow.getLong(1)
-    val got = s.sql(s"SELECT cents FROM snap41.t WHERE sid = $probe")
+    val got = s.sql(s"SELECT cents FROM $cat.t WHERE sid = $probe")
       .collect()
     val info = graft.sources.SnapshotScans.lastScan.get
     require(info.dirsTotal == 2 && info.dirsRead == 1,
@@ -8533,22 +8545,22 @@ object SparkEntry {
     // a tombstoned key stays invisible through the pruned path
     val delSid = o.filter(col("k") % 9 === 0).orderBy("k").limit(1)
       .head().getLong(1)
-    require(s.sql(s"SELECT * FROM snap41.t WHERE sid = $delSid")
+    require(s.sql(s"SELECT * FROM $cat.t WHERE sid = $delSid")
         .isEmpty,
       "io41: the dv anti-join must ride inside the DSv2 scan")
     // the WRITE door: INSERT INTO through the catalog lands as an
     // ordinary CAS commit (schema + CHECK gates included) and the next
     // SQL read sees it — the sentinel rides into the deliverable
-    s.sql("INSERT INTO snap41.t VALUES (9000000009, 1, 77)")
+    s.sql(s"INSERT INTO $cat.t VALUES (9000000009, 1, 77)")
     require(graft.io.Snapshots.latestVersion(s, table) == 5,
       "io41: the SQL INSERT must land as commit v5")
     require(graft.io.Snapshots.read(s, table)
         .filter(col("k") === 9000000009L).count() == 1,
       "io41: the inserted row must be visible to the library read")
     // the deliverable rides the SQL door end-to-end
-    s.sql("""SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+    s.sql(s"""SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
       CAST(sum(cents) AS BIGINT) AS cents_sum
-      FROM snap41.t GROUP BY 1 ORDER BY bucket""")
+      FROM $cat.t GROUP BY 1 ORDER BY bucket""")
   }
 
   /** COMMIT-TIME CHECK CONSTRAINTS through the gate

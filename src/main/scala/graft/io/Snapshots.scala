@@ -1875,9 +1875,11 @@ object Snapshots {
             .filter(org.apache.spark.sql.functions.col("__n") === 1 &&
               org.apache.spark.sql.functions.col("__eq") === 1)
             .select(joined(keyCol))
-            .localCheckpoint()
+          // count FIRST, checkpoint only on a hit: the common case (no
+          // no-ops — every ordinary merge) pays exactly one O(hit dirs)
+          // job for the check, not a materialization too
           val n = nk.count()
-          (if (n == 0) None else Some(nk), n)
+          (if (n == 0) None else Some(nk.localCheckpoint()), n)
         }
       def dropNoop(df: DataFrame): DataFrame =
         noopKeys.map(nk => df.join(nk, Seq(keyCol), "left_anti")).getOrElse(df)
