@@ -7871,6 +7871,91 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** NATIVE CDF STREAMING SOURCE through the gate
+    * ([[graft.sources.SnapshotCdfSource]] —
+    * `readStream.format("graft-snapshot-cdf")`, the Delta
+    * `readChangeFeed` streaming shape): table VERSIONS are the stream's
+    * OFFSETS, so Structured Streaming's own offset log carries the
+    * cursor — no foreachBatch polling, no clock-tick side files (the
+    * q91/q93 trick this source retires for feed consumers). THREE
+    * stream runs share one checkpoint: the first drains the two-commit
+    * base as inserts (row count pinned to the corpus), the second
+    * drains EXACTLY the delete+merge range (versions ≤ 2 must not
+    * re-emit — the offset log's exactly-once, require-gated), the
+    * third must no-op at the head. Folding the STREAMED feed
+    * (last-writer-wins, insert-outranks-delete) must equal the source
+    * head BIT-FOR-BIT. The oracle recomputes the final state from raw
+    * orders (q92's arithmetic — same source evolution).
+    *
+    * Wall-clock floor: three streaming-engine runs + four source
+    * commits — engine startup and commit overhead, the q93 family's
+    * documented floor.
+    */
+  private def q96CdfNativeStream(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "q96")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    stageSrc2(s, dir, src)
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-snapshot-cdf")
+        .option("path", src).option("startingVersion", "1").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val nAll = o.count()
+    val n1 = s.read.parquet(out).count()
+    require(n1 == nAll,
+      s"q96: the first drain must emit the v1..v2 corpus as inserts " +
+        s"($n1 vs $nAll)")
+    // the source evolves exactly as q92's: CoW delete + merge
+    val (v3, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, src, col("k") % 5 === 0)
+    require(v3 == 3 && rewr >= 1, s"q96: CoW delete landed ($v3, $rewr)")
+    require(graft.io.Snapshots.mergeUpsert(s, src,
+      o.filter(col("k") % 10 === 3)
+        .select(col("k"), (col("cents") + lit(7L)).as("cents"))
+        .unionByName(o.filter(col("k") % 10 === 6)
+          .select((col("k") + lit(2000000000L)).as("k"),
+            (col("cents") + lit(5L)).as("cents"))), "k")._1 == 4,
+      "q96: merge landed")
+    drain()
+    val feed = s.read.parquet(out).localCheckpoint()
+    require(feed.filter(col("_commit_version") <= 2).count() == n1,
+      "q96: drained versions must never re-emit (offset-log exactly-once)")
+    require(feed.agg(max("_commit_version")).head().getInt(0) == 4,
+      "q96: the second drain must reach the merge version")
+    drain()
+    require(s.read.parquet(out).count() == feed.count(),
+      "q96: a third run at the head must no-op")
+    // fold law over the STREAMED feed: reconstruct the head exactly
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(desc("_commit_version"),
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val folded = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") === "insert")
+      .select("k", "cents").localCheckpoint()
+    val head = graft.io.Snapshots.read(s, src)
+      .select("k", "cents").localCheckpoint()
+    require(folded.exceptAll(head).isEmpty && head.exceptAll(folded).isEmpty,
+      "q96: folding the streamed feed must equal the source head " +
+        "bit-for-bit")
+    folded.groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
   /** CONTINUOUS CDF REPLICATION (q92's batch replication upgraded to a
     * STREAM — the shape q91 gives view maintenance): a micro-batch
     * stream (real engine, file-source clock ticks) drives
@@ -9282,6 +9367,7 @@ object SparkEntry {
     "io41_dsv2_catalog" -> io41DsvCatalog _,
     "io42_check_constraints" -> io42CheckConstraints _,
     "q95_cascade_replica" -> q95CascadeReplica _,
+    "q96_cdf_native_stream" -> q96CdfNativeStream _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12801,6 +12887,21 @@ object SparkEntry {
     // inserts at +5; bit-for-bit replica equality is require-gated
     // in-query
     "q92_cdf_replica" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |live AS (
+        |  SELECT k, cents FROM o
+        |  WHERE k % 5 <> 0 AND k % 10 <> 3
+        |  UNION ALL SELECT k, cents + 7 FROM o WHERE k % 10 = 3
+        |  UNION ALL SELECT k + 2000000000, cents + 5 FROM o WHERE k % 10 = 6)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the natively-streamed feed folds to the SAME final state as q92
+    // (same source evolution); the exactly-once offset-log proofs, the
+    // no-op third run, and the bit-for-bit fold are require-gated
+    // in-query
+    "q96_cdf_native_stream" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
         |live AS (

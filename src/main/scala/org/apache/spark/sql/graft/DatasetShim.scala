@@ -15,4 +15,20 @@ import org.apache.spark.sql.classic
 object DatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The V1 streaming-source bridge: `Source.getBatch` must return a
+    * frame tagged `isStreaming = true` (MicroBatchExecution asserts
+    * it), and the only constructor is the `private[sql]`
+    * `internalCreateDataFrame` — exactly how Spark's own
+    * `FileStreamSource`/`KafkaSource` build their batches (the frame
+    * wraps the already-planned RDD of the feed query, so the batch
+    * executes the same plan the batch-mode read would).
+    */
+  def ofBatchAsStream(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

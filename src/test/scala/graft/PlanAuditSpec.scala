@@ -775,6 +775,42 @@ class PlanAuditSpec extends SparkSpec {
       s"k-center pairing shape:\n$plan")
   }
 
+  test("graft-snapshot DSv2: the pushed filter reaches the scan (manifest " +
+      "pruning recorded + inner parquet PushedFilters), columns pruned") {
+    import spark.implicits._
+    val t = s"/tmp/graft_io/planaudit/dsv2_${java.util.UUID.randomUUID()}"
+    graft.io.Snapshots.commitWithBloom(
+      Seq(1L, 901L, 13L).map(k => (k, k * 10L, s"pad$k")).toDF("k", "v", "p"),
+      t, "k")
+    graft.io.Snapshots.commitWithBloom(
+      Seq(2L, 900L, 14L).map(k => (k, k * 10L, s"pad$k")).toDF("k", "v", "p"),
+      t, "k")
+    val q = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("k") === 901L).select("v")
+    val plan = executed(q)
+    // the snapshot scan node carries the pushed predicate and the
+    // pruned read schema in the standard rendering — a refactor that
+    // loses the pushFilters or pruneColumns wiring fails here, not on
+    // a cluster
+    assert(plan.contains("PushedFilters: [EqualTo(k,901)]"),
+      s"pushed filter lost before the snapshot scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint,v:bigint>"),
+      s"column pruning lost before the snapshot scan:\n$plan")
+    // manifest pruning actually happened at build time (dir skipped)
+    val info = graft.sources.SnapshotScans.lastScan.get
+    assert(info.dirsTotal == 2 && info.dirsRead == 1,
+      s"manifest pruning did not reach the scan: $info")
+    // and the INNER plan pushed the residual to the parquet footers:
+    // the recorded scan frame plans with PushedFilters on k
+    val inner = graft.io.Snapshots.readForScan(spark, t,
+      preds = Seq(graft.io.Snapshots.EqLongPred("k", 901L)))
+    val innerPlan = executed(inner.df.select("v"))
+    val scanLine = innerPlan.linesIterator
+      .find(_.contains("FileScan parquet")).getOrElse(fail("no parquet scan"))
+    assert(scanLine.contains("EqualTo(k,901)"),
+      s"residual not pushed to parquet footers: $scanLine")
+  }
+
   test("autocorr: lag fan-out broadcast, pair sums partial before the shuffle") {
     val series = Tables.events(spark, sf0001)
       .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.io.Snapshots
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class SnapshotCdfSourceSpec extends SparkSpec {
+
+  private def fresh(name: String): String =
+    s"/tmp/graft_io/cdfsrc/${java.util.UUID.randomUUID()}/$name"
+
+  private def drain(table: String, out: String, ckpt: String,
+      startingVersion: Option[String]): Unit = {
+    val reader = spark.readStream.format("graft-snapshot-cdf")
+      .option("path", table)
+    val q = startingVersion.fold(reader)(v => reader.option("startingVersion", v))
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("the feed streams: versions are offsets, a drained stream " +
+      "no-ops, a restart resumes exactly-once from the checkpoint, and " +
+      "folding the streamed feed reconstructs the head") {
+    import spark.implicits._
+    val t = fresh("src")
+    val out = fresh("out")
+    val ckpt = fresh("ckpt")
+    Snapshots.commit((1L to 20L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    Snapshots.commit((21L to 30L).map(k => (k, k * 10L)).toDF("k", "v"), t)
+    drain(t, out, ckpt, Some("1"))
+    val feed1 = spark.read.parquet(out)
+    assert(feed1.count() == 30 &&
+      feed1.filter(col("_change_type") === "insert").count() == 30,
+      "the first drain must emit versions 1..2 as inserts")
+    assert(feed1.agg(max("_commit_version")).head().getInt(0) == 2)
+    // drained: a second run with the same checkpoint emits NOTHING
+    drain(t, out, ckpt, Some("1"))
+    assert(spark.read.parquet(out).count() == 30,
+      "a drained stream must not re-emit (exactly-once per version)")
+    // the source evolves: CoW delete + merge + MoR delete (merge before
+    // the MoR delete — live dvs refuse merges by contract)
+    Snapshots.deleteWhere(spark, t, col("k") <= 3)
+    Snapshots.mergeUpsert(spark, t,
+      Seq((5L, 555L), (99L, 990L)).toDF("k", "v"), "k")
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") === 30L)
+    drain(t, out, ckpt, Some("1"))
+    val feed2 = spark.read.parquet(out)
+    // 30 inserts + 3 cow-deletes + 1 mor-delete + merge (1 pre-delete +
+    // 2 inserts)
+    assert(feed2.count() == 37, s"got ${feed2.count()}")
+    // fold law: last event per key (insert outranks delete in-version)
+    // reconstructs the head exactly
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(desc("_commit_version"),
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val folded = feed2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .select("k", "v")
+    val head = Snapshots.read(spark, t).select("k", "v")
+    assert(folded.exceptAll(head).isEmpty && head.exceptAll(folded).isEmpty,
+      "folding the streamed feed must reconstruct the head")
+  }
+
+  test("the default floor is 'latest' and survives restarts: only " +
+      "post-start versions emit, and a restart keeps the ORIGINAL floor") {
+    import spark.implicits._
+    val t = fresh("src")
+    val out = fresh("out")
+    val ckpt = fresh("ckpt")
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), t)
+    // floor = latest (v1): nothing to emit yet (the sink may have laid
+    // down only its _spark_metadata — no part files means no rows)
+    drain(t, out, ckpt, None)
+    assert(!Option(new java.io.File(out).listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet"))),
+      "a latest-floored stream must emit nothing at start")
+    Snapshots.commit((11L to 15L).map(k => (k, k)).toDF("k", "v"), t)
+    Snapshots.commit((16L to 18L).map(k => (k, k)).toDF("k", "v"), t)
+    // the restart must NOT re-floor at the new head (v3) — the durable
+    // floor (v1) makes versions 2..3 emit
+    drain(t, out, ckpt, None)
+    val feed = spark.read.parquet(out)
+    assert(feed.count() == 8,
+      s"the durable floor must emit v2..v3 (8 rows), got ${feed.count()}")
+    assert(feed.agg(min("_commit_version")).head().getInt(0) == 2)
+  }
+
+  test("a floored version expired by vacuum raises the typed " +
+      "out-of-retention error through the stream") {
+    import spark.implicits._
+    val t = fresh("src")
+    val out = fresh("out")
+    val ckpt = fresh("ckpt")
+    (1L to 4L).foreach { i =>
+      Snapshots.commit(Seq((i, i)).toDF("k", "v"), t): Unit
+    }
+    Snapshots.vacuum(spark, t, keepVersions = 1, orphanGraceMs = 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(t, out, ckpt, Some("1")))
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(_.isInstanceOf[Snapshots.OutOfRetentionException]),
+      s"expected the typed retention error, got: $e")
+  }
+}
