@@ -347,6 +347,16 @@ final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
 
+  /** On-disk bytes of exactly the pruned directory set — what lets the
+    * planner BROADCAST a small snapshot dimension table in a catalog-
+    * SQL join (the BaseRelation default is "assume huge", which forces
+    * a shuffle join however small the table). Metadata-scale: one
+    * content-summary RPC per surviving directory, resolved once per
+    * relation.
+    */
+  override lazy val sizeInBytes: Long =
+    Snapshots.scanSizeInBytes(ctx.sparkSession, path, Some(version), preds)
+
   override def buildScan(): RDD[Row] = {
     val s = ctx.sparkSession
     val scan = Snapshots.readForScan(s, path, Some(version), preds)

@@ -225,6 +225,28 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 5)
   }
 
+  test("a small snapshot table joins BROADCAST through the catalog: the " +
+      "relation reports pruned-scan bytes instead of assume-huge") {
+    import spark.implicits._
+    val base = freshBase()
+    val dim = s"$base/dim"
+    Snapshots.commit((1L to 50L).map(k => (k, s"name$k")).toDF("k", "nm"), dim)
+    val cat = s"snapbc_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val fact = (1L to 5000L).map(k => (k % 50 + 1, k)).toDF("k", "v")
+    fact.createOrReplaceTempView("fact_bc")
+    val q = spark.sql(
+      s"SELECT f.k, count(*) AS n FROM fact_bc f JOIN $cat.dim d " +
+        "ON f.k = d.k GROUP BY f.k")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small snapshot dim must broadcast:\n$plan")
+    assert(q.count() == 50)
+  }
+
   test("catalog listTables surfaces manifest-bearing directories only") {
     import spark.implicits._
     val base = freshBase()
