@@ -6577,11 +6577,18 @@ object SparkEntry {
     val key = s"$kind@$dir"
     val tmpl = stagedTemplates.synchronized {
       Option(stagedTemplates.get(key)).getOrElse {
+        // build under a UNIQUE dir, publish by atomic rename: a crashed
+        // or concurrent builder (another JVM on the same sf-dir) never
+        // leaves a half-built template at the published name — the
+        // rename loser discards its build and reads the winner's
         val t = ioTmp(dir, s"_tmpl_$kind")
-        rmTree(t) // a stale on-disk template from a prior JVM rebuilds
+        rmTree(t) // a stale template from a PRIOR JVM/build must rebuild
+        val build = ioTmp(dir, s".tmpl_$kind.${java.util.UUID.randomUUID()}")
         val frame = o
-        graft.io.Snapshots.commit(frame.filter(col("k") % 2 === 0), t): Unit
-        graft.io.Snapshots.commit(frame.filter(col("k") % 2 =!= 0), t): Unit
+        graft.io.Snapshots.commit(frame.filter(col("k") % 2 === 0), build): Unit
+        graft.io.Snapshots.commit(frame.filter(col("k") % 2 =!= 0), build): Unit
+        if (!new java.io.File(build).renameTo(new java.io.File(t)))
+          rmTree(build) // a winner already published — use theirs
         stagedTemplates.put(key, t)
         t
       }
@@ -7952,6 +7959,86 @@ object SparkEntry {
       "q96: folding the streamed feed must equal the source head " +
         "bit-for-bit")
     folded.groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      .orderBy("bucket")
+  }
+
+  /** EXACTLY-ONCE STREAMING SINK through the gate
+    * ([[graft.sources.SnapshotDataSource.createSink]] —
+    * `writeStream.format("graft-snapshot")`): a file-source stream
+    * (three staged input slices, one per micro-batch) lands in a
+    * snapshot table as THREE CAS commits, one per batch, each claiming
+    * its `(writerId, batchId)` txn tag atomically with the data. The
+    * exactly-once proof is the hard direction: a FULL REPLAY FROM A
+    * FRESH CHECKPOINT re-reads every input file and re-offers batches
+    * 0..2 — every tag is already in the chain, so the replay lands
+    * NOTHING (version count pinned, row count pinned). The sunk table
+    * is immediately a live CDF source (its feed re-emits the corpus as
+    * inserts) — sink and source compose into an end-to-end exactly-once
+    * lakehouse pipe. The oracle recomputes the corpus from raw orders.
+    *
+    * Wall-clock floor: two streaming-engine runs + three commits — the
+    * q93 family's documented floor shape.
+    */
+  private def q97SnapshotSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = ioTmp(dir, "q97")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val baseDir = new java.io.File(base)
+    if (baseDir.getAbsolutePath.startsWith("/tmp/graft_io/")) rm(baseDir)
+    val in = s"$base/in"
+    val table = s"$base/t"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    // three input slices, one parquet FILE each (q91's tick staging)
+    new java.io.File(in).mkdirs()
+    (0 until 3).foreach { i =>
+      val tmp = new java.io.File(s"$base/stage$i")
+      o.filter(col("k") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = new java.io.File(s"$in/slice$i.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+      target.setLastModified(1000000000000L + i * 60000L): Unit
+    }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("cents", LongType)))
+    def run(ckpt: String): Unit = {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .writeStream.format("graft-snapshot")
+        .option("path", table).option("writerId", "q97")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt")
+    require(graft.io.Snapshots.latestVersion(s, table) == 3,
+      "q97: three micro-batches must land as three CAS commits")
+    val sunk = graft.io.Snapshots.read(s, table)
+      .select("k", "cents").localCheckpoint()
+    val src = o.localCheckpoint()
+    require(sunk.exceptAll(src).isEmpty && src.exceptAll(sunk).isEmpty,
+      "q97: the sunk table must equal the streamed corpus bit-for-bit")
+    // the hard leg: a FRESH checkpoint re-offers batches 0..2 — the
+    // txn tags in the chain make the whole replay a no-op
+    run(s"$base/ckpt_fresh")
+    require(graft.io.Snapshots.latestVersion(s, table) == 3,
+      "q97: a fresh-checkpoint replay must land nothing")
+    require(graft.io.Snapshots.read(s, table).count() == src.count(),
+      "q97: the replay must not change the row count")
+    // sink composes with the feed: the table is a live CDF source
+    require(graft.io.Snapshots.changeFeed(s, table, 1, 3)
+        .filter(col("_change_type") === "insert").count() == src.count(),
+      "q97: the sunk table's feed must re-emit the corpus as inserts")
+    graft.io.Snapshots.read(s, table)
+      .groupBy((col("k") % 10).as("bucket"))
       .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
       .orderBy("bucket")
   }
@@ -9368,6 +9455,7 @@ object SparkEntry {
     "io42_check_constraints" -> io42CheckConstraints _,
     "q95_cascade_replica" -> q95CascadeReplica _,
     "q96_cdf_native_stream" -> q96CdfNativeStream _,
+    "q97_snapshot_sink" -> q97SnapshotSink _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12897,6 +12985,16 @@ object SparkEntry {
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the sunk corpus IS the orders corpus (three slices, three CAS
+    // commits); the per-batch version pin, fresh-checkpoint-replay
+    // no-op, bit-equality, and feed-composition proofs are
+    // require-gated in-query
+    "q97_snapshot_sink" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the natively-streamed feed folds to the SAME final state as q92
     // (same source evolution); the exactly-once offset-log proofs, the
     // no-op third run, and the bit-for-bit fold are require-gated

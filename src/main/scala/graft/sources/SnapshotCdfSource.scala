@@ -117,8 +117,14 @@ object SnapshotCdfSource {
           from - 1
       }
       f.mkdirs(new Path(metadataPath))
-      val out = f.create(floorFile, false) // exclusive: one floor per stream
+      // temp + rename: a crash mid-write must not leave a torn floor
+      // file for the restart to misparse (rename refuses an existing
+      // dest — the one writer per checkpoint contract holds either way)
+      val tmp = new Path(metadataPath,
+        s".graft-cdf-floor.${java.util.UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, false)
       try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, floorFile)) f.delete(tmp, false): Unit
       floor
     }
   }

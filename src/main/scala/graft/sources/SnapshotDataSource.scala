@@ -67,14 +67,58 @@ import graft.io.Snapshots
   * commits land afterwards (the same isolation contract as
   * [[Snapshots.read]]'s resolved plans).
   */
-class SnapshotDataSource extends TableProvider with DataSourceRegister {
+class SnapshotDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** EXACTLY-ONCE STREAMING SINK — `writeStream.format("graft-snapshot")
+    * .option("path", …).option("writerId", …)`: every micro-batch lands
+    * through [[Snapshots.commitIfAbsent]] keyed `(writerId, batchId)`,
+    * so the at-least-once `addBatch` contract (engine replays the last
+    * in-flight batch on restart; a FRESH checkpoint replays them all)
+    * becomes exactly-once on the table — the txn tag and the data
+    * publish in one atomic manifest claim, and a replayed batch no-ops
+    * before any data write. Schema enforcement and CHECK constraints
+    * ride the ordinary commit path. This packages the foreachBatch +
+    * commitIfAbsent recipe (q61/q67's shape) as a format, with the
+    * writerId EXPLICIT: idempotence must survive restarts AND
+    * fresh-checkpoint replays, and any engine-generated run id would
+    * rotate exactly when replay protection matters most. Optional
+    * `statsCols` (comma-separated) attach `#dirstats` lines per batch;
+    * Append output mode only — aggregate-state modes belong upstream
+    * of the sink.
+    */
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink: only Append output mode is supported " +
+        s"(got $outputMode) — fold aggregate state upstream, append here")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink: partitionBy is not supported — commit-level " +
+        "partitioning goes through Snapshots.commitPartitioned")
+    val table = SnapshotCdfSource.pathOf(parameters)
+    val writerId = parameters.get("writerid")
+      .orElse(parameters.get("writerId"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-snapshot sink: the 'writerId' option is required — it " +
+          "keys exactly-once replay protection and must be stable " +
+          "across restarts and checkpoint rebuilds"))
+    val statsCols = parameters.get("statscols")
+      .orElse(parameters.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new SnapshotSink(table, writerId, statsCols)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val s = SparkSession.active
     val (path, v, _) = SnapshotDataSource.resolve(s, options)
-    SnapshotDataSource.schemaAt(s, path, v)
+    if (v < 1) new StructType() // sink to a not-yet-created table
+    else SnapshotDataSource.schemaAt(s, path, v)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -110,7 +154,11 @@ object SnapshotDataSource {
       case Some("tag") => Snapshots.resolveTag(s, path, options.get("tag"))
       case _ => Snapshots.latestVersion(s, path)
     }
-    require(v >= 1, s"graft-snapshot: nothing committed at $path")
+    // a STREAMING-SINK target may not exist yet (the first batch
+    // creates it); the sink-only `writerId` option marks that context —
+    // reads still refuse loudly on an empty table
+    require(v >= 1 || options.containsKey("writerid"),
+      s"graft-snapshot: nothing committed at $path")
     (path, v, pins.nonEmpty)
   }
 
@@ -368,6 +416,25 @@ final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
         .map(org.apache.spark.sql.functions.col): _*)
     projected.rdd
   }
+}
+
+/** The V1 sink behind [[SnapshotDataSource.createSink]]: one atomic
+  * CAS commit per micro-batch, deduped on `(writerId, batchId)`.
+  */
+final class SnapshotSink(table: String, writerId: String,
+    statsCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val s = data.sparkSession
+    // addBatch frames are streaming-tagged; rewrap as a batch frame of
+    // the same planned RDD (one execution, at the commit's write)
+    val batch = org.apache.spark.sql.graft.DatasetShim.ofStreamBatch(s, data)
+    Snapshots.commitIfAbsent(batch, table, writerId, batchId,
+      statsCols = statsCols): Unit
+  }
+  override def toString: String =
+    s"SnapshotSink[$table, writerId=$writerId]"
 }
 
 /** Read-only session catalog over a ROOT DIRECTORY of snapshot tables

@@ -24,11 +24,24 @@ object DatasetShim {
     * wraps the already-planned RDD of the feed query, so the batch
     * executes the same plan the batch-mode read would).
     */
-  def ofBatchAsStream(spark: SparkSession, df: DataFrame): DataFrame = {
+  def ofBatchAsStream(spark: SparkSession, df: DataFrame): DataFrame =
+    rewrapped(spark, df, isStreaming = true)
+
+  /** The V1 streaming-SINK bridge, the mirror image: the frame handed
+    * to `Sink.addBatch` is tagged streaming, and every batch writer
+    * (`df.write…`) refuses streaming frames — rewrap the planned batch
+    * RDD as an ordinary batch frame (one execution, when the write
+    * runs), the same move Delta's V1 sink makes.
+    */
+  def ofStreamBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    rewrapped(spark, df, isStreaming = false)
+
+  private def rewrapped(spark: SparkSession, df: DataFrame,
+      isStreaming: Boolean): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     cs.internalCreateDataFrame(
       df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
         .queryExecution.toRdd,
-      df.schema, isStreaming = true)
+      df.schema, isStreaming)
   }
 }

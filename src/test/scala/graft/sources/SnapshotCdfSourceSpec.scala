@@ -91,6 +91,71 @@ class SnapshotCdfSourceSpec extends SparkSpec {
     assert(feed.agg(min("_commit_version")).head().getInt(0) == 2)
   }
 
+  test("the snapshot SINK: one CAS commit per micro-batch, CHECK " +
+      "constraints bind streamed batches, writerId is mandatory, " +
+      "non-Append modes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = s"/tmp/graft_io/cdfsrc/${java.util.UUID.randomUUID()}"
+    val in = s"$base/in"
+    val t = s"$base/t"
+    new java.io.File(in).mkdirs()
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = new java.io.File(s"$base/stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$in/$name.parquet").toPath): Unit
+    }
+    stage("a", Seq((1L, Option(10L)), (2L, Option(20L))).toDF("k", "v"))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream.format("graft-snapshot")
+        .option("path", t).option("writerId", "w-spec")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt")
+    assert(Snapshots.latestVersion(spark, t) == 1 &&
+      Snapshots.read(spark, t).count() == 2)
+    // the table's constraint binds STREAMED batches: a violating slice
+    // fails the stream naming the constraint, and nothing lands
+    Snapshots.addCheck(spark, t, "v-pos", "v > 0")
+    stage("b", Seq((3L, Option(-5L))).toDF("k", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      run(s"$base/ckpt"))
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("v-pos"))),
+      s"expected the CHECK refusal through the sink, got $e")
+    assert(Snapshots.latestVersion(spark, t) == 2, // v2 = the addCheck
+      "the violating batch must not land")
+    // writerId is mandatory; non-Append modes refuse
+    assert(intercept[Exception] {
+      spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("graft-snapshot").option("path", t)
+        .option("checkpointLocation", s"$base/ckpt3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }.getMessage.contains("writerId"))
+    assert(intercept[Exception] {
+      spark.readStream.schema(schema).parquet(in)
+        .groupBy("k").count()
+        .writeStream.format("graft-snapshot").option("path", t)
+        .option("writerId", "w2")
+        .option("checkpointLocation", s"$base/ckpt4")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }.getMessage.toLowerCase.contains("append"))
+  }
+
   test("a floored version expired by vacuum raises the typed " +
       "out-of-retention error through the stream") {
     import spark.implicits._
