@@ -7963,6 +7963,57 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** METADATA TABLES through the gate ([[graft.sources
+    * .SnapshotMetaTable]] — the Iceberg metadata-table shape on the
+    * catalog): a table accumulates a known operation history (two
+    * template commits, a tag, a CHECK constraint, a CoW delete), and
+    * `$history` / `$tags` / `$checks` read back as ORDINARY SQL —
+    * versions, change kinds, and per-version data-dir counts from the
+    * manifests; the pinned tag; the live constraint. The deliverable
+    * unions all three surfaces into one typed frame whose oracle is a
+    * PURE VALUES replay — every row is determined by the operations
+    * themselves (the CoW delete hits both template dirs, so its
+    * version re-references exactly ONE rewritten dir). Time travel on
+    * a metadata table refuses (it already describes the whole retained
+    * history); the data table resolves unchanged next to its `$`
+    * shadows — both require-gated in-query.
+    */
+  private def io43MetaTables(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io43")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val table = s"$base/t"
+    stageSrc2(s, dir, table)
+    graft.io.Snapshots.tagVersion(s, table, "baseline", 2)
+    graft.io.Snapshots.addCheck(s, table, "cents-pos", "cents > 0")
+    val (v4, _, rewr) = graft.io.Snapshots.deleteWhere(
+      s, table, col("k") % 5 === 0)
+    require(v4 == 4 && rewr == 2,
+      s"io43: the delete must rewrite both template dirs ($v4, $rewr)")
+    val cat = s"snap43_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    // the data table resolves unchanged next to its $ shadows
+    require(s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0) ==
+        graft.io.Snapshots.read(s, table).count(),
+      "io43: the data table must resolve unchanged")
+    // time travel on a metadata table refuses
+    val tt = try { s.sql(s"SELECT * FROM $cat.`t$$history` VERSION AS OF 1")
+        .collect(); "" }
+      catch { case e: Exception => e.getMessage }
+    require(tt.contains("time travel"),
+      s"io43: metadata-table time travel must refuse ($tt)")
+    s.sql(s"""
+      SELECT 'history' AS src, CAST(version AS BIGINT) AS v,
+        change AS item, n_dirs AS n FROM $cat.`t$$history`
+      UNION ALL
+      SELECT 'tag', CAST(version AS BIGINT), tag, 0L FROM $cat.`t$$tags`
+      UNION ALL
+      SELECT 'check', 0L, concat(name, ':', expr), 0L FROM $cat.`t$$checks`
+      ORDER BY src, v, item""")
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -9456,6 +9507,7 @@ object SparkEntry {
     "q95_cascade_replica" -> q95CascadeReplica _,
     "q96_cdf_native_stream" -> q96CdfNativeStream _,
     "q97_snapshot_sink" -> q97SnapshotSink _,
+    "io43_meta_tables" -> io43MetaTables _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -12985,6 +13037,22 @@ object SparkEntry {
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // every row is determined by the staged operations: v1/v2 template
+    // appends (1 then 2 dirs), v3 the constraint (2 dirs carried), v4
+    // the CoW delete rewriting both dirs into one; the tag pin and the
+    // live constraint render verbatim — a pure VALUES replay, no table
+    // reads needed
+    "io43_meta_tables" ->
+      """SELECT * FROM (VALUES
+        |  ('history', CAST(1 AS BIGINT), 'append',     CAST(1 AS BIGINT)),
+        |  ('history', CAST(2 AS BIGINT), 'append',     CAST(2 AS BIGINT)),
+        |  ('history', CAST(3 AS BIGINT), 'constraint', CAST(2 AS BIGINT)),
+        |  ('history', CAST(4 AS BIGINT), 'delete-cow', CAST(1 AS BIGINT)),
+        |  ('tag',     CAST(2 AS BIGINT), 'baseline',   CAST(0 AS BIGINT)),
+        |  ('check',   CAST(0 AS BIGINT), 'cents-pos:cents > 0',
+        |     CAST(0 AS BIGINT))
+        |) AS t(src, v, item, n)
+        |ORDER BY src, v, item""".stripMargin,
     // the sunk corpus IS the orders corpus (three slices, three CAS
     // commits); the per-batch version pin, fresh-checkpoint-replay
     // no-op, bit-equality, and feed-composition proofs are

@@ -437,6 +437,69 @@ final class SnapshotSink(table: String, writerId: String,
     s"SnapshotSink[$table, writerId=$writerId]"
 }
 
+/** A `$`-suffixed metadata table: `history` (version, change kind,
+  * data-dir count, rendered props — [[Snapshots.tableHistory]]),
+  * `tags` (name → pinned version), `checks` (live constraints).
+  * Execution is the same V1 bridge as the data tables — the frame IS
+  * the library call's frame.
+  */
+final class SnapshotMetaTable(path: String, kind: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot:$path$$$kind"
+  override def schema(): StructType = SnapshotMetaTable.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = SnapshotMetaTable.schemaOf(kind)
+            override def buildScan(): org.apache.spark.rdd.RDD[
+                org.apache.spark.sql.Row] =
+              SnapshotMetaTable.frame(context.sparkSession, path, kind).rdd
+          }.asInstanceOf[T]
+      }
+    }
+}
+
+object SnapshotMetaTable {
+  val Kinds: Set[String] = Set("history", "tags", "checks")
+
+  private[sources] def schemaOf(kind: String): StructType = {
+    import org.apache.spark.sql.types._
+    kind match {
+      case "history" => StructType(Seq(
+        StructField("version", IntegerType),
+        StructField("change", StringType),
+        StructField("n_dirs", LongType),
+        StructField("props", StringType)))
+      case "tags" => StructType(Seq(
+        StructField("tag", StringType),
+        StructField("version", IntegerType)))
+      case "checks" => StructType(Seq(
+        StructField("name", StringType),
+        StructField("expr", StringType)))
+    }
+  }
+
+  private[sources] def frame(s: SparkSession, path: String,
+      kind: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    kind match {
+      case "history" => Snapshots.tableHistory(s, path)
+        .toDF("version", "change", "n_dirs", "props")
+      case "tags" => Snapshots.tagsOf(s, path).toSeq.sortBy(_._1)
+        .toDF("tag", "version")
+      case "checks" => Snapshots.checksOf(s, path).toSeq.sortBy(_._1)
+        .toDF("name", "expr")
+    }
+  }
+}
+
 /** Read-only session catalog over a ROOT DIRECTORY of snapshot tables
   * (`<base>/<table>` each a manifest chain) — what turns the tier into
   * SQL text: `SELECT … FROM <cat>.<table> VERSION AS OF 3`. The SQL
@@ -506,13 +569,30 @@ class SnapshotCatalog extends TableCatalog {
       Some(Snapshots.versionAt(spark, pathOf(ident), timestamp / 1000L)))
 
   private def tableAt(ident: Identifier, version: Option[Int]): Table = {
-    val path = pathOf(ident)
+    // `$`-suffixed METADATA TABLES (the Iceberg metadata-table shape):
+    // `SELECT * FROM <cat>.`orders$history`` — versions/kinds/dir
+    // counts/props; `$tags` — name → pinned version; `$checks` — live
+    // constraints. Metadata-scale frames (one manifest read per
+    // retained version at most), read-only like everything here.
+    val (baseName, meta) = ident.name().split('$') match {
+      case Array(n, m) if SnapshotMetaTable.Kinds(m) => (n, Some(m))
+      case _ => (ident.name(), None)
+    }
+    val path = (base +: (ident.namespace() :+ baseName).toSeq).mkString("/")
     val latest = Snapshots.latestVersion(spark, path)
     if (latest < 1) throw new NoSuchTableException(ident)
-    val v = version.getOrElse(latest)
-    new SnapshotTable(path, v,
-      SnapshotDataSource.schemaAt(spark, path, v),
-      pinnedRead = version.isDefined)
+    meta match {
+      case Some(kind) =>
+        require(version.isEmpty,
+          s"metadata table $$${kind} does not support time travel — it " +
+            "already describes the whole retained history")
+        new SnapshotMetaTable(path, kind)
+      case None =>
+        val v = version.getOrElse(latest)
+        new SnapshotTable(path, v,
+          SnapshotDataSource.schemaAt(spark, path, v),
+          pinnedRead = version.isDefined)
+    }
   }
 
   private def readOnly(op: String): Nothing =
