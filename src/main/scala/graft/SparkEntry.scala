@@ -8759,7 +8759,9 @@ object SparkEntry {
     val probe = probeRow.getLong(1)
     val got = s.sql(s"SELECT cents FROM $cat.t WHERE sid = $probe")
       .collect()
-    val info = graft.sources.SnapshotScans.lastScan.get
+    // evidence looked up by THIS table — another scan planned
+    // concurrently can no longer hand this gate its counts
+    val info = graft.sources.SnapshotScans.scanOf(table).get
     require(info.dirsTotal == 2 && info.dirsRead == 1,
       s"io41: the SQL point lookup must prune on sketch membership " +
         s"(${info.dirsRead}/${info.dirsTotal})")
@@ -8792,7 +8794,9 @@ object SparkEntry {
     * line after validating EXISTING data distributed; then every
     * write path proves the refusal contract require-gated —
     * a violating APPEND refuses pre-claim (version pinned, one O(new
-    * rows) aggregate, no bytes written), a violating MERGE refuses
+    * rows) aggregate over the WRITTEN bytes — exact even for
+    * non-deterministic sources; the orphan dir is removed, the chain
+    * never references it), a violating MERGE refuses
     * pre-claim, WAP can STAGE what publish refuses (the audit sees the
     * staged violation, `publishStaged` refuses naming the constraint,
     * abandon leaves no trace); clean writes land, the line CARRIES

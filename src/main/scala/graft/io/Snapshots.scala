@@ -746,6 +746,12 @@ object Snapshots {
         lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
       case InLongPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
       case InStringPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
+      // an EMPTY IN-list matches zero rows — honor the predicate's
+      // semantics for direct library callers too (dropping it entirely
+      // would hand back the whole unfiltered table; safe behind DSv2
+      // only because Spark re-applies its own filter above the scan)
+      case InLongPred(_, vs) if vs.isEmpty => Seq(lit(false))
+      case InStringPred(_, vs) if vs.isEmpty => Seq(lit(false))
       case _ => Nil
     }.reduceOption(_ && _)
     val df =
@@ -1172,14 +1178,6 @@ object Snapshots {
         s"not in the frame (${df.columns.mkString(", ")})")
     if (txn.exists { case (w, b) => txnSeen(s, table, w, b) }) return None
     checkSchema(s, table, df, allowEvolve)
-    // CHECK constraints validate BEFORE any bytes land — one aggregate
-    // over the new rows ([[requireChecks]]); the claim loop re-validates
-    // only if a competing committer changed the constraint set
-    var validatedChecks = {
-      val v0 = latestVersion(s, table)
-      if (v0 < 1) Nil else checkLinesOf(manifestLines(s, table, v0))
-    }
-    requireChecks(df, validatedChecks, table, "commit")
     // a STRING partition value equal to Hive's null-sentinel (or empty —
     // the path writer folds "" into the same sentinel) would read back
     // as NULL: refuse loudly before any data writes. One limit-1 job
@@ -1217,6 +1215,25 @@ object Snapshots {
     // (stats/sketch build over zero rows → no stats line / an
     // admit-nothing sketch, both correct)
     def readBackWritten() = s.read.schema(df.schema).parquet(s"$table/$dir")
+    // CHECK constraints validate the WRITTEN BYTES, not the input plan:
+    // a non-deterministic source (rand()/uuid()/a re-read of a changing
+    // external location) can change between a pre-write validation pass
+    // and the write itself — validating the read-back is exact by
+    // construction, and it also saves re-executing the input query (one
+    // aggregate over just-written files, still O(new rows), still
+    // strictly BEFORE any manifest claim). A violation deletes the
+    // orphan dir and refuses loudly; the claim loop re-validates only
+    // if a competing committer changed the constraint set.
+    var validatedChecks = {
+      val v0 = latestVersion(s, table)
+      if (v0 < 1) Nil else checkLinesOf(manifestLines(s, table, v0))
+    }
+    try requireChecks(readBackWritten(), validatedChecks, table, "commit")
+    catch {
+      case e: Throwable =>
+        fs(s, table).delete(new Path(s"$table/$dir"), true): Unit
+        throw e
+    }
     val newStatsLines: Seq[String] =
       if (statsCols.isEmpty && strStatsCols.isEmpty) Nil
       else {
@@ -1300,7 +1317,7 @@ object Snapshots {
       // the one aggregate only in that (rare) case
       val prevChecks = checkLinesOf(prevLines)
       if (prevChecks.toSet != validatedChecks.toSet) {
-        try requireChecks(df, prevChecks, table, "commit")
+        try requireChecks(readBackWritten(), prevChecks, table, "commit")
         catch {
           case e: Throwable =>
             f.delete(new Path(s"$table/$dir"), true): Unit

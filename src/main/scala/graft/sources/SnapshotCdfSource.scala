@@ -105,8 +105,25 @@ object SnapshotCdfSource {
     val floorFile = new Path(metadataPath, "graft-cdf-floor")
     if (f.exists(floorFile)) {
       val in = f.open(floorFile)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
+      val persisted =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      // a DIFFERENT explicit startingVersion against an existing
+      // checkpoint refuses LOUDLY: silently keeping the persisted floor
+      // would make the user misread every emitted range ("latest" and
+      // absent stay compatible — they mean "whatever floor stream
+      // start resolved", which IS the persisted one)
+      startingVersion.map(_.trim.toLowerCase)
+        .filterNot(v => v == "latest" || v.isEmpty)
+        .foreach { n =>
+          require(n.toInt - 1 == persisted,
+            s"graft-snapshot-cdf at $table: startingVersion=$n conflicts " +
+              s"with this checkpoint's persisted floor $persisted (emit " +
+              s"from ${persisted + 1}) — re-flooring an existing " +
+              "checkpoint would mislabel the stream's history; use a " +
+              "fresh checkpointLocation to start from a different version")
+        }
+      persisted
     } else {
       val floor = startingVersion.map(_.trim.toLowerCase) match {
         case None | Some("latest") => Snapshots.latestVersion(s, table)

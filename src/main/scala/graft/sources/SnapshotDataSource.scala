@@ -256,16 +256,37 @@ object SnapshotDataSource {
     }
 }
 
-/** Pruning evidence for the last snapshot scan PLANNED in this JVM —
-  * the io41 gate's proof surface (`Dataset.inputFiles` cannot see
+/** Pruning evidence for snapshot scans PLANNED in this JVM — the
+  * io41/io44 gates' proof surface (`Dataset.inputFiles` cannot see
   * through a V1 bridge, so the scan records what the manifest pruning
   * did; driver-side diagnostics, like `PrunedScan`'s counts).
+  *
+  * Evidence is KEYED BY TABLE in a bounded recent-scans map, so two
+  * concurrent queries (or a diagnostic probe planned between someone
+  * else's scans) each find their OWN table's counts — a single
+  * last-scan slot would hand one scan the other's proof. [[lastScan]]
+  * stays as the whole-JVM "what planned most recently" diagnostic; any
+  * consumer asserting on a SPECIFIC table must use [[scanOf]].
   */
 object SnapshotScans {
   final case class ScanInfo(table: String, version: Int, dirsTotal: Int,
     dirsRead: Int, pushed: Seq[String])
+  private val MaxRecent = 64
+  private val recent =
+    new java.util.LinkedHashMap[String, ScanInfo](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ScanInfo]): Boolean =
+        size() > MaxRecent
+    }
   private val last = new java.util.concurrent.atomic.AtomicReference[ScanInfo]
-  private[sources] def record(i: ScanInfo): Unit = last.set(i)
+  private[sources] def record(i: ScanInfo): Unit = {
+    recent.synchronized { recent.put(i.table, i): Unit }
+    last.set(i)
+  }
+  /** The most recent scan of exactly `table` (bounded LRU — the last
+    * [[MaxRecent]] distinct tables scanned stay addressable). */
+  def scanOf(table: String): Option[ScanInfo] =
+    recent.synchronized { Option(recent.get(table)) }
   def lastScan: Option[ScanInfo] = Option(last.get)
 }
 
@@ -322,15 +343,20 @@ final class SnapshotTable(path: String, version: Int,
                         data.schema.fields.map(_.dataType).toSeq =>
                   val notNull = st.fields.filterNot(_.nullable).map(_.name)
                   if (notNull.nonEmpty) {
-                    val bad = data.filter(notNull.toIndexedSeq
+                    // materialize ONCE: probing the live plan and then
+                    // committing it would run the INSERT query twice —
+                    // a non-deterministic source could pass the probe
+                    // yet write a NULL into a NOT NULL column
+                    val once = data.localCheckpoint()
+                    val bad = once.filter(notNull.toIndexedSeq
                         .map(c => org.apache.spark.sql.functions.col(c).isNull)
                         .reduce(_ || _))
                       .limit(1).count()
                     require(bad == 0,
                       s"INSERT into $path: NULL in NOT NULL column(s) " +
                         notNull.mkString(", "))
-                  }
-                  s.createDataFrame(data.rdd, st)
+                    s.createDataFrame(once.rdd, st)
+                  } else s.createDataFrame(data.rdd, st)
                 case _ => data
               }
               Snapshots.commit(frame, path): Unit
@@ -532,16 +558,21 @@ class SnapshotCatalog extends TableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Listing cost is INDEPENDENT of retained-version count: each
+    * subdirectory is classified by O(1) existence probes (`_latest`
+    * hint, then `manifest-v1.txt` for a hint-less table) — never a
+    * `manifest-v*` glob, which is O(retained versions) of namenode
+    * work per table, the exact cost `latestVersion`'s probe path
+    * engineered away. Only a table that has BOTH lost its hint AND
+    * vacuumed away v1 falls back to one glob (counted, spec-gated).
+    */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val root = new Path((base +: namespace.toSeq).mkString("/"))
     val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!f.exists(root)) Array.empty
-    else f.listStatus(root).filter(_.isDirectory).map(_.getPath).filter { p =>
-      f.globStatus(new Path(p, "manifest-v*.txt")) match {
-        case null => false
-        case sts => sts.nonEmpty
-      }
-    }.map(p => Identifier.of(namespace, p.getName))
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => SnapshotCatalog.probeIsTable(f, p))
+      .map(p => Identifier.of(namespace, p.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -615,4 +646,31 @@ class SnapshotCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")
+}
+
+object SnapshotCatalog {
+  /** Spec-gated probe counters for [[SnapshotCatalog.listTables]]: the
+    * per-directory classification must stay O(1) existence probes, and
+    * the glob fallback must fire only for the hint-less + v1-vacuumed
+    * degenerate case — a regression to per-table globbing shows up as
+    * a fallback count, not a slow listing.
+    */
+  private[graft] val probeCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val globFallbackCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[sources] def probeIsTable(
+      f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    probeCount.incrementAndGet(): Unit
+    if (f.exists(new Path(p, "_latest")) ||
+        f.exists(new Path(p, "manifest-v1.txt"))) true
+    else {
+      globFallbackCount.incrementAndGet(): Unit
+      f.globStatus(new Path(p, "manifest-v*.txt")) match {
+        case null => false
+        case sts => sts.nonEmpty
+      }
+    }
+  }
 }

@@ -219,27 +219,40 @@ object ChangeFeedSync {
           else lit(null).cast(f.dataType).as(f.name)): _*)
       case None => df
     }
-    // CHECK constraints propagate like schema: the replica's set
-    // converges to the source's at-range-head set BEFORE the apply, so
-    // the apply itself enforces them (a violating replicated batch
-    // refuses exactly like a direct commit). Adds re-validate the
-    // replica's existing rows (the addCheck contract) — O(replica),
-    // but only when the set actually changed; drops are metadata-only.
-    def propagateChecks(): Unit = {
+    // CHECK constraints propagate like schema, SPLIT AROUND THE FOLD:
+    // DROPS (and the drop half of a changed expression) converge
+    // BEFORE the apply — a source that dropped a constraint may emit
+    // rows the old expression refuses, and the apply must not enforce
+    // a contract the source no longer has. ADDS converge AFTER the
+    // feed range folds: addCheck validates the replica's EXISTING rows
+    // (the addCheck contract), and the replica's pre-fold state may
+    // legitimately still hold rows the source deleted BEFORE the
+    // constraint landed (delete at v5, addCheck at v6, replica cursor
+    // at 4) — adding first refuses forever and wedges replication;
+    // adding after the fold validates exactly the source's own state,
+    // which the source's addCheck already proved. The folded range's
+    // rows themselves come from a source that enforced the new
+    // constraint, so the weaker in-flight set never admits a violator.
+    def propagateCheckDrops(): Unit = {
       val srcChecks = Snapshots.checksOf(s, sourceTable, Some(latest))
       val repChecks = Snapshots.checksOf(s, replicaTable)
-      if (srcChecks != repChecks) {
-        (repChecks.keySet -- srcChecks.keySet)
-          .foreach(n => Snapshots.dropCheck(s, replicaTable, n): Unit)
-        srcChecks.foreach { case (n, e) =>
-          repChecks.get(n) match {
-            case Some(old) if old == e => ()
-            case Some(_) =>
-              Snapshots.dropCheck(s, replicaTable, n): Unit
-              Snapshots.addCheck(s, replicaTable, n, e): Unit
-            case None => Snapshots.addCheck(s, replicaTable, n, e): Unit
-          }
+      (repChecks.keySet -- srcChecks.keySet)
+        .foreach(n => Snapshots.dropCheck(s, replicaTable, n): Unit)
+      srcChecks.foreach { case (n, e) =>
+        repChecks.get(n).foreach { old =>
+          if (old != e) Snapshots.dropCheck(s, replicaTable, n): Unit
         }
+      }
+    }
+    // idempotent (set convergence) — also the crash-recovery path: a
+    // sync that died between its apply and its adds converges here on
+    // the next call, whether or not that call advances the cursor
+    def propagateCheckAdds(): Unit = {
+      val srcChecks = Snapshots.checksOf(s, sourceTable, Some(latest))
+      val repChecks = Snapshots.checksOf(s, replicaTable)
+      srcChecks.foreach { case (n, e) =>
+        if (!repChecks.get(n).contains(e))
+          Snapshots.addCheck(s, replicaTable, n, e): Unit
       }
     }
     if (repLatest < 1) {
@@ -249,8 +262,10 @@ object ChangeFeedSync {
           replicaTable, ReplicaWriter, latest.toLong, props = cursorProps)
         .map(_ => (cursor + 1, latest))
       // constraints ride AFTER the bootstrap commit (addCheck needs a
-      // committed version to validate against); idempotent on replay
-      if (landed.isDefined) propagateChecks()
+      // committed version to validate against, and the bootstrap state
+      // IS source-at-latest — the adds validate what the source already
+      // proved); idempotent on replay
+      if (landed.isDefined) { propagateCheckDrops(); propagateCheckAdds() }
       return landed
     }
     // ADDITIVE source evolution propagates to the replica FIRST (an
@@ -274,7 +289,7 @@ object ChangeFeedSync {
           replicaTable, allowEvolve = true): Unit
       }
     }
-    propagateChecks()
+    propagateCheckDrops()
     val feed = Snapshots.changeFeed(s, sourceTable, cursor + 1, latest)
     val w = Window.partitionBy(keyCol)
       .orderBy(col("_commit_version").desc,
@@ -292,6 +307,11 @@ object ChangeFeedSync {
         props = cursorProps)
       .map(_ => (cursor + 1, latest))
     graft.ops.Checkpoints.free(last)
+    // adds AFTER the fold: the replica now equals source-at-latest, so
+    // the adds' existing-data validation passes exactly when the
+    // source's own addCheck did. Runs on the replay path too (advanced
+    // = None) — crash recovery for a sync that died mid-propagation.
+    propagateCheckAdds()
     advanced
   }
 

@@ -1635,11 +1635,18 @@ class SnapshotsSpec extends SparkSpec {
     assert(v2 == 2 && Snapshots.checksOf(spark, t) == Map("v-pos" -> "v > 0"))
     // the constraint commit is metadata-only and feed-silent
     assert(Snapshots.changeFeed(spark, t, 2, 2).count() == 0)
-    // a violating append refuses PRE-CLAIM: version unchanged
+    // a violating append refuses PRE-CLAIM: version unchanged, and the
+    // validation runs over the WRITTEN bytes — the refused write's
+    // orphan dir is removed, so the table holds only referenced dirs
+    val dirsBefore = Option(new java.io.File(s"$t/data").listFiles())
+      .map(_.length).getOrElse(0)
     val e = intercept[IllegalArgumentException](
       Snapshots.commit(Seq((3L, Option(-5L))).toDF("k", "v"), t))
     assert(e.getMessage.contains("v-pos") && e.getMessage.contains("v > 0"))
     assert(Snapshots.latestVersion(spark, t) == 2)
+    assert(Option(new java.io.File(s"$t/data").listFiles())
+      .map(_.length).getOrElse(0) == dirsBefore,
+      "a refused commit must not leave its orphan data dir behind")
     // NULL is unknown, not a violation (ANSI CHECK semantics)
     Snapshots.commit(Seq((3L, Some(30L)), (4L, None))
       .toDF("k", "v"), t, allowEvolve = false)
@@ -1739,6 +1746,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       Snapshots.commit(Seq((9L, -1L, "y")).toDF("key", "v", "tag"), dst))
       .getMessage.contains("v-pos"))
+  }
+
+  test("readForScan honors an EMPTY IN-list: zero rows (IN () matches " +
+      "nothing), not the whole unfiltered table") {
+    import spark.implicits._
+    val t = freshTable()
+    Snapshots.commit((1L to 20L).map(k => (k, s"s$k")).toDF("k", "tag"), t)
+    assert(Snapshots.readForScan(spark, t,
+      preds = Seq(Snapshots.InLongPred("k", Nil))).df.count() == 0,
+      "empty long IN-list must match zero rows")
+    assert(Snapshots.readForScan(spark, t,
+      preds = Seq(Snapshots.InStringPred("tag", Nil))).df.count() == 0,
+      "empty string IN-list must match zero rows")
+    // non-empty lists still answer exactly
+    assert(Snapshots.readForScan(spark, t,
+      preds = Seq(Snapshots.InLongPred("k", Seq(3L, 7L)))).df.count() == 2)
   }
 
   test("bloom sidecar memoization: N repeated lookups deserialize each " +

@@ -89,6 +89,26 @@ class SnapshotCdfSourceSpec extends SparkSpec {
     assert(feed.count() == 8,
       s"the durable floor must emit v2..v3 (8 rows), got ${feed.count()}")
     assert(feed.agg(min("_commit_version")).head().getInt(0) == 2)
+    // a CONFLICTING explicit startingVersion against the existing
+    // checkpoint refuses LOUDLY — silently keeping the persisted floor
+    // would mislabel every emitted range for the re-pointing user
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-snapshot-cdf")
+        .option("path", t).option("startingVersion", "3").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("conflicts") ||
+      Option(e.getCause).exists(_.getMessage.contains("conflicts")),
+      s"re-flooring an existing checkpoint must refuse: ${e.getMessage}")
+    // a matching explicit startingVersion (floor 1 → emit from 2) and
+    // "latest" both stay compatible with the persisted floor
+    drain(t, out, ckpt, Some("2"))
+    drain(t, out, ckpt, Some("latest"))
+    assert(spark.read.parquet(out).count() == 8,
+      "compatible restarts must neither refuse nor re-emit")
   }
 
   test("the snapshot SINK: one CAS commit per micro-batch, CHECK " +

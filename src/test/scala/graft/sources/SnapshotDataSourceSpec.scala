@@ -247,18 +247,69 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(q.count() == 50)
   }
 
-  test("catalog listTables surfaces manifest-bearing directories only") {
+  test("catalog listTables surfaces manifest-bearing directories only, " +
+      "classifies by O(1) existence probes (cost independent of " +
+      "retained-version count), and globs only for the degenerate " +
+      "hint-less + v1-vacuumed table") {
     import spark.implicits._
     val base = freshBase()
-    Snapshots.commit(Seq((1L, 1L)).toDF("k", "v"), s"$base/alpha")
+    // alpha accumulates MANY versions — a per-table manifest glob would
+    // pay for each of them; the probe pays one _latest existence check
+    (1L to 6L).foreach(i =>
+      Snapshots.commit(Seq((i, i)).toDF("k", "v"), s"$base/alpha"): Unit)
     Snapshots.commit(Seq((2L, 2L)).toDF("k", "v"), s"$base/beta")
     new java.io.File(s"$base/not_a_table").mkdirs()
     val cat = s"snapspec_${math.abs(base.hashCode + 1)}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.SnapshotCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val probes0 = SnapshotCatalog.probeCount.get()
+    val falls0 = SnapshotCatalog.globFallbackCount.get()
     val listed = spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet
     assert(listed == Set("alpha", "beta"), s"got $listed")
+    assert(SnapshotCatalog.probeCount.get() - probes0 == 3,
+      "one classification probe per subdirectory")
+    // only the probe-less NON-table pays a glob; the many-version
+    // tables classify on their _latest hint alone
+    assert(SnapshotCatalog.globFallbackCount.get() - falls0 == 1,
+      "hint-bearing tables must never glob")
+    // the degenerate case: hint lost AND v1 vacuumed — the fallback
+    // glob fires for that table too and still classifies it
+    Snapshots.vacuum(spark, s"$base/alpha", keepVersions = 1,
+      orphanGraceMs = 0L)
+    assert(new java.io.File(s"$base/alpha/_latest").delete())
+    assert(!new java.io.File(s"$base/alpha/manifest-v1.txt").exists())
+    val falls1 = SnapshotCatalog.globFallbackCount.get()
+    val relisted = spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet
+    assert(relisted == Set("alpha", "beta"), s"got $relisted")
+    assert(SnapshotCatalog.globFallbackCount.get() - falls1 == 2,
+      "exactly the degenerate table and the non-table pay the glob")
+  }
+
+  test("pruning evidence is keyed by table: two scans find their own " +
+      "counts, neither clobbered by the other") {
+    import spark.implicits._
+    val base = freshBase()
+    val ta = s"$base/ta"
+    val tb = s"$base/tb"
+    Snapshots.commitWithStats((1L to 50L).map(k => (k, k)).toDF("k", "v"),
+      ta, "k")
+    Snapshots.commitWithStats((51L to 99L).map(k => (k, k)).toDF("k", "v"),
+      ta, "k")
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), tb)
+    // scan A (pruned), then scan B (unpruned) — B planning after A must
+    // not overwrite A's proof for a consumer that asks for A's table
+    assert(spark.read.format("graft-snapshot").option("path", ta).load()
+      .filter(col("k") <= 10L).count() == 10)
+    assert(spark.read.format("graft-snapshot").option("path", tb).load()
+      .filter(col("v") >= 1L).count() == 10)
+    val a = SnapshotScans.scanOf(ta).get
+    assert(a.dirsTotal == 2 && a.dirsRead == 1,
+      s"table-keyed evidence for ta (${a.dirsRead}/${a.dirsTotal})")
+    val b = SnapshotScans.scanOf(tb).get
+    assert(b.table == tb && b.dirsTotal == 1)
+    assert(SnapshotScans.scanOf(s"$base/never_scanned").isEmpty)
   }
 }

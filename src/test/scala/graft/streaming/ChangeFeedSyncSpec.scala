@@ -166,8 +166,8 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(dstDf.collect().map(_.toSeq).toSet == before)
   }
 
-  test("replicateOnce propagates CHECK constraints like schema: adds " +
-      "ride before the apply, drops converge, and a violating source " +
+  test("replicateOnce propagates CHECK constraints like schema: drops " +
+      "converge before the fold, adds after it, and a violating source " +
       "write never reaches a constrained replica unvalidated") {
     import spark.implicits._
     val src = fresh("rep_chk_src")
@@ -184,7 +184,7 @@ class ChangeFeedSyncSpec extends SparkSpec {
       Snapshots.commit(Seq((Option(99L), Option(-1L))).toDF("k", "v"), dst))
       .getMessage.contains("v-pos"))
     // incremental: a second constraint added at the source rides the
-    // next sync ahead of the fold
+    // next sync (converged after the fold, when the states match)
     Snapshots.mergeUpsert(spark, src, Seq((2L, 222L)).toDF("k", "v"), "k")
     Snapshots.addCheck(spark, src, "k-pos", "k > 0")
     assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isDefined)
@@ -198,6 +198,38 @@ class ChangeFeedSyncSpec extends SparkSpec {
     Snapshots.mergeUpsert(spark, src, Seq((3L, 333L)).toDF("k", "v"), "k")
     assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isDefined)
     assert(Snapshots.checksOf(spark, dst) == Map("k-pos" -> "k > 0"))
+  }
+
+  test("replicateOnce never wedges on a constraint added after the " +
+      "source cleaned its own violators: the add converges AFTER the " +
+      "fold, when the replica state equals the source's") {
+    import spark.implicits._
+    val src = fresh("rep_wedge_src")
+    val dst = fresh("rep_wedge_dst")
+    // v1: a corpus that VIOLATES the future constraint (v = 0 rows)
+    Snapshots.commit((1L to 10L).map(k => (k, if (k % 3 == 0) 0L else k))
+      .toDF("k", "v"), src)
+    // replica bootstraps at v1 — it now holds the violating rows too
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k")
+      .contains((1, 1)))
+    // v2: the source deletes its violators; v3: the constraint lands
+    // (addCheck validates the source's now-clean state and passes)
+    Snapshots.deleteWhere(spark, src, col("v") === 0L)
+    Snapshots.addCheck(spark, src, "v-pos", "v > 0")
+    // the replica's cursor is at 1 and its state still holds v = 0
+    // rows: an add-BEFORE-fold ordering re-validates that stale state,
+    // refuses, and wedges replication permanently — the fold-first
+    // ordering applies the delete range, THEN adds against the clean
+    // converged state
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k")
+      .contains((2, 3)))
+    assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
+    val srcDf = Snapshots.read(spark, src).select("k", "v")
+    val dstDf = Snapshots.read(spark, dst).select("k", "v")
+    assert(srcDf.exceptAll(dstDf).isEmpty && dstDf.exceptAll(srcDf).isEmpty)
+    // and a retry no-ops cleanly (the tag) while the set stays converged
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isEmpty)
+    assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
   }
 
   test("replicateOnce is exactly-once: a replayed range no-ops on the " +
