@@ -8014,6 +8014,96 @@ object SparkEntry {
       ORDER BY src, v, item""")
   }
 
+  /** TEMPORAL/DECIMAL PUSHDOWN through the gate — the warehouse's
+    * commonest predicate types drive manifest pruning end-to-end:
+    * [[graft.io.Snapshots.statsLongEncoding]] records `#dirstats` for
+    * TIMESTAMP (epoch micros), DATE (epoch days), and DECIMAL(p≤18,s)
+    * (unscaled) columns with the same order-preserving long encoding
+    * [[graft.sources.SnapshotDataSource.translate]] maps SQL literals
+    * onto — so `WHERE ts BETWEEN …` / `d BETWEEN …` / `price <= …`
+    * through the catalog open a STRICT SUBSET of directories
+    * (require-gated per leg via the table-keyed scan evidence), while
+    * the always-residual filters keep every answer exact. One table
+    * slices two temporal columns by year (disjoint ranges per dir),
+    * a second slices a decimal price into bands; five SQL probes each
+    * must open exactly 1 of 3 directories. The oracle recomputes all
+    * five aggregates from raw orders under the identical predicates.
+    */
+  private def io44TemporalPushdown(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io44")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val t = s"$base/t"
+    val tp = s"$base/p"
+    // o_orderdate reads TIMESTAMP_NTZ from the driver's parquet — cast
+    // to TIMESTAMP (the normalizeEventTs convention); prices sit on an
+    // exact 2-decimal grid, so the decimal(12,2) cast is lossless
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("ts"),
+      to_date(col("o_orderdate")).as("d"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    // temporal table: three year-band slices → disjoint ts/d ranges
+    val y = year(col("ts"))
+    graft.io.Snapshots.commitWithMultiStats(
+      o.filter(y <= 1996).select("k", "ts", "d"), t, Seq("ts", "d"))
+    graft.io.Snapshots.commitWithMultiStats(
+      o.filter(y >= 1997 && y <= 1998).select("k", "ts", "d"), t,
+      Seq("ts", "d"))
+    graft.io.Snapshots.commitWithMultiStats(
+      o.filter(y >= 1999).select("k", "ts", "d"), t, Seq("ts", "d"))
+    // decimal table: three price bands → disjoint unscaled ranges
+    val bands = Seq(
+      col("price") < lit("100000.00").cast("decimal(12,2)"),
+      col("price") >= lit("100000.00").cast("decimal(12,2)") &&
+        col("price") < lit("250000.00").cast("decimal(12,2)"),
+      col("price") >= lit("250000.00").cast("decimal(12,2)"))
+    bands.foreach(b => graft.io.Snapshots.commitWithStats(
+      o.filter(b).select("k", "price"), tp, "price"): Unit)
+    val cat = s"snap44_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    def prunedTo1(table: String, leg: String): Unit = {
+      val info = graft.sources.SnapshotScans.scanOf(table).get
+      require(info.dirsTotal == 3 && info.dirsRead == 1,
+        s"io44 $leg: the literal must prune to 1/3 directories " +
+          s"(${info.dirsRead}/${info.dirsTotal}; pushed=${info.pushed})")
+    }
+    // leg 1: TIMESTAMP range (half-open year) → middle slice only
+    val r1 = s.sql(s"""SELECT count(*) AS n,
+      CAST(coalesce(sum(k), 0) AS BIGINT) AS ksum FROM $cat.t
+      WHERE ts >= TIMESTAMP '1997-01-01 00:00:00'
+        AND ts < TIMESTAMP '1998-01-01 00:00:00'""").head()
+    prunedTo1(t, "ts-range")
+    // leg 2: DATE BETWEEN → first slice only
+    val r2 = s.sql(s"""SELECT count(*) AS n,
+      CAST(coalesce(sum(k), 0) AS BIGINT) AS ksum FROM $cat.t
+      WHERE d BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'""").head()
+    prunedTo1(t, "date-between")
+    // leg 3: DECIMAL upper bound → cheapest band only
+    val r3 = s.sql(s"""SELECT count(*) AS n,
+      CAST(coalesce(sum(price * 100), 0) AS BIGINT) AS cents
+      FROM $cat.p WHERE price <= 99999.99""").head()
+    prunedTo1(tp, "price-le")
+    // leg 4: DECIMAL lower bound → richest band only
+    val r4 = s.sql(s"""SELECT count(*) AS n,
+      CAST(coalesce(sum(price * 100), 0) AS BIGINT) AS cents
+      FROM $cat.p WHERE price >= 250000.00""").head()
+    prunedTo1(tp, "price-ge")
+    // leg 5: TIMESTAMP point lookup on the minimum order instant
+    val tsMin = o.agg(min("ts")).head().getTimestamp(0)
+    val r5 = s.sql(s"""SELECT count(*) AS n FROM $cat.t
+      WHERE ts = TIMESTAMP '$tsMin'""").head()
+    prunedTo1(t, "ts-eq")
+    s.range(1).select(
+      lit(r1.getLong(0)).as("n_ts"), lit(r1.getLong(1)).as("ksum_ts"),
+      lit(r2.getLong(0)).as("n_d"), lit(r2.getLong(1)).as("ksum_d"),
+      lit(r3.getLong(0)).as("n_cheap"), lit(r3.getLong(1)).as("cents_cheap"),
+      lit(r4.getLong(0)).as("n_rich"), lit(r4.getLong(1)).as("cents_rich"),
+      lit(r5.getLong(0)).as("n_min_ts"))
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -9512,6 +9602,7 @@ object SparkEntry {
     "q96_cdf_native_stream" -> q96CdfNativeStream _,
     "q97_snapshot_sink" -> q97SnapshotSink _,
     "io43_meta_tables" -> io43MetaTables _,
+    "io44_temporal_pushdown" -> io44TemporalPushdown _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -13172,6 +13263,34 @@ object SparkEntry {
         |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM o GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // five predicate probes, each recomputed from raw orders under the
+    // identical literal; the 1-of-3-directories pruning proofs per leg
+    // are require-gated in-query (temporal/decimal stats encoding ==
+    // pushdown literal encoding, by construction)
+    "io44_temporal_pushdown" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderdate AS ts,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM o
+        |     WHERE ts >= TIMESTAMP '1997-01-01 00:00:00'
+        |       AND ts < TIMESTAMP '1998-01-01 00:00:00') AS n_ts,
+        |  (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM o
+        |     WHERE ts >= TIMESTAMP '1997-01-01 00:00:00'
+        |       AND ts < TIMESTAMP '1998-01-01 00:00:00') AS ksum_ts,
+        |  (SELECT count(*) FROM o
+        |     WHERE d BETWEEN DATE '1995-01-01' AND DATE '1996-12-31') AS n_d,
+        |  (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM o
+        |     WHERE d BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+        |     AS ksum_d,
+        |  (SELECT count(*) FROM o WHERE price <= 99999.99) AS n_cheap,
+        |  (SELECT CAST(coalesce(sum(price * 100), 0) AS BIGINT) FROM o
+        |     WHERE price <= 99999.99) AS cents_cheap,
+        |  (SELECT count(*) FROM o WHERE price >= 250000.00) AS n_rich,
+        |  (SELECT CAST(coalesce(sum(price * 100), 0) AS BIGINT) FROM o
+        |     WHERE price >= 250000.00) AS cents_rich,
+        |  (SELECT count(*) FROM o WHERE ts = (SELECT min(ts) FROM o))
+        |     AS n_min_ts""".stripMargin,
     "io41_dsv2_catalog" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -224,6 +224,68 @@ object Snapshots {
     x.length - y.length
   }
 
+  /** The ORDER-PRESERVING long encoding a `#dirstats` line records for
+    * a column's values — type-driven, so min/max of the encoding equal
+    * the encoding of min/max:
+    *  - integral (long/int/short/byte): the value itself;
+    *  - TIMESTAMP: epoch MICROseconds (`unix_micros` — Spark's own
+    *    physical precision, exact round-trip);
+    *  - DATE: epoch days (`unix_date`);
+    *  - DECIMAL(p ≤ 18, s): the UNSCALED value (value × 10^s, integral
+    *    by construction, fits a long for p ≤ 18).
+    * Anything else refuses LOUDLY at commit: a silent lossy cast (a
+    * double truncating, a float rounding) could understate a
+    * directory's max and let pruning skip a directory that holds
+    * matches — wrongness, not just waste. Readers decode with the same
+    * type-driven table ([[SnapshotDataSource]]'s pushdown translation
+    * and the manifest-aggregate fast path), so one encoding drives
+    * commit, pruning, and metadata answers.
+    */
+  private[graft] def statsLongEncoding(c: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, lit, unix_date, unix_micros}
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        col(c).cast("long")
+      case TimestampType => unix_micros(col(c))
+      case DateType => unix_date(col(c)).cast("long") // unix_date is INT
+      case d: DecimalType if d.precision <= 18 =>
+        // value × 10^s is integral at the column's scale; decimal
+        // arithmetic is exact and the cast never truncates
+        (col(c) * lit(BigDecimal(10).pow(d.scale))).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"#dirstats on '$c': ${other.simpleString} has no exact " +
+          "order-preserving long encoding (supported: integral, " +
+          "timestamp, date, decimal(p<=18)) — a lossy encoding could " +
+          "prune directories that hold matches")
+    }
+  }
+
+  /** Inverse of [[statsLongEncoding]] for RESIDUAL FILTERS: decode an
+    * encoded long back into a plain Scala literal of the column's own
+    * type, so the residual stays a bare-column-vs-literal comparison
+    * (constant-foldable → parquet footer `PushedFilters` keep working;
+    * a function-wrapped column would block row-group skipping).
+    * Integral columns pass the long through (Spark widens the column
+    * side implicitly — the committed behavior).
+    */
+  private def statsLongDecode(
+      dt: org.apache.spark.sql.types.DataType, v: Long): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(v, 1000000L),
+          Math.floorMod(v, 1000000L) * 1000L))
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v))
+      case d: DecimalType => new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(v), d.scale)
+      case _ => v
+    }
+  }
+
   /** Hive's reserved directory name for a NULL (or empty-string)
     * partition value — a literal data value equal to it would read back
     * as NULL, so [[commitPartitioned]] refuses it up front.
@@ -737,29 +799,41 @@ object Snapshots {
     val lines = manifestLines(s, table, v)
     val dirs = lines.filterNot(_.startsWith("#"))
     val hit = readForScanDirs(s, table, lines, preds)
-    val residual = preds.flatMap {
-      case EqLongPred(c, x) => Seq(col(c) === x)
-      case EqStringPred(c, x) => Seq(col(c) === x)
-      case RangeLongPred(c, lo, hi) =>
-        lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
-      case RangeStringPred(c, lo, hi) =>
-        lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
-      case InLongPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
-      case InStringPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
-      // an EMPTY IN-list matches zero rows — honor the predicate's
-      // semantics for direct library callers too (dropping it entirely
-      // would hand back the whole unfiltered table; safe behind DSv2
-      // only because Spark re-applies its own filter above the scan)
-      case InLongPred(_, vs) if vs.isEmpty => Seq(lit(false))
-      case InStringPred(_, vs) if vs.isEmpty => Seq(lit(false))
-      case _ => Nil
-    }.reduceOption(_ && _)
+    // residuals compare the bare column against a literal DECODED back
+    // into the column's own type (timestamps, dates, decimals — see
+    // [[statsLongDecode]]), so Catalyst still pushes them into the
+    // parquet footers; a long-vs-column mismatch would fail resolution
+    // on a temporal column, a function-wrapped column would block
+    // row-group skipping
+    def residualOver(schema: org.apache.spark.sql.types.StructType) = {
+      def dec(c: String, x: Long): Any =
+        statsLongDecode(schema(c).dataType, x)
+      preds.flatMap {
+        case EqLongPred(c, x) => Seq(col(c) === dec(c, x))
+        case EqStringPred(c, x) => Seq(col(c) === x)
+        case RangeLongPred(c, lo, hi) =>
+          lo.map(x => col(c) >= dec(c, x)).toSeq ++
+            hi.map(x => col(c) <= dec(c, x)).toSeq
+        case RangeStringPred(c, lo, hi) =>
+          lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
+        case InLongPred(c, vs) if vs.nonEmpty =>
+          Seq(col(c).isin(vs.map(dec(c, _)): _*))
+        case InStringPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
+        // an EMPTY IN-list matches zero rows — honor the predicate's
+        // semantics for direct library callers too (dropping it entirely
+        // would hand back the whole unfiltered table; safe behind DSv2
+        // only because Spark re-applies its own filter above the scan)
+        case InLongPred(_, vs) if vs.isEmpty => Seq(lit(false))
+        case InStringPred(_, vs) if vs.isEmpty => Seq(lit(false))
+        case _ => Nil
+      }.reduceOption(_ && _)
+    }
     val df =
       if (hit.isEmpty) read(s, table, Some(v)).filter(lit(false))
       else {
         val base = applyDv(s, table, dvLinesOf(lines),
           applyRenames(lines, readDirsRaw(s, table, lines, hit)))
-        residual.map(base.filter).getOrElse(base)
+        residualOver(base.schema).map(base.filter).getOrElse(base)
       }
     PrunedScan(df, dirs.size, hit.size)
   }
@@ -1199,6 +1273,10 @@ object Snapshots {
             "another column")
       }
     }
+    // declared stats columns must be long-ENCODABLE (see
+    // [[statsLongEncoding]]) — refuse BEFORE the data write, while the
+    // caller can still fix the declaration without an orphan dir
+    statsCols.foreach(c => statsLongEncoding(c, df.schema(c).dataType): Unit)
     val dir = s"data/c-${java.util.UUID.randomUUID().toString.take(13)}"
     if (partitionCols.isEmpty)
       df.write.mode("errorifexists").parquet(s"$table/$dir")
@@ -1238,8 +1316,10 @@ object Snapshots {
       if (statsCols.isEmpty && strStatsCols.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.{col, min, max}
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c).cast("long")), max(col(c).cast("long")))) ++
+        val aggs = statsCols.flatMap { c =>
+          val e = statsLongEncoding(c, df.schema(c).dataType)
+          Seq(min(e), max(e))
+        } ++
           strStatsCols.flatMap(c =>
             Seq(min(col(c).cast("string")), max(col(c).cast("string"))))
         val r = readBackWritten().agg(aggs.head, aggs.tail: _*).head()

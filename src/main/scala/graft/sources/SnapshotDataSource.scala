@@ -194,22 +194,71 @@ object SnapshotDataSource {
     * re-applies as a residual, so translation is conservative-safe).
     * Strict bounds translate to their inclusive bound — stats pruning
     * admits one boundary value too many, the residual drops it.
+    *
+    * Literals map onto the SAME long domain
+    * [[Snapshots.statsLongEncoding]] committed: integrals verbatim,
+    * timestamps as epoch micros, dates as epoch days, decimals as the
+    * unscaled value AT THE COLUMN'S SCALE (the schema resolves the
+    * scale). A decimal literal not representable at the column's scale
+    * rounds DIRECTION-AWARE — lower bounds take the ceiling, upper
+    * bounds the floor (both EXACT rewrites over a scale-s domain, not
+    * merely conservative); an inexact equality translates to nothing
+    * (it can match no stored value — the residual answers empty).
     */
-  private[sources] def translate(f: Filter): Seq[Snapshots.ScanPred] = {
-    def asLong(v: Any): Option[Long] = v match {
+  private[sources] def translate(f: Filter,
+      schema: StructType): Seq[Snapshots.ScanPred] = {
+    // rounding directions for a literal that does not sit exactly on
+    // the column's long-encoded grid
+    sealed trait Rnd
+    case object Exact extends Rnd
+    case object LoBound extends Rnd // round UP (values ≥ lit ⇔ ≥ ceil)
+    case object HiBound extends Rnd // round DOWN (values ≤ lit ⇔ ≤ floor)
+    def decScale(c: String): Option[Int] =
+      schema.fields.find(_.name == c).map(_.dataType).collect {
+        case d: org.apache.spark.sql.types.DecimalType
+            if d.precision <= 18 => d.scale
+      }
+    def micros(sec: Long, nanos: Int, rnd: Rnd): Option[Long] = {
+      val floor = sec * 1000000L + nanos / 1000L
+      if (nanos % 1000 == 0) Some(floor)
+      else rnd match {
+        case Exact => None
+        case LoBound => Some(floor + 1L)
+        case HiBound => Some(floor)
+      }
+    }
+    def asLong(c: String, v: Any, rnd: Rnd): Option[Long] = v match {
       case x: Long => Some(x)
       case x: Int => Some(x.toLong)
       case x: Short => Some(x.toLong)
       case x: Byte => Some(x.toLong)
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        micros(i.getEpochSecond, i.getNano, rnd)
+      case i: java.time.Instant => micros(i.getEpochSecond, i.getNano, rnd)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case b: java.math.BigDecimal =>
+        decScale(c).flatMap { sc =>
+          try {
+            val scaled = rnd match {
+              case Exact => b.setScale(sc) // throws when rounding needed
+              case LoBound => b.setScale(sc, java.math.RoundingMode.CEILING)
+              case HiBound => b.setScale(sc, java.math.RoundingMode.FLOOR)
+            }
+            Some(scaled.unscaledValue().longValueExact())
+          } catch { case _: ArithmeticException => None }
+        }
+      case b: scala.math.BigDecimal => asLong(c, b.bigDecimal, rnd)
       case _ => None
     }
     f match {
       case EqualTo(c, v: String) => Seq(Snapshots.EqStringPred(c, v))
       case EqualTo(c, v) =>
-        asLong(v).map(Snapshots.EqLongPred(c, _)).toSeq
+        asLong(c, v, Exact).map(Snapshots.EqLongPred(c, _)).toSeq
       case EqualNullSafe(c, v: String) => Seq(Snapshots.EqStringPred(c, v))
       case EqualNullSafe(c, v) if v != null =>
-        asLong(v).map(Snapshots.EqLongPred(c, _)).toSeq
+        asLong(c, v, Exact).map(Snapshots.EqLongPred(c, _)).toSeq
       case GreaterThan(c, v: String) =>
         Seq(Snapshots.RangeStringPred(c, Some(v), None))
       case GreaterThanOrEqual(c, v: String) =>
@@ -219,23 +268,29 @@ object SnapshotDataSource {
       case LessThanOrEqual(c, v: String) =>
         Seq(Snapshots.RangeStringPred(c, None, Some(v)))
       case GreaterThan(c, v) =>
-        asLong(v).map(x => Snapshots.RangeLongPred(c, Some(x), None)).toSeq
+        asLong(c, v, LoBound)
+          .map(x => Snapshots.RangeLongPred(c, Some(x), None)).toSeq
       case GreaterThanOrEqual(c, v) =>
-        asLong(v).map(x => Snapshots.RangeLongPred(c, Some(x), None)).toSeq
+        asLong(c, v, LoBound)
+          .map(x => Snapshots.RangeLongPred(c, Some(x), None)).toSeq
       case LessThan(c, v) =>
-        asLong(v).map(x => Snapshots.RangeLongPred(c, None, Some(x))).toSeq
+        asLong(c, v, HiBound)
+          .map(x => Snapshots.RangeLongPred(c, None, Some(x))).toSeq
       case LessThanOrEqual(c, v) =>
-        asLong(v).map(x => Snapshots.RangeLongPred(c, None, Some(x))).toSeq
+        asLong(c, v, HiBound)
+          .map(x => Snapshots.RangeLongPred(c, None, Some(x))).toSeq
       case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         Seq(Snapshots.InStringPred(c, vs.toSeq.map(_.asInstanceOf[String])))
-      case In(c, vs) if vs.nonEmpty && vs.forall(v => asLong(v).isDefined) =>
-        Seq(Snapshots.InLongPred(c, vs.toSeq.flatMap(asLong)))
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(v => asLong(c, v, Exact).isDefined) =>
+        Seq(Snapshots.InLongPred(c,
+          vs.toSeq.flatMap(v => asLong(c, v, Exact))))
       case StringStartsWith(c, prefix) if prefix.nonEmpty =>
         // every match is ≥ prefix; an ASCII prefix also bounds above by
         // its last-char increment (inclusive — conservative)
         Seq(Snapshots.RangeStringPred(c, Some(prefix),
           incrementAscii(prefix)))
-      case And(l, r) => translate(l) ++ translate(r)
+      case And(l, r) => translate(l, schema) ++ translate(r, schema)
       case _ => Nil
     }
   }
@@ -376,8 +431,10 @@ final class SnapshotScanBuilder(path: String, version: Int,
   private var preds: Seq[Snapshots.ScanPred] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    preds = filters.toSeq.flatMap(SnapshotDataSource.translate)
-    pushed = filters.filter(f => SnapshotDataSource.translate(f).nonEmpty)
+    preds = filters.toSeq.flatMap(
+      SnapshotDataSource.translate(_, tableSchema))
+    pushed = filters.filter(f =>
+      SnapshotDataSource.translate(f, tableSchema).nonEmpty)
     // EVERYTHING stays residual: correctness never depends on the
     // translation, a miss costs directory reads only
     filters

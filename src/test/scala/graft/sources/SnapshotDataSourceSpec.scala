@@ -288,6 +288,69 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "exactly the degenerate table and the non-table pay the glob")
   }
 
+  test("temporal/decimal pushdown: timestamp, date, and decimal " +
+      "predicates prune on the shared long encoding; inexact decimal " +
+      "literals round direction-aware; lossy stats columns refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = freshBase()
+    val t = s"$base/t"
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2026-01-${i}%02d 12:00:00")
+    val rows = (1 to 20).map(i => (i.toLong, day(i),
+      java.sql.Date.valueOf(f"2026-01-${i}%02d"),
+      new java.math.BigDecimal(f"${i * 10}%d.25")))
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("ts", TimestampType), StructField("d", DateType),
+      StructField("price", DecimalType(10, 2))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4))), schema)
+    Snapshots.commitWithMultiStats(df.filter(col("k") <= 10), t,
+      Seq("ts", "d", "price"))
+    Snapshots.commitWithMultiStats(df.filter(col("k") > 10), t,
+      Seq("ts", "d", "price"))
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    // timestamp range hits only the first slice
+    assert(fmt.filter(col("ts") <= day(5)).count() == 5)
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.dirsTotal == 2 && i1.dirsRead == 1,
+      s"timestamp bound must prune (${i1.dirsRead}/2)")
+    // date equality hits only the second slice
+    assert(fmt.filter(col("d") === java.sql.Date.valueOf("2026-01-15"))
+      .count() == 1)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 1)
+    // decimal bound at the column's scale hits only the first slice
+    assert(fmt.filter(col("price") <=
+      new java.math.BigDecimal("100.25")).count() == 10)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 1)
+    // translate: inexact decimal literals round DIRECTION-AWARE
+    val sc = StructType(Seq(StructField("price", DecimalType(10, 2))))
+    def one(f: org.apache.spark.sql.sources.Filter) =
+      SnapshotDataSource.translate(f, sc)
+    assert(one(org.apache.spark.sql.sources.GreaterThan("price",
+        new java.math.BigDecimal("1.234"))) ==
+      Seq(Snapshots.RangeLongPred("price", Some(124L), None)),
+      "lower bound takes the ceiling on the scale-2 grid")
+    assert(one(org.apache.spark.sql.sources.LessThan("price",
+        new java.math.BigDecimal("1.234"))) ==
+      Seq(Snapshots.RangeLongPred("price", None, Some(123L))),
+      "upper bound takes the floor on the scale-2 grid")
+    assert(one(org.apache.spark.sql.sources.EqualTo("price",
+        new java.math.BigDecimal("1.234"))).isEmpty,
+      "an equality off the grid translates to nothing (residual answers)")
+    assert(one(org.apache.spark.sql.sources.EqualTo("price",
+        new java.math.BigDecimal("1.23"))) ==
+      Seq(Snapshots.EqLongPred("price", 123L)))
+    // a lossy stats declaration refuses LOUDLY at commit, pre-write
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commitWithStats(
+        Seq((1L, 1.5d)).toDF("k", "x"), s"$base/bad", "x"))
+    assert(e.getMessage.contains("no exact order-preserving"),
+      e.getMessage)
+    assert(!new java.io.File(s"$base/bad/data").exists(),
+      "the refusal must land before any data write")
+  }
+
   test("pruning evidence is keyed by table: two scans find their own " +
       "counts, neither clobbered by the other") {
     import spark.implicits._
