@@ -8104,6 +8104,66 @@ object SparkEntry {
       lit(r5.getLong(0)).as("n_min_ts"))
   }
 
+  /** METADATA-ONLY AGGREGATE PUSHDOWN through the gate — the classic
+    * lakehouse freebie on the DSv2 scan
+    * ([[graft.sources.SnapshotScanBuilder]]'s
+    * `SupportsPushDownAggregates`): `SELECT count(*)` answers from the
+    * manifest's `#dirrows` lines and `min/max` from its `#dirstats`
+    * bounds (timestamps decoded back to their own type) WITHOUT
+    * opening a data file — require-gated via the table-keyed scan
+    * evidence (`dirsRead = 0`, `agg:` marker). The refusal side is
+    * gated just as hard: after a MoR delete the live deletion vectors
+    * make the manifest counts a lie, so the same `count(*)` must fall
+    * back to the ordinary scan (`dirsRead = dirsTotal`) and still
+    * answer exactly. The oracle recomputes all six values from raw
+    * orders.
+    */
+  private def io45AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io45")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val t = s"$base/t"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    (0L until 2L).foreach { i =>
+      graft.io.Snapshots.commitWithMultiStats(
+        o.filter(col("k") % 2 === i), t, Seq("k", "ts")): Unit
+    }
+    val cat = s"snap45_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    def evidence(leg: String, manifestAnswered: Boolean): Unit = {
+      val info = graft.sources.SnapshotScans.scanOf(t).get
+      if (manifestAnswered)
+        require(info.dirsRead == 0 && info.pushed.exists(_.startsWith("agg:")),
+          s"io45 $leg: the aggregate must answer from the manifest ($info)")
+      else
+        require(info.dirsRead == info.dirsTotal &&
+            !info.pushed.exists(_.startsWith("agg:")),
+          s"io45 $leg: the aggregate must fall back to a full scan ($info)")
+    }
+    val nAll = s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
+    evidence("count", manifestAnswered = true)
+    val mm = s.sql(s"""SELECT min(k) AS kmin, max(k) AS kmax,
+      unix_seconds(min(ts)) AS ts_min_s, unix_seconds(max(ts)) AS ts_max_s
+      FROM $cat.t""").head()
+    evidence("minmax", manifestAnswered = true)
+    // tombstones make manifest counts a lie — the shortcut must refuse
+    val (v3, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, t, "k", col("k") % 9 === 0)
+    require(v3 == 3 && nDel > 0, s"io45: MoR delete landed ($v3, $nDel)")
+    val nAfter = s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
+    evidence("count-after-dv", manifestAnswered = false)
+    require(nAfter == nAll - nDel,
+      s"io45: the fallback answer must stay exact ($nAfter vs $nAll-$nDel)")
+    s.range(1).select(
+      lit(nAll).as("n_all"),
+      lit(mm.getLong(0)).as("kmin"), lit(mm.getLong(1)).as("kmax"),
+      lit(mm.getLong(2)).as("ts_min_s"), lit(mm.getLong(3)).as("ts_max_s"),
+      lit(nAfter).as("n_after"))
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -9603,6 +9663,7 @@ object SparkEntry {
     "q97_snapshot_sink" -> q97SnapshotSink _,
     "io43_meta_tables" -> io43MetaTables _,
     "io44_temporal_pushdown" -> io44TemporalPushdown _,
+    "io45_agg_pushdown" -> io45AggPushdown _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -13291,6 +13352,18 @@ object SparkEntry {
         |     WHERE price >= 250000.00) AS cents_rich,
         |  (SELECT count(*) FROM o WHERE ts = (SELECT min(ts) FROM o))
         |     AS n_min_ts""".stripMargin,
+    // all six values recomputed from raw orders; the zero-file
+    // manifest-answer proofs (dirsRead = 0, agg: marker) and the
+    // dv-forced exact fallback are require-gated in-query
+    "io45_agg_pushdown" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderdate AS ts FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM o) AS n_all,
+        |  (SELECT min(k) FROM o) AS kmin,
+        |  (SELECT max(k) FROM o) AS kmax,
+        |  (SELECT CAST(epoch(min(ts)) AS BIGINT) FROM o) AS ts_min_s,
+        |  (SELECT CAST(epoch(max(ts)) AS BIGINT) FROM o) AS ts_max_s,
+        |  (SELECT count(*) FROM o WHERE k % 9 <> 0) AS n_after""".stripMargin,
     "io41_dsv2_catalog" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -263,6 +263,72 @@ object Snapshots {
     }
   }
 
+  /** Row count of a just-written data directory from parquet FOOTERS
+    * only — driver-side, O(files) metadata reads, NO Spark job (each
+    * footer already records its blocks' row counts). Rides the
+    * manifest as `#dirrows <dir> <n>`, the line behind the
+    * metadata-only `count(*)` fast path: appends carry it, rewrites
+    * drop it with their directory (a rewritten dir records none — the
+    * aggregate shortcut degrades to a scan there, never to a wrong
+    * answer).
+    */
+  private def footerRowCount(f: FileSystem, dirPath: Path): Long = {
+    val it = f.listFiles(dirPath, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+          !name.startsWith(".") && !name.startsWith("_")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+            st, f.getConf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+
+  /** `#dirrows <dir> <n>` lines at `version` — dir → exact row count
+    * of the files the append wrote there. */
+  private[graft] def dirRowsOf(lines: Seq[String]): Map[String, Long] =
+    lines.filter(_.startsWith("#dirrows "))
+      .map(_.stripPrefix("#dirrows ").split(" ")).collect {
+        case Array(d, n) => d -> n.toLong
+      }.toMap
+
+  /** Everything the metadata-only AGGREGATE fast path needs from one
+    * manifest read: the data dirs, their `#dirrows` counts, the
+    * long-encoded `#dirstats` bounds, and whether deletion vectors are
+    * live (tombstones hide rows the manifest lines still count — the
+    * shortcut must refuse). The decoded column domain comes from
+    * [[statsLongDecode]] so min/max answers carry the column's own
+    * type.
+    */
+  final case class ManifestAggView(dirs: Seq[String],
+      dirRows: Map[String, Long],
+      longStats: Map[(String, String), (Long, Long)], dvLive: Boolean)
+
+  private[graft] def manifestAggView(s: SparkSession, table: String,
+      version: Int): ManifestAggView = {
+    val lines = manifestLines(s, table, version)
+    ManifestAggView(
+      lines.filterNot(_.startsWith("#")),
+      dirRowsOf(lines),
+      lines.filter(_.startsWith("#dirstats "))
+        .map(_.stripPrefix("#dirstats ").split(" ")).collect {
+          case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+        }.toMap,
+      dvLinesOf(lines).nonEmpty)
+  }
+
+  /** Decode an encoded stats long into the column's own external type
+    * — shared by [[readForScan]]'s residuals and the DSv2 metadata
+    * aggregate answers. */
+  private[graft] def decodeStatsLong(
+      dt: org.apache.spark.sql.types.DataType, v: Long): Any =
+    statsLongDecode(dt, v)
+
   /** Inverse of [[statsLongEncoding]] for RESIDUAL FILTERS: decode an
     * encoded long back into a plain Scala literal of the column's own
     * type, so the residual stays a bare-column-vs-literal comparison
@@ -1078,7 +1144,8 @@ object Snapshots {
     // the dir is the second token either way
     val stats = prevLines.filter(l =>
         l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
-          l.startsWith("#dirbloom ") || l.startsWith("#spec "))
+          l.startsWith("#dirbloom ") || l.startsWith("#dirrows ") ||
+          l.startsWith("#spec "))
       .filter(l => keptDirs.contains(l.split(" ")(1)))
     // #dv lines carry UNCONDITIONALLY except under [[materializeDeletes]]
     // (keepDv = false — the ONE path allowed to drop them, because it
@@ -1336,6 +1403,11 @@ object Snapshots {
         ints ++ strs
       }
     val f = fs(s, table)
+    // the new directory's EXACT row count from parquet footers — the
+    // `count(*)`-without-a-scan line ([[footerRowCount]]); driver-side
+    // metadata reads, no job
+    val newDirRowsLine =
+      s"#dirrows $dir ${footerRowCount(f, new Path(s"$table/$dir"))}"
     // MEMBERSHIP sketches for the new directory ([[commitWithBloom]]):
     // one Bloom filter per declared column over exactly the written
     // files, serialized as a `data/bloom-*` sidecar FILE and referenced
@@ -1385,7 +1457,7 @@ object Snapshots {
       val carriedTxn = prevLines.filter(_.startsWith("#txn "))
       val carriedStats = prevLines.filter(l =>
         l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
-          l.startsWith("#dirbloom "))
+          l.startsWith("#dirbloom ") || l.startsWith("#dirrows "))
       val carriedDv = prevLines.filter(_.startsWith("#dv "))
       // #rename lines carry for the table's lifetime: any directory in
       // the chain may still hold pre-rename physical names; #spec lines
@@ -1413,7 +1485,8 @@ object Snapshots {
       // #change — they never carry forward
       val propLines = props.toSeq.sortBy(_._1)
         .map { case (k, v0) => s"#prop ${enc(k)} ${enc(v0)}" }
-      val statsHeader = (carriedStats ++ newStatsLines ++ newBloomLines ++
+      val statsHeader = (carriedStats ++ newStatsLines ++
+        Seq(newDirRowsLine) ++ newBloomLines ++
         carriedDv ++ carriedRen ++ carriedSpec ++ newSpec ++ carriedCheck ++
         propLines)
         .map(_ + "\n").mkString
@@ -2183,7 +2256,8 @@ object Snapshots {
       val txns = prevLines.filter(_.startsWith("#txn "))
       val tgtMeta = tgtLines.filter(l =>
         l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ") ||
-          l.startsWith("#dirbloom ") || l.startsWith("#spec "))
+          l.startsWith("#dirbloom ") || l.startsWith("#dirrows ") ||
+          l.startsWith("#spec "))
       val removedSpec = prevLines.filter(_.startsWith("#spec "))
         .filter(l => removed.contains(l.split(" ")(1)))
       val propLines = (props + ("restore_of" -> targetV.toString)).toSeq
@@ -2280,7 +2354,8 @@ object Snapshots {
     val schema = lines.filter(_.startsWith("#schema "))
     val rens = lines.filter(_.startsWith("#rename "))
     val meta = lines.filter(l => l.startsWith("#dirstats ") ||
-        l.startsWith("#dirstatsS ") || l.startsWith("#spec "))
+        l.startsWith("#dirstatsS ") || l.startsWith("#dirrows ") ||
+        l.startsWith("#spec "))
       .map { l =>
         val parts = l.split(" ")
         (parts.take(1) ++ Seq(abs(parts(1))) ++ parts.drop(2)).mkString(" ")
@@ -2818,6 +2893,9 @@ object Snapshots {
         .getOrElse(sys.error(s"publishStaged: marker $stageId carries no schema"))
     }
     val stagedSchema = org.apache.spark.sql.types.StructType.fromDDL(stagedDdl)
+    // footers of an immutable staged dir — count once, not per attempt
+    val stagedRowsLine =
+      s"#dirrows $dir ${footerRowCount(f, new Path(s"$table/$dir"))}"
     var validatedChecks: Option[Set[(String, String)]] = None
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2841,7 +2919,9 @@ object Snapshots {
       val header = (prevLines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema $prevDdl") ++
         prevLines.filter(l => l.startsWith("#dirstats ") ||
-          l.startsWith("#dirstatsS ") || l.startsWith("#dirbloom ")) ++
+          l.startsWith("#dirstatsS ") || l.startsWith("#dirbloom ") ||
+          l.startsWith("#dirrows ")) ++
+        Seq(stagedRowsLine) ++
         prevLines.filter(_.startsWith("#dv ")) ++
         prevLines.filter(_.startsWith("#rename ")) ++
         prevLines.filter(_.startsWith("#spec ")) ++
@@ -3064,6 +3144,8 @@ object Snapshots {
         }
       val header = (lines.filter(_.startsWith("#txn ")) ++
         Seq(s"#schema ${newSt.toDDL}") ++ stats ++
+        // row counts carry VERBATIM — no column token to re-key
+        lines.filter(_.startsWith("#dirrows ")) ++
         lines.filter(_.startsWith("#dv ")) ++
         lines.filter(_.startsWith("#rename ")) ++
         lines.filter(_.startsWith("#spec ")) ++

@@ -424,11 +424,13 @@ final class SnapshotTable(path: String, version: Int,
 
 final class SnapshotScanBuilder(path: String, version: Int,
     tableSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var preds: Seq[Snapshots.ScanPred] = Nil
+  private var aggAnswer: Option[(StructType, Row, Int)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     preds = filters.toSeq.flatMap(
@@ -445,8 +447,127 @@ final class SnapshotScanBuilder(path: String, version: Int,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SnapshotScan(path, version, required, preds)
+  /** METADATA-ONLY AGGREGATES — the lakehouse freebie: `count(*)`
+    * answers from the manifest's `#dirrows` lines, `min/max(col)` from
+    * its `#dirstats` bounds (decoded back into the column's own type),
+    * WITHOUT opening a single data file. COMPLETE pushdown only, and
+    * only when the manifest can answer EXACTLY:
+    *  - no group-by, no pushed predicates (Spark only offers the
+    *    aggregate when no post-scan filters remain — our always-
+    *    residual filters already block that path — but guard anyway);
+    *  - no live deletion vectors (tombstones hide rows the lines
+    *    still count);
+    *  - `count(*)` needs a `#dirrows` line for EVERY directory
+    *    (rewritten dirs record none — the shortcut degrades to a scan);
+    *  - `min/max` needs a `#dirstats` line for every directory that
+    *    provably holds rows (a rows>0 dir without stats might be
+    *    all-null OR just not stats-committed — indistinguishable, so
+    *    refuse rather than guess).
+    * Refusal = return false = Spark plans the ordinary scan; the
+    * shortcut can degrade to a read, never to a wrong answer.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (aggAnswer.isEmpty) aggAnswer = tryAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (aggAnswer.isEmpty) aggAnswer = tryAnswer(agg)
+    aggAnswer.isDefined
+  }
+
+  private def tryAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Row, Int)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (agg.groupByExpressions.nonEmpty || preds.nonEmpty) return None
+    val s = SparkSession.active
+    val view = Snapshots.manifestAggView(s, path, version)
+    if (view.dvLive) return None
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // min/max over the decoded per-dir bounds; None (refuse) unless
+    // every dir either has stats or provably holds zero rows; Some(null)
+    // = a genuinely empty table's NULL min/max
+    def bound(name: String, takeMax: Boolean): Option[(Any, StructField)] = {
+      val field = tableSchema.fields.find(_.name == name)
+        .getOrElse(return None)
+      if (scala.util.Try(
+          Snapshots.statsLongEncoding(name, field.dataType)).isFailure)
+        return None
+      val covered = view.dirs.forall(d =>
+        view.longStats.contains((d, name)) ||
+          view.dirRows.get(d).contains(0L))
+      if (!covered) return None
+      val vals = view.dirs.flatMap(d => view.longStats.get((d, name)))
+        .map(b => if (takeMax) b._2 else b._1)
+      val v = if (vals.isEmpty) null
+        else Snapshots.decodeStatsLong(field.dataType,
+          if (takeMax) vals.max else vals.min)
+      Some((v, field))
+    }
+    val answered = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        if (!view.dirs.forall(view.dirRows.contains)) return None
+        (view.dirs.map(view.dirRows).sum: Any,
+          StructField("count(*)", LongType, nullable = false))
+      case m: Min =>
+        val n = refName(m.column).getOrElse(return None)
+        val (v, f) = bound(n, takeMax = false).getOrElse(return None)
+        (v, StructField(s"min($n)", f.dataType))
+      case m: Max =>
+        val n = refName(m.column).getOrElse(return None)
+        val (v, f) = bound(n, takeMax = true).getOrElse(return None)
+        (v, StructField(s"max($n)", f.dataType))
+      case _ => return None
+    }
+    Some((StructType(answered.map(_._2)),
+      Row.fromSeq(answered.map(_._1)), view.dirs.size))
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row, dirsTotal)) =>
+      new SnapshotAggScan(path, version, schema, row, dirsTotal)
+    case None => new SnapshotScan(path, version, required, preds)
+  }
+}
+
+/** The metadata-answered aggregate scan: ONE driver-computed row, zero
+  * data files opened — the manifest was the scan. Evidence rides
+  * [[SnapshotScans]] with `dirsRead = 0` and an `agg:` marker so the
+  * io45 gate (and any diagnostics consumer) can prove the plan never
+  * touched parquet.
+  */
+final class SnapshotAggScan(path: String, version: Int,
+    schema: StructType, row: Row, dirsTotal: Int) extends V1Scan {
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"graft-snapshot $path v$version manifest-aggregate " +
+      s"[${schema.fieldNames.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] = {
+        SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
+          dirsTotal, 0, Seq(s"agg:${readSchema().fieldNames.mkString(",")}")))
+        context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+      }
+    }.asInstanceOf[T]
 }
 
 final class SnapshotScan(path: String, version: Int,

@@ -1748,6 +1748,39 @@ class SnapshotsSpec extends SparkSpec {
       .getMessage.contains("v-pos"))
   }
 
+  test("#dirrows lines: every commit records its dir's exact footer " +
+      "count; carries through rename, WAP publish, and restore; an " +
+      "empty commit records zero") {
+    import spark.implicits._
+    val t = freshTable()
+    def rowsLines() = {
+      val latest = Snapshots.latestVersion(spark, t)
+      scala.io.Source.fromFile(s"$t/manifest-v$latest.txt").getLines()
+        .filter(_.startsWith("#dirrows ")).map(_.split(" "))
+        .map(p => p(1) -> p(2).toLong).toMap
+    }
+    Snapshots.commit((1L to 30L).map(k => (k, k)).toDF("k", "v"), t)
+    Snapshots.commit((31L to 50L).map(k => (k, k)).toDF("k", "v"), t)
+    assert(rowsLines().values.toSeq.sorted == Seq(20L, 30L))
+    // rename carries the lines verbatim (no column token to re-key)
+    Snapshots.renameColumn(spark, t, "v", "w")
+    assert(rowsLines().values.toSeq.sorted == Seq(20L, 30L))
+    // WAP: the staged dir's count lands at publish
+    val stage = Snapshots.commitStaged(
+      (51L to 55L).map(k => (k, k)).toDF("k", "w"), t)
+    Snapshots.publishStaged(spark, t, stage)
+    assert(rowsLines().values.toSeq.sorted == Seq(5L, 20L, 30L))
+    // restore back to v3 (post-rename): exactly the target's lines
+    Snapshots.restoreTo(spark, t, 3)
+    assert(rowsLines().values.toSeq.sorted == Seq(20L, 30L))
+    // an empty commit records an explicit zero
+    Snapshots.commit(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT NOT NULL, w BIGINT NOT NULL")), t)
+    assert(rowsLines().values.toSeq.sorted == Seq(0L, 20L, 30L))
+  }
+
   test("readForScan honors an EMPTY IN-list: zero rows (IN () matches " +
       "nothing), not the whole unfiltered table") {
     import spark.implicits._

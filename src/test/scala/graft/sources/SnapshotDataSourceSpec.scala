@@ -351,6 +351,60 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "the refusal must land before any data write")
   }
 
+  test("metadata-only aggregates: count(*) answers from #dirrows and " +
+      "min/max from #dirstats without opening a data file; dv-live " +
+      "tables and rewritten dirs fall back to a scan, exactly") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    Snapshots.commitWithStats(
+      (1L to 40L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    Snapshots.commitWithStats(
+      (41L to 90L).map(k => (k, k * 10L)).toDF("k", "v"), t, "k")
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    // count(*): one manifest read, zero parquet files
+    assert(fmt.count() == 90)
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.dirsRead == 0 && i1.pushed.exists(_.startsWith("agg:")),
+      s"count(*) must answer from the manifest ($i1)")
+    // min/max on the stats column, mixed with count in one aggregate
+    val r = fmt.agg(min("k").as("a"), max("k").as("b"),
+      count(lit(1)).as("c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 90L, 90L)))
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 0)
+    // min/max on a column WITHOUT stats coverage falls back to a scan
+    assert(fmt.agg(max("v")).head().getLong(0) == 900L)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 2,
+      "an uncovered column must fall back to the ordinary scan")
+    // a live deletion vector blocks the shortcut; the answer stays exact
+    val (_, nDel) = Snapshots.deleteWhereMoR(spark, t, "k",
+      col("k") % 9 === 0)
+    assert(nDel == 10)
+    assert(fmt.count() == 80)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 2,
+      "tombstones must force the scan path")
+    // a CoW rewrite drops the rewritten dirs' #dirrows → fall back
+    val t2 = s"$base/t2"
+    Snapshots.commit((1L to 30L).map(k => (k, k)).toDF("k", "v"), t2)
+    Snapshots.deleteWhere(spark, t2, col("k") > 20L)
+    assert(spark.read.format("graft-snapshot").option("path", t2).load()
+      .count() == 20)
+    assert(SnapshotScans.scanOf(t2).get.dirsRead == 1,
+      "a rewritten dir records no #dirrows — count must scan")
+    // temporal decode: min/max of a stats-committed TIMESTAMP column
+    // answer from the manifest in the column's own type
+    val t3 = s"$base/t3"
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2026-02-${i}%02d 08:00:00")
+    val rows3 = (1 to 9).map(i => (i.toLong, day(i)))
+    val df3 = spark.createDataFrame(rows3).toDF("k", "ts")
+    Snapshots.commitWithStats(df3, t3, "ts")
+    val mm = spark.read.format("graft-snapshot").option("path", t3).load()
+      .agg(min("ts"), max("ts")).head()
+    assert(mm.getTimestamp(0) == day(1) && mm.getTimestamp(1) == day(9))
+    assert(SnapshotScans.scanOf(t3).get.dirsRead == 0,
+      "timestamp min/max must decode from the manifest")
+  }
+
   test("pruning evidence is keyed by table: two scans find their own " +
       "counts, neither clobbered by the other") {
     import spark.implicits._
