@@ -3202,6 +3202,26 @@ object Snapshots {
     else listed.min + 1
   }
 
+  /** The `#change` provenance kind at `version` (`append`, `merge`,
+    * `mor-delete`, `delete-cow`, `compact`, `materialize`, `rename`,
+    * `constraint`) — one manifest read. A vacuum-expired manifest
+    * raises the typed [[OutOfRetentionException]] (the streaming
+    * sources classify versions by kind; a silent gap would drop
+    * deltas). Loud on a pre-provenance manifest, like [[changeFeed]].
+    */
+  def changeKindOf(s: SparkSession, table: String, version: Int): String = {
+    val lines =
+      try manifestLines(s, table, version)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new OutOfRetentionException(table, version,
+            earliestFeedable(s, table))
+      }
+    lines.find(_.startsWith("#change "))
+      .map(_.stripPrefix("#change ")).getOrElse(sys.error(
+        s"changeKindOf: $table v$version carries no #change provenance"))
+  }
+
   /** CHANGE DATA FEED — the row-level delta between two versions,
     * emitted as `(data columns…, _change_type, _commit_version)` with
     * `_change_type ∈ {insert, delete}` (the Delta CDF / Iceberg

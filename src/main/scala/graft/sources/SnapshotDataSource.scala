@@ -68,9 +68,36 @@ import graft.io.Snapshots
   * [[Snapshots.read]]'s resolved plans).
   */
 class SnapshotDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** STREAMING-FROM-TABLE SOURCE — `readStream.format("graft-snapshot")`:
+    * initial snapshot + append tail behind one source (see
+    * [[SnapshotTableSource]] for the full contract). The table itself
+    * lacks MICRO_BATCH_READ capability, so the engine falls back to
+    * this V1 door — the same bridge Spark's own file sources ride.
+    */
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), SnapshotTableSource.dataSchema(ctx.sparkSession,
+      SnapshotCdfSource.pathOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val s = ctx.sparkSession
+    val table = SnapshotCdfSource.pathOf(parameters)
+    val skip = parameters.get("skipchangecommits")
+      .orElse(parameters.get("skipChangeCommits"))
+      .exists(_.trim.toBoolean)
+    val start = SnapshotTableSource.durableStart(s, table, metadataPath,
+      parameters.get("startingversion").orElse(parameters.get("startingVersion")))
+    new SnapshotTableV1Source(s, table, start, skip)
+  }
 
   /** EXACTLY-ONCE STREAMING SINK — `writeStream.format("graft-snapshot")
     * .option("path", …).option("writerId", …)`: every micro-batch lands
