@@ -8103,6 +8103,12 @@ object SparkEntry {
       SELECT 'tag', CAST(version AS BIGINT), tag, 0L FROM $cat.`t$$tags`
       UNION ALL
       SELECT 'check', 0L, concat(name, ':', expr), 0L FROM $cat.`t$$checks`
+      UNION ALL
+      -- $$files: the CoW delete rewrote both template dirs into ONE,
+      -- and the rewrite records its #dirrows — so the files table
+      -- shows 1 dir whose known row count is the survivor corpus
+      SELECT 'files', CAST(count(*) AS BIGINT), 'rows_known',
+        CAST(sum(rows) AS BIGINT) FROM $cat.`t$$files`
       ORDER BY src, v, item""")
   }
 
@@ -8207,8 +8213,10 @@ object SparkEntry {
     * gated just as hard: after a MoR delete the live deletion vectors
     * make the manifest counts a lie, so the same `count(*)` must fall
     * back to the ordinary scan (`dirsRead = dirsTotal`) and still
-    * answer exactly. The oracle recomputes all six values from raw
-    * orders.
+    * answer exactly — and MATERIALIZING the tombstones (whose rewrite
+    * records fresh `#dirrows`) must bring the zero-file answer back at
+    * the post-delete truth. The oracle recomputes all seven values
+    * from raw orders.
     */
   private def io45AggPushdown(s: SparkSession, dir: String): DataFrame = {
     val base = ioTmp(dir, "io45")
@@ -8249,11 +8257,20 @@ object SparkEntry {
     evidence("count-after-dv", manifestAnswered = false)
     require(nAfter == nAll - nDel,
       s"io45: the fallback answer must stay exact ($nAfter vs $nAll-$nDel)")
+    // materializing the tombstones rewrites the hit dirs WITH their
+    // #dirrows — the manifest answer comes back across maintenance,
+    // at the post-delete truth
+    graft.io.Snapshots.materializeDeletes(s, t): Unit
+    val nMat = s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
+    evidence("count-after-materialize", manifestAnswered = true)
+    require(nMat == nAfter,
+      s"io45: the restored shortcut must answer the post-delete truth " +
+        s"($nMat vs $nAfter)")
     s.range(1).select(
       lit(nAll).as("n_all"),
       lit(mm.getLong(0)).as("kmin"), lit(mm.getLong(1)).as("kmax"),
       lit(mm.getLong(2)).as("ts_min_s"), lit(mm.getLong(3)).as("ts_max_s"),
-      lit(nAfter).as("n_after"))
+      lit(nAfter).as("n_after"), lit(nMat).as("n_materialized"))
   }
 
   /** EXACTLY-ONCE STREAMING SINK through the gate
@@ -13370,16 +13387,20 @@ object SparkEntry {
     // live constraint render verbatim — a pure VALUES replay, no table
     // reads needed
     "io43_meta_tables" ->
-      """SELECT * FROM (VALUES
-        |  ('history', CAST(1 AS BIGINT), 'append',     CAST(1 AS BIGINT)),
-        |  ('history', CAST(2 AS BIGINT), 'append',     CAST(2 AS BIGINT)),
-        |  ('history', CAST(3 AS BIGINT), 'constraint', CAST(2 AS BIGINT)),
-        |  ('history', CAST(4 AS BIGINT), 'delete-cow', CAST(1 AS BIGINT)),
-        |  ('tag',     CAST(2 AS BIGINT), 'baseline',   CAST(0 AS BIGINT)),
-        |  ('check',   CAST(0 AS BIGINT), 'cents-pos:cents > 0',
-        |     CAST(0 AS BIGINT))
-        |) AS t(src, v, item, n)
-        |ORDER BY src, v, item""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT * FROM (VALUES
+        |    ('history', CAST(1 AS BIGINT), 'append',     CAST(1 AS BIGINT)),
+        |    ('history', CAST(2 AS BIGINT), 'append',     CAST(2 AS BIGINT)),
+        |    ('history', CAST(3 AS BIGINT), 'constraint', CAST(2 AS BIGINT)),
+        |    ('history', CAST(4 AS BIGINT), 'delete-cow', CAST(1 AS BIGINT)),
+        |    ('tag',     CAST(2 AS BIGINT), 'baseline',   CAST(0 AS BIGINT)),
+        |    ('check',   CAST(0 AS BIGINT), 'cents-pos:cents > 0',
+        |       CAST(0 AS BIGINT))
+        |  ) AS t(src, v, item, n)
+        |  UNION ALL
+        |  SELECT 'files', CAST(1 AS BIGINT), 'rows_known',
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 0)
+        |) ORDER BY src, v, item""".stripMargin,
     // the sunk corpus IS the orders corpus (three slices, three CAS
     // commits); the per-batch version pin, fresh-checkpoint-replay
     // no-op, bit-equality, and feed-composition proofs are
@@ -13547,7 +13568,9 @@ object SparkEntry {
         |  (SELECT max(k) FROM o) AS kmax,
         |  (SELECT CAST(epoch(min(ts)) AS BIGINT) FROM o) AS ts_min_s,
         |  (SELECT CAST(epoch(max(ts)) AS BIGINT) FROM o) AS ts_max_s,
-        |  (SELECT count(*) FROM o WHERE k % 9 <> 0) AS n_after""".stripMargin,
+        |  (SELECT count(*) FROM o WHERE k % 9 <> 0) AS n_after,
+        |  (SELECT count(*) FROM o WHERE k % 9 <> 0)
+        |     AS n_materialized""".stripMargin,
     "io41_dsv2_catalog" ->
       """WITH o AS (SELECT o_orderkey AS k,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

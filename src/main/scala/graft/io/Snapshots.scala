@@ -267,10 +267,12 @@ object Snapshots {
     * only — driver-side, O(files) metadata reads, NO Spark job (each
     * footer already records its blocks' row counts). Rides the
     * manifest as `#dirrows <dir> <n>`, the line behind the
-    * metadata-only `count(*)` fast path: appends carry it, rewrites
-    * drop it with their directory (a rewritten dir records none — the
-    * aggregate shortcut degrades to a scan there, never to a wrong
-    * answer).
+    * metadata-only `count(*)` fast path: appends carry it forward,
+    * and every REWRITE (CoW delete, merge, compaction, materialize,
+    * deepen, Z-order) records a fresh line for its new directory — so
+    * the shortcut stays answerable across the table's whole lifecycle;
+    * a dir without a line (pre-tracking history) just degrades the
+    * aggregate to a scan, never to a wrong answer.
     */
   private def footerRowCount(f: FileSystem, dirPath: Path): Long = {
     val it = f.listFiles(dirPath, true)
@@ -288,6 +290,17 @@ object Snapshots {
     }
     n
   }
+
+  /** `#dirrows` lines for freshly-written DATA dirs (rewrites,
+    * merges, compactions — every op that creates a directory), so the
+    * metadata-only `count(*)` stays answerable across the table's
+    * whole lifecycle, not just on append-only chains. Newline-
+    * terminated, ready to splice into a manifest header.
+    */
+  private def dirRowsLines(f: FileSystem, table: String,
+      dirs: Seq[String]): String =
+    dirs.map(d =>
+      s"#dirrows $d ${footerRowCount(f, new Path(s"$table/$d"))}\n").mkString
 
   /** `#dirrows <dir> <n>` lines at `version` — dir → exact row count
     * of the files the append wrote there. */
@@ -1749,7 +1762,8 @@ object Snapshots {
       val v = prev + 1
       val header = maintenanceHeader(s, table, prev,
         survivors.schema.toDDL, carried.toSet,
-        changeKind = "delete-cow") + s"#cdf $cdfDir\n"
+        changeKind = "delete-cow") + s"#cdf $cdfDir\n" +
+        dirRowsLines(f, table, Seq(dir))
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (carried :+ dir).mkString("\n"))) {
         try {
@@ -1815,7 +1829,8 @@ object Snapshots {
         .write.mode("errorifexists").parquet(s"$table/$cdfDir")
       val ddl = schemaOf(s, table, prev).getOrElse(hitRows.schema.toDDL)
       val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
-        changeKind = "delete-cow") + s"#cdf $cdfDir\n"
+        changeKind = "delete-cow") + s"#cdf $cdfDir\n" +
+        dirRowsLines(f, table, Seq(dir))
       val v = prev + 1
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (carried :+ dir).mkString("\n"))) {
@@ -1930,7 +1945,9 @@ object Snapshots {
       val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
         changeKind = "merge") + propLines +
         (if (hitDirs.isEmpty) "" else s"#cdfdel $preDir\n") +
-        s"#cdfins $srcDir\n"
+        s"#cdfins $srcDir\n" +
+        dirRowsLines(f, table,
+          (if (hitDirs.isEmpty) Nil else Seq(survivorDir)) :+ srcDir)
       val v = prev + 1
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + newDirs.mkString("\n"))) {
@@ -2139,7 +2156,9 @@ object Snapshots {
         txn.map { case (w, b) => txnLine(w, b) + "\n" }.getOrElse("") +
         propLines +
         (if (hitDirs.isEmpty) "" else s"#cdfdel $preDir\n") +
-        s"#cdfins $srcDir\n"
+        s"#cdfins $srcDir\n" +
+        dirRowsLines(f, table,
+          (if (hitDirs.isEmpty) Nil else Seq(survivorDir)) :+ srcDir)
       val v = prev + 1
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + newDirs.mkString("\n"))) {
@@ -2419,7 +2438,7 @@ object Snapshots {
       val v = prev + 1
       val ddl = schemaOf(s, table, prev).getOrElse(folded.schema.toDDL)
       val header = maintenanceHeader(s, table, prev, ddl, local.toSet,
-        changeKind = "compact")
+        changeKind = "compact") + dirRowsLines(f, table, Seq(dir))
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (local :+ dir).mkString("\n"))) {
         try {
@@ -2576,7 +2595,8 @@ object Snapshots {
       val ddl = schemaOf(s, table, prev).getOrElse(
         read(s, table, Some(prev)).schema.toDDL)
       val header = maintenanceHeader(s, table, prev, ddl, carried.toSet,
-        keepDv = false, changeKind = "materialize")
+        keepDv = false, changeKind = "materialize") +
+        dirRowsLines(f, table, survivors.map(_ => dir).toSeq)
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + newDirs.mkString("\n"))) {
         try {
@@ -2639,7 +2659,8 @@ object Snapshots {
       compacted.write.mode("errorifexists").parquet(s"$table/$dir")
       val v = prev + 1
       val header = maintenanceHeader(s, table, prev,
-        compacted.schema.toDDL, big.toSet, changeKind = "compact")
+        compacted.schema.toDDL, big.toSet, changeKind = "compact") +
+        dirRowsLines(f, table, Seq(dir))
       if (latestVersion(s, table) == prev && publishExclusive(s, f,
           manifestPath(table, v), header + (big :+ dir).mkString("\n"))) {
         try {
@@ -3036,7 +3057,9 @@ object Snapshots {
           else Some(s"#dirstats $d $c ${r.getLong(2 + 2 * i)} " +
             s"${r.getLong(3 + 2 * i)}")
         }
-      }
+      } ++
+        // per-chunk row counts ride the same aggregate — no footer reads
+        chunkDirs.map { case (d, r) => s"#dirrows $d ${r.getLong(1)}" }
       val ddl = schemaOf(s, table, prev).getOrElse(df.schema.toDDL)
       val header = maintenanceHeader(s, table, prev, ddl, Set.empty,
         changeKind = "compact") + newStats.map(_ + "\n").mkString

@@ -67,7 +67,8 @@ class SnapshotCdfSource extends StreamSourceProvider with DataSourceRegister {
     val table = SnapshotCdfSource.pathOf(parameters)
     val floor = SnapshotCdfSource.durableFloor(s, table, metadataPath,
       parameters.get("startingversion").orElse(parameters.get("startingVersion")))
-    new SnapshotCdfV1Source(s, table, floor)
+    new SnapshotCdfV1Source(s, table, floor,
+      SnapshotCdfSource.maxVersionsOf(parameters))
   }
 }
 
@@ -77,6 +78,25 @@ object SnapshotCdfSource {
     require(p.exists(_.nonEmpty),
       "graft-snapshot-cdf: the 'path' option is required")
     p.get
+  }
+
+  /** `maxVersionsPerTrigger` — RATE LIMITING for a stream catching up
+    * on a deep backlog (the Delta `maxFilesPerTrigger` shape at
+    * version granularity): each micro-batch covers at most this many
+    * table versions, so a consumer resuming after a long outage folds
+    * the backlog in bounded batches instead of one giant range whose
+    * state/output would have to fit in a single trigger. Advisory
+    * smoothing, exactness untouched: offsets stay exact version
+    * ranges, delivery stays exactly-once per range.
+    */
+  private[sources] def maxVersionsOf(
+      parameters: Map[String, String]): Option[Int] = {
+    val m = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger"))
+      .map(_.trim.toInt)
+    m.foreach(v => require(v >= 1,
+      s"maxVersionsPerTrigger must be >= 1 (got $v)"))
+    m
   }
 
   /** The stream's schema: the table's committed contract (nullable-
@@ -148,13 +168,23 @@ object SnapshotCdfSource {
 }
 
 final class SnapshotCdfV1Source(s: SparkSession, table: String,
-    floorExclusive: Int) extends Source {
+    floorExclusive: Int,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   override val schema: StructType = SnapshotCdfSource.feedSchema(s, table)
 
+  // monotone high-water mark of offered/committed ends — getBatch
+  // advances it (including the engine's restart recovery replay, which
+  // re-calls getBatch with the last committed offsets), so the rate cap
+  // below never offers an offset BEHIND the checkpoint
+  private var seenEnd: Int = floorExclusive
+
   override def getOffset: Option[Offset] = {
     val latest = Snapshots.latestVersion(s, table)
-    if (latest <= floorExclusive) None else Some(LongOffset(latest))
+    val capped = maxVersionsPerTrigger
+      .fold(latest)(m => math.min(latest, seenEnd + m))
+    seenEnd = math.max(seenEnd, capped)
+    if (seenEnd <= floorExclusive) None else Some(LongOffset(seenEnd))
   }
 
   private def versionOf(o: Offset): Int = o match {
@@ -165,6 +195,7 @@ final class SnapshotCdfV1Source(s: SparkSession, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(floorExclusive) + 1
     val to = versionOf(end)
+    seenEnd = math.max(seenEnd, to)
     import org.apache.spark.sql.functions.col
     // the engine asserts isStreaming on the returned frame — bridge the
     // planned feed query through the same internalCreateDataFrame door

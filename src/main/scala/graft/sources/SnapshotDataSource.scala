@@ -96,7 +96,8 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
       .exists(_.trim.toBoolean)
     val start = SnapshotTableSource.durableStart(s, table, metadataPath,
       parameters.get("startingversion").orElse(parameters.get("startingVersion")))
-    new SnapshotTableV1Source(s, table, start, skip)
+    new SnapshotTableV1Source(s, table, start, skip,
+      SnapshotCdfSource.maxVersionsOf(parameters))
   }
 
   /** EXACTLY-ONCE STREAMING SINK — `writeStream.format("graft-snapshot")
@@ -484,8 +485,9 @@ final class SnapshotScanBuilder(path: String, version: Int,
     *    residual filters already block that path — but guard anyway);
     *  - no live deletion vectors (tombstones hide rows the lines
     *    still count);
-    *  - `count(*)` needs a `#dirrows` line for EVERY directory
-    *    (rewritten dirs record none — the shortcut degrades to a scan);
+    *  - `count(*)` needs a `#dirrows` line for EVERY directory (every
+    *    append AND rewrite records one; only pre-tracking history
+    *    lacks them — the shortcut degrades to a scan there);
     *  - `min/max` needs a `#dirstats` line for every directory that
     *    provably holds rows (a rows>0 dir without stats might be
     *    all-null OR just not stats-committed — indistinguishable, so
@@ -670,7 +672,9 @@ final class SnapshotSink(table: String, writerId: String,
 
 /** A `$`-suffixed metadata table: `history` (version, change kind,
   * data-dir count, rendered props — [[Snapshots.tableHistory]]),
-  * `tags` (name → pinned version), `checks` (live constraints).
+  * `tags` (name → pinned version), `checks` (live constraints),
+  * `files` (head data dirs with `#dirrows` counts, bytes, external
+  * flag — the Iceberg files-table shape at dir granularity).
   * Execution is the same V1 bridge as the data tables — the frame IS
   * the library call's frame.
   */
@@ -698,7 +702,7 @@ final class SnapshotMetaTable(path: String, kind: String)
 }
 
 object SnapshotMetaTable {
-  val Kinds: Set[String] = Set("history", "tags", "checks")
+  val Kinds: Set[String] = Set("history", "tags", "checks", "files")
 
   private[sources] def schemaOf(kind: String): StructType = {
     import org.apache.spark.sql.types._
@@ -714,6 +718,11 @@ object SnapshotMetaTable {
       case "checks" => StructType(Seq(
         StructField("name", StringType),
         StructField("expr", StringType)))
+      case "files" => StructType(Seq(
+        StructField("dir", StringType),
+        StructField("rows", LongType),
+        StructField("bytes", LongType),
+        StructField("is_external", BooleanType)))
     }
   }
 
@@ -727,6 +736,23 @@ object SnapshotMetaTable {
         .toDF("tag", "version")
       case "checks" => Snapshots.checksOf(s, path).toSeq.sortBy(_._1)
         .toDF("name", "expr")
+      // `$files` — the Iceberg files-table shape at dir granularity:
+      // the head version's data directories with their manifest
+      // `#dirrows` counts (NULL when the dir predates row tracking —
+      // honest, never guessed), on-disk bytes (one content-summary RPC
+      // per dir, metadata scale), and the shallow-clone external flag
+      case "files" =>
+        val v = Snapshots.latestVersion(s, path)
+        val view = Snapshots.manifestAggView(s, path, v)
+        val f = new Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        view.dirs.map { d =>
+          val abs = if (d.startsWith("/")) d else s"$path/$d"
+          val bytes =
+            try f.getContentSummary(new Path(abs)).getLength
+            catch { case _: java.io.FileNotFoundException => 0L }
+          (d, view.dirRows.get(d), bytes, d.startsWith("/"))
+        }.toDF("dir", "rows", "bytes", "is_external")
     }
   }
 }

@@ -21,6 +21,7 @@ import graft.io.Snapshots
   *     // .option("startingVersion", "3")     // feed-only from v3
   *     // .option("startingVersion", "latest")// feed-only from now
   *     // .option("skipChangeCommits", "true")// drop non-append versions
+  *     // .option("maxVersionsPerTrigger","8")// bound backlog batches
   *     .load()
   * }}}
   *
@@ -138,7 +139,8 @@ object SnapshotTableSource {
 }
 
 final class SnapshotTableV1Source(s: SparkSession, table: String,
-    start: Either[Int, Int], skipChangeCommits: Boolean) extends Source {
+    start: Either[Int, Int], skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   override val schema: StructType = SnapshotTableSource.dataSchema(s, table)
 
@@ -146,14 +148,24 @@ final class SnapshotTableV1Source(s: SparkSession, table: String,
   // excluded by the feed floor (Left)
   private val base: Int = start.fold(identity, identity)
 
+  // monotone high-water mark of offered/committed ends — getBatch
+  // advances it (including the engine's restart recovery replay), so
+  // the rate cap never offers an offset behind the checkpoint
+  private var seenEnd: Int = base
+
   override def getOffset: Option[Offset] = {
     val latest = Snapshots.latestVersion(s, table)
+    val capped = maxVersionsPerTrigger
+      .fold(latest)(m => math.min(latest, seenEnd + m))
     start match {
       // snapshot mode: the snapshot itself is data — offer the boot
       // version even when nothing landed since
-      case Right(bootV) => Some(LongOffset(math.max(bootV, latest)))
+      case Right(bootV) =>
+        seenEnd = math.max(seenEnd, math.max(bootV, capped))
+        Some(LongOffset(seenEnd))
       case Left(floor) =>
-        if (latest <= floor) None else Some(LongOffset(latest))
+        seenEnd = math.max(seenEnd, capped)
+        if (seenEnd <= floor) None else Some(LongOffset(seenEnd))
     }
   }
 
@@ -207,6 +219,7 @@ final class SnapshotTableV1Source(s: SparkSession, table: String,
 
   override def getBatch(start0: Option[Offset], end: Offset): DataFrame = {
     val to = versionOf(end)
+    seenEnd = math.max(seenEnd, to)
     val batch = start0 match {
       case Some(a) => tailInserts(versionOf(a), to)
       case None => start match {

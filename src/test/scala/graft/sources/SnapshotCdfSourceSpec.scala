@@ -111,6 +111,43 @@ class SnapshotCdfSourceSpec extends SparkSpec {
       "compatible restarts must neither refuse nor re-emit")
   }
 
+  test("maxVersionsPerTrigger on the CDF source: a backlog drains in " +
+      "bounded version ranges, exactly-once") {
+    import spark.implicits._
+    val t = fresh("src")
+    val out = fresh("out")
+    val ckpt = fresh("ckpt")
+    (0 until 5).foreach { i =>
+      Snapshots.commit(
+        (1L to 4L).map(k => (i * 10L + k, k)).toDF("k", "v"), t): Unit
+    }
+    def drainCapped(): Unit = {
+      val q = spark.readStream.format("graft-snapshot-cdf")
+        .option("path", t).option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainCapped()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 8 &&
+        first.agg(max("_commit_version")).head().getInt(0) == 2,
+      "the first capped batch must cover versions 1..2 only")
+    drainCapped()
+    assert(spark.read.parquet(out)
+      .agg(max("_commit_version")).head().getInt(0) == 4)
+    drainCapped()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 20 &&
+        all.agg(max("_commit_version")).head().getInt(0) == 5,
+      "the backlog must fully drain in bounded steps")
+    drainCapped()
+    assert(spark.read.parquet(out).count() == 20,
+      "a drained head must no-op; nothing re-emits")
+  }
+
   test("the snapshot SINK: one CAS commit per micro-batch, CHECK " +
       "constraints bind streamed batches, writerId is mandatory, " +
       "non-Append modes refuse") {

@@ -383,14 +383,25 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(fmt.count() == 80)
     assert(SnapshotScans.scanOf(t).get.dirsRead == 2,
       "tombstones must force the scan path")
-    // a CoW rewrite drops the rewritten dirs' #dirrows → fall back
+    // a CoW rewrite records FRESH #dirrows — the shortcut survives
+    // maintenance at the post-delete truth
     val t2 = s"$base/t2"
     Snapshots.commit((1L to 30L).map(k => (k, k)).toDF("k", "v"), t2)
     Snapshots.deleteWhere(spark, t2, col("k") > 20L)
     assert(spark.read.format("graft-snapshot").option("path", t2).load()
       .count() == 20)
+    assert(SnapshotScans.scanOf(t2).get.dirsRead == 0,
+      "a CoW rewrite must record #dirrows — count stays manifest-answered")
+    // a PRE-TRACKING manifest (hand-stripped lines — an old table)
+    // falls back to the scan, exactly
+    val mf = new java.io.File(s"$t2/manifest-v2.txt")
+    val stripped = scala.io.Source.fromFile(mf).getLines()
+      .filterNot(_.startsWith("#dirrows ")).mkString("\n")
+    java.nio.file.Files.write(mf.toPath, stripped.getBytes("UTF-8"))
+    assert(spark.read.format("graft-snapshot").option("path", t2).load()
+      .count() == 20)
     assert(SnapshotScans.scanOf(t2).get.dirsRead == 1,
-      "a rewritten dir records no #dirrows — count must scan")
+      "a dir without #dirrows (pre-tracking history) must force the scan")
     // temporal decode: min/max of a stats-committed TIMESTAMP column
     // answer from the manifest in the column's own type
     val t3 = s"$base/t3"
@@ -403,6 +414,41 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(mm.getTimestamp(0) == day(1) && mm.getTimestamp(1) == day(9))
     assert(SnapshotScans.scanOf(t3).get.dirsRead == 0,
       "timestamp min/max must decode from the manifest")
+  }
+
+  test("$files metadata table: head dirs with #dirrows counts, on-disk " +
+      "bytes, and the shallow-clone external flag; pre-tracking dirs " +
+      "surface NULL rows honestly") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    Snapshots.commit((1L to 30L).map(k => (k, k)).toDF("k", "v"), t)
+    Snapshots.commit((31L to 50L).map(k => (k, k)).toDF("k", "v"), t)
+    val cat = s"snapspec_${math.abs(base.hashCode + 7)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val files = spark.sql(s"SELECT * FROM $cat.`t$$files`").collect()
+    assert(files.length == 2)
+    assert(files.map(_.getLong(1)).sorted.toSeq == Seq(20L, 30L),
+      "rows must come from the #dirrows lines")
+    assert(files.forall(r => r.getLong(2) > 0L && !r.getBoolean(3)),
+      "bytes positive, nothing external")
+    // a shallow clone's $files shows the re-keyed EXTERNAL dirs
+    Snapshots.cloneShallow(spark, t, s"$base/c")
+    val cfiles = spark.sql(s"SELECT * FROM $cat.`c$$files`").collect()
+    assert(cfiles.length == 2 && cfiles.forall(_.getBoolean(3)),
+      "clone dirs must flag external")
+    assert(cfiles.map(_.getLong(1)).sorted.toSeq == Seq(20L, 30L),
+      "#dirrows re-key with their dirs through the clone")
+    // pre-tracking history (hand-stripped lines) surfaces NULL rows
+    val mf = new java.io.File(s"$t/manifest-v2.txt")
+    val stripped = scala.io.Source.fromFile(mf).getLines()
+      .filterNot(_.startsWith("#dirrows ")).mkString("\n")
+    java.nio.file.Files.write(mf.toPath, stripped.getBytes("UTF-8"))
+    val nulled = spark.sql(s"SELECT * FROM $cat.`t$$files`").collect()
+    assert(nulled.forall(_.isNullAt(1)),
+      "a dir without a #dirrows line must surface NULL, never a guess")
   }
 
   test("pruning evidence is keyed by table: two scans find their own " +

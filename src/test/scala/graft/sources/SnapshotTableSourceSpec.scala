@@ -146,6 +146,34 @@ class SnapshotTableSourceSpec extends SparkSpec {
     assert(isOOR(e), s"want typed out-of-retention, got: ${e.getMessage}")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch's version range " +
+      "(backlog catch-up in bounded batches) without changing what is " +
+      "delivered or how often") {
+    import spark.implicits._
+    val t = fresh("src")
+    val out = fresh("out")
+    val ckpt = fresh("ckpt")
+    val opts = Map("maxVersionsPerTrigger" -> "2")
+    // bootstrap at v1, THEN a 4-version backlog accumulates while the
+    // stream is down
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), t)
+    drain(t, out, ckpt, opts)
+    assert(sunk(out).count() == 10, "batch 0 = the v1 snapshot")
+    (1 until 5).foreach { i =>
+      Snapshots.commit(
+        (1L to 10L).map(k => (i * 10L + k, k)).toDF("k", "v"), t): Unit
+    }
+    // catch-up drains in bounded 2-version steps
+    drain(t, out, ckpt, opts)
+    assert(sunk(out).count() == 30, "each batch covers at most 2 versions")
+    drain(t, out, ckpt, opts)
+    assert(sunk(out).count() == 50)
+    drain(t, out, ckpt, opts)
+    assert(sunk(out).count() == 50, "a drained head must no-op")
+    assert(sunk(out).select("k").distinct().count() == 50,
+      "rate limiting must never re-emit or drop")
+  }
+
   test("additive source evolution mid-stream normalizes to the pinned " +
       "schema; a restart picks up the evolved contract") {
     import spark.implicits._
