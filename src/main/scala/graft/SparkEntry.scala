@@ -8273,6 +8273,50 @@ object SparkEntry {
       lit(nAfter).as("n_after"), lit(nMat).as("n_materialized"))
   }
 
+  /** LIMIT PUSHDOWN through the gate — manifest-driven directory
+    * pruning for the interactive-sampling shape
+    * ([[graft.sources.SnapshotScanBuilder.pushLimit]]): a bare
+    * `SELECT * FROM t LIMIT 10` opens only the shortest directory
+    * PREFIX whose `#dirrows` counts cover the limit (require-gated:
+    * 1 of 4 directories via the table-keyed scan evidence), so
+    * sampling a 100 TB table costs one directory's read, not a
+    * planned full scan. The pruning is refusal-safe by construction —
+    * predicates keep Spark from pushing the limit at all, and live
+    * deletion vectors disable the prefix (hidden rows could
+    * under-fill it) — and the fetched row count is exact either way.
+    * The metadata count(*) cross-checks the full corpus in the same
+    * deliverable. The oracle recomputes both from raw orders.
+    */
+  private def io46LimitPushdown(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io46")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val t = s"$base/t"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    (0L until 4L).foreach { i =>
+      graft.io.Snapshots.commit(o.filter(col("k") % 4 === i), t): Unit
+    }
+    val cat = s"snap46_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val fetched = s.sql(s"SELECT * FROM $cat.t LIMIT 10").collect().length
+    val info = graft.sources.SnapshotScans.scanOf(t).get
+    require(info.dirsTotal == 4 && info.dirsRead == 1 &&
+        info.pushed.contains("limit:10"),
+      s"io46: a bare LIMIT must open the minimal #dirrows prefix ($info)")
+    require(fetched == 10, s"io46: LIMIT 10 must fetch 10 rows ($fetched)")
+    // the metadata count answers the full corpus next to the sample
+    val nAll = s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
+    require(graft.sources.SnapshotScans.scanOf(t).get.dirsRead == 0,
+      "io46: the corpus count must stay manifest-answered")
+    s.range(1).select(lit(fetched.toLong).as("n_limit"),
+      lit(info.dirsRead.toLong).as("dirs_read"),
+      lit(info.dirsTotal.toLong).as("dirs_total"),
+      lit(nAll).as("n_all"))
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -9852,6 +9896,7 @@ object SparkEntry {
     "io44_temporal_pushdown" -> io44TemporalPushdown _,
     "io45_agg_pushdown" -> io45AggPushdown _,
     "q98_table_stream" -> q98TableStream _,
+    "io46_limit_pushdown" -> io46LimitPushdown _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -13544,6 +13589,13 @@ object SparkEntry {
         |     WHERE price >= 250000.00) AS cents_rich,
         |  (SELECT count(*) FROM o WHERE ts = (SELECT min(ts) FROM o))
         |     AS n_min_ts""".stripMargin,
+    // the sampling-shape proofs (1-of-4 prefix, exact fetch, manifest
+    // corpus count) are require-gated in-query; the oracle pins the
+    // deterministic shape values and recomputes the corpus count
+    "io46_limit_pushdown" ->
+      """SELECT CAST(10 AS BIGINT) AS n_limit, CAST(1 AS BIGINT) AS dirs_read,
+        |  CAST(4 AS BIGINT) AS dirs_total,
+        |  (SELECT count(*) FROM orders) AS n_all""".stripMargin,
     // the streamed-through corpus: all orders plus the shifted %3 late
     // slice; the one-CAS-commit-per-batch version pins, bit-for-bit
     // source equality at both steps, and the fresh-checkpoint

@@ -869,15 +869,38 @@ object Snapshots {
     * the row filter guarantees exactness, one predicate set driving
     * all three tiers.
     */
+  /** @param limitHint a pushed-down `LIMIT n`: the returned frame
+    *        carries `LocalLimit(n)`, and — when NO predicates and NO
+    *        live deletion vectors can hide rows — the scan opens only
+    *        the shortest PREFIX of directories whose `#dirrows` counts
+    *        already cover n (a `LIMIT 10` over a 100 TB table reads one
+    *        directory, not a planned full scan). Dirs without a count
+    *        contribute zero to the cover (conservative: the prefix only
+    *        shortens when KNOWN rows suffice), so the pruning can under-
+    *        deliver rows never.
+    */
   def readForScan(s: SparkSession, table: String,
       version: Option[Int] = None,
-      preds: Seq[ScanPred] = Nil): PrunedScan = {
+      preds: Seq[ScanPred] = Nil,
+      limitHint: Option[Int] = None): PrunedScan = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
     val lines = manifestLines(s, table, v)
     val dirs = lines.filterNot(_.startsWith("#"))
-    val hit = readForScanDirs(s, table, lines, preds)
+    val hitAll = readForScanDirs(s, table, lines, preds)
+    val hit = limitHint match {
+      case Some(n) if preds.isEmpty && dvLinesOf(lines).isEmpty =>
+        val rowsOf = dirRowsOf(lines)
+        var acc = 0L
+        val keep = scala.collection.mutable.ListBuffer[String]()
+        val it = hitAll.iterator
+        while (it.hasNext && acc < n) {
+          val d = it.next(); keep += d; acc += rowsOf.getOrElse(d, 0L)
+        }
+        keep.toSeq
+      case _ => hitAll
+    }
     // residuals compare the bare column against a literal DECODED back
     // into the column's own type (timestamps, dates, decimals — see
     // [[statsLongDecode]]), so Catalyst still pushes them into the
@@ -907,13 +930,14 @@ object Snapshots {
         case _ => Nil
       }.reduceOption(_ && _)
     }
-    val df =
+    val df0 =
       if (hit.isEmpty) read(s, table, Some(v)).filter(lit(false))
       else {
         val base = applyDv(s, table, dvLinesOf(lines),
           applyRenames(lines, readDirsRaw(s, table, lines, hit)))
         residualOver(base.schema).map(base.filter).getOrElse(base)
       }
+    val df = limitHint.map(df0.limit).getOrElse(df0)
     PrunedScan(df, dirs.size, hit.size)
   }
 

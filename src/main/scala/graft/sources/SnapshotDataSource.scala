@@ -453,12 +453,24 @@ final class SnapshotTable(path: String, version: Int,
 final class SnapshotScanBuilder(path: String, version: Int,
     tableSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var preds: Seq[Snapshots.ScanPred] = Nil
   private var aggAnswer: Option[(StructType, Row, Int)] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown — PARTIAL (Spark keeps the global limit above the
+    * scan): the inner frame carries `LocalLimit(n)`, and on a dv-free
+    * table with no predicates the scan opens only the shortest
+    * directory PREFIX whose `#dirrows` cover n — `SELECT * FROM t
+    * LIMIT 10` over a 100 TB table reads one directory
+    * ([[Snapshots.readForScan]]'s limitHint contract).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     preds = filters.toSeq.flatMap(
@@ -567,7 +579,7 @@ final class SnapshotScanBuilder(path: String, version: Int,
   override def build(): Scan = aggAnswer match {
     case Some((schema, row, dirsTotal)) =>
       new SnapshotAggScan(path, version, schema, row, dirsTotal)
-    case None => new SnapshotScan(path, version, required, preds)
+    case None => new SnapshotScan(path, version, required, preds, limit)
   }
 }
 
@@ -600,18 +612,20 @@ final class SnapshotAggScan(path: String, version: Int,
 }
 
 final class SnapshotScan(path: String, version: Int,
-    required: StructType, preds: Seq[Snapshots.ScanPred]) extends V1Scan {
+    required: StructType, preds: Seq[Snapshots.ScanPred],
+    limit: Option[Int] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-snapshot $path v$version " +
       s"pruning=[${preds.mkString(", ")}] columns=[${
-        required.fieldNames.mkString(", ")}]"
+        required.fieldNames.mkString(", ")}]" +
+      limit.map(n => s" limit=$n").getOrElse("")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new SnapshotV1Relation(context, path, version, required, preds)
+    new SnapshotV1Relation(context, path, version, required, preds, limit)
       .asInstanceOf[T]
 }
 
@@ -622,7 +636,8 @@ final class SnapshotScan(path: String, version: Int,
   * coalesces), so the library's plan shape is the executed shape.
   */
 final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
-    required: StructType, preds: Seq[Snapshots.ScanPred])
+    required: StructType, preds: Seq[Snapshots.ScanPred],
+    limit: Option[Int] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -640,9 +655,10 @@ final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
 
   override def buildScan(): RDD[Row] = {
     val s = ctx.sparkSession
-    val scan = Snapshots.readForScan(s, path, Some(version), preds)
+    val scan = Snapshots.readForScan(s, path, Some(version), preds, limit)
     SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
-      scan.dirsTotal, scan.dirsRead, preds.map(_.toString)))
+      scan.dirsTotal, scan.dirsRead,
+      preds.map(_.toString) ++ limit.map(n => s"limit:$n")))
     val projected =
       if (required.isEmpty) scan.df.select()
       else scan.df.select(required.fieldNames.toIndexedSeq

@@ -416,6 +416,46 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "timestamp min/max must decode from the manifest")
   }
 
+  test("LIMIT pushdown: a bare LIMIT opens only the directory prefix " +
+      "whose #dirrows cover it; predicates and live dv refuse the " +
+      "prefix pruning; the answer always has exactly n rows") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    (0 until 4).foreach { i =>
+      Snapshots.commit((1L to 25L).map(k => (i * 100L + k, k))
+        .toDF("k", "v"), t): Unit
+    }
+    val cat = s"snapspec_${math.abs(base.hashCode + 9)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    // LIMIT 10 over 4 dirs of 25 rows: one directory suffices
+    assert(spark.sql(s"SELECT * FROM $cat.t LIMIT 10").collect()
+      .length == 10)
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.dirsTotal == 4 && i1.dirsRead == 1 &&
+        i1.pushed.contains("limit:10"),
+      s"LIMIT must open the minimal #dirrows prefix ($i1)")
+    // a limit past one dir opens exactly two
+    assert(spark.sql(s"SELECT * FROM $cat.t LIMIT 30").collect()
+      .length == 30)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 2)
+    // a limit past the table returns everything
+    assert(spark.sql(s"SELECT * FROM $cat.t LIMIT 500").collect()
+      .length == 100)
+    // a WHERE keeps filters residual — Spark does not push the limit,
+    // and the answer stays exact
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE v >= 20 LIMIT 10")
+      .collect().length == 10)
+    // live tombstones refuse the prefix (hidden rows could under-fill)
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 25 === 0)
+    assert(spark.sql(s"SELECT * FROM $cat.t LIMIT 10").collect()
+      .length == 10)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 4,
+      "dv-live tables must not prefix-prune a LIMIT")
+  }
+
   test("$files metadata table: head dirs with #dirrows counts, on-disk " +
       "bytes, and the shallow-clone external flag; pre-tracking dirs " +
       "surface NULL rows honestly") {
