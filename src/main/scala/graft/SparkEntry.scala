@@ -8317,6 +8317,58 @@ object SparkEntry {
       lit(nAll).as("n_all"))
   }
 
+  /** TopN PUSHDOWN through the gate — zone-map-driven "head of the
+    * table" reads ([[graft.sources.SnapshotScanBuilder.pushTopN]]):
+    * over a range-clustered table (four disjoint key-quartile slices,
+    * exact boundaries from a zero-error quantile pass),
+    * `ORDER BY k LIMIT 10` must open ONLY the head directory and
+    * `ORDER BY k DESC LIMIT 10` only the tail one (require-gated via
+    * the table-keyed evidence with the `topn:` marker) — the
+    * `#dirstats` bounds plus the 5-token non-null counts prove which
+    * directories can hold candidate rows, so browsing either end of a
+    * 100 TB sorted table costs one directory's read. Keys are unique,
+    * so both answers are deterministic; the oracle recomputes them
+    * from raw orders.
+    */
+  private def io47TopnPushdown(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io47")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val t = s"$base/t"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    // exact quartile boundaries → four disjoint range-clustered slices
+    val b = o.stat.approxQuantile("k", Array(0.25, 0.5, 0.75), 0.0)
+      .map(_.toLong)
+    val slices = Seq(
+      col("k") <= b(0),
+      col("k") > b(0) && col("k") <= b(1),
+      col("k") > b(1) && col("k") <= b(2),
+      col("k") > b(2))
+    slices.foreach(c =>
+      graft.io.Snapshots.commitWithStats(o.filter(c), t, "k"): Unit)
+    val cat = s"snap47_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    def prunedTo1(leg: String): Unit = {
+      val info = graft.sources.SnapshotScans.scanOf(t).get
+      require(info.dirsTotal == 4 && info.dirsRead == 1 &&
+          info.pushed.exists(_.startsWith("topn:k:")),
+        s"io47 $leg: TopN must open exactly the boundary directory ($info)")
+    }
+    val head = s.sql(
+      s"SELECT k, cents FROM $cat.t ORDER BY k LIMIT 10").collect()
+    prunedTo1("asc")
+    val tail = s.sql(
+      s"SELECT k, cents FROM $cat.t ORDER BY k DESC LIMIT 10").collect()
+    prunedTo1("desc")
+    import s.implicits._
+    (head.map(r => ("asc", r.getLong(0), r.getLong(1))) ++
+      tail.map(r => ("desc", r.getLong(0), r.getLong(1)))).toSeq
+      .toDF("leg", "k", "cents").orderBy("leg", "k")
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -9897,6 +9949,7 @@ object SparkEntry {
     "io45_agg_pushdown" -> io45AggPushdown _,
     "q98_table_stream" -> q98TableStream _,
     "io46_limit_pushdown" -> io46LimitPushdown _,
+    "io47_topn_pushdown" -> io47TopnPushdown _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -13589,6 +13642,18 @@ object SparkEntry {
         |     WHERE price >= 250000.00) AS cents_rich,
         |  (SELECT count(*) FROM o WHERE ts = (SELECT min(ts) FROM o))
         |     AS n_min_ts""".stripMargin,
+    // both ends of the range-clustered table, recomputed from raw
+    // orders under identical ordering; the 1-of-4 boundary-directory
+    // pruning proofs per leg are require-gated in-query
+    "io47_topn_pushdown" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |legs AS (
+        |  SELECT 'asc' AS leg, k, cents FROM o ORDER BY k LIMIT 10),
+        |legs2 AS (
+        |  SELECT 'desc' AS leg, k, cents FROM o ORDER BY k DESC LIMIT 10)
+        |SELECT * FROM (SELECT * FROM legs UNION ALL SELECT * FROM legs2)
+        |ORDER BY leg, k""".stripMargin,
     // the sampling-shape proofs (1-of-4 prefix, exact fetch, manifest
     // corpus count) are require-gated in-query; the oracle pins the
     // deterministic shape values and recomputes the corpus count

@@ -320,18 +320,27 @@ object Snapshots {
     */
   final case class ManifestAggView(dirs: Seq[String],
       dirRows: Map[String, Long],
-      longStats: Map[(String, String), (Long, Long)], dvLive: Boolean)
+      longStats: Map[(String, String), (Long, Long)],
+      nonNull: Map[(String, String), Long], dvLive: Boolean)
 
   private[graft] def manifestAggView(s: SparkSession, table: String,
       version: Int): ManifestAggView = {
     val lines = manifestLines(s, table, version)
+    val statArrs = lines.filter(_.startsWith("#dirstats "))
+      .map(_.stripPrefix("#dirstats ").split(" "))
     ManifestAggView(
       lines.filterNot(_.startsWith("#")),
       dirRowsOf(lines),
-      lines.filter(_.startsWith("#dirstats "))
-        .map(_.stripPrefix("#dirstats ").split(" ")).collect {
-          case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
-        }.toMap,
+      statArrs.collect {
+        case arr if arr.length == 4 || arr.length == 5 =>
+          (arr(0), arr(1)) -> ((arr(2).toLong, arr(3).toLong))
+      }.toMap,
+      // the r16 fifth token: per-dir NON-NULL count (absent on legacy
+      // 4-token lines — consumers then refuse to reason about nulls)
+      statArrs.collect {
+        case arr if arr.length == 5 =>
+          (arr(0), arr(1)) -> arr(4).toLong
+      }.toMap,
       dvLinesOf(lines).nonEmpty)
   }
 
@@ -341,6 +350,89 @@ object Snapshots {
   private[graft] def decodeStatsLong(
       dt: org.apache.spark.sql.types.DataType, v: Long): Any =
     statsLongDecode(dt, v)
+
+  /** The directory subset that PROVABLY contains every row of
+    * `ORDER BY col <dir> <nulls> LIMIT n` — the TopN pushdown's
+    * pruning decision, from one manifest read: directories ordered by
+    * their relevant `#dirstats` bound are included until the rows
+    * provably inside the next boundary cover n, with nulls reasoned
+    * about exactly via the 5-token non-null counts (`#dirrows` minus
+    * non-null = the dir's nulls). On a range-clustered or Z-ordered
+    * layout the head of a 100 TB table is one directory.
+    *
+    * None = the manifest cannot PROVE a subset — live deletion vectors
+    * (tombstones could under-fill the prefix), a dir missing its row
+    * count, or a rows>0 dir missing the column's stats/non-null count
+    * (could be all-null OR just untracked — indistinguishable, refuse)
+    * — and the caller reads everything. Refusal degrades to a scan,
+    * never to a wrong answer.
+    */
+  private[graft] def topNDirs(s: SparkSession, table: String, version: Int,
+      colName: String, asc: Boolean, nullsFirst: Boolean,
+      n: Int): Option[Seq[String]] = {
+    val view = manifestAggView(s, table, version)
+    if (view.dvLive) return None
+    val known = view.dirs.forall { d =>
+      view.dirRows.get(d) match {
+        case None => false
+        case Some(0L) => true
+        case Some(_) => view.longStats.contains((d, colName)) &&
+          view.nonNull.contains((d, colName))
+      }
+    }
+    if (!known) return None
+    val live = view.dirs.filter(d => view.dirRows(d) > 0L)
+    def nonNullOf(d: String) = view.nonNull((d, colName))
+    def nullsOf(d: String) = view.dirRows(d) - nonNullOf(d)
+    val totalNulls = live.map(nullsOf).sum
+    // smallest prefix (in sort order of the dirs' bounds) whose rows
+    // PROVABLY inside the next dir's boundary cover `need` non-null rows
+    def valuePrefix(need: Long): Seq[String] = {
+      if (need <= 0L) return Nil
+      val sorted = live.filter(nonNullOf(_) > 0L).sortBy { d =>
+        val (mn, mx) = view.longStats((d, colName))
+        if (asc) mn else -mx
+      }
+      val included = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < sorted.length) {
+        included += sorted(i)
+        val covered =
+          if (i + 1 >= sorted.length) included.map(nonNullOf).sum
+          else {
+            val (nmn, nmx) = view.longStats((sorted(i + 1), colName))
+            val b = if (asc) nmn else nmx
+            included.map { d =>
+              val (mn, mx) = view.longStats((d, colName))
+              if (if (asc) mx <= b else mn >= b) nonNullOf(d) else 0L
+            }.sum
+          }
+        if (covered >= need) return included.toSeq
+        i += 1
+      }
+      included.toSeq
+    }
+    Some(
+      if (nullsFirst) {
+        if (totalNulls >= n) {
+          // the whole answer is nulls — cover n by null counts alone
+          var acc = 0L
+          val keep = scala.collection.mutable.ListBuffer[String]()
+          val it = live.filter(nullsOf(_) > 0L).iterator
+          while (it.hasNext && acc < n) {
+            val d = it.next(); keep += d; acc += nullsOf(d)
+          }
+          keep.toSeq
+        } else
+          // every null leads the answer; values fill the remainder
+          (live.filter(nullsOf(_) > 0L) ++
+            valuePrefix(n - totalNulls)).distinct
+      } else {
+        val totalVals = live.map(nonNullOf).sum
+        if (totalVals >= n) valuePrefix(n.toLong)
+        else live // trailing nulls needed — no provable subset, read all
+      })
+  }
 
   /** Inverse of [[statsLongEncoding]] for RESIDUAL FILTERS: decode an
     * encoded long back into a plain Scala literal of the column's own
@@ -727,7 +819,8 @@ object Snapshots {
     val dirs = lines.filterNot(_.startsWith("#"))
     val stats = lines.filter(_.startsWith("#dirstats "))
       .map(_.stripPrefix("#dirstats ").split(" ")) .collect {
-        case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+        case arr if arr.length == 4 || arr.length == 5 =>
+          (arr(0), arr(1)) -> ((arr(2).toLong, arr(3).toLong))
       }.toMap
     val hit = dirs.filter { d =>
       stats.get((d, colName)).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -804,7 +897,8 @@ object Snapshots {
     val dirs = lines.filterNot(_.startsWith("#"))
     val stats = lines.filter(_.startsWith("#dirstats "))
       .map(_.stripPrefix("#dirstats ").split(" ")).collect {
-        case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+        case arr if arr.length == 4 || arr.length == 5 =>
+          (arr(0), arr(1)) -> ((arr(2).toLong, arr(3).toLong))
       }.toMap
     val hit = dirs.filter { d =>
       preds.forall { case (c, lo, hi) =>
@@ -879,18 +973,27 @@ object Snapshots {
     *        shortens when KNOWN rows suffice), so the pruning can under-
     *        deliver rows never.
     */
+  /** @param topNHint a pushed-down `ORDER BY col LIMIT n` as
+    *        `(col, ascending, nullsFirst, n)`: when no predicates are
+    *        pushed, the scan opens only the [[topNDirs]] subset — the
+    *        directories that provably contain every candidate top-n
+    *        row (the caller re-sorts globally; partial pushdown). A
+    *        manifest that cannot prove the subset degrades to reading
+    *        everything.
+    */
   def readForScan(s: SparkSession, table: String,
       version: Option[Int] = None,
       preds: Seq[ScanPred] = Nil,
-      limitHint: Option[Int] = None): PrunedScan = {
+      limitHint: Option[Int] = None,
+      topNHint: Option[(String, Boolean, Boolean, Int)] = None): PrunedScan = {
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
     val lines = manifestLines(s, table, v)
     val dirs = lines.filterNot(_.startsWith("#"))
     val hitAll = readForScanDirs(s, table, lines, preds)
-    val hit = limitHint match {
-      case Some(n) if preds.isEmpty && dvLinesOf(lines).isEmpty =>
+    val hit = (limitHint, topNHint) match {
+      case (Some(n), _) if preds.isEmpty && dvLinesOf(lines).isEmpty =>
         val rowsOf = dirRowsOf(lines)
         var acc = 0L
         val keep = scala.collection.mutable.ListBuffer[String]()
@@ -899,6 +1002,8 @@ object Snapshots {
           val d = it.next(); keep += d; acc += rowsOf.getOrElse(d, 0L)
         }
         keep.toSeq
+      case (None, Some((c, asc, nf, n))) if preds.isEmpty =>
+        topNDirs(s, table, v, c, asc, nf, n).getOrElse(hitAll)
       case _ => hitAll
     }
     // residuals compare the bare column against a literal DECODED back
@@ -978,7 +1083,8 @@ object Snapshots {
     else {
       val intStats = lines.filter(_.startsWith("#dirstats "))
         .map(_.stripPrefix("#dirstats ").split(" ")).collect {
-          case Array(d, c, mn, mx) => (d, c) -> ((mn.toLong, mx.toLong))
+          case arr if arr.length == 4 || arr.length == 5 =>
+            (arr(0), arr(1)) -> ((arr(2).toLong, arr(3).toLong))
         }.toMap
       val strStats = lines.filter(_.startsWith("#dirstatsS "))
         .map(_.stripPrefix("#dirstatsS ").split(" ")).collect {
@@ -1419,19 +1525,26 @@ object Snapshots {
     val newStatsLines: Seq[String] =
       if (statsCols.isEmpty && strStatsCols.isEmpty) Nil
       else {
-        import org.apache.spark.sql.functions.{col, min, max}
+        import org.apache.spark.sql.functions.{col, count, min, max}
+        // integral stats lines carry a FIFTH token since r16 — the
+        // column's NON-NULL count in the dir (same single aggregate):
+        // with `#dirrows` it bounds the dir's null count exactly, which
+        // is what lets TopN pushdown reason about NULLS FIRST/LAST
+        // orderings. Older 4-token lines parse fine everywhere (the
+        // count is simply unknown → consumers refuse to prune on it).
         val aggs = statsCols.flatMap { c =>
           val e = statsLongEncoding(c, df.schema(c).dataType)
-          Seq(min(e), max(e))
+          Seq(min(e), max(e), count(col(c)))
         } ++
           strStatsCols.flatMap(c =>
             Seq(min(col(c).cast("string")), max(col(c).cast("string"))))
         val r = readBackWritten().agg(aggs.head, aggs.tail: _*).head()
         val ints = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(2 * i)) None
-          else Some(s"#dirstats $dir $c ${r.getLong(2 * i)} ${r.getLong(2 * i + 1)}")
+          if (r.isNullAt(3 * i)) None
+          else Some(s"#dirstats $dir $c ${r.getLong(3 * i)} " +
+            s"${r.getLong(3 * i + 1)} ${r.getLong(3 * i + 2)}")
         }
-        val off = 2 * statsCols.size
+        val off = 3 * statsCols.size
         val strs = strStatsCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(off + 2 * i)) None
           else strStatsLine(dir, c, r.getString(off + 2 * i),
@@ -3078,8 +3191,10 @@ object Snapshots {
       val newStats = chunkDirs.flatMap { case (d, r) =>
         zCols.zipWithIndex.flatMap { case (c, i) =>
           if (r.isNullAt(2 + 2 * i)) None
+          // z-columns are contract-enforced non-null → the 5th token
+          // (non-null count) is the chunk's row count, no extra pass
           else Some(s"#dirstats $d $c ${r.getLong(2 + 2 * i)} " +
-            s"${r.getLong(3 + 2 * i)}")
+            s"${r.getLong(3 + 2 * i)} ${r.getLong(1)}")
         }
       } ++
         // per-chunk row counts ride the same aggregate — no footer reads
@@ -3179,7 +3294,10 @@ object Snapshots {
           l.startsWith("#dirstats ") || l.startsWith("#dirstatsS ")).map { l =>
         val kind = l.split(" ")(0)
         val p = l.stripPrefix(kind + " ").split(" ")
-        if (p(1) == oldName) s"$kind ${p(0)} $newName ${p(2)} ${p(3)}"
+        // re-key the column token only — the value tail (bounds, and
+        // the r16 non-null count on 5-token #dirstats lines) carries
+        if (p(1) == oldName)
+          (Seq(kind, p(0), newName) ++ p.drop(2)).mkString(" ")
         else l
       } ++
         // sidecar sketches survive the rename too — the sketch hashes

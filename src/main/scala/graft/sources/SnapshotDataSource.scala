@@ -454,7 +454,8 @@ final class SnapshotScanBuilder(path: String, version: Int,
     tableSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -471,6 +472,43 @@ final class SnapshotScanBuilder(path: String, version: Int,
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+
+  /** TopN pushdown — PARTIAL (Spark re-sorts globally): an
+    * `ORDER BY col LIMIT n` on a single long-encodable column accepts,
+    * and the scan opens only the [[Snapshots.topNDirs]] subset — the
+    * directories whose `#dirstats` bounds and null counts prove they
+    * hold every candidate top-n row. On a range-clustered or Z-ordered
+    * layout, "the head of the table" is one directory's read.
+    * Acceptance is semantic; the pruning itself is best-effort (a
+    * manifest without full counts reads everything — correct either
+    * way, since Spark sorts whatever the scan returns).
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (preds.nonEmpty) return false
+    orders match {
+      case Array(o) => o.expression() match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          val c = r.fieldNames()(0)
+          val encodable = tableSchema.fields.find(_.name == c).exists(f =>
+            scala.util.Try(
+              Snapshots.statsLongEncoding(c, f.dataType)).isSuccess)
+          if (!encodable) false
+          else {
+            topN = Some((c,
+              o.direction() == SortDirection.ASCENDING,
+              o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+            true
+          }
+        case _ => false
+      }
+      case _ => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     preds = filters.toSeq.flatMap(
@@ -579,7 +617,7 @@ final class SnapshotScanBuilder(path: String, version: Int,
   override def build(): Scan = aggAnswer match {
     case Some((schema, row, dirsTotal)) =>
       new SnapshotAggScan(path, version, schema, row, dirsTotal)
-    case None => new SnapshotScan(path, version, required, preds, limit)
+    case None => new SnapshotScan(path, version, required, preds, limit, topN)
   }
 }
 
@@ -613,7 +651,8 @@ final class SnapshotAggScan(path: String, version: Int,
 
 final class SnapshotScan(path: String, version: Int,
     required: StructType, preds: Seq[Snapshots.ScanPred],
-    limit: Option[Int] = None) extends V1Scan {
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Boolean, Int)] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -621,11 +660,13 @@ final class SnapshotScan(path: String, version: Int,
     s"graft-snapshot $path v$version " +
       s"pruning=[${preds.mkString(", ")}] columns=[${
         required.fieldNames.mkString(", ")}]" +
-      limit.map(n => s" limit=$n").getOrElse("")
+      limit.map(n => s" limit=$n").getOrElse("") +
+      topN.map(t => s" topN=$t").getOrElse("")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new SnapshotV1Relation(context, path, version, required, preds, limit)
+    new SnapshotV1Relation(context, path, version, required, preds,
+      limit, topN)
       .asInstanceOf[T]
 }
 
@@ -637,7 +678,8 @@ final class SnapshotScan(path: String, version: Int,
   */
 final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
     required: StructType, preds: Seq[Snapshots.ScanPred],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Boolean, Int)] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -655,10 +697,14 @@ final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
 
   override def buildScan(): RDD[Row] = {
     val s = ctx.sparkSession
-    val scan = Snapshots.readForScan(s, path, Some(version), preds, limit)
+    val scan = Snapshots.readForScan(s, path, Some(version), preds,
+      limit, topN)
     SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
       scan.dirsTotal, scan.dirsRead,
-      preds.map(_.toString) ++ limit.map(n => s"limit:$n")))
+      preds.map(_.toString) ++ limit.map(n => s"limit:$n") ++
+        topN.map { case (c, asc, nf, n) =>
+          s"topn:$c:${if (asc) "asc" else "desc"}:" +
+            s"${if (nf) "nullsfirst" else "nullslast"}:$n" }))
     val projected =
       if (required.isEmpty) scan.df.select()
       else scan.df.select(required.fieldNames.toIndexedSeq

@@ -456,6 +456,60 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "dv-live tables must not prefix-prune a LIMIT")
   }
 
+  test("TopN pushdown: ORDER BY + LIMIT opens only the provable " +
+      "candidate directories (bounds + null counts); defaults' NULLS " +
+      "FIRST, descending, and null-heavy layouts all stay exact") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // range-clustered slices: [1,25], [26,50], [51,75], [76,100]
+    (0 until 4).foreach { i =>
+      Snapshots.commitWithStats(
+        (1L to 25L).map(j => (i * 25L + j, j)).toDF("k", "v"), t, "k"): Unit
+    }
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    // ascending head: one directory
+    val lo = fmt.orderBy(col("k").asc).limit(5).collect().map(_.getLong(0))
+    assert(lo.toSeq == (1L to 5L))
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.dirsTotal == 4 && i1.dirsRead == 1 &&
+        i1.pushed.exists(_.startsWith("topn:k:asc")),
+      s"ascending TopN must open the head directory only ($i1)")
+    // descending tail: one directory
+    val hi = fmt.orderBy(col("k").desc).limit(5).collect().map(_.getLong(0))
+    assert(hi.toSeq == (100L to 96L by -1))
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 1)
+    // a limit spanning a boundary opens exactly two
+    assert(fmt.orderBy(col("k").asc).limit(30).count() == 30)
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 2)
+    // NULLS handling: a slice whose k is entirely NULL-bearing refuses
+    // value-only pruning under the ASC default (NULLS FIRST) unless the
+    // null counts prove where the nulls live — they do
+    val tn = s"$base/tn"
+    Snapshots.commitWithStats(
+      (1L to 20L).map(j => (Option(j), j)).toDF("k", "v"), tn, "k")
+    Snapshots.commitWithStats(
+      (1L to 10L).map(j => (if (j % 2 == 0) Some(100L + j) else None, j))
+        .toDF("k", "v"), tn, "k")
+    def fmtN = spark.read.format("graft-snapshot").option("path", tn).load()
+    // ASC NULLS FIRST, n=5: the 5 nulls of dir 2 lead the answer
+    val heads = fmtN.orderBy(col("k").asc_nulls_first).limit(5)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(heads.forall(_.isEmpty), "the five nulls must lead")
+    assert(SnapshotScans.scanOf(tn).get.dirsRead == 1,
+      "null counts must prove the nulls' directory alone suffices")
+    // ASC NULLS LAST: values only — dir 1 suffices for n=5
+    assert(fmtN.orderBy(col("k").asc_nulls_last).limit(5)
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(SnapshotScans.scanOf(tn).get.dirsRead == 1)
+    // a dv-live table refuses the pruning but stays exact
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 10 === 0)
+    assert(fmt.orderBy(col("k").asc).limit(5).collect()
+      .map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 4,
+      "tombstones must force the full scan under TopN")
+  }
+
   test("$files metadata table: head dirs with #dirrows counts, on-disk " +
       "bytes, and the shallow-clone external flag; pre-tracking dirs " +
       "surface NULL rows honestly") {
