@@ -600,6 +600,16 @@ final class SnapshotScanBuilder(path: String, version: Int,
         if (!view.dirs.forall(view.dirRows.contains)) return None
         (view.dirs.map(view.dirRows).sum: Any,
           StructField("count(*)", LongType, nullable = false))
+      // count(col) = the non-null total — the 5-token `#dirstats`
+      // counts answer it when every rows>0 dir carries one
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct =>
+        val n = refName(c.column).getOrElse(return None)
+        val covered = view.dirs.forall(d =>
+          view.nonNull.contains((d, n)) || view.dirRows.get(d).contains(0L))
+        if (!covered) return None
+        (view.dirs.flatMap(d => view.nonNull.get((d, n))).sum: Any,
+          StructField(s"count($n)", LongType, nullable = false))
       case m: Min =>
         val n = refName(m.column).getOrElse(return None)
         val (v, f) = bound(n, takeMax = false).getOrElse(return None)

@@ -376,6 +376,21 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(fmt.agg(max("v")).head().getLong(0) == 900L)
     assert(SnapshotScans.scanOf(t).get.dirsRead == 2,
       "an uncovered column must fall back to the ordinary scan")
+    // count(col) answers from the 5-token non-null counts — exact on a
+    // null-bearing column, zero files opened
+    val tc = s"$base/tc"
+    Snapshots.commitWithStats(
+      (1L to 20L).map(j => (if (j % 4 == 0) None else Some(j), j))
+        .toDF("k", "v"), tc, "k")
+    Snapshots.commitWithStats(
+      (21L to 30L).map(j => (Option(j), j)).toDF("k", "v"), tc, "k")
+    val fc = spark.read.format("graft-snapshot").option("path", tc).load()
+    assert(fc.agg(count("k")).head().getLong(0) == 25)
+    assert(SnapshotScans.scanOf(tc).get.dirsRead == 0,
+      "count(col) must answer from the manifest's non-null counts")
+    assert(fc.agg(count("v")).head().getLong(0) == 30)
+    assert(SnapshotScans.scanOf(tc).get.dirsRead == 2,
+      "count on an untracked column must fall back to the full scan")
     // a live deletion vector blocks the shortcut; the answer stays exact
     val (_, nDel) = Snapshots.deleteWhereMoR(spark, t, "k",
       col("k") % 9 === 0)
