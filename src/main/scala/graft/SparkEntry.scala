@@ -8369,6 +8369,102 @@ object SparkEntry {
       .toDF("leg", "k", "cents").orderBy("leg", "k")
   }
 
+  /** OR / IS NULL / IS NOT NULL PUSHDOWN through the gate — the
+    * remaining everyday predicate shapes drive manifest pruning
+    * ([[graft.sources.SnapshotDataSource.translate]]'s `Or` /
+    * `IsNull` / `IsNotNull` arms over [[graft.io.Snapshots]]'
+    * null-population machinery): an all-null commit now records the
+    * EMPTY-SET sentinel `#dirstats` line (`0 -1` bounds, 0 non-null
+    * count), so `v IS NOT NULL` provably skips all-null directories
+    * and `v IS NULL` provably skips null-free ones (non-null count ==
+    * `#dirrows`); a two-column disjunction prunes to the union of its
+    * branches' directory sets. Four probes, each require-gated via
+    * table-keyed scan evidence: IS NULL opens 2/3 dirs (the null-free
+    * slice skips), IS NOT NULL opens 2/3 (the all-null slice skips),
+    * `k = min OR v2 = 2·max` opens exactly the two boundary slices of
+    * a range-clustered table (2/4, with the `OrPred` marker), and the
+    * REFUSAL leg — an Or whose second branch compares a column with no
+    * stats — reads everything and still answers exactly. The oracle
+    * recomputes all eight values from raw orders under the identical
+    * predicates.
+    */
+  private def io49NullOrPushdown(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io49")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val tn = s"$base/n"
+    val tk = s"$base/t"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("cents"))
+    // null-population table: three slices — all non-null, mixed,
+    // ALL-NULL (the sentinel-line case)
+    val withV = o.withColumn("v",
+      when(col("k") % 3 === 1, col("cents"))
+        .when(col("k") % 3 === 2 && col("k") % 7 =!= 0, col("cents"))
+        .otherwise(lit(null).cast("long")))
+    Seq(1L, 2L, 0L).foreach(i => graft.io.Snapshots.commitWithStats(
+      withV.filter(col("k") % 3 === i).select("k", "cents", "v"),
+      tn, "v"): Unit)
+    // range-clustered table: four disjoint key bands (arithmetic
+    // quarters of [min, max] — one cheap min/max pass, no quantile
+    // job; the bands need only be disjoint and boundary-holding, not
+    // equal-sized), stats on k AND on the k-monotone v2 (so a
+    // two-COLUMN disjunction can prune — a same-column OR would fold
+    // to an IN and miss the Or arm)
+    val mm = o.agg(min("k"), max("k")).head()
+    val (kmin, kmax) = (mm.getLong(0), mm.getLong(1))
+    val step = (kmax - kmin) / 4 + 1
+    val withV2 = o.withColumn("v2", col("k") * lit(2L))
+    val slices = Seq(
+      col("k") < kmin + step,
+      col("k") >= kmin + step && col("k") < kmin + 2 * step,
+      col("k") >= kmin + 2 * step && col("k") < kmin + 3 * step,
+      col("k") >= kmin + 3 * step)
+    slices.foreach(c => graft.io.Snapshots.commitWithMultiStats(
+      withV2.filter(c).select("k", "cents", "v2"), tk,
+      Seq("k", "v2")): Unit)
+    val cat = s"snap49_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    def evidence(table: String, leg: String, read: Int, total: Int,
+        marker: Option[String] = None): Unit = {
+      val info = graft.sources.SnapshotScans.scanOf(table).get
+      require(info.dirsTotal == total && info.dirsRead == read,
+        s"io49 $leg: expected $read/$total directories " +
+          s"(${info.dirsRead}/${info.dirsTotal}; pushed=${info.pushed})")
+      marker.foreach(m => require(info.pushed.exists(_.startsWith(m)),
+        s"io49 $leg: the $m marker must ride the scan (${info.pushed})"))
+    }
+    // leg 1: IS NULL skips the provably null-free slice
+    val r1 = s.sql(s"""SELECT count(*) AS n,
+      CAST(coalesce(sum(cents), 0) AS BIGINT) AS csum FROM $cat.n
+      WHERE v IS NULL""").head()
+    evidence(tn, "is-null", 2, 3, Some("IsNullPred"))
+    // leg 2: IS NOT NULL skips the all-null slice via its sentinel line
+    val r2 = s.sql(s"""SELECT count(*) AS n,
+      CAST(coalesce(sum(v), 0) AS BIGINT) AS vsum FROM $cat.n
+      WHERE v IS NOT NULL""").head()
+    evidence(tn, "is-not-null", 2, 3)
+    // leg 3: a two-column disjunction opens exactly the two boundary
+    // slices (each branch prunes to its own directory)
+    val r3 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(k) AS BIGINT) AS ksum FROM $cat.t
+      WHERE k = $kmin OR v2 = ${2L * kmax}""").head()
+    evidence(tk, "or-two-col", 2, 4, Some("OrPred"))
+    // leg 4 (refusal): a branch on a column WITHOUT stats degrades the
+    // whole Or to reading everything — never to a wrong answer
+    val r4 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(k) AS BIGINT) AS ksum FROM $cat.t
+      WHERE k = $kmin OR cents = -1""").head()
+    evidence(tk, "or-refusal", 4, 4)
+    s.range(1).select(
+      lit(r1.getLong(0)).as("n_null"), lit(r1.getLong(1)).as("csum_null"),
+      lit(r2.getLong(0)).as("n_nn"), lit(r2.getLong(1)).as("vsum"),
+      lit(r3.getLong(0)).as("n_or"), lit(r3.getLong(1)).as("ksum_or"),
+      lit(r4.getLong(0)).as("n_ref"), lit(r4.getLong(1)).as("ksum_ref"))
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -9950,6 +10046,7 @@ object SparkEntry {
     "q98_table_stream" -> q98TableStream _,
     "io46_limit_pushdown" -> io46LimitPushdown _,
     "io47_topn_pushdown" -> io47TopnPushdown _,
+    "io49_null_or_pushdown" -> io49NullOrPushdown _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -13654,6 +13751,34 @@ object SparkEntry {
         |  SELECT 'desc' AS leg, k, cents FROM o ORDER BY k DESC LIMIT 10)
         |SELECT * FROM (SELECT * FROM legs UNION ALL SELECT * FROM legs2)
         |ORDER BY leg, k""".stripMargin,
+    // all eight values recomputed from raw orders under the identical
+    // null/disjunction predicates; the per-leg directory-subset proofs
+    // (2/3, 2/3, 2/4 with the OrPred marker, and the 4/4 refusal) are
+    // require-gated in-query
+    "io49_null_or_pushdown" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |n AS (SELECT k, cents,
+        |  CASE WHEN k % 3 = 1 THEN cents
+        |       WHEN k % 3 = 2 AND k % 7 <> 0 THEN cents END AS v FROM o),
+        |t AS (SELECT k, cents, k * 2 AS v2 FROM o)
+        |SELECT
+        |  (SELECT count(*) FROM n WHERE v IS NULL) AS n_null,
+        |  (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM n
+        |     WHERE v IS NULL) AS csum_null,
+        |  (SELECT count(*) FROM n WHERE v IS NOT NULL) AS n_nn,
+        |  (SELECT CAST(coalesce(sum(v), 0) AS BIGINT) FROM n
+        |     WHERE v IS NOT NULL) AS vsum,
+        |  (SELECT count(*) FROM t WHERE k = (SELECT min(k) FROM o)
+        |     OR v2 = (SELECT 2 * max(k) FROM o)) AS n_or,
+        |  (SELECT CAST(sum(k) AS BIGINT) FROM t
+        |     WHERE k = (SELECT min(k) FROM o)
+        |       OR v2 = (SELECT 2 * max(k) FROM o)) AS ksum_or,
+        |  (SELECT count(*) FROM t WHERE k = (SELECT min(k) FROM o)
+        |     OR cents = -1) AS n_ref,
+        |  (SELECT CAST(sum(k) AS BIGINT) FROM t
+        |     WHERE k = (SELECT min(k) FROM o) OR cents = -1)
+        |     AS ksum_ref""".stripMargin,
     // the sampling-shape proofs (1-of-4 prefix, exact fetch, manifest
     // corpus count) are require-gated in-query; the oracle pins the
     // deterministic shape values and recomputes the corpus count

@@ -944,6 +944,24 @@ object Snapshots {
   final case class InLongPred(colName: String, values: Seq[Long]) extends ScanPred
   /** IN-list on a string column. */
   final case class InStringPred(colName: String, values: Seq[String]) extends ScanPred
+  /** `IS NULL`: a directory skips when its 5-token stats prove the
+    * column NULL-FREE there (non-null count == the dir's `#dirrows`
+    * count — both lines required; either missing reads). */
+  final case class IsNullPred(colName: String) extends ScanPred
+  /** `IS NOT NULL`: a directory skips when its 5-token stats prove the
+    * column ALL-NULL there (non-null count == 0 — the empty-set
+    * sentinel line the commit writes for an all-null dir). */
+  final case class IsNotNullPred(colName: String) extends ScanPred
+  /** Disjunction of translated BRANCHES (each branch a conjunction of
+    * conjuncts): a directory skips only when EVERY branch is provably
+    * disjoint — i.e. some conjunct of each branch rejects it. The
+    * residual re-applies the exact `(b1a AND b1b) OR (b2a …)` shape. */
+  final case class OrPred(branches: Seq[Seq[ScanPred]]) extends ScanPred {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty),
+      "OrPred: every branch must carry at least one conjunct")
+    def colName: String =
+      branches.flatten.map(_.colName).distinct.mkString("|")
+  }
 
   /** UNIFIED pruned read for a pushed-down predicate set — the scan
     * behind the DSv2 front door: one manifest read resolves every
@@ -987,6 +1005,13 @@ object Snapshots {
       limitHint: Option[Int] = None,
       topNHint: Option[(String, Boolean, Boolean, Int)] = None): PrunedScan = {
     import org.apache.spark.sql.functions.{col, lit}
+    // the hints are MUTUALLY EXCLUSIVE by construction (Spark pushes
+    // limit XOR topN): a caller passing both would get unsorted
+    // #dirrows prefix pruning plus .limit(n) — wrong for TopN
+    // semantics, so refuse loudly rather than silently mis-prune
+    require(limitHint.isEmpty || topNHint.isEmpty,
+      "readForScan: limitHint and topNHint are mutually exclusive — a " +
+        "#dirrows prefix need not contain the top-n rows")
     val v = version.getOrElse(latestVersion(s, table))
     require(v >= 1, s"no committed version to read at $table")
     val lines = manifestLines(s, table, v)
@@ -1015,25 +1040,34 @@ object Snapshots {
     def residualOver(schema: org.apache.spark.sql.types.StructType) = {
       def dec(c: String, x: Long): Any =
         statsLongDecode(schema(c).dataType, x)
-      preds.flatMap {
-        case EqLongPred(c, x) => Seq(col(c) === dec(c, x))
-        case EqStringPred(c, x) => Seq(col(c) === x)
-        case RangeLongPred(c, lo, hi) =>
-          lo.map(x => col(c) >= dec(c, x)).toSeq ++
-            hi.map(x => col(c) <= dec(c, x)).toSeq
-        case RangeStringPred(c, lo, hi) =>
-          lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
-        case InLongPred(c, vs) if vs.nonEmpty =>
-          Seq(col(c).isin(vs.map(dec(c, _)): _*))
-        case InStringPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
-        // an EMPTY IN-list matches zero rows — honor the predicate's
-        // semantics for direct library callers too (dropping it entirely
-        // would hand back the whole unfiltered table; safe behind DSv2
-        // only because Spark re-applies its own filter above the scan)
-        case InLongPred(_, vs) if vs.isEmpty => Seq(lit(false))
-        case InStringPred(_, vs) if vs.isEmpty => Seq(lit(false))
-        case _ => Nil
-      }.reduceOption(_ && _)
+      def exprsOf(ps: Seq[ScanPred]): Seq[org.apache.spark.sql.Column] =
+        ps.flatMap {
+          case EqLongPred(c, x) => Seq(col(c) === dec(c, x))
+          case EqStringPred(c, x) => Seq(col(c) === x)
+          case RangeLongPred(c, lo, hi) =>
+            lo.map(x => col(c) >= dec(c, x)).toSeq ++
+              hi.map(x => col(c) <= dec(c, x)).toSeq
+          case RangeStringPred(c, lo, hi) =>
+            lo.map(col(c) >= _).toSeq ++ hi.map(col(c) <= _).toSeq
+          case InLongPred(c, vs) if vs.nonEmpty =>
+            Seq(col(c).isin(vs.map(dec(c, _)): _*))
+          case InStringPred(c, vs) if vs.nonEmpty => Seq(col(c).isin(vs: _*))
+          // an EMPTY IN-list matches zero rows — honor the predicate's
+          // semantics for direct library callers too (dropping it
+          // entirely would hand back the whole unfiltered table; safe
+          // behind DSv2 only because Spark re-applies its own filter
+          // above the scan)
+          case InLongPred(_, vs) if vs.isEmpty => Seq(lit(false))
+          case InStringPred(_, vs) if vs.isEmpty => Seq(lit(false))
+          case IsNullPred(c) => Seq(col(c).isNull)
+          case IsNotNullPred(c) => Seq(col(c).isNotNull)
+          // each branch is a conjunction; the disjunction re-applies
+          // the exact (b1a AND b1b) OR (b2 …) shape
+          case OrPred(branches) =>
+            Seq(branches.map(b => exprsOf(b).reduceOption(_ && _)
+              .getOrElse(lit(true))).reduce(_ || _))
+        }
+      exprsOf(preds).reduceOption(_ && _)
     }
     val df0 =
       if (hit.isEmpty) read(s, table, Some(v)).filter(lit(false))
@@ -1081,11 +1115,48 @@ object Snapshots {
     val dirs = lines.filterNot(_.startsWith("#"))
     if (preds.isEmpty) dirs
     else {
-      val intStats = lines.filter(_.startsWith("#dirstats "))
-        .map(_.stripPrefix("#dirstats ").split(" ")).collect {
-          case arr if arr.length == 4 || arr.length == 5 =>
-            (arr(0), arr(1)) -> ((arr(2).toLong, arr(3).toLong))
-        }.toMap
+      val statArrs = lines.filter(_.startsWith("#dirstats "))
+        .map(_.stripPrefix("#dirstats ").split(" "))
+      val intStats = statArrs.collect {
+        case arr if arr.length == 4 || arr.length == 5 =>
+          (arr(0), arr(1)) -> ((arr(2).toLong, arr(3).toLong))
+      }.toMap
+      // ENCODING DISCRIMINATOR: the 5th token (r16's non-null count)
+      // marks a line written under the r16 long encoding (micros /
+      // days / unscaled). A legacy 4-token line on a TEMPORAL/DECIMAL
+      // column may carry the OLD cast("long") values (epoch seconds,
+      // truncated decimals) — pruning a micros-encoded predicate
+      // against those would skip directories that hold matches, so
+      // such lines are ignored for those column types (the dir just
+      // reads). Column types come from the committed `#schema`
+      // contract; a schema-less manifest predates the temporal
+      // encoding entirely (every writer of r16-encoded lines also
+      // writes `#schema`), so its 4-token lines stay trusted as the
+      // old integral-only contract.
+      val v5 = statArrs.collect {
+        case arr if arr.length == 5 => (arr(0), arr(1))
+      }.toSet
+      // the 5-token non-null counts + #dirrows drive NULL-population
+      // pruning (IS NULL / IS NOT NULL)
+      val nonNull = statArrs.collect {
+        case arr if arr.length == 5 => (arr(0), arr(1)) -> arr(4).toLong
+      }.toMap
+      val dirRows = dirRowsOf(lines)
+      val requiresV5: String => Boolean =
+        lines.find(_.startsWith("#schema ")) match {
+          case Some(l) =>
+            import org.apache.spark.sql.types.{DateType, DecimalType, TimestampType}
+            val temporal = org.apache.spark.sql.types.StructType
+              .fromDDL(l.stripPrefix("#schema ")).fields.collect {
+                case f if f.dataType == TimestampType ||
+                  f.dataType == DateType ||
+                  f.dataType.isInstanceOf[DecimalType] => f.name
+              }.toSet
+            temporal
+          case None => _ => false
+        }
+      def longStatsOf(d: String, c: String): Option[(Long, Long)] =
+        intStats.get((d, c)).filter(_ => !requiresV5(c) || v5((d, c)))
       val strStats = lines.filter(_.startsWith("#dirstatsS "))
         .map(_.stripPrefix("#dirstatsS ").split(" ")).collect {
           case Array(d, c, mn, mx) => (d, c) -> ((dec(mn), dec(mx)))
@@ -1100,7 +1171,7 @@ object Snapshots {
         blooms.get((d, c)).exists(bp =>
           !probe(loadBloomSidecar(f, resolveDirPath(table, bp))))
       def longDisjoint(d: String, c: String, x: Long): Boolean =
-        intStats.get((d, c)).exists { case (mn, mx) => x < mn || x > mx } ||
+        longStatsOf(d, c).exists { case (mn, mx) => x < mn || x > mx } ||
           bloomRejects(d, c, _.mightContainLong(x))
       def strDisjoint(d: String, c: String, x: String): Boolean =
         strStats.get((d, c)).exists { case (mn, mx) =>
@@ -1110,7 +1181,7 @@ object Snapshots {
         case EqLongPred(c, x) => longDisjoint(d, c, x)
         case EqStringPred(c, x) => strDisjoint(d, c, x)
         case RangeLongPred(c, lo, hi) =>
-          intStats.get((d, c)).exists { case (mn, mx) =>
+          longStatsOf(d, c).exists { case (mn, mx) =>
             lo.exists(_ > mx) || hi.exists(_ < mn) }
         case RangeStringPred(c, lo, hi) =>
           strStats.get((d, c)).exists { case (mn, mx) =>
@@ -1119,6 +1190,16 @@ object Snapshots {
           vs.nonEmpty && vs.forall(longDisjoint(d, c, _))
         case InStringPred(c, vs) =>
           vs.nonEmpty && vs.forall(strDisjoint(d, c, _))
+        // null-population pruning from the 5-token non-null counts:
+        // IS NULL skips a provably null-free dir, IS NOT NULL skips a
+        // provably all-null one; a dir missing either line reads
+        case IsNullPred(c) =>
+          nonNull.get((d, c)).exists(nn => dirRows.get(d).contains(nn))
+        case IsNotNullPred(c) => nonNull.get((d, c)).contains(0L)
+        // a dir skips for a disjunction only when EVERY branch has
+        // some conjunct that rejects it
+        case OrPred(branches) =>
+          branches.forall(_.exists(disjoint(d, _)))
       }
       dirs.filter(d => !preds.exists(p => disjoint(d, p)))
     }
@@ -1495,13 +1576,15 @@ object Snapshots {
         .parquet(s"$table/$dir")
     // ONE aggregate over ONLY the files just written — O(new data), all
     // declared columns' min/max in the same pass; an empty or all-null
-    // column records no stats line for it (reads always)
+    // column records the EMPTY-SET sentinel line [0, -1] with a zero
+    // non-null count (value predicates skip it exactly; IS NOT NULL
+    // and TopN null reasoning know its whole population is null)
     // read-back under the frame's OWN schema, not inference: an
     // empty-frame commit writes a directory with zero parquet files,
     // and schema inference over it throws AFTER the data dir already
     // landed — the explicit schema keeps the empty-commit contract
-    // (stats/sketch build over zero rows → no stats line / an
-    // admit-nothing sketch, both correct)
+    // (stats/sketch build over zero rows → an empty-set stats line /
+    // an admit-nothing sketch, both correct)
     def readBackWritten() = s.read.schema(df.schema).parquet(s"$table/$dir")
     // CHECK constraints validate the WRITTEN BYTES, not the input plan:
     // a non-deterministic source (rand()/uuid()/a re-read of a changing
@@ -1539,10 +1622,18 @@ object Snapshots {
           strStatsCols.flatMap(c =>
             Seq(min(col(c).cast("string")), max(col(c).cast("string"))))
         val r = readBackWritten().agg(aggs.head, aggs.tail: _*).head()
-        val ints = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          if (r.isNullAt(3 * i)) None
-          else Some(s"#dirstats $dir $c ${r.getLong(3 * i)} " +
-            s"${r.getLong(3 * i + 1)} ${r.getLong(3 * i + 2)}")
+        val ints = statsCols.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(3 * i))
+            // ALL-NULL (or zero-row) dir: the INVERTED range [0, -1]
+            // encodes the EMPTY value set — any value predicate is
+            // provably disjoint (no non-null values exist, so skipping
+            // is exact, and pre-r17 range parsers read the same
+            // emptiness), and the 0 non-null count is what lets
+            // IS NOT NULL prune the dir and TopN/IS NULL reason about
+            // its null population exactly
+            s"#dirstats $dir $c 0 -1 ${r.getLong(3 * i + 2)}"
+          else s"#dirstats $dir $c ${r.getLong(3 * i)} " +
+            s"${r.getLong(3 * i + 1)} ${r.getLong(3 * i + 2)}"
         }
         val off = 3 * statsCols.size
         val strs = strStatsCols.zipWithIndex.flatMap { case (c, i) =>

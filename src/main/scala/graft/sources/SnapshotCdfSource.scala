@@ -161,8 +161,15 @@ object SnapshotCdfSource {
         s".graft-cdf-floor.${java.util.UUID.randomUUID()}.tmp")
       val out = f.create(tmp, false)
       try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
-      if (!f.rename(tmp, floorFile)) f.delete(tmp, false): Unit
-      floor
+      if (!f.rename(tmp, floorFile)) {
+        // LOST THE FIRST-START RACE: adopt the winner's persisted
+        // floor — two racing first-starts must run with the one
+        // durable truth, not each with its own resolution
+        f.delete(tmp, false): Unit
+        val in = f.open(floorFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else floor
     }
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Support
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, LessThan, LessThanOrEqual, StringStartsWith, TableScan}
+import org.apache.spark.sql.sources.{And, BaseRelation, DataSourceRegister, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or, StringStartsWith, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -318,6 +318,21 @@ object SnapshotDataSource {
         // its last-char increment (inclusive — conservative)
         Seq(Snapshots.RangeStringPred(c, Some(prefix),
           incrementAscii(prefix)))
+      // NULL-population predicates prune from the 5-token non-null
+      // counts: IS NULL skips provably null-free dirs, IS NOT NULL
+      // skips provably all-null ones (the empty-set sentinel lines).
+      // `c <=> NULL` is exactly IS NULL.
+      case IsNull(c) => Seq(Snapshots.IsNullPred(c))
+      case IsNotNull(c) => Seq(Snapshots.IsNotNullPred(c))
+      case EqualNullSafe(c, null) => Seq(Snapshots.IsNullPred(c))
+      // a disjunction prunes only when BOTH sides translate — a dir
+      // then skips iff every branch is provably disjoint; one
+      // untranslatable side degrades the whole Or to reading (the
+      // residual keeps exactness either way)
+      case Or(l, r) =>
+        val (a, b) = (translate(l, schema), translate(r, schema))
+        if (a.nonEmpty && b.nonEmpty) Seq(Snapshots.OrPred(Seq(a, b)))
+        else Nil
       case And(l, r) => translate(l, schema) ++ translate(r, schema)
       case _ => Nil
     }
@@ -545,19 +560,26 @@ final class SnapshotScanBuilder(path: String, version: Int,
     * Refusal = return false = Spark plans the ordinary scan; the
     * shortcut can degrade to a read, never to a wrong answer.
     */
-  override def supportCompletePushDown(
+  // memo is KEYED by the offered Aggregation instance: Spark today
+  // negotiates one aggregation per builder, but if it ever re-offered a
+  // DIFFERENT one, a first-offer memo would hand back a stale answer
+  private var aggFor:
+    Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] =
+    None
+  private def answeredFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    if (aggAnswer.isEmpty) aggAnswer = tryAnswer(agg)
+    if (!aggFor.exists(_ eq agg)) { aggFor = Some(agg); aggAnswer = tryAnswer(agg) }
     aggAnswer.isDefined
   }
 
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answeredFor(agg)
+
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    if (aggAnswer.isEmpty) aggAnswer = tryAnswer(agg)
-    aggAnswer.isDefined
-  }
+      : Boolean = answeredFor(agg)
 
   private def tryAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -576,19 +598,34 @@ final class SnapshotScanBuilder(path: String, version: Int,
       case _ => None
     }
     // min/max over the decoded per-dir bounds; None (refuse) unless
-    // every dir either has stats or provably holds zero rows; Some(null)
-    // = a genuinely empty table's NULL min/max
+    // every dir either has USABLE stats or provably holds zero rows;
+    // Some(null) = a genuinely empty table's NULL min/max. Usable =
+    // the line's encoding is trusted for the column's type: a legacy
+    // 4-token line on a TEMPORAL/DECIMAL column may carry the old
+    // cast("long") values (epoch seconds, truncated decimals) —
+    // decoding those as micros/unscaled would answer WRONG bounds, so
+    // only 5-token (r16-encoded) lines count there; integral columns
+    // trust both generations. An all-null line (non-null count 0)
+    // covers its dir but contributes no value — min/max ignore nulls.
     def bound(name: String, takeMax: Boolean): Option[(Any, StructField)] = {
       val field = tableSchema.fields.find(_.name == name)
         .getOrElse(return None)
       if (scala.util.Try(
           Snapshots.statsLongEncoding(name, field.dataType)).isFailure)
         return None
+      import org.apache.spark.sql.types.{DateType, DecimalType, TimestampType}
+      val requiresV5 = field.dataType == TimestampType ||
+        field.dataType == DateType || field.dataType.isInstanceOf[DecimalType]
+      def usable(d: String): Boolean =
+        view.longStats.contains((d, name)) &&
+          (!requiresV5 || view.nonNull.contains((d, name)))
       val covered = view.dirs.forall(d =>
-        view.longStats.contains((d, name)) ||
-          view.dirRows.get(d).contains(0L))
+        usable(d) || view.dirRows.get(d).contains(0L))
       if (!covered) return None
-      val vals = view.dirs.flatMap(d => view.longStats.get((d, name)))
+      val vals = view.dirs
+        .filter(d => usable(d) &&
+          view.nonNull.get((d, name)).forall(_ > 0L))
+        .flatMap(d => view.longStats.get((d, name)))
         .map(b => if (takeMax) b._2 else b._1)
       val v = if (vals.isEmpty) null
         else Snapshots.decodeStatsLong(field.dataType,

@@ -84,18 +84,21 @@ object SnapshotTableSource {
     val f = new Path(metadataPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val startFile = new Path(metadataPath, "graft-table-start")
-    if (f.exists(startFile)) {
+    def readPersisted(): (String, Either[Int, Int]) = {
       val in = f.open(startFile)
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val persisted: Either[Int, Int] = txt.split(":") match {
-        case Array("snapshot", v) => Right(v.toInt)
-        case Array("feed", fl) => Left(fl.toInt)
+      txt.split(":") match {
+        case Array("snapshot", v) => (txt, Right(v.toInt))
+        case Array("feed", fl) => (txt, Left(fl.toInt))
         case _ => sys.error(
           s"graft-snapshot stream: unreadable start marker '$txt' at " +
             s"$metadataPath — the checkpoint is torn; rebuild it")
       }
+    }
+    if (f.exists(startFile)) {
+      val (txt, persisted) = readPersisted()
       startingVersion.map(_.trim.toLowerCase).filter(_.nonEmpty)
         .foreach { sv =>
           val conflict = (persisted, sv) match {
@@ -132,8 +135,15 @@ object SnapshotTableSource {
         s".graft-table-start.${java.util.UUID.randomUUID()}.tmp")
       val out = f.create(tmp, false)
       try out.write(txt.getBytes("UTF-8")) finally out.close()
-      if (!f.rename(tmp, startFile)) f.delete(tmp, false): Unit
-      resolved
+      if (!f.rename(tmp, startFile)) {
+        // LOST THE FIRST-START RACE: adopt the WINNER's persisted start
+        // — returning our own resolution would let two racing
+        // first-starts run with divergent starts (snapshot:v vs
+        // feed:f) while only one is durable, and a later restart would
+        // then conflict with what actually ran
+        f.delete(tmp, false): Unit
+        readPersisted()._2
+      } else resolved
     }
   }
 }

@@ -190,6 +190,26 @@ object ChangeFeedSync {
     * @return Some((fromV, toV)) when the replica advanced; None at head
     *         or when this range's sync already landed (replay / twin)
     */
+  /** Full set-convergence of the replica's CHECK constraints to the
+    * source's at `srcVersion` — the drained-poll recovery shape: the
+    * replica's state already equals source-at-srcVersion, so drops and
+    * adds converge in one pass (mid-sync they must instead split
+    * around the fold — see [[replicateOnce]]'s propagateCheck halves).
+    */
+  private def convergeChecks(s: SparkSession, sourceTable: String,
+      replicaTable: String, srcVersion: Int): Unit = {
+    val srcChecks = Snapshots.checksOf(s, sourceTable, Some(srcVersion))
+    val repChecks = Snapshots.checksOf(s, replicaTable)
+    (repChecks.keySet -- srcChecks.keySet)
+      .foreach(n => Snapshots.dropCheck(s, replicaTable, n): Unit)
+    srcChecks.foreach { case (n, e) =>
+      if (!repChecks.get(n).contains(e)) {
+        if (repChecks.contains(n)) Snapshots.dropCheck(s, replicaTable, n): Unit
+        Snapshots.addCheck(s, replicaTable, n, e): Unit
+      }
+    }
+  }
+
   def replicateOnce(s: SparkSession, sourceTable: String,
       replicaTable: String, keyCol: String): Option[(Int, Int)] = {
     import org.apache.spark.sql.expressions.Window
@@ -198,7 +218,18 @@ object ChangeFeedSync {
     val repLatest = Snapshots.latestVersion(s, replicaTable)
     val cursor = cursorOf(s, replicaTable)
     requireCursorIntact(s, replicaTable, cursor)
-    if (latest <= cursor) return None
+    if (latest <= cursor) {
+      // AT-HEAD CONVERGENCE is also the crash-recovery path for a sync
+      // that died between its apply-commit (cursor already = latest)
+      // and its post-fold check ADDS: the replica's state equals
+      // source-at-latest, so adding here validates exactly what the
+      // source's own addCheck proved — without it, direct writes to
+      // the replica would go unvalidated until the source commits
+      // again. Cost: two manifest header reads per drained poll.
+      if (latest >= 1 && repLatest >= 1)
+        convergeChecks(s, sourceTable, replicaTable, latest)
+      return None
+    }
     val cursorProps = Map(CursorProp -> latest.toString)
     val contract = Snapshots.schemaOf(s, sourceTable, latest)
       .map(StructType.fromDDL)
@@ -244,9 +275,11 @@ object ChangeFeedSync {
         }
       }
     }
-    // idempotent (set convergence) — also the crash-recovery path: a
-    // sync that died between its apply and its adds converges here on
-    // the next call, whether or not that call advances the cursor
+    // idempotent (set convergence); a sync that died between its apply
+    // and its adds recovers EITHER here (when the source advanced
+    // again) or in the at-head [[convergeChecks]] pass above (when it
+    // did not) — the replica never stays missing a source CHECK past
+    // the next replicateOnce call
     def propagateCheckAdds(): Unit = {
       val srcChecks = Snapshots.checksOf(s, sourceTable, Some(latest))
       val repChecks = Snapshots.checksOf(s, replicaTable)

@@ -584,4 +584,127 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(b.table == tb && b.dirsTotal == 1)
     assert(SnapshotScans.scanOf(s"$base/never_scanned").isEmpty)
   }
+
+  test("OR / IS NULL / IS NOT NULL pushdown: null-population pruning " +
+      "from the 5-token counts and the all-null sentinel line, " +
+      "two-column disjunctions prune to the union of their branches, " +
+      "and every refusal reads everything exactly") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // dir1: v all non-null (k 1..30); dir2: v mixed (31..60, nulls on
+    // %5); dir3: v ALL NULL (61..90) — the sentinel-line case
+    def v(k: Long): Option[Long] =
+      if (k <= 30) Some(k * 10L)
+      else if (k <= 60) { if (k % 5 == 0) None else Some(k * 10L) }
+      else None
+    Seq(1L to 30L, 31L to 60L, 61L to 90L).foreach(r =>
+      Snapshots.commitWithStats(
+        r.map(k => (k, v(k))).toDF("k", "v"), t, "v"): Unit)
+    val fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    val lib = Snapshots.read(spark, t)
+    // IS NULL: the null-free dir skips (non-null count == #dirrows)
+    assert(fmt.filter(col("v").isNull).count() ==
+      (1L to 90L).count(v(_).isEmpty))
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.dirsTotal == 3 && i1.dirsRead == 2,
+      s"IS NULL must skip the null-free dir ($i1)")
+    // IS NOT NULL: the all-null dir skips via its sentinel line
+    assert(bitEqual(fmt.filter(col("v").isNotNull),
+      lib.filter(col("v").isNotNull)))
+    val i2 = SnapshotScans.scanOf(t).get
+    assert(i2.dirsRead == 2, s"IS NOT NULL must skip the all-null dir ($i2)")
+    // <=> NULL is exactly IS NULL
+    assert(fmt.filter(col("v") <=> lit(null)).count() ==
+      (1L to 90L).count(v(_).isEmpty))
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 2)
+    // value predicates skip the all-null dir too — its sentinel range
+    // [0, -1] is the empty set
+    assert(fmt.filter(col("v") === 100L).count() == 1)
+    assert(SnapshotScans.scanOf(t).get.dirsRead < 3,
+      "the empty-set sentinel must reject value predicates")
+    // two-column OR: each branch prunes to its own dir; the union reads
+    val t2 = s"$base/t2"
+    Seq(1L to 40L, 41L to 80L, 81L to 120L).foreach(r =>
+      Snapshots.commitWithMultiStats(
+        r.map(k => (k, k * 2L)).toDF("k", "v2"), t2, Seq("k", "v2")): Unit)
+    val fmt2 = spark.read.format("graft-snapshot").option("path", t2).load()
+    assert(fmt2.filter(col("k") === 1L || col("v2") === 240L).count() == 2)
+    val i3 = SnapshotScans.scanOf(t2).get
+    assert(i3.dirsTotal == 3 && i3.dirsRead == 2 &&
+        i3.pushed.exists(_.startsWith("OrPred")),
+      s"a two-column Or must open exactly its branches' union ($i3)")
+    // refusal: an untranslatable branch degrades the Or to reading all
+    assert(fmt2.filter(col("k") === 1L ||
+      substring(col("k").cast("string"), 1, 1) === "9").count() > 1)
+    assert(SnapshotScans.scanOf(t2).get.dirsRead == 3,
+      "an untranslatable branch must read everything")
+    // refusal: dirs WITHOUT 5-token counts read for null predicates
+    val t3 = s"$base/t3"
+    Snapshots.commit((1L to 10L).map(k => (k, Option(k)))
+      .toDF("k", "v"), t3)
+    assert(spark.read.format("graft-snapshot").option("path", t3).load()
+      .filter(col("v").isNull).count() == 0)
+    assert(SnapshotScans.scanOf(t3).get.dirsRead == 1,
+      "no counts -> IS NULL must read the dir")
+  }
+
+  test("legacy 4-token #dirstats on a TEMPORAL column never prune or " +
+      "answer aggregates: the 5th token is the encoding discriminator " +
+      "(old epoch-second stats vs the r16 micros encoding)") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // two dirs of timestamps a year apart, committed WITHOUT stats
+    val rows = (0L until 20L).map(i =>
+      (i, java.sql.Timestamp.valueOf(s"2020-0${1 + (i % 2)}-10 00:00:0" +
+        s"${i % 10}")))
+    Snapshots.commit(rows.filter(_._1 < 10L).toDF("k", "ts"), t)
+    Snapshots.commit(rows.filter(_._1 >= 10L).toDF("k", "ts"), t)
+    // forge LEGACY 4-token lines carrying epoch-SECONDS bounds (the
+    // pre-r16 cast("long") behavior — ~1.6e9, vs micros ~1.6e15): if
+    // pruning trusted them, every micros-encoded predicate would fall
+    // outside [mn, mx] and BOTH dirs would be skipped — silent wrong
+    // emptiness
+    val mPath = java.nio.file.Paths.get(s"$t/manifest-v2.txt")
+    val lines = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    val dirs = lines.linesIterator.filterNot(_.startsWith("#")).toSeq
+    val loSec = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      .getTime / 1000L
+    val hiSec = java.sql.Timestamp.valueOf("2020-03-01 00:00:00")
+      .getTime / 1000L
+    val forged = lines + (if (lines.endsWith("\n")) "" else "\n") +
+      dirs.map(d => s"#dirstats $d ts $loSec $hiSec\n").mkString
+    java.nio.file.Files.write(mPath, forged.getBytes("UTF-8"))
+    // a pushed timestamp range must read EVERYTHING (legacy lines
+    // ignored for the temporal type) and answer exactly
+    val n = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("ts") >= lit("2020-02-01").cast("timestamp")).count()
+    assert(n == 10, s"the February half must survive ($n)")
+    val info = SnapshotScans.scanOf(t).get
+    assert(info.dirsRead == info.dirsTotal,
+      s"legacy temporal lines must not prune ($info)")
+    // and metadata min/max must REFUSE (full scan) rather than decode
+    // seconds as micros — which would answer a 1970 timestamp
+    val cat = s"snaplegacy_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val mn = spark.sql(s"SELECT min(ts) AS m FROM $cat.t").head()
+      .getTimestamp(0)
+    assert(SnapshotScans.scanOf(t).get.dirsRead > 0,
+      "min over legacy temporal stats must fall back to a real scan")
+    assert(mn == rows.map(_._2).min(Ordering.by((x: java.sql.Timestamp) =>
+      x.getTime)), s"the fallback answer must stay exact ($mn)")
+    // an INTEGRAL column's 4-token legacy line stays trusted: same
+    // manifest shape on k prunes as before
+    val forged2 = forged + s"#dirstats ${dirs.head} k 0 9\n" +
+      s"#dirstats ${dirs.last} k 10 19\n"
+    java.nio.file.Files.write(mPath, forged2.getBytes("UTF-8"))
+    assert(spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("k") <= 5L).count() == 6)
+    val info2 = SnapshotScans.scanOf(t).get
+    assert(info2.dirsRead == 1 && info2.dirsTotal == 2,
+      s"integral legacy lines keep pruning ($info2)")
+  }
 }

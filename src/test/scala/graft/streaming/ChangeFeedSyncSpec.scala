@@ -232,6 +232,31 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
   }
 
+  test("replicateOnce recovers a crash between its apply and its check " +
+      "adds AT HEAD: a drained poll (cursor already = latest) still " +
+      "converges the replica's CHECK set") {
+    import spark.implicits._
+    val src = fresh("rep_head_src")
+    val dst = fresh("rep_head_dst")
+    Snapshots.commit((1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), src)
+    Snapshots.addCheck(spark, src, "v-pos", "v > 0")
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isDefined)
+    assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
+    // simulate the crash window: the apply landed (cursor = latest) but
+    // the adds did not — the replica is missing a source CHECK while
+    // the source sits at head, so nothing would ever advance the cursor
+    Snapshots.dropCheck(spark, dst, "v-pos")
+    assert(Snapshots.checksOf(spark, dst).isEmpty)
+    // the drained poll returns None (no range) but converges the set —
+    // direct writes to the replica are validated again immediately,
+    // not only after the source's next commit
+    assert(ChangeFeedSync.replicateOnce(spark, src, dst, "k").isEmpty)
+    assert(Snapshots.checksOf(spark, dst) == Map("v-pos" -> "v > 0"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((Option(99L), Option(-1L))).toDF("k", "v"), dst))
+      .getMessage.contains("v-pos"))
+  }
+
   test("replicateOnce is exactly-once: a replayed range no-ops on the " +
       "txn tag, and the replica's own feed carries no self-cancelling " +
       "delete+insert pairs") {
