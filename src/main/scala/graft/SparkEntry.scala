@@ -8465,6 +8465,168 @@ object SparkEntry {
       lit(r4.getLong(0)).as("n_ref"), lit(r4.getLong(1)).as("ksum_ref"))
   }
 
+  /** RUNTIME FILTERING through the gate — dynamic partition pruning on
+    * the snapshot scan ([[graft.sources.SnapshotBatchScan]], a genuine
+    * V2 `Batch` with `SupportsRuntimeFiltering`): the star-join shape
+    * `fact JOIN dim ON key WHERE dim.selective` hands the dim side's
+    * surviving join keys to the fact scan AT EXECUTION TIME, and those
+    * values prune fact DIRECTORIES through the same translate →
+    * `ScanPred` manifest machinery as static pushdown — a 100 TB fact
+    * table joined against one dim band reads one directory, decided by
+    * data only the join could know. Proven in-query: the physical plan
+    * carries the dynamicpruning subquery; the fact scan's table-keyed
+    * evidence shows 1 of 4 directories with a `runtime:` marker; and
+    * the REFUSAL leg — a fact copy with live deletion vectors, which
+    * [[graft.io.Snapshots.nativeScanEligible]] keeps on the V1 bridge
+    * (runtime filtering is structurally a `BatchScanExec` feature) —
+    * reads every directory and still answers exactly. The oracle
+    * recomputes both joins from raw orders under the identical
+    * band arithmetic.
+    */
+  private def io48RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io48")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val fact = s"$base/fact"
+    val fact2 = s"$base/fact2"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_custkey").cast("long").as("c"),
+      cents(col("o_totalprice")).as("cents"))
+    // four custkey bands (arithmetic quarters of [min, max] — disjoint
+    // ranges so the dim side's keys can prove directories out), stats
+    // on the join key
+    val mm = o.agg(min("c"), max("c")).head()
+    val (cmin, cmax) = (mm.getLong(0), mm.getLong(1))
+    val step = (cmax - cmin) / 4 + 1
+    val bands = (0 until 4).map(i =>
+      col("c") >= cmin + i * step && col("c") < cmin + (i + 1) * step)
+    bands.foreach(b => graft.io.Snapshots.commitWithStats(
+      o.filter(b), fact, "c"): Unit)
+    // the dimension: every distinct custkey with its band attribute —
+    // the filter column the fact side cannot see statically
+    graft.io.Snapshots.commit(
+      o.select(col("c").as("custkey")).distinct()
+        .selectExpr("custkey", s"(custkey - ${cmin}L) div ${step}L AS band"),
+      s"$base/dim")
+    val cat = s"snap48_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val q1 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(f.cents) AS BIGINT) AS cs
+      FROM $cat.fact f JOIN $cat.dim d ON f.c = d.custkey
+      WHERE d.band = 0""")
+    val r1 = q1.head()
+    // evidence FIRST: rendering the plan string below re-evaluates the
+    // scan's unfiltered partition list (Spark's describe path), which
+    // re-records without the runtime markers
+    val info = graft.sources.SnapshotScans.scanOf(fact).get
+    require(info.dirsTotal == 4 && info.dirsRead == 1 &&
+        info.pushed.exists(_.startsWith("runtime:")),
+      s"io48: the dim band's keys must prune the fact scan to its one " +
+        s"directory at runtime ($info)")
+    require(q1.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+      "io48: the plan must carry the dynamic pruning subquery")
+    // refusal leg: live deletion vectors keep the copy on the V1
+    // bridge — no runtime filtering, every directory read, answer
+    // still exact at the post-delete truth
+    bands.foreach(b => graft.io.Snapshots.commitWithStats(
+      o.filter(b), fact2, "c"): Unit)
+    val (v5, nDel) = graft.io.Snapshots.deleteWhereMoR(
+      s, fact2, "k", col("k") % 9 === 0)
+    require(v5 == 5 && nDel > 0, s"io48: MoR delete landed ($v5, $nDel)")
+    val r2 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(f.cents) AS BIGINT) AS cs
+      FROM $cat.fact2 f JOIN $cat.dim d ON f.c = d.custkey
+      WHERE d.band = 0""").head()
+    val i2 = graft.sources.SnapshotScans.scanOf(fact2).get
+    require(i2.dirsRead == i2.dirsTotal,
+      s"io48: a dv-bearing fact must read everything on the V1 " +
+        s"bridge ($i2)")
+    s.range(1).select(
+      lit(r1.getLong(0)).as("n0"), lit(r1.getLong(1)).as("cents0"),
+      lit(r2.getLong(0)).as("n_ref"), lit(r2.getLong(1)).as("cents_ref"))
+  }
+
+  /** CTAS through the gate — the catalog's CREATE door
+    * ([[graft.sources.SnapshotCatalog.stageCreate]], the atomic
+    * `StagingTableCatalog` contract): `CREATE TABLE cat.t
+    * TBLPROPERTIES ('statscols'='k') AS SELECT …` lands the SELECT's
+    * result as VERSION 1 through [[graft.io.Snapshots.commit]] — CAS
+    * claim, `#schema` contract, and the property-declared `#dirstats`
+    * lines all in the one atomic step. Proven in-query: the version
+    * pins at 1 with a recorded schema contract; a follow-up
+    * `INSERT INTO` lands as v2 through the same commit path; `VERSION
+    * AS OF 1` reads back exactly the CTAS state; the CTAS-declared
+    * stats PRUNE (a probe over the inserted key space opens 1 of 2
+    * directories, table-keyed evidence); re-CTAS of the same name
+    * refuses as TableAlreadyExists; bare `CREATE TABLE` (no AS) and
+    * `DROP TABLE` keep refusing loudly. The oracle recomputes the
+    * final two-commit state from raw orders.
+    */
+  private def io50Ctas(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io50")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val t = s"$base/t"
+    val cat = s"snap50_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("cents"))
+      .filter(col("k") % 2 === 0)
+      .createOrReplaceTempView("io50_src")
+    s.sql(s"""CREATE TABLE $cat.t TBLPROPERTIES ('statscols' = 'k')
+      AS SELECT k, cents FROM io50_src""")
+    require(graft.io.Snapshots.latestVersion(s, t) == 1,
+      "io50: CTAS must land as exactly version 1")
+    require(graft.io.Snapshots.schemaOf(s, t, 1).isDefined,
+      "io50: the CTAS commit must record the #schema contract")
+    val nCtas = s.sql(s"SELECT count(*) AS n FROM $cat.t").head().getLong(0)
+    // INSERT INTO the created table rides the same commit contracts
+    s.sql(s"""INSERT INTO $cat.t
+      SELECT k + 3000000000, cents FROM io50_src WHERE k % 10 = 0""")
+    require(graft.io.Snapshots.latestVersion(s, t) == 2,
+      "io50: INSERT INTO must land as version 2")
+    // time travel to v1 reads back exactly the CTAS state
+    require(s.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 1")
+        .head().getLong(0) == nCtas,
+      "io50: VERSION AS OF 1 must read the CTAS state")
+    // the CTAS-declared stats prune: the inserted key space lies above
+    // the CTAS dir's recorded max, so the probe opens only the
+    // (stats-less) insert directory
+    val nShift = s.sql(s"""SELECT count(*) AS n FROM $cat.t
+      WHERE k >= 3000000000""").head().getLong(0)
+    val info = graft.sources.SnapshotScans.scanOf(t).get
+    require(info.dirsTotal == 2 && info.dirsRead == 1,
+      s"io50: the CTAS-declared #dirstats must prune the v1 dir ($info)")
+    // re-CTAS refuses as TableAlreadyExists — never an append
+    val dup = try {
+      s.sql(s"CREATE TABLE $cat.t AS SELECT k FROM io50_src"); ""
+    } catch { case e: Exception => e.toString }
+    require(dup.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
+        dup.contains("TableAlreadyExists"),
+      s"io50: re-CTAS must refuse as already-exists ($dup)")
+    require(graft.io.Snapshots.latestVersion(s, t) == 2,
+      "io50: the refused re-CTAS must not have committed")
+    // bare CREATE TABLE (no AS) and DROP keep refusing loudly
+    val bare = try {
+      s.sql(s"CREATE TABLE $cat.bare (k BIGINT)"); ""
+    } catch { case e: Exception => e.getMessage }
+    require(bare.contains("commit API"),
+      s"io50: bare CREATE TABLE must keep refusing ($bare)")
+    val drop = try { s.sql(s"DROP TABLE $cat.t"); "" }
+      catch { case e: Exception => e.getMessage }
+    require(drop.contains("commit API"),
+      s"io50: DROP TABLE must keep refusing ($drop)")
+    s.sql(s"""SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+      CAST(sum(cents) AS BIGINT) AS cents_sum,
+      CAST($nCtas AS BIGINT) AS n_v1, CAST($nShift AS BIGINT) AS n_shift
+      FROM $cat.t GROUP BY 1 ORDER BY bucket""")
+  }
+
   /** EXACTLY-ONCE STREAMING SINK through the gate
     * ([[graft.sources.SnapshotDataSource.createSink]] —
     * `writeStream.format("graft-snapshot")`): a file-source stream
@@ -10046,7 +10208,9 @@ object SparkEntry {
     "q98_table_stream" -> q98TableStream _,
     "io46_limit_pushdown" -> io46LimitPushdown _,
     "io47_topn_pushdown" -> io47TopnPushdown _,
+    "io48_runtime_filter" -> io48RuntimeFilter _,
     "io49_null_or_pushdown" -> io49NullOrPushdown _,
+    "io50_ctas" -> io50Ctas _,
     "d31_index_cleanup" -> d31IndexCleanup _,
     "io23_dynamic_pruning" -> io23DynamicPruning _,
     "q65_stream_dedup" -> q65StreamDedup _,
@@ -13751,6 +13915,40 @@ object SparkEntry {
         |  SELECT 'desc' AS leg, k, cents FROM o ORDER BY k DESC LIMIT 10)
         |SELECT * FROM (SELECT * FROM legs UNION ALL SELECT * FROM legs2)
         |ORDER BY leg, k""".stripMargin,
+    // both star joins recomputed from raw orders under the identical
+    // integer band arithmetic ((c - min) // step = 0, step =
+    // (max - min) // 4 + 1 — non-negative, so DuckDB's floor division
+    // equals Scala's truncating long division); the dynamicpruning
+    // plan shape, the 1-of-4 runtime-pruned evidence, and the
+    // dv-forced read-everything refusal are require-gated in-query
+    "io48_runtime_filter" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(c) AS mn, (max(c) - min(c)) // 4 + 1 AS stp FROM o)
+        |SELECT
+        |  (SELECT count(*) FROM o, b WHERE (c - mn) // stp = 0) AS n0,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE (c - mn) // stp = 0) AS cents0,
+        |  (SELECT count(*) FROM o, b
+        |     WHERE (c - mn) // stp = 0 AND k % 9 <> 0) AS n_ref,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE (c - mn) // stp = 0 AND k % 9 <> 0)
+        |     AS cents_ref""".stripMargin,
+    // the created-then-inserted table's final state recomputed from
+    // raw orders; the version pins (CTAS = v1 with schema + stats,
+    // INSERT = v2), the time-travel read-back, the 1-of-2 stats
+    // pruning, and all three refusal legs are require-gated in-query
+    "io50_ctas" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |live AS (SELECT k, cents FROM o
+        |  UNION ALL SELECT k + 3000000000, cents FROM o WHERE k % 10 = 0)
+        |SELECT CAST(k % 10 AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  (SELECT count(*) FROM o) AS n_v1,
+        |  (SELECT count(*) FROM o WHERE k % 10 = 0) AS n_shift
+        |FROM live GROUP BY 1 ORDER BY bucket""".stripMargin,
     // all eight values recomputed from raw orders under the identical
     // null/disjunction predicates; the per-leg directory-subset proofs
     // (2/3, 2/3, 2/4 with the OrPred marker, and the 4/4 refusal) are

@@ -1080,6 +1080,70 @@ object Snapshots {
     PrunedScan(df, dirs.size, hit.size)
   }
 
+  /** Whether `version` of `table` can execute as a NATIVE FILE-LEVEL
+    * scan — plain parquet files readable without per-row library
+    * semantics. False when the manifest carries live deletion vectors
+    * (rows must anti-join away), `#rename` mappings (old physical
+    * names must coalesce), or `#spec` partition groups (column values
+    * live in directory paths, not files) — those shapes stay on the V1
+    * bridge, which reuses the library's audited fold. Additive
+    * evolution stays eligible: a parquet reader NULL-fills requested
+    * columns a file predates, the same semantics the library applies.
+    */
+  private[graft] def nativeScanEligible(s: SparkSession, table: String,
+      version: Int): Boolean = {
+    val lines = manifestLines(s, table, version)
+    dvLinesOf(lines).isEmpty &&
+      !lines.exists(_.startsWith("#rename ")) &&
+      !lines.exists(_.startsWith("#spec "))
+  }
+
+  /** The columns the manifest at `version` can prune a scan on —
+    * anything carrying `#dirstats` / `#dirstatsS` / `#dirbloom` lines.
+    * The DSv2 batch scan advertises exactly these as its runtime-
+    * filterable attributes, so dynamic partition pruning only fires
+    * where the manifest can actually do the work.
+    */
+  private[graft] def prunableColumns(s: SparkSession, table: String,
+      version: Int): Seq[String] = {
+    val lines = manifestLines(s, table, version)
+    lines.filter(l => l.startsWith("#dirstats ") ||
+        l.startsWith("#dirstatsS ") || l.startsWith("#dirbloom "))
+      .map(_.split(" ")(2)).distinct
+  }
+
+  /** The FILE-LEVEL plan of a native scan under `preds`: the manifest
+    * pruning decision ([[readForScanDirs]] — stats, strings, Blooms,
+    * null counts, disjunctions, all of it) resolved down to the
+    * surviving directories' parquet files as `(absolutePath, length,
+    * modificationTime)`. One manifest read + one listing per surviving
+    * directory — metadata scale; the DSv2 batch scan turns these into
+    * bin-packed input partitions.
+    *
+    * @return (dirsTotal, hitDirs, files)
+    */
+  private[graft] def nativeScanFiles(s: SparkSession, table: String,
+      version: Int, preds: Seq[ScanPred])
+      : (Int, Seq[String], Seq[(String, Long, Long)]) = {
+    val lines = manifestLines(s, table, version)
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val hit = readForScanDirs(s, table, lines, preds)
+    val f = fs(s, table)
+    val files = hit.flatMap { d =>
+      val out = scala.collection.mutable.ListBuffer[(String, Long, Long)]()
+      val it = f.listFiles(new Path(resolveDirPath(table, d)), true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") &&
+            !name.startsWith(".") && !name.startsWith("_"))
+          out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+      out.toSeq
+    }
+    (dirs.size, hit, files)
+  }
+
   /** Size estimate for a (possibly predicate-pruned) scan of `version`:
     * the summed on-disk bytes of exactly the directories the manifest
     * pruning would open — what a cost-based planner needs to decide a

@@ -661,10 +661,164 @@ final class SnapshotScanBuilder(path: String, version: Int,
       Row.fromSeq(answered.map(_._1)), view.dirs.size))
   }
 
+  /** Scan selection, most capable first: a manifest-answered aggregate
+    * beats any read; a NATIVE BATCH scan (plain-parquet table — no
+    * live dvs / renames / partition specs, and no limit/topN hint,
+    * whose prunings live on the V1 path) executes as a genuine V2
+    * `Batch`, which is what lets Spark's runtime filtering prune fact
+    * directories at join time; everything else rides the V1 bridge,
+    * which reuses the library's audited per-row folds.
+    */
   override def build(): Scan = aggAnswer match {
     case Some((schema, row, dirsTotal)) =>
       new SnapshotAggScan(path, version, schema, row, dirsTotal)
-    case None => new SnapshotScan(path, version, required, preds, limit, topN)
+    case None =>
+      if (limit.isEmpty && topN.isEmpty &&
+          Snapshots.nativeScanEligible(SparkSession.active, path, version))
+        new SnapshotBatchScan(path, version, required, preds,
+          pushed.toSeq, tableSchema)
+      else new SnapshotScan(path, version, required, preds, limit, topN)
+  }
+}
+
+/** The NATIVE BATCH scan — a genuine V2 `Batch` over the manifest's
+  * surviving parquet files, for tables [[Snapshots.nativeScanEligible]]
+  * proves are plain parquet (no per-row library semantics needed).
+  * Three things the V1 bridge structurally cannot do happen here:
+  *
+  *  - **RUNTIME FILTERING** (`SupportsRuntimeFiltering`): a star join
+  *    `fact JOIN dim ON k WHERE dim.selective` hands the dim side's
+  *    join-key values to [[filter]] at execution time (Spark's dynamic
+  *    partition pruning — only `BatchScanExec` re-plans partitions
+  *    after subquery results); the values map through the SAME
+  *    [[SnapshotDataSource.translate]] → `ScanPred` machinery as
+  *    static pushdown, so manifest stats, string stats, Blooms and
+  *    null counts all prune fact DIRECTORIES the dim side excludes —
+  *    at 100 TB, the difference between scanning the fact table and
+  *    reading one directory. Runtime filters are PRUNING-ONLY (the
+  *    join re-verifies every surviving row), so translation misses
+  *    cost reads, never rows.
+  *  - **Executor-parallel file reads**: input partitions are Spark's
+  *    own bin-packed file splits, read by Spark's vectorized parquet
+  *    reader ([[org.apache.spark.sql.graft.ParquetScanShim]]) with the
+  *    static filters pushed to parquet footers — no V1 row-conversion
+  *    boundary.
+  *  - **Statistics** (`SupportsReportStatistics`): the pruned
+  *    directory set's on-disk bytes, so a small snapshot dimension
+  *    BROADCASTS in catalog joins.
+  *
+  * Static `preds` prune exactly as on the V1 path (same
+  * [[Snapshots.nativeScanFiles]] decision); Spark re-applies every
+  * pushed filter above the scan, so answers stay exact by
+  * construction. Evidence rides [[SnapshotScans]] per plan, with
+  * `runtime:` markers for join-time filters.
+  */
+final class SnapshotBatchScan(path: String, version: Int,
+    required: StructType, staticPreds: Seq[Snapshots.ScanPred],
+    pushedV1: Seq[Filter], dataSchema: StructType)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  @volatile private var runtimePreds: Seq[Snapshots.ScanPred] = Nil
+  @volatile private var runtimeMarkers: Seq[String] = Nil
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def description(): String =
+    s"graft-snapshot $path v$version native-batch " +
+      s"pruning=[${staticPreds.mkString(", ")}] columns=[${
+        required.fieldNames.mkString(", ")}]"
+
+  /** The columns a runtime filter could prune on: everything the
+    * manifest carries stats, string stats, or Bloom sketches for. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val fields = dataSchema.fieldNames.toSet
+    Snapshots.prunableColumns(SparkSession.active, path, version)
+      .filter(fields)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimePreds =
+      filters.toSeq.flatMap(SnapshotDataSource.translate(_, dataSchema))
+    runtimeMarkers = filters.toSeq.map(f => s"runtime:$f")
+  }
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val s = SparkSession.active
+    val (dirsTotal, hit, files) = Snapshots.nativeScanFiles(
+      s, path, version, staticPreds ++ runtimePreds)
+    SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
+      dirsTotal, hit.size,
+      staticPreds.map(_.toString) ++ runtimeMarkers :+ "native-batch"))
+    val pfs = files.map { case (p, len, mod) =>
+      org.apache.spark.sql.graft.ParquetScanShim.partitionedFile(p, len, mod)
+    }
+    org.apache.spark.sql.graft.ParquetScanShim.filePartitions(s, pfs)
+      .toArray[org.apache.spark.sql.connector.read.InputPartition]
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new SnapshotParquetReaderFactory(
+      org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
+        SparkSession.active, dataSchema, required, pushedV1))
+
+  /** Pruned-scan bytes (one content-summary RPC per surviving dir) —
+    * what lets the planner BROADCAST a small snapshot dimension. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val size = Snapshots.scanSizeInBytes(SparkSession.active, path,
+      Some(version), staticPreds)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(size, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+}
+
+/** Executor-side reader for [[SnapshotBatchScan]]'s file-split
+  * partitions: each split's files stream through Spark's own parquet
+  * reader function (vectorized, footer-filtered, evolution-NULL-
+  * filling). Row-based — `OPTION_RETURNING_BATCH = false` makes the
+  * vectorized reader yield rows, and readers self-close on task
+  * completion (SPARK-23457 listener inside the reader function).
+  */
+final class SnapshotParquetReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val files =
+      p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+        .files
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      private var cur: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+        Iterator.empty
+      private var row: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean = {
+        while (!cur.hasNext && i < files.length) {
+          cur = readFunc(files(i)); i += 1
+        }
+        if (cur.hasNext) { row = cur.next(); true } else false
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = row
+      override def close(): Unit = ()
+    }
   }
 }
 
@@ -866,18 +1020,28 @@ object SnapshotMetaTable {
   }
 }
 
-/** Read-only session catalog over a ROOT DIRECTORY of snapshot tables
+/** Session catalog over a ROOT DIRECTORY of snapshot tables
   * (`<base>/<table>` each a manifest chain) — what turns the tier into
   * SQL text: `SELECT … FROM <cat>.<table> VERSION AS OF 3`. The SQL
   * time-travel clauses arrive through the `loadTable` overloads:
   * `VERSION AS OF <int>` as a version string, `VERSION AS OF '<name>'`
-  * as a tag lookup, `TIMESTAMP AS OF …` in MICROseconds. Writes go
-  * through the library's commit API (CAS claims, schema enforcement,
-  * txn tags) — a `CREATE TABLE`-shaped write surface would bypass
-  * those contracts, so the catalog refuses DDL loudly rather than
-  * offering a second, weaker write path.
+  * as a tag lookup, `TIMESTAMP AS OF …` in MICROseconds.
+  *
+  * WRITE SURFACE: exactly the operations that inherit the library's
+  * commit contracts are offered — `INSERT INTO` (the table's V1 write
+  * bridge) and `CREATE TABLE … AS SELECT` (the [[StagingTableCatalog]]
+  * door: the SELECT's result lands as VERSION 1 through
+  * [[Snapshots.commit]], so the new table gets its CAS claim, its
+  * `#schema` contract, and optional `statscols` property-declared
+  * `#dirstats` lines in the same atomic step; a crashed or aborted
+  * CTAS deletes the fresh path, never leaving a half-table). Bare
+  * `CREATE TABLE` (no AS), REPLACE, ALTER, DROP and RENAME keep
+  * refusing loudly — each would need a second, weaker write path
+  * around the commit API (schema-only tables, implicit truncation,
+  * metadata edits outside the manifest chain).
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -977,6 +1141,79 @@ class SnapshotCatalog extends TableCatalog {
       properties: util.Map[String, String]): Table =
     readOnly(s"CREATE TABLE $ident")
 
+  /** CTAS — the atomic [[StagingTableCatalog]] door: Spark stages the
+    * create, writes the SELECT's result through the staged table's V1
+    * write bridge (ONE [[Snapshots.commit]] = version 1 with the CAS
+    * claim and the `#schema` contract), and the publish IS that
+    * commit — `commitStagedChanges` has nothing left to do, while an
+    * abort (failed query, cancelled job) deletes the fresh path whole.
+    * A concurrent CTAS of the same name loses either at the existence
+    * probe or at the single-attempt CAS claim — never lands as a
+    * silent append onto the winner. Table properties: `statscols`
+    * (comma-separated) declares `#dirstats` columns for the initial
+    * commit; engine-injected bookkeeping (`owner` / `provider` /
+    * `comment`) passes; anything else refuses loudly rather than
+    * being silently dropped.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedCreate(ident, schema, partitions, properties)
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedCreate(ident,
+      StructType(columns.map(c => org.apache.spark.sql.types
+        .StructField(c.name(), c.dataType(), c.nullable()))),
+      partitions, properties)
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  private def stagedCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      s"CTAS $ident: PARTITIONED BY is not supported through the " +
+        "catalog — partition-valued commits go through " +
+        "Snapshots.commitPartitioned")
+    val known = Set("owner", "provider", "comment", "statscols")
+    val unknown = properties.keySet().asScala
+      .filterNot(k => known(k.toLowerCase))
+    require(unknown.isEmpty,
+      s"CTAS $ident: unsupported table propert" +
+        s"${if (unknown.size == 1) "y" else "ies"} " +
+        s"${unknown.mkString(", ")} — supported: statscols (comma-" +
+        "separated #dirstats columns); refusing beats silently dropping")
+    val path = pathOf(ident)
+    if (Snapshots.latestVersion(spark, path) >= 1)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val statsCols = properties.asScala
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("statscols") => v }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    new StagedSnapshotTable(path, ident.toString, schema, statsCols)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    readOnly(s"REPLACE TABLE $ident (replacement is an explicit " +
+      "maintenance decision — deleteWhere/restore)")
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    readOnly(s"CREATE OR REPLACE TABLE $ident")
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly(s"ALTER TABLE $ident")
 
@@ -986,6 +1223,59 @@ class SnapshotCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     readOnly(s"RENAME TABLE $oldIdent")
+}
+
+/** The table a CTAS writes into before it exists — the staged half of
+  * [[SnapshotCatalog.stageCreate]]: the SELECT's rows arrive through
+  * the ordinary V1 write bridge and land as VERSION 1 via ONE
+  * [[Snapshots.commit]] (single-attempt: a lost CAS race means a
+  * concurrent creator won — refuse, never append onto their table).
+  * `commitStagedChanges` is the no-op acknowledgment (the CAS claim
+  * already published atomically); `abortStagedChanges` deletes the
+  * fresh path whole — the existence probe in `stageCreate` proved the
+  * path held no table, so the delete can only remove this CTAS's own
+  * debris.
+  */
+final class StagedSnapshotTable(path: String, identName: String,
+    createSchema: StructType, statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  override def name(): String = s"graft-snapshot:$path (staged create)"
+  override def schema(): StructType = createSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              require(Snapshots.latestVersion(s, path) < 1,
+                s"CTAS $identName: a concurrent creator landed first")
+              val v =
+                if (statsCols.isEmpty) Snapshots.commit(data, path,
+                  maxAttempts = 1)
+                else Snapshots.commitWithMultiStats(data, path, statsCols,
+                  maxAttempts = 1)
+              require(v == 1,
+                s"CTAS $identName: expected to create version 1, got $v")
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = ()
+
+  override def abortStagedChanges(): Unit = {
+    val s = SparkSession.active
+    val p = new Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true): Unit
+  }
 }
 
 object SnapshotCatalog {

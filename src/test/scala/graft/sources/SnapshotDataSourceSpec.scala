@@ -585,6 +585,93 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(SnapshotScans.scanOf(s"$base/never_scanned").isEmpty)
   }
 
+  test("runtime filtering: a dim-side filter prunes fact directories " +
+      "at join time through the manifest stats (dynamic partition " +
+      "pruning on the native batch scan)") {
+    import spark.implicits._
+    val base = freshBase()
+    val fact = s"$base/fact"
+    Seq(1L to 25L, 26L to 50L, 51L to 75L, 76L to 100L).foreach(r =>
+      Snapshots.commitWithStats(
+        r.map(k => (k, k * 3L)).toDF("k", "cents"), fact, "k"): Unit)
+    Snapshots.commit(
+      (1L to 100L).map(k => (k, (k - 1) / 25)).toDF("dk", "band"),
+      s"$base/dim")
+    val cat = s"snapdpp_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val df = spark.sql(s"""SELECT count(*) AS n,
+      CAST(sum(f.cents) AS BIGINT) AS s
+      FROM $cat.fact f JOIN $cat.dim d ON f.k = d.dk WHERE d.band = 2""")
+    val r = df.head()
+    assert(r.getLong(0) == 25 && r.getLong(1) == (51L to 75L).map(_ * 3).sum,
+      "the joined answer must be exact")
+    val info = SnapshotScans.scanOf(fact).get
+    assert(info.dirsTotal == 4 && info.dirsRead == 1 &&
+        info.pushed.exists(_.startsWith("runtime:")),
+      s"the dim side's keys must prune the fact scan at runtime ($info)")
+    assert(df.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+      "the physical plan must carry the dynamic pruning subquery")
+    // refusal: a fact table with live deletion vectors stays on the V1
+    // bridge (no runtime filtering) and still answers exactly
+    val fact2 = s"$base/fact2"
+    Seq(1L to 50L, 51L to 100L).foreach(r =>
+      Snapshots.commitWithStats(
+        r.map(k => (k, k * 3L)).toDF("k", "cents"), fact2, "k"): Unit)
+    Snapshots.deleteWhereMoR(spark, fact2, "k", col("k") === 60L)
+    val r2 = spark.sql(s"""SELECT count(*) AS n
+      FROM $cat.fact2 f JOIN $cat.dim d ON f.k = d.dk
+      WHERE d.band = 2""").head()
+    assert(r2.getLong(0) == 24, "the dv fallback answer must stay exact")
+    val i2 = SnapshotScans.scanOf(fact2).get
+    assert(i2.dirsRead == i2.dirsTotal,
+      s"a dv-bearing table must read everything on the V1 bridge ($i2)")
+  }
+
+  test("CTAS through the catalog: a failed create aborts clean, " +
+      "unknown properties and PARTITIONED BY refuse up front, and the " +
+      "happy path lands version 1 with its schema contract") {
+    import spark.implicits._
+    val base = freshBase()
+    val cat = s"snapctas_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    (1L to 10L).toDF("k").createOrReplaceTempView("ctas_spec_src")
+    // a SELECT that fails mid-write aborts the staged create — the
+    // path must be gone, not a half-table
+    intercept[Exception](spark.sql(s"""CREATE TABLE $cat.t AS
+      SELECT assert_true(k < 5) AS chk, k FROM ctas_spec_src""").collect())
+    assert(!new java.io.File(s"$base/t").exists(),
+      "an aborted CTAS must delete the fresh path whole")
+    // unknown table properties refuse before anything lands
+    val e2 = intercept[Exception](spark.sql(s"""CREATE TABLE $cat.t
+      TBLPROPERTIES ('zap' = '1') AS SELECT k FROM ctas_spec_src"""))
+    assert(e2.getMessage.contains("unsupported table propert"),
+      s"unknown property must refuse (${e2.getMessage})")
+    assert(!new java.io.File(s"$base/t").exists())
+    // PARTITIONED BY refuses (partition-valued commits are the
+    // library's commitPartitioned decision)
+    val e3 = intercept[Exception](spark.sql(s"""CREATE TABLE $cat.t
+      PARTITIONED BY (k) AS SELECT k FROM ctas_spec_src"""))
+    assert(e3.getMessage.contains("PARTITIONED BY"),
+      s"partitioned CTAS must refuse (${e3.getMessage})")
+    // happy path: v1 with the schema contract, readable immediately
+    spark.sql(
+      s"CREATE TABLE $cat.t AS SELECT k, k * 2 AS v FROM ctas_spec_src")
+    assert(Snapshots.latestVersion(spark, s"$base/t") == 1)
+    assert(Snapshots.schemaOf(spark, s"$base/t", 1).isDefined)
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) AS s FROM $cat.t")
+      .head().getLong(0) == (1L to 10L).map(_ * 2).sum)
+    // REPLACE refuses
+    val e4 = intercept[Exception](spark.sql(
+      s"CREATE OR REPLACE TABLE $cat.t AS SELECT k FROM ctas_spec_src"))
+    assert(e4.getMessage.contains("read-only") ||
+      e4.getMessage.toLowerCase.contains("replace"))
+  }
+
   test("OR / IS NULL / IS NOT NULL pushdown: null-population pruning " +
       "from the 5-token counts and the all-null sentinel line, " +
       "two-column disjunctions prune to the union of their branches, " +
