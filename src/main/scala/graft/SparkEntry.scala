@@ -6647,6 +6647,50 @@ object SparkEntry {
     copyTree(s"$tmpl/t1", targetT1)
   }
 
+  /** q93's PRE-SYNC state — the template source evolved through its
+    * fixed MERGE (k%10==3 updated +7, shifted %10==6 inserted +5) and
+    * MoR DELETE (%7 tombstones over the original key space), with the
+    * replica bootstrapped at cursor 2: every step is a pure function
+    * of the template source (fixed predicates, version-keyed txn
+    * tags), so the state stages once per (session, sf-dir) and copies
+    * file-level per gate run — the steps' shape gates assert HERE, and
+    * the gate body re-asserts the copied cursors/versions, then
+    * live-runs what q93 uniquely tests: the STREAM-driven syncs over
+    * the already-evolved feed, the late append, and the full replay.
+    */
+  private def stageQ93PreSync(s: SparkSession, dir: String,
+      targetSrc: String, targetDst: String): Unit = {
+    val key = s"src2q93@$dir"
+    val tmpl = stagedTemplates.synchronized {
+      Option(stagedTemplates.get(key)).getOrElse {
+        val t = ioTmp(dir, "_tmpl_src2q93")
+        rmTree(t)
+        val build = ioTmp(dir, s".tmpl_src2q93.${java.util.UUID.randomUUID()}")
+        val src = s"$build/src"
+        stageCascade(s, dir, src, s"$build/t1")
+        val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).as("cents"))
+        val merged = graft.io.Snapshots.mergeUpsert(s, src,
+          o.filter(col("k") % 10 === 3)
+            .select(col("k"), (col("cents") + lit(7L)).as("cents"))
+            .unionByName(o.filter(col("k") % 10 === 6)
+              .select((col("k") + lit(2000000000L)).as("k"),
+                (col("cents") + lit(5L)).as("cents"))), "k")
+        require(merged._1 == 3, s"q93 template: merge landed v${merged._1}")
+        val (v4, nDel) = graft.io.Snapshots.deleteWhereMoR(s, src, "k",
+          col("k") % 7 === 0 && col("k") < lit(1000000000L))
+        require(v4 == 4 && nDel > 0,
+          s"q93 template: MoR delete landed ($v4, $nDel)")
+        if (!new java.io.File(build).renameTo(new java.io.File(t)))
+          rmTree(build) // a winner already published — use theirs
+        stagedTemplates.put(key, t)
+        t
+      }
+    }
+    copyTree(s"$tmpl/src", targetSrc)
+    copyTree(s"$tmpl/t1", targetDst)
+  }
+
   /** q95's FULL pre-restore state — source evolved through the CoW
     * delete + merge, tier-1 folded to cursor 4, tier-2 bootstrapped
     * off tier-1: every step is a pure function of the template source
@@ -8793,18 +8837,25 @@ object SparkEntry {
     * the source evolves through appends, a MERGE (updates + shifted
     * inserts), a MoR DELETE (the deletion-vector feed branch exercised
     * THROUGH replication — q91/io28 only drive it through view sync),
-    * and a late append. THREE syncs land across three stream runs
-    * sharing one checkpoint — snapshot bootstrap, then two single-
-    * commit atomic applies — so the replica version count is pinned at
-    * 3 and a regression to the two-commit apply shape fails loudly. A
-    * trailing tick must no-op at the head, a FULL REPLAY from a fresh
-    * checkpoint must no-op entirely (the `(writerId, sourceVersion)`
-    * txn tags close the at-least-once window), the replica must equal
-    * source-at-head BIT-FOR-BIT (require-gated both directions), and
-    * the replica's own change feed must carry no self-cancelling
-    * delete+insert pairs — a faithful CDF source for a further tier.
-    * Cost shape: each sync reads O(changed rows) and rewrites
-    * O(affected files); no sync ever re-copies the table.
+    * and a late append. The PRE-SYNC state — template source evolved
+    * through the fixed merge + MoR delete, replica bootstrapped at
+    * cursor 2 — is a pure function of the template source and opens
+    * from [[stageQ93PreSync]] (q95's staging treatment; each staged
+    * step shape-gated in the template build, the copied cursors and
+    * versions re-asserted here); the stream's TWO live syncs then land
+    * across two engine runs sharing one checkpoint — both
+    * single-commit atomic applies — so the replica version count is
+    * pinned at 3 (bootstrap + two applies) and a regression to the
+    * two-commit apply shape fails loudly. A trailing tick must no-op at the head,
+    * a FULL REPLAY from a fresh checkpoint must no-op entirely (the
+    * `(writerId, sourceVersion)` txn tags close the at-least-once
+    * window), the replica must equal source-at-head BIT-FOR-BIT
+    * (require-gated both directions), and the replica's own change
+    * feed must carry no self-cancelling delete+insert pairs — a
+    * faithful CDF source for a further tier. Cost shape: each sync
+    * reads O(changed rows) and rewrites O(affected files); no sync
+    * ever re-copies the table. Wall-clock floor: three streaming-
+    * engine runs (two live + the replay) + the source/replica commits.
     */
   private def q93CdfReplicaStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -8849,47 +8900,42 @@ object SparkEntry {
       q.awaitTermination()
     }
     val ckpt = graft.streaming.EventsStream.ephemeralCheckpoint("q93_live")
-    // v1, v2: appends; tick 0 → SYNC 1 = snapshot bootstrap at v2
-    stageSrc2(s, dir, src)
-    writeTick(0)
-    runStream(ckpt)
+    // v1, v2: appends; v3: MERGE (k%10==3 updated +7; shifted %10==6
+    // keys inserted +5); v4: MoR delete over the ORIGINAL key space;
+    // replica bootstrapped at cursor 2 — ALL pure functions of the
+    // template source, staged once per session (the q95 treatment:
+    // the template build require-gates each step, the copied state
+    // re-asserts here). The stream's own syncs — what q93 uniquely
+    // tests — run live from here.
+    stageQ93PreSync(s, dir, src, dst)
+    require(graft.io.Snapshots.latestVersion(s, src) == 4,
+      "q93: the copied source must sit at the post-merge+delete head")
     require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 2,
-      "q93: bootstrap must land at source version 2")
+      "q93: the copied bootstrap must sit at source version 2")
     require(graft.io.Snapshots.latestVersion(s, dst) == 1,
       "q93: bootstrap must be one snapshot commit, not a history fold")
-    // v3: MERGE (k%10==3 updated +7; shifted %10==6 keys inserted +5),
-    // v4: MoR delete over the ORIGINAL key space only; tick 1 → SYNC 2
-    // folds 3..4 as ONE atomic apply — net-delete for a key whose merge
-    // postimage the tombstones then killed, net-insert for the rest
-    val merged = graft.io.Snapshots.mergeUpsert(s, src,
-      o.filter(col("k") % 10 === 3)
-        .select(col("k"), (col("cents") + lit(7L)).as("cents"))
-        .unionByName(o.filter(col("k") % 10 === 6)
-          .select((col("k") + lit(2000000000L)).as("k"),
-            (col("cents") + lit(5L)).as("cents"))), "k")
-    require(merged._1 == 3, s"q93: merge landed v${merged._1}")
-    val (v4, nDel) = graft.io.Snapshots.deleteWhereMoR(s, src, "k",
-      col("k") % 7 === 0 && col("k") < lit(1000000000L))
-    require(v4 == 4 && nDel > 0, s"q93: MoR delete landed ($v4, $nDel)")
-    writeTick(1)
+    // tick 0 → SYNC folds 3..4 as ONE atomic apply — net-delete for a
+    // key whose merge postimage the tombstones then killed, net-insert
+    // for the rest
+    writeTick(0)
     runStream(ckpt)
     require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 4,
-      "q93: sync 2 must fold the merge + MoR-delete range 3..4")
+      "q93: sync 1 must fold the merge + MoR-delete range 3..4")
     // v5: late append of shifted %3 keys (disjoint from the tombstoned
-    // space); tick 2 → SYNC 3, tick 3 must no-op at the head
+    // space); tick 1 → SYNC 2, tick 2 must no-op at the head
     graft.io.Snapshots.commit(o.filter(col("k") % 3 === 0)
       .select((col("k") + lit(1000000000L)).as("k"), col("cents")), src)
+    writeTick(1)
     writeTick(2)
-    writeTick(3)
     runStream(ckpt)
     graft.streaming.EventsStream.dropEphemeralCheckpoint(ckpt)
     require(graft.streaming.ChangeFeedSync.cursorOf(s, dst) == 5,
-      "q93: sync 3 must fold the late append")
+      "q93: sync 2 must fold the late append")
     val dstVersions = graft.io.Snapshots.latestVersion(s, dst)
     require(dstVersions == 3,
       s"q93: expected 3 replica versions (bootstrap + two atomic " +
-        s"applies; tick 3 must no-op), got $dstVersions")
-    // FULL REPLAY from a fresh checkpoint: all four ticks re-fire and
+        s"applies; tick 2 must no-op), got $dstVersions")
+    // FULL REPLAY from a fresh checkpoint: all three ticks re-fire and
     // every sync must no-op on its txn tag — exactly-once, no new commits
     val ckpt2 = graft.streaming.EventsStream.ephemeralCheckpoint("q93_replay")
     runStream(ckpt2)

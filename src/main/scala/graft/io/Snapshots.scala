@@ -366,10 +366,26 @@ object Snapshots {
     * (could be all-null OR just untracked — indistinguishable, refuse)
     * — and the caller reads everything. Refusal degrades to a scan,
     * never to a wrong answer.
+    *
+    * TIE SEMANTICS (single-column): with DUPLICATE keys at the
+    * boundary, the pruned read returns a VALID top-n set (every
+    * included row ≤ the boundary, every excluded row ≥ it), but which
+    * of the TIED rows surface can differ from a full-scan run — the
+    * same nondeterminism as any ORDER BY without a total tiebreaker;
+    * the sort-key values themselves are deterministic.
+    *
+    * `strict = true` (the MULTI-COLUMN ordering case — the caller
+    * prunes on the LEADING column only): coverage counts only rows
+    * provably STRICTLY inside the next boundary, and the nulls-first
+    * shortcut keeps EVERY null-bearing dir. Both close the tie hole:
+    * n rows strictly better on the leading key beat every excluded
+    * row regardless of how later sort columns break leading-key ties,
+    * whereas inclusive coverage could cut a boundary-tied row whose
+    * secondary key wins.
     */
   private[graft] def topNDirs(s: SparkSession, table: String, version: Int,
       colName: String, asc: Boolean, nullsFirst: Boolean,
-      n: Int): Option[Seq[String]] = {
+      n: Int, strict: Boolean = false): Option[Seq[String]] = {
     val view = manifestAggView(s, table, version)
     if (view.dvLive) return None
     val known = view.dirs.forall { d =>
@@ -404,7 +420,10 @@ object Snapshots {
             val b = if (asc) nmn else nmx
             included.map { d =>
               val (mn, mx) = view.longStats((d, colName))
-              if (if (asc) mx <= b else mn >= b) nonNullOf(d) else 0L
+              val inside =
+                if (strict) { if (asc) mx < b else mn > b }
+                else { if (asc) mx <= b else mn >= b }
+              if (inside) nonNullOf(d) else 0L
             }.sum
           }
         if (covered >= need) return included.toSeq
@@ -416,13 +435,20 @@ object Snapshots {
       if (nullsFirst) {
         if (totalNulls >= n) {
           // the whole answer is nulls — cover n by null counts alone
-          var acc = 0L
-          val keep = scala.collection.mutable.ListBuffer[String]()
-          val it = live.filter(nullsOf(_) > 0L).iterator
-          while (it.hasNext && acc < n) {
-            val d = it.next(); keep += d; acc += nullsOf(d)
+          // (single-column only: all nulls TIE on the leading key, so
+          // a multi-column ordering needs every null-bearing dir — a
+          // later sort column could rank an excluded dir's null row
+          // ahead of an included one's)
+          if (strict) live.filter(nullsOf(_) > 0L)
+          else {
+            var acc = 0L
+            val keep = scala.collection.mutable.ListBuffer[String]()
+            val it = live.filter(nullsOf(_) > 0L).iterator
+            while (it.hasNext && acc < n) {
+              val d = it.next(); keep += d; acc += nullsOf(d)
+            }
+            keep.toSeq
           }
-          keep.toSeq
         } else
           // every null leads the answer; values fill the remainder
           (live.filter(nullsOf(_) > 0L) ++
@@ -991,8 +1017,10 @@ object Snapshots {
     *        shortens when KNOWN rows suffice), so the pruning can under-
     *        deliver rows never.
     */
-  /** @param topNHint a pushed-down `ORDER BY col LIMIT n` as
-    *        `(col, ascending, nullsFirst, n)`: when no predicates are
+  /** @param topNHint a pushed-down `ORDER BY col [, …] LIMIT n` as
+    *        `(col, ascending, nullsFirst, n, strict)` — `strict` marks
+    *        a MULTI-COLUMN ordering pruned on its leading column only
+    *        (see [[topNDirs]]): when no predicates are
     *        pushed, the scan opens only the [[topNDirs]] subset — the
     *        directories that provably contain every candidate top-n
     *        row (the caller re-sorts globally; partial pushdown). A
@@ -1003,7 +1031,8 @@ object Snapshots {
       version: Option[Int] = None,
       preds: Seq[ScanPred] = Nil,
       limitHint: Option[Int] = None,
-      topNHint: Option[(String, Boolean, Boolean, Int)] = None): PrunedScan = {
+      topNHint: Option[(String, Boolean, Boolean, Int, Boolean)] = None)
+      : PrunedScan = {
     import org.apache.spark.sql.functions.{col, lit}
     // the hints are MUTUALLY EXCLUSIVE by construction (Spark pushes
     // limit XOR topN): a caller passing both would get unsorted
@@ -1027,8 +1056,8 @@ object Snapshots {
           val d = it.next(); keep += d; acc += rowsOf.getOrElse(d, 0L)
         }
         keep.toSeq
-      case (None, Some((c, asc, nf, n))) if preds.isEmpty =>
-        topNDirs(s, table, v, c, asc, nf, n).getOrElse(hitAll)
+      case (None, Some((c, asc, nf, n, strict))) if preds.isEmpty =>
+        topNDirs(s, table, v, c, asc, nf, n, strict).getOrElse(hitAll)
       case _ => hitAll
     }
     // residuals compare the bare column against a literal DECODED back

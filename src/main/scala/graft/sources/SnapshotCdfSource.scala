@@ -17,6 +17,9 @@ import graft.io.Snapshots
   *   spark.readStream.format("graft-snapshot-cdf")
   *     .option("path", "/lake/events")
   *     .option("startingVersion", "1")   // or "latest" (default)
+  *     // .option("startingTimestamp", "2026-01-01 00:00:00")
+  *     //   — resolves once via versionAt: emit versions committed
+  *     //     AFTER the instant (mutually exclusive with the above)
   *     .load()                            // data cols + _change_type,
   *                                        // _commit_version, _commit_props
   * }}}
@@ -66,7 +69,7 @@ class SnapshotCdfSource extends StreamSourceProvider with DataSourceRegister {
     val s = ctx.sparkSession
     val table = SnapshotCdfSource.pathOf(parameters)
     val floor = SnapshotCdfSource.durableFloor(s, table, metadataPath,
-      parameters.get("startingversion").orElse(parameters.get("startingVersion")))
+      SnapshotCdfSource.effectiveStartingVersion(s, table, parameters))
     new SnapshotCdfV1Source(s, table, floor,
       SnapshotCdfSource.maxVersionsOf(parameters))
   }
@@ -78,6 +81,42 @@ object SnapshotCdfSource {
     require(p.exists(_.nonEmpty),
       "graft-snapshot-cdf: the 'path' option is required")
     p.get
+  }
+
+  /** Fold `startingTimestamp` into the `startingVersion` contract both
+    * sources share: the instant resolves ONCE through
+    * [[Snapshots.versionAt]] (manifest claim times — the same clock
+    * batch time travel reads), and the stream emits the versions
+    * committed AFTER it — a version live AT the instant belongs to the
+    * pre-history the consumer said it already has. An instant
+    * predating the first retained commit floors at 0 (emit
+    * everything); one behind the vacuum horizon raises the typed
+    * out-of-retention error. The RESOLVED version is what persists in
+    * the checkpoint's start/floor marker, so restarts re-resolve and
+    * conflict-refuse exactly like an explicit `startingVersion`.
+    */
+  private[sources] def effectiveStartingVersion(s: SparkSession,
+      table: String,
+      parameters: Map[String, String]): Option[String] = {
+    val sv = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion"))
+    val st = parameters.get("startingtimestamp")
+      .orElse(parameters.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "graft-snapshot stream: at most one of startingVersion / " +
+        "startingTimestamp may be set")
+    st match {
+      case None => sv
+      case Some(raw) =>
+        val ms = SnapshotDataSource.parseMillis(raw)
+        val floor =
+          try Snapshots.versionAt(s, table, ms)
+          catch {
+            case e: IllegalArgumentException
+                if Option(e.getMessage).exists(_.contains("predates")) => 0
+          }
+        Some((floor + 1).toString)
+    }
   }
 
   /** `maxVersionsPerTrigger` — RATE LIMITING for a stream catching up

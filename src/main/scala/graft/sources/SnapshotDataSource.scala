@@ -95,7 +95,7 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister
       .orElse(parameters.get("skipChangeCommits"))
       .exists(_.trim.toBoolean)
     val start = SnapshotTableSource.durableStart(s, table, metadataPath,
-      parameters.get("startingversion").orElse(parameters.get("startingVersion")))
+      SnapshotCdfSource.effectiveStartingVersion(s, table, parameters))
     new SnapshotTableV1Source(s, table, start, skip,
       SnapshotCdfSource.maxVersionsOf(parameters))
   }
@@ -488,39 +488,40 @@ final class SnapshotScanBuilder(path: String, version: Int,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+  private var topN: Option[(String, Boolean, Boolean, Int, Boolean)] = None
 
   /** TopN pushdown — PARTIAL (Spark re-sorts globally): an
-    * `ORDER BY col LIMIT n` on a single long-encodable column accepts,
-    * and the scan opens only the [[Snapshots.topNDirs]] subset — the
-    * directories whose `#dirstats` bounds and null counts prove they
-    * hold every candidate top-n row. On a range-clustered or Z-ordered
-    * layout, "the head of the table" is one directory's read.
-    * Acceptance is semantic; the pruning itself is best-effort (a
-    * manifest without full counts reads everything — correct either
-    * way, since Spark sorts whatever the scan returns).
+    * `ORDER BY col [, …] LIMIT n` whose LEADING key is a single
+    * long-encodable column accepts, and the scan opens only the
+    * [[Snapshots.topNDirs]] subset — the directories whose `#dirstats`
+    * bounds and null counts prove they hold every candidate top-n row.
+    * A multi-column ordering prunes on its leading column with STRICT
+    * boundary coverage (tie-safe — see [[Snapshots.topNDirs]]). On a
+    * range-clustered or Z-ordered layout, "the head of the table" is
+    * one directory's read. Acceptance is semantic; the pruning itself
+    * is best-effort (a manifest without full counts reads everything —
+    * correct either way, since Spark sorts whatever the scan returns).
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (preds.nonEmpty) return false
-    orders match {
-      case Array(o) => o.expression() match {
-        case r: NamedReference if r.fieldNames().length == 1 =>
-          val c = r.fieldNames()(0)
-          val encodable = tableSchema.fields.find(_.name == c).exists(f =>
-            scala.util.Try(
-              Snapshots.statsLongEncoding(c, f.dataType)).isSuccess)
-          if (!encodable) false
-          else {
-            topN = Some((c,
-              o.direction() == SortDirection.ASCENDING,
-              o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
-            true
-          }
-        case _ => false
-      }
+    orders.headOption.map(_.expression()) match {
+      case Some(r: NamedReference) if r.fieldNames().length == 1 =>
+        val o = orders.head
+        val c = r.fieldNames()(0)
+        val encodable = tableSchema.fields.find(_.name == c).exists(f =>
+          scala.util.Try(
+            Snapshots.statsLongEncoding(c, f.dataType)).isSuccess)
+        if (!encodable) false
+        else {
+          topN = Some((c,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST, n,
+            orders.length > 1))
+          true
+        }
       case _ => false
     }
   }
@@ -853,7 +854,8 @@ final class SnapshotAggScan(path: String, version: Int,
 final class SnapshotScan(path: String, version: Int,
     required: StructType, preds: Seq[Snapshots.ScanPred],
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Boolean, Int)] = None) extends V1Scan {
+    topN: Option[(String, Boolean, Boolean, Int, Boolean)] = None)
+    extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -880,7 +882,7 @@ final class SnapshotScan(path: String, version: Int,
 final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
     required: StructType, preds: Seq[Snapshots.ScanPred],
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Boolean, Int)] = None)
+    topN: Option[(String, Boolean, Boolean, Int, Boolean)] = None)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
@@ -903,9 +905,10 @@ final class SnapshotV1Relation(ctx: SQLContext, path: String, version: Int,
     SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
       scan.dirsTotal, scan.dirsRead,
       preds.map(_.toString) ++ limit.map(n => s"limit:$n") ++
-        topN.map { case (c, asc, nf, n) =>
+        topN.map { case (c, asc, nf, n, strict) =>
           s"topn:$c:${if (asc) "asc" else "desc"}:" +
-            s"${if (nf) "nullsfirst" else "nullslast"}:$n" }))
+            s"${if (nf) "nullsfirst" else "nullslast"}:$n" +
+            (if (strict) ":multi" else "") }))
     val projected =
       if (required.isEmpty) scan.df.select()
       else scan.df.select(required.fieldNames.toIndexedSeq

@@ -20,6 +20,8 @@ import graft.io.Snapshots
   *     .option("path", "/lake/events")        // data columns only
   *     // .option("startingVersion", "3")     // feed-only from v3
   *     // .option("startingVersion", "latest")// feed-only from now
+  *     // .option("startingTimestamp", "…")   // feed-only after the
+  *     //   instant (versionAt-resolved once; excludes startingVersion)
   *     // .option("skipChangeCommits", "true")// drop non-append versions
   *     // .option("maxVersionsPerTrigger","8")// bound backlog batches
   *     .load()

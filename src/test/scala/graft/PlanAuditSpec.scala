@@ -787,19 +787,31 @@ class PlanAuditSpec extends SparkSpec {
       t, "k")
     val q = spark.read.format("graft-snapshot").option("path", t).load()
       .filter(col("k") === 901L).select("v")
-    val plan = executed(q)
-    // the snapshot scan node carries the pushed predicate and the
-    // pruned read schema in the standard rendering — a refactor that
-    // loses the pushFilters or pruneColumns wiring fails here, not on
-    // a cluster
-    assert(plan.contains("PushedFilters: [EqualTo(k,901)]"),
-      s"pushed filter lost before the snapshot scan:\n$plan")
-    assert(plan.contains("ReadSchema: struct<k:bigint,v:bigint>"),
-      s"column pruning lost before the snapshot scan:\n$plan")
-    // manifest pruning actually happened at build time (dir skipped)
-    val info = graft.sources.SnapshotScans.lastScan.get
+    // evidence BEFORE rendering the plan (describe re-plans the
+    // unfiltered partition list)
+    q.collect(): Unit
+    val info = graft.sources.SnapshotScans.scanOf(t).get
     assert(info.dirsTotal == 2 && info.dirsRead == 1,
       s"manifest pruning did not reach the scan: $info")
+    val plan = executed(q)
+    // a plain table rides the NATIVE BATCH scan: the node's rendering
+    // carries the translated predicate and the pruned column set — a
+    // refactor that loses the pushFilters or pruneColumns wiring fails
+    // here, not on a cluster
+    assert(plan.contains("BatchScan") && plan.contains("native-batch"),
+      s"plain table must plan as the native batch scan:\n$plan")
+    assert(plan.contains("EqLongPred(k,901)"),
+      s"pushed filter lost before the snapshot scan:\n$plan")
+    assert(plan.contains("columns=[k, v]"),
+      s"column pruning lost before the snapshot scan:\n$plan")
+    // a RENAMED table stays on the V1 bridge (per-row fold) and its
+    // plan shows the classic V1 PushedFilters rendering
+    graft.io.Snapshots.renameColumn(spark, t, "p", "pad")
+    val v1 = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("k") === 901L).select("v")
+    val v1Plan = executed(v1)
+    assert(v1Plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,901)]"),
+      s"V1 bridge lost its pushed filter rendering:\n$v1Plan")
     // and the INNER plan pushed the residual to the parquet footers:
     // the recorded scan frame plans with PushedFilters on k
     val inner = graft.io.Snapshots.readForScan(spark, t,

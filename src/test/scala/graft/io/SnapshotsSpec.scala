@@ -304,23 +304,28 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.commitWithMultiStats(
       frame((100L, Some(0L), "e"), (109L, Some(9L), "f")), t, Seq("x", "y"))
     Snapshots.commitWithMultiStats(
-      frame((5L, None, "g")), t, Seq("x", "y"))
-    // box x in [0,9] AND y in [0,9]: dir2 pruned on y, dir3 pruned on x,
-    // dir4 admitted (no y stats -> advisory), dir1 admitted
+      frame((5L, None, "g")), t, Seq("x"))
+    // dir5: y all-null WITH declared y stats -> the EMPTY-SET sentinel
+    // line [0,-1] makes any y-value predicate provably disjoint
+    Snapshots.commitWithMultiStats(
+      frame((6L, None, "h")), t, Seq("x", "y"))
+    // box x in [0,9] AND y in [0,9]: dir2 pruned on y, dir3 pruned on
+    // x, dir4 admitted (NO y stats -> advisory), dir5 pruned (its y
+    // sentinel proves the empty value set), dir1 admitted
     val scan = Snapshots.readPrunedMulti(spark, t,
       Seq(("x", 0L, 9L), ("y", 0L, 9L)))
-    assert((scan.dirsTotal, scan.dirsRead) == ((4, 2)))
+    assert((scan.dirsTotal, scan.dirsRead) == ((5, 2)))
     // residual is the FULL conjunction: dir4's null-y row is filtered out
     assert(scan.df.select("s").orderBy("s").as[String].collect().toSeq ==
       Seq("a", "b"))
     // single-dimension box through the multi reader == readPruned
     val sx = Snapshots.readPrunedMulti(spark, t, Seq(("x", 100L, 109L)))
-    assert((sx.dirsTotal, sx.dirsRead) == ((4, 1)) && sx.df.count() == 2)
-    // nothing admitted (dir4 has x stats, so the x-predicate prunes it
-    // even without y stats) -> schema-only empty frame
+    assert((sx.dirsTotal, sx.dirsRead) == ((5, 1)) && sx.df.count() == 2)
+    // nothing admitted (dirs 4 and 5 have x stats, so the x-predicate
+    // prunes them even without/with sentinel y) -> schema-only empty
     val s0 = Snapshots.readPrunedMulti(spark, t,
       Seq(("x", 50L, 60L), ("y", 50L, 60L)))
-    assert((s0.dirsTotal, s0.dirsRead) == ((4, 0)))
+    assert((s0.dirsTotal, s0.dirsRead) == ((5, 0)))
     assert(s0.df.count() == 0 && s0.df.columns.toSeq == Seq("x", "y", "s"))
   }
 

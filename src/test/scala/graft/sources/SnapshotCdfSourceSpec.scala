@@ -111,6 +111,61 @@ class SnapshotCdfSourceSpec extends SparkSpec {
       "compatible restarts must neither refuse nor re-emit")
   }
 
+  test("startingTimestamp: the instant resolves once through versionAt " +
+      "and emits the same range as its version twin; conflicts and " +
+      "double floors refuse loudly") {
+    import spark.implicits._
+    val t = fresh("src")
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), t)
+    Thread.sleep(40)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(40)
+    Snapshots.commit((11L to 20L).map(k => (k, k)).toDF("k", "v"), t)
+    Snapshots.commit((21L to 25L).map(k => (k, k)).toDF("k", "v"), t)
+    def drainTs(out: String, ckpt: String,
+        opts: Map[String, String]): Unit = {
+      val reader = spark.readStream.format("graft-snapshot-cdf")
+        .option("path", t)
+      val q = opts.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val outA = fresh("outA"); val ckptA = fresh("ckptA")
+    drainTs(outA, ckptA, Map("startingTimestamp" -> mid.toString))
+    val a = spark.read.parquet(outA)
+    assert(a.count() == 15 &&
+        a.agg(min("_commit_version")).head().getInt(0) == 2,
+      "the timestamp floor must emit exactly the versions after it")
+    // the version twin emits the identical range
+    val outB = fresh("outB")
+    drainTs(outB, fresh("ckptB"), Map("startingVersion" -> "2"))
+    val b = spark.read.parquet(outB).select("k", "v", "_commit_version")
+    val a2 = a.select("k", "v", "_commit_version")
+    assert(a2.exceptAll(b).isEmpty && b.exceptAll(a2).isEmpty,
+      "a timestamp floor must equal its version twin bit-for-bit")
+    // restart with the SAME timestamp: compatible, nothing re-emits
+    drainTs(outA, ckptA, Map("startingTimestamp" -> mid.toString))
+    assert(spark.read.parquet(outA).count() == 15)
+    // a CONFLICTING explicit floor against the checkpoint refuses
+    val e = intercept[Exception](
+      drainTs(outA, ckptA, Map("startingVersion" -> "1")))
+    assert(e.getMessage.contains("conflicts") ||
+      Option(e.getCause).exists(_.getMessage.contains("conflicts")))
+    // both floors at once refuse up front
+    val e2 = intercept[Exception](drainTs(fresh("outC"), fresh("ckptC"),
+      Map("startingVersion" -> "1", "startingTimestamp" -> mid.toString)))
+    assert(e2.getMessage.contains("at most one") ||
+      Option(e2.getCause).exists(_.getMessage.contains("at most one")))
+    // an instant predating the first commit floors at 0: everything
+    val outD = fresh("outD")
+    drainTs(outD, fresh("ckptD"), Map("startingTimestamp" -> "1000"))
+    assert(spark.read.parquet(outD).count() == 25,
+      "a pre-history instant must emit the whole retained feed")
+  }
+
   test("maxVersionsPerTrigger on the CDF source: a backlog drains in " +
       "bounded version ranges, exactly-once") {
     import spark.implicits._

@@ -525,6 +525,63 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "tombstones must force the full scan under TopN")
   }
 
+  test("TopN ties and multi-column orderings: duplicated boundary keys " +
+      "return a valid tie-broken top-n, and ORDER BY k, tag prunes on " +
+      "the leading column with STRICT boundary coverage so a " +
+      "boundary-tied row with a winning secondary key survives") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // boundary value 10 DUPLICATED across dirs 1 and 2; dir 1's copies
+    // carry LOSING tags (z*), dir 2's copies WINNING ones (a*)
+    Snapshots.commitWithStats(
+      ((1L to 9L).map(k => (k, s"t$k")) ++ Seq((10L, "z1"), (10L, "z2")))
+        .toDF("k", "tag"), t, "k")
+    Snapshots.commitWithStats(
+      (Seq((10L, "a1"), (10L, "a2")) ++ (11L to 18L).map(k => (k, s"t$k")))
+        .toDF("k", "tag"), t, "k")
+    Snapshots.commitWithStats(
+      (21L to 30L).map(k => (k, s"t$k")).toDF("k", "tag"), t, "k")
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    // SINGLE-column, inclusive coverage: dir 1 alone covers n=10 (its
+    // 11 rows all ≤ the next boundary 10) — which tied 10 surfaces is
+    // the usual no-total-tiebreaker nondeterminism, but the sort-KEY
+    // values are deterministic and the set is a valid top-n
+    val ks = fmt.orderBy(col("k").asc).limit(10).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ks == ((1L to 9L) :+ 10L),
+      s"tie-broken top-10 keys must be 1..9 + one 10 ($ks)")
+    assert(SnapshotScans.scanOf(t).get.dirsRead == 1,
+      "inclusive coverage: the boundary dir alone provably covers n")
+    // MULTI-column: the true top-10 ends with dir 2's (10, a1) — the
+    // strict boundary must keep BOTH boundary dirs in the read set
+    val rows = fmt.orderBy(col("k").asc, col("tag").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == (1L to 9L).map(k => (k, s"t$k")) :+ ((10L, "a1")),
+      s"the winning secondary key must surface ($rows)")
+    val im = SnapshotScans.scanOf(t).get
+    assert(im.dirsRead == 2 &&
+        im.pushed.exists(p => p.startsWith("topn:k:asc") &&
+          p.endsWith(":multi")),
+      s"multi-column TopN must prune strictly on the leading column ($im)")
+    // multi-column NULLS FIRST keeps every null-bearing dir (nulls tie
+    // on the leading key; the secondary key ranks them)
+    val tn = s"$base/tn"
+    Snapshots.commitWithStats(
+      (Seq((Option.empty[Long], "zz")) ++ (1L to 9L).map(k =>
+        (Option(k), s"t$k"))).toDF("k", "tag"), tn, "k")
+    Snapshots.commitWithStats(
+      (Seq((Option.empty[Long], "aa")) ++ (11L to 19L).map(k =>
+        (Option(k), s"t$k"))).toDF("k", "tag"), tn, "k")
+    val nf = spark.read.format("graft-snapshot").option("path", tn).load()
+      .orderBy(col("k").asc_nulls_first, col("tag").asc).limit(1)
+      .collect().map(_.getString(1)).toSeq
+    assert(nf == Seq("aa"),
+      s"the secondary key must rank the tied nulls across dirs ($nf)")
+    assert(SnapshotScans.scanOf(tn).get.dirsRead == 2,
+      "multi-column NULLS FIRST must keep every null-bearing dir")
+  }
+
   test("$files metadata table: head dirs with #dirrows counts, on-disk " +
       "bytes, and the shallow-clone external flag; pre-tracking dirs " +
       "surface NULL rows honestly") {
@@ -628,6 +685,24 @@ class SnapshotDataSourceSpec extends SparkSpec {
     val i2 = SnapshotScans.scanOf(fact2).get
     assert(i2.dirsRead == i2.dirsTotal,
       s"a dv-bearing table must read everything on the V1 bridge ($i2)")
+    // BLOOM-driven runtime pruning: an UNCLUSTERED fact (overlapping
+    // key ranges per dir — range stats can prove nothing) still prunes
+    // at join time through its #dirbloom membership sketches
+    val fact3 = s"$base/fact3"
+    Seq(0, 1, 2, 3).foreach(i =>
+      Snapshots.commitWithBloom(
+        (1L to 100L).filter(_ % 4 == i).map(k => (k, k * 3L))
+          .toDF("k", "cents"), fact3, "k", fpp = 1e-8): Unit)
+    Snapshots.commit(
+      (1L to 100L).map(k => (k, k % 4)).toDF("dk", "res"), s"$base/dim4")
+    val r3 = spark.sql(s"""SELECT count(*) AS n
+      FROM $cat.fact3 f JOIN $cat.dim4 d ON f.k = d.dk
+      WHERE d.res = 1""").head()
+    assert(r3.getLong(0) == 25)
+    val i3 = SnapshotScans.scanOf(fact3).get
+    assert(i3.dirsTotal == 4 && i3.dirsRead == 1 &&
+        i3.pushed.exists(_.startsWith("runtime:")),
+      s"the dim keys must prune through the Bloom sketches ($i3)")
   }
 
   test("CTAS through the catalog: a failed create aborts clean, " +

@@ -78,6 +78,31 @@ class SnapshotTableSourceSpec extends SparkSpec {
       "'latest' must tail exactly the post-start append")
   }
 
+  test("startingTimestamp on the table stream: feed-only after the " +
+      "instant (no snapshot), equal to its version twin, mutually " +
+      "exclusive with startingVersion") {
+    import spark.implicits._
+    val t = fresh("src")
+    Snapshots.commit((1L to 10L).map(k => (k, k)).toDF("k", "v"), t)
+    Thread.sleep(40)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(40)
+    Snapshots.commit((11L to 15L).map(k => (k, k)).toDF("k", "v"), t)
+    val outT = fresh("outT")
+    drain(t, outT, fresh("ckptT"), Map("startingTimestamp" -> mid.toString))
+    assert(sunk(outT).count() == 5,
+      "the instant must floor at v1 — feed-only, no snapshot")
+    val outV = fresh("outV")
+    drain(t, outV, fresh("ckptV"), Map("startingVersion" -> "2"))
+    assert(sunk(outT).exceptAll(sunk(outV)).isEmpty &&
+        sunk(outV).exceptAll(sunk(outT)).isEmpty,
+      "a timestamp floor must equal its version twin bit-for-bit")
+    val e = intercept[Exception](drain(t, fresh("outX"), fresh("ckptX"),
+      Map("startingVersion" -> "2", "startingTimestamp" -> mid.toString)))
+    assert(e.getMessage.contains("at most one") ||
+      Option(e.getCause).exists(_.getMessage.contains("at most one")))
+  }
+
   test("a conflicting startingVersion against an existing checkpoint " +
       "refuses loudly; compatible restarts proceed") {
     import spark.implicits._
