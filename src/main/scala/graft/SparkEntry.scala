@@ -8593,6 +8593,83 @@ object SparkEntry {
       lit(r2.getLong(0)).as("n_ref"), lit(r2.getLong(1)).as("cents_ref"))
   }
 
+  /** PARTITIONED DPP through the gate — the CLASSIC dynamic-partition-
+    * pruning shape on the snapshot tier ([[graft.sources
+    * .SnapshotBatchScan]]'s partitioned layout support): a fact table
+    * `commitPartitioned` by a band column materializes the partition
+    * column from FILE PATHS (Spark's own unescape/cast — no library
+    * row fold needed, so the uniform-spec table rides the native batch
+    * scan), and predicates on it prune at FILE level from the parsed
+    * values — exact knowledge, not stats. Proven in-query twice: a
+    * STATIC `WHERE grp = 2` opens a strict file subset (the `pfiles:`
+    * marker), and the star join `fact JOIN dim ON grp WHERE
+    * dim.selective` prunes the SAME files at RUNTIME (the
+    * `runtime:` marker + the dynamicpruning subquery in the plan) —
+    * at 100 TB, "scan only the dim-selected date partitions" decided
+    * by data only the join could know. The oracle recomputes both
+    * probes from raw orders under the identical band arithmetic.
+    */
+  private def io51PartitionedDpp(s: SparkSession, dir: String): DataFrame = {
+    val base = ioTmp(dir, "io51")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    val fact = s"$base/fact"
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      col("o_custkey").cast("long").as("c"),
+      cents(col("o_totalprice")).as("cents"))
+    val mm = o.agg(min("c"), max("c")).head()
+    val (cmin, cmax) = (mm.getLong(0), mm.getLong(1))
+    val step = (cmax - cmin) / 4 + 1
+    graft.io.Snapshots.commitPartitioned(
+      o.selectExpr("k", "cents", s"(c - ${cmin}L) div ${step}L AS grp"),
+      fact, Seq("grp"))
+    graft.io.Snapshots.commit(
+      s.range(4).selectExpr("id AS grp", "concat('t', id) AS tag"),
+      s"$base/dim")
+    val cat = s"snap51_${math.abs(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    def pfiles(leg: String): (Int, Int) = {
+      val info = graft.sources.SnapshotScans.scanOf(fact).get
+      val m = info.pushed.find(_.startsWith("pfiles:")).getOrElse(
+        sys.error(s"io51 $leg: no pfiles marker ($info)"))
+      val Array(a, b) = m.stripPrefix("pfiles:").split("/").map(_.toInt)
+      require(a > 0 && a < b,
+        s"io51 $leg: partition values must prune a strict file subset ($m)")
+      (a, b)
+    }
+    // leg 1: STATIC partition-value pruning
+    val r1 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(cents) AS BIGINT) AS cs FROM $cat.fact WHERE grp = 2""")
+      .head()
+    val (kept1, total1) = pfiles("static")
+    // leg 2: RUNTIME pruning — the dim filter selects the same band,
+    // so the join must prune to the SAME file subset at execution
+    val q2 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(f.cents) AS BIGINT) AS cs
+      FROM $cat.fact f JOIN $cat.dim d ON f.grp = d.grp
+      WHERE d.tag = 't2'""")
+    val r2 = q2.head()
+    val info2 = graft.sources.SnapshotScans.scanOf(fact).get
+    require(info2.pushed.exists(_.startsWith("runtime:")),
+      s"io51 runtime: the dim keys must reach the scan ($info2)")
+    val (kept2, _) = pfiles("runtime")
+    require(kept2 == kept1,
+      s"io51: runtime pruning must hit the static subset " +
+        s"($kept2 vs $kept1 of $total1)")
+    require(q2.queryExecution.executedPlan.toString
+        .toLowerCase.contains("dynamicpruning"),
+      "io51: the plan must carry the dynamic pruning subquery")
+    require(r1.getLong(0) == r2.getLong(0) &&
+        r1.getLong(1) == r2.getLong(1),
+      "io51: both probes must answer the identical band")
+    s.range(1).select(
+      lit(r1.getLong(0)).as("n_static"),
+      lit(r1.getLong(1)).as("cents_static"),
+      lit(r2.getLong(0)).as("n_rt"), lit(r2.getLong(1)).as("cents_rt"))
+  }
+
   /** CTAS through the gate — the catalog's CREATE door
     * ([[graft.sources.SnapshotCatalog.stageCreate]], the atomic
     * `StagingTableCatalog` contract): `CREATE TABLE cat.t
@@ -10255,6 +10332,7 @@ object SparkEntry {
     "io46_limit_pushdown" -> io46LimitPushdown _,
     "io47_topn_pushdown" -> io47TopnPushdown _,
     "io48_runtime_filter" -> io48RuntimeFilter _,
+    "io51_partitioned_dpp" -> io51PartitionedDpp _,
     "io49_null_or_pushdown" -> io49NullOrPushdown _,
     "io50_ctas" -> io50Ctas _,
     "d31_index_cleanup" -> d31IndexCleanup _,
@@ -13980,6 +14058,22 @@ object SparkEntry {
         |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
         |     WHERE (c - mn) // stp = 0 AND k % 9 <> 0)
         |     AS cents_ref""".stripMargin,
+    // both probes recomputed from raw orders under the identical
+    // integer band arithmetic (same convention as io48); the strict
+    // pfiles subsets, the runtime marker, the static==runtime subset
+    // equality, and the dynamicpruning plan shape are require-gated
+    // in-query
+    "io51_partitioned_dpp" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(c) AS mn, (max(c) - min(c)) // 4 + 1 AS stp FROM o)
+        |SELECT
+        |  (SELECT count(*) FROM o, b WHERE (c - mn) // stp = 2) AS n_static,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE (c - mn) // stp = 2) AS cents_static,
+        |  (SELECT count(*) FROM o, b WHERE (c - mn) // stp = 2) AS n_rt,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o, b
+        |     WHERE (c - mn) // stp = 2) AS cents_rt""".stripMargin,
     // the created-then-inserted table's final state recomputed from
     // raw orders; the version pins (CTAS = v1 with schema + stats,
     // INSERT = v2), the time-travel read-back, the 1-of-2 stats

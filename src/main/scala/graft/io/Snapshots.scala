@@ -1110,22 +1110,36 @@ object Snapshots {
   }
 
   /** Whether `version` of `table` can execute as a NATIVE FILE-LEVEL
-    * scan — plain parquet files readable without per-row library
-    * semantics. False when the manifest carries live deletion vectors
-    * (rows must anti-join away), `#rename` mappings (old physical
-    * names must coalesce), or `#spec` partition groups (column values
-    * live in directory paths, not files) — those shapes stay on the V1
-    * bridge, which reuses the library's audited fold. Additive
-    * evolution stays eligible: a parquet reader NULL-fills requested
-    * columns a file predates, the same semantics the library applies.
+    * scan — parquet files readable without per-row library semantics —
+    * and under which partition layout. `None` when the manifest
+    * carries live deletion vectors (rows must anti-join away),
+    * `#rename` mappings (old physical names must coalesce), or MIXED
+    * partition specs (flat dirs next to partitioned ones, or two
+    * different specs — per-file schemas diverge); those shapes stay on
+    * the V1 bridge, which reuses the library's audited fold.
+    * `Some(Nil)` = flat; `Some(cols)` = every data dir carries the one
+    * spec, and the batch scan materializes the partition columns from
+    * file paths (Spark's own partition-value cast — the values prune
+    * at FILE level, exactly, including at runtime). Additive evolution
+    * stays eligible: a parquet reader NULL-fills requested columns a
+    * file predates, the same semantics the library applies.
     */
-  private[graft] def nativeScanEligible(s: SparkSession, table: String,
-      version: Int): Boolean = {
+  private[graft] def nativeScanSpec(s: SparkSession, table: String,
+      version: Int): Option[Seq[String]] = {
     val lines = manifestLines(s, table, version)
-    dvLinesOf(lines).isEmpty &&
+    val dirs = lines.filterNot(_.startsWith("#"))
+    val specs = specLinesOf(lines)
+    val ok = dvLinesOf(lines).isEmpty &&
       !lines.exists(_.startsWith("#rename ")) &&
-      !lines.exists(_.startsWith("#spec "))
+      (specs.isEmpty ||
+        (specs.values.map(_.mkString(",")).toSet.size == 1 &&
+          dirs.forall(specs.contains)))
+    if (!ok) None else Some(specs.values.headOption.getOrElse(Nil))
   }
+
+  /** Back-compat boolean view of [[nativeScanSpec]]. */
+  private[graft] def nativeScanEligible(s: SparkSession, table: String,
+      version: Int): Boolean = nativeScanSpec(s, table, version).isDefined
 
   /** The columns the manifest at `version` can prune a scan on —
     * anything carrying `#dirstats` / `#dirstatsS` / `#dirbloom` lines.
@@ -1145,28 +1159,41 @@ object Snapshots {
     * pruning decision ([[readForScanDirs]] — stats, strings, Blooms,
     * null counts, disjunctions, all of it) resolved down to the
     * surviving directories' parquet files as `(absolutePath, length,
-    * modificationTime)`. One manifest read + one listing per surviving
-    * directory — metadata scale; the DSv2 batch scan turns these into
-    * bin-packed input partitions.
+    * modificationTime, fragment)`, where `fragment` is the file's
+    * partition subpath relative to its data dir (`grp=2/band=x`; empty
+    * for flat layouts) — what the batch scan parses partition VALUES
+    * from. One manifest read + one listing per surviving directory —
+    * metadata scale; the DSv2 batch scan turns these into bin-packed
+    * input partitions.
     *
     * @return (dirsTotal, hitDirs, files)
     */
   private[graft] def nativeScanFiles(s: SparkSession, table: String,
       version: Int, preds: Seq[ScanPred])
-      : (Int, Seq[String], Seq[(String, Long, Long)]) = {
+      : (Int, Seq[String], Seq[(String, Long, Long, String)]) = {
     val lines = manifestLines(s, table, version)
     val dirs = lines.filterNot(_.startsWith("#"))
     val hit = readForScanDirs(s, table, lines, preds)
     val f = fs(s, table)
     val files = hit.flatMap { d =>
-      val out = scala.collection.mutable.ListBuffer[(String, Long, Long)]()
-      val it = f.listFiles(new Path(resolveDirPath(table, d)), true)
+      val out =
+        scala.collection.mutable.ListBuffer[(String, Long, Long, String)]()
+      val root = f.makeQualified(new Path(resolveDirPath(table, d)))
+      val rootPrefix = root.toString + "/"
+      val it = f.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
         if (st.isFile && name.endsWith(".parquet") &&
-            !name.startsWith(".") && !name.startsWith("_"))
-          out += ((st.getPath.toString, st.getLen, st.getModificationTime))
+            !name.startsWith(".") && !name.startsWith("_")) {
+          val p = st.getPath.toString
+          val rel = if (p.startsWith(rootPrefix))
+            p.substring(rootPrefix.length) else name
+          val fragment =
+            if (rel.contains('/')) rel.substring(0, rel.lastIndexOf('/'))
+            else ""
+          out += ((p, st.getLen, st.getModificationTime, fragment))
+        }
       }
       out.toSeq
     }

@@ -663,22 +663,30 @@ final class SnapshotScanBuilder(path: String, version: Int,
   }
 
   /** Scan selection, most capable first: a manifest-answered aggregate
-    * beats any read; a NATIVE BATCH scan (plain-parquet table — no
-    * live dvs / renames / partition specs, and no limit/topN hint,
-    * whose prunings live on the V1 path) executes as a genuine V2
-    * `Batch`, which is what lets Spark's runtime filtering prune fact
-    * directories at join time; everything else rides the V1 bridge,
-    * which reuses the library's audited per-row folds.
+    * beats any read; a NATIVE BATCH scan (flat-parquet or
+    * uniform-partition-spec table — no live dvs / renames / mixed
+    * specs, and no limit/topN hint, whose prunings live on the V1
+    * path) executes as a genuine V2 `Batch`, which is what lets
+    * Spark's runtime filtering prune fact directories (and partition
+    * files) at join time; everything else rides the V1 bridge, which
+    * reuses the library's audited per-row folds.
     */
   override def build(): Scan = aggAnswer match {
     case Some((schema, row, dirsTotal)) =>
       new SnapshotAggScan(path, version, schema, row, dirsTotal)
     case None =>
-      if (limit.isEmpty && topN.isEmpty &&
-          Snapshots.nativeScanEligible(SparkSession.active, path, version))
-        new SnapshotBatchScan(path, version, required, preds,
-          pushed.toSeq, tableSchema)
-      else new SnapshotScan(path, version, required, preds, limit, topN)
+      val spec =
+        if (limit.isEmpty && topN.isEmpty)
+          Snapshots.nativeScanSpec(SparkSession.active, path, version)
+        else None
+      spec match {
+        case Some(partCols)
+            if partCols.forall(tableSchema.fieldNames.contains) =>
+          new SnapshotBatchScan(path, version, required, preds,
+            pushed.toSeq, tableSchema, partCols)
+        case _ =>
+          new SnapshotScan(path, version, required, preds, limit, topN)
+      }
   }
 }
 
@@ -713,10 +721,20 @@ final class SnapshotScanBuilder(path: String, version: Int,
   * pushed filter above the scan, so answers stay exact by
   * construction. Evidence rides [[SnapshotScans]] per plan, with
   * `runtime:` markers for join-time filters.
+  *
+  * PARTITIONED layouts (a uniform `#spec` across every data dir): the
+  * partition columns materialize from FILE PATHS — Spark's own
+  * unescape/cast (sentinel → NULL, no type inference), appended by the
+  * reader exactly as the file source does — and predicates on them
+  * prune at FILE level from the parsed values (EXACT knowledge, not
+  * stats), statically and at runtime alike: the classic "dim filter
+  * prunes the fact's date partitions" shape, `pfiles:` markers as
+  * evidence. Non-partition columns keep dir-level manifest pruning.
   */
 final class SnapshotBatchScan(path: String, version: Int,
     required: StructType, staticPreds: Seq[Snapshots.ScanPred],
-    pushedV1: Seq[Filter], dataSchema: StructType)
+    pushedV1: Seq[Filter], dataSchema: StructType,
+    partCols: Seq[String] = Nil)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -724,22 +742,40 @@ final class SnapshotBatchScan(path: String, version: Int,
   @volatile private var runtimePreds: Seq[Snapshots.ScanPred] = Nil
   @volatile private var runtimeMarkers: Seq[String] = Nil
 
-  override def readSchema(): StructType = required
+  private val partSet = partCols.toSet
+  // partition columns materialize from file paths; files hold the rest
+  private val partSchema = StructType(
+    partCols.flatMap(c => dataSchema.fields.find(_.name == c)))
+  private val fileSchema = StructType(
+    dataSchema.fields.filterNot(f => partSet(f.name)))
+  private val requiredData = StructType(
+    required.fields.filterNot(f => partSet(f.name)))
+  private val requiredPart = StructType(
+    partSchema.fields.filter(f => required.fieldNames.contains(f.name)))
+
+  // data columns first, requested partition columns appended — the
+  // reader's output order; Spark re-projects to the expected order
+  // above the scan (readSchema() is the declared contract)
+  override def readSchema(): StructType =
+    StructType(requiredData.fields ++ requiredPart.fields)
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
   override def description(): String =
     s"graft-snapshot $path v$version native-batch " +
       s"pruning=[${staticPreds.mkString(", ")}] columns=[${
-        required.fieldNames.mkString(", ")}]"
+        readSchema().fieldNames.mkString(", ")}]" +
+      (if (partCols.isEmpty) "" else s" partitioned=[${partCols.mkString(",")}]")
 
   /** The columns a runtime filter could prune on: everything the
-    * manifest carries stats, string stats, or Bloom sketches for. */
+    * manifest carries stats, string stats, or Bloom sketches for —
+    * plus the PARTITION columns, whose path-parsed values prune
+    * exactly. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val fields = dataSchema.fieldNames.toSet
-    Snapshots.prunableColumns(SparkSession.active, path, version)
-      .filter(fields)
+    (Snapshots.prunableColumns(SparkSession.active, path, version)
+        .filter(fields) ++ partCols).distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
@@ -753,23 +789,110 @@ final class SnapshotBatchScan(path: String, version: Int,
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val s = SparkSession.active
-    val (dirsTotal, hit, files) = Snapshots.nativeScanFiles(
-      s, path, version, staticPreds ++ runtimePreds)
+    val allPreds = staticPreds ++ runtimePreds
+    val (dirsTotal, hit, files0) = Snapshots.nativeScanFiles(
+      s, path, version, allPreds)
+    val shim = org.apache.spark.sql.graft.ParquetScanShim
+    // partition-valued layouts prune at FILE level from the parsed
+    // values — exact knowledge, so a rejected file can hold no match
+    val valueCache = scala.collection.mutable.Map[String, Seq[Any]]()
+    def valsOf(fragment: String): Seq[Any] = valueCache.getOrElseUpdate(
+      fragment, shim.partitionValuesOf(s, fragment, partSchema))
+    val (files, pMarker) =
+      if (partCols.isEmpty) (files0, Nil)
+      else {
+        val kept = files0.filter(f => partitionAdmits(valsOf(f._4), allPreds))
+        (kept, Seq(s"pfiles:${kept.size}/${files0.size}"))
+      }
     SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
       dirsTotal, hit.size,
-      staticPreds.map(_.toString) ++ runtimeMarkers :+ "native-batch"))
-    val pfs = files.map { case (p, len, mod) =>
-      org.apache.spark.sql.graft.ParquetScanShim.partitionedFile(p, len, mod)
+      staticPreds.map(_.toString) ++ runtimeMarkers ++ pMarker :+
+        "native-batch"))
+    val reqIdx = requiredPart.fields.map(f => partSchema.fieldIndex(f.name))
+    val pfs = files.map { case (p, len, mod, fragment) =>
+      val row =
+        if (partCols.isEmpty) org.apache.spark.sql.catalyst.InternalRow.empty
+        else shim.internalRow(reqIdx.toSeq.map(valsOf(fragment)(_)))
+      shim.partitionedFile(p, len, mod, row)
     }
-    org.apache.spark.sql.graft.ParquetScanShim.filePartitions(s, pfs)
+    shim.filePartitions(s, pfs)
       .toArray[org.apache.spark.sql.connector.read.InputPartition]
   }
 
+  /** Whether a file's parsed partition values ADMIT the predicate set:
+    * false only when some conjunct provably rejects on a partition
+    * column's exact value — NULL (the Hive sentinel) fails every value
+    * predicate and IS NOT NULL; predicates on non-partition columns
+    * (or exotic partition types) never reject here. */
+  private def partitionAdmits(vals: Seq[Any],
+      preds: Seq[Snapshots.ScanPred]): Boolean = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val byCol = partSchema.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> ((f.dataType, vals(i)))
+    }.toMap
+    def longable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+        DateType | TimestampType => true
+      case _ => false
+    }
+    // internal reps already sit on the pred encoding's long domain:
+    // integrals verbatim, DATE = epoch days, TIMESTAMP = epoch micros
+    def asLong(v: Any): Long = v match {
+      case b: Byte => b.toLong
+      case sh: Short => sh.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalStateException(
+        s"unreachable partition value $other")
+    }
+    def longVal(c: String): Option[Option[Long]] = byCol.get(c).collect {
+      case (dt, v) if longable(dt) => Option(v).map(asLong)
+    }
+    def strVal(c: String): Option[Option[UTF8String]] = byCol.get(c)
+      .collect { case (StringType, v) =>
+        Option(v).map(_.asInstanceOf[UTF8String])
+      }
+    def reject(p: Snapshots.ScanPred): Boolean = p match {
+      case Snapshots.EqLongPred(c, x) => longVal(c).exists(_.forall(_ != x))
+      case Snapshots.EqStringPred(c, x) =>
+        strVal(c).exists(_.forall(_.toString != x))
+      case Snapshots.RangeLongPred(c, lo, hi) => longVal(c).exists {
+        case None => true // NULL fails a range
+        case Some(v) => lo.exists(_ > v) || hi.exists(_ < v)
+      }
+      case Snapshots.RangeStringPred(c, lo, hi) => strVal(c).exists {
+        case None => true
+        case Some(u) =>
+          lo.exists(l => u.compareTo(UTF8String.fromString(l)) < 0) ||
+            hi.exists(h => u.compareTo(UTF8String.fromString(h)) > 0)
+      }
+      case Snapshots.InLongPred(c, vs) => longVal(c).exists {
+        case None => true
+        case Some(v) => !vs.contains(v)
+      }
+      case Snapshots.InStringPred(c, vs) => strVal(c).exists {
+        case None => true
+        case Some(u) => !vs.contains(u.toString)
+      }
+      case Snapshots.IsNullPred(c) => byCol.get(c).exists(_._2 != null)
+      case Snapshots.IsNotNullPred(c) => byCol.get(c).exists(_._2 == null)
+      case Snapshots.OrPred(branches) => branches.forall(_.exists(reject))
+    }
+    preds.forall(p => !reject(p))
+  }
+
   override def createReaderFactory()
-      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    // footer filters may only reference FILE columns — partition
+    // predicates already resolved exactly at planning
+    val dataFilters =
+      pushedV1.filter(_.references.forall(r => !partSet(r)))
     new SnapshotParquetReaderFactory(
       org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
-        SparkSession.active, dataSchema, required, pushedV1))
+        SparkSession.active, fileSchema, requiredData, dataFilters,
+        requiredPart))
+  }
 
   /** Pruned-scan bytes (one content-summary RPC per surviving dir) —
     * what lets the planner BROADCAST a small snapshot dimension. */

@@ -38,20 +38,46 @@ object ParquetScanShim {
     * termination never leaks file handles.
     */
   def parquetReadFunc(spark: SparkSession, dataSchema: StructType,
-      requiredSchema: StructType, filters: Seq[Filter])
+      requiredSchema: StructType, filters: Seq[Filter],
+      partitionSchema: StructType = new StructType())
       : PartitionedFile => Iterator[InternalRow] =
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      cs(spark), dataSchema, new StructType(), requiredSchema, filters,
+      cs(spark), dataSchema, partitionSchema, requiredSchema, filters,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       cs(spark).sessionState.newHadoopConf())
 
   /** A whole-file split (parquet row groups make sub-file splits a
     * reader-internal concern; directory-level pruning already bounded
     * the file set). */
-  def partitionedFile(absPath: String, length: Long,
-      modTime: Long): PartitionedFile =
-    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(absPath),
+  def partitionedFile(absPath: String, length: Long, modTime: Long,
+      partitionValues: InternalRow = InternalRow.empty): PartitionedFile =
+    PartitionedFile(partitionValues, SparkPath.fromPathString(absPath),
       0L, length, Array.empty, modTime, length)
+
+  /** Parse a Hive-layout path fragment (`grp=2/band=x%20y`) into the
+    * INTERNAL partition values of `partSchema`, through Spark's OWN
+    * unescape + cast (`PartitioningUtils.castPartValueToDesiredType` —
+    * the `__HIVE_DEFAULT_PARTITION__` sentinel maps to null, strings
+    * stay verbatim with no type inference, temporals parse in the
+    * session zone). Loud when a spec'd column is missing from the
+    * fragment: that is layout corruption, not a prunable unknown.
+    */
+  def partitionValuesOf(spark: SparkSession, fragment: String,
+      partSchema: StructType): Seq[Any] = {
+    import org.apache.spark.sql.execution.datasources.PartitioningUtils
+    val kv = PartitioningUtils.parsePathFragment(fragment)
+    val zone = java.time.ZoneId.of(
+      cs(spark).sessionState.conf.sessionLocalTimeZone)
+    partSchema.fields.toSeq.map { f =>
+      val raw = kv.getOrElse(f.name, throw new IllegalStateException(
+        s"partitioned data dir: fragment '$fragment' carries no value " +
+          s"for spec column '${f.name}' — layout corruption"))
+      PartitioningUtils.castPartValueToDesiredType(f.dataType, raw, zone)
+    }
+  }
+
+  def internalRow(values: Seq[Any]): InternalRow =
+    InternalRow.fromSeq(values)
 
   /** Spark's own bin-packing of files into input partitions —
     * `maxPartitionBytes` / `openCostInBytes` / default-parallelism

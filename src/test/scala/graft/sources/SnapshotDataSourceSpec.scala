@@ -705,6 +705,67 @@ class SnapshotDataSourceSpec extends SparkSpec {
       s"the dim keys must prune through the Bloom sketches ($i3)")
   }
 
+  test("partitioned batch scan: partition values materialize from file " +
+      "paths (numeric-looking strings verbatim, sentinel NULLs), " +
+      "predicates prune at FILE level statically and at runtime, and " +
+      "mixed layouts fall back to the V1 bridge") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // string partition values: "01" must stay "01" (no inference),
+    // None rides the Hive sentinel; two commits, same spec
+    def rows(tag: String) = Seq(
+      (1L, Option("01"), tag), (2L, Option("1.10"), tag),
+      (3L, Option.empty[String], tag), (4L, Option("a b"), tag))
+    Snapshots.commitPartitioned(rows("x").toDF("k", "grp", "tag"),
+      t, Seq("grp"))
+    Snapshots.commitPartitioned(rows("y").toDF("k", "grp", "tag"),
+      t, Seq("grp"))
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    val lib = Snapshots.read(spark, t)
+    assert(bitEqual(fmt.select("k", "grp", "tag"),
+      lib.select("k", "grp", "tag")),
+      "the partitioned batch read must equal the library read")
+    val i0 = SnapshotScans.scanOf(t).get
+    assert(i0.pushed.contains("native-batch") &&
+        i0.pushed.exists(_.startsWith("pfiles:8/8")),
+      s"a uniform-spec table must ride the batch path ($i0)")
+    // static file-level pruning on the exact path value — "01" is NOT
+    // 1, "1.10" is NOT "1.1"
+    assert(fmt.filter(col("grp") === "01").count() == 2)
+    assert(SnapshotScans.scanOf(t).get.pushed.contains("pfiles:2/8"))
+    assert(fmt.filter(col("grp") === "1").count() == 0)
+    assert(SnapshotScans.scanOf(t).get.pushed.contains("pfiles:0/8"))
+    // escaped value round-trips; IS NULL finds exactly the sentinels
+    assert(fmt.filter(col("grp") === "a b").count() == 2)
+    assert(SnapshotScans.scanOf(t).get.pushed.contains("pfiles:2/8"))
+    assert(fmt.filter(col("grp").isNull).count() == 2)
+    assert(SnapshotScans.scanOf(t).get.pushed.contains("pfiles:2/8"))
+    // projecting ONLY the partition column still answers (path-fed)
+    assert(fmt.select("grp").filter(col("grp").isNotNull).count() == 6)
+    // RUNTIME filtering on the partition column: the dim side's keys
+    // prune partition files at join time
+    Snapshots.commit(Seq(("01", 1L), ("1.10", 2L), ("a b", 3L))
+      .toDF("g", "band"), s"$base/dim")
+    val cat = s"snappart_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val r = spark.sql(s"""SELECT count(*) AS n FROM $cat.t f
+      JOIN $cat.dim d ON f.grp = d.g WHERE d.band = 3""").head()
+    assert(r.getLong(0) == 2)
+    val ir = SnapshotScans.scanOf(t).get
+    assert(ir.pushed.exists(_.startsWith("runtime:")) &&
+        ir.pushed.contains("pfiles:2/8"),
+      s"dim keys must prune partition files at runtime ($ir)")
+    // a FLAT append next to the spec'd dirs = mixed layout -> V1 bridge
+    Snapshots.commit(Seq((9L, Option("zz"), "f")).toDF("k", "grp", "tag"), t)
+    assert(fmt.filter(col("grp") === "zz").count() == 1)
+    val iv = SnapshotScans.scanOf(t).get
+    assert(!iv.pushed.contains("native-batch"),
+      s"mixed flat+spec layouts must stay on the V1 bridge ($iv)")
+  }
+
   test("CTAS through the catalog: a failed create aborts clean, " +
       "unknown properties and PARTITIONED BY refuse up front, and the " +
       "happy path lands version 1 with its schema contract") {
