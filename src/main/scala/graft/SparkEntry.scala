@@ -8520,12 +8520,16 @@ object SparkEntry {
     * data only the join could know. Proven in-query: the physical plan
     * carries the dynamicpruning subquery; the fact scan's table-keyed
     * evidence shows 1 of 4 directories with a `runtime:` marker; and
-    * the REFUSAL leg — a fact copy with live deletion vectors, which
-    * [[graft.io.Snapshots.nativeScanEligible]] keeps on the V1 bridge
-    * (runtime filtering is structurally a `BatchScanExec` feature) —
-    * reads every directory and still answers exactly. The oracle
-    * recomputes both joins from raw orders under the identical
-    * band arithmetic.
+    * the DV leg — a fact copy with LIVE deletion vectors — STAYS on
+    * the batch path (the tombstone anti-join folds into the partition
+    * readers as a broadcast hash probe, [[graft.sources
+    * .SnapshotDvFilter]]), still pruning to 1 of 4 directories at
+    * runtime with the `dv:` marker, and answering at the post-delete
+    * truth; a MATERIALIZE leg then rewrites the dvs away
+    * ([[graft.io.Snapshots.materializeDeletes]]) and require-gates the
+    * identical answer from the dv-free table — parity proven both
+    * sides of the tombstone window. The oracle recomputes both joins
+    * from raw orders under the identical band arithmetic.
     */
   private def io48RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
     val base = ioTmp(dir, "io48")
@@ -8572,9 +8576,13 @@ object SparkEntry {
     require(q1.queryExecution.executedPlan.toString
         .toLowerCase.contains("dynamicpruning"),
       "io48: the plan must carry the dynamic pruning subquery")
-    // refusal leg: live deletion vectors keep the copy on the V1
-    // bridge — no runtime filtering, every directory read, answer
-    // still exact at the post-delete truth
+    // DV leg: live deletion vectors STAY on the batch path — the
+    // tombstone anti-join folds into the partition readers as a
+    // broadcast hash probe, so the dv-bearing fact still prunes to
+    // its one directory at runtime AND answers at the post-delete
+    // truth (k % 9 tombstoned). Note the query never projects the dv
+    // key column `k`, so this also exercises the read-probe-project
+    // path (the reader appends the key, filters, drops it).
     bands.foreach(b => graft.io.Snapshots.commitWithStats(
       o.filter(b), fact2, "c"): Unit)
     val (v5, nDel) = graft.io.Snapshots.deleteWhereMoR(
@@ -8585,9 +8593,23 @@ object SparkEntry {
       FROM $cat.fact2 f JOIN $cat.dim d ON f.c = d.custkey
       WHERE d.band = 0""").head()
     val i2 = graft.sources.SnapshotScans.scanOf(fact2).get
-    require(i2.dirsRead == i2.dirsTotal,
-      s"io48: a dv-bearing fact must read everything on the V1 " +
-        s"bridge ($i2)")
+    require(i2.dirsTotal == 4 && i2.dirsRead == 1 &&
+        i2.pushed.exists(_.startsWith("runtime:")) &&
+        i2.pushed.exists(_.startsWith("dv:")) &&
+        i2.pushed.contains("native-batch"),
+      s"io48: a dv-bearing fact must keep runtime filtering on the " +
+        s"batch path with the tombstone fold ($i2)")
+    // MATERIALIZE leg: rewrite the dvs away, same query, same answer —
+    // parity on both sides of the tombstone-to-materialize window
+    val (v6, _, rw) = graft.io.Snapshots.materializeDeletes(s, fact2)
+    require(v6 == 6 && rw > 0, s"io48: materialize landed ($v6, $rw)")
+    val r3 = s.sql(s"""SELECT count(*) AS n,
+      CAST(sum(f.cents) AS BIGINT) AS cs
+      FROM $cat.fact2 f JOIN $cat.dim d ON f.c = d.custkey
+      WHERE d.band = 0""").head()
+    require(r3.getLong(0) == r2.getLong(0) && r3.getLong(1) == r2.getLong(1),
+      s"io48: materialized table must answer exactly the dv view " +
+        s"($r3 vs $r2)")
     s.range(1).select(
       lit(r1.getLong(0)).as("n0"), lit(r1.getLong(1)).as("cents0"),
       lit(r2.getLong(0)).as("n_ref"), lit(r2.getLong(1)).as("cents_ref"))

@@ -1109,37 +1109,96 @@ object Snapshots {
     PrunedScan(df, dirs.size, hit.size)
   }
 
+  /** What a NATIVE FILE-LEVEL scan of `version` needs beyond the
+    * parquet files themselves: the (uniform) partition spec, and the
+    * live deletion vectors whose tombstone keys must suppress rows —
+    * see [[nativeScanPlan]].
+    */
+  final case class NativeScanPlan(partCols: Seq[String],
+      dvDirs: Seq[String], dvKeyCol: Option[String])
+
   /** Whether `version` of `table` can execute as a NATIVE FILE-LEVEL
-    * scan — parquet files readable without per-row library semantics —
-    * and under which partition layout. `None` when the manifest
-    * carries live deletion vectors (rows must anti-join away),
-    * `#rename` mappings (old physical names must coalesce), or MIXED
-    * partition specs (flat dirs next to partitioned ones, or two
-    * different specs — per-file schemas diverge); those shapes stay on
-    * the V1 bridge, which reuses the library's audited fold.
-    * `Some(Nil)` = flat; `Some(cols)` = every data dir carries the one
+    * scan — parquet files readable without per-row library semantics
+    * the batch reader can't carry — and under which layout. `None`
+    * when the manifest carries `#rename` mappings (old physical names
+    * must coalesce), MIXED partition specs (flat dirs next to
+    * partitioned ones, or two different specs — per-file schemas
+    * diverge), or deletion vectors the reader can't fold (mixed key
+    * columns, or a key that IS a partition column — its values live
+    * in paths, not files); those shapes stay on the V1 bridge, which
+    * reuses the library's audited fold.
+    *
+    * LIVE DELETION VECTORS are eligible: a single-key dv set folds
+    * into the batch reader as a broadcast tombstone probe — the same
+    * anti-join [[read]] plans, executed as a hash-set filter inside
+    * each partition reader (the dv side is O(deleted keys) by
+    * construction, the same bound that makes the V1 anti-join
+    * broadcast). This is what keeps a fact table on the fast path —
+    * manifest pruning, runtime filtering, vectorized reads — through
+    * the tombstone-to-materialize window a real table spends most of
+    * its life in, instead of demoting to read-everything V1 on the
+    * first MoR delete.
+    *
+    * `partCols = Nil` = flat; otherwise every data dir carries the one
     * spec, and the batch scan materializes the partition columns from
     * file paths (Spark's own partition-value cast — the values prune
     * at FILE level, exactly, including at runtime). Additive evolution
     * stays eligible: a parquet reader NULL-fills requested columns a
     * file predates, the same semantics the library applies.
     */
-  private[graft] def nativeScanSpec(s: SparkSession, table: String,
-      version: Int): Option[Seq[String]] = {
+  private[graft] def nativeScanPlan(s: SparkSession, table: String,
+      version: Int): Option[NativeScanPlan] = {
     val lines = manifestLines(s, table, version)
     val dirs = lines.filterNot(_.startsWith("#"))
     val specs = specLinesOf(lines)
-    val ok = dvLinesOf(lines).isEmpty &&
-      !lines.exists(_.startsWith("#rename ")) &&
+    val layoutOk = !lines.exists(_.startsWith("#rename ")) &&
       (specs.isEmpty ||
         (specs.values.map(_.mkString(",")).toSet.size == 1 &&
           dirs.forall(specs.contains)))
-    if (!ok) None else Some(specs.values.headOption.getOrElse(Nil))
+    if (!layoutOk) None
+    else {
+      val partCols = specs.values.headOption.getOrElse(Nil)
+      val dvs = dvLinesOf(lines)
+      if (dvs.isEmpty) Some(NativeScanPlan(partCols, Nil, None))
+      else {
+        val keyCols = dvs.map(_._2).distinct
+        if (keyCols.size == 1 && !partCols.contains(keyCols.head))
+          Some(NativeScanPlan(partCols, dvs.map(_._1), Some(keyCols.head)))
+        else None
+      }
+    }
   }
 
-  /** Back-compat boolean view of [[nativeScanSpec]]. */
+  /** Back-compat dv-free view of [[nativeScanPlan]] (the pre-dv
+    * eligibility shape — some specs pin it). */
+  private[graft] def nativeScanSpec(s: SparkSession, table: String,
+      version: Int): Option[Seq[String]] =
+    nativeScanPlan(s, table, version)
+      .filter(_.dvDirs.isEmpty).map(_.partCols)
+
+  /** Back-compat boolean view of [[nativeScanPlan]]. */
   private[graft] def nativeScanEligible(s: SparkSession, table: String,
-      version: Int): Boolean = nativeScanSpec(s, table, version).isDefined
+      version: Int): Boolean = nativeScanPlan(s, table, version).isDefined
+
+  /** The TOMBSTONE KEY SET of `dvDirs` — the dv anti-join's build
+    * side, materialized driver-side as CATALYST-internal values
+    * (UTF8String for strings, Decimal, epoch longs — exactly what a
+    * partition reader's `InternalRow.get` yields, so the executor
+    * probe is a plain hash lookup, no per-row conversion). O(deleted
+    * keys) rows read from the dv parquet — the same bound the V1
+    * path's broadcast anti-join build pays. NULL tombstones drop: an
+    * anti-join on key equality never matches a NULL, so a NULL-keyed
+    * data row always survives.
+    */
+  private[graft] def dvTombstones(s: SparkSession, table: String,
+      dvDirs: Seq[String], keyType: org.apache.spark.sql.types.DataType)
+      : Set[Any] = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(keyType)
+    s.read.parquet(dvDirs.map(d => resolveDirPath(table, d)): _*)
+      .distinct().collect().iterator
+      .map(_.get(0)).filter(_ != null).map(conv).toSet
+  }
 
   /** The columns the manifest at `version` can prune a scan on —
     * anything carrying `#dirstats` / `#dirstatsS` / `#dirbloom` lines.
@@ -1149,11 +1208,29 @@ object Snapshots {
     */
   private[graft] def prunableColumns(s: SparkSession, table: String,
       version: Int): Seq[String] = {
-    val lines = manifestLines(s, table, version)
-    lines.filter(l => l.startsWith("#dirstats ") ||
-        l.startsWith("#dirstatsS ") || l.startsWith("#dirbloom "))
-      .map(_.split(" ")(2)).distinct
+    // MEMOIZED per (table, version): manifests are immutable once
+    // published, and Spark calls the batch scan's filterAttributes()
+    // several times during planning — same discipline (and bound) as
+    // the bloom-sidecar cache, one manifest read per table version.
+    val key = s"$table@$version"
+    val cached = prunableColsCache.get(key)
+    if (cached != null) cached
+    else {
+      val lines = manifestLines(s, table, version)
+      val cols = lines.filter(l => l.startsWith("#dirstats ") ||
+          l.startsWith("#dirstatsS ") || l.startsWith("#dirbloom "))
+        .map(_.split(" ")(2)).distinct
+      prunableColsCache.put(key, cols)
+      cols
+    }
   }
+
+  private val prunableColsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+        size() > 256
+    })
 
   /** The FILE-LEVEL plan of a native scan under `preds`: the manifest
     * pruning decision ([[readForScanDirs]] — stats, strings, Blooms,
@@ -1189,10 +1266,19 @@ object Snapshots {
           val p = st.getPath.toString
           val rel = if (p.startsWith(rootPrefix))
             p.substring(rootPrefix.length) else name
+          // hidden-PATH visibility, not just hidden-file: a '.'/'_'
+          // -prefixed intermediate component (`dir/_tmp/x.parquet`)
+          // is invisible to Spark's InMemoryFileIndex, so the V1
+          // bridge would skip it — the native scan must agree or the
+          // two paths diverge on the same manifest
+          val hiddenComponent = rel.split('/').dropRight(1)
+            .exists(c => c.startsWith(".") || c.startsWith("_"))
+          if (!hiddenComponent) {
           val fragment =
             if (rel.contains('/')) rel.substring(0, rel.lastIndexOf('/'))
             else ""
           out += ((p, st.getLen, st.getModificationTime, fragment))
+          }
         }
       }
       out.toSeq

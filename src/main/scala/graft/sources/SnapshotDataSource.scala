@@ -378,8 +378,24 @@ object SnapshotScans {
     }
   private val last = new java.util.concurrent.atomic.AtomicReference[ScanInfo]
   private[sources] def record(i: ScanInfo): Unit = {
-    recent.synchronized { recent.put(i.table, i): Unit }
-    last.set(i)
+    // NO DOWNGRADE ON RE-PLAN: rendering a BatchScanExec plan string
+    // (toString/explain) re-evaluates the UNFILTERED planInputPartitions
+    // and would re-record this same (table, version) WITHOUT its
+    // `runtime:` markers — clobbering the execution's evidence with a
+    // misleading "no runtime pruning" record. A re-record that (a) hits
+    // the same (table, version), (b) drops runtime markers an existing
+    // record carries, and (c) reads at least as many dirs (the
+    // unfiltered re-plan can only open MORE) is exactly that render —
+    // skip it. A genuinely new execution differs in version, predicates
+    // reaching the scan, or carries its own runtime markers.
+    def runtimeMarked(s: ScanInfo): Boolean =
+      s.pushed.exists(_.startsWith("runtime:"))
+    recent.synchronized {
+      val prior = Option(recent.get(i.table))
+      val downgrade = prior.exists(p => p.version == i.version &&
+        runtimeMarked(p) && !runtimeMarked(i) && i.dirsRead >= p.dirsRead)
+      if (!downgrade) { recent.put(i.table, i): Unit; last.set(i) }
+    }
   }
   /** The most recent scan of exactly `table` (bounded LRU — the last
     * [[MaxRecent]] distinct tables scanned stay addressable). */
@@ -664,26 +680,49 @@ final class SnapshotScanBuilder(path: String, version: Int,
 
   /** Scan selection, most capable first: a manifest-answered aggregate
     * beats any read; a NATIVE BATCH scan (flat-parquet or
-    * uniform-partition-spec table — no live dvs / renames / mixed
-    * specs, and no limit/topN hint, whose prunings live on the V1
-    * path) executes as a genuine V2 `Batch`, which is what lets
-    * Spark's runtime filtering prune fact directories (and partition
-    * files) at join time; everything else rides the V1 bridge, which
-    * reuses the library's audited per-row folds.
+    * uniform-partition-spec table — no renames / mixed specs, and no
+    * limit/topN hint, whose prunings live on the V1 path) executes as
+    * a genuine V2 `Batch`, which is what lets Spark's runtime
+    * filtering prune fact directories (and partition files) at join
+    * time. LIVE DELETION VECTORS stay on the batch path — the
+    * tombstone anti-join folds into the partition readers as a
+    * broadcast hash probe ([[SnapshotDvFilter]]), so one MoR delete no
+    * longer demotes a fact table to read-everything V1; everything
+    * else rides the V1 bridge, which reuses the library's audited
+    * per-row folds.
     */
   override def build(): Scan = aggAnswer match {
     case Some((schema, row, dirsTotal)) =>
       new SnapshotAggScan(path, version, schema, row, dirsTotal)
     case None =>
-      val spec =
+      val plan =
         if (limit.isEmpty && topN.isEmpty)
-          Snapshots.nativeScanSpec(SparkSession.active, path, version)
+          Snapshots.nativeScanPlan(SparkSession.active, path, version)
         else None
-      spec match {
-        case Some(partCols)
-            if partCols.forall(tableSchema.fieldNames.contains) =>
+      // a dv key folds into the reader as a HASH-SET probe, which is
+      // only sound where internal-value equals/hashCode coincide with
+      // SQL equality: integrals, strings, decimals, temporals,
+      // booleans. Binary (array equality) and float/double (-0.0
+      // boxing) refuse to the V1 bridge's real anti-join.
+      def probeSafe(k: String): Boolean =
+        tableSchema.fields.find(_.name == k).map(_.dataType).exists {
+          case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.StringType |
+            org.apache.spark.sql.types.BooleanType |
+            org.apache.spark.sql.types.DateType |
+            org.apache.spark.sql.types.TimestampType => true
+          case _: org.apache.spark.sql.types.DecimalType => true
+          case _ => false
+        }
+      plan match {
+        case Some(p)
+            if p.partCols.forall(tableSchema.fieldNames.contains) &&
+              p.dvKeyCol.forall(probeSafe) =>
           new SnapshotBatchScan(path, version, required, preds,
-            pushed.toSeq, tableSchema, partCols)
+            pushed.toSeq, tableSchema, p.partCols, p.dvDirs, p.dvKeyCol)
         case _ =>
           new SnapshotScan(path, version, required, preds, limit, topN)
       }
@@ -691,8 +730,11 @@ final class SnapshotScanBuilder(path: String, version: Int,
 }
 
 /** The NATIVE BATCH scan — a genuine V2 `Batch` over the manifest's
-  * surviving parquet files, for tables [[Snapshots.nativeScanEligible]]
-  * proves are plain parquet (no per-row library semantics needed).
+  * surviving parquet files, for tables [[Snapshots.nativeScanPlan]]
+  * proves are plain parquet (any LIVE DELETION VECTORS fold into the
+  * readers as a broadcast tombstone probe — [[SnapshotDvFilter]] —
+  * the exact anti-join semantics [[Snapshots.read]] plans, so a
+  * MoR-deleted table keeps this path instead of demoting to V1).
   * Three things the V1 bridge structurally cannot do happen here:
   *
   *  - **RUNTIME FILTERING** (`SupportsRuntimeFiltering`): a star join
@@ -731,10 +773,13 @@ final class SnapshotScanBuilder(path: String, version: Int,
   * prunes the fact's date partitions" shape, `pfiles:` markers as
   * evidence. Non-partition columns keep dir-level manifest pruning.
   */
-final class SnapshotBatchScan(path: String, version: Int,
-    required: StructType, staticPreds: Seq[Snapshots.ScanPred],
-    pushedV1: Seq[Filter], dataSchema: StructType,
-    partCols: Seq[String] = Nil)
+final class SnapshotBatchScan(private val path: String,
+    private val version: Int,
+    private val required: StructType,
+    private val staticPreds: Seq[Snapshots.ScanPred],
+    private val pushedV1: Seq[Filter], dataSchema: StructType,
+    private val partCols: Seq[String] = Nil,
+    dvDirs: Seq[String] = Nil, dvKeyCol: Option[String] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -761,11 +806,33 @@ final class SnapshotBatchScan(path: String, version: Int,
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
+  /** Canonicalization identity — WITHOUT runtime state: two scans over
+    * the same (path, version, projection, static predicates, partition
+    * columns) are the same scan, which is what lets Spark reuse
+    * exchanges and subqueries across plan copies (a DPP filter
+    * subquery referenced from two scan instances executes ONCE). The
+    * mutable runtime filter deliberately stays out — canonicalization
+    * compares scans as planned, and Delta/Iceberg's batch scans draw
+    * the same line.
+    */
+  override def equals(other: Any): Boolean = other match {
+    case o: SnapshotBatchScan =>
+      path == o.path && version == o.version &&
+        required == o.required && staticPreds == o.staticPreds &&
+        pushedV1 == o.pushedV1 && partCols == o.partCols
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (path, version, required, staticPreds, partCols).hashCode()
+
   override def description(): String =
     s"graft-snapshot $path v$version native-batch " +
       s"pruning=[${staticPreds.mkString(", ")}] columns=[${
         readSchema().fieldNames.mkString(", ")}]" +
-      (if (partCols.isEmpty) "" else s" partitioned=[${partCols.mkString(",")}]")
+      (if (partCols.isEmpty) "" else
+        s" partitioned=[${partCols.mkString(",")}]") +
+      (if (dvDirs.isEmpty) "" else
+        s" dv=[${dvDirs.size} on ${dvKeyCol.get}]")
 
   /** The columns a runtime filter could prune on: everything the
     * manifest carries stats, string stats, or Bloom sketches for —
@@ -804,10 +871,12 @@ final class SnapshotBatchScan(path: String, version: Int,
         val kept = files0.filter(f => partitionAdmits(valsOf(f._4), allPreds))
         (kept, Seq(s"pfiles:${kept.size}/${files0.size}"))
       }
+    val dvMarker =
+      if (dvDirs.isEmpty) Nil else Seq(s"dv:${dvDirs.size}")
     SnapshotScans.record(SnapshotScans.ScanInfo(path, version,
       dirsTotal, hit.size,
-      staticPreds.map(_.toString) ++ runtimeMarkers ++ pMarker :+
-        "native-batch"))
+      staticPreds.map(_.toString) ++ runtimeMarkers ++ pMarker ++
+        dvMarker :+ "native-batch"))
     val reqIdx = requiredPart.fields.map(f => partSchema.fieldIndex(f.name))
     val pfs = files.map { case (p, len, mod, fragment) =>
       val row =
@@ -888,10 +957,41 @@ final class SnapshotBatchScan(path: String, version: Int,
     // predicates already resolved exactly at planning
     val dataFilters =
       pushedV1.filter(_.references.forall(r => !partSet(r)))
-    new SnapshotParquetReaderFactory(
-      org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
-        SparkSession.active, fileSchema, requiredData, dataFilters,
-        requiredPart))
+    val s = SparkSession.active
+    dvKeyCol match {
+      case None =>
+        new SnapshotParquetReaderFactory(
+          org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
+            s, fileSchema, requiredData, dataFilters, requiredPart))
+      case Some(key) =>
+        // the DV ANTI-JOIN, folded into the reader: read the key
+        // column (appended when the projection dropped it), probe each
+        // row against the broadcast tombstone set, project back to the
+        // declared readSchema — the same broadcast-hash-anti-join the
+        // V1 path plans, executed inside each partition reader, so a
+        // MoR-deleted table keeps manifest pruning, runtime filtering
+        // and the vectorized reader. The build side is O(deleted keys)
+        // and ships ONCE per executor (Broadcast), not per task.
+        val keyField = dataSchema.fields.find(_.name == key).get
+        val haveKey = requiredData.fieldNames.contains(key)
+        val readerData =
+          if (haveKey) requiredData
+          else StructType(requiredData.fields :+ keyField)
+        val keyIdx =
+          if (haveKey) requiredData.fieldIndex(key) else requiredData.length
+        val outSchema = StructType(readerData.fields ++ requiredPart.fields)
+        val keepIdx: Option[Seq[(Int, org.apache.spark.sql.types.StructField)]] =
+          if (haveKey) None
+          else Some(((0 until requiredData.length) ++
+              (requiredData.length + 1 until outSchema.length))
+            .map(i => (i, outSchema.fields(i))))
+        val keys = s.sparkContext.broadcast(
+          Snapshots.dvTombstones(s, path, dvDirs, keyField.dataType))
+        new SnapshotParquetReaderFactory(
+          org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
+            s, fileSchema, readerData, dataFilters, requiredPart),
+          Some(SnapshotDvFilter(keyIdx, keyField.dataType, keys, keepIdx)))
+    }
   }
 
   /** Pruned-scan bytes (one content-summary RPC per surviving dir) —
@@ -916,9 +1016,22 @@ final class SnapshotBatchScan(path: String, version: Int,
   * vectorized reader yield rows, and readers self-close on task
   * completion (SPARK-23457 listener inside the reader function).
   */
+/** The dv fold a [[SnapshotParquetReaderFactory]] applies per row:
+  * probe `keyIdx` (internal value, `keyType`) against the broadcast
+  * tombstone set — NULL keys always survive, matching anti-join
+  * equality — and, when the key column was appended only for the
+  * probe, project the surviving row back to the scan's declared
+  * schema via `project` (positions + fields of the kept columns).
+  */
+final case class SnapshotDvFilter(keyIdx: Int,
+    keyType: org.apache.spark.sql.types.DataType,
+    keys: org.apache.spark.broadcast.Broadcast[Set[Any]],
+    project: Option[Seq[(Int, org.apache.spark.sql.types.StructField)]])
+
 final class SnapshotParquetReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    dv: Option[SnapshotDvFilter] = None)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def createReader(
@@ -934,11 +1047,30 @@ final class SnapshotParquetReaderFactory(
       private var cur: Iterator[org.apache.spark.sql.catalyst.InternalRow] =
         Iterator.empty
       private var row: org.apache.spark.sql.catalyst.InternalRow = _
+      // UnsafeProjection instances are per-reader (they reuse a result
+      // buffer — never share across tasks)
+      private val proj = dv.flatMap(_.project).map { cols =>
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+          cols.map { case (idx, f) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(idx, f.dataType, f.nullable)
+          })
+      }
       override def next(): Boolean = {
-        while (!cur.hasNext && i < files.length) {
-          cur = readFunc(files(i)); i += 1
+        while (true) {
+          if (cur.hasNext) {
+            val r = cur.next()
+            val dead = dv.exists(d => !r.isNullAt(d.keyIdx) &&
+              d.keys.value.contains(r.get(d.keyIdx, d.keyType)))
+            if (!dead) {
+              row = proj.map(_.apply(r)).getOrElse(r)
+              return true
+            }
+          } else if (i < files.length) {
+            cur = readFunc(files(i)); i += 1
+          } else return false
         }
-        if (cur.hasNext) { row = cur.next(); true } else false
+        false
       }
       override def get(): org.apache.spark.sql.catalyst.InternalRow = row
       override def close(): Unit = ()
@@ -1358,9 +1490,17 @@ class SnapshotCatalog extends TableCatalog
   * concurrent creator won — refuse, never append onto their table).
   * `commitStagedChanges` is the no-op acknowledgment (the CAS claim
   * already published atomically); `abortStagedChanges` deletes the
-  * fresh path whole — the existence probe in `stageCreate` proved the
-  * path held no table, so the delete can only remove this CTAS's own
-  * debris.
+  * fresh path whole — but ONLY after re-probing that no committed
+  * manifest exists there. The stageCreate-time existence probe is
+  * exactly what a CTAS race invalidates: when this staged writer
+  * aborts BECAUSE a concurrent creator landed version 1 first (the
+  * single-attempt CAS or the pre-commit `latestVersion < 1` require
+  * detected the winner), an unconditional recursive delete would
+  * destroy the winner's committed table. Losing an abort therefore
+  * re-checks the chain and, if anyone committed, leaves the path
+  * intact — the loser's debris files (if any) are unreferenced
+  * orphans, GC-able by vacuum, never a correctness issue; silent
+  * data loss would be.
   */
 final class StagedSnapshotTable(path: String, identName: String,
     createSchema: StructType, statsCols: Seq[String])
@@ -1400,7 +1540,10 @@ final class StagedSnapshotTable(path: String, identName: String,
     val s = SparkSession.active
     val p = new Path(path)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) f.delete(p, true): Unit
+    // re-probe AT ABORT TIME: delete only while no manifest has ever
+    // committed here — a racing CTAS that won the CAS owns this path
+    if (Snapshots.latestVersion(s, path) < 1 && f.exists(p))
+      f.delete(p, true): Unit
   }
 }
 

@@ -671,8 +671,10 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString
         .toLowerCase.contains("dynamicpruning"),
       "the physical plan must carry the dynamic pruning subquery")
-    // refusal: a fact table with live deletion vectors stays on the V1
-    // bridge (no runtime filtering) and still answers exactly
+    // live deletion vectors STAY on the batch path: the tombstone
+    // anti-join folds into the readers as a broadcast hash probe, so
+    // the dv-bearing fact still prunes at runtime AND answers at the
+    // post-delete truth
     val fact2 = s"$base/fact2"
     Seq(1L to 50L, 51L to 100L).foreach(r =>
       Snapshots.commitWithStats(
@@ -681,10 +683,13 @@ class SnapshotDataSourceSpec extends SparkSpec {
     val r2 = spark.sql(s"""SELECT count(*) AS n
       FROM $cat.fact2 f JOIN $cat.dim d ON f.k = d.dk
       WHERE d.band = 2""").head()
-    assert(r2.getLong(0) == 24, "the dv fallback answer must stay exact")
+    assert(r2.getLong(0) == 24, "the dv batch answer must stay exact")
     val i2 = SnapshotScans.scanOf(fact2).get
-    assert(i2.dirsRead == i2.dirsTotal,
-      s"a dv-bearing table must read everything on the V1 bridge ($i2)")
+    assert(i2.dirsTotal == 2 && i2.dirsRead == 1 &&
+        i2.pushed.exists(_.startsWith("runtime:")) &&
+        i2.pushed.exists(_.startsWith("dv:")) &&
+        i2.pushed.contains("native-batch"),
+      s"a dv-bearing table keeps runtime filtering on the batch path ($i2)")
     // BLOOM-driven runtime pruning: an UNCLUSTERED fact (overlapping
     // key ranges per dir — range stats can prove nothing) still prunes
     // at join time through its #dirbloom membership sketches
@@ -703,6 +708,88 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(i3.dirsTotal == 4 && i3.dirsRead == 1 &&
         i3.pushed.exists(_.startsWith("runtime:")),
       s"the dim keys must prune through the Bloom sketches ($i3)")
+  }
+
+  test("dv tombstone fold on the batch scan: unprojected key columns " +
+      "append-probe-project, NULL keys survive the anti-join, string " +
+      "keys probe correctly, and materializeDeletes answers parity") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // string key, with a NULL-keyed row: anti-join equality never
+    // matches NULL, so the null-keyed row must survive every delete
+    Snapshots.commitWithStats(Seq(
+      (1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Option("d"), 40L))
+      .toDF("id", "key", "v"), t, "id")
+    Snapshots.commitWithStats(Seq(
+      (5L, Option("e"), 50L), (6L, Option("b"), 60L))
+      .toDF("id", "key", "v"), t, "id")
+    Snapshots.deleteWhereMoR(spark, t, "key", col("key") === "b")
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    // projection WITHOUT the key column: the reader appends `key`,
+    // probes, and projects it back out — sum excludes both "b" rows,
+    // keeps the NULL-keyed row
+    val s1 = fmt.select("v").agg(sum("v")).head().getLong(0)
+    assert(s1 == 10L + 30L + 40L + 50L,
+      s"unprojected-key dv fold must drop exactly the tombstoned rows ($s1)")
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.pushed.contains("native-batch") &&
+        i1.pushed.exists(_.startsWith("dv:")),
+      s"a dv-bearing flat table must ride the batch path ($i1)")
+    // static pruning composes with the fold: id >= 5 opens one dir
+    assert(fmt.filter(col("id") >= 5L).count() == 1)
+    val i2 = SnapshotScans.scanOf(t).get
+    assert(i2.dirsTotal == 2 && i2.dirsRead == 1,
+      s"manifest pruning must stay live under dvs ($i2)")
+    // bit-parity with the library read (the audited V1 anti-join;
+    // select-by-name — the library's using-column anti-join reorders
+    // the key column first)
+    assert(bitEqual(fmt.select("id", "key", "v"),
+      Snapshots.read(spark, t).select("id", "key", "v")),
+      "batch dv fold must equal the library's anti-join bit-for-bit")
+    // a second MoR delete composes (dv union), then materialize:
+    // answers identical on both sides of the tombstone window
+    Snapshots.deleteWhereMoR(spark, t, "key", col("key") === "e")
+    val before = fmt.orderBy("id").collect().toSeq
+    assert(before.map(_.getLong(0)) == Seq(1L, 3L, 4L))
+    val (_, _, rw) = Snapshots.materializeDeletes(spark, t)
+    assert(rw > 0)
+    val after = fmt.orderBy("id").collect().toSeq
+    assert(before == after,
+      "materializeDeletes must preserve the dv view exactly")
+  }
+
+  test("evidence no-downgrade: rendering the executed plan after a " +
+      "runtime-filtered scan must not clobber the runtime-marked " +
+      "evidence for the same table and version") {
+    import spark.implicits._
+    val base = freshBase()
+    val fact = s"$base/fact"
+    Seq(1L to 25L, 26L to 50L).foreach(r =>
+      Snapshots.commitWithStats(
+        r.map(k => (k, k * 2L)).toDF("k", "cents"), fact, "k"): Unit)
+    Snapshots.commit((1L to 50L).map(k => (k, (k - 1) / 25))
+      .toDF("dk", "band"), s"$base/dim")
+    val cat = s"snapndg_${math.abs(base.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val df = spark.sql(s"""SELECT count(*) AS n FROM $cat.fact f
+      JOIN $cat.dim d ON f.k = d.dk WHERE d.band = 1""")
+    assert(df.head().getLong(0) == 25)
+    val marked = SnapshotScans.scanOf(fact).get
+    assert(marked.dirsRead == 1 &&
+      marked.pushed.exists(_.startsWith("runtime:")))
+    // the describe path re-evaluates the UNFILTERED partition list —
+    // before the no-downgrade rule this overwrote the evidence with a
+    // misleading "no runtime pruning" record
+    val rendered = df.queryExecution.executedPlan.toString
+    assert(rendered.nonEmpty)
+    val still = SnapshotScans.scanOf(fact).get
+    assert(still.dirsRead == 1 &&
+        still.pushed.exists(_.startsWith("runtime:")),
+      s"plan render must not clobber runtime-marked evidence ($still)")
   }
 
   test("partitioned batch scan: partition values materialize from file " +
