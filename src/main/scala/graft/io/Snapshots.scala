@@ -1110,12 +1110,86 @@ object Snapshots {
   }
 
   /** What a NATIVE FILE-LEVEL scan of `version` needs beyond the
-    * parquet files themselves: the (uniform) partition spec, and the
-    * live deletion vectors whose tombstone keys must suppress rows —
-    * see [[nativeScanPlan]].
+    * parquet files themselves: the (uniform) partition spec, the live
+    * deletion vectors whose tombstone keys must suppress rows, and the
+    * manifest's accumulated `#rename old new` pairs (in order) that
+    * map old physical column names onto the current contract — see
+    * [[nativeScanPlan]].
     */
   final case class NativeScanPlan(partCols: Seq[String],
-      dvDirs: Seq[String], dvKeyCol: Option[String])
+      dvDirs: Seq[String], dvKeyCol: Option[String],
+      renames: Seq[(String, String)] = Nil)
+
+  /** The PHYSICAL column names of one data directory's parquet files —
+    * one footer read (all files in a dir share their commit's schema),
+    * memoized forever by absolute path (data dirs are immutable:
+    * UUID-suffixed at commit, vacuum deletes, never rewrites). `Nil`
+    * for an empty directory (zero files — nothing to map). This is
+    * what lets a `#rename`-bearing table ride the native batch scan:
+    * the per-dir physical names resolve the logical read schema
+    * without opening data pages.
+    */
+  private[graft] def dirPhysicalColumns(s: SparkSession, table: String,
+      dir: String): Seq[String] = {
+    val abs = resolveDirPath(table, dir)
+    val cached = dirPhysColsCache.get(abs)
+    if (cached != null) cached
+    else {
+      val f = fs(s, table)
+      val it = f.listFiles(new Path(abs), true)
+      var first: Option[String] = None
+      while (first.isEmpty && it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") &&
+            !name.startsWith(".") && !name.startsWith("_"))
+          first = Some(st.getPath.toString)
+      }
+      val cols = first match {
+        case None => Nil
+        case Some(p) => s.read.parquet(p).schema.fieldNames.toSeq
+      }
+      dirPhysColsCache.put(abs, cols)
+      cols
+    }
+  }
+
+  private val dirPhysColsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+        size() > 4096
+    })
+
+  /** Simulate the [[applyRenames]] fold over ONE directory's physical
+    * columns: the sequential per-pair walk (oldest first, chains
+    * converge) yields each physical column's CURRENT logical name;
+    * the inverse is the per-dir read mapping `logical -> physical`.
+    * `None` when some pair finds BOTH names present — that is the
+    * row-wise `coalesce(new, old)` shape only the V1 fold can
+    * express, so the table refuses the batch path (parity over
+    * speed). A logical column absent from the result simply doesn't
+    * exist in this dir's files (additive evolution / post-rename
+    * columns): the reader NULL-fills it, and [[commit]]'s
+    * renamed-away-name guard guarantees no UNRELATED physical column
+    * can shadow it.
+    */
+  private[graft] def renameMappingFor(physCols: Seq[String],
+      renames: Seq[(String, String)]): Option[Map[String, String]] = {
+    var cur = physCols.map(p => (p, p)).toMap // physical -> logical
+    renames.foreach { case (o, n) =>
+      val hasO = cur.valuesIterator.contains(o)
+      val hasN = cur.valuesIterator.contains(n)
+      if (hasO && hasN) return None
+      if (hasO) cur = cur.map { case (p, c) => (p, if (c == o) n else c) }
+    }
+    Some(cur.map(_.swap))
+  }
+
+  /** The ordered `#rename old new` pairs of `version`'s manifest. */
+  private[graft] def renamePairs(s: SparkSession, table: String,
+      version: Int): Seq[(String, String)] =
+    renameLinesOf(manifestLines(s, table, version))
 
   /** Whether `version` of `table` can execute as a NATIVE FILE-LEVEL
     * scan — parquet files readable without per-row library semantics
@@ -1151,30 +1225,39 @@ object Snapshots {
     val lines = manifestLines(s, table, version)
     val dirs = lines.filterNot(_.startsWith("#"))
     val specs = specLinesOf(lines)
-    val layoutOk = !lines.exists(_.startsWith("#rename ")) &&
+    val renames = renameLinesOf(lines)
+    // #rename touching a partition column cannot happen going forward
+    // ([[renameColumn]] refuses live partition columns) but is checked
+    // anyway: partition values parse from PATHS under the old name
+    val layoutOk =
       (specs.isEmpty ||
         (specs.values.map(_.mkString(",")).toSet.size == 1 &&
           dirs.forall(specs.contains)))
     if (!layoutOk) None
     else {
       val partCols = specs.values.headOption.getOrElse(Nil)
-      val dvs = dvLinesOf(lines)
-      if (dvs.isEmpty) Some(NativeScanPlan(partCols, Nil, None))
+      if (renames.exists(r =>
+          partCols.contains(r._1) || partCols.contains(r._2))) None
       else {
-        val keyCols = dvs.map(_._2).distinct
-        if (keyCols.size == 1 && !partCols.contains(keyCols.head))
-          Some(NativeScanPlan(partCols, dvs.map(_._1), Some(keyCols.head)))
-        else None
+        val dvs = dvLinesOf(lines)
+        if (dvs.isEmpty) Some(NativeScanPlan(partCols, Nil, None, renames))
+        else {
+          val keyCols = dvs.map(_._2).distinct
+          if (keyCols.size == 1 && !partCols.contains(keyCols.head))
+            Some(NativeScanPlan(partCols, dvs.map(_._1),
+              Some(keyCols.head), renames))
+          else None
+        }
       }
     }
   }
 
-  /** Back-compat dv-free view of [[nativeScanPlan]] (the pre-dv
-    * eligibility shape — some specs pin it). */
+  /** Back-compat dv-free/rename-free view of [[nativeScanPlan]] (the
+    * pre-fold eligibility shape — some specs pin it). */
   private[graft] def nativeScanSpec(s: SparkSession, table: String,
       version: Int): Option[Seq[String]] =
     nativeScanPlan(s, table, version)
-      .filter(_.dvDirs.isEmpty).map(_.partCols)
+      .filter(p => p.dvDirs.isEmpty && p.renames.isEmpty).map(_.partCols)
 
   /** Back-compat boolean view of [[nativeScanPlan]]. */
   private[graft] def nativeScanEligible(s: SparkSession, table: String,
@@ -1236,25 +1319,26 @@ object Snapshots {
     * pruning decision ([[readForScanDirs]] — stats, strings, Blooms,
     * null counts, disjunctions, all of it) resolved down to the
     * surviving directories' parquet files as `(absolutePath, length,
-    * modificationTime, fragment)`, where `fragment` is the file's
+    * modificationTime, fragment, dir)`, where `fragment` is the file's
     * partition subpath relative to its data dir (`grp=2/band=x`; empty
     * for flat layouts) — what the batch scan parses partition VALUES
-    * from. One manifest read + one listing per surviving directory —
-    * metadata scale; the DSv2 batch scan turns these into bin-packed
-    * input partitions.
+    * from — and `dir` is the manifest directory name the file belongs
+    * to (what keys the per-dir rename mapping). One manifest read +
+    * one listing per surviving directory — metadata scale; the DSv2
+    * batch scan turns these into bin-packed input partitions.
     *
     * @return (dirsTotal, hitDirs, files)
     */
   private[graft] def nativeScanFiles(s: SparkSession, table: String,
       version: Int, preds: Seq[ScanPred])
-      : (Int, Seq[String], Seq[(String, Long, Long, String)]) = {
+      : (Int, Seq[String], Seq[(String, Long, Long, String, String)]) = {
     val lines = manifestLines(s, table, version)
     val dirs = lines.filterNot(_.startsWith("#"))
     val hit = readForScanDirs(s, table, lines, preds)
     val f = fs(s, table)
     val files = hit.flatMap { d =>
       val out =
-        scala.collection.mutable.ListBuffer[(String, Long, Long, String)]()
+        scala.collection.mutable.ListBuffer[(String, Long, Long, String, String)]()
       val root = f.makeQualified(new Path(resolveDirPath(table, d)))
       val rootPrefix = root.toString + "/"
       val it = f.listFiles(root, true)
@@ -1277,7 +1361,7 @@ object Snapshots {
           val fragment =
             if (rel.contains('/')) rel.substring(0, rel.lastIndexOf('/'))
             else ""
-          out += ((p, st.getLen, st.getModificationTime, fragment))
+          out += ((p, st.getLen, st.getModificationTime, fragment, d))
           }
         }
       }

@@ -343,6 +343,35 @@ object SnapshotDataSource {
     * all-'~' prefixes (no upper bound recorded — lower bound still
     * prunes).
     */
+  /** Re-key a V1 footer filter's column references through a physical
+    * name mapping (the `#rename` batch path). `None` for shapes the
+    * walk doesn't cover — the filter just drops from FOOTER pushdown
+    * (advisory; Spark re-applies every pushed filter above the scan),
+    * it never changes an answer.
+    */
+  private[sources] def renameFilterCols(f: Filter,
+      phys: String => String): Option[Filter] = f match {
+    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(phys(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+    case LessThan(a, v) => Some(LessThan(phys(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+    case In(a, vs) => Some(In(phys(a), vs))
+    case IsNull(a) => Some(IsNull(phys(a)))
+    case IsNotNull(a) => Some(IsNotNull(phys(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(phys(a), v))
+    case And(l, r) => for {
+      ll <- renameFilterCols(l, phys)
+      rr <- renameFilterCols(r, phys)
+    } yield And(ll, rr)
+    case Or(l, r) => for {
+      ll <- renameFilterCols(l, phys)
+      rr <- renameFilterCols(r, phys)
+    } yield Or(ll, rr)
+    case _ => None
+  }
+
   private def incrementAscii(prefix: String): Option[String] =
     if (!prefix.forall(ch => ch >= ' ' && ch < 127.toChar)) None
     else {
@@ -721,8 +750,29 @@ final class SnapshotScanBuilder(path: String, version: Int,
         case Some(p)
             if p.partCols.forall(tableSchema.fieldNames.contains) &&
               p.dvKeyCol.forall(probeSafe) =>
-          new SnapshotBatchScan(path, version, required, preds,
-            pushed.toSeq, tableSchema, p.partCols, p.dvDirs, p.dvKeyCol)
+          // #rename tables resolve their per-dir physical read schemas
+          // UP FRONT (one memoized footer read per dir — metadata
+          // scale, and only for renamed tables): a dir whose fold
+          // needs a row-wise coalesce refuses the whole table back to
+          // the V1 bridge, never a partial answer
+          val s = SparkSession.active
+          val mappings: Option[Map[String, Map[String, String]]] =
+            if (p.renames.isEmpty) Some(Map.empty)
+            else {
+              val ms = Snapshots.dataDirsOf(s, path, version).map(d =>
+                d -> Snapshots.renameMappingFor(
+                  Snapshots.dirPhysicalColumns(s, path, d), p.renames))
+              if (ms.exists(_._2.isEmpty)) None
+              else Some(ms.map { case (d, m) => d -> m.get }.toMap)
+            }
+          mappings match {
+            case Some(mm) =>
+              new SnapshotBatchScan(path, version, required, preds,
+                pushed.toSeq, tableSchema, p.partCols, p.dvDirs,
+                p.dvKeyCol, mm)
+            case None =>
+              new SnapshotScan(path, version, required, preds, limit, topN)
+          }
         case _ =>
           new SnapshotScan(path, version, required, preds, limit, topN)
       }
@@ -779,7 +829,8 @@ final class SnapshotBatchScan(private val path: String,
     private val staticPreds: Seq[Snapshots.ScanPred],
     private val pushedV1: Seq[Filter], dataSchema: StructType,
     private val partCols: Seq[String] = Nil,
-    dvDirs: Seq[String] = Nil, dvKeyCol: Option[String] = None)
+    dvDirs: Seq[String] = Nil, dvKeyCol: Option[String] = None,
+    renameMappings: Map[String, Map[String, String]] = Map.empty)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -878,14 +929,37 @@ final class SnapshotBatchScan(private val path: String,
       staticPreds.map(_.toString) ++ runtimeMarkers ++ pMarker ++
         dvMarker :+ "native-batch"))
     val reqIdx = requiredPart.fields.map(f => partSchema.fieldIndex(f.name))
-    val pfs = files.map { case (p, len, mod, fragment) =>
+    val pfs = files.map { case (p, len, mod, fragment, d) =>
       val row =
         if (partCols.isEmpty) org.apache.spark.sql.catalyst.InternalRow.empty
         else shim.internalRow(reqIdx.toSeq.map(valsOf(fragment)(_)))
-      shim.partitionedFile(p, len, mod, row)
+      (shim.partitionedFile(p, len, mod, row),
+        renameGroupOf.getOrElse(d, 0))
     }
-    shim.filePartitions(s, pfs)
-      .toArray[org.apache.spark.sql.connector.read.InputPartition]
+    if (renameGroupMaps.size <= 1)
+      shim.filePartitions(s, pfs.map(_._1))
+        .toArray[org.apache.spark.sql.connector.read.InputPartition]
+    else
+      // bin-pack WITHIN each physical layout group — a split may not
+      // mix files needing different read schemas (the factory selects
+      // one read function per partition)
+      pfs.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (g, gf) =>
+        shim.filePartitions(s, gf.map(_._1))
+          .map(fp => GroupedFilePartition(g, fp))
+      }.toArray[org.apache.spark.sql.connector.read.InputPartition]
+  }
+
+  // distinct physical layouts under the rename fold, and each dir's
+  // layout index — a rename-free table collapses to the one identity
+  // layout (index 0)
+  private lazy val (renameGroupOf, renameGroupMaps)
+      : (Map[String, Int], IndexedSeq[Map[String, String]]) = {
+    val distinct = renameMappings.values.toSeq.distinct
+    val maps =
+      if (distinct.isEmpty) IndexedSeq(Map.empty[String, String])
+      else distinct.toIndexedSeq
+    val idx = maps.zipWithIndex.toMap
+    (renameMappings.map { case (d, m) => (d, idx(m)) }, maps)
   }
 
   /** Whether a file's parsed partition values ADMIT the predicate set:
@@ -958,28 +1032,25 @@ final class SnapshotBatchScan(private val path: String,
     val dataFilters =
       pushedV1.filter(_.references.forall(r => !partSet(r)))
     val s = SparkSession.active
-    dvKeyCol match {
-      case None =>
-        new SnapshotParquetReaderFactory(
-          org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
-            s, fileSchema, requiredData, dataFilters, requiredPart))
+    // the DV ANTI-JOIN, folded into the reader: read the key column
+    // (appended when the projection dropped it), probe each row
+    // against the broadcast tombstone set, project back to the
+    // declared readSchema — the same broadcast-hash-anti-join the V1
+    // path plans, executed inside each partition reader, so a
+    // MoR-deleted table keeps manifest pruning, runtime filtering and
+    // the vectorized reader. The build side is O(deleted keys) and
+    // ships ONCE per executor (Broadcast), not per task.
+    val (readerData, dvOpt) = dvKeyCol match {
+      case None => (requiredData, None)
       case Some(key) =>
-        // the DV ANTI-JOIN, folded into the reader: read the key
-        // column (appended when the projection dropped it), probe each
-        // row against the broadcast tombstone set, project back to the
-        // declared readSchema — the same broadcast-hash-anti-join the
-        // V1 path plans, executed inside each partition reader, so a
-        // MoR-deleted table keeps manifest pruning, runtime filtering
-        // and the vectorized reader. The build side is O(deleted keys)
-        // and ships ONCE per executor (Broadcast), not per task.
         val keyField = dataSchema.fields.find(_.name == key).get
         val haveKey = requiredData.fieldNames.contains(key)
-        val readerData =
+        val rd =
           if (haveKey) requiredData
           else StructType(requiredData.fields :+ keyField)
         val keyIdx =
           if (haveKey) requiredData.fieldIndex(key) else requiredData.length
-        val outSchema = StructType(readerData.fields ++ requiredPart.fields)
+        val outSchema = StructType(rd.fields ++ requiredPart.fields)
         val keepIdx: Option[Seq[(Int, org.apache.spark.sql.types.StructField)]] =
           if (haveKey) None
           else Some(((0 until requiredData.length) ++
@@ -987,11 +1058,29 @@ final class SnapshotBatchScan(private val path: String,
             .map(i => (i, outSchema.fields(i))))
         val keys = s.sparkContext.broadcast(
           Snapshots.dvTombstones(s, path, dvDirs, keyField.dataType))
-        new SnapshotParquetReaderFactory(
-          org.apache.spark.sql.graft.ParquetScanShim.parquetReadFunc(
-            s, fileSchema, readerData, dataFilters, requiredPart),
-          Some(SnapshotDvFilter(keyIdx, keyField.dataType, keys, keepIdx)))
+        (rd, Some(SnapshotDvFilter(keyIdx, keyField.dataType, keys, keepIdx)))
     }
+    // one read function per distinct physical layout: a #rename table
+    // reads each dir under its own PHYSICAL column names (per-dir
+    // footer schemas resolved at planning), positionally aligned to
+    // the logical readerData — values land in the right slots, no
+    // per-row fold. Footer filters re-key to the physical names; a
+    // filter shape the re-keying can't express simply drops from
+    // footer pushdown (Spark re-applies every pushed filter above).
+    val shim = org.apache.spark.sql.graft.ParquetScanShim
+    val funcs = renameGroupMaps.map { m =>
+      def phys(n: String): String = m.getOrElse(n, n)
+      val physReq = StructType(
+        readerData.fields.map(f => f.copy(name = phys(f.name))))
+      val physData = StructType(
+        fileSchema.fields.map(f => f.copy(name = phys(f.name))))
+      val physFilters =
+        if (m.isEmpty) dataFilters
+        else dataFilters.flatMap(
+          SnapshotDataSource.renameFilterCols(_, phys))
+      shim.parquetReadFunc(s, physData, physReq, physFilters, requiredPart)
+    }
+    new SnapshotParquetReaderFactory(funcs, dvOpt)
   }
 
   /** Pruned-scan bytes (one content-summary RPC per surviving dir) —
@@ -1028,9 +1117,20 @@ final case class SnapshotDvFilter(keyIdx: Int,
     keys: org.apache.spark.broadcast.Broadcast[Set[Any]],
     project: Option[Seq[(Int, org.apache.spark.sql.types.StructField)]])
 
+/** A bin-packed file split TAGGED with its physical-layout group — a
+  * `#rename` table's splits never mix files needing different read
+  * schemas, and the factory selects the group's read function.
+  */
+final case class GroupedFilePartition(group: Int,
+    fp: org.apache.spark.sql.execution.datasources.FilePartition)
+    extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
 final class SnapshotParquetReaderFactory(
-    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    funcs: IndexedSeq[
+      org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow]],
     dv: Option[SnapshotDvFilter] = None)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
@@ -1038,9 +1138,11 @@ final class SnapshotParquetReaderFactory(
       p: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
-    val files =
-      p.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
-        .files
+    val (readFunc, files) = p match {
+      case g: GroupedFilePartition => (funcs(g.group), g.fp.files)
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        (funcs(0), fp.files)
+    }
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
       private var i = 0

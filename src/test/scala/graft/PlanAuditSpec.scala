@@ -804,14 +804,19 @@ class PlanAuditSpec extends SparkSpec {
       s"pushed filter lost before the snapshot scan:\n$plan")
     assert(plan.contains("columns=[k, v]"),
       s"column pruning lost before the snapshot scan:\n$plan")
-    // a RENAMED table stays on the V1 bridge (per-row fold) and its
-    // plan shows the classic V1 PushedFilters rendering
+    // a RENAMED table KEEPS the native batch scan: the per-dir
+    // physical read schemas fold the rename at planning (r18), so the
+    // rename costs a footer read per dir, not the batch path
     graft.io.Snapshots.renameColumn(spark, t, "p", "pad")
     val v1 = spark.read.format("graft-snapshot").option("path", t).load()
       .filter(col("k") === 901L).select("v")
+    assert(v1.count() >= 0)
+    val ri = graft.sources.SnapshotScans.scanOf(t).get
+    assert(ri.pushed.contains("native-batch") && ri.dirsRead == 1,
+      s"a renamed table must stay on the pruned batch path ($ri)")
     val v1Plan = executed(v1)
-    assert(v1Plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,901)]"),
-      s"V1 bridge lost its pushed filter rendering:\n$v1Plan")
+    assert(v1Plan.contains("BatchScan") && v1Plan.contains("native-batch"),
+      s"renamed table must still plan as the native batch scan:\n$v1Plan")
     // and the INNER plan pushed the residual to the parquet footers:
     // the recorded scan frame plans with PushedFilters on k
     val inner = graft.io.Snapshots.readForScan(spark, t,

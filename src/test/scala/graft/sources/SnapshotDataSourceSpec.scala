@@ -760,6 +760,54 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "materializeDeletes must preserve the dv view exactly")
   }
 
+  test("#rename on the batch scan: per-dir physical schemas fold the " +
+      "rename at planning, re-keyed stats keep pruning, chains " +
+      "converge, and the dv fold composes") {
+    import spark.implicits._
+    val base = freshBase()
+    val t = s"$base/t"
+    // dir 1 under the OLD physical name v; rename; dir 2 under w
+    Snapshots.commitWithStats(
+      (1L to 30L).map(k => (k, k * 2L)).toDF("k", "v"), t, "k")
+    Snapshots.renameColumn(spark, t, "v", "w")
+    Snapshots.commitWithStats(
+      (31L to 60L).map(k => (k, k * 3L)).toDF("k", "w"), t, "k")
+    def fmt = spark.read.format("graft-snapshot").option("path", t).load()
+    assert(bitEqual(fmt.select("k", "w"),
+      Snapshots.read(spark, t).select("k", "w")),
+      "renamed batch read must equal the library fold bit-for-bit")
+    val i0 = SnapshotScans.scanOf(t).get
+    assert(i0.pushed.contains("native-batch"),
+      s"a renamed table must ride the batch path ($i0)")
+    // re-keyed #dirstats still prune (renameColumn re-keys the lines)
+    assert(fmt.filter(col("k") >= 31L).agg(sum("w")).head().getLong(0) ==
+      (31L to 60L).map(_ * 3).sum)
+    val i1 = SnapshotScans.scanOf(t).get
+    assert(i1.dirsTotal == 2 && i1.dirsRead == 1 &&
+        i1.pushed.contains("native-batch"),
+      s"re-keyed stats must prune on the batch path ($i1)")
+    // a filter on the RENAMED column finds values living under the old
+    // physical name in dir 1 (per-dir footer re-keying)
+    assert(fmt.filter(col("w") === 20L).select("k").head().getLong(0) == 10L)
+    // chains converge: w -> u, a third dir written natively under u
+    Snapshots.renameColumn(spark, t, "w", "u")
+    Snapshots.commit((61L to 70L).map(k => (k, k * 5L)).toDF("k", "u"), t)
+    assert(fmt.schema.fieldNames.toSeq == Seq("k", "u"))
+    assert(fmt.agg(sum("u")).head().getLong(0) ==
+      (1L to 30L).map(_ * 2).sum + (31L to 60L).map(_ * 3).sum +
+        (61L to 70L).map(_ * 5).sum)
+    assert(SnapshotScans.scanOf(t).get.pushed.contains("native-batch"))
+    // dv composes with the rename fold on the same batch scan
+    Snapshots.deleteWhereMoR(spark, t, "k", col("k") % 10 === 0)
+    assert(bitEqual(fmt.select("k", "u"),
+      Snapshots.read(spark, t).select("k", "u")),
+      "dv + rename must still equal the library fold")
+    val i2 = SnapshotScans.scanOf(t).get
+    assert(i2.pushed.contains("native-batch") &&
+        i2.pushed.exists(_.startsWith("dv:")),
+      s"dv + rename must stay on the batch path ($i2)")
+  }
+
   test("evidence no-downgrade: rendering the executed plan after a " +
       "runtime-filtered scan must not clobber the runtime-marked " +
       "evidence for the same table and version") {
